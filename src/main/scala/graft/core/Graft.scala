@@ -1,33 +1,50 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Session factory + table loading for the graft engine.
   *
-  * Design notes (100 TB posture): the session is configured for AQE
-  * (runtime partition coalescing + skew-join splitting), a shuffle
-  * partition count that matches the local harness (overridden on a real
-  * cluster via spark-submit conf), and UTC so timestamp semantics match
-  * the DuckDB oracle and any downstream warehouse.
+  * Design notes (100 TB posture): the session enables AQE (runtime
+  * partition coalescing + skew-join splitting), sizes shuffle
+  * partitions to the harness core count, and pins UTC so timestamp
+  * semantics match the DuckDB oracle and any downstream warehouse.
+  *
+  * Every `.config(...)` here is applied as a *fallback*: when the JVM
+  * was launched by spark-submit with an explicit master/conf, those
+  * win — nothing below forces local-mode behavior onto a cluster.
   */
 object Graft {
 
-  /** Build (or get) a session tuned for the local[32] harness.
-    * On a real cluster every one of these is overridable from
-    * spark-submit; nothing here hard-codes local-only behavior except
-    * the master fallback.
+  /** Default parallelism for the local harness (local[32] per driver). */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** Build (or get) the engine session. Single entry point for
+    * Verify/Bench/tests so every path agrees on config (see ADVICE.md).
     */
-  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
-    val b = SparkSession
-      .builder()
-      .master(master)
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+  def session(appName: String = "graft"): SparkSession = {
+    val defaults = Seq(
+      "spark.sql.shuffle.partitions" -> cpus,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.ui.enabled" -> "false",
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects; read as long and convert (see Graft.table).
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // Write µs (not INT96) so parquet output round-trips identically
+      // through pyarrow/DuckDB in the driver's compare.
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"
+    )
+    val b = SparkSession.builder().appName(appName)
+    // Fallback master only when none was provided (spark-submit sets
+    // spark.master; a bare JVM launch does not).
+    if (!sys.props.contains("spark.master"))
+      b.master(s"local[$cpus]")
+    defaults.foreach { case (k, v) =>
+      if (!sys.props.contains(k)) b.config(k, v)
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -35,7 +52,15 @@ object Graft {
 
   /** Load one of the driver's synthetic tables from an sf directory.
     * Plain parquet scan — Catalyst pushes filters/pruning into it.
+    *
+    * `events.ts` is nanosecond-precision in the files; Spark's
+    * TimestampType is µs, so we floor-divide to µs — exactly what
+    * DuckDB's `CAST(ts AS TIMESTAMP)` does, keeping oracle parity.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
 }

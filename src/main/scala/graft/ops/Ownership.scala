@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Ownership split + capacity allocation — the one compound domain
+  * operator in the reference (SURVEY.md §2.8 G4).
+  *
+  * Input: an `Owner` column like `"Name [59%]; Name2 [26%]"` or
+  * `"Enel SpA [100%]"`, and a numeric capacity column. Output: one row
+  * per owner with `Company`, `Ownership` (fraction) and
+  * `Capacity_allocated = capacity * share`.
+  *
+  * Two reference variants:
+  *  - Strict (`Coalplants_GEM.R:104-119`): a missing `[NN%]` share
+  *    yields a null allocation (the reference's silent-capacity-loss
+  *    quirk — preserved, see SURVEY.md §5).
+  *  - EqualShareDefault (`Hydroplants_GEM.R:159-202`): missing shares
+  *    default to 1/n over the owners of the SAME source row, via a
+  *    count-over-partition window on a per-row provenance id.
+  *
+  * Spark-first shape: `posexplode(split(...))` + `regexp_extract` — all
+  * built-in, codegen'd expressions; the only shuffle is the window in
+  * EqualShareDefault mode, partitioned by the provenance id (naturally
+  * uniform — no skew at any scale).
+  */
+object Ownership {
+
+  sealed trait Mode
+  case object Strict extends Mode
+  case object EqualShareDefault extends Mode
+
+  def split(ownerCol: String, capacityCol: String, mode: Mode)(df: DataFrame): DataFrame = {
+    val withId = df.withColumn("_row_id", monotonically_increasing_id())
+    val exploded = withId
+      .withColumn("_owner_raw", explode(split(col(ownerCol), ";\\s*")))
+      .withColumn("Company", trim(regexp_extract(col("_owner_raw"), "^([^\\[]+)", 1)))
+      // nullif: R str_extract gives NA on no-match, Spark gives "" —
+      // normalize (SURVEY.md §2.9 X1).
+      .withColumn("Company", when(col("Company") === "", null).otherwise(col("Company")))
+      .withColumn("_share_pct",
+        regexp_extract(col("_owner_raw"), "(\\d+)%", 1).cast(DoubleType))
+    val withShare = mode match {
+      case Strict =>
+        exploded.withColumn("Ownership", col("_share_pct") / 100.0)
+      case EqualShareDefault =>
+        val w = Window.partitionBy(col("_row_id"))
+        exploded.withColumn("Ownership",
+          coalesce(col("_share_pct") / 100.0, lit(1.0) / count(lit(1)).over(w)))
+    }
+    withShare
+      .withColumn("Capacity_allocated", col(capacityCol) * col("Ownership"))
+      .drop("_owner_raw", "_share_pct", "_row_id")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.functions.Hashing._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers, as a 100 TB engine needs both:
+  *  - `bruteForceTopK`: exact cosine top-k. Correctness baseline and the
+  *    right choice when the query set is small (queries broadcast; one
+  *    pass over the corpus, per-partition top-k via window).
+  *  - `lshTopK` / label-blocked search: the scale path — candidate
+  *    generation by random-hyperplane LSH bucket (or a precomputed
+  *    coarse partition like an IVF cell), exact re-rank inside buckets.
+  *    Turns O(|Q|·|C|) into O(|Q|·bucket).
+  *
+  * All vector math is higher-order-function expressions in double
+  * precision (zip_with + aggregate) — no UDF, stays in codegen.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` should be
+    * small (it is broadcast); `corpus` can be arbitrarily large.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a
+    * bigint bucket id. Hyperplane components are derived from the
+    * portable hash (deterministic, reproducible in SQL): component
+    * h(p, d) is ±1 by hash parity — a valid LSH family for cosine.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (v, d) => v.cast("double") *
+              when(seededHash(p, d.cast("string")).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          lit(0.0), (a, x) => a + x)
+        acc + when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      })
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * exact cosine re-rank inside it. At 100 TB the bucket column is a
+    * uniform shuffle key; multi-probe (ORing nearby buckets) trades
+    * recall for fan-out and is left to the caller via `planes`.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int = 8): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket", hyperplaneBucket(col("qvec"), planes))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", hyperplaneBucket(col("cvec"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking key (IVF-style
+    * coarse cell, here any precomputed label/bucket column): cosine ≥
+    * threshold, id_a < id_b. Blocking bounds the pair count — the full
+    * cross product never materializes.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol), col(blockCol), col(vecCol).as("v"))
+    v.as("l").join(v.as("r"),
+        col(s"l.$blockCol") === col(s"r.$blockCol") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("cos", round(cosine(col("l.v"), col("r.v")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: tokenization, language ID, quality scoring,
+  * fingerprinting. All built from codegen'd built-in expressions —
+  * narrow (per-row) transforms with zero shuffle, so they scale
+  * linearly with input splits at any data size.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (texts carry trailing
+    * spaces). `split` + `filter` higher-order fn — no UDF.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " +"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token ratio (type-token ratio) — a standard repetitiveness
+    * quality signal for LLM corpus filtering.
+    */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Stopword ratio against a tiny English function-word list — the
+    * classic cheap quality / language signal.
+    */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column = {
+    val sw = EnStopwords.map(lit(_))
+    size(filter(tokens(text), t => t.isin(sw: _*))).cast("double") / size(tokens(text))
+  }
+
+  /** N-gram-free heuristic language ID: English if the function-word
+    * ratio clears a threshold, else "other". (A production system would
+    * score per-language character n-gram profiles; the *shape* — narrow
+    * per-row scoring, no shuffle — is identical.)
+    */
+  def langIdHeuristic(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("other")
+
+  /** Mean token length — degenerate values flag boilerplate/binary. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(tokens(text))
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct
+    * token set. Word-order-insensitive exact dedup key (step between
+    * exact hash dedup and MinHash).
+    */
+  def bowFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Composite quality score in [0,1]: length band + lexical diversity +
+    * stopword presence, equally weighted.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthOk = when(n.between(5, 10000), 1.0).otherwise(0.0)
+    val diversity = typeTokenRatio(text)
+    val sw = when(stopwordRatio(text) > 0, 1.0).otherwise(0.0)
+    round((lengthOk + diversity + sw) / 3.0, 4)
+  }
+
+  /** Convenience: annotate a documents frame with all signals. */
+  def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("type_token_ratio", round(typeTokenRatio(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("lang_pred", langIdHeuristic(t))
+      .withColumn("fingerprint", bowFingerprint(t))
+      .withColumn("quality", qualityScore(t))
+  }
+}

@@ -1,0 +1,402 @@
+package graft.queries
+
+import graft.core.Graft
+import graft.ops.{Cleaning, Coordinates, GemPipeline, Ownership, Timeseries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 operator inventory, exercised as oracle-checked queries
+  * over the driver's TPC-H-ish tables. Each query cites the §2 row(s)
+  * it covers and the reference site whose semantics it re-expresses.
+  */
+object GemQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // P1/P3 projection + fixed order (`Coalplants_GEM.R:17-38,214-223`)
+    QueryDef("q01_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P4 rename + M4 constant/typed-null columns (`Coalplants_GEM.R:186-210`)
+    QueryDef("q02_rename_const",
+      (s, dir) => t(s, dir, "orders")
+        .withColumnsRenamed(Map("o_orderkey" -> "order_id", "o_orderstatus" -> "status"))
+        .withColumn("sector", lit("Power"))
+        .withColumn("note", lit(null).cast("string"))
+        .select("order_id", "status", "sector", "note")
+        .orderBy("order_id"),
+      Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             |'Power' AS sector, CAST(NULL AS VARCHAR) AS note
+             |FROM orders ORDER BY order_id""".stripMargin)),
+
+    // F1 value-set membership filter (`Coalplants_GEM.R:41`)
+    QueryDef("q03_filter_isin",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+             |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // F2 negated compound predicate w/ 3VL parity (`GasOilplants_GEM.R:88-92`)
+    QueryDef("q04_filter_negated",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(!(col("l_returnflag").isin("N") || col("l_quantity").isNull ||
+          col("l_quantity") === 0.0 || col("l_discount") > 0.08))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE NOT (l_returnflag IN ('N') OR l_quantity IS NULL
+             |           OR l_quantity = 0.0 OR l_discount > 0.08)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // F3 null check + F4 range-with-null-pass (`Coalplants_GEM.R:122-128`)
+    QueryDef("q05_filter_null_range",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .filter(col("o_orderdate").isNull ||
+          col("o_orderdate") >= to_timestamp(lit("1995-06-01"), "yyyy-MM-dd"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+             |WHERE o_custkey IS NOT NULL
+             |  AND (o_orderdate IS NULL OR o_orderdate >= TIMESTAMP '1995-06-01')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // F5 timestamp comparison filter (`TotalData_GEM.R:75-76`); events.ts
+    // is ns in the files → µs in both engines (Graft.table / CAST).
+    QueryDef("q06_ts_filter",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") >= to_timestamp(lit("2024-01-03 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-04 00:00:00")))
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
+             |ORDER BY event_id""".stripMargin)),
+
+    // M2 multi-branch case_when (`Hydroplants_GEM.R:102-107`)
+    QueryDef("q07_case_when",
+      (s, dir) => t(s, dir, "lineitem")
+        .withColumn("qty_band",
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 25, "medium")
+            .when(col("l_quantity") < 40, "large")
+            .otherwise("huge"))
+        .groupBy("qty_band").agg(count(lit(1)).as("n"))
+        .orderBy("qty_band"),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'small'
+             |            WHEN l_quantity < 25 THEN 'medium'
+             |            WHEN l_quantity < 40 THEN 'large'
+             |            ELSE 'huge' END AS qty_band, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY qty_band""".stripMargin)),
+
+    // M3 ifelse(is.na(x), y, x) ≡ coalesce (`TotalData_GEM.R:33,56`)
+    QueryDef("q08_coalesce",
+      (s, dir) => t(s, dir, "lineitem")
+        .withColumn("disc_or_flag", coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)))
+        .groupBy("l_returnflag")
+        .agg(round(sum("disc_or_flag"), 2).as("sum_disc"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(sum(coalesce(nullif(l_discount, 0.0), -1.0)), 2) AS sum_disc,
+             |count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // M5 whole-table value replace (`Coalplants_GEM.R:50`)
+    QueryDef("q09_replace_everywhere",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .transform(Cleaning.replaceEverywhere("N", "unknown"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT CASE WHEN l_returnflag = 'N' THEN 'unknown' ELSE l_returnflag END AS l_returnflag,
+             |       CASE WHEN l_linestatus = 'N' THEN 'unknown' ELSE l_linestatus END AS l_linestatus,
+             |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A1+J1 coordinate canonicalization: group-summary + broadcast
+    // re-join (`Coalplants_GEM.R:59-76`), nation as the location key.
+    QueryDef("q10_canon_coords",
+      (s, dir) => t(s, dir, "customer")
+        .withColumn("c_lon", col("c_custkey").cast("double"))
+        .transform(Coordinates.canonicalize("c_nationkey", "c_acctbal", "c_lon"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("acct_canon"))
+        .orderBy("c_custkey"),
+      Some("""WITH summ AS (
+             |  SELECT c_nationkey,
+             |    CASE WHEN count(DISTINCT (c_acctbal, CAST(c_custkey AS DOUBLE))) > 1
+             |         THEN avg(c_acctbal) ELSE min(c_acctbal) END AS acct
+             |  FROM customer GROUP BY c_nationkey)
+             |SELECT c.c_custkey, c.c_nationkey, round(s.acct, 2) AS acct_canon
+             |FROM customer c LEFT JOIN summ s USING (c_nationkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J2 left join + coalesce of the fallback column (`TotalData_GEM.R:31-34`)
+    QueryDef("q11_join_coalesce",
+      (s, dir) => {
+        val dim = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+          .select("c_custkey", "c_name")
+        t(s, dir, "orders")
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+          .withColumn("customer_name", coalesce(col("c_name"), lit("unknown")))
+          .groupBy("customer_name")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("customer_name")
+      },
+      Some("""WITH dim AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
+             |SELECT coalesce(c_name, 'unknown') AS customer_name,
+             |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+             |FROM orders LEFT JOIN dim ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY customer_name""".stripMargin)),
+
+    // J3 composite-key left join against an aggregated dim
+    // (`TotalData_GEM.R:116-119`)
+    QueryDef("q12_composite_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val dim = li.groupBy("l_returnflag", "l_linestatus")
+          .agg(avg("l_quantity").as("avg_qty"))
+        li.join(broadcast(dim), Seq("l_returnflag", "l_linestatus"), "left")
+          .withColumn("above_avg", (col("l_quantity") > col("avg_qty")).cast("int"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("above_avg").cast("long").as("n_above"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""WITH dim AS (SELECT l_returnflag, l_linestatus, avg(l_quantity) AS avg_qty
+             |            FROM lineitem GROUP BY 1, 2)
+             |SELECT l.l_returnflag, l.l_linestatus,
+             |       CAST(sum(CASE WHEN l.l_quantity > d.avg_qty THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             |       count(*) AS n
+             |FROM lineitem l LEFT JOIN dim d USING (l_returnflag, l_linestatus)
+             |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // J4 dimension-lookup chain (countrycode analog, `Coalplants_GEM.R:200`):
+    // two broadcast joins up a snowflake.
+    QueryDef("q13_dim_lookup",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_customers,
+             |       round(sum(c_acctbal), 2) AS total_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // A2 main rollup, TPC-H-Q1 shape (`Coalplants_GEM.R:165-171`):
+    // partial aggregation collapses before the shuffle.
+    QueryDef("q14_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(coalesce(sum("l_quantity"), lit(0.0)), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(coalesce(sum(l_quantity), 0.0), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A3 two-level unweighted mean-of-means (`TotalData_GEM.R:79-93`)
+    QueryDef("q15_two_level_mean",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(avg("c_acctbal").as("nation_mean"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(avg("nation_mean"), 2).as("region_mean"))
+        .orderBy("r_name"),
+      Some("""WITH nm AS (
+             |  SELECT n_regionkey, c_nationkey, avg(c_acctbal) AS nation_mean
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT r_name, round(avg(nation_mean), 2) AS region_mean
+             |FROM nm JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // A4/A5 distinct projection dedup (`TotalData_GEM.R:144-146,21`)
+    QueryDef("q16_distinct",
+      (s, dir) => t(s, dir, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // A6 first-row-per-group via explicit ordinal (`TotalData_GEM.R:48-51`)
+    QueryDef("q17_first_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // A7 count/sum-over-partition windows (`Hydroplants_GEM.R:174-189`)
+    QueryDef("q18_window_share",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+        t(s, dir, "lineitem")
+          .withColumn("n_items", count(lit(1)).over(w))
+          .withColumn("qty_share", round(col("l_quantity") / sum("l_quantity").over(w), 4))
+          .select("l_orderkey", "l_linenumber", "n_items", "qty_share")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  count(*) OVER (PARTITION BY l_orderkey) AS n_items,
+             |  round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey), 4) AS qty_share
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // U1 union-by-name (`TotalData_GEM.R:6-16`)
+    QueryDef("q19_union",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val hi = o.filter(col("o_totalprice") >= 200000).withColumn("bucket", lit("high"))
+        val lo = o.filter(col("o_totalprice") < 50000).withColumn("bucket", lit("low"))
+        hi.unionByName(lo)
+          .groupBy("bucket", "o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("bucket", "o_orderstatus")
+      },
+      Some("""WITH u AS (
+             |  SELECT *, 'high' AS bucket FROM orders WHERE o_totalprice >= 200000
+             |  UNION ALL
+             |  SELECT *, 'low' AS bucket FROM orders WHERE o_totalprice < 50000)
+             |SELECT bucket, o_orderstatus, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM u GROUP BY 1, 2 ORDER BY bucket, o_orderstatus""".stripMargin)),
+
+    // G1 separate_rows ≡ explode(split(...)) (`Coalplants_GEM.R:107`)
+    QueryDef("q20_explode_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("word", explode(split(col("text"), " ")))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word"),
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+
+    // G2+M2 year expansion with the capacity-timeline rule
+    // (`Coalplants_GEM.R:134-152`): explode(sequence(...)) — narrow, no join.
+    QueryDef("q21_expand_years",
+      (s, dir) => t(s, dir, "supplier")
+        .withColumn("start_year", (lit(2020) + pmod(col("s_suppkey"), lit(15))).cast("int"))
+        .withColumn("retire_year", col("start_year") + 20)
+        .withColumn("year", explode(sequence(lit(2023), lit(2050))))
+        .withColumn("capacity",
+          when(col("year") < col("start_year"), 0.0)
+            .when(col("year") > col("retire_year"), 0.0)
+            .otherwise(col("s_acctbal")))
+        .groupBy("year")
+        .agg(round(coalesce(sum("capacity"), lit(0.0)), 2).as("total_capacity"))
+        .orderBy("year"),
+      Some("""WITH e AS (
+             |  SELECT s_suppkey, s_acctbal,
+             |         2020 + (s_suppkey % 15) AS start_year,
+             |         2040 + (s_suppkey % 15) AS retire_year,
+             |         y.year
+             |  FROM supplier
+             |  CROSS JOIN (SELECT unnest(generate_series(2023, 2050)) AS year) y)
+             |SELECT year, round(coalesce(sum(
+             |  CASE WHEN year < start_year THEN 0.0
+             |       WHEN year > retire_year THEN 0.0
+             |       ELSE s_acctbal END), 0.0), 2) AS total_capacity
+             |FROM e GROUP BY year ORDER BY year""".stripMargin)),
+
+    // G4 ownership split + capacity allocation, both variants at once
+    // (`Coalplants_GEM.R:104-119`, `Hydroplants_GEM.R:159-202`):
+    // explode + regex extract + count-over-window equal-share default.
+    QueryDef("q22_ownership_split",
+      (s, dir) => t(s, dir, "part")
+        .withColumn("Owner",
+          when(pmod(col("p_size"), lit(3)) === 0,
+            concat(col("p_brand"), lit("; "), col("p_type")))
+            .otherwise(concat(col("p_brand"), lit(" [60%]; "), col("p_type"), lit(" [40%]"))))
+        .transform(Ownership.split("Owner", "p_retailprice", Ownership.EqualShareDefault))
+        .groupBy(col("Company").as("company"))
+        .agg(round(sum("Capacity_allocated"), 2).as("alloc"), count(lit(1)).as("n"))
+        .orderBy("company"),
+      Some("""WITH o AS (
+             |  SELECT p_partkey, p_retailprice,
+             |    CASE WHEN p_size % 3 = 0 THEN p_brand || '; ' || p_type
+             |         ELSE p_brand || ' [60%]; ' || p_type || ' [40%]' END AS owners
+             |  FROM part),
+             |e AS (SELECT p_partkey, p_retailprice,
+             |             unnest(string_split(owners, '; ')) AS ow FROM o),
+             |sh AS (SELECT p_partkey, p_retailprice,
+             |  trim(regexp_extract(ow, '^([^\[]+)', 1)) AS company,
+             |  CAST(NULLIF(regexp_extract(ow, '(\d+)%', 1), '') AS DOUBLE) / 100 AS share,
+             |  count(*) OVER (PARTITION BY p_partkey) AS n_owners
+             |  FROM e)
+             |SELECT company,
+             |  round(sum(p_retailprice * coalesce(share, 1.0 / n_owners)), 2) AS alloc,
+             |  count(*) AS n
+             |FROM sh GROUP BY company ORDER BY company""".stripMargin)),
+
+    // X8/X13 deterministic TFL surrogate ids (`TotalData_GEM.R:21-34`)
+    QueryDef("q23_company_ids",
+      (s, dir) => t(s, dir, "customer")
+        .transform(GemPipeline.assignCompanyIds("c_name"))
+        .select("c_custkey", "company_id")
+        .orderBy("c_custkey"),
+      Some("""WITH dim AS (
+             |  SELECT c_name, 'TFL' || lpad(CAST(
+             |    dense_rank() OVER (ORDER BY c_name) + 10000000 AS VARCHAR), 8, '0')
+             |    AS company_id
+             |  FROM (SELECT DISTINCT c_name FROM customer))
+             |SELECT c_custkey, company_id
+             |FROM customer LEFT JOIN dim USING (c_name)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // X3-X8 scalar string functions (SURVEY.md §2.9)
+    QueryDef("q24_string_funcs",
+      (s, dir) => t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lower(col("p_type")).as("type_lower"),
+          trim(col("p_brand")).as("brand_trim"),
+          concat_ws(", ", col("p_brand"), col("p_type")).as("brand_type"),
+          nullif(instr(col("p_type"), "BRASS").cast("long"), lit(0L)).as("brass_pos"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, lower(p_type) AS type_lower,
+             |  trim(p_brand) AS brand_trim,
+             |  concat_ws(', ', p_brand, p_type) AS brand_type,
+             |  NULLIF(CAST(strpos(p_type, 'BRASS') AS BIGINT), 0) AS brass_pos,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+             |FROM part ORDER BY p_partkey""".stripMargin))
+  )
+}

