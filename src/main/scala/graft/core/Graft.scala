@@ -60,7 +60,15 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // Integer `div`, not `/`: epoch-nanos exceed double's 2^53 exact
+      // range, so float division can round across a µs boundary and
+      // break parity with DuckDB's exact CAST (see ADVICE.md r2).
+      // TIMESTAMP_NTZ (session tz is UTC, so the wall clock is
+      // unchanged): DuckDB's TIMESTAMP is tz-naive, and a tz-aware
+      // Spark output would stringify with "+00:00" and break the hash
+      // compare even when the instants agree.
+      df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     else df
   }
 }

@@ -25,8 +25,12 @@ object Coordinates {
         when(n > 1, avg(col(latCol))).otherwise(min(col(latCol))).as(s"${latCol}_canon"),
         when(n > 1, avg(col(lonCol))).otherwise(min(col(lonCol))).as(s"${lonCol}_canon")
       )
+    // No forced broadcast: the summary's cardinality = distinct
+    // locations, which GROWS with the data — a broadcast hint would OOM
+    // the driver at 100×. AQE converts to broadcast at runtime when the
+    // aggregate output is actually small.
     df.drop(latCol, lonCol)
-      .join(broadcast(summary), Seq(keyCol), "left")
+      .join(summary, Seq(keyCol), "left")
       .withColumnRenamed(s"${latCol}_canon", latCol)
       .withColumnRenamed(s"${lonCol}_canon", lonCol)
   }

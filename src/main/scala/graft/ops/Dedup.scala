@@ -47,7 +47,7 @@ object Dedup {
     df.withColumn("sig", minhashSignature(col(textCol), k))
       .withColumn("band_id", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
-        md5(array_join(transform(slice(col("sig"), col("band_id") * r + 1, r),
+        md5(array_join(transform(slice(col("sig"), col("band_id") * r + 1, lit(r)),
           h => h.cast("string")), ",")))
       .select(col(idCol), col("band_id"), col("band_hash"))
   }
@@ -86,15 +86,20 @@ object Dedup {
   def simhash(text: Column, bits: Int = 60): Column = {
     val toks = array_distinct(TextAnalysis.tokens(text))
     val hashes = transform(toks, t => portableHash(t))
+    // One pass over the token hashes, accumulating all `bits` vote
+    // counters in an array (the per-bit shift amount is a lambda
+    // variable, so we go through the SQL shiftright/shiftleft functions
+    // via call_function — the Scala overloads only take literal Ints).
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (v, b) => v +
+          when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
     aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, b) =>
-        acc + when(
-          aggregate(hashes, lit(0L),
-            (votes, h) => votes + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-          ) >= 0,
-          shiftleft(lit(1L), b)).otherwise(0L))
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
+        (v, b) => when(v >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
   }
 
   /** Exact n-gram (shingle) arrays for Jaccard verification. */
@@ -102,7 +107,7 @@ object Dedup {
     val toks = TextAnalysis.tokens(text)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => array_join(slice(toks, i, n), " ")))
+        i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
   /** N-gram Jaccard near-dup over a blocking key (e.g. source): computes

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -32,16 +33,28 @@ object Ownership {
   case object Strict extends Mode
   case object EqualShareDefault extends Mode
 
-  def split(ownerCol: String, capacityCol: String, mode: Mode)(df: DataFrame): DataFrame = {
-    val withId = df.withColumn("_row_id", monotonically_increasing_id())
+  /** @param rowKeyCols columns that uniquely identify a SOURCE row (the
+    *   provenance key the equal-share window partitions by). Pass the
+    *   unit-id column(s) when available — `monotonically_increasing_id`
+    *   (the fallback) is not stable under stage retries.
+    */
+  def split(ownerCol: String, capacityCol: String, mode: Mode,
+      rowKeyCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val withId =
+      if (rowKeyCols.nonEmpty) df.withColumn("_row_id", struct(rowKeyCols.map(col): _*))
+      else df.withColumn("_row_id", monotonically_increasing_id())
+    // explode_outer: a null Owner keeps its row (null Company) — R's
+    // separate_rows keeps NA rows; plain explode would drop them.
     val exploded = withId
-      .withColumn("_owner_raw", explode(split(col(ownerCol), ";\\s*")))
+      .withColumn("_owner_raw", explode_outer(functions.split(col(ownerCol), ";\\s*")))
       .withColumn("Company", trim(regexp_extract(col("_owner_raw"), "^([^\\[]+)", 1)))
       // nullif: R str_extract gives NA on no-match, Spark gives "" —
       // normalize (SURVEY.md §2.9 X1).
       .withColumn("Company", when(col("Company") === "", null).otherwise(col("Company")))
+      // nullif before cast: regexp_extract gives "" on no-match and
+      // Spark 4's ANSI cast throws on '' → DOUBLE (R gives NA).
       .withColumn("_share_pct",
-        regexp_extract(col("_owner_raw"), "(\\d+)%", 1).cast(DoubleType))
+        nullif(regexp_extract(col("_owner_raw"), "(\\d+)%", 1), lit("")).cast(DoubleType))
     val withShare = mode match {
       case Strict =>
         exploded.withColumn("Ownership", col("_share_pct") / 100.0)

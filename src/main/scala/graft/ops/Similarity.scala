@@ -63,7 +63,7 @@ object Similarity {
             (v, d) => v.cast("double") *
               when(seededHash(p, d.cast("string")).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
           lit(0.0), (a, x) => a + x)
-        acc + when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+        acc + when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       })
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,

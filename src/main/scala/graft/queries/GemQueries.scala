@@ -21,9 +21,12 @@ object GemQueries {
     QueryDef("q01_project",
       (s, dir) => t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // sort on every output column so the oracle compare is
+        // order-deterministic.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin)),
 
     // P4 rename + M4 constant/typed-null columns (`Coalplants_GEM.R:186-210`)
     QueryDef("q02_rename_const",
@@ -42,10 +45,10 @@ object GemQueries {
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_returnflag").isin("A", "R"))
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
              |FROM lineitem WHERE l_returnflag IN ('A', 'R')
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin)),
 
     // F2 negated compound predicate w/ 3VL parity (`GasOilplants_GEM.R:88-92`)
     QueryDef("q04_filter_negated",
@@ -53,12 +56,12 @@ object GemQueries {
         .filter(!(col("l_returnflag").isin("N") || col("l_quantity").isNull ||
           col("l_quantity") === 0.0 || col("l_discount") > 0.08))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
              |FROM lineitem
              |WHERE NOT (l_returnflag IN ('N') OR l_quantity IS NULL
              |           OR l_quantity = 0.0 OR l_discount > 0.08)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin)),
 
     // F3 null check + F4 range-with-null-pass (`Coalplants_GEM.R:122-128`)
     QueryDef("q05_filter_null_range",
@@ -77,8 +80,8 @@ object GemQueries {
     // is ns in the files → µs in both engines (Graft.table / CAST).
     QueryDef("q06_ts_filter",
       (s, dir) => t(s, dir, "events")
-        .filter(col("ts") >= to_timestamp(lit("2024-01-03 00:00:00")) &&
-          col("ts") < to_timestamp(lit("2024-01-04 00:00:00")))
+        .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("event_id", "ts", "event_type")
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -150,8 +153,10 @@ object GemQueries {
       (s, dir) => {
         val dim = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
           .select("c_custkey", "c_name")
+        // No broadcast hint: the dim is a filtered slice of `customer`
+        // and grows with the data; AQE picks broadcast when it fits.
         t(s, dir, "orders")
-          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+          .join(dim, col("o_custkey") === col("c_custkey"), "left")
           .withColumn("customer_name", coalesce(col("c_name"), lit("unknown")))
           .groupBy("customer_name")
           .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
@@ -345,7 +350,8 @@ object GemQueries {
           when(pmod(col("p_size"), lit(3)) === 0,
             concat(col("p_brand"), lit("; "), col("p_type")))
             .otherwise(concat(col("p_brand"), lit(" [60%]; "), col("p_type"), lit(" [40%]"))))
-        .transform(Ownership.split("Owner", "p_retailprice", Ownership.EqualShareDefault))
+        .transform(Ownership.split("Owner", "p_retailprice", Ownership.EqualShareDefault,
+          rowKeyCols = Seq("p_partkey")))
         .groupBy(col("Company").as("company"))
         .agg(round(sum("Capacity_allocated"), 2).as("alloc"), count(lit(1)).as("n"))
         .orderBy("company"),
