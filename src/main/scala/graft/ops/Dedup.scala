@@ -102,12 +102,18 @@ object Dedup {
       lit(0L), (a, x) => a + x)
   }
 
-  /** Exact n-gram (shingle) arrays for Jaccard verification. */
+  /** Exact n-gram (shingle) arrays for Jaccard verification.
+    * Guarded: `sequence(1, 0)` in Spark DESCENDS ([1,0]) rather than
+    * returning empty, so texts shorter than n tokens need the explicit
+    * empty-array branch (DuckDB's generate_series(1,0) is [] — parity).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** N-gram Jaccard near-dup over a blocking key (e.g. source): computes

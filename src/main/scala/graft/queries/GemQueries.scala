@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.core.Graft
-import graft.ops.{Cleaning, Coordinates, GemPipeline, Ownership, Timeseries}
+import graft.ops.{Cleaning, Coordinates, Dedup, GemPipeline, Ownership,
+  Similarity, TextAnalysis, Timeseries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -403,6 +404,161 @@ object GemQueries {
              |  concat_ws(', ', p_brand, p_type) AS brand_type,
              |  NULLIF(CAST(strpos(p_type, 'BRASS') AS BIGINT), 0) AS brass_pos,
              |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
-             |FROM part ORDER BY p_partkey""".stripMargin))
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ── LLM-training-data pipeline operators (documents/embeddings) ──
+    // Every sketch below uses the PORTABLE hash (functions/Hashing.scala)
+    // so the DuckDB oracle recomputes bit-identical signatures.
+
+    // Exact dedup: one hash aggregate, map-side combine (Dedup.exact)
+    QueryDef("q25_exact_dedup",
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY content_hash""".stripMargin)),
+
+    // MinHash signature → LSH bands (Dedup.lshBands, k=16, bands=4)
+    QueryDef("q26_minhash_bands",
+      (s, dir) => Dedup.lshBands(t(s, dir, "documents"), "doc_id", "text", 16, 4)
+        .orderBy("doc_id", "band_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_distinct(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15), s ->
+             |    list_min(list_transform(tk, t ->
+             |      CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT)))) AS sig
+             |  FROM toks)
+             |SELECT doc_id, band_id,
+             |  md5(array_to_string(list_transform(
+             |    list_slice(sig, band_id*4 + 1, band_id*4 + 4),
+             |    x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+             |FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+             |ORDER BY doc_id, band_id""".stripMargin)),
+
+    // Blocked n-gram Jaccard near-dup pairs (Dedup.ngramJaccardPairs)
+    QueryDef("q27_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", "source", n = 3, threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      generate_series(1, greatest(len(tk) - 2, 0)),
+             |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+             |  FROM (SELECT doc_id, source, list_filter(
+             |          string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |        FROM documents))
+             |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
+             |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+             |WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(l.sh, r.sh))), 4) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Text quality/language/fingerprint signals (TextAnalysis.annotate)
+    QueryDef("q28_text_signals",
+      (s, dir) => t(s, dir, "documents")
+        .transform(TextAnalysis.annotate("text"))
+        .select("doc_id", "n_tokens", "type_token_ratio", "stopword_ratio",
+          "lang_pred", "fingerprint", "quality")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id, len(tk) AS n_tokens,
+             |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+             |    CAST(len(list_filter(tk, t -> t IN
+             |      ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+             |      / len(tk) AS swr,
+             |    md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+             |  FROM tk)
+             |SELECT doc_id, n_tokens,
+             |  round(ttr, 4) AS type_token_ratio,
+             |  round(swr, 4) AS stopword_ratio,
+             |  CASE WHEN swr >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+             |  fingerprint,
+             |  round((CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+             |         + ttr
+             |         + CASE WHEN swr > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+             |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // Exact cosine top-k ANN baseline (Similarity.bruteForceTopK)
+    QueryDef("q29_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+             |           FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_sum(list_transform(qvec, (x, i) ->
+             |      CAST(x AS DOUBLE) * CAST(cvec[i] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+             |  FROM c, q WHERE neighbor_id <> query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos DESC, neighbor_id) AS "rank", cos
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
+             |FROM ranked WHERE "rank" <= 3
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // 60-bit SimHash signatures (Dedup.simhash)
+    QueryDef("q30_simhash",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text"), 60).as("simhash"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_distinct(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
+             |  FROM documents),
+             |h AS (SELECT doc_id, list_transform(tk, t ->
+             |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+             |      FROM toks)
+             |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+             |  CASE WHEN list_sum(list_transform(hs, x ->
+             |         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+             |       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
+             |  END)) AS BIGINT) AS simhash
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Embedding near-dup pairs blocked by label (Similarity.cosineNearDupPairs)
+    QueryDef("q31_cosine_neardups",
+      (s, dir) => Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH v AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+             |p AS (
+             |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             |    round(
+             |      list_sum(list_transform(l.v, (x, i) ->
+             |        CAST(x AS DOUBLE) * CAST(r.v[i] AS DOUBLE))) /
+             |      (sqrt(list_sum(list_transform(l.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |       sqrt(list_sum(list_transform(r.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+             |  FROM v l JOIN v r ON l.label = r.label AND l.vec_id < r.vec_id)
+             |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Streaming windowed agg, batch-parity mode (EventStream.windowedCounts)
+    QueryDef("q32_windowed_counts",
+      (s, dir) => graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin))
   )
 }

@@ -37,25 +37,39 @@ object EventStream {
   /** Custom stateful sessionization: per-user running aggregate with a
     * processing-time idle timeout — the `mapGroupsWithState` tier for
     * semantics windows can't express. State per key is O(1) (five
-    * fields), so 10^9 users fit the state store comfortably.
+    * fields), and idle keys ARE evicted: each update re-arms a
+    * processing-time timeout, and on `hasTimedOut` the final session is
+    * emitted and its state removed — without that the store grows with
+    * every user ever seen (ADVICE.md r2).
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       timeout: String = "30 minutes"): DataFrame = {
     import spark.implicits._
     events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionAgg, SessionAgg](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionAgg, SessionAgg](
+        GroupStateTimeout.ProcessingTimeTimeout) {
         (uid, batch, state: GroupState[SessionAgg]) =>
-          val prev = state.getOption
-          val evs = batch.toSeq
-          val merged = SessionAgg(
-            uid,
-            prev.map(_.n_events).getOrElse(0L) + evs.size,
-            prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-            (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime),
-            (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime))
-          state.update(merged)
-          merged
+          if (state.hasTimedOut) {
+            // Idle past the timeout: close the session, evict the state.
+            val closed = state.get
+            state.remove()
+            closed
+          } else {
+            val prev = state.getOption
+            val evs = batch.toSeq
+            val merged = SessionAgg(
+              uid,
+              prev.map(_.n_events).getOrElse(0L) + evs.size,
+              prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+              (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime),
+              (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime))
+            state.update(merged)
+            // Re-arm on every batch; only fires in streaming mode (batch
+            // execution ignores timeouts — parity tests still run).
+            state.setTimeoutDuration(timeout)
+            merged
+          }
       }.toDF()
   }
 
