@@ -29,11 +29,12 @@ object Cleaning {
   }
 
   /** `as.numeric(s)`-equivalent cast: non-numeric strings → null
-    * (`Coalplants_GEM.R:60`). Spark's string→double cast already has the
-    * NA semantics R's as.numeric has.
+    * (`Coalplants_GEM.R:60`). Spark 4 runs ANSI mode by default, where a
+    * plain cast THROWS on junk strings — `try_cast` restores R's
+    * NA-on-failure semantics.
     */
   def toNumeric(cols: String*)(df: DataFrame): DataFrame =
-    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(DoubleType)))
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).try_cast(DoubleType)))
 
   /** Drop rows whose capacity is unusable — reference
     * `!(cap %in% c("unknown","N/A") | is.na(cap) | cap == 0)`

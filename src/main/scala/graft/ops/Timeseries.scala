@@ -29,8 +29,11 @@ object Timeseries {
       from: Int = 2023,
       to: Int = 2050
   )(df: DataFrame): DataFrame = {
+    // Reference zeroes FROM the retirement year on (`year >= PR`,
+    // `Coalplants_GEM.R:145`); its extra `PR <= 2050` clause is
+    // redundant inside the 2023-2050 expansion (year ≤ 2050 < PR).
     val afterRetire = retireYearCol
-      .map(r => col(r).isNotNull && col("year") > col(r))
+      .map(r => col(r).isNotNull && col("year") >= col(r))
       .getOrElse(lit(false))
     df.withColumn("year", explode(sequence(lit(from), lit(to))))
       .withColumn("capacity",

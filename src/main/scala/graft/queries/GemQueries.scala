@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.core.Graft
 import graft.ops.{Cleaning, Coordinates, Dedup, GemPipeline, Ownership,
-  Similarity, TextAnalysis, Timeseries}
+  Similarity, TextAnalysis, Timeseries, TrackerConfigs}
+import graft.sources.{CountryDim, Csv}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -551,6 +553,390 @@ object GemQueries {
              |  FROM v l JOIN v r ON l.label = r.label AND l.vec_id < r.vec_id)
              |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // X gas/oil fuel classification (`GasOilplants_GEM.R:20-42`):
+    // substring positions decide; earlier match wins when both appear.
+    QueryDef("q33_fuel_classify",
+      (s, dir) => t(s, dir, "part")
+        .withColumn("Fuel",
+          when(pmod(col("p_partkey"), lit(4)) === 0, "Fossil Gas: combined cycle")
+            .when(pmod(col("p_partkey"), lit(4)) === 1, "fossil liquids: fuel oil")
+            .when(pmod(col("p_partkey"), lit(4)) === 2, "mix: fossil liquids then fossil gas")
+            .otherwise("hydrogen"))
+        .transform(GemPipeline.classifyFuel("Fuel"))
+        .groupBy("classification").agg(count(lit(1)).as("n"))
+        .orderBy("classification"),
+      Some("""WITH f AS (
+             |  SELECT CASE p_partkey % 4
+             |    WHEN 0 THEN 'Fossil Gas: combined cycle'
+             |    WHEN 1 THEN 'fossil liquids: fuel oil'
+             |    WHEN 2 THEN 'mix: fossil liquids then fossil gas'
+             |    ELSE 'hydrogen' END AS fuel FROM part),
+             |p AS (SELECT NULLIF(strpos(lower(fuel), 'fossil gas'), 0) AS pg,
+             |             NULLIF(strpos(lower(fuel), 'fossil liquids'), 0) AS pl FROM f)
+             |SELECT CASE
+             |    WHEN pg IS NOT NULL AND pl IS NULL THEN 'Gas Power Plant'
+             |    WHEN pg IS NULL AND pl IS NOT NULL THEN 'Oil Power Plant'
+             |    WHEN pg IS NOT NULL AND pl IS NOT NULL THEN
+             |      CASE WHEN pg < pl THEN 'Gas Power Plant' ELSE 'Oil Power Plant' END
+             |    ELSE 'Not Sure' END AS classification, count(*) AS n
+             |FROM p GROUP BY 1 ORDER BY classification""".stripMargin)),
+
+    // G3 binational row duplication (`Hydroplants_GEM.R:23-74`)
+    QueryDef("q34_binational",
+      (s, dir) => {
+        val k = col("s_suppkey")
+        val raw = t(s, dir, "supplier").select(
+          concat(lit("U"), k).as("GEM unit ID"),
+          concat(lit("L"), k).as("GEM location ID"),
+          when(pmod(k, lit(10)) === 0, "Yes").otherwise("No").as("Binational"),
+          concat(lit("C"), pmod(k, lit(7))).as("Country 1"),
+          when(pmod(k, lit(10)) === 0, concat(lit("C"), pmod(k, lit(5))))
+            .otherwise(lit(null).cast("string")).as("Country 2"),
+          col("s_acctbal").cast("string").as("Country 1 Capacity (MW)"),
+          when(pmod(k, lit(10)) === 0, (col("s_acctbal") / 2).cast("string"))
+            .otherwise(lit(null).cast("string")).as("Country 2 Capacity (MW)"))
+        GemPipeline.expandBinational("Binational",
+          idCols = Seq("GEM location ID", "GEM unit ID"),
+          promote = Seq(
+            "Country 1" -> "Country 2",
+            "Country 1 Capacity (MW)" -> "Country 2 Capacity (MW)"))(raw)
+          .select(col("GEM unit ID").as("unit_id"), col("Country 1").as("country"),
+            col("Country 1 Capacity (MW)").as("capacity"), col("Country 2").as("country2"))
+          .orderBy("unit_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT 'U' || CAST(s_suppkey AS VARCHAR) AS uid,
+             |    CASE WHEN s_suppkey % 10 = 0 THEN 'Yes' ELSE 'No' END AS bin,
+             |    'C' || CAST(s_suppkey % 7 AS VARCHAR) AS c1,
+             |    CASE WHEN s_suppkey % 10 = 0
+             |      THEN 'C' || CAST(s_suppkey % 5 AS VARCHAR) END AS c2,
+             |    CAST(s_acctbal AS VARCHAR) AS cap1,
+             |    CASE WHEN s_suppkey % 10 = 0
+             |      THEN CAST(s_acctbal / 2 AS VARCHAR) END AS cap2
+             |  FROM supplier)
+             |SELECT uid AS unit_id, c1 AS country, cap1 AS capacity, c2 AS country2
+             |FROM raw WHERE bin = 'No'
+             |UNION ALL
+             |SELECT uid, c1, cap1, NULL FROM raw WHERE bin = 'Yes'
+             |UNION ALL
+             |SELECT uid || '_2', c2, cap2, NULL FROM raw WHERE bin = 'Yes'
+             |ORDER BY unit_id""".stripMargin)),
+
+    // The WHOLE per-tracker pipeline end-to-end (gas/oil config:
+    // classify → filters → clean → canonicalize → ownership split →
+    // year expansion → rollup → 19-col finalize with bundled ISO dim).
+    QueryDef("q35_tracker_e2e",
+      (s, dir) => {
+        val k = col("s_suppkey")
+        val raw = t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(
+            concat(lit("U"), k).as("GEM unit ID"),
+            concat(lit("L"), expr("s_suppkey div 4")).as("GEM location ID"),
+            concat(lit("Plant "), expr("s_suppkey div 4")).as("Plant name"),
+            elt(pmod(col("n_nationkey"), lit(8)) + 1,
+              lit("Germany"), lit("France"), lit("China"), lit("India"),
+              lit("Kosovo"), lit("United States"), lit("Brazil"), lit("Atlantis"))
+              .as("Country/Area"),
+            concat(lit("Region "), col("n_regionkey")).as("Region"),
+            when(pmod(k, lit(4)) === 0, lit("Alpha Corp [60%]; Beta GmbH [40%]"))
+              .when(pmod(k, lit(4)) === 1, concat(col("s_name"), lit(" [50%]; Gamma Inc")))
+              .when(pmod(k, lit(4)) === 2, concat(col("s_name"), lit(" [100%]")))
+              .otherwise(lit(null).cast("string")).as("Owner"),
+            when(pmod(k, lit(13)) === 0, lit("unknown"))
+              .when(pmod(k, lit(17)) === 0, lit(">0"))
+              .when(pmod(k, lit(19)) === 0, lit("N/A"))
+              .otherwise(col("s_acctbal").cast("string")).as("Capacity (MW)"),
+            element_at(array(lit("operating"), lit("construction"), lit("announced"),
+              lit("pre-construction"), lit("retired")), (pmod(k, lit(5)) + 1).cast("int"))
+              .as("Status"),
+            when(pmod(k, lit(7)) === 0, lit("not found"))
+              .otherwise((lit(1990) + pmod(k, lit(45))).cast("string")).as("Start year"),
+            when(pmod(k, lit(6)) === 0, (lit(2015) + pmod(k, lit(30))).cast("string"))
+              .otherwise(lit(null).cast("string")).as("Planned retirement"),
+            (pmod(k, lit(180)) - 90 + pmod(k, lit(3)) * 0.25).cast("double").as("Latitude"),
+            (pmod(k, lit(360)) - 180 + pmod(k, lit(3)) * 0.25).cast("double").as("Longitude"),
+            element_at(array(lit("Fossil Gas: combined cycle"),
+              lit("fossil liquids: fuel oil"),
+              lit("mix: fossil liquids then fossil gas"), lit("hydrogen")),
+              (pmod(k, lit(4)) + 1).cast("int")).as("Fuel"))
+        GemPipeline.wrangle(TrackerConfigs.gasOil)(raw)
+          .transform(GemPipeline.finalizeSchema(TrackerConfigs.gasOil, CountryDim.dim(s)))
+          .orderBy(col("asset_id"), col("company_name").asc_nulls_first,
+            col("production_year"), col("country_name"), col("technology"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT
+             |    'U' || CAST(s_suppkey AS VARCHAR) AS unit_id,
+             |    'L' || CAST(s_suppkey // 4 AS VARCHAR) AS loc_id,
+             |    'Plant ' || CAST(s_suppkey // 4 AS VARCHAR) AS plant,
+             |    CASE n_nationkey % 8 WHEN 0 THEN 'Germany' WHEN 1 THEN 'France'
+             |      WHEN 2 THEN 'China' WHEN 3 THEN 'India' WHEN 4 THEN 'Kosovo'
+             |      WHEN 5 THEN 'United States' WHEN 6 THEN 'Brazil'
+             |      ELSE 'Atlantis' END AS country,
+             |    'Region ' || CAST(n_regionkey AS VARCHAR) AS region,
+             |    CASE s_suppkey % 4
+             |      WHEN 0 THEN 'Alpha Corp [60%]; Beta GmbH [40%]'
+             |      WHEN 1 THEN s_name || ' [50%]; Gamma Inc'
+             |      WHEN 2 THEN s_name || ' [100%]'
+             |      ELSE NULL END AS owner,
+             |    CASE WHEN s_suppkey % 13 = 0 THEN 'unknown'
+             |      WHEN s_suppkey % 17 = 0 THEN '>0'
+             |      WHEN s_suppkey % 19 = 0 THEN 'N/A'
+             |      ELSE CAST(s_acctbal AS VARCHAR) END AS cap,
+             |    (['operating','construction','announced','pre-construction','retired'])[s_suppkey % 5 + 1] AS status,
+             |    CASE WHEN s_suppkey % 7 = 0 THEN 'not found'
+             |      ELSE CAST(1990 + s_suppkey % 45 AS VARCHAR) END AS start_y,
+             |    CASE WHEN s_suppkey % 6 = 0
+             |      THEN CAST(2015 + s_suppkey % 30 AS VARCHAR) END AS retire_y,
+             |    CAST(s_suppkey % 180 - 90 + (s_suppkey % 3) * CAST(0.25 AS DOUBLE) AS DOUBLE) AS lat,
+             |    CAST(s_suppkey % 360 - 180 + (s_suppkey % 3) * CAST(0.25 AS DOUBLE) AS DOUBLE) AS lon,
+             |    (['Fossil Gas: combined cycle','fossil liquids: fuel oil','mix: fossil liquids then fossil gas','hydrogen'])[s_suppkey % 4 + 1] AS fuel
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+             |cls AS (
+             |  SELECT *, CASE
+             |    WHEN pg IS NOT NULL AND pl IS NULL THEN 'Gas Power Plant'
+             |    WHEN pg IS NULL AND pl IS NOT NULL THEN 'Oil Power Plant'
+             |    WHEN pg IS NOT NULL AND pl IS NOT NULL THEN
+             |      CASE WHEN pg < pl THEN 'Gas Power Plant' ELSE 'Oil Power Plant' END
+             |    ELSE 'Not Sure' END AS classification
+             |  FROM (SELECT *, NULLIF(strpos(lower(fuel), 'fossil gas'), 0) AS pg,
+             |               NULLIF(strpos(lower(fuel), 'fossil liquids'), 0) AS pl FROM raw)),
+             |f1 AS (SELECT * FROM cls
+             |  WHERE classification IN ('Gas Power Plant', 'Oil Power Plant')
+             |    AND status IN ('construction', 'operating', 'announced', 'pre-construction')),
+             |f2 AS (SELECT * REPLACE (CASE WHEN cap = '>0' THEN 'unknown' ELSE cap END AS cap) FROM f1),
+             |f3 AS (SELECT * FROM f2
+             |  WHERE NOT (cap IN ('unknown', 'N/A', 'not found') OR cap IS NULL OR cap = '0')),
+             |f4 AS (SELECT * FROM f3
+             |  WHERE NOT (status IN ('announced', 'construction', 'pre-construction')
+             |    AND (start_y IN ('unknown', 'not found') OR start_y IS NULL))),
+             |num AS (SELECT *, TRY_CAST(cap AS DOUBLE) AS capn,
+             |    TRY_CAST(start_y AS DOUBLE) AS startn,
+             |    TRY_CAST(retire_y AS DOUBLE) AS retiren FROM f4),
+             |f5 AS (SELECT * FROM num WHERE retiren IS NULL OR retiren >= 2024),
+             |summ AS (SELECT loc_id,
+             |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS clat,
+             |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS clon
+             |  FROM f5 GROUP BY loc_id),
+             |canon AS (SELECT f5.* EXCLUDE (lat, lon), s.clat AS lat, s.clon AS lon
+             |  FROM f5 LEFT JOIN summ s USING (loc_id)),
+             |tech AS (SELECT *, CASE WHEN classification = 'Gas Power Plant' THEN 'GasCap'
+             |    WHEN classification = 'Oil Power Plant' THEN 'OilCap'
+             |    ELSE 'CoalCap' END AS technology FROM canon),
+             |own AS (SELECT t.*, u.ow FROM tech t,
+             |  unnest(coalesce(string_split_regex(t.owner, ';\s*'),
+             |                  [CAST(NULL AS VARCHAR)])) AS u(ow)),
+             |owns AS (SELECT *,
+             |    NULLIF(trim(regexp_extract(ow, '^([^\[]+)', 1)), '') AS company,
+             |    TRY_CAST(NULLIF(regexp_extract(ow, '(\d+)%', 1), '') AS DOUBLE) / 100 AS share
+             |  FROM own),
+             |alloc AS (SELECT *, capn * share AS cap_alloc FROM owns),
+             |ex AS (SELECT a.*, y.year FROM alloc a
+             |  CROSS JOIN (SELECT unnest(generate_series(2023, 2050)) AS year) y),
+             |val AS (SELECT *, CASE
+             |    WHEN startn IS NOT NULL AND year < startn THEN 0.0
+             |    WHEN retiren IS NOT NULL AND year >= retiren THEN 0.0
+             |    ELSE cap_alloc END AS value FROM ex),
+             |roll AS (SELECT loc_id, plant, country, region, lat, lon, technology,
+             |    company, year, coalesce(sum(value), 0.0) AS capacity
+             |  FROM val GROUP BY loc_id, plant, country, region, lat, lon,
+             |    technology, company, year)
+             |SELECT roll.loc_id AS asset_id, roll.plant AS asset_name,
+             |    CAST(NULL AS VARCHAR) AS company_id, roll.company AS company_name,
+             |    CASE WHEN roll.country = 'Kosovo' THEN 'XK' ELSE cd.iso2 END AS country_iso2,
+             |    roll.country AS country_name, roll.region,
+             |    coalesce(CAST(roll.lat AS VARCHAR), 'NA') || ', ' ||
+             |      coalesce(CAST(roll.lon AS VARCHAR), 'NA') AS coordinates,
+             |    CAST(NULL AS DOUBLE) AS workforce_size,
+             |    CAST(NULL AS VARCHAR) AS workforce_source,
+             |    'Power' AS sector, roll.technology, roll.capacity,
+             |    'MW' AS capacity_unit, roll.year AS production_year,
+             |    CAST(NULL AS DOUBLE) AS plant_age_years,
+             |    CAST(NULL AS DOUBLE) AS plant_age_rank,
+             |    CAST(NULL AS DOUBLE) AS capacity_factor,
+             |    CAST(NULL AS DOUBLE) AS emission_factor
+             |FROM roll LEFT JOIN """.stripMargin + CountryDim.duckValuesSql +
+           """ ON roll.country = cd.country_name
+             |ORDER BY asset_id, company_name NULLS FIRST, production_year,
+             |  country_name, technology""".stripMargin)),
+
+    // The cross-tracker totals job (`TotalData_GEM.R:6-148`): union →
+    // company ids → steel overlay → emission factors → non-fossil zero.
+    QueryDef("q36_totals",
+      (s, dir) => {
+        val n = col("n_nationkey")
+        def finalCols(first: Seq[org.apache.spark.sql.Column]) = first ++ Seq(
+          lit(null).cast("double").as("workforce_size"),
+          lit(null).cast("string").as("workforce_source"),
+          lit("Power").as("sector"))
+        val trackerA = t(s, dir, "nation").select(finalCols(Seq(
+          concat(lit("A"), n).as("asset_id"),
+          concat(lit("Asset "), n).as("asset_name"),
+          lit(null).cast("string").as("company_id"),
+          concat(lit("Comp"), pmod(n, lit(6))).as("company_name"),
+          elt(pmod(n, lit(4)) + 1, lit("DE"), lit("FR"), lit("CN"), lit("JP")).as("country_iso2"),
+          elt(pmod(n, lit(4)) + 1, lit("Germany"), lit("France"), lit("China"), lit("Japan")).as("country_name"),
+          concat(lit("Region "), col("n_regionkey")).as("region"),
+          lit("50.0, 8.0").as("coordinates"))) ++ Seq(
+          lit("CoalCap").as("technology"),
+          (n * 10.0).as("capacity"),
+          lit("MW").as("capacity_unit"),
+          lit(2030).as("production_year"),
+          lit(null).cast("double").as("plant_age_years"),
+          lit(null).cast("double").as("plant_age_rank"),
+          lit(null).cast("double").as("capacity_factor"),
+          lit(null).cast("double").as("emission_factor")): _*)
+        val r = col("r_regionkey")
+        val trackerB = t(s, dir, "region").select(finalCols(Seq(
+          concat(lit("B"), r).as("asset_id"),
+          concat(lit("BAsset "), r).as("asset_name"),
+          lit(null).cast("string").as("company_id"),
+          concat(lit("Comp"), pmod(r, lit(6))).as("company_name"),
+          lit("DE").as("country_iso2"),
+          lit("Germany").as("country_name"),
+          concat(lit("Region "), r).as("region"),
+          lit("51.0, 9.0").as("coordinates"))) ++ Seq(
+          lit("RenewablesCap").as("technology"),
+          (r * 100.0).as("capacity"),
+          lit("MW").as("capacity_unit"),
+          lit(2030).as("production_year"),
+          lit(null).cast("double").as("plant_age_years"),
+          lit(null).cast("double").as("plant_age_rank"),
+          lit(null).cast("double").as("capacity_factor"),
+          lit(null).cast("double").as("emission_factor")): _*)
+        val steel = t(s, dir, "region").select(finalCols(Seq(
+          concat(lit("S"), r).as("asset_id"),
+          concat(lit("Steel "), r).as("asset_name"),
+          concat(lit("STL"), r).as("company_id"),
+          concat(lit("Comp"), pmod(r, lit(6))).as("company_name"),
+          lit("US").as("country_iso2"),
+          lit("United States").as("country_name"),
+          concat(lit("Region "), r).as("region"),
+          lit("40.0, -75.0").as("coordinates"))) ++ Seq(
+          lit("SteelCap").as("technology"),
+          (r * 7.0).as("capacity"),
+          lit("MW").as("capacity_unit"),
+          lit(2030).as("production_year"),
+          lit(null).cast("double").as("plant_age_years"),
+          lit(null).cast("double").as("plant_age_rank"),
+          lit(null).cast("double").as("capacity_factor"),
+          lit(null).cast("double").as("emission_factor")): _*)
+        val factors = t(s, dir, "nation").select(
+          elt(pmod(n, lit(2)) + 1, lit("CoalCap"), lit("GasCap")).as("technology"),
+          elt(pmod(n, lit(3)) + 1, lit("DE"), lit("FR"), lit("CN")).as("country_iso2"),
+          (n + 1.0).as("emissions_factor"))
+        GemPipeline.totals(Seq(trackerA, trackerB), steel, factors)
+          .orderBy("asset_id")
+      },
+      Some("""WITH ta AS (
+             |  SELECT 'A' || CAST(n_nationkey AS VARCHAR) AS asset_id,
+             |    'Asset ' || CAST(n_nationkey AS VARCHAR) AS asset_name,
+             |    CAST(NULL AS VARCHAR) AS company_id,
+             |    'Comp' || CAST(n_nationkey % 6 AS VARCHAR) AS company_name,
+             |    (['DE','FR','CN','JP'])[n_nationkey % 4 + 1] AS country_iso2,
+             |    (['Germany','France','China','Japan'])[n_nationkey % 4 + 1] AS country_name,
+             |    'Region ' || CAST(n_regionkey AS VARCHAR) AS region,
+             |    '50.0, 8.0' AS coordinates, CAST(NULL AS DOUBLE) AS workforce_size,
+             |    CAST(NULL AS VARCHAR) AS workforce_source, 'Power' AS sector,
+             |    'CoalCap' AS technology, n_nationkey * 10.0 AS capacity,
+             |    'MW' AS capacity_unit, 2030 AS production_year,
+             |    CAST(NULL AS DOUBLE) AS plant_age_years,
+             |    CAST(NULL AS DOUBLE) AS plant_age_rank,
+             |    CAST(NULL AS DOUBLE) AS capacity_factor,
+             |    CAST(NULL AS DOUBLE) AS emission_factor
+             |  FROM nation),
+             |tb AS (
+             |  SELECT 'B' || CAST(r_regionkey AS VARCHAR) AS asset_id,
+             |    'BAsset ' || CAST(r_regionkey AS VARCHAR) AS asset_name,
+             |    CAST(NULL AS VARCHAR) AS company_id,
+             |    'Comp' || CAST(r_regionkey % 6 AS VARCHAR) AS company_name,
+             |    'DE' AS country_iso2, 'Germany' AS country_name,
+             |    'Region ' || CAST(r_regionkey AS VARCHAR) AS region,
+             |    '51.0, 9.0' AS coordinates, CAST(NULL AS DOUBLE) AS workforce_size,
+             |    CAST(NULL AS VARCHAR) AS workforce_source, 'Power' AS sector,
+             |    'RenewablesCap' AS technology, r_regionkey * 100.0 AS capacity,
+             |    'MW' AS capacity_unit, 2030 AS production_year,
+             |    CAST(NULL AS DOUBLE) AS plant_age_years,
+             |    CAST(NULL AS DOUBLE) AS plant_age_rank,
+             |    CAST(NULL AS DOUBLE) AS capacity_factor,
+             |    CAST(NULL AS DOUBLE) AS emission_factor
+             |  FROM region),
+             |steel AS (
+             |  SELECT 'S' || CAST(r_regionkey AS VARCHAR) AS asset_id,
+             |    'Steel ' || CAST(r_regionkey AS VARCHAR) AS asset_name,
+             |    'STL' || CAST(r_regionkey AS VARCHAR) AS company_id,
+             |    'Comp' || CAST(r_regionkey % 6 AS VARCHAR) AS company_name,
+             |    'US' AS country_iso2, 'United States' AS country_name,
+             |    'Region ' || CAST(r_regionkey AS VARCHAR) AS region,
+             |    '40.0, -75.0' AS coordinates, CAST(NULL AS DOUBLE) AS workforce_size,
+             |    CAST(NULL AS VARCHAR) AS workforce_source, 'Power' AS sector,
+             |    'SteelCap' AS technology, r_regionkey * 7.0 AS capacity,
+             |    'MW' AS capacity_unit, 2030 AS production_year,
+             |    CAST(NULL AS DOUBLE) AS plant_age_years,
+             |    CAST(NULL AS DOUBLE) AS plant_age_rank,
+             |    CAST(NULL AS DOUBLE) AS capacity_factor,
+             |    CAST(NULL AS DOUBLE) AS emission_factor
+             |  FROM region),
+             |unioned AS (SELECT * FROM ta UNION ALL SELECT * FROM tb),
+             |iddim AS (
+             |  SELECT company_name,
+             |    'TFL' || lpad(CAST(dense_rank() OVER (ORDER BY company_name)
+             |      + 10000000 AS VARCHAR), 8, '0') AS new_id
+             |  FROM (SELECT DISTINCT company_name FROM unioned
+             |        WHERE company_name IS NOT NULL)),
+             |withids AS (
+             |  SELECT u.* REPLACE (coalesce(u.company_id, d.new_id) AS company_id)
+             |  FROM unioned u LEFT JOIN iddim d USING (company_name)),
+             |steeldim AS (
+             |  SELECT company_name, company_id AS steel_id FROM (
+             |    SELECT company_name, company_id,
+             |      row_number() OVER (PARTITION BY company_name ORDER BY asset_id) AS rn
+             |    FROM steel) WHERE rn = 1),
+             |overlaid AS (
+             |  SELECT w.* REPLACE (coalesce(sd.steel_id, w.company_id) AS company_id)
+             |  FROM withids w LEFT JOIN steeldim sd USING (company_name)
+             |  UNION ALL SELECT * FROM steel),
+             |factors AS (
+             |  SELECT (['CoalCap','GasCap'])[n_nationkey % 2 + 1] AS technology,
+             |    (['DE','FR','CN'])[n_nationkey % 3 + 1] AS country_iso2,
+             |    n_nationkey + 1.0 AS emissions_factor
+             |  FROM nation),
+             |percountry AS (
+             |  SELECT technology, country_iso2, avg(emissions_factor) AS ef_country
+             |  FROM factors GROUP BY 1, 2),
+             |globalmean AS (
+             |  SELECT technology, avg(ef_country) AS ef_global
+             |  FROM percountry GROUP BY 1)
+             |SELECT o.* REPLACE (
+             |    CASE WHEN o.technology IN ('CoalCap', 'OilCap', 'GasCap')
+             |      THEN coalesce(pc.ef_country, g.ef_global)
+             |      ELSE 0.0 END AS emission_factor)
+             |FROM overlaid o
+             |LEFT JOIN percountry pc
+             |  ON o.technology = pc.technology AND o.country_iso2 = pc.country_iso2
+             |LEFT JOIN globalmean g ON o.technology = g.technology
+             |ORDER BY asset_id""".stripMargin)),
+
+    // S2/S3 CSV sink + source round-trip, incl. the sep=';' variant
+    // (`TotalData_GEM.R:65`, `Coalplants_GEM.R:229`).
+    QueryDef("q37_csv_roundtrip",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+        Csv.write(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          tmp, sep = ";")
+        Csv.read(s, tmp, sep = ";", schema = Some(StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)),
 
     // Streaming windowed agg, batch-parity mode (EventStream.windowedCounts)
     QueryDef("q32_windowed_counts",
