@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox", "a"),
+    (2L, "the quick brown fox", "a"),   // exact dup of 1
+    (3L, "the quick brown wolf", "a"),  // near dup of 1
+    (4L, "completely different text here", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps the lowest id and counts copies") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keep_id") == 1L)
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash signatures are equal for identical text, length k") {
+    val sigs = docs.select(col("doc_id"), Dedup.minhashSignature(col("text"), 16).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("ngram jaccard finds the near-dup pair inside its block only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 2, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // other block
+  }
+
+  test("shingles of a text shorter than n is empty (sequence(1,0) guard)") {
+    val out = Seq("one").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).collect().head.getSeq[String](0)
+    assert(out.isEmpty)
+  }
+
+  test("simhash of identical texts is equal and within 60 bits") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("h")).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) >= 0L && h(1L) < (1L << 60))
+  }
+
+  test("bow fingerprint is word-order insensitive") {
+    val fp = Seq("b a c", "c b a", "a b d").toDF("text")
+      .select(TextAnalysis.bowFingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+
+  test("quality signals: tokens drop empties, ttr and stopword ratio computed") {
+    val r = Seq((1L, "the the   fox")).toDF("doc_id", "text")
+      .transform(TextAnalysis.annotate("text")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(math.abs(r.getAs[Double]("type_token_ratio") - 0.6667) < 1e-4)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.6667) < 1e-4)
+    assert(r.getAs[String]("lang_pred") == "en")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),   // identical to 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1)   // opposite, other block
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val out = vecs.as("l").crossJoin(vecs.as("r"))
+      .filter(col("l.vec_id") === 0 && col("r.vec_id") =!= 0)
+      .select(col("r.vec_id"),
+        round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0 && out(3L) == -1.0)
+  }
+
+  test("bruteForceTopK ranks the identical vector first and excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2).collect()
+    assert(out.length == 2)
+    val first = out.find(_.getAs[Int]("rank") == 1).get
+    assert(first.getAs[Long]("neighbor_id") == 1L)
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+  }
+
+  test("cosineNearDupPairs respects blocking and threshold") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((0L, 1L))) // only the identical pair, same block
+  }
+
+  test("lshTopK finds the identical vector (same bucket by construction)") {
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 1, planes = 4).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("neighbor_id") == 1L)
+  }
+}
