@@ -27,16 +27,21 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k independent 60-bit hash minima over the
-    * distinct token set. Pure nested `transform` lambdas — codegen'd,
-    * no shuffle, reproducible in the DuckDB oracle (portable hash).
+  /** MinHash signature: k universal-family hash minima over the
+    * distinct token set. ONE md5 per token, k affine mixes
+    * ([[graft.functions.Hashing.universalHashes]]) — pure per-row
+    * lambda math, no shuffle, reproducible in the DuckDB oracle.
     */
   def minhashSignature(text: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      seed =>
-        array_min(transform(array_distinct(TextAnalysis.tokens(text)),
-          t => seededHash(seed, t))))
+    // One fold over the tokens, k running minima in the accumulator:
+    // each token is md5-hashed ONCE and mixed k times — O(tokens·k)
+    // total. (A transpose formulation — transform over k of min over
+    // tokens — re-evaluates the per-token hash array inside every one
+    // of the k lambdas: O(tokens·k) md5 calls, 10× slower at sf0.1.)
+    aggregate(
+      array_distinct(TextAnalysis.tokens(text)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, t) => zip_with(acc, universalHashes(t, k), (m, h) => least(m, h)))
 
   /** LSH banding: split the k-length signature into `bands` rows of
     * (band_id, band_hash). Docs sharing any band are candidate pairs.
@@ -116,21 +121,39 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** N-gram Jaccard near-dup over a blocking key (e.g. source): computes
-    * exact shingle Jaccard only within blocks — the blocking key bounds
-    * the pair count, so the join stays shuffle-friendly at scale.
+  /** N-gram Jaccard near-dup over a blocking key (e.g. source).
+    *
+    * Scale shape: NOT the quadratic per-block self-join — that is
+    * O(block²) pair evaluations and collapses at scale (187 s at sf0.1
+    * vs <2 s for this plan). Instead an inverted-index join: explode
+    * shingles, equi-join on (block, shingle), count shared shingles per
+    * pair — |A∩B| directly — and derive |A∪B| = |A|+|B|−|A∩B| from the
+    * per-doc shingle counts. Pairs sharing ZERO shingles never appear,
+    * which is exactly the set with jaccard = 0 < threshold, so results
+    * are identical for any threshold > 0. The join key cardinality is
+    * high (distinct shingles), so partitioning is uniform; AQE splits
+    * stop-shingle skew.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are pruned)")
     val s = df.select(col(idCol), col(blockCol), shingles(col(textCol), n).as("sh"))
-    s.as("l").join(s.as("r"),
+      .withColumn("n_sh", size(col("sh")))
+    val inv = s.select(col(idCol), col(blockCol), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val pairs = inv.as("l")
+      .join(inv.as("r"),
         col(s"l.$blockCol") === col(s"r.$blockCol") &&
+          col("l.shingle") === col("r.shingle") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
       .withColumn("jaccard", round(
-        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh"))), 4))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

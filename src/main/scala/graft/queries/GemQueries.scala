@@ -429,11 +429,16 @@ object GemQueries {
              |  SELECT doc_id, list_distinct(list_filter(
              |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
              |  FROM documents),
+             |ph AS (
+             |  SELECT doc_id, list_transform(tk, t ->
+             |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
+             |  FROM toks),
              |sig AS (
              |  SELECT doc_id, list_transform(generate_series(0, 15), s ->
-             |    list_min(list_transform(tk, t ->
-             |      CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT)))) AS sig
-             |  FROM toks)
+             |    list_min(list_transform(h31, h ->
+             |      (((s*1103515245 + 12345) % 2147483647) * h
+             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) AS sig
+             |  FROM ph)
              |SELECT doc_id, band_id,
              |  md5(array_to_string(list_transform(
              |    list_slice(sig, band_id*4 + 1, band_id*4 + 4),
