@@ -107,6 +107,41 @@ object Dedup {
       lit(0L), (a, x) => a + x)
   }
 
+  /** SimHash near-dup pairs: banded equality for candidate generation,
+    * exact Hamming verify. Pigeonhole guarantee: a pair within Hamming
+    * distance d differs in ≤ d bands, so with bands = d + 1 chunks at
+    * least one band matches — candidate recall is EXACT for
+    * maxHamming ≤ bands − 1. The join key (band, chunk) is
+    * high-cardinality → uniform shuffle; no O(n²) scan anywhere.
+    */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming <= bands - 1")
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val r = bits / bands
+    val sigs = df.select(col(idCol), simhash(col(textCol), bits).as("sig"))
+    val banded = sigs
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      // chunk = (sig >> band*r) & (2^r - 1); the shift amount is a
+      // Column, so go through the SQL shiftright (Scala overload wants
+      // a literal Int).
+      .withColumn("chunk",
+        call_function("shiftright", col("sig"), (col("band") * lit(r)).cast("int"))
+          .bitwiseAND(lit((1L << r) - 1)))
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram (shingle) arrays for Jaccard verification.
     * Guarded: `sequence(1, 0)` in Spark DESCENDS ([1,0]) rather than
     * returning empty, so texts shorter than n tokens need the explicit

@@ -67,4 +67,43 @@ object Ownership {
       .withColumn("Capacity_allocated", col(capacityCol) * col("Ownership"))
       .drop("_owner_raw", "_share_pct", "_row_id")
   }
+
+  /** X4 display-string variant — reference `Hydroplants_GEM.R:159-202`:
+    * owners WITHOUT a provided share get their computed equal share
+    * appended as a display suffix (`"Name [33.33%]"`, R paste0 drops a
+    * trailing ".0"), and the share suffix is then str_remove'd with the
+    * decimal-aware pattern — the observable output is the cleaned Owner
+    * string plus share/allocation columns.
+    *
+    * The provided-share regex here is the strict bracketed form
+    * (`\[(\d+)%\]`, integer-only — `"[12.5%]"` is NOT a provided share,
+    * exactly like the reference's lookaround `(?<=\[)\d+(?=%\])`).
+    */
+  def splitWithDisplay(ownerCol: String, capacityCol: String,
+      rowKeyCols: Seq[String])(df: DataFrame): DataFrame = {
+    val withId = df.withColumn("_row_id", struct(rowKeyCols.map(col): _*))
+    val exploded = withId
+      .withColumn("_owner_raw", explode_outer(functions.split(col(ownerCol), ";\\s*")))
+      .withColumn("Company",
+        when(trim(regexp_extract(col("_owner_raw"), "^([^\\[]+)", 1)) === "", null)
+          .otherwise(trim(regexp_extract(col("_owner_raw"), "^([^\\[]+)", 1))))
+      .withColumn("_provided",
+        nullif(regexp_extract(col("_owner_raw"), "\\[(\\d+)%\\]", 1), lit("")))
+    val w = Window.partitionBy(col("_row_id"))
+    val share = coalesce(col("_provided").cast(DoubleType) / 100.0,
+      lit(1.0) / count(lit(1)).over(w))
+    val pct = round(share * 100.0, 2)
+    // R paste0(50) prints "50", not "50.0" — strip the integral case.
+    val pctStr = when(pct === floor(pct), pct.cast("long").cast("string"))
+      .otherwise(pct.cast("string"))
+    val display = when(col("_provided").isNull && col("Company").isNotNull,
+      concat(col("Company"), lit(" ["), pctStr, lit("%]")))
+      .otherwise(col("_owner_raw"))
+    exploded
+      .withColumn("Ownership", share)
+      .withColumn("Capacity_allocated", col(capacityCol) * share)
+      .withColumn(ownerCol,
+        regexp_replace(display, " ?\\[[0-9]+(\\.[0-9]+)?%\\]", ""))
+      .drop("_owner_raw", "_provided", "_row_id")
+  }
 }

@@ -55,6 +55,25 @@ object TextAnalysis {
   def bowFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** BPE-ish regex tokenizer: word runs OR single non-word-non-space
+    * marks, the pre-tokenization shape BPE vocabularies assume —
+    * punctuation becomes its own token instead of vanishing into the
+    * whitespace split.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))
+
+  /** Order-SENSITIVE document fingerprint: polynomial rolling hash of
+    * the token hash sequence mod 2^31−1 (Rabin–Karp). Complements the
+    * order-insensitive [[bowFingerprint]]; all operands stay < 2^62 so
+    * ANSI mode cannot overflow, and the fold is reproducible in SQL.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    import graft.functions.Hashing.{portableHash, P31}
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(portableHash(t), lit(P31)), lit(P31)))
+  }
+
   /** Composite quality score in [0,1]: length band + lexical diversity +
     * stopword presence, equally weighted.
     */

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Graft
-import graft.ops.{Cleaning, Coordinates, Dedup, GemPipeline, Ownership,
-  Similarity, TextAnalysis, Timeseries, TrackerConfigs}
+import graft.ops.{Cleaning, Coordinates, Dedup, GemPipeline, Multimodal,
+  Ownership, Similarity, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -942,6 +942,137 @@ object GemQueries {
              |  round(sum(o_totalprice), 2) AS total
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // X4 ownership display rebuild + strip (`Hydroplants_GEM.R:159-202`)
+    QueryDef("q38_owner_display",
+      (s, dir) => t(s, dir, "part")
+        .withColumn("Owner",
+          when(pmod(col("p_partkey"), lit(3)) === 0,
+            concat(col("p_brand"), lit("; "), col("p_type")))
+            .when(pmod(col("p_partkey"), lit(3)) === 1,
+              concat(col("p_brand"), lit(" [60%]; "), col("p_type"), lit(" [40%]")))
+            .otherwise(col("p_brand")))
+        .transform(Ownership.splitWithDisplay("Owner", "p_retailprice", Seq("p_partkey")))
+        .select(col("p_partkey"), col("Owner").as("owner_clean"),
+          col("Company").as("company"), round(col("Ownership"), 4).as("share"),
+          round(col("Capacity_allocated"), 2).as("alloc"))
+        .orderBy("p_partkey", "company"),
+      Some("""WITH o AS (
+             |  SELECT p_partkey, p_retailprice,
+             |    CASE WHEN p_partkey % 3 = 0 THEN p_brand || '; ' || p_type
+             |         WHEN p_partkey % 3 = 1 THEN p_brand || ' [60%]; ' || p_type || ' [40%]'
+             |         ELSE p_brand END AS owners
+             |  FROM part),
+             |e AS (SELECT p_partkey, p_retailprice,
+             |             unnest(string_split_regex(owners, ';\s*')) AS ow FROM o),
+             |sh AS (SELECT *,
+             |    NULLIF(trim(regexp_extract(ow, '^([^\[]+)', 1)), '') AS company,
+             |    NULLIF(regexp_extract(ow, '\[(\d+)%\]', 1), '') AS provided,
+             |    count(*) OVER (PARTITION BY p_partkey) AS n FROM e),
+             |c AS (SELECT *, coalesce(CAST(provided AS DOUBLE) / 100, 1.0 / n) AS share,
+             |             round(coalesce(CAST(provided AS DOUBLE) / 100, 1.0 / n) * 100, 2) AS pct
+             |  FROM sh),
+             |disp AS (SELECT *, CASE WHEN provided IS NULL AND company IS NOT NULL
+             |    THEN company || ' [' ||
+             |      (CASE WHEN pct = floor(pct) THEN CAST(CAST(pct AS BIGINT) AS VARCHAR)
+             |            ELSE CAST(pct AS VARCHAR) END) || '%]'
+             |    ELSE ow END AS display FROM c)
+             |SELECT p_partkey,
+             |  regexp_replace(display, ' ?\[[0-9]+(\.[0-9]+)?%\]', '') AS owner_clean,
+             |  company, round(share, 4) AS share,
+             |  round(p_retailprice * share, 2) AS alloc
+             |FROM disp ORDER BY p_partkey, company""".stripMargin)),
+
+    // SimHash banded Hamming near-dup join (Dedup.simhashNearDups)
+    QueryDef("q39_simhash_neardups",
+      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_distinct(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
+             |  FROM documents),
+             |h AS (SELECT doc_id, list_transform(tk, t ->
+             |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+             |      FROM toks),
+             |sigs AS (
+             |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+             |    CASE WHEN list_sum(list_transform(hs, x ->
+             |           CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+             |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
+             |    END)) AS BIGINT) AS sig
+             |  FROM h),
+             |banded AS (
+             |  SELECT doc_id, b.band, (sig >> (b.band * 15)) & 32767 AS chunk, sig
+             |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+             |cand AS (
+             |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             |         l.sig AS sa, r.sig AS sb
+             |  FROM banded l JOIN banded r
+             |    ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+             |SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // BPE-ish regex tokenizer + rolling (order-sensitive) fingerprint
+    QueryDef("q40_text_fingerprints",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.regexTokens(col("text"))).as("n_bpe_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, text, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS ws
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens,
+             |  len(ws) AS n_ws_tokens,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT), list_transform(ws, t ->
+             |      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+             |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_fp
+             |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: binary payload + stub decode + frame sampling
+    // (Multimodal.asMediaTable/decodeMeta/sampleFrames — the decode stub
+    // is deterministic byte math, so even IT is oracle-checked).
+    QueryDef("q41_multimodal_meta",
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "video")
+        val meta = Multimodal.decodeMeta(s, media)
+        val frames = Multimodal.sampleFrames(meta, everyMs = 5000)
+          .groupBy("id").agg(count(lit(1)).as("n_frames"))
+        meta.toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"), col("width"),
+            col("height"), col("durationMs").as("duration_ms"))
+          .join(frames, Seq("id"))
+          .orderBy("id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    64 + (ascii(substr(text, 1, 1)) % 64) AS width,
+             |    64 + (ascii(substr(text, length(text), 1)) % 64) AS height,
+             |    CAST(octet_length(encode(text)) * 10 AS BIGINT) AS duration_ms
+             |  FROM documents)
+             |SELECT id, n_bytes, width, height, duration_ms,
+             |  CAST(duration_ms // 5000 + 1 AS BIGINT) AS n_frames
+             |FROM m ORDER BY id""".stripMargin)),
+
+    // X11 banker's rounding (bround ≡ R round) vs HALF_UP, on exact
+    // binary ties (quantity/8 steps of .125).
+    QueryDef("q42_bankers_round",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          bround(col("l_quantity") / 8, 2).as("bankers"),
+          round(col("l_quantity") / 8, 2).as("half_up"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  round_even(l_quantity / 8, 2) AS bankers,
+             |  round(l_quantity / 8, 2) AS half_up
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
 
     // Streaming windowed agg, batch-parity mode (EventStream.windowedCounts)
     QueryDef("q32_windowed_counts",
