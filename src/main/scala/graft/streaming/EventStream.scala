@@ -42,6 +42,18 @@ object EventStream {
     * emitted and its state removed — without that the store grows with
     * every user ever seen (ADVICE.md r2).
     */
+  /** Pure state-merge step, factored out so the session arithmetic is
+    * unit-testable without driving a streaming query.
+    */
+  private[graft] def mergeSession(
+      uid: Long, events: Seq[Event], prev: Option[SessionAgg]): SessionAgg =
+    SessionAgg(
+      uid,
+      prev.map(_.n_events).getOrElse(0L) + events.size,
+      prev.map(_.total_value).getOrElse(0.0) + events.map(_.value).sum,
+      (prev.map(_.first_ts) ++ events.map(_.ts)).minBy(_.getTime),
+      (prev.map(_.last_ts) ++ events.map(_.ts)).maxBy(_.getTime))
+
   def sessionize(spark: SparkSession, events: DataFrame,
       timeout: String = "30 minutes"): DataFrame = {
     import spark.implicits._
@@ -56,14 +68,7 @@ object EventStream {
             state.remove()
             closed
           } else {
-            val prev = state.getOption
-            val evs = batch.toSeq
-            val merged = SessionAgg(
-              uid,
-              prev.map(_.n_events).getOrElse(0L) + evs.size,
-              prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-              (prev.map(_.first_ts) ++ evs.map(_.ts)).minBy(_.getTime),
-              (prev.map(_.last_ts) ++ evs.map(_.ts)).maxBy(_.getTime))
+            val merged = mergeSession(uid, batch.toSeq, state.getOption)
             state.update(merged)
             // Re-arm on every batch; only fires in streaming mode (batch
             // execution ignores timeouts — parity tests still run).
