@@ -1074,6 +1074,110 @@ object GemQueries {
              |FROM lineitem
              |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
 
+    // THE capstone: two real tracker configs (coal strict + hydro with
+    // G3 binational expansion and equal-share ownership) wrangled end to
+    // end, finalized, and pushed through the cross-tracker totals job
+    // (`TotalData_GEM.R:6-148`) — company ids, steel overlay, emission
+    // factors, non-fossil zeroing.
+    QueryDef("q43_multi_tracker_totals",
+      (s, dir) => {
+        val k = col("s_suppkey")
+        val coalRaw = t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(
+            concat(lit("CU"), k).as("GEM unit/phase ID"),
+            concat(lit("CL"), expr("s_suppkey div 4")).as("GEM location ID"),
+            concat(lit("CPlant "), expr("s_suppkey div 4")).as("Plant name"),
+            elt(pmod(col("n_nationkey"), lit(4)) + 1,
+              lit("Germany"), lit("France"), lit("Kosovo"), lit("Atlantis"))
+              .as("Country/Area"),
+            concat(lit("Region "), col("n_regionkey")).as("Region"),
+            when(pmod(k, lit(3)) === 0, lit("Alpha Corp [60%]; Beta GmbH [40%]"))
+              .when(pmod(k, lit(3)) === 1, concat(col("s_name"), lit(" [100%]")))
+              .otherwise(col("s_name")).as("Owner"),
+            when(pmod(k, lit(13)) === 0, lit("unknown"))
+              .otherwise(col("s_acctbal").cast("string")).as("Capacity (MW)"),
+            element_at(array(lit("operating"), lit("construction"), lit("announced"),
+              lit("pre-construction"), lit("retired")), (pmod(k, lit(5)) + 1).cast("int"))
+              .as("Status"),
+            when(pmod(k, lit(7)) === 0, lit("not found"))
+              .otherwise((lit(1990) + pmod(k, lit(45))).cast("string")).as("Start year"),
+            when(pmod(k, lit(6)) === 0, (lit(2015) + pmod(k, lit(30))).cast("string"))
+              .otherwise(lit(null).cast("string")).as("Planned retirement"),
+            pmod(k, lit(50)).cast("string").as("Plant age (years)"),
+            (pmod(k, lit(180)) - 90 + pmod(k, lit(3)) * 0.25).cast("double").as("Latitude"),
+            (pmod(k, lit(360)) - 180 + pmod(k, lit(3)) * 0.25).cast("double").as("Longitude"))
+        val coalFin = GemPipeline.wrangle(TrackerConfigs.coal)(coalRaw)
+          .transform(GemPipeline.finalizeSchema(TrackerConfigs.coal, CountryDim.dim(s)))
+
+        val c = col("c_custkey")
+        val hydroRaw = t(s, dir, "customer")
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(
+            concat(lit("HU"), c).as("GEM unit ID"),
+            concat(lit("HL"), expr("c_custkey div 2")).as("GEM location ID"),
+            concat(lit("HPlant "), expr("c_custkey div 2")).as("Project Name"),
+            elt(pmod(col("n_nationkey"), lit(4)) + 1,
+              lit("Germany"), lit("France"), lit("Kosovo"), lit("Atlantis"))
+              .as("Country 1"),
+            when(pmod(c, lit(9)) === 0,
+              elt(pmod(col("n_nationkey"), lit(3)) + 1,
+                lit("India"), lit("China"), lit("Brazil")))
+              .otherwise(lit(null).cast("string")).as("Country 2"),
+            when(pmod(c, lit(9)) === 0, "Yes").otherwise("No").as("Binational"),
+            concat(lit("Region "), col("n_regionkey")).as("Region 1"),
+            when(pmod(c, lit(9)) === 0, concat(lit("Region2 "), col("n_regionkey")))
+              .otherwise(lit(null).cast("string")).as("Region 2"),
+            when(pmod(c, lit(4)) === 0, lit("Gamma Inc; Delta LLC"))
+              .when(pmod(c, lit(4)) === 1, concat(col("c_name"), lit(" [50%]; Epsilon AG")))
+              .otherwise(col("c_name")).as("Owner"),
+            when(pmod(c, lit(11)) === 0, lit(">0"))
+              .otherwise(col("c_acctbal").cast("string")).as("Country 1 Capacity (MW)"),
+            when(pmod(c, lit(9)) === 0, (col("c_acctbal") / 2).cast("string"))
+              .otherwise(lit(null).cast("string")).as("Country 2 Capacity (MW)"),
+            element_at(array(lit("operating"), lit("construction"), lit("announced"),
+              lit("pre-construction"), lit("retired")), (pmod(c, lit(5)) + 1).cast("int"))
+              .as("Status"),
+            when(pmod(c, lit(7)) === 0, lit("not found"))
+              .otherwise((lit(1995) + pmod(c, lit(30))).cast("string")).as("Start Year"),
+            when(pmod(c, lit(8)) === 0, (lit(2010) + pmod(c, lit(25))).cast("string"))
+              .otherwise(lit(null).cast("string")).as("Retired Year"),
+            (pmod(c, lit(170)) - 85 + pmod(c, lit(3)) * 0.25).cast("double").as("Latitude"),
+            (pmod(c, lit(350)) - 175 + pmod(c, lit(3)) * 0.25).cast("double").as("Longitude"))
+        val hydroFin = GemPipeline.wrangle(TrackerConfigs.hydro)(hydroRaw)
+          .transform(GemPipeline.finalizeSchema(TrackerConfigs.hydro, CountryDim.dim(s)))
+
+        val r = col("r_regionkey")
+        val steel = t(s, dir, "region").select(
+          concat(lit("S"), r).as("asset_id"),
+          concat(lit("Steel "), r).as("asset_name"),
+          concat(lit("STL"), r).as("company_id"),
+          elt(pmod(r, lit(3)) + 1, lit("Alpha Corp"), lit("Gamma Inc"), lit("ZNoMatch"))
+            .as("company_name"),
+          lit("US").as("country_iso2"), lit("United States").as("country_name"),
+          concat(lit("Region "), r).as("region"), lit("40.0, -75.0").as("coordinates"),
+          lit(null).cast("double").as("workforce_size"),
+          lit(null).cast("string").as("workforce_source"),
+          lit("Power").as("sector"), lit("SteelCap").as("technology"),
+          (r * 7.0).as("capacity"), lit("MW").as("capacity_unit"),
+          lit(2030).as("production_year"),
+          lit(null).cast("double").as("plant_age_years"),
+          lit(null).cast("double").as("plant_age_rank"),
+          lit(null).cast("double").as("capacity_factor"),
+          lit(null).cast("double").as("emission_factor"))
+        val n = col("n_nationkey")
+        val factors = t(s, dir, "nation").select(
+          elt(pmod(n, lit(2)) + 1, lit("CoalCap"), lit("GasCap")).as("technology"),
+          elt(pmod(n, lit(3)) + 1, lit("DE"), lit("FR"), lit("XK")).as("country_iso2"),
+          (n + 1.0).as("emissions_factor"))
+
+        GemPipeline.totals(Seq(coalFin, hydroFin), steel, factors)
+          .orderBy(col("asset_id"), col("company_name").asc_nulls_first,
+            col("production_year"), col("country_name"),
+            col("plant_age_years").asc_nulls_first)
+      },
+      Some(Q43Oracle.sql)),
+
     // Streaming windowed agg, batch-parity mode (EventStream.windowedCounts)
     QueryDef("q32_windowed_counts",
       (s, dir) => graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
