@@ -47,6 +47,10 @@ object Graft {
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Native codegen'd vector functions (graft_dot) — clusters launched
+    // via spark-submit can instead set
+    // spark.sql.extensions=graft.functions.GraftExtensions.
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Float-vector dot product in double — the native codegen'd
+    * expression ([[graft.functions.FloatDotProduct]], registered by
+    * `Graft.session`), NOT the `zip_with`+`aggregate` HOF pair: same
+    * bit-exact left-to-right summation, but compiled to a primitive
+    * loop inside whole-stage codegen instead of interpreted lambdas
+    * with a per-row intermediate array.
+    */
+  def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
+
   /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Exact top-k neighbors for each query vector. `queries` should be
     * small (it is broadcast); `corpus` can be arbitrarily large.
@@ -105,9 +110,6 @@ object Similarity {
     // 16 s and ~5 s, and it compounds with block size at scale.
     // sqrt(dot(v,v)) here is bit-identical to computing it inline, so
     // results are unchanged.
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
     val v = df.select(col(idCol), col(blockCol), col(vecCol).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     v.as("l").join(v.as("r"),

@@ -1178,6 +1178,87 @@ object GemQueries {
       },
       Some(Q43Oracle.sql)),
 
+    // MinHash LSH near-dup FINDER: band-bucket candidate join + exact
+    // Jaccard verify (Dedup.minhashNearDups)
+    QueryDef("q44_minhash_neardups",
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_distinct(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
+             |  FROM documents),
+             |ph AS (
+             |  SELECT doc_id, tk, list_transform(tk, t ->
+             |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
+             |  FROM toks),
+             |sig AS (
+             |  SELECT doc_id, tk, list_transform(generate_series(0, 15), s ->
+             |    list_min(list_transform(h31, h ->
+             |      (((s*1103515245 + 12345) % 2147483647) * h
+             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) AS sig
+             |  FROM ph),
+             |bands AS (
+             |  SELECT doc_id, b.band_id,
+             |    md5(array_to_string(list_transform(
+             |      list_slice(sig, band_id*4 + 1, band_id*4 + 4),
+             |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+             |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+             |cand AS (
+             |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+             |  FROM bands l JOIN bands r
+             |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             |   AND l.doc_id < r.doc_id),
+             |verified AS (
+             |  SELECT c.id_a, c.id_b,
+             |    round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+             |          len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+             |  FROM cand c
+             |  JOIN toks a ON a.doc_id = c.id_a
+             |  JOIN toks b ON b.doc_id = c.id_b)
+             |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // LSH-bucketed approximate top-k (Similarity.lshTopK): candidate
+    // set restricted to the query's random-hyperplane bucket, exact
+    // cosine re-rank inside it.
+    QueryDef("q45_lsh_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, planes = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH bucketed AS (
+             |  SELECT vec_id, embedding,
+             |    CAST(list_sum(list_transform(generate_series(0, 3), p ->
+             |      CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+             |          CAST(v AS DOUBLE) * (CASE WHEN
+             |            CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+             |              CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+             |            THEN 1.0 ELSE -1.0 END))) >= 0
+             |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END))
+             |      AS BIGINT) AS bucket
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+             |      FROM bucketed WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM bucketed),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_sum(list_transform(qvec, (x, i) ->
+             |      CAST(x AS DOUBLE) * CAST(cvec[i] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+             |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos DESC, neighbor_id) AS "rank", cos
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
+             |FROM ranked WHERE "rank" <= 3
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
     // Streaming windowed agg, batch-parity mode (EventStream.windowedCounts)
     QueryDef("q32_windowed_counts",
       (s, dir) => graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
