@@ -53,23 +53,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a
-    * bigint bucket id. Hyperplane components are derived from the
-    * portable hash (deterministic, reproducible in SQL): component
-    * h(p, d) is ±1 by hash parity — a valid LSH family for cosine.
+  /** The ±1 hyperplane component for (plane, dim): parity of the same
+    * portable md5 hash the SQL oracle computes (`md5("p:d")` first 15
+    * hex digits) — driver-side precomputation of what is a CONSTANT
+    * matrix, not per-row work.
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (v, d) => v.cast("double") *
-              when(seededHash(p, d.cast("string")).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-          lit(0.0), (a, x) => a + x)
-        acc + when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      })
+  private def hyperplaneSigns(planes: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a
+    * bigint bucket id — a valid LSH family for cosine. The sign matrix
+    * depends only on (plane, dim index), so it is computed ONCE on the
+    * driver and embedded as literals; per row the projection is a
+    * single codegen'd graft_dot against a constant vector (an earlier
+    * formulation recomputed an md5 per (row, plane, dim) — 256 md5
+    * calls per 64-d row). Bit/precision parity with the oracle is
+    * unchanged: same hash constants, same left-to-right double sum.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column =
+    hyperplaneSigns(planes, dim).zipWithIndex.map { case (signs, p) =>
+      when(dot(vec, typedlit(signs)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * exact cosine re-rank inside it. At 100 TB the bucket column is a
@@ -78,13 +90,13 @@ object Similarity {
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, planes: Int = 8): DataFrame = {
+      k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("bucket", hyperplaneBucket(col("qvec"), planes))
+      .withColumn("bucket", hyperplaneBucket(col("qvec"), planes, dim))
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("bucket", hyperplaneBucket(col("cvec"), planes))
+      .withColumn("bucket", hyperplaneBucket(col("cvec"), planes, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qvec"), col("cvec")))

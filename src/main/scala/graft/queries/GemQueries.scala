@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Graft
 import graft.ops.{Cleaning, Coordinates, Dedup, GemPipeline, Multimodal,
-  Ownership, Similarity, TextAnalysis, Timeseries, TrackerConfigs}
+  Ownership, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1179,21 +1179,31 @@ object GemQueries {
       Some(Q43Oracle.sql)),
 
     // MinHash LSH near-dup FINDER: band-bucket candidate join + exact
-    // Jaccard verify (Dedup.minhashNearDups)
+    // Jaccard verify (Dedup.minhashNearDups). Sketch selectivity
+    // matters: the synthetic corpus has ~0.5 ambient pairwise Jaccard
+    // (20-word vocabulary), so r=4 rows/band admits ~25% of ALL pairs
+    // as candidates (quadratic — 130 s at sf0.1). r=8 cuts the ambient
+    // collision rate to J^8 ≈ 0.4% while 8 bands keep recall at the
+    // 0.8 near-dup threshold.
     QueryDef("q44_minhash_neardups",
-      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        k = 16, bands = 4, threshold = 0.5)
+      // Bounded slice: ~20% of ALL doc pairs in this corpus are true
+      // J≥0.8 near-dups, so the OUTPUT (and any exact verify) is
+      // inherently quadratic in input size — the bound keeps the bench
+      // measuring the operator, not the degenerate output volume.
+      (s, dir) => Dedup.minhashNearDups(
+        t(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id", "text",
+        k = 64, bands = 8, threshold = 0.8)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_distinct(list_filter(
              |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
-             |  FROM documents),
+             |  FROM documents WHERE doc_id < 1000),
              |ph AS (
              |  SELECT doc_id, tk, list_transform(tk, t ->
              |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
              |  FROM toks),
              |sig AS (
-             |  SELECT doc_id, tk, list_transform(generate_series(0, 15), s ->
+             |  SELECT doc_id, tk, list_transform(generate_series(0, 63), s ->
              |    list_min(list_transform(h31, h ->
              |      (((s*1103515245 + 12345) % 2147483647) * h
              |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) AS sig
@@ -1201,9 +1211,9 @@ object GemQueries {
              |bands AS (
              |  SELECT doc_id, b.band_id,
              |    md5(array_to_string(list_transform(
-             |      list_slice(sig, band_id*4 + 1, band_id*4 + 4),
+             |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
              |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
-             |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b),
              |cand AS (
              |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
              |  FROM bands l JOIN bands r
@@ -1216,7 +1226,7 @@ object GemQueries {
              |  FROM cand c
              |  JOIN toks a ON a.doc_id = c.id_a
              |  JOIN toks b ON b.doc_id = c.id_b)
-             |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+             |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // LSH-bucketed approximate top-k (Similarity.lshTopK): candidate
@@ -1258,6 +1268,17 @@ object GemQueries {
              |SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
              |FROM ranked WHERE "rank" <= 3
              |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Skew-safe two-phase salted aggregation (Skew.saltedSum) — result
+    // ≡ the plain rollup; the plan sprays hot keys over 16 reducers.
+    QueryDef("q46_salted_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .transform(Skew.saltedSum(Seq("l_returnflag"), "l_quantity", "total_qty"))
+        .select(col("l_returnflag"), round(col("total_qty"), 2).as("total_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // Streaming windowed agg, batch-parity mode (EventStream.windowedCounts)
     QueryDef("q32_windowed_counts",
