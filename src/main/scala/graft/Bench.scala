@@ -10,6 +10,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session("graft-bench")
+    // Untimed warm-up: JIT + codegen + filesystem caches land on a cheap
+    // query instead of inflating whichever query sorts first.
+    try SparkEntry.queries("q16_distinct")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout helpers: the write-side levers that remove shuffles
+  * from the read side at 100 TB.
+  *
+  *  - `writeBucketed`: hash-bucketed table layout. Two tables bucketed
+  *    by the same key into the same bucket count join with NO exchange
+  *    on either side (Catalyst proves co-partitioning from the table
+  *    spec) — the right layout for fact↔fact joins too big to
+  *    broadcast, e.g. tracker assets ↔ ownership rows keyed by unit id.
+  *  - `writePartitioned`: directory partitioning for coarse,
+  *    low-cardinality predicates (year, technology) — partition pruning
+  *    turns a 100 TB scan into just the referenced directories.
+  */
+object Layout {
+
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int = 32,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(w.sortBy(_)).format("parquet").saveAsTable(table)
+  }
+
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -39,6 +39,26 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("streamFromDir treats a parquet directory as an unbounded stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    Seq((1L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:20:00"), 8L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStream.windowedCounts(EventStream.streamFromDir(spark, dir))
+      .writeStream.format("memory").queryName("dir_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dir_test").orderBy("event_type").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("n")).sum == 2)
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS dir_test")
+    }
+  }
+
   // A real-stream sessionize drive is deliberately absent: with a
   // ProcessingTimeTimeout armed, the engine re-fires micro-batches for
   // timeout bookkeeping, so neither processAllAvailable nor
