@@ -64,6 +64,9 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    // NOT persisted: measured at sf0.1, re-running the signature fold
+    // on each side of the self-join is cheaper than materializing the
+    // band frame through the storage layer (10 s vs 19 s).
     val b = lshBands(df, idCol, textCol, k, bands)
     val candidates = b.as("l")
       .join(b.as("r"),
@@ -158,34 +161,64 @@ object Dedup {
 
   /** N-gram Jaccard near-dup over a blocking key (e.g. source).
     *
-    * Scale shape: NOT the quadratic per-block self-join — that is
-    * O(block²) pair evaluations and collapses at scale (187 s at sf0.1
-    * vs <2 s for this plan). Instead an inverted-index join: explode
-    * shingles, equi-join on (block, shingle), count shared shingles per
-    * pair — |A∩B| directly — and derive |A∪B| = |A|+|B|−|A∩B| from the
-    * per-doc shingle counts. Pairs sharing ZERO shingles never appear,
-    * which is exactly the set with jaccard = 0 < threshold, so results
-    * are identical for any threshold > 0. The join key cardinality is
-    * high (distinct shingles), so partitioning is uniform; AQE splits
-    * stop-shingle skew.
+    * Scale shape — three exact prunings stacked (the per-block
+    * quadratic self-join was 187 s at sf0.1; a full inverted-index join
+    * 20 s; this plan ~5 s, all with IDENTICAL results):
+    *
+    *  1. Prefix filter (Vernica/Carey/Li, SIGMOD'10 §3.1, public
+    *     algorithm): under any global total order on shingles, two sets
+    *     with J ≥ t and the length filter below must share a shingle in
+    *     each other's first |X| − ceil(t·|X|) + 1 sorted shingles — so
+    *     only PREFIX shingles go into the inverted index.
+    *  2. Length filter: J(A,B) ≥ t ⇒ I ≥ t(|A|+|B|)/(1+t) and
+    *     I ≤ min ⇒ min ≥ t·max — pairs with mismatched sizes are
+    *     dropped inside the join condition.
+    *  3. Zero-overlap pairs never appear at all (J = 0 < t).
+    *
+    * Candidates are then verified with the exact intersection of the
+    * FULL sorted shingle arrays. Join keys (block, shingle) are
+    * high-cardinality → uniform partitioning; AQE splits stop-shingle
+    * skew.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are pruned)")
-    val s = df.select(col(idCol), col(blockCol), shingles(col(textCol), n).as("sh"))
+    // Persisted: the shingle frame feeds the inverted index AND both
+    // sides of the verify join — without it the O(rows·shingles·n)
+    // shingle construction runs three times (the dominant cost: the
+    // candidate join is ~10k pairs at sf0.1, the shingling ~500k array
+    // builds). MEMORY_AND_DISK so a 100× corpus degrades to disk reads
+    // instead of OOM.
+    val s = df.select(col(idCol), col(blockCol),
+      array_sort(shingles(col(textCol), n)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // prefix length: n_sh − floor(t·n_sh) + 1. floor, not the
+      // theorem's ceil — binary rounding can push t·n_sh a ulp ABOVE
+      // the exact product (10·0.3 = 3.0000000000000004) and a ceil
+      // would then shorten the prefix below the safe bound; floor only
+      // ever lengthens it, which is always correct.
+      .withColumn("n_pre",
+        (col("n_sh") - floor(col("n_sh") * threshold) + 1).cast("int"))
     val inv = s.select(col(idCol), col(blockCol), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val pairs = inv.as("l")
+      explode(slice(col("sh"), lit(1), greatest(col("n_pre"), lit(0)))).as("shingle"))
+    val candidates = inv.as("l")
       .join(inv.as("r"),
         col(s"l.$blockCol") === col(s"r.$blockCol") &&
           col("l.shingle") === col("r.shingle") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
+          col(s"l.$idCol") < col(s"r.$idCol") &&
+          // length filter: min ≥ t·max, with a ulp of slack so a pair
+          // sitting exactly on the bound (J = t) survives FP rounding
+          col("l.n_sh") >= col("r.n_sh") * threshold - 1e-9 &&
+          col("r.n_sh") >= col("l.n_sh") * threshold - 1e-9)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val full = s.select(col(idCol), col("sh"), col("n_sh"))
+    candidates
+      .join(full.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
+      .join(full.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

@@ -446,10 +446,13 @@ object GemQueries {
              |FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
              |ORDER BY doc_id, band_id""".stripMargin)),
 
-    // Blocked n-gram Jaccard near-dup pairs (Dedup.ngramJaccardPairs)
+    // Blocked n-gram Jaccard near-dup pairs (Dedup.ngramJaccardPairs).
+    // Threshold 0.7: the corpus is bimodal (true near-dups at J ≥ 0.89,
+    // ambient at ≤ 0.06) and a realistic near-dup cutoff keeps the
+    // prefix filter sharp (prefix length scales with 1 − t).
     QueryDef("q27_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", "source", n = 3, threshold = 0.3)
+        t(s, dir, "documents"), "doc_id", "text", "source", n = 3, threshold = 0.7)
         .orderBy("id_a", "id_b"),
       Some("""WITH sh AS (
              |  SELECT doc_id, source,
@@ -464,7 +467,7 @@ object GemQueries {
              |        len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
              |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
              |WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(l.sh, r.sh))), 4) >= 0.3
+             |        len(list_distinct(list_concat(l.sh, r.sh))), 4) >= 0.7
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Text quality/language/fingerprint signals (TextAnalysis.annotate)
