@@ -54,6 +54,16 @@ object Graft {
     spark
   }
 
+  /** Register every synthetic table as a temp view so the `spark.sql`
+    * surface works over the same data as the DataFrame API (same
+    * Catalyst plans underneath — SQL is a parse frontend, not another
+    * engine).
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
   /** Load one of the driver's synthetic tables from an sf directory.
     * Plain parquet scan — Catalyst pushes filters/pruning into it.
     *

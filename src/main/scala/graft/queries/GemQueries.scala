@@ -1283,6 +1283,24 @@ object GemQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // The spark.sql surface: ANSI SQL over Graft.registerViews — the
+    // same Catalyst plan the DataFrame API produces, and literally the
+    // same text the DuckDB oracle runs.
+    QueryDef("q47_sql_surface",
+      (s, dir) => {
+        Graft.registerViews(s, dir)
+        s.sql("""SELECT l_returnflag, count(*) AS n,
+                |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                |WHERE o_orderstatus <> 'F'
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderstatus <> 'F'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Streaming windowed agg, batch-parity mode (EventStream.windowedCounts)
     QueryDef("q32_windowed_counts",
       (s, dir) => graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
