@@ -73,11 +73,17 @@ object Multimodal {
     media.select("id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          // Accumulate in DOUBLE, round to float once at the end — the
+          // arithmetic any SQL engine reproduces exactly (float-by-float
+          // accumulation would drift from the oracle's double sums).
           val v = Array.tabulate(dim) { i =>
             if (bytes.isEmpty) 0f
-            else bytes.iterator.zipWithIndex
-              .collect { case (b, j) if j % dim == i => (b & 0xff).toFloat }
-              .sum / bytes.length
+            else {
+              var s = 0.0
+              var j = i
+              while (j < bytes.length) { s += (bytes(j) & 0xff); j += dim }
+              (s / bytes.length).toFloat
+            }
           }
           (id, v)
         }

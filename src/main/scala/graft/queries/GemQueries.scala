@@ -1283,6 +1283,28 @@ object GemQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Multimodal stub feature extraction (mapPartitions batch shape);
+    // byte-moment stub is deterministic double math → fully
+    // oracle-checked, flattened to one column per dimension.
+    QueryDef("q48_multimodal_features",
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")
+        val feats = Multimodal.extractFeatures(s, media, dim = 4)
+        feats.select(col("id") +:
+          (0 until 4).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST(list_sum(list_transform(generate_series(1, octet_length(encode(text)), 4),
+             |    p -> CAST(ascii(substr(text, p, 1)) AS DOUBLE))) / octet_length(encode(text)) AS FLOAT) AS f0,
+             |  CAST(list_sum(list_transform(generate_series(2, octet_length(encode(text)), 4),
+             |    p -> CAST(ascii(substr(text, p, 1)) AS DOUBLE))) / octet_length(encode(text)) AS FLOAT) AS f1,
+             |  CAST(list_sum(list_transform(generate_series(3, octet_length(encode(text)), 4),
+             |    p -> CAST(ascii(substr(text, p, 1)) AS DOUBLE))) / octet_length(encode(text)) AS FLOAT) AS f2,
+             |  CAST(list_sum(list_transform(generate_series(4, octet_length(encode(text)), 4),
+             |    p -> CAST(ascii(substr(text, p, 1)) AS DOUBLE))) / octet_length(encode(text)) AS FLOAT) AS f3
+             |FROM documents ORDER BY id""".stripMargin)),
+
     // The spark.sql surface: ANSI SQL over Graft.registerViews — the
     // same Catalyst plan the DataFrame API produces, and literally the
     // same text the DuckDB oracle runs.
