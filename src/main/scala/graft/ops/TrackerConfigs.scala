@@ -91,33 +91,52 @@ object TrackerConfigs {
           "Country 1 Capacity (MW)" -> "Country 2 Capacity (MW)",
           "Region 1" -> "Region 2"))))
 
-  private def simpleTracker(nm: String, tech: String): TrackerConfig = TrackerConfig(
+  /** The five v2 trackers share the shape — Project Name assets,
+    * equal-share ownership, imputed start years, and an explicit
+    * null-owner drop (`solarplants_GEM.R:75`, "nearly 30k removed") —
+    * but differ in unit-id and year column spellings per workbook.
+    */
+  private def simpleTracker(
+      nm: String, tech: String, unitId: String, country: String,
+      startYear: String, retireYear: String,
+      extraPre: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Nil)
+      : TrackerConfig = TrackerConfig(
     name = nm,
     technology = lit(tech),
-    unitIdCol = "GEM unit ID",
+    unitIdCol = unitId,
     locationIdCol = "GEM location ID",
-    plantNameCol = "Plant name",
-    countryCol = "Country/Area",
+    plantNameCol = "Project Name",
+    countryCol = country,
     regionCol = "Region",
     ownerCol = "Owner",
     capacityCol = "Capacity (MW)",
     statusCol = "Status",
-    startYearCol = "Start year",
-    retireYearCol = Some("Retired year"),
+    startYearCol = startYear,
+    retireYearCol = Some(retireYear),
     ageCol = None,
     statusWhitelist = CommonStatuses,
     startYearPolicy = Impute(),
-    ownershipMode = Ownership.EqualShareDefault)
+    ownershipMode = Ownership.EqualShareDefault,
+    preSteps = extraPre :+ ((d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("Owner").isNotNull)))
 
   /** `solarplants_GEM.R:221` / `windplants_GEM.R:212` /
     * `geothermalplants_GEM.R:199` / `bioenergyplants_GEM.R:204` all land
-    * on RenewablesCap; `nuclearplants_GEM.R:203` on NuclearCap.
+    * on RenewablesCap; `nuclearplants_GEM.R:203` on NuclearCap. Column
+    * spellings per script: solar/wind/bio key units by `GEM phase ID`,
+    * nuclear by `Start Year`/`Retirement Year`, bio renames `Owner(s)`.
     */
-  val solar: TrackerConfig = simpleTracker("solar", "RenewablesCap")
-  val wind: TrackerConfig = simpleTracker("wind", "RenewablesCap")
-  val geothermal: TrackerConfig = simpleTracker("geothermal", "RenewablesCap")
-  val bioenergy: TrackerConfig = simpleTracker("bioenergy", "RenewablesCap")
-  val nuclear: TrackerConfig = simpleTracker("nuclear", "NuclearCap")
+  val solar: TrackerConfig = simpleTracker("solar", "RenewablesCap",
+    "GEM phase ID", "Country", "Start year", "Retired year")
+  val wind: TrackerConfig = simpleTracker("wind", "RenewablesCap",
+    "GEM phase ID", "Country/Area", "Start year", "Retired year")
+  val geothermal: TrackerConfig = simpleTracker("geothermal", "RenewablesCap",
+    "GEM unit ID", "Country/Area", "Start year", "Retired year")
+  val bioenergy: TrackerConfig = simpleTracker("bioenergy", "RenewablesCap",
+    "GEM phase ID", "Country/Area", "Start Year", "Retired Year",
+    extraPre = Seq(_.withColumnRenamed("Owner(s)", "Owner"))) // bioenergyplants_GEM.R:62
+  val nuclear: TrackerConfig = simpleTracker("nuclear", "NuclearCap",
+    "GEM unit ID", "Country/Area", "Start Year", "Retirement Year")
 
   /** All eight, in the reference's union order (`TotalData_GEM.R:18`). */
   val all: Seq[TrackerConfig] =

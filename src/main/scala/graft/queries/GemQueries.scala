@@ -1305,6 +1305,122 @@ object GemQueries {
              |    p -> CAST(ascii(substr(text, p, 1)) AS DOUBLE))) / octet_length(encode(text)) AS FLOAT) AS f3
              |FROM documents ORDER BY id""".stripMargin)),
 
+    // A v2 simple-tracker config end-to-end (solar): phase-keyed units,
+    // explicit null-owner drop, equal-share ownership, imputed starts.
+    QueryDef("q49_solar_tracker",
+      (s, dir) => {
+        val c = col("c_custkey")
+        val raw = t(s, dir, "customer")
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(
+            concat(lit("PU"), c).as("GEM phase ID"),
+            concat(lit("PL"), expr("c_custkey div 3")).as("GEM location ID"),
+            concat(lit("PPlant "), expr("c_custkey div 3")).as("Project Name"),
+            elt(pmod(col("n_nationkey"), lit(3)) + 1,
+              lit("Germany"), lit("India"), lit("Brazil")).as("Country"),
+            concat(lit("Region "), col("n_regionkey")).as("Region"),
+            when(pmod(c, lit(6)) === 0, lit("Gamma Inc; Delta LLC"))
+              .when(pmod(c, lit(6)) === 1, concat(col("c_name"), lit(" [50%]; Epsilon AG")))
+              .when(pmod(c, lit(6)) === 2, lit(null).cast("string"))
+              .otherwise(col("c_name")).as("Owner"),
+            when(pmod(c, lit(11)) === 0, lit("unknown"))
+              .otherwise(col("c_acctbal").cast("string")).as("Capacity (MW)"),
+            element_at(array(lit("operating"), lit("construction"), lit("announced"),
+              lit("pre-construction"), lit("retired")), (pmod(c, lit(5)) + 1).cast("int"))
+              .as("Status"),
+            when(pmod(c, lit(7)) === 0, lit("not found"))
+              .otherwise((lit(2000) + pmod(c, lit(28))).cast("string")).as("Start year"),
+            when(pmod(c, lit(9)) === 0, (lit(2012) + pmod(c, lit(28))).cast("string"))
+              .otherwise(lit(null).cast("string")).as("Retired year"),
+            (pmod(c, lit(160)) - 80 + pmod(c, lit(3)) * 0.25).cast("double").as("Latitude"),
+            (pmod(c, lit(340)) - 170 + pmod(c, lit(3)) * 0.25).cast("double").as("Longitude"))
+        GemPipeline.wrangle(TrackerConfigs.solar)(raw)
+          .transform(GemPipeline.finalizeSchema(TrackerConfigs.solar, CountryDim.dim(s)))
+          .orderBy(col("asset_id"), col("company_name").asc_nulls_first,
+            col("production_year"), col("country_name"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT
+             |    'PU' || CAST(c_custkey AS VARCHAR) AS unit_id,
+             |    'PL' || CAST(c_custkey // 3 AS VARCHAR) AS loc_id,
+             |    'PPlant ' || CAST(c_custkey // 3 AS VARCHAR) AS plant,
+             |    (['Germany','India','Brazil'])[n_nationkey % 3 + 1] AS country,
+             |    'Region ' || CAST(n_regionkey AS VARCHAR) AS region,
+             |    CASE c_custkey % 6
+             |      WHEN 0 THEN 'Gamma Inc; Delta LLC'
+             |      WHEN 1 THEN c_name || ' [50%]; Epsilon AG'
+             |      WHEN 2 THEN NULL
+             |      ELSE c_name END AS owner,
+             |    CASE WHEN c_custkey % 11 = 0 THEN 'unknown'
+             |      ELSE CAST(c_acctbal AS VARCHAR) END AS cap,
+             |    (['operating','construction','announced','pre-construction','retired'])[c_custkey % 5 + 1] AS status,
+             |    CASE WHEN c_custkey % 7 = 0 THEN 'not found'
+             |      ELSE CAST(2000 + c_custkey % 28 AS VARCHAR) END AS start_y,
+             |    CASE WHEN c_custkey % 9 = 0
+             |      THEN CAST(2012 + c_custkey % 28 AS VARCHAR) END AS retire_y,
+             |    CAST(c_custkey % 160 - 80 + (c_custkey % 3) * CAST(0.25 AS DOUBLE) AS DOUBLE) AS lat,
+             |    CAST(c_custkey % 340 - 170 + (c_custkey % 3) * CAST(0.25 AS DOUBLE) AS DOUBLE) AS lon
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |f0 AS (SELECT * FROM raw WHERE owner IS NOT NULL),
+             |f1 AS (SELECT * FROM f0
+             |  WHERE status IN ('construction','operating','announced','pre-construction')),
+             |f2 AS (SELECT * REPLACE (CASE WHEN cap = '>0' THEN 'unknown' ELSE cap END AS cap) FROM f1),
+             |f3 AS (SELECT * FROM f2
+             |  WHERE NOT (cap IN ('unknown','N/A','not found') OR cap IS NULL OR cap = '0')),
+             |imp AS (SELECT * REPLACE (
+             |    CASE WHEN start_y IN ('unknown','not found') OR start_y IS NULL THEN
+             |      CASE WHEN status IN ('announced','construction','pre-construction')
+             |        THEN '2030' ELSE '2024' END
+             |    ELSE start_y END AS start_y) FROM f3),
+             |num AS (SELECT *, TRY_CAST(cap AS DOUBLE) AS capn,
+             |    TRY_CAST(start_y AS DOUBLE) AS startn,
+             |    TRY_CAST(retire_y AS DOUBLE) AS retiren FROM imp),
+             |f5 AS (SELECT * FROM num WHERE retiren IS NULL OR retiren >= 2024),
+             |summ AS (SELECT loc_id,
+             |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS clat,
+             |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS clon
+             |  FROM f5 GROUP BY loc_id),
+             |canon AS (SELECT f5.* EXCLUDE (lat, lon), s.clat AS lat, s.clon AS lon
+             |  FROM f5 LEFT JOIN summ s USING (loc_id)),
+             |own AS (SELECT t.*, u.ow FROM canon t,
+             |  unnest(coalesce(string_split_regex(t.owner, ';\s*'),
+             |                  [CAST(NULL AS VARCHAR)])) AS u(ow)),
+             |owns AS (SELECT *,
+             |    NULLIF(trim(regexp_extract(ow, '^([^\[]+)', 1)), '') AS company,
+             |    coalesce(
+             |      TRY_CAST(NULLIF(regexp_extract(ow, '(\d+)%', 1), '') AS DOUBLE) / 100,
+             |      1.0 / count(*) OVER (PARTITION BY unit_id)) AS share
+             |  FROM own),
+             |alloc AS (SELECT *, capn * share AS cap_alloc FROM owns),
+             |ex AS (SELECT a.*, y.year FROM alloc a
+             |  CROSS JOIN (SELECT unnest(generate_series(2023, 2050)) AS year) y),
+             |val AS (SELECT *, CASE
+             |    WHEN startn IS NOT NULL AND year < startn THEN 0.0
+             |    WHEN retiren IS NOT NULL AND year >= retiren THEN 0.0
+             |    ELSE cap_alloc END AS value FROM ex),
+             |roll AS (SELECT loc_id, plant, country, region, lat, lon,
+             |    'RenewablesCap' AS technology, company, year,
+             |    coalesce(sum(value), 0.0) AS capacity
+             |  FROM val GROUP BY loc_id, plant, country, region, lat, lon, company, year)
+             |SELECT roll.loc_id AS asset_id, roll.plant AS asset_name,
+             |    CAST(NULL AS VARCHAR) AS company_id, roll.company AS company_name,
+             |    CASE WHEN roll.country = 'Kosovo' THEN 'XK' ELSE cd.iso2 END AS country_iso2,
+             |    roll.country AS country_name, roll.region,
+             |    coalesce(CAST(roll.lat AS VARCHAR), 'NA') || ', ' ||
+             |      coalesce(CAST(roll.lon AS VARCHAR), 'NA') AS coordinates,
+             |    CAST(NULL AS DOUBLE) AS workforce_size,
+             |    CAST(NULL AS VARCHAR) AS workforce_source,
+             |    'Power' AS sector, roll.technology, roll.capacity,
+             |    'MW' AS capacity_unit, roll.year AS production_year,
+             |    CAST(NULL AS DOUBLE) AS plant_age_years,
+             |    CAST(NULL AS DOUBLE) AS plant_age_rank,
+             |    CAST(NULL AS DOUBLE) AS capacity_factor,
+             |    CAST(NULL AS DOUBLE) AS emission_factor
+             |FROM roll LEFT JOIN """.stripMargin + CountryDim.duckValuesSql +
+           """ ON roll.country = cd.country_name
+             |ORDER BY asset_id, company_name NULLS FIRST, production_year,
+             |  country_name""".stripMargin)),
+
     // The spark.sql surface: ANSI SQL over Graft.registerViews — the
     // same Catalyst plan the DataFrame API produces, and literally the
     // same text the DuckDB oracle runs.
