@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.core.Graft
-import graft.ops.{Cleaning, Coordinates, Dedup, GemPipeline, Multimodal,
-  Ownership, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
+import graft.ops.{Cleaning, Coordinates, CorpusPipeline, Dedup, GemPipeline,
+  Multimodal, Ownership, Similarity, Skew, TextAnalysis, Timeseries,
+  TrackerConfigs}
 import graft.sources.{CountryDim, Csv}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1420,6 +1421,63 @@ object GemQueries {
            """ ON roll.country = cd.country_name
              |ORDER BY asset_id, company_name NULLS FIRST, production_year,
              |  country_name""".stripMargin)),
+
+    // LLM-tier capstone: the composed curation pipeline — exact dedup →
+    // quality/language gate → banded-minhash near-dup removal → corpus
+    // accounting (CorpusPipeline.curate).
+    QueryDef("q50_corpus_curation",
+      (s, dir) => CorpusPipeline.curate(
+        t(s, dir, "documents").filter(col("doc_id") < 1000)),
+      Some("""WITH exact_w AS (
+             |  SELECT min(doc_id) AS doc_id FROM documents
+             |  WHERE doc_id < 1000 GROUP BY md5(text)),
+             |dd AS (SELECT d.* FROM documents d JOIN exact_w USING (doc_id)),
+             |tk AS (SELECT doc_id, text, source,
+             |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM dd),
+             |scored AS (
+             |  SELECT *,
+             |    round((CASE WHEN len(tk) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+             |      + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+             |      + CASE WHEN swr > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS q,
+             |    CASE WHEN swr >= 0.05 THEN 'en' ELSE 'other' END AS lang
+             |  FROM (SELECT *, CAST(len(list_filter(tk, t -> t IN
+             |          ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+             |          / len(tk) AS swr FROM tk)),
+             |gate AS (SELECT doc_id, text, source, tk,
+             |    list_distinct(tk) AS dtk
+             |  FROM scored WHERE q >= 0.5 AND lang = 'en'),
+             |ph AS (SELECT doc_id, dtk, list_transform(dtk, t ->
+             |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
+             |  FROM gate),
+             |sig AS (
+             |  SELECT doc_id, dtk, list_transform(generate_series(0, 63), s ->
+             |    list_min(list_transform(h31, h ->
+             |      (((s*1103515245 + 12345) % 2147483647) * h
+             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) AS sig
+             |  FROM ph),
+             |bandsx AS (
+             |  SELECT doc_id, b.band_id,
+             |    md5(array_to_string(list_transform(
+             |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
+             |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b),
+             |cand AS (
+             |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+             |  FROM bandsx l JOIN bandsx r
+             |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             |   AND l.doc_id < r.doc_id),
+             |losers AS (
+             |  SELECT DISTINCT c.id_b FROM cand c
+             |  JOIN sig a ON a.doc_id = c.id_a
+             |  JOIN sig b ON b.doc_id = c.id_b
+             |  WHERE round(CAST(len(list_intersect(a.dtk, b.dtk)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.dtk, b.dtk))), 4) >= 0.8),
+             |kept AS (SELECT * FROM gate
+             |  WHERE doc_id NOT IN (SELECT id_b FROM losers))
+             |SELECT source, count(*) AS docs_kept,
+             |  CAST(sum(len(tk)) AS BIGINT) AS tokens_kept
+             |FROM kept GROUP BY source ORDER BY source""".stripMargin)),
 
     // The spark.sql surface: ANSI SQL over Graft.registerViews — the
     // same Catalyst plan the DataFrame API produces, and literally the
