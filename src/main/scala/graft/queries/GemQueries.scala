@@ -1479,6 +1479,23 @@ object GemQueries {
              |  CAST(sum(len(tk)) AS BIGINT) AS tokens_kept
              |FROM kept GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Stateful sessionization, batch-parity mode: mapGroupsWithState's
+    // merge over a static frame ≡ a plain per-user aggregate, which is
+    // exactly what the oracle checks.
+    QueryDef("q51_sessionize_batch",
+      (s, dir) => graft.streaming.EventStream.sessionize(s,
+        t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp")))
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"),
+          col("first_ts").cast("timestamp_ntz").as("first_ts"),
+          col("last_ts").cast("timestamp_ntz").as("last_ts"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  round(sum(value), 2) AS total_value,
+             |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
+             |  max(CAST(ts AS TIMESTAMP)) AS last_ts
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // The spark.sql surface: ANSI SQL over Graft.registerViews — the
     // same Catalyst plan the DataFrame API produces, and literally the
     // same text the DuckDB oracle runs.

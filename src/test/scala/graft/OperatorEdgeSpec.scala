@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.{Coordinates, Dedup, GemPipeline, Multimodal, TextAnalysis}
+import graft.sources.CountryDim
+import org.apache.spark.sql.functions._
+
+/** Edge semantics not covered by the oracle queries or the first-round
+  * suites.
+  */
+class OperatorEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalize: mean only when >1 distinct pair, value kept otherwise") {
+    val df = Seq(
+      ("L1", 10.0, 20.0), ("L1", 12.0, 22.0), // 2 distinct pairs → mean
+      ("L2", 5.0, 6.0), ("L2", 5.0, 6.0)      // 1 distinct pair → kept
+    ).toDF("loc", "Latitude", "Longitude")
+    val out = Coordinates.canonicalize("loc", "Latitude", "Longitude")(df)
+      .select("loc", "Latitude", "Longitude").distinct()
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("L1") == ((11.0, 21.0)))
+    assert(out("L2") == ((5.0, 6.0)))
+  }
+
+  test("finalizeSchema coordinates keep R paste0 'NA' semantics on null sides") {
+    val cfg = graft.ops.TrackerConfigs.gasOil
+    val rolled = Seq(
+      ("L1", "P", "Germany", "R1", null.asInstanceOf[java.lang.Double],
+        9.5, "GasCap", "C", 2024, 10.0))
+      .toDF(cfg.locationIdCol, cfg.plantNameCol, cfg.countryCol, cfg.regionCol,
+        "Latitude", "Longitude", "technology", "Company", "year", "capacity")
+    val out = GemPipeline.finalizeSchema(cfg, CountryDim.dim(spark))(rolled)
+      .select("coordinates", "country_iso2").collect().head
+    assert(out.getString(0) == "NA, 9.5")
+    assert(out.getString(1) == "DE")
+  }
+
+  test("simhash banded join finds every pair within the pigeonhole bound") {
+    // Construct texts, compute true Hamming distances, and check that
+    // simhashNearDups returns EXACTLY the pairs with distance <= 3.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical → distance 0
+      (3L, "alpha beta gamma delta zeta"),
+      (4L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == expected)
+  }
+
+  test("regexTokens splits punctuation into its own tokens") {
+    val out = Seq("ab, cd-ef!").toDF("t")
+      .select(TextAnalysis.regexTokens(col("t"))).collect().head.getSeq[String](0)
+    assert(out == Seq("ab", ",", "cd", "-", "ef", "!"))
+  }
+
+  test("rollingFingerprint is order-sensitive where bow is not") {
+    val out = Seq("a b c", "c b a").toDF("t")
+      .select(TextAnalysis.rollingFingerprint(col("t")).as("r"),
+        TextAnalysis.bowFingerprint(col("t")).as("b"))
+      .collect()
+    assert(out(0).getLong(0) != out(1).getLong(0)) // rolling differs
+    assert(out(0).getString(1) == out(1).getString(1)) // bow equal
+  }
+
+  test("decodeMeta + sampleFrames: frames count follows the stub duration") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x" * 100)).toDF("id", "payload"), "id", "payload", "video")
+    val meta = Multimodal.decodeMeta(spark, media)
+    val m = meta.collect().head
+    assert(m.nBytes == 100 && m.durationMs == 1000)
+    val frames = Multimodal.sampleFrames(meta, everyMs = 300).count()
+    assert(frames == 4) // 0, 300, 600, 900
+  }
+
+  test("classifyFuel instr semantics: 0 position means NA, not a match") {
+    val out = Seq("no such fuel").toDF("Fuel")
+      .transform(GemPipeline.classifyFuel("Fuel"))
+      .select("classification").collect().head.getString(0)
+    assert(out == "Not Sure")
+  }
+}
