@@ -32,16 +32,24 @@ object Dedup {
     * ([[graft.functions.Hashing.universalHashes]]) — pure per-row
     * lambda math, no shuffle, reproducible in the DuckDB oracle.
     */
-  def minhashSignature(text: Column, k: Int): Column =
+  def minhashSignature(text: Column, k: Int): Column = {
     // One fold over the tokens, k running minima in the accumulator:
     // each token is md5-hashed ONCE and mixed k times — O(tokens·k)
     // total. (A transpose formulation — transform over k of min over
     // tokens — re-evaluates the per-token hash array inside every one
     // of the k lambdas: O(tokens·k) md5 calls, 10× slower at sf0.1.)
-    aggregate(
-      array_distinct(TextAnalysis.tokens(text)),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, t) => zip_with(acc, universalHashes(t, k), (m, h) => least(m, h)))
+    val toks = array_distinct(TextAnalysis.tokens(text))
+    // Empty/whitespace-only documents get a NULL signature (not the
+    // [Long.MaxValue]*k fold seed): a sentinel signature would make all
+    // empty docs mutual near-dup candidates, and the DuckDB oracles'
+    // list_min over an empty list is NULL-shaped too — NULL band hashes
+    // never equi-join, on either engine.
+    when(size(toks) > 0,
+      aggregate(
+        toks,
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, t) => zip_with(acc, universalHashes(t, k), (m, h) => least(m, h))))
+  }
 
   /** LSH banding: split the k-length signature into `bands` rows of
     * (band_id, band_hash). Docs sharing any band are candidate pairs.
@@ -182,7 +190,21 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsReleasable(df, idCol, textCol, blockCol, n, threshold)._1
+
+  /** As [[ngramJaccardPairs]], plus the cache-release hook: the
+    * operator persists its internal shingle frame (it feeds the
+    * inverted index AND both sides of the verify join), and the lazy
+    * result gives the caller no way to unpersist it — in a long-lived
+    * session each invocation would otherwise pin a cached RDD until
+    * LRU eviction. Call the hook after the result has been fully
+    * consumed (an action ran); calling it earlier only costs a
+    * recompute, never correctness.
+    */
+  def ngramJaccardPairsReleasable(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 3, threshold: Double = 0.5): (DataFrame, () => Unit) = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are pruned)")
     // Persisted: the shingle frame feeds the inverted index AND both
     // sides of the verify join — without it the O(rows·shingles·n)
@@ -190,17 +212,20 @@ object Dedup {
     // candidate join is ~10k pairs at sf0.1, the shingling ~500k array
     // builds). MEMORY_AND_DISK so a 100× corpus degrades to disk reads
     // instead of OOM.
-    val s = df.select(col(idCol), col(blockCol),
+    // `cached` is the exact Dataset persist() was called on — the
+    // release hook must unpersist THAT handle (uncacheQuery with
+    // cascade=false matches the cached plan, not descendants of it).
+    val cached = df.select(col(idCol), col(blockCol),
       array_sort(shingles(col(textCol), n)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // prefix length: n_sh − floor(t·n_sh) + 1. floor, not the
-      // theorem's ceil — binary rounding can push t·n_sh a ulp ABOVE
-      // the exact product (10·0.3 = 3.0000000000000004) and a ceil
-      // would then shorten the prefix below the safe bound; floor only
-      // ever lengthens it, which is always correct.
-      .withColumn("n_pre",
-        (col("n_sh") - floor(col("n_sh") * threshold) + 1).cast("int"))
+    // prefix length: n_sh − floor(t·n_sh) + 1. floor, not the
+    // theorem's ceil — binary rounding can push t·n_sh a ulp ABOVE
+    // the exact product (10·0.3 = 3.0000000000000004) and a ceil
+    // would then shorten the prefix below the safe bound; floor only
+    // ever lengthens it, which is always correct.
+    val s = cached.withColumn("n_pre",
+      (col("n_sh") - floor(col("n_sh") * threshold) + 1).cast("int"))
     val inv = s.select(col(idCol), col(blockCol), col("n_sh"),
       explode(slice(col("sh"), lit(1), greatest(col("n_pre"), lit(0)))).as("shingle"))
     val candidates = inv.as("l")
@@ -215,13 +240,18 @@ object Dedup {
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
     val full = s.select(col(idCol), col("sh"), col("n_sh"))
-    candidates
+    val pairs = candidates
       .join(full.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
       .join(full.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // Filter on the EXACT ratio — the prefix/length prunes above are
+      // exact in true Jaccard, so a rounded filter would keep boundary
+      // pairs (J < t rounding up to t) that candidate generation
+      // correctly pruned. Rounding is presentation-only.
+      .withColumn("jaccard_x",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard_x") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_x"), 4).as("jaccard"))
+    (pairs, () => { cached.unpersist(); () })
   }
 }

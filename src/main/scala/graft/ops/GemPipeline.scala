@@ -52,7 +52,12 @@ object GemPipeline {
       statusWhitelist: Seq[String],
       startYearPolicy: StartYearPolicy,
       ownershipMode: Ownership.Mode,
-      preSteps: Seq[DataFrame => DataFrame] = Nil // G3 binational, fuel classify…
+      preSteps: Seq[DataFrame => DataFrame] = Nil, // G3 binational, fuel classify…
+      // Only coal (`Coalplants_GEM.R:126-128`) and gas/oil
+      // (`GasOilplants_GEM.R:153-155`) drop units retired before 2024;
+      // the v2 trackers keep them as zero-capacity rows across the
+      // 2023-2050 expansion.
+      dropPre2024Retirees: Boolean = false
   )
 
   private def unknownStart(c: Column): Column =
@@ -83,9 +88,10 @@ object GemPipeline {
     }
 
     val numericCols = Seq(cfg.capacityCol, cfg.startYearCol) ++ cfg.retireYearCol
-    val retireOk = cfg.retireYearCol // drop pre-2024 retirees (`Coalplants_GEM.R:126-128`)
-      .map(r => col(r).isNull || col(r) >= 2024)
-      .getOrElse(lit(true))
+    val retireOk = // pre-2024 retiree drop, per-config (`Coalplants_GEM.R:126-128`)
+      if (cfg.dropPre2024Retirees)
+        cfg.retireYearCol.map(r => col(r).isNull || col(r) >= 2024).getOrElse(lit(true))
+      else lit(true)
 
     startYearHandled
       .transform(Cleaning.toNumeric(numericCols: _*))

@@ -77,11 +77,17 @@ object Similarity {
     * formulation recomputed an md5 per (row, plane, dim) — 256 md5
     * calls per 64-d row). Bit/precision parity with the oracle is
     * unchanged: same hash constants, same left-to-right double sum.
+    *
+    * A vector whose length differs from `dim` gets a NULL bucket (and
+    * so never joins) instead of silently projecting against a
+    * wrong-size sign matrix — `graft_dot` also returns NULL on length
+    * mismatch, this guard just makes the contract explicit and local.
     */
   def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column =
-    hyperplaneSigns(planes, dim).zipWithIndex.map { case (signs, p) =>
-      when(dot(vec, typedlit(signs)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    when(size(vec) === dim,
+      hyperplaneSigns(planes, dim).zipWithIndex.map { case (signs, p) =>
+        when(dot(vec, typedlit(signs)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _))
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * exact cosine re-rank inside it. At 100 TB the bucket column is a

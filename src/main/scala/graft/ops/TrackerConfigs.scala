@@ -32,7 +32,8 @@ object TrackerConfigs {
     ageCol = Some("Plant age (years)"),
     statusWhitelist = CommonStatuses, // Coalplants_GEM.R:41
     startYearPolicy = DropUnknown, // Coalplants_GEM.R:46-47
-    ownershipMode = Ownership.Strict)
+    ownershipMode = Ownership.Strict,
+    dropPre2024Retirees = true) // Coalplants_GEM.R:126-128
 
   /** `GasOilplants_GEM.R`: fuel classification pre-step decides
     * GasCap/OilCap; unknown starts dropped only pre-operation.
@@ -58,6 +59,7 @@ object TrackerConfigs {
     startYearPolicy = DropUnknownForStatuses( // GasOilplants_GEM.R:79-81
       Seq("announced", "construction", "pre-construction")),
     ownershipMode = Ownership.Strict,
+    dropPre2024Retirees = true, // GasOilplants_GEM.R:153-155
     preSteps = Seq(
       classifyFuel("Fuel"), // GasOilplants_GEM.R:20-42
       // classification whitelist (GasOilplants_GEM.R:74-75)

@@ -435,10 +435,11 @@ object GemQueries {
              |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
              |  FROM toks),
              |sig AS (
-             |  SELECT doc_id, list_transform(generate_series(0, 15), s ->
+             |  SELECT doc_id, CASE WHEN len(h31) > 0 THEN
+             |    list_transform(generate_series(0, 15), s ->
              |    list_min(list_transform(h31, h ->
              |      (((s*1103515245 + 12345) % 2147483647) * h
-             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) AS sig
+             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
              |  FROM ph)
              |SELECT doc_id, band_id,
              |  md5(array_to_string(list_transform(
@@ -467,8 +468,8 @@ object GemQueries {
              |  round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
              |        len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
              |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
-             |WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(l.sh, r.sh))), 4) >= 0.7
+             |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(l.sh, r.sh))) >= 0.7
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Text quality/language/fingerprint signals (TextAnalysis.annotate)
@@ -1207,10 +1208,11 @@ object GemQueries {
              |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
              |  FROM toks),
              |sig AS (
-             |  SELECT doc_id, tk, list_transform(generate_series(0, 63), s ->
+             |  SELECT doc_id, tk, CASE WHEN len(h31) > 0 THEN
+             |    list_transform(generate_series(0, 63), s ->
              |    list_min(list_transform(h31, h ->
              |      (((s*1103515245 + 12345) % 2147483647) * h
-             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) AS sig
+             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
              |  FROM ph),
              |bands AS (
              |  SELECT doc_id, b.band_id,
@@ -1376,7 +1378,7 @@ object GemQueries {
              |num AS (SELECT *, TRY_CAST(cap AS DOUBLE) AS capn,
              |    TRY_CAST(start_y AS DOUBLE) AS startn,
              |    TRY_CAST(retire_y AS DOUBLE) AS retiren FROM imp),
-             |f5 AS (SELECT * FROM num WHERE retiren IS NULL OR retiren >= 2024),
+             |f5 AS (SELECT * FROM num),
              |summ AS (SELECT loc_id,
              |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS clat,
              |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS clon
@@ -1451,10 +1453,11 @@ object GemQueries {
              |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
              |  FROM gate),
              |sig AS (
-             |  SELECT doc_id, dtk, list_transform(generate_series(0, 63), s ->
+             |  SELECT doc_id, dtk, CASE WHEN len(h31) > 0 THEN
+             |    list_transform(generate_series(0, 63), s ->
              |    list_min(list_transform(h31, h ->
              |      (((s*1103515245 + 12345) % 2147483647) * h
-             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) AS sig
+             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
              |  FROM ph),
              |bandsx AS (
              |  SELECT doc_id, b.band_id,

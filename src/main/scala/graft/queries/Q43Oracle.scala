@@ -125,7 +125,9 @@ himp AS (SELECT * REPLACE (
     ELSE start_y END AS start_y) FROM hf3),
 hnum AS (SELECT *, TRY_CAST(cap1 AS DOUBLE) AS capn, TRY_CAST(start_y AS DOUBLE) AS startn,
     TRY_CAST(retire_y AS DOUBLE) AS retiren FROM himp),
-hf5 AS (SELECT * FROM hnum WHERE retiren IS NULL OR retiren >= 2024),
+-- hydro has NO pre-2024 retirement drop (only Coalplants_GEM.R:126-128 /
+-- GasOilplants_GEM.R:153-155 have it); retirees stay as zero-capacity rows
+hf5 AS (SELECT * FROM hnum),
 hsumm AS (SELECT loc_id,
     CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS clat,
     CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS clon

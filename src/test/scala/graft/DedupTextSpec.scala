@@ -29,6 +29,25 @@ class DedupTextSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("minhash signature of an empty/whitespace doc is NULL, not a sentinel") {
+    val out = Seq((1L, ""), (2L, "   "), (3L, "real text")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 8).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L) && !out(3L))
+    // and therefore empty docs never become near-dup candidates of each other
+    val empties = Seq((1L, "", "a"), (2L, "  ", "a")).toDF("doc_id", "text", "source")
+    assert(Dedup.minhashNearDups(empties, "doc_id", "text", k = 8, bands = 2).count() == 0)
+  }
+
+  test("ngramJaccardPairsReleasable: hook unpersists the shingle cache") {
+    val (pairs, release) = Dedup.ngramJaccardPairsReleasable(
+      docs, "doc_id", "text", "source", n = 2, threshold = 0.4)
+    assert(pairs.count() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("ngram jaccard finds the near-dup pair inside its block only") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
       n = 2, threshold = 0.4)

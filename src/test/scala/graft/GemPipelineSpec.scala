@@ -32,6 +32,27 @@ class GemPipelineSpec extends SparkSpec {
       .isNullAt(out.columns.indexOf("Country 2")))
   }
 
+  test("pre-2024 retirement drop is config-gated: coal drops, solar keeps zero rows") {
+    import graft.ops.TrackerConfigs
+    // one unit retired in 2010 — coal (`Coalplants_GEM.R:126-128`) drops it,
+    // solar keeps it as zero-capacity rows over the 2023-2050 expansion
+    val coalRaw = Seq(("U1", "L1", "P1", "Germany", "R1", "Own Co [100%]",
+      "50.0", "operating", "2000", "2010", "20", 1.0, 2.0))
+      .toDF("GEM unit/phase ID", "GEM location ID", "Plant name", "Country/Area",
+        "Region", "Owner", "Capacity (MW)", "Status", "Start year",
+        "Planned retirement", "Plant age (years)", "Latitude", "Longitude")
+    assert(GemPipeline.wrangle(TrackerConfigs.coal)(coalRaw).count() == 0)
+
+    val solarRaw = Seq(("U1", "L1", "P1", "Germany", "R1", "Own Co [100%]",
+      "50.0", "operating", "2000", "2010", 1.0, 2.0))
+      .toDF("GEM phase ID", "GEM location ID", "Project Name", "Country",
+        "Region", "Owner", "Capacity (MW)", "Status", "Start year",
+        "Retired year", "Latitude", "Longitude")
+    val solarOut = GemPipeline.wrangle(TrackerConfigs.solar)(solarRaw)
+    assert(solarOut.count() == 28) // 2023..2050 expansion survives
+    assert(solarOut.agg(sum("capacity")).collect().head.getDouble(0) == 0.0)
+  }
+
   test("assignCompanyIds: deterministic TFLnnnnnnnn ids, existing ids win") {
     val df = Seq(("x", "B"), ("y", "A"), ("z", "B")).toDF("k", "company_name")
     val out = GemPipeline.assignCompanyIds("company_name")(df)

@@ -39,7 +39,16 @@ class SimilaritySpec extends SparkSpec {
 
   test("lshTopK finds the identical vector (same bucket by construction)") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
-      "vec_id", "embedding", k = 1, planes = 4).collect()
+      "vec_id", "embedding", k = 1, planes = 4, dim = 3).collect()
     assert(out.length == 1 && out.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("hyperplaneBucket: wrong-dimension vectors get a NULL bucket, not bucket 0") {
+    val out = vecs.select(
+      Similarity.hyperplaneBucket(col("embedding"), planes = 4, dim = 64).as("b64"),
+      Similarity.hyperplaneBucket(col("embedding"), planes = 4, dim = 3).as("b3"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))  // 3-dim vecs vs dim=64 → null
+    assert(out.forall(!_.isNullAt(1))) // matching dim → real bucket
   }
 }

@@ -24,6 +24,21 @@ class VectorExpressionSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("graft_dot: length mismatch and null elements yield NULL (HOF parity)") {
+    // mismatched lengths: zip_with pads with null → null sum
+    val mism = Seq((1L, Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("id", "a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")))
+      .collect()
+    assert(mism.head.isNullAt(0))
+    // null element inside an equal-length pair → null
+    val withNullElem = Seq((1L, Seq(Some(1.0f), None), Seq(Some(2.0f), Some(3.0f))))
+      .toDF("id", "a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")))
+      .collect()
+    assert(withNullElem.head.isNullAt(0))
+  }
+
   test("graft_dot rejects non-float-array inputs at analysis time") {
     val ex = intercept[Exception] {
       Seq((1, 2)).toDF("x", "y")
