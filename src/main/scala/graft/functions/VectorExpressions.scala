@@ -92,6 +92,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
   * function).
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT parameter, got $other")
+  }
+
   private[functions] val dotInfo = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
@@ -100,12 +108,32 @@ object GraftFunctions {
       FloatDotProduct(children.head, children(1)): Expression
     })
 
-  def register(spark: SparkSession): Unit =
+  private[functions] val minhashInfo = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "graft_minhash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_minhash takes (tokens, k)")
+      MinhashSignatureExpr(children.head, intLit(children(1), "graft_minhash")): Expression
+    })
+
+  private[functions] val simhashInfo = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_simhash takes (tokens, bits)")
+      SimhashExpr(children.head, intLit(children(1), "graft_simhash")): Expression
+    })
+
+  private val all = Seq(dotInfo, minhashInfo, simhashInfo)
+
+  def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", dotInfo._3, "built-in")
+      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.dotInfo)
+    Seq(GraftFunctions.dotInfo, GraftFunctions.minhashInfo, GraftFunctions.simhashInfo)
+      .foreach(ext.injectFunction)
 }

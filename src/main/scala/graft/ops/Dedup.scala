@@ -27,29 +27,24 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k universal-family hash minima over the
-    * distinct token set. ONE md5 per token, k affine mixes
-    * ([[graft.functions.Hashing.universalHashes]]) — pure per-row
-    * lambda math, no shuffle, reproducible in the DuckDB oracle.
+  /** MinHash signature: k universal-family hash minima over the token
+    * set — the native kernel expression
+    * ([[graft.functions.MinhashSignatureExpr]], registered by
+    * `Graft.session`): one md5 + k fused affine mixes per token in a
+    * primitive codegen'd loop, no intermediate arrays. Arithmetic is
+    * EXACTLY [[graft.functions.Hashing.universalHashes]], so the DuckDB
+    * oracles keep matching bit-for-bit. (History: the HOF
+    * aggregate/zip_with fold was ~4× slower at sf0.1; a transpose
+    * formulation re-hashing per family member ~40×.)
+    *
+    * Empty/whitespace-only documents get a NULL signature (not a
+    * sentinel): a sentinel would make all empty docs mutual near-dup
+    * candidates, and the oracles' guarded CASE yields NULL too — NULL
+    * band hashes never equi-join, on either engine. No array_distinct:
+    * a minimum over the multiset ≡ over the distinct set.
     */
-  def minhashSignature(text: Column, k: Int): Column = {
-    // One fold over the tokens, k running minima in the accumulator:
-    // each token is md5-hashed ONCE and mixed k times — O(tokens·k)
-    // total. (A transpose formulation — transform over k of min over
-    // tokens — re-evaluates the per-token hash array inside every one
-    // of the k lambdas: O(tokens·k) md5 calls, 10× slower at sf0.1.)
-    val toks = array_distinct(TextAnalysis.tokens(text))
-    // Empty/whitespace-only documents get a NULL signature (not the
-    // [Long.MaxValue]*k fold seed): a sentinel signature would make all
-    // empty docs mutual near-dup candidates, and the DuckDB oracles'
-    // list_min over an empty list is NULL-shaped too — NULL band hashes
-    // never equi-join, on either engine.
-    when(size(toks) > 0,
-      aggregate(
-        toks,
-        array_repeat(lit(Long.MaxValue), k),
-        (acc, t) => zip_with(acc, universalHashes(t, k), (m, h) => least(m, h))))
-  }
+  def minhashSignature(text: Column, k: Int): Column =
+    call_function("graft_minhash", TextAnalysis.tokens(text), lit(k))
 
   /** LSH banding: split the k-length signature into `bands` rows of
     * (band_id, band_hash). Docs sharing any band are candidate pairs.
@@ -99,24 +94,13 @@ object Dedup {
     * hashes. Near-dups share most bits → banded equality join finds
     * them without a cross product.
     */
-  def simhash(text: Column, bits: Int = 60): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(text))
-    val hashes = transform(toks, t => portableHash(t))
-    // One pass over the token hashes, accumulating all `bits` vote
-    // counters in an array (the per-bit shift amount is a lambda
-    // variable, so we go through the SQL shiftright/shiftleft functions
-    // via call_function — the Scala overloads only take literal Ints).
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
-        (v, b) => v +
-          when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(bits - 1)),
-        (v, b) => when(v >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+  def simhash(text: Column, bits: Int = 60): Column =
+    // Native kernel ([[graft.functions.SimhashExpr]]): one md5 + a
+    // `bits`-wide vote loop per DISTINCT token (distinctness matters —
+    // duplicate tokens would bias the vote), identical arithmetic to
+    // the portableHash/shiftright HOF formulation it replaced (which
+    // allocated a 60-long array per token in interpreted lambdas).
+    call_function("graft_simhash", array_distinct(TextAnalysis.tokens(text)), lit(bits))
 
   /** SimHash near-dup pairs: banded equality for candidate generation,
     * exact Hamming verify. Pigeonhole guarantee: a pair within Hamming
