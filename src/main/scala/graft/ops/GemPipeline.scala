@@ -192,12 +192,20 @@ object GemPipeline {
     *
     * Scale: one distributed id assignment, two broadcast-scale joins
     * (steel dim, factor dim), no other shuffles beyond the input unions.
+    *
+    * The unioned tracker output is persisted (MEMORY_AND_DISK): id
+    * assignment is inherently two-pass — a ranking pass to build the
+    * company dim, then the enrichment join — and without the cache
+    * every upstream tracker pipeline would execute twice (the dim pass
+    * runs as its own job). Held until LRU eviction; a long-lived
+    * session can release it via `spark.catalog.clearCache()`.
     */
   def totals(
       trackers: Seq[DataFrame], steel: DataFrame,
       factors: DataFrame, // technology, country_iso2, emissions_factor
       fossilTechs: Seq[String] = Seq("CoalCap", "OilCap", "GasCap")): DataFrame = {
     val unioned = trackers.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withIds = assignCompanyIds("company_name")(unioned)
     // Steel overlay (`TotalData_GEM.R:48-62`): steel's id wins, then the
     // steel rows themselves are appended.

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -22,10 +21,14 @@ import org.apache.spark.sql.types.DoubleType
   *    default to 1/n over the owners of the SAME source row, via a
   *    count-over-partition window on a per-row provenance id.
   *
-  * Spark-first shape: `posexplode(split(...))` + `regexp_extract` — all
-  * built-in, codegen'd expressions; the only shuffle is the window in
-  * EqualShareDefault mode, partitioned by the provenance id (naturally
-  * uniform — no skew at any scale).
+  * Spark-first shape: `explode_outer(split(...))` + `regexp_extract` —
+  * all built-in, codegen'd expressions, and NO shuffle in either mode:
+  * the equal-share denominator `1/n()` is the owner count of the SAME
+  * source row, which is `size(split_array)` computed BEFORE the
+  * explode. (An earlier formulation counted exploded rows with a
+  * window over a unit-id provenance key — a full shuffle+sort of the
+  * exploded frame, and unlike R's `row_number()` row_id it would
+  * over-count when the raw data carries duplicate unit ids.)
   */
 object Ownership {
 
@@ -33,20 +36,19 @@ object Ownership {
   case object Strict extends Mode
   case object EqualShareDefault extends Mode
 
-  /** @param rowKeyCols columns that uniquely identify a SOURCE row (the
-    *   provenance key the equal-share window partitions by). Pass the
-    *   unit-id column(s) when available — `monotonically_increasing_id`
-    *   (the fallback) is not stable under stage retries.
+  /** @param rowKeyCols retained for API stability; the equal-share
+    *   denominator is derived from the pre-explode owner array, so no
+    *   provenance key (and no shuffle) is needed.
     */
   def split(ownerCol: String, capacityCol: String, mode: Mode,
       rowKeyCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
-    val withId =
-      if (rowKeyCols.nonEmpty) df.withColumn("_row_id", struct(rowKeyCols.map(col): _*))
-      else df.withColumn("_row_id", monotonically_increasing_id())
     // explode_outer: a null Owner keeps its row (null Company) — R's
     // separate_rows keeps NA rows; plain explode would drop them.
-    val exploded = withId
-      .withColumn("_owner_raw", explode_outer(functions.split(col(ownerCol), ";\\s*")))
+    val exploded = df
+      .withColumn("_owners_arr", functions.split(col(ownerCol), ";\\s*"))
+      // n per SOURCE row, before exploding (null owner → one null row)
+      .withColumn("_n_owners", coalesce(size(col("_owners_arr")), lit(1)))
+      .withColumn("_owner_raw", explode_outer(col("_owners_arr")))
       .withColumn("Company", trim(regexp_extract(col("_owner_raw"), "^([^\\[]+)", 1)))
       // nullif: R str_extract gives NA on no-match, Spark gives "" —
       // normalize (SURVEY.md §2.9 X1).
@@ -59,13 +61,12 @@ object Ownership {
       case Strict =>
         exploded.withColumn("Ownership", col("_share_pct") / 100.0)
       case EqualShareDefault =>
-        val w = Window.partitionBy(col("_row_id"))
         exploded.withColumn("Ownership",
-          coalesce(col("_share_pct") / 100.0, lit(1.0) / count(lit(1)).over(w)))
+          coalesce(col("_share_pct") / 100.0, lit(1.0) / col("_n_owners")))
     }
     withShare
       .withColumn("Capacity_allocated", col(capacityCol) * col("Ownership"))
-      .drop("_owner_raw", "_share_pct", "_row_id")
+      .drop("_owners_arr", "_owner_raw", "_share_pct", "_n_owners")
   }
 
   /** X4 display-string variant — reference `Hydroplants_GEM.R:159-202`:
@@ -81,17 +82,17 @@ object Ownership {
     */
   def splitWithDisplay(ownerCol: String, capacityCol: String,
       rowKeyCols: Seq[String])(df: DataFrame): DataFrame = {
-    val withId = df.withColumn("_row_id", struct(rowKeyCols.map(col): _*))
-    val exploded = withId
-      .withColumn("_owner_raw", explode_outer(functions.split(col(ownerCol), ";\\s*")))
+    val exploded = df
+      .withColumn("_owners_arr", functions.split(col(ownerCol), ";\\s*"))
+      .withColumn("_n_owners", coalesce(size(col("_owners_arr")), lit(1)))
+      .withColumn("_owner_raw", explode_outer(col("_owners_arr")))
       .withColumn("Company",
         when(trim(regexp_extract(col("_owner_raw"), "^([^\\[]+)", 1)) === "", null)
           .otherwise(trim(regexp_extract(col("_owner_raw"), "^([^\\[]+)", 1))))
       .withColumn("_provided",
         nullif(regexp_extract(col("_owner_raw"), "\\[(\\d+)%\\]", 1), lit("")))
-    val w = Window.partitionBy(col("_row_id"))
     val share = coalesce(col("_provided").cast(DoubleType) / 100.0,
-      lit(1.0) / count(lit(1)).over(w))
+      lit(1.0) / col("_n_owners"))
     val pct = round(share * 100.0, 2)
     // R paste0(50) prints "50", not "50.0" — strip the integral case.
     val pctStr = when(pct === floor(pct), pct.cast("long").cast("string"))
@@ -104,6 +105,6 @@ object Ownership {
       .withColumn("Capacity_allocated", col(capacityCol) * share)
       .withColumn(ownerCol,
         regexp_replace(display, " ?\\[[0-9]+(\\.[0-9]+)?%\\]", ""))
-      .drop("_owner_raw", "_provided", "_row_id")
+      .drop("_owners_arr", "_owner_raw", "_provided", "_n_owners")
   }
 }
