@@ -72,6 +72,33 @@ object SketchKernels {
     if (any) new GenericArrayData(mins) else null
   }
 
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Sorted DISTINCT n-token shingles, space-joined. Short inputs
+    * (fewer than n tokens) yield an empty array — the `sequence(1, 0)`
+    * descent guard the HOF formulation needed is structural here.
+    * Sort order is UTF8String binary order ≡ Spark's `array_sort`.
+    */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i <= cnt - n) {
+      var s: UTF8String = null
+      var j = 0
+      while (j < n) {
+        val t = tokens.getUTF8String(i + j)
+        if (t != null) // array_join semantics: nulls are skipped
+          s = if (s == null) t else UTF8String.concat(s, SPACE, t)
+        j += 1
+      }
+      if (s != null) set.add(s)
+      i += 1
+    }
+    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size)))
+  }
+
   /** SimHash: per bit, sign of the ±1 vote sum over the token hashes.
     * Caller is responsible for token distinctness (votes count per
     * DISTINCT token — duplicates would bias the sum). An empty set
@@ -133,6 +160,26 @@ case class MinhashSignatureExpr(child: Expression, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(tokens, n)` — sorted distinct space-joined n-gram
+  * array via [[SketchKernels.shingles]]; empty array for inputs
+  * shorter than n tokens.
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(n > 0, s"n must be positive, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(tokens: Any): Any =
+    SketchKernels.shingles(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, toks => s"graft.functions.SketchKernels.shingles($toks, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
 }
 

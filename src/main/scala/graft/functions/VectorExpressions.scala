@@ -124,7 +124,15 @@ object GraftFunctions {
       SimhashExpr(children.head, intLit(children(1), "graft_simhash")): Expression
     })
 
-  private val all = Seq(dotInfo, minhashInfo, simhashInfo)
+  private[functions] val shinglesInfo = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_shingles takes (tokens, n)")
+      ShinglesExpr(children.head, intLit(children(1), "graft_shingles")): Expression
+    })
+
+  private[functions] val all = Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry
@@ -134,6 +142,5 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    Seq(GraftFunctions.dotInfo, GraftFunctions.minhashInfo, GraftFunctions.simhashInfo)
-      .foreach(ext.injectFunction)
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

@@ -137,19 +137,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram (shingle) arrays for Jaccard verification.
-    * Guarded: `sequence(1, 0)` in Spark DESCENDS ([1,0]) rather than
-    * returning empty, so texts shorter than n tokens need the explicit
-    * empty-array branch (DuckDB's generate_series(1,0) is [] — parity).
+  /** Exact n-gram (shingle) arrays for Jaccard verification — SORTED
+    * distinct, via the native kernel ([[graft.functions.ShinglesExpr]]:
+    * one pass, no per-shingle `slice`/`array_join` HOF allocations).
+    * Texts shorter than n tokens yield an empty array (the HOF
+    * formulation needed an explicit guard because Spark's
+    * `sequence(1, 0)` DESCENDS; DuckDB's generate_series(1,0) is []).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", TextAnalysis.tokens(text), lit(n))
 
   /** N-gram Jaccard near-dup over a blocking key (e.g. source).
     *
@@ -200,7 +196,7 @@ object Dedup {
     // release hook must unpersist THAT handle (uncacheQuery with
     // cascade=false matches the cached plan, not descendants of it).
     val cached = df.select(col(idCol), col(blockCol),
-      array_sort(shingles(col(textCol), n)).as("sh"))
+      shingles(col(textCol), n).as("sh")) // kernel output is already sorted
       .withColumn("n_sh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix length: n_sh − floor(t·n_sh) + 1. floor, not the

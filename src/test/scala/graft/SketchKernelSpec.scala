@@ -36,6 +36,20 @@ class SketchKernelSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(0)) == 1) // exactly the whitespace-only doc
   }
 
+  test("graft_shingles ≡ sorted HOF shingle construction (empty below n tokens)") {
+    val n = 3
+    val toks = TextAnalysis.tokens(col("text"))
+    val hof = array_sort(
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>")))
+    val rows = texts.select(
+      Dedup.shingles(col("text"), n).as("native"), hof.as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(rows.exists(_.getSeq[String](0).isEmpty)) // the 1-token + empty docs
+  }
+
   test("graft_simhash ≡ HOF vote fold") {
     val bits = 60
     val toksD = array_distinct(TextAnalysis.tokens(col("text")))
