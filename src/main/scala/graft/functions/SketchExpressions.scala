@@ -4,7 +4,7 @@ import java.security.MessageDigest
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -73,6 +73,33 @@ object SketchKernels {
   }
 
   private val SPACE = UTF8String.fromString(" ")
+
+  /** Intersection size of two SORTED distinct string arrays — a merge
+    * count, no hash sets or intermediate arrays. With distinct inputs,
+    * |A ∪ B| = |A| + |B| − overlap, so Jaccard needs nothing else.
+    * Null elements (sorted first by array_sort) are skipped — set
+    * semantics, like array_intersect.
+    */
+  def overlap(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      if (x == null) i += 1
+      else if (y == null) j += 1
+      else {
+        val cmp = x.compareTo(y)
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
 
   /** Sorted DISTINCT n-token shingles, space-joined. Short inputs
     * (fewer than n tokens) yield an empty array — the `sequence(1, 0)`
@@ -181,6 +208,38 @@ case class ShinglesExpr(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
+}
+
+/** `graft_overlap(a, b)` — intersection size of two SORTED distinct
+  * string arrays ([[SketchKernels.overlap]]). The Jaccard-verify hot
+  * path: replaces `size(array_intersect)` + `size(array_union)` (two
+  * hash-set builds and two materialized arrays per candidate pair)
+  * with one merge scan.
+  */
+case class SortedOverlapExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_overlap expects two ARRAY<STRING> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.overlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.overlap($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_simhash(tokens, bits)` — packed sign-of-votes SimHash over a

@@ -132,7 +132,16 @@ object GraftFunctions {
       ShinglesExpr(children.head, intLit(children(1), "graft_shingles")): Expression
     })
 
-  private[functions] val all = Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo)
+  private[functions] val overlapInfo = (
+    FunctionIdentifier("graft_overlap"),
+    new ExpressionInfo(classOf[SortedOverlapExpr].getName, "graft_overlap"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_overlap takes exactly 2 arguments")
+      SortedOverlapExpr(children.head, children(1)): Expression
+    })
+
+  private[functions] val all =
+    Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -78,14 +78,22 @@ object Dedup {
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
+    // Verify with a merge-count over SORTED distinct token arrays
+    // (graft_overlap): one scan per candidate pair instead of the
+    // array_intersect + array_union hash-set builds. With distinct
+    // arrays |A ∪ B| = |A| + |B| − overlap, so the Jaccard value is
+    // unchanged to the bit.
     val toks = df.select(col(idCol),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
     candidates
-      .join(toks.withColumnRenamed(idCol, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(toks.withColumnRenamed(idCol, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .join(toks.select(col(idCol).as("id_a"), col("toks").as("toks_a"),
+        col("n_toks").as("na")), "id_a")
+      .join(toks.select(col(idCol).as("id_b"), col("toks").as("toks_b"),
+        col("n_toks").as("nb")), "id_b")
+      .withColumn("inter", call_function("graft_overlap", col("toks_a"), col("toks_b")))
       .withColumn("jaccard", round(
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))), 4))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -223,7 +231,7 @@ object Dedup {
     val pairs = candidates
       .join(full.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
       .join(full.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", call_function("graft_overlap", col("sh_a"), col("sh_b")))
       // Filter on the EXACT ratio — the prefix/length prunes above are
       // exact in true Jaccard, so a rounded filter would keep boundary
       // pairs (J < t rounding up to t) that candidate generation

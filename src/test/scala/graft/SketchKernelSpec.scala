@@ -50,6 +50,19 @@ class SketchKernelSpec extends SparkSpec {
     assert(rows.exists(_.getSeq[String](0).isEmpty)) // the 1-token + empty docs
   }
 
+  test("graft_overlap ≡ size(array_intersect) on sorted distinct arrays") {
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq[String](), Seq("a")),
+      (Seq("x", "y", "z"), Seq("x", "y", "z"))
+    ).toDF("a", "b")
+    val rows = pairs.select(
+      call_function("graft_overlap", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("graft_simhash ≡ HOF vote fold") {
     val bits = 60
     val toksD = array_distinct(TextAnalysis.tokens(col("text")))
