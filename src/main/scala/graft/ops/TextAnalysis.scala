@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens with empties dropped (texts carry trailing
-    * spaces). `split` + `filter` higher-order fn — no UDF.
+    * spaces): maximal space-free runs, ≡ `split(" +")` + drop-empties.
+    * `regexp_extract_all` rather than the `filter(split(...))` HOF pair
+    * because higher-order functions are CodegenFallback — one HOF here
+    * pushed EVERY downstream sketch/quality projection out of
+    * whole-stage codegen.
     */
   def tokens(text: Column): Column =
-    filter(split(text, " +"), t => t =!= "")
+    regexp_extract_all(text, lit("[^ ]+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -1,0 +1,85 @@
+package graft
+
+import graft.core.Graft
+import graft.ops.{Coordinates, Dedup, Ownership}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the scale properties this engine
+  * claims (shuffle counts, pushdown, join strategies) pinned as
+  * assertions, so a plan-shape regression fails CI instead of
+  * surfacing as a 100× slowdown on a real cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("Ownership.split plans with ZERO exchanges in both modes") {
+    val df = Seq(("U1", "A [60%]; B [40%]", 10.0), ("U2", "C", 5.0))
+      .toDF("unit", "Owner", "cap")
+    Seq(Ownership.Strict, Ownership.EqualShareDefault).foreach { mode =>
+      val plan = planOf(Ownership.split("Owner", "cap", mode)(df))
+      assert(!plan.contains("Exchange"),
+        s"ownership split ($mode) must be shuffle-free:\n$plan")
+    }
+  }
+
+  test("Coordinates.canonicalize plans exactly ONE exchange (the window)") {
+    val df = Seq(("L1", 1.0, 2.0), ("L1", 1.5, 2.5), ("L2", 3.0, 4.0))
+      .toDF("loc", "Latitude", "Longitude")
+    val plan = planOf(Coordinates.canonicalize("loc", "Latitude", "Longitude")(df))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"canonicalize should shuffle once on the location key:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"no join-back broadcast of a data-sized summary:\n$plan")
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val q = Graft.table(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(q)
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"filter must reach the scan as a pushed filter:\n$plan")
+    // Pruned read schema: only the referenced columns, not the rest.
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_quantity", "l_returnflag").forall(readSchema.contains)
+      && !readSchema.contains("l_extendedprice"),
+      s"scan must prune to referenced columns: $readSchema")
+  }
+
+  test("dim join on nation/region resolves to a broadcast hash join") {
+    val q = Graft.table(spark, sfDir, "customer")
+      .join(Graft.table(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"), s"dim join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ for a dim join:\n$plan")
+  }
+
+  test("minhashNearDups never plans a cartesian/nested-loop join") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.minhashNearDups(docs, "doc_id", "text", k = 8, bands = 2))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH join must stay an equi-join:\n$plan")
+  }
+
+  test("sketch kernels stay inside whole-stage codegen") {
+    // parquet-backed input: a LocalRelation would be folded at plan time
+    val docs = Graft.table(spark, sfDir, "documents")
+    val q = docs.select(
+      Dedup.minhashSignature(col("text"), 8).as("sig"),
+      Dedup.simhash(col("text"), 16).as("sh"),
+      Dedup.shingles(col("text"), 3).as("shg"))
+    val plan = planOf(q)
+    // codegen'd operators print with a `*(stageId)` prefix
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"kernel expressions must not break codegen:\n$plan")
+  }
+}
