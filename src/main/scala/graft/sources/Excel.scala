@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal XLSX source — SURVEY.md §2.1 S1: every reference script
+  * ingests `read_excel(path, sheet = …)` workbooks
+  * (`Coalplants_GEM.R:10`, `GasOilplants_GEM.R:11-15`, …). The
+  * container has no Excel library (zero egress), and none is needed:
+  * `.xlsx` is a zip of SpreadsheetML parts, readable with the JDK's
+  * `ZipFile` + StAX alone.
+  *
+  * All cells come back as STRINGS — deliberately. The trackers mix
+  * `"unknown"`, `">0"`, `"not found"` into numeric columns, so the
+  * engine's ingest contract is the solar script's all-text strategy
+  * (`solarplants_GEM.R:12-14`, SURVEY.md §1) with deliberate casts
+  * downstream (`Cleaning.toNumeric`).
+  *
+  * Scale note: a workbook is parsed on the DRIVER and parallelized.
+  * That is the right shape, not a shortcut — xlsx is a zip that must
+  * be centrally inflated (no splittable row boundaries), and the
+  * format tops out at ~1M rows per sheet; bulk data arrives as
+  * parquet/CSV, workbooks are dim-scale inputs.
+  */
+object Excel {
+
+  private def xmlFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
+  /** Sheet name → worksheet part path, from workbook.xml + its rels. */
+  def sheetTargets(path: String): Map[String, String] = {
+    val zip = new ZipFile(path)
+    try {
+      val rels = { // r:id → target part
+        val in = zip.getInputStream(zip.getEntry("xl/_rels/workbook.xml.rels"))
+        val r = xmlFactory.createXMLStreamReader(in)
+        val m = mutable.Map[String, String]()
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "Relationship")
+            m(r.getAttributeValue(null, "Id")) =
+              r.getAttributeValue(null, "Target").stripPrefix("/xl/").stripPrefix("./")
+        }
+        r.close(); in.close()
+        m.toMap
+      }
+      val in = zip.getInputStream(zip.getEntry("xl/workbook.xml"))
+      val r = xmlFactory.createXMLStreamReader(in)
+      val out = mutable.LinkedHashMap[String, String]()
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          val name = r.getAttributeValue(null, "name")
+          val rid = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "id")
+            .map(r.getAttributeValue).getOrElse("")
+          rels.get(rid).foreach(t => out(name) = "xl/" + t)
+        }
+      }
+      r.close(); in.close()
+      out.toMap
+    } finally zip.close()
+  }
+
+  def sheetNames(path: String): Seq[String] = sheetTargets(path).keys.toSeq
+
+  /** `<si>` shared strings; rich-text runs concatenate their `<t>`s. */
+  private def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
+    val entry = zip.getEntry("xl/sharedStrings.xml")
+    if (entry == null) return IndexedSeq.empty
+    val in = zip.getInputStream(entry)
+    val r = xmlFactory.createXMLStreamReader(in)
+    val out = mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inT = false
+    while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT =>
+        if (r.getLocalName == "si") sb.clear()
+        else if (r.getLocalName == "t") inT = true
+      case XMLStreamConstants.CHARACTERS if inT => sb.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT =>
+        if (r.getLocalName == "t") inT = false
+        else if (r.getLocalName == "si") out += sb.result()
+      case _ => ()
+    }
+    r.close(); in.close()
+    out.toIndexedSeq
+  }
+
+  /** "BC" → 0-based column index. */
+  private[graft] def colIndex(cellRef: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < cellRef.length && cellRef.charAt(i).isLetter) {
+      acc = acc * 26 + (cellRef.charAt(i) - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** Parse one worksheet into rows of nullable cell strings. */
+  private def parseSheet(
+      zip: ZipFile, part: String, shared: IndexedSeq[String]): Seq[Array[String]] = {
+    val in = zip.getInputStream(zip.getEntry(part))
+    val r = xmlFactory.createXMLStreamReader(in)
+    val rows = mutable.ArrayBuffer[Array[String]]()
+    val cells = mutable.ArrayBuffer[(Int, String)]()
+    var cellType: String = null
+    var cellCol = -1
+    var inV = false
+    var inIs = false
+    val v = new StringBuilder
+    def flushRow(): Unit = {
+      if (cells.nonEmpty) {
+        val width = cells.map(_._1).max + 1
+        val arr = new Array[String](width)
+        cells.foreach { case (c, s) => arr(c) = s }
+        rows += arr
+        cells.clear()
+      } else rows += Array.empty[String]
+    }
+    while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "c" =>
+          cellType = r.getAttributeValue(null, "t")
+          cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(cellCol + 1)
+          v.clear(); inIs = false
+        case "v" => inV = true; v.clear()
+        case "is" => inIs = true; v.clear()
+        case "t" if inIs => inV = true
+        case _ => ()
+      }
+      case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "v" => inV = false
+        case "t" if inIs => inV = false
+        case "c" =>
+          val raw = v.result()
+          val value = cellType match {
+            case "s" => shared.lift(raw.trim.toInt).orNull
+            case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+            case "e" => null // error cells (#N/A …) → NA, as readxl does
+            case _ => if (raw.isEmpty) null else raw // n / str / inlineStr
+          }
+          if (value != null && value.nonEmpty) cells += ((cellCol, value))
+        case "row" => flushRow()
+        case _ => ()
+      }
+      case _ => ()
+    }
+    r.close(); in.close()
+    rows.toSeq
+  }
+
+  /** Read one sheet as an all-string DataFrame, first row = header
+    * (readxl's default). Empty header cells become `_c<i>`.
+    */
+  def read(spark: SparkSession, path: String, sheet: String): DataFrame = {
+    val targets = sheetTargets(path)
+    val part = targets.getOrElse(sheet,
+      throw new IllegalArgumentException(
+        s"sheet '$sheet' not in workbook (has: ${targets.keys.mkString(", ")})"))
+    val zip = new ZipFile(path)
+    val parsed =
+      try parseSheet(zip, part, sharedStrings(zip))
+      finally zip.close()
+    require(parsed.nonEmpty, s"sheet '$sheet' is empty")
+    val header = parsed.head
+    val width = math.max(header.length, parsed.iterator.map(_.length).max)
+    val names = (0 until width).map { i =>
+      val h = if (i < header.length) header(i) else null
+      if (h == null || h.isEmpty) s"_c$i" else h
+    }
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val rows = parsed.tail.map { r =>
+      Row((0 until width).map(i => if (i < r.length) r(i) else null): _*)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 5000)), schema)
+  }
+}
