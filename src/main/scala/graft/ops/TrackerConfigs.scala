@@ -49,11 +49,14 @@ object TrackerConfigs {
     plantNameCol = "Plant name",
     countryCol = "Country/Area",
     regionCol = "Region",
-    ownerCol = "Owner",
+    // The GOGPT workbook spellings — the reference reads `Owner(s)` /
+    // `Planned retire` and renames them (GasOilplants_GEM.R:97-98);
+    // the config speaks the INPUT's language (RealWorkbookSpec pins it).
+    ownerCol = "Owner(s)",
     capacityCol = "Capacity (MW)",
     statusCol = "Status",
     startYearCol = "Start year",
-    retireYearCol = Some("Planned retirement"),
+    retireYearCol = Some("Planned retire"),
     ageCol = None, // GasOilplants_GEM.R:233 (set to NA)
     statusWhitelist = CommonStatuses,
     startYearPolicy = DropUnknownForStatuses( // GasOilplants_GEM.R:79-81

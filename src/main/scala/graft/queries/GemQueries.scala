@@ -653,7 +653,7 @@ object GemQueries {
             when(pmod(k, lit(4)) === 0, lit("Alpha Corp [60%]; Beta GmbH [40%]"))
               .when(pmod(k, lit(4)) === 1, concat(col("s_name"), lit(" [50%]; Gamma Inc")))
               .when(pmod(k, lit(4)) === 2, concat(col("s_name"), lit(" [100%]")))
-              .otherwise(lit(null).cast("string")).as("Owner"),
+              .otherwise(lit(null).cast("string")).as("Owner(s)"),
             when(pmod(k, lit(13)) === 0, lit("unknown"))
               .when(pmod(k, lit(17)) === 0, lit(">0"))
               .when(pmod(k, lit(19)) === 0, lit("N/A"))
@@ -664,7 +664,7 @@ object GemQueries {
             when(pmod(k, lit(7)) === 0, lit("not found"))
               .otherwise((lit(1990) + pmod(k, lit(45))).cast("string")).as("Start year"),
             when(pmod(k, lit(6)) === 0, (lit(2015) + pmod(k, lit(30))).cast("string"))
-              .otherwise(lit(null).cast("string")).as("Planned retirement"),
+              .otherwise(lit(null).cast("string")).as("Planned retire"),
             (pmod(k, lit(180)) - 90 + pmod(k, lit(3)) * 0.25).cast("double").as("Latitude"),
             (pmod(k, lit(360)) - 180 + pmod(k, lit(3)) * 0.25).cast("double").as("Longitude"),
             element_at(array(lit("Fossil Gas: combined cycle"),
