@@ -193,19 +193,19 @@ object GemPipeline {
     * Scale: one distributed id assignment, two broadcast-scale joins
     * (steel dim, factor dim), no other shuffles beyond the input unions.
     *
-    * The unioned tracker output is persisted (MEMORY_AND_DISK): id
-    * assignment is inherently two-pass — a ranking pass to build the
-    * company dim, then the enrichment join — and without the cache
-    * every upstream tracker pipeline would execute twice (the dim pass
-    * runs as its own job). Held until LRU eviction; a long-lived
-    * session can release it via `spark.catalog.clearCache()`.
+    * The unioned tracker output is deliberately NOT persisted, though
+    * id assignment is two-pass (a ranking pass for the company dim,
+    * then the enrichment join): the dim pass only reads the owner
+    * column, so Catalyst prunes the recomputed union down to a skinny
+    * projection — measurably cheaper than materializing the full
+    * 19-column fact through the storage layer (persisting was 2-3×
+    * slower at sf0.1 and pins cache until LRU eviction).
     */
   def totals(
       trackers: Seq[DataFrame], steel: DataFrame,
       factors: DataFrame, // technology, country_iso2, emissions_factor
       fossilTechs: Seq[String] = Seq("CoalCap", "OilCap", "GasCap")): DataFrame = {
     val unioned = trackers.reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withIds = assignCompanyIds("company_name")(unioned)
     // Steel overlay (`TotalData_GEM.R:48-62`): steel's id wins, then the
     // steel rows themselves are appended.
