@@ -77,8 +77,10 @@ object SketchKernels {
   /** Intersection size of two SORTED distinct string arrays — a merge
     * count, no hash sets or intermediate arrays. With distinct inputs,
     * |A ∪ B| = |A| + |B| − overlap, so Jaccard needs nothing else.
-    * Null elements (sorted first by array_sort) are skipped — set
-    * semantics, like array_intersect.
+    * Null elements are skipped wherever they appear (Spark's
+    * `array_sort` places them LAST); callers feeding null-bearing
+    * arrays should note |A|+|B|−overlap then counts nulls that
+    * `array_union` would collapse.
     */
   def overlap(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
@@ -128,15 +130,19 @@ object SketchKernels {
 
   /** SimHash: per bit, sign of the ±1 vote sum over the token hashes.
     * Caller is responsible for token distinctness (votes count per
-    * DISTINCT token — duplicates would bias the sum). An empty set
-    * yields all bits set (vote 0 ≥ 0), matching the HOF formulation.
+    * DISTINCT token — duplicates would bias the sum). An empty/all-null
+    * set yields NULL (boxed), the same contract as [[minhash]]: a
+    * sentinel signature would make all empty docs mutual Hamming-0
+    * "near-dups", and the guarded oracles yield NULL too.
     */
-  def simhash(tokens: ArrayData, bits: Int): Long = {
+  def simhash(tokens: ArrayData, bits: Int): java.lang.Long = {
     val votes = new Array[Int](bits)
     val n = tokens.numElements()
+    var any = false
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
+        any = true
         val h = hash60(tokens.getUTF8String(i).getBytes)
         var b = 0
         while (b < bits) {
@@ -146,13 +152,14 @@ object SketchKernels {
       }
       i += 1
     }
+    if (!any) return null
     var sig = 0L
     var b = 0
     while (b < bits) {
       if (votes(b) >= 0) sig |= 1L << b
       b += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 }
 
@@ -250,13 +257,20 @@ case class SimhashExpr(child: Expression, bits: Int)
     extends UnaryExpression with TokenArrayInput {
   require(bits > 0 && bits <= 60, s"bits must be in (0, 60], got $bits")
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
 
   override def nullSafeEval(tokens: Any): Any =
     SketchKernels.simhash(tokens.asInstanceOf[ArrayData], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, toks => s"graft.functions.SketchKernels.simhash($toks, $bits)")
+    nullSafeCodeGen(ctx, ev, toks => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |java.lang.Long $tmp = graft.functions.SketchKernels.simhash($toks, $bits);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)

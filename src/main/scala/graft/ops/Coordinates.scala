@@ -28,11 +28,16 @@ object Coordinates {
     val w = Window.partitionBy(col(keyCol))
     val pair = struct(col(latCol), col(lonCol))
     val multi = min(pair).over(w) =!= max(pair).over(w)
+    // A NULL location id gets NULL coordinates — the reference's
+    // summary left-join never matches a null key (and window
+    // partitionBy would otherwise lump ALL null-key rows into one
+    // fake "location" and average unrelated plants together).
+    val keyed = col(keyCol).isNotNull
     df.withColumn("_multi", multi)
-      .withColumn(latCol,
-        when(col("_multi"), avg(col(latCol)).over(w)).otherwise(min(col(latCol)).over(w)))
-      .withColumn(lonCol,
-        when(col("_multi"), avg(col(lonCol)).over(w)).otherwise(min(col(lonCol)).over(w)))
+      .withColumn(latCol, when(keyed,
+        when(col("_multi"), avg(col(latCol)).over(w)).otherwise(min(col(latCol)).over(w))))
+      .withColumn(lonCol, when(keyed,
+        when(col("_multi"), avg(col(lonCol)).over(w)).otherwise(min(col(lonCol)).over(w))))
       .drop("_multi")
   }
 }

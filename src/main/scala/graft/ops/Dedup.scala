@@ -176,6 +176,10 @@ object Dedup {
     * high-cardinality → uniform partitioning; AQE splits stop-shingle
     * skew.
     */
+  /** NOTE: leaves the internal shingle cache to LRU eviction (fine for
+    * run-once jobs like Verify/Bench); long-lived sessions should use
+    * [[ngramJaccardPairsReleasable]] and call the hook after consuming.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame =

@@ -98,8 +98,7 @@ object GemPipeline {
       .filter(retireOk)
       .transform(Coordinates.canonicalize(cfg.locationIdCol, "Latitude", "Longitude"))
       .withColumn("technology", cfg.technology)
-      .transform(Ownership.split(cfg.ownerCol, cfg.capacityCol, cfg.ownershipMode,
-        rowKeyCols = Seq(cfg.unitIdCol)))
+      .transform(Ownership.split(cfg.ownerCol, cfg.capacityCol, cfg.ownershipMode))
       .filter(col(cfg.unitIdCol).isNotNull)
       .transform(Timeseries.expandYears("Capacity_allocated", cfg.startYearCol, cfg.retireYearCol))
       .transform(Timeseries.rollupCapacity(

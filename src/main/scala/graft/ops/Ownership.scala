@@ -36,12 +36,7 @@ object Ownership {
   case object Strict extends Mode
   case object EqualShareDefault extends Mode
 
-  /** @param rowKeyCols retained for API stability; the equal-share
-    *   denominator is derived from the pre-explode owner array, so no
-    *   provenance key (and no shuffle) is needed.
-    */
-  def split(ownerCol: String, capacityCol: String, mode: Mode,
-      rowKeyCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+  def split(ownerCol: String, capacityCol: String, mode: Mode)(df: DataFrame): DataFrame = {
     // explode_outer: a null Owner keeps its row (null Company) — R's
     // separate_rows keeps NA rows; plain explode would drop them.
     val exploded = df
@@ -80,8 +75,7 @@ object Ownership {
     * (`\[(\d+)%\]`, integer-only — `"[12.5%]"` is NOT a provided share,
     * exactly like the reference's lookaround `(?<=\[)\d+(?=%\])`).
     */
-  def splitWithDisplay(ownerCol: String, capacityCol: String,
-      rowKeyCols: Seq[String])(df: DataFrame): DataFrame = {
+  def splitWithDisplay(ownerCol: String, capacityCol: String)(df: DataFrame): DataFrame = {
     val exploded = df
       .withColumn("_owners_arr", functions.split(col(ownerCol), ";\\s*"))
       .withColumn("_n_owners", coalesce(size(col("_owners_arr")), lit(1)))

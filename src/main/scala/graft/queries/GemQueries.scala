@@ -354,8 +354,7 @@ object GemQueries {
           when(pmod(col("p_size"), lit(3)) === 0,
             concat(col("p_brand"), lit("; "), col("p_type")))
             .otherwise(concat(col("p_brand"), lit(" [60%]; "), col("p_type"), lit(" [40%]"))))
-        .transform(Ownership.split("Owner", "p_retailprice", Ownership.EqualShareDefault,
-          rowKeyCols = Seq("p_partkey")))
+        .transform(Ownership.split("Owner", "p_retailprice", Ownership.EqualShareDefault))
         .groupBy(col("Company").as("company"))
         .agg(round(sum("Capacity_allocated"), 2).as("alloc"), count(lit(1)).as("n"))
         .orderBy("company"),
@@ -365,11 +364,11 @@ object GemQueries {
              |         ELSE p_brand || ' [60%]; ' || p_type || ' [40%]' END AS owners
              |  FROM part),
              |e AS (SELECT p_partkey, p_retailprice,
+             |             len(string_split(owners, '; ')) AS n_owners,
              |             unnest(string_split(owners, '; ')) AS ow FROM o),
-             |sh AS (SELECT p_partkey, p_retailprice,
+             |sh AS (SELECT p_partkey, p_retailprice, n_owners,
              |  trim(regexp_extract(ow, '^([^\[]+)', 1)) AS company,
-             |  CAST(NULLIF(regexp_extract(ow, '(\d+)%', 1), '') AS DOUBLE) / 100 AS share,
-             |  count(*) OVER (PARTITION BY p_partkey) AS n_owners
+             |  CAST(NULLIF(regexp_extract(ow, '(\d+)%', 1), '') AS DOUBLE) / 100 AS share
              |  FROM e)
              |SELECT company,
              |  round(sum(p_retailprice * coalesce(share, 1.0 / n_owners)), 2) AS alloc,
@@ -540,11 +539,12 @@ object GemQueries {
              |h AS (SELECT doc_id, list_transform(tk, t ->
              |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
              |      FROM toks)
-             |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+             |SELECT doc_id, CASE WHEN len(hs) > 0 THEN
+             |  CAST(list_sum(list_transform(generate_series(0, 59), b ->
              |  CASE WHEN list_sum(list_transform(hs, x ->
              |         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
              |       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
-             |  END)) AS BIGINT) AS simhash
+             |  END)) AS BIGINT) END AS simhash
              |FROM h ORDER BY doc_id""".stripMargin)),
 
     // Embedding near-dup pairs blocked by label (Similarity.cosineNearDupPairs)
@@ -957,7 +957,7 @@ object GemQueries {
             .when(pmod(col("p_partkey"), lit(3)) === 1,
               concat(col("p_brand"), lit(" [60%]; "), col("p_type"), lit(" [40%]")))
             .otherwise(col("p_brand")))
-        .transform(Ownership.splitWithDisplay("Owner", "p_retailprice", Seq("p_partkey")))
+        .transform(Ownership.splitWithDisplay("Owner", "p_retailprice"))
         .select(col("p_partkey"), col("Owner").as("owner_clean"),
           col("Company").as("company"), round(col("Ownership"), 4).as("share"),
           round(col("Capacity_allocated"), 2).as("alloc"))
@@ -969,11 +969,11 @@ object GemQueries {
              |         ELSE p_brand END AS owners
              |  FROM part),
              |e AS (SELECT p_partkey, p_retailprice,
+             |             len(string_split_regex(owners, ';\s*')) AS n,
              |             unnest(string_split_regex(owners, ';\s*')) AS ow FROM o),
              |sh AS (SELECT *,
              |    NULLIF(trim(regexp_extract(ow, '^([^\[]+)', 1)), '') AS company,
-             |    NULLIF(regexp_extract(ow, '\[(\d+)%\]', 1), '') AS provided,
-             |    count(*) OVER (PARTITION BY p_partkey) AS n FROM e),
+             |    NULLIF(regexp_extract(ow, '\[(\d+)%\]', 1), '') AS provided FROM e),
              |c AS (SELECT *, coalesce(CAST(provided AS DOUBLE) / 100, 1.0 / n) AS share,
              |             round(coalesce(CAST(provided AS DOUBLE) / 100, 1.0 / n) * 100, 2) AS pct
              |  FROM sh),
@@ -1000,11 +1000,12 @@ object GemQueries {
              |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
              |      FROM toks),
              |sigs AS (
-             |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+             |  SELECT doc_id, CASE WHEN len(hs) > 0 THEN
+             |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
              |    CASE WHEN list_sum(list_transform(hs, x ->
              |           CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
              |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
-             |    END)) AS BIGINT) AS sig
+             |    END)) AS BIGINT) END AS sig
              |  FROM h),
              |banded AS (
              |  SELECT doc_id, b.band, (sig >> (b.band * 15)) & 32767 AS chunk, sig
@@ -1392,7 +1393,7 @@ object GemQueries {
              |    NULLIF(trim(regexp_extract(ow, '^([^\[]+)', 1)), '') AS company,
              |    coalesce(
              |      TRY_CAST(NULLIF(regexp_extract(ow, '(\d+)%', 1), '') AS DOUBLE) / 100,
-             |      1.0 / count(*) OVER (PARTITION BY unit_id)) AS share
+             |      1.0 / coalesce(len(string_split_regex(owner, ';\s*')), 1)) AS share
              |  FROM own),
              |alloc AS (SELECT *, capn * share AS cap_alloc FROM owns),
              |ex AS (SELECT a.*, y.year FROM alloc a

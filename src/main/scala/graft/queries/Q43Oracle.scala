@@ -140,7 +140,7 @@ howns AS (SELECT *,
     NULLIF(trim(regexp_extract(ow, '^([^\[]+)', 1)), '') AS company,
     coalesce(
       TRY_CAST(NULLIF(regexp_extract(ow, '(\d+)%', 1), '') AS DOUBLE) / 100,
-      1.0 / count(*) OVER (PARTITION BY unit_id)) AS share
+      1.0 / coalesce(len(string_split_regex(owner, ';\s*')), 1)) AS share
   FROM hown),
 halloc AS (SELECT *, capn * share AS cap_alloc FROM howns),
 hex AS (SELECT a.*, y.year FROM halloc a

@@ -36,10 +36,18 @@ object Excel {
     f
   }
 
-  /** Sheet name → worksheet part path, from workbook.xml + its rels. */
-  def sheetTargets(path: String): Map[String, String] = {
+  /** Sheet (name, worksheet part path) pairs in WORKBOOK ORDER, from
+    * workbook.xml + its rels. A Seq, not a Map — readxl's "first
+    * sheet" default and any positional access need the order, and an
+    * immutable Map would drop it above 4 entries.
+    */
+  def sheetTargets(path: String): Seq[(String, String)] = {
     val zip = new ZipFile(path)
-    try {
+    try sheetTargets(zip) finally zip.close()
+  }
+
+  private def sheetTargets(zip: ZipFile): Seq[(String, String)] = {
+    {
       val rels = { // r:id → target part
         val in = zip.getInputStream(zip.getEntry("xl/_rels/workbook.xml.rels"))
         val r = xmlFactory.createXMLStreamReader(in)
@@ -55,22 +63,22 @@ object Excel {
       }
       val in = zip.getInputStream(zip.getEntry("xl/workbook.xml"))
       val r = xmlFactory.createXMLStreamReader(in)
-      val out = mutable.LinkedHashMap[String, String]()
+      val out = mutable.ArrayBuffer[(String, String)]()
       while (r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
           val name = r.getAttributeValue(null, "name")
           val rid = (0 until r.getAttributeCount)
             .find(i => r.getAttributeLocalName(i) == "id")
             .map(r.getAttributeValue).getOrElse("")
-          rels.get(rid).foreach(t => out(name) = "xl/" + t)
+          rels.get(rid).foreach(t => out += (name -> ("xl/" + t)))
         }
       }
       r.close(); in.close()
-      out.toMap
-    } finally zip.close()
+      out.toSeq
+    }
   }
 
-  def sheetNames(path: String): Seq[String] = sheetTargets(path).keys.toSeq
+  def sheetNames(path: String): Seq[String] = sheetTargets(path).map(_._1)
 
   /** `<si>` shared strings; rich-text runs concatenate their `<t>`s. */
   private def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
@@ -129,6 +137,7 @@ object Excel {
     }
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" => cellCol = -1 // r= on <c> is OPTIONAL; restart positional fill
         case "c" =>
           cellType = r.getAttributeValue(null, "t")
           cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(cellCol + 1)
@@ -148,7 +157,11 @@ object Excel {
             case "s" => shared.lift(raw.trim.toInt).orNull
             case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
             case "e" => null // error cells (#N/A …) → NA, as readxl does
-            case _ => if (raw.isEmpty) null else raw // n / str / inlineStr
+            // n / str / inlineStr. KNOWN LIMIT: date-STYLED numerics
+            // come back as their raw Excel serial string (readxl would
+            // style-decode via styles.xml); none of the GEM workbooks
+            // feed date-styled cells into consumed columns.
+            case _ => if (raw.isEmpty) null else raw
           }
           if (value != null && value.nonEmpty) cells += ((cellCol, value))
         case "row" => flushRow()
@@ -164,14 +177,15 @@ object Excel {
     * (readxl's default). Empty header cells become `_c<i>`.
     */
   def read(spark: SparkSession, path: String, sheet: String): DataFrame = {
-    val targets = sheetTargets(path)
-    val part = targets.getOrElse(sheet,
-      throw new IllegalArgumentException(
-        s"sheet '$sheet' not in workbook (has: ${targets.keys.mkString(", ")})"))
     val zip = new ZipFile(path)
     val parsed =
-      try parseSheet(zip, part, sharedStrings(zip))
-      finally zip.close()
+      try {
+        val targets = sheetTargets(zip)
+        val part = targets.collectFirst { case (n, t) if n == sheet => t }
+          .getOrElse(throw new IllegalArgumentException(
+            s"sheet '$sheet' not in workbook (has: ${targets.map(_._1).mkString(", ")})"))
+        parseSheet(zip, part, sharedStrings(zip))
+      } finally zip.close()
     require(parsed.nonEmpty, s"sheet '$sheet' is empty")
     val header = parsed.head
     val width = math.max(header.length, parsed.iterator.map(_.length).max)

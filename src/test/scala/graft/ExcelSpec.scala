@@ -71,7 +71,12 @@ class ExcelSpec extends SparkSpec {
     // this asserts the REAL workbook flows through (shares allocated,
     // retirees dropped, statuses filtered) without nulling out.
     assert(cap2030 > 1e5, s"2030 capacity looks degenerate: $cap2030")
-    assert(out.filter(col("Company").isNull).count() == 0 ||
-      out.filter(col("Company").isNotNull).count() > 0)
+    // ownership split really ran: the real tracker has thousands of
+    // distinct owner companies, and named companies dominate the rows
+    val companies = out.select("Company").distinct().count()
+    assert(companies > 1000, s"suspiciously few companies: $companies")
+    val withCompany = out.filter(col("Company").isNotNull).count()
+    assert(withCompany > out.count() * 0.9,
+      s"too many null companies: ${out.count() - withCompany}/${out.count()}")
   }
 }

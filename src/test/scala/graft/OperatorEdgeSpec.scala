@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Coordinates, Dedup, GemPipeline, Multimodal, TextAnalysis}
+import graft.ops.{Coordinates, Dedup, GemPipeline, Multimodal, Ownership, TextAnalysis}
 import graft.sources.CountryDim
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,38 @@ class OperatorEdgeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(out("L1") == ((11.0, 21.0)))
     assert(out("L2") == ((5.0, 6.0)))
+  }
+
+  test("canonicalize: null location keys keep NULL coords, never averaged together") {
+    // two UNRELATED null-id plants: the reference's summary left-join
+    // never matches a null key, so their coords must stay null — not
+    // get lumped into one fake location and averaged
+    val df = Seq(
+      (Some("L1"), 1.0, 2.0),
+      (None, 40.0, 50.0),
+      (None, -40.0, -50.0)
+    ).toDF("loc", "Latitude", "Longitude")
+    val out = Coordinates.canonicalize("loc", "Latitude", "Longitude")(df).collect()
+    val nullKeyRows = out.filter(_.isNullAt(0))
+    assert(nullKeyRows.length == 2)
+    nullKeyRows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("Latitude")) && r.isNullAt(r.fieldIndex("Longitude")))
+    }
+    val l1 = out.find(r => !r.isNullAt(0)).get
+    assert(l1.getDouble(l1.fieldIndex("Latitude")) == 1.0)
+  }
+
+  test("equal-share denominator is per SOURCE ROW even under duplicate unit ids") {
+    // R's row_number() row_id gives each physical row its own n();
+    // a unit-id-keyed window would see 4 exploded rows and give 1/4
+    val df = Seq(
+      ("U1", "A; B", 100.0),
+      ("U1", "C; D", 60.0) // same unit id, separate source row
+    ).toDF("unit", "Owner", "cap")
+    val out = Ownership.split("Owner", "cap", Ownership.EqualShareDefault)(df)
+      .select("Company", "Ownership").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(_ == 0.5), s"expected 1/2 shares, got $out")
   }
 
   test("finalizeSchema coordinates keep R paste0 'NA' semantics on null sides") {

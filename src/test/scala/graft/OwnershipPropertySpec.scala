@@ -38,8 +38,7 @@ object OwnershipPropertySpec extends Properties("Ownership") {
       toks.exists(_._2.nonEmpty) || {
         val df = Seq(("u1", toks.map(_._1).mkString("; "), cap))
           .toDF("unit", "Owner", "cap")
-        val total = Ownership.split("Owner", "cap", Ownership.EqualShareDefault,
-          rowKeyCols = Seq("unit"))(df)
+        val total = Ownership.split("Owner", "cap", Ownership.EqualShareDefault)(df)
           .agg(sum("Capacity_allocated")).collect().head.getDouble(0)
         math.abs(total - cap) < 1e-6 * math.max(1.0, cap)
       }
@@ -49,8 +48,7 @@ object OwnershipPropertySpec extends Properties("Ownership") {
     Prop.forAll(rowGen) { case (toks, cap) =>
       val df = Seq(("u1", toks.map(_._1).mkString("; "), cap))
         .toDF("unit", "Owner", "cap")
-      val out = Ownership.split("Owner", "cap", Ownership.Strict,
-        rowKeyCols = Seq("unit"))(df)
+      val out = Ownership.split("Owner", "cap", Ownership.Strict)(df)
         .select("Capacity_allocated").collect().map(r =>
           if (r.isNullAt(0)) None else Some(r.getDouble(0)))
       out.length == toks.length && out.zip(toks).forall {
@@ -72,8 +70,7 @@ object OwnershipPropertySpec extends Properties("Ownership") {
       val owner = shares.zipWithIndex
         .map { case (p, i) => s"C$i [$p%]" }.mkString("; ")
       val df = Seq(("u1", owner, cap)).toDF("unit", "Owner", "cap")
-      val total = Ownership.split("Owner", "cap", Ownership.EqualShareDefault,
-        rowKeyCols = Seq("unit"))(df)
+      val total = Ownership.split("Owner", "cap", Ownership.EqualShareDefault)(df)
         .agg(sum("Capacity_allocated")).collect().head.getDouble(0)
       math.abs(total - cap) < 1e-6 * cap
     }

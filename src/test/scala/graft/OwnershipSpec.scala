@@ -20,8 +20,7 @@ class OwnershipSpec extends SparkSpec {
   ).toDF("unit", "Owner", "cap")
 
   test("equal-share default conserves capacity when shares are complete or absent") {
-    val out = Ownership.split("Owner", "cap", Ownership.EqualShareDefault,
-      rowKeyCols = Seq("unit"))(src)
+    val out = Ownership.split("Owner", "cap", Ownership.EqualShareDefault)(src)
       .groupBy("unit").agg(sum("Capacity_allocated").as("total"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(out("u1") - 100.0) < 1e-9) // explicit shares
@@ -31,8 +30,7 @@ class OwnershipSpec extends SparkSpec {
   }
 
   test("strict mode preserves the reference's null-allocation quirk") {
-    val out = Ownership.split("Owner", "cap", Ownership.Strict,
-      rowKeyCols = Seq("unit"))(src)
+    val out = Ownership.split("Owner", "cap", Ownership.Strict)(src)
     val h = out.filter(col("Company") === "H").select("Capacity_allocated").collect()
     assert(h.length == 1 && h.head.isNullAt(0)) // no [NN%] → null, capacity silently lost
     val g = out.filter(col("Company") === "G").select("Capacity_allocated")
@@ -41,8 +39,7 @@ class OwnershipSpec extends SparkSpec {
   }
 
   test("null owners keep their rows (explode_outer, R separate_rows parity)") {
-    val out = Ownership.split("Owner", "cap", Ownership.EqualShareDefault,
-      rowKeyCols = Seq("unit"))(src)
+    val out = Ownership.split("Owner", "cap", Ownership.EqualShareDefault)(src)
     assert(out.filter(col("unit") === "u4").count() == 1)
     assert(out.filter(col("unit") === "u4").select("Company").collect().head.isNullAt(0))
   }

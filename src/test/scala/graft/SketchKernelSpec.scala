@@ -76,7 +76,14 @@ class SketchKernelSpec extends SparkSpec {
         (v, b) => when(v >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (a, x) => a + x)
     val rows = texts.select(
-      Dedup.simhash(col("text"), bits).as("native"), hof.as("ref")).collect()
-    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+      Dedup.simhash(col("text"), bits).as("native"), hof.as("ref"),
+      size(toksD).as("n")).collect()
+    rows.foreach { r =>
+      if (r.getInt(2) > 0) assert(r.getLong(0) == r.getLong(1))
+      // empty token set: NULL, not the HOF's all-bits-set sentinel —
+      // same contract as graft_minhash (and the guarded oracles)
+      else assert(r.isNullAt(0))
+    }
+    assert(rows.count(_.isNullAt(0)) == 1) // the whitespace-only doc
   }
 }
