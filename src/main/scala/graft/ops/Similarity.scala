@@ -114,6 +114,48 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF-flat approximate top-k: corpus vectors are assigned to their
+    * nearest CENTROID cell (argmax cosine over a provided, bounded
+    * centroid set — the index-build pass), queries probe their
+    * `nProbe` nearest cells, and candidates are re-ranked exactly.
+    *
+    * Centroids are caller-provided (e.g. a sampled/trained codebook) —
+    * deterministic and tiny, so the assignment pass is a broadcast
+    * against a constant-size set, and the probe join's key (cell id)
+    * has bounded fan-out n/cells per cell. Complements [[lshTopK]]:
+    * IVF adapts to the data's density (cells follow the codebook)
+    * where hyperplane LSH is data-oblivious.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("centvec"))
+    def assignCells(df: DataFrame, idName: String, vecName: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("cell_cos", cosine(col(vecName), col("centvec")))
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("cell_cos").desc, col("cell_id"))
+      scored.withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .drop("centvec", "cell_cos", "cell_rank")
+    }
+    val c = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      "neighbor_id", "cvec", 1)
+    val q = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      "query_id", "qvec", nProbe)
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (IVF-style
     * coarse cell, here any precomputed label/bucket column): cosine ≥
     * threshold, id_a < id_b. Blocking bounds the pair count — the full

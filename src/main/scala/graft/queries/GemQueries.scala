@@ -1276,6 +1276,55 @@ object GemQueries {
              |FROM ranked WHERE "rank" <= 3
              |ORDER BY query_id, "rank"""".stripMargin)),
 
+    // IVF-flat approximate top-k (Similarity.ivfTopK): corpus assigned
+    // to nearest-centroid cells (8 deterministic centroids = the first
+    // 8 embeddings), queries probe their 2 nearest cells, exact cosine
+    // re-rank inside the probed cells.
+    QueryDef("q52_ivf_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id").between(100, 104)),
+          emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS cell_id, embedding AS centvec
+             |  FROM embeddings WHERE vec_id < 8),
+             |cscore AS (
+             |  SELECT e.vec_id, e.embedding, c.cell_id,
+             |    list_sum(list_transform(e.embedding, (x, i) ->
+             |      CAST(x AS DOUBLE) * CAST(c.centvec[i] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(c.centvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cell_cos
+             |  FROM embeddings e CROSS JOIN cents c),
+             |ranked_cells AS (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY cell_cos DESC, cell_id) AS crn FROM cscore),
+             |corpus_cells AS (
+             |  SELECT vec_id AS neighbor_id, embedding AS cvec, cell_id
+             |  FROM ranked_cells WHERE crn = 1),
+             |query_cells AS (
+             |  SELECT vec_id AS query_id, embedding AS qvec, cell_id
+             |  FROM ranked_cells WHERE crn <= 2 AND vec_id BETWEEN 100 AND 104),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_sum(list_transform(qvec, (x, i) ->
+             |      CAST(x AS DOUBLE) * CAST(cvec[i] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+             |  FROM corpus_cells JOIN query_cells USING (cell_id)
+             |  WHERE neighbor_id <> query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos DESC, neighbor_id) AS "rank", cos
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
+             |FROM ranked WHERE "rank" <= 3
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
     // Skew-safe two-phase salted aggregation (Skew.saltedSum) — result
     // ≡ the plain rollup; the plan sprays hot keys over 16 reducers.
     QueryDef("q46_salted_rollup",

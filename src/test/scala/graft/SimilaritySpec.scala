@@ -43,6 +43,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("ivfTopK: nearest cell routing still finds the identical vector") {
+    // centroids = vectors 0 and 2 (x-axis and y-axis cells); vector 1
+    // (identical to 0) lands in cell 0 with its query → found at rank 1
+    val out = Similarity.ivfTopK(
+      vecs, vecs.filter(col("vec_id") === 0), vecs.filter(col("vec_id").isin(0, 2)),
+      "vec_id", "embedding", k = 1, nProbe = 1).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("neighbor_id") == 1L)
+    assert(out.head.getAs[Double]("cos") == 1.0)
+  }
+
   test("hyperplaneBucket: wrong-dimension vectors get a NULL bucket, not bucket 0") {
     val out = vecs.select(
       Similarity.hyperplaneBucket(col("embedding"), planes = 4, dim = 64).as("b64"),
