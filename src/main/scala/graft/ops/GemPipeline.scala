@@ -93,10 +93,14 @@ object GemPipeline {
         cfg.retireYearCol.map(r => col(r).isNull || col(r) >= 2024).getOrElse(lit(true))
       else lit(true)
 
+    // Canonicalize BEFORE the retiree drop: the reference computes the
+    // per-location coordinate summary over all rows (`Coalplants_GEM.R:
+    // 59-76`) and only then drops pre-2024 retirees (`:126-128`), so a
+    // location mixing retired and live units averages over both.
     startYearHandled
       .transform(Cleaning.toNumeric(numericCols: _*))
-      .filter(retireOk)
       .transform(Coordinates.canonicalize(cfg.locationIdCol, "Latitude", "Longitude"))
+      .filter(retireOk)
       .withColumn("technology", cfg.technology)
       .transform(Ownership.split(cfg.ownerCol, cfg.capacityCol, cfg.ownershipMode))
       .filter(col(cfg.unitIdCol).isNotNull)
