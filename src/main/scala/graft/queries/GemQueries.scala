@@ -725,16 +725,16 @@ object GemQueries {
              |num AS (SELECT *, TRY_CAST(cap AS DOUBLE) AS capn,
              |    TRY_CAST(start_y AS DOUBLE) AS startn,
              |    TRY_CAST(retire_y AS DOUBLE) AS retiren FROM f4),
-             |f5 AS (SELECT * FROM num WHERE retiren IS NULL OR retiren >= 2024),
              |summ AS (SELECT loc_id,
              |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS clat,
              |    CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS clon
-             |  FROM f5 GROUP BY loc_id),
-             |canon AS (SELECT f5.* EXCLUDE (lat, lon), s.clat AS lat, s.clon AS lon
-             |  FROM f5 LEFT JOIN summ s USING (loc_id)),
+             |  FROM num GROUP BY loc_id),
+             |canon AS (SELECT num.* EXCLUDE (lat, lon), s.clat AS lat, s.clon AS lon
+             |  FROM num LEFT JOIN summ s USING (loc_id)),
+             |f5 AS (SELECT * FROM canon WHERE retiren IS NULL OR retiren >= 2024),
              |tech AS (SELECT *, CASE WHEN classification = 'Gas Power Plant' THEN 'GasCap'
              |    WHEN classification = 'Oil Power Plant' THEN 'OilCap'
-             |    ELSE 'CoalCap' END AS technology FROM canon),
+             |    ELSE 'CoalCap' END AS technology FROM f5),
              |own AS (SELECT t.*, u.ow FROM tech t,
              |  unnest(coalesce(string_split_regex(t.owner, ';\s*'),
              |                  [CAST(NULL AS VARCHAR)])) AS u(ow)),

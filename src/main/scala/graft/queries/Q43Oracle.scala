@@ -42,14 +42,14 @@ cf4 AS (SELECT * FROM cf3
   WHERE NOT (start_y IN ('unknown','not found') OR start_y IS NULL)),
 cnum AS (SELECT *, TRY_CAST(cap AS DOUBLE) AS capn, TRY_CAST(start_y AS DOUBLE) AS startn,
     TRY_CAST(retire_y AS DOUBLE) AS retiren FROM cf4),
-cf5 AS (SELECT * FROM cnum WHERE retiren IS NULL OR retiren >= 2024),
 csumm AS (SELECT loc_id,
     CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS clat,
     CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS clon
-  FROM cf5 GROUP BY loc_id),
-ccanon AS (SELECT cf5.* EXCLUDE (lat, lon), s.clat AS lat, s.clon AS lon
-  FROM cf5 LEFT JOIN csumm s USING (loc_id)),
-cown AS (SELECT t.*, u.ow FROM ccanon t,
+  FROM cnum GROUP BY loc_id),
+ccanon AS (SELECT cnum.* EXCLUDE (lat, lon), s.clat AS lat, s.clon AS lon
+  FROM cnum LEFT JOIN csumm s USING (loc_id)),
+cf5 AS (SELECT * FROM ccanon WHERE retiren IS NULL OR retiren >= 2024),
+cown AS (SELECT t.*, u.ow FROM cf5 t,
   unnest(coalesce(string_split_regex(t.owner, ';\s*'), [CAST(NULL AS VARCHAR)])) AS u(ow)),
 cowns AS (SELECT *,
     NULLIF(trim(regexp_extract(ow, '^([^\[]+)', 1)), '') AS company,
