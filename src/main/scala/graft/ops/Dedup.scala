@@ -151,6 +151,12 @@ object Dedup {
     * Texts shorter than n tokens yield an empty array (the HOF
     * formulation needed an explicit guard because Spark's
     * `sequence(1, 0)` DESCENDS; DuckDB's generate_series(1,0) is []).
+    *
+    * Contract: NULL text → NULL (null-in/null-out, like every built-in
+    * collection function). Callers that want empty-array parity with
+    * the old HOF form should wrap with `coalesce(shingles(t, n),
+    * array())`; internal call sites explode the result, which drops
+    * NULL and empty alike.
     */
   def shingles(text: Column, n: Int): Column =
     call_function("graft_shingles", TextAnalysis.tokens(text), lit(n))
@@ -175,8 +181,8 @@ object Dedup {
     * FULL sorted shingle arrays. Join keys (block, shingle) are
     * high-cardinality → uniform partitioning; AQE splits stop-shingle
     * skew.
-    */
-  /** NOTE: leaves the internal shingle cache to LRU eviction (fine for
+    *
+    * NOTE: leaves the internal shingle cache to LRU eviction (fine for
     * run-once jobs like Verify/Bench); long-lived sessions should use
     * [[ngramJaccardPairsReleasable]] and call the hook after consuming.
     */

@@ -123,10 +123,15 @@ object Excel {
     val cells = mutable.ArrayBuffer[(Int, String)]()
     var cellType: String = null
     var cellCol = -1
+    var rowNum = 0 // 1-based sheet row of the OPEN <row>, from its r= attr
     var inV = false
     var inIs = false
     val v = new StringBuilder
     def flushRow(): Unit = {
+      // Interior blank rows are OMITTED from the XML (writers skip the
+      // <row> element entirely); readxl still returns them as all-NA
+      // rows, so pad the gap to keep row alignment.
+      while (rows.length < rowNum - 1) rows += Array.empty[String]
       if (cells.nonEmpty) {
         val width = cells.map(_._1).max + 1
         val arr = new Array[String](width)
@@ -137,7 +142,10 @@ object Excel {
     }
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-        case "row" => cellCol = -1 // r= on <c> is OPTIONAL; restart positional fill
+        case "row" => // r= on <c> and <row> is OPTIONAL; restart positional fill
+          cellCol = -1
+          rowNum = Option(r.getAttributeValue(null, "r"))
+            .flatMap(_.toIntOption).getOrElse(rows.length + 1)
         case "c" =>
           cellType = r.getAttributeValue(null, "t")
           cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(cellCol + 1)
@@ -174,7 +182,10 @@ object Excel {
   }
 
   /** Read one sheet as an all-string DataFrame, first row = header
-    * (readxl's default). Empty header cells become `_c<i>`.
+    * (readxl's default). Empty header cells become `_c<i>`; duplicate
+    * header names get a positional suffix (`Owner`, `Owner_2`, …) the
+    * way readxl repairs them — unrepaired duplicates make every
+    * by-name select downstream throw an ambiguity AnalysisException.
     */
   def read(spark: SparkSession, path: String, sheet: String): DataFrame = {
     val zip = new ZipFile(path)
@@ -189,9 +200,15 @@ object Excel {
     require(parsed.nonEmpty, s"sheet '$sheet' is empty")
     val header = parsed.head
     val width = math.max(header.length, parsed.iterator.map(_.length).max)
-    val names = (0 until width).map { i =>
+    val raw = (0 until width).map { i =>
       val h = if (i < header.length) header(i) else null
       if (h == null || h.isEmpty) s"_c$i" else h
+    }
+    val seen = mutable.Map[String, Int]()
+    val names = raw.map { n =>
+      val k = seen.updateWith(n)(c => Some(c.getOrElse(0) + 1)).get
+      if (k == 1) n
+      else Iterator.from(k).map(j => s"${n}_$j").find(!raw.contains(_)).get
     }
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
     val rows = parsed.tail.map { r =>

@@ -56,6 +56,60 @@ class ExcelSpec extends SparkSpec {
       .foreach(c => assert(unioned.columns.contains(c), s"missing '$c'"))
   }
 
+  /** Minimal in-memory xlsx (inline strings, no sharedStrings part) for
+    * edge shapes the real workbooks don't exercise.
+    */
+  private def writeXlsx(rows: Seq[(Int, Seq[String])]): String = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val f = java.io.File.createTempFile("graft-excel", ".xlsx")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(f))
+    def part(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        "</Relationships>")
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    val body = rows.map { case (rn, cells) =>
+      val cs = cells.zipWithIndex.collect { case (v, i) if v != null =>
+        val ref = s"${('A' + i).toChar}$rn"
+        s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+      }.mkString
+      s"""<row r="$rn">$cs</row>"""
+    }.mkString
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"<sheetData>$body</sheetData></worksheet>")
+    zos.close()
+    f.getAbsolutePath
+  }
+
+  test("interior blank rows omitted from the XML are padded back (readxl alignment)") {
+    // header at r=1, data at r=2, then r=4 — row 3 is absent from the XML
+    val path = writeXlsx(Seq(
+      1 -> Seq("id", "name"),
+      2 -> Seq("1", "alpha"),
+      4 -> Seq("2", "beta")))
+    val df = Excel.read(spark, path, "S")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("1", "alpha"), (null, null), ("2", "beta")), s"got $got")
+  }
+
+  test("duplicate header names are repaired with positional suffixes") {
+    val path = writeXlsx(Seq(
+      1 -> Seq("Owner", "Owner", "Cap", "Owner"),
+      2 -> Seq("a", "b", "c", "d")))
+    val df = Excel.read(spark, path, "S")
+    assert(df.columns.toSeq == Seq("Owner", "Owner_2", "Cap", "Owner_3"))
+    // the point of the repair: by-name selects no longer throw
+    assert(df.select("Owner_2").collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("the real coal tracker wrangles end-to-end through the coal config") {
     assume(available)
     val raw = Excel.read(spark, coalXlsx, "Units")
