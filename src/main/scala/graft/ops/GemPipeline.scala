@@ -307,4 +307,19 @@ object GemPipeline {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(ordinalCol))
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Incremental tracker ingest: drive the FULL batch wrangle over a
+    * stream of raw tracker rows, one micro-batch at a time.
+    * `foreachBatch` is the canonical Structured Streaming shape for ETL
+    * whose aggregations (coordinate canonicalization, the year rollup)
+    * are not append-expressible — each tracker snapshot drop lands as a
+    * complete batch, so per-batch semantics ARE the reference
+    * semantics. The caller owns the sink (normally an idempotent
+    * overwrite-by-batch parquet/CSV write) and query start/stop.
+    */
+  def streamingWrangle(cfg: TrackerConfig, raw: DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    raw.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(wrangle(cfg)(batch), batchId)
+    }
 }

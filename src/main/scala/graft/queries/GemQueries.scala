@@ -1574,6 +1574,20 @@ object GemQueries {
       Some("""SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
              |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
              |FROM events GROUP BY 1, 2
-             |ORDER BY window_start, event_type""".stripMargin))
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Streaming exact dedup, batch-parity leg (the MemoryStream run is
+    // in StreamingModeSpec): one row per (user_id, event_type) — the
+    // deterministic earliest-(ts, event_id) winner.
+    QueryDef("q53_stream_dedup",
+      (s, dir) => graft.streaming.EventStream.dedupEvents(
+        t(s, dir, "events"), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
   )
 }

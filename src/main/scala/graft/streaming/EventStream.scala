@@ -78,6 +78,31 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming exact dedup on a key — the idempotency-key shape every
+    * at-least-once ingest needs (the LLM-pipeline dedup tier applied to
+    * the stream). Streaming mode: `dropDuplicatesWithinWatermark`, so
+    * the dedup state store holds only keys younger than the watermark —
+    * bounded state, unlike a plain streaming `dropDuplicates` whose
+    * store grows with every key ever seen. Batch twin (same contract,
+    * deterministic): keep the earliest `(ts, event_id)` row per key —
+    * streaming keeps the first ARRIVAL, which coincides when arrival
+    * order follows event time.
+    *
+    * Scale: the state store / window partition is keyed by the dedup
+    * key itself — high cardinality, uniform hash partitioning, no
+    * global ordering anywhere.
+    */
+  def dedupEvents(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("ts"), col("event_id"))
+      events.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+
   /** File-source streaming entry: treat a directory of event parquet as
     * an unbounded stream (the production shape for landing-zone
     * ingest). Caller starts/stops the query.

@@ -59,6 +59,66 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("dedupEvents drops re-arrivals of a key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupEvents(events, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dd_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0),
+        (2L, ts("2024-01-01 00:11:00"), 7L, "view", 2.0), // same key, same batch
+        (3L, ts("2024-01-01 00:12:00"), 8L, "click", 4.0))
+      q.processAllAvailable()
+      input.addData( // same key again, later micro-batch, inside watermark
+        (4L, ts("2024-01-01 00:20:00"), 7L, "view", 8.0),
+        (5L, ts("2024-01-01 00:21:00"), 9L, "view", 16.0))
+      q.processAllAvailable()
+      val rows = spark.table("dd_test").orderBy("user_id", "event_type").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 3L, 5L),
+        s"got ${rows.mkString(", ")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS dd_test")
+    }
+  }
+
+  test("streamingWrangle drives the full batch wrangle per micro-batch") {
+    import graft.ops.{GemPipeline, TrackerConfigs}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val cfg = TrackerConfigs.coal
+    val cols = Seq(cfg.unitIdCol, cfg.locationIdCol, cfg.plantNameCol,
+      cfg.countryCol, cfg.regionCol, cfg.ownerCol, cfg.capacityCol,
+      cfg.statusCol, cfg.startYearCol, cfg.retireYearCol.get)
+    val base = Seq(
+      Row("U1", "L1", "P1", "Germany", "R1", "Alpha Corp [60%]; Beta GmbH [40%]",
+        "100.0", "operating", "2005", null),
+      Row("U2", "L2", "P2", "France", "R1", "Gamma Inc [100%]",
+        "40.0", "construction", "2026", null))
+    val schema = StructType(cols.map(StructField(_, StringType, nullable = true)))
+    var raw = spark.createDataFrame(spark.sparkContext.parallelize(base, 1), schema)
+      .withColumn("Latitude", org.apache.spark.sql.functions.lit(1.5).cast(DoubleType))
+      .withColumn("Longitude", org.apache.spark.sql.functions.lit(2.5).cast(DoubleType))
+    cfg.ageCol.foreach(a => raw = raw.withColumn(a, org.apache.spark.sql.functions.lit("10")))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_wrangle_src").toString
+    raw.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(raw.schema).parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = GemPipeline.streamingWrangle(cfg, stream) { (out, _) =>
+      val rows = out.collect().map(_.toString)
+      got.synchronized { got ++= rows }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = GemPipeline.wrangle(cfg)(raw).collect().map(_.toString)
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      s"stream rows ${got.size} vs batch ${expected.length}")
+  }
+
   // A real-stream sessionize drive is deliberately absent: with a
   // ProcessingTimeTimeout armed, the engine re-fires micro-batches for
   // timeout bookkeeping, so neither processAllAvailable nor
