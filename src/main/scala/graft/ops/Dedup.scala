@@ -252,4 +252,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard_x"), 4).as("jaccard"))
     (pairs, () => { cached.unpersist(); () })
   }
+
+  /** Benchmark decontamination — drop corpus documents that share ANY
+    * n-gram with a benchmark/test set (the standard guard against
+    * train-on-test leakage; n-gram overlap is how the big public
+    * corpora do it).
+    *
+    * Scale shape: the benchmark is dim-sized (thousands of prompts),
+    * the corpus is the 100 TB side — so the benchmark's distinct
+    * shingle set is built once and BROADCAST into a `left_semi` probe
+    * against the corpus's exploded shingles; the corpus never
+    * shuffles. Documents shorter than n tokens have no shingles and
+    * trivially survive.
+    */
+  def contaminatedIds(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** [[contaminatedIds]]' complement: the surviving corpus. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame =
+    docs.join(contaminatedIds(docs, bench, idCol, textCol, n),
+      Seq(idCol), "left_anti")
 }

@@ -89,6 +89,21 @@ object TextAnalysis {
     round((lengthOk + diversity + sw) / 3.0, 4)
   }
 
+  /** PII redaction — the scrubbing pass every public-web training
+    * corpus gets before tokenization. A chained `regexp_replace`
+    * (codegen'd, narrow, zero shuffle): emails, IPv4 addresses, then
+    * long digit runs (SSN/credit-card stand-in). Patterns deliberately
+    * stay inside the regex subset Java and RE2 share (no lookarounds),
+    * so the same pattern text runs in the DuckDB oracle.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val ip = regexp_replace(email,
+      lit("\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"), lit("<IP>"))
+    regexp_replace(ip, lit("\\b\\d{9,}\\b"), lit("<NUM>"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

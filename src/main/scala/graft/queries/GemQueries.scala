@@ -1588,6 +1588,63 @@ object GemQueries {
       Some("""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
              |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events)
-             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // PII redaction (TextAnalysis.redactPii): PII is injected into the
+    // text IDENTICALLY on both sides (the synthetic docs carry none),
+    // so every row exercises all three patterns end to end.
+    QueryDef("q54_pii_redact",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.redactPii(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.org from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7 acct 4111111111111111 done"))).as("clean"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.org from 10.0.'
+             |      || CAST(doc_id % 256 AS VARCHAR) || '.7 acct 4111111111111111 done',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{9,}\b', '<NUM>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination (Dedup.decontaminate): every 97th doc
+    // plays the held-out benchmark; corpus docs sharing ANY 5-gram with
+    // it are dropped, the survivors are the training set.
+    QueryDef("q55_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      generate_series(1, greatest(len(tk) - 4, 0)),
+             |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS sh
+             |  FROM tk),
+             |bsh AS (
+             |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+             |contaminated AS (
+             |  SELECT DISTINCT d.doc_id
+             |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh
+             |        WHERE doc_id % 97 <> 0) d
+             |  JOIN bsh USING (shingle))
+             |SELECT doc_id, source FROM sh
+             |WHERE doc_id % 97 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -86,4 +86,24 @@ class DedupTextSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.6667) < 1e-4)
     assert(r.getAs[String]("lang_pred") == "en")
   }
+
+  test("redactPii scrubs emails, IPv4s, and long digit runs; leaves short numbers") {
+    val got = Seq("mail bob.smith+x@corp.example.com at 192.168.1.200 card " +
+      "4111111111111111 room 42").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("c")).collect().head.getString(0)
+    assert(got == "mail <EMAIL> at <IP> card <NUM> room 42", got)
+  }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares the bench 5-gram
+      (2L, "one two three four five six"),         // clean
+      (3L, "short text"),                          // < n tokens: trivially survives
+      (4L, "beta gamma delta epsilon zeta eta"))   // shares a shifted 5-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
 }
