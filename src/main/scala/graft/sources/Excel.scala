@@ -103,6 +103,67 @@ object Excel {
     out.toIndexedSeq
   }
 
+  /** Per-cellXf "is this style a date format" flags from styles.xml.
+    * Builtin date numFmtIds (ECMA-376 §18.8.30) plus custom formats
+    * whose code still contains a y/m/d/h/s token after literal
+    * (quoted) chunks and [bracketed] modifiers are stripped — e.g. the
+    * coal workbook's `d-mmm-yy` (numFmtId 164).
+    */
+  private def dateStyles(zip: ZipFile): IndexedSeq[Boolean] = {
+    val entry = zip.getEntry("xl/styles.xml")
+    if (entry == null) return IndexedSeq.empty
+    val builtinDate = (14 to 22).toSet ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)
+    def looksDate(code: String): Boolean = {
+      val bare = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+      bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+    }
+    val in = zip.getInputStream(entry)
+    val r = xmlFactory.createXMLStreamReader(in)
+    val customDate = mutable.Set[Int]()
+    val xfIsDate = mutable.ArrayBuffer[Boolean]()
+    var inCellXfs = false
+    while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "numFmt" =>
+          val id = Option(r.getAttributeValue(null, "numFmtId")).flatMap(_.toIntOption)
+          val code = Option(r.getAttributeValue(null, "formatCode"))
+          if (id.isDefined && code.exists(looksDate)) customDate += id.get
+        case "cellXfs" => inCellXfs = true
+        case "xf" if inCellXfs =>
+          val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+            .flatMap(_.toIntOption).getOrElse(0)
+          xfIsDate += (builtinDate(fmt) || customDate(fmt))
+        case _ => ()
+      }
+      case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+        inCellXfs = false
+      case _ => ()
+    }
+    r.close(); in.close()
+    xfIsDate.toIndexedSeq
+  }
+
+  /** Excel serial → ISO string, 1899-12-30 epoch (readxl's base; it
+    * absorbs the 1900 leap-year bug for modern dates). Integral
+    * serials print as dates, fractional ones as datetimes.
+    */
+  private[graft] def serialToIso(raw: String): String =
+    raw.toDoubleOption match {
+      case None => raw // malformed numeric: fall through untouched
+      case Some(serial) =>
+        val epoch = java.time.LocalDate.of(1899, 12, 30)
+        val days = math.floor(serial).toLong
+        val frac = serial - days
+        val date = epoch.plusDays(days)
+        if (frac == 0.0) date.toString
+        else {
+          val secs = math.round(frac * 86400)
+          date.atStartOfDay.plusSeconds(secs)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        }
+    }
+
   /** "BC" → 0-based column index. */
   private[graft] def colIndex(cellRef: String): Int = {
     var i = 0
@@ -115,14 +176,15 @@ object Excel {
   }
 
   /** Parse one worksheet into rows of nullable cell strings. */
-  private def parseSheet(
-      zip: ZipFile, part: String, shared: IndexedSeq[String]): Seq[Array[String]] = {
+  private def parseSheet(zip: ZipFile, part: String, shared: IndexedSeq[String],
+      styles: IndexedSeq[Boolean]): Seq[Array[String]] = {
     val in = zip.getInputStream(zip.getEntry(part))
     val r = xmlFactory.createXMLStreamReader(in)
     val rows = mutable.ArrayBuffer[Array[String]]()
     val cells = mutable.ArrayBuffer[(Int, String)]()
     var cellType: String = null
     var cellCol = -1
+    var cellStyle = 0
     var rowNum = 0 // 1-based sheet row of the OPEN <row>, from its r= attr
     var inV = false
     var inIs = false
@@ -149,6 +211,8 @@ object Excel {
         case "c" =>
           cellType = r.getAttributeValue(null, "t")
           cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(cellCol + 1)
+          cellStyle = Option(r.getAttributeValue(null, "s"))
+            .flatMap(_.toIntOption).getOrElse(0)
           v.clear(); inIs = false
         case "v" => inV = true; v.clear()
         case "is" => inIs = true; v.clear()
@@ -165,10 +229,11 @@ object Excel {
             case "s" => shared.lift(raw.trim.toInt).orNull
             case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
             case "e" => null // error cells (#N/A …) → NA, as readxl does
-            // n / str / inlineStr. KNOWN LIMIT: date-STYLED numerics
-            // come back as their raw Excel serial string (readxl would
-            // style-decode via styles.xml); none of the GEM workbooks
-            // feed date-styled cells into consumed columns.
+            // n / str / inlineStr; date-STYLED numerics (per styles.xml
+            // cellXfs) are decoded from their Excel serial to an ISO
+            // string, as readxl does.
+            case null | "n" if styles.lift(cellStyle).contains(true) =>
+              if (raw.isEmpty) null else serialToIso(raw)
             case _ => if (raw.isEmpty) null else raw
           }
           if (value != null && value.nonEmpty) cells += ((cellCol, value))
@@ -195,7 +260,7 @@ object Excel {
         val part = targets.collectFirst { case (n, t) if n == sheet => t }
           .getOrElse(throw new IllegalArgumentException(
             s"sheet '$sheet' not in workbook (has: ${targets.map(_._1).mkString(", ")})"))
-        parseSheet(zip, part, sharedStrings(zip))
+        parseSheet(zip, part, sharedStrings(zip), dateStyles(zip))
       } finally zip.close()
     require(parsed.nonEmpty, s"sheet '$sheet' is empty")
     val header = parsed.head

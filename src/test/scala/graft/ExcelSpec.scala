@@ -59,7 +59,7 @@ class ExcelSpec extends SparkSpec {
   /** Minimal in-memory xlsx (inline strings, no sharedStrings part) for
     * edge shapes the real workbooks don't exercise.
     */
-  private def writeXlsx(rows: Seq[(Int, Seq[String])]): String = {
+  private def writeXlsxRaw(sheetData: String, stylesXml: Option[String] = None): String = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val f = java.io.File.createTempFile("graft-excel", ".xlsx")
     f.deleteOnExit()
@@ -75,19 +75,22 @@ class ExcelSpec extends SparkSpec {
     part("xl/workbook.xml",
       """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
         """<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
-    val body = rows.map { case (rn, cells) =>
+    stylesXml.foreach(part("xl/styles.xml", _))
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"<sheetData>$sheetData</sheetData></worksheet>")
+    zos.close()
+    f.getAbsolutePath
+  }
+
+  private def writeXlsx(rows: Seq[(Int, Seq[String])]): String =
+    writeXlsxRaw(rows.map { case (rn, cells) =>
       val cs = cells.zipWithIndex.collect { case (v, i) if v != null =>
         val ref = s"${('A' + i).toChar}$rn"
         s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
       }.mkString
       s"""<row r="$rn">$cs</row>"""
-    }.mkString
-    part("xl/worksheets/sheet1.xml",
-      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
-        s"<sheetData>$body</sheetData></worksheet>")
-    zos.close()
-    f.getAbsolutePath
-  }
+    }.mkString)
 
   test("interior blank rows omitted from the XML are padded back (readxl alignment)") {
     // header at r=1, data at r=2, then r=4 — row 3 is absent from the XML
@@ -108,6 +111,33 @@ class ExcelSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("Owner", "Owner_2", "Cap", "Owner_3"))
     // the point of the repair: by-name selects no longer throw
     assert(df.select("Owner_2").collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("date-styled numerics decode to ISO strings; general-styled stay raw") {
+    val styles =
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<numFmts count="1"><numFmt numFmtId="164" formatCode="d-mmm-yy"/></numFmts>""" +
+        """<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="14"/></cellXfs>""" +
+        "</styleSheet>"
+    val sheet =
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>retired</t></is></c>""" +
+        """<c r="B1" t="inlineStr"><is><t>year</t></is></c>""" +
+        """<c r="C1" t="inlineStr"><is><t>builtin</t></is></c></row>""" +
+        """<row r="2"><c r="A2" s="1"><v>45292</v></c>""" +
+        """<c r="B2"><v>2024</v></c>""" +
+        """<c r="C2" s="2"><v>45292.5</v></c></row>"""
+    val df = Excel.read(spark, writeXlsxRaw(sheet, Some(styles)), "S")
+    val row = df.collect().head
+    assert(row.getString(0) == "2024-01-01") // custom d-mmm-yy style
+    assert(row.getString(1) == "2024")       // general style untouched
+    assert(row.getString(2) == "2024-01-01 12:00:00") // builtin 14 + fraction
+  }
+
+  test("serialToIso maps the epoch and fractions exactly") {
+    assert(Excel.serialToIso("45292") == "2024-01-01")
+    assert(Excel.serialToIso("45292.25") == "2024-01-01 06:00:00")
+    assert(Excel.serialToIso("1") == "1899-12-31")
+    assert(Excel.serialToIso("junk") == "junk")
   }
 
   test("the real coal tracker wrangles end-to-end through the coal config") {
