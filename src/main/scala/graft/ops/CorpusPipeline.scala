@@ -53,4 +53,24 @@ object CorpusPipeline {
         sum(TextAnalysis.tokenCount(col(textCol))).as("tokens_kept"))
       .orderBy(sourceCol)
   }
+
+  /** The complete standard curation flow: PII scrub → benchmark
+    * decontamination → [[curate]] (exact dedup → quality/language gate
+    * → near-dup removal → accounting). Each added stage is narrow or a
+    * broadcast semi-join, so the scale shape of [[curate]] is
+    * unchanged. Redaction runs FIRST so dedup/quality/shingles all see
+    * the text the model would actually train on.
+    */
+  def curateFull(
+      df: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source", decontamN: Int = 5,
+      minQuality: Double = 0.5, lang: String = "en",
+      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame = {
+    val scrubbed = df.withColumn(textCol,
+      TextAnalysis.redactPii(col(textCol)))
+    val clean = Dedup.decontaminate(scrubbed, benchmark, idCol, textCol, decontamN)
+    curate(clean, idCol, textCol, sourceCol, minQuality, lang,
+      minhashK, bands, jaccard)
+  }
 }

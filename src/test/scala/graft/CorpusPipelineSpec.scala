@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.CorpusPipeline
+
+/** Unit coverage for the composed curation flows (q50 pins `curate`
+  * against the DuckDB oracle at data scale; this pins the STAGE
+  * semantics — which gate removes which document — plus the
+  * `curateFull` pre-stages, on a corpus built so every gate fires).
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // kept: good English text
+    (1L, "the quick brown fox jumps over the lazy dog today", "s1"),
+    // exact duplicate of doc 1 → higher id loses
+    (2L, "the quick brown fox jumps over the lazy dog today", "s1"),
+    // shares a 5-gram with the benchmark → decontaminated (curateFull)
+    (3L, "the alpha beta gamma delta epsilon zeta eta theta", "s1"),
+    // too short + no stopwords → language gate drops it
+    (4L, "xx yy zz", "s1"),
+    // kept: PII redacted first, then passes every gate
+    (5L, "the contact is bob@example.com and the rest is fine text", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  private val benchmark = Seq((99L, "alpha beta gamma delta epsilon zeta"))
+    .toDF("doc_id", "text")
+
+  test("curate: exact dup and quality/language gates fire; accounting is per source") {
+    val out = CorpusPipeline.curate(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // docs 1, 3, 5 survive (no decontamination in plain curate)
+    assert(r.getAs[Long]("docs_kept") == 3, r.toString)
+    assert(r.getAs[Long]("tokens_kept") == 10 + 9 + 10, r.toString)
+  }
+
+  test("curateFull: PII scrub + decontamination compose in front of curate") {
+    val out = CorpusPipeline.curateFull(docs, benchmark).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // doc 3 now falls to the benchmark 5-gram overlap; 1 and 5 remain
+    assert(r.getAs[Long]("docs_kept") == 2, r.toString)
+    assert(r.getAs[Long]("tokens_kept") == 10 + 10, r.toString)
+  }
+}

@@ -70,6 +70,29 @@ class PlanShapeSpec extends SparkSpec {
       s"LSH join must stay an equi-join:\n$plan")
   }
 
+  test("decontaminate probes the corpus with a BROADCAST semi-join, no corpus shuffle") {
+    val docs = Graft.table(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val plan = planOf(Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 5))
+    assert(plan.contains("BroadcastExchange"),
+      s"bench shingles must broadcast:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"probe must be a semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 100 TB corpus side must never sort-merge against the dim bench:\n$plan")
+  }
+
+  test("dedupEvents (batch twin) shuffles once on the dedup key, no global sort") {
+    val ev = Graft.table(spark, sfDir, "events")
+    val plan = planOf(graft.streaming.EventStream.dedupEvents(
+      ev, Seq("user_id", "event_type")))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"one hash exchange on the key:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere:\n$plan")
+  }
+
   test("sketch kernels stay inside whole-stage codegen") {
     // parquet-backed input: a LocalRelation would be folded at plan time
     val docs = Graft.table(spark, sfDir, "documents")
