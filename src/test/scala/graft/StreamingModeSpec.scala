@@ -86,6 +86,30 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed parquet sink: dedupEvents lands exactly-once output on disk") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = EventStream.dedupEvents(events, Seq("user_id", "event_type"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0),
+        (2L, ts("2024-01-01 00:11:00"), 7L, "view", 2.0))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 00:12:00"), 7L, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(outDir)
+    assert(landed.count() == 1, "one row per key survives to the sink")
+    assert(landed.collect().head.getAs[Long]("event_id") == 1L)
+  }
+
   test("streamingWrangle drives the full batch wrangle per micro-batch") {
     import graft.ops.{GemPipeline, TrackerConfigs}
     import org.apache.spark.sql.Row
