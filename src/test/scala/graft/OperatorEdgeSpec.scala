@@ -118,4 +118,22 @@ class OperatorEdgeSpec extends SparkSpec {
       .select("classification").collect().head.getString(0)
     assert(out == "Not Sure")
   }
+
+  test("redactPii: NULL text stays NULL; IP octet boundaries respected") {
+    val rows = Seq(Some("v 1.2.3.4 end"), Some("ver 1.2.3.4.5 x"), None)
+      .toDF("text").select(TextAnalysis.redactPii(col("text")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(rows(0).contains("v <IP> end"))
+    // 5 dotted groups: \b…\b still matches the leading 4 — greedy scrub
+    // is the safe direction for PII (over-redact, never under-redact)
+    assert(rows(1).exists(_.contains("<IP>")))
+    assert(rows(2).isEmpty)
+  }
+
+  test("decontaminate with an empty benchmark keeps the whole corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5).count() == 2)
+  }
 }
