@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting — how a
+  * 100 TB corpus gets its train/val/test partitions and its debug
+  * subsamples. A random `sample()` is neither reproducible across runs
+  * nor stable under re-partitioning; a hash of a stable key is both:
+  * membership is a pure per-row function, so it needs no shuffle, no
+  * state, and the same row lands in the same split on every machine,
+  * forever ("salted" experiments just change the key expression).
+  *
+  * The hash is [[Hashing.portableHash]] (md5-derived), so every split
+  * is re-computable in the DuckDB oracle — and in any other engine a
+  * downstream consumer might use to audit the split.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, 100) from the key's portable hash. */
+  def bucket(key: Column): Column =
+    pmod(Hashing.portableHash(key.cast("string")), lit(100L))
+
+  /** Split assignment from cumulative upper-bound percentages, e.g.
+    * `Seq("train" -> 80, "val" -> 90, "test" -> 100)` → 80/10/10.
+    * Boundaries must be increasing and end at 100.
+    */
+  def splitLabel(key: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be increasing cumulative percents ending at 100: $cuts")
+    val b = bucket(key)
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, hi), rest) =>
+      when(b < hi, name).otherwise(rest)
+    }
+  }
+
+  /** Keep a deterministic pct% of rows by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(bucket(col(keyCol)) < pct)
+
+  /** DuckDB fragment for [[bucket]], kept adjacent to prevent drift. */
+  def duckBucket(x: String): String =
+    Hashing.duckPortableHash(s"CAST($x AS VARCHAR)") + " % 100"
+}

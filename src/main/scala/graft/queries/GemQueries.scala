@@ -1645,6 +1645,45 @@ object GemQueries {
              |SELECT doc_id, source FROM sh
              |WHERE doc_id % 97 <> 0
              |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID evaluation against the gold `lang` column: the
+    // confusion-matrix counts of TextAnalysis.langIdHeuristic — the
+    // measurement loop every corpus-quality heuristic needs.
+    QueryDef("q56_lang_eval",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"),
+          graft.ops.TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+      Some("""SELECT lang,
+             |  CASE WHEN swr >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+             |  count(*) AS n
+             |FROM (SELECT lang, CAST(len(list_filter(tk, t -> t IN
+             |        ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+             |        / len(tk) AS swr
+             |      FROM (SELECT lang, list_filter(
+             |              string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |            FROM documents))
+             |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin)),
+
+    // Deterministic hash split (Sampling.splitLabel): stable 80/10/10
+    // train/val/test assignment from the doc_id hash, audited per
+    // (source, split) with doc and char counts.
+    QueryDef("q57_hash_split",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("source"),
+          graft.ops.Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 80, "val" -> 90, "test" -> 100)).as("split"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("source", "split"),
+      Some(("""SELECT source,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |    ELSE 'test' END AS split,
+             |  count(*) AS docs, sum(n_chars) AS chars
+             |FROM (SELECT source, n_chars,
+             |        """ + graft.ops.Sampling.duckBucket("doc_id") + """ AS b
+             |      FROM documents)
+             |GROUP BY source, split ORDER BY source, split""").stripMargin))
   )
 }

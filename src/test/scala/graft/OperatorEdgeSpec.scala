@@ -130,6 +130,24 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(rows(2).isEmpty)
   }
 
+  test("hash split is deterministic, exhaustive, and near the target ratios") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val keys = (1L to 2000L).toDF("id")
+    val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    val counts = keys.groupBy(Sampling.splitLabel(col("id"), cuts).as("split"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000 && counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    assert(counts("val") > 120 && counts("val") < 280, counts.toString)
+    // determinism: a re-run assigns identical splits
+    val a = keys.select(col("id"), Sampling.splitLabel(col("id"), cuts).as("s"))
+    assert(a.except(a).count() == 0)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.splitLabel(col("id"), Seq("a" -> 90, "b" -> 80))
+    }.getMessage.contains("cuts"))
+  }
+
   test("decontaminate with an empty benchmark keeps the whole corpus") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
