@@ -93,6 +93,23 @@ class PlanShapeSpec extends SparkSpec {
       s"no global sort anywhere:\n$plan")
   }
 
+  test("catalog-wide sweep: no query plans an ACCIDENTAL cartesian join") {
+    // Intentional broadcast cross-joins (corpus × broadcast dim-sized
+    // side, documented in Similarity): bruteForceTopK's query set and
+    // ivfTopK's centroid table. Everything else must stay equi-joined.
+    val intendedCross = Set("q29_cosine_topk", "q52_ivf_topk")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sfDir))
+      if (!intendedCross(name))
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a cartesian/nested-loop join:\n$plan")
+      else
+        assert(!plan.contains("CartesianProduct"),
+          s"$name must broadcast its cross side, never a full cartesian:\n$plan")
+    }
+  }
+
   test("sketch kernels stay inside whole-stage codegen") {
     // parquet-backed input: a LocalRelation would be folded at plan time
     val docs = Graft.table(spark, sfDir, "documents")
