@@ -1684,6 +1684,32 @@ object GemQueries {
              |FROM (SELECT source, n_chars,
              |        """ + graft.ops.Sampling.duckBucket("doc_id") + """ AS b
              |      FROM documents)
-             |GROUP BY source, split ORDER BY source, split""").stripMargin))
+             |GROUP BY source, split ORDER BY source, split""").stripMargin)),
+
+    // Stream-stream interval join, batch-parity leg (the two-stream
+    // MemoryStream run is in StreamingModeSpec): clicks attributed to
+    // the views they followed within 10 minutes, per user.
+    QueryDef("q58_stream_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        graft.streaming.EventStream.correlate(
+          views, clicks, "user_id", "view_ts", "click_ts", "10 minutes")
+          .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+          .orderBy("user_id", "view_id", "click_id")
+      },
+      Some("""SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+             |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+             |        event_id AS view_id FROM events WHERE event_type = 'view') v
+             |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+             |        event_id AS click_id FROM events WHERE event_type = 'click') c
+             |  ON v.user_id = c.user_id AND c.click_ts >= v.view_ts
+             |    AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+             |ORDER BY v.user_id, view_id, click_id""".stripMargin))
   )
 }

@@ -103,6 +103,29 @@ object EventStream {
         .filter(col("_rn") === 1).drop("_rn")
     }
 
+  /** Stream-stream event-time interval join — attribute each right-side
+    * event to the left-side events it followed within `within` (the
+    * view→click attribution shape). In streaming mode BOTH sides get a
+    * watermark, and the time-bound join condition lets Spark evict
+    * buffered rows once the watermark passes `within` — bounded state,
+    * which an unconstrained stream-stream join would not have. The same
+    * plan runs on static frames (an equi-join on the key with a range
+    * predicate), which is how the oracle checks it.
+    *
+    * Caller pre-shapes the two sides with distinct column names apart
+    * from the join key.
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r, l(key) === r(key) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** File-source streaming entry: treat a directory of event parquet as
     * an unbounded stream (the production shape for landing-zone
     * ingest). Caller starts/stops the query.

@@ -86,6 +86,35 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("correlate joins two real streams within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val views = vIn.toDF().toDF("user_id", "view_ts", "view_id")
+    val clicks = cIn.toDF().toDF("user_id", "click_ts", "click_id")
+    val q = EventStream.correlate(
+      views, clicks, "user_id", "view_ts", "click_ts", "10 minutes")
+      .writeStream.format("memory").queryName("sj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vIn.addData(
+        (7L, ts("2024-01-01 00:10:00"), 100L),
+        (8L, ts("2024-01-01 00:10:00"), 101L))
+      cIn.addData(
+        (7L, ts("2024-01-01 00:15:00"), 200L), // within 10 min → match
+        (7L, ts("2024-01-01 00:45:00"), 201L), // too late → no match
+        (9L, ts("2024-01-01 00:12:00"), 202L)) // no view for user → drop
+      q.processAllAvailable()
+      val rows = spark.table("sj_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("view_id") == 100L &&
+        rows.head.getAs[Long]("click_id") == 200L)
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sj_test")
+    }
+  }
+
   test("checkpointed parquet sink: dedupEvents lands exactly-once output on disk") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
