@@ -1710,6 +1710,25 @@ object GemQueries {
              |        event_id AS click_id FROM events WHERE event_type = 'click') c
              |  ON v.user_id = c.user_id AND c.click_ts >= v.view_ts
              |    AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
-             |ORDER BY v.user_id, view_id, click_id""".stripMargin))
+             |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
+
+    // Corpus length-distribution analytics: per-source exact
+    // percentiles + mean of n_chars. Spark's `percentile` and DuckDB's
+    // `quantile_cont` both linear-interpolate over the sorted values,
+    // so the EXACT aggregate is oracle-portable (approx_percentile's
+    // sketch would not be).
+    QueryDef("q59_corpus_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+          round(avg("n_chars"), 4).as("mean_chars"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS docs,
+             |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+             |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+             |  round(avg(n_chars), 4) AS mean_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }
