@@ -15,7 +15,18 @@ object Bench {
     try SparkEntry.queries("q16_distinct")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local A/B knobs (unset in driver runs → full catalog, one pass):
+    // SPARK_GRAFT_BENCH_ONLY=q44_x,q27_y — restrict to named queries;
+    // SPARK_GRAFT_BENCH_REPEAT=3 — interleaved full passes (#1…#N
+    // key suffixes), the only timing this box's variance respects.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val passes = (1 to repeat).flatMap { i =>
+      catalog.map { case (n, fn) => (if (repeat > 1) s"$n#$i" else n, fn) }
+    }
+    val results = passes.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
