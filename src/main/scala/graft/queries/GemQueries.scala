@@ -1680,7 +1680,7 @@ object GemQueries {
       Some(("""SELECT source,
              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
              |    ELSE 'test' END AS split,
-             |  count(*) AS docs, sum(n_chars) AS chars
+             |  count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM (SELECT source, n_chars,
              |        """ + graft.ops.Sampling.duckBucket("doc_id") + """ AS b
              |      FROM documents)

@@ -53,8 +53,25 @@ def main(sf_dir, out_dir):
             problems.append(f"rows {len(got)} vs {len(want)}")
         if sorted(got.columns) != sorted(want.columns):
             problems.append(f"cols {sorted(got.columns)} vs {sorted(want.columns)}")
-        elif canon(got) != canon(want):
-            problems.append("hash mismatch")
+        else:
+            # The driver's comparator is stricter than %.6g about numeric
+            # kind: a DuckDB HUGEINT (→ float64 in pandas) against a Spark
+            # int64 hash-mismatches there even when values agree. Flag any
+            # int-vs-float kind skew so it can't pass locally and fail in
+            # the round gate (bit us in r06 on q57).
+            def kind(dt):
+                s = str(dt)
+                if s.startswith(("int", "uint")):
+                    return "int"
+                if s.startswith("float"):
+                    return "float"
+                return "other"
+            skew = [c for c in got.columns
+                    if kind(got[c].dtype) != kind(want[c].dtype)]
+            if skew:
+                problems.append(f"dtype skew {skew}")
+            elif canon(got) != canon(want):
+                problems.append("hash mismatch")
         if problems:
             print(f"{name}: FAIL ({'; '.join(problems)})")
         else:
