@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the missing last step of every
+  * near-duplicate pipeline. Pair finders ([[Dedup.minhashNearDups]],
+  * [[Dedup.simhashNearDups]], [[Dedup.ngramJaccardPairs]]) emit EDGES;
+  * deduplication needs CLUSTERS: if A~B and B~C, then {A,B,C} is one
+  * duplicate group and exactly one representative should survive, even
+  * though (A,C) was never emitted as a pair. Keeping "one of each pair"
+  * without clustering either under-deletes (transitive dups survive) or
+  * over-deletes (both endpoints dropped).
+  *
+  * Algorithm: hash-min label propagation (the standard BSP/Pregel
+  * formulation). Every node starts labeled with its own id; each round,
+  * every node takes the min of its label and its neighbors' labels; at
+  * the fixpoint every node carries the min id of its component. One
+  * round = one shuffle join (labels × symmetric edges) + one min
+  * aggregate — both map-side combinable — and the number of rounds is
+  * the graph DIAMETER. Near-dup graphs are dense clumps with tiny
+  * diameter (pairs exist because documents overlap heavily, so cluster
+  * members are mostly directly connected): 2–4 rounds in practice. For
+  * adversarially high-diameter graphs (long chains), the two-phase
+  * large-star/small-star algorithm of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SoCC'14), converges in
+  * O(log² n) rounds with the same per-round shape — swap the loop body,
+  * keep the contract.
+  *
+  * Driver involvement is one convergence check per round (a changed-
+  * label count), and lineage is truncated with an eager
+  * `localCheckpoint` per round so the plan does not grow with the
+  * iteration count — the classic iterative-Spark failure mode.
+  */
+object Components {
+
+  /** Label every node with the smallest node id reachable from it.
+    *
+    * @param nodes one row per node (`idCol`, long-castable); must cover
+    *              every edge endpoint — endpoints absent from `nodes`
+    *              still propagate labels but also appear in the output
+    * @param edges undirected pair list (`srcCol`, `dstCol`); duplicates
+    *              and orientation don't matter
+    * @return (`id`, `component`) — component = min node id, so a node
+    *         is its cluster's canonical representative iff
+    *         `id == component`
+    * @throws IllegalStateException if not converged in `maxIter` rounds
+    *         (diameter > maxIter: raise it, or switch to star-contraction)
+    */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct() // parallel edges would only re-send identical messages
+      .persist()
+
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      // Neighbor messages: each edge forwards the source's current
+      // label to its destination; min-combine with the node's own.
+      val msgs = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select("id", "component").union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      // Hash-min labels only ever decrease, so "any row changed" is the
+      // exact fixpoint test (no label-sum overflow risk at scale).
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds — " +
+          "graph diameter exceeds maxIter")
+    labels
+  }
+
+  /** Near-dup clusters with sizes: every doc labeled with its
+    * component's canonical (min) doc id and the cluster row count.
+    * Singletons (no near-dup) are their own component of size 1.
+    * The dedup decision is then a filter: keep `doc_id == component`.
+    */
+  def dedupClusters(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val cc = connectedComponents(docs.select(idCol), idCol, pairs, srcCol, dstCol)
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as(idCol), col("component"), col("cluster_size"))
+  }
+}

@@ -40,6 +40,24 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(bucket(col(keyCol)) < pct)
 
+  /** Stratified deterministic sampling: per-stratum keep rates (data
+    * mixing — up/down-weighting sources toward a target corpus
+    * mixture). Same shuffle-free membership predicate as [[hashSample]],
+    * just with the rate chosen by the stratum column; unlisted strata
+    * fall back to `defaultPct`. Rates are percents in [0, 100].
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    require((defaultPct +: rates.map(_._2)).forall(p => p >= 0 && p <= 100),
+      s"rates must be percents in [0, 100]: $rates / $defaultPct")
+    val rate = rates.foldRight(lit(defaultPct): Column) {
+      case ((stratum, pct), rest) =>
+        when(col(strataCol) === stratum, pct).otherwise(rest)
+    }
+    df.filter(bucket(col(keyCol)) < rate)
+  }
+
   /** DuckDB fragment for [[bucket]], kept adjacent to prevent drift. */
   def duckBucket(x: String): String =
     Hashing.duckPortableHash(s"CAST($x AS VARCHAR)") + " % 100"

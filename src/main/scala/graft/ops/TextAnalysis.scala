@@ -104,6 +104,54 @@ object TextAnalysis {
     regexp_replace(ip, lit("\\b\\d{9,}\\b"), lit("<NUM>"))
   }
 
+  /** Adjacent-token bigram array ("a b" strings). The `transform` HOF
+    * is acceptable here (unlike [[tokens]]) because every caller
+    * immediately explodes the result — the row already leaves
+    * whole-stage codegen at the generate, so there is no codegen span
+    * to protect. Guarded for <2 tokens: Spark's `sequence(1, 0)`
+    * DESCENDS rather than returning empty.
+    */
+  def bigrams(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+  }
+
+  /** Per-document n-gram repetition signals — the Gopher-rules
+    * repetition filters (Rae et al. 2021, §A1.1): a document whose
+    * single most frequent bigram covers a large fraction of all its
+    * bigrams is boilerplate/spam, and a low distinct-bigram ratio is
+    * templated text. [[typeTokenRatio]] is the unigram analogue; the
+    * bigram statistics need a most-frequent-element count, which is not
+    * a per-row expression — this is the distributed formulation:
+    * explode → count per (doc, bigram) → max/sum per doc. Both
+    * aggregates map-side combine, and the shuffle key (doc_id, bigram)
+    * is high-cardinality and uniform, so the plan scales linearly — no
+    * per-doc hash map ever materializes on one executor.
+    *
+    * Output: `idCol`, `n_bigrams` (0 for <2-token docs),
+    * `top_bigram_frac`, `distinct_bigram_frac` (null for <2-token docs).
+    */
+  def repetitionSignals(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perBigram = df
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
+    val perDoc = perBigram.groupBy(idCol).agg(
+      sum("c").as("n_bigrams"),
+      max("c").as("top_c"),
+      count(lit(1)).as("n_distinct"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"),
+        round(col("n_distinct").cast("double") / col("n_bigrams"), 4)
+          .as("distinct_bigram_frac"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

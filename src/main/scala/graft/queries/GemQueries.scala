@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.core.Graft
-import graft.ops.{Cleaning, Coordinates, CorpusPipeline, Dedup, GemPipeline,
-  Multimodal, Ownership, Similarity, Skew, TextAnalysis, Timeseries,
-  TrackerConfigs}
+import graft.ops.{AsofJoin, Cleaning, Components, Coordinates,
+  CorpusPipeline, Dedup, GemPipeline, Multimodal, Ownership, Packing,
+  Sampling, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -18,6 +18,47 @@ object GemQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
+
+  /** Shared oracle CTE chain: MinHash signatures → LSH bands → verified
+    * exact-Jaccard pairs on the `doc_id < 1000` slice. q44 selects the
+    * pairs directly; q61 stacks a recursive connected-components CTE on
+    * top. ONE definition so the two oracles cannot drift (the r3/r5
+    * lesson: oracle CTE copies diverge silently).
+    */
+  private val minhashVerifiedCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
+      |  FROM documents WHERE doc_id < 1000),
+      |ph AS (
+      |  SELECT doc_id, tk, list_transform(tk, t ->
+      |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, tk, CASE WHEN len(h31) > 0 THEN
+      |    list_transform(generate_series(0, 63), s ->
+      |    list_min(list_transform(h31, h ->
+      |      (((s*1103515245 + 12345) % 2147483647) * h
+      |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
+      |  FROM ph),
+      |bands AS (
+      |  SELECT doc_id, b.band_id,
+      |    md5(array_to_string(list_transform(
+      |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
+      |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+      |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |  FROM bands l JOIN bands r
+      |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+      |   AND l.doc_id < r.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+      |  FROM cand c
+      |  JOIN toks a ON a.doc_id = c.id_a
+      |  JOIN toks b ON b.doc_id = c.id_b)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1200,41 +1241,9 @@ object GemQueries {
         t(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id", "text",
         k = 64, bands = 8, threshold = 0.8)
         .orderBy("id_a", "id_b"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_distinct(list_filter(
-             |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
-             |  FROM documents WHERE doc_id < 1000),
-             |ph AS (
-             |  SELECT doc_id, tk, list_transform(tk, t ->
-             |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
-             |  FROM toks),
-             |sig AS (
-             |  SELECT doc_id, tk, CASE WHEN len(h31) > 0 THEN
-             |    list_transform(generate_series(0, 63), s ->
-             |    list_min(list_transform(h31, h ->
-             |      (((s*1103515245 + 12345) % 2147483647) * h
-             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
-             |  FROM ph),
-             |bands AS (
-             |  SELECT doc_id, b.band_id,
-             |    md5(array_to_string(list_transform(
-             |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
-             |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
-             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b),
-             |cand AS (
-             |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-             |  FROM bands l JOIN bands r
-             |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-             |   AND l.doc_id < r.doc_id),
-             |verified AS (
-             |  SELECT c.id_a, c.id_b,
-             |    round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-             |          len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
-             |  FROM cand c
-             |  JOIN toks a ON a.doc_id = c.id_a
-             |  JOIN toks b ON b.doc_id = c.id_b)
-             |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
-             |ORDER BY id_a, id_b""".stripMargin)),
+      Some("WITH " + minhashVerifiedCtes + "\n" +
+        """SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     // LSH-bucketed approximate top-k (Similarity.lshTopK): candidate
     // set restricted to the query's random-hyperplane bucket, exact
@@ -1729,6 +1738,138 @@ object GemQueries {
              |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
              |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
              |  round(avg(n_chars), 4) AS mean_chars
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // As-of join (AsofJoin.join): each click attributed to the LATEST
+    // view at-or-before it per user — one union + one window, no range
+    // join blow-up. Oracle = DuckDB's native ASOF LEFT JOIN, which pins
+    // the exact semantics (left-outer, <= inclusive). The right side is
+    // deduped to one row per (user, ts) first so tie resolution —
+    // unspecified in ASOF — cannot differ between engines; unmatched
+    // clicks coalesce to -1 to keep the column int64 on both sides.
+    QueryDef("q60_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        AsofJoin.join(clicks, views, Seq("user_id"),
+          "click_ts", "ts", Seq("view_id"))
+          .select(col("user_id"), col("click_id"), col("click_ts"),
+            coalesce(col("view_id"), lit(-1L)).as("view_id"))
+          .orderBy("user_id", "click_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts, max(event_id) AS view_id
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |c AS (
+             |  SELECT user_id, ts AS click_ts, event_id AS click_id
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.user_id, c.click_id, c.click_ts,
+             |  coalesce(v.view_id, -1) AS view_id
+             |FROM c ASOF LEFT JOIN v
+             |  ON c.user_id = v.user_id AND v.ts <= c.click_ts
+             |ORDER BY c.user_id, click_id""".stripMargin)),
+
+    // Near-dup CLUSTERS (Components.dedupClusters): hash-min connected
+    // components over the q44 minhash pair graph — the transitive
+    // closure a pair list alone cannot give. Oracle = recursive CTE
+    // propagating min-reachable-id over the SAME pair CTEs as q44.
+    QueryDef("q61_dedup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        """pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |          UNION ALL SELECT id_b, id_a FROM pairs),
+          |reach(id, lbl) AS (
+          |  SELECT doc_id, doc_id FROM toks
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+          |sizes AS (SELECT component, count(*) AS cluster_size
+          |          FROM comp GROUP BY component)
+          |SELECT comp.id AS doc_id, comp.component, sizes.cluster_size
+          |FROM comp JOIN sizes USING (component)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style n-gram repetition signals (TextAnalysis
+    // .repetitionSignals): top-bigram fraction + distinct-bigram ratio
+    // per document via explode → two map-side-combinable aggregates.
+    QueryDef("q62_repetition",
+      (s, dir) => TextAnalysis.repetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, list_transform(generate_series(1, len(tk) - 1),
+             |    i -> tk[i] || ' ' || tk[i + 1]) AS bgs
+             |  FROM tk),
+             |cnt AS (
+             |  SELECT doc_id, bigram, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(bgs) AS bigram FROM bg)
+             |  GROUP BY doc_id, bigram),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |    max(c) AS top_c, count(*) AS n_distinct
+             |  FROM cnt GROUP BY doc_id)
+             |SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+             |  round(CAST(a.top_c AS DOUBLE) / a.n_bigrams, 4) AS top_bigram_frac,
+             |  round(CAST(a.n_distinct AS DOUBLE) / a.n_bigrams, 4)
+             |    AS distinct_bigram_frac
+             |FROM tk t LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing (Packing.packBudgeted): deterministic
+    // concat-and-chunk bin assignment per source — one window, integral
+    // div (exact past 2^53). Audited per (source, bin).
+    QueryDef("q63_pack_sequences",
+      (s, dir) => Packing.packBudgeted(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        budget = 4000L, strataCols = Seq("source"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+        .orderBy("source", "bin"),
+      Some("""WITH packed AS (
+             |  SELECT source, n_chars,
+             |    CAST(COALESCE(sum(n_chars) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      // 4000 AS BIGINT) AS bin
+             |  FROM documents)
+             |SELECT source, bin, count(*) AS docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM packed GROUP BY source, bin
+             |ORDER BY source, bin""".stripMargin)),
+
+    // Stratified deterministic sampling (Sampling.stratifiedSample):
+    // per-source keep rates toward a target mixture, audited per
+    // source. Same md5 bucket as q57, rate chosen by stratum.
+    QueryDef("q64_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "source",
+        rates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 10),
+        defaultPct = 25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+        .orderBy("source"),
+      Some(("""SELECT source, count(*) AS docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM (SELECT source, n_chars,
+             |        """ + Sampling.duckBucket("doc_id") + """ AS b
+             |      FROM documents)
+             |WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+             |  WHEN 'src2' THEN 10 ELSE 25 END
+             |GROUP BY source ORDER BY source""").stripMargin))
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Components
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("a", "b")
+    Components.connectedComponents(n, "id", e, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("transitive chain collapses to one component under min id") {
+    // 1-2, 2-3, 3-4: pairwise finder never emits (1,4)
+    val got = cc(Seq(1L, 2L, 3L, 4L, 9L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
+  test("orientation and duplicate edges are irrelevant") {
+    val a = cc(Seq(1L, 2L, 3L), Seq((3L, 2L), (2L, 1L)))
+    val b = cc(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L), (2L, 3L), (3L, 2L)))
+    assert(a == b && a(3L) == 1L)
+  }
+
+  test("disjoint clusters keep distinct labels; singletons label themselves") {
+    val got = cc(Seq(1L, 2L, 5L, 6L, 8L), Seq((1L, 2L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L))
+  }
+
+  test("a long path needs diameter rounds and still converges") {
+    val n = 12L // path 0-1-2-...-11: worst diameter per node count
+    val got = cc((0L until n), (0L until n - 1).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(0L) && got.size == n)
+  }
+
+  test("maxIter below the diameter fails loudly, not wrongly") {
+    val e = (0L until 11L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Components.connectedComponents(
+        (0L until 12L).toDF("id"), "id", e.toDF("a", "b"), "a", "b",
+        maxIter = 2).collect()
+    }
+  }
+
+  test("dedupClusters sizes clusters and marks the min id as canonical") {
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (7L, 7L, 1L)))
+    // the dedup decision: keep doc_id == component
+    assert(got.count { case (id, comp, _) => id == comp } == 2)
+  }
+}

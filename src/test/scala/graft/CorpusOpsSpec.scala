@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.{Packing, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Edge semantics for the round-7 corpus operators: repetition
+  * signals, sequence packing, stratified sampling.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigrams: guarded for short texts, adjacent pairs otherwise") {
+    val df = Seq("", "one", "a b", "a b c").toDF("t")
+      .select(TextAnalysis.bigrams(col("t")).as("bg"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(Nil, Nil, List("a b"), List("a b", "b c")))
+  }
+
+  test("repetitionSignals: fractions and the <2-token null contract") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // bigrams: 3× "spam spam"
+      (2L, "all words differ here"), // 3 distinct bigrams
+      (3L, "tiny") // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getAs[Any]("top_bigram_frac")),
+          Option(r.getAs[Any]("distinct_bigram_frac")))).toMap
+    assert(got(1L) == ((3L, Some(1.0), Some(0.3333))))
+    assert(got(2L) == ((3L, Some(0.3333), Some(1.0))))
+    assert(got(3L) == ((0L, None, None)))
+  }
+
+  test("packBudgeted: bin = chunk of the row's start offset, per stratum") {
+    val df = Seq(
+      ("s", 1L, 400L), ("s", 2L, 400L), ("s", 3L, 400L), // starts 0, 400, 800
+      ("s", 4L, 900L), // start 1200 → bin 1
+      ("t", 1L, 50L) // own stratum restarts at 0
+    ).toDF("src", "id", "sz")
+    val got = Packing.packBudgeted(df, "id", "sz", budget = 1000L, Seq("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got(("s", 1L)) == 0 && got(("s", 2L)) == 0 && got(("s", 3L)) == 0)
+    assert(got(("s", 4L)) == 1)
+    assert(got(("t", 1L)) == 0)
+    // a straddler belongs to the bin its START falls in: id=3 starts at
+    // 800 < 1000 even though it ends at 1200
+  }
+
+  test("packBudgeted bins are contiguous in pack order") {
+    val df = (1L to 100L).map(i => ("s", i, 137L)).toDF("src", "id", "sz")
+    val rows = Packing.packBudgeted(df, "id", "sz", budget = 500L, Seq("src"))
+      .orderBy("id").collect().map(_.getLong(3))
+    assert(rows.head == 0L)
+    assert(rows.sliding(2).forall { case Array(a, b) => b - a == 0 || b - a == 1 })
+  }
+
+  test("stratifiedSample: per-stratum rate, 0 and 100 are exact") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 200) "keepall" else "dropall")).toDF("k", "src")
+    val got = Sampling.stratifiedSample(df, "k", "src",
+      Seq("keepall" -> 100, "dropall" -> 0), defaultPct = 50)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("keepall" -> 200L))
+  }
+
+  test("stratifiedSample: unlisted strata use the default and subset hashSample") {
+    val df = (1L to 500L).map(i => (i, "other")).toDF("k", "src")
+    val strat = Sampling.stratifiedSample(df, "k", "src", Seq("x" -> 90), defaultPct = 30)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val plain = Sampling.hashSample(df, "k", 30)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(strat == plain) // same bucket function ⇒ identical membership
+    assert(strat.nonEmpty && strat.size < 500)
+  }
+}
