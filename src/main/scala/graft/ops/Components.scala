@@ -94,6 +94,77 @@ object Components {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the adversarial-diameter counterpart to
+    * [[connectedComponents]]: O(log² n) rounds regardless of graph
+    * shape, where hash-min needs diameter rounds (a 10M-link chain
+    * would need 10M rounds of hash-min but ~50 star rounds). Per round
+    * the work is the same shape as hash-min — a min aggregate per node
+    * plus one join — so the constant factor is comparable; prefer
+    * hash-min for near-dup clump graphs (2–4 rounds, no except()-based
+    * convergence scan), this for graphs whose diameter is unknown.
+    *
+    * Round = large-star (every neighbor LARGER than u re-attaches to
+    * u's neighborhood minimum) then small-star (every neighbor ≤ u,
+    * and u itself, attach to that minimum). The fixpoint is a forest of
+    * stars rooted at each component's min id; both operators preserve
+    * connectivity, so the stars are exactly the components — validated
+    * against a local union-find AND against hash-min on random graphs
+    * in ComponentsPropertySpec.
+    */
+  def connectedComponentsStar(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    // canonical undirected form: (a < b), no self-loops, no dups
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // both orientations, as (u, neighbor v)
+    def sym(df: DataFrame): DataFrame =
+      df.select(col("a").as("u"), col("b").as("v"))
+        .union(df.select(col("b").as("u"), col("a").as("v")))
+    // neighborhood minimum per node, u itself a candidate
+    def minOfStar(s: DataFrame): DataFrame = s.groupBy("u")
+      .agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+
+    var cur = canon(edges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = cur.isEmpty
+    while (!converged && round < maxIter) {
+      val s1 = sym(cur)
+      val large = canon(s1.join(minOfStar(s1), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+      val s2 = sym(large)
+      val m2 = minOfStar(s2)
+      val small = canon(
+        s2.join(m2, "u").filter(col("v") <= col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(m2.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint(true)
+      // Fixpoint = same canonical edge set. Equal counts + empty
+      // one-sided except ⇒ set equality (both are distinct sets).
+      converged = small.count() == cur.count() &&
+        small.exceptAll(cur).isEmpty
+      cur.unpersist()
+      cur = small
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxIter rounds")
+    // Star state: every non-root has exactly its (root, node) edge;
+    // roots and singletons label themselves.
+    nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .join(cur.groupBy(col("b").as("id")).agg(min("a").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+  }
+
   /** Near-dup clusters with sizes: every doc labeled with its
     * component's canonical (min) doc id and the cluster row count.
     * Singletons (no near-dup) are their own component of size 1.

@@ -104,19 +104,30 @@ object TextAnalysis {
     regexp_replace(ip, lit("\\b\\d{9,}\\b"), lit("<NUM>"))
   }
 
-  /** Adjacent-token bigram array ("a b" strings). The `transform` HOF
-    * is acceptable here (unlike [[tokens]]) because every caller
-    * immediately explodes the result — the row already leaves
-    * whole-stage codegen at the generate, so there is no codegen span
-    * to protect. Guarded for <2 tokens: Spark's `sequence(1, 0)`
-    * DESCENDS rather than returning empty.
+  /** Adjacent-token bigram array ("a b" strings) from an ALREADY
+    * MATERIALIZED token array column. The lambda's `tkCol` reference
+    * must be a cheap attribute, NOT an inlined expression: `transform`'s
+    * input here is the index `sequence`, so anything inside the lambda
+    * is re-evaluated PER ELEMENT — inlining `tokens(text)` made every
+    * bigram re-run the tokenizer regex over the whole text, turning the
+    * row O(n) into O(n²) regex scans (measured 7 s → sub-second on q62
+    * at sf0.1). The `transform` HOF itself is acceptable (unlike in
+    * [[tokens]]) because every caller immediately explodes the result —
+    * the row already leaves whole-stage codegen at the generate.
+    * Guarded for <2 tokens: Spark's `sequence(1, 0)` DESCENDS rather
+    * than returning empty.
     */
-  def bigrams(text: Column): Column = {
-    val tk = tokens(text)
-    when(size(tk) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-  }
+  def bigramsFromTokens(tkCol: Column): Column =
+    when(size(tkCol) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tkCol) - 1),
+        i => concat_ws(" ", element_at(tkCol, i), element_at(tkCol, i + 1))))
+
+  /** Convenience single-expression form — ONLY for one-off row counts /
+    * tests: inlines the tokenizer into the lambda (see
+    * [[bigramsFromTokens]] for why that is quadratic). Hot paths must
+    * materialize `tokens(text)` in a projection first.
+    */
+  def bigrams(text: Column): Column = bigramsFromTokens(tokens(text))
 
   /** Per-document n-gram repetition signals — the Gopher-rules
     * repetition filters (Rae et al. 2021, §A1.1): a document whose
@@ -136,7 +147,10 @@ object TextAnalysis {
   def repetitionSignals(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perBigram = df
-      .select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      // tokenize in its own (codegen'd) projection so the bigram
+      // lambda reads a materialized array — see bigramsFromTokens
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(bigramsFromTokens(col("tk"))).as("bigram"))
       .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
     val perDoc = perBigram.groupBy(idCol).agg(
       sum("c").as("n_bigrams"),
