@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** As-of (nearest-timestamp) join — the temporal lookup every event /
   * market / telemetry pipeline needs: for each left row, attach the
@@ -24,10 +24,17 @@ import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
   *
   * Semantics are pinned to DuckDB's `ASOF JOIN` (the q60 oracle):
   * left-outer — unmatched left rows keep null payload — and a right row
-  * at exactly `leftTs` matches (`<=` / `>=` inclusive). Ties (two right
-  * rows sharing (key, ts)) resolve to the greatest payload tuple, which
-  * ASOF leaves unspecified; de-duplicate the right side first if the
-  * distinction matters.
+  * at exactly `leftTs` matches (`<=` / `>=` inclusive). The attached
+  * payload is one WHOLE right row: the carried value is a single
+  * `last(struct(ts, payload…), ignoreNulls = true)`, so the matched
+  * timestamp and every payload column always come from the same right
+  * row even when payload columns are individually null (per-column
+  * carries would stitch values across rows). Null-keyed right rows are
+  * dropped up front — SQL equality never matches NULL, and the oracle
+  * agrees — so null-keyed left rows come back with null payload. Ties
+  * (two right rows sharing (key, ts)) resolve to the greatest payload
+  * tuple, which ASOF leaves unspecified; de-duplicate the right side
+  * first if the distinction matters.
   */
 object AsofJoin {
 
@@ -73,52 +80,59 @@ object AsofJoin {
 
     val ts = "_asof_ts" // unified event-time axis for the union scan
     val tag = "_asof_tag" // 0 = right, 1 = left; right sorts first at ties
+    val pay = "_asof_pay" // whole right row (matched ts + payload) as ONE struct
     val mts = matchedTsCol.getOrElse("_asof_mts")
+    require(!payload.contains(mts),
+      s"matchedTsCol '$mts' collides with a payload column")
     val rightTsType = right.schema(rightTs).dataType
+    val payType = StructType(StructField(mts, rightTsType) +:
+      payload.map(p => StructField(p, right.schema(p).dataType)))
 
     // Widen both sides to a common schema: left keeps every column and
-    // nulls the payload; right keeps keys + payload and nulls the rest.
-    // Catalyst column-prunes the nulled slots out of both scans, so the
-    // union is not a real width cost.
+    // a NULL payload struct (null as a whole, so `last(ignoreNulls)`
+    // skips it); right keeps keys and packs (matched ts, payload…) into
+    // one struct. Catalyst column-prunes the nulled slots out of both
+    // scans, so the union is not a real width cost. Null-keyed right
+    // rows are dropped: SQL equality never matches NULL keys.
     val lSide = left
       .withColumn(ts, col(leftTs))
       .withColumn(tag, lit(1))
-      .withColumn(mts, lit(null).cast(rightTsType))
-      .select(col(ts) +: col(tag) +: col(mts) +:
-        (leftCols.map(col) ++ payload.map(p =>
-          lit(null).cast(right.schema(p).dataType).as(p))): _*)
+      .withColumn(pay, lit(null).cast(payType))
+      .select(col(ts) +: col(tag) +: col(pay) +: leftCols.map(col): _*)
     val rSide = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn(ts, col(rightTs))
       .withColumn(tag, lit(0))
-      .withColumn(mts, col(rightTs))
-      .select(col(ts) +: col(tag) +: col(mts) +:
-        (leftCols.map(c =>
+      .withColumn(pay, struct(col(rightTs).as(mts) +: payload.map(col): _*))
+      .select(col(ts) +: col(tag) +: col(pay) +:
+        leftCols.map(c =>
           // keys must survive on right rows — they partition the window
           if (keys.contains(c)) col(c)
-          else lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(col)): _*)
+          else lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // Backward: ascending time, carry the last right row seen so far.
     // Forward: descending time — the same running-`last` then yields the
     // NEXT right row at-or-after. Right rows (tag 0) sort before left
     // rows at equal ts either way, so exact-ts rights are eligible; the
-    // ascending payload tie-break makes `last` pick the greatest payload
-    // tuple among same-(key, ts) right rows deterministically.
+    // ascending struct tie-break (lexicographic over (ts, payload…))
+    // makes `last` pick the greatest payload tuple among same-(key, ts)
+    // right rows deterministically.
     val timeOrd = direction match {
       case Backward => col(ts).asc
       case Forward => col(ts).desc
     }
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrd +: col(tag).asc +: payload.map(col(_).asc): _*)
+      .orderBy(timeOrd, col(tag).asc, col(pay).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lSide.union(rSide)
-      .select(
-        col(tag) +:
-          last(col(mts), ignoreNulls = true).over(w).as(mts) +:
-          (leftCols.map(col) ++
-            payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+      .select(col(tag) +:
+        last(col(pay), ignoreNulls = true).over(w).as(pay) +:
+        leftCols.map(col): _*)
       .filter(col(tag) === 1)
+      // Unpack the carried struct: one source row for ALL attached cols.
+      .select(col(tag) +: (mts +: payload).map(f => col(pay)(f).as(f)) ++:
+        leftCols.map(col): _*)
 
     // Tolerance: null out matches farther than the bound — the matched
     // timestamp is the arbiter.

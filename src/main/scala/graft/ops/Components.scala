@@ -27,18 +27,27 @@ import org.apache.spark.sql.functions._
   * O(log² n) rounds with the same per-round shape — swap the loop body,
   * keep the contract.
   *
-  * Driver involvement is one convergence check per round (a changed-
-  * label count), and lineage is truncated with an eager
+  * Driver involvement is one cheap convergence probe per round — the
+  * changed-or-not flag is computed INSIDE the round's aggregate (the
+  * node's previous label rides along and `component != previous` is a
+  * column of the checkpointed result), so testing the fixpoint is a
+  * filter scan over already-materialized blocks, not a second
+  * join+count pass. Lineage is truncated with an eager
   * `localCheckpoint` per round so the plan does not grow with the
-  * iteration count — the classic iterative-Spark failure mode.
+  * iteration count — the classic iterative-Spark failure mode. Only
+  * edge ENDPOINTS iterate: nodes touching no edge can never change
+  * label, so singletons sit out of the loop and are joined back at the
+  * end — on a near-dup graph where most docs are unique, the frame in
+  * flight is the small dup-involved subset, not the whole corpus.
   */
 object Components {
 
   /** Label every node with the smallest node id reachable from it.
     *
-    * @param nodes one row per node (`idCol`, long-castable); must cover
-    *              every edge endpoint — endpoints absent from `nodes`
-    *              still propagate labels but also appear in the output
+    * @param nodes one row per node (`idCol`, long-castable); endpoints
+    *              absent from `nodes` are seeded like any other node
+    *              (the min-id invariant holds for them) and appear in
+    *              the output
     * @param edges undirected pair list (`srcCol`, `dstCol`); duplicates
     *              and orientation don't matter
     * @return (`id`, `component`) — component = min node id, so a node
@@ -58,10 +67,14 @@ object Components {
       .distinct() // parallel edges would only re-send identical messages
       .persist()
 
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
+    val allNodes = nodes.select(col(idCol).cast("long").as("id")).distinct()
+
+    // Seed from the edge endpoints themselves: every endpoint proposes
+    // its own id, so the min-id invariant holds even for endpoints
+    // missing from `nodes`. Non-endpoint nodes are singletons — they
+    // never change and rejoin after the loop.
+    var ckpt = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"), lit(false).as("changed"))
       .localCheckpoint(true)
 
     var round = 0
@@ -69,21 +82,28 @@ object Components {
     while (!converged && round < maxIter) {
       // Neighbor messages: each edge forwards the source's current
       // label to its destination; min-combine with the node's own.
+      // The node's previous label rides along (every id contributes
+      // exactly one non-null `own`), so "did any label move" falls out
+      // of the same aggregate — hash-min labels only ever decrease, so
+      // it is the exact fixpoint test.
+      val labels = ckpt.select("id", "component")
       val msgs = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.select("id", "component").union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast("long").as("own"))
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("own"))
+        .union(msgs)
+        .groupBy("id")
+        .agg(min("component").as("component"), max("own").as("own"))
+        .select(col("id"), col("component"),
+          (col("component") =!= col("own")).as("changed"))
         .localCheckpoint(true)
-      // Hash-min labels only ever decrease, so "any row changed" is the
-      // exact fixpoint test (no label-sum overflow risk at scale).
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // The probe reads the blocks the checkpoint just materialized —
+      // no join, no shuffle, stops at the first changed row.
+      converged = next.where(col("changed")).isEmpty
+      ckpt.unpersist()
+      ckpt = next
       round += 1
     }
     sym.unpersist()
@@ -91,7 +111,10 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds — " +
           "graph diameter exceeds maxIter")
-    labels
+    // Singletons (and any node absent from the edge set) label
+    // themselves; endpoints absent from `nodes` still surface.
+    allNodes.join(ckpt.select("id", "component"), Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Connected components by alternating large-star / small-star

@@ -10,18 +10,27 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: stage 1 is one hash aggregate; stage 2 is narrow
   * per-row scoring; stage 3 reuses the banded minhash join (never
-  * all-pairs); the final accounting is a partial+final hash aggregate.
-  * Nothing materializes on the driver.
+  * all-pairs) and clusters its pairs with hash-min label propagation
+  * (rounds = dup-graph diameter, 2–4 in practice); the final
+  * accounting is a partial+final hash aggregate. Nothing materializes
+  * on the driver.
   */
 object CorpusPipeline {
 
   /** Returns the per-source accounting of the curated corpus:
-    * documents kept, tokens kept, and how many fell to each gate.
+    * documents kept, tokens kept, and how many fell to each gate
+    * (`dropped_exact_dup` / `dropped_quality` / `dropped_near_dup`).
+    * Every source present in the input appears — a source whose docs
+    * all fell shows `docs_kept = 0` with its funnel, which is exactly
+    * the row a curation audit needs to see.
     *
-    * Near-dup policy: from every verified pair (id_a < id_b) the
-    * LARGER id is dropped — deterministic, order-free, and transitive
-    * enough for dedup purposes (the canonical smallest id of each
-    * near-dup cluster always survives).
+    * Near-dup policy: CLUSTER-based. The verified minhash pairs are
+    * edges; [[Components.dedupClusters]] takes their transitive
+    * closure and exactly the minimum id of each connected component
+    * survives. Dropping the larger id of each PAIR instead
+    * under-deletes: with verified pairs (A,C) and (B,C) but no (A,B)
+    * — one cluster {A,B,C} — pair-drop keeps both A and B (see
+    * [[Components]]).
     */
   def curate(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
@@ -30,27 +39,48 @@ object CorpusPipeline {
       minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame = {
     // Stage 1: exact-dup winners (lowest id per identical text).
     val exactWinners = Dedup.exact(df, textCol, idCol)
-      .select(col("keep_id").as(idCol))
-    val deduped = df.join(exactWinners, Seq(idCol))
+      .select(col("keep_id").as(idCol), lit(true).as("_exact_w"))
 
-    // Stage 2: quality + language gate (narrow, codegen'd signals).
-    val gated = deduped
+    // Stage 2: quality + language signals (narrow, codegen'd). Scored
+    // for every row — exact losers carry the same text, so scoring
+    // them costs nothing extra and the funnel attributes them to the
+    // gate that actually removed them (exact dedup runs first).
+    val scored = df.join(exactWinners, Seq(idCol), "left")
       .withColumn("_quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("_lang", TextAnalysis.langIdHeuristic(col(textCol)))
-      .filter(col("_quality") >= minQuality && col("_lang") === lang)
+      .withColumn("_gate_ok",
+        coalesce(col("_exact_w"), lit(false)) &&
+          col("_quality") >= minQuality && col("_lang") === lang)
+    val gated = scored.filter(col("_gate_ok"))
+      .select(df.columns.map(col).toSeq: _*)
 
-    // Stage 3: near-dup losers via the banded minhash join over the
-    // GATED survivors (smaller input → smaller candidate set).
-    val losers = Dedup.minhashNearDups(gated, idCol, textCol,
+    // Stage 3: near-dup CLUSTERS over the gated survivors (smaller
+    // input → smaller candidate set): banded minhash pairs → connected
+    // components → keep exactly each component's min id.
+    val pairs = Dedup.minhashNearDups(gated, idCol, textCol,
       k = minhashK, bands = bands, threshold = jaccard)
-      .select(col("id_b").as(idCol)).distinct()
-    val kept = gated.join(losers, Seq(idCol), "left_anti")
+    val reps = Components.dedupClusters(gated, idCol, pairs, "id_a", "id_b")
+      .filter(col(idCol) === col("component"))
+      .select(col(idCol), lit(true).as("_nd_keep"))
 
-    kept
+    // One pass attributes every input doc to its fate; the aggregate
+    // is partial+final combinable. `scored` is lazily recomputed here
+    // rather than persisted — Catalyst prunes each branch to the
+    // columns it needs (measured cheaper than caching the wide frame).
+    scored.join(reps, Seq(idCol), "left")
+      .withColumn("_fate",
+        when(!coalesce(col("_exact_w"), lit(false)), lit("exact_dup"))
+          .when(!col("_gate_ok"), lit("quality"))
+          .when(col("_nd_keep").isNull, lit("near_dup"))
+          .otherwise(lit("kept")))
       .groupBy(col(sourceCol))
       .agg(
-        count(lit(1)).as("docs_kept"),
-        sum(TextAnalysis.tokenCount(col(textCol))).as("tokens_kept"))
+        count(when(col("_fate") === "kept", 1)).as("docs_kept"),
+        coalesce(sum(when(col("_fate") === "kept",
+          TextAnalysis.tokenCount(col(textCol)))), lit(0L)).as("tokens_kept"),
+        count(when(col("_fate") === "exact_dup", 1)).as("dropped_exact_dup"),
+        count(when(col("_fate") === "quality", 1)).as("dropped_quality"),
+        count(when(col("_fate") === "near_dup", 1)).as("dropped_near_dup"))
       .orderBy(sourceCol)
   }
 

@@ -1484,18 +1484,21 @@ object GemQueries {
              |  country_name""".stripMargin)),
 
     // LLM-tier capstone: the composed curation pipeline — exact dedup →
-    // quality/language gate → banded-minhash near-dup removal → corpus
-    // accounting (CorpusPipeline.curate).
+    // quality/language gate → CLUSTER-based near-dup removal (keep the
+    // min id of each connected component of the verified-pair graph) →
+    // per-source funnel accounting (CorpusPipeline.curate). The oracle
+    // mirrors the clusters with a recursive min-reachable-id CTE, same
+    // pattern as q61.
     QueryDef("q50_corpus_curation",
       (s, dir) => CorpusPipeline.curate(
         t(s, dir, "documents").filter(col("doc_id") < 1000)),
-      Some("""WITH exact_w AS (
-             |  SELECT min(doc_id) AS doc_id FROM documents
-             |  WHERE doc_id < 1000 GROUP BY md5(text)),
-             |dd AS (SELECT d.* FROM documents d JOIN exact_w USING (doc_id)),
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id, text, source FROM documents WHERE doc_id < 1000),
+             |exact_w AS (
+             |  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
              |tk AS (SELECT doc_id, text, source,
              |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS tk
-             |  FROM dd),
+             |  FROM base),
              |scored AS (
              |  SELECT *,
              |    round((CASE WHEN len(tk) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
@@ -1505,9 +1508,15 @@ object GemQueries {
              |  FROM (SELECT *, CAST(len(list_filter(tk, t -> t IN
              |          ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
              |          / len(tk) AS swr FROM tk)),
+             |flagged AS (
+             |  SELECT *,
+             |    (doc_id IN (SELECT doc_id FROM exact_w)) AS exact_ok,
+             |    (doc_id IN (SELECT doc_id FROM exact_w)
+             |     AND q >= 0.5 AND lang = 'en') AS gate_ok
+             |  FROM scored),
              |gate AS (SELECT doc_id, text, source, tk,
              |    list_distinct(tk) AS dtk
-             |  FROM scored WHERE q >= 0.5 AND lang = 'en'),
+             |  FROM flagged WHERE gate_ok),
              |ph AS (SELECT doc_id, dtk, list_transform(dtk, t ->
              |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
              |  FROM gate),
@@ -1529,17 +1538,34 @@ object GemQueries {
              |  FROM bandsx l JOIN bandsx r
              |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
              |   AND l.doc_id < r.doc_id),
-             |losers AS (
-             |  SELECT DISTINCT c.id_b FROM cand c
+             |pairs AS (
+             |  SELECT c.id_a, c.id_b FROM cand c
              |  JOIN sig a ON a.doc_id = c.id_a
              |  JOIN sig b ON b.doc_id = c.id_b
              |  WHERE round(CAST(len(list_intersect(a.dtk, b.dtk)) AS DOUBLE) /
              |        len(list_distinct(list_concat(a.dtk, b.dtk))), 4) >= 0.8),
-             |kept AS (SELECT * FROM gate
-             |  WHERE doc_id NOT IN (SELECT id_b FROM losers))
-             |SELECT source, count(*) AS docs_kept,
-             |  CAST(sum(len(tk)) AS BIGINT) AS tokens_kept
-             |FROM kept GROUP BY source ORDER BY source""".stripMargin)),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM gate
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+             |fate AS (
+             |  SELECT f.source, len(f.tk) AS ntok,
+             |    CASE WHEN NOT f.exact_ok THEN 'exact_dup'
+             |         WHEN NOT f.gate_ok THEN 'quality'
+             |         WHEN c.component <> f.doc_id THEN 'near_dup'
+             |         ELSE 'kept' END AS fate
+             |  FROM flagged f LEFT JOIN comp c ON c.id = f.doc_id)
+             |SELECT source,
+             |  count(CASE WHEN fate = 'kept' THEN 1 END) AS docs_kept,
+             |  CAST(coalesce(sum(CASE WHEN fate = 'kept' THEN ntok END), 0)
+             |    AS BIGINT) AS tokens_kept,
+             |  count(CASE WHEN fate = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
+             |  count(CASE WHEN fate = 'quality' THEN 1 END) AS dropped_quality,
+             |  count(CASE WHEN fate = 'near_dup' THEN 1 END) AS dropped_near_dup
+             |FROM fate GROUP BY source ORDER BY source""".stripMargin)),
 
     // Stateful sessionization, batch-parity mode: mapGroupsWithState's
     // merge over a static frame ≡ a plain per-user aggregate, which is

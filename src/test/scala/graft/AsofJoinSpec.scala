@@ -67,6 +67,44 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == 7.0)
   }
 
+  test("nullable payload attaches ONE whole right row — no cross-row stitch") {
+    // The matched row (ts 20) has a null note; per-column carries would
+    // resurrect ts-10's "x" next to ts-20's px. Whole-row semantics: both
+    // payload cols come from ts 20.
+    val hist = Seq(
+      ("A", 10L, Option("x"), Option(1.0)),
+      ("A", 20L, Option.empty[String], Option(2.0))
+    ).toDF("sym", "qts", "note", "px")
+    val one = Seq(("A", 25L, 1)).toDF("sym", "ots", "oid")
+    val row = AsofJoin.join(one, hist, Seq("sym"), "ots", "qts",
+      Seq("note", "px"), matchedTsCol = Some("qts")).collect().head
+    assert(row.getAs[Long]("qts") == 20L)
+    assert(row.isNullAt(row.fieldIndex("note")))
+    assert(row.getAs[Double]("px") == 2.0)
+  }
+
+  test("an all-null-payload right row still counts as the match") {
+    val hist = Seq(
+      ("A", 10L, Option(1.0)), ("A", 20L, Option.empty[Double])
+    ).toDF("sym", "qts", "px")
+    val one = Seq(("A", 25L, 1)).toDF("sym", "ots", "oid")
+    val row = AsofJoin.join(one, hist, Seq("sym"), "ots", "qts",
+      Seq("px"), matchedTsCol = Some("qts")).collect().head
+    assert(row.getAs[Long]("qts") == 20L) // matched ts is ts-20's, not ts-10's
+    assert(row.isNullAt(row.fieldIndex("px")))
+  }
+
+  test("NULL keys never match, per SQL equality") {
+    val q = Seq((Option("A"), 10L, 1.0), (Option.empty[String], 5L, 9.0))
+      .toDF("sym", "qts", "px")
+    val o = Seq((Option.empty[String], 10L, 1), (Option("A"), 12L, 2))
+      .toDF("sym", "ots", "oid")
+    val got = AsofJoin.join(o, q, Seq("sym"), "ots", "qts", Seq("px"))
+      .collect().map(r => r.getAs[Int]("oid") -> Option(r.getAs[Any]("px"))).toMap
+    assert(got(1) == None) // null-keyed left row: no match, row survives
+    assert(got(2) == Some(1.0)) // null-keyed right row invisible to "A"
+  }
+
   test("every left row survives exactly once (left-outer cardinality)") {
     val out = AsofJoin.join(orders, quotes, Seq("sym"), "ots", "qts", Seq("px"))
     assert(out.count() == orders.count())

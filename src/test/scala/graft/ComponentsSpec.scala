@@ -45,6 +45,14 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("endpoints absent from nodes keep the min-id invariant") {
+    // nodes={5}, edge (5,3): 3 never appears in `nodes`, yet the
+    // component label must still be the true minimum, 3 — and 3 itself
+    // surfaces in the output.
+    val got = cc(Seq(5L), Seq((5L, 3L)))
+    assert(got == Map(5L -> 3L, 3L -> 3L))
+  }
+
   test("dedupClusters sizes clusters and marks the min id as canonical") {
     val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((2L, 1L), (2L, 3L)).toDF("id_a", "id_b")

@@ -33,6 +33,29 @@ class CorpusPipelineSpec extends SparkSpec {
     // docs 1, 3, 5 survive (no decontamination in plain curate)
     assert(r.getAs[Long]("docs_kept") == 3, r.toString)
     assert(r.getAs[Long]("tokens_kept") == 10 + 9 + 10, r.toString)
+    // the funnel attributes every dropped doc to the gate that took it
+    assert(r.getAs[Long]("dropped_exact_dup") == 1, r.toString) // doc 2
+    assert(r.getAs[Long]("dropped_quality") == 1, r.toString) // doc 4
+    assert(r.getAs[Long]("dropped_near_dup") == 0, r.toString)
+  }
+
+  test("near-dup removal is cluster-based: a transitive component keeps only its min id") {
+    // Verified pairs form (1,3) and (2,3) but NOT (1,2): docs 1 and 2
+    // each share 35 of 40 tokens with doc 3 (J = 0.875 ≥ 0.8) while
+    // overlapping each other at only J = 0.75. Pair-drop ("drop the
+    // larger id of each pair") would keep BOTH 1 and 2; the transitive
+    // closure says {1,2,3} is one cluster and only 1 survives.
+    val toks = (1 to 5).map(i => s"w0$i") ++
+      Seq("the", "and", "of", "to") ++ (10 to 40).map(i => s"w$i")
+    assert(toks.length == 40)
+    val chain = Seq(
+      (1L, toks.dropRight(5).mkString(" "), "s1"),
+      (2L, toks.drop(5).mkString(" "), "s1"),
+      (3L, toks.mkString(" "), "s1")
+    ).toDF("doc_id", "text", "source")
+    val r = CorpusPipeline.curate(chain).collect().head
+    assert(r.getAs[Long]("docs_kept") == 1, r.toString)
+    assert(r.getAs[Long]("dropped_near_dup") == 2, r.toString)
   }
 
   test("curateFull: PII scrub + decontamination compose in front of curate") {
