@@ -156,6 +156,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Deterministic codebook training for [[ivfTopK]] — the index-build
+    * pass: sampled-init Lloyd k-means, expressed entirely as DataFrame
+    * operations so any SQL engine can replay the identical trajectory.
+    *
+    *  - Init: the `k` corpus vectors with the smallest portable md5
+    *    hash of their id ([[graft.functions.Hashing.portableHash]]) — a
+    *    uniform, seed-free, engine-reproducible sample. Cell ids are
+    *    the hash rank, 0..k-1.
+    *  - Iterate (fixed `iters`, no convergence scan): assign every
+    *    vector to its max-cosine centroid — a broadcast cross join
+    *    against the bounded codebook plus one argmax shuffle — then
+    *    recompute each cell's element-wise mean. Means are rounded to
+    *    6 decimals and cast back to float so cross-engine sum-order
+    *    ulps cannot drift the trajectory.
+    *
+    * Scale shape: per iteration one shuffle of |corpus| rows (the
+    * argmax window) and one positional re-aggregation of |corpus|·dim
+    * values — both map-side combinable; the codebook itself never
+    * exceeds k rows and lineage is truncated every iteration. Cells
+    * that attract no vectors drop out (k can only shrink). Cosine is
+    * scale-invariant in the centroid, so the un-normalized mean yields
+    * the same assignment as the spherical-k-means normalized mean.
+    *
+    * Returns (`idCol`, `vecCol`) so the result pipes straight into
+    * [[ivfTopK]]'s `centroids` argument.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    // Partition-less window is safe here: it runs on the ≤ k-row frame.
+    val seedW = Window.orderBy(col("_h"), col(idCol))
+    var cents = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("_h", portableHash(col(idCol).cast("string")))
+      .orderBy(col("_h"), col(idCol)).limit(k)
+      .withColumn("cell_id", row_number().over(seedW) - 1)
+      .select(col("cell_id"), col(vecCol).as("centvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cell_cos").desc, col("cell_id"))
+      val assigned = corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(cents))
+        .withColumn("cell_cos", cosine(col(vecCol), col("centvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cents = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), p => round(p("m"), 6).cast("float")).as("centvec"))
+        .localCheckpoint(true)
+    }
+    cents.select(col("cell_id").as(idCol), col("centvec").as(vecCol))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (IVF-style
     * coarse cell, here any precomputed label/bucket column): cosine ≥
     * threshold, id_a < id_b. Blocking bounds the pair count — the full

@@ -25,6 +25,84 @@ object GemQueries {
     * top. ONE definition so the two oracles cannot drift (the r3/r5
     * lesson: oracle CTE copies diverge silently).
     */
+  /** DuckDB cosine over two list columns, double precision — the exact
+    * fragment q29/q45/q52 inline; shared by the IVF-training oracles.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform($a, (x, i) ->
+       |      CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Oracle twin of [[Similarity.trainCentroids]] (k-means on the
+    * 64-dim `embeddings` table): seed CTE `cent0` = the k vectors with
+    * the smallest portable md5 hash of their id, then `iters` unrolled
+    * Lloyd rounds `assign{i}` / `cent{i}` — argmax-cosine assignment,
+    * per-position mean rounded to 6 decimals and cast to REAL, exactly
+    * the Spark trajectory. ONE generator shared by q65/q66/q67 so the
+    * training oracles cannot drift.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val seed =
+      s"""poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
+         |cent0 AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id,
+         |    embedding AS centvec
+         |  FROM (SELECT vec_id, embedding,
+         |          ${graft.functions.Hashing.duckPortableHash("CAST(vec_id AS VARCHAR)")} AS h
+         |        FROM embeddings ORDER BY h, vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""assign$i AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.centvec")} DESC, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent${i - 1} c)
+         |  WHERE rn = 1),
+         |cent$i AS (
+         |  SELECT cell_id, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS centvec
+         |  FROM (SELECT a.cell_id, p.pos,
+         |          avg(CAST(a.embedding[p.pos] AS DOUBLE)) AS m
+         |        FROM assign$i a CROSS JOIN poss p
+         |        GROUP BY a.cell_id, p.pos)
+         |  GROUP BY cell_id)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  /** Oracle twin of [[Similarity.ivfTopK]] searching the codebook CTE
+    * `cent` for queries `vec_id BETWEEN qLo AND qHi`: nearest-cell
+    * assignment, `nProbe` probed cells, exact cosine re-rank. The
+    * consumer applies its own `"rank" <= k` cut on `{p}ranked`. Emits
+    * CTEs `{p}cscore`/`{p}rcells`/`{p}corpus`/`{p}query`/`{p}scored`/
+    * `{p}ranked` — prefix them when several searches share one WITH.
+    */
+  private def ivfSearchCtes(
+      cent: String, nProbe: Int, qLo: Int, qHi: Int,
+      p: String = ""): String =
+    s"""${p}cscore AS (
+       |  SELECT e.vec_id, e.embedding, c.cell_id,
+       |    ${duckCos("e.embedding", "c.centvec")} AS cell_cos
+       |  FROM embeddings e CROSS JOIN $cent c),
+       |${p}rcells AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cell_cos DESC, cell_id) AS crn FROM ${p}cscore),
+       |${p}corpus AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS cvec, cell_id
+       |  FROM ${p}rcells WHERE crn = 1),
+       |${p}query AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec, cell_id
+       |  FROM ${p}rcells WHERE crn <= $nProbe AND vec_id BETWEEN $qLo AND $qHi),
+       |${p}scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCos("qvec", "cvec")} AS cos
+       |  FROM ${p}corpus JOIN ${p}query USING (cell_id)
+       |  WHERE neighbor_id <> query_id),
+       |${p}ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS "rank", cos
+       |  FROM ${p}scored)""".stripMargin
+
   private val minhashVerifiedCtes: String =
     """toks AS (
       |  SELECT doc_id, list_distinct(list_filter(
@@ -1896,6 +1974,124 @@ object GemQueries {
              |      FROM documents)
              |WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
              |  WHEN 'src2' THEN 10 ELSE 25 END
-             |GROUP BY source ORDER BY source""").stripMargin))
+             |GROUP BY source ORDER BY source""").stripMargin)),
+
+    // IVF codebook training (Similarity.trainCentroids): deterministic
+    // sampled-init Lloyd k-means, k=8 cells, 2 unrolled rounds. Output
+    // = the flattened trained codebook, so the oracle pins every
+    // centroid component, not just the cells a search happens to probe.
+    QueryDef("q65_ivf_train",
+      (s, dir) => Similarity.trainCentroids(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id").cast("long").as("cell_id"),
+          posexplode(col("embedding")).as(Seq("pos0", "c0")))
+        .select(col("cell_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("c0").cast("double").as("c"))
+        .orderBy("cell_id", "pos"),
+      Some("WITH " + kmeansCtes(k = 8, iters = 2) + "\n" +
+        """SELECT c.cell_id, p.pos, CAST(c.centvec[p.pos] AS DOUBLE) AS c
+          |FROM cent2 c CROSS JOIN poss p
+          |ORDER BY cell_id, pos""".stripMargin)),
+
+    // Trained-codebook IVF search: the q52 search path fed by
+    // trainCentroids instead of a caller-provided codebook — the
+    // complete index-build → search story, oracle recomputing both.
+    QueryDef("q66_ivf_search_trained",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+        Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id").between(100, 104)), cents,
+          "vec_id", "embedding", k = 3, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH " + kmeansCtes(k = 8, iters = 2) + ",\n" +
+        ivfSearchCtes("cent2", nProbe = 2, qLo = 100, qHi = 104) + "\n" +
+        """SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
+          |FROM ranked WHERE "rank" <= 3
+          |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // ANN recall evaluation: recall@10 of the two approximate tiers
+    // (hyperplane LSH, trained-codebook IVF) against the exact
+    // bruteForceTopK ground truth on the same 5 queries — the first
+    // question any ANN user asks, answered as an oracle-checked query.
+    QueryDef("q67_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id").between(100, 104))
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+        val brute = Similarity.bruteForceTopK(
+          emb, qs, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        def hits(m: String, approx: DataFrame) =
+          approx.select("query_id", "neighbor_id")
+            .join(brute, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(m).as("method"), col("hits"))
+        hits("ivf", Similarity.ivfTopK(
+            emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2))
+          .unionByName(hits("lsh", Similarity.lshTopK(
+            emb, qs, "vec_id", "embedding", k = 10, planes = 4)))
+          .crossJoin(brute.agg(count(lit(1)).as("total")))
+          .withColumn("recall", round(col("hits") / col("total"), 4))
+          .orderBy("method")
+      },
+      Some("WITH " + kmeansCtes(k = 8, iters = 2) + ",\n" +
+        ivfSearchCtes("cent2", nProbe = 2, qLo = 100, qHi = 104, p = "i") + ",\n" +
+        """bq AS (SELECT vec_id AS query_id, embedding AS qvec
+          |       FROM embeddings WHERE vec_id BETWEEN 100 AND 104),
+          |bscored AS (
+          |  SELECT query_id, neighbor_id,
+          |""".stripMargin +
+        "    " + duckCos("qvec", "cvec") + " AS cos\n" +
+        """  FROM (SELECT vec_id AS neighbor_id, embedding AS cvec
+          |        FROM embeddings) c, bq
+          |  WHERE neighbor_id <> query_id),
+          |brute AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |                         ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM bscored) WHERE rn <= 10),
+          |bucketed AS (
+          |  SELECT vec_id, embedding,
+          |    CAST(list_sum(list_transform(generate_series(0, 3), p ->
+          |      CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+          |          CAST(v AS DOUBLE) * (CASE WHEN
+          |            CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+          |              CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+          |            THEN 1.0 ELSE -1.0 END))) >= 0
+          |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END))
+          |      AS BIGINT) AS bucket
+          |  FROM embeddings),
+          |lscored AS (
+          |  SELECT query_id, neighbor_id,
+          |""".stripMargin +
+        "    " + duckCos("qvec", "cvec") + " AS cos\n" +
+        """  FROM (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket
+          |        FROM bucketed) c
+          |  JOIN (SELECT vec_id AS query_id, embedding AS qvec, bucket
+          |        FROM bucketed WHERE vec_id BETWEEN 100 AND 104) q
+          |    USING (bucket)
+          |  WHERE neighbor_id <> query_id),
+          |lsh AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |                         ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM lscored) WHERE rn <= 10),
+          |ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE "rank" <= 10),
+          |hits AS (
+          |  SELECT 'ivf' AS method, count(*) AS hits
+          |  FROM ivf JOIN brute USING (query_id, neighbor_id)
+          |  UNION ALL
+          |  SELECT 'lsh', count(*)
+          |  FROM lsh JOIN brute USING (query_id, neighbor_id)),
+          |tot AS (SELECT count(*) AS total FROM brute)
+          |SELECT method, hits, total,
+          |  round(CAST(hits AS DOUBLE) / total, 4) AS recall
+          |FROM hits CROSS JOIN tot ORDER BY method""".stripMargin))
   )
 }

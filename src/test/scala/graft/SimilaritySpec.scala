@@ -61,4 +61,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))  // 3-dim vecs vs dim=64 → null
     assert(out.forall(!_.isNullAt(1))) // matching dim → real bucket
   }
+
+  test("trainCentroids recovers two well-separated clusters deterministically") {
+    // Two tight clumps on orthogonal axes: after any init, one Lloyd
+    // round lands one centroid per clump (cosine assignment separates
+    // them), and the means are the clump means rounded to 6 decimals.
+    val pts = Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f)), (1L, Array(1.0f, -0.1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1.0f, 0.1f)), (4L, Array(0f, 0f, 1.0f, -0.1f)),
+      (5L, Array(0f, 0f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(pts, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Float](1).map(f => math.round(f * 1e4f) / 1e4f)).toMap
+    assert(cents.size == 2)
+    val got = cents.values.toSet
+    assert(got == Set(
+      Seq(0.9667f, 0.0f, 0.0f, 0.0f), Seq(0.0f, 0.0f, 0.9667f, 0.0f)), got)
+    // same input → same codebook (hash-seeded init, fixed rounds)
+    val again = Similarity.trainCentroids(pts, "vec_id", "embedding",
+      k = 2, iters = 2).collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(again.keySet == cents.keySet)
+  }
 }
