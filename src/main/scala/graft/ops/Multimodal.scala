@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * Media assets are opaque `binary` columns with typed metadata — the
   * pattern every large-scale multimodal corpus uses (the bytes travel
   * as parquet BINARY; schema + partitioning + batch shape are what the
-  * engine owns). The container has no image/audio codecs, so the decode
-  * kernels are DETERMINISTIC STUBS (clearly marked) — the Spark-side
-  * plumbing (schema, `mapPartitions` batching, partition sizing) is
-  * real and tested.
+  * engine owns). [[decodeMeta]] REALLY decodes the two formats whose
+  * headers are fixed-offset reads and need no codec library — BMP
+  * (width/height from the BITMAPINFOHEADER) and RIFF/WAVE (duration
+  * from byte rate × data size) — and falls back to a DETERMINISTIC
+  * STUB for everything else (JPEG/PNG/MP4 need real codecs this
+  * container does not ship; a deployment swaps the fallback body).
   *
   * Scale notes: media rows are fat (MBs), so ops here must (a) never
   * collect, (b) keep per-partition byte volume bounded — callers size
@@ -42,23 +44,59 @@ object Multimodal {
       lit(mediaType).as("media_type"),
       octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** STUB decode: derives deterministic pseudo-dimensions from the
-    * payload bytes (first/last byte + length). A real deployment swaps
-    * the body for an actual codec call; the signature — one partition
-    * of byte arrays in, one iterator of typed metadata out, no
-    * driver-side traffic — is the production shape.
+  /** Little-endian unsigned 32-bit read — the only primitive both real
+    * header formats need.
+    */
+  private def le4(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Decode typed metadata from the payload bytes.
+    *
+    * REAL paths (fixed-offset header reads, no codec library needed):
+    *  - BMP ("BM" magic, 40-byte BITMAPINFOHEADER): width at offset 18,
+    *    height at 22 (absolute value — negative means top-down rows);
+    *    images get durationMs = 0.
+    *  - WAV ("RIFF"+"WAVE" magic, canonical 44-byte header): byte rate
+    *    at offset 28, data-chunk size at 40; durationMs = dataBytes ×
+    *    1000 / byteRate (integral); audio gets width = height = 0.
+    *
+    * Everything else falls back to the deterministic STUB (first/last
+    * byte + length pseudo-dimensions) — a real deployment swaps that
+    * branch for codec calls. The signature — one partition of byte
+    * arrays in, one iterator of typed metadata out, no driver-side
+    * traffic — is the production shape either way.
     */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select("id", "bytes", "media_type").as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, bytes, mt) =>
-          // ??? -- real codec goes here; deterministic fake below.
-          val h = if (bytes.isEmpty) 0 else (bytes.head & 0xff)
-          val t = if (bytes.isEmpty) 0 else (bytes.last & 0xff)
-          MediaMeta(id, mt, bytes.length.toLong,
-            width = 64 + h % 64, height = 64 + t % 64,
-            durationMs = bytes.length.toLong * 10)
+          val n = bytes.length.toLong
+          if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M' &&
+              le4(bytes, 14) == 40L) {
+            // real BMP header math
+            MediaMeta(id, mt, n,
+              width = le4(bytes, 18).toInt,
+              height = math.abs(le4(bytes, 22).toInt),
+              durationMs = 0L)
+          } else if (bytes.length >= 44 &&
+              bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+              bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+              bytes(10) == 'V' && bytes(11) == 'E') {
+            // real WAV header math
+            val byteRate = le4(bytes, 28)
+            val dataSize = le4(bytes, 40)
+            val dur = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
+            MediaMeta(id, mt, n, width = 0, height = 0, durationMs = dur)
+          } else {
+            // deterministic STUB for formats that need a codec library
+            val h = if (bytes.isEmpty) 0 else (bytes.head & 0xff)
+            val t = if (bytes.isEmpty) 0 else (bytes.last & 0xff)
+            MediaMeta(id, mt, n,
+              width = 64 + h % 64, height = 64 + t % 64,
+              durationMs = n * 10)
+          }
         }
       }
   }

@@ -6,7 +6,7 @@ import graft.ops.{AsofJoin, Cleaning, Components, Coordinates,
   Sampling, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2092,6 +2092,60 @@ object GemQueries {
           |tot AS (SELECT count(*) AS total FROM brute)
           |SELECT method, hits, total,
           |  round(CAST(hits AS DOUBLE) / total, 4) AS recall
-          |FROM hits CROSS JOIN tot ORDER BY method""".stripMargin))
+          |FROM hits CROSS JOIN tot ORDER BY method""".stripMargin)),
+
+    // REAL multimodal header decode (Multimodal.decodeMeta BMP/WAV
+    // paths): headers are SYNTHESIZED in-plan from deterministic
+    // per-id formulas (hex-string → unhex), the parser reads the
+    // fixed-offset fields back, and the oracle recomputes the formulas
+    // directly — so a parse bug cannot cancel out. Even ids get a
+    // 54-byte BMP (width/height in the BITMAPINFOHEADER), odd ids a
+    // 44-byte canonical WAV (duration = dataSize·1000 / byteRate).
+    QueryDef("q68_media_decode",
+      (s, dir) => {
+        // little-endian 4-byte hex of a non-negative long < 2^32
+        def le4hex(n: Column): Column = concat((0 to 3).map(i =>
+          lpad(hex(pmod(shiftright(n, 8 * i), lit(256))), 2, "0")): _*)
+        val ids = t(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+        val wCol = lit(16) + pmod(col("id"), lit(1000))
+        val hCol = lit(16) + pmod(col("id") * 7, lit(1000))
+        val bmp = ids.filter(pmod(col("id"), lit(2)) === 0).select(
+          col("id"),
+          unhex(concat(
+            lit("424D" + "00" * 12 + "28000000"), // "BM", 40-byte DIB
+            le4hex(wCol), le4hex(hCol), lit("00" * 28))).as("bytes"),
+          lit("image").as("media_type"))
+        val byteRate = (lit(8000) + pmod(col("id"), lit(8)) * 1000) * 2
+        val dataSize = lit(16000) + pmod(col("id") * 13, lit(100000))
+        val wav = ids.filter(pmod(col("id"), lit(2)) === 1).select(
+          col("id"),
+          unhex(concat(
+            lit("52494646"), le4hex(dataSize + 36), // "RIFF", riff size
+            lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),
+            le4hex(lit(8000) + pmod(col("id"), lit(8)) * 1000), // sample rate
+            le4hex(byteRate),
+            lit("0200" + "1000" + "64617461"), // align, bits, "data"
+            le4hex(dataSize))).as("bytes"),
+          lit("audio").as("media_type"))
+        Multimodal.decodeMeta(s, bmp.unionByName(wav)).toDF()
+          .select(col("id"), col("mediaType").as("media_type"),
+            col("nBytes").as("n_bytes"), col("width"), col("height"),
+            col("durationMs").as("duration_ms"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+             |    AS media_type,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END AS BIGINT)
+             |    AS n_bytes,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1000
+             |       ELSE 0 END AS INT) AS width,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 1000
+             |       ELSE 0 END AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+             |       ELSE ((16000 + (doc_id * 13) % 100000) * 1000)
+             |            // ((8000 + (doc_id % 8) * 1000) * 2) END AS BIGINT)
+             |    AS duration_ms
+             |FROM documents ORDER BY id""".stripMargin))
   )
 }

@@ -112,6 +112,37 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(frames == 4) // 0, 300, 600, 900
   }
 
+  test("decodeMeta parses real BMP and WAV headers; junk falls to the stub") {
+    def le4(n: Long): Array[Byte] =
+      Array(n, n >> 8, n >> 16, n >> 24).map(b => (b & 0xff).toByte)
+    // 54-byte BMP: "BM" magic, DIB size 40 at offset 14, 640×480
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    le4(40).copyToArray(bmp, 14)
+    le4(640).copyToArray(bmp, 18)
+    le4(480).copyToArray(bmp, 22)
+    // top-down BMP stores height negative; decode must return |h|
+    val bmpNeg = bmp.clone(); le4(-480L & 0xffffffffL).copyToArray(bmpNeg, 22)
+    // 44-byte canonical WAV: 16 kB/s byte rate, 48000-byte data chunk
+    val wav = new Array[Byte](44)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    "WAVE".getBytes.copyToArray(wav, 8)
+    le4(16000).copyToArray(wav, 28)
+    le4(48000).copyToArray(wav, 40)
+    val media = Seq(
+      (1L, bmp, "image"), (2L, bmpNeg, "image"), (3L, wav, "audio"),
+      (4L, "not a header".getBytes, "image"))
+      .toDF("id", "bytes", "media_type")
+    val out = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L).width == 640 && out(1L).height == 480 &&
+      out(1L).durationMs == 0L)
+    assert(out(2L).height == 480) // |negative height|
+    assert(out(3L).durationMs == 3000L) // 48000 B / 16000 B/s
+    assert(out(3L).width == 0 && out(3L).height == 0)
+    assert(out(4L).width == 64 + 'n' % 64) // stub path untouched
+  }
+
   test("classifyFuel instr semantics: 0 position means NA, not a match") {
     val out = Seq("no such fuel").toDF("Fuel")
       .transform(GemPipeline.classifyFuel("Fuel"))
