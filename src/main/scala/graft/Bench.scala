@@ -14,7 +14,10 @@ object Bench {
     // query instead of inflating whichever query sorts first.
     try SparkEntry.queries("q16_distinct")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      // warm-up failure is not a timing failure, but never silent
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     // Local A/B knobs (unset in driver runs → full catalog, one pass):
     // SPARK_GRAFT_BENCH_ONLY=q44_x,q27_y — restrict to named queries;
     // SPARK_GRAFT_BENCH_REPEAT=3 — interleaved full passes (#1…#N

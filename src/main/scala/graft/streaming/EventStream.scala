@@ -118,12 +118,18 @@ object EventStream {
   def correlate(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, within: String,
       watermark: String = "2 hours"): DataFrame = {
-    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
-    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
-    l.join(r, l(key) === r(key) &&
+    // Explicit aliases: when both sides derive from the SAME source
+    // frame (self-attribution), bare `l(key) === r(key)` resolves to
+    // one attribute and Spark warns about a trivially-true predicate;
+    // qualified names always mean "left's key = right's key".
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark)
+             else left).alias("cl")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark)
+             else right).alias("cr")
+    l.join(r, col(s"cl.$key") === col(s"cr.$key") &&
       col(rightTs) >= col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
-      .drop(r(key))
+      .drop(col(s"cr.$key"))
   }
 
   /** File-source streaming entry: treat a directory of event parquet as
