@@ -1,0 +1,76 @@
+package graft
+
+import graft.core.Graft
+import graft.ops.{Components, CorpusPipeline, Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence probe for the dedup tier (builder-side tool, not a
+  * catalog query): tiles the q44 document slice N× and times the four
+  * heaviest corpus operators at each scale, so "would this still work
+  * at 100 TB" gets a measured growth curve instead of an argument.
+  *
+  * Tiling gives each copy a DISJOINT vocabulary (every token prefixed
+  * with the tile id) and disjoint doc ids, so the near-dup graph of the
+  * tiled corpus is exactly N independent copies of the original —
+  * pair/cluster density per tile is unchanged, and a linearly-scaling
+  * operator should show ~linear wall clock. (Tiling with identical
+  * text would instead add N·|docs| artificial exact-dup cliques and
+  * measure a different, quadratically-inflated problem.)
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [tiles,...] [reps]"`;
+  * defaults: sf0.1, tiles 1,3,10, 2 interleaved reps (this box's
+  * per-run variance is ±2-3×, so the minimum over interleaved passes
+  * is the number to read). Prints one JSON line per (op, tiles, rep).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val tiles = args.lift(1).getOrElse("1,3,10").split(",").map(_.toInt).toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = Graft.session("graft-scaleprobe")
+
+    val base = Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 1000) // the q44/q61 slice
+    def tiled(n: Int): DataFrame = (0 until n).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " +"), t => concat(lit(s"v$i"), t)),
+          " "))
+    }.reduce(_ unionByName _)
+
+    def time(body: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Interleaved passes: scale-up ratios within one pass are
+    // comparable even when the box's absolute speed drifts between
+    // passes.
+    for (rep <- 1 to reps; n <- tiles) {
+      val df = tiled(n).localCheckpoint(true) // input materialized once
+      val rows = df.count()
+      val ops: Seq[(String, () => DataFrame)] = Seq(
+        "minhash_pairs" -> (() =>
+          Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.8)),
+        "dedup_clusters" -> (() => {
+          val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.8)
+          Components.dedupClusters(df, "doc_id", pairs, "id_a", "id_b")
+        }),
+        "curate" -> (() => CorpusPipeline.curate(df)),
+        "repetition" -> (() =>
+          TextAnalysis.repetitionSignals(df, "doc_id", "text")))
+      ops.foreach { case (name, f) =>
+        val sec = time(f())
+        println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
+      }
+      df.unpersist()
+    }
+    spark.stop()
+  }
+}
