@@ -2034,7 +2034,7 @@ object GemQueries {
             emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2))
           .unionByName(hits("lsh", Similarity.lshTopK(
             emb, qs, "vec_id", "embedding", k = 10, planes = 4)))
-          .crossJoin(brute.agg(count(lit(1)).as("total")))
+          .crossJoin(broadcast(brute.agg(count(lit(1)).as("total"))))
           .withColumn("recall", round(col("hits") / col("total"), 4))
           .orderBy("method")
       },

@@ -95,9 +95,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("catalog-wide sweep: no query plans an ACCIDENTAL cartesian join") {
     // Intentional broadcast cross-joins (corpus × broadcast dim-sized
-    // side, documented in Similarity): bruteForceTopK's query set and
-    // ivfTopK's centroid table. Everything else must stay equi-joined.
-    val intendedCross = Set("q29_cosine_topk", "q52_ivf_topk")
+    // side, documented in Similarity): bruteForceTopK's query set,
+    // ivfTopK's centroid table, trainCentroids' codebook (q65/q66/q67),
+    // and q67's single-row total. Everything else must stay equi-joined.
+    val intendedCross = Set("q29_cosine_topk", "q52_ivf_topk",
+      "q65_ivf_train", "q66_ivf_search_trained", "q67_ann_recall")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
