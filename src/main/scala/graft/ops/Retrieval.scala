@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus: BM25 scoring for a fixed
+  * bag of query terms, the classic lexical ranking a training-data
+  * pipeline uses for targeted corpus slicing (and the lexical half of
+  * hybrid search next to [[Similarity]]'s ANN tier).
+  *
+  * Scale shape — an inverted-index build restricted to the query's own
+  * terms:
+  *
+  *  - Tokenize + doc-length in one narrow codegen'd projection (shared
+  *    [[TextAnalysis.tokens]], the `regexp_extract_all` form that stays
+  *    inside whole-stage codegen).
+  *  - Explode tokens and filter to the query terms BEFORE the shuffle:
+  *    the grouped postings carry only `matching tokens` rows, not the
+  *    corpus vocabulary. Per-term document frequency is a second
+  *    map-side-combinable aggregate over those postings.
+  *  - Corpus-level scalars (`N`, `avgdl`) and the per-term `df` frame
+  *    (≤ |query| rows) re-attach via broadcast joins — the corpus
+  *    shuffles once (the tf groupBy), never for the statistics.
+  *  - Final top-k is `orderBy(...).limit(k)` → TakeOrderedAndProject
+  *    (per-partition heaps + one k-row merge), NOT a partition-less
+  *    window over the corpus; the rank column is added after the cut,
+  *    where the frame is ≤ k rows.
+  *
+  * Determinism: ties rank by ascending doc id in every engine; scores
+  * are rounded only at the output edge.
+  */
+object Retrieval {
+
+  /** BM25 top-k (Robertson/Sparck Jones; the `ln(1 + (N-df+0.5)/(df+0.5))`
+    * non-negative idf variant Lucene uses). Returns
+    * (`idCol`, `rank`, `score`) sorted by rank.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = toks
+      .select(col(idCol), col("dl"), explode(col("tk")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // (idCol, term) is unique after the groupBy, so df is a plain count.
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("dfn"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfn") + lit(0.5)) / (col("dfn") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(idf * tfNorm).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    // Partition-less window is safe here: it runs on the ≤ k-row frame.
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("rank"), round(col("score"), 4).as("score"))
+  }
+}

@@ -1,10 +1,11 @@
 package graft.queries
 
 import graft.core.Graft
-import graft.ops.{AsofJoin, Cleaning, Components, Coordinates,
+import graft.ops.{AsofJoin, Chunking, Cleaning, Components, Coordinates,
   CorpusPipeline, Dedup, GemPipeline, Multimodal, Ownership, Packing,
-  Sampling, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
-import graft.sources.{CountryDim, Csv}
+  Quantize, Retrieval, Sampling, Similarity, Skew, TextAnalysis,
+  Timeseries, TrackerConfigs}
+import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2146,6 +2147,142 @@ object GemQueries {
              |       ELSE ((16000 + (doc_id * 13) % 100000) * 1000)
              |            // ((8000 + (doc_id % 8) * 1000) * 2) END AS BIGINT)
              |    AS duration_ms
-             |FROM documents ORDER BY id""".stripMargin))
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // BM25 keyword retrieval (Retrieval.bm25TopK): postings restricted
+    // to the query terms before the shuffle, broadcast df/corpus stats,
+    // top-k via TakeOrderedAndProject — the lexical half of hybrid
+    // search next to the ANN tier.
+    QueryDef("q69_bm25_search",
+      (s, dir) => Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "stream"), k = 10),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+             |post AS (
+             |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+             |    SELECT t.doc_id, d.dl, unnest(t.tk) AS term
+             |    FROM tk t JOIN dl d USING (doc_id))
+             |  WHERE term IN ('spark', 'join', 'stream')
+             |  GROUP BY doc_id, dl, term),
+             |dfreq AS (SELECT term, count(*) AS dfn FROM post GROUP BY term),
+             |scored AS (
+             |  SELECT p.doc_id,
+             |    sum(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5)) *
+             |        p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+             |      AS score
+             |  FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s
+             |  GROUP BY p.doc_id),
+             |topk AS (SELECT doc_id, score FROM scored
+             |         ORDER BY score DESC, doc_id LIMIT 10)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             |    AS "rank",
+             |  round(score, 4) AS score
+             |FROM topk ORDER BY "rank"""".stripMargin)),
+
+    // Semantic near-dup clustering: embedding-cosine pairs (the q31
+    // blocked join) fed through the same transitive-closure machinery
+    // as the MinHash tier (Components.dedupClusters) — dedup by
+    // MEANING composed from two already-proven operators.
+    QueryDef("q70_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pairs = Similarity.cosineNearDupPairs(
+          emb, "vec_id", "embedding", "label", threshold = 0.2)
+        Components.dedupClusters(emb, "vec_id", pairs, "id_a", "id_b")
+          .orderBy("vec_id")
+      },
+      Some("WITH RECURSIVE\n" +
+        "v AS (SELECT vec_id, label, embedding AS v FROM embeddings),\n" +
+        "p AS (\n" +
+        "  SELECT l.vec_id AS id_a, r.vec_id AS id_b\n" +
+        "  FROM v l JOIN v r ON l.label = r.label AND l.vec_id < r.vec_id\n" +
+        s"  WHERE round(${duckCos("l.v", "r.v")}, 4) >= 0.2),\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          |          UNION ALL SELECT id_b, id_a FROM p),
+          |reach(id, lbl) AS (
+          |  SELECT vec_id, vec_id FROM embeddings
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+          |sizes AS (SELECT component, count(*) AS cluster_size
+          |          FROM comp GROUP BY component)
+          |SELECT comp.id AS vec_id, comp.component, sizes.cluster_size
+          |FROM comp JOIN sizes USING (component)
+          |ORDER BY vec_id""".stripMargin)),
+
+    // JSONL sink + source round-trip with explicit read schema
+    // (sources/Jsonl): the corpus-interchange format; the agg proves
+    // text survives JSON escaping character-for-character.
+    QueryDef("q71_jsonl_roundtrip",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_jsonl_roundtrip"
+        Jsonl.write(t(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars"), tmp)
+        Jsonl.read(s, tmp, StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).as("chars"),
+            sum("n_chars").as("n_chars_sum"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n,
+             |  CAST(sum(len(text)) AS BIGINT) AS chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
+    // Fixed-size overlapping character chunking (Chunking.chunkFixed):
+    // narrow generate-and-slice, zero shuffle; size 200, overlap 50.
+    QueryDef("q72_chunk_documents",
+      (s, dir) => Chunking.chunkFixed(
+        t(s, dir, "documents"), "doc_id", "text", size = 200, overlap = 50)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+             |nc AS (SELECT doc_id, text,
+             |    CASE WHEN n <= 200 THEN 1
+             |         ELSE 1 + CAST(ceil((n - 200) / 150.0) AS BIGINT)
+             |    END AS nch
+             |  FROM d),
+             |ch AS (SELECT doc_id, text,
+             |         unnest(generate_series(0, nch - 1)) AS chunk_id
+             |       FROM nc)
+             |SELECT doc_id, chunk_id,
+             |  substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200)
+             |    AS chunk_text,
+             |  len(substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200))
+             |    AS chunk_len
+             |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Int8 absmax embedding quantization audit (Quantize.quantizeAudit):
+    // integral code checksum + worst per-element reconstruction error,
+    // all narrow array math.
+    QueryDef("q73_quantize_embeddings",
+      (s, dir) => Quantize.quantizeAudit(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding,
+             |    coalesce(list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), 0) AS scale
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, scale, embedding, len(embedding) AS n_dims,
+             |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+             |      ELSE CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)
+             |      END) AS qv
+             |  FROM v)
+             |SELECT vec_id, n_dims, scale,
+             |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+             |  round(coalesce(list_max(list_transform(embedding, (x, i) ->
+             |    abs(CAST(x AS DOUBLE) - qv[i] * scale / 127))), 0), 6)
+             |    AS max_abs_err
+             |FROM q ORDER BY vec_id""".stripMargin))
   )
 }

@@ -40,12 +40,20 @@ class DedupTextSpec extends SparkSpec {
   }
 
   test("ngramJaccardPairsReleasable: hook unpersists the shingle cache") {
+    // Scope the assertion to the RDD ids THIS call adds: suites share
+    // one SparkContext and run in parallel, so the global persistent
+    // set may legitimately hold other suites' localCheckpoints (the
+    // round-7 flake: Components' per-round checkpoints landing here).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (pairs, release) = Dedup.ngramJaccardPairsReleasable(
       docs, "doc_id", "text", "source", n = 2, threshold = 0.4)
     assert(pairs.count() >= 1)
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "the shingle frame must be persisted")
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet & added
+    assert(remaining.isEmpty,
+      s"release() must unpersist the shingle cache, still held: $remaining")
   }
 
   test("ngram jaccard finds the near-dup pair inside its block only") {

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Chunking, Quantize, Retrieval}
+import graft.sources.Jsonl
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Round-8 corpus operators: BM25 retrieval, fixed-size chunking,
+  * int8 quantization, JSONL round-trip.
+  */
+class RetrievalChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK: tf and idf ordering, rank ties break by id") {
+    val docs = Seq(
+      (1L, "spark spark spark pad pad"), // tf=3 for spark
+      (2L, "spark pad pad pad pad"),     // tf=1
+      (3L, "rare pad pad pad pad"),      // rare term, higher idf
+      (4L, "pad pad pad pad pad")        // no query terms → absent
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "rare"), k = 10).collect()
+    assert(got.map(_.getLong(0)).toList == List(3L, 1L, 2L))
+    assert(got.map(_.getInt(1)).toList == List(1, 2, 3))
+    // doc3's single rare hit (df=1) outscores doc1's triple common hit
+    // (df=2): idf dominates at equal length. Scores strictly decrease.
+    val scores = got.map(_.getDouble(2))
+    assert(scores.sliding(2).forall { case Array(a, b) => a > b })
+  }
+
+  test("bm25TopK: k cuts the tail deterministically") {
+    val docs = (1L to 20L).map(i => (i, "hit pad")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("hit"), k = 5)
+      .collect()
+    // identical docs → identical scores → ties resolve by ascending id
+    assert(got.map(_.getLong(0)).toList == List(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("chunkFixed: cover-the-tail stop rule, overlap, single-chunk floor") {
+    val docs = Seq(
+      (1L, ""),           // empty → one empty chunk
+      (2L, "a" * 200),    // exactly size → one chunk
+      (3L, "a" * 201),    // one past → two chunks (tail starts at 150)
+      (4L, "a" * 350),    // 1 + ceil(150/150) = 2 chunks
+      (5L, "a" * 351)     // 1 + ceil(151/150) = 3 chunks
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunkFixed(docs, "doc_id", "text", size = 200, overlap = 50)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), sum("chunk_len").as("chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 0L)))
+    assert(got(2L) == ((1L, 200L)))
+    assert(got(3L) == ((2L, 251L))) // 200 + 51: chars 151..201
+    assert(got(4L) == ((2L, 400L)))
+    assert(got(5L) == ((3L, 451L)))
+  }
+
+  test("chunkFixed: consecutive chunks share exactly `overlap` characters") {
+    val text = (0 until 500).map(i => ('a' + i % 26).toChar).mkString
+    val chunks = Chunking.chunkFixed(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 200, 50)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(a.takeRight(50) == b.take(50))
+    }
+    // reassembly drops each overlap once → original text
+    assert(chunks.head + chunks.tail.map(_.drop(50)).mkString == text)
+  }
+
+  test("quantizeAudit: codes bounded, checksum integral, error ≤ scale/254") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)),   // all-zero → scale 0, zero codes
+      (3L, Array(1e-8f))          // tiny but nonzero scale
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.quantizeAudit(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L)._1 == 3 && got(1L)._2 == 1.0)
+    // codes: 64 + (-127) + 32 = -31; max err 0 (all ratios exact /127?)
+    assert(got(1L)._3 == (64 - 127 + 32))
+    assert(got(1L)._4 <= 1.0 / 254 + 1e-9)
+    assert(got(2L) == ((2, 0.0, 0L, 0.0)))
+    assert(got(3L)._3 == 127L) // its own absmax → full-scale code
+    // round-trip: dequantized codes reconstruct within the bound
+    val q = Quantize.quantizeInt8(col("embedding"))
+    val codes = df.filter($"vec_id" === 1).select(q).as[Seq[Int]].head()
+    assert(codes == Seq(64, -127, 32))
+  }
+
+  test("jsonl round-trip preserves rows and text verbatim") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_spec")
+      .toString + "/out"
+    val df = Seq(
+      (1L, "plain text"),
+      (2L, "esc \"quotes\" and\ttabs and \\ slashes"),
+      (3L, "unicode ✓ émoji 🚀"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    Jsonl.write(df, tmp)
+    val back = Jsonl.read(spark, tmp,
+      StructType.fromDDL("doc_id BIGINT, text STRING"))
+    val got = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 4)
+    assert(got(2L) == "esc \"quotes\" and\ttabs and \\ slashes")
+    assert(got(3L) == "unicode ✓ émoji 🚀")
+    assert(got(4L) == null)
+  }
+}
