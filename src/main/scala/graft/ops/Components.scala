@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   * keep the contract.
   *
   * Driver involvement is one cheap convergence probe per round — the
-  * changed-or-not flag is computed INSIDE the round's aggregate (the
-  * node's previous label rides along and `component != previous` is a
-  * column of the checkpointed result), so testing the fixpoint is a
-  * filter scan over already-materialized blocks, not a second
-  * join+count pass. Lineage is truncated with an eager
+  * changed-or-not flag is computed INSIDE the round's update join
+  * (`cand < component` is a column of the checkpointed result), so
+  * testing the fixpoint is a filter scan over already-materialized
+  * blocks, not a second join+count pass. Propagation is DELTA-based:
+  * only nodes whose label moved last round re-broadcast (a stable
+  * label was already sent the round it was adopted), so after round 1
+  * the dominant edges×labels join runs against the shrinking frontier,
+  * not the full label frame. Lineage is truncated with an eager
   * `localCheckpoint` per round so the plan does not grow with the
   * iteration count — the classic iterative-Spark failure mode. Only
   * edge ENDPOINTS iterate: nodes touching no edge can never change
@@ -72,32 +75,33 @@ object Components {
     // Seed from the edge endpoints themselves: every endpoint proposes
     // its own id, so the min-id invariant holds even for endpoints
     // missing from `nodes`. Non-endpoint nodes are singletons — they
-    // never change and rejoin after the loop.
+    // never change and rejoin after the loop. Everyone starts in the
+    // frontier: each node must announce its own label once.
     var ckpt = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"), lit(false).as("changed"))
+      .select(col("id"), col("id").as("component"), lit(true).as("changed"))
       .localCheckpoint(true)
 
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
-      // Neighbor messages: each edge forwards the source's current
-      // label to its destination; min-combine with the node's own.
-      // The node's previous label rides along (every id contributes
-      // exactly one non-null `own`), so "did any label move" falls out
-      // of the same aggregate — hash-min labels only ever decrease, so
-      // it is the exact fixpoint test.
+      // Delta propagation: only FRONTIER nodes (label moved last round)
+      // re-broadcast. A node whose label is stable already sent that
+      // label the round it adopted it, so re-sending is pure shuffle
+      // waste — on near-dup clump graphs most labels settle in round 1
+      // and the frontier collapses to a sliver, taking the dominant
+      // edges×labels join with it. Same fixpoint, same round count
+      // (a min label still travels one hop per round).
       val labels = ckpt.select("id", "component")
-      val msgs = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("component"),
-          lit(null).cast("long").as("own"))
+      val cand = sym
+        .join(ckpt.where(col("changed"))
+          .select(col("id").as("src"), col("component")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("cand"))
       val next = labels
-        .select(col("id"), col("component"), col("component").as("own"))
-        .union(msgs)
-        .groupBy("id")
-        .agg(min("component").as("component"), max("own").as("own"))
-        .select(col("id"), col("component"),
-          (col("component") =!= col("own")).as("changed"))
+        .join(cand, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), col("cand")).as("component"),
+          coalesce(col("cand") < col("component"), lit(false)).as("changed"))
         .localCheckpoint(true)
       // The probe reads the blocks the checkpoint just materialized —
       // no join, no shuffle, stops at the first changed row.
