@@ -140,8 +140,16 @@ object GraftFunctions {
       SortedOverlapExpr(children.head, children(1)): Expression
     })
 
+  private[functions] val kmvInfo = (
+    FunctionIdentifier("graft_kmv"),
+    new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_kmv takes (hash, k)")
+      KmvSketchAgg(children.head, intLit(children(1), "graft_kmv")): Expression
+    })
+
   private[functions] val all =
-    Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo)
+    Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo, kmvInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trailing-window (range-frame) statistics over an event stream —
+  * the batch form of the per-entity rolling features every telemetry /
+  * fraud / monitoring pipeline computes: "this user's event count,
+  * mean and z-score over the last hour, as of each event". A range
+  * frame (value-based, `[t - window, t]`) rather than a row frame:
+  * row frames silently change meaning with event density, and range
+  * frames are deterministic under timestamp ties (all tied rows are in
+  * or out together, regardless of physical order).
+  *
+  * Scale shape: one shuffle by entity + a per-entity time sort — the
+  * same cost as any per-key sessionization; entities are numerous and
+  * bounded (a user's events fit an executor), so the window partition
+  * is safe. The frame is expressed over `unix_micros`, which Spark's
+  * range-frame machinery requires to be numeric; inclusive bounds on
+  * both engines.
+  */
+object Rolling {
+
+  /** Per-entity trailing stats at each event.
+    *
+    * @param windowSec trailing window width in seconds (inclusive:
+    *                  rows at exactly `t - windowSec` count)
+    * @return input keys plus `n_win` (events in window, incl. current),
+    *         `avg_win`, `z` — the current value's z-score against the
+    *         window (null when the window has <2 events or zero
+    *         variance), rounded to 4
+    */
+  def trailingStats(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"window must be positive: $windowSec")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_micros"))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    events
+      // cast handles TIMESTAMP_NTZ inputs (session tz is UTC, so the
+      // instant is unchanged); unix_micros itself wants TIMESTAMP
+      .withColumn("_micros", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("n_win", count(col(valueCol)).over(w))
+      .withColumn("avg_win", avg(col(valueCol)).over(w))
+      .withColumn("_sd", stddev_samp(col(valueCol)).over(w))
+      .withColumn("z",
+        when(col("n_win") >= 2 && col("_sd") > 0,
+          (col(valueCol) - col("avg_win")) / col("_sd")))
+      .withColumn("avg_win", round(col("avg_win"), 4))
+      .withColumn("z", round(col("z"), 4))
+      .drop("_micros", "_sd")
+  }
+}

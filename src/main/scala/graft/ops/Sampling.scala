@@ -61,4 +61,37 @@ object Sampling {
   /** DuckDB fragment for [[bucket]], kept adjacent to prevent drift. */
   def duckBucket(x: String): String =
     Hashing.duckPortableHash(s"CAST($x AS VARCHAR)") + " % 100"
+
+  /** Token-budget curation: per stratum, admit rows in (priority DESC,
+    * key ASC) order while the running token total stays within
+    * `budget` — how a corpus gets cut to "the best N billion tokens
+    * per source". A row is admitted iff the cumulative token count
+    * up to and INCLUDING it is ≤ budget: the kept set is the longest
+    * prefix of the ranked list that fits (the first overflowing row
+    * and everything after it are dropped — skipped rows still count
+    * toward the running total, which keeps the rule a pure window
+    * expression instead of a sequential scan).
+    *
+    * Scale shape: one shuffle by stratum + a per-stratum sort for the
+    * running sum. Strata are sources/languages (thousands, each with
+    * many rows) — the window partition is coarse but bounded per
+    * executor by the sort spilling to disk; for a pathologically large
+    * single stratum, pre-aggregate to (priority-bucket) granularity
+    * first. The tie-break on `keyCol` makes admission deterministic
+    * under re-partitioning.
+    *
+    * @return input rows that made the cut, plus `cum_tokens` (running
+    *         total including the row)
+    */
+  def budgetSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      tokensCol: String, priority: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(priority.desc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

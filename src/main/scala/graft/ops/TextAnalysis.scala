@@ -166,6 +166,55 @@ object TextAnalysis {
           .as("distinct_bigram_frac"))
   }
 
+  /** Sliding token n-gram windows ("a b c" strings, stride 1) from an
+    * ALREADY MATERIALIZED token array — the generalization of
+    * [[bigramsFromTokens]] (same quadratic-inlining trap, same guard
+    * for short docs).
+    */
+  def ngramsFromTokens(tkCol: Column, n: Int): Column = {
+    require(n > 0, s"n-gram size must be positive: $n")
+    when(size(tkCol) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tkCol) - n),
+        i => array_join(slice(tkCol, i + 1, lit(n)), " ")))
+  }
+
+  /** Corpus-repeated n-gram signals — the detection half of
+    * exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a token n-gram that
+    * occurs in two DIFFERENT documents marks a copied span (news-wire
+    * syndication, licence boilerplate, benchmark leakage). Per
+    * document: how many of its distinct n-grams appear in at least one
+    * other document, and the fraction. Docs shorter than `n` tokens
+    * report 0 n-grams and a null fraction.
+    *
+    * Scale shape: explode to distinct (doc, ngram), count documents
+    * per ngram (map-side combinable — the true Lee et al. suffix-array
+    * formulation is a single-machine algorithm; this is the
+    * hash-groupBy re-expression that distributes), join the count
+    * back, aggregate per doc. The ngram key is high-cardinality and
+    * uniform — no skew.
+    */
+  def repeatedNgramSignals(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val docNgrams = df
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(ngramsFromTokens(col("tk"), n)).as("ngram"))
+      .distinct()
+    val freq = docNgrams.groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+    val perDoc = docNgrams
+      .join(freq, "ngram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_repeated"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_ngrams"), 4)
+          .as("repeated_frac"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

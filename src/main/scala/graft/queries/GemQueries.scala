@@ -1,10 +1,11 @@
 package graft.queries
 
 import graft.core.Graft
+import graft.functions.Hashing
 import graft.ops.{AsofJoin, Chunking, Cleaning, Components, Coordinates,
-  CorpusPipeline, Dedup, GemPipeline, Multimodal, Ownership, Packing,
-  Quantize, Retrieval, Sampling, Similarity, Skew, TextAnalysis,
-  Timeseries, TrackerConfigs}
+  CorpusPipeline, Dedup, GemPipeline, LanguageModel, LineDedup, Multimodal,
+  Ownership, Packing, Quantize, Retrieval, Rolling, Sampling, Similarity,
+  Skew, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2283,6 +2284,195 @@ object GemQueries {
              |  round(coalesce(list_max(list_transform(embedding, (x, i) ->
              |    abs(CAST(x AS DOUBLE) - qv[i] * scale / 127))), 0), 6)
              |    AS max_abs_err
-             |FROM q ORDER BY vec_id""".stripMargin))
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // CCNet-style segment (line) dedup: first occurrence of each
+    // distinct 10-token window survives corpus-wide, docs reassembled
+    // (LineDedup.dedupSegments). One explode + one min-agg groupBy +
+    // one join — no window over an unpartitioned frame.
+    QueryDef("q74_line_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          LineDedup.tokenSegments(col("text"), 10).as("segs"))
+        LineDedup.dedupSegments(docs, "doc_id", "segs").orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, tk,
+             |    CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n_segs
+             |  FROM tk),
+             |seg AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(0, n_segs - 1)) AS i
+             |        FROM base)),
+             |keep AS (
+             |  SELECT doc_id, pos, seg, row_number() OVER (
+             |    PARTITION BY seg ORDER BY doc_id, pos) AS rn
+             |  FROM seg),
+             |reb AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(seg, ' ' ORDER BY pos) AS dedup_text
+             |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+             |SELECT b.doc_id, b.n_segs,
+             |  coalesce(r.n_kept, 0) AS n_kept,
+             |  coalesce(r.dedup_text, '') AS dedup_text
+             |FROM base b LEFT JOIN reb r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-repeated n-gram spans (Lee et al. 2022 exact-substring
+    // dedup signal, TextAnalysis.repeatedNgramSignals): distinct
+    // 8-gram inventory per doc, share that appears in ≥2 docs.
+    QueryDef("q75_repeated_ngrams",
+      (s, dir) => TextAnalysis.repeatedNgramSignals(
+        t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(tk[i+1 : i+8], ' ') AS ngram
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(0, len(tk) - 8)) AS i
+             |        FROM tk)),
+             |freq AS (SELECT ngram, count(*) AS n_docs FROM ng GROUP BY ngram),
+             |per AS (
+             |  SELECT doc_id, count(*) AS n_ngrams,
+             |    CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_repeated
+             |  FROM ng JOIN freq f USING (ngram) GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(p.n_ngrams, 0) AS n_ngrams,
+             |  coalesce(p.n_repeated, 0) AS n_repeated,
+             |  round(CAST(p.n_repeated AS DOUBLE) / p.n_ngrams, 4)
+             |    AS repeated_frac
+             |FROM documents d LEFT JOIN per p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM perplexity scoring (LanguageModel.trainUnigram +
+    // scoreNll, the CCNet quality-gate shape): model trained on the
+    // corpus itself, every doc scored by mean NLL under add-1
+    // smoothing; the model broadcasts, the corpus never shuffles.
+    QueryDef("q76_lm_perplexity",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lm = LanguageModel.trainUnigram(docs, "text")
+        LanguageModel.scoreNll(docs, "doc_id", "text", lm, alpha = 1.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+             |                 CAST(count(*) AS DOUBLE) AS v_size FROM lm),
+             |sc AS (
+             |  SELECT t.doc_id, count(*) AS n_tokens,
+             |    avg(-ln((coalesce(l.cnt, 0) + 1.0) /
+             |            (s.t_total + 1.0 * s.v_size))) AS nll
+             |  FROM tok t LEFT JOIN lm l USING (token) CROSS JOIN stats s
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+             |  round(sc.nll, 4) AS nll
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget curation (Sampling.budgetSample): per source, the
+    // longest (n_chars DESC, doc_id) prefix whose running token total
+    // fits 600 — "keep the best N tokens per source".
+    QueryDef("q77_budget_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn(
+          "n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        Sampling.budgetSample(docs, "doc_id", "source", "n_tokens",
+            priority = col("n_chars"), budget = 600L)
+          .select("doc_id", "source", "n_tokens", "cum_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(len(list_filter(string_split_regex(text, ' +'),
+             |      t -> t <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM d)
+             |SELECT doc_id, source, n_tokens, cum_tokens
+             |FROM c WHERE cum_tokens <= 600
+             |ORDER BY doc_id""".stripMargin)),
+
+    // KMV distinct-count sketch (graft_kmv, a native
+    // TypedImperativeAggregate): k = 64 smallest distinct text hashes
+    // per language → (k−1)·2^60/h_k estimate next to the exact count.
+    // Bounded sketch bytes cross the shuffle instead of every
+    // distinct value; md5-portable, so DuckDB rebuilds the SAME
+    // sketch and the estimate is hash-compared, not tolerance-judged.
+    QueryDef("q78_kmv_distinct",
+      (s, dir) => {
+        val k = 64
+        val h = t(s, dir, "documents")
+          .select(col("lang"), Hashing.portableHash(col("text")).as("h"))
+        h.groupBy("lang")
+          .agg(expr(s"graft_kmv(h, $k)").as("sketch"),
+            countDistinct(col("h")).as("n_exact"))
+          .select(col("lang"), col("n_exact"),
+            size(col("sketch")).cast("long").as("k_filled"),
+            round(when(size(col("sketch")) < k,
+                size(col("sketch")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L) /
+                element_at(col("sketch"), k).cast("double")), 1)
+              .as("kmv_est"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT lang,
+             |    ${Hashing.duckPortableHash("text")} AS h
+             |  FROM documents),
+             |sk AS (
+             |  SELECT lang, list_sort(list_distinct(list(h)))[1:64] AS sketch,
+             |    count(DISTINCT h) AS n_exact
+             |  FROM h GROUP BY lang)
+             |SELECT lang, n_exact,
+             |  CAST(len(sketch) AS BIGINT) AS k_filled,
+             |  round(CASE WHEN len(sketch) < 64 THEN CAST(len(sketch) AS DOUBLE)
+             |    ELSE 63.0 * 1152921504606846976 / CAST(sketch[64] AS DOUBLE)
+             |    END, 1) AS kmv_est
+             |FROM sk ORDER BY lang""".stripMargin)),
+
+    // Trailing-hour per-user stats at each event (Rolling
+    // .trailingStats): value-based range frame over integer
+    // microseconds (Spark truncates parquet nanos to micros on read;
+    // the oracle windows over epoch_ns//1000 so both engines cut the
+    // frame at identical instants).
+    QueryDef("q79_rolling_stats",
+      (s, dir) => Rolling.trailingStats(
+        t(s, dir, "events"), "user_id", "ts", "value", windowSec = 3600L)
+        .select("event_id", "user_id", "n_win", "avg_win", "z")
+        .orderBy("event_id"),
+      Some("""WITH w AS (
+             |  SELECT event_id, user_id, value,
+             |    count(value) OVER win AS n_win,
+             |    avg(value) OVER win AS avg_win,
+             |    stddev_samp(value) OVER win AS sd
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts) // 1000
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id,
+             |  CAST(n_win AS BIGINT) AS n_win,
+             |  round(avg_win, 4) AS avg_win,
+             |  round(CASE WHEN n_win >= 2 AND sd > 0
+             |    THEN (value - avg_win) / sd END, 4) AS z
+             |FROM w ORDER BY event_id""".stripMargin))
   )
 }

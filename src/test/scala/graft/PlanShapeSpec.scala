@@ -97,11 +97,12 @@ class PlanShapeSpec extends SparkSpec {
     // Intentional broadcast cross-joins (corpus × broadcast dim-sized
     // side, documented in Similarity): bruteForceTopK's query set,
     // ivfTopK's centroid table, trainCentroids' codebook (q65/q66/q67),
-    // q67's single-row total, and bm25TopK's single-row corpus stats
-    // (q69). Everything else must stay equi-joined.
+    // q67's single-row total, bm25TopK's single-row corpus stats
+    // (q69), and scoreNll's single-row (T, V) model stats (q76).
+    // Everything else must stay equi-joined.
     val intendedCross = Set("q29_cosine_topk", "q52_ivf_topk",
       "q65_ivf_train", "q66_ivf_search_trained", "q67_ann_recall",
-      "q69_bm25_search")
+      "q69_bm25_search", "q76_lm_perplexity")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
