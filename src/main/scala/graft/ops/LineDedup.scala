@@ -90,4 +90,37 @@ object LineDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
+
+  /** Boilerplate detection: segments that recur across a large share
+    * of ONE stratum's documents (site nav, license headers, template
+    * intros — the CCNet motivation for per-shard line frequencies).
+    * Flags each (stratum, segment) whose document coverage within the
+    * stratum is ≥ `minFrac`; [[dedupSegments]] then removes
+    * repetition, but boilerplate is worth REPORTING separately because
+    * a segment in 40% of a source's docs indicates template extraction
+    * failure upstream, not organic duplication.
+    *
+    * Scale shape: distinct (stratum, segment, doc) → two map-side
+    * combinable counts + a broadcast join of the per-stratum doc
+    * totals. Output is vocabulary-of-segments-sized, never corpus-sized.
+    *
+    * @return (`strataCol`, `seg`, `n_docs_with`, `frac`) for flagged
+    *         segments, frac rounded to 4
+    */
+  def boilerplateSegments(
+      df: DataFrame, idCol: String, segsCol: String, strataCol: String,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac in (0,1]: $minFrac")
+    val docTotals = df.groupBy(strataCol)
+      .agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val segDocs = df
+      .select(col(strataCol), col(idCol), explode(col(segsCol)).as("seg"))
+      .distinct()
+      .groupBy(strataCol, "seg").agg(count(lit(1)).as("n_docs_with"))
+    segDocs.join(broadcast(docTotals), strataCol)
+      .withColumn("frac",
+        round(col("n_docs_with").cast("double") / col("n_docs"), 4))
+      .filter(col("n_docs_with") / col("n_docs") >= minFrac)
+      .select(col(strataCol), col("seg"), col("n_docs_with"), col("frac"))
+  }
 }

@@ -215,6 +215,27 @@ object TextAnalysis {
           .as("repeated_frac"))
   }
 
+  /** Top-k tokens per stratum by occurrence count — the vocabulary
+    * heavy-hitters report (tokenizer coverage checks, stopword-list
+    * construction, corpus drift monitoring). Counting is a map-side
+    * combinable groupBy; the rank window runs on the POST-AGGREGATE
+    * frame (one row per distinct (stratum, token) — vocabulary-sized,
+    * orders of magnitude under the corpus), so the giant input never
+    * meets a window. Ties rank deterministically by token.
+    */
+  def topTokens(
+      df: DataFrame, strataCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df
+      .select(col(strataCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(strataCol, "token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(strataCol), col("rank"), col("token"), col("cnt"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

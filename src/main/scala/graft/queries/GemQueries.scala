@@ -4,8 +4,8 @@ import graft.core.Graft
 import graft.functions.Hashing
 import graft.ops.{AsofJoin, Chunking, Cleaning, Components, Coordinates,
   CorpusPipeline, Dedup, GemPipeline, LanguageModel, LineDedup, Multimodal,
-  Ownership, Packing, Quantize, Retrieval, Rolling, Sampling, Similarity,
-  Skew, TextAnalysis, Timeseries, TrackerConfigs}
+  Normalize, Ownership, Packing, PageRank, Quantize, Retrieval, Rolling,
+  Sampling, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -104,6 +104,37 @@ object GemQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cos DESC, neighbor_id) AS "rank", cos
        |  FROM ${p}scored)""".stripMargin
+
+  /** Oracle twin of [[PageRank.run]]: `iters` unrolled power-iteration
+    * rounds over upstream CTEs `prnodes(id)` / `predges(src,dst)`
+    * (symmetric, distinct). Arithmetic shape matches the Spark op
+    * EXACTLY — `(1 - d)/n + d*(contrib + dmass/n)` with the same
+    * association, so both engines walk the same double trajectory.
+    * Consumer selects from `pr{iters}`.
+    */
+  private def pageRankCtes(d: Double, iters: Int): String = {
+    val base =
+      s"""prn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM prnodes),
+         |prdeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+         |          FROM predges GROUP BY src),
+         |pr0 AS (SELECT id, 1.0 / prn.n AS pr FROM prnodes CROSS JOIN prn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""dm$i AS (
+         |  SELECT coalesce(sum(p.pr), 0) AS dmass
+         |  FROM pr${i - 1} p LEFT JOIN prdeg g USING (id) WHERE g.id IS NULL),
+         |ct$i AS (
+         |  SELECT e.dst AS id, sum(p.pr / g.deg) AS contrib
+         |  FROM predges e JOIN pr${i - 1} p ON p.id = e.src
+         |  JOIN prdeg g ON g.id = e.src GROUP BY e.dst),
+         |pr$i AS (
+         |  SELECT nd.id,
+         |    (1 - $d) / prn.n + $d * (coalesce(c.contrib, 0) + dm$i.dmass / prn.n)
+         |      AS pr
+         |  FROM prnodes nd CROSS JOIN prn CROSS JOIN dm$i
+         |  LEFT JOIN ct$i c USING (id))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 
   private val minhashVerifiedCtes: String =
     """toks AS (
@@ -2473,6 +2504,94 @@ object GemQueries {
              |  round(avg_win, 4) AS avg_win,
              |  round(CASE WHEN n_win >= 2 AND sd > 0
              |    THEN (value - avg_win) / sd END, 4) AS z
-             |FROM w ORDER BY event_id""".stripMargin))
+             |FROM w ORDER BY event_id""".stripMargin)),
+
+    // Vocabulary heavy-hitters (TextAnalysis.topTokens): top-10 tokens
+    // per language; map-side-combinable counts, the rank window runs
+    // on the vocabulary-sized post-aggregate only.
+    QueryDef("q80_top_tokens",
+      (s, dir) => TextAnalysis.topTokens(
+        t(s, dir, "documents"), "lang", "text", k = 10)
+        .orderBy("lang", "rank"),
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |c AS (SELECT lang, token, count(*) AS cnt
+             |      FROM tok GROUP BY lang, token),
+             |r AS (SELECT lang, token, cnt,
+             |        CAST(row_number() OVER (PARTITION BY lang
+             |          ORDER BY cnt DESC, token) AS INT) AS "rank"
+             |      FROM c)
+             |SELECT lang, "rank", token, cnt FROM r
+             |WHERE "rank" <= 10 ORDER BY lang, "rank"""".stripMargin)),
+
+    // Per-source document-frequency boilerplate report (LineDedup
+    // .boilerplateSegments, segment size 1 ≡ df-based stopword
+    // discovery): tokens present in ≥60% of a source's docs.
+    QueryDef("q81_boilerplate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          LineDedup.tokenSegments(col("text"), 1).as("segs"))
+        LineDedup.boilerplateSegments(docs, "doc_id", "segs", "source",
+            minFrac = 0.6)
+          .orderBy("source", "seg")
+      },
+      Some("""WITH totals AS (
+             |  SELECT source, CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+             |  FROM documents GROUP BY source),
+             |sd AS (
+             |  SELECT DISTINCT source, doc_id, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS seg
+             |  FROM documents),
+             |cov AS (
+             |  SELECT source, seg, count(*) AS n_docs_with
+             |  FROM sd GROUP BY source, seg)
+             |SELECT c.source, c.seg, c.n_docs_with,
+             |  round(CAST(c.n_docs_with AS DOUBLE) / t.n_docs, 4) AS frac
+             |FROM cov c JOIN totals t USING (source)
+             |WHERE c.n_docs_with / t.n_docs >= 0.6
+             |ORDER BY source, seg""".stripMargin)),
+
+    // Group-wise z-normalization (Normalize.zscore): doc length
+    // standardized within its language — two-phase stats + broadcast
+    // join back, never a per-group window over the corpus.
+    QueryDef("q82_zscore_by_lang",
+      (s, dir) => Normalize.zscore(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars", Seq("lang"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+             |  SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
+             |  FROM documents GROUP BY lang)
+             |SELECT d.doc_id, d.lang, d.n_chars,
+             |  round(CASE WHEN s.sd > 0 THEN (d.n_chars - s.mu) / s.sd END, 4)
+             |    AS z
+             |FROM documents d JOIN s USING (lang)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PageRank centrality over the MinHash near-dup graph (PageRank
+    // .run on Dedup.minhashNearDups edges): well-connected canonical
+    // docs rank high, isolates sit at the teleport floor. 5 unrolled
+    // power-iteration rounds in both engines.
+    QueryDef("q83_pagerank_neardups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        PageRank.run(docs, "doc_id", pairs, "id_a", "id_b",
+            damping = 0.85, iters = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        """prpairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+          |prnodes AS (SELECT doc_id AS id FROM toks),
+          |predges AS (SELECT id_a AS src, id_b AS dst FROM prpairs
+          |            UNION SELECT id_b, id_a FROM prpairs),
+          |""".stripMargin +
+        pageRankCtes(d = 0.85, iters = 5) + "\n" +
+        """SELECT id AS doc_id, round(pr, 6) AS pr FROM pr5
+          |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -100,9 +100,11 @@ class PlanShapeSpec extends SparkSpec {
     // q67's single-row total, bm25TopK's single-row corpus stats
     // (q69), and scoreNll's single-row (T, V) model stats (q76).
     // Everything else must stay equi-joined.
+    // q83: PageRank's 1-row dangling-mass aggregate is broadcast-
+    // crossed back each iteration.
     val intendedCross = Set("q29_cosine_topk", "q52_ivf_topk",
       "q65_ivf_train", "q66_ivf_search_trained", "q67_ann_recall",
-      "q69_bm25_search", "q76_lm_perplexity")
+      "q69_bm25_search", "q76_lm_perplexity", "q83_pagerank_neardups")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
