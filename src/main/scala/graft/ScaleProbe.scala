@@ -1,7 +1,8 @@
 package graft
 
 import graft.core.Graft
-import graft.ops.{Components, CorpusPipeline, Dedup, TextAnalysis}
+import graft.ops.{Components, CorpusPipeline, Dedup, LanguageModel,
+  LineDedup, PageRank, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -64,7 +65,23 @@ object ScaleProbe {
         }),
         "curate" -> (() => CorpusPipeline.curate(df)),
         "repetition" -> (() =>
-          TextAnalysis.repetitionSignals(df, "doc_id", "text")))
+          TextAnalysis.repetitionSignals(df, "doc_id", "text")),
+        "line_dedup" -> (() => {
+          val segs = df.select(col("doc_id"),
+            LineDedup.tokenSegments(col("text"), 10).as("segs"))
+          LineDedup.dedupSegments(segs, "doc_id", "segs")
+        }),
+        "repeated_ngrams" -> (() =>
+          TextAnalysis.repeatedNgramSignals(df, "doc_id", "text", n = 8)),
+        "lm_score" -> (() => {
+          val lm = LanguageModel.trainUnigram(df, "text")
+          LanguageModel.scoreNll(df, "doc_id", "text", lm)
+        }),
+        "pagerank" -> (() => {
+          val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.8)
+          PageRank.run(df, "doc_id", pairs, "id_a", "id_b")
+        }))
       ops.foreach { case (name, f) =>
         val sec = time(f())
         println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")

@@ -26,6 +26,8 @@ object Normalize {
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       outCol: String = "z"): DataFrame = {
     require(groupCols.nonEmpty, "zscore needs at least one group column")
+    require(!df.columns.contains(outCol),
+      s"zscore emits '$outCol': rename the existing column or pass outCol")
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(avg(col(valueCol)).as("_mu"), stddev_samp(col(valueCol)).as("_sd"))
     df.join(broadcast(stats), groupCols)

@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   * oracle unrolls the same rounds, so determinism beats an epsilon
   * stop).
   *
-  * Scale shape: per iteration ONE shuffle join (edges × ranks) + one
-  * map-side-combinable sum per destination — the BSP round every
-  * distributed PageRank (Pregel, GraphX) runs, expressed on DataFrames
-  * so AQE/Tungsten stay in play. The dangling mass is a 1-row
-  * aggregate broadcast-crossed back (never a driver collect), and
-  * lineage is truncated per round with an eager `localCheckpoint` —
+  * Scale shape: ONLY EDGE ENDPOINTS iterate — on a near-dup graph
+  * where most documents are isolates, the frame in flight is the small
+  * dup-involved subset, the same posture as [[Components]]. Isolates
+  * never receive link contributions, so their rank follows a
+  * closed-form scalar recurrence (teleport + dangling share), computed
+  * as driver arithmetic and joined back once at the end; with edges
+  * restricted to nodes, every iterating node has degree ≥ 1, so the
+  * per-round dangling aggregate disappears entirely. Per iteration:
+  * ONE shuffle join (edges × ranks) + one map-side-combinable sum per
+  * destination — the BSP round every distributed PageRank (Pregel,
+  * GraphX) runs, expressed on DataFrames so AQE/Tungsten stay in play.
+  * Lineage is truncated per round with an eager `localCheckpoint` —
   * the iterative-Spark failure mode [[Components]] documents.
   */
 object PageRank {
@@ -45,39 +51,50 @@ object PageRank {
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(iters > 0, s"iters must be positive: $iters")
     val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    // Edges with an endpoint OUTSIDE `nodes` would silently leak rank
+    // mass (their contributions join to nothing) — restrict both
+    // endpoints up front so the mass invariant (Σpr ≈ 1) holds on any
+    // input, the same absent-endpoint trap Components had to close.
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .distinct()
+      .join(ids.withColumnRenamed("id", "src"), "src")
+      .join(ids.withColumnRenamed("id", "dst"), "dst")
       .persist()
     val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
       .withColumnRenamed("src", "id")
-    // N is graph metadata (node count), not data — one count() action.
+    val endpoints = deg.select("id")
+    // Graph metadata (node/isolate counts), not data — two count()
+    // actions up front, none inside the loop.
     val n = ids.count().toDouble
-    val d = lit(damping)
+    val nIso = n - endpoints.count().toDouble
+    val d = damping
 
-    var cur = ids.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    // Isolates: pr_i = (1−d)/n + d·D_{i-1}/n with dangling mass
+    // D_{i-1} = nIso·prIso_{i-1} — scalar recurrence, identical IEEE
+    // double steps to the oracle's unrolled 1-row CTEs.
+    var prIso = 1.0 / n
+    var cur = endpoints.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val withDeg = cur.join(deg, Seq("id"), "left")
-      // Dangling mass: 1-row aggregate, broadcast-crossed — no collect.
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum("pr"), lit(0.0)).as("dmass"))
+      val dmass = nIso * prIso
       val contribs = sym
-        .join(withDeg.filter(col("deg").isNotNull)
+        .join(cur.join(deg, "id")
           .select(col("id").as("src"), (col("pr") / col("deg")).as("c")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum("c").as("contrib"))
-      cur = ids
+      cur = endpoints
         .join(contribs, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("id"),
-          ((lit(1.0) - d) / lit(n) +
-            d * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / lit(n)))
+          (lit((1.0 - d) / n) +
+            lit(d) * (coalesce(col("contrib"), lit(0.0)) + lit(dmass / n)))
             .as("pr"))
         .localCheckpoint(true)
+      prIso = (1.0 - d) / n + d * (dmass / n)
     }
     sym.unpersist()
-    cur.select(col("id"), round(col("pr"), scale).as("pr"))
+    ids.join(cur, Seq("id"), "left")
+      .select(col("id"), round(coalesce(col("pr"), lit(prIso)), scale).as("pr"))
   }
 }

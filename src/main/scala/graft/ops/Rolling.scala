@@ -35,6 +35,9 @@ object Rolling {
       events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       windowSec: Long): DataFrame = {
     require(windowSec > 0, s"window must be positive: $windowSec")
+    val emitted = Seq("n_win", "avg_win", "z")
+    require(emitted.forall(c => !events.columns.contains(c)),
+      s"trailingStats emits $emitted: rename colliding input columns first")
     val w = Window.partitionBy(keyCol)
       .orderBy(col("_micros"))
       .rangeBetween(-windowSec * 1000000L, 0L)

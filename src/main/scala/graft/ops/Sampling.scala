@@ -87,6 +87,8 @@ object Sampling {
       df: DataFrame, keyCol: String, strataCol: String,
       tokensCol: String, priority: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(!df.columns.contains("cum_tokens"),
+      "budgetSample emits cum_tokens: rename the existing column first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol)
       .orderBy(priority.desc, col(keyCol).asc)

@@ -107,30 +107,40 @@ object GemQueries {
 
   /** Oracle twin of [[PageRank.run]]: `iters` unrolled power-iteration
     * rounds over upstream CTEs `prnodes(id)` / `predges(src,dst)`
-    * (symmetric, distinct). Arithmetic shape matches the Spark op
-    * EXACTLY — `(1 - d)/n + d*(contrib + dmass/n)` with the same
-    * association, so both engines walk the same double trajectory.
-    * Consumer selects from `pr{iters}`.
+    * (symmetric, distinct, endpoints ⊆ nodes). Mirrors the op's
+    * endpoint/isolate split: only edge endpoints (`prdeg`) carry a
+    * per-node rank CTE (`pre{i}`); isolates follow the 1-row scalar
+    * recurrence `iso{i}` with dangling mass `dm{i} = nIso·iso_{i-1}`.
+    * Arithmetic shape matches the Spark op EXACTLY —
+    * `(1 - d)/n + d*(contrib + dmass/n)` with the same association, so
+    * both engines walk the same double trajectory. Consumer coalesces
+    * `pre{iters}` with `iso{iters}`.
     */
   private def pageRankCtes(d: Double, iters: Int): String = {
     val base =
       s"""prn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM prnodes),
          |prdeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
          |          FROM predges GROUP BY src),
-         |pr0 AS (SELECT id, 1.0 / prn.n AS pr FROM prnodes CROSS JOIN prn)""".stripMargin
+         |prniso AS (SELECT CAST((SELECT count(*) FROM prnodes) -
+         |                       (SELECT count(*) FROM prdeg) AS DOUBLE) AS c),
+         |iso0 AS (SELECT 1.0 / prn.n AS pr FROM prn),
+         |pre0 AS (SELECT id, 1.0 / prn.n AS pr FROM prdeg CROSS JOIN prn)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""dm$i AS (
-         |  SELECT coalesce(sum(p.pr), 0) AS dmass
-         |  FROM pr${i - 1} p LEFT JOIN prdeg g USING (id) WHERE g.id IS NULL),
+         |  SELECT prniso.c * iso${i - 1}.pr AS dmass
+         |  FROM prniso CROSS JOIN iso${i - 1}),
+         |iso$i AS (
+         |  SELECT (1 - $d) / prn.n + $d * (dm$i.dmass / prn.n) AS pr
+         |  FROM prn CROSS JOIN dm$i),
          |ct$i AS (
          |  SELECT e.dst AS id, sum(p.pr / g.deg) AS contrib
-         |  FROM predges e JOIN pr${i - 1} p ON p.id = e.src
+         |  FROM predges e JOIN pre${i - 1} p ON p.id = e.src
          |  JOIN prdeg g ON g.id = e.src GROUP BY e.dst),
-         |pr$i AS (
+         |pre$i AS (
          |  SELECT nd.id,
          |    (1 - $d) / prn.n + $d * (coalesce(c.contrib, 0) + dm$i.dmass / prn.n)
          |      AS pr
-         |  FROM prnodes nd CROSS JOIN prn CROSS JOIN dm$i
+         |  FROM (SELECT id FROM prdeg) nd CROSS JOIN prn CROSS JOIN dm$i
          |  LEFT JOIN ct$i c USING (id))""".stripMargin
     }
     (base +: rounds).mkString(",\n")
@@ -2531,8 +2541,10 @@ object GemQueries {
     // discovery): tokens present in ≥60% of a source's docs.
     QueryDef("q81_boilerplate",
       (s, dir) => {
+        // segment size 1 ≡ the token array itself — skip the
+        // per-element slice/join of tokenSegments(_, 1)
         val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
-          LineDedup.tokenSegments(col("text"), 1).as("segs"))
+          TextAnalysis.tokens(col("text")).as("segs"))
         LineDedup.boilerplateSegments(docs, "doc_id", "segs", "source",
             minFrac = 0.6)
           .orderBy("source", "seg")
@@ -2591,7 +2603,9 @@ object GemQueries {
           |            UNION SELECT id_b, id_a FROM prpairs),
           |""".stripMargin +
         pageRankCtes(d = 0.85, iters = 5) + "\n" +
-        """SELECT id AS doc_id, round(pr, 6) AS pr FROM pr5
+        """SELECT nd.id AS doc_id,
+          |  round(coalesce(p.pr, iso5.pr), 6) AS pr
+          |FROM prnodes nd LEFT JOIN pre5 p USING (id) CROSS JOIN iso5
           |ORDER BY doc_id""".stripMargin))
   )
 }

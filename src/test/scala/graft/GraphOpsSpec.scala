@@ -30,6 +30,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(2L) == got(5L), "leaves tie")
   }
 
+  test("pageRank: edges to absent endpoints are dropped, mass conserved") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 99L)).toDF("a", "b") // 99 is not a node
+    val got = PageRank.run(nodes, "id", edges, "a", "b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.5), s"no rank leaks to 99: $got")
+  }
+
   test("pageRank: all-isolate graph is uniform at 1/N") {
     val nodes = (1L to 4L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
