@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashing-trick linear text classifier — the fastText-shaped quality
+  * gate of large corpus pipelines (e.g. the GPT-3/CCNet "looks like
+  * reference text" filter): score = mean over tokens of a weight
+  * looked up by feature hash, no vocabulary file, fixed memory `dim`.
+  *
+  * Inference is a pure per-row expression — token hash → bucket →
+  * weight → sum — so the corpus NEVER shuffles and the whole scorer
+  * stays inside one whole-stage-codegen projection. A trained model
+  * would broadcast its `dim`-sized weight array; here the weights are
+  * derived from the portable hash of the bucket id (a deterministic
+  * stand-in with the exact data flow of the real thing), so the DuckDB
+  * oracle replays scoring bit-for-bit.
+  *
+  * Numeric discipline: weights are INTEGER parts-per-million in
+  * [−500000, 500000] and the per-document total is an integer sum —
+  * order-independent, so the score (one final division) is IEEE-exact
+  * in any engine, and the keep/drop decision (`sum > 0`) never sits on
+  * a floating-point boundary.
+  */
+object Classifier {
+
+  /** Integer ppm weight of one token: bucket = h(token) mod dim,
+    * weight = h("w:" + bucket) mod 1000001 − 500000.
+    */
+  private def weightPpm(token: Column, dim: Int): Column =
+    pmod(Hashing.portableHash(
+        concat(lit("w:"),
+          pmod(Hashing.portableHash(token), lit(dim.toLong)).cast("string"))),
+      lit(1000001L)) - lit(500000L)
+
+  /** Score `textCol` of every row: appends `n_tokens` (int), `score`
+    * (mean token weight in [−0.5, 0.5], 6 decimals, null for empty
+    * docs) and `keep` (score > 0; null for empty docs).
+    */
+  def scoreDocs(
+      df: DataFrame, textCol: String, dim: Int = 4096): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val ppm = aggregate(toks, lit(0L), (acc, t) => acc + weightPpm(t, dim))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("_ppm", ppm)
+      .withColumn("score", when(col("n_tokens") > 0,
+        round(col("_ppm") / (col("n_tokens") * lit(1000000.0d)), 6)))
+      .withColumn("keep", when(col("n_tokens") > 0, col("_ppm") > 0))
+      .drop("_ppm")
+  }
+
+  /** DuckDB fragment scoring one token list (kept adjacent so the
+    * oracle cannot drift): ppm sum over `toksExpr`.
+    */
+  def duckPpmSum(toksExpr: String, dim: Int): String = {
+    val bucket = Hashing.duckPortableHash("t") + s" % $dim"
+    val w = Hashing.duckPortableHash(s"'w:' || CAST($bucket AS VARCHAR)") +
+      " % 1000001 - 500000"
+    s"list_sum(list_transform($toksExpr, t -> $w))"
+  }
+}

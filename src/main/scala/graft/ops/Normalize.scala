@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group-wise feature normalization — the standardization step between
@@ -35,5 +36,35 @@ object Normalize {
         round(when(col("_sd") > 0,
           (col(valueCol) - col("_mu")) / col("_sd")), 4))
       .drop("_mu", "_sd")
+  }
+
+  /** Append `outCol` = the row's n-tile (1..n) of `orderCol` within its
+    * group — quality deciles per language, length quartiles per source:
+    * the standard way corpus curation turns a raw signal into a
+    * comparable "top 10% for its stratum" bucket.
+    *
+    * Tiling is RANK-based (`ntile` splits the sorted group into n runs
+    * of near-equal COUNT), so equal values straddling a boundary land
+    * in different tiers; `tieBreak` pins which — pass a unique key so
+    * assignment is deterministic under re-partitioning.
+    *
+    * Scale shape: one shuffle by group + a per-group sort. Groups here
+    * are strata (languages/sources) — many rows each, but the sort
+    * spills, and no single global partition exists (the r2
+    * partition-less-window killer). For a percentile-of-VALUE bucket
+    * instead (boundaries shared by equal values), aggregate per-group
+    * cut points like q59's percentile agg and broadcast them back —
+    * [[zscore]]'s two-phase shape.
+    */
+  def ntileBy(
+      df: DataFrame, n: Int, orderCol: String, groupCols: Seq[String],
+      tieBreak: Column, outCol: String = "tier"): DataFrame = {
+    require(n > 0, s"ntile needs a positive tile count: $n")
+    require(groupCols.nonEmpty, "ntileBy needs at least one group column")
+    require(!df.columns.contains(outCol),
+      s"ntileBy emits '$outCol': rename the existing column or pass outCol")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).asc, tieBreak.asc)
+    df.withColumn(outCol, ntile(n).over(w))
   }
 }

@@ -96,4 +96,43 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic global shuffle + shard assignment — the last step
+    * before a corpus becomes training data: every row gets a stable
+    * pseudo-random position (`rankCol`, 0-based) and a shard id
+    * (`shardCol` = rank / shardSize), so shard files can be written
+    * with `df.write.partitionBy(shardCol)` and any engine can replay
+    * the exact epoch order. "Random" is the portable hash of `keyCol`
+    * (ties broken by the key's string form), so the permutation is a
+    * pure function of the data — reshuffling partitions, adding
+    * executors, or re-running never changes it.
+    *
+    * Scale shape: a global permutation genuinely needs one distributed
+    * sort — `sortBy` range-partitions on sampled split points and
+    * `zipWithIndex` numbers with per-partition offsets (one tiny count
+    * job), so there is NO single-task global window (the r2
+    * killer). Cost: one sort shuffle of the corpus, nothing else.
+    */
+  def shuffleShards(
+      df: DataFrame, keyCol: String, shardSize: Long,
+      rankCol: String = "rank", shardCol: String = "shard"): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive: $shardSize")
+    require(!df.columns.contains(rankCol) && !df.columns.contains(shardCol),
+      s"shuffleShards emits '$rankCol'/'$shardCol': rename existing columns")
+    val spark = df.sparkSession
+    val h = "_gs_h"
+    val withH = df.withColumn(h,
+      Hashing.portableHash(col(keyCol).cast("string")))
+    val st = withH.schema
+    val hi = st.fieldIndex(h)
+    val ki = st.fieldIndex(keyCol)
+    val ranked = withH.rdd
+      .sortBy(r => (r.getLong(hi), String.valueOf(r.get(ki))))
+      .zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(ranked,
+        st.add(rankCol, org.apache.spark.sql.types.LongType))
+      .withColumn(shardCol, floor(col(rankCol) / shardSize).cast("long"))
+      .drop(h)
+  }
 }

@@ -221,6 +221,34 @@ object Similarity {
     * threshold, id_a < id_b. Blocking bounds the pair count — the full
     * cross product never materializes.
     */
+  /** Semantic decontamination — the embedding-space counterpart of the
+    * n-gram [[Dedup.decontaminate]]: drop every corpus row whose max
+    * cosine against ANY benchmark vector reaches `threshold` (eval-set
+    * paraphrases that token overlap misses). Returns the SURVIVORS with
+    * their `max_bench_cos` (4 decimals; the threshold compares against
+    * the rounded value so the cut is engine-portable).
+    *
+    * Scale shape: the benchmark side is small by construction (an eval
+    * suite) — it broadcasts, the corpus never shuffles for the scoring
+    * pass, and the per-id max is map-side combined before the one
+    * narrow (id, double) shuffle. Norms are precomputed per side, not
+    * per pair.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("_cvec"))
+      .withColumn("_cnorm", sqrt(dot(col("_cvec"), col("_cvec"))))
+    val b = bench.select(col(vecCol).as("_bvec"))
+      .withColumn("_bnorm", sqrt(dot(col("_bvec"), col("_bvec"))))
+    c.crossJoin(broadcast(b))
+      .withColumn("_cos",
+        dot(col("_cvec"), col("_bvec")) / (col("_cnorm") * col("_bnorm")))
+      .groupBy(idCol)
+      .agg(round(max(col("_cos")), 4).as("max_bench_cos"))
+      .filter(col("max_bench_cos") < threshold)
+  }
+
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {

@@ -2,10 +2,11 @@ package graft.queries
 
 import graft.core.Graft
 import graft.functions.Hashing
-import graft.ops.{AsofJoin, Chunking, Cleaning, Components, Coordinates,
-  CorpusPipeline, Dedup, GemPipeline, LanguageModel, LineDedup, Multimodal,
-  Normalize, Ownership, Packing, PageRank, Quantize, Retrieval, Rolling,
-  Sampling, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
+import graft.ops.{AsofJoin, Chunking, Classifier, Cleaning, Components,
+  Coordinates, CorpusPipeline, Dedup, GemPipeline, IntervalJoin,
+  LanguageModel, LineDedup, Multimodal, Normalize, Ownership, Packing,
+  PageRank, Profile, Quantize, Retrieval, Rolling, Sampling, Similarity,
+  Skew, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -180,6 +181,15 @@ object GemQueries {
       |  FROM cand c
       |  JOIN toks a ON a.doc_id = c.id_a
       |  JOIN toks b ON b.doc_id = c.id_b)""".stripMargin
+
+  /** q89's (column, numeric?) list — ONE definition feeding both the
+    * Spark profile and its generated DuckDB oracle. Declared before
+    * `defs` (strict val) so object init never sees it null.
+    */
+  private val profileCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_linenumber" -> true, "l_quantity" -> true,
+    "l_extendedprice" -> true, "l_discount" -> true,
+    "l_returnflag" -> false, "l_linestatus" -> false)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -2606,6 +2616,125 @@ object GemQueries {
         """SELECT nd.id AS doc_id,
           |  round(coalesce(p.pr, iso5.pr), 6) AS pr
           |FROM prnodes nd LEFT JOIN pre5 p USING (id) CROSS JOIN iso5
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Interval-overlap join (IntervalJoin.pointInInterval): purchases
+    // landing inside the 10-minute window after each error event. The
+    // naive theta-join is a nested-loop; the op's bucketed equi-join
+    // form shuffles once on the time bucket instead.
+    QueryDef("q84_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val intervals = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("ivl_start"),
+            (col("ts") + expr("INTERVAL 600 SECOND")).as("ivl_end"))
+        val points = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        IntervalJoin.pointInInterval(intervals, points,
+            "ivl_start", "ivl_end", "p_ts", bucketSec = 600L)
+          .select(col("err_id"), col("purchase_id"),
+            (unix_micros(col("p_ts").cast("timestamp")) -
+              unix_micros(col("ivl_start").cast("timestamp"))).as("gap_us"))
+          .orderBy("err_id", "purchase_id")
+      },
+      Some("""WITH i AS (
+             |  SELECT event_id AS err_id, ts AS ivl_start,
+             |    ts + INTERVAL 600 SECOND AS ivl_end
+             |  FROM events WHERE event_type = 'error'),
+             |p AS (SELECT event_id AS purchase_id, ts AS p_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT i.err_id, p.purchase_id,
+             |  epoch_us(p.p_ts) - epoch_us(i.ivl_start) AS gap_us
+             |FROM i JOIN p ON p.p_ts >= i.ivl_start AND p.p_ts <= i.ivl_end
+             |ORDER BY err_id, purchase_id""".stripMargin)),
+
+    // Rank-based quality tiers (Normalize.ntileBy): length deciles
+    // within each language — the "top 10% for its stratum" bucket a
+    // curation rule consumes. Deterministic via the doc_id tie-break.
+    QueryDef("q85_quality_tiers",
+      (s, dir) => Normalize.ntileBy(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          n = 10, "n_chars", Seq("lang"), tieBreak = col("doc_id"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+             |  CAST(ntile(10) OVER (PARTITION BY lang
+             |    ORDER BY n_chars, doc_id) AS INT) AS tier
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic global shuffle + shard assignment (Sampling
+    // .shuffleShards): every doc gets a stable pseudo-random epoch
+    // position and a 64-doc shard id — distributed sortBy+zipWithIndex,
+    // no single-task global window.
+    QueryDef("q86_training_shards",
+      (s, dir) => Sampling.shuffleShards(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", shardSize = 64L)
+        .orderBy("rank"),
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, source,
+             |    ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")} AS h
+             |  FROM documents),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (ORDER BY h, CAST(doc_id AS VARCHAR))
+             |          - 1 AS "rank"
+             |      FROM h)
+             |SELECT doc_id, source, "rank", "rank" // 64 AS shard
+             |FROM r ORDER BY "rank"""".stripMargin)),
+
+    // Hashing-trick linear classifier inference (Classifier.scoreDocs):
+    // fastText-shaped quality gate — token hash → bucket → ppm weight,
+    // integer sum, one codegen'd projection, zero shuffle. Weights are
+    // hash-derived stand-ins with the real model's exact data flow.
+    QueryDef("q87_hash_classifier",
+      (s, dir) => Classifier.scoreDocs(
+          t(s, dir, "documents").select("doc_id", "text"), "text",
+          dim = 4096)
+        .select("doc_id", "n_tokens", "score", "keep")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS toks
+             |  FROM documents),
+             |s AS (SELECT doc_id, len(toks) AS n,
+             |        ${Classifier.duckPpmSum("toks", 4096)} AS ppm
+             |      FROM tok)
+             |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+             |  CASE WHEN n > 0 THEN round(ppm / (n * 1000000.0), 6) END
+             |    AS score,
+             |  CASE WHEN n > 0 THEN ppm > 0 END AS keep
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Semantic decontamination (Similarity.semanticDecontaminate):
+    // embedding-space eval-set leakage removal — benchmark broadcast,
+    // corpus scored in place, survivors with their max benchmark
+    // cosine. vec_id < 50 plays the held-out benchmark.
+    QueryDef("q88_semantic_decontam",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.semanticDecontaminate(
+            emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+            "vec_id", "embedding", threshold = 0.45)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH b AS (SELECT embedding FROM embeddings WHERE vec_id < 50),
+             |c AS (SELECT vec_id, embedding FROM embeddings
+             |      WHERE vec_id >= 50),
+             |s AS (
+             |  SELECT c.vec_id,
+             |    round(max(${duckCos("c.embedding", "b.embedding")}), 4)
+             |      AS max_bench_cos
+             |  FROM c CROSS JOIN b GROUP BY c.vec_id)
+             |SELECT vec_id, max_bench_cos FROM s
+             |WHERE max_bench_cos < 0.45 ORDER BY vec_id""".stripMargin)),
+
+    // Column profiler (Profile.summary): per-column row/non-null/
+    // distinct counts + numeric min/max in ONE aggregation pass —
+    // the ingest-time data-quality report. Oracle generated from the
+    // same column list by Profile.duckSummarySql.
+    QueryDef("q89_profile",
+      (s, dir) => Profile.summary(t(s, dir, "lineitem"),
+          GemQueries.profileCols.map(_._1))
+        .orderBy("col_name"),
+      Some(Profile.duckSummarySql("lineitem", profileCols)))
   )
 }
