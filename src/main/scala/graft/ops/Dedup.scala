@@ -27,6 +27,43 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Edit-distance near-duplicate pairs over SHORT strings (names,
+    * titles, product labels — not documents: Levenshtein is O(len²)
+    * per pair and length-blind at document size; the MinHash/SimHash
+    * tiers own that regime). Returns distinct-string pairs
+    * `(str_a < str_b, dist)` with `1 ≤ dist ≤ maxDist`.
+    *
+    * Scale shape — two pruning layers before any distance runs:
+    * 1. DISTINCT-first: pairs form over unique strings, never rows, so
+    *    a million copies of "Acme Corp" cost one comparison.
+    * 2. Length-band blocking: `|len(a) − len(b)| > maxDist` forces
+    *    `dist > maxDist` (recall-lossless), so strings join only
+    *    within their `maxDist+1`-wide length band and the one above —
+    *    the quadratic explosion is bounded per band, and the join is
+    *    a plain shuffle equi-join on the band key.
+    * Same-band pairs pair once via `str_a < str_b`; adjacent-band pairs
+    * once because only the LOWER band probes upward.
+    */
+  def editDistancePairs(
+      df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be ≥ 1: $maxDist")
+    val w = maxDist + 1
+    val names = df.select(col(strCol).as("s")).na.drop().distinct()
+      .withColumn("band", (length(col("s")) / w).cast("long"))
+    val probe = names.select(col("s").as("sa"), col("band").as("ba"),
+      explode(array(col("band"), col("band") + 1)).as("band_key"))
+    val build = names.select(col("s").as("sb"), col("band").as("bb"),
+      col("band").as("band_key"))
+    probe.join(build, Seq("band_key"))
+      .filter((col("ba") === col("bb") && col("sa") < col("sb")) ||
+        col("ba") < col("bb"))
+      .filter(abs(length(col("sa")) - length(col("sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist").between(1, maxDist))
+      .select(least(col("sa"), col("sb")).as("str_a"),
+        greatest(col("sa"), col("sb")).as("str_b"), col("dist"))
+  }
+
   /** MinHash signature: k universal-family hash minima over the token
     * set — the native kernel expression
     * ([[graft.functions.MinhashSignatureExpr]], registered by

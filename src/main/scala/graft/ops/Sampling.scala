@@ -97,6 +97,43 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Temperature-weighted corpus mixing (α = 0.5) — the multilingual/
+    * multi-source rebalancing rule (mT5, XLM-R shape): a stratum's
+    * share of the target is ∝ √(its size), so huge sources are
+    * down-weighted and small ones surface, without any source ever
+    * being upsampled (rates cap at 1). Keeps ≈`targetRows` rows total.
+    *
+    * Determinism across engines, by construction: per-stratum sizes →
+    * `s6 = floor(√n · 10⁶)` (one IEEE sqrt, floored — bit-stable
+    * anywhere) → integer-exact sum; each stratum's keep rate in ppm is
+    * one floored DECIMAL division (no float accumulation, no boundary
+    * wobble); membership is the portable md5 hash of the key mod 10⁶.
+    * Scale shape: one tiny stats agg, broadcast back, shuffle-free
+    * membership predicate — [[stratifiedSample]] with computed rates.
+    *
+    * @return kept rows plus their stratum's `rate_ppm`
+    */
+  def temperatureMix(
+      df: DataFrame, keyCol: String, strataCol: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    require(!df.columns.contains("rate_ppm"),
+      "temperatureMix emits rate_ppm: rename the existing column first")
+    val m = lit(1000000L)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_s6", floor(sqrt(col("_n")) * m).cast("long"))
+    val tot = counts.agg(sum(col("_s6")).as("_tot6"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", least(m,
+        floor((col("_s6").cast("decimal(38,0)") * targetRows * m) /
+          (col("_tot6").cast("decimal(38,0)") * col("_n"))).cast("long")))
+      .select(col(strataCol), col("rate_ppm"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(pmod(Hashing.portableHash(col(keyCol).cast("string")), m) <
+        col("rate_ppm"))
+  }
+
   /** Deterministic global shuffle + shard assignment — the last step
     * before a corpus becomes training data: every row gets a stable
     * pseudo-random position (`rankCol`, 0-based) and a shard id

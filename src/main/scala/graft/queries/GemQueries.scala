@@ -191,7 +191,7 @@ object GemQueries {
     "l_extendedprice" -> true, "l_discount" -> true,
     "l_returnflag" -> false, "l_linestatus" -> false)
 
-  val defs: Seq[QueryDef] = Seq(
+  private val coreDefs: Seq[QueryDef] = Seq(
 
     // P1/P3 projection + fixed order (`Coalplants_GEM.R:17-38,214-223`)
     QueryDef("q01_project",
@@ -2737,4 +2737,76 @@ object GemQueries {
         .orderBy("col_name"),
       Some(Profile.duckSummarySql("lineitem", profileCols)))
   )
+
+  /** q90–q92 — fuzzy matching, corpus mixing, semi-structured parse. */
+  private val moreDefs: Seq[QueryDef] = Seq(
+
+    // Edit-distance near-dup pairs (Dedup.editDistancePairs): fuzzy
+    // entity matching over short strings — distinct-first, length-band
+    // blocked, plain equi-join; Levenshtein never runs on a pair the
+    // band pruning can exclude.
+    QueryDef("q90_edit_distance",
+      (s, dir) => Dedup.editDistancePairs(
+          t(s, dir, "part").select("p_name"), "p_name", maxDist = 2)
+        .orderBy("str_a", "str_b"),
+      Some("""WITH n AS (
+             |  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+             |SELECT a.s AS str_a, b.s AS str_b,
+             |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+             |FROM n a JOIN n b ON a.s < b.s
+             |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+             |ORDER BY str_a, str_b""".stripMargin)),
+
+    // Temperature-weighted source mixing (Sampling.temperatureMix,
+    // α = 0.5): per-language √n-proportional keep rates toward a
+    // 250-row target — integer-exact rate math, portable-hash
+    // membership, shuffle-free scoring pass.
+    QueryDef("q91_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          "doc_id", "lang", targetRows = 250L)
+        .select("doc_id", "lang", "source", "rate_ppm")
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT lang, count(*) AS n FROM documents
+             |           GROUP BY lang),
+             |s AS (SELECT lang, n,
+             |        CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS s6 FROM n),
+             |t AS (SELECT sum(s6) AS tot6 FROM s),
+             |r AS (SELECT lang, least(1000000, CAST(
+             |        CAST(s6 AS HUGEINT) * 250 * 1000000 //
+             |          (CAST(tot6 AS HUGEINT) * n) AS BIGINT)) AS rate_ppm
+             |      FROM s CROSS JOIN t)
+             |SELECT d.doc_id, d.lang, d.source, r.rate_ppm
+             |FROM documents d JOIN r USING (lang)
+             |WHERE ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")}
+             |  % 1000000 < r.rate_ppm
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Semi-structured JSON parse (from_json typed extraction, M-tier
+    // scalar surface): events.props → typed field, rolled up per
+    // event type. Parsing stays in one codegen'd projection.
+    QueryDef("q92_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k INT",
+            Map.empty[String, String]).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""WITH j AS (
+             |  SELECT event_type,
+             |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |  FROM events)
+             |SELECT event_type, count(k) AS n_k,
+             |  round(avg(k), 4) AS avg_k,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+
+  /** The full catalog the driver consumes — declared LAST so every
+    * section val is initialized before concatenation.
+    */
+  val defs: Seq[QueryDef] = coreDefs ++ moreDefs
 }
