@@ -34,9 +34,14 @@ object Classifier {
           pmod(Hashing.portableHash(token), lit(dim.toLong)).cast("string"))),
       lit(1000001L)) - lit(500000L)
 
-  /** Score `textCol` of every row: appends `n_tokens` (int), `score`
-    * (mean token weight in [−0.5, 0.5], 6 decimals, null for empty
-    * docs) and `keep` (score > 0; null for empty docs).
+  /** Score `textCol` of every row: appends `n_tokens` (int),
+    * `score_ppm` (floor of the mean token weight, integer ppm in
+    * [−500000, 500000]; null for empty docs) and `keep` (weight sum
+    * > 0; null for empty docs). The mean stays integral — one floor
+    * division of exact integers — because a 6-decimal float score hit
+    * round-half TIES at sf0.1 (HALF_UP vs the oracle's half-even on 2
+    * of 5000 docs); floor(x) is the same function in every engine.
+    * The double intermediate is exact: |sum| ≤ 5·10⁵·n < 2⁵³.
     */
   def scoreDocs(
       df: DataFrame, textCol: String, dim: Int = 4096): DataFrame = {
@@ -45,8 +50,8 @@ object Classifier {
     val ppm = aggregate(toks, lit(0L), (acc, t) => acc + weightPpm(t, dim))
     df.withColumn("n_tokens", size(toks))
       .withColumn("_ppm", ppm)
-      .withColumn("score", when(col("n_tokens") > 0,
-        round(col("_ppm") / (col("n_tokens") * lit(1000000.0d)), 6)))
+      .withColumn("score_ppm", when(col("n_tokens") > 0,
+        floor(col("_ppm").cast("double") / col("n_tokens")).cast("long")))
       .withColumn("keep", when(col("n_tokens") > 0, col("_ppm") > 0))
       .drop("_ppm")
   }

@@ -97,6 +97,48 @@ object Dedup {
       .select(col(idCol), col("band_id"), col("band_hash"))
   }
 
+  /** Incremental near-dup lookup — the production posture of MinHash
+    * dedup: a NEW batch (today's crawl) is checked against an EXISTING
+    * corpus without ever re-pairing the corpus against itself. The band
+    * join runs batch-bands × index-bands only, so per-ingest cost
+    * scales with the batch, not the corpus; at scale the index band
+    * frame is computed once and persisted (bucketed on band_hash —
+    * `sources/Layout` — so this join needs no shuffle on the index
+    * side), and the batch probes it. In-batch duplicates are a separate
+    * [[minhashNearDups]] call over the batch alone.
+    *
+    * Returns (batch_id, index_id, jaccard ≥ threshold) — same k/bands/
+    * verify arithmetic as [[minhashNearDups]], so a doc's signature is
+    * identical whichever side it sits on.
+    */
+  def incrementalNearDups(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val bb = lshBands(batch, idCol, textCol, k, bands)
+    val ib = lshBands(index, idCol, textCol, k, bands)
+    val candidates = bb.as("l")
+      .join(ib.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash"))
+      .select(col(s"l.$idCol").as("batch_id"),
+        col(s"r.$idCol").as("index_id"))
+      .distinct()
+    def toks(df: DataFrame) = df.select(col(idCol),
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    candidates
+      .join(toks(batch).select(col(idCol).as("batch_id"),
+        col("toks").as("toks_a"), col("n_toks").as("na")), "batch_id")
+      .join(toks(index).select(col(idCol).as("index_id"),
+        col("toks").as("toks_b"), col("n_toks").as("nb")), "index_id")
+      .withColumn("inter",
+        call_function("graft_overlap", col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "index_id", "jaccard")
+  }
+
   /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard
     * over distinct token sets. Returns (id_a, id_b, jaccard) pairs with
     * jaccard >= threshold, id_a < id_b.

@@ -147,29 +147,39 @@ object GemQueries {
     (base +: rounds).mkString(",\n")
   }
 
+  /** Parameterized MinHash signature CTE chain (k=64, 8 bands of r=8)
+    * over `documents` rows matching `where` — emits `{p}toks`/`{p}ph`/
+    * `{p}sig`/`{p}bands`. ONE generator behind every minhash oracle
+    * (the q44/q61/q83 self-join chain via [[minhashVerifiedCtes]] and
+    * q93's batch-vs-index form) so the arithmetic cannot drift.
+    */
+  private def minhashSigCtes(p: String, where: String): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
+       |  FROM documents WHERE $where),
+       |${p}ph AS (
+       |  SELECT doc_id, tk, list_transform(tk, t ->
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
+       |  FROM ${p}toks),
+       |${p}sig AS (
+       |  SELECT doc_id, tk, CASE WHEN len(h31) > 0 THEN
+       |    list_transform(generate_series(0, 63), s ->
+       |    list_min(list_transform(h31, h ->
+       |      (((s*1103515245 + 12345) % 2147483647) * h
+       |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
+       |  FROM ${p}ph),
+       |${p}bands AS (
+       |  SELECT doc_id, b.band_id,
+       |    md5(array_to_string(list_transform(
+       |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
+       |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+       |  FROM ${p}sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b)"""
+      .stripMargin
+
   private val minhashVerifiedCtes: String =
-    """toks AS (
-      |  SELECT doc_id, list_distinct(list_filter(
-      |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
-      |  FROM documents WHERE doc_id < 1000),
-      |ph AS (
-      |  SELECT doc_id, tk, list_transform(tk, t ->
-      |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, tk, CASE WHEN len(h31) > 0 THEN
-      |    list_transform(generate_series(0, 63), s ->
-      |    list_min(list_transform(h31, h ->
-      |      (((s*1103515245 + 12345) % 2147483647) * h
-      |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
-      |  FROM ph),
-      |bands AS (
-      |  SELECT doc_id, b.band_id,
-      |    md5(array_to_string(list_transform(
-      |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
-      |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
-      |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b),
-      |cand AS (
+    minhashSigCtes("", "doc_id < 1000") + ",\n" +
+    """cand AS (
       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       |  FROM bands l JOIN bands r
       |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
@@ -2689,7 +2699,7 @@ object GemQueries {
       (s, dir) => Classifier.scoreDocs(
           t(s, dir, "documents").select("doc_id", "text"), "text",
           dim = 4096)
-        .select("doc_id", "n_tokens", "score", "keep")
+        .select("doc_id", "n_tokens", "score_ppm", "keep")
         .orderBy("doc_id"),
       Some(s"""WITH tok AS (
              |  SELECT doc_id, list_filter(
@@ -2699,8 +2709,9 @@ object GemQueries {
              |        ${Classifier.duckPpmSum("toks", 4096)} AS ppm
              |      FROM tok)
              |SELECT doc_id, CAST(n AS INT) AS n_tokens,
-             |  CASE WHEN n > 0 THEN round(ppm / (n * 1000000.0), 6) END
-             |    AS score,
+             |  CASE WHEN n > 0 THEN
+             |    CAST(floor(CAST(ppm AS DOUBLE) / n) AS BIGINT) END
+             |    AS score_ppm,
              |  CASE WHEN n > 0 THEN ppm > 0 END AS keep
              |FROM s ORDER BY doc_id""".stripMargin)),
 
@@ -2802,7 +2813,37 @@ object GemQueries {
              |SELECT event_type, count(k) AS n_k,
              |  round(avg(k), 4) AS avg_k,
              |  min(k) AS min_k, max(k) AS max_k
-             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Incremental near-dup lookup (Dedup.incrementalNearDups): the
+    // production shape of minhash dedup — today's batch (doc_id ≥ 250)
+    // probes the existing corpus index (doc_id < 250); the corpus is
+    // never re-paired against itself. Same k=64/8-band/verify
+    // arithmetic as q44, shared via minhashSigCtes.
+    QueryDef("q93_incremental_neardups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        Dedup.incrementalNearDups(
+            docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+            "doc_id", "text", k = 64, bands = 8, threshold = 0.8)
+          .orderBy("batch_id", "index_id")
+      },
+      Some("WITH " +
+        minhashSigCtes("b", "doc_id >= 250 AND doc_id < 1000") + ",\n" +
+        minhashSigCtes("i", "doc_id < 250") + ",\n" +
+        """icand AS (
+          |  SELECT DISTINCT l.doc_id AS batch_id, r.doc_id AS index_id
+          |  FROM bbands l JOIN ibands r
+          |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash),
+          |iverified AS (
+          |  SELECT c.batch_id, c.index_id,
+          |    round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+          |          len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+          |  FROM icand c
+          |  JOIN btoks a ON a.doc_id = c.batch_id
+          |  JOIN itoks b ON b.doc_id = c.index_id)
+          |SELECT batch_id, index_id, jaccard FROM iverified
+          |WHERE jaccard >= 0.8 ORDER BY batch_id, index_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

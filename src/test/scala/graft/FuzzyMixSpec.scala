@@ -37,6 +37,20 @@ class FuzzyMixSpec extends SparkSpec {
     assert(got.length == 1, "one pair despite 100 copies")
   }
 
+  test("incrementalNearDups: batch probes index only — no self pairs") {
+    val mk = (id: Long, t: String) => (id, t)
+    val shared = (1 to 30).map(i => s"w$i").mkString(" ")
+    val index = Seq(mk(1L, shared), mk(2L, shared), // index-internal dup pair
+      mk(3L, "totally different content here")).toDF("doc_id", "text")
+    val batch = Seq(mk(10L, shared), mk(11L, shared), // batch-internal dup pair
+      mk(12L, "unrelated fresh news item")).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(batch, index, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.9)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)),
+      s"only batch×index pairs, never index×index or batch×batch: $got")
+  }
+
   test("temperatureMix: sqrt flattening — small stratum keeps a higher rate") {
     // 900 "big" rows vs 100 "small": α=0.5 shares ∝ 30:10, so per-row
     // rates are 3× apart (big down-weighted 3×), not 9×.

@@ -13,20 +13,22 @@ class ProfileClassifySpec extends SparkSpec {
     val df = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha"))
       .toDF("id", "text")
     val got = Classifier.scoreDocs(df, "text").orderBy("id")
-      .select("n_tokens", "score", "keep").collect()
+      .select("n_tokens", "score_ppm", "keep").collect()
     assert(got(1).isNullAt(1) && got(1).isNullAt(2), "empty doc → nulls")
     assert(got(0).getInt(0) == 3 && got(2).getInt(0) == 1)
-    val s = got(0).getDouble(1)
-    assert(s >= -0.5 && s <= 0.5, s"mean ppm weight in [-0.5, 0.5]: $s")
-    assert(got(2).getBoolean(2) == (got(2).getDouble(1) > 0))
+    val s = got(0).getLong(1)
+    assert(s >= -500000L && s <= 500000L,
+      s"mean ppm weight in [-5e5, 5e5]: $s")
+    // single-token doc: floor(mean) = the weight itself, so keep agrees
+    assert(got(2).getBoolean(2) == (got(2).getLong(1) > 0))
   }
 
   test("scoreDocs: deterministic across runs and partitionings") {
     val df = (1L to 50L).map(i => (i, s"tok$i alpha beta")).toDF("id", "text")
     val a = Classifier.scoreDocs(df, "text")
-      .select("id", "score").as[(Long, Double)].collect().toMap
+      .select("id", "score_ppm").as[(Long, Long)].collect().toMap
     val b = Classifier.scoreDocs(df.repartition(7), "text")
-      .select("id", "score").as[(Long, Double)].collect().toMap
+      .select("id", "score_ppm").as[(Long, Long)].collect().toMap
     assert(a == b)
   }
 
