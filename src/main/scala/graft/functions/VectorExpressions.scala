@@ -148,8 +148,17 @@ object GraftFunctions {
       KmvSketchAgg(children.head, intLit(children(1), "graft_kmv")): Expression
     })
 
+  private[functions] val canonInfo = (
+    FunctionIdentifier("graft_canon"),
+    new ExpressionInfo(classOf[CanonTextExpr].getName, "graft_canon"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_canon takes exactly 1 argument")
+      CanonTextExpr(children.head): Expression
+    })
+
   private[functions] val all =
-    Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo, kmvInfo)
+    Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
+      kmvInfo, canonInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -21,6 +21,14 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("[^ ]+"), lit(0))
 
+  /** Canonical text — Unicode NFC + lowercase + whitespace collapse in
+    * one fused pass (`graft_canon`, [[graft.functions.CanonTextExpr]]):
+    * the normalization step BEFORE hashing/dedup, so byte-different
+    * spellings of the same content (composed vs decomposed accents,
+    * case, ragged spacing) collapse to one dedup key.
+    */
+  def canonText(text: Column): Column = call_function("graft_canon", text)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Distinct-token ratio (type-token ratio) — a standard repetitiveness

@@ -2843,7 +2843,27 @@ object GemQueries {
           |  JOIN btoks a ON a.doc_id = c.batch_id
           |  JOIN itoks b ON b.doc_id = c.index_id)
           |SELECT batch_id, index_id, jaccard FROM iverified
-          |WHERE jaccard >= 0.8 ORDER BY batch_id, index_id""".stripMargin))
+          |WHERE jaccard >= 0.8 ORDER BY batch_id, index_id""".stripMargin)),
+
+    // Text canonicalization (TextAnalysis.canonText / graft_canon
+    // native kernel): NFC + lowercase + whitespace collapse fused into
+    // one codegen'd pass — the normalization step before any dedup
+    // hash. The oracle composes DuckDB's nfc_normalize/lower/
+    // regexp_replace in the same operation order.
+    QueryDef("q94_canon_text",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonText(col("text")).as("canon"))
+        .withColumn("n_chars_canon", length(col("canon")))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, canon,
+             |  CAST(length(canon) AS INT) AS n_chars_canon
+             |FROM (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(lower(nfc_normalize(text)),
+             |      '[ \t\n\f\r]+', ' ', 'g')) AS canon
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
