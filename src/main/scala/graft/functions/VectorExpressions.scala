@@ -156,9 +156,29 @@ object GraftFunctions {
       CanonTextExpr(children.head): Expression
     })
 
+  private[functions] val bloomInfo = (
+    FunctionIdentifier("graft_bloom"),
+    new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_bloom takes (key, words, k)")
+      BloomFilterAgg(children.head, intLit(children(1), "graft_bloom"),
+        intLit(children(2), "graft_bloom")): Expression
+    })
+
+  private[functions] val bloomContainsInfo = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[BloomContainsExpr].getName,
+      "graft_bloom_contains"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_bloom_contains takes (bloom, value, k)")
+      BloomContainsExpr(children.head, children(1),
+        intLit(children(2), "graft_bloom_contains")): Expression
+    })
+
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
-      kmvInfo, canonInfo)
+      kmvInfo, canonInfo, bloomInfo, bloomContainsInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -2863,7 +2863,69 @@ object GemQueries {
              |    trim(regexp_replace(lower(nfc_normalize(text)),
              |      '[ \t\n\f\r]+', ' ', 'g')) AS canon
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Portable Bloom-filter semi-join pruning (graft_bloom /
+    // graft_bloom_contains native aggregate + probe): BUILDING
+    // customers' keys build a 65×63-bit bitset (map-side OR-merge,
+    // broadcast), orders probe it BEFORE any join — the runtime-filter
+    // pattern with oracle-reproducible hashing, so even the false
+    // positives match bit-for-bit.
+    QueryDef("q95_bloom_semijoin",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val bloom = cust.agg(call_function("graft_bloom",
+          col("c_custkey").cast("string"), lit(65), lit(3)).as("bloom"))
+        val probed = t(s, dir, "orders").crossJoin(broadcast(bloom))
+          .withColumn("bloom_pass", call_function("graft_bloom_contains",
+            col("bloom"), col("o_custkey").cast("string"), lit(3)))
+        probed.join(
+            cust.select(col("c_custkey").as("o_custkey")).distinct()
+              .withColumn("is_match", lit(true)),
+            Seq("o_custkey"), "left")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+            sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match"),
+            sum(when(col("bloom_pass") && col("is_match").isNull, 1L)
+              .otherwise(0L)).as("n_false_pos"))
+      },
+      Some(s"""WITH ks AS (
+             |  SELECT DISTINCT c_custkey FROM customer
+             |  WHERE c_mktsegment = 'BUILDING'),
+             |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+             |bpos AS (
+             |  SELECT DISTINCT
+             |    ${Hashing.duckSeededHash("j", "CAST(c_custkey AS VARCHAR)")}
+             |      % 4095 AS p
+             |  FROM ks CROSS JOIN js),
+             |words AS (
+             |  SELECT p // 63 AS w,
+             |    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+             |  FROM bpos GROUP BY p // 63),
+             |probe AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    ${Hashing.duckSeededHash("j", "CAST(o_custkey AS VARCHAR)")}
+             |      % 4095 AS p
+             |  FROM orders CROSS JOIN js),
+             |hits AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    sum(CASE WHEN w.bits IS NOT NULL AND
+             |      (w.bits & (CAST(1 AS BIGINT) << CAST(p.p % 63 AS INT)))
+             |        <> 0 THEN 1 ELSE 0 END) AS nhit
+             |  FROM probe p LEFT JOIN words w ON w.w = p.p // 63
+             |  GROUP BY o_orderkey, o_custkey),
+             |wt AS (
+             |  SELECT h.nhit, (k.c_custkey IS NOT NULL) AS ismatch
+             |  FROM hits h LEFT JOIN ks k ON k.c_custkey = h.o_custkey)
+             |SELECT count(*) AS n_orders,
+             |  CAST(sum(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_bloom_pass,
+             |  CAST(sum(CASE WHEN ismatch THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_true_match,
+             |  CAST(sum(CASE WHEN nhit = 3 AND NOT ismatch THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_false_pos
+             |FROM wt""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
