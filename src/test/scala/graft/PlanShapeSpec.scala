@@ -101,10 +101,16 @@ class PlanShapeSpec extends SparkSpec {
     // (q69), and scoreNll's single-row (T, V) model stats (q76).
     // Everything else must stay equi-joined.
     // q83: PageRank's 1-row dangling-mass aggregate is broadcast-
-    // crossed back each iteration.
+    // crossed back each iteration. q88: the benchmark embedding set is
+    // the broadcast side of semanticDecontaminate's scoring pass.
+    // q95: the 1-row Bloom bitset broadcast-crosses onto orders (the
+    // runtime-filter shape); the membership probe is the point.
+    // q91: temperatureMix's 1-row √n-sum total joins back onto the
+    // (tiny) per-stratum stats frame, never onto the corpus.
     val intendedCross = Set("q29_cosine_topk", "q52_ivf_topk",
       "q65_ivf_train", "q66_ivf_search_trained", "q67_ann_recall",
-      "q69_bm25_search", "q76_lm_perplexity", "q83_pagerank_neardups")
+      "q69_bm25_search", "q76_lm_perplexity", "q83_pagerank_neardups",
+      "q88_semantic_decontam", "q91_temperature_mix", "q95_bloom_semijoin")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
