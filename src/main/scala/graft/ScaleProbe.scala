@@ -81,7 +81,16 @@ object ScaleProbe {
           val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
             k = 64, bands = 8, threshold = 0.8)
           PageRank.run(df, "doc_id", pairs, "id_a", "id_b")
-        }))
+        }),
+        // Incremental posture (q93): the odd-id half arrives as today's
+        // batch and probes the even-id half as the standing index —
+        // cost should track the BATCH size, staying well under the
+        // self-join ops above at equal total rows.
+        "incremental_neardups" -> (() =>
+          Dedup.incrementalNearDups(
+            df.filter(col("doc_id") % 2 === 1),
+            df.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", k = 64, bands = 8, threshold = 0.8)))
       ops.foreach { case (name, f) =>
         val sec = time(f())
         println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")

@@ -2925,7 +2925,39 @@ object GemQueries {
              |    AS n_true_match,
              |  CAST(sum(CASE WHEN nhit = 3 AND NOT ismatch THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_false_pos
-             |FROM wt""".stripMargin))
+             |FROM wt""".stripMargin)),
+
+    // Signature-grain streaming near-dup dedup, batch-parity mode
+    // (EventStream.dedupDocsBySignature): docs sharing a FULL 64-value
+    // minhash signature collapse to the earliest id — the stream-gate
+    // counterpart of q44's band/verify pipeline, no pair join at all.
+    // Empty docs (no signature) pass through. StreamingModeSpec drives
+    // the same operator through a real MemoryStream run.
+    QueryDef("q96_signature_dedup",
+      (s, dir) => graft.streaming.EventStream.dedupDocsBySignature(
+          t(s, dir, "documents").filter(col("doc_id") < 1000)
+            .select("doc_id", "lang", "source", "text"),
+          "doc_id", "text", orderCol = "doc_id")
+        .select("doc_id", "lang", "source", "sig_key")
+        .orderBy("doc_id"),
+      Some("WITH " + minhashSigCtes("", "doc_id < 1000") + ",\n" +
+        """keyed AS (
+          |  SELECT doc_id, CASE WHEN sig IS NOT NULL THEN
+          |      md5(array_to_string(
+          |        list_transform(sig, x -> CAST(x AS VARCHAR)), ','))
+          |    END AS sig_key
+          |  FROM sig),
+          |keep AS (
+          |  SELECT doc_id, sig_key FROM (
+          |    SELECT doc_id, sig_key,
+          |      row_number() OVER (PARTITION BY sig_key ORDER BY doc_id)
+          |        AS rn
+          |    FROM keyed WHERE sig_key IS NOT NULL) WHERE rn = 1
+          |  UNION ALL
+          |  SELECT doc_id, sig_key FROM keyed WHERE sig_key IS NULL)
+          |SELECT d.doc_id, d.lang, d.source, k.sig_key
+          |FROM documents d JOIN keep k USING (doc_id)
+          |ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -103,6 +103,49 @@ object EventStream {
         .filter(col("_rn") === 1).drop("_rn")
     }
 
+  /** Streaming NEAR-dup dedup at signature grain — the incremental
+    * counterpart of [[graft.ops.Dedup.minhashNearDups]] for an ingest
+    * stream: two docs sharing their FULL k-value MinHash signature are
+    * near-identical (every hash minimum agrees — token sets differ at
+    * most marginally), so deduping on `sig_key = md5(signature)` drops
+    * streaming re-crawls and boilerplate copies without any pair join
+    * at all. Coarser than the batch band/verify pipeline (which also
+    * catches 0.8-Jaccard neighbors) — the stream gate catches the
+    * near-identical mass cheaply NOW; the periodic batch sweep
+    * ([[graft.ops.Dedup.incrementalNearDups]]) mops up the rest.
+    *
+    * Streaming mode: `dropDuplicatesWithinWatermark` on the signature
+    * key — state bounded by the watermark horizon, keyed by a uniform
+    * 128-bit hash (high cardinality, no hot partitions). Batch twin:
+    * earliest `(orderCol, idCol)` row per signature survives. Docs
+    * with NO signature (empty/whitespace text) pass through untouched
+    * in both modes — a null key would otherwise glue all empty docs
+    * into one "duplicate" class.
+    */
+  def dedupDocsBySignature(
+      docs: DataFrame, idCol: String, textCol: String, orderCol: String,
+      k: Int = 64, watermark: String = "2 hours"): DataFrame = {
+    require(!docs.columns.contains("sig_key"),
+      "dedupDocsBySignature emits sig_key: rename the existing column first")
+    val sigKey = md5(array_join(transform(
+      graft.ops.Dedup.minhashSignature(col(textCol), k),
+      h => h.cast("string")), ","))
+    val keyed = (if (docs.isStreaming) docs.withWatermark(orderCol, watermark)
+      else docs).withColumn("sig_key", sigKey)
+    val deduped =
+      if (docs.isStreaming)
+        keyed.filter(col("sig_key").isNotNull)
+          .dropDuplicatesWithinWatermark(Seq("sig_key"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("sig_key").orderBy(col(orderCol), col(idCol))
+        keyed.filter(col("sig_key").isNotNull)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+    deduped.unionByName(keyed.filter(col("sig_key").isNull))
+  }
+
   /** Stream-stream event-time interval join — attribute each right-side
     * event to the left-side events it followed within `within` (the
     * view→click attribution shape). In streaming mode BOTH sides get a

@@ -59,6 +59,33 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("dedupDocsBySignature: near-identical docs dedup across batches, empty docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupDocsBySignature(docs, "doc_id", "text",
+        orderCol = "ts")
+      .writeStream.format("memory").queryName("sig_dd_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:10:00"), "alpha beta gamma"),
+        (2L, ts("2024-01-01 00:11:00"), "alpha beta gamma"), // same batch dup
+        (3L, ts("2024-01-01 00:12:00"), "   ")) // no signature → passes
+      q.processAllAvailable()
+      input.addData( // re-crawl inside watermark + genuinely new doc
+        (4L, ts("2024-01-01 00:20:00"), "alpha beta gamma"),
+        (5L, ts("2024-01-01 00:21:00"), "delta epsilon zeta"))
+      q.processAllAvailable()
+      val got = spark.table("sig_dd_test")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L), s"got $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sig_dd_test")
+    }
+  }
+
   test("dedupEvents drops re-arrivals of a key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
