@@ -139,6 +139,53 @@ object Dedup {
       .select("batch_id", "index_id", "jaccard")
   }
 
+  /** Sorted distinct-token frame `(idCol, toks, n_toks)` — the
+    * verify-side half of a PERSISTED near-dup index (the band half is
+    * [[lshBands]]; store it bucketed by `band_hash` via
+    * `sources/Layout.writeBucketed` so probes join it with no
+    * index-side exchange).
+    */
+  def tokenIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+
+  /** [[incrementalNearDups]] against a PRECOMPUTED index — the stored
+    * form of the corpus side: `indexBands` = [[lshBands]] output read
+    * back from a table bucketed on `band_hash`, `indexToks` =
+    * [[tokenIndex]] output. Signatures of the standing corpus are
+    * computed once at index-build time, never per ingest.
+    *
+    * The candidate join keys on `band_hash` ALONE (matching the
+    * bucketed layout, so the index side needs no exchange): an md5
+    * band hash colliding across band positions can only ADD candidate
+    * pairs, and the exact-Jaccard verify step discards any that are
+    * not true near-dups — recall can only grow, precision is
+    * unchanged.
+    */
+  def incrementalNearDupsFromIndex(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexBands: DataFrame, indexToks: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val probe = lshBands(batch, idCol, textCol, k, bands)
+      .select(col(idCol).as("batch_id"), col("band_hash"))
+    val idx = indexBands.select(col(idCol).as("index_id"), col("band_hash"))
+    val candidates = probe.join(idx, "band_hash")
+      .select("batch_id", "index_id").distinct()
+    candidates
+      .join(tokenIndex(batch, idCol, textCol)
+        .select(col(idCol).as("batch_id"), col("toks").as("toks_a"),
+          col("n_toks").as("na")), "batch_id")
+      .join(indexToks.select(col(idCol).as("index_id"),
+        col("toks").as("toks_b"), col("n_toks").as("nb")), "index_id")
+      .withColumn("inter",
+        call_function("graft_overlap", col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "index_id", "jaccard")
+  }
+
   /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard
     * over distinct token sets. Returns (id_a, id_b, jaccard) pairs with
     * jaccard >= threshold, id_a < id_b.

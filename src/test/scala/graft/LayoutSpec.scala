@@ -24,6 +24,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("persisted minhash index: bucketed probe join, index side never shuffles") {
+    import graft.ops.Dedup
+    val shared = (1 to 30).map(i => s"t$i").mkString(" ")
+    val index = Seq((1L, shared), (2L, "old unrelated corpus entry"),
+      (3L, shared + " extra")).toDF("doc_id", "text")
+    val batch = Seq((10L, shared), (11L, "fresh unseen news item"))
+      .toDF("doc_id", "text")
+    // Index build time: bands bucketed on the probe key, toks alongside.
+    Layout.writeBucketed(Dedup.lshBands(index, "doc_id", "text", 16, 4),
+      "mh_idx_bands", "band_hash", buckets = 8)
+    Layout.writeBucketed(Dedup.tokenIndex(index, "doc_id", "text"),
+      "mh_idx_toks", "doc_id", buckets = 8)
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // Disable broadcast so the plan must prove co-partitioning.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idxBands = Layout.table(spark, "mh_idx_bands")
+      val got = Dedup.incrementalNearDupsFromIndex(batch, "doc_id", "text",
+        idxBands, Layout.table(spark, "mh_idx_toks"),
+        k = 16, bands = 4, threshold = 0.8)
+      // The stored-index path finds what the recompute path finds.
+      val want = Dedup.incrementalNearDups(batch, index, "doc_id", "text",
+          k = 16, bands = 4, threshold = 0.8)
+        .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+      assert(got.select("batch_id", "index_id").as[(Long, Long)]
+        .collect().toSet == want && want.contains((10L, 1L)), s"want=$want")
+      // Probe join: the index-side scan feeds the join with NO exchange
+      // above it — only the batch side repartitions to the bucket key.
+      val cand = Dedup.lshBands(batch, "doc_id", "text", 16, 4)
+        .select(col("doc_id").as("batch_id"), col("band_hash"))
+        .join(idxBands.select(col("doc_id").as("index_id"),
+          col("band_hash")), "band_hash")
+      val plan = cand.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(exchanges <= 1, s"index side must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS mh_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_idx_toks")
+    }
+  }
+
   test("partitioned write prunes directories on partition predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (2023 to 2026).flatMap(y => (1 to 10).map(i => (y, i.toLong)))
