@@ -70,4 +70,34 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .select(col(idCol), col("rank"), round(col("score"), 4).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — how hybrid
+    * search merges a lexical and a semantic ranking without score
+    * calibration: each list contributes `1/(c + rank)` and the fused
+    * order is by the sum. Rank-based, so BM25 logits and cosine
+    * similarities never need to share a scale.
+    *
+    * Both inputs are top-k lists (`idCol`, `rank`) — dim-sized by
+    * construction; the full-outer join and the final ranking window
+    * run on ≤ |a|+|b| rows, never on a corpus. Determinism: the two
+    * reciprocal terms are added in fixed written order and the fused
+    * score is rounded to 6 before the (score DESC, id ASC) order, so
+    * rounding ties resolve identically in any engine.
+    */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, idCol: String,
+      c: Int = 60, k: Int = 10): DataFrame = {
+    require(c >= 0, s"rrf constant must be non-negative: $c")
+    val l = a.select(col(idCol), col("rank").as("_ra"))
+    val r = b.select(col(idCol), col("rank").as("_rb"))
+    val fused = l.join(r, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("_rb")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+    val w = Window.orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .select(col(idCol), col("fused_rank"), col("rrf"))
+  }
 }

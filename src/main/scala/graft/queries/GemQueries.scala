@@ -192,6 +192,39 @@ object GemQueries {
       |  JOIN toks a ON a.doc_id = c.id_a
       |  JOIN toks b ON b.doc_id = c.id_b)""".stripMargin
 
+  /** BM25 ranked-top-k oracle CTE chain ending in `lexr`
+    * (doc_id, "rank", score) — ONE generator behind q69's lexical
+    * search and q97's hybrid fusion so the scoring math cannot drift.
+    * Terms and k1/b mirror `Retrieval.bm25TopK`'s q69 call site.
+    */
+  private def bm25RankedCtes(k: Int): String =
+    s"""tk AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+       |  FROM documents),
+       |dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |post AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT t.doc_id, d.dl, unnest(t.tk) AS term
+       |    FROM tk t JOIN dl d USING (doc_id))
+       |  WHERE term IN ('spark', 'join', 'stream')
+       |  GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(*) AS dfn FROM post GROUP BY term),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    sum(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5)) *
+       |        p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+       |      AS score
+       |  FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s
+       |  GROUP BY p.doc_id),
+       |lexr AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+       |      AS "rank", score
+       |  FROM (SELECT doc_id, score FROM scored
+       |        ORDER BY score DESC, doc_id LIMIT $k))""".stripMargin
+
   /** q89's (column, numeric?) list — ONE definition feeding both the
     * Spark profile and its generated DuckDB oracle. Declared before
     * `defs` (strict val) so object init never sees it null.
@@ -2219,33 +2252,9 @@ object GemQueries {
       (s, dir) => Retrieval.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "join", "stream"), k = 10),
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(
-             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
-             |  FROM documents),
-             |dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
-             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-             |post AS (
-             |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-             |    SELECT t.doc_id, d.dl, unnest(t.tk) AS term
-             |    FROM tk t JOIN dl d USING (doc_id))
-             |  WHERE term IN ('spark', 'join', 'stream')
-             |  GROUP BY doc_id, dl, term),
-             |dfreq AS (SELECT term, count(*) AS dfn FROM post GROUP BY term),
-             |scored AS (
-             |  SELECT p.doc_id,
-             |    sum(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5)) *
-             |        p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-             |      AS score
-             |  FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s
-             |  GROUP BY p.doc_id),
-             |topk AS (SELECT doc_id, score FROM scored
-             |         ORDER BY score DESC, doc_id LIMIT 10)
-             |SELECT doc_id,
-             |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
-             |    AS "rank",
-             |  round(score, 4) AS score
-             |FROM topk ORDER BY "rank"""".stripMargin)),
+      Some("WITH " + bm25RankedCtes(10) + "\n" +
+        """SELECT doc_id, "rank", round(score, 4) AS score
+          |FROM lexr ORDER BY "rank"""".stripMargin)),
 
     // Semantic near-dup clustering: embedding-cosine pairs (the q31
     // blocked join) fed through the same transitive-closure machinery
@@ -2957,7 +2966,48 @@ object GemQueries {
           |  SELECT doc_id, sig_key FROM keyed WHERE sig_key IS NULL)
           |SELECT d.doc_id, d.lang, d.source, k.sig_key
           |FROM documents d JOIN keep k USING (doc_id)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Retrieval.rrfFuse,
+    // Cormack et al. SIGIR'09): BM25 lexical top-20 + embedding-cosine
+    // top-20 (vec 0 as the query) merged by 1/(60+rank) sums — no
+    // score calibration across the two signal types. Both lists are
+    // dim-sized; nothing corpus-scale touches the fusion join.
+    QueryDef("q97_hybrid_rrf",
+      (s, dir) => {
+        val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+          "text", queryTerms = Seq("spark", "join", "stream"), k = 20)
+        val emb = t(s, dir, "embeddings")
+        val sem = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+            k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(lex.select("doc_id", "rank"), sem, "doc_id",
+          c = 60, k = 10)
+      },
+      Some("WITH " + bm25RankedCtes(20) + ",\n" +
+        s"""qv AS (SELECT embedding AS qvec FROM embeddings
+           |       WHERE vec_id = 0),
+           |cs AS (
+           |  SELECT e.vec_id AS doc_id,
+           |    ${duckCos("e.embedding", "qv.qvec")} AS cos
+           |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+           |semr AS (
+           |  SELECT doc_id, "rank" FROM (
+           |    SELECT doc_id, CAST(row_number() OVER (
+           |      ORDER BY cos DESC, doc_id) AS INT) AS "rank"
+           |    FROM cs) WHERE "rank" <= 20),
+           |fused AS (
+           |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           |    round(coalesce(1.0 / (60 + l."rank"), 0) +
+           |          coalesce(1.0 / (60 + s."rank"), 0), 6) AS rrf
+           |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id),
+           |top AS (SELECT doc_id, rrf FROM fused
+           |        ORDER BY rrf DESC, doc_id LIMIT 10)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+           |    AS fused_rank, rrf
+           |FROM top ORDER BY fused_rank""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

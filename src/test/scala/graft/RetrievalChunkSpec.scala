@@ -11,6 +11,20 @@ import org.apache.spark.sql.types.StructType
 class RetrievalChunkSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rrfFuse: both-list docs outrank single-list; one-sided ids survive") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, sem, "doc_id", c = 60, k = 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    // doc 20: 1/62 + 1/61 ≈ .032522 beats doc 10's 1/61 ≈ .016393
+    assert(got.head._1 == 20L && got.head._2 == 1)
+    assert(got.map(_._1).toSet == Set(10L, 20L, 30L, 40L),
+      "full-outer: one-sided ids kept with their single term")
+    val d10 = got.find(_._1 == 10L).get._3
+    assert(math.abs(d10 - 1.0 / 61) < 1e-6)
+    assert(got.map(_._2) == (1 to got.length), "dense fused ranks")
+  }
+
   test("bm25TopK: tf and idf ordering, rank ties break by id") {
     val docs = Seq(
       (1L, "spark spark spark pad pad"), // tf=3 for spark
