@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * Media assets are opaque `binary` columns with typed metadata — the
   * pattern every large-scale multimodal corpus uses (the bytes travel
   * as parquet BINARY; schema + partitioning + batch shape are what the
-  * engine owns). [[decodeMeta]] REALLY decodes the two formats whose
+  * engine owns). [[decodeMeta]] REALLY decodes the four formats whose
   * headers are fixed-offset reads and need no codec library — BMP
-  * (width/height from the BITMAPINFOHEADER) and RIFF/WAVE (duration
-  * from byte rate × data size) — and falls back to a DETERMINISTIC
-  * STUB for everything else (JPEG/PNG/MP4 need real codecs this
-  * container does not ship; a deployment swaps the fallback body).
+  * (width/height from the BITMAPINFOHEADER), RIFF/WAVE (duration
+  * from byte rate × data size), PNG (big-endian IHDR dims), and GIF
+  * (little-endian logical-screen dims) — and falls back to a
+  * DETERMINISTIC STUB for everything else (JPEG/MP4 need real codecs
+  * this container does not ship; a deployment swaps the fallback
+  * body).
   *
   * Scale notes: media rows are fat (MBs), so ops here must (a) never
   * collect, (b) keep per-partition byte volume bounded — callers size
@@ -50,6 +52,16 @@ object Multimodal {
   private def le4(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Big-endian 32-bit (PNG chunk fields) and little-endian 16-bit
+    * (GIF logical-screen fields) reads.
+    */
+  private def be4(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def le2(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
   /** Decode typed metadata from the payload bytes.
     *
@@ -89,6 +101,22 @@ object Multimodal {
             val dataSize = le4(bytes, 40)
             val dur = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
             MediaMeta(id, mt, n, width = 0, height = 0, durationMs = dur)
+          } else if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 &&
+              bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
+              bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
+              bytes(15) == 'R') {
+            // real PNG header math: IHDR width/height are big-endian
+            MediaMeta(id, mt, n,
+              width = be4(bytes, 16).toInt,
+              height = be4(bytes, 20).toInt,
+              durationMs = 0L)
+          } else if (bytes.length >= 10 && bytes(0) == 'G' &&
+              bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+              (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+            // real GIF header math: logical screen size, little-endian
+            MediaMeta(id, mt, n,
+              width = le2(bytes, 6), height = le2(bytes, 8),
+              durationMs = 0L)
           } else {
             // deterministic STUB for formats that need a codec library
             val h = if (bytes.isEmpty) 0 else (bytes.head & 0xff)

@@ -3007,7 +3007,45 @@ object GemQueries {
            |SELECT doc_id,
            |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
            |    AS fused_rank, rrf
-           |FROM top ORDER BY fused_rank""".stripMargin))
+           |FROM top ORDER BY fused_rank""".stripMargin)),
+
+    // PNG + GIF real header decode (Multimodal.decodeMeta): big-endian
+    // IHDR dims and little-endian GIF logical-screen dims synthesized
+    // in-engine, decoded by the fixed-offset paths, checked against
+    // the closed-form oracle — q68's BMP/WAV pattern, two more real
+    // formats.
+    QueryDef("q98_media_decode_png_gif",
+      (s, dir) => {
+        def le2hex(n: Column): Column = concat((0 to 1).map(i =>
+          lpad(hex(pmod(shiftright(n, 8 * i), lit(256))), 2, "0")): _*)
+        def be4hex(n: Column): Column = concat((3 to 0 by -1).map(i =>
+          lpad(hex(pmod(shiftright(n, 8 * i), lit(256))), 2, "0")): _*)
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val wCol = lit(16) + pmod(col("id"), lit(900))
+        val hCol = lit(16) + pmod(col("id") * 11, lit(900))
+        val png = ids.filter(pmod(col("id"), lit(2)) === 0).select(
+          col("id"),
+          unhex(concat(
+            lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+            be4hex(wCol), be4hex(hCol), lit("0806000000"))).as("bytes"),
+          lit("image").as("media_type"))
+        val gif = ids.filter(pmod(col("id"), lit(2)) === 1).select(
+          col("id"),
+          unhex(concat(lit("474946383961"), le2hex(wCol), le2hex(hCol),
+            lit("F70000"))).as("bytes"),
+          lit("image").as("media_type"))
+        Multimodal.decodeMeta(s, png.unionByName(gif)).toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"), col("width"),
+            col("height"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 13 END AS BIGINT)
+             |    AS n_bytes,
+             |  CAST(16 + doc_id % 900 AS INT) AS width,
+             |  CAST(16 + (doc_id * 11) % 900 AS INT) AS height
+             |FROM documents ORDER BY id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
