@@ -3045,7 +3045,50 @@ object GemQueries {
              |    AS n_bytes,
              |  CAST(16 + doc_id % 900 AS INT) AS width,
              |  CAST(16 + (doc_id * 11) % 900 AS INT) AS height
-             |FROM documents ORDER BY id""".stripMargin))
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // FORWARD as-of join with tolerance (AsofJoin Forward + 30-min
+    // gate): each click attaches the NEXT same-user purchase within
+    // 1800 s — click→conversion attribution. q60 covers Backward/no-
+    // tolerance; this exercises the other half of the API against
+    // DuckDB's native ASOF LEFT JOIN (p.ts >= c.ts = forward).
+    QueryDef("q99_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        AsofJoin.join(clicks, purchases, Seq("user_id"),
+            "click_ts", "ts", Seq("purchase_id"),
+            direction = AsofJoin.Forward,
+            matchedTsCol = Some("purchase_ts"),
+            tolerance = Some(lit(1800)))
+          .select(col("user_id"), col("click_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+            (unix_micros(col("purchase_ts").cast("timestamp")) -
+              unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
+          .orderBy("user_id", "click_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, ts AS click_ts, event_id AS click_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id, ts, max(event_id) AS purchase_id
+             |  FROM events WHERE event_type = 'purchase'
+             |  GROUP BY user_id, ts),
+             |j AS (
+             |  SELECT c.user_id, c.click_id, c.click_ts,
+             |    p.purchase_id, p.ts AS pts
+             |  FROM c ASOF LEFT JOIN p
+             |    ON c.user_id = p.user_id AND p.ts >= c.click_ts)
+             |SELECT user_id, click_id,
+             |  coalesce(CASE WHEN epoch_us(pts) - epoch_us(click_ts)
+             |    <= 1800000000 THEN purchase_id END, -1) AS purchase_id,
+             |  CASE WHEN epoch_us(pts) - epoch_us(click_ts) <= 1800000000
+             |    THEN epoch_us(pts) - epoch_us(click_ts) END AS gap_us
+             |FROM j ORDER BY user_id, click_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
