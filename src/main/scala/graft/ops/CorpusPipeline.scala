@@ -32,11 +32,15 @@ object CorpusPipeline {
     * — one cluster {A,B,C} — pair-drop keeps both A and B (see
     * [[Components]]).
     */
-  def curate(
-      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      sourceCol: String = "source",
-      minQuality: Double = 0.5, lang: String = "en",
-      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame = {
+  /** Every input row tagged with its curation `_fate` (`kept` /
+    * `exact_dup` / `quality` / `near_dup`) — the single source of
+    * truth behind both [[curate]] (the per-source funnel aggregate)
+    * and [[curatedDocs]] (the surviving rows themselves).
+    */
+  private def fates(
+      df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, lang: String,
+      minhashK: Int, bands: Int, jaccard: Double): DataFrame = {
     // Stage 1: exact-dup winners (lowest id per identical text).
     val exactWinners = Dedup.exact(df, textCol, idCol)
       .select(col("keep_id").as(idCol), lit(true).as("_exact_w"))
@@ -63,16 +67,25 @@ object CorpusPipeline {
       .filter(col(idCol) === col("component"))
       .select(col(idCol), lit(true).as("_nd_keep"))
 
-    // One pass attributes every input doc to its fate; the aggregate
-    // is partial+final combinable. `scored` is lazily recomputed here
-    // rather than persisted — Catalyst prunes each branch to the
-    // columns it needs (measured cheaper than caching the wide frame).
+    // One pass attributes every input doc to its fate. `scored` is
+    // lazily recomputed here rather than persisted — Catalyst prunes
+    // each branch to the columns it needs (measured cheaper than
+    // caching the wide frame).
     scored.join(reps, Seq(idCol), "left")
       .withColumn("_fate",
         when(!coalesce(col("_exact_w"), lit(false)), lit("exact_dup"))
           .when(!col("_gate_ok"), lit("quality"))
           .when(col("_nd_keep").isNull, lit("near_dup"))
           .otherwise(lit("kept")))
+  }
+
+  def curate(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source",
+      minQuality: Double = 0.5, lang: String = "en",
+      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame =
+    // The funnel aggregate is partial+final combinable.
+    fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard)
       .groupBy(col(sourceCol))
       .agg(
         count(when(col("_fate") === "kept", 1)).as("docs_kept"),
@@ -82,7 +95,17 @@ object CorpusPipeline {
         count(when(col("_fate") === "quality", 1)).as("dropped_quality"),
         count(when(col("_fate") === "near_dup", 1)).as("dropped_near_dup"))
       .orderBy(sourceCol)
-  }
+
+  /** The curated corpus itself — the rows [[curate]] counts as `kept`,
+    * with the input schema (the frame a mixing/sharding step consumes).
+    */
+  def curatedDocs(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minQuality: Double = 0.5, lang: String = "en",
+      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame =
+    fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard)
+      .filter(col("_fate") === "kept")
+      .select(df.columns.map(col).toSeq: _*)
 
   /** The complete standard curation flow: PII scrub → benchmark
     * decontamination → [[curate]] (exact dedup → quality/language gate

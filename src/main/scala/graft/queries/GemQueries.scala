@@ -192,6 +192,81 @@ object GemQueries {
       |  JOIN toks a ON a.doc_id = c.id_a
       |  JOIN toks b ON b.doc_id = c.id_b)""".stripMargin
 
+  /** Curation-funnel oracle CTE chain (exact dedup → quality/lang gate
+    * → recursive near-dup components) ending in `fate`
+    * (doc_id, source, ntok, fate) — ONE definition behind q50's funnel
+    * aggregate and q100's end-to-end pipeline, per the r3/r5
+    * oracle-drift lesson. Mirrors `CorpusPipeline.fates` at defaults.
+    * Callers prepend `WITH RECURSIVE`.
+    */
+  private val curationFateCtes: String =
+    """base AS (
+      |  SELECT doc_id, text, source FROM documents WHERE doc_id < 1000),
+      |exact_w AS (
+      |  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+      |tk AS (SELECT doc_id, text, source,
+      |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS tk
+      |  FROM base),
+      |scored AS (
+      |  SELECT *,
+      |    round((CASE WHEN len(tk) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+      |      + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+      |      + CASE WHEN swr > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS q,
+      |    CASE WHEN swr >= 0.05 THEN 'en' ELSE 'other' END AS lang
+      |  FROM (SELECT *, CAST(len(list_filter(tk, t -> t IN
+      |          ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+      |          / len(tk) AS swr FROM tk)),
+      |flagged AS (
+      |  SELECT *,
+      |    (doc_id IN (SELECT doc_id FROM exact_w)) AS exact_ok,
+      |    (doc_id IN (SELECT doc_id FROM exact_w)
+      |     AND q >= 0.5 AND lang = 'en') AS gate_ok
+      |  FROM scored),
+      |gate AS (SELECT doc_id, text, source, tk,
+      |    list_distinct(tk) AS dtk
+      |  FROM flagged WHERE gate_ok),
+      |ph AS (SELECT doc_id, dtk, list_transform(dtk, t ->
+      |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
+      |  FROM gate),
+      |sig AS (
+      |  SELECT doc_id, dtk, CASE WHEN len(h31) > 0 THEN
+      |    list_transform(generate_series(0, 63), s ->
+      |    list_min(list_transform(h31, h ->
+      |      (((s*1103515245 + 12345) % 2147483647) * h
+      |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
+      |  FROM ph),
+      |bandsx AS (
+      |  SELECT doc_id, b.band_id,
+      |    md5(array_to_string(list_transform(
+      |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
+      |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+      |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |  FROM bandsx l JOIN bandsx r
+      |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+      |   AND l.doc_id < r.doc_id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b FROM cand c
+      |  JOIN sig a ON a.doc_id = c.id_a
+      |  JOIN sig b ON b.doc_id = c.id_b
+      |  WHERE round(CAST(len(list_intersect(a.dtk, b.dtk)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.dtk, b.dtk))), 4) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM gate
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      |fate AS (
+      |  SELECT f.doc_id, f.source, len(f.tk) AS ntok,
+      |    CASE WHEN NOT f.exact_ok THEN 'exact_dup'
+      |         WHEN NOT f.gate_ok THEN 'quality'
+      |         WHEN c.component <> f.doc_id THEN 'near_dup'
+      |         ELSE 'kept' END AS fate
+      |  FROM flagged f LEFT JOIN comp c ON c.id = f.doc_id)""".stripMargin
+
   /** BM25 ranked-top-k oracle CTE chain ending in `lexr`
     * (doc_id, "rank", score) — ONE generator behind q69's lexical
     * search and q97's hybrid fusion so the scoring math cannot drift.
@@ -1666,80 +1741,15 @@ object GemQueries {
     QueryDef("q50_corpus_curation",
       (s, dir) => CorpusPipeline.curate(
         t(s, dir, "documents").filter(col("doc_id") < 1000)),
-      Some("""WITH RECURSIVE base AS (
-             |  SELECT doc_id, text, source FROM documents WHERE doc_id < 1000),
-             |exact_w AS (
-             |  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
-             |tk AS (SELECT doc_id, text, source,
-             |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS tk
-             |  FROM base),
-             |scored AS (
-             |  SELECT *,
-             |    round((CASE WHEN len(tk) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
-             |      + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
-             |      + CASE WHEN swr > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS q,
-             |    CASE WHEN swr >= 0.05 THEN 'en' ELSE 'other' END AS lang
-             |  FROM (SELECT *, CAST(len(list_filter(tk, t -> t IN
-             |          ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
-             |          / len(tk) AS swr FROM tk)),
-             |flagged AS (
-             |  SELECT *,
-             |    (doc_id IN (SELECT doc_id FROM exact_w)) AS exact_ok,
-             |    (doc_id IN (SELECT doc_id FROM exact_w)
-             |     AND q >= 0.5 AND lang = 'en') AS gate_ok
-             |  FROM scored),
-             |gate AS (SELECT doc_id, text, source, tk,
-             |    list_distinct(tk) AS dtk
-             |  FROM flagged WHERE gate_ok),
-             |ph AS (SELECT doc_id, dtk, list_transform(dtk, t ->
-             |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31
-             |  FROM gate),
-             |sig AS (
-             |  SELECT doc_id, dtk, CASE WHEN len(h31) > 0 THEN
-             |    list_transform(generate_series(0, 63), s ->
-             |    list_min(list_transform(h31, h ->
-             |      (((s*1103515245 + 12345) % 2147483647) * h
-             |       + ((s*2654435761 + 1013904223) % 2147483647)) % 2147483647))) END AS sig
-             |  FROM ph),
-             |bandsx AS (
-             |  SELECT doc_id, b.band_id,
-             |    md5(array_to_string(list_transform(
-             |      list_slice(sig, band_id*8 + 1, band_id*8 + 8),
-             |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
-             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b),
-             |cand AS (
-             |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-             |  FROM bandsx l JOIN bandsx r
-             |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-             |   AND l.doc_id < r.doc_id),
-             |pairs AS (
-             |  SELECT c.id_a, c.id_b FROM cand c
-             |  JOIN sig a ON a.doc_id = c.id_a
-             |  JOIN sig b ON b.doc_id = c.id_b
-             |  WHERE round(CAST(len(list_intersect(a.dtk, b.dtk)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.dtk, b.dtk))), 4) >= 0.8),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             |          UNION ALL SELECT id_b, id_a FROM pairs),
-             |reach(id, lbl) AS (
-             |  SELECT doc_id, doc_id FROM gate
-             |  UNION
-             |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-             |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
-             |fate AS (
-             |  SELECT f.source, len(f.tk) AS ntok,
-             |    CASE WHEN NOT f.exact_ok THEN 'exact_dup'
-             |         WHEN NOT f.gate_ok THEN 'quality'
-             |         WHEN c.component <> f.doc_id THEN 'near_dup'
-             |         ELSE 'kept' END AS fate
-             |  FROM flagged f LEFT JOIN comp c ON c.id = f.doc_id)
-             |SELECT source,
-             |  count(CASE WHEN fate = 'kept' THEN 1 END) AS docs_kept,
-             |  CAST(coalesce(sum(CASE WHEN fate = 'kept' THEN ntok END), 0)
-             |    AS BIGINT) AS tokens_kept,
-             |  count(CASE WHEN fate = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
-             |  count(CASE WHEN fate = 'quality' THEN 1 END) AS dropped_quality,
-             |  count(CASE WHEN fate = 'near_dup' THEN 1 END) AS dropped_near_dup
-             |FROM fate GROUP BY source ORDER BY source""".stripMargin)),
+      Some("WITH RECURSIVE " + curationFateCtes + "\n" +
+        """SELECT source,
+          |  count(CASE WHEN fate = 'kept' THEN 1 END) AS docs_kept,
+          |  CAST(coalesce(sum(CASE WHEN fate = 'kept' THEN ntok END), 0)
+          |    AS BIGINT) AS tokens_kept,
+          |  count(CASE WHEN fate = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
+          |  count(CASE WHEN fate = 'quality' THEN 1 END) AS dropped_quality,
+          |  count(CASE WHEN fate = 'near_dup' THEN 1 END) AS dropped_near_dup
+          |FROM fate GROUP BY source ORDER BY source""".stripMargin)),
 
     // Stateful sessionization, batch-parity mode: mapGroupsWithState's
     // merge over a static frame ≡ a plain per-user aggregate, which is
@@ -3088,7 +3098,49 @@ object GemQueries {
              |    <= 1800000000 THEN purchase_id END, -1) AS purchase_id,
              |  CASE WHEN epoch_us(pts) - epoch_us(click_ts) <= 1800000000
              |    THEN epoch_us(pts) - epoch_us(click_ts) END AS gap_us
-             |FROM j ORDER BY user_id, click_id""".stripMargin))
+             |FROM j ORDER BY user_id, click_id""".stripMargin)),
+
+    // The end-to-end corpus-production pipeline in ONE plan: curate
+    // (exact dedup → quality/lang gate → near-dup clusters, q50's
+    // fates) → temperature-mix toward 50 docs (q91's √n rates) →
+    // deterministic shuffle into 32-doc training shards (q86). Every
+    // stage reuses a proven operator and a shared oracle fragment —
+    // the library composes, which is the point of being a library.
+    QueryDef("q100_corpus_to_shards",
+      (s, dir) => {
+        val kept = CorpusPipeline.curatedDocs(
+          t(s, dir, "documents").filter(col("doc_id") < 1000))
+        val mixed = Sampling.temperatureMix(
+          kept.select("doc_id", "source"), "doc_id", "source",
+          targetRows = 50L)
+        Sampling.shuffleShards(mixed, "doc_id", shardSize = 32L)
+          .orderBy("rank")
+      },
+      Some("WITH RECURSIVE " + curationFateCtes + ",\n" +
+        s"""kept AS (SELECT doc_id, source FROM fate WHERE fate = 'kept'),
+           |mixn AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+           |mixs AS (SELECT source, n,
+           |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS s6 FROM mixn),
+           |mixt AS (SELECT sum(s6) AS tot6 FROM mixs),
+           |mixr AS (SELECT source, least(1000000, CAST(
+           |    CAST(s6 AS HUGEINT) * 50 * 1000000 //
+           |      (CAST(tot6 AS HUGEINT) * n) AS BIGINT)) AS rate_ppm
+           |  FROM mixs CROSS JOIN mixt),
+           |mixed AS (
+           |  SELECT k.doc_id, k.source, r.rate_ppm
+           |  FROM kept k JOIN mixr r USING (source)
+           |  WHERE ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")}
+           |    % 1000000 < r.rate_ppm),
+           |hashed AS (
+           |  SELECT source, doc_id, rate_ppm,
+           |    ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM mixed)
+           |SELECT source, doc_id, rate_ppm,
+           |  row_number() OVER (ORDER BY h, CAST(doc_id AS VARCHAR)) - 1
+           |    AS "rank",
+           |  (row_number() OVER (ORDER BY h, CAST(doc_id AS VARCHAR)) - 1)
+           |    // 32 AS shard
+           |FROM hashed ORDER BY "rank"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
