@@ -107,10 +107,14 @@ class PlanShapeSpec extends SparkSpec {
     // runtime-filter shape); the membership probe is the point.
     // q91: temperatureMix's 1-row √n-sum total joins back onto the
     // (tiny) per-stratum stats frame, never onto the corpus.
+    // q97: bruteForceTopK's broadcast query set (q29's shape) inside
+    // the semantic half of the fusion. q100: temperatureMix's 1-row
+    // total (q91's shape) inside the composed pipeline.
     val intendedCross = Set("q29_cosine_topk", "q52_ivf_topk",
       "q65_ivf_train", "q66_ivf_search_trained", "q67_ann_recall",
       "q69_bm25_search", "q76_lm_perplexity", "q83_pagerank_neardups",
-      "q88_semantic_decontam", "q91_temperature_mix", "q95_bloom_semijoin")
+      "q88_semantic_decontam", "q91_temperature_mix", "q95_bloom_semijoin",
+      "q97_hybrid_rrf", "q100_corpus_to_shards")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
