@@ -244,6 +244,35 @@ object TextAnalysis {
       .select(col(strataCol), col("rank"), col("token"), col("cnt"))
   }
 
+  /** Top-k adjacent character pairs within tokens — the first merge
+    * round of BPE tokenizer training (Sennrich et al., ACL'16): the
+    * pair with the highest corpus count becomes the first merge rule,
+    * and production training repeats this count-and-merge loop.
+    * Pair extraction (`substr(token, i, 2)` per position) stays in one
+    * codegen'd projection; counting is map-side combinable; the rank
+    * window runs on the pair-vocabulary aggregate only — the corpus
+    * never meets a window. Ties rank deterministically by pair.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tok = explode(tokens(col(textCol))).as("token")
+    // Guard 1-char tokens: Spark's sequence(1, 0) counts DOWN ([1, 0])
+    // instead of returning empty like SQL generate_series.
+    val pairs = df.select(tok)
+      .select(explode(when(length(col("token")) >= 2,
+        transform(sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    val counts = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    // Partition-less window is safe: it runs on the ≤ vocab²-sized
+    // aggregate, further cut to the top-k frontier by the filter.
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

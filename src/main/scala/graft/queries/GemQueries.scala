@@ -3140,7 +3140,69 @@ object GemQueries {
            |    AS "rank",
            |  (row_number() OVER (ORDER BY h, CAST(doc_id AS VARCHAR)) - 1)
            |    // 32 AS shard
-           |FROM hashed ORDER BY "rank"""".stripMargin))
+           |FROM hashed ORDER BY "rank"""".stripMargin)),
+
+    // BPE first-merge pair counts (TextAnalysis.bpePairCounts,
+    // Sennrich ACL'16): top adjacent character pairs within tokens —
+    // the count half of tokenizer training's count-and-merge loop.
+    QueryDef("q101_bpe_pairs",
+      (s, dir) => TextAnalysis.bpePairCounts(
+        t(s, dir, "documents"), "text", k = 50),
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(string_split_regex(text, ' +'),
+             |    t -> t <> '')) AS token FROM documents),
+             |pairs AS (
+             |  SELECT unnest(list_transform(
+             |    generate_series(1, length(token) - 1),
+             |    i -> substr(token, CAST(i AS INT), 2))) AS pair
+             |  FROM tok),
+             |c AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair),
+             |r AS (SELECT pair, cnt,
+             |        CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+             |          AS "rank"
+             |      FROM c)
+             |SELECT "rank", pair, cnt FROM r
+             |WHERE "rank" <= 50 ORDER BY "rank"""".stripMargin)),
+
+    // Sequential conversion funnel: users whose first view precedes a
+    // click that precedes a purchase (strict event-time order) — the
+    // product-analytics staple. Three per-user min aggregates chained
+    // by user_id joins; user-dim-sized frames only past the first agg.
+    // Oracle casts ts to µs TIMESTAMP to mirror Spark's parquet-nanos
+    // truncation.
+    QueryDef("q102_event_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("view_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("view_ts"))
+          .groupBy("user_id").agg(min("ts").as("click_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("click_ts"))
+          .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+        v.agg(count(lit(1)).as("users_viewed"))
+          .crossJoin(c.agg(count(lit(1)).as("users_clicked_after")))
+          .crossJoin(p.agg(count(lit(1)).as("users_purchased_after")))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click'
+             |    AND CAST(e.ts AS TIMESTAMP) > v.view_ts
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+             |  FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+             |  GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM v) AS users_viewed,
+             |  (SELECT count(*) FROM c) AS users_clicked_after,
+             |  (SELECT count(*) FROM p) AS users_purchased_after""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

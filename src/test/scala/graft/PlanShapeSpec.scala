@@ -114,7 +114,10 @@ class PlanShapeSpec extends SparkSpec {
       "q65_ivf_train", "q66_ivf_search_trained", "q67_ann_recall",
       "q69_bm25_search", "q76_lm_perplexity", "q83_pagerank_neardups",
       "q88_semantic_decontam", "q91_temperature_mix", "q95_bloom_semijoin",
-      "q97_hybrid_rrf", "q100_corpus_to_shards")
+      "q97_hybrid_rrf", "q100_corpus_to_shards",
+      // q102: three 1-row stage-count aggregates cross into one summary
+      // row — nothing bigger than a single row on either side.
+      "q102_event_funnel")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
