@@ -37,6 +37,16 @@ class FuzzyMixSpec extends SparkSpec {
     assert(got.length == 1, "one pair despite 100 copies")
   }
 
+  test("bpePairCounts: overlapping pairs, 1-char tokens contribute none") {
+    import graft.ops.TextAnalysis
+    val df = Seq("aaa a bb", "bb").toDF("text")
+    // "aaa" → aa, aa; "a" → nothing (the sequence(1,0) guard); "bb"×2
+    val got = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "aa", 2L), (2, "bb", 2L)),
+      s"counts and deterministic tie-break: $got")
+  }
+
   test("incrementalNearDups: batch probes index only — no self pairs") {
     val mk = (id: Long, t: String) => (id, t)
     val shared = (1 to 30).map(i => s"w$i").mkString(" ")
