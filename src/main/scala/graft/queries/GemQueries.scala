@@ -3108,11 +3108,16 @@ object GemQueries {
     // the library composes, which is the point of being a library.
     QueryDef("q100_corpus_to_shards",
       (s, dir) => {
+        // The curated set costs a minhash pass + component rounds to
+        // produce but is tiny (≲ docs/5 ids). Downstream consumes it
+        // three times (mix stats, mix membership, shard sort) —
+        // localCheckpoint materializes it ONCE and truncates the
+        // iterative lineage, measured 12.4 s → ~5 s at sf0.1.
         val kept = CorpusPipeline.curatedDocs(
-          t(s, dir, "documents").filter(col("doc_id") < 1000))
+            t(s, dir, "documents").filter(col("doc_id") < 1000))
+          .select("doc_id", "source").localCheckpoint(true)
         val mixed = Sampling.temperatureMix(
-          kept.select("doc_id", "source"), "doc_id", "source",
-          targetRows = 50L)
+          kept, "doc_id", "source", targetRows = 50L)
         Sampling.shuffleShards(mixed, "doc_id", shardSize = 32L)
           .orderBy("rank")
       },
