@@ -267,6 +267,37 @@ object GemQueries {
       |         ELSE 'kept' END AS fate
       |  FROM flagged f LEFT JOIN comp c ON c.id = f.doc_id)""".stripMargin
 
+  /** SimHash banded-candidate oracle CTE chain over `documents` rows
+    * matching `where`, ending in `{p}cand` (id_a, id_b, sa, sb) — ONE
+    * generator behind q39's near-dup pairs and q104's dedup-tier
+    * evaluation so the signature arithmetic cannot drift.
+    */
+  private def simhashCandCtes(p: String, where: String): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
+       |  FROM documents WHERE $where),
+       |${p}h AS (SELECT doc_id, list_transform(tk, t ->
+       |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+       |      FROM ${p}toks),
+       |${p}sigs AS (
+       |  SELECT doc_id, CASE WHEN len(hs) > 0 THEN
+       |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+       |    CASE WHEN list_sum(list_transform(hs, x ->
+       |           CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
+       |    END)) AS BIGINT) END AS sig
+       |  FROM ${p}h),
+       |${p}banded AS (
+       |  SELECT doc_id, b.band, (sig >> (b.band * 15)) & 32767 AS chunk, sig
+       |  FROM ${p}sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+       |${p}cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |         l.sig AS sa, r.sig AS sb
+       |  FROM ${p}banded l JOIN ${p}banded r
+       |    ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id)"""
+      .stripMargin
+
   /** BM25 ranked-top-k oracle CTE chain ending in `lexr`
     * (doc_id, "rank", score) — ONE generator behind q69's lexical
     * search and q97's hybrid fusion so the scoring math cannot drift.
@@ -1282,32 +1313,10 @@ object GemQueries {
     QueryDef("q39_simhash_neardups",
       (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_distinct(list_filter(
-             |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
-             |  FROM documents),
-             |h AS (SELECT doc_id, list_transform(tk, t ->
-             |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
-             |      FROM toks),
-             |sigs AS (
-             |  SELECT doc_id, CASE WHEN len(hs) > 0 THEN
-             |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
-             |    CASE WHEN list_sum(list_transform(hs, x ->
-             |           CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-             |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
-             |    END)) AS BIGINT) END AS sig
-             |  FROM h),
-             |banded AS (
-             |  SELECT doc_id, b.band, (sig >> (b.band * 15)) & 32767 AS chunk, sig
-             |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
-             |cand AS (
-             |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-             |         l.sig AS sa, r.sig AS sb
-             |  FROM banded l JOIN banded r
-             |    ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
-             |SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
-             |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-             |ORDER BY id_a, id_b""".stripMargin)),
+      Some("WITH " + simhashCandCtes("", "TRUE") + "\n" +
+        """SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     // BPE-ish regex tokenizer + rolling (order-sensitive) fingerprint
     QueryDef("q40_text_fingerprints",
@@ -3207,7 +3216,62 @@ object GemQueries {
              |  GROUP BY e.user_id)
              |SELECT (SELECT count(*) FROM v) AS users_viewed,
              |  (SELECT count(*) FROM c) AS users_clicked_after,
-             |  (SELECT count(*) FROM p) AS users_purchased_after""".stripMargin))
+             |  (SELECT count(*) FROM p) AS users_purchased_after""".stripMargin)),
+
+    // Dedup-tier evaluation (q67's measured-trade pattern applied to
+    // the near-dup finders): SimHash banded pairs scored against the
+    // exact-Jaccard ≥ 0.8 ground truth on the bounded doc_id < 1000
+    // eval sample — all-pairs truth is an EVAL-ONLY cost, like q29's
+    // brute-force baseline. Ratios are integer ppm (the q87 lesson:
+    // no float rounding ties).
+    QueryDef("q104_dedup_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val tk = Dedup.tokenIndex(docs, "doc_id", "text")
+        val a = tk.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+          col("n_toks").as("na"))
+        val b = tk.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+          col("n_toks").as("nb"))
+        val truth = a.join(b, col("id_a") < col("id_b"))
+          .withColumn("inter",
+            call_function("graft_overlap", col("ta"), col("tb")))
+          .withColumn("j", round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 4))
+          .filter(col("j") >= 0.8).select("id_a", "id_b")
+        val pred = Dedup.simhashNearDups(docs, "doc_id", "text")
+          .select("id_a", "id_b")
+        val tp = pred.join(truth, Seq("id_a", "id_b"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+          .select(col("n_truth"), col("n_pred"), col("n_tp"),
+            when(col("n_pred") > 0,
+              floor(col("n_tp") * lit(1000000L) / col("n_pred"))
+                .cast("long")).as("precision_ppm"),
+            when(col("n_truth") > 0,
+              floor(col("n_tp") * lit(1000000L) / col("n_truth"))
+                .cast("long")).as("recall_ppm"))
+      },
+      Some("WITH " + minhashSigCtes("t", "doc_id < 1000") + ",\n" +
+        simhashCandCtes("s", "doc_id < 1000") + ",\n" +
+        """truthp AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM ttoks a JOIN ttoks b ON a.doc_id < b.doc_id
+          |  WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+          |        len(list_distinct(list_concat(a.tk, b.tk))), 4) >= 0.8),
+          |predp AS (
+          |  SELECT id_a, id_b FROM scand
+          |  WHERE bit_count(xor(sa, sb)) <= 3),
+          |tp AS (SELECT * FROM predp INTERSECT SELECT * FROM truthp),
+          |m AS (SELECT (SELECT count(*) FROM truthp) AS n_truth,
+          |             (SELECT count(*) FROM predp) AS n_pred,
+          |             (SELECT count(*) FROM tp) AS n_tp)
+          |SELECT n_truth, n_pred, n_tp,
+          |  CASE WHEN n_pred > 0
+          |    THEN n_tp * 1000000 // n_pred END AS precision_ppm,
+          |  CASE WHEN n_truth > 0
+          |    THEN n_tp * 1000000 // n_truth END AS recall_ppm
+          |FROM m""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
