@@ -269,7 +269,7 @@ object GemQueries {
 
   /** SimHash banded-candidate oracle CTE chain over `documents` rows
     * matching `where`, ending in `{p}cand` (id_a, id_b, sa, sb) — ONE
-    * generator behind q39's near-dup pairs and q104's dedup-tier
+    * generator behind q39's near-dup pairs and q103's dedup-tier
     * evaluation so the signature arithmetic cannot drift.
     */
   private def simhashCandCtes(p: String, where: String): String =
@@ -3224,7 +3224,7 @@ object GemQueries {
     // eval sample — all-pairs truth is an EVAL-ONLY cost, like q29's
     // brute-force baseline. Ratios are integer ppm (the q87 lesson:
     // no float rounding ties).
-    QueryDef("q104_dedup_eval",
+    QueryDef("q103_dedup_eval",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         val tk = Dedup.tokenIndex(docs, "doc_id", "text")

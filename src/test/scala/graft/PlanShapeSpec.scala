@@ -117,9 +117,9 @@ class PlanShapeSpec extends SparkSpec {
       "q97_hybrid_rrf", "q100_corpus_to_shards",
       // q102: three 1-row stage-count aggregates cross into one summary
       // row — nothing bigger than a single row on either side.
-      // q104: the all-pairs ground truth over the bounded eval sample
+      // q103: the all-pairs ground truth over the bounded eval sample
       // (q29's brute-force-baseline pattern) + 1-row metric crosses.
-      "q102_event_funnel", "q104_dedup_eval")
+      "q102_event_funnel", "q103_dedup_eval")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
