@@ -67,4 +67,32 @@ object Normalize {
       .orderBy(col(orderCol).asc, tieBreak.asc)
     df.withColumn(outCol, ntile(n).over(w))
   }
+
+  /** VALUE-based tiers — the 100 TB-shaped alternative [[ntileBy]]'s
+    * scaladoc promises: per-group exact percentile cut points (a tiny
+    * aggregate, one row per group) broadcast back, and the tier is
+    * `1 + #cuts below the value` — a pure per-row expression, so the
+    * corpus never meets a window or a per-group sort. Equal values
+    * always share a tier (boundaries belong to the LOWER tier:
+    * `value > cut` promotes). Cuts are rounded to 4 decimals BEFORE
+    * the comparison so the boundary arithmetic is engine-portable.
+    */
+  def tierByCuts(
+      df: DataFrame, n: Int, valueCol: String, groupCols: Seq[String],
+      outCol: String = "tier"): DataFrame = {
+    require(n > 1, s"tierByCuts needs at least 2 tiers: $n")
+    require(groupCols.nonEmpty, "tierByCuts needs at least one group column")
+    require(!df.columns.contains(outCol),
+      s"tierByCuts emits '$outCol': rename the existing column or pass outCol")
+    val cutCols = (1 until n).map { i =>
+      round(expr(s"percentile($valueCol, ${i.toDouble / n})"), 4).as(s"_ct$i")
+    }
+    val cuts = df.groupBy(groupCols.map(col): _*).agg(cutCols.head, cutCols.tail: _*)
+    val tier = (1 until n)
+      .map(i => when(col(valueCol) > col(s"_ct$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.join(broadcast(cuts), groupCols)
+      .withColumn(outCol, tier.cast("int"))
+      .drop((1 until n).map(i => s"_ct$i"): _*)
+  }
 }

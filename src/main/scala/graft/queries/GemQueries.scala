@@ -3271,7 +3271,49 @@ object GemQueries {
           |    THEN n_tp * 1000000 // n_pred END AS precision_ppm,
           |  CASE WHEN n_truth > 0
           |    THEN n_tp * 1000000 // n_truth END AS recall_ppm
-          |FROM m""".stripMargin))
+          |FROM m""".stripMargin)),
+
+    // Canonical-text exact dedup (graft_canon + Dedup.exact): case /
+    // spacing / Unicode-composition variants of the same content hash
+    // to ONE key — the reason normalization runs before any dedup
+    // hash. Same one-aggregate shape as q25, on the canonical form.
+    QueryDef("q104_canon_dedup",
+      (s, dir) => Dedup.exact(
+          t(s, dir, "documents")
+            .withColumn("ctext", TextAnalysis.canonText(col("text"))),
+          "ctext", "doc_id")
+        .orderBy("content_hash"),
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(nfc_normalize(text)),
+             |      '[ \t\n\f\r]+', ' ', 'g'))) AS content_hash
+             |  FROM documents)
+             |SELECT content_hash, min(doc_id) AS keep_id,
+             |  count(*) AS n_copies
+             |FROM c GROUP BY content_hash ORDER BY content_hash""".stripMargin)),
+
+    // Value-based quartile tiers (Normalize.tierByCuts): per-language
+    // exact percentile cuts broadcast back, tier as a pure per-row
+    // expression — the corpus-scale alternative to q85's rank-based
+    // ntile (equal values share a tier here).
+    QueryDef("q105_value_tiers",
+      (s, dir) => Normalize.tierByCuts(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          n = 4, "n_chars", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "tier")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |    round(quantile_cont(n_chars, 0.25), 4) AS c1,
+             |    round(quantile_cont(n_chars, 0.5), 4) AS c2,
+             |    round(quantile_cont(n_chars, 0.75), 4) AS c3
+             |  FROM documents GROUP BY lang)
+             |SELECT d.doc_id, d.lang, d.n_chars,
+             |  CAST(1 + CAST(d.n_chars > c.c1 AS INT)
+             |    + CAST(d.n_chars > c.c2 AS INT)
+             |    + CAST(d.n_chars > c.c3 AS INT) AS INT) AS tier
+             |FROM documents d JOIN c USING (lang)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -52,6 +52,19 @@ class RangeShardSpec extends SparkSpec {
     assert(got == Seq(1, 1, 1, 2, 2, 3, 3))
   }
 
+  test("tierByCuts: equal values share a tier, boundaries stay low") {
+    // group g: values 1..8 → quartile cuts (rounded) at 2.75, 4.5, 6.25
+    val df = (1L to 8L).map(v => ("g", v)).toDF("grp", "v")
+    val got = Normalize.tierByCuts(df, 4, "v", Seq("grp"))
+      .orderBy("v").select("tier").as[Int].collect().toSeq
+    assert(got == Seq(1, 1, 2, 2, 3, 3, 4, 4), s"got $got")
+    // all-equal group: one tier for everyone (ntile would split ranks)
+    val eq = Seq.fill(6)(("h", 5L)).toDF("grp", "v")
+    val tiers = Normalize.tierByCuts(eq, 4, "v", Seq("grp"))
+      .select("tier").as[Int].collect().toSet
+    assert(tiers == Set(1), "value ties never straddle tiers")
+  }
+
   test("shuffleShards: a permutation, stable, shard = rank div size") {
     val df = (1L to 100L).map(i => (i, s"s$i")).toDF("doc_id", "source")
     val out = Sampling.shuffleShards(df, "doc_id", shardSize = 16L)
