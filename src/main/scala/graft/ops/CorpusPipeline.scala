@@ -49,12 +49,20 @@ object CorpusPipeline {
     // for every row — exact losers carry the same text, so scoring
     // them costs nothing extra and the funnel attributes them to the
     // gate that actually removed them (exact dedup runs first).
+    //
+    // Materialized ONCE (localCheckpoint) for its three consumers:
+    // the minhash pair join, the cluster node list, and the final
+    // fate join. Lazy recomputation ran the exact-dedup join +
+    // scoring ~3x once near-dup went cluster-based (pairs AND nodes
+    // both derive from `gated`) — same 3-consumer shape, same fix,
+    // as the curated-set checkpoint in the mix/shard composition.
     val scored = df.join(exactWinners, Seq(idCol), "left")
       .withColumn("_quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("_lang", TextAnalysis.langIdHeuristic(col(textCol)))
       .withColumn("_gate_ok",
         coalesce(col("_exact_w"), lit(false)) &&
           col("_quality") >= minQuality && col("_lang") === lang)
+      .localCheckpoint()
     val gated = scored.filter(col("_gate_ok"))
       .select(df.columns.map(col).toSeq: _*)
 
@@ -67,10 +75,8 @@ object CorpusPipeline {
       .filter(col(idCol) === col("component"))
       .select(col(idCol), lit(true).as("_nd_keep"))
 
-    // One pass attributes every input doc to its fate. `scored` is
-    // lazily recomputed here rather than persisted — Catalyst prunes
-    // each branch to the columns it needs (measured cheaper than
-    // caching the wide frame).
+    // One pass attributes every input doc to its fate, reading the
+    // checkpointed `scored` frame (third consumer).
     scored.join(reps, Seq(idCol), "left")
       .withColumn("_fate",
         when(!coalesce(col("_exact_w"), lit(false)), lit("exact_dup"))
