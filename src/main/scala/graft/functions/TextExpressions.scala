@@ -31,7 +31,16 @@ object TextKernels {
   def canon(s: UTF8String): UTF8String = {
     val nfc = Normalizer.normalize(s.toString, Normalizer.Form.NFC)
     val lower = nfc.toLowerCase(java.util.Locale.ROOT)
-    UTF8String.fromString(ws.matcher(lower).replaceAll(" ").trim)
+    val collapsed = ws.matcher(lower).replaceAll(" ")
+    // Strip ONLY spaces at the edges — the oracle twin is DuckDB
+    // trim(), which strips ' ' alone, while Java String.trim strips
+    // every code point <= U+0020 (e.g. an edge U+000B outside the
+    // collapse class would canonicalize differently per engine).
+    var b = 0
+    var e = collapsed.length
+    while (b < e && collapsed.charAt(b) == ' ') b += 1
+    while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
+    UTF8String.fromString(collapsed.substring(b, e))
   }
 }
 

@@ -124,10 +124,17 @@ object Sampling {
       .agg(count(lit(1)).as("_n"))
       .withColumn("_s6", floor(sqrt(col("_n")) * m).cast("long"))
     val tot = counts.agg(sum(col("_s6")).as("_tot6"))
+    // Exact integer floor-division: Spark's decimal `/` rounds HALF_UP
+    // to the result scale BEFORE floor(), so a quotient within 5e-7
+    // below an integer would round up and drift one ppm off the
+    // DuckDB oracle's exact HUGEINT division. Subtracting pmod first
+    // makes the numerator an exact multiple of the divisor — the
+    // division then has a zero fraction and no rounding can bite.
+    val num = col("_s6").cast("decimal(38,0)") * targetRows * m
+    val den = col("_tot6").cast("decimal(38,0)") * col("_n")
     val rates = counts.crossJoin(broadcast(tot))
-      .withColumn("rate_ppm", least(m,
-        floor((col("_s6").cast("decimal(38,0)") * targetRows * m) /
-          (col("_tot6").cast("decimal(38,0)") * col("_n"))).cast("long")))
+      .withColumn("rate_ppm",
+        least(m, ((num - pmod(num, den)) / den).cast("long")))
       .select(col(strataCol), col("rate_ppm"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(pmod(Hashing.portableHash(col(keyCol).cast("string")), m) <
@@ -142,7 +149,10 @@ object Sampling {
     * the exact epoch order. "Random" is the portable hash of `keyCol`
     * (ties broken by the key's string form), so the permutation is a
     * pure function of the data — reshuffling partitions, adding
-    * executors, or re-running never changes it.
+    * executors, or re-running never changes it. `keyCol` must be
+    * non-null on every row (a null key has no portable hash, here or
+    * in any auditing engine); violations fail fast with a message
+    * rather than an opaque NPE mid-job.
     *
     * Scale shape: a global permutation genuinely needs one distributed
     * sort — `sortBy` range-partitions on sampled split points and
@@ -164,7 +174,14 @@ object Sampling {
     val hi = st.fieldIndex(h)
     val ki = st.fieldIndex(keyCol)
     val ranked = withH.rdd
-      .sortBy(r => (r.getLong(hi), String.valueOf(r.get(ki))))
+      .sortBy { r =>
+        // Null keys have no portable hash (the oracle can't place
+        // them either): fail fast with the contract instead of an
+        // opaque NullPointerException from getLong mid-job.
+        require(!r.isNullAt(hi),
+          s"shuffleShards requires a non-null '$keyCol' on every row")
+        (r.getLong(hi), String.valueOf(r.get(ki)))
+      }
       .zipWithIndex()
       .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
     spark.createDataFrame(ranked,

@@ -80,4 +80,14 @@ class RangeShardSpec extends SparkSpec {
     val sortedByRank = rows.sortBy(_._2).map(_._1).toSeq
     assert(sortedByRank != (1L to 100L).toSeq, "order is actually shuffled")
   }
+
+  test("shuffleShards: null key fails fast with the contract, not an NPE") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val e = intercept[org.apache.spark.SparkException] {
+      Sampling.shuffleShards(df, "doc_id", shardSize = 2L).count()
+    }
+    assert(e.getMessage.contains("non-null 'doc_id'") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null 'doc_id'")),
+      s"expected the shuffleShards contract in: ${e.getMessage}")
+  }
 }

@@ -28,6 +28,14 @@ class TextKernelSpec extends SparkSpec {
     assert(canon(" \t ") == "")
   }
 
+  test("canon: edge controls outside the collapse class survive (DuckDB trim parity)") {
+    // DuckDB trim() strips only ' '; Java String.trim would strip any
+    // code point <= U+0020 — e.g. a leading vertical tab — and the two
+    // engines would hash-diverge on such texts.
+    assert(canon("a ") == "a")
+    assert(canon(" a") == "a")
+  }
+
   test("graft_canon expression: null-safe and codegen ≡ kernel") {
     val df = Seq(Some("  Mixed É CASE  "), None, Some("x"))
       .toDF("t")
