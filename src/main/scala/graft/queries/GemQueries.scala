@@ -2,11 +2,11 @@ package graft.queries
 
 import graft.core.Graft
 import graft.functions.Hashing
-import graft.ops.{AsofJoin, Chunking, Classifier, Cleaning, Components,
-  Coordinates, CorpusPipeline, Dedup, GemPipeline, IntervalJoin,
-  LanguageModel, LineDedup, Multimodal, Normalize, Ownership, Packing,
-  PageRank, Profile, Quantize, Retrieval, Rolling, Sampling, Similarity,
-  Skew, TextAnalysis, Timeseries, TrackerConfigs}
+import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
+  Components, Coordinates, CorpusPipeline, Dedup, GemPipeline,
+  IntervalJoin, LanguageModel, LineDedup, Multimodal, Normalize,
+  Ownership, Packing, PageRank, Profile, Quantize, Retrieval, Rolling,
+  Sampling, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -69,6 +69,49 @@ object GemQueries {
          |        FROM assign$i a CROSS JOIN poss p
          |        GROUP BY a.cell_id, p.pos)
          |  GROUP BY cell_id)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  /** Oracle twin of [[graft.ops.Bpe.train]]: `tok`/`v0` build the
+    * (word, freq) vocabulary with each word as its initial
+    * double-space symbol-state string, then `iters` unrolled rounds
+    * `p{i}` (adjacent-pair counts, freq-weighted) / `b{i}` (argmax
+    * with the (left, right) tie-break) / `m{i}` (the recorded rule) /
+    * `v{i}` (the literal replace() that applies the merge). ONE
+    * generator so a sibling query cannot drift from q106's replay.
+    */
+  private def bpeTrainCtes(iters: Int): String = {
+    val seed =
+      s"""tok AS (
+         |  SELECT unnest(list_filter(string_split_regex(text, ' +'),
+         |    t -> t <> '')) AS token FROM documents),
+         |v0 AS (
+         |  SELECT ' ' || array_to_string(list_transform(
+         |      generate_series(1, length(token)),
+         |      i -> substr(token, CAST(i AS INT), 1)), '  ') || ' '
+         |    AS state, count(*) AS freq
+         |  FROM tok GROUP BY token)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT pr.l AS "left", pr.r AS "right",
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(
+         |        generate_series(1, len(syms) - 1),
+         |        j -> struct_pack(l := syms[CAST(j AS INT)],
+         |          r := syms[CAST(j AS INT) + 1]))) AS pr
+         |    FROM (SELECT string_split(trim(state), '  ') AS syms, freq
+         |          FROM v${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT "left", "right", cnt FROM p$i
+         |        ORDER BY cnt DESC, "left", "right" LIMIT 1),
+         |m$i AS (SELECT CAST($i AS INT) AS step, "left", "right",
+         |          "left" || "right" AS merged, cnt FROM b$i),
+         |v$i AS (
+         |  SELECT replace(state, ' ' || b."left" || '  ' || b."right" || ' ',
+         |      ' ' || b."left" || b."right" || ' ') AS state, freq
+         |  FROM v${i - 1} CROSS JOIN b$i b)""".stripMargin
     }
     (seed +: rounds).mkString(",\n")
   }
@@ -3313,7 +3356,22 @@ object GemQueries {
              |    + CAST(d.n_chars > c.c2 AS INT)
              |    + CAST(d.n_chars > c.c3 AS INT) AS INT) AS tier
              |FROM documents d JOIN c USING (lang)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BPE training loop (Bpe.train, Sennrich ACL'16): K rounds of
+    // count -> merge -> recount over the (word, freq) vocabulary —
+    // q101's pair count extended to the full tokenizer-training
+    // iteration. The oracle replays the exact trajectory as unrolled
+    // CTE rounds: merge application is a literal left-to-right
+    // replace() on the double-space symbol-state string, identical in
+    // both engines by construction.
+    QueryDef("q106_bpe_train",
+      (s, dir) => Bpe.train(t(s, dir, "documents"), "text", merges = 6),
+      Some(s"""WITH ${bpeTrainCtes(6)}
+             |SELECT step, "left", "right", merged, cnt
+             |FROM (${(1 to 6).map(i => s"SELECT * FROM m$i")
+               .mkString(" UNION ALL ")})
+             |ORDER BY step""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -72,4 +72,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(strat == plain) // same bucket function ⇒ identical membership
     assert(strat.nonEmpty && strat.size < 500)
   }
+
+  test("Bpe.train: replays the ACL'16 low/lower/newest/widest example") {
+    // Word frequencies low:5 lower:2 newest:6 widest:3 (Sennrich
+    // ACL'16 §3.2, without the </w> marker). Hand-derived trajectory:
+    // es(9) beats st(9) on the (left, right) tie-break; after est,
+    // l+o(7) beats o+w(7); round 5 picks e+w(6) from the e/n/w tie.
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val (merges, vocab) = graft.ops.Bpe.trainWithVocab(df, "text", merges = 5)
+    val got = merges.as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L)))
+    val states = vocab.select("state", "freq")
+      .as[(String, Long)].collect().toMap
+    assert(states == Map(
+      " low " -> 5L, " low  e  r " -> 2L,
+      " n  ew  est " -> 6L, " w  i  d  est " -> 3L))
+  }
+
+  test("Bpe.train: greedy left-to-right merge — disjoint repeats both merge") {
+    // "abab": pair (a,b) occurs twice disjointly -> both merge in one
+    // round; "aaa": (a,a) overlaps -> only the left pair merges.
+    val df = Seq("abab abab aaa").toDF("text")
+    val (merges, vocab) = graft.ops.Bpe.trainWithVocab(df, "text", merges = 1)
+    val got = merges.as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", "ab", 4L))) // ab:4 beats aa:2, ba:2
+    val states = vocab.select("state").as[String].collect().toSet
+    assert(states == Set(" ab  ab ", " a  a  a "))
+  }
+
+  test("Bpe.train: stops early when every word is fully merged") {
+    val df = Seq("xy xy").toDF("text")
+    val merges = graft.ops.Bpe.train(df, "text", merges = 10)
+    val got = merges.as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "x", "y", "xy", 2L)))
+  }
 }
