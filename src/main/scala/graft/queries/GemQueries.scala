@@ -6,7 +6,8 @@ import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
   Components, Coordinates, CorpusPipeline, Dedup, GemPipeline,
   IntervalJoin, LanguageModel, LineDedup, Multimodal, Normalize,
   Ownership, Packing, PageRank, Profile, Quantize, Retrieval, Rolling,
-  Sampling, Similarity, Skew, TextAnalysis, Timeseries, TrackerConfigs}
+  Sampling, Similarity, Skew, SpanDedup, TextAnalysis, Timeseries,
+  TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3371,7 +3372,56 @@ object GemQueries {
              |SELECT step, "left", "right", merged, cnt
              |FROM (${(1 to 6).map(i => s"SELECT * FROM m$i")
                .mkString(" UNION ALL ")})
-             |ORDER BY step""".stripMargin))
+             |ORDER BY step""".stripMargin)),
+
+    // Exact-substring dedup REMOVAL (SpanDedup.removeRepeatedSpans,
+    // Lee et al. 2022): the excision half q75 only detected — every
+    // corpus-repeated 8-token span keeps its smallest-(doc, pos)
+    // occurrence, all others are cut and docs reassembled from the
+    // surviving tokens. Oracle mirrors the window/keeper/coverage/
+    // rebuild chain; the null-skipping string_agg CASE is DuckDB's
+    // twin of Spark's null-skipping collect_list(when(...)).
+    QueryDef("q107_span_dedup",
+      (s, dir) => SpanDedup.removeRepeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |win AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(tk[i+1 : i+8], ' ') AS gram
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(0, len(tk) - 8)) AS i
+             |        FROM tk)),
+             |rep AS (
+             |  SELECT doc_id, pos,
+             |    row_number() OVER (PARTITION BY gram
+             |      ORDER BY doc_id, pos) AS rn,
+             |    count(*) OVER (PARTITION BY gram) AS cnt
+             |  FROM win),
+             |cov AS (
+             |  SELECT DISTINCT doc_id, tpos FROM (
+             |    SELECT doc_id, pos + unnest(generate_series(0, 7)) AS tpos
+             |    FROM rep WHERE cnt > 1 AND rn > 1)),
+             |tokpos AS (
+             |  SELECT doc_id, unnest(tk) AS token,
+             |    unnest(generate_series(0, len(tk) - 1)) AS tpos
+             |  FROM tk),
+             |reb AS (
+             |  SELECT t.doc_id, count(*) AS n_tokens,
+             |    count(c.tpos) AS n_removed,
+             |    coalesce(string_agg(CASE WHEN c.tpos IS NULL THEN t.token END,
+             |      ' ' ORDER BY t.tpos), '') AS clean_text
+             |  FROM tokpos t LEFT JOIN cov c
+             |    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id, coalesce(r.n_tokens, 0) AS n_tokens,
+             |  coalesce(r.n_removed, 0) AS n_removed,
+             |  coalesce(r.clean_text, '') AS clean_text
+             |FROM documents d LEFT JOIN reb r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -147,4 +147,65 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 40.0, None)))
     assert(got(5L) == ((1L, 7.0, None)))
   }
+
+  /** Brute-force reference for [[graft.ops.SpanDedup.removeRepeatedSpans]]:
+    * same semantics, sequential Scala — the ground truth the
+    * distributed plan must reproduce exactly.
+    */
+  private def refRemoveSpans(
+      docs: Seq[(Long, String)], n: Int): Map[Long, (Long, Long, String)] = {
+    val tok = docs.map { case (id, t) =>
+      id -> t.split(" +").filter(_.nonEmpty).toSeq }.toMap
+    val windows = for {
+      (id, tk) <- tok.toSeq
+      i <- 0 to tk.length - n
+    } yield (id, i, tk.slice(i, i + n).mkString(" "))
+    val marked = windows.groupBy(_._3).values.flatMap { occ =>
+      if (occ.size > 1) occ.sortBy(w => (w._1, w._2)).tail else Nil
+    }
+    val covered = marked.toSeq.groupBy(_._1).map { case (id, ms) =>
+      id -> ms.flatMap(m => m._2 until m._2 + n).toSet
+    }
+    docs.map { case (id, _) =>
+      val tk = tok(id)
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val kept = tk.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      id -> ((tk.length.toLong, cov.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("removeRepeatedSpans: shared span excised everywhere but its first occurrence") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"), // canonical for the 3-gram run
+      (2L, "intro words the quick brown fox jumps and more"), // loses the span
+      (3L, "totally unrelated text here today"),
+      (4L, "a b"), // shorter than n: untouched
+      (5L, "") // empty: 0 tokens, rides the left join
+    ).toDF("doc_id", "text")
+    val got = graft.ops.SpanDedup.removeRepeatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Doc 2 shares the 5-gram "the quick brown fox jumps" (one window);
+    // doc 1 has the smaller (doc, pos) and keeps it.
+    assert(got(1L) == ((7L, 0L, "the quick brown fox jumps over it")))
+    assert(got(2L) == ((9L, 5L, "intro words and more")))
+    assert(got(3L) == ((5L, 0L, "totally unrelated text here today")))
+    assert(got(4L) == ((2L, 0L, "a b")))
+    assert(got(5L) == ((0L, 0L, "")))
+  }
+
+  test("removeRepeatedSpans: matches the brute-force reference on a repeat-heavy corpus") {
+    // Tiny vocabulary => overlapping repeated spans, intra-doc repeats,
+    // docs that lose everything, docs shorter than n.
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = graft.ops.SpanDedup.removeRepeatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == refRemoveSpans(docs, n = 3))
+  }
 }
