@@ -38,6 +38,36 @@ object GemQueries {
        |    (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
        |     sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Oracle twin of [[Similarity.hyperplaneBucket]]: the md5
+    * hyperplane-LSH bucket over GLOBAL plane indices [lo, hi], bit
+    * positions (p - lo). ONE generator for the q45 single-table
+    * bucket, q67's single- and multi-table evals, and any future LSH
+    * oracle, so the hash math cannot drift between copies.
+    */
+  private def lshBucketSql(lo: Int, hi: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series($lo, $hi), p ->
+       |      CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+       |          CAST(v AS DOUBLE) * (CASE WHEN
+       |            CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+       |              CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+       |            THEN 1.0 ELSE -1.0 END))) >= 0
+       |        THEN (CAST(1 AS BIGINT) << (p - $lo)) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT)""".stripMargin
+
+  /** Multi-table LSH buckets ([[Similarity.lshTopKMulti]]'s `tabled`
+    * frame): per-table UNION of [[lshBucketSql]] slices of the shared
+    * plane universe — table t = planes [t*planes, (t+1)*planes).
+    */
+  private def lshMultiBucketCte(
+      name: String, planes: Int, tables: Int): String = {
+    val parts = (0 until tables).map { t =>
+      val lo = t * planes
+      s"""  SELECT vec_id, $t AS tbl, ${lshBucketSql(lo, lo + planes - 1)}
+         |    AS bucket FROM embeddings""".stripMargin
+    }
+    s"$name AS (\n${parts.mkString("\n  UNION ALL\n")})"
+  }
+
   /** Oracle twin of [[Similarity.trainCentroids]] (k-means on the
     * 64-dim `embeddings` table): seed CTE `cent0` = the k vectors with
     * the smallest portable md5 hash of their id, then `iters` unrolled
@@ -1557,16 +1587,8 @@ object GemQueries {
           "vec_id", "embedding", k = 3, planes = 4)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH bucketed AS (
-             |  SELECT vec_id, embedding,
-             |    CAST(list_sum(list_transform(generate_series(0, 3), p ->
-             |      CASE WHEN list_sum(list_transform(embedding, (v, i) ->
-             |          CAST(v AS DOUBLE) * (CASE WHEN
-             |            CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
-             |              CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
-             |            THEN 1.0 ELSE -1.0 END))) >= 0
-             |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END))
-             |      AS BIGINT) AS bucket
+      Some(s"""WITH bucketed AS (
+             |  SELECT vec_id, embedding, ${lshBucketSql(0, 3)} AS bucket
              |  FROM embeddings),
              |q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
              |      FROM bucketed WHERE vec_id < 10),
@@ -2193,6 +2215,8 @@ object GemQueries {
             emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2))
           .unionByName(hits("lsh", Similarity.lshTopK(
             emb, qs, "vec_id", "embedding", k = 10, planes = 4)))
+          .unionByName(hits("lsh_multi", Similarity.lshTopKMulti(
+            emb, qs, "vec_id", "embedding", k = 10)))
           .crossJoin(broadcast(brute.agg(count(lit(1)).as("total"))))
           .withColumn("recall", round(col("hits") / col("total"), 4))
           .orderBy("method")
@@ -2214,17 +2238,11 @@ object GemQueries {
           |      row_number() OVER (PARTITION BY query_id
           |                         ORDER BY cos DESC, neighbor_id) AS rn
           |    FROM bscored) WHERE rn <= 10),
-          |bucketed AS (
-          |  SELECT vec_id, embedding,
-          |    CAST(list_sum(list_transform(generate_series(0, 3), p ->
-          |      CASE WHEN list_sum(list_transform(embedding, (v, i) ->
-          |          CAST(v AS DOUBLE) * (CASE WHEN
-          |            CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
-          |              CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
-          |            THEN 1.0 ELSE -1.0 END))) >= 0
-          |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END))
-          |      AS BIGINT) AS bucket
+          |""".stripMargin +
+        s"""bucketed AS (
+          |  SELECT vec_id, embedding, ${lshBucketSql(0, 3)} AS bucket
           |  FROM embeddings),
+          |${lshMultiBucketCte("mbucketed", planes = 4, tables = 8)},
           |lscored AS (
           |  SELECT query_id, neighbor_id,
           |""".stripMargin +
@@ -2241,13 +2259,36 @@ object GemQueries {
           |      row_number() OVER (PARTITION BY query_id
           |                         ORDER BY cos DESC, neighbor_id) AS rn
           |    FROM lscored) WHERE rn <= 10),
+          |mcand AS (
+          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          |  FROM mbucketed q JOIN mbucketed c
+          |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+          |  WHERE q.vec_id BETWEEN 100 AND 104 AND c.vec_id <> q.vec_id),
+          |mscored AS (
+          |  SELECT query_id, neighbor_id,
+          |""".stripMargin +
+        "    " + duckCos("qvec", "cvec") + " AS cos\n" +
+        """  FROM mcand
+          |  JOIN (SELECT vec_id AS neighbor_id, embedding AS cvec
+          |        FROM embeddings) USING (neighbor_id)
+          |  JOIN (SELECT vec_id AS query_id, embedding AS qvec
+          |        FROM embeddings) USING (query_id)),
+          |mlsh AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |                         ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM mscored) WHERE rn <= 10),
           |ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE "rank" <= 10),
           |hits AS (
           |  SELECT 'ivf' AS method, count(*) AS hits
           |  FROM ivf JOIN brute USING (query_id, neighbor_id)
           |  UNION ALL
           |  SELECT 'lsh', count(*)
-          |  FROM lsh JOIN brute USING (query_id, neighbor_id)),
+          |  FROM lsh JOIN brute USING (query_id, neighbor_id)
+          |  UNION ALL
+          |  SELECT 'lsh_multi', count(*)
+          |  FROM mlsh JOIN brute USING (query_id, neighbor_id)),
           |tot AS (SELECT count(*) AS total FROM brute)
           |SELECT method, hits, total,
           |  round(CAST(hits AS DOUBLE) / total, 4) AS recall

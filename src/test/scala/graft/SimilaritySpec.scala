@@ -43,6 +43,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("lshTopKMulti: table 0 IS the single-table bucket; union can only add") {
+    // With tables = 1 the multi-table path must reproduce lshTopK
+    // exactly (same global plane indices 0..planes-1, same re-rank).
+    val qs = vecs.filter(col("vec_id") < 2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "cos")
+        .collect().map(_.toSeq).toSet
+    val single = Similarity.lshTopK(vecs, qs, "vec_id", "embedding",
+      k = 3, planes = 4, dim = 3)
+    val multi1 = Similarity.lshTopKMulti(vecs, qs, "vec_id", "embedding",
+      k = 3, planes = 4, tables = 1, dim = 3)
+    assert(key(multi1) == key(single))
+    // More tables never shrink any query's result set.
+    val multi8 = Similarity.lshTopKMulti(vecs, qs, "vec_id", "embedding",
+      k = 3, planes = 4, tables = 8, dim = 3)
+    val n1 = multi1.groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n8 = multi8.groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n1.forall { case (q, n) => n8.getOrElse(q, 0L) >= n })
+  }
+
   test("ivfTopK: nearest cell routing still finds the identical vector") {
     // centroids = vectors 0 and 2 (x-axis and y-axis cells); vector 1
     // (identical to 0) lands in cell 0 with its query → found at rank 1
