@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * Media assets are opaque `binary` columns with typed metadata — the
   * pattern every large-scale multimodal corpus uses (the bytes travel
   * as parquet BINARY; schema + partitioning + batch shape are what the
-  * engine owns). [[decodeMeta]] REALLY decodes the four formats whose
-  * headers are fixed-offset reads and need no codec library — BMP
-  * (width/height from the BITMAPINFOHEADER), RIFF/WAVE (duration
-  * from byte rate × data size), PNG (big-endian IHDR dims), and GIF
-  * (little-endian logical-screen dims) — and falls back to a
-  * DETERMINISTIC STUB for everything else (JPEG/MP4 need real codecs
-  * this container does not ship; a deployment swaps the fallback
-  * body).
+  * engine owns). [[decodeMeta]] REALLY decodes the five formats whose
+  * headers are codec-free reads — BMP (width/height from the
+  * BITMAPINFOHEADER), RIFF/WAVE (duration from byte rate × data
+  * size), PNG (big-endian IHDR dims), GIF (little-endian
+  * logical-screen dims), and JPEG (segment-marker walk to the SOFn
+  * frame header) — and falls back to a DETERMINISTIC STUB for
+  * everything else (MP4 needs a real demuxer this container does not
+  * ship; a deployment swaps the fallback body).
   *
   * Scale notes: media rows are fat (MBs), so ops here must (a) never
   * collect, (b) keep per-partition byte volume bounded — callers size
@@ -62,6 +62,59 @@ object Multimodal {
 
   private def le2(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def be2(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** JPEG (width, height) via the segment-marker walk — the one
+    * codec-bound-looking format whose dimensions ARE codec-free: skip
+    * FF fill bytes, step over length-prefixed segments until an SOFn
+    * frame header (C0–CF minus the non-frame C4/C8/CC), read the
+    * big-endian height/width at payload offsets 1/3 (ITU T.81 §B.2.2).
+    * None on desync, EOI, or start-of-scan before any SOF — the caller
+    * falls back to the stub rather than fabricating dimensions.
+    */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2 // past FF D8 (SOI)
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // marker desync
+      var j = i
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
+      if (marker == 0x01 || marker == 0xd8 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        i = j + 1 // standalone marker, no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / SOS reached without a frame header
+      } else {
+        if (j + 2 >= b.length) return None
+        val len = be2(b, j + 1)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (j + 7 >= b.length) return None
+          return Some((be2(b, j + 6), be2(b, j + 4))) // (width, height)
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** The deterministic fallback for formats that genuinely need a
+    * codec library (MP4, malformed inputs): first/last byte + length
+    * pseudo-dimensions. A real deployment swaps this body.
+    */
+  private def stubMeta(
+      id: Long, mt: String, bytes: Array[Byte]): MediaMeta = {
+    val h = if (bytes.isEmpty) 0 else (bytes.head & 0xff)
+    val t = if (bytes.isEmpty) 0 else (bytes.last & 0xff)
+    MediaMeta(id, mt, bytes.length.toLong,
+      width = 64 + h % 64, height = 64 + t % 64,
+      durationMs = bytes.length.toLong * 10)
+  }
 
   /** Decode typed metadata from the payload bytes.
     *
@@ -117,13 +170,15 @@ object Multimodal {
             MediaMeta(id, mt, n,
               width = le2(bytes, 6), height = le2(bytes, 8),
               durationMs = 0L)
+          } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+              (bytes(1) & 0xff) == 0xd8) {
+            // real JPEG header math: marker walk to the SOFn segment
+            jpegDims(bytes) match {
+              case Some((w, h)) => MediaMeta(id, mt, n, w, h, durationMs = 0L)
+              case None => stubMeta(id, mt, bytes)
+            }
           } else {
-            // deterministic STUB for formats that need a codec library
-            val h = if (bytes.isEmpty) 0 else (bytes.head & 0xff)
-            val t = if (bytes.isEmpty) 0 else (bytes.last & 0xff)
-            MediaMeta(id, mt, n,
-              width = 64 + h % 64, height = 64 + t % 64,
-              durationMs = n * 10)
+            stubMeta(id, mt, bytes)
           }
         }
       }

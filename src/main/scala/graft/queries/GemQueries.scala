@@ -3462,7 +3462,39 @@ object GemQueries {
              |  coalesce(r.n_removed, 0) AS n_removed,
              |  coalesce(r.clean_text, '') AS clean_text
              |FROM documents d LEFT JOIN reb r USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // REAL JPEG header decode (Multimodal.decodeMeta marker walk):
+    // bytes synthesized in-plan — SOI + JFIF APP0 + SOF0 carrying
+    // per-id big-endian dims + EOI — the parser walks the segment
+    // markers back to the frame header, and the oracle recomputes the
+    // dimension formulas directly, so a walk bug cannot cancel out
+    // (the q68/q98 pattern for the last codec-free format).
+    QueryDef("q108_media_decode_jpeg",
+      (s, dir) => {
+        def be2hex(n: Column): Column = lpad(hex(n), 4, "0")
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val wCol = lit(16) + pmod(col("id"), lit(900))
+        val hCol = lit(16) + pmod(col("id") * 13, lit(900))
+        val jpeg = ids.select(
+          col("id"),
+          unhex(concat(
+            lit("FFD8" + // SOI
+              "FFE000104A46494600010100000100010000" + // JFIF APP0
+              "FFC0001108"), // SOF0, len 17, precision 8
+            be2hex(hCol), be2hex(wCol),
+            lit("03012200021101031101" + "FFD9"))).as("bytes"),
+          lit("image").as("media_type"))
+        Multimodal.decodeMeta(s, jpeg).toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"), col("width"),
+            col("height"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, CAST(41 AS BIGINT) AS n_bytes,
+             |  CAST(16 + doc_id % 900 AS INT) AS width,
+             |  CAST(16 + (doc_id * 13) % 900 AS INT) AS height
+             |FROM documents ORDER BY id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -143,6 +143,39 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(out(4L).width == 64 + 'n' % 64) // stub path untouched
   }
 
+  test("decodeMeta walks JPEG markers to SOF; SOS-first and truncated fall to the stub") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte
+      ) ++ payload
+    def be2(n: Int) = Array((n >> 8).toByte, (n & 0xff).toByte)
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val app0 = seg(0xe0, "JFIF".getBytes ++ Array.fill[Byte](10)(0))
+    def sof0(w: Int, h: Int) = seg(0xc0,
+      Array(8.toByte) ++ be2(h) ++ be2(w) ++
+        Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    // baseline: SOI + APP0 + SOF0; progressive flavor adds FF fill
+    // bytes before an SOF2 marker
+    val jpeg = soi ++ app0 ++ sof0(800, 600)
+    val jpegFill = soi ++ app0 ++
+      Array(0xff.toByte) ++ // extra FF fill byte before the marker
+      seg(0xc2, Array(8.toByte) ++ be2(20) ++ be2(30) ++
+        Array[Byte](1, 0x11, 0))
+    val sosFirst = soi ++ seg(0xda, Array[Byte](0)) // scan before frame
+    val truncated = soi ++ app0.take(3)
+    val media = Seq(
+      (1L, jpeg, "image"), (2L, jpegFill, "image"),
+      (3L, sosFirst, "image"), (4L, truncated, "image"))
+      .toDF("id", "bytes", "media_type")
+    val out = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L).width == 800 && out(1L).height == 600 &&
+      out(1L).durationMs == 0L)
+    assert(out(2L).width == 30 && out(2L).height == 20)
+    assert(out(3L).width == 64 + 0xff % 64) // stub: first byte 0xFF
+    assert(out(4L).width == 64 + 0xff % 64)
+  }
+
   test("classifyFuel instr semantics: 0 position means NA, not a match") {
     val out = Seq("no such fuel").toDF("Fuel")
       .transform(GemPipeline.classifyFuel("Fuel"))
