@@ -3156,6 +3156,10 @@ object GemQueries {
     // 1800 s — click→conversion attribution. q60 covers Backward/no-
     // tolerance; this exercises the other half of the API against
     // DuckDB's native ASOF LEFT JOIN (p.ts >= c.ts = forward).
+    // Perf note (r8 follow-up): the 3.8 s vs q60's 0.84 s in the cold
+    // one-pass bench is JIT/codegen for this query's unique
+    // tolerance+gap plan, not volume or sort width — interleaved
+    // repeat runs measure q99 ≈ q60 ≈ 1.0–1.2 s warm at sf0.1.
     QueryDef("q99_asof_forward",
       (s, dir) => {
         val ev = t(s, dir, "events")

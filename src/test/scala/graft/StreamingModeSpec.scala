@@ -86,6 +86,69 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("dedupDocsBySignature: full sf0.01 corpus replay — batch parity, bounded state, eviction") {
+    // The q50-sized corpus (every sf0.01 document) through the REAL
+    // streaming path: pins the 100 TB streaming story to measured
+    // behavior instead of watermark claims — (1) stream output on one
+    // in-horizon pass equals the batch twin, (2) a full re-crawl
+    // inside the watermark emits nothing, (3) state is keyed by
+    // signature (<= corpus distinct sigs), and (4) advancing event
+    // time past the horizon EVICTS state rather than growing forever.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    def at(mins: Long) = new Timestamp(t0 + mins * 60000L)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupDocsBySignature(docs, "doc_id", "text",
+        orderCol = "ts")
+      .writeStream.format("memory").queryName("sig_corpus_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def emitted() = spark.table("sig_corpus_test")
+        .select("doc_id").as[Long].collect().toSet
+      def stateRows() = q.lastProgress.stateOperators(0).numRowsTotal
+      // Pass 1: the whole corpus in one horizon.
+      input.addData(corpus.map { case (id, tx) => (id, at(0), tx) })
+      q.processAllAvailable()
+      val batchTwin = EventStream.dedupDocsBySignature(
+          corpus.toDF("doc_id", "text")
+            .withColumn("ts", org.apache.spark.sql.functions.lit(at(0))),
+          "doc_id", "text", orderCol = "ts")
+        .select("doc_id").as[Long].collect().toSet
+      val pass1 = emitted()
+      assert(pass1 == batchTwin,
+        s"stream/batch divergence: ${(pass1 diff batchTwin) ++ (batchTwin diff pass1)}")
+      assert(pass1.size < corpus.size, "the corpus does contain near-dups")
+      // Pass 2: full re-crawl 2 min later — inside the 2 h watermark,
+      // every signature is already in state; nothing new emits.
+      input.addData(corpus.map { case (id, tx) => (id + 100000L, at(2), tx) })
+      q.processAllAvailable()
+      assert(emitted() == pass1, "in-horizon re-crawl must emit nothing")
+      val stateInHorizon = stateRows()
+      assert(stateInHorizon <= pass1.size,
+        s"state ($stateInHorizon) must stay <= distinct signatures (${pass1.size})")
+      // Pass 3+4: jump event time 10 h — the watermark passes the old
+      // signatures and the store EVICTS them (bounded state, the 100 TB
+      // claim); the same text re-emits as a fresh first occurrence.
+      val probe = corpus.take(50)
+      input.addData(probe.map { case (id, tx) => (id + 200000L, at(600), tx) })
+      q.processAllAvailable()
+      input.addData(Seq((999999L, at(601), "watermark advancer xyzzy")))
+      q.processAllAvailable()
+      val stateAfterJump = stateRows()
+      assert(stateAfterJump < stateInHorizon,
+        s"state must shrink after the horizon passes: $stateAfterJump vs $stateInHorizon")
+      assert(emitted().exists(_ >= 200000L),
+        "past-horizon re-crawls emit again (the periodic batch sweep's job)")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sig_corpus_test")
+    }
+  }
+
   test("dedupEvents drops re-arrivals of a key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
