@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * Media assets are opaque `binary` columns with typed metadata — the
   * pattern every large-scale multimodal corpus uses (the bytes travel
   * as parquet BINARY; schema + partitioning + batch shape are what the
-  * engine owns). [[decodeMeta]] REALLY decodes the five formats whose
-  * headers are codec-free reads — BMP (width/height from the
-  * BITMAPINFOHEADER), RIFF/WAVE (duration from byte rate × data
-  * size), PNG (big-endian IHDR dims), GIF (little-endian
-  * logical-screen dims), and JPEG (segment-marker walk to the SOFn
-  * frame header) — and falls back to a DETERMINISTIC STUB for
-  * everything else (MP4 needs a real demuxer this container does not
-  * ship; a deployment swaps the fallback body).
+  * engine owns). [[decodeMeta]] REALLY decodes all six formats —
+  * their metadata is codec-free even where the PAYLOAD needs a codec:
+  * BMP (width/height from the BITMAPINFOHEADER), RIFF/WAVE (duration
+  * from byte rate × data size), PNG (big-endian IHDR dims), GIF
+  * (little-endian logical-screen dims), JPEG (segment-marker walk to
+  * the SOFn frame header), and MP4 (ISO BMFF box walk to mvhd/tkhd).
+  * Malformed or unknown inputs fall back to a DETERMINISTIC STUB
+  * (first/last byte + length pseudo-dimensions).
   *
   * Scale notes: media rows are fat (MBs), so ops here must (a) never
   * collect, (b) keep per-partition byte volume bounded — callers size
@@ -65,6 +65,61 @@ object Multimodal {
 
   private def be2(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def be8(b: Array[Byte], off: Int): Long =
+    (be4(b, off) << 32) | be4(b, off + 4)
+
+  /** MP4 / ISO BMFF (width, height, durationMs) via the box walk —
+    * like JPEG, the metadata needs no demuxer: boxes are
+    * [size:be32][type:4cc] (size 1 → 64-bit largesize follows, size 0
+    * → to end); descend into the `moov`/`trak` containers, read
+    * duration/timescale from `mvhd` (version 0: offsets 12/16 into the
+    * body; version 1: 20/24 with a 64-bit duration) and each track's
+    * 16.16 fixed-point width/height from the last 8 bytes of `tkhd`,
+    * keeping the largest track (audio tracks are 0×0). None when no
+    * parseable `mvhd` exists — the caller falls back to the stub.
+    */
+  private def mp4Meta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var durMs = Option.empty[Long]
+    var w = 0
+    var h = 0
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        var size = be4(b, i)
+        var hdr = 8
+        if (size == 1L && i + 16 <= end) { size = be8(b, i + 8); hdr = 16 }
+        else if (size == 0L) size = (end - i).toLong
+        if (size < hdr || size > (end - i).toLong) ok = false // malformed
+        else {
+          val tpe = new String(b, i + 4, 4, "ISO-8859-1")
+          val bodyStart = i + hdr
+          val bodyEnd = i + size.toInt
+          tpe match {
+            case "moov" | "trak" => walk(bodyStart, bodyEnd)
+            case "mvhd" if durMs.isEmpty =>
+              val v = if (bodyStart < bodyEnd) b(bodyStart) & 0xff else -1
+              if (v == 0 && bodyStart + 20 <= bodyEnd) {
+                val ts = be4(b, bodyStart + 12)
+                if (ts > 0) durMs = Some(be4(b, bodyStart + 16) * 1000L / ts)
+              } else if (v == 1 && bodyStart + 32 <= bodyEnd) {
+                val ts = be4(b, bodyStart + 20)
+                if (ts > 0) durMs = Some(be8(b, bodyStart + 24) * 1000L / ts)
+              }
+            case "tkhd" if bodyEnd - bodyStart >= 8 =>
+              val tw = (be4(b, bodyEnd - 8) >> 16).toInt
+              val th = (be4(b, bodyEnd - 4) >> 16).toInt
+              if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
+            case _ => ()
+          }
+          i = bodyEnd
+        }
+      }
+    }
+    walk(0, b.length)
+    durMs.map(d => (w, h, d))
+  }
 
   /** JPEG (width, height) via the segment-marker walk — the one
     * codec-bound-looking format whose dimensions ARE codec-free: skip
@@ -175,6 +230,13 @@ object Multimodal {
             // real JPEG header math: marker walk to the SOFn segment
             jpegDims(bytes) match {
               case Some((w, h)) => MediaMeta(id, mt, n, w, h, durationMs = 0L)
+              case None => stubMeta(id, mt, bytes)
+            }
+          } else if (bytes.length >= 12 && bytes(4) == 'f' &&
+              bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
+            // real MP4 header math: box walk to mvhd / tkhd
+            mp4Meta(bytes) match {
+              case Some((w, h, dur)) => MediaMeta(id, mt, n, w, h, dur)
               case None => stubMeta(id, mt, bytes)
             }
           } else {

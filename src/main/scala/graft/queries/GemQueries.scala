@@ -3498,6 +3498,47 @@ object GemQueries {
       Some("""SELECT doc_id AS id, CAST(41 AS BIGINT) AS n_bytes,
              |  CAST(16 + doc_id % 900 AS INT) AS width,
              |  CAST(16 + (doc_id * 13) % 900 AS INT) AS height
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // REAL MP4 header decode (Multimodal.decodeMeta ISO BMFF box
+    // walk): ftyp + moov(mvhd + trak(tkhd)) synthesized in-plan with
+    // per-id timescale/duration and 16.16 fixed-point track dims; the
+    // walk reads them back and the oracle recomputes the formulas
+    // (incl. the truncating duration*1000/timescale division). With
+    // this, all six media formats decode REAL metadata — the stub
+    // remains only for malformed bytes.
+    QueryDef("q109_media_decode_mp4",
+      (s, dir) => {
+        def be4hex(n: Column): Column = lpad(hex(n), 8, "0")
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val tsCol = lit(500) + pmod(col("id"), lit(4)) * 250
+        val durCol = lit(10000) + pmod(col("id") * 17, lit(100000))
+        val wCol = lit(16) + pmod(col("id"), lit(1200))
+        val hCol = lit(16) + pmod(col("id") * 7, lit(1200))
+        val mp4 = ids.select(
+          col("id"),
+          unhex(concat(
+            lit("00000010" + "66747970" + "69736F6D" + "00000000" + // ftyp
+              "00000088" + "6D6F6F76" + // moov, size 136
+              "0000001C" + "6D766864" + "00000000" + // mvhd v0, size 28
+              "00000000" + "00000000"), // ctime, mtime
+            be4hex(tsCol), be4hex(durCol),
+            lit("00000064" + "7472616B" + // trak, size 100
+              "0000005C" + "746B6864" + "00000000" + // tkhd v0, size 92
+              "00" * 72), // track fields + matrix (zeros)
+            be4hex(wCol * 65536), be4hex(hCol * 65536))).as("bytes"),
+          lit("video").as("media_type"))
+        Multimodal.decodeMeta(s, mp4).toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"), col("width"),
+            col("height"), col("durationMs").as("duration_ms"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, CAST(152 AS BIGINT) AS n_bytes,
+             |  CAST(16 + doc_id % 1200 AS INT) AS width,
+             |  CAST(16 + (doc_id * 7) % 1200 AS INT) AS height,
+             |  CAST((10000 + (doc_id * 17) % 100000) * 1000
+             |    // (500 + (doc_id % 4) * 250) AS BIGINT) AS duration_ms
              |FROM documents ORDER BY id""".stripMargin))
   )
 

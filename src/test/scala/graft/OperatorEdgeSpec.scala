@@ -176,6 +176,37 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(out(4L).width == 64 + 0xff % 64)
   }
 
+  test("decodeMeta walks MP4 boxes to mvhd/tkhd; no moov falls to the stub") {
+    def be4(n: Long): Array[Byte] =
+      Array(n >> 24, n >> 16, n >> 8, n).map(b => (b & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(body.length + 8) ++ tpe.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be4(0))
+    def mvhd0(ts: Long, dur: Long) =
+      box("mvhd", be4(0) ++ be4(0) ++ be4(0) ++ be4(ts) ++ be4(dur))
+    def mvhd1(ts: Long, dur: Long) = // version 1: 64-bit times/duration
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ be4(0) ++ be4(0) ++ be4(0) ++
+        be4(0) ++ be4(ts) ++ be4(dur >> 32) ++ be4(dur & 0xffffffffL))
+    def tkhd(w: Long, h: Long) =
+      box("tkhd", be4(0) ++ Array.fill[Byte](72)(0) ++
+        be4(w << 16) ++ be4(h << 16))
+    val video = ftyp ++ box("moov",
+      mvhd0(1000, 90000) ++
+        box("trak", tkhd(0, 0)) ++ // audio track: 0x0
+        box("trak", tkhd(1920, 1080)))
+    val v1 = ftyp ++ box("moov", mvhd1(600, 1200) ++ box("trak", tkhd(64, 48)))
+    val noMoov = ftyp ++ box("free", Array.fill[Byte](4)(0))
+    val media = Seq((1L, video, "video"), (2L, v1, "video"),
+      (3L, noMoov, "video")).toDF("id", "bytes", "media_type")
+    val out = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L).width == 1920 && out(1L).height == 1080 &&
+      out(1L).durationMs == 90000L)
+    assert(out(2L).width == 64 && out(2L).height == 48 &&
+      out(2L).durationMs == 2000L) // 1200 / 600 ts-units/s
+    assert(out(3L).durationMs == noMoov.length * 10L) // stub path
+  }
+
   test("classifyFuel instr semantics: 0 position means NA, not a match") {
     val out = Seq("no such fuel").toDF("Fuel")
       .transform(GemPipeline.classifyFuel("Fuel"))
