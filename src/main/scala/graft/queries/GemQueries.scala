@@ -3539,7 +3539,33 @@ object GemQueries {
              |  CAST(16 + (doc_id * 7) % 1200 AS INT) AS height,
              |  CAST((10000 + (doc_id * 17) % 100000) * 1000
              |    // (500 + (doc_id % 4) * 250) AS BIGINT) AS duration_ms
-             |FROM documents ORDER BY id""".stripMargin))
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // BPE segmentation (Bpe.trainWithVocab's vocabulary): the USABLE
+    // half of tokenizer training — every distinct corpus word with its
+    // frequency and its post-merge subword segmentation after q106's 6
+    // merges. The oracle replays the same trajectory (ONE shared CTE
+    // generator with q106) and reads v6's states; word reconstruction
+    // is just the state with delimiters stripped, so a segmentation
+    // bug cannot hide behind the word column.
+    QueryDef("q110_bpe_segment",
+      (s, dir) => {
+        val vocab = Bpe.trainWithVocab(
+          t(s, dir, "documents"), "text", merges = 6)._2
+        vocab.select(
+            translate(col("state"), " ", "").as("word"),
+            col("freq"),
+            size(split(trim(col("state")), "  ")).as("n_symbols"),
+            array_join(split(trim(col("state")), "  "), " ").as("segmented"))
+          .orderBy("word")
+      },
+      Some(s"""WITH ${bpeTrainCtes(6)}
+             |SELECT replace(state, ' ', '') AS word, freq,
+             |  CAST(len(string_split(trim(state), '  ')) AS INT)
+             |    AS n_symbols,
+             |  array_to_string(string_split(trim(state), '  '), ' ')
+             |    AS segmented
+             |FROM v6 ORDER BY word""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
