@@ -1,8 +1,8 @@
 package graft
 
 import graft.core.Graft
-import graft.ops.{Components, CorpusPipeline, Dedup, LanguageModel,
-  LineDedup, PageRank, TextAnalysis}
+import graft.ops.{Bpe, Components, CorpusPipeline, Dedup, LanguageModel,
+  LineDedup, PageRank, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,11 @@ object ScaleProbe {
             k = 64, bands = 8, threshold = 0.8)
           PageRank.run(df, "doc_id", pairs, "id_a", "id_b")
         }),
+        "span_dedup" -> (() =>
+          SpanDedup.removeRepeatedSpans(df, "doc_id", "text", n = 8)),
+        // Driver-loop iteration floor like clusters/pagerank: rounds
+        // are fixed (4), per-round cost tracks the vocab aggregate.
+        "bpe_train" -> (() => Bpe.train(df, "text", merges = 4)),
         // Incremental posture (q93): the odd-id half arrives as today's
         // batch and probes the even-id half as the standing index —
         // cost should track the BATCH size, staying well under the
