@@ -1813,6 +1813,12 @@ object GemQueries {
     // per-source funnel accounting (CorpusPipeline.curate). The oracle
     // mirrors the clusters with a recursive min-reachable-id CTE, same
     // pattern as q61.
+    // Perf (r9): the r8 12.85 s regression was `fates` recomputing its
+    // gating stages ~3x once near-dup went cluster-based; the scored
+    // frame is now localCheckpointed once for its 3 consumers —
+    // 5.8 s warm / ~10 s cold at sf0.1, and q50 now costs ~1.4x its
+    // own cluster pass (q61) vs 3x before. The remaining floor is the
+    // cluster iteration + per-query codegen, shared with q61/q100.
     QueryDef("q50_corpus_curation",
       (s, dir) => CorpusPipeline.curate(
         t(s, dir, "documents").filter(col("doc_id") < 1000)),
