@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -108,4 +108,29 @@ object Bpe {
       spark.sparkContext.parallelize(rules.result(), 1), schema)
     (merged.orderBy("step"), vocab)
   }
+
+  /** Per-row BPE token count of `text` under an ordered merge list —
+    * the ENCODE side of the tokenizer: each word starts as characters
+    * and the K learned rules replay in training order, so a corpus can
+    * be budgeted in model tokens ("how many tokens is this dataset
+    * under MY tokenizer") without materializing the segmentation.
+    * Entirely narrow per-row HOF expressions (no shuffle, no UDF, no
+    * join): the merge list is tiny by construction (K rules) and is
+    * baked into the plan as literals.
+    */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    def stateOf(w: Column) =
+      concat(lit(" "), array_join(
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+        "  "), lit(" "))
+    def applied(st: Column) =
+      merges.foldLeft(st) { case (s, (a, b)) =>
+        replace(s, lit(s" $a  $b "), lit(s" ${a + b} "))
+      }
+    aggregate(
+      transform(TextAnalysis.tokens(text),
+        w => size(split(trim(applied(stateOf(w))), "  ")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
 }

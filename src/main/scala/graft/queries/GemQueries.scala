@@ -147,6 +147,37 @@ object GemQueries {
     (seed +: rounds).mkString(",\n")
   }
 
+  /** Oracle twin of [[graft.ops.Bpe.tokenCount]] layered on
+    * [[bpeTrainCtes]]: `dtok`/`e0` give every (doc, word) its initial
+    * symbol state, then `e{i}` applies round i's rule (`b{i}`) with
+    * the same literal replace, and `bpec` sums per-doc symbol counts.
+    */
+  private def bpeEncodeCtes(iters: Int): String = {
+    val seed =
+      s"""dtok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(text, ' +'), t -> t <> '')) AS w
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, ' ' || array_to_string(list_transform(
+         |      generate_series(1, length(w)),
+         |      i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS st
+         |  FROM dtok)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""e$i AS (
+         |  SELECT doc_id, replace(st,
+         |      ' ' || b."left" || '  ' || b."right" || ' ',
+         |      ' ' || b."left" || b."right" || ' ') AS st
+         |  FROM e${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }
+    val tail =
+      s"""bpec AS (
+         |  SELECT doc_id, CAST(sum(len(string_split(trim(st), '  ')))
+         |    AS BIGINT) AS n_tokens_bpe
+         |  FROM e$iters GROUP BY doc_id)""".stripMargin
+    (seed +: rounds :+ tail).mkString(",\n")
+  }
+
   /** Oracle twin of [[Similarity.ivfTopK]] searching the codebook CTE
     * `cent` for queries `vec_id BETWEEN qLo AND qHi`: nearest-cell
     * assignment, `nProbe` probed cells, exact cosine re-rank. The
@@ -3571,7 +3602,34 @@ object GemQueries {
              |    AS n_symbols,
              |  array_to_string(string_split(trim(state), '  '), ' ')
              |    AS segmented
-             |FROM v6 ORDER BY word""".stripMargin))
+             |FROM v6 ORDER BY word""".stripMargin)),
+
+    // BPE encode (Bpe.tokenCount): per-document token counts under the
+    // q106-trained tokenizer — the corpus-budgeting number ("how many
+    // model tokens is this dataset"). The K trained rules are collected
+    // (K rows, the codebook pattern) and baked into a narrow per-row
+    // HOF expression: no shuffle, no UDF, no join. Oracle replays
+    // training AND encoding from the two shared CTE generators.
+    QueryDef("q111_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rules = Bpe.train(docs, "text", merges = 6)
+          .select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        docs.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens_ws"),
+            Bpe.tokenCount(col("text"), rules).as("n_tokens_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeTrainCtes(6)},
+             |${bpeEncodeCtes(6)}
+             |SELECT d.doc_id,
+             |  CAST(len(list_filter(string_split_regex(d.text, ' +'),
+             |    t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+             |  coalesce(b.n_tokens_bpe, 0) AS n_tokens_bpe
+             |FROM documents d LEFT JOIN bpec b USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -107,6 +107,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(states == Set(" ab  ab ", " a  a  a "))
   }
 
+  test("Bpe.tokenCount: encodes new text with the trained rules in order") {
+    // The ACL'16 trajectory's 5 rules; after them: low=1 symbol,
+    // lower=[low,e,r]=3, newest=[n,ew,est]=3, widest=[w,i,d,est]=4.
+    val rules = Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w",
+      "e" -> "w")
+    val got = Seq("low lower newest widest", "", "unseen est")
+      .toDF("text")
+      .select(graft.ops.Bpe.tokenCount(col("text"), rules).as("n"))
+      .as[Long].collect().toSeq
+    // "unseen": u-n-s-e-e-n: (e,s)? no adjacent "e s"... u n s e e n ->
+    // no rule matches except none; 6 symbols. "est" -> e s t -> es t -> est: 1.
+    assert(got == Seq(11L, 0L, 7L))
+  }
+
   test("Bpe.train: stops early when every word is fully merged") {
     val df = Seq("xy xy").toDF("text")
     val merges = graft.ops.Bpe.train(df, "text", merges = 10)
