@@ -273,6 +273,67 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("cnt"))
   }
 
+  /** Gopher quality gates (Rae et al. 2021, Appendix A1) — the
+    * rule-based document filter every web-scale corpus applies before
+    * model-based scoring: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, required
+    * stopwords, and bullet/ellipsis line fractions.
+    *
+    * Every gate is EXACT INTEGER arithmetic — a ratio bound `a/b <= r`
+    * is evaluated as `a*denom <= r_num*b` (e.g. mean word length in
+    * [3, 10] ⇔ `3*n_words <= n_chars <= 10*n_words`), so no rounded
+    * float can tie at a boundary and any engine reproduces the gates
+    * bit-for-bit (the q87 lesson). Narrow per-row expressions
+    * throughout: no shuffle, no UDF.
+    *
+    * @param requiredStops the stopword list for the ≥2-distinct gate —
+    *        defaults to Gopher's English-web eight; swap it for the
+    *        corpus's language profile (the gate is a "reads like
+    *        running prose" check, not an English check)
+    * @return `idCol`, `n_words`, and one 0/1 column per gate
+    *         (`g_word_count`, `g_mean_len`, `g_symbol`, `g_alpha`,
+    *         `g_stopwords`, `g_bullets`, `g_ellipsis`) plus `keep` =
+    *         every gate passed
+    */
+  def gopherGates(
+      df: DataFrame, idCol: String, textCol: String,
+      requiredStops: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): DataFrame = {
+    val text = col(textCol)
+    val words = tokens(text)
+    val nWords = size(words).cast("long")
+    val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    // symbol occurrences ('#' and the ellipsis char) in the raw text
+    val nSym = ((length(text) - length(replace(text, lit("#"), lit("")))) +
+      (length(text) - length(replace(text, lit("…"), lit(""))))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    require(requiredStops.nonEmpty, "requiredStops must not be empty")
+    val nStop = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      array(requiredStops.map(lit): _*))).cast("long")
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+      .cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    def gate(c: Column): Column = when(c, 1).otherwise(0)
+    val gates = Seq(
+      "g_word_count" -> gate(nWords.between(50L, 100000L)),
+      "g_mean_len" -> gate(nWords > 0 &&
+        lit(3L) * nWords <= nChars && nChars <= lit(10L) * nWords),
+      "g_symbol" -> gate(lit(10L) * nSym <= nWords),
+      "g_alpha" -> gate(lit(5L) * nAlpha >= lit(4L) * nWords),
+      "g_stopwords" -> gate(nStop >= 2L),
+      "g_bullets" -> gate(lit(10L) * nBullet <= lit(9L) * nLines),
+      "g_ellipsis" -> gate(lit(10L) * nEllipsis <= lit(3L) * nLines))
+    df.select(
+      col(idCol) +: nWords.as("n_words") +:
+        gates.map { case (n, c) => c.as(n) } :+
+        gates.map(_._2).reduce(_ * _).as("keep"): _*)
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -3629,7 +3629,63 @@ object GemQueries {
              |    t -> t <> '')) AS BIGINT) AS n_tokens_ws,
              |  coalesce(b.n_tokens_bpe, 0) AS n_tokens_bpe
              |FROM documents d LEFT JOIN bpec b USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Gopher rule-based quality gates (TextAnalysis.gopherGates, Rae
+    // et al. 2021 A1): word-count / mean-word-length / symbol-ratio /
+    // alpha-fraction / stopword / bullet / ellipsis gates, every one
+    // exact integer arithmetic (a/b <= r evaluated cross-multiplied)
+    // so no rounded float can tie at a boundary in either engine. The
+    // required-stopword list is the corpus's own function words
+    // (EnStopwords) — the synthetic vocabulary contains only
+    // 'the'/'a' of Gopher's English-web eight, which would zero the
+    // gate corpus-wide; adapting the list to the language profile is
+    // the documented intent of the rule.
+    QueryDef("q112_gopher_gates",
+      (s, dir) => TextAnalysis.gopherGates(
+        t(s, dir, "documents"), "doc_id", "text",
+        requiredStops = TextAnalysis.EnStopwords).orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(text, ' +'),
+             |      t -> t <> '') AS words,
+             |    list_filter(string_split(text, chr(10)),
+             |      l -> l <> '') AS lines
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(words) AS BIGINT) AS n_words,
+             |    CAST(coalesce(list_sum(list_transform(words,
+             |      x -> length(x))), 0) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(replace(text, '#', ''))
+             |      + length(text) - length(replace(text, '…', ''))
+             |      AS BIGINT) AS n_sym,
+             |    CAST(len(list_filter(words,
+             |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             |    CAST(len(list_intersect(
+             |      list_distinct(list_transform(words, x -> lower(x))),
+             |      ['the','a','an','of','and','to','in','is']))
+             |      AS BIGINT) AS n_stop,
+             |    CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CAST(len(list_filter(lines, l -> l LIKE '- %'
+             |      OR l LIKE '* %' OR l LIKE '•%')) AS BIGINT) AS n_bullet,
+             |    CAST(len(list_filter(lines, l -> l LIKE '%...'
+             |      OR l LIKE '%…')) AS BIGINT) AS n_ell
+             |  FROM w),
+             |g AS (
+             |  SELECT doc_id, n_words,
+             |    CAST(n_words BETWEEN 50 AND 100000 AS INT) AS g_word_count,
+             |    CAST(n_words > 0 AND 3 * n_words <= n_chars
+             |      AND n_chars <= 10 * n_words AS INT) AS g_mean_len,
+             |    CAST(10 * n_sym <= n_words AS INT) AS g_symbol,
+             |    CAST(5 * n_alpha >= 4 * n_words AS INT) AS g_alpha,
+             |    CAST(n_stop >= 2 AS INT) AS g_stopwords,
+             |    CAST(10 * n_bullet <= 9 * n_lines AS INT) AS g_bullets,
+             |    CAST(10 * n_ell <= 3 * n_lines AS INT) AS g_ellipsis
+             |  FROM m)
+             |SELECT *, g_word_count * g_mean_len * g_symbol * g_alpha
+             |    * g_stopwords * g_bullets * g_ellipsis AS keep
+             |FROM g ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -73,6 +73,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(strat.nonEmpty && strat.size < 500)
   }
 
+  test("gopherGates: each gate trips on its own violation, integer-exact") {
+    val prose = (Seq.fill(25)("the steady machine hums and") :+ "works")
+      .mkString(" ") // 126 words, mean len ~4.5, stopwords the/and
+    val docs = Seq(
+      (1L, prose), // passes everything
+      (2L, Seq.fill(49)("word").mkString(" ")), // word count < 50
+      (3L, (Seq.fill(60)("ab") ++ Seq.fill(30)("the and")).mkString(" ")), // mean len < 3
+      (4L, prose + " " + Seq.fill(20)("#").mkString(" ")), // symbol ratio
+      (5L, (Seq.fill(80)("1234") :+ "the and extras").mkString(" ")), // alpha frac
+      (6L, Seq.fill(60)("machine hums steadily").mkString(" ")), // no 2 stopwords
+      (7L, (1 to 60).map(i => s"- the bullet and item $i").mkString("\n")), // bullets
+      (8L, (1 to 60).map(i => s"the line and number $i...").mkString("\n")) // ellipsis
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGates(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("keep"),
+          Seq("g_word_count", "g_mean_len", "g_symbol", "g_alpha",
+            "g_stopwords", "g_bullets", "g_ellipsis")
+            .map(g => r.getAs[Int](g)))).toMap
+    assert(got(1L)._1 == 1, s"clean prose must pass: ${got(1L)}")
+    val failedGate = Map(2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 4,
+      7L -> 5, 8L -> 6)
+    failedGate.foreach { case (id, gi) =>
+      assert(got(id)._1 == 0, s"doc $id must fail keep")
+      assert(got(id)._2(gi) == 0, s"doc $id must fail gate $gi: ${got(id)}")
+    }
+  }
+
   test("Bpe.train: replays the ACL'16 low/lower/newest/widest example") {
     // Word frequencies low:5 lower:2 newest:6 widest:3 (Sennrich
     // ACL'16 §3.2, without the </w> marker). Hand-derived trajectory:
