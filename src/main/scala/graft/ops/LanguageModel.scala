@@ -25,6 +25,84 @@ object LanguageModel {
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** Bigram counts over the training frame: `(prev, cur, cnt)` for
+    * every adjacent token pair — the conditional half of an
+    * interpolated bigram model. Same one-aggregate scale shape as
+    * [[trainUnigram]]; the model stays vocabulary²-bounded in theory,
+    * corpus-bigram-bounded (far smaller) in practice.
+    */
+  def trainBigram(df: DataFrame, textCol: String): DataFrame = {
+    val tk = col("tk")
+    df.select(TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(explode(when(size(tk) >= 2,
+        transform(sequence(lit(2), size(tk)), i =>
+          struct(element_at(tk, i - 1).as("prev"),
+            element_at(tk, i).as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+        .as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("bcnt"))
+  }
+
+  /** Mean NLL under the interpolated bigram model
+    * `p(cur|prev) = lambda * p_bi + (1 - lambda) * p_uni` — one order
+    * up from [[scoreNll]] (the KenLM direction of Wenzek et al.'s
+    * CCNet scorer, same distributed shape at any order). Both terms
+    * are add-alpha smoothed over the unigram vocabulary V; a
+    * document's first token (no context) scores by the unigram term
+    * alone; bigram context counts come from the bigram frame itself
+    * (sum over `prev`), so the two model frames are self-consistent.
+    *
+    * Scale shape: both model frames broadcast; scoring is a narrow
+    * explode → three broadcast joins → per-doc mean. The corpus never
+    * shuffles except the final per-doc aggregate.
+    *
+    * @return `idCol`, `n_tokens`, `nll` (rounded to 4)
+    */
+  def scoreBigramNll(
+      docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame,
+      alpha: Double = 1.0, lambda: Double = 0.7): DataFrame = {
+    require(alpha > 0, s"alpha must be positive for OOV mass: $alpha")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0, 1]: $lambda")
+    val stats = uni.agg(
+      sum("cnt").cast("double").as("t_total"),
+      count(lit(1)).cast("double").as("v_size"))
+    val ctx = bi.groupBy("prev").agg(sum("bcnt").as("ctx_cnt"))
+    val tk = col("tk")
+    val items = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(when(size(tk) >= 1,
+        transform(sequence(lit(1), size(tk)), i =>
+          struct(element_at(tk, i).as("cur"),
+            when(i > 1, element_at(tk, i - 1)).as("prev"))))
+        .otherwise(array().cast("array<struct<cur:string,prev:string>>")))
+        .as("it"))
+      .select(col(idCol), col("it.cur").as("cur"), col("it.prev").as("prev"))
+    val pUni = (coalesce(col("ucnt"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("t_total") + lit(alpha) * col("v_size"))
+    val pBi = (coalesce(col("bcnt"), lit(0L)).cast("double") + lit(alpha)) /
+      (coalesce(col("ctx_cnt"), lit(0L)).cast("double") +
+        lit(alpha) * col("v_size"))
+    // (1 - lambda) is COMPUTED, not a literal, so the oracle's
+    // (1.0 - 0.7) lands on the identical IEEE double.
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
+    val scored = items
+      .join(broadcast(uni.select(col("token").as("cur"),
+        col("cnt").as("ucnt"))), Seq("cur"), "left")
+      .join(broadcast(bi), Seq("prev", "cur"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(-log(p)).as("nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("nll"), 4).as("nll"))
+  }
+
   /** Mean negative log-likelihood of each document under the add-alpha
     * smoothed unigram model `lm` (from [[trainUnigram]]):
     * p(t) = (cnt(t) + alpha) / (T + alpha * V) with T = total training

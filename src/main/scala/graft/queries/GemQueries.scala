@@ -3685,7 +3685,64 @@ object GemQueries {
              |  FROM m)
              |SELECT *, g_word_count * g_mean_len * g_symbol * g_alpha
              |    * g_stopwords * g_bullets * g_ellipsis AS keep
-             |FROM g ORDER BY doc_id""".stripMargin))
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Interpolated bigram LM scoring (LanguageModel.scoreBigramNll):
+    // one order above q76's unigram — p = 0.7*p_bi + 0.3*p_uni, both
+    // add-1 smoothed over the unigram vocabulary, first token scored
+    // by the unigram term alone. (1 - lambda) is computed, not a
+    // literal, so both engines land on the identical IEEE double.
+    QueryDef("q113_bigram_lm",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val uni = LanguageModel.trainUnigram(docs, "text")
+        val bi = LanguageModel.trainBigram(docs, "text")
+        LanguageModel.scoreBigramNll(docs, "doc_id", "text", uni, bi,
+          alpha = 1.0, lambda = 0.7).orderBy("doc_id")
+      },
+      Some("""WITH tkl AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(tk) AS token FROM tkl),
+             |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+             |                 CAST(count(*) AS DOUBLE) AS v_size FROM lm),
+             |bgx AS (
+             |  SELECT s.pr AS prev, s.cu AS cur FROM (
+             |    SELECT unnest(list_transform(generate_series(2, len(tk)),
+             |      i -> struct_pack(pr := tk[CAST(i AS INT) - 1],
+             |        cu := tk[CAST(i AS INT)]))) AS s
+             |    FROM tkl)),
+             |bi AS (SELECT prev, cur, count(*) AS bcnt
+             |       FROM bgx GROUP BY prev, cur),
+             |ctx AS (SELECT prev, sum(bcnt) AS ctx_cnt FROM bi GROUP BY prev),
+             |items AS (
+             |  SELECT doc_id, tk[CAST(i AS INT)] AS cur,
+             |    CASE WHEN i > 1 THEN tk[CAST(i AS INT) - 1] END AS prev
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk))) AS i
+             |        FROM tkl)),
+             |sc AS (
+             |  SELECT t.doc_id, count(*) AS n_tokens,
+             |    avg(-ln(CASE WHEN t.prev IS NULL
+             |      THEN (coalesce(u.cnt, 0) + 1.0)
+             |        / (s.t_total + 1.0 * s.v_size)
+             |      ELSE 0.7 * ((coalesce(b.bcnt, 0) + 1.0)
+             |          / (CAST(coalesce(c.ctx_cnt, 0) AS DOUBLE)
+             |            + 1.0 * s.v_size))
+             |        + (1.0 - 0.7) * ((coalesce(u.cnt, 0) + 1.0)
+             |          / (s.t_total + 1.0 * s.v_size)) END)) AS nll
+             |  FROM items t
+             |  LEFT JOIN lm u ON u.token = t.cur
+             |  LEFT JOIN bi b ON b.prev = t.prev AND b.cur = t.cur
+             |  LEFT JOIN ctx c ON c.prev = t.prev
+             |  CROSS JOIN stats s
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+             |  round(sc.nll, 4) AS nll
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

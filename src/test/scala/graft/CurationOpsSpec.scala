@@ -148,6 +148,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(5L) == ((1L, 7.0, None)))
   }
 
+  test("scoreBigramNll: seen bigrams beat unseen; first token is unigram-only") {
+    val train = Seq("x y x y x y").toDF("text")
+    val uni = LanguageModel.trainUnigram(train, "text")
+    val bi = LanguageModel.trainBigram(train, "text")
+    val docs = Seq((1L, "x y"), (2L, "x x"), (3L, "")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreBigramNll(docs, "doc_id", "text", uni, bi)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getAs[Any]("nll")).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(3L) == ((0L, None)), "zero-token doc scores null")
+    val (n1, Some(nll1)) = got(1L)
+    val (n2, Some(nll2)) = got(2L)
+    assert(n1 == 2L && n2 == 2L)
+    assert(nll1 < nll2, s"'x y' (seen bigram) must beat 'x x': $nll1 vs $nll2")
+    // First token has no context: both docs share the unigram term for
+    // 'x', so the gap comes entirely from the bigram position.
+    // p_bi(y|x) = (3+1)/(3+2) = 0.8 vs p_bi(x|x) = (0+1)/(3+2) = 0.2.
+    val pU = (3.0 + 1.0) / (6.0 + 2.0)
+    def nllOf(pBi: Double) =
+      (-math.log(pU) + -math.log(0.7 * pBi + (1.0 - 0.7) * pU)) / 2.0
+    assert(math.abs(nll1 - nllOf(0.8)) < 6e-5) // 4-decimal rounding slack
+    assert(math.abs(nll2 - nllOf(0.2)) < 6e-5)
+  }
+
   /** Brute-force reference for [[graft.ops.SpanDedup.removeRepeatedSpans]]:
     * same semantics, sequential Scala — the ground truth the
     * distributed plan must reproduce exactly.
