@@ -119,7 +119,10 @@ class PlanShapeSpec extends SparkSpec {
       // row — nothing bigger than a single row on either side.
       // q103: the all-pairs ground truth over the bounded eval sample
       // (q29's brute-force-baseline pattern) + 1-row metric crosses.
-      "q102_event_funnel", "q103_dedup_eval")
+      "q102_event_funnel", "q103_dedup_eval",
+      // q113: scoreBigramNll's single-row (T, V) model stats broadcast-
+      // cross onto the token stream — q76's documented shape.
+      "q113_bigram_lm")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
@@ -130,6 +133,36 @@ class PlanShapeSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct"),
           s"$name must broadcast its cross side, never a full cartesian:\n$plan")
     }
+  }
+
+  test("gopherGates plans with ZERO exchanges (pure narrow projection)") {
+    val docs = Graft.table(spark, sfDir, "documents")
+    val plan = planOf(
+      graft.ops.TextAnalysis.gopherGates(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"),
+      s"quality gates must be shuffle-free:\n$plan")
+  }
+
+  test("SpanDedup: keeper aggregate partially combines; no cartesian anywhere") {
+    val docs = Graft.table(spark, sfDir, "documents")
+    val plan = planOf(
+      graft.ops.SpanDedup.removeRepeatedSpans(docs, "doc_id", "text", n = 8))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must never pair-join unbucketed frames:\n$plan")
+    // The gram keeper (count + min-struct) must map-side combine before
+    // its shuffle — partial_min/partial_count in the aggregate.
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"keeper aggregate must have a partial (map-side) phase:\n$plan")
+  }
+
+  test("Bpe.tokenCount plans with ZERO exchanges (encode is per-row)") {
+    val docs = Graft.table(spark, sfDir, "documents")
+    val rules = Seq("e" -> "s", "es" -> "t", "l" -> "o")
+    val plan = planOf(docs.select(col("doc_id"),
+      graft.ops.Bpe.tokenCount(col("text"), rules).as("n")))
+    assert(!plan.contains("Exchange"),
+      s"BPE encode must be a narrow projection:\n$plan")
   }
 
   test("sketch kernels stay inside whole-stage codegen") {
