@@ -334,6 +334,40 @@ object TextAnalysis {
         gates.map(_._2).reduce(_ * _).as("keep"): _*)
   }
 
+  /** Top-k characteristic terms per document by TF-IDF — the standard
+    * keyword-extraction / topic-tagging primitive (corpus labeling,
+    * domain drift monitoring, dedup-cluster naming). Score = tf ·
+    * ln(N / df) with N the corpus document count.
+    *
+    * Scale shape: one map-side-combinable (doc, term) count, one
+    * vocabulary-grain document-frequency aggregate joined back on the
+    * term (high-cardinality uniform key), the 1-row corpus count
+    * broadcast onto the VOCAB-sized frame (never the corpus), and the
+    * rank window partitioned by document id — the corpus never meets
+    * an unpartitioned window. Ties rank deterministically by term.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -3742,7 +3742,37 @@ object GemQueries {
              |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
              |  round(sc.nll, 4) AS nll
              |FROM documents d LEFT JOIN sc USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF keyword extraction (TextAnalysis.tfidfTopTerms): top-3
+    // characteristic terms per doc, score = tf * ln(N/df). The rank
+    // uses the UNROUNDED double — identical (tf, df, N) integers feed
+    // ln on both engines, and exact-equal scores break on the term —
+    // so the cut is engine-stable; only the emitted score is rounded.
+    QueryDef("q114_tfidf_terms",
+      (s, dir) => TextAnalysis.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |       FROM tok GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |nd AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (
+             |  SELECT t.doc_id, t.term, t.tf, d.df,
+             |    t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+             |  FROM tf t JOIN dfq d USING (term) CROSS JOIN nd n),
+             |r AS (
+             |  SELECT doc_id, term, tf, df, score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, term) AS INT) AS "rank"
+             |  FROM sc)
+             |SELECT doc_id, "rank", term, tf, df,
+             |  round(score, 4) AS tfidf
+             |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

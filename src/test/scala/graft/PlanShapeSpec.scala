@@ -122,7 +122,9 @@ class PlanShapeSpec extends SparkSpec {
       "q102_event_funnel", "q103_dedup_eval",
       // q113: scoreBigramNll's single-row (T, V) model stats broadcast-
       // cross onto the token stream — q76's documented shape.
-      "q113_bigram_lm")
+      // q114: the 1-row corpus count crosses onto the VOCAB-sized
+      // (doc, term) frame, never the corpus — q91's shape.
+      "q113_bigram_lm", "q114_tfidf_terms")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
