@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Graft
 import graft.functions.Hashing
 import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
-  Components, Coordinates, CorpusPipeline, Dedup, GemPipeline,
+  Components, Coordinates, CorpusPipeline, Dedup, Dsir, GemPipeline,
   IntervalJoin, LanguageModel, LineDedup, Multimodal, Normalize,
   Ownership, Packing, PageRank, Profile, Quantize, Retrieval, Rolling,
   Sampling, Similarity, Skew, SpanDedup, TextAnalysis, Timeseries,
@@ -3772,7 +3772,64 @@ object GemQueries {
              |  FROM sc)
              |SELECT doc_id, "rank", term, tf, df,
              |  round(score, 4) AS tfidf
-             |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin))
+             |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin)),
+
+    // DSIR importance resampling (Dsir.importanceSelect): weight every
+    // document by the hashed-unigram+bigram log-ratio of the English
+    // subset (target) vs the whole corpus (raw), then Gumbel-top-100
+    // with deterministic hash-derived noise. The selection cut ranks
+    // the UNROUNDED gumbel key (ties broken on doc_id); only the
+    // emitted weight is rounded.
+    QueryDef("q115_dsir_select",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.importanceSelect(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"),
+          dim = 1024, alpha = 1.0, k = 100).orderBy("doc_id")
+      },
+      Some(s"""WITH tkl AS (
+             |  SELECT doc_id, lang, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, lang, unnest(list_concat(tk,
+             |    list_transform(generate_series(2, len(tk)),
+             |      i -> tk[CAST(i AS INT) - 1] || ' ' ||
+             |        tk[CAST(i AS INT)]))) AS f
+             |  FROM tkl),
+             |db AS (
+             |  SELECT doc_id, lang,
+             |    ${Hashing.duckPortableHash("f")} % 1024 AS bucket,
+             |    count(*) AS n
+             |  FROM feats GROUP BY doc_id, lang, bucket),
+             |qc AS (SELECT bucket, sum(n) AS qcnt FROM db GROUP BY bucket),
+             |tc AS (SELECT bucket, sum(n) AS tcnt FROM db
+             |       WHERE lang = 'en' GROUP BY bucket),
+             |tot AS (SELECT
+             |  (SELECT CAST(sum(qcnt) AS DOUBLE) FROM qc) AS q_total,
+             |  (SELECT CAST(sum(tcnt) AS DOUBLE) FROM tc) AS t_total),
+             |model AS (
+             |  SELECT q.bucket,
+             |    ln((coalesce(t.tcnt, 0) + 1.0) / (tt.t_total + 1.0 * 1024))
+             |  - ln((q.qcnt + 1.0) / (tt.q_total + 1.0 * 1024)) AS lpr
+             |  FROM qc q LEFT JOIN tc t USING (bucket) CROSS JOIN tot tt),
+             |sc AS (
+             |  SELECT d.doc_id, sum(d.n) AS n_feats,
+             |    sum(d.n * m.lpr) AS logw
+             |  FROM db d JOIN model m USING (bucket) GROUP BY d.doc_id),
+             |ky AS (
+             |  SELECT doc_id, logw - ln(-ln(
+             |    (${Hashing.duckPortableHash("'g:' || doc_id")} % 1000000
+             |      + 0.5) / 1000000.0)) AS gkey
+             |  FROM sc),
+             |top AS (SELECT doc_id FROM ky ORDER BY gkey DESC, doc_id
+             |        LIMIT 100)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+             |  round(s.logw, 4) AS logw, (t.doc_id IS NOT NULL) AS selected
+             |FROM documents d LEFT JOIN sc s USING (doc_id)
+             |LEFT JOIN top t USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

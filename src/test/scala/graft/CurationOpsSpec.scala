@@ -232,4 +232,46 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got == refRemoveSpans(docs, n = 3))
   }
+
+  test("tfidfTopTerms: hand-computed scores, exact ties break on term") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"), // tf=1, df=2 for BOTH terms: exact tie
+      (3L, "cherry cherry cherry")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // N=3; df: apple 1, banana 2, cherry 2.
+    assert(got((1L, 1)) == (("apple", 2L, 1L,
+      BigDecimal(2 * math.log(3.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got((1L, 2))._1 == "banana")
+    // the doc-2 tie ranks banana before cherry (term asc)
+    assert(got((2L, 1))._1 == "banana" && got((2L, 2))._1 == "cherry")
+    // doc 3 has one distinct term -> one row despite k=2
+    assert(got((3L, 1))._1 == "cherry" && !got.contains((3L, 2)))
+    assert(got.size == 5)
+  }
+
+  test("dsir importanceSelect: target-like docs outrank disjoint ones") {
+    val raw = Seq(
+      (1L, "the cat sat"), // shares all features with the target
+      (2L, "zzz qqq www"), // disjoint vocabulary
+      (3L, "") // no features
+    ).toDF("doc_id", "text")
+    val target = Seq("the cat sat", "the cat ran").toDF("text")
+    val got = graft.ops.Dsir.importanceSelect(
+        raw, "doc_id", "text", target, dim = 64, alpha = 1.0, k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)),
+          r.getBoolean(3)))).toMap
+    assert(got(1L)._1 == 5L) // 3 unigrams + 2 bigrams
+    assert(got(2L)._1 == 5L)
+    assert(got(3L) == ((0L, None, false)))
+    // d1's hashed features all occur in the target; d2's occur only in
+    // the raw corpus -> strictly larger importance weight for d1
+    assert(got(1L)._2.get > got(2L)._2.get)
+    assert(got.values.count(_._3) == 1)
+  }
 }

@@ -124,7 +124,9 @@ class PlanShapeSpec extends SparkSpec {
       // cross onto the token stream — q76's documented shape.
       // q114: the 1-row corpus count crosses onto the VOCAB-sized
       // (doc, term) frame, never the corpus — q91's shape.
-      "q113_bigram_lm", "q114_tfidf_terms")
+      // q115: the 1-row (T, Q) totals cross onto the dim-bounded
+      // bucket model, never the corpus.
+      "q113_bigram_lm", "q114_tfidf_terms", "q115_dsir_select")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
