@@ -368,6 +368,48 @@ object TextAnalysis {
         round(col("score"), 4).as("tfidf"))
   }
 
+  /** Collocation mining by pointwise mutual information — the classic
+    * phrase-discovery primitive (Church & Hanks 1990; word2vec's
+    * phrase pass, Mikolov et al. 2013): for every adjacent token pair
+    * seen at least `minCount` times,
+    * `pmi = ln(p(x,y) / (p(x) p(y)))` with `p(x,y) = c_xy / N_bi` and
+    * `p(x) = c_x / N_uni`. High-PMI pairs are multiword units ("new
+    * york"); the score feeds tokenizer pre-merges and n-gram feature
+    * selection.
+    *
+    * Scale shape: unigram and bigram counts are each one map-side-
+    * combinable aggregate; everything after runs on the VOCAB-bounded
+    * bigram frame (already `minCount`-pruned before any join), with
+    * the unigram counts broadcast twice and the 1-row totals crossed
+    * on — the corpus is read once and never joined. The `minCount`
+    * gate is an integer comparison, so the emitted set is exact in
+    * any engine; the PMI value computes `ln` of a pure-double ratio
+    * (each factor cast before multiplying, overflow-free at any N).
+    *
+    * @return `prev`, `cur`, `n_pair`, `pmi` (rounded to 4)
+    */
+  def collocations(
+      df: DataFrame, textCol: String, minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val uni = LanguageModel.trainUnigram(df, textCol)
+    val bi = LanguageModel.trainBigram(df, textCol)
+    val totals = uni.agg(sum("cnt").cast("double").as("n_uni"))
+      .crossJoin(bi.agg(sum("bcnt").cast("double").as("n_bi")))
+    bi.filter(col("bcnt") >= minCount)
+      .join(broadcast(uni.select(col("token").as("prev"),
+        col("cnt").as("c_prev"))), Seq("prev"))
+      .join(broadcast(uni.select(col("token").as("cur"),
+        col("cnt").as("c_cur"))), Seq("cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("prev"), col("cur"), col("bcnt").as("n_pair"),
+        // + 0.0 canonicalizes IEEE -0.0 (a rounded tiny-negative PMI)
+        // to +0.0 so engines cannot disagree on the zero's sign
+        (round(log((col("bcnt").cast("double") / col("n_bi")) /
+          ((col("c_prev").cast("double") / col("n_uni")) *
+            (col("c_cur").cast("double") / col("n_uni")))), 4) + lit(0.0))
+          .as("pmi"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -3829,7 +3829,42 @@ object GemQueries {
              |  round(s.logw, 4) AS logw, (t.doc_id IS NOT NULL) AS selected
              |FROM documents d LEFT JOIN sc s USING (doc_id)
              |LEFT JOIN top t USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // PMI collocations (TextAnalysis.collocations): adjacent pairs
+    // seen >= 5 times, scored ln(p(xy)/(p(x)p(y))). The emitted SET is
+    // gated by an integer count, so only the 4-decimal score touches
+    // float parity.
+    QueryDef("q116_collocations",
+      (s, dir) => TextAnalysis.collocations(t(s, dir, "documents"),
+        "text", minCount = 5).orderBy("prev", "cur"),
+      Some("""WITH tkl AS (
+             |  SELECT list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |tok AS (SELECT unnest(tk) AS token FROM tkl),
+             |uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |bgx AS (
+             |  SELECT s.pr AS prev, s.cu AS cur FROM (
+             |    SELECT unnest(list_transform(generate_series(2, len(tk)),
+             |      i -> struct_pack(pr := tk[CAST(i AS INT) - 1],
+             |        cu := tk[CAST(i AS INT)]))) AS s
+             |    FROM tkl)),
+             |bi AS (SELECT prev, cur, count(*) AS bcnt
+             |       FROM bgx GROUP BY prev, cur),
+             |tot AS (SELECT
+             |  (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS n_uni,
+             |  (SELECT CAST(sum(bcnt) AS DOUBLE) FROM bi) AS n_bi)
+             |SELECT b.prev, b.cur, b.bcnt AS n_pair,
+             |  round(ln((CAST(b.bcnt AS DOUBLE) / t.n_bi) /
+             |    ((CAST(u1.cnt AS DOUBLE) / t.n_uni) *
+             |     (CAST(u2.cnt AS DOUBLE) / t.n_uni))), 4) + 0.0 AS pmi
+             |FROM bi b
+             |JOIN uni u1 ON u1.token = b.prev
+             |JOIN uni u2 ON u2.token = b.cur
+             |CROSS JOIN tot t
+             |WHERE b.bcnt >= 5
+             |ORDER BY b.prev, b.cur""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

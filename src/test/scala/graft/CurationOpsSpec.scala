@@ -254,6 +254,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("collocations: hand-computed PMI, minCount prunes the tail") {
+    val docs = Seq("new york new york", "new york city").toDF("text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect().toList
+    // uni: new 3, york 3, city 1 (N=7); bi: (new,york) 3, (york,new) 1,
+    // (york,city) 1 (N=5). Only (new,york) survives minCount=2:
+    // pmi = ln((3/5) / ((3/7)(3/7))) = ln(49/15) ~ 1.1838
+    assert(got == List(("new", "york", 3L,
+      BigDecimal(math.log(49.0 / 15.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("dsir importanceSelect: target-like docs outrank disjoint ones") {
     val raw = Seq(
       (1L, "the cat sat"), // shares all features with the target
