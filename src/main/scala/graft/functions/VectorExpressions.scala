@@ -176,9 +176,18 @@ object GraftFunctions {
         intLit(children(2), "graft_bloom_contains")): Expression
     })
 
+  private[functions] val cmsInfo = (
+    FunctionIdentifier("graft_cms"),
+    new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_cms takes (hash, d, w)")
+      CmsSketchAgg(children.head, intLit(children(1), "graft_cms"),
+        intLit(children(2), "graft_cms")): Expression
+    })
+
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
-      kmvInfo, canonInfo, bloomInfo, bloomContainsInfo)
+      kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

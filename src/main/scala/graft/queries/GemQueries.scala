@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Graft
-import graft.functions.Hashing
+import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
   Components, Coordinates, CorpusPipeline, Dedup, Dsir, GemPipeline,
   IntervalJoin, LanguageModel, LineDedup, Multimodal, Normalize,
@@ -3864,7 +3864,54 @@ object GemQueries {
              |JOIN uni u2 ON u2.token = b.cur
              |CROSS JOIN tot t
              |WHERE b.bcnt >= 5
-             |ORDER BY b.prev, b.cur""".stripMargin))
+             |ORDER BY b.prev, b.cur""".stripMargin)),
+
+    // Count-Min heavy hitters (graft_cms, a native
+    // TypedImperativeAggregate): one 4x512 counter matrix over every
+    // token occurrence, then the CMS estimate (min over rows) for the
+    // 20 most frequent tokens next to their true counts. The probe-set
+    // cut is (count desc, token) — integers and strings only — and
+    // every emitted value is an exact integer, so nothing floats. The
+    // oracle rebuilds each probed cell by re-grouping token counts on
+    // the shared hash family.
+    QueryDef("q117_cms_heavy_hitters",
+      (s, dir) => {
+        val (d, w) = (4, 512)
+        val toks = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val uni = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .withColumn("h", Hashing.portableHash(col("token")))
+        val sketch = toks
+          .select(Hashing.portableHash(col("token")).as("h"))
+          .agg(expr(s"graft_cms(h, $d, $w)").as("sk"))
+        uni.orderBy(col("cnt").desc, col("token")).limit(20)
+          .crossJoin(broadcast(sketch))
+          .select(col("token"), col("cnt"),
+            CmsSketch.estimate(col("sk"), col("h"), d, w).as("est_cnt"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |uni AS (SELECT token, count(*) AS cnt FROM tok
+             |        GROUP BY token),
+             |hx AS (SELECT token, cnt,
+             |         ${Hashing.duckPortableHash("token")} AS h
+             |       FROM uni),
+             |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+             |cells AS (
+             |  SELECT r, ${CmsSketch.duckCell("r", "h", 512)} AS c,
+             |    CAST(sum(cnt) AS BIGINT) AS v
+             |  FROM hx CROSS JOIN rs GROUP BY 1, 2),
+             |probe AS (SELECT token, cnt, h FROM hx
+             |          ORDER BY cnt DESC, token LIMIT 20)
+             |SELECT p.token, p.cnt, min(c.v) AS est_cnt
+             |FROM probe p CROSS JOIN rs
+             |JOIN cells c ON c.r = rs.r
+             |  AND c.c = ${CmsSketch.duckCell("rs.r", "p.h", 512)}
+             |GROUP BY p.token, p.cnt
+             |ORDER BY p.token""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -254,6 +254,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("graft_cms: never underestimates, exact when rows don't collide") {
+    val (d, w) = (4, 512)
+    val keys = (1L to 300L).flatMap(i => Seq.fill((i % 7 + 1).toInt)(i))
+    val df = keys.toDF("k").repartition(8)
+      .select(graft.functions.Hashing.portableHash(col("k").cast("string"))
+        .as("h"))
+    val sk = df.agg(expr(s"graft_cms(h, $d, $w)").as("sk"))
+    // matrix total: every occurrence lands once per row
+    val total = sk.select(aggregate(col("sk"), lit(0L), _ + _)).head.getLong(0)
+    assert(total == d.toLong * keys.size)
+    val est = (1L to 300L).toDF("k")
+      .select(col("k"), graft.functions.Hashing.portableHash(
+        col("k").cast("string")).as("h"))
+      .crossJoin(sk)
+      .select(col("k"),
+        graft.functions.CmsSketch.estimate(col("sk"), col("h"), d, w)
+          .as("est"))
+      .as[(Long, Long)].collect().toMap
+    (1L to 300L).foreach { k =>
+      assert(est(k) >= k % 7 + 1, s"underestimate for $k")
+    }
+    // 300 keys into 4 rows of 512 cells: some row is collision-free
+    // for MOST keys; the min must then be exact
+    val exact = (1L to 300L).count(k => est(k) == k % 7 + 1)
+    assert(exact > 200, s"only $exact exact estimates")
+  }
+
   test("collocations: hand-computed PMI, minCount prunes the tail") {
     val docs = Seq("new york new york", "new york city").toDF("text")
     val got = TextAnalysis.collocations(docs, "text", minCount = 2)

@@ -126,7 +126,11 @@ class PlanShapeSpec extends SparkSpec {
       // (doc, term) frame, never the corpus — q91's shape.
       // q115: the 1-row (T, Q) totals cross onto the dim-bounded
       // bucket model, never the corpus.
-      "q113_bigram_lm", "q114_tfidf_terms", "q115_dsir_select")
+      // q116: the 1-row (N_uni, N_bi) totals cross onto the
+      // minCount-pruned vocab-bounded bigram frame.
+      // q117: the 1-row CMS matrix crosses onto the 20-row probe set.
+      "q113_bigram_lm", "q114_tfidf_terms", "q115_dsir_select",
+      "q116_collocations", "q117_cms_heavy_hitters")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
