@@ -104,6 +104,52 @@ object GemQueries {
     (seed +: rounds).mkString(",\n")
   }
 
+  /** Oracle twin of [[graft.ops.LogReg.train]]: hashed unigram+bigram
+    * features L1-normalized per doc (`lx`), label = (lang = 'en'),
+    * then `iters` unrolled full-batch GD rounds `m{i}` (per-doc
+    * sigmoid error) / `g{i}` (per-bucket gradient) / `w{i}` (the
+    * update). Ends at `w{iters}`. ONE generator shared by q118/q119
+    * so the training trajectories cannot drift.
+    */
+  private def logregCtes(dim: Int, lr: String, iters: Int): String = {
+    val seed =
+      s"""ltkl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    list_filter(string_split_regex(text, ' +'),
+         |      t -> t <> '') AS tk
+         |  FROM documents),
+         |lf AS (
+         |  SELECT doc_id, y, unnest(list_concat(tk,
+         |    list_transform(generate_series(2, len(tk)),
+         |      i -> tk[CAST(i AS INT) - 1] || ' ' ||
+         |        tk[CAST(i AS INT)]))) AS f
+         |  FROM ltkl),
+         |lfb AS (
+         |  SELECT doc_id, y,
+         |    ${Hashing.duckPortableHash("f")} % $dim AS bucket,
+         |    count(*) AS n
+         |  FROM lf GROUP BY doc_id, y, bucket),
+         |lx AS (
+         |  SELECT doc_id, y, bucket, CAST(n AS DOUBLE) /
+         |    CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+         |  FROM lfb),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd
+         |       FROM lx),
+         |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM lx)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (SELECT t.doc_id,
+         |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
+         |  FROM lx t JOIN w${i - 1} w USING (bucket) GROUP BY t.doc_id),
+         |g$i AS (SELECT t.bucket,
+         |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
+         |  FROM lx t JOIN m$i m USING (doc_id) GROUP BY t.bucket),
+         |w$i AS (SELECT w.bucket, w.w - $lr * coalesce(g.g, 0.0) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (bucket))""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   /** Oracle twin of [[graft.ops.Bpe.train]]: `tok`/`v0` build the
     * (word, freq) vocabulary with each word as its initial
     * double-space symbol-state string, then `iters` unrolled rounds
@@ -3926,56 +3972,37 @@ object GemQueries {
           .select(col("bucket"), (round(col("w"), 4) + lit(0.0)).as("w"))
           .orderBy("bucket")
       },
-      Some(s"""WITH ltkl AS (
-             |  SELECT doc_id,
-             |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-             |    list_filter(string_split_regex(text, ' +'),
-             |      t -> t <> '') AS tk
-             |  FROM documents),
-             |lf AS (
-             |  SELECT doc_id, y, unnest(list_concat(tk,
-             |    list_transform(generate_series(2, len(tk)),
-             |      i -> tk[CAST(i AS INT) - 1] || ' ' ||
-             |        tk[CAST(i AS INT)]))) AS f
-             |  FROM ltkl),
-             |lfb AS (
-             |  SELECT doc_id, y,
-             |    ${Hashing.duckPortableHash("f")} % 256 AS bucket,
-             |    count(*) AS n
-             |  FROM lf GROUP BY doc_id, y, bucket),
-             |lx AS (
-             |  SELECT doc_id, y, bucket, CAST(n AS DOUBLE) /
-             |    CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
-             |  FROM lfb),
-             |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd
-             |       FROM lx),
-             |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM lx),
-             |m1 AS (SELECT t.doc_id,
-             |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
-             |  FROM lx t JOIN w0 w USING (bucket) GROUP BY t.doc_id),
-             |g1 AS (SELECT t.bucket,
-             |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
-             |  FROM lx t JOIN m1 m USING (doc_id) GROUP BY t.bucket),
-             |w1 AS (SELECT w.bucket, w.w - 1.0 * coalesce(g.g, 0.0) AS w
-             |  FROM w0 w LEFT JOIN g1 g USING (bucket)),
-             |m2 AS (SELECT t.doc_id,
-             |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
-             |  FROM lx t JOIN w1 w USING (bucket) GROUP BY t.doc_id),
-             |g2 AS (SELECT t.bucket,
-             |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
-             |  FROM lx t JOIN m2 m USING (doc_id) GROUP BY t.bucket),
-             |w2 AS (SELECT w.bucket, w.w - 1.0 * coalesce(g.g, 0.0) AS w
-             |  FROM w1 w LEFT JOIN g2 g USING (bucket)),
-             |m3 AS (SELECT t.doc_id,
-             |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
-             |  FROM lx t JOIN w2 w USING (bucket) GROUP BY t.doc_id),
-             |g3 AS (SELECT t.bucket,
-             |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
-             |  FROM lx t JOIN m3 m USING (doc_id) GROUP BY t.bucket),
-             |w3 AS (SELECT w.bucket, w.w - 1.0 * coalesce(g.g, 0.0) AS w
-             |  FROM w2 w LEFT JOIN g3 g USING (bucket))
-             |SELECT bucket, round(w, 4) + 0.0 AS w
-             |FROM w3 ORDER BY bucket""".stripMargin))
+      Some("WITH " + logregCtes(dim = 256, lr = "1.0", iters = 3) + "\n" +
+        """SELECT bucket, round(w, 4) + 0.0 AS w
+          |FROM w3 ORDER BY bucket""".stripMargin)),
+
+    // Trained-classifier corpus gate (LogReg.train + LogReg.score):
+    // the end-to-end CCNet recipe — learn the quality model from
+    // labels, then score every document; featureless docs emit nulls.
+    // Shares the logregCtes generator with q118 so the trajectories
+    // cannot drift.
+    QueryDef("q119_logreg_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        val model = LogReg.train(docs, "doc_id", "text", "y",
+          dim = 256, lr = 1.0, iters = 3)
+        docs.select(col("doc_id"))
+          .join(LogReg.score(docs, "doc_id", "text", model, dim = 256),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (round(col("z"), 4) + lit(0.0)).as("z"),
+            (round(col("p"), 4) + lit(0.0)).as("p"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + logregCtes(dim = 256, lr = "1.0", iters = 3) + ",\n" +
+        """sc AS (
+          |  SELECT t.doc_id, sum(t.x * w.w) AS z
+          |  FROM lx t JOIN w3 w USING (bucket) GROUP BY t.doc_id)
+          |SELECT d.doc_id, round(s.z, 4) + 0.0 AS z,
+          |  round(1.0 / (1.0 + exp(-s.z)), 4) + 0.0 AS p
+          |FROM documents d LEFT JOIN sc s USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
