@@ -189,4 +189,36 @@ object Sampling {
       .withColumn(shardCol, floor(col(rankCol) / shardSize).cast("long"))
       .drop(h)
   }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006, "A-Res"): each row draws `u = hash-uniform(0,1)` and keeps
+    * key `ln(u) / w` — taking the k LARGEST keys samples k rows
+    * without replacement with probability proportional to weight
+    * (longer / higher-quality documents more likely, never certain).
+    * The uniform comes from [[Hashing.portableHash]] of the row key,
+    * so the draw is reproducible across engines and runs — same
+    * discipline as every split above.
+    *
+    * Scale shape: the key is a pure per-row expression and the cut is
+    * a distributed top-k (`TakeOrderedAndProject`, k << corpus) — no
+    * global sort, no shuffle beyond the k-row merge.
+    *
+    * Rows with null or non-positive weight never qualify (ES is
+    * undefined there, and ln(u) < 0 would flip the order for w < 0).
+    *
+    * @return the k sampled rows with `es_key` (= ln(u)/w) appended
+    */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("es_key"),
+      "weightedSample emits 'es_key': rename the existing column")
+    val u = (pmod(Hashing.portableHash(
+        concat(lit("es:"), col(keyCol).cast("string"))),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -4002,7 +4002,29 @@ object GemQueries {
           |SELECT d.doc_id, round(s.z, 4) + 0.0 AS z,
           |  round(1.0 / (1.0 + exp(-s.z)), 4) + 0.0 AS p
           |FROM documents d LEFT JOIN sc s USING (doc_id)
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Weighted sampling without replacement (Sampling.weightedSample,
+    // Efraimidis-Spirakis A-Res): 100 docs proportional to n_chars via
+    // the deterministic hash-uniform draw. The cut ranks the UNROUNDED
+    // ln(u)/w key (ties on doc_id); only the emitted key is rounded.
+    QueryDef("q120_weighted_sample",
+      (s, dir) => Sampling.weightedSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars"),
+          (round(col("es_key"), 4) + lit(0.0)).as("es_key"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ky AS (
+             |  SELECT doc_id, n_chars,
+             |    ln((${Hashing.duckPortableHash("'es:' || doc_id")}
+             |        % 1000000 + 0.5) / 1000000.0)
+             |      / CAST(n_chars AS DOUBLE) AS es_key
+             |  FROM documents
+             |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+             |top AS (SELECT * FROM ky ORDER BY es_key DESC, doc_id
+             |        LIMIT 100)
+             |SELECT doc_id, n_chars, round(es_key, 4) + 0.0 AS es_key
+             |FROM top ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -293,6 +293,25 @@ class CurationOpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("weightedSample: proportional bias, null/zero weights excluded") {
+    val rows = (1L to 200L).map(i => (i, 1000L)) ++
+      (201L to 400L).map(i => (i, 1L))
+    val df = rows.toDF("id", "w")
+      .union(Seq((401L, 0L), (402L, -5L)).toDF("id", "w"))
+      .union(Seq(403L).toDF("id").withColumn("w", lit(null).cast("long")))
+    val got = Sampling.weightedSample(df, "id", "w", k = 50)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 50)
+    assert(got.forall { case (id, _, _) => id <= 400 }) // no w <= 0 / null
+    // 1000x weight ratio: the heavy class must dominate the draw
+    val heavy = got.count(_._1 <= 200)
+    assert(heavy >= 45, s"only $heavy heavy rows sampled")
+    // deterministic: a second run draws the identical set
+    val again = Sampling.weightedSample(df, "id", "w", k = 50)
+      .as[(Long, Long, Double)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("logreg: 3 GD steps separate a linearly separable toy corpus") {
     val docs = Seq(
       (1L, "good clean prose", 1), (2L, "good tidy text", 1),
