@@ -92,6 +92,41 @@ object Similarity {
         when(dot(vec, typedlit(signs)) >= 0, lit(1L << lp)).otherwise(lit(0L))
       }.reduce(_ + _))
 
+  /** Johnson–Lindenstrauss random projection onto `m` ±1 hyperplanes
+    * from the shared sign universe, scaled by `1/sqrt(m)` (Achlioptas
+    * 2003: ±1 entries satisfy the JL lemma) — the dimensionality
+    * reduction pass BEFORE clustering / ANN when 64 dims is already
+    * too wide at corpus scale. Appends the projected vector and the
+    * `||y||/||x||` norm ratio (JL's preserved quantity, ~1 ± eps) so
+    * the distortion is self-auditing row by row.
+    *
+    * Scale shape: the sign matrix is constant and driver-embedded
+    * (same as [[hyperplaneBucket]]); per row the projection is `m`
+    * codegen'd `graft_dot`s against literal vectors — a pure narrow
+    * map, no shuffle, no state.
+    *
+    * @return `idCol`, `proj` (array of `m` doubles, rounded to 4),
+    *         `norm_ratio` (rounded to 4; null for a zero/wrong-size
+    *         vector)
+    */
+  def jlProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, dim: Int = 64): DataFrame = {
+    require(m > 0, s"m must be positive: $m")
+    val vec = col(vecCol)
+    val scale = lit(math.sqrt(m.toDouble))
+    val y = when(size(vec) === dim,
+      array(hyperplaneSigns(m, dim).map(signs =>
+        dot(vec, typedlit(signs.toSeq)) / scale): _*))
+    val yNorm = sqrt(aggregate(col("proj0"), lit(0.0), (a, e) => a + e * e))
+    val xNorm = sqrt(dot(vec, vec))
+    df.select(col(idCol), vec, y.as("proj0"))
+      .select(col(idCol),
+        transform(col("proj0"), e => round(e, 4) + lit(0.0)).as("proj"),
+        when(xNorm > 0, round(yNorm / xNorm, 4) + lit(0.0))
+          .as("norm_ratio"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * exact cosine re-rank inside it. At 100 TB the bucket column is a
     * uniform shuffle key; multi-probe (ORing nearby buckets) trades

@@ -4024,7 +4024,33 @@ object GemQueries {
              |top AS (SELECT * FROM ky ORDER BY es_key DESC, doc_id
              |        LIMIT 100)
              |SELECT doc_id, n_chars, round(es_key, 4) + 0.0 AS es_key
-             |FROM top ORDER BY doc_id""".stripMargin))
+             |FROM top ORDER BY doc_id""".stripMargin)),
+
+    // Johnson-Lindenstrauss projection (Similarity.jlProject): every
+    // embedding onto 16 +/-1 hyperplanes from the shared md5 sign
+    // universe, scaled 1/sqrt(16) (exact), plus the ||y||/||x|| norm
+    // ratio JL preserves. Both engines sum left-to-right in double.
+    QueryDef("q121_jl_project",
+      (s, dir) => Similarity.jlProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", m = 16, dim = 64)
+        .orderBy("vec_id"),
+      Some("""WITH pr AS (
+             |  SELECT vec_id,
+             |    list_transform(generate_series(0, 15), p ->
+             |      list_sum(list_transform(embedding, (v, i) ->
+             |        CAST(v AS DOUBLE) * (CASE WHEN
+             |          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+             |            CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+             |          THEN 1.0 ELSE -1.0 END))) / 4.0) AS y,
+             |    sqrt(list_sum(list_transform(embedding, v ->
+             |      CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS xn
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  list_transform(y, e -> round(e, 4) + 0.0) AS proj,
+             |  CASE WHEN xn > 0 THEN
+             |    round(sqrt(list_sum(list_transform(y, e -> e * e))) / xn, 4)
+             |      + 0.0 END AS norm_ratio
+             |FROM pr ORDER BY vec_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

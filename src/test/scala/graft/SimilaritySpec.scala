@@ -107,4 +107,25 @@ class SimilaritySpec extends SparkSpec {
       k = 2, iters = 2).collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
     assert(again.keySet == cents.keySet)
   }
+
+  test("jlProject: m dims out, norm ratio bounded, degenerate rows null") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 50L).map(i =>
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat))) ++
+      Seq((98L, Array.fill(64)(0.0f)), // zero vector: ratio null
+        (99L, Array.fill(3)(1.0f))) // wrong dim: proj null
+    val got = Similarity.jlProject(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", m = 16, dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_ => r.getSeq[Double](1)),
+          Option(r.get(2)).map(_ => r.getDouble(2))))).toMap
+    (1L to 50L).foreach { i =>
+      val (proj, ratio) = got(i)
+      assert(proj.get.length == 16)
+      // JL with m=16: loose concentration, but never degenerate
+      assert(ratio.get > 0.3 && ratio.get < 2.0, s"row $i ratio $ratio")
+    }
+    assert(got(98L)._1.get.forall(_ == 0.0) && got(98L)._2.isEmpty)
+    assert(got(99L)._1.isEmpty && got(99L)._2.isEmpty)
+  }
 }
