@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top principal component of an embedding column by distributed power
+  * iteration — the classic whitening / drift-analysis primitive (and
+  * the first step of "all-but-the-top" embedding post-processing, Mu &
+  * Viswanath ICLR'18): center, then iterate `v <- normalize(X^T X v)`.
+  * The covariance matrix is NEVER materialized — each round is two
+  * corpus passes: per-row scalar `s_i = (x_i - mu) . v` (a narrow map
+  * against the broadcast literal `v`), then per-position
+  * `t_j = sum_i x_ij s_i - mu_j sum_i s_i` (one posexplode aggregate
+  * over `dim` keys). Driver state is two `dim`-length vectors —
+  * model-sized, like [[Similarity.trainCentroids]]' codebook.
+  *
+  * Determinism: `v0` is the plane-0 row of the shared md5 sign
+  * universe scaled by `1/sqrt(dim)` (exact for power-of-4 dims), so
+  * the whole trajectory — including the component's sign — replays
+  * bit-for-bit in the DuckDB oracle; all driver-side reductions run
+  * left-to-right in position order to match the oracle's `list_sum`.
+  */
+object Pca {
+
+  private def sign(plane: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** @return one row per position (1-based): `pos`, `mu` (the column
+    *         mean), `loading` (the unit top-component entry), both
+    *         raw doubles (caller rounds)
+    */
+  def topComponent(
+      df: DataFrame, vecCol: String, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xs = df.select(col(vecCol).as("vec")).filter(size(col("vec")) === dim)
+      .localCheckpoint(true) // reused 2x per round + the mean pass
+    val mu: Array[Double] = xs
+      .select(posexplode(col("vec")).as(Seq("p", "x")))
+      .groupBy("p").agg(avg(col("x").cast("double")).as("m"))
+      .orderBy("p").collect().map(_.getDouble(1))
+    var v: Array[Double] =
+      Array.tabulate(dim)(j => sign(0, j) / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val muDotV = {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += mu(j) * v(j); j += 1 }; acc
+      }
+      val vLit = typedlit(v.toSeq)
+      val withS = xs.select(col("vec"),
+        (aggregate(zip_with(col("vec"), vLit,
+            (a, b) => a.cast("double") * b), lit(0.0), _ + _)
+          - lit(muDotV)).as("s"))
+      val sTot = withS.agg(sum("s")).head.getDouble(0)
+      val txs: Array[Double] = withS
+        .select(posexplode(col("vec")).as(Seq("p", "x")), col("s"))
+        .groupBy("p").agg(sum(col("x").cast("double") * col("s")).as("t"))
+        .orderBy("p").collect().map(_.getDouble(1))
+      val t = Array.tabulate(dim)(j => txs(j) - mu(j) * sTot)
+      val norm = {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += t(j) * t(j); j += 1 }; math.sqrt(acc)
+      }
+      v = t.map(_ / norm)
+    }
+    spark.createDataset((1 to dim).map(p => (p, mu(p - 1), v(p - 1))))
+      .toDF("pos", "mu", "loading")
+  }
+}

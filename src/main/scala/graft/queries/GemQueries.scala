@@ -5,7 +5,7 @@ import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
   Components, Coordinates, CorpusPipeline, Dedup, Dsir, GemPipeline,
   IntervalJoin, LanguageModel, LineDedup, LogReg, Multimodal,
-  Normalize, Ownership, Packing, PageRank, Profile, Quantize,
+  Normalize, Ownership, Packing, PageRank, Pca, Profile, Quantize,
   Retrieval, Rolling, Sampling, Similarity, Skew, SpanDedup,
   TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
@@ -100,6 +100,49 @@ object GemQueries {
          |        FROM assign$i a CROSS JOIN poss p
          |        GROUP BY a.cell_id, p.pos)
          |  GROUP BY cell_id)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  /** Oracle twin of [[graft.ops.Pca.topComponent]]: column means
+    * (`pmu`), md5-sign init scaled 1/sqrt(dim) (`pv0`), then `iters`
+    * unrolled power rounds `ps{i}` (per-row centered projection, the
+    * two list_sums mirroring Spark's zip_with aggregate minus the
+    * mu.v scalar) / `pt{i}`+`ptl{i}` (per-position X^T X v) / `pv{i}`
+    * (the normalize). Ends at `pv{iters}`.
+    */
+  private def pcaCtes(dim: Int, iters: Int): String = {
+    val seed =
+      s"""poss AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+         |pxs AS (SELECT embedding FROM embeddings
+         |        WHERE len(embedding) = $dim),
+         |pmu AS (SELECT p.pos, avg(CAST(x.embedding[CAST(p.pos AS INT)]
+         |          AS DOUBLE)) AS m
+         |        FROM pxs x CROSS JOIN poss p GROUP BY p.pos),
+         |pml AS (SELECT list(m ORDER BY pos) AS ml FROM pmu),
+         |pv0 AS (SELECT list_transform(generate_series(1, $dim), j ->
+         |    (CASE WHEN CAST(('0x' || substr(md5('0:' ||
+         |        CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+         |      THEN 1.0 ELSE -1.0 END) / sqrt(CAST($dim AS DOUBLE)))
+         |    AS vl)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""ps$i AS (SELECT x.embedding,
+         |    list_sum(list_transform(x.embedding, (e, j) ->
+         |      CAST(e AS DOUBLE) * v.vl[j]))
+         |    - list_sum(list_transform(m.ml, (mm, j) -> mm * v.vl[j]))
+         |      AS s
+         |  FROM pxs x CROSS JOIN pv${i - 1} v CROSS JOIN pml m),
+         |pst$i AS (SELECT sum(s) AS stot FROM ps$i),
+         |pt$i AS (SELECT p.pos,
+         |    sum(CAST(s.embedding[CAST(p.pos AS INT)] AS DOUBLE) * s.s)
+         |      AS txs
+         |  FROM ps$i s CROSS JOIN poss p GROUP BY p.pos),
+         |ptl$i AS (SELECT list(t.txs - mu.m * (SELECT stot FROM pst$i)
+         |    ORDER BY t.pos) AS l
+         |  FROM pt$i t JOIN pmu mu USING (pos)),
+         |pv$i AS (SELECT list_transform(l, e -> e /
+         |    sqrt(list_sum(list_transform(l, x -> x * x)))) AS vl
+         |  FROM ptl$i)""".stripMargin
     }
     (seed +: rounds).mkString(",\n")
   }
@@ -4050,7 +4093,24 @@ object GemQueries {
              |  CASE WHEN xn > 0 THEN
              |    round(sqrt(list_sum(list_transform(y, e -> e * e))) / xn, 4)
              |      + 0.0 END AS norm_ratio
-             |FROM pr ORDER BY vec_id""".stripMargin))
+             |FROM pr ORDER BY vec_id""".stripMargin)),
+
+    // PCA top component (Pca.topComponent): 3 power-iteration rounds
+    // over the centered embeddings; the oracle replays the identical
+    // trajectory including the deterministic sign-universe init, so
+    // the component's SIGN is pinned too.
+    QueryDef("q122_pca_component",
+      (s, dir) => Pca.topComponent(
+          t(s, dir, "embeddings"), "embedding", dim = 64, iters = 3)
+        .select(col("pos"),
+          (round(col("mu"), 4) + lit(0.0)).as("mu"),
+          (round(col("loading"), 4) + lit(0.0)).as("loading"))
+        .orderBy("pos"),
+      Some("WITH " + pcaCtes(dim = 64, iters = 3) + "\n" +
+        """SELECT CAST(p.pos AS INT) AS pos, round(mu.m, 4) + 0.0 AS mu,
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0 AS loading
+          |FROM poss p JOIN pmu mu USING (pos) CROSS JOIN pv3 v
+          |ORDER BY pos""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

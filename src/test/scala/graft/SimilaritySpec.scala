@@ -128,4 +128,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got(98L)._1.get.forall(_ == 0.0) && got(98L)._2.isEmpty)
     assert(got(99L)._1.isEmpty && got(99L)._2.isEmpty)
   }
+
+  test("pca topComponent: recovers a dominant axis, unit loading") {
+    val rnd = new scala.util.Random(7)
+    // variance 100 along dim 0, ~0.01 elsewhere; nonzero mean to
+    // exercise the centering
+    val rows = (1 to 200).map { _ =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.1f)
+      v(0) = (rnd.nextGaussian() * 10 + 3).toFloat
+      Tuple1(v)
+    }
+    val got = graft.ops.Pca.topComponent(
+        rows.toDF("embedding"), "embedding", dim = 64, iters = 3)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 64)
+    val loadings = got.map(_._3)
+    assert(math.abs(loadings(0)) > 0.99,
+      s"dominant axis not recovered: ${loadings(0)}")
+    assert(loadings.drop(1).forall(l => math.abs(l) < 0.1))
+    // unit vector
+    val norm = math.sqrt(loadings.map(l => l * l).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    // the mean column reflects the planted +3 offset on dim 0
+    assert(math.abs(got(0)._2 - 3.0) < 1.5)
+  }
 }
