@@ -29,16 +29,13 @@ object Pca {
     if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
   }
 
-  /** @return one row per position (1-based): `pos`, `mu` (the column
-    *         mean), `loading` (the unit top-component entry), both
-    *         raw doubles (caller rounds)
+  /** Fit: `(mu, v)` as driver-side model vectors — see the class doc
+    * for the per-round plan shape.
     */
-  def topComponent(
+  def fit(
       df: DataFrame, vecCol: String, dim: Int = 64,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): (Array[Double], Array[Double]) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val spark = df.sparkSession
-    import spark.implicits._
     val xs = df.select(col(vecCol).as("vec")).filter(size(col("vec")) === dim)
       .localCheckpoint(true) // reused 2x per round + the mean pass
     val mu: Array[Double] = xs
@@ -69,7 +66,52 @@ object Pca {
       }
       v = t.map(_ / norm)
     }
+    (mu, v)
+  }
+
+  /** @return one row per position (1-based): `pos`, `mu` (the column
+    *         mean), `loading` (the unit top-component entry), both
+    *         raw doubles (caller rounds)
+    */
+  def topComponent(
+      df: DataFrame, vecCol: String, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (mu, v) = fit(df, vecCol, dim, iters)
     spark.createDataset((1 to dim).map(p => (p, mu(p - 1), v(p - 1))))
       .toDF("pos", "mu", "loading")
+  }
+
+  /** "All-but-the-top" post-processing (Mu & Viswanath ICLR'18):
+    * subtract the mean and the top-component projection from every
+    * embedding — `x' = x - mu - ((x - mu) . v) v` — the cheap fix for
+    * anisotropic embedding spaces before cosine retrieval. Fitting
+    * aside, the correction is a pure narrow map against the two
+    * broadcast literal model vectors: no shuffle, no state.
+    *
+    * @return `idCol`, `resid` (array of `dim` doubles rounded to 4,
+    *         null for wrong-size vectors)
+    */
+  def removeTop(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val (mu, v) = fit(df, vecCol, dim, iters)
+    val muDotV = {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += mu(j) * v(j); j += 1 }; acc
+    }
+    val muLit = typedlit(mu.toSeq)
+    val vLit = typedlit(v.toSeq)
+    val vec = col(vecCol)
+    val s = aggregate(zip_with(vec, vLit, (a, b) => a.cast("double") * b),
+      lit(0.0), _ + _) - lit(muDotV)
+    df.select(col(idCol), vec, s.as("s"))
+      .select(col(idCol),
+        when(size(vec) === dim,
+          transform(vec, (x, i) =>
+            round(x.cast("double") - element_at(muLit, i + 1) -
+              col("s") * element_at(vLit, i + 1), 4) + lit(0.0)))
+          .as("resid"))
   }
 }

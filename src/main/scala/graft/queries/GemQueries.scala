@@ -4110,7 +4110,31 @@ object GemQueries {
         """SELECT CAST(p.pos AS INT) AS pos, round(mu.m, 4) + 0.0 AS mu,
           |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0 AS loading
           |FROM poss p JOIN pmu mu USING (pos) CROSS JOIN pv3 v
-          |ORDER BY pos""".stripMargin))
+          |ORDER BY pos""".stripMargin)),
+
+    // All-but-the-top (Pca.removeTop): x' = x - mu - ((x - mu).v) v
+    // under the q122-fitted component — the anisotropy correction
+    // before cosine retrieval. Shares pcaCtes so the two trajectories
+    // cannot drift.
+    QueryDef("q123_remove_top",
+      (s, dir) => Pca.removeTop(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iters = 3)
+        .orderBy("vec_id"),
+      Some("WITH " + pcaCtes(dim = 64, iters = 3) + ",\n" +
+        """px AS (SELECT e.vec_id, e.embedding,
+          |    list_sum(list_transform(e.embedding, (x, j) ->
+          |      CAST(x AS DOUBLE) * v.vl[j]))
+          |    - list_sum(list_transform(m.ml, (mm, j) -> mm * v.vl[j]))
+          |      AS s
+          |  FROM embeddings e CROSS JOIN pv3 v CROSS JOIN pml m
+          |  WHERE len(e.embedding) = 64)
+          |SELECT p.vec_id,
+          |  list_transform(generate_series(1, 64), j ->
+          |    round(CAST(p.embedding[CAST(j AS INT)] AS DOUBLE)
+          |      - m.ml[j] - p.s * v.vl[j], 4) + 0.0) AS resid
+          |FROM px p CROSS JOIN pml m CROSS JOIN pv3 v
+          |ORDER BY p.vec_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -152,4 +152,26 @@ class SimilaritySpec extends SparkSpec {
     // the mean column reflects the planted +3 offset on dim 0
     assert(math.abs(got(0)._2 - 3.0) < 1.5)
   }
+
+  test("pca removeTop: residuals are centered and v-orthogonal") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.1f)
+      v(0) = (rnd.nextGaussian() * 10 + 3).toFloat
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val loadings = graft.ops.Pca.topComponent(df, "embedding", 64, 3)
+      .as[(Int, Double, Double)].collect().sortBy(_._1).map(_._3)
+    val resid = graft.ops.Pca.removeTop(df, "vec_id", "embedding", 64, 3)
+      .as[(Long, Seq[Double])].collect()
+    assert(resid.length == 200)
+    resid.foreach { case (id, r) =>
+      val proj = r.zip(loadings).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj) < 0.02, s"row $id projects $proj onto v")
+    }
+    // per-dim means ~0 after centering (rounding adds <= 5e-5 per row)
+    val dim0Mean = resid.map(_._2.head).sum / resid.length
+    assert(math.abs(dim0Mean) < 0.05, s"dim-0 residual mean $dim0Mean")
+  }
 }
