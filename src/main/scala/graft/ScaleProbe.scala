@@ -95,7 +95,18 @@ object ScaleProbe {
           Dedup.incrementalNearDups(
             df.filter(col("doc_id") % 2 === 1),
             df.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text", k = 64, bands = 8, threshold = 0.8)))
+            "doc_id", "text", k = 64, bands = 8, threshold = 0.8)),
+        // Model-frame ops: cost should track the corpus pass count,
+        // with the dim-bounded model join never inflating the shuffle.
+        "dsir_select" -> (() =>
+          graft.ops.Dsir.importanceSelect(df, "doc_id", "text",
+            df.filter(col("lang") === "en"), dim = 1024, k = 100)),
+        // 3-round driver-loop floor like bpe_train; per-round cost is
+        // two combinable aggregates over the feature frame.
+        "logreg_train" -> (() =>
+          graft.ops.LogReg.train(
+            df.withColumn("y", (col("lang") === "en").cast("int")),
+            "doc_id", "text", "y", dim = 256, lr = 1.0, iters = 3)))
       ops.foreach { case (name, f) =>
         val sec = time(f())
         println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")

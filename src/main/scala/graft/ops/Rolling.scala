@@ -55,4 +55,31 @@ object Rolling {
       .withColumn("z", round(col("z"), 4))
       .drop("_micros", "_sd")
   }
+
+  /** Forward-fill (R `na.locf` / pandas `ffill`): replace each null in
+    * `valueCols` with the most recent non-null value within the
+    * partition, ordered by `orderCols` — the standard gap-repair step
+    * for sensor/price/telemetry series before resampling or joins.
+    * Leading nulls (no prior observation) stay null.
+    *
+    * Scale shape: one window per partition key, ordered rows frame —
+    * the partition key keeps the corpus off a single task; all
+    * `valueCols` share the same window spec so Catalyst collapses
+    * them into ONE Window operator (one sort, not one per column).
+    */
+  def forwardFill(
+      df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(partCols.nonEmpty,
+      "forwardFill requires partition keys: an unpartitioned ordered " +
+        "window moves the whole dataset to one task")
+    require(orderCols.nonEmpty && valueCols.nonEmpty,
+      "forwardFill needs ordering and value columns")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }

@@ -4134,7 +4134,59 @@ object GemQueries {
           |    round(CAST(p.embedding[CAST(j AS INT)] AS DOUBLE)
           |      - m.ml[j] - p.s * v.vl[j], 4) + 0.0) AS resid
           |FROM px p CROSS JOIN pml m CROSS JOIN pv3 v
-          |ORDER BY p.vec_id""".stripMargin))
+          |ORDER BY p.vec_id""".stripMargin)),
+
+    // Forward-fill (Rolling.forwardFill, R na.locf): deterministic
+    // gaps punched at event_id % 3 != 0, then per-user last-non-null
+    // carry ordered by event_id (unique within user — ts alone ties
+    // at nanos the engines truncate differently). Values pass through
+    // untouched, so the copied doubles hash exactly.
+    QueryDef("q124_forward_fill",
+      (s, dir) => {
+        val gapped = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            when(pmod(col("event_id"), lit(3L)) === 0, col("value"))
+              .as("v"))
+        Rolling.forwardFill(gapped, Seq("user_id"), Seq("event_id"),
+            Seq("v"))
+          .withColumnRenamed("v", "filled")
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN event_id % 3 = 0 THEN value END AS v
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled
+             |FROM g ORDER BY event_id""".stripMargin)),
+
+    // Pivot / crosstab (dplyr pivot_wider): per-source doc count and
+    // total chars crossed by an EXPLICIT lang list — never let pivot
+    // scan for distinct values (that is a blocking extra corpus pass
+    // at 100 TB and a nondeterministic schema). All-integer cells, so
+    // nothing floats; absent combos coalesce to count 0 / sum null on
+    // both engines.
+    QueryDef("q125_pivot_wider",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val base = t(s, dir, "documents")
+          .groupBy("source").pivot("lang", langs)
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        langs.foldLeft(base) { (d, l) =>
+          d.withColumn(s"${l}_n", coalesce(col(s"${l}_n"), lit(0L)))
+        }.orderBy("source")
+      },
+      Some("""SELECT source,""" +
+        Seq("de", "en", "es", "fr", "zh").map { l =>
+          s"""
+             |  count(CASE WHEN lang = '$l' THEN 1 END) AS ${l}_n,
+             |  CAST(sum(CASE WHEN lang = '$l' THEN n_chars END) AS BIGINT)
+             |    AS ${l}_chars,""".stripMargin
+        }.mkString.dropRight(1) + """
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -293,6 +293,21 @@ class CurationOpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("forwardFill: carries last non-null per key, leading nulls stay") {
+    val df = Seq(
+      (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, None),
+      (1L, 4L, Some(40.0)), (1L, 5L, None),
+      (2L, 1L, None), (2L, 2L, Some(7.0)) // leading null isolated per key
+    ).toDF("k", "ord", "v")
+    val got = Rolling.forwardFill(df, Seq("k"), Seq("ord"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_ => r.getDouble(2))).toMap
+    assert(got((1L, 2L)).contains(10.0) && got((1L, 3L)).contains(10.0))
+    assert(got((1L, 5L)).contains(40.0))
+    assert(got((2L, 1L)).isEmpty) // no prior observation in key 2
+    assert(got((2L, 2L)).contains(7.0))
+  }
+
   test("weightedSample: proportional bias, null/zero weights excluded") {
     val rows = (1L to 200L).map(i => (i, 1000L)) ++
       (201L to 400L).map(i => (i, 1L))
