@@ -6,8 +6,8 @@ import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
   Components, Coordinates, CorpusPipeline, Dedup, Dsir, GemPipeline,
   IntervalJoin, LanguageModel, LineDedup, LogReg, Multimodal,
   Normalize, Ownership, Packing, PageRank, Pca, Profile, Quantize,
-  Retrieval, Rolling, Sampling, Similarity, Skew, SpanDedup,
-  TextAnalysis, Timeseries, TrackerConfigs}
+  Retrieval, Rolling, Sampling, Similarity, Skew, SnapshotDiff,
+  SpanDedup, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -4186,7 +4186,72 @@ object GemQueries {
              |  CAST(sum(CASE WHEN lang = '$l' THEN n_chars END) AS BIGINT)
              |    AS ${l}_chars,""".stripMargin
         }.mkString.dropRight(1) + """
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Unpivot / melt (dplyr pivot_longer): the wide per-source lang
+    // counts back to long (source, lang, n) — the pivot round-trip,
+    // with absent combos kept as explicit zeros. `Dataset.unpivot` is
+    // a zero-shuffle Expand over the already-aggregated wide frame.
+    QueryDef("q126_unpivot_longer",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        t(s, dir, "documents")
+          .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+          .unpivot(Array(col("source")), langs.map(col).toArray,
+            "lang", "n")
+          .select(col("source"), col("lang"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH src AS (SELECT DISTINCT source FROM documents),
+             |lg AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+             |c AS (SELECT source, lang, count(*) AS n FROM documents
+             |      GROUP BY source, lang)
+             |SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |FROM src s CROSS JOIN lg l
+             |LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+             |ORDER BY s.source, l.lang""".stripMargin)),
+
+    // Snapshot diff (SnapshotDiff.diff, the CDC/SCD audit): v2 derives
+    // deterministically from v1 (drop id%10=0, append " v2" to text at
+    // id%7=0, re-add id%13=0 under shifted ids) and every key is
+    // classified added/removed/changed/unchanged via the portable
+    // content fingerprint full-outer join.
+    QueryDef("q127_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v2 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7L)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        SnapshotDiff.diff(docs, v2, "doc_id",
+          Seq("text", "lang", "source")).orderBy("doc_id")
+      },
+      Some(s"""WITH newv AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+             |      ELSE text END AS text, lang, source
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text, lang, source
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |ofp AS (SELECT doc_id,
+             |    ${SnapshotDiff.duckFingerprint(
+                      Seq("text", "lang", "source"))} AS fp
+             |  FROM documents),
+             |nfp AS (SELECT doc_id,
+             |    ${SnapshotDiff.duckFingerprint(
+                      Seq("text", "lang", "source"))} AS fp
+             |  FROM newv)
+             |SELECT doc_id,
+             |  CASE WHEN o.fp IS NULL THEN 'added'
+             |       WHEN n.fp IS NULL THEN 'removed'
+             |       WHEN o.fp <> n.fp THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM ofp o FULL OUTER JOIN nfp n USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -293,6 +293,25 @@ class CurationOpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("snapshotDiff: four statuses; null vs empty string is 'changed'") {
+    val oldV = Seq(
+      (1L, Some("a"), "x"), (2L, Some("b"), "x"), (3L, Some("c"), "x"),
+      (4L, Option.empty[String], "x"), (5L, Some("NULL"), "x")
+    ).toDF("k", "t", "s")
+    val newV = Seq(
+      (1L, Some("a"), "x"), // unchanged
+      (2L, Some("B"), "x"), // changed
+      // 3 removed
+      (6L, Some("f"), "x"), // added
+      (4L, Some(""), "x"), // null -> empty MUST be 'changed'
+      (5L, Some("NULL"), "x") // literal "NULL" text: unchanged
+    ).toDF("k", "t", "s")
+    val got = graft.ops.SnapshotDiff.diff(oldV, newV, "k", Seq("t", "s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "unchanged", 6L -> "added"))
+  }
+
   test("forwardFill: carries last non-null per key, leading nulls stay") {
     val df = Seq(
       (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, None),
