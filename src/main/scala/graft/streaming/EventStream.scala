@@ -78,6 +78,38 @@ object EventStream {
       }.toDF()
   }
 
+  final case class GapObs(event_id: Long, user_id: Long, v: Option[Double])
+  final case class FillState(last: Double)
+  final case class FilledObs(event_id: Long, user_id: Long,
+      filled: Option[Double])
+
+  /** Streaming forward-fill — the stateful twin of
+    * [[graft.ops.Rolling.forwardFill]] (q124): per-key carry of the
+    * last non-null observation ACROSS micro-batches, the gap-repair
+    * every telemetry/price stream needs at ingest. State per key is
+    * O(1) (one double); within a micro-batch the group's rows are
+    * explicitly sorted by `event_id` (the group iterator carries no
+    * order guarantee). No timeout eviction: the carried value IS the
+    * semantics — evicting would resurrect leading nulls — so key
+    * cardinality is the state bound, as with any keyed carry.
+    */
+  def fillForward(spark: SparkSession, obs: DataFrame): DataFrame = {
+    import spark.implicits._
+    obs.select("event_id", "user_id", "v").as[GapObs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FilledObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[FillState]) =>
+          var last: Option[Double] = state.getOption.map(_.last)
+          val out = batch.toSeq.sortBy(_.event_id).map { r =>
+            if (r.v.isDefined) last = r.v
+            FilledObs(r.event_id, uid, r.v.orElse(last))
+          }
+          last.foreach(v => state.update(FillState(v)))
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming exact dedup on a key — the idempotency-key shape every
     * at-least-once ingest needs (the LLM-pipeline dedup tier applied to
     * the stream). Streaming mode: `dropDuplicatesWithinWatermark`, so

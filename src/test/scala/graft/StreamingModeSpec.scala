@@ -278,4 +278,31 @@ class StreamingModeSpec extends SparkSpec {
     assert(merged.first_ts == ts("2024-01-01 00:10:00"))
     assert(merged.last_ts == ts("2024-01-01 00:40:00"))
   }
+
+  test("fillForward carries the last observation ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Option[Double])]
+    val obs = input.toDF().toDF("event_id", "user_id", "v")
+    val q = EventStream.fillForward(spark, obs)
+      .writeStream.format("memory").queryName("ff_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 7L, Some(5.0)), (2L, 7L, None), (1L, 8L, None))
+      q.processAllAvailable()
+      input.addData((3L, 7L, None), (4L, 7L, Some(9.0)), (5L, 7L, None),
+        (2L, 8L, Some(1.0)))
+      q.processAllAvailable()
+      val got = spark.table("ff_test").collect()
+        .map(r => (r.getLong(1), r.getLong(0)) ->
+          Option(r.get(2)).map(_ => r.getDouble(2))).toMap
+      assert(got((7L, 2L)).contains(5.0)) // within batch 1
+      assert(got((7L, 3L)).contains(5.0)) // cross-batch carry of 5.0
+      assert(got((7L, 5L)).contains(9.0)) // updated by event 4
+      assert(got((8L, 1L)).isEmpty) // leading null stays null
+      assert(got((8L, 2L)).contains(1.0))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS ff_test")
+    }
+  }
 }
