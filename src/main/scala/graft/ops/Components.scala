@@ -205,4 +205,33 @@ object Components {
     cc.join(sizes, "component")
       .select(col("id").as(idCol), col("component"), col("cluster_size"))
   }
+
+  /** Pick the CANONICAL document per near-dup cluster by explicit
+    * quality ordering — max quality, ties to the smallest id. Dedup
+    * should keep the best copy of duplicated content, not the oldest:
+    * min-id canonicalization (what the curation funnel's exact stage
+    * uses, where copies are identical) silently keeps truncated or
+    * boilerplate-laden variants when near-dups differ in quality.
+    *
+    * Scale shape: one join of the cluster assignment to the quality
+    * column and one rank window PARTITIONED by component — cluster
+    * keys are high-cardinality, so no global ordering anywhere.
+    *
+    * @return one row per cluster: `component`, `cluster_size`,
+    *         `keep_id`, `keep_<qualityCol>`
+    */
+  def canonicalPerCluster(
+      clusters: DataFrame, idCol: String,
+      quality: DataFrame, qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col(qualityCol).desc, col(idCol))
+    clusters
+      .join(quality.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("component"), col("cluster_size"),
+        col(idCol).as("keep_id"),
+        col(qualityCol).as(s"keep_$qualityCol"))
+  }
 }

@@ -386,6 +386,23 @@ object GemQueries {
       |  JOIN toks a ON a.doc_id = c.id_a
       |  JOIN toks b ON b.doc_id = c.id_b)""".stripMargin
 
+  /** Near-dup cluster chain on top of [[minhashVerifiedCtes]]:
+    * 0.8-Jaccard pairs → recursive label reach → `comp` (id,
+    * component) + `sizes`. ONE definition behind q61 and q128 (the
+    * r3/r5 oracle-drift lesson). Callers prepend `WITH RECURSIVE`.
+    */
+  private val clusterChainCtes: String =
+    """pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM toks
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      |sizes AS (SELECT component, count(*) AS cluster_size
+      |          FROM comp GROUP BY component)""".stripMargin
+
   /** Curation-funnel oracle CTE chain (exact dedup → quality/lang gate
     * → recursive near-dup components) ending in `fate`
     * (doc_id, source, ntok, fate) — ONE definition behind q50's funnel
@@ -2197,17 +2214,8 @@ object GemQueries {
           .orderBy("doc_id")
       },
       Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
-        """pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          |          UNION ALL SELECT id_b, id_a FROM pairs),
-          |reach(id, lbl) AS (
-          |  SELECT doc_id, doc_id FROM toks
-          |  UNION
-          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-          |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
-          |sizes AS (SELECT component, count(*) AS cluster_size
-          |          FROM comp GROUP BY component)
-          |SELECT comp.id AS doc_id, comp.component, sizes.cluster_size
+        clusterChainCtes + "\n" +
+        """SELECT comp.id AS doc_id, comp.component, sizes.cluster_size
           |FROM comp JOIN sizes USING (component)
           |ORDER BY doc_id""".stripMargin)),
 
@@ -4251,7 +4259,96 @@ object GemQueries {
              |       WHEN o.fp <> n.fp THEN 'changed'
              |       ELSE 'unchanged' END AS status
              |FROM ofp o FULL OUTER JOIN nfp n USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Quality-aware cluster canonicalization (Components
+    // .canonicalPerCluster): per near-dup cluster keep the LONGEST
+    // member (ties to min id) — integer ordering, fully deterministic.
+    // Shares minhashVerifiedCtes + clusterChainCtes with q44/q61.
+    QueryDef("q128_cluster_canonical",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val clusters = Components.dedupClusters(
+          docs, "doc_id", pairs, "id_a", "id_b")
+        Components.canonicalPerCluster(clusters, "doc_id",
+          docs, "n_chars").orderBy("component")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        """kp AS (
+          |  SELECT comp.component, sizes.cluster_size, comp.id,
+          |    d.n_chars,
+          |    row_number() OVER (PARTITION BY comp.component
+          |      ORDER BY d.n_chars DESC, comp.id) AS rn
+          |  FROM comp JOIN sizes USING (component)
+          |  JOIN documents d ON d.doc_id = comp.id)
+          |SELECT component, cluster_size, id AS keep_id,
+          |  n_chars AS keep_n_chars
+          |FROM kp WHERE rn = 1 ORDER BY component""".stripMargin)),
+
+    // Token-distribution drift between corpus versions (the q127
+    // release-audit continued): unigram frequencies of v1 (all docs)
+    // vs v2 (the q127 mutation), top-20 movers by |ppm delta| — all
+    // integer arithmetic (floor-divided parts-per-million), ties on
+    // token.
+    QueryDef("q129_token_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v2 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7L)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        def dist(df: DataFrame, cnt: String, ppm: String) = {
+          val c = df.select(explode(TextAnalysis.tokens(col("text")))
+              .as("token"))
+            .groupBy("token").agg(count(lit(1)).as(cnt))
+          c.crossJoin(broadcast(
+              c.agg(sum(cnt).cast("long").as(s"_t$cnt"))))
+            .select(col("token"), col(cnt),
+              floor(col(cnt) * lit(1000000L) / col(s"_t$cnt"))
+                .cast("long").as(ppm))
+        }
+        val a = dist(docs, "n1", "ppm1")
+        val b = dist(v2, "n2", "ppm2")
+        a.join(b, Seq("token"), "full_outer")
+          .select(col("token"),
+            coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"),
+            (coalesce(col("ppm2"), lit(0L)) -
+              coalesce(col("ppm1"), lit(0L))).as("ppm_delta"))
+          .orderBy(abs(col("ppm_delta")).desc, col("token"))
+          .limit(20)
+          .orderBy("token")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+             |      ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |t1 AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |t2 AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM v2),
+             |c1 AS (SELECT token, count(*) AS n1,
+             |    CAST(floor(count(*) * 1000000 /
+             |      (SELECT count(*) FROM t1)) AS BIGINT) AS ppm1
+             |  FROM t1 GROUP BY token),
+             |c2 AS (SELECT token, count(*) AS n2,
+             |    CAST(floor(count(*) * 1000000 /
+             |      (SELECT count(*) FROM t2)) AS BIGINT) AS ppm2
+             |  FROM t2 GROUP BY token),
+             |j AS (
+             |  SELECT token, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+             |    coalesce(ppm2, 0) - coalesce(ppm1, 0) AS ppm_delta
+             |  FROM c1 FULL OUTER JOIN c2 USING (token)),
+             |top AS (SELECT * FROM j
+             |        ORDER BY abs(ppm_delta) DESC, token LIMIT 20)
+             |SELECT token, n1, n2, ppm_delta FROM top
+             |ORDER BY token""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -62,4 +62,22 @@ class ComponentsSpec extends SparkSpec {
     // the dedup decision: keep doc_id == component
     assert(got.count { case (id, comp, _) => id == comp } == 2)
   }
+
+  test("canonicalPerCluster keeps the best-quality member, ties to min id") {
+    val docs = Seq(1L, 2L, 3L, 7L, 8L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val clusters = Components.dedupClusters(docs, "doc_id", pairs,
+      "id_a", "id_b")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Components.canonicalPerCluster(clusters, "doc_id",
+        quality, "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster {1,2,3}: doc 2 is longest (NOT min id 1)
+    assert(got(1L) == ((3L, 2L, 99L)))
+    // cluster {7,8}: quality tie -> min id 7
+    assert(got(7L) == ((2L, 7L, 5L)))
+    assert(got.size == 2)
+  }
 }

@@ -129,8 +129,11 @@ class PlanShapeSpec extends SparkSpec {
       // q116: the 1-row (N_uni, N_bi) totals cross onto the
       // minCount-pruned vocab-bounded bigram frame.
       // q117: the 1-row CMS matrix crosses onto the 20-row probe set.
+      // q129: each version's 1-row token total crosses onto its own
+      // vocab-bounded count frame.
       "q113_bigram_lm", "q114_tfidf_terms", "q115_dsir_select",
-      "q116_collocations", "q117_cms_heavy_hitters")
+      "q116_collocations", "q117_cms_heavy_hitters",
+      "q129_token_drift")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
