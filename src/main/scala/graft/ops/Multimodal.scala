@@ -273,6 +273,98 @@ object Multimodal {
       }.toDF("id", "features")
   }
 
+  /** REAL content features for the codec-free payload formats — the
+    * two formats whose PIXELS/SAMPLES are raw in the container, so a
+    * JVM byte walk is the entire "model":
+    *
+    *  - 24-bit BMP → per-channel pixel means (B, G, R), honoring the
+    *    `bfOffBits` pixel-array offset and 4-byte row padding;
+    *  - 16-bit PCM RIFF/WAVE (canonical 44-byte header) → RMS
+    *    amplitude, peak |sample|, sample count.
+    *
+    * Anything else falls back to the deterministic byte-histogram
+    * stub moments of [[extractFeatures]] (kind `other`) — codec-bound
+    * formats stay honestly stubbed. All accumulation is exact integer
+    * arithmetic in double (sums < 2^53), so an external oracle
+    * reproduces every statistic bit-for-bit.
+    *
+    * @return `id`, `kind` (bmp|wav|other), `f1`, `f2`, `f3` —
+    *         (mean_b, mean_g, mean_r) / (rms, peak, n_samples) /
+    *         (first three stub moments), each rounded to 4
+    */
+  def contentFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    media.select("id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+              le4(b, 14) == 40L && le2(b, 28) == 24) {
+            val off = le4(b, 10).toInt
+            val w = le4(b, 18).toInt
+            val h = math.abs(le4(b, 22).toInt)
+            val rowSize = ((w * 3 + 3) / 4) * 4
+            if (w > 0 && h > 0 && off + h * rowSize <= b.length) {
+              var (sb, sg, sr) = (0.0, 0.0, 0.0)
+              var row = 0
+              while (row < h) {
+                var px = 0
+                while (px < w) {
+                  val base = off + row * rowSize + px * 3
+                  sb += (b(base) & 0xff)
+                  sg += (b(base + 1) & 0xff)
+                  sr += (b(base + 2) & 0xff)
+                  px += 1
+                }
+                row += 1
+              }
+              val n = (w * h).toDouble
+              (id, "bmp", r4(sb / n), r4(sg / n), r4(sr / n))
+            } else stubFeatureRow(id, b)
+          } else if (b.length >= 44 &&
+              b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+              b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+              b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a' &&
+              le2(b, 34) == 16) {
+            val dataSize = math.min(le4(b, 40).toInt, b.length - 44)
+            val n = dataSize / 2
+            if (n > 0) {
+              var ss = 0.0
+              var peak = 0L
+              var k = 0
+              while (k < n) {
+                val s = ((b(44 + 2 * k) & 0xff) |
+                  ((b(45 + 2 * k) & 0xff) << 8)).toShort.toLong
+                ss += (s * s).toDouble
+                if (math.abs(s) > peak) peak = math.abs(s)
+                k += 1
+              }
+              (id, "wav", r4(math.sqrt(ss / n)), r4(peak.toDouble),
+                r4(n.toDouble))
+            } else stubFeatureRow(id, b)
+          } else stubFeatureRow(id, b)
+        }
+      }.toDF("id", "kind", "f1", "f2", "f3")
+  }
+
+  /** The [[extractFeatures]] stride-moment stub, first three lanes. */
+  private def stubFeatureRow(
+      id: Long, b: Array[Byte]): (Long, String, Double, Double, Double) = {
+    def lane(i: Int): Double =
+      if (b.isEmpty) 0.0
+      else {
+        var s = 0.0
+        var j = i
+        while (j < b.length) { s += (b(j) & 0xff); j += 3 }
+        val v = s / b.length
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0
+      }
+    (id, "other", lane(0), lane(1), lane(2))
+  }
+
   /** Frame sampling plan for video-typed rows: every `everyMs`
     * milliseconds up to the (stub-decoded) duration — the row explosion
     * is expressed relationally (explode of a sequence), so Catalyst

@@ -4348,7 +4348,72 @@ object GemQueries {
              |top AS (SELECT * FROM j
              |        ORDER BY abs(ppm_delta) DESC, token LIMIT 20)
              |SELECT token, n1, n2, ppm_delta FROM top
-             |ORDER BY token""".stripMargin))
+             |ORDER BY token""".stripMargin)),
+
+    // REAL content features for codec-free payloads (Multimodal
+    // .contentFeatures): 2x2 24-bit BMPs carry actual pixel bytes
+    // ((id*(k+3)) % 256 at file position k) and WAVs carry 4 real
+    // 16-bit PCM samples ((id*(k+7)) % 65536, signed LE) — the JVM
+    // walks the REAL pixel array (bfOffBits + row padding) and PCM
+    // data; the oracle recomputes channel means / RMS / peak from the
+    // generating formulas, q68's synthesis pattern.
+    QueryDef("q130_media_content_stats",
+      (s, dir) => {
+        def le4hex(n: Column): Column = concat((0 to 3).map(i =>
+          lpad(hex(pmod(shiftright(n, 8 * i), lit(256))), 2, "0")): _*)
+        def b1hex(n: Column): Column = lpad(hex(pmod(n, lit(256))), 2, "0")
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val px = concat((0 to 5).map(k =>
+          b1hex(col("id") * (k + 3))) ++ Seq(lit("0000")) ++
+          (6 to 11).map(k => b1hex(col("id") * (k + 3))) ++
+          Seq(lit("0000")): _*)
+        val bmp = ids.filter(pmod(col("id"), lit(2)) === 0).select(
+          col("id"),
+          unhex(concat(
+            lit("424D" + "00" * 8 + "36000000" + "28000000"),
+            le4hex(lit(2)), le4hex(lit(2)), lit("0100" + "1800"),
+            lit("00" * 24), px)).as("bytes"),
+          lit("image").as("media_type"))
+        val pcm = concat((0 to 3).flatMap { k =>
+          val v = pmod(col("id") * (k + 7), lit(65536))
+          Seq(b1hex(v), b1hex(floor(v / 256).cast("long")))
+        }: _*)
+        val wav = ids.filter(pmod(col("id"), lit(2)) === 1).select(
+          col("id"),
+          unhex(concat(
+            lit("52494646"), le4hex(lit(44)), // riff size 36+8
+            lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),
+            le4hex(lit(8000)), le4hex(lit(16000)),
+            lit("0200" + "1000" + "64617461"), le4hex(lit(8)),
+            pcm)).as("bytes"),
+          lit("audio").as("media_type"))
+        Multimodal.contentFeatures(s, bmp.unionByName(wav))
+          .orderBy("id")
+      },
+      Some("""WITH sk AS (
+             |  SELECT doc_id AS id,
+             |    list_transform(generate_series(0, 3), k ->
+             |      CASE WHEN (id * (k + 7)) % 65536 >= 32768
+             |        THEN (id * (k + 7)) % 65536 - 65536
+             |        ELSE (id * (k + 7)) % 65536 END) AS s,
+             |    list_transform(generate_series(0, 11), k ->
+             |      (id * (k + 3)) % 256) AS p
+             |  FROM documents)
+             |SELECT id,
+             |  CASE WHEN id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+             |  round(CASE WHEN id % 2 = 0
+             |    THEN (p[1] + p[4] + p[7] + p[10]) / 4.0
+             |    ELSE sqrt((s[1]*s[1] + s[2]*s[2] + s[3]*s[3] + s[4]*s[4])
+             |      / 4.0) END, 4) + 0.0 AS f1,
+             |  round(CASE WHEN id % 2 = 0
+             |    THEN (p[2] + p[5] + p[8] + p[11]) / 4.0
+             |    ELSE CAST(greatest(abs(s[1]), abs(s[2]), abs(s[3]),
+             |      abs(s[4])) AS DOUBLE) END, 4) + 0.0 AS f2,
+             |  round(CASE WHEN id % 2 = 0
+             |    THEN (p[3] + p[6] + p[9] + p[12]) / 4.0
+             |    ELSE 4.0 END, 4) + 0.0 AS f3
+             |FROM sk ORDER BY id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

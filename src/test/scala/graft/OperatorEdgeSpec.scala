@@ -249,4 +249,37 @@ class OperatorEdgeSpec extends SparkSpec {
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5).count() == 2)
   }
+
+  test("contentFeatures: BMP honors offset+row padding; WAV signs PCM") {
+    import spark.implicits._
+    // 3x1 24-bit BMP: rowSize = 12 (9 pixel bytes + 3 pad); pad bytes
+    // poisoned 0xEE to prove they are EXCLUDED from the means
+    def le4(n: Int) = Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    def le2(n: Int) = Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte)
+    val bmp = Array[Byte]('B', 'M') ++ new Array[Byte](8) ++ le4(54) ++
+      le4(40) ++ le4(3) ++ le4(1) ++ le2(1) ++ le2(24) ++
+      new Array[Byte](24) ++
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90) ++
+      Array[Byte](0xEE.toByte, 0xEE.toByte, 0xEE.toByte)
+    // WAV: samples 100, -100, 32767, -32768
+    val samples = Seq(100, -100, 32767, -32768)
+    val wav = "RIFF".getBytes ++ le4(36 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(1) ++ le4(8000) ++
+      le4(16000) ++ le2(2) ++ le2(16) ++ "data".getBytes ++ le4(8) ++
+      samples.flatMap(s => le2(s & 0xffff)).toArray
+    val junk = Array[Byte](1, 2, 3)
+    val media = Seq((1L, bmp, "image"), (2L, wav, "audio"),
+        (3L, junk, "other"))
+      .toDF("id", "bytes", "media_type")
+    val got = graft.ops.Multimodal.contentFeatures(spark, media)
+      .as[(Long, String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == (("bmp", 40.0, 50.0, 60.0))) // (10+40+70)/3 etc.
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / 4)
+    assert(got(2L) == (("wav",
+      BigDecimal(rms).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      32768.0, 4.0)))
+    assert(got(3L)._1 == "other")
+  }
 }
