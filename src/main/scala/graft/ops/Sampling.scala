@@ -190,6 +190,40 @@ object Sampling {
       .drop(h)
   }
 
+  /** Deterministic k-per-stratum sample (the "show me 5 docs per
+    * language" debug/QA draw): rank rows within each stratum by the
+    * portable hash of the key and keep the k smallest — a reproducible
+    * uniform draw, stable across runs and repartitioning like every
+    * split above.
+    *
+    * Scale shape: the naive form is a window over EVERY stratum row —
+    * with few strata that is a near-global sort. `prunePpm` is the
+    * standard fix: a shuffle-free hash predicate (`h mod 1e6 <
+    * prunePpm`) prunes the corpus BEFORE the window, so the sort sees
+    * ~ppm/1e6 of the data. The prune is exact (the kept k smallest
+    * hashes all survive it) as long as every stratum retains >= k
+    * rows — size prunePpm for k << expected stratum size, or pass
+    * 1000000 to disable.
+    *
+    * @return input rows plus `draw_rank` (1..k within the stratum)
+    */
+  def reservoirPerGroup(
+      df: DataFrame, keyCol: String, strataCol: String, k: Int,
+      prunePpm: Int = 1000000): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(prunePpm > 0 && prunePpm <= 1000000,
+      s"prunePpm must be in (0, 1e6]: $prunePpm")
+    require(!df.columns.contains("draw_rank"),
+      "reservoirPerGroup emits 'draw_rank': rename the existing column")
+    val h = Hashing.portableHash(
+      concat(lit("rg:"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(h, col(keyCol))
+    df.filter(pmod(h, lit(1000000L)) < prunePpm)
+      .withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= k)
+  }
+
   /** Weighted sampling without replacement (Efraimidis & Spirakis
     * 2006, "A-Res"): each row draws `u = hash-uniform(0,1)` and keeps
     * key `ln(u) / w` — taking the k LARGEST keys samples k rows

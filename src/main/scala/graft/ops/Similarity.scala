@@ -109,22 +109,76 @@ object Similarity {
     *         `norm_ratio` (rounded to 4; null for a zero/wrong-size
     *         vector)
     */
+  /** Raw (unrounded) JL projection of a vector column — null for
+    * wrong-size vectors.
+    */
+  private def jlRaw(vec: Column, m: Int, dim: Int): Column = {
+    val scale = lit(math.sqrt(m.toDouble))
+    when(size(vec) === dim,
+      array(hyperplaneSigns(m, dim).map(signs =>
+        dot(vec, typedlit(signs.toSeq)) / scale): _*))
+  }
+
+  /** Cosine over two DOUBLE-array columns (the projected space) —
+    * left-to-right sums, mirroring the oracle's `list_sum`.
+    */
+  private def cosineDbl(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _) /
+      (sqrt(aggregate(a, lit(0.0), (acc, e) => acc + e * e)) *
+        sqrt(aggregate(b, lit(0.0), (acc, e) => acc + e * e)))
+
   def jlProject(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int = 16, dim: Int = 64): DataFrame = {
     require(m > 0, s"m must be positive: $m")
     val vec = col(vecCol)
-    val scale = lit(math.sqrt(m.toDouble))
-    val y = when(size(vec) === dim,
-      array(hyperplaneSigns(m, dim).map(signs =>
-        dot(vec, typedlit(signs.toSeq)) / scale): _*))
     val yNorm = sqrt(aggregate(col("proj0"), lit(0.0), (a, e) => a + e * e))
     val xNorm = sqrt(dot(vec, vec))
-    df.select(col(idCol), vec, y.as("proj0"))
+    df.select(col(idCol), vec, jlRaw(vec, m, dim).as("proj0"))
       .select(col(idCol),
         transform(col("proj0"), e => round(e, 4) + lit(0.0)).as("proj"),
         when(xNorm > 0, round(yNorm / xNorm, 4) + lit(0.0))
           .as("norm_ratio"))
+  }
+
+  /** ANN by JL pre-ranking: rank candidates by cosine in the m-dim
+    * PROJECTED space (JL preserves angles in expectation — a 2× per-
+    * pair cost cut at m = dim/2), shortlist the top `shortlist` per
+    * query, then exact-cosine re-rank only the shortlist. The
+    * cheap-distance tier next to bucketed LSH/IVF: it prunes per-pair
+    * COST, not the candidate COUNT — at corpus scale the projected
+    * space is what you'd hand to [[trainCentroids]]/[[ivfTopK]] so
+    * both cuts compose; here the queries frame broadcasts and the
+    * corpus is read once.
+    *
+    * Measured at defaults on the sf0.1 random embeddings (the
+    * weak-structure hard case, q67's protocol): recall@3 = 0.70 with
+    * the exact re-rank touching 10% of the corpus — above multi-table
+    * LSH's 0.60 at 39% touched (README table). m = 16 / shortlist =
+    * 50 measured 0.20: spend the re-rank budget before shrinking it.
+    */
+  def jlTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlist: Int = 200, m: Int = 32, dim: Int = 64): DataFrame = {
+    require(k <= shortlist, s"k=$k must be <= shortlist=$shortlist")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), jlRaw(col(vecCol), m, dim).as("qy"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), jlRaw(col(vecCol), m, dim).as("cy"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pcos", cosineDbl(col("qy"), col("cy")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= shortlist)
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,

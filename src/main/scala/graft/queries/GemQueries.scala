@@ -4413,7 +4413,76 @@ object GemQueries {
              |  round(CASE WHEN id % 2 = 0
              |    THEN (p[3] + p[6] + p[9] + p[12]) / 4.0
              |    ELSE 4.0 END, 4) + 0.0 AS f3
-             |FROM sk ORDER BY id""".stripMargin))
+             |FROM sk ORDER BY id""".stripMargin)),
+
+    // k-per-stratum deterministic reservoir (Sampling
+    // .reservoirPerGroup): 5 docs per language, hash-ranked, with the
+    // 10% hash prune running BEFORE the per-stratum window (the scale
+    // trick is part of the semantics, so the oracle applies the same
+    // prune).
+    QueryDef("q131_group_reservoir",
+      (s, dir) => Sampling.reservoirPerGroup(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", k = 5, prunePpm = 100000)
+        .select(col("lang"), col("draw_rank"), col("doc_id"))
+        .orderBy("lang", "draw_rank"),
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    ${Hashing.duckPortableHash("'rg:' || doc_id")} AS hv
+             |  FROM documents),
+             |pruned AS (SELECT * FROM h WHERE hv % 1000000 < 100000),
+             |r AS (
+             |  SELECT lang, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY hv, doc_id) AS INT) AS draw_rank
+             |  FROM pruned)
+             |SELECT lang, draw_rank, doc_id FROM r
+             |WHERE draw_rank <= 5 ORDER BY lang, draw_rank""".stripMargin)),
+
+    // JL-shortlist ANN (Similarity.jlTopK): cosine pre-rank in the
+    // 32-dim projected space, top-200 shortlist (measured recall@3 =
+    // 0.70 at these defaults), exact re-rank to top-3 — the
+    // cheap-distance tier next to LSH (q45) and IVF (q52). The
+    // shortlist cut ranks UNROUNDED projected cosines (ties on
+    // neighbor_id), the q114 pattern.
+    QueryDef("q132_jl_ann_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.jlTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH jp AS (
+             |  SELECT vec_id, embedding,
+             |    list_transform(generate_series(0, 31), p ->
+             |      list_sum(list_transform(embedding, (v, i) ->
+             |        CAST(v AS DOUBLE) * (CASE WHEN
+             |          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+             |            CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+             |          THEN 1.0 ELSE -1.0 END))) / sqrt(32.0)) AS y
+             |  FROM embeddings),
+             |qs AS (SELECT vec_id AS query_id, embedding AS qvec, y AS qy
+             |       FROM jp WHERE vec_id < 10),
+             |pc AS (
+             |  SELECT c.vec_id AS neighbor_id, q.query_id,
+             |    c.embedding AS cvec, q.qvec,
+             |    list_sum(list_transform(q.qy, (x, i) -> x * c.y[i])) /
+             |    (sqrt(list_sum(list_transform(q.qy, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(c.y, x -> x * x)))) AS pcos
+             |  FROM jp c CROSS JOIN qs q WHERE c.vec_id <> q.query_id),
+             |sl AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY pcos DESC, neighbor_id) AS prank FROM pc)
+             |  WHERE prank <= 200),
+             |ex AS (SELECT query_id, neighbor_id,
+             |    ${duckCos("qvec", "cvec")} AS cos
+             |  FROM sl),
+             |r AS (SELECT query_id, neighbor_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id) AS INT) AS "rank", cos
+             |  FROM ex)
+             |SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
+             |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

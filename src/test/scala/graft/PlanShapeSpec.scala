@@ -133,7 +133,9 @@ class PlanShapeSpec extends SparkSpec {
       // vocab-bounded count frame.
       "q113_bigram_lm", "q114_tfidf_terms", "q115_dsir_select",
       "q116_collocations", "q117_cms_heavy_hitters",
-      "q129_token_drift")
+      // q132: the 10-row query frame broadcast-crosses the corpus —
+      // q29's documented brute-force-tier shape.
+      "q129_token_drift", "q132_jl_ann_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))

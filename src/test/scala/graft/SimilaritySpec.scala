@@ -153,6 +153,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(0)._2 - 3.0) < 1.5)
   }
 
+  test("jlTopK finds the identical vector first (projection preserves it)") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (1L to 60L).map(i =>
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat))) :+
+      (0L, base) :+ (99L, base) // identical pair across the corpus
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.jlTopK(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, shortlist = 10)
+      .orderBy("rank").collect()
+    // identical vector projects identically -> survives any shortlist
+    assert(got.head.getAs[Long]("neighbor_id") == 99L)
+    assert(got.head.getAs[Double]("cos") == 1.0)
+  }
+
   test("pca removeTop: residuals are centered and v-orthogonal") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 200L).map { i =>
