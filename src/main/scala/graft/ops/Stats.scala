@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped closed-form statistics — the "fit a line per segment"
+  * analytics primitive (quality-vs-length curves per language,
+  * throughput-vs-size per source), done the distributed way: ONE
+  * map-side-combinable aggregate of integer moment sums per group,
+  * closed-form OLS on the tiny per-group frame. No iteration, no
+  * window, no second pass over the data.
+  *
+  * Parity discipline: the six moments are EXACT integer sums
+  * (order-free in any engine); every float op after them runs on
+  * identical doubles, so slope/intercept/r² reproduce bit-for-bit in
+  * the oracle. Degenerate groups (constant x, or fewer than 2 rows)
+  * emit nulls rather than dividing by zero.
+  */
+object Stats {
+
+  /** Per-group OLS of `yCol` on `xCol` (both integral columns).
+    *
+    * @return one row per group: groupCol, `n`, `slope`, `intercept`,
+    *         `r2` (each rounded to 4, null when degenerate)
+    */
+  def groupedOls(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val covN = d("n") * d("sxy") - d("sx") * d("sy") // n * cov
+    val varXN = d("n") * d("sxx") - d("sx") * d("sx") // n * var(x)
+    val varYN = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = when(col("n") >= 2 && varXN > 0, covN / varXN)
+    val intercept = (d("sy") - slope * d("sx")) / d("n")
+    val r2 = when(col("n") >= 2 && varXN > 0 && varYN > 0,
+      (covN * covN) / (varXN * varYN))
+    agg.select(col(groupCol), col("n"),
+      (round(slope, 4) + lit(0.0)).as("slope"),
+      (round(intercept, 4) + lit(0.0)).as("intercept"),
+      (round(r2, 4) + lit(0.0)).as("r2"))
+  }
+
+  /** Weekly cohort retention over an event stream: users bucketed by
+    * the EPOCH WEEK of their first event (pure integer division of
+    * microseconds — no calendar functions, so any engine reproduces
+    * the bucketing), counted distinct in every later week they
+    * return. The classic retention triangle, in two
+    * map-side-combinable aggregates (per-user min, then per-cell
+    * distinct count) — the event log is read once and never windowed.
+    *
+    * @return `cohort_week` (epoch week of first event), `weeks_since`
+    *         (0 = the cohort week itself), `n_users`
+    */
+  def cohortRetention(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 604800000000")
+    val weeks = events.select(col(userCol).as("_u"), wk.as("_w"))
+    val first = weeks.groupBy("_u").agg(min("_w").as("_cw"))
+    weeks.join(first, Seq("_u"))
+      .groupBy(col("_cw").as("cohort_week"),
+        (col("_w") - col("_cw")).as("weeks_since"))
+      .agg(countDistinct(col("_u")).as("n_users"))
+  }
+}

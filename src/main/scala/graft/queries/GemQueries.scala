@@ -7,7 +7,7 @@ import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
   IntervalJoin, LanguageModel, LineDedup, LogReg, Multimodal,
   Normalize, Ownership, Packing, PageRank, Pca, Profile, Quantize,
   Retrieval, Rolling, Sampling, Similarity, Skew, SnapshotDiff,
-  SpanDedup, TextAnalysis, Timeseries, TrackerConfigs}
+  SpanDedup, Stats, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -4482,7 +4482,64 @@ object GemQueries {
              |      ORDER BY cos DESC, neighbor_id) AS INT) AS "rank", cos
              |  FROM ex)
              |SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
-             |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin))
+             |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Grouped OLS (Stats.groupedOls): per-language token-vs-chars
+    // line fit from ONE integer moment aggregate — the six sums are
+    // exact in both engines, so every downstream float matches.
+    QueryDef("q133_grouped_ols",
+      (s, dir) => Stats.groupedOls(
+          t(s, dir, "documents").withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text")))),
+          "lang", "n_chars", "n_tokens")
+        .orderBy("lang"),
+      Some("""WITH d AS (
+             |  SELECT lang, n_chars AS x,
+             |    len(list_filter(string_split_regex(text, ' +'),
+             |      t -> t <> '')) AS y
+             |  FROM documents),
+             |a AS (
+             |  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+             |  FROM d GROUP BY lang),
+             |c AS (
+             |  SELECT lang, n,
+             |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+             |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+             |  FROM a)
+             |SELECT lang, n,
+             |  round(CASE WHEN n >= 2 AND varxn > 0
+             |    THEN covn / varxn END, 4) + 0.0 AS slope,
+             |  round((syd - (CASE WHEN n >= 2 AND varxn > 0
+             |      THEN covn / varxn END) * sxd)
+             |    / CAST(n AS DOUBLE), 4) + 0.0 AS intercept,
+             |  round(CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+             |    THEN covn * covn / (varxn * varyn) END, 4) + 0.0 AS r2
+             |FROM c ORDER BY lang""".stripMargin)),
+
+    // Weekly cohort retention (Stats.cohortRetention): first-event
+    // epoch week x weeks-since distinct-user triangle — all integer
+    // division (no calendar functions), the oracle mirrors parquet's
+    // nanos -> micros truncation via epoch_ns // 1000.
+    QueryDef("q134_cohort_retention",
+      (s, dir) => Stats.cohortRetention(
+          t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "weeks_since"),
+      Some("""WITH w AS (
+             |  SELECT user_id AS u,
+             |    epoch_ns(ts) // 1000 // 604800000000 AS wk
+             |  FROM events),
+             |f AS (SELECT u, min(wk) AS cw FROM w GROUP BY u)
+             |SELECT cw AS cohort_week, wk - cw AS weeks_since,
+             |  count(DISTINCT u) AS n_users
+             |FROM w JOIN f USING (u)
+             |GROUP BY cw, wk - cw
+             |ORDER BY cohort_week, weeks_since""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -250,6 +250,40 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5).count() == 2)
   }
 
+  test("groupedOls: exact fit on a perfect line; constant x -> nulls") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L), // y = 2x + 3
+      ("b", 4L, 1L), ("b", 4L, 9L), // constant x: no fit
+      ("c", 8L, 2L) // single row: no fit
+    ).toDF("g", "x", "y")
+    val got = graft.ops.Stats.groupedOls(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)),
+          Option(r.get(3)).map(_ => r.getDouble(3)),
+          Option(r.get(4)).map(_ => r.getDouble(4))))).toMap
+    assert(got("a") == ((3L, Some(2.0), Some(3.0), Some(1.0))))
+    assert(got("b") == ((2L, None, None, None)))
+    assert(got("c") == ((1L, None, None, None)))
+  }
+
+  test("cohortRetention: epoch-week triangle with returning users") {
+    import spark.implicits._
+    val wk = 604800L // seconds per week
+    def t(weeks: Long, off: Long = 0) =
+      new java.sql.Timestamp((weeks * wk + off) * 1000L)
+    val events = Seq(
+      (1L, t(100)), (1L, t(100, 60)), (1L, t(101)), // cohort 100, wks 0,1
+      (2L, t(100)), (2L, t(102)), // cohort 100, wks 0,2
+      (3L, t(101)) // cohort 101, wk 0
+    ).toDF("user_id", "ts")
+    val got = graft.ops.Stats.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((100L, 0L) -> 2L, (100L, 1L) -> 1L,
+      (100L, 2L) -> 1L, (101L, 0L) -> 1L))
+  }
+
   test("contentFeatures: BMP honors offset+row padding; WAV signs PCM") {
     import spark.implicits._
     // 3x1 24-bit BMP: rowSize = 12 (9 pixel bytes + 3 pad); pad bytes
