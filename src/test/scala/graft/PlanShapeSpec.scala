@@ -40,6 +40,31 @@ class PlanShapeSpec extends SparkSpec {
       s"no join-back broadcast of a data-sized summary:\n$plan")
   }
 
+  test("forwardFill: all value columns collapse into ONE Window operator") {
+    val df = Seq((1L, 1L, Some(1.0), Some(2.0), Some(3.0)))
+      .toDF("k", "ord", "a", "b", "c")
+    val plan = planOf(graft.ops.Rolling.forwardFill(
+      df, Seq("k"), Seq("ord"), Seq("a", "b", "c")))
+    assert(countOccurrences(plan, "Window") == 1,
+      s"three fills over one window spec must share one sort:\n$plan")
+  }
+
+  test("graft_cms aggregates partially (map-side combine before the shuffle)") {
+    val df = Seq(1L, 2L, 3L).toDF("h").repartition(4)
+    val plan = planOf(df.agg(expr("graft_cms(h, 4, 64)")))
+    // partial + final ObjectHashAggregate = the sketch merges map-side,
+    // shipping one fixed-size matrix per task instead of raw rows
+    assert(countOccurrences(plan, "ObjectHashAggregate") >= 2,
+      s"CMS must plan as a two-phase object hash aggregate:\n$plan")
+  }
+
+  test("explicit-domain pivot reads the table ONCE (no distinct-scan pass)") {
+    val plan = planOf(Graft.table(spark, sfDir, "documents")
+      .groupBy("source").pivot("lang", Seq("de", "en")).agg(count(lit(1))))
+    assert(countOccurrences(plan, "FileScan") == 1,
+      s"pivot with an explicit value list must not re-scan for values:\n$plan")
+  }
+
   test("filter and projection push into the parquet scan") {
     val q = Graft.table(spark, sfDir, "lineitem")
       .filter(col("l_returnflag") === "R")
