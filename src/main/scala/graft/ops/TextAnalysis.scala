@@ -410,6 +410,39 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** Per-document token entropy and type-token ratio — the lexical-
+    * diversity quality signals (low entropy = keyword stuffing /
+    * boilerplate; used alongside the Gopher gates and repetition
+    * signals). `H = ln(n) - (sum tf ln tf) / n` over the document's
+    * token frequencies — one combinable (doc, token) count and one
+    * per-doc aggregate; the corpus never joins anything.
+    *
+    * @return `idCol`, `n_tokens`, `n_types`, `ttr` (types/tokens),
+    *         `entropy` (nats) — floats rounded to 4, zero-token docs
+    *         null
+    */
+  def lexicalDiversity(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val per = tf.groupBy(idCol).agg(
+      sum("tf").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(col("tf").cast("double") * log(col("tf").cast("double")))
+        .as("_stlt"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        (round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 4) + lit(0.0)).as("ttr"),
+        (round(log(col("n_tokens").cast("double")) -
+          col("_stlt") / col("n_tokens").cast("double"), 4) + lit(0.0))
+          .as("entropy"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -4539,7 +4539,35 @@ object GemQueries {
              |  count(DISTINCT u) AS n_users
              |FROM w JOIN f USING (u)
              |GROUP BY cw, wk - cw
-             |ORDER BY cohort_week, weeks_since""".stripMargin))
+             |ORDER BY cohort_week, weeks_since""".stripMargin)),
+
+    // Lexical diversity (TextAnalysis.lexicalDiversity): per-doc token
+    // entropy H = ln(n) - (sum tf ln tf)/n and type-token ratio —
+    // low-diversity (stuffed/boilerplate) docs surface at the bottom.
+    QueryDef("q135_lexical_diversity",
+      (s, dir) => TextAnalysis.lexicalDiversity(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |    FROM documents)
+             |  GROUP BY doc_id, token),
+             |per AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_types,
+             |    sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS stlt
+             |  FROM tf GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(p.n_tokens, 0) AS n_tokens,
+             |  coalesce(p.n_types, 0) AS n_types,
+             |  round(CAST(p.n_types AS DOUBLE)
+             |    / CAST(p.n_tokens AS DOUBLE), 4) + 0.0 AS ttr,
+             |  round(ln(CAST(p.n_tokens AS DOUBLE))
+             |    - p.stlt / CAST(p.n_tokens AS DOUBLE), 4) + 0.0 AS entropy
+             |FROM documents d LEFT JOIN per p USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -293,6 +293,21 @@ class CurationOpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("lexicalDiversity: uniform text maxes entropy, repetition zeros it") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // 4 distinct tokens: H = ln 4; ttr = 1
+    val ln4 = BigDecimal(math.log(4.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, 4L, Some(1.0), Some(ln4))))
+    // one token repeated: H = 0, ttr = 0.25
+    assert(got(2L) == ((4L, 1L, Some(0.25), Some(0.0))))
+    assert(got(3L) == ((0L, 0L, None, None)))
+  }
+
   test("snapshotDiff: four statuses; null vs empty string is 'changed'") {
     val oldV = Seq(
       (1L, Some("a"), "x"), (2L, Some("b"), "x"), (3L, Some("c"), "x"),
