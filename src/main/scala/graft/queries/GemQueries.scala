@@ -2347,6 +2347,8 @@ object GemQueries {
             .select(lit(m).as("method"), col("hits"))
         hits("ivf", Similarity.ivfTopK(
             emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2))
+          .unionByName(hits("jl", Similarity.jlTopK(
+            emb, qs, "vec_id", "embedding", k = 10)))
           .unionByName(hits("lsh", Similarity.lshTopK(
             emb, qs, "vec_id", "embedding", k = 10, planes = 4)))
           .unionByName(hits("lsh_multi", Similarity.lshTopKMulti(
@@ -2414,9 +2416,44 @@ object GemQueries {
           |                         ORDER BY cos DESC, neighbor_id) AS rn
           |    FROM mscored) WHERE rn <= 10),
           |ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE "rank" <= 10),
+          |jlp AS (
+          |  SELECT vec_id, embedding,
+          |    list_transform(generate_series(0, 31), p ->
+          |      list_sum(list_transform(embedding, (v, i) ->
+          |        CAST(v AS DOUBLE) * (CASE WHEN
+          |          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+          |            CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+          |          THEN 1.0 ELSE -1.0 END))) / sqrt(32.0)) AS y
+          |  FROM embeddings),
+          |jpc AS (
+          |  SELECT c.vec_id AS neighbor_id, q.vec_id AS query_id,
+          |    c.embedding AS cvec, q.embedding AS qvec,
+          |    list_sum(list_transform(q.y, (x, i) -> x * c.y[i])) /
+          |    (sqrt(list_sum(list_transform(q.y, x -> x * x))) *
+          |     sqrt(list_sum(list_transform(c.y, x -> x * x)))) AS pcos
+          |  FROM jlp c CROSS JOIN jlp q
+          |  WHERE q.vec_id BETWEEN 100 AND 104
+          |    AND c.vec_id <> q.vec_id),
+          |jsl AS (SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY pcos DESC, neighbor_id) AS prank FROM jpc)
+          |  WHERE prank <= 200),
+          |jex AS (SELECT query_id, neighbor_id,
+          |""".stripMargin +
+        "    " + duckCos("qvec", "cvec") + " AS cos\n" +
+        """  FROM jsl),
+          |jl AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |                         ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM jex) WHERE rn <= 10),
           |hits AS (
           |  SELECT 'ivf' AS method, count(*) AS hits
           |  FROM ivf JOIN brute USING (query_id, neighbor_id)
+          |  UNION ALL
+          |  SELECT 'jl', count(*)
+          |  FROM jl JOIN brute USING (query_id, neighbor_id)
           |  UNION ALL
           |  SELECT 'lsh', count(*)
           |  FROM lsh JOIN brute USING (query_id, neighbor_id)
