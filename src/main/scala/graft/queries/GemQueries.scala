@@ -4604,7 +4604,57 @@ object GemQueries {
              |  round(ln(CAST(p.n_tokens AS DOUBLE))
              |    - p.stlt / CAST(p.n_tokens AS DOUBLE), 4) + 0.0 AS entropy
              |FROM documents d LEFT JOIN per p USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ROLLUP subtotals (Dataset.rollup): per-(source, lang) counts
+    // with per-source and grand-total rows in ONE pass (Catalyst
+    // Expand — no second scan, no union of re-aggregations). NULL
+    // group keys mark subtotal rows; the ORDER BY pins null placement
+    // explicitly because the engines' defaults differ.
+    QueryDef("q136_rollup_subtotals",
+      (s, dir) => t(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first),
+      Some("""SELECT source, lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY ROLLUP (source, lang)
+             |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
+
+    // Multiset set ops (Dataset.exceptAll / intersectAll): bag
+    // semantics with multiplicity (EXCEPT ALL keeps count differences,
+    // INTERSECT ALL keeps the min count) — Spark plans both as a
+    // single Expand+aggregate, no join. Aggregated per source so the
+    // emitted frame is deterministic.
+    QueryDef("q137_multiset_ops",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val en = docs.filter(col("lang") === "en").select("source")
+        val fr = docs.filter(col("lang") === "fr").select("source")
+        en.exceptAll(fr).groupBy("source").agg(count(lit(1)).as("n_except"))
+          .join(en.intersectAll(fr).groupBy("source")
+            .agg(count(lit(1)).as("n_intersect")), Seq("source"), "full_outer")
+          .select(col("source"),
+            coalesce(col("n_except"), lit(0L)).as("n_except"),
+            coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+          .orderBy("source")
+      },
+      Some("""WITH ex AS (
+             |  SELECT source, count(*) AS n_except FROM (
+             |    SELECT source FROM documents WHERE lang = 'en'
+             |    EXCEPT ALL
+             |    SELECT source FROM documents WHERE lang = 'fr')
+             |  GROUP BY source),
+             |ix AS (
+             |  SELECT source, count(*) AS n_intersect FROM (
+             |    SELECT source FROM documents WHERE lang = 'en'
+             |    INTERSECT ALL
+             |    SELECT source FROM documents WHERE lang = 'fr')
+             |  GROUP BY source)
+             |SELECT source, coalesce(n_except, 0) AS n_except,
+             |  coalesce(n_intersect, 0) AS n_intersect
+             |FROM ex FULL OUTER JOIN ix USING (source)
+             |ORDER BY source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
