@@ -4654,7 +4654,43 @@ object GemQueries {
              |SELECT source, coalesce(n_except, 0) AS n_except,
              |  coalesce(n_intersect, 0) AS n_intersect
              |FROM ex FULL OUTER JOIN ix USING (source)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Event-transition matrix (first-order Markov counts): per-user
+    // lag window (partitioned — never global), transition counts and
+    // integer-ppm row-conditional probabilities (floor-divided, the
+    // q87 discipline).
+    QueryDef("q138_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val tr = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("prev_type").agg(sum("n").as("n_prev"))
+        tr.join(tot, Seq("prev_type"))
+          .select(col("prev_type"), col("cur_type"), col("n"),
+            floor(col("n") * lit(1000000L) / col("n_prev")).cast("long")
+              .as("p_ppm"))
+          .orderBy("prev_type", "cur_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT prev_type, event_type AS cur_type, count(*) AS n
+             |  FROM (
+             |    SELECT user_id, event_type,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY event_id) AS prev_type
+             |    FROM events)
+             |  WHERE prev_type IS NOT NULL
+             |  GROUP BY prev_type, cur_type),
+             |tot AS (SELECT prev_type, sum(n) AS n_prev FROM tr
+             |        GROUP BY prev_type)
+             |SELECT t.prev_type, t.cur_type, t.n,
+             |  CAST(floor(t.n * 1000000 / tt.n_prev) AS BIGINT) AS p_ppm
+             |FROM tr t JOIN tot tt USING (prev_type)
+             |ORDER BY t.prev_type, t.cur_type""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
