@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Top principal component of an embedding column by distributed power
@@ -83,6 +83,59 @@ object Pca {
       .toDF("pos", "mu", "loading")
   }
 
+  /** Residual after removing `(mu, v)` — the UNROUNDED deflation step
+    * shared by [[removeTop]] and [[topComponents]]. `s` mirrors the
+    * training projection exactly (zip_with aggregate minus the mu.v
+    * scalar), so the oracle replays the deflated frame bit-for-bit.
+    */
+  private def residual(
+      vec: Column, mu: Array[Double], v: Array[Double],
+      dim: Int): Column = {
+    val muDotV = {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += mu(j) * v(j); j += 1 }; acc
+    }
+    val muLit = typedlit(mu.toSeq)
+    val vLit = typedlit(v.toSeq)
+    val s = aggregate(zip_with(vec, vLit, (a, b) => a.cast("double") * b),
+      lit(0.0), _ + _) - lit(muDotV)
+    transform(vec, (x, i) =>
+      x.cast("double") - element_at(muLit, i + 1) - s *
+        element_at(vLit, i + 1))
+  }
+
+  /** Top `k` principal components by DEFLATION: fit, subtract the
+    * fitted component from every vector (the [[removeTop]] residual,
+    * unrounded), fit again on the residual frame — each stage is the
+    * [[fit]] power iteration, so the whole trajectory stays
+    * oracle-replayable. The residual frames localCheckpoint per stage
+    * (lineage would otherwise double every component).
+    *
+    * @return one row per (component 1..k, pos 1..dim): the unit
+    *         loading (raw double, caller rounds)
+    */
+  def topComponents(
+      df: DataFrame, vecCol: String, dim: Int = 64, iters: Int = 3,
+      k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(col(vecCol).as("_v"))
+      .filter(size(col("_v")) === dim)
+    val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (c <- 1 to k) {
+      val (mu, v) = fit(cur, "_v", dim, iters)
+      comps += v
+      if (c < k)
+        cur = cur.select(residual(col("_v"), mu, v, dim).as("_v"))
+          .localCheckpoint(true)
+    }
+    spark.createDataset(for {
+      c <- 1 to k; p <- 1 to dim
+    } yield (c, p, comps(c - 1)(p - 1)))
+      .toDF("component", "pos", "loading")
+  }
+
   /** "All-but-the-top" post-processing (Mu & Viswanath ICLR'18):
     * subtract the mean and the top-component projection from every
     * embedding — `x' = x - mu - ((x - mu) . v) v` — the cheap fix for
@@ -97,21 +150,10 @@ object Pca {
       df: DataFrame, idCol: String, vecCol: String, dim: Int = 64,
       iters: Int = 3): DataFrame = {
     val (mu, v) = fit(df, vecCol, dim, iters)
-    val muDotV = {
-      var acc = 0.0; var j = 0
-      while (j < dim) { acc += mu(j) * v(j); j += 1 }; acc
-    }
-    val muLit = typedlit(mu.toSeq)
-    val vLit = typedlit(v.toSeq)
     val vec = col(vecCol)
-    val s = aggregate(zip_with(vec, vLit, (a, b) => a.cast("double") * b),
-      lit(0.0), _ + _) - lit(muDotV)
-    df.select(col(idCol), vec, s.as("s"))
-      .select(col(idCol),
-        when(size(vec) === dim,
-          transform(vec, (x, i) =>
-            round(x.cast("double") - element_at(muLit, i + 1) -
-              col("s") * element_at(vLit, i + 1), 4) + lit(0.0)))
-          .as("resid"))
+    df.select(col(idCol),
+      when(size(vec) === dim,
+        transform(residual(vec, mu, v, dim), e => round(e, 4) + lit(0.0)))
+        .as("resid"))
   }
 }

@@ -443,6 +443,40 @@ object TextAnalysis {
           .as("entropy"))
   }
 
+  /** Per-document script profile — character counts by EXPLICIT
+    * codepoint range (Latin letters, ASCII digits, CJK unified
+    * ideographs, Cyrillic) and the dominant script. Explicit ranges,
+    * not `\p{script=...}` classes: property classes differ across
+    * regex engines and Unicode versions, literal ranges cannot. The
+    * lang-ID sanity check (a doc tagged `en` that is 90% CJK is
+    * mislabeled) and the mixed-script spam signal.
+    *
+    * Pure per-row projection — four codegen'd regexp_replace+length
+    * passes, no shuffle. Dominant ties resolve in fixed priority
+    * latin > digit > cjk > cyrillic (deterministic in any engine).
+    */
+  def scriptProfile(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def n(ranges: String): Column =
+      length(regexp_replace(col(textCol), s"[^$ranges]", ""))
+        .cast("long")
+    val latin = n("A-Za-z")
+    val digit = n("0-9")
+    val cjk = n("一-鿿")
+    val cyr = n("Ѐ-ӿ")
+    df.select(col(idCol),
+        latin.as("n_latin"), digit.as("n_digit"),
+        cjk.as("n_cjk"), cyr.as("n_cyr"))
+      .withColumn("dominant",
+        when(col("n_latin") >= col("n_digit") &&
+          col("n_latin") >= col("n_cjk") &&
+          col("n_latin") >= col("n_cyr"), "latin")
+          .when(col("n_digit") >= col("n_cjk") &&
+            col("n_digit") >= col("n_cyr"), "digit")
+          .when(col("n_cjk") >= col("n_cyr"), "cjk")
+          .otherwise("cyrillic"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

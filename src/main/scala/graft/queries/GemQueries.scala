@@ -111,41 +111,66 @@ object GemQueries {
     * mu.v scalar) / `pt{i}`+`ptl{i}` (per-position X^T X v) / `pv{i}`
     * (the normalize). Ends at `pv{iters}`.
     */
-  private def pcaCtes(dim: Int, iters: Int): String = {
+  private def pcaCtes(
+      dim: Int, iters: Int, pfx: String = "",
+      src: String = "embeddings"): String = {
     val seed =
-      s"""poss AS (SELECT unnest(generate_series(1, $dim)) AS pos),
-         |pxs AS (SELECT embedding FROM embeddings
+      s"""${pfx}poss AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+         |${pfx}pxs AS MATERIALIZED (SELECT embedding FROM $src
          |        WHERE len(embedding) = $dim),
-         |pmu AS (SELECT p.pos, avg(CAST(x.embedding[CAST(p.pos AS INT)]
+         |${pfx}pmu AS (SELECT p.pos,
+         |          avg(CAST(x.embedding[CAST(p.pos AS INT)]
          |          AS DOUBLE)) AS m
-         |        FROM pxs x CROSS JOIN poss p GROUP BY p.pos),
-         |pml AS (SELECT list(m ORDER BY pos) AS ml FROM pmu),
-         |pv0 AS (SELECT list_transform(generate_series(1, $dim), j ->
+         |        FROM ${pfx}pxs x CROSS JOIN ${pfx}poss p GROUP BY p.pos),
+         |${pfx}pml AS (SELECT list(m ORDER BY pos) AS ml FROM ${pfx}pmu),
+         |${pfx}pv0 AS (SELECT list_transform(generate_series(1, $dim), j ->
          |    (CASE WHEN CAST(('0x' || substr(md5('0:' ||
          |        CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
          |      THEN 1.0 ELSE -1.0 END) / sqrt(CAST($dim AS DOUBLE)))
          |    AS vl)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""ps$i AS (SELECT x.embedding,
+      s"""${pfx}ps$i AS MATERIALIZED (SELECT x.embedding,
          |    list_sum(list_transform(x.embedding, (e, j) ->
          |      CAST(e AS DOUBLE) * v.vl[j]))
          |    - list_sum(list_transform(m.ml, (mm, j) -> mm * v.vl[j]))
          |      AS s
-         |  FROM pxs x CROSS JOIN pv${i - 1} v CROSS JOIN pml m),
-         |pst$i AS (SELECT sum(s) AS stot FROM ps$i),
-         |pt$i AS (SELECT p.pos,
+         |  FROM ${pfx}pxs x CROSS JOIN ${pfx}pv${i - 1} v
+         |  CROSS JOIN ${pfx}pml m),
+         |${pfx}pst$i AS (SELECT sum(s) AS stot FROM ${pfx}ps$i),
+         |${pfx}pt$i AS (SELECT p.pos,
          |    sum(CAST(s.embedding[CAST(p.pos AS INT)] AS DOUBLE) * s.s)
          |      AS txs
-         |  FROM ps$i s CROSS JOIN poss p GROUP BY p.pos),
-         |ptl$i AS (SELECT list(t.txs - mu.m * (SELECT stot FROM pst$i)
+         |  FROM ${pfx}ps$i s CROSS JOIN ${pfx}poss p GROUP BY p.pos),
+         |${pfx}ptl$i AS (SELECT
+         |    list(t.txs - mu.m * (SELECT stot FROM ${pfx}pst$i)
          |    ORDER BY t.pos) AS l
-         |  FROM pt$i t JOIN pmu mu USING (pos)),
-         |pv$i AS (SELECT list_transform(l, e -> e /
+         |  FROM ${pfx}pt$i t JOIN ${pfx}pmu mu USING (pos)),
+         |${pfx}pv$i AS (SELECT list_transform(l, e -> e /
          |    sqrt(list_sum(list_transform(l, x -> x * x)))) AS vl
-         |  FROM ptl$i)""".stripMargin
+         |  FROM ${pfx}ptl$i)""".stripMargin
     }
     (seed +: rounds).mkString(",\n")
   }
+
+  /** Deflation CTE on top of a fitted [[pcaCtes]] stage: the residual
+    * frame `x - mu - ((x - mu).v) v` (unrounded), mirroring
+    * `Pca.residual`. `fromPfx` names the fitted stage, `out` the
+    * emitted CTE (column `embedding`, DOUBLE list).
+    */
+  private def pcaDeflCtes(fromPfx: String, iters: Int, out: String): String =
+    s"""${out}_s AS (SELECT x.embedding,
+       |    list_sum(list_transform(x.embedding, (e, j) ->
+       |      CAST(e AS DOUBLE) * v.vl[j]))
+       |    - list_sum(list_transform(m.ml, (mm, j) -> mm * v.vl[j]))
+       |      AS s
+       |  FROM ${fromPfx}pxs x CROSS JOIN ${fromPfx}pv$iters v
+       |  CROSS JOIN ${fromPfx}pml m),
+       |$out AS MATERIALIZED (SELECT
+       |    list_transform(generate_series(1, 64), j ->
+       |    CAST(p.embedding[CAST(j AS INT)] AS DOUBLE) - m.ml[j]
+       |      - p.s * v.vl[j]) AS embedding
+       |  FROM ${out}_s p CROSS JOIN ${fromPfx}pml m
+       |  CROSS JOIN ${fromPfx}pv$iters v)""".stripMargin
 
   /** Oracle twin of [[graft.ops.LogReg.train]]: hashed unigram+bigram
     * features L1-normalized per doc (`lx`), label = (lang = 'en'),
@@ -4690,7 +4715,68 @@ object GemQueries {
              |SELECT t.prev_type, t.cur_type, t.n,
              |  CAST(floor(t.n * 1000000 / tt.n_prev) AS BIGINT) AS p_ppm
              |FROM tr t JOIN tot tt USING (prev_type)
-             |ORDER BY t.prev_type, t.cur_type""".stripMargin))
+             |ORDER BY t.prev_type, t.cur_type""".stripMargin)),
+
+    // Script profile (TextAnalysis.scriptProfile): explicit-codepoint-
+    // range character counts + dominant script — all integers, the
+    // literal ranges (not \p classes) are engine-version-proof.
+    QueryDef("q139_script_profile",
+      (s, dir) => TextAnalysis.scriptProfile(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |    AS n_latin,
+             |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             |  length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+             |  length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyr,
+             |  CASE
+             |    WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |     AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+             |     AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+             |    THEN 'latin'
+             |    WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+             |     AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+             |    THEN 'digit'
+             |    WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+             |    THEN 'cjk'
+             |    ELSE 'cyrillic' END AS dominant
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multi-component PCA by deflation (Pca.topComponents): three
+    // components, each a full q122 power-iteration stage on the
+    // previous stage's residual frame — the whitening basis for
+    // all-but-the-top-K. Oracle = three chained pcaCtes stages joined
+    // by the shared deflation generator.
+    QueryDef("q140_pca_components",
+      (s, dir) => Pca.topComponents(
+          t(s, dir, "embeddings"), "embedding", dim = 64, iters = 3, k = 3)
+        .select(col("component"), col("pos"),
+          (round(col("loading"), 4) + lit(0.0)).as("loading"))
+        .orderBy("component", "pos"),
+      Some("WITH " + pcaCtes(64, 3) + ",\n" +
+        pcaDeflCtes("", 3, "defl") + ",\n" +
+        pcaCtes(64, 3, "d", "defl") + ",\n" +
+        pcaDeflCtes("d", 3, "defl2") + ",\n" +
+        pcaCtes(64, 3, "dd", "defl2") + "\n" +
+        """SELECT 1 AS component, CAST(p.pos AS INT) AS pos,
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0 AS loading
+          |FROM poss p CROSS JOIN pv3 v
+          |UNION ALL
+          |SELECT 2, CAST(p.pos AS INT),
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0
+          |FROM dposs p CROSS JOIN dpv3 v
+          |UNION ALL
+          |SELECT 3, CAST(p.pos AS INT),
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0
+          |FROM ddposs p CROSS JOIN ddpv3 v
+          |ORDER BY component, pos""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

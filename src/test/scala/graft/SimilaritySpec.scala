@@ -168,6 +168,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("pca topComponents: deflation recovers two planted axes, orthogonal") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.05f)
+      v(0) += (rnd.nextGaussian() * 10).toFloat // dominant axis
+      v(5) += (rnd.nextGaussian() * 4).toFloat // second axis
+      Tuple1(v)
+    }
+    val comps = graft.ops.Pca.topComponents(
+        rows.toDF("embedding"), "embedding", dim = 64, iters = 3, k = 2)
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (c, a) =>
+        c -> a.sortBy(_._2).map(_._3) }
+    assert(math.abs(comps(1)(0)) > 0.99, s"c1 not axis 0: ${comps(1)(0)}")
+    assert(math.abs(comps(2)(5)) > 0.99, s"c2 not axis 5: ${comps(2)(5)}")
+    val dot = comps(1).zip(comps(2)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.01, s"components not orthogonal: $dot")
+  }
+
   test("pca removeTop: residuals are centered and v-orthogonal") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 200L).map { i =>
