@@ -4776,7 +4776,64 @@ object GemQueries {
           |SELECT 3, CAST(p.pos AS INT),
           |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0
           |FROM ddposs p CROSS JOIN ddpv3 v
-          |ORDER BY component, pos""".stripMargin))
+          |ORDER BY component, pos""".stripMargin)),
+
+    // CUBE with grouping flags (Dataset.cube + grouping()): all four
+    // aggregation levels in one Expand pass, each row tagged with
+    // which keys are subtotaled — the OLAP surface next to q136's
+    // ROLLUP. The flag computes from grouping() per column so the
+    // engines' grouping_id bit orders cannot disagree.
+    QueryDef("q141_cube_grouping",
+      (s, dir) => t(s, dir, "documents")
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("source")).cast("int") * 2 +
+            grouping(col("lang")).cast("int")).as("gflag"))
+        .select("source", "lang", "n", "gflag")
+        .orderBy(col("gflag"), col("source").asc_nulls_first,
+          col("lang").asc_nulls_first),
+      Some("""SELECT source, lang, count(*) AS n,
+             |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gflag
+             |FROM documents GROUP BY CUBE (source, lang)
+             |ORDER BY gflag, source NULLS FIRST, lang NULLS FIRST"""
+        .stripMargin)),
+
+    // Left semi / anti joins (the EXISTS / NOT EXISTS surface): orders
+    // split by whether any line item exceeds the price threshold —
+    // both planned as one-sided joins that never materialize the
+    // probe side's columns.
+    QueryDef("q142_semi_anti_join",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 40000)
+          .select(col("l_orderkey").as("o_orderkey"))
+        val semi = orders.join(big, Seq("o_orderkey"), "left_semi")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_with"))
+        val anti = orders.join(big, Seq("o_orderkey"), "left_anti")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_without"))
+        semi.join(anti, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            coalesce(col("n_with"), lit(0L)).as("n_with"),
+            coalesce(col("n_without"), lit(0L)).as("n_without"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH sw AS (
+             |  SELECT o_orderstatus, count(*) AS n_with FROM orders o
+             |  WHERE EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey
+             |      AND l.l_extendedprice > 40000)
+             |  GROUP BY o_orderstatus),
+             |an AS (
+             |  SELECT o_orderstatus, count(*) AS n_without FROM orders o
+             |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey
+             |      AND l.l_extendedprice > 40000)
+             |  GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, coalesce(n_with, 0) AS n_with,
+             |  coalesce(n_without, 0) AS n_without
+             |FROM sw FULL OUTER JOIN an USING (o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
