@@ -4833,7 +4833,33 @@ object GemQueries {
              |SELECT o_orderstatus, coalesce(n_with, 0) AS n_with,
              |  coalesce(n_without, 0) AS n_without
              |FROM sw FULL OUTER JOIN an USING (o_orderstatus)
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Exact interpolated percentiles (percentile ≡ quantile_cont):
+    // per-language n_chars quartiles + p95 in ONE aggregate pass —
+    // the exact-percentile surface next to the approximate tier paths
+    // (q85/q105). Both engines interpolate linearly over sorted
+    // integers, so the emitted doubles agree exactly.
+    QueryDef("q143_exact_percentiles",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          (round(expr("percentile(n_chars, 0.25)"), 4) + lit(0.0))
+            .as("p25"),
+          (round(expr("percentile(n_chars, 0.5)"), 4) + lit(0.0))
+            .as("p50"),
+          (round(expr("percentile(n_chars, 0.75)"), 4) + lit(0.0))
+            .as("p75"),
+          (round(expr("percentile(n_chars, 0.95)"), 4) + lit(0.0))
+            .as("p95"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n,
+             |  round(quantile_cont(n_chars, 0.25), 4) + 0.0 AS p25,
+             |  round(quantile_cont(n_chars, 0.5), 4) + 0.0 AS p50,
+             |  round(quantile_cont(n_chars, 0.75), 4) + 0.0 AS p75,
+             |  round(quantile_cont(n_chars, 0.95), 4) + 0.0 AS p95
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
