@@ -279,6 +279,38 @@ class StreamingModeSpec extends SparkSpec {
     assert(merged.last_ts == ts("2024-01-01 00:40:00"))
   }
 
+  test("graft_cms aggregates as streaming state (Complete mode, 2 batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sketched = input.toDF().toDF("token")
+      .select(graft.functions.Hashing.portableHash(
+        org.apache.spark.sql.functions.col("token")).as("h"))
+      .selectExpr("graft_cms(h, 4, 64) AS sk")
+    val q = sketched.writeStream.format("memory").queryName("cms_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a", "c")
+      q.processAllAvailable()
+      val sk = spark.table("cms_test").head.getSeq[Long](0)
+      assert(sk.length == 4 * 64)
+      // every occurrence lands once per row across BOTH batches
+      assert(sk.sum == 4L * 5)
+      // estimate for "a" (reusing the batch-side estimate expression)
+      val est = spark.table("cms_test")
+        .select(graft.functions.CmsSketch.estimate(
+          org.apache.spark.sql.functions.col("sk"),
+          graft.functions.Hashing.portableHash(
+            org.apache.spark.sql.functions.lit("a")), 4, 64))
+        .head.getLong(0)
+      assert(est >= 3L) // CMS never underestimates; 3 "a"s arrived
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS cms_test")
+    }
+  }
+
   test("fillForward carries the last observation ACROSS micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Option[Double])]
