@@ -4859,7 +4859,56 @@ object GemQueries {
              |  round(quantile_cont(n_chars, 0.5), 4) + 0.0 AS p50,
              |  round(quantile_cont(n_chars, 0.75), 4) + 0.0 AS p75,
              |  round(quantile_cont(n_chars, 0.95), 4) + 0.0 AS p95
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Data-quality expectations (Expectations.report, the Deequ/Great
+    // Expectations publish gate): five declared constraints over
+    // orders evaluated in one aggregate pass (+ one distinct pass for
+    // the uniqueness grain), emitting the violation report.
+    QueryDef("q144_expectations",
+      (s, dir) => {
+        import graft.ops.Expectations
+        import graft.ops.Expectations._
+        Expectations.report(t(s, dir, "orders"), Seq(
+          NotNull("o_custkey"),
+          Unique("o_orderkey"),
+          InRange("o_totalprice", 0, 600000),
+          InSet("o_orderstatus", Seq("F", "O", "P")),
+          Matches("o_orderpriority", "^[1-5]-")))
+          .orderBy("check")
+      },
+      Some("""WITH u AS (
+             |SELECT 'not_null(o_custkey)' AS "check", count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_violations
+             |FROM orders
+             |UNION ALL
+             |SELECT 'unique(o_orderkey)', count(*),
+             |  CAST(count(*) - count(DISTINCT o_orderkey)
+             |    - (CASE WHEN count(*) > count(o_orderkey) THEN 1
+             |       ELSE 0 END) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'in_range(o_totalprice)', count(*),
+             |  CAST(sum(CASE WHEN o_totalprice IS NULL
+             |    OR o_totalprice < 0 OR o_totalprice > 600000
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'in_set(o_orderstatus)', count(*),
+             |  CAST(sum(CASE WHEN o_orderstatus IS NULL
+             |    OR o_orderstatus NOT IN ('F', 'O', 'P')
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'matches(o_orderpriority)', count(*),
+             |  CAST(sum(CASE WHEN o_orderpriority IS NULL
+             |    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders)
+             |SELECT "check", n_rows, n_violations,
+             |  n_violations = 0 AS ok
+             |FROM u ORDER BY "check"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -250,6 +250,30 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5).count() == 2)
   }
 
+  test("expectations: each check counts its own violations exactly") {
+    import spark.implicits._
+    import graft.ops.Expectations
+    import graft.ops.Expectations._
+    val df = Seq(
+      (Some(1L), Some("a"), 5.0, "F", "1-URGENT"),
+      (Some(2L), Some("b"), -1.0, "X", "9-BAD"), // range + set + regex
+      (None, Some("b"), 10.0, "O", "2-HIGH"), // null key + dup "b"
+      (Some(4L), None, 10.0, "F", "3-MEDIUM"), // null unique-col value
+      (Some(5L), None, 10.0, "F", "3-MEDIUM") // second null: +1 dup
+    ).toDF("k", "u", "v", "st", "pr")
+    val got = Expectations.report(df, Seq(
+        NotNull("k"), Unique("u"), InRange("v", 0, 9),
+        InSet("st", Seq("F", "O")), Matches("pr", "^[1-5]-")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got("not_null(k)") == ((1L, false)))
+    // values: a, b, b, null, null -> 5 rows, 3 distinct incl. null
+    assert(got("unique(u)") == ((2L, false)))
+    assert(got("in_range(v)") == ((4L, false))) // -1 plus three 10s
+    assert(got("in_set(st)") == ((1L, false)))
+    assert(got("matches(pr)") == ((1L, false)))
+  }
+
   test("groupedOls: exact fit on a perfect line; constant x -> nulls") {
     import spark.implicits._
     val df = Seq(
