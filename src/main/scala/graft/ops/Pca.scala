@@ -136,6 +136,29 @@ object Pca {
       .toDF("component", "pos", "loading")
   }
 
+  /** All-but-the-top-K: [[removeTop]] generalized through the
+    * [[topComponents]] deflation loop — subtract the top `k`
+    * components (each fitted on the previous residual) from every
+    * vector, keeping ids attached. K=2..8 is the usual operating
+    * range for embedding isotropy correction.
+    *
+    * @return `idCol`, `resid` (array of `dim` doubles rounded to 4)
+    */
+  def removeTopK(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int = 64,
+      iters: Int = 3, k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var cur = df.select(col(idCol), col(vecCol).as("_v"))
+      .filter(size(col("_v")) === dim)
+    for (_ <- 1 to k) {
+      val (mu, v) = fit(cur.select("_v"), "_v", dim, iters)
+      cur = cur.select(col(idCol), residual(col("_v"), mu, v, dim).as("_v"))
+        .localCheckpoint(true)
+    }
+    cur.select(col(idCol),
+      transform(col("_v"), e => round(e, 4) + lit(0.0)).as("resid"))
+  }
+
   /** "All-but-the-top" post-processing (Mu & Viswanath ICLR'18):
     * subtract the mean and the top-component projection from every
     * embedding — `x' = x - mu - ((x - mu) . v) v` — the cheap fix for

@@ -172,6 +172,27 @@ object GemQueries {
        |  FROM ${out}_s p CROSS JOIN ${fromPfx}pml m
        |  CROSS JOIN ${fromPfx}pv$iters v)""".stripMargin
 
+  /** Id-carrying twin of [[pcaDeflCtes]]: residual rows
+    * `(vec_id, embedding)` of `src` under the `fromPfx`-stage fit —
+    * for the all-but-top-K query, whose output keeps ids.
+    */
+  private def pcaResidCtes(
+      fromPfx: String, iters: Int, src: String, out: String): String =
+    s"""${out}_s AS (SELECT e.vec_id, e.embedding,
+       |    list_sum(list_transform(e.embedding, (x, j) ->
+       |      CAST(x AS DOUBLE) * v.vl[j]))
+       |    - list_sum(list_transform(m.ml, (mm, j) -> mm * v.vl[j]))
+       |      AS s
+       |  FROM $src e CROSS JOIN ${fromPfx}pv$iters v
+       |  CROSS JOIN ${fromPfx}pml m
+       |  WHERE len(e.embedding) = 64),
+       |$out AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(generate_series(1, 64), j ->
+       |    CAST(p.embedding[CAST(j AS INT)] AS DOUBLE) - m.ml[j]
+       |      - p.s * v.vl[j]) AS embedding
+       |  FROM ${out}_s p CROSS JOIN ${fromPfx}pml m
+       |  CROSS JOIN ${fromPfx}pv$iters v)""".stripMargin
+
   /** Oracle twin of [[graft.ops.LogReg.train]]: hashed unigram+bigram
     * features L1-normalized per doc (`lx`), label = (lang = 'en'),
     * then `iters` unrolled full-batch GD rounds `m{i}` (per-doc
@@ -4908,7 +4929,24 @@ object GemQueries {
              |FROM orders)
              |SELECT "check", n_rows, n_violations,
              |  n_violations = 0 AS ok
-             |FROM u ORDER BY "check"""".stripMargin))
+             |FROM u ORDER BY "check"""".stripMargin)),
+
+    // All-but-the-top-K (Pca.removeTopK): subtract the top 2 deflated
+    // components from every embedding, ids kept — q123 generalized
+    // through q140's deflation. Stage 2 fits on the id-carrying
+    // residual frame (same values as q140's idless one).
+    QueryDef("q145_remove_top_k",
+      (s, dir) => Pca.removeTopK(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iters = 3, k = 2)
+        .orderBy("vec_id"),
+      Some("WITH " + pcaCtes(64, 3) + ",\n" +
+        pcaResidCtes("", 3, "embeddings", "r1") + ",\n" +
+        pcaCtes(64, 3, "d", "r1") + ",\n" +
+        pcaResidCtes("d", 3, "r1", "r2") + "\n" +
+        """SELECT vec_id,
+          |  list_transform(embedding, e -> round(e, 4) + 0.0) AS resid
+          |FROM r2 ORDER BY vec_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
