@@ -172,6 +172,30 @@ object GemQueries {
        |  FROM ${out}_s p CROSS JOIN ${fromPfx}pml m
        |  CROSS JOIN ${fromPfx}pv$iters v)""".stripMargin
 
+  /** Oracle twin of [[graft.ops.TextAnalysis.tfidfTopTerms]] over any
+    * `(idCol, text)` source CTE/table: `tok`/`tf`/`dfq`/`nd`/`sc`/`r`
+    * — `r` carries the rank window (score DESC, term). ONE generator
+    * shared by q114 and q146 so the scoring cannot drift.
+    */
+  private def tfidfCtes(src: String, idCol: String, k: Int): String =
+    s"""tok AS (
+       |  SELECT $idCol, unnest(list_filter(
+       |    string_split_regex(text, ' +'), t -> t <> '')) AS term
+       |  FROM $src),
+       |tf AS (SELECT $idCol, term, count(*) AS tf
+       |       FROM tok GROUP BY $idCol, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |nd AS (SELECT count(*) AS n_docs FROM $src),
+       |sc AS (
+       |  SELECT t.$idCol, t.term, t.tf, d.df,
+       |    t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+       |  FROM tf t JOIN dfq d USING (term) CROSS JOIN nd n),
+       |r AS (
+       |  SELECT $idCol, term, tf, df, score,
+       |    CAST(row_number() OVER (PARTITION BY $idCol
+       |      ORDER BY score DESC, term) AS INT) AS "rank"
+       |  FROM sc)""".stripMargin
+
   /** Id-carrying twin of [[pcaDeflCtes]]: residual rows
     * `(vec_id, embedding)` of `src` under the `fromPfx`-stage fit —
     * for the all-but-top-K query, whose output keeps ids.
@@ -3933,26 +3957,10 @@ object GemQueries {
       (s, dir) => TextAnalysis.tfidfTopTerms(
         t(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(list_filter(
-             |    string_split_regex(text, ' +'), t -> t <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf
-             |       FROM tok GROUP BY doc_id, term),
-             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-             |nd AS (SELECT count(*) AS n_docs FROM documents),
-             |sc AS (
-             |  SELECT t.doc_id, t.term, t.tf, d.df,
-             |    t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
-             |  FROM tf t JOIN dfq d USING (term) CROSS JOIN nd n),
-             |r AS (
-             |  SELECT doc_id, term, tf, df, score,
-             |    CAST(row_number() OVER (PARTITION BY doc_id
-             |      ORDER BY score DESC, term) AS INT) AS "rank"
-             |  FROM sc)
-             |SELECT doc_id, "rank", term, tf, df,
-             |  round(score, 4) AS tfidf
-             |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin)),
+      Some("WITH " + tfidfCtes("documents", "doc_id", 3) + "\n" +
+        """SELECT doc_id, "rank", term, tf, df,
+          |  round(score, 4) AS tfidf
+          |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin)),
 
     // DSIR importance resampling (Dsir.importanceSelect): weight every
     // document by the hashed-unigram+bigram log-ratio of the English
@@ -4946,7 +4954,41 @@ object GemQueries {
         pcaResidCtes("d", 3, "r1", "r2") + "\n" +
         """SELECT vec_id,
           |  list_transform(embedding, e -> round(e, 4) + 0.0) AS resid
-          |FROM r2 ORDER BY vec_id""".stripMargin))
+          |FROM r2 ORDER BY vec_id""".stripMargin)),
+
+    // Cluster naming (q61 clusters + q114 TF-IDF composed): each
+    // near-dup cluster becomes one "document" (member texts
+    // concatenated in DETERMINISTIC text order — scale caveat: bounded
+    // by cluster size; a degenerate giant cluster would need the
+    // term-level path), then top-3 characteristic terms per cluster.
+    // Shares minhashVerifiedCtes + clusterChainCtes + tfidfCtes.
+    QueryDef("q146_cluster_names",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val clusters = Components.dedupClusters(
+          docs, "doc_id", pairs, "id_a", "id_b")
+        val ctext = clusters.join(docs, Seq("doc_id"))
+          .groupBy("component")
+          .agg(array_join(sort_array(collect_list(col("text"))), " ")
+            .as("text"))
+        TextAnalysis.tfidfTopTerms(ctext, "component", "text", k = 3)
+          .orderBy("component", "rank")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        """ctext AS (
+          |  SELECT comp.component,
+          |    string_agg(d.text, ' ' ORDER BY d.text) AS text
+          |  FROM comp JOIN documents d ON d.doc_id = comp.id
+          |  GROUP BY comp.component),
+          |""".stripMargin +
+        tfidfCtes("ctext", "component", 3) + "\n" +
+        """SELECT component, "rank", term, tf, df,
+          |  round(score, 4) AS tfidf
+          |FROM r WHERE "rank" <= 3 ORDER BY component, "rank""""
+          .stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
