@@ -4988,7 +4988,76 @@ object GemQueries {
         """SELECT component, "rank", term, tf, df,
           |  round(score, 4) AS tfidf
           |FROM r WHERE "rank" <= 3 ORDER BY component, "rank""""
-          .stripMargin))
+          .stripMargin)),
+
+    // Classifier evaluation (train -> score -> confusion matrix):
+    // q118's model applied to its corpus at the z >= 0 decision
+    // boundary, with integer-ppm precision/recall/F1 (the q87 floor-
+    // divide discipline; featureless docs predict negative). Shares
+    // logregCtes with q118/q119.
+    QueryDef("q147_logreg_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        val model = LogReg.train(docs, "doc_id", "text", "y",
+          dim = 256, lr = 1.0, iters = 3)
+        val scored = docs.select(col("doc_id"), col("y"))
+          .join(LogReg.score(docs, "doc_id", "text", model, dim = 256)
+            .select(col("doc_id"), col("z")), Seq("doc_id"), "left")
+          .select(col("y"),
+            (coalesce(col("z"), lit(-1.0)) >= 0).cast("int").as("pred"))
+        scored.agg(
+            sum(when(col("y") === 1 && col("pred") === 1, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0 && col("pred") === 1, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("y") === 0 && col("pred") === 0, 1L)
+              .otherwise(0L)).as("tn"),
+            sum(when(col("y") === 1 && col("pred") === 0, 1L)
+              .otherwise(0L)).as("fn"))
+          .select(col("tp"), col("fp"), col("tn"), col("fn"),
+            when(col("tp") + col("fp") > 0,
+              floor(col("tp") * lit(1000000L) / (col("tp") + col("fp")))
+                .cast("long")).as("precision_ppm"),
+            when(col("tp") + col("fn") > 0,
+              floor(col("tp") * lit(1000000L) / (col("tp") + col("fn")))
+                .cast("long")).as("recall_ppm"),
+            when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+              floor(col("tp") * lit(2000000L) /
+                (lit(2L) * col("tp") + col("fp") + col("fn")))
+                .cast("long")).as("f1_ppm"))
+      },
+      Some("WITH " + logregCtes(dim = 256, lr = "1.0", iters = 3) + ",\n" +
+        """esc AS (
+          |  SELECT t.doc_id, sum(t.x * w.w) AS z
+          |  FROM lx t JOIN w3 w USING (bucket) GROUP BY t.doc_id),
+          |pr AS (
+          |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+          |    CASE WHEN coalesce(s.z, -1.0) >= 0 THEN 1 ELSE 0 END
+          |      AS pred
+          |  FROM documents d LEFT JOIN esc s USING (doc_id)),
+          |cm AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS tp,
+          |    CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS fp,
+          |    CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS tn,
+          |    CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS fn
+          |  FROM pr)
+          |SELECT tp, fp, tn, fn,
+          |  CAST(CASE WHEN tp + fp > 0
+          |    THEN floor(tp * 1000000 / (tp + fp)) END AS BIGINT)
+          |    AS precision_ppm,
+          |  CAST(CASE WHEN tp + fn > 0
+          |    THEN floor(tp * 1000000 / (tp + fn)) END AS BIGINT)
+          |    AS recall_ppm,
+          |  CAST(CASE WHEN 2 * tp + fp + fn > 0
+          |    THEN floor(tp * 2000000 / (2 * tp + fp + fn)) END
+          |    AS BIGINT) AS f1_ppm
+          |FROM cm""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
