@@ -39,13 +39,20 @@ object LogReg {
     val spark = df.sparkSession
     val labels = df.select(col(idCol),
       col(labelCol).cast("double").as("y"))
-    val feats = Dsir.docFeatures(df, idCol, textCol, dim)
+    val hashed = Dsir.docFeatures(df, idCol, textCol, dim)
       .withColumn("x",
         col("n").cast("double") /
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
             .partitionBy(idCol)))
       .join(labels, Seq(idCol))
       .select(col(idCol), col("bucket"), col("x"), col("y"))
+    // bucket -1 is the INTERCEPT: x = 1 on every doc that has any
+    // feature, so the model can express the class prior instead of
+    // saturating on the majority class
+    val feats = hashed.unionByName(
+        hashed.select(col(idCol), col("y")).distinct()
+          .select(col(idCol), lit(-1L).as("bucket"),
+            lit(1.0).as("x"), col("y")))
       .localCheckpoint(true)
     val nDocs = feats.select(idCol).distinct().count().toDouble
     // w = 0 for every bucket that occurs anywhere in the corpus
@@ -79,11 +86,14 @@ object LogReg {
   def score(
       df: DataFrame, idCol: String, textCol: String, model: DataFrame,
       dim: Int = 256): DataFrame = {
-    val feats = Dsir.docFeatures(df, idCol, textCol, dim)
+    val hashed = Dsir.docFeatures(df, idCol, textCol, dim)
       .withColumn("x",
         col("n").cast("double") /
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
             .partitionBy(idCol)))
+    val feats = hashed.select(col(idCol), col("bucket"), col("x"))
+      .unionByName(hashed.select(col(idCol)).distinct()
+        .select(col(idCol), lit(-1L).as("bucket"), lit(1.0).as("x")))
     feats.join(broadcast(model), Seq("bucket"))
       .groupBy(idCol)
       .agg(sum(col("x") * col("w")).as("z"))

@@ -224,11 +224,13 @@ object GemQueries {
     * update). Ends at `w{iters}`. ONE generator shared by q118/q119
     * so the training trajectories cannot drift.
     */
-  private def logregCtes(dim: Int, lr: String, iters: Int): String = {
+  private def logregCtes(dim: Int, lr: String, iters: Int,
+      label: String = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END")
+      : String = {
     val seed =
       s"""ltkl AS (
          |  SELECT doc_id,
-         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    $label AS y,
          |    list_filter(string_split_regex(text, ' +'),
          |      t -> t <> '') AS tk
          |  FROM documents),
@@ -243,21 +245,29 @@ object GemQueries {
          |    ${Hashing.duckPortableHash("f")} % $dim AS bucket,
          |    count(*) AS n
          |  FROM lf GROUP BY doc_id, y, bucket),
-         |lx AS (
+         |lx AS MATERIALIZED (
          |  SELECT doc_id, y, bucket, CAST(n AS DOUBLE) /
          |    CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
          |  FROM lfb),
+         |lxb AS MATERIALIZED (
+         |  SELECT * FROM lx
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id, y, CAST(-1 AS BIGINT) AS bucket,
+         |    1.0 AS x
+         |  FROM lx),
          |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd
-         |       FROM lx),
-         |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM lx)""".stripMargin
+         |       FROM lxb),
+         |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM lxb)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""m$i AS (SELECT t.doc_id,
          |    1.0 / (1.0 + exp(-sum(t.x * w.w))) - max(t.y) AS err
-         |  FROM lx t JOIN w${i - 1} w USING (bucket) GROUP BY t.doc_id),
+         |  FROM lxb t JOIN w${i - 1} w USING (bucket)
+         |  GROUP BY t.doc_id),
          |g$i AS (SELECT t.bucket,
          |    sum(t.x * m.err) / (SELECT nd FROM nd) AS g
-         |  FROM lx t JOIN m$i m USING (doc_id) GROUP BY t.bucket),
-         |w$i AS (SELECT w.bucket, w.w - $lr * coalesce(g.g, 0.0) AS w
+         |  FROM lxb t JOIN m$i m USING (doc_id) GROUP BY t.bucket),
+         |w$i AS MATERIALIZED (SELECT w.bucket,
+         |    w.w - $lr * coalesce(g.g, 0.0) AS w
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (bucket))""".stripMargin
     }
     (seed +: rounds).mkString(",\n")
@@ -4140,7 +4150,7 @@ object GemQueries {
       Some("WITH " + logregCtes(dim = 256, lr = "1.0", iters = 3) + ",\n" +
         """sc AS (
           |  SELECT t.doc_id, sum(t.x * w.w) AS z
-          |  FROM lx t JOIN w3 w USING (bucket) GROUP BY t.doc_id)
+          |  FROM lxb t JOIN w3 w USING (bucket) GROUP BY t.doc_id)
           |SELECT d.doc_id, round(s.z, 4) + 0.0 AS z,
           |  round(1.0 / (1.0 + exp(-s.z)), 4) + 0.0 AS p
           |FROM documents d LEFT JOIN sc s USING (doc_id)
@@ -4991,16 +5001,21 @@ object GemQueries {
           .stripMargin)),
 
     // Classifier evaluation (train -> score -> confusion matrix):
-    // q118's model applied to its corpus at the z >= 0 decision
-    // boundary, with integer-ppm precision/recall/F1 (the q87 floor-
-    // divide discipline; featureless docs predict negative). Shares
-    // logregCtes with q118/q119.
+    // integer-ppm precision/recall/F1 at the z >= 0 boundary
+    // (featureless docs predict negative; q87's floor-divide
+    // discipline). On THIS corpus the label ("contains 'join'", 79%
+    // prior) has only one informative feature, so 10 full-batch
+    // rounds honestly sit at the majority-class operating point
+    // (precision = prior, recall 1) — the separable-toy spec in
+    // CurationOpsSpec shows the same loop separating when signal
+    // exists. Shares logregCtes with q118/q119.
     QueryDef("q147_logreg_eval",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .withColumn("y", (col("lang") === "en").cast("int"))
+          .withColumn("y",
+            (instr(col("text"), "join") > 0).cast("int"))
         val model = LogReg.train(docs, "doc_id", "text", "y",
-          dim = 256, lr = 1.0, iters = 3)
+          dim = 256, lr = 5.0, iters = 10)
         val scored = docs.select(col("doc_id"), col("y"))
           .join(LogReg.score(docs, "doc_id", "text", model, dim = 256)
             .select(col("doc_id"), col("z")), Seq("doc_id"), "left")
@@ -5027,12 +5042,15 @@ object GemQueries {
                 (lit(2L) * col("tp") + col("fp") + col("fn")))
                 .cast("long")).as("f1_ppm"))
       },
-      Some("WITH " + logregCtes(dim = 256, lr = "1.0", iters = 3) + ",\n" +
+      Some("WITH " + logregCtes(dim = 256, lr = "5.0", iters = 10,
+        label = "CASE WHEN instr(text, 'join') > 0 " +
+          "THEN 1.0 ELSE 0.0 END") + ",\n" +
         """esc AS (
           |  SELECT t.doc_id, sum(t.x * w.w) AS z
-          |  FROM lx t JOIN w3 w USING (bucket) GROUP BY t.doc_id),
+          |  FROM lxb t JOIN w10 w USING (bucket) GROUP BY t.doc_id),
           |pr AS (
-          |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+          |  SELECT CASE WHEN instr(d.text, 'join') > 0
+          |    THEN 1 ELSE 0 END AS y,
           |    CASE WHEN coalesce(s.z, -1.0) >= 0 THEN 1 ELSE 0 END
           |      AS pred
           |  FROM documents d LEFT JOIN esc s USING (doc_id)),
