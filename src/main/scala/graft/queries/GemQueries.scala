@@ -5004,7 +5004,7 @@ object GemQueries {
     // integer-ppm precision/recall/F1 at the z >= 0 boundary
     // (featureless docs predict negative; q87's floor-divide
     // discipline). On THIS corpus the label ("contains 'join'", 79%
-    // prior) has only one informative feature, so 10 full-batch
+    // prior) has only one informative feature, so 5 full-batch
     // rounds honestly sit at the majority-class operating point
     // (precision = prior, recall 1) — the separable-toy spec in
     // CurationOpsSpec shows the same loop separating when signal
@@ -5015,7 +5015,7 @@ object GemQueries {
           .withColumn("y",
             (instr(col("text"), "join") > 0).cast("int"))
         val model = LogReg.train(docs, "doc_id", "text", "y",
-          dim = 256, lr = 5.0, iters = 10)
+          dim = 256, lr = 5.0, iters = 5)
         val scored = docs.select(col("doc_id"), col("y"))
           .join(LogReg.score(docs, "doc_id", "text", model, dim = 256)
             .select(col("doc_id"), col("z")), Seq("doc_id"), "left")
@@ -5042,12 +5042,12 @@ object GemQueries {
                 (lit(2L) * col("tp") + col("fp") + col("fn")))
                 .cast("long")).as("f1_ppm"))
       },
-      Some("WITH " + logregCtes(dim = 256, lr = "5.0", iters = 10,
+      Some("WITH " + logregCtes(dim = 256, lr = "5.0", iters = 5,
         label = "CASE WHEN instr(text, 'join') > 0 " +
           "THEN 1.0 ELSE 0.0 END") + ",\n" +
         """esc AS (
           |  SELECT t.doc_id, sum(t.x * w.w) AS z
-          |  FROM lxb t JOIN w10 w USING (bucket) GROUP BY t.doc_id),
+          |  FROM lxb t JOIN w5 w USING (bucket) GROUP BY t.doc_id),
           |pr AS (
           |  SELECT CASE WHEN instr(d.text, 'join') > 0
           |    THEN 1 ELSE 0 END AS y,

@@ -160,7 +160,9 @@ class PlanShapeSpec extends SparkSpec {
       "q116_collocations", "q117_cms_heavy_hitters",
       // q132: the 10-row query frame broadcast-crosses the corpus —
       // q29's documented brute-force-tier shape.
-      "q129_token_drift", "q132_jl_ann_topk")
+      // q146: tfidfTopTerms' 1-row corpus count crosses onto the
+      // cluster-text frame — q114's shape at cluster grain.
+      "q129_token_drift", "q132_jl_ann_topk", "q146_cluster_names")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sfDir))
       if (!intendedCross(name))
