@@ -379,6 +379,61 @@ object Dedup {
     (pairs, () => { cached.unpersist(); () })
   }
 
+  /** Directional containment pairs — `|A ∩ B| / |A| >= threshold`
+    * over n-gram shingle sets: A is (near-)CONTAINED in B, the quote /
+    * excerpt / boilerplate-subset case symmetric Jaccard (q27) misses
+    * when |A| << |B| (J shrinks with the size gap, containment
+    * doesn't). The Lee et al. 2022 sub-document dedup companion.
+    *
+    * Scale shape: candidate generation is an inverted-index equi-join
+    * of A-side PREFIXES (if c >= t, one of A's first
+    * `n - floor(t*n) + 1` sorted shingles must occur in B — floor,
+    * not the theorem's ceil, absorbs the binary-rounding ulp exactly
+    * as [[ngramJaccardPairs]]) against B-side FULL postings; no
+    * all-pairs anywhere, no symmetric length filter (the size gap is
+    * the point). Verification gates on EXACT integers —
+    * `10*inter >= t10*|A|` — so the emitted pair set is
+    * engine-independent; `threshold` must be a multiple of 0.1.
+    *
+    * @return `id_a` (contained), `id_b` (container), `na`, `inter`,
+    *         `containment` (rounded to 4)
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val t10 = math.round(threshold * 10).toInt
+    require(t10 >= 1 && t10 <= 10 && math.abs(t10 / 10.0 - threshold) < 1e-12,
+      s"threshold must be a multiple of 0.1 in (0, 1]: $threshold")
+    val sh = df.select(col(idCol), col(blockCol),
+        shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val pre = sh.withColumn("n_pre",
+      (col("n_sh") - floor(col("n_sh") * threshold) + 1).cast("int"))
+    val aPost = pre.select(col(idCol).as("id_a"), col(blockCol),
+      explode(slice(col("sh"), lit(1), greatest(col("n_pre"), lit(0))))
+        .as("shingle"))
+    val bPost = sh.select(col(idCol).as("id_b"), col(blockCol),
+      explode(col("sh")).as("shingle"))
+    val cand = aPost
+      .join(bPost, Seq(blockCol, "shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val full = sh.select(col(idCol), col("sh"), col("n_sh"))
+    cand
+      .join(full.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        col("n_sh").as("na")), "id_a")
+      .join(full.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("inter",
+        call_function("graft_overlap", col("sh_a"), col("sh_b")))
+      .filter(col("inter") * 10 >= lit(t10) * col("na"))
+      .select(col("id_a"), col("id_b"), col("na").cast("long").as("na"),
+        col("inter").cast("long").as("inter"),
+        round(col("inter").cast("double") / col("na"), 4)
+          .as("containment"))
+  }
+
   /** Benchmark decontamination — drop corpus documents that share ANY
     * n-gram with a benchmark/test set (the standard guard against
     * train-on-test leakage; n-gram overlap is how the big public

@@ -5075,7 +5075,38 @@ object GemQueries {
           |  CAST(CASE WHEN 2 * tp + fp + fn > 0
           |    THEN floor(tp * 2000000 / (2 * tp + fp + fn)) END
           |    AS BIGINT) AS f1_ppm
-          |FROM cm""".stripMargin))
+          |FROM cm""".stripMargin)),
+
+    // Directional containment pairs (Dedup.containmentPairs): the
+    // quote/excerpt case Jaccard misses — |A∩B|/|A| >= 0.8 over
+    // 3-gram shingles, A-prefix x B-full inverted index, EXACT
+    // integer gate (10*inter >= 8*|A|) so the pair set is
+    // engine-independent.
+    QueryDef("q148_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH csh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      generate_series(1, greatest(len(tk) - 2, 0)),
+             |      i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+             |      AS sh
+             |  FROM (SELECT doc_id, source, list_filter(
+             |          string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |        FROM documents)),
+             |cf AS (SELECT doc_id, source, sh, len(sh) AS n_sh
+             |       FROM csh WHERE len(sh) > 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(a.n_sh AS BIGINT) AS na,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / a.n_sh, 4) AS containment
+             |FROM cf a JOIN cf b
+             |  ON a.source = b.source AND a.doc_id <> b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh)) * 10 >= 8 * a.n_sh
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -114,4 +114,25 @@ class DedupTextSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
   }
+
+  test("containmentPairs finds the quote Jaccard misses, directionally") {
+    val docs = Seq(
+      (1L, "a b c d e", "s"), // contained verbatim in doc 2
+      (2L, "a b c d e " + (1 to 30).map(i => s"w$i").mkString(" "), "s"),
+      (3L, "x y z q r", "s"), // unrelated
+      (4L, "a b c d e", "t") // other block: never paired
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", "source",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 1 in 2 (all 3 of doc-1's shingles occur in doc 2) but NOT 2 in 1
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 1L)))
+    assert(got((1L, 2L)) == ((3L, 3L, 1.0)))
+    assert(got.keySet == Set((1L, 2L))) // nothing else pairs
+    // the symmetric Jaccard at the same bar misses it: J = 3/35ish
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.9).count()
+    assert(jac == 0)
+  }
 }
