@@ -199,11 +199,12 @@ object Sampling {
     * Scale shape: the naive form is a window over EVERY stratum row —
     * with few strata that is a near-global sort. `prunePpm` is the
     * standard fix: a shuffle-free hash predicate (`h mod 1e6 <
-    * prunePpm`) prunes the corpus BEFORE the window, so the sort sees
-    * ~ppm/1e6 of the data. The prune is exact (the kept k smallest
-    * hashes all survive it) as long as every stratum retains >= k
-    * rows — size prunePpm for k << expected stratum size, or pass
-    * 1000000 to disable.
+    * prunePpm`) prunes the corpus BEFORE the window. The window ranks
+    * by the SAME `h mod 1e6` value the prune filters on (full hash
+    * then key break ties), so the prune is exact — the k
+    * smallest-ranked rows all survive it — as long as every stratum
+    * retains >= k rows after pruning. Size prunePpm for k << expected
+    * stratum size, or pass 1000000 to disable.
     *
     * @return input rows plus `draw_rank` (1..k within the stratum)
     */
@@ -217,9 +218,10 @@ object Sampling {
       "reservoirPerGroup emits 'draw_rank': rename the existing column")
     val h = Hashing.portableHash(
       concat(lit("rg:"), col(keyCol).cast("string")))
+    val hmod = pmod(h, lit(1000000L))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(h, col(keyCol))
-    df.filter(pmod(h, lit(1000000L)) < prunePpm)
+      .partitionBy(strataCol).orderBy(hmod, h, col(keyCol))
+    df.filter(hmod < prunePpm)
       .withColumn("draw_rank", row_number().over(w))
       .filter(col("draw_rank") <= k)
   }

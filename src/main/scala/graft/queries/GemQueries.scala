@@ -4185,7 +4185,13 @@ object GemQueries {
     QueryDef("q121_jl_project",
       (s, dir) => Similarity.jlProject(
           t(s, dir, "embeddings"), "vec_id", "embedding", m = 16, dim = 64)
-        .orderBy("vec_id"),
+        // (vec_id, pos, proj) rows, not a raw array column: the driver's
+        // comparator sorts rows in pandas and cannot hash ndarray cells
+        // (r9 lesson; q122's shape).
+        .select(col("vec_id"), col("norm_ratio"), posexplode(col("proj")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("proj"), col("norm_ratio"))
+        .orderBy("vec_id", "pos"),
       Some("""WITH pr AS (
              |  SELECT vec_id,
              |    list_transform(generate_series(0, 15), p ->
@@ -4196,13 +4202,14 @@ object GemQueries {
              |          THEN 1.0 ELSE -1.0 END))) / 4.0) AS y,
              |    sqrt(list_sum(list_transform(embedding, v ->
              |      CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS xn
-             |  FROM embeddings)
-             |SELECT vec_id,
-             |  list_transform(y, e -> round(e, 4) + 0.0) AS proj,
-             |  CASE WHEN xn > 0 THEN
-             |    round(sqrt(list_sum(list_transform(y, e -> e * e))) / xn, 4)
-             |      + 0.0 END AS norm_ratio
-             |FROM pr ORDER BY vec_id""".stripMargin)),
+             |  FROM embeddings),
+             |ps AS (SELECT unnest(generate_series(1, 16)) AS pos)
+             |SELECT pr.vec_id, CAST(ps.pos AS INT) AS pos,
+             |  round(pr.y[CAST(ps.pos AS INT)], 4) + 0.0 AS proj,
+             |  CASE WHEN pr.xn > 0 THEN
+             |    round(sqrt(list_sum(list_transform(pr.y, e -> e * e)))
+             |      / pr.xn, 4) + 0.0 END AS norm_ratio
+             |FROM pr CROSS JOIN ps ORDER BY vec_id, pos""".stripMargin)),
 
     // PCA top component (Pca.topComponent): 3 power-iteration rounds
     // over the centered embeddings; the oracle replays the identical
@@ -4229,7 +4236,11 @@ object GemQueries {
       (s, dir) => Pca.removeTop(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, iters = 3)
-        .orderBy("vec_id"),
+        // flatten to (vec_id, pos, resid) rows — see q121's comment
+        .select(col("vec_id"), posexplode(col("resid")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("resid"))
+        .orderBy("vec_id", "pos"),
       Some("WITH " + pcaCtes(dim = 64, iters = 3) + ",\n" +
         """px AS (SELECT e.vec_id, e.embedding,
           |    list_sum(list_transform(e.embedding, (x, j) ->
@@ -4238,12 +4249,12 @@ object GemQueries {
           |      AS s
           |  FROM embeddings e CROSS JOIN pv3 v CROSS JOIN pml m
           |  WHERE len(e.embedding) = 64)
-          |SELECT p.vec_id,
-          |  list_transform(generate_series(1, 64), j ->
-          |    round(CAST(p.embedding[CAST(j AS INT)] AS DOUBLE)
-          |      - m.ml[j] - p.s * v.vl[j], 4) + 0.0) AS resid
-          |FROM px p CROSS JOIN pml m CROSS JOIN pv3 v
-          |ORDER BY p.vec_id""".stripMargin)),
+          |SELECT p.vec_id, CAST(ps.pos AS INT) AS pos,
+          |  round(CAST(p.embedding[CAST(ps.pos AS INT)] AS DOUBLE)
+          |    - m.ml[CAST(ps.pos AS INT)]
+          |    - p.s * v.vl[CAST(ps.pos AS INT)], 4) + 0.0 AS resid
+          |FROM px p CROSS JOIN pml m CROSS JOIN pv3 v CROSS JOIN poss ps
+          |ORDER BY p.vec_id, pos""".stripMargin)),
 
     // Forward-fill (Rolling.forwardFill, R na.locf): deterministic
     // gaps punched at event_id % 3 != 0, then per-user last-non-null
@@ -4518,9 +4529,10 @@ object GemQueries {
 
     // k-per-stratum deterministic reservoir (Sampling
     // .reservoirPerGroup): 5 docs per language, hash-ranked, with the
-    // 10% hash prune running BEFORE the per-stratum window (the scale
-    // trick is part of the semantics, so the oracle applies the same
-    // prune).
+    // 10% hash prune running BEFORE the per-stratum window. The window
+    // ranks by the same `h mod 1e6` the prune filters on (r9 ADVICE),
+    // so the prune provably keeps every drawn row; the oracle applies
+    // the identical prune + ordering.
     QueryDef("q131_group_reservoir",
       (s, dir) => Sampling.reservoirPerGroup(
           t(s, dir, "documents").select("doc_id", "lang"),
@@ -4535,7 +4547,7 @@ object GemQueries {
              |r AS (
              |  SELECT lang, doc_id,
              |    CAST(row_number() OVER (PARTITION BY lang
-             |      ORDER BY hv, doc_id) AS INT) AS draw_rank
+             |      ORDER BY hv % 1000000, hv, doc_id) AS INT) AS draw_rank
              |  FROM pruned)
              |SELECT lang, draw_rank, doc_id FROM r
              |WHERE draw_rank <= 5 ORDER BY lang, draw_rank""".stripMargin)),
@@ -4957,14 +4969,19 @@ object GemQueries {
       (s, dir) => Pca.removeTopK(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, iters = 3, k = 2)
-        .orderBy("vec_id"),
+        // flatten to (vec_id, pos, resid) rows — see q121's comment
+        .select(col("vec_id"), posexplode(col("resid")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("resid"))
+        .orderBy("vec_id", "pos"),
       Some("WITH " + pcaCtes(64, 3) + ",\n" +
         pcaResidCtes("", 3, "embeddings", "r1") + ",\n" +
         pcaCtes(64, 3, "d", "r1") + ",\n" +
         pcaResidCtes("d", 3, "r1", "r2") + "\n" +
-        """SELECT vec_id,
-          |  list_transform(embedding, e -> round(e, 4) + 0.0) AS resid
-          |FROM r2 ORDER BY vec_id""".stripMargin)),
+        """SELECT r.vec_id, CAST(ps.pos AS INT) AS pos,
+          |  round(r.embedding[CAST(ps.pos AS INT)], 4) + 0.0 AS resid
+          |FROM r2 r CROSS JOIN poss ps
+          |ORDER BY r.vec_id, pos""".stripMargin)),
 
     // Cluster naming (q61 clusters + q114 TF-IDF composed): each
     // near-dup cluster becomes one "document" (member texts

@@ -164,7 +164,19 @@ class PlanShapeSpec extends SparkSpec {
       // cluster-text frame — q114's shape at cluster grain.
       "q129_token_drift", "q132_jl_ann_topk", "q146_cluster_names")
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = planOf(fn(spark, sfDir))
+      val df = fn(spark, sfDir)
+      // Gate-shape guard (r9 lesson): the driver's comparator sorts
+      // result rows in pandas, which cannot sort/hash array, map or
+      // struct cells — a query emitting one can never go green.
+      // Flatten with posexplode (q121/q122's shape) before emitting.
+      df.schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+            && !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+            && !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+          s"$name emits top-level complex column '${f.name}: ${f.dataType}'" +
+            " — the driver gate cannot sort it; posexplode/flatten first")
+      }
+      val plan = planOf(df)
       if (!intendedCross(name))
         assert(!plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin"),

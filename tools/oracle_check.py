@@ -14,6 +14,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)]
+    # Sort rows by all columns, exactly like the driver's comparator —
+    # this also reproduces the driver's TypeError on unsortable cells
+    # (e.g. ndarray from an array<double> column), which the unsorted
+    # mirror could not catch in r09 (q121/q123/q145).
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     rows = []
     for tup in df.itertuples(index=False):
         cells = []
