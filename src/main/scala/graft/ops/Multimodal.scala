@@ -273,24 +273,32 @@ object Multimodal {
       }.toDF("id", "features")
   }
 
-  /** REAL content features for the codec-free payload formats — the
-    * two formats whose PIXELS/SAMPLES are raw in the container, so a
-    * JVM byte walk is the entire "model":
+  /** REAL content features for the JDK-decodable payload formats — no
+    * external codec anywhere, yet the PIXELS/SAMPLES are genuinely
+    * recovered:
     *
     *  - 24-bit BMP → per-channel pixel means (B, G, R), honoring the
     *    `bfOffBits` pixel-array offset and 4-byte row padding;
     *  - 16-bit PCM RIFF/WAVE (canonical 44-byte header) → RMS
-    *    amplitude, peak |sample|, sample count.
+    *    amplitude, peak |sample|, sample count;
+    *  - PNG (8-bit gray/RGB/RGBA, non-interlaced) → per-channel pixel
+    *    means via [[pngPixels]] — CRC-checked chunk walk, one
+    *    `java.util.zip.Inflater` pass, all five scanline filters
+    *    inverted;
+    *  - GIF (87a/89a, first frame) → palette-mapped per-channel means
+    *    via [[gifPixels]] — pure-Scala variable-width LZW.
     *
     * Anything else falls back to the deterministic byte-histogram
-    * stub moments of [[extractFeatures]] (kind `other`) — codec-bound
-    * formats stay honestly stubbed. All accumulation is exact integer
-    * arithmetic in double (sums < 2^53), so an external oracle
-    * reproduces every statistic bit-for-bit.
+    * stub moments of [[extractFeatures]] (kind `other`) — the
+    * codec-bound formats (JPEG entropy scan, MP4 payload) stay
+    * honestly stubbed. All accumulation is exact integer arithmetic
+    * in double (sums < 2^53), so an external oracle reproduces every
+    * statistic bit-for-bit.
     *
-    * @return `id`, `kind` (bmp|wav|other), `f1`, `f2`, `f3` —
+    * @return `id`, `kind` (bmp|wav|png|gif|other), `f1`, `f2`, `f3` —
     *         (mean_b, mean_g, mean_r) / (rms, peak, n_samples) /
-    *         (first three stub moments), each rounded to 4
+    *         (mean_r, mean_g, mean_b) / (first three stub moments),
+    *         each rounded to 4
     */
   def contentFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -344,9 +352,294 @@ object Multimodal {
               (id, "wav", r4(math.sqrt(ss / n)), r4(peak.toDouble),
                 r4(n.toDouble))
             } else stubFeatureRow(id, b)
+          } else if (b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+              b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+            pngPixels(b) match {
+              case Some((w, h, ch, px)) =>
+                // per-channel means (r, g, b); gray fills all three
+                // lanes, RGBA's alpha is layout-only and not averaged
+                var (sr, sg, sb) = (0.0, 0.0, 0.0)
+                var p = 0
+                val np = w * h
+                while (p < np) {
+                  if (ch == 1) {
+                    val v = (px(p) & 0xff).toDouble
+                    sr += v; sg += v; sb += v
+                  } else {
+                    sr += (px(p * ch) & 0xff)
+                    sg += (px(p * ch + 1) & 0xff)
+                    sb += (px(p * ch + 2) & 0xff)
+                  }
+                  p += 1
+                }
+                (id, "png", r4(sr / np), r4(sg / np), r4(sb / np))
+              case None => stubFeatureRow(id, b)
+            }
+          } else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' &&
+              b(2) == 'F' && b(3) == '8') {
+            gifPixels(b) match {
+              case Some((w, h, rgb)) =>
+                var (sr, sg, sb) = (0.0, 0.0, 0.0)
+                var p = 0
+                val np = w * h
+                while (p < np) {
+                  sr += (rgb(3 * p) & 0xff)
+                  sg += (rgb(3 * p + 1) & 0xff)
+                  sb += (rgb(3 * p + 2) & 0xff)
+                  p += 1
+                }
+                (id, "gif", r4(sr / np), r4(sg / np), r4(sb / np))
+              case None => stubFeatureRow(id, b)
+            }
           } else stubFeatureRow(id, b)
         }
       }.toDF("id", "kind", "f1", "f2", "f3")
+  }
+
+  /** PNG pixel decode — REAL, zero external codecs: the payload is
+    * zlib (RFC 1950), which `java.util.zip.Inflater` speaks natively,
+    * and the rest is the PNG spec's own byte walk (RFC 2083):
+    *
+    *  1. chunk walk from offset 8 ([len be4][type][data][crc be4]),
+    *     verifying each data-bearing chunk's CRC-32 with
+    *     `java.util.zip.CRC32` (type bytes + data, per §3.4) and
+    *     concatenating every IDAT payload in stream order;
+    *  2. one `Inflater` pass into the exact `h * (1 + w*bpp)` raw
+    *     size (any mismatch → None, no partial images);
+    *  3. per-scanline unfilter of the five §6.1 filters — None(0),
+    *     Sub(1), Up(2), Average(3: floor of the 9-bit sum), Paeth(4)
+    *     — byte-wise mod 256, exactly invertible.
+    *
+    * Supported layout: bit depth 8, color type 0 (gray), 2 (RGB) or
+    * 6 (RGBA), no interlace (Adam7 → None). Returns
+    * (width, height, channels, recovered pixel bytes row-major) or
+    * None for anything malformed — CRC mismatch, short inflate,
+    * unknown filter — so the caller falls back to the stub instead of
+    * fabricating pixels.
+    */
+  private[graft] def pngPixels(
+      b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b.length < 33 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
+        b(2) != 'N' || b(3) != 'G') return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+      return None
+    val w = be4(b, 16).toInt
+    val h = be4(b, 20).toInt
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    // chunk walk: CRC-check + collect IDAT
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 12 <= b.length) {
+      val len = be4(b, i).toInt
+      if (len < 0 || i + 12 + len > b.length) return None
+      val tpe = new String(b, i + 4, 4, "ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      if (crc.getValue != be4(b, i + 8 + len)) return None
+      if (tpe == "IDAT") idat.write(b, i + 8, len)
+      if (tpe == "IEND") sawEnd = true
+      i += 12 + len
+    }
+    if (!sawEnd) return None // truncated file: IEND is mandatory
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    val bpp = channels // bytes per pixel at depth 8
+    val stride = 1 + w * bpp // filter byte + scanline
+    val raw = new Array[Byte](h * stride)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place into the pixel array
+    val px = new Array[Byte](h * w * bpp)
+    var row = 0
+    while (row < h) {
+      val f = raw(row * stride) & 0xff
+      if (f > 4) return None
+      val ro = row * w * bpp // output row offset
+      var k = 0
+      while (k < w * bpp) {
+        val x = raw(row * stride + 1 + k) & 0xff
+        val a = if (k >= bpp) px(ro + k - bpp) & 0xff else 0 // left
+        val up = if (row > 0) px(ro - w * bpp + k) & 0xff else 0
+        val c =
+          if (row > 0 && k >= bpp) px(ro - w * bpp + k - bpp) & 0xff
+          else 0 // upper-left
+        val recon = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 => // Paeth predictor, §6.6
+            val p = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        px(ro + k) = (recon & 0xff).toByte
+        k += 1
+      }
+      row += 1
+    }
+    Some((w, h, channels, px))
+  }
+
+  /** GIF pixel decode — REAL, pure-Scala LZW (the GIF89a spec's
+    * variable-width LZW, appendix F): logical-screen walk, global /
+    * local color table, extension-block skip, first image descriptor's
+    * sub-blocks concatenated and LZW-decoded (code width grows at
+    * table sizes 2^n, Clear resets to the initial width, 12-bit max),
+    * palette-mapped to RGB triples. Interlaced images and index
+    * overruns → None (stub fallback), never fabricated pixels.
+    */
+  private[graft] def gifPixels(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a')
+      return None
+    val packed = b(10) & 0xff
+    val hasGct = (packed & 0x80) != 0
+    val gctLen = if (hasGct) 3 * (1 << ((packed & 7) + 1)) else 0
+    var i = 13 + gctLen
+    if (i > b.length) return None
+    val gct = if (hasGct) b.slice(13, 13 + gctLen) else Array.empty[Byte]
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val iw = le2(b, i + 5)
+          val ih = le2(b, i + 7)
+          val ipk = b(i + 9) & 0xff
+          if ((ipk & 0x40) != 0) return None // interlaced
+          val lctLen = if ((ipk & 0x80) != 0) 3 * (1 << ((ipk & 7) + 1)) else 0
+          val ct = if (lctLen > 0) b.slice(i + 10, i + 10 + lctLen) else gct
+          if (ct.isEmpty || iw <= 0 || ih <= 0) return None
+          i += 10 + lctLen
+          if (i >= b.length) return None
+          val minCode = b(i) & 0xff
+          i += 1
+          // concatenate the LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && (b(i) & 0xff) != 0) {
+            val n = b(i) & 0xff
+            if (i + 1 + n > b.length) return None
+            data.write(b, i + 1, n)
+            i += 1 + n
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+            .getOrElse(return None)
+          val nColors = ct.length / 3
+          val rgb = new Array[Byte](iw * ih * 3)
+          var p = 0
+          while (p < iw * ih) {
+            val ci = idx(p) & 0xff
+            if (ci >= nColors) return None
+            rgb(3 * p) = ct(3 * ci)
+            rgb(3 * p + 1) = ct(3 * ci + 1)
+            rgb(3 * p + 2) = ct(3 * ci + 2)
+            p += 1
+          }
+          return Some((iw, ih, rgb))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW decode (appendix F): initial width minCode+1,
+    * Clear = 2^minCode, EOI = Clear+1, dictionary entries stored as
+    * (prefix code, appended byte) pairs, width +1 at sizes 2^n up to
+    * the 12-bit cap, KwKwK first-byte rule. Returns exactly `nPixels`
+    * indices or None.
+    */
+  private def lzwDecode(
+      data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Byte]] = {
+    if (minCode < 2 || minCode > 11) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var tableSize = eoi + 1
+    var width = minCode + 1
+    val out = new Array[Byte](nPixels)
+    var outN = 0
+    var bitPos = 0
+    var prev = -1
+    def emit(code: Int): Boolean = { // expand one code, false on overflow
+      var stack = List.empty[Byte]
+      var c = code
+      while (c >= clear) { stack = append(c) :: stack; c = prefix(c) }
+      stack = c.toByte :: stack
+      if (outN + stack.length > nPixels) return false
+      stack.foreach { v => out(outN) = v; outN += 1 }
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (outN < nPixels) {
+      if (bitPos + width > data.length * 8) return None
+      var code = 0
+      var k = 0
+      while (k < width) { // LSB-first bit packing
+        val bit = (data((bitPos + k) / 8) >> ((bitPos + k) % 8)) & 1
+        code |= bit << k
+        k += 1
+      }
+      bitPos += width
+      if (code == clear) {
+        tableSize = eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        return if (outN == nPixels) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > tableSize || (code == tableSize && tableSize >= 4096))
+          return None
+        val newEntry = code == tableSize // KwKwK
+        if (tableSize < 4096) {
+          prefix(tableSize) = prev
+          append(tableSize) =
+            if (newEntry) firstByte(prev) else firstByte(code)
+          tableSize += 1
+          if (tableSize == (1 << width) && width < 12) width += 1
+        }
+        if (!emit(code)) return None
+        prev = code
+      }
+    }
+    Some(out)
   }
 
   /** The [[extractFeatures]] stride-moment stub, first three lanes. */

@@ -5123,7 +5123,53 @@ object GemQueries {
              |FROM cf a JOIN cf b
              |  ON a.source = b.source AND a.doc_id <> b.doc_id
              |WHERE len(list_intersect(a.sh, b.sh)) * 10 >= 8 * a.n_sh
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // REAL pixel decode (Multimodal.contentFeatures png/gif paths):
+    // even ids carry an 8x6 RGB PNG (zlib IDAT inflated with the JDK
+    // Inflater, all five scanline filters inverted — filter type
+    // cycles (id+y) % 5), odd ids a 7x5 GIF (pure-Scala variable-width
+    // LZW, 64-color palette). The oracle never decodes: it recomputes
+    // the channel means from MediaFixtures' closed-form pixel
+    // formulas, so encode and decode must BOTH be right to go green.
+    // PNG and GIF leave the stub list — only the codec-bound formats
+    // (JPEG scan, MP4 payload) remain stubbed.
+    QueryDef("q149_pixel_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id")).as[Long]
+        val media = ids.map { id =>
+          val bytes =
+            if (id % 2 == 0) MediaFixtures.pngBytes(id, 8, 6)
+            else MediaFixtures.gifBytes(id, 7, 5)
+          (id, bytes, "image")
+        }.toDF("id", "bytes", "media_type")
+        Multimodal.contentFeatures(s, media).orderBy("id")
+      },
+      Some("""WITH gp AS (
+             |  SELECT doc_id AS id,
+             |    list_transform(generate_series(0, 47), i ->
+             |      (doc_id * 3 + 3 * (i % 8) + 7 * (i // 8)) % 256) AS pr,
+             |    list_transform(generate_series(0, 47), i ->
+             |      (doc_id * 4 + 3 * (i % 8) + 7 * (i // 8)) % 256) AS pg,
+             |    list_transform(generate_series(0, 47), i ->
+             |      (doc_id * 5 + 3 * (i % 8) + 7 * (i // 8)) % 256) AS pb,
+             |    list_transform(generate_series(0, 34), i ->
+             |      (doc_id + 5 * (i % 7) + 11 * (i // 7)) % 64) AS gj
+             |  FROM documents)
+             |SELECT id,
+             |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'gif' END AS kind,
+             |  round(CASE WHEN id % 2 = 0 THEN list_sum(pr) / 48.0
+             |    ELSE list_sum(list_transform(gj, v -> (3 * v) % 256))
+             |      / 35.0 END, 4) + 0.0 AS f1,
+             |  round(CASE WHEN id % 2 = 0 THEN list_sum(pg) / 48.0
+             |    ELSE list_sum(list_transform(gj, v -> (5 * v) % 256))
+             |      / 35.0 END, 4) + 0.0 AS f2,
+             |  round(CASE WHEN id % 2 = 0 THEN list_sum(pb) / 48.0
+             |    ELSE list_sum(list_transform(gj, v -> (7 * v) % 256))
+             |      / 35.0 END, 4) + 0.0 AS f3
+             |FROM gp ORDER BY id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
