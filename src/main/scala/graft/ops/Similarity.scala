@@ -303,6 +303,82 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF + SQ8 search — the memory-bound trick that makes a 100 TB
+    * embedding store searchable: the probed index carries int8 codes
+    * (4× smaller than float32, [[Quantize.quantizeInt8]]'s absmax
+    * format), candidates are scored by ASYMMETRIC distance — full-
+    * precision query against raw codes — and only the per-query
+    * `shortlist` survivors ever touch float vectors again (one
+    * id-equi-join fetch, re-ranked exactly).
+    *
+    * The asymmetric score exploits cosine's scale invariance: for
+    * `scale > 0`, cos(q, codes·scale/127) = cos(q, codes), so the ADC
+    * pass needs NO dequantization — the per-vector scale is never even
+    * stored. (All-zero vectors quantize to all-zero codes with a
+    * degenerate zero-norm cosine; filter them out upstream as every
+    * ANN tier here assumes.)
+    *
+    * Scale shape: index build is one corpus pass (broadcast codebook +
+    * one argmax shuffle, q-codes in the scan projection); the probe
+    * join moves codes only, fanout bounded by cell size × nProbe; the
+    * exact re-rank touches `|Q| · shortlist` float vectors — the full
+    * corpus is read once at build and never again per query.
+    */
+  def ivfSq8TopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the requested top-k")
+    val cents = centroids
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centvec"))
+    // index build: nearest cell + int8 codes; float vectors do NOT
+    // enter the index (codes cast to float for the codegen'd dot —
+    // exact, |code| <= 127)
+    val wc = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val index = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_cos", cosine(col("cvec"), col("centvec")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .withColumn("scale", Quantize.absmaxScale(col("cvec")))
+      .select(col("neighbor_id"), col("cell_id"),
+        Quantize.quantizeInt8(col("cvec"), col("scale"))
+          .cast("array<float>").as("qcodes"))
+    // probe: queries at full precision to their nProbe nearest cells
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_cos", cosine(col("qvec"), col("centvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell_id"))
+    // ADC + shortlist cut (unrounded, tie-break on neighbor_id)
+    val wsl = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = index.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", cosine(col("qvec"), col("qcodes")))
+      .withColumn("slrank", row_number().over(wsl))
+      .filter(col("slrank") <= shortlist)
+      .select(col("query_id"), col("qvec"), col("neighbor_id"))
+    // exact re-rank: the ONLY step that touches shortlist float
+    // vectors — the tiny shortlist broadcasts against the corpus scan
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic codebook training for [[ivfTopK]] — the index-build
     * pass: sampled-init Lloyd k-means, expressed entirely as DataFrame
     * operations so any SQL engine can replay the identical trajectory.

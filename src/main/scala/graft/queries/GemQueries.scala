@@ -380,6 +380,44 @@ object GemQueries {
        |                       ORDER BY cos DESC, neighbor_id) AS "rank", cos
        |  FROM ${p}scored)""".stripMargin
 
+  /** Oracle twin of [[Similarity.ivfSq8TopK]]'s ADC + shortlist +
+    * re-rank stages, built on an [[ivfSearchCtes]] prefix `p`
+    * (consumes `{p}corpus` / `{p}query`): SQ8 codes via q73's absmax
+    * formula, asymmetric cosine (full-precision query × raw int
+    * codes — the scale cancels out of cosine), unrounded shortlist
+    * cut tie-broken on neighbor_id, exact re-rank. Ends at
+    * `{p}sqranked(query_id, neighbor_id, "rank", cos)`.
+    */
+  private def ivfSq8Ctes(p: String, shortlist: Int): String =
+    s"""${p}sqz AS (
+       |  SELECT neighbor_id, cell_id, cvec,
+       |    coalesce(list_max(list_transform(cvec,
+       |      x -> abs(CAST(x AS DOUBLE)))), 0) AS scale
+       |  FROM ${p}corpus),
+       |${p}sqc AS (
+       |  SELECT neighbor_id, cell_id, cvec,
+       |    list_transform(cvec, x -> CASE WHEN scale = 0 THEN 0
+       |      ELSE CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)
+       |      END) AS qcodes
+       |  FROM ${p}sqz),
+       |${p}sqscored AS (
+       |  SELECT query_id, neighbor_id, cvec, qvec,
+       |    ${duckCos("qvec", "qcodes")} AS adc
+       |  FROM ${p}sqc JOIN ${p}query USING (cell_id)
+       |  WHERE neighbor_id <> query_id),
+       |${p}sqshort AS (
+       |  SELECT query_id, neighbor_id, cvec, qvec FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS slrn FROM ${p}sqscored)
+       |  WHERE slrn <= $shortlist),
+       |${p}sqranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS "rank", cos
+       |  FROM (SELECT query_id, neighbor_id,
+       |          ${duckCos("qvec", "cvec")} AS cos
+       |        FROM ${p}sqshort))""".stripMargin
+
   /** Oracle twin of [[PageRank.run]]: `iters` unrolled power-iteration
     * rounds over upstream CTEs `prnodes(id)` / `predges(src,dst)`
     * (symmetric, distinct, endpoints ⊆ nodes). Mirrors the op's
@@ -2427,6 +2465,9 @@ object GemQueries {
             .select(lit(m).as("method"), col("hits"))
         hits("ivf", Similarity.ivfTopK(
             emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2))
+          .unionByName(hits("ivf_sq8", Similarity.ivfSq8TopK(
+            emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2,
+            shortlist = 20)))
           .unionByName(hits("jl", Similarity.jlTopK(
             emb, qs, "vec_id", "embedding", k = 10)))
           .unionByName(hits("lsh", Similarity.lshTopK(
@@ -2439,6 +2480,7 @@ object GemQueries {
       },
       Some("WITH " + kmeansCtes(k = 8, iters = 2) + ",\n" +
         ivfSearchCtes("cent2", nProbe = 2, qLo = 100, qHi = 104, p = "i") + ",\n" +
+        ivfSq8Ctes("i", shortlist = 20) + ",\n" +
         """bq AS (SELECT vec_id AS query_id, embedding AS qvec
           |       FROM embeddings WHERE vec_id BETWEEN 100 AND 104),
           |bscored AS (
@@ -2528,9 +2570,14 @@ object GemQueries {
           |      row_number() OVER (PARTITION BY query_id
           |                         ORDER BY cos DESC, neighbor_id) AS rn
           |    FROM jex) WHERE rn <= 10),
+          |isq AS (SELECT query_id, neighbor_id FROM isqranked
+          |        WHERE "rank" <= 10),
           |hits AS (
           |  SELECT 'ivf' AS method, count(*) AS hits
           |  FROM ivf JOIN brute USING (query_id, neighbor_id)
+          |  UNION ALL
+          |  SELECT 'ivf_sq8', count(*)
+          |  FROM isq JOIN brute USING (query_id, neighbor_id)
           |  UNION ALL
           |  SELECT 'jl', count(*)
           |  FROM jl JOIN brute USING (query_id, neighbor_id)
@@ -5169,7 +5216,31 @@ object GemQueries {
              |  round(CASE WHEN id % 2 = 0 THEN list_sum(pb) / 48.0
              |    ELSE list_sum(list_transform(gj, v -> (7 * v) % 256))
              |      / 35.0 END, 4) + 0.0 AS f3
-             |FROM gp ORDER BY id""".stripMargin))
+             |FROM gp ORDER BY id""".stripMargin)),
+
+    // IVF + SQ8 quantized search (Similarity.ivfSq8TopK): trained
+    // codebook cells, int8-code index, ASYMMETRIC cosine (full-
+    // precision query x raw codes — the absmax scale cancels out of
+    // cosine), top-20 shortlist, exact float re-rank to top-3. The
+    // memory-bound search tier q73 (codes) and q66 (cells) were built
+    // for, now composed; recall measured next to the other tiers in
+    // q67's table.
+    QueryDef("q150_ivf_sq8_search",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+        Similarity.ivfSq8TopK(
+          emb, emb.filter(col("vec_id").between(100, 104)), cents,
+          "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH " + kmeansCtes(k = 8, iters = 2) + ",\n" +
+        ivfSearchCtes("cent2", nProbe = 2, qLo = 100, qHi = 104) + ",\n" +
+        ivfSq8Ctes("", shortlist = 20) + "\n" +
+        """SELECT query_id, neighbor_id, "rank", round(cos, 4) + 0.0 AS cos
+          |FROM sqranked WHERE "rank" <= 3
+          |ORDER BY query_id, "rank"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

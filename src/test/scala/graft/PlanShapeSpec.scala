@@ -162,7 +162,11 @@ class PlanShapeSpec extends SparkSpec {
       // q29's documented brute-force-tier shape.
       // q146: tfidfTopTerms' 1-row corpus count crosses onto the
       // cluster-text frame — q114's shape at cluster grain.
-      "q129_token_drift", "q132_jl_ann_topk", "q146_cluster_names")
+      "q129_token_drift", "q132_jl_ann_topk", "q146_cluster_names",
+      // q150: ivfSq8TopK assigns corpus + queries against the
+      // broadcast trained codebook — q66's documented shape; the ADC
+      // probe and re-rank stages are equi-joins.
+      "q150_ivf_sq8_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts

@@ -75,6 +75,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("ivfSq8TopK: quantized shortlist re-ranks to the exact answer") {
+    // well-separated vectors: the SQ8 asymmetric pass cannot reorder
+    // them, so the quantized tier must agree with exact IVF entirely
+    val cents = vecs.filter(col("vec_id").isin(0, 2))
+    val qs = vecs.filter(col("vec_id") === 0)
+    val exact = Similarity.ivfTopK(
+        vecs, qs, cents, "vec_id", "embedding", k = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSet
+    val sq8 = Similarity.ivfSq8TopK(
+        vecs, qs, cents, "vec_id", "embedding", k = 2, nProbe = 2,
+        shortlist = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSet
+    assert(sq8 === exact)
+    // the winner is the identical vector at exact (re-ranked) cos 1.0
+    assert(sq8.exists { case (n, r, c) => n == 1L && r == 1 && c == 1.0 })
+  }
+
   test("hyperplaneBucket: wrong-dimension vectors get a NULL bucket, not bucket 0") {
     val out = vecs.select(
       Similarity.hyperplaneBucket(col("embedding"), planes = 4, dim = 64).as("b64"),
