@@ -67,22 +67,33 @@ object Graft {
   /** Load one of the driver's synthetic tables from an sf directory.
     * Plain parquet scan — Catalyst pushes filters/pruning into it.
     *
-    * `events.ts` is nanosecond-precision in the files; Spark's
-    * TimestampType is µs, so we floor-divide to µs — exactly what
-    * DuckDB's `CAST(ts AS TIMESTAMP)` does, keeping oracle parity.
+    * `events.ts` has varied by driver generation: TIMESTAMP(NANOS)
+    * (read as a nanos BIGINT under `nanosAsLong`) in earlier rounds,
+    * plain µs since round 11. Dispatch on the READ type so both file
+    * vintages normalize to the same µs `timestamp_ntz` column every
+    * consumer already expects.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // Integer `div`, not `/`: epoch-nanos exceed double's 2^53 exact
-      // range, so float division can round across a µs boundary and
-      // break parity with DuckDB's exact CAST (see ADVICE.md r2).
-      // TIMESTAMP_NTZ (session tz is UTC, so the wall clock is
-      // unchanged): DuckDB's TIMESTAMP is tz-naive, and a tz-aware
-      // Spark output would stringify with "+00:00" and break the hash
-      // compare even when the instants agree.
-      df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // Nanos vintage. Integer `div`, not `/`: epoch-nanos exceed
+          // double's 2^53 exact range, so float division can round
+          // across a µs boundary and break parity with DuckDB's exact
+          // CAST (see ADVICE.md r2). TIMESTAMP_NTZ (session tz is UTC,
+          // so the wall clock is unchanged): DuckDB's TIMESTAMP is
+          // tz-naive, and a tz-aware Spark output would stringify with
+          // "+00:00" and break the hash compare even when the instants
+          // agree.
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case org.apache.spark.sql.types.TimestampNTZType => df
+        case _ =>
+          // µs adjusted-to-UTC vintage (reads as LTZ): same instant,
+          // tz-naive wall clock under the UTC session.
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     else df
   }
 }

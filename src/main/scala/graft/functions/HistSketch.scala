@@ -43,7 +43,7 @@ case class HistSketchAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  require(nbins > 0 && nbins <= 1 << 20,
+  require(nbins > 0 && nbins <= (1 << 20),
     s"graft_hist: nbins must be in [1, 2^20], got $nbins")
   require(hi > lo, s"graft_hist: need hi > lo, got [$lo, $hi)")
 

@@ -100,6 +100,17 @@ object GraftFunctions {
       s"$fn expects a literal INT parameter, got $other")
   }
 
+  // SQL numeric literals arrive as INT, DOUBLE ("0.0D"), or DECIMAL
+  // ("0.0") depending on how they were spelled — accept all three.
+  private def doubleLit(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal numeric parameter, got $other")
+  }
+
   private[functions] val dotInfo = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
@@ -185,9 +196,19 @@ object GraftFunctions {
         intLit(children(2), "graft_cms")): Expression
     })
 
+  private[functions] val histInfo = (
+    FunctionIdentifier("graft_hist"),
+    new ExpressionInfo(classOf[HistSketchAgg].getName, "graft_hist"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4, "graft_hist takes (value, lo, hi, nbins)")
+      HistSketchAgg(children.head, doubleLit(children(1), "graft_hist"),
+        doubleLit(children(2), "graft_hist"),
+        intLit(children(3), "graft_hist")): Expression
+    })
+
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
-      kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo)
+      kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped closed-form statistics — the "fit a line per segment"
@@ -44,6 +45,60 @@ object Stats {
       (round(slope, 4) + lit(0.0)).as("slope"),
       (round(intercept, 4) + lit(0.0)).as("intercept"),
       (round(r2, 4) + lit(0.0)).as("r2"))
+  }
+
+  /** Per-group approximate percentiles from the portable histogram
+    * sketch ([[graft.functions.HistSketchAgg]], `graft_hist`): ONE
+    * map-side-combinable aggregate ships 8·nbins bytes per group
+    * across the shuffle (exact `percentile` ships every value), then
+    * each requested quantile is answered by rank interpolation inside
+    * the bucket the cumulative count crosses — error bounded by one
+    * bucket width.
+    *
+    * All post-sketch work runs on the tiny (groups × nonzero-buckets)
+    * frame: a posexplode, a cumulative-sum window, and a
+    * broadcast-nested-loop join against the |ps|-row percentile frame
+    * to find each crossing bucket. Pick `(hi − lo) / nbins` a power of
+    * two and bucket assignment is exact in IEEE doubles, so an
+    * external engine rebuilds the identical sketch and estimate from
+    * the same floor arithmetic (the q151 oracle does).
+    *
+    * @param ps quantiles in (0, 1]; each must satisfy p·total > 0
+    * @return one row per (group, p): groupCol, `p`, `n` (non-null
+    *         count), `est` (rounded to 4)
+    */
+  def histPercentiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / nbins
+    val sk = df.groupBy(groupCol).agg(
+      expr(s"graft_hist(CAST($valueCol AS DOUBLE), ${lo}D, ${hi}D, $nbins)")
+        .as("counts"))
+    // Zero buckets can never be the crossing bucket (cum = cum − cnt
+    // there), so drop them before the window — the frame shrinks to
+    // the occupied buckets only.
+    val occupied = sk
+      .select(col(groupCol), posexplode(col("counts")).as(Seq("b", "cnt")))
+      .where(col("cnt") > 0)
+    val cum = occupied
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy(groupCol).orderBy("b")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(groupCol)))
+    val pFrame = broadcast(ps.toDF("p"))
+    val target = col("p") * col("total").cast("double")
+    val before = (col("cum") - col("cnt")).cast("double")
+    // Exactly one bucket per (group, p) satisfies cum ≥ target > cum −
+    // cnt for target in (0, total]: the one the cumulative crosses.
+    val est = lit(lo) + lit(width) * (col("b").cast("double") +
+      (target - before) / col("cnt").cast("double"))
+    cum.crossJoin(pFrame)
+      .where(col("cum").cast("double") >= target && before < target)
+      .select(col(groupCol), col("p"), col("total").as("n"),
+        (round(est, 4) + lit(0.0)).as("est"))
   }
 
   /** Weekly cohort retention over an event stream: users bucketed by

@@ -5240,7 +5240,44 @@ object GemQueries {
         ivfSq8Ctes("", shortlist = 20) + "\n" +
         """SELECT query_id, neighbor_id, "rank", round(cos, 4) + 0.0 AS cos
           |FROM sqranked WHERE "rank" <= 3
-          |ORDER BY query_id, "rank"""".stripMargin))
+          |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Portable histogram percentiles (Stats.histPercentiles over the
+    // graft_hist native TypedImperativeAggregate): 256 width-4 buckets
+    // over [0, 1024) per language — width a power of two, so bucket
+    // assignment is exact in IEEE doubles — then each quantile
+    // answered by rank interpolation at the crossing bucket. This is
+    // the approx-percentile swap q59/q89 documented but never
+    // exercised: unlike approx_percentile's engine-private GK buffer,
+    // the sketch state is pure integer counts, so the oracle rebuilds
+    // the ENTIRE sketch from the same floor arithmetic and the
+    // estimate is hash-compared, not tolerance-judged. At 100 TB the
+    // shuffle ships 2 KB per group instead of every value.
+    QueryDef("q151_hist_percentiles",
+      (s, dir) => Stats.histPercentiles(
+          t(s, dir, "documents"), "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256,
+          ps = Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("lang", "p"),
+      Some("""WITH v AS (
+             |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL),
+             |b AS (SELECT lang, CAST(least(greatest(floor(v / 4.0), 0), 255)
+             |        AS BIGINT) AS b FROM v),
+             |c AS (SELECT lang, b, count(*) AS cnt FROM b GROUP BY lang, b),
+             |cc AS (SELECT lang, b, cnt,
+             |         sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |         sum(cnt) OVER (PARTITION BY lang) AS total
+             |       FROM c),
+             |p AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+             |SELECT lang, p, CAST(total AS BIGINT) AS n,
+             |  round(4.0 * (CAST(b AS DOUBLE)
+             |    + (p * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             |      / CAST(cnt AS DOUBLE)), 4) + 0.0 AS est
+             |FROM cc, p
+             |WHERE CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
+             |  AND CAST(cum - cnt AS DOUBLE) < p * CAST(total AS DOUBLE)
+             |ORDER BY lang, p""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.Graft
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+
+/** Pins the graft_hist native aggregate (fixed-boundary histogram
+  * sketch) and the rank-interpolated percentile estimator built on it:
+  * exact bucket counts, partition-order independence (merge path), the
+  * clamp/null/NaN conventions, and the one-bucket-width error bound
+  * against Spark's exact `percentile`.
+  */
+class HistSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_hist counts match a hand-built groupBy histogram") {
+    val df = (0 until 1000).map(i => ("g", (i % 97).toDouble)).toDF("g", "v")
+    val counts = df.groupBy("g")
+      .agg(expr("graft_hist(v, 0.0D, 128.0D, 32)").as("h"))
+      .select("h").as[Seq[Long]].head()
+    assert(counts.length == 32)
+    // width 4: bucket b counts values in [4b, 4b+4)
+    val expected = (0 until 32).map(b =>
+      (0 until 1000).count(i => { val v = i % 97; v >= 4 * b && v < 4 * (b + 1) }).toLong)
+    assert(counts == expected)
+    assert(counts.sum == 1000L)
+  }
+
+  test("merge path: counts are identical under any partitioning") {
+    val base = (0 until 5000).map(i => ("g" + (i % 3), (i % 611).toDouble / 2))
+    val one = base.toDF("g", "v").repartition(1)
+    val many = base.toDF("g", "v").repartition(13)
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(expr("graft_hist(v, 0.0D, 512.0D, 64)").as("h"))
+        .orderBy("g").as[(String, Seq[Long])].collect().toSeq
+    assert(hist(one) == hist(many))
+  }
+
+  test("clamp below/above, skip null and NaN") {
+    val df = Seq(
+      Some(-5.0), Some(0.0), Some(3.9), Some(4.0), Some(100.0),
+      Some(1e9), None, Some(Double.NaN)
+    ).toDF("v").withColumn("g", lit("x"))
+    val counts = df.groupBy("g")
+      .agg(expr("graft_hist(v, 0.0D, 8.0D, 2)").as("h"))
+      .select("h").as[Seq[Long]].head()
+    // bucket 0 = [0,4): -5 (clamped), 0.0, 3.9; bucket 1 = [4,8): 4.0
+    // plus 100 and 1e9 clamped high; null + NaN skipped entirely.
+    assert(counts == Seq(3L, 3L))
+  }
+
+  test("histPercentiles lands within one bucket width of the exact percentile") {
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val width = 4.0
+    val approx = Stats.histPercentiles(
+      docs, "lang", "n_chars", lo = 0.0, hi = 1024.0, nbins = 256,
+      ps = Seq(0.5, 0.9))
+      .select(col("lang"), col("p"), col("est")).as[(String, Double, Double)]
+      .collect().toSeq
+    val exact = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"))
+      .as[(String, Double, Double)].collect()
+      .flatMap { case (l, p50, p90) => Seq((l, 0.5) -> p50, (l, 0.9) -> p90) }
+      .toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (lang, p, est) =>
+      val ex = exact((lang, p))
+      // The crossing-bucket estimate and the exact interpolated
+      // quantile can sit in adjacent buckets at a boundary — bound by
+      // a bucket width on each side.
+      assert(math.abs(est - ex) <= 2 * width,
+        s"$lang p=$p: est $est vs exact $ex drifts past the bucket bound")
+    }
+  }
+
+  test("histPercentiles rejects out-of-range percentiles") {
+    val df = Seq(("g", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Stats.histPercentiles(df, "g", "v", 0.0, 8.0, 2, Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.histPercentiles(df, "g", "v", 0.0, 8.0, 2, Seq(1.5))
+    }
+  }
+}

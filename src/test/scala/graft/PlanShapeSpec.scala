@@ -166,7 +166,11 @@ class PlanShapeSpec extends SparkSpec {
       // q150: ivfSq8TopK assigns corpus + queries against the
       // broadcast trained codebook — q66's documented shape; the ADC
       // probe and re-rank stages are equi-joins.
-      "q150_ivf_sq8_search")
+      "q150_ivf_sq8_search",
+      // q151: the |ps|-row percentile frame broadcast-nested-loop
+      // joins onto the (groups × occupied-buckets) post-sketch frame
+      // to find each crossing bucket — both sides tiny by construction.
+      "q151_hist_percentiles")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts

@@ -49,7 +49,7 @@ class StreamingCsvSpec extends SparkSpec {
     assert(back(1).getDouble(2) == -2.0)
   }
 
-  test("graft session reads the driver's nanosecond events parquet") {
+  test("graft session normalizes events.ts to µs timestamp_ntz (any file vintage)") {
     val df = graft.core.Graft.table(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType.typeName == "timestamp_ntz")
     assert(df.count() > 0)
