@@ -62,6 +62,31 @@ object Sampling {
   def duckBucket(x: String): String =
     Hashing.duckPortableHash(s"CAST($x AS VARCHAR)") + " % 100"
 
+  /** Rendezvous (highest-random-weight) shard assignment: the key goes
+    * to the shard whose per-(key, shard) hash scores highest. Unlike
+    * `hash mod n` — which remaps ~(n−1)/n of ALL keys when n changes —
+    * growing n → n+1 moves exactly the keys the NEW shard wins:
+    * expected 1/(n+1) of the corpus. That is the property that makes
+    * incremental re-sharding of a 100 TB store an O(moved-bytes) job
+    * instead of a full rewrite (q153 measures the moved fraction).
+    *
+    * Scale shape: a pure narrow projection — the n candidate scores
+    * are a per-row `transform` over a literal sequence, max-reduced in
+    * place; no shuffle, no state, no lookup table. Deterministic ties
+    * (hash, then shard id) via lexicographic struct max, and portable:
+    * the score is [[Hashing.portableHash]] of `"<key>:<shard>"`, so
+    * any engine replays the assignment.
+    */
+  def rendezvousShard(key: Column, n: Int): Column = {
+    require(n > 0, s"shard count must be positive: $n")
+    array_max(transform(sequence(lit(0), lit(n - 1)), s =>
+      struct(
+        Hashing.portableHash(
+          concat(key.cast("string"), lit(":"), s.cast("string"))).as("h"),
+        s.as("s"))))
+      .getField("s")
+  }
+
   /** Token-budget curation: per stratum, admit rows in (priority DESC,
     * key ASC) order while the running token total stays within
     * `budget` — how a corpus gets cut to "the best N billion tokens

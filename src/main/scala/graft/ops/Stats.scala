@@ -69,6 +69,19 @@ object Stats {
     */
   def histPercentiles(
       df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int, ps: Seq[Double]): DataFrame =
+    crossingEstimates(df, groupCol, valueCol, lo, hi, nbins, ps)
+      .select(col(groupCol), col("p"), col("total").as("n"),
+        (round(col("est_raw"), 4) + lit(0.0)).as("est"))
+
+  /** Shared core of [[histPercentiles]] / [[equiDepthBins]]: one row
+    * per (group, p) with the UNROUNDED crossing-bucket estimate
+    * (`est_raw`) — binning must compare boundaries at full precision
+    * or a value sitting within rounding distance of a boundary flips
+    * bins between engines.
+    */
+  private def crossingEstimates(
+      df: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double, nbins: Int, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"percentiles must be in (0, 1], got $ps")
@@ -97,8 +110,32 @@ object Stats {
       (target - before) / col("cnt").cast("double"))
     cum.crossJoin(pFrame)
       .where(col("cum").cast("double") >= target && before < target)
-      .select(col(groupCol), col("p"), col("total").as("n"),
-        (round(est, 4) + lit(0.0)).as("est"))
+      .select(col(groupCol), col("p"), col("total"), est.as("est_raw"))
+  }
+
+  /** Equi-depth (quantile) binning from the histogram sketch — the
+    * discretizer feature pipelines need ("quartile of length within
+    * its language") WITHOUT the global per-group sort `ntile` costs:
+    * one sketch pass fixes the B−1 boundary values per group, then bin
+    * assignment is a narrow map against the broadcast (groups × B−1)
+    * boundary table. A row's bin is the number of boundaries ≤ its
+    * value (so values tied with a boundary go UP, bins are [0, B−1]);
+    * null values get a null bin. Depth is equal up to sketch
+    * resolution — heavy duplicate values land in one bin, as any
+    * quantile discretizer must.
+    */
+  def equiDepthBins(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int, bins: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = crossingEstimates(df, groupCol, valueCol, lo, hi, nbins, ps)
+      .groupBy(groupCol).agg(sort_array(collect_list("est_raw")).as("_bs"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn(binCol, when(col(valueCol).isNotNull && col("_bs").isNotNull,
+        size(filter(col("_bs"), b => b <= col(valueCol).cast("double")))))
+      .drop("_bs")
   }
 
   /** Weekly cohort retention over an event stream: users bucketed by

@@ -2,13 +2,14 @@ package graft.queries
 
 import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
-import graft.ops.{AsofJoin, Bpe, Chunking, Classifier, Cleaning,
-  Components, Coordinates, CorpusPipeline, Dedup, Dsir, GemPipeline,
-  IntervalJoin, LanguageModel, LineDedup, LogReg, Multimodal,
-  Normalize, Ownership, Packing, PageRank, Pca, Profile, Quantize,
-  Retrieval, Rolling, Sampling, Similarity, Skew, SnapshotDiff,
-  SpanDedup, Stats, TextAnalysis, Timeseries, TrackerConfigs}
-import graft.sources.{CountryDim, Csv, Jsonl}
+import graft.ops.{AsofJoin, Bpe, CardinalityEstimate, Chunking,
+  Classifier, Cleaning, Components, Coordinates, CorpusPipeline,
+  Dedup, Dsir, GemPipeline, IntervalJoin, LanguageModel, LineDedup,
+  LogReg, Merge, Multimodal, Normalize, Ownership, Packing, PageRank, Pca,
+  Profile, Quantize, Retrieval, Rolling, Sampling, Similarity, Skew,
+  SnapshotDiff, SpanDedup, Stats, TextAnalysis, Timeseries,
+  TrackerConfigs}
+import graft.sources.{CountryDim, Csv, Jsonl, Orc}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -5277,7 +5278,209 @@ object GemQueries {
              |FROM cc, p
              |WHERE CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
              |  AND CAST(cum - cnt AS DOUBLE) < p * CAST(total AS DOUBLE)
-             |ORDER BY lang, p""".stripMargin))
+             |ORDER BY lang, p""".stripMargin)),
+
+    // S-tier: ORC sink + source round-trip (sources/Orc) — the second
+    // columnar lake format, native to Spark. The aggregate runs over
+    // the re-read ORC copy, so types (long/string/double/
+    // timestamp_ntz) must survive the round-trip for the oracle —
+    // which reads the ORIGINAL parquet — to hash-match.
+    QueryDef("q152_orc_roundtrip",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip"
+        Orc.write(t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"), tmp)
+        Orc.read(s, tmp)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"),
+            min("o_orderdate").as("first_date"),
+            max("o_orderdate").as("last_date"))
+          .orderBy(col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total,
+             |  min(o_orderdate) AS first_date,
+             |  max(o_orderdate) AS last_date
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // Rendezvous (HRW) shard assignment (Sampling.rendezvousShard):
+    // each doc scored against every shard id, argmax wins — a pure
+    // narrow projection, no shuffle. The 8→9 grid this query emits
+    // exhibits THE property the operator exists for: off-diagonal mass
+    // (keys whose shard changed) is only the ~1/9 the new shard wins,
+    // where `hash mod n` would remap ~8/9 of the corpus. The oracle
+    // replays the argmax as a per-doc rank window over the exploded
+    // (doc × shard) grid.
+    QueryDef("q153_rendezvous_shards",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .groupBy("shard8", "shard9").agg(count(lit(1)).as("n"))
+        .orderBy("shard8", "shard9"),
+      Some(s"""WITH sc AS (
+             |  SELECT doc_id, s,
+             |    ${Hashing.duckPortableHash(
+                    "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")} AS h
+             |  FROM documents CROSS JOIN (SELECT unnest(range(9)) AS s)),
+             |r8 AS (SELECT doc_id, s, row_number() OVER (
+             |         PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+             |       FROM sc WHERE s < 8),
+             |r9 AS (SELECT doc_id, s, row_number() OVER (
+             |         PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+             |       FROM sc)
+             |SELECT CAST(a.s AS INTEGER) AS shard8,
+             |  CAST(b.s AS INTEGER) AS shard9, count(*) AS n
+             |FROM (SELECT doc_id, s FROM r8 WHERE rn = 1) a
+             |JOIN (SELECT doc_id, s FROM r9 WHERE rn = 1) b USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // KMV join-cardinality estimation (CardinalityEstimate
+    // .kmvJoinEstimate): how many distinct customers the orders table
+    // shares with customer, estimated from two 128-long sketches
+    // without running the join — next to the exact tier so the
+    // estimator's error is visible in the same row. Every sketch op is
+    // portable hash + sorted-list arithmetic, so the oracle replays
+    // estimate AND error bit-for-bit.
+    QueryDef("q154_kmv_join_estimate",
+      (s, dir) => CardinalityEstimate.kmvJoinEstimate(
+        t(s, dir, "orders").where(col("o_orderstatus") === "O"), "o_custkey",
+        t(s, dir, "customer")
+          .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")),
+        "c_custkey", k = 128),
+      Some(s"""WITH lo AS (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             |rc AS (
+             |  SELECT c_custkey FROM customer
+             |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+             |ha AS (
+             |  SELECT ${Hashing.duckPortableHash("CAST(o_custkey AS VARCHAR)")} AS h
+             |  FROM lo WHERE o_custkey IS NOT NULL),
+             |hb AS (
+             |  SELECT ${Hashing.duckPortableHash("CAST(c_custkey AS VARCHAR)")} AS h
+             |  FROM rc WHERE c_custkey IS NOT NULL),
+             |ka AS (SELECT list_sort(list_distinct(list(h)))[1:128] AS a FROM ha),
+             |kb AS (SELECT list_sort(list_distinct(list(h)))[1:128] AS b FROM hb),
+             |uu AS (SELECT a, b, list_sort(list_distinct(a || b))[1:128] AS u
+             |       FROM ka, kb),
+             |calc AS (SELECT a, b, u, len(u) AS m,
+             |    len(list_intersect(list_intersect(u, a), b)) AS matches
+             |  FROM uu),
+             |ex AS (SELECT
+             |  (SELECT count(DISTINCT o_custkey) FROM lo
+             |   WHERE o_custkey IS NOT NULL) AS n_left_exact,
+             |  (SELECT count(DISTINCT c_custkey) FROM rc
+             |   WHERE c_custkey IS NOT NULL) AS n_right_exact,
+             |  (SELECT count(DISTINCT o.o_custkey) FROM lo o
+             |   JOIN rc c ON o.o_custkey = c.c_custkey) AS n_inter_exact)
+             |SELECT n_left_exact, n_right_exact, n_inter_exact,
+             |  round(CASE WHEN len(a) < 128 THEN CAST(len(a) AS DOUBLE)
+             |    ELSE 127.0 * 1152921504606846976 / CAST(a[128] AS DOUBLE)
+             |    END, 1) + 0.0 AS left_est,
+             |  round(CASE WHEN len(b) < 128 THEN CAST(len(b) AS DOUBLE)
+             |    ELSE 127.0 * 1152921504606846976 / CAST(b[128] AS DOUBLE)
+             |    END, 1) + 0.0 AS right_est,
+             |  round(CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+             |    ELSE 127.0 * 1152921504606846976 / CAST(u[128] AS DOUBLE)
+             |    END, 1) + 0.0 AS union_est,
+             |  round(CAST(matches AS DOUBLE) / CAST(m AS DOUBLE), 4) + 0.0
+             |    AS jacc_est,
+             |  round(CAST(matches AS DOUBLE) / CAST(m AS DOUBLE)
+             |    * (CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+             |       ELSE 127.0 * 1152921504606846976 / CAST(u[128] AS DOUBLE)
+             |       END), 1) + 0.0 AS inter_est
+             |FROM calc, ex""".stripMargin)),
+
+    // Equi-depth binning from the histogram sketch (Stats
+    // .equiDepthBins): per-language length quartiles WITHOUT the
+    // per-group global sort `ntile` would cost — one sketch pass fixes
+    // the 3 boundary values per group, then bin assignment is a
+    // narrow map against the broadcast boundary table. Boundaries
+    // compare UNROUNDED on both engines (rounding could flip a value
+    // across a bin edge). The per-bin counts this emits show the
+    // ~equal depth.
+    QueryDef("q155_equidepth_bins",
+      (s, dir) => Stats.equiDepthBins(
+          t(s, dir, "documents"), "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256, bins = 4)
+        .groupBy("lang", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "bin"),
+      Some("""WITH v AS (
+             |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL),
+             |b AS (SELECT lang, CAST(least(greatest(floor(v / 4.0), 0), 255)
+             |        AS BIGINT) AS b FROM v),
+             |c AS (SELECT lang, b, count(*) AS cnt FROM b GROUP BY lang, b),
+             |cc AS (SELECT lang, b, cnt,
+             |         sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |         sum(cnt) OVER (PARTITION BY lang) AS total
+             |       FROM c),
+             |p AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
+             |est AS (
+             |  SELECT lang, p, 4.0 * (CAST(b AS DOUBLE)
+             |    + (p * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             |      / CAST(cnt AS DOUBLE)) AS est_raw
+             |  FROM cc, p
+             |  WHERE CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
+             |    AND CAST(cum - cnt AS DOUBLE) < p * CAST(total AS DOUBLE)),
+             |bounds AS (SELECT lang, list_sort(list(est_raw)) AS bs
+             |           FROM est GROUP BY lang)
+             |SELECT d.lang, CAST(len(list_filter(b.bs,
+             |    x -> x <= CAST(d.n_chars AS DOUBLE))) AS INTEGER) AS bin,
+             |  count(*) AS n
+             |FROM documents d JOIN bounds b ON d.lang = b.lang
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic MERGE (ops/Merge.upsert — the lakehouse
+    // `MERGE INTO` apply step after q127's CDC audit): one
+    // co-partitioned full outer join lands a change batch (updates
+    // whose nulls win, flagged deletes, unmatched inserts) onto the
+    // base in base-schema shape. The batch here touches ~25% of
+    // customer (every 10th key updated, every 17th deleted, every
+    // 13th re-inserted under a shifted key); the oracle constructs
+    // the final state set-algebraically and aggregates both.
+    QueryDef("q156_merge_upsert",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val upd = cust
+          .filter(col("c_custkey") % 10 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+          .withColumn("_delete", lit(false))
+        val del = cust.filter(col("c_custkey") % 17 === 0)
+          .withColumn("_delete", lit(true))
+        val ins = cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+            col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+          .withColumn("_delete", lit(false))
+        Merge.upsert(cust, upd.unionByName(del).unionByName(ins), "c_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum("c_acctbal"), 2).as("total_bal"),
+            countDistinct("c_custkey").as("n_keys"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0),
+             |ins AS (
+             |  SELECT c_custkey + 1000000 AS c_custkey,
+             |    'new_' || CAST(c_custkey AS VARCHAR) AS c_name,
+             |    c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 13 = 0),
+             |keep AS (
+             |  SELECT * FROM customer
+             |  WHERE c_custkey % 17 <> 0 AND c_custkey % 10 <> 0),
+             |final AS (SELECT * FROM keep UNION ALL SELECT * FROM upd
+             |          UNION ALL SELECT * FROM ins)
+             |SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(c_acctbal), 2) AS total_bal,
+             |  count(DISTINCT c_custkey) AS n_keys
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.CardinalityEstimate
+import org.apache.spark.sql.Row
+
+/** KMV join-cardinality estimator invariants: when both key sets are
+  * smaller than k the sketches are COMPLETE and every estimate must
+  * equal the exact tier exactly; disjoint sets must estimate zero
+  * intersection; null keys never count on either tier.
+  */
+class CardinalityEstimateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(
+      left: Seq[Option[Long]], right: Seq[Option[Long]], k: Int): Row =
+    CardinalityEstimate.kmvJoinEstimate(
+      left.toDF("x"), "x", right.toDF("y"), "y", k).head()
+
+  test("sub-k sets: estimates collapse to the exact counts") {
+    // 40 vs 30 keys with 20 shared, duplicates on the left — well
+    // under k=128, so the sketch IS the distinct key-hash set.
+    val l = ((1L to 40L) ++ (1L to 10L)).map(Option(_))
+    val r = (21L to 50L).map(Option(_))
+    val row = report(l, r, k = 128)
+    assert(row.getLong(0) == 40L && row.getLong(1) == 30L && row.getLong(2) == 20L)
+    assert(row.getDouble(3) == 40.0) // left_est
+    assert(row.getDouble(4) == 30.0) // right_est
+    assert(row.getDouble(5) == 50.0) // union_est
+    assert(row.getDouble(6) == 0.4) // jacc = 20/50
+    assert(row.getDouble(7) == 20.0) // inter_est
+  }
+
+  test("disjoint sets estimate zero intersection; nulls excluded") {
+    val l = (1L to 25L).map(Option(_)) :+ (None: Option[Long])
+    val r = (100L to 120L).map(Option(_)) :+ (None: Option[Long])
+    val row = report(l, r, k = 64)
+    assert(row.getLong(0) == 25L && row.getLong(1) == 21L && row.getLong(2) == 0L)
+    assert(row.getDouble(6) == 0.0 && row.getDouble(7) == 0.0)
+  }
+
+  test("oversized sets: estimate within 35% of truth at k=128") {
+    val l = (1L to 3000L).map(Option(_))
+    val r = (2001L to 5000L).map(Option(_))
+    val row = report(l, r, k = 128)
+    assert(row.getLong(2) == 1000L)
+    val est = row.getDouble(7)
+    assert(est > 650 && est < 1350, s"inter_est $est drifted from 1000")
+  }
+}

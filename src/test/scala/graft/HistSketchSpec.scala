@@ -74,6 +74,29 @@ class HistSketchSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthBins: ~equal depth over a uniform column, all rows kept") {
+    val df = (0 until 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val counts = Stats.equiDepthBins(df, "g", "v",
+      lo = 0.0, hi = 1024.0, nbins = 256, bins = 4)
+      .groupBy("bin").count().orderBy("bin")
+      .as[(Int, Long)].collect().toSeq
+    assert(counts.map(_._1) == Seq(0, 1, 2, 3))
+    assert(counts.map(_._2).sum == 1000L)
+    // one-bucket-width sketch resolution on a uniform 0..999 column
+    counts.foreach { case (b, n) =>
+      assert(n >= 230 && n <= 270, s"bin $b depth $n drifts from 250")
+    }
+  }
+
+  test("equiDepthBins: null values keep their row and get a null bin") {
+    val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(5.0)),
+      ("g", Some(9.0)), ("g", Some(2.0))).toDF("g", "v")
+    val out = Stats.equiDepthBins(df, "g", "v",
+      lo = 0.0, hi = 16.0, nbins = 16, bins = 2).collect()
+    assert(out.length == 5)
+    assert(out.count(_.isNullAt(2)) == 1)
+  }
+
   test("histPercentiles rejects out-of-range percentiles") {
     val df = Seq(("g", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {

@@ -170,7 +170,14 @@ class PlanShapeSpec extends SparkSpec {
       // q151: the |ps|-row percentile frame broadcast-nested-loop
       // joins onto the (groups × occupied-buckets) post-sketch frame
       // to find each crossing bucket — both sides tiny by construction.
-      "q151_hist_percentiles")
+      "q151_hist_percentiles",
+      // q154: three 1-row frames (two KMV sketch aggregates + the
+      // exact-count row) cross into the single report row.
+      "q154_kmv_join_estimate",
+      // q155: q151's percentile-frame BNLJ inside the boundary
+      // computation; the corpus side only ever equi-joins the
+      // broadcast (groups × B−1) boundary table.
+      "q155_equidepth_bins")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts

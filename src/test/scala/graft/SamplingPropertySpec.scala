@@ -43,4 +43,17 @@ object SamplingPropertySpec extends Properties("Sampling") {
             s == cuts.find(_._2 > bk).get._1
           }
     }
+
+  property("rendezvous: growing n→n+1 only ever moves keys TO the new shard") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-10000L, 10000L)),
+      Gen.choose(1, 12)) { (keys, n) =>
+      val rows = keys.toDF("id")
+        .select(col("id"),
+          Sampling.rendezvousShard(col("id"), n).as("a"),
+          Sampling.rendezvousShard(col("id"), n + 1).as("b"))
+        .collect().map(r => (r.getInt(1), r.getInt(2)))
+      rows.forall { case (a, b) =>
+        a >= 0 && a < n && b >= 0 && b <= n && (b == a || b == n)
+      }
+    }
 }

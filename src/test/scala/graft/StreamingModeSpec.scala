@@ -311,6 +311,27 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("graft_hist aggregates as streaming state (Complete mode, 2 batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val sketched = input.toDF().toDF("v")
+      .selectExpr("graft_hist(v, 0.0D, 8.0D, 4) AS h")
+    val q = sketched.writeStream.format("memory").queryName("hist_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(0.5, 1.9, 2.0) // buckets 0, 0, 1
+      q.processAllAvailable()
+      input.addData(5.0, 100.0, -3.0) // bucket 2, clamp-high 3, clamp-low 0
+      q.processAllAvailable()
+      val h = spark.table("hist_test").head.getSeq[Long](0)
+      // counts accumulate ACROSS both batches through the state merge
+      assert(h == Seq(3L, 1L, 1L, 1L))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS hist_test")
+    }
+  }
+
   test("fillForward carries the last observation ACROSS micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Option[Double])]
