@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two samples of a numeric
+  * column — the "did the new corpus version shift?" gate a training
+  * pipeline runs before swapping data in: a two-sample
+  * Kolmogorov–Smirnov statistic per group, computed entirely from
+  * [[graft.functions.HistSketchAgg]] histogram sketches.
+  *
+  * KS = max over bucket edges of |CDF_a − CDF_b|, evaluated at the
+  * sketch's bucket boundaries — exact for the binned distributions,
+  * within one bucket width of the raw-sample statistic. Each side
+  * reduces to one sketch aggregate (8·nbins bytes per group over the
+  * shuffle); the CDF compare runs on the dense (groups × nbins) frame
+  * both sketches already are — two corpora are compared without
+  * either shipping a row. All arithmetic is integer counts then one
+  * division, so an external engine reproduces the statistic exactly.
+  */
+object Drift {
+
+  /** @return one row per group: groupCol, `n_a`, `n_b`, `ks`
+    *         (rounded to 4; groups present in only one side are
+    *         omitted — no distribution to compare against)
+    */
+  def ksFromHists(
+      a: DataFrame, b: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int): DataFrame = {
+    def buckets(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy(groupCol)
+        .agg(expr(s"graft_hist(CAST($valueCol AS DOUBLE), ${lo}D, ${hi}D, $nbins)")
+          .as("_h"))
+        .select(col(groupCol), posexplode(col("_h")).as(Seq("b", cnt)))
+    val w = Window.partitionBy(groupCol).orderBy("b")
+    val wAll = Window.partitionBy(groupCol)
+    val joined = buckets(a, "ca").join(buckets(b, "cb"), Seq(groupCol, "b"))
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .withColumn("n_a", sum("ca").over(wAll))
+      .withColumn("n_b", sum("cb").over(wAll))
+    joined
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .groupBy(col(groupCol), col("n_a"), col("n_b"))
+      .agg((round(max(abs(
+        col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double"))), 4)
+        + lit(0.0)).as("ks"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("ks"))
+  }
+}

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  private def fingerprint(contentCols: Seq[String]) =
+  private[ops] def fingerprint(contentCols: Seq[String]) =
     Hashing.portableHash(concat_ws("\u0002",
       contentCols.map(c =>
         coalesce(col(c).cast("string"), lit("\u0001NULL"))): _*))

@@ -4,11 +4,11 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{AsofJoin, Bpe, CardinalityEstimate, Chunking,
   Classifier, Cleaning, Components, Coordinates, CorpusPipeline,
-  Dedup, Dsir, GemPipeline, IntervalJoin, LanguageModel, LineDedup,
-  LogReg, Merge, Multimodal, Normalize, Ownership, Packing, PageRank, Pca,
-  Profile, Quantize, Retrieval, Rolling, Sampling, Similarity, Skew,
-  SnapshotDiff, SpanDedup, Stats, TextAnalysis, Timeseries,
-  TrackerConfigs}
+  Dedup, Drift, Dsir, GemPipeline, IncrementalAgg, IntervalJoin,
+  LanguageModel, LineDedup, LogReg, Merge, Multimodal, Normalize,
+  Ownership, Packing, PageRank, Pca, Profile, Quantize, Retrieval,
+  Rolling, Sampling, Scd2, Similarity, Skew, SnapshotDiff, SpanDedup,
+  Stats, TableChecksum, TextAnalysis, Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -5480,7 +5480,203 @@ object GemQueries {
              |SELECT c_mktsegment, count(*) AS n,
              |  round(sum(c_acctbal), 2) AS total_bal,
              |  count(DISTINCT c_custkey) AS n_keys
-             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCD Type-2 history build (ops/Scd2.history): three synthesized
+    // customer versions (v2 bumps nationkey for every 7th key and
+    // drops every 11th; v3 restores the dropped keys and moves every
+    // 5th key's segment) collapse into validity intervals — per-key
+    // windows over the version log, the fingerprint computed in the
+    // scan projection. A key absent in v2 that returns in v3 with
+    // UNCHANGED content stays one unbroken run (fingerprint-equality
+    // semantics, pinned in Scd2Spec).
+    QueryDef("q157_scd2_history",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+        val bump = when(col("c_custkey") % 7 === 0,
+          col("c_nationkey") + 1).otherwise(col("c_nationkey"))
+        val v1 = cust.withColumn("ver", lit(1))
+        val v2 = cust.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_nationkey", bump)
+          .withColumn("ver", lit(2))
+        val v3 = cust
+          .withColumn("c_nationkey", bump)
+          .withColumn("c_mktsegment", when(col("c_custkey") % 5 === 0,
+            lit("MOVED")).otherwise(col("c_mktsegment")))
+          .withColumn("ver", lit(3))
+        Scd2.history(v1.unionByName(v2).unionByName(v3),
+          "c_custkey", "ver", Seq("c_nationkey", "c_mktsegment"))
+          .groupBy("valid_from", "valid_to", "is_current")
+          .agg(count(lit(1)).as("n"), countDistinct("c_custkey").as("n_keys"))
+          .orderBy(col("valid_from"), col("valid_to").asc_nulls_first)
+      },
+      Some(s"""WITH v1 AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment, 1 AS ver
+             |  FROM customer),
+             |v2 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    c_mktsegment, 2 AS ver
+             |  FROM customer WHERE c_custkey % 11 <> 0),
+             |v3 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+             |      ELSE c_mktsegment END AS c_mktsegment,
+             |    3 AS ver FROM customer),
+             |vlog AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             |         UNION ALL SELECT * FROM v3),
+             |f AS (SELECT *, ${SnapshotDiff.duckFingerprint(
+                      Seq("c_nationkey", "c_mktsegment"))} AS fp
+             |      FROM vlog),
+             |g AS (SELECT *, CASE WHEN lag(fp) OVER w IS NULL
+             |        OR lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS nr
+             |      FROM f WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+             |r AS (SELECT *, sum(nr) OVER (
+             |        PARTITION BY c_custkey ORDER BY ver) AS run
+             |      FROM g),
+             |runs AS (SELECT c_custkey, run, min(ver) AS valid_from
+             |         FROM r GROUP BY 1, 2),
+             |iv AS (SELECT c_custkey, valid_from,
+             |         lead(valid_from) OVER (
+             |           PARTITION BY c_custkey ORDER BY valid_from) - 1
+             |           AS valid_to
+             |       FROM runs)
+             |SELECT valid_from, valid_to, valid_to IS NULL AS is_current,
+             |  count(*) AS n, count(DISTINCT c_custkey) AS n_keys
+             |FROM iv GROUP BY 1, 2, 3
+             |ORDER BY 1, 2 NULLS FIRST""".stripMargin)),
+
+    // Order-independent bucketed table checksums (ops/TableChecksum
+    // .compare — the Merkle-style anti-entropy primitive): a tampered
+    // customer copy (every 97th key deleted, every 101st segment
+    // rewritten) against the original. Each side ships 16 (count,
+    // XOR-of-fingerprints) rows; the differing buckets localize the
+    // damage without either side shipping a row. The oracle recomputes
+    // both sides' checksums with DuckDB's bit_xor over the same
+    // portable fingerprints.
+    QueryDef("q158_table_checksum",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val tampered = cust.filter(col("c_custkey") % 97 =!= 0)
+          .withColumn("c_mktsegment", when(col("c_custkey") % 101 === 0,
+            lit("X")).otherwise(col("c_mktsegment")))
+        TableChecksum.compare(cust, tampered, "c_custkey",
+          Seq("c_name", "c_nationkey", "c_mktsegment"), buckets = 16)
+          .orderBy("bucket")
+      },
+      Some(s"""WITH tam AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 101 = 0 THEN 'X'
+             |      ELSE c_mktsegment END AS c_mktsegment
+             |  FROM customer WHERE c_custkey % 97 <> 0),
+             |ca AS (
+             |  SELECT ${Hashing.duckPortableHash(
+                    "CAST(c_custkey AS VARCHAR)")} % 16 AS bucket,
+             |    count(*) AS n_a,
+             |    bit_xor(${SnapshotDiff.duckFingerprint(Seq("c_custkey",
+                      "c_name", "c_nationkey", "c_mktsegment"))}) AS xor_a
+             |  FROM customer GROUP BY 1),
+             |cb AS (
+             |  SELECT ${Hashing.duckPortableHash(
+                    "CAST(c_custkey AS VARCHAR)")} % 16 AS bucket,
+             |    count(*) AS n_b,
+             |    bit_xor(${SnapshotDiff.duckFingerprint(Seq("c_custkey",
+                      "c_name", "c_nationkey", "c_mktsegment"))}) AS xor_b
+             |  FROM tam GROUP BY 1)
+             |SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+             |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             |  (coalesce(n_a, 0) = coalesce(n_b, 0)
+             |    AND coalesce(xor_a, 0) = coalesce(xor_b, 0)) AS is_match
+             |FROM ca FULL JOIN cb ON ca.bucket = cb.bucket
+             |ORDER BY 1""".stripMargin)),
+
+    // Incremental aggregate maintenance (ops/IncrementalAgg — IVM for
+    // distributive aggregates): the per-returnflag (count, sum) view
+    // is built WITHOUT the final 10% of orders, then a signed delta
+    // batch (those orders as +1 inserts, every 7th already-counted
+    // order as −1 retractions) folds in via one batch-sized aggregate
+    // + one full outer join on the group keyspace. The oracle
+    // re-aggregates the final row set DIRECTLY, so the query is green
+    // only if state ⊕ Δ ≡ recompute — exactly (l_quantity is
+    // integral-valued, so the sums are order-independent integers).
+    QueryDef("q159_incremental_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val base = li.filter(col("l_orderkey") % 10 =!= 0)
+        val st = IncrementalAgg.state(base, "l_returnflag", "l_quantity")
+        val inserts = li.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("sign", lit(1))
+        val retractions = li
+          .filter(col("l_orderkey") % 10 =!= 0 && col("l_orderkey") % 7 === 0)
+          .withColumn("sign", lit(-1))
+        IncrementalAgg.applyDelta(st, inserts.unionByName(retractions),
+          "l_returnflag", "l_quantity", "sign")
+          .select(col("l_returnflag"), col("n"),
+            round(col("total"), 2).as("total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(CAST(l_quantity AS DOUBLE)), 2) AS total
+             |FROM lineitem
+             |WHERE l_orderkey % 10 = 0
+             |   OR (l_orderkey % 10 <> 0 AND l_orderkey % 7 <> 0)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Distribution-drift gate (ops/Drift.ksFromHists): two-sample KS
+    // statistic per language between the even-id documents and the
+    // odd-id documents with n_chars shifted +100 (a simulated
+    // longer-docs corpus version) — computed ENTIRELY from two
+    // graft_hist sketches; neither sample ships a row. KS at bucket
+    // edges is exact for the binned distributions (integer counts,
+    // one division), so the oracle rebuilds both CDFs on a dense
+    // bucket grid and reproduces the statistic bit-for-bit.
+    QueryDef("q160_ks_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+        val b = docs.filter(col("doc_id") % 2 =!= 0)
+          .withColumn("n_chars", col("n_chars") + lit(100L))
+        Drift.ksFromHists(a, b, "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256)
+          .orderBy("lang")
+      },
+      Some("""WITH aa AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars AS DOUBLE) / 4.0), 0), 255) AS BIGINT)
+             |      AS b
+             |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+             |bb AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars + 100 AS DOUBLE) / 4.0), 0), 255)
+             |      AS BIGINT) AS b
+             |  FROM documents WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+             |langs AS (SELECT DISTINCT lang FROM documents),
+             |grid AS (SELECT lang, s AS b FROM langs
+             |         CROSS JOIN (SELECT unnest(range(256)) AS s)),
+             |ka AS (SELECT lang, b, count(*) AS c FROM aa GROUP BY 1, 2),
+             |kb AS (SELECT lang, b, count(*) AS c FROM bb GROUP BY 1, 2),
+             |j AS (SELECT g.lang, g.b, coalesce(ka.c, 0) AS ca,
+             |        coalesce(kb.c, 0) AS cb
+             |      FROM grid g
+             |      LEFT JOIN ka ON g.lang = ka.lang AND g.b = ka.b
+             |      LEFT JOIN kb ON g.lang = kb.lang AND g.b = kb.b),
+             |cum AS (SELECT lang, b,
+             |          sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+             |          sum(ca) OVER wa AS n_a, sum(cb) OVER wa AS n_b
+             |        FROM j
+             |        WINDOW w AS (PARTITION BY lang ORDER BY b),
+             |               wa AS (PARTITION BY lang))
+             |SELECT lang, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  round(max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |    - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))), 4) + 0.0
+             |    AS ks
+             |FROM cum WHERE n_a > 0 AND n_b > 0
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
