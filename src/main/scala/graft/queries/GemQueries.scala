@@ -2,13 +2,15 @@ package graft.queries
 
 import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
-import graft.ops.{AsofJoin, Bpe, CardinalityEstimate, Chunking,
-  Classifier, Cleaning, Components, Coordinates, CorpusPipeline,
+import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
+  Chunking, Classifier, Cleaning, Components, Coordinates,
+  CorpusPipeline, Pareto,
   Dedup, Drift, Dsir, GemPipeline, IncrementalAgg, IntervalJoin,
-  LanguageModel, LineDedup, LogReg, Merge, Multimodal, Normalize,
-  Ownership, Packing, PageRank, Pca, Profile, Quantize, Retrieval,
-  Rolling, Sampling, Scd2, Similarity, Skew, SnapshotDiff, SpanDedup,
-  Stats, TableChecksum, TextAnalysis, Timeseries, TrackerConfigs}
+  Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
+  Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
+  Quantize, Retrieval, Rolling, Sampling, Scd2, Similarity, Skew,
+  SnapshotDiff, SpanDedup, Stats, TableChecksum, TextAnalysis,
+  Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -5679,8 +5681,139 @@ object GemQueries {
              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
   )
 
+  /** Third catalog section (round 11+) — its own Seq literal so the
+    * already-huge `moreDefs` method stays clear of JVM size limits.
+    */
+  private val extraDefs: Seq[QueryDef] = Seq(
+
+    // Frequent-itemset mining + association rules (ops/Itemsets.rules,
+    // Apriori pair grain): baskets = orders, items = the part brands
+    // they contain. The L1 pass prunes to frequent items BEFORE the
+    // per-basket pair expansion (Apriori monotonicity), pairs come
+    // from a basket-key self-join, and support/confidence/lift are
+    // integer-count ratios — the oracle replays the identical
+    // lattice in SQL.
+    QueryDef("q161_assoc_rules",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val part = t(s, dir, "part").select("p_partkey", "p_brand")
+        val basket = li.join(part, col("l_partkey") === col("p_partkey"))
+        Itemsets.rules(basket, "l_orderkey", "p_brand", minSupport = 50)
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |nb AS (SELECT count(DISTINCT basket) AS n FROM b),
+             |l1 AS (SELECT item, count(*) AS n_item FROM b
+             |       GROUP BY 1 HAVING count(*) >= 50),
+             |fb AS (SELECT b.basket, b.item FROM b JOIN l1 USING (item)),
+             |p AS (SELECT x.item AS item_a, y.item AS item_b,
+             |        count(*) AS n_both
+             |      FROM fb x JOIN fb y
+             |        ON x.basket = y.basket AND x.item < y.item
+             |      GROUP BY 1, 2 HAVING count(*) >= 50),
+             |d AS (SELECT item_a AS antecedent, item_b AS consequent,
+             |        n_both FROM p
+             |      UNION ALL
+             |      SELECT item_b, item_a, n_both FROM p)
+             |SELECT antecedent, consequent, n_both,
+             |  la.n_item AS n_ante, lc.n_item AS n_cons,
+             |  round(CAST(n_both AS DOUBLE) / nb.n, 6) AS support,
+             |  round(CAST(n_both AS DOUBLE) / la.n_item, 6) AS confidence,
+             |  round(CAST(n_both AS DOUBLE) * nb.n /
+             |    (CAST(la.n_item AS DOUBLE) * lc.n_item), 6) AS lift
+             |FROM d
+             |JOIN l1 la ON d.antecedent = la.item
+             |JOIN l1 lc ON d.consequent = lc.item, nb
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Robust per-language outlier gate (ops/Outliers.madSummary):
+    // median / MAD with the 1.4826 sigma-equivalence factor, k=3 —
+    // the 50%-breakdown alternative to q82's mean/stddev z-score.
+    // Both passes are the exact interpolated percentile kernel q143
+    // already pinned against DuckDB's percentile_cont.
+    QueryDef("q162_mad_outliers",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Outliers.madSummary(docs, "lang", "n_chars", k = 3.0)
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT lang, CAST(n_chars AS DOUBLE) AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |m AS (SELECT lang,
+             |        percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
+             |      FROM d GROUP BY 1),
+             |md AS (SELECT d.lang,
+             |         percentile_cont(0.5) WITHIN GROUP
+             |           (ORDER BY abs(v - med)) AS mad
+             |       FROM d JOIN m USING (lang) GROUP BY 1)
+             |SELECT d.lang, count(*) AS n,
+             |  round(med, 4) AS med, round(mad, 4) AS mad,
+             |  CAST(sum(CASE WHEN abs(v - med) > 3.0 * 1.4826 * mad
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN m USING (lang) JOIN md USING (lang)
+             |GROUP BY d.lang, med, mad
+             |ORDER BY 1""".stripMargin)),
+
+    // Pareto-frontier selection (ops/Pareto.frontier2d): per brand,
+    // the parts no other part beats on BOTH size (maximize) and
+    // retail price (minimize). The op is the O(n log n) staircase —
+    // two windows after one sort — while the oracle replays the
+    // textbook O(n²) NOT EXISTS dominance test, so the staircase's
+    // tie handling is proven equivalent to the definition.
+    QueryDef("q163_pareto_frontier",
+      (s, dir) => {
+        val part = t(s, dir, "part")
+          .select("p_brand", "p_partkey", "p_size", "p_retailprice")
+        Pareto.frontier2d(part, "p_brand", "p_size", "p_retailprice")
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, p_size, p_retailprice
+             |FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part q
+             |  WHERE q.p_brand = p.p_brand
+             |    AND q.p_size >= p.p_size
+             |    AND q.p_retailprice <= p.p_retailprice
+             |    AND (q.p_size > p.p_size
+             |      OR q.p_retailprice < p.p_retailprice))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Largest-remainder integer apportionment (ops/Allocate
+    // .largestRemainder): split a 1000-doc sampling budget across
+    // sources proportionally to their total characters. All integer
+    // arithmetic — DIV/mod on 64-bit — so Σ seats ≡ budget exactly
+    // and the oracle reproduces every seat bit-for-bit.
+    QueryDef("q164_largest_remainder",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Allocate.largestRemainder(docs, "source", "n_chars", budget = 1000L)
+          .orderBy("source")
+      },
+      Some("""WITH agg AS (
+             |  SELECT source,
+             |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS weight
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(weight) AS w FROM agg),
+             |f AS (SELECT source, weight,
+             |        (1000 * weight) // w AS floor_seats,
+             |        (1000 * weight) % w AS rem
+             |      FROM agg, tot),
+             |l AS (SELECT sum(floor_seats) AS fs FROM f)
+             |SELECT source, weight,
+             |  CAST(floor_seats AS BIGINT) AS floor_seats,
+             |  CAST(rem AS BIGINT) AS rem,
+             |  CAST(floor_seats + CASE WHEN
+             |      row_number() OVER (ORDER BY rem DESC, source)
+             |        <= 1000 - l.fs
+             |      THEN 1 ELSE 0 END AS BIGINT) AS seats
+             |FROM f, l ORDER BY source""".stripMargin))
+  )
+
   /** The full catalog the driver consumes — declared LAST so every
     * section val is initialized before concatenation.
     */
-  val defs: Seq[QueryDef] = coreDefs ++ moreDefs
+  val defs: Seq[QueryDef] = coreDefs ++ moreDefs ++ extraDefs
 }
