@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-table record linkage (entity resolution): match records of
+  * two tables that describe the same real-world entity despite field
+  * noise — the Fellegi–Sunter shape with a deterministic weighted
+  * agreement score instead of EM-fitted log-odds. The cross-source
+  * cousin of the dedup tier: dedup collapses one corpus, linkage
+  * aligns two (this crawl's domains against last crawl's, a vendor
+  * list against a master dim).
+  *
+  * Pipeline: (1) blocking — an equi-join on caller-chosen block keys
+  * (composite keys beat single hot tokens: candidate generation must
+  * be an inverted-index-shaped join, never A×B, and block-key
+  * selectivity is THE scale knob); (2) score each candidate pair
+  * once: token-set Jaccard on the name (integer |∩|/|∪|) plus
+  * exact-agreement weights on the remaining fields; (3) threshold
+  * into match / possible / miss. Counts are integers and the score
+  * is one rational expression, so every decision is reproducible.
+  */
+object Linkage {
+
+  /** Score candidate pairs between `a` and `b`, blocked on equality
+    * of `blockCols` (must exist on both sides).
+    *
+    * @param exactCols (column, weight) exact-agreement fields
+    * @return (key_a, key_b, jacc, score), one row per candidate pair;
+    *         `jacc` and `score` rounded to 6
+    */
+  def candidates(
+      a: DataFrame, b: DataFrame, keyCol: String, nameCol: String,
+      blockCols: Seq[String], exactCols: Seq[(String, Double)],
+      nameWeight: Double): DataFrame = {
+    def prep(df: DataFrame, side: String) = df.select(
+      col(keyCol).as(s"key_$side") +:
+        array_distinct(split(col(nameCol), " ")).as(s"toks_$side") +:
+        struct(exactCols.map { case (c, _) => col(c) }: _*).as(s"ex_$side") +:
+        blockCols.map(c => col(c).as(s"_blk_${c}_$side")): _*)
+    val joinCond = blockCols
+      .map(c => col(s"_blk_${c}_a") === col(s"_blk_${c}_b"))
+      .reduce(_ && _)
+    val exactScore = exactCols.map { case (c, w) =>
+      when(col("ex_a").getField(c) === col("ex_b").getField(c), lit(w))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    prep(a, "a").join(prep(b, "b"), joinCond)
+      .withColumn("n_int",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("n_uni",
+        size(array_union(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jacc",
+        round(col("n_int").cast("double") / col("n_uni").cast("double"), 6))
+      .select(col("key_a"), col("key_b"), col("jacc"),
+        round(lit(nameWeight) * col("jacc") + exactScore, 6).as("score"))
+  }
+
+  /** Link and evaluate against the ground truth `key_a == key_b`
+    * (available when linking a table against its perturbed twin):
+    * per decision bucket, pair count, how many are true same-entity
+    * pairs, and the mean score.
+    */
+  def linkReport(
+      pairs: DataFrame, matchAt: Double, possibleAt: Double): DataFrame =
+    pairs
+      .withColumn("decision",
+        when(col("score") >= matchAt, "match")
+          .when(col("score") >= possibleAt, "possible")
+          .otherwise("miss"))
+      .groupBy("decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("key_a") === col("key_b"), 1L).otherwise(0L))
+          .as("n_true"),
+        // Scores carry ≤6 decimals by construction, so summing them
+        // as exact micro-units keeps the mean order-independent —
+        // a float sum would expose fold order at this row count.
+        sum(round(col("score") * lit(1e6)).cast("long")).as("_micros"))
+      .withColumn("mean_score",
+        round(col("_micros").cast("double") /
+          (col("n_pairs").cast("double") * lit(1e6)), 4))
+      .drop("_micros")
+}

@@ -5,7 +5,8 @@ import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
   CorpusPipeline, Pareto,
-  Dedup, Drift, Dsir, GemPipeline, IncrementalAgg, IntervalJoin,
+  Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
+  IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rolling, Sampling, Scd2, Similarity, Skew,
@@ -5809,7 +5810,133 @@ object GemQueries {
              |      row_number() OVER (ORDER BY rem DESC, source)
              |        <= 1000 - l.fs
              |      THEN 1 ELSE 0 END AS BIGINT) AS seats
-             |FROM f, l ORDER BY source""".stripMargin))
+             |FROM f, l ORDER BY source""".stripMargin)),
+
+    // Triangle count + local clustering coefficient (ops/GraphMetrics
+    // .triangleStats) over the nation-level trade graph: an edge
+    // wherever a customer nation bought ≥100 lineitems from a
+    // supplier nation. The op orients wedges by (degree, id) — the
+    // Schank–Wagner O(m^1.5) bound — while the oracle enumerates by
+    // plain id order; any consistent total order counts each triangle
+    // once, so the two agree exactly.
+    QueryDef("q165_triangle_stats",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val edges = cust
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("c_nationkey", "s_nationkey")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") >= 100)
+        GraphMetrics.triangleStats(edges, "c_nationkey", "s_nationkey")
+          .orderBy("node")
+      },
+      Some("""WITH tr AS (
+             |  SELECT c_nationkey AS x, s_nationkey AS y, count(*) AS n
+             |  FROM customer
+             |  JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 100),
+             |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+             |      FROM tr WHERE x <> y),
+             |deg AS (SELECT node, count(*) AS degree FROM (
+             |          SELECT a AS node FROM e
+             |          UNION ALL SELECT b FROM e)
+             |        GROUP BY 1),
+             |tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+             |        FROM e e1
+             |        JOIN e e2 ON e1.b = e2.a
+             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |pt AS (SELECT node, count(*) AS triangles FROM (
+             |         SELECT v1 AS node FROM tri
+             |         UNION ALL SELECT v2 FROM tri
+             |         UNION ALL SELECT v3 FROM tri)
+             |       GROUP BY 1)
+             |SELECT deg.node, degree,
+             |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+             |  round(CASE WHEN degree >= 2
+             |    THEN 2.0 * coalesce(triangles, 0) /
+             |      (degree * (degree - 1.0))
+             |    ELSE 0.0 END, 4) AS clustering
+             |FROM deg LEFT JOIN pt USING (node)
+             |ORDER BY 1""".stripMargin)),
+
+    // Record linkage against a perturbed twin (ops/Linkage): every
+    // 3rd part loses its last name token, every 5th gets its brand
+    // rewritten — then the original and the twin are re-aligned by
+    // (first-token, size) blocking and a weighted agreement score
+    // (0.5·name-Jaccard + 0.2·brand + 0.3·type). Ground truth is key
+    // equality, so the report shows exactly how many true pairs each
+    // decision bucket captured. Mean scores cross the compare as
+    // exact micro-unit sums, not float folds.
+    QueryDef("q166_record_linkage",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        val toks = split(col("p_name"), " ")
+        val twin = p.select(col("p_partkey"),
+          when(col("p_partkey") % 3 === 0,
+            array_join(slice(toks, lit(1), size(toks) - 1), " "))
+            .otherwise(col("p_name")).as("p_name"),
+          when(col("p_partkey") % 5 === 0, lit("Brand#99"))
+            .otherwise(col("p_brand")).as("p_brand"),
+          col("p_type"), col("p_size"))
+        def blocked(df: DataFrame) = df.withColumn("first_tok",
+          element_at(split(col("p_name"), " "), 1))
+        val pairs = Linkage.candidates(blocked(p), blocked(twin),
+          "p_partkey", "p_name", Seq("first_tok", "p_size"),
+          Seq("p_brand" -> 0.2, "p_type" -> 0.3), nameWeight = 0.5)
+        Linkage.linkReport(pairs, matchAt = 0.75, possibleAt = 0.5)
+          .orderBy("decision")
+      },
+      Some("""WITH tw AS (
+             |  SELECT p_partkey AS key_b,
+             |    CASE WHEN p_partkey % 3 = 0
+             |      THEN array_to_string(ss[1:len(ss) - 1], ' ')
+             |      ELSE p_name END AS name_b,
+             |    CASE WHEN p_partkey % 5 = 0 THEN 'Brand#99'
+             |      ELSE p_brand END AS brand_b,
+             |    p_type AS type_b, p_size
+             |  FROM (SELECT *, string_split(p_name, ' ') AS ss FROM part)),
+             |a2 AS (SELECT p_partkey AS key_a,
+             |         list_distinct(string_split(p_name, ' ')) AS toks_a,
+             |         p_brand AS brand_a, p_type AS type_a, p_size,
+             |         string_split(p_name, ' ')[1] AS ft
+             |       FROM part),
+             |b2 AS (SELECT key_b,
+             |         list_distinct(string_split(name_b, ' ')) AS toks_b,
+             |         brand_b, type_b, p_size,
+             |         string_split(name_b, ' ')[1] AS ft
+             |       FROM tw),
+             |sc AS (SELECT key_a, key_b,
+             |         round(CAST(len(list_intersect(toks_a, toks_b))
+             |             AS DOUBLE) /
+             |           len(list_distinct(list_concat(toks_a, toks_b))), 6)
+             |           AS jacc,
+             |         CASE WHEN brand_a = brand_b THEN 0.2 ELSE 0.0 END +
+             |         CASE WHEN type_a = type_b THEN 0.3 ELSE 0.0 END AS ex
+             |       FROM a2 JOIN b2
+             |         ON a2.ft = b2.ft AND a2.p_size = b2.p_size),
+             |dec AS (SELECT key_a, key_b,
+             |          round(0.5 * jacc + ex, 6) AS score,
+             |          CASE WHEN round(0.5 * jacc + ex, 6) >= 0.75
+             |              THEN 'match'
+             |            WHEN round(0.5 * jacc + ex, 6) >= 0.5
+             |              THEN 'possible'
+             |            ELSE 'miss' END AS decision
+             |        FROM sc)
+             |SELECT decision, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN key_a = key_b THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_true,
+             |  round(CAST(sum(CAST(round(score * 1000000.0) AS BIGINT))
+             |      AS DOUBLE) /
+             |    (count(*) * 1000000.0), 4) AS mean_score
+             |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
