@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.functions.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-to-corpus similarity matrix: vocabulary Jaccard between
+  * every pair of sources — the "how much does crawl A overlap crawl
+  * B" input to mixing/weighting decisions (a near-duplicate source
+  * deserves one slot, not two). Token-set similarity at the SOURCE
+  * grain, where the dedup tier works at the document grain.
+  *
+  * Two tiers, q154-style: the scale path reduces each source to a
+  * k-minimum-values sketch of its token hashes — per-source state is
+  * k longs regardless of corpus size, and the pairwise compare runs
+  * on the #sources² sketch frame, never on data — while the exact
+  * tier (distinct (source, token) inverted-index self-join) is the
+  * oracle-visible evaluation that makes the estimate's error
+  * measurable in the same row. At 100 TB you keep only the sketch
+  * tier; the md5-based hashes make every sketch value engine-
+  * portable, so the estimate itself is hash-compared, not
+  * tolerance-judged.
+  */
+object SourceSim {
+
+  /** @return one row per source pair (a < b): `source_a`, `source_b`,
+    *         exact vocab sizes `n_a`/`n_b`, exact `n_int`, exact
+    *         `jacc`, and the KMV `jacc_est` (both rounded to 4)
+    */
+  def pairwiseVocabJaccard(
+      df: DataFrame, sourceCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    val toks = df
+      .select(col(sourceCol).as("src"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .distinct()
+    val sk = toks
+      .select(col("src"), Hashing.portableHash(col("token")).as("h"))
+      .groupBy("src")
+      .agg(expr(s"graft_kmv(h, $k)").as("sig"), count(lit(1)).as("n"))
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.token") === col("y.token") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .agg(count(lit(1)).as("n_int"))
+    val pairs = sk.select(col("src").as("source_a"), col("sig").as("a"),
+        col("n").as("n_a"))
+      .join(sk.select(col("src").as("source_b"), col("sig").as("b"),
+        col("n").as("n_b")), col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_int", coalesce(col("n_int"), lit(0L)))
+    pairs
+      .withColumn("u", slice(array_sort(array_union(col("a"), col("b"))),
+        1, k))
+      .withColumn("m", size(col("u")))
+      .withColumn("matches", size(array_intersect(
+        array_intersect(col("u"), col("a")), col("b"))))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_int"),
+        (round(col("n_int").cast("double") /
+          (col("n_a") + col("n_b") - col("n_int")).cast("double"), 4)
+          + lit(0.0)).as("jacc"),
+        (round(col("matches").cast("double") / col("m").cast("double"), 4)
+          + lit(0.0)).as("jacc_est"))
+  }
+}

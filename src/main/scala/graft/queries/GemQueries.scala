@@ -6,10 +6,10 @@ import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
   CorpusPipeline, Pareto,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
-  IntervalJoin, Linkage,
+  Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
-  Quantize, Retrieval, Rolling, Sampling, Scd2, Similarity, Skew,
+  Quantize, Retrieval, Rolling, Sampling, Scd2, Similarity, Skew, SourceSim, ZOrder,
   SnapshotDiff, SpanDedup, Stats, TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
@@ -5936,7 +5936,173 @@ object GemQueries {
              |  round(CAST(sum(CAST(round(score * 1000000.0) AS BIGINT))
              |      AS DOUBLE) /
              |    (count(*) * 1000000.0), 4) AS mean_score
-             |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A/B readout with CUPED variance reduction (ops/Experiment
+    // .cupedReport, Deng et al. WSDM'13): arms = user_id parity,
+    // metric y = second-half purchase spend, covariate x = FIRST-half
+    // spend (pre-experiment by construction), θ = pooled OLS slope.
+    // Every moment crosses the shuffle as an exact integer-cents sum
+    // — the only order-sensitive step made order-free — so t, θ, and
+    // the adjusted means are bit-reproducible from the oracle's
+    // identical expression tree.
+    QueryDef("q167_cuped_abtest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        val cents = round(col("value") * 100).cast("long")
+        val isPurch = col("event_type") === "purchase"
+        val perUser = ev.groupBy("user_id").agg(
+          sum(when(isPurch && col("ts") < cut, cents).otherwise(0L)).as("x"),
+          sum(when(isPurch && col("ts") >= cut, cents).otherwise(0L)).as("y"))
+          .withColumn("arm", pmod(col("user_id"), lit(2)))
+        Experiment.cupedReport(perUser).orderBy("arm")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, user_id % 2 AS arm,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(round(value * 100) AS BIGINT)
+             |      ELSE 0 END) AS x,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(round(value * 100) AS BIGINT)
+             |      ELSE 0 END) AS y
+             |  FROM events GROUP BY 1, 2),
+             |arms AS (SELECT arm, count(*) AS n,
+             |    sum(y) AS sy, sum(y * y) AS syy,
+             |    sum(x) AS sx, sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM pu GROUP BY 1),
+             |pool AS (SELECT sum(n) AS tn, sum(sx) AS tsx,
+             |    sum(sy) AS tsy, sum(sxx) AS tsxx, sum(sxy) AS tsxy
+             |  FROM arms),
+             |calc AS (SELECT arm, n,
+             |    CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+             |      AS mean_y_d,
+             |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+             |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      ((CAST(n AS DOUBLE) - 1.0) * 10000.0) AS var_y_d,
+             |    CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+             |      AS mean_x_d,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      ((CAST(n AS DOUBLE) - 1.0) * 10000.0) AS var_x_d,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      ((CAST(n AS DOUBLE) - 1.0) * 10000.0) AS cov_d,
+             |    (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) *
+             |        CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE)) /
+             |      (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) *
+             |        CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE)) AS theta_d,
+             |    CAST(tsx AS DOUBLE) / (CAST(tn AS DOUBLE) * 100.0)
+             |      AS pool_mean_x
+             |  FROM arms, pool),
+             |adj AS (SELECT *,
+             |    mean_y_d - theta_d * (mean_x_d - pool_mean_x)
+             |      AS mean_adj_d,
+             |    var_y_d - 2.0 * theta_d * cov_d +
+             |      theta_d * theta_d * var_x_d AS var_adj_d
+             |  FROM calc),
+             |tt AS (SELECT
+             |    sum(CASE WHEN arm = 1 THEN mean_y_d
+             |      ELSE -mean_y_d END) /
+             |      sqrt(sum(var_y_d / CAST(n AS DOUBLE))) AS t_raw_d,
+             |    sum(CASE WHEN arm = 1 THEN mean_adj_d
+             |      ELSE -mean_adj_d END) /
+             |      sqrt(sum(var_adj_d / CAST(n AS DOUBLE))) AS t_cuped_d
+             |  FROM adj)
+             |SELECT arm, n,
+             |  round(mean_y_d, 4) AS mean_y, round(var_y_d, 4) AS var_y,
+             |  round(mean_adj_d, 4) AS mean_adj,
+             |  round(var_adj_d, 4) AS var_adj,
+             |  round(theta_d, 6) AS theta, round(t_raw_d, 4) AS t_raw,
+             |  round(t_cuped_d, 4) AS t_cuped
+             |FROM adj, tt ORDER BY arm""".stripMargin)),
+
+    // Z-order layout audit (ops/ZOrder.layoutReport): Morton-
+    // interleave 8-bit-quantized (extendedprice, quantity), then per
+    // fixed z-slice — the stand-in for one output file under
+    // repartitionByRange(z) — report row count, both dimensions'
+    // min/max extents, and the covered-rectangle area. Tight
+    // rectangles on BOTH axes are what make parquet min/max stats
+    // prune for predicates on either column; a plain price sort
+    // would leave every slice's quantity extent at full width.
+    QueryDef("q168_zorder_layout",
+      (s, dir) => ZOrder.layoutReport(
+          t(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+          xLo = 900.0, xHi = 105000.0, yLo = 1.0, yHi = 51.0,
+          sliceBits = 4)
+        .orderBy("slice"),
+      Some("""WITH q AS (
+             |  SELECT
+             |    least(greatest(CAST(floor(
+             |      (CAST(l_extendedprice AS DOUBLE) - 900.0) / 104100.0
+             |        * 256.0) AS BIGINT), 0), 255) AS qx,
+             |    least(greatest(CAST(floor(
+             |      (CAST(l_quantity AS DOUBLE) - 1.0) / 50.0
+             |        * 256.0) AS BIGINT), 0), 255) AS qy
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_quantity IS NOT NULL),
+             |z AS (SELECT qx, qy,
+             |    list_sum(list_transform(generate_series(0, 7), b ->
+             |      (((qx >> b) & 1) << (2 * b)) +
+             |      (((qy >> b) & 1) << (2 * b + 1)))) AS zv
+             |  FROM q)
+             |SELECT CAST(zv // 4096 AS BIGINT) AS slice, count(*) AS n,
+             |  min(qx) AS min_x, max(qx) AS max_x,
+             |  min(qy) AS min_y, max(qy) AS max_y,
+             |  CAST((max(qx) - min(qx) + 1) * (max(qy) - min(qy) + 1)
+             |    AS BIGINT) AS area
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Source-to-source vocabulary Jaccard matrix (ops/SourceSim
+    // .pairwiseVocabJaccard): every source pair's token-set overlap,
+    // estimated from per-source KMV sketches (k longs of state per
+    // source — the 100 TB path) with the exact inverted-index tier
+    // in the same row making the estimate's error visible, exactly
+    // the q154 two-tier pattern. md5 hashing keeps every sketch
+    // value engine-portable, so even the estimate is hash-compared.
+    QueryDef("q169_source_similarity",
+      (s, dir) => SourceSim.pairwiseVocabJaccard(
+          t(s, dir, "documents"), "source", "text", k = 128)
+        .orderBy("source_a", "source_b"),
+      Some(s"""WITH toks AS (
+             |  SELECT DISTINCT source AS src,
+             |    unnest(list_filter(string_split_regex(text, ' +'),
+             |      t -> t <> '')) AS token
+             |  FROM documents),
+             |ha AS (SELECT src,
+             |    ${Hashing.duckPortableHash("token")} AS h
+             |  FROM toks),
+             |sk AS (SELECT src,
+             |    list_sort(list_distinct(list(h)))[1:128] AS sig,
+             |    count(*) AS n
+             |  FROM ha GROUP BY src),
+             |inter AS (SELECT x.src AS source_a, y.src AS source_b,
+             |    count(*) AS n_int
+             |  FROM toks x JOIN toks y
+             |    ON x.token = y.token AND x.src < y.src
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT a.src AS source_a, b.src AS source_b,
+             |    a.sig AS sa, b.sig AS sb, a.n AS n_a, b.n AS n_b
+             |  FROM sk a JOIN sk b ON a.src < b.src),
+             |wu AS (SELECT *,
+             |    list_sort(list_distinct(sa || sb))[1:128] AS u
+             |  FROM pairs),
+             |calc AS (SELECT *, len(u) AS m,
+             |    len(list_intersect(list_intersect(u, sa), sb))
+             |      AS matches,
+             |    coalesce(n_int, 0) AS ni
+             |  FROM wu LEFT JOIN inter USING (source_a, source_b))
+             |SELECT source_a, source_b,
+             |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(ni AS BIGINT) AS n_int,
+             |  round(CAST(ni AS DOUBLE) /
+             |    CAST(n_a + n_b - ni AS DOUBLE), 4) + 0.0 AS jacc,
+             |  round(CAST(matches AS DOUBLE) / CAST(m AS DOUBLE), 4)
+             |    + 0.0 AS jacc_est
+             |FROM calc ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
