@@ -82,4 +82,41 @@ object Rolling {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Linear interpolation of null gaps against a numeric time axis —
+    * R `zoo::na.approx(rule = 1)` parity: each null between two
+    * observed values gets the time-weighted average of its bracketing
+    * neighbors; leading/trailing nulls (no bracket) STAY null. The
+    * four bracket quantities come from last/first `ignoreNulls`
+    * windows over the same per-entity sort — one shuffle on the
+    * partition keys, no self-join, no iteration, and the weight
+    * `(t−t₀)/(t₁−t₀)` is a single fixed-shape double expression any
+    * engine reproduces.
+    */
+  def interpolate(
+      df: DataFrame, partCols: Seq[String], timeCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    require(partCols.nonEmpty,
+      "interpolate requires partition keys: an unpartitioned ordered " +
+        "window moves the whole dataset to one task")
+    // tieCol pins the order of same-timestamp rows — without it, a
+    // null row tied with its bracketing observation makes the fill
+    // engine-dependent.
+    val part = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(timeCol), col(tieCol))
+    val back = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol).cast("double")
+    val t = col(timeCol).cast("double")
+    val tObs = when(v.isNotNull, t)
+    val vp = last(v, ignoreNulls = true).over(back)
+    val tp = last(tObs, ignoreNulls = true).over(back)
+    val vn = first(v, ignoreNulls = true).over(fwd)
+    val tn = first(tObs, ignoreNulls = true).over(fwd)
+    df.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(vp.isNotNull && vn.isNotNull,
+          vp + (vn - vp) * ((t - tp) / (tn - tp)))
+        .otherwise(lit(null).cast("double")))
+  }
 }

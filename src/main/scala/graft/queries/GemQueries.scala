@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  CorpusPipeline, Pareto,
+  CorpusPipeline, Pareto, Paths, Benford,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -6102,7 +6102,125 @@ object GemQueries {
              |    CAST(n_a + n_b - ni AS DOUBLE), 4) + 0.0 AS jacc,
              |  round(CAST(matches AS DOUBLE) / CAST(m AS DOUBLE), 4)
              |    + 0.0 AS jacc_est
-             |FROM calc ORDER BY 1, 2""".stripMargin))
+             |FROM calc ORDER BY 1, 2""".stripMargin)),
+
+    // Linear gap interpolation (Rolling.interpolate — R zoo::
+    // na.approx(rule=1) parity): 'error' events' values are nulled
+    // (simulated sensor dropouts) and refilled by time-weighted
+    // interpolation between each user's bracketing observations;
+    // unbracketed edges stay null. Filled doubles cross the compare
+    // as exact micro-unit sums.
+    QueryDef("q170_interpolate",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("value",
+            when(col("event_type") === "error",
+              lit(null).cast("double")).otherwise(col("value")))
+          .withColumn("t_us", unix_micros(col("ts").cast("timestamp")))
+        Rolling.interpolate(ev, Seq("user_id"), "t_us", "event_id", "value")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("value"))).as("n_null"),
+            sum(round(col("value") * lit(1e6)).cast("long"))
+              .as("sum_micros"))
+          .orderBy("event_type")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             |    CASE WHEN event_type = 'error' THEN NULL
+             |      ELSE value END AS v
+             |  FROM events),
+             |w AS (SELECT *,
+             |    last_value(v IGNORE NULLS) OVER wb AS vp,
+             |    last_value(CASE WHEN v IS NOT NULL
+             |      THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wb AS tp,
+             |    first_value(v IGNORE NULLS) OVER wf AS vn,
+             |    first_value(CASE WHEN v IS NOT NULL
+             |      THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wf AS tn
+             |  FROM base
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wf AS (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+             |f AS (SELECT event_type,
+             |    CASE WHEN v IS NOT NULL THEN v
+             |      WHEN vp IS NOT NULL AND vn IS NOT NULL
+             |      THEN vp + (vn - vp) *
+             |        ((CAST(t AS DOUBLE) - tp) / (tn - tp))
+             |      END AS v2
+             |  FROM w)
+             |SELECT event_type, count(*) AS n_rows,
+             |  CAST(count(*) - count(v2) AS BIGINT) AS n_null,
+             |  CAST(sum(CAST(round(v2 * 1000000.0) AS BIGINT)) AS BIGINT)
+             |    AS sum_micros
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Top-k 3-step event paths (ops/Paths.topTrigramPaths): the
+    // sequential-pattern counterpart of q138's one-step transition
+    // matrix — lead windows over the per-user (ts, id)-sorted
+    // stream, so each row carries its next two types and no
+    // collect_list ever materializes a session.
+    QueryDef("q171_event_paths",
+      (s, dir) => Paths.topTrigramPaths(
+          t(s, dir, "events"), "user_id", "ts", "event_id",
+          "event_type", k = 20)
+        .orderBy("rank"),
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER w AS s2,
+             |    lead(event_type, 2) OVER w AS s3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |c AS (SELECT event_type AS step1, s2 AS step2, s3 AS step3,
+             |    count(*) AS n
+             |  FROM s WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+             |  GROUP BY 1, 2, 3),
+             |r AS (SELECT *, CAST(row_number() OVER (
+             |    ORDER BY n DESC, step1, step2, step3) AS INT) AS "rank"
+             |  FROM c)
+             |SELECT step1, step2, step3, n, "rank" FROM r
+             |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin)),
+
+    // Benford first-digit audit (ops/Benford.firstDigitAudit): the
+    // leading digit comes from integer truncation + string render —
+    // no float formatting, no runtime log10 (expectations are pinned
+    // 6-decimal literals) — and χ² is a rational expression over
+    // integer counts. TPC-H's synthetic totalprice FAILS Benford
+    // loudly; the statistic saying so is the demonstration.
+    QueryDef("q172_benford",
+      (s, dir) => Benford.firstDigitAudit(
+          t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority", "digit"),
+      Some("""WITH ex AS (SELECT * FROM (VALUES
+             |    (1, 0.30103), (2, 0.176091), (3, 0.124939),
+             |    (4, 0.09691), (5, 0.079181), (6, 0.066947),
+             |    (7, 0.057992), (8, 0.051153), (9, 0.045757))
+             |    AS t(digit, p_exp)),
+             |vv AS (SELECT o_orderpriority,
+             |    CAST(substr(CAST(CAST(trunc(CAST(o_totalprice AS DOUBLE))
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 1.0),
+             |c AS (SELECT o_orderpriority, digit, count(*) AS n_obs
+             |  FROM vv GROUP BY 1, 2),
+             |grid AS (SELECT g.o_orderpriority, ex.digit, ex.p_exp
+             |  FROM (SELECT DISTINCT o_orderpriority FROM c) g, ex),
+             |j AS (SELECT grid.o_orderpriority, grid.digit,
+             |    coalesce(n_obs, 0) AS n_obs, p_exp
+             |  FROM grid LEFT JOIN c
+             |    ON grid.o_orderpriority = c.o_orderpriority
+             |    AND grid.digit = c.digit),
+             |t2 AS (SELECT *, sum(n_obs) OVER
+             |    (PARTITION BY o_orderpriority) AS nn FROM j),
+             |t3 AS (SELECT o_orderpriority, digit, n_obs, p_exp,
+             |    CAST(n_obs AS DOUBLE) / CAST(nn AS DOUBLE) AS p_obs, nn
+             |  FROM t2),
+             |t4 AS (SELECT *, sum(CAST(nn AS DOUBLE) *
+             |      (p_obs - p_exp) * (p_obs - p_exp) / p_exp) OVER
+             |    (PARTITION BY o_orderpriority) AS chi2
+             |  FROM t3)
+             |SELECT o_orderpriority, digit, CAST(n_obs AS BIGINT) AS n_obs,
+             |  round(p_obs, 4) AS p_obs, p_exp, round(chi2, 4) AS chi2
+             |FROM t4 ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
