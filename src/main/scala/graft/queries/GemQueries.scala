@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  CorpusPipeline, Pareto, Paths, Benford,
+  CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -6220,7 +6220,155 @@ object GemQueries {
              |  FROM t3)
              |SELECT o_orderpriority, digit, CAST(n_obs AS BIGINT) AS n_obs,
              |  round(p_obs, 4) AS p_obs, p_exp, round(chi2, 4) AS chi2
-             |FROM t4 ORDER BY 1, 2""".stripMargin))
+             |FROM t4 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-source concentration report (ops/Concentration.giniReport):
+    // Gini + top-decile share of character mass — the "is this corpus
+    // worth deduping/re-mixing" diagnostic. Rank-formula Gini over
+    // ONE per-group sort; every sum is exact 64-bit integers and
+    // Σi·xᵢ is tie-order invariant, so only the final division is
+    // floating point.
+    QueryDef("q173_gini_concentration",
+      (s, dir) => Concentration.giniReport(
+          t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source"),
+      Some("""WITH in0 AS (
+             |  SELECT source, CAST(n_chars AS BIGINT) AS x
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+             |r AS (SELECT source, x,
+             |    row_number() OVER (PARTITION BY source ORDER BY x) AS i,
+             |    count(*) OVER (PARTITION BY source) AS nn
+             |  FROM in0),
+             |a AS (SELECT source, count(*) AS n, sum(x) AS total,
+             |    sum(i * x) AS sxi,
+             |    sum(CASE WHEN i > nn - nn // 10 THEN x ELSE 0 END)
+             |      AS top10
+             |  FROM r GROUP BY 1)
+             |SELECT source, CAST(n AS BIGINT) AS n,
+             |  CAST(total AS BIGINT) AS total,
+             |  round(CAST(2 * sxi - (n + 1) * total AS DOUBLE) /
+             |    CAST(n * total AS DOUBLE), 6) AS gini,
+             |  round(CAST(top10 AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             |    AS top10_share
+             |FROM a ORDER BY 1""".stripMargin)),
+
+    // Event debouncing (ops/Debounce.firstOfBurst): per (user, type),
+    // events closer than 24h collapse into one burst and only the
+    // head survives — duplicate-click / retry-storm suppression, the
+    // batch twin of a keyed-state streaming debounce. Gap compares
+    // are integer microseconds; tie order pinned by event_id.
+    QueryDef("q174_debounce",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val kept = Debounce.firstOfBurst(ev,
+          Seq("user_id", "event_type"), "ts", "event_id",
+          toleranceUs = 86400000000L)
+        val k = kept.groupBy("event_type").agg(
+          count(lit(1)).as("n_kept"),
+          sum(round(col("value") * lit(1e6)).cast("long"))
+            .as("kept_value_micros"))
+        ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+          .join(k, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, user_id, event_id, epoch_us(ts) AS t,
+             |    value
+             |  FROM events),
+             |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id,
+             |    event_type ORDER BY t, event_id) AS pt FROM b),
+             |k AS (SELECT * FROM l
+             |  WHERE pt IS NULL OR t - pt > 86400000000),
+             |ka AS (SELECT event_type, count(*) AS n_kept,
+             |    sum(CAST(round(value * 1000000.0) AS BIGINT))
+             |      AS kept_value_micros
+             |  FROM k GROUP BY 1),
+             |ra AS (SELECT event_type, count(*) AS n_events
+             |  FROM events GROUP BY 1)
+             |SELECT ra.event_type, n_events, n_kept,
+             |  CAST(kept_value_micros AS BIGINT) AS kept_value_micros
+             |FROM ra JOIN ka USING (event_type)
+             |ORDER BY 1""".stripMargin)),
+
+    // Classifier decile lift & calibration table (gains chart): the
+    // q147-trained quality classifier's scores, ranked and cut into
+    // population deciles (decile 0 = highest score) — per decile the
+    // mean prediction, actual positive rate, and lift over base rate.
+    // The hashed-feature model's p spread is tiny (per-doc feature
+    // normalization → near-constant |z|), so ABSOLUTE probability
+    // bins collapse to one row; rank deciles expose the real
+    // discrimination (monotone lift) AND the calibration gap at
+    // once. Rank cuts are exact integer arithmetic; means cross as
+    // micro-unit sums, rates/lift as floor-ppm integers. The global
+    // rank runs at the scored-eval-sample grain, not the corpus.
+    QueryDef("q175_calibration",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("y",
+            (instr(col("text"), "join") > 0).cast("int"))
+        val model = LogReg.train(docs, "doc_id", "text", "y",
+          dim = 256, lr = 5.0, iters = 5)
+        val scored = docs.select(col("doc_id"), col("y"))
+          .join(LogReg.score(docs, "doc_id", "text", model, dim = 256)
+            .select(col("doc_id"), col("p")), Seq("doc_id"))
+        val wTot = Window.partitionBy()
+        scored
+          // Rank on the ROUNDED score: ulp-level engine differences in
+          // the float dot product must not reorder near-ties at a
+          // decile boundary; round-6 + doc_id makes the order exact.
+          .withColumn("_rk", row_number().over(
+            Window.orderBy(round(col("p"), 6).desc, col("doc_id"))))
+          .withColumn("_n_tot", count(lit(1)).over(wTot))
+          .withColumn("_pos_tot", sum(col("y").cast("long")).over(wTot))
+          .withColumn("decile",
+            expr("((_rk - 1) * 10) DIV _n_tot").cast("int"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("p") * lit(1e6)).cast("long"))
+              .as("_p_micros"),
+            sum(col("y").cast("long")).as("n_pos"),
+            max("_n_tot").as("_nt"), max("_pos_tot").as("_pt"))
+          .select(col("decile"), col("n"),
+            round(col("_p_micros").cast("double") /
+              (col("n").cast("double") * lit(1e6)), 4).as("mean_p"),
+            col("n_pos"),
+            floor(col("n_pos") * lit(1000000L) / col("n")).cast("long")
+              .as("actual_ppm"),
+            floor(col("n_pos") * col("_nt") * lit(1000000L) /
+              (col("n") * col("_pt"))).cast("long").as("lift_ppm"))
+          .orderBy("decile")
+      },
+      Some("WITH " + logregCtes(dim = 256, lr = "5.0", iters = 5,
+        label = "CASE WHEN instr(text, 'join') > 0 " +
+          "THEN 1.0 ELSE 0.0 END") + ",\n" +
+        """sc AS (
+          |  SELECT t.doc_id, sum(t.x * w.w) AS z
+          |  FROM lxb t JOIN w5 w USING (bucket) GROUP BY t.doc_id),
+          |pb AS (
+          |  SELECT d.doc_id,
+          |    CASE WHEN instr(d.text, 'join') > 0 THEN 1 ELSE 0 END AS y,
+          |    1.0 / (1.0 + exp(-s.z)) AS p
+          |  FROM documents d JOIN sc s USING (doc_id)),
+          |rk AS (
+          |  SELECT *, row_number() OVER (ORDER BY round(p, 6) DESC,
+          |      doc_id) AS rnk,
+          |    count(*) OVER () AS n_tot,
+          |    sum(y) OVER () AS pos_tot
+          |  FROM pb),
+          |cb AS (
+          |  SELECT CAST(((rnk - 1) * 10) // n_tot AS INT) AS decile,
+          |    count(*) AS n,
+          |    sum(CAST(round(p * 1000000.0) AS BIGINT)) AS p_micros,
+          |    sum(y) AS n_pos, max(n_tot) AS nt, max(pos_tot) AS pt
+          |  FROM rk GROUP BY 1)
+          |SELECT decile, n,
+          |  round(CAST(p_micros AS DOUBLE) /
+          |    (CAST(n AS DOUBLE) * 1000000.0), 4) AS mean_p,
+          |  CAST(n_pos AS BIGINT) AS n_pos,
+          |  CAST(floor(n_pos * 1000000 / n) AS BIGINT) AS actual_ppm,
+          |  CAST(floor(n_pos * nt * 1000000 / (n * pt)) AS BIGINT)
+          |    AS lift_ppm
+          |FROM cb ORDER BY decile""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

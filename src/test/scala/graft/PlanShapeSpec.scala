@@ -177,7 +177,12 @@ class PlanShapeSpec extends SparkSpec {
       // q155: q151's percentile-frame BNLJ inside the boundary
       // computation; the corpus side only ever equi-joins the
       // broadcast (groups × B−1) boundary table.
-      "q155_equidepth_bins")
+      "q155_equidepth_bins",
+      // q169: the #sources² pair enumeration is a deliberate BNLJ of
+      // the 20-row KMV sketch frame against itself (a.src < b.src) —
+      // the whole design is that the pairwise compare runs on the
+      // per-source sketches, never on data.
+      "q169_source_similarity")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
