@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based / robust statistics that stay exact across engines:
+  * trimmed means, the Mann–Whitney U rank-sum test, and the χ²
+  * independence test. The parametric tier (q133 OLS, q167 CUPED)
+  * assumes moments behave; this tier is what you reach for when the
+  * metric is heavy-tailed — latency, document length, spend — and a
+  * single outlier owns the mean.
+  *
+  * Exactness: trims cut on integer ranks (tied values straddling the
+  * cut contribute the same sum either way); Mann–Whitney uses
+  * DOUBLED midranks so tie-averaged ranks stay integers; χ² is a
+  * rational expression over the contingency counts. Each statistic
+  * is one sort or one count shuffle — nothing iterative.
+  */
+object RobustStats {
+
+  /** Per-group trimmed mean: drop the ⌊n·trimPpm/1e6⌋ smallest and
+    * largest rows by rank, average the rest. Also emits the plain
+    * mean so the trim's effect is visible.
+    *
+    * @param trimPpm per-side trim fraction in parts-per-million
+    *                (e.g. 50000 = 5% each side)
+    */
+  def trimmedMean(
+      df: DataFrame, groupCol: String, valueCol: String,
+      trimPpm: Long): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val in = df.where(x.isNotNull).select(col(groupCol), x.as("x"))
+    val w = Window.partitionBy(groupCol).orderBy(col("x"))
+    val ranked = in
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("_k", expr(s"(_n * $trimPpm) DIV 1000000"))
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), max("_k").as("n_trimmed_each"),
+        sum("x").as("_sx"),
+        sum(when(col("i") > col("_k") && col("i") <= col("_n") - col("_k"),
+          col("x")).otherwise(0L)).as("_sk"),
+        sum(when(col("i") > col("_k") && col("i") <= col("_n") - col("_k"),
+          1L).otherwise(0L)).as("_nk"))
+      .select(col(groupCol), col("n"), col("n_trimmed_each"),
+        round(col("_sx").cast("double") / col("n").cast("double"), 4)
+          .as("mean"),
+        round(col("_sk").cast("double") / col("_nk").cast("double"), 4)
+          .as("trimmed_mean"))
+  }
+
+  /** Mann–Whitney U (two-sided normal approximation with tie
+    * correction) per stratum: `armCol` must be 0/1. Midranks are
+    * carried ×2 so ties stay in integer arithmetic; U, the tie term
+    * ΣT = Σ(t³−t), and both sample sizes cross to doubles only in
+    * the final z expression.
+    *
+    * @return per stratum: n0, n1, `u1` (U of arm 1, ×1 exact
+    *         half-integer as double), `z` (round 4)
+    */
+  def mannWhitney(
+      df: DataFrame, strataCol: String, armCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val in = df.where(x.isNotNull)
+      .select(col(strataCol), col(armCol).cast("int").as("arm"), x.as("x"))
+    val w = Window.partitionBy(strataCol).orderBy(col("x"))
+    // Doubled midrank of a tied run [lo, hi]: lo + hi (= 2·midrank).
+    val prepared = in
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_lo", min(col("_rn")).over(
+        Window.partitionBy(strataCol, "x")))
+      .withColumn("_hi", max(col("_rn")).over(
+        Window.partitionBy(strataCol, "x")))
+      .withColumn("_r2", col("_lo") + col("_hi"))
+    val ties = prepared.groupBy(strataCol, "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy(strataCol)
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("_tie"))
+    prepared.groupBy(strataCol)
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("_r2")).otherwise(0L)).as("_r2sum"))
+      .withColumn("n0", col("_n") - col("n1"))
+      .join(ties, Seq(strataCol))
+      .select(col(strataCol), col("n0"), col("n1"),
+        // U1 = R1 − n1(n1+1)/2 with R1 = r2sum/2 → exact half-integers.
+        ((col("_r2sum") - col("n1") * (col("n1") + lit(1L))).cast("double")
+          / lit(2.0)).as("u1"), {
+          val se = sqrt(col("n1").cast("double") * col("n0").cast("double") /
+            lit(12.0) *
+            ((col("_n") + lit(1L)).cast("double") -
+              col("_tie").cast("double") /
+                (col("_n").cast("double") *
+                  (col("_n") - lit(1L)).cast("double"))))
+          // Degenerate strata (everything tied, or an empty arm) have
+          // zero variance → null z, not an ANSI divide-by-zero.
+          round(when(se > 0.0,
+            ((col("_r2sum") - col("n1") * (col("n1") + lit(1L)))
+              .cast("double") / lit(2.0) -
+              col("n1").cast("double") * col("n0").cast("double") /
+                lit(2.0)) / se), 4).as("z")
+        })
+  }
+
+  /** χ² independence test for two categorical columns: the full
+    * contingency grid (dense over observed margins) with expected
+    * counts from the margins and the per-table χ² repeated per row.
+    */
+  def chiSquareIndependence(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_obs"))
+    val aMarg = obs.groupBy("a").agg(sum("n_obs").as("n_a"))
+    val bMarg = obs.groupBy("b").agg(sum("n_obs").as("n_b"))
+    val grid = aMarg.crossJoin(bMarg)
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val wAll = Window.partitionBy()
+    grid
+      .withColumn("_n", sum(col("n_obs")).over(wAll))
+      .withColumn("expected",
+        col("n_a").cast("double") * col("n_b").cast("double") /
+          col("_n").cast("double"))
+      .withColumn("chi2", sum(
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) /
+          col("expected")).over(wAll))
+      .select(col("a"), col("b"), col("n_obs"),
+        round(col("expected"), 4).as("expected"),
+        round(col("chi2"), 4).as("chi2"))
+  }
+}

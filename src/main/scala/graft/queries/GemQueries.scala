@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce,
+  CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce, RobustStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -6368,7 +6368,114 @@ object GemQueries {
           |  CAST(floor(n_pos * 1000000 / n) AS BIGINT) AS actual_ppm,
           |  CAST(floor(n_pos * nt * 1000000 / (n * pt)) AS BIGINT)
           |    AS lift_ppm
-          |FROM cb ORDER BY decile""".stripMargin))
+          |FROM cb ORDER BY decile""".stripMargin)),
+
+    // Per-language trimmed mean (RobustStats.trimmedMean): drop the
+    // 5% rank-smallest and -largest rows, average the rest — the
+    // heavy-tail-proof center the plain mean isn't. Trim cuts are
+    // integer ranks (tied values straddling the cut contribute the
+    // same sum either way), so both engines keep identical mass.
+    QueryDef("q176_trimmed_mean",
+      (s, dir) => RobustStats.trimmedMean(
+          t(s, dir, "documents"), "lang", "n_chars", trimPpm = 50000L)
+        .orderBy("lang"),
+      Some("""WITH in0 AS (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS x
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |r AS (SELECT lang, x,
+             |    row_number() OVER (PARTITION BY lang ORDER BY x) AS i,
+             |    count(*) OVER (PARTITION BY lang) AS nn
+             |  FROM in0),
+             |r2 AS (SELECT *, (nn * 50000) // 1000000 AS k FROM r),
+             |a AS (SELECT lang, count(*) AS n,
+             |    max(k) AS n_trimmed_each, sum(x) AS sx,
+             |    sum(CASE WHEN i > k AND i <= nn - k THEN x ELSE 0 END)
+             |      AS sk,
+             |    sum(CASE WHEN i > k AND i <= nn - k THEN 1 ELSE 0 END)
+             |      AS nk
+             |  FROM r2 GROUP BY 1)
+             |SELECT lang, CAST(n AS BIGINT) AS n,
+             |  CAST(n_trimmed_each AS BIGINT) AS n_trimmed_each,
+             |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+             |  round(CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE), 4)
+             |    AS trimmed_mean
+             |FROM a ORDER BY 1""".stripMargin)),
+
+    // Mann–Whitney U per event type (RobustStats.mannWhitney): the
+    // nonparametric two-sample test on cents spend between user-
+    // parity arms — q167's CUPED assumes moments; this assumes only
+    // ranks. Midranks are carried DOUBLED so tie averaging stays in
+    // integer arithmetic; the tie-corrected normal z is the only
+    // float step.
+    QueryDef("q177_mann_whitney",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        RobustStats.mannWhitney(ev, "event_type", "arm", "cents")
+          .orderBy("event_type")
+      },
+      Some("""WITH in0 AS (
+             |  SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY x) AS rn
+             |  FROM in0),
+             |m AS (SELECT *,
+             |    min(rn) OVER (PARTITION BY event_type, x) +
+             |    max(rn) OVER (PARTITION BY event_type, x) AS r2
+             |  FROM r),
+             |t AS (SELECT event_type, sum(t * t * t - t) AS tie
+             |  FROM (SELECT event_type, x, count(*) AS t
+             |        FROM in0 GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |a AS (SELECT event_type, count(*) AS n,
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN arm = 1 THEN r2 ELSE 0 END) AS r2sum
+             |  FROM m GROUP BY 1)
+             |SELECT a.event_type, CAST(n - n1 AS BIGINT) AS n0,
+             |  CAST(n1 AS BIGINT) AS n1,
+             |  CAST(r2sum - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+             |  round((CAST(r2sum - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
+             |      CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0) /
+             |    sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 *
+             |      (CAST(n + 1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+             |        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 4)
+             |    AS z
+             |FROM a JOIN t USING (event_type) ORDER BY 1""".stripMargin)),
+
+    // χ² independence: is language distribution independent of
+    // source (RobustStats.chiSquareIndependence)? Dense margin grid
+    // so absent cells enter the statistic; expected counts and χ²
+    // are rational expressions over the contingency counts. The
+    // margin cross is #langs × #sources — aggregated frames only.
+    QueryDef("q178_chi2_independence",
+      (s, dir) => RobustStats.chiSquareIndependence(
+          t(s, dir, "documents"), "lang", "source")
+        .orderBy("a", "b"),
+      Some("""WITH obs AS (
+             |  SELECT lang AS a, source AS b, count(*) AS n_obs
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1, 2),
+             |am AS (SELECT a, sum(n_obs) AS n_a FROM obs GROUP BY 1),
+             |bm AS (SELECT b, sum(n_obs) AS n_b FROM obs GROUP BY 1),
+             |g AS (SELECT am.a, bm.b, n_a, n_b,
+             |    coalesce(n_obs, 0) AS n_obs
+             |  FROM am CROSS JOIN bm
+             |  LEFT JOIN obs ON am.a = obs.a AND bm.b = obs.b),
+             |w1 AS (SELECT *, sum(n_obs) OVER () AS nn FROM g),
+             |w2 AS (SELECT *, CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+             |    CAST(nn AS DOUBLE) AS expected
+             |  FROM w1),
+             |w3 AS (SELECT *, sum((CAST(n_obs AS DOUBLE) - expected) *
+             |    (CAST(n_obs AS DOUBLE) - expected) / expected)
+             |    OVER () AS chi2
+             |  FROM w2)
+             |SELECT a, b, CAST(n_obs AS BIGINT) AS n_obs,
+             |  round(expected, 4) AS expected, round(chi2, 4) AS chi2
+             |FROM w3 ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -182,7 +182,10 @@ class PlanShapeSpec extends SparkSpec {
       // the 20-row KMV sketch frame against itself (a.src < b.src) —
       // the whole design is that the pairwise compare runs on the
       // per-source sketches, never on data.
-      "q169_source_similarity")
+      "q169_source_similarity",
+      // q178: the #langs × #sources margin cross builds the dense
+      // contingency grid from two aggregated margin frames.
+      "q178_chi2_independence")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
