@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce, RobustStats,
+  CoOccurrence, CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce, RobustStats, RollingDistinct,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -6475,7 +6475,91 @@ object GemQueries {
              |  FROM w2)
              |SELECT a, b, CAST(n_obs AS BIGINT) AS n_obs,
              |  round(expected, 4) AS expected, round(chi2, 4) AS chi2
-             |FROM w3 ORDER BY 1, 2""".stripMargin))
+             |FROM w3 ORDER BY 1, 2""".stripMargin)),
+
+    // Trailing 7-day distinct users per event type (ops/
+    // RollingDistinct.trailingDistinct): COUNT(DISTINCT) doesn't
+    // decompose over windows, so the scale path builds DAILY KMV
+    // sketches once and MERGES ≤7 of them per window — the window
+    // compare runs on the (groups × days) sketch frame, never raw
+    // data, and yesterday's sketches are reused tomorrow. Exact tier
+    // rides along q154-style so the estimate's error is visible.
+    QueryDef("q179_rolling_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        RollingDistinct.trailingDistinct(ev, "event_type", "day",
+          "user_id", windowDays = 7, k = 64)
+          .orderBy("g", "d")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    user_id
+             |  FROM events),
+             |hh AS (SELECT g, d,
+             |    ${Hashing.duckPortableHash("CAST(user_id AS VARCHAR)")}
+             |      AS h
+             |  FROM base),
+             |daily AS (SELECT g, d,
+             |    list_sort(list_distinct(list(h)))[1:64] AS sig
+             |  FROM hh GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT g, d FROM daily),
+             |mg AS (SELECT t.g, t.d, s.sig FROM days t JOIN daily s
+             |  ON t.g = s.g AND s.d BETWEEN t.d - 6 AND t.d),
+             |mx AS (SELECT g, d, hv FROM (
+             |    SELECT g, d, unnest(sig) AS hv FROM mg)
+             |  GROUP BY g, d, hv),
+             |mu AS (SELECT g, d, list_sort(list(hv))[1:64] AS u
+             |  FROM mx GROUP BY 1, 2),
+             |est AS (SELECT g, d,
+             |    round(CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+             |      ELSE 63.0 * 1152921504606846976 / CAST(u[64] AS DOUBLE)
+             |      END, 1) + 0.0 AS n_est
+             |  FROM mu),
+             |ed AS (SELECT DISTINCT g, d, user_id FROM base),
+             |ex AS (SELECT t.g, t.d, count(DISTINCT s.user_id) AS n_exact
+             |  FROM days t JOIN ed s
+             |    ON t.g = s.g AND s.d BETWEEN t.d - 6 AND t.d
+             |  GROUP BY 1, 2)
+             |SELECT ex.g, CAST(ex.d AS BIGINT) AS d,
+             |  CAST(n_exact AS BIGINT) AS n_exact, n_est
+             |FROM ex JOIN est USING (g, d) ORDER BY 1, 2""".stripMargin)),
+
+    // Item–item co-occurrence cosine (ops/CoOccurrence.itemCosine):
+    // "customers who buy brand A also buy brand B" — the symmetric
+    // similarity matrix a recommender / tag-consolidation pass
+    // consumes, built on q161's scale skeleton (distinct grain,
+    // entity-key self-join, integer counts, one rational cosine).
+    QueryDef("q180_item_cosine",
+      (s, dir) => {
+        val basket = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        CoOccurrence.itemCosine(basket, "o_custkey", "p_brand",
+          minBoth = 20)
+          .orderBy("item_a", "item_b")
+      },
+      Some("""WITH b AS (
+             |  SELECT DISTINCT o_custkey AS e, p_brand AS item
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN part ON l_partkey = p_partkey
+             |  WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL),
+             |c AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+             |p AS (SELECT x.item AS item_a, y.item AS item_b,
+             |    count(*) AS n_both
+             |  FROM b x JOIN b y ON x.e = y.e AND x.item < y.item
+             |  GROUP BY 1, 2 HAVING count(*) >= 20)
+             |SELECT item_a, item_b, ca.n_item AS n_a, cb.n_item AS n_b,
+             |  n_both,
+             |  round(CAST(n_both AS DOUBLE) /
+             |    sqrt(CAST(ca.n_item AS DOUBLE) * CAST(cb.n_item AS DOUBLE)),
+             |    6) AS cosine
+             |FROM p
+             |JOIN c ca ON p.item_a = ca.item
+             |JOIN c cb ON p.item_b = cb.item
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
