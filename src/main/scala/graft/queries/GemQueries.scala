@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  CoOccurrence, CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce, RobustStats, RollingDistinct,
+  CoOccurrence, CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -6559,7 +6559,168 @@ object GemQueries {
              |FROM p
              |JOIN c ca ON p.item_a = ca.item
              |JOIN c cb ON p.item_b = cb.item
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Day-of-week seasonality profile + anomaly gate (ops/Seasonal
+    // .dowProfile): per (event type, weekday) the average daily
+    // volume and share, plus how many individual days exceeded 1.5×
+    // THEIR OWN weekday's mean — the cross-multiplied integer
+    // compare, so the anomaly flag never touches floating point.
+    QueryDef("q181_dow_seasonality",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Seasonal.dowProfile(ev, "event_type", "day", kNum = 3L, kDen = 2L)
+          .orderBy("g", "dow")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS day_n
+             |  FROM events GROUP BY 1, 2),
+             |dd AS (SELECT *, CAST((d + 3) % 7 + 1 AS INT) AS dow
+             |  FROM daily),
+             |slot AS (SELECT g, dow, count(*) AS n_days,
+             |    sum(day_n) AS total
+             |  FROM dd GROUP BY 1, 2),
+             |fl AS (SELECT dd.g, dd.dow,
+             |    sum(CASE WHEN day_n * n_days * 2 > 3 * total
+             |      THEN 1 ELSE 0 END) AS n_anomaly_days
+             |  FROM dd JOIN slot ON dd.g = slot.g AND dd.dow = slot.dow
+             |  GROUP BY 1, 2),
+             |tg AS (SELECT g, sum(total) AS g_total FROM slot GROUP BY 1)
+             |SELECT slot.g, slot.dow, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(total AS BIGINT) AS total,
+             |  round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 4)
+             |    AS mean_daily,
+             |  round(CAST(total AS DOUBLE) / CAST(g_total AS DOUBLE), 6)
+             |    AS share,
+             |  CAST(n_anomaly_days AS BIGINT) AS n_anomaly_days
+             |FROM slot
+             |JOIN fl ON slot.g = fl.g AND slot.dow = fl.dow
+             |JOIN tg ON slot.g = tg.g
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Partitioning-skew audit (ops/ShardBalance.audit): per-shard row
+    // counts + max/mean ppm for TWO candidate partitioners of
+    // lineitem on l_suppkey — portable-hash mod vs equal-key-count
+    // ranges — measured BEFORE committing a layout. All assignments
+    // and the imbalance summary are exact integer arithmetic on the
+    // per-key frame.
+    QueryDef("q182_shard_balance",
+      (s, dir) => ShardBalance.audit(
+          t(s, dir, "lineitem"), "l_suppkey", shards = 16)
+        .orderBy("strategy", "shard"),
+      Some(s"""WITH pk AS (
+             |  SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS kn
+             |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+             |hs AS (SELECT 'hash' AS strategy,
+             |    ${Hashing.duckPortableHash("k")} % 16 AS shard, kn
+             |  FROM pk),
+             |rs AS (SELECT 'keyrange' AS strategy,
+             |    ((row_number() OVER (ORDER BY k) - 1) * 16) //
+             |      (SELECT count(*) FROM pk) AS shard, kn
+             |  FROM pk),
+             |ps AS (SELECT strategy, shard, sum(kn) AS n_rows,
+             |    count(*) AS n_keys
+             |  FROM (SELECT * FROM hs UNION ALL SELECT * FROM rs)
+             |  GROUP BY 1, 2),
+             |w AS (SELECT *, sum(n_rows) OVER (PARTITION BY strategy)
+             |    AS tot,
+             |    max(n_rows) OVER (PARTITION BY strategy) AS mx
+             |  FROM ps)
+             |SELECT strategy, CAST(shard AS BIGINT) AS shard,
+             |  CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_keys AS BIGINT) AS n_keys,
+             |  CAST((mx * 16 * 1000000) // tot AS BIGINT)
+             |    AS max_over_mean_ppm
+             |FROM w ORDER BY 1, 2""".stripMargin)),
+
+    // Three-way master-data reconciliation (ops/Reconcile.threeWay):
+    // customer vs two perturbed system copies (B drops every 7th key
+    // and rewrites every 11th segment; C drops every 13th and moves
+    // every 5th nation) — per presence pattern, key counts and how
+    // many multi-present keys disagree on content. Null-safe
+    // equality: both-null agrees, null-vs-value conflicts.
+    QueryDef("q183_three_way_reconcile",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+        val bCopy = cust.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("c_mktsegment",
+            when(col("c_custkey") % 11 === 0, lit("SYS_B"))
+              .otherwise(col("c_mktsegment")))
+        val cCopy = cust.filter(col("c_custkey") % 13 =!= 0)
+          .withColumn("c_nationkey",
+            when(col("c_custkey") % 5 === 0, col("c_nationkey") + 1)
+              .otherwise(col("c_nationkey")))
+        Reconcile.threeWay(cust, bCopy, cCopy, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"))
+          .orderBy("in_a", "in_b", "in_c")
+      },
+      Some("""WITH a AS (
+             |  SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg
+             |  FROM customer),
+             |b AS (SELECT c_custkey AS k,
+             |    c_nationkey AS nk,
+             |    CASE WHEN c_custkey % 11 = 0 THEN 'SYS_B'
+             |      ELSE c_mktsegment END AS seg
+             |  FROM customer WHERE c_custkey % 7 <> 0),
+             |c AS (SELECT c_custkey AS k,
+             |    CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS nk,
+             |    c_mktsegment AS seg
+             |  FROM customer WHERE c_custkey % 13 <> 0),
+             |j AS (SELECT
+             |    a.k AS ka, b.k AS kb, c.k AS kc,
+             |    a.nk AS nka, b.nk AS nkb, c.nk AS nkc,
+             |    a.seg AS sega, b.seg AS segb, c.seg AS segc
+             |  FROM a
+             |  FULL JOIN b ON a.k = b.k
+             |  FULL JOIN c ON coalesce(a.k, b.k) = c.k),
+             |f AS (SELECT ka IS NOT NULL AS in_a, kb IS NOT NULL AS in_b,
+             |    kc IS NOT NULL AS in_c,
+             |    ((ka IS NOT NULL AND kb IS NOT NULL AND
+             |       (nka IS DISTINCT FROM nkb OR sega IS DISTINCT FROM segb))
+             |     OR (ka IS NOT NULL AND kc IS NOT NULL AND
+             |       (nka IS DISTINCT FROM nkc OR sega IS DISTINCT FROM segc))
+             |     OR (kb IS NOT NULL AND kc IS NOT NULL AND
+             |       (nkb IS DISTINCT FROM nkc OR segb IS DISTINCT FROM segc)))
+             |      AS conflict
+             |  FROM j)
+             |SELECT in_a, in_b, in_c, count(*) AS n_keys,
+             |  CAST(sum(CASE WHEN conflict THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_conflicts
+             |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Weighted median (ops/WeightedStats.weightedQuantile): the
+    // quantity level at which half the REVENUE sits, per return
+    // flag — weights as integer cents, the quantile crossing as a
+    // cross-multiplied integer compare over the per-(group, value)
+    // frame, so tie handling is structural and float-free.
+    QueryDef("q184_weighted_median",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("price_cents",
+            round(col("l_extendedprice") * 100).cast("long"))
+        WeightedStats.weightedQuantile(li, "l_returnflag", "l_quantity",
+          "price_cents", pNum = 1L, pDen = 2L)
+          .orderBy("g")
+      },
+      Some("""WITH in0 AS (
+             |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+             |pv AS (SELECT g, v, sum(w) AS vw FROM in0 GROUP BY 1, 2),
+             |cm AS (SELECT *, sum(vw) OVER (PARTITION BY g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(vw) OVER (PARTITION BY g) AS tot
+             |  FROM pv)
+             |SELECT g, CAST(max(tot) AS BIGINT) AS total_weight,
+             |  CAST(min(v) AS BIGINT) AS wquantile
+             |FROM cm WHERE cum * 2 >= tot
+             |GROUP BY g ORDER BY g""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
