@@ -135,6 +135,50 @@ object EventStream {
         .filter(col("_rn") === 1).drop("_rn")
     }
 
+  final case class DebounceIn(event_id: Long, key: Long, kind: String,
+      t_us: Long)
+  final case class DebounceState(lastUs: Long)
+  final case class DebounceOut(event_id: Long, key: Long, kind: String,
+      t_us: Long)
+
+  /** Streaming debounce — the keyed-state twin of
+    * [[graft.ops.Debounce.firstOfBurst]]: per (key, kind), an event
+    * closer than `toleranceUs` to the previously SURVIVING event is
+    * swallowed; the burst head passes through. State per key is one
+    * long (the last emitted timestamp) carried across micro-batches,
+    * so a retry storm spanning batches still collapses to one event.
+    * In-batch rows are explicitly ordered by (t_us, event_id) — the
+    * same tie pin as the batch twin — because Structured Streaming
+    * guarantees no intra-batch order.
+    *
+    * State contract matches the batch twin exactly: the gap compares
+    * against the last SEEN event (burst collapse), not the last kept
+    * one (that would be rate limiting — a kept-anchored stream keeps
+    * the third event of a long dense burst; burst collapse never
+    * does). Results coincide with the batch op when arrival order
+    * follows event time.
+    */
+  def debounce(spark: SparkSession, events: DataFrame,
+      toleranceUs: Long): DataFrame = {
+    import spark.implicits._
+    events.select("event_id", "key", "kind", "t_us").as[DebounceIn]
+      .groupByKey(e => (e.key, e.kind))
+      .flatMapGroupsWithState[DebounceState, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, batch, state: GroupState[DebounceState]) =>
+          var lastSeen: Option[Long] = state.getOption.map(_.lastUs)
+          val out = batch.toSeq.sortBy(e => (e.t_us, e.event_id)).flatMap {
+            e =>
+              val keep = lastSeen.forall(l => e.t_us - l > toleranceUs)
+              lastSeen = Some(e.t_us)
+              if (keep) Some(DebounceOut(e.event_id, e.key, e.kind, e.t_us))
+              else None
+          }
+          lastSeen.foreach(l => state.update(DebounceState(l)))
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming NEAR-dup dedup at signature grain — the incremental
     * counterpart of [[graft.ops.Dedup.minhashNearDups]] for an ingest
     * stream: two docs sharing their FULL k-value MinHash signature are

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.EventStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -356,6 +357,43 @@ class StreamingModeSpec extends SparkSpec {
     } finally {
       q.stop()
       spark.sql("DROP VIEW IF EXISTS ff_test")
+    }
+  }
+
+  test("debounce swallows bursts ACROSS micro-batches; parity with batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val ev = input.toDF().toDF("event_id", "key", "kind", "t_us")
+    val q = EventStream.debounce(spark, ev, toleranceUs = 10L)
+      .writeStream.format("memory").queryName("db_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: head at t=0, chained burst rows at 8, 16.
+      input.addData((1L, 7L, "c", 0L), (2L, 7L, "c", 8L), (3L, 7L, "c", 16L))
+      q.processAllAvailable()
+      // Batch 2: t=24 continues the SAME burst via cross-batch state
+      // (gap 8 from t=16, even though the kept head is long past);
+      // t=99 starts a new one. Other key unaffected.
+      input.addData((4L, 7L, "c", 24L), (5L, 7L, "c", 99L),
+        (6L, 8L, "c", 1L))
+      q.processAllAvailable()
+      val kept = spark.table("db_test").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 5L, 6L))
+      // Exact parity with the batch twin on the same (time-ordered)
+      // data: burst-collapse anchoring, not rate limiting.
+      import spark.implicits._
+      val batchDf = Seq((1L, 7L, "c", 0L), (2L, 7L, "c", 8L),
+        (3L, 7L, "c", 16L), (4L, 7L, "c", 24L), (5L, 7L, "c", 99L),
+        (6L, 8L, "c", 1L)).toDF("event_id", "key", "kind", "ts_v")
+        .withColumn("ts", timestamp_micros(col("ts_v")))
+      val batchKept = graft.ops.Debounce.firstOfBurst(batchDf,
+          Seq("key", "kind"), "ts", "event_id", toleranceUs = 10L)
+        .select("event_id").as[Long].collect().toSet
+      assert(batchKept == kept)
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS db_test")
     }
   }
 }
