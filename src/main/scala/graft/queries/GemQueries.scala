@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  CoOccurrence, CorpusPipeline, Pareto, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
+  ChangePoint, CoOccurrence, CorpusPipeline, Pareto, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -6720,7 +6720,73 @@ object GemQueries {
              |SELECT g, CAST(max(tot) AS BIGINT) AS total_weight,
              |  CAST(min(v) AS BIGINT) AS wquantile
              |FROM cm WHERE cum * 2 >= tot
-             |GROUP BY g ORDER BY g""".stripMargin))
+             |GROUP BY g ORDER BY g""".stripMargin)),
+
+    // Temporal anti-join (ops/TemporalAntiJoin.unansweredCounts):
+    // clicks with NO purchase in the following hour, per user — the
+    // time-bounded cousin of q142's key anti-join and the negative
+    // of q60's as-of join. Gap compares in integer microseconds;
+    // trigger grain kept by event_id under timestamp ties.
+    QueryDef("q185_click_abandonment",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        TemporalAntiJoin.unansweredCounts(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "event_id", "ts", "ts",
+          windowUs = 3600000000L)
+          .orderBy("e")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id AS e, event_id AS id, epoch_us(ts) AS ta
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id AS e, epoch_us(ts) AS tb
+             |  FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT c.e, c.id,
+             |    max(CASE WHEN tb > ta AND tb <= ta + 3600000000
+             |      THEN 1 ELSE 0 END) AS answered
+             |  FROM c LEFT JOIN p ON c.e = p.e GROUP BY 1, 2)
+             |SELECT e, count(*) AS n_triggers,
+             |  CAST(sum(1 - answered) AS BIGINT) AS n_unanswered
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CUSUM change-point detection (ops/ChangePoint.cusumPeak): the
+    // day each event type's cumulative volume deviates most from its
+    // constant-rate line — regime-change detection with the cross-
+    // multiplied integer statistic |S_i·m − i·S_m|; only the
+    // normalized magnitude divides. Ties break on the earliest day.
+    QueryDef("q186_cusum_changepoint",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        ChangePoint.cusumPeak(ev, "event_type", "day").orderBy("g")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000
+             |      AS slot,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |sc AS (SELECT *,
+             |    row_number() OVER (PARTITION BY g ORDER BY slot) AS i,
+             |    sum(n) OVER (PARTITION BY g ORDER BY slot
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    count(*) OVER (PARTITION BY g) AS m,
+             |    sum(n) OVER (PARTITION BY g) AS tot
+             |  FROM daily),
+             |dv AS (SELECT g, slot, m, tot,
+             |    abs(cum * m - i * tot) AS dev
+             |  FROM sc),
+             |pk AS (SELECT *, row_number() OVER (
+             |    PARTITION BY g ORDER BY dev DESC, slot) AS rk
+             |  FROM dv)
+             |SELECT g, CAST(m AS BIGINT) AS m,
+             |  CAST(tot AS BIGINT) AS total,
+             |  CAST(slot AS BIGINT) AS peak_slot,
+             |  CAST(dev AS BIGINT) AS peak_stat,
+             |  round(CAST(dev AS DOUBLE) / CAST(m * tot AS DOUBLE), 6)
+             |    AS peak_norm
+             |FROM pk WHERE rk = 1 ORDER BY g""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
