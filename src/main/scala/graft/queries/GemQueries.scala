@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  ChangePoint, CoOccurrence, CorpusPipeline, Pareto, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
+  ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -6786,7 +6786,157 @@ object GemQueries {
              |  CAST(dev AS BIGINT) AS peak_stat,
              |  round(CAST(dev AS DOUBLE) / CAST(m * tot AS DOUBLE), 6)
              |    AS peak_norm
-             |FROM pk WHERE rk = 1 ORDER BY g""".stripMargin))
+             |FROM pk WHERE rk = 1 ORDER BY g""".stripMargin)),
+
+    // Hierarchical ratio-to-parent (region → nation revenue shares):
+    // each nation's exact-cents revenue with its share of the parent
+    // region and of the whole — the drill-down contribution view
+    // ROLLUP's subtotal rows (q136) don't directly give. Integer
+    // cents sums; shares are single divisions.
+    QueryDef("q187_hierarchy_shares",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        val wR = Window.partitionBy("r_name")
+        val wAll = Window.partitionBy()
+        rev
+          .withColumn("_r", sum("cents").over(wR))
+          .withColumn("_t", sum("cents").over(wAll))
+          .select(col("r_name"), col("n_name"), col("cents"),
+            round(col("cents").cast("double") / col("_r").cast("double"), 6)
+              .as("share_of_region"),
+            round(col("cents").cast("double") / col("_t").cast("double"), 6)
+              .as("share_of_total"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT r_name, n_name,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1, 2),
+             |w AS (SELECT *, sum(cents) OVER (PARTITION BY r_name) AS r,
+             |    sum(cents) OVER () AS t
+             |  FROM rev)
+             |SELECT r_name, n_name, CAST(cents AS BIGINT) AS cents,
+             |  round(CAST(cents AS DOUBLE) / CAST(r AS DOUBLE), 6)
+             |    AS share_of_region,
+             |  round(CAST(cents AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             |    AS share_of_total
+             |FROM w ORDER BY 1, 2""".stripMargin)),
+
+    // Join-explosion forecast (ops/JoinDiagnostics.predictJoinSize):
+    // the EXACT output size of the lineitem×lineitem partkey self-
+    // join — Σ n(k)² — computed from the key frames without running
+    // the join, plus the top contributing keys (the salting shopping
+    // list). The exact tier of the q154 KMV estimate.
+    QueryDef("q188_join_forecast",
+      (s, dir) => JoinDiagnostics.predictJoinSize(
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "lineitem"), "l_partkey", topK = 10)
+        .orderBy("rank"),
+      Some("""WITH la AS (
+             |  SELECT CAST(l_partkey AS VARCHAR) AS key,
+             |    count(*) AS n_left
+             |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+             |j AS (SELECT la.key, la.n_left, ra.n_left AS n_right
+             |  FROM la JOIN la ra ON la.key = ra.key),
+             |calc AS (SELECT key, n_left, n_right,
+             |    n_left * n_right AS out_rows
+             |  FROM j),
+             |w AS (SELECT *, sum(out_rows) OVER () AS total_out_rows,
+             |    row_number() OVER (ORDER BY out_rows DESC, key)
+             |      AS "rank"
+             |  FROM calc)
+             |SELECT CAST("rank" AS INT) AS "rank", key,
+             |  CAST(n_left AS BIGINT) AS n_left,
+             |  CAST(n_right AS BIGINT) AS n_right,
+             |  CAST(out_rows AS BIGINT) AS out_rows,
+             |  CAST(total_out_rows AS BIGINT) AS total_out_rows,
+             |  CAST((out_rows * 1000000) // total_out_rows AS BIGINT)
+             |    AS top_share_ppm
+             |FROM w WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin)),
+
+    // Interval coalescing / islands (ops/Intervals.coalesce): per
+    // supplier, shipment intervals [ship_day, ship_day + quantity]
+    // merged wherever they overlap or touch — running-max island
+    // detection, all integer compares, tie handling structural.
+    QueryDef("q189_interval_coalesce",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("ship_day",
+            expr("unix_micros(cast(l_shipdate as timestamp))" +
+              " div 86400000000"))
+          .withColumn("end_day",
+            col("ship_day") + col("l_quantity").cast("long"))
+        Intervals.coalesceIntervals(li, "l_suppkey", "ship_day", "end_day")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("island_end") - col("island_start") + 1)
+              .as("covered_days"),
+            max("n_merged").as("max_merged"))
+          .orderBy("k")
+      },
+      Some("""WITH iv AS (
+             |  SELECT l_suppkey AS k,
+             |    epoch_us(l_shipdate) // 86400000000 AS s,
+             |    epoch_us(l_shipdate) // 86400000000 +
+             |      CAST(l_quantity AS BIGINT) AS e
+             |  FROM lineitem),
+             |o AS (SELECT *, max(e) OVER (PARTITION BY k ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS pme
+             |  FROM iv),
+             |f AS (SELECT *, CASE WHEN pme IS NULL OR s > pme + 1
+             |    THEN 1 ELSE 0 END AS nw
+             |  FROM o),
+             |g AS (SELECT *, sum(nw) OVER (PARTITION BY k
+             |    ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS island
+             |  FROM f),
+             |isl AS (SELECT k, island, min(s) AS st, max(e) AS en,
+             |    count(*) AS nm
+             |  FROM g GROUP BY 1, 2)
+             |SELECT k, count(*) AS n_islands,
+             |  CAST(sum(en - st + 1) AS BIGINT) AS covered_days,
+             |  CAST(max(nm) AS BIGINT) AS max_merged
+             |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Activity-gap profile (ops/Intervals.gapProfile): per user, the
+    // holes in their daily activity series — gap count and longest
+    // gap from lag arithmetic on the distinct (user, day) frame.
+    QueryDef("q190_activity_gaps",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Intervals.gapProfile(ev, "user_id", "day").orderBy("k")
+      },
+      Some("""WITH s0 AS (
+             |  SELECT DISTINCT user_id AS k,
+             |    epoch_us(ts) // 86400000000 AS slot
+             |  FROM events),
+             |l AS (SELECT *, slot - lag(slot) OVER (
+             |    PARTITION BY k ORDER BY slot) - 1 AS gap
+             |  FROM s0)
+             |SELECT k, count(*) AS n_slots,
+             |  CAST(min(slot) AS BIGINT) AS first_slot,
+             |  CAST(max(slot) AS BIGINT) AS last_slot,
+             |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_gaps,
+             |  CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0)
+             |    AS BIGINT) AS longest_gap
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
