@@ -25,6 +25,39 @@ object Drift {
     *         (rounded to 4; groups present in only one side are
     *         omitted — no distribution to compare against)
     */
+  /** Population Stability Index per group from the same two
+    * histogram sketches: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with the
+    * standard ε-floor on empty buckets (industry convention: <0.1
+    * stable, 0.1–0.25 drifting, >0.25 shifted). The counts are
+    * integers off the sketch; p, q, and the log terms are fixed-
+    * shape double expressions. PSI complements [[ksFromHists]]: KS
+    * sees the worst single quantile shift, PSI accumulates mass
+    * moved across ALL buckets.
+    */
+  def psiFromHists(
+      a: DataFrame, b: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int, eps: Double): DataFrame = {
+    def buckets(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy(groupCol)
+        .agg(expr(s"graft_hist(CAST($valueCol AS DOUBLE), ${lo}D, ${hi}D, $nbins)")
+          .as("_h"))
+        .select(col(groupCol), posexplode(col("_h")).as(Seq("b", cnt)))
+    val wAll = Window.partitionBy(groupCol)
+    val joined = buckets(a, "ca").join(buckets(b, "cb"), Seq(groupCol, "b"))
+      .withColumn("n_a", sum("ca").over(wAll))
+      .withColumn("n_b", sum("cb").over(wAll))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("p", greatest(
+        col("ca").cast("double") / col("n_a").cast("double"), lit(eps)))
+      .withColumn("q", greatest(
+        col("cb").cast("double") / col("n_b").cast("double"), lit(eps)))
+    joined
+      .groupBy(col(groupCol), col("n_a"), col("n_b"))
+      .agg((round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4)
+        + lit(0.0)).as("psi"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("psi"))
+  }
+
   def ksFromHists(
       a: DataFrame, b: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double, nbins: Int): DataFrame = {

@@ -9,7 +9,7 @@ import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
-  Quantize, Retrieval, Rolling, Sampling, Scd2, Similarity, Skew, SourceSim, ZOrder,
+  Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew, SourceSim, ZOrder, CorrMatrix,
   SnapshotDiff, SpanDedup, Stats, TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
@@ -6936,7 +6936,165 @@ object GemQueries {
              |    AS n_gaps,
              |  CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0)
              |    AS BIGINT) AS longest_gap
-             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RFM segmentation (ops/Rfm.segments): customers quintiled on
+    // recency (last order day) / frequency / monetary (exact cents),
+    // counted per (R, F, M) cell. Quintile cuts are integer rank
+    // arithmetic with key tie-breaks — every cell assignment
+    // reproducible.
+    QueryDef("q191_rfm_segments",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("day",
+            expr("unix_micros(cast(o_orderdate as timestamp))" +
+              " div 86400000000"))
+          .withColumn("cents",
+            round(col("o_totalprice") * 100).cast("long"))
+        Rfm.segments(o, "o_custkey", "day", "cents")
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey AS e,
+             |    max(epoch_us(o_orderdate) // 86400000000) AS last_slot,
+             |    count(*) AS freq,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders GROUP BY 1),
+             |w AS (SELECT *, count(*) OVER () AS n,
+             |    row_number() OVER (ORDER BY last_slot, e) AS rr,
+             |    row_number() OVER (ORDER BY freq, e) AS rf,
+             |    row_number() OVER (ORDER BY cents, e) AS rm
+             |  FROM per),
+             |qq AS (SELECT
+             |    CAST(((rr - 1) * 5) // n + 1 AS INT) AS r_q,
+             |    CAST(((rf - 1) * 5) // n + 1 AS INT) AS f_q,
+             |    CAST(((rm - 1) * 5) // n + 1 AS INT) AS m_q,
+             |    cents
+             |  FROM w)
+             |SELECT r_q, f_q, m_q, count(*) AS n_entities,
+             |  CAST(sum(cents) AS BIGINT) AS total_cents
+             |FROM qq GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // PSI drift (ops/Drift.psiFromHists): the same two corpora as
+    // q160's KS gate, scored with the Population Stability Index —
+    // KS sees the worst single quantile shift, PSI accumulates mass
+    // moved across ALL buckets (the industry ML-monitoring metric
+    // with its ε-floor convention). Counts come off the portable
+    // histogram sketch; p/q/log terms are fixed-shape doubles.
+    QueryDef("q192_psi_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+        val b = docs.filter(col("doc_id") % 2 =!= 0)
+          .withColumn("n_chars", col("n_chars") + lit(100L))
+        Drift.psiFromHists(a, b, "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256, eps = 1e-4)
+          .orderBy("lang")
+      },
+      Some("""WITH aa AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars AS DOUBLE) / 4.0), 0), 255)
+             |      AS BIGINT) AS b
+             |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+             |bb AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars + 100 AS DOUBLE) / 4.0), 0), 255)
+             |      AS BIGINT) AS b
+             |  FROM documents WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+             |langs AS (SELECT DISTINCT lang FROM documents),
+             |grid AS (SELECT lang, s AS b FROM langs
+             |         CROSS JOIN (SELECT unnest(range(256)) AS s)),
+             |ka AS (SELECT lang, b, count(*) AS c FROM aa GROUP BY 1, 2),
+             |kb AS (SELECT lang, b, count(*) AS c FROM bb GROUP BY 1, 2),
+             |j AS (SELECT g.lang, g.b, coalesce(ka.c, 0) AS ca,
+             |        coalesce(kb.c, 0) AS cb
+             |      FROM grid g
+             |      LEFT JOIN ka ON g.lang = ka.lang AND g.b = ka.b
+             |      LEFT JOIN kb ON g.lang = kb.lang AND g.b = kb.b),
+             |cum AS (SELECT lang, b, ca, cb,
+             |          sum(ca) OVER w AS n_a, sum(cb) OVER w AS n_b
+             |        FROM j WINDOW w AS (PARTITION BY lang)),
+             |pq AS (SELECT lang, n_a, n_b,
+             |    greatest(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE),
+             |      0.0001) AS p,
+             |    greatest(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE),
+             |      0.0001) AS q
+             |  FROM cum WHERE n_a > 0 AND n_b > 0)
+             |SELECT lang, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  round(sum((p - q) * ln(p / q)), 4) + 0.0 AS psi
+             |FROM pq GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // Pairwise Pearson correlation matrix (ops/CorrMatrix
+    // .pearsonPairs): all six pairs of lineitem's numeric features
+    // from ONE pass of exact integer moments (quantity units,
+    // truncated dollars, percent discount/tax), combined in fixed-
+    // shape double expressions — the q167 determinism recipe applied
+    // to profiling.
+    QueryDef("q193_corr_matrix",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("qty"),
+            col("l_extendedprice").cast("long").as("dollars"),
+            round(col("l_discount") * 100).cast("long").as("disc_pct"),
+            round(col("l_tax") * 100).cast("long").as("tax_pct"))
+        CorrMatrix.pearsonPairs(li,
+          Seq("qty", "dollars", "disc_pct", "tax_pct"))
+          .orderBy("col_a", "col_b")
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(trunc(CAST(l_extendedprice AS DOUBLE)) AS BIGINT)
+             |      AS dollars,
+             |    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             |    CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+             |m AS (SELECT count(*) AS n,
+             |    sum(qty) AS s_qty, sum(dollars) AS s_dollars,
+             |    sum(disc_pct) AS s_disc, sum(tax_pct) AS s_tax,
+             |    sum(qty * qty) AS ss_qty,
+             |    sum(dollars * dollars) AS ss_dollars,
+             |    sum(disc_pct * disc_pct) AS ss_disc,
+             |    sum(tax_pct * tax_pct) AS ss_tax,
+             |    sum(qty * dollars) AS sp_qty_dollars,
+             |    sum(qty * disc_pct) AS sp_qty_disc,
+             |    sum(qty * tax_pct) AS sp_qty_tax,
+             |    sum(dollars * disc_pct) AS sp_dollars_disc,
+             |    sum(dollars * tax_pct) AS sp_dollars_tax,
+             |    sum(disc_pct * tax_pct) AS sp_disc_tax
+             |  FROM v),
+             |p AS (
+             |  SELECT 'qty' AS col_a, 'dollars' AS col_b, n,
+             |    sp_qty_dollars AS sp, s_qty AS sa, s_dollars AS sb,
+             |    ss_qty AS ssa, ss_dollars AS ssb FROM m
+             |  UNION ALL SELECT 'qty', 'disc_pct', n, sp_qty_disc,
+             |    s_qty, s_disc, ss_qty, ss_disc FROM m
+             |  UNION ALL SELECT 'qty', 'tax_pct', n, sp_qty_tax,
+             |    s_qty, s_tax, ss_qty, ss_tax FROM m
+             |  UNION ALL SELECT 'dollars', 'disc_pct', n,
+             |    sp_dollars_disc, s_dollars, s_disc, ss_dollars,
+             |    ss_disc FROM m
+             |  UNION ALL SELECT 'dollars', 'tax_pct', n, sp_dollars_tax,
+             |    s_dollars, s_tax, ss_dollars, ss_tax FROM m
+             |  UNION ALL SELECT 'disc_pct', 'tax_pct', n, sp_disc_tax,
+             |    s_disc, s_tax, ss_disc, ss_tax FROM m)
+             |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN
+             |      CAST(n AS DOUBLE) * CAST(ssa AS DOUBLE) -
+             |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+             |    AND CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE) -
+             |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+             |    THEN round(
+             |      (CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) -
+             |        CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+             |      sqrt((CAST(n AS DOUBLE) * CAST(ssa AS DOUBLE) -
+             |          CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+             |        (CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE) -
+             |          CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+             |    END AS r
+             |FROM p ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
