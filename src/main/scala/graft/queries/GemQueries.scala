@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
+  ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, Retention, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -7094,7 +7094,162 @@ object GemQueries {
              |        (CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE) -
              |          CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
              |    END AS r
-             |FROM p ORDER BY 1, 2""".stripMargin))
+             |FROM p ORDER BY 1, 2""".stripMargin)),
+
+    // 7-day bounce-back retention (ops/Retention.nDayRetention): of
+    // the users active on day d, how many were active again on d+7 —
+    // the day-grain engagement curve beside q134's cohort triangle.
+    // Distinct-frame self-join on (entity, day+N); integer counts,
+    // floor-ppm rate.
+    QueryDef("q194_nday_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Retention.nDayRetention(ev, "user_id", "day", n = 7)
+          .orderBy("d")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id AS e,
+             |    epoch_us(ts) // 86400000000 AS d
+             |  FROM events),
+             |fut AS (SELECT DISTINCT e, d - 7 AS d FROM act),
+             |j AS (SELECT act.e, act.d,
+             |    CASE WHEN fut.e IS NULL THEN 0 ELSE 1 END AS hit
+             |  FROM act LEFT JOIN fut ON act.e = fut.e AND act.d = fut.d)
+             |SELECT CAST(d AS BIGINT) AS d, count(*) AS n_active,
+             |  CAST(sum(hit) AS BIGINT) AS n_retained,
+             |  CAST((sum(hit) * 1000000) // count(*) AS BIGINT)
+             |    AS retained_ppm
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Period-over-period change decomposition (ops/
+    // ChangeDecomposition.volumeRate): revenue change per order
+    // priority between the first and second half of the order
+    // history, split into volume effect (order count at old rate)
+    // and rate effect (new orders spending differently) — Δ ≡
+    // volume + rate per segment. Integer cents moments, fixed-shape
+    // double effects.
+    QueryDef("q195_change_decomposition",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("period",
+            when(col("o_orderdate") <
+              lit("1995-06-01 00:00:00").cast("timestamp_ntz"), 0)
+              .otherwise(1))
+          .withColumn("cents",
+            round(col("o_totalprice") * 100).cast("long"))
+        ChangeDecomposition.volumeRate(o, "o_orderpriority", "period",
+          "cents")
+          .orderBy("seg")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS seg,
+             |    CASE WHEN o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+             |      THEN 0 ELSE 1 END AS p,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |a AS (SELECT seg,
+             |    sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS n2,
+             |    sum(CASE WHEN p = 0 THEN cents ELSE 0 END) AS c1,
+             |    sum(CASE WHEN p = 1 THEN cents ELSE 0 END) AS c2
+             |  FROM o GROUP BY 1)
+             |SELECT seg, CAST(n1 AS BIGINT) AS n1,
+             |  CAST(n2 AS BIGINT) AS n2, CAST(c1 AS BIGINT) AS c1,
+             |  CAST(c2 AS BIGINT) AS c2,
+             |  CAST(c2 - c1 AS BIGINT) AS delta_cents,
+             |  round(CASE WHEN n1 > 0
+             |    THEN (CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE)) *
+             |      (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0
+             |    ELSE CAST(c2 AS DOUBLE) / 100.0 END, 2)
+             |    AS volume_effect,
+             |  round(CASE WHEN n1 > 0 AND n2 > 0
+             |    THEN CAST(n2 AS DOUBLE) *
+             |      (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+             |       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0
+             |    ELSE 0.0 END, 2) AS rate_effect
+             |FROM a ORDER BY 1""".stripMargin)),
+
+    // Point-in-time SCD2 lookup (q157's history joined by version
+    // interval): each order resolves the customer attributes that
+    // were CURRENT at its version — the temporal dim join every
+    // warehouse needs once history exists. Interval containment
+    // against the broadcast-sized dim; open intervals via null
+    // valid_to.
+    QueryDef("q196_scd2_lookup",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+        val bump = when(col("c_custkey") % 7 === 0,
+          col("c_nationkey") + 1).otherwise(col("c_nationkey"))
+        val v1 = cust.withColumn("ver", lit(1))
+        val v2 = cust.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_nationkey", bump)
+          .withColumn("ver", lit(2))
+        val v3 = cust
+          .withColumn("c_nationkey", bump)
+          .withColumn("c_mktsegment", when(col("c_custkey") % 5 === 0,
+            lit("MOVED")).otherwise(col("c_mktsegment")))
+          .withColumn("ver", lit(3))
+        val hist = Scd2.history(v1.unionByName(v2).unionByName(v3),
+          "c_custkey", "ver", Seq("c_nationkey", "c_mktsegment"))
+        val facts = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            (lit(1) + pmod(col("o_orderkey"), lit(3))).as("ver"))
+        facts.join(hist,
+            col("o_custkey") === col("c_custkey") &&
+              col("ver") >= col("valid_from") &&
+              (col("valid_to").isNull || col("ver") <= col("valid_to")))
+          .groupBy(col("ver"), col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("ver", "seg")
+      },
+      Some(s"""WITH v1 AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment, 1 AS ver
+             |  FROM customer),
+             |v2 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    c_mktsegment, 2 AS ver
+             |  FROM customer WHERE c_custkey % 11 <> 0),
+             |v3 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+             |      ELSE c_mktsegment END AS c_mktsegment,
+             |    3 AS ver FROM customer),
+             |vlog AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             |         UNION ALL SELECT * FROM v3),
+             |f AS (SELECT *, ${SnapshotDiff.duckFingerprint(
+                      Seq("c_nationkey", "c_mktsegment"))} AS fp
+             |      FROM vlog),
+             |g AS (SELECT *, CASE WHEN lag(fp) OVER w IS NULL
+             |        OR lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS nr
+             |      FROM f WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+             |r AS (SELECT *, sum(nr) OVER (
+             |        PARTITION BY c_custkey ORDER BY ver) AS run
+             |      FROM g),
+             |runs AS (SELECT c_custkey, run, min(ver) AS valid_from,
+             |         min(c_mktsegment) AS seg
+             |         FROM r GROUP BY 1, 2),
+             |iv AS (SELECT c_custkey, valid_from, seg,
+             |         lead(valid_from) OVER (
+             |           PARTITION BY c_custkey ORDER BY valid_from) - 1
+             |           AS valid_to
+             |       FROM runs),
+             |facts AS (SELECT o_orderkey, o_custkey,
+             |    1 + o_orderkey % 3 AS ver
+             |  FROM orders),
+             |j AS (SELECT fa.ver, iv.seg
+             |  FROM facts fa JOIN iv
+             |    ON fa.o_custkey = iv.c_custkey
+             |    AND fa.ver >= iv.valid_from
+             |    AND (iv.valid_to IS NULL OR fa.ver <= iv.valid_to))
+             |SELECT CAST(ver AS BIGINT) AS ver, seg,
+             |  count(*) AS n_orders
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
