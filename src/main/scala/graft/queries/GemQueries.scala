@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, Retention, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
+  Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, Retention, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -7249,7 +7249,100 @@ object GemQueries {
              |    AND (iv.valid_to IS NULL OR fa.ver <= iv.valid_to))
              |SELECT CAST(ver AS BIGINT) AS ver, seg,
              |  count(*) AS n_orders
-             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Exact per-group mode (ops/Categorical.mode): the most frequent
+    // document length per language, ties broken by the smallest
+    // value — a deterministic tie POLICY, never first-seen (which is
+    // partitioning-dependent). Count aggregate + argmax window on
+    // the (group, value) frame.
+    QueryDef("q197_group_mode",
+      (s, dir) => Categorical.mode(
+          t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("g"),
+      Some("""WITH c AS (
+             |  SELECT lang AS g, CAST(n_chars AS VARCHAR) AS v,
+             |    count(*) AS n
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY g ORDER BY n DESC, v)
+             |      AS rk,
+             |    count(*) OVER (PARTITION BY g) AS nd
+             |  FROM c)
+             |SELECT g, v AS mode, CAST(n AS BIGINT) AS mode_n,
+             |  CAST(nd AS BIGINT) AS n_distinct
+             |FROM r WHERE rk = 1 ORDER BY g""".stripMargin)),
+
+    // Cramér's V association matrix (ops/Categorical.cramersV): the
+    // categorical counterpart of q193's Pearson matrix — χ² answers
+    // "dependent?", V = √(χ²/(n·min(r−1,c−1))) answers "how much"
+    // on one [0,1] scale, here for (lang, source) and
+    // (orderpriority, orderstatus).
+    QueryDef("q198_cramers_v",
+      (s, dir) => Categorical.cramersV(
+          t(s, dir, "documents"), Seq(("lang", "source")))
+        .unionByName(Categorical.cramersV(
+          t(s, dir, "orders"),
+          Seq(("o_orderpriority", "o_orderstatus"))))
+        .orderBy("col_a"),
+      Some("""WITH obs1 AS (
+             |  SELECT CAST(lang AS VARCHAR) AS x,
+             |    CAST(source AS VARCHAR) AS y, count(*) AS n_obs
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1, 2),
+             |am1 AS (SELECT x, sum(n_obs) AS n_x FROM obs1 GROUP BY 1),
+             |bm1 AS (SELECT y, sum(n_obs) AS n_y FROM obs1 GROUP BY 1),
+             |g1 AS (SELECT am1.x, bm1.y, n_x, n_y,
+             |    coalesce(n_obs, 0) AS n_obs
+             |  FROM am1 CROSS JOIN bm1
+             |  LEFT JOIN obs1 ON am1.x = obs1.x AND bm1.y = obs1.y),
+             |w1 AS (SELECT *, sum(n_obs) OVER () AS nn FROM g1),
+             |t1 AS (SELECT nn,
+             |    CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) /
+             |      CAST(nn AS DOUBLE) AS e, n_obs
+             |  FROM w1),
+             |c1 AS (SELECT max(nn) AS n,
+             |    sum((CAST(n_obs AS DOUBLE) - e) *
+             |      (CAST(n_obs AS DOUBLE) - e) / e) AS chi2
+             |  FROM t1),
+             |v1r AS (SELECT 'lang' AS col_a, 'source' AS col_b,
+             |  CAST(n AS BIGINT) AS n, round(chi2, 4) + 0.0 AS chi2,
+             |  round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(
+             |    (SELECT count(*) FROM am1) - 1,
+             |    (SELECT count(*) FROM bm1) - 1) AS DOUBLE))), 4) AS v
+             |  FROM c1),
+             |obs2 AS (
+             |  SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+             |    CAST(o_orderstatus AS VARCHAR) AS y, count(*) AS n_obs
+             |  FROM orders
+             |  WHERE o_orderpriority IS NOT NULL
+             |    AND o_orderstatus IS NOT NULL
+             |  GROUP BY 1, 2),
+             |am2 AS (SELECT x, sum(n_obs) AS n_x FROM obs2 GROUP BY 1),
+             |bm2 AS (SELECT y, sum(n_obs) AS n_y FROM obs2 GROUP BY 1),
+             |g2 AS (SELECT am2.x, bm2.y, n_x, n_y,
+             |    coalesce(n_obs, 0) AS n_obs
+             |  FROM am2 CROSS JOIN bm2
+             |  LEFT JOIN obs2 ON am2.x = obs2.x AND bm2.y = obs2.y),
+             |w2 AS (SELECT *, sum(n_obs) OVER () AS nn FROM g2),
+             |t2 AS (SELECT nn,
+             |    CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) /
+             |      CAST(nn AS DOUBLE) AS e, n_obs
+             |  FROM w2),
+             |c2 AS (SELECT max(nn) AS n,
+             |    sum((CAST(n_obs AS DOUBLE) - e) *
+             |      (CAST(n_obs AS DOUBLE) - e) / e) AS chi2
+             |  FROM t2),
+             |v2r AS (SELECT 'o_orderpriority' AS col_a,
+             |  'o_orderstatus' AS col_b,
+             |  CAST(n AS BIGINT) AS n, round(chi2, 4) + 0.0 AS chi2,
+             |  round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(
+             |    (SELECT count(*) FROM am2) - 1,
+             |    (SELECT count(*) FROM bm2) - 1) AS DOUBLE))), 4) AS v
+             |  FROM c2)
+             |SELECT * FROM v1r UNION ALL SELECT * FROM v2r
+             |ORDER BY col_a""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -185,7 +185,9 @@ class PlanShapeSpec extends SparkSpec {
       "q169_source_similarity",
       // q178: the #langs × #sources margin cross builds the dense
       // contingency grid from two aggregated margin frames.
-      "q178_chi2_independence")
+      "q178_chi2_independence",
+      // q198: the same margin-cross contingency grids, per pair.
+      "q198_cramers_v")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
