@@ -7342,7 +7342,69 @@ object GemQueries {
              |    (SELECT count(*) FROM bm2) - 1) AS DOUBLE))), 4) AS v
              |  FROM c2)
              |SELECT * FROM v1r UNION ALL SELECT * FROM v2r
-             |ORDER BY col_a""".stripMargin))
+             |ORDER BY col_a""".stripMargin)),
+
+    // Crosstab with margins: the (lang × source) count matrix plus
+    // row/column/grand totals in one pass via GROUPING SETS — the
+    // report shape q125's plain pivot and q141's CUBE flags both
+    // stop short of (margins labeled in-band as 'ALL', not emitted
+    // as separate queries).
+    QueryDef("q199_crosstab_margins",
+      (s, dir) => {
+        // CUBE(lang, source) = exactly the four grouping sets — ONE
+        // pass through Expand, not four scans; grouping() (not a
+        // null check) labels the margins so a null data value could
+        // never masquerade as a total.
+        t(s, dir, "documents")
+          .cube("lang", "source")
+          .agg(count(lit(1)).as("n"),
+            grouping(col("lang")).as("_gl"),
+            grouping(col("source")).as("_gs"))
+          .select(
+            when(col("_gl") === 1, lit("ALL"))
+              .otherwise(col("lang")).as("lang"),
+            when(col("_gs") === 1, lit("ALL"))
+              .otherwise(col("source")).as("source"),
+            col("n"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT coalesce(lang, 'ALL') AS lang,
+             |  coalesce(source, 'ALL') AS source, count(*) AS n
+             |FROM documents
+             |GROUP BY GROUPING SETS ((lang, source), (lang), (source),
+             |  ())
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Rank-with-ties leaderboard: top-3 revenue parts per brand with
+    // RANK semantics — boundary ties are KEPT (row_number would
+    // arbitrarily cut them; the q17/q80 row_number queries pin the
+    // other policy). Revenue in exact cents so tie groups are exact.
+    QueryDef("q200_topk_with_ties",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_partkey")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"))
+        val rk = Window.partitionBy("p_brand").orderBy(col("cents").desc)
+        li.withColumn("rnk", rank().over(rk).cast("int"))
+          .where(col("rnk") <= 3)
+          .orderBy("p_brand", "rnk", "p_partkey")
+          .select("p_brand", "rnk", "p_partkey", "cents")
+      },
+      Some("""WITH rev AS (
+             |  SELECT p_brand, p_partkey,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS cents
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |r AS (SELECT *, CAST(rank() OVER (PARTITION BY p_brand
+             |    ORDER BY cents DESC) AS INT) AS rnk
+             |  FROM rev)
+             |SELECT p_brand, rnk, p_partkey, CAST(cents AS BIGINT)
+             |  AS cents
+             |FROM r WHERE rnk <= 3
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
