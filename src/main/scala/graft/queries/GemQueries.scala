@@ -7404,7 +7404,156 @@ object GemQueries {
              |SELECT p_brand, rnk, p_partkey, CAST(cents AS BIGINT)
              |  AS cents
              |FROM r WHERE rnk <= 3
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Nearest-direction as-of (both AsofJoin directions composed):
+    // for each click, the closest error event either side, tie to
+    // the earlier one — sensor-alignment semantics where backward-
+    // only (q60) or forward-only (q99) would skew gaps one way.
+    // Gap arithmetic in integer microseconds.
+    QueryDef("q201_asof_nearest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("ts_r"),
+            col("event_id").as("err_id"))
+        val b = AsofJoin.join(clicks, errs, Seq("user_id"),
+          "ts", "ts_r", Seq("err_id"), AsofJoin.Backward,
+          matchedTsCol = Some("bts"))
+          .drop("err_id")
+        val f = AsofJoin.join(b,
+          errs.withColumnRenamed("err_id", "err_id_f"), Seq("user_id"),
+          "ts", "ts_r", Seq("err_id_f"), AsofJoin.Forward,
+          matchedTsCol = Some("fts"))
+          .drop("err_id_f")
+        val tU = unix_micros(col("ts").cast("timestamp"))
+        val bU = unix_micros(col("bts").cast("timestamp"))
+        val fU = unix_micros(col("fts").cast("timestamp"))
+        f.withColumn("gap",
+            when(col("bts").isNull && col("fts").isNull,
+              lit(null).cast("long"))
+              .when(col("fts").isNull, tU - bU)
+              .when(col("bts").isNull, fU - tU)
+              .when(tU - bU <= fU - tU, tU - bU)
+              .otherwise(fU - tU))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("gap")).as("n_matched"),
+            sum("gap").as("sum_gap_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t
+             |  FROM events WHERE event_type = 'click'),
+             |e AS (SELECT user_id, epoch_us(ts) AS te
+             |  FROM events WHERE event_type = 'error'),
+             |j AS (SELECT c.user_id, c.event_id, c.t,
+             |    max(CASE WHEN te <= t THEN te END) AS bt,
+             |    min(CASE WHEN te >= t THEN te END) AS ft
+             |  FROM c LEFT JOIN e ON c.user_id = e.user_id
+             |  GROUP BY 1, 2, 3),
+             |g AS (SELECT user_id,
+             |    CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+             |      WHEN ft IS NULL THEN t - bt
+             |      WHEN bt IS NULL THEN ft - t
+             |      WHEN t - bt <= ft - t THEN t - bt
+             |      ELSE ft - t END AS gap
+             |  FROM j)
+             |SELECT user_id, count(*) AS n_clicks,
+             |  count(gap) AS n_matched,
+             |  CAST(sum(gap) AS BIGINT) AS sum_gap_us
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Month-over-month growth table: per order priority and month,
+    // exact-cents revenue with the prior month's value and a floor-
+    // ppm growth rate — the lag-based BI staple (q79's rolling
+    // stats smooth; this compares discrete periods). All integer
+    // until the emitted rate.
+    QueryDef("q202_mom_growth",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("mon",
+            expr("year(o_orderdate) * 12 + month(o_orderdate)")
+              .cast("long"))
+          .withColumn("cents",
+            round(col("o_totalprice") * 100).cast("long"))
+          .groupBy(col("o_orderpriority").as("seg"), col("mon"))
+          .agg(sum("cents").as("cents"))
+        val w = Window.partitionBy("seg").orderBy(col("mon"))
+        o.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+          .withColumn("growth_ppm",
+            when(col("prev_cents") > 0,
+              expr("((cents - prev_cents) * 1000000) DIV prev_cents")))
+          .orderBy("seg", "mon")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority AS seg,
+             |    year(o_orderdate) * 12 + month(o_orderdate) AS mon,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders GROUP BY 1, 2),
+             |l AS (SELECT *, lag(cents) OVER (PARTITION BY seg
+             |    ORDER BY mon) AS prev_cents
+             |  FROM m)
+             |SELECT seg, CAST(mon AS BIGINT) AS mon,
+             |  CAST(cents AS BIGINT) AS cents,
+             |  CAST(prev_cents AS BIGINT) AS prev_cents,
+             |  CAST(CASE WHEN prev_cents > 0 THEN
+             |    ((cents - prev_cents) * 1000000) // prev_cents END
+             |    AS BIGINT) AS growth_ppm
+             |FROM l ORDER BY 1, 2""".stripMargin)),
+
+    // ABC (Pareto 80/95) classification: parts ranked by revenue,
+    // classed by cumulative share with cross-multiplied integer
+    // boundary tests (A ≤ 80%, B ≤ 95%, C rest) — the 80/20 curve as
+    // an operator, classes exact because no division ever happens
+    // before the emitted share.
+    QueryDef("q203_abc_classification",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        rev
+          .withColumn("cum", sum("cents").over(w))
+          .withColumn("tot", sum("cents").over(wAll))
+          .withColumn("class",
+            when(col("cum") * 5 <= col("tot") * 4, "A")
+              .when(col("cum") * 20 <= col("tot") * 19, "B")
+              .otherwise("C"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+          .withColumn("share",
+            round(col("cents").cast("double") /
+              sum(col("cents")).over(wAll).cast("double"), 6))
+          .orderBy("class")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS cents
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT *,
+             |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(cents) OVER () AS tot
+             |  FROM rev),
+             |k AS (SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+             |    WHEN cum * 20 <= tot * 19 THEN 'B'
+             |    ELSE 'C' END AS class, cents
+             |  FROM c),
+             |a AS (SELECT class, count(*) AS n_parts,
+             |    sum(cents) AS cents
+             |  FROM k GROUP BY 1)
+             |SELECT class, n_parts, CAST(cents AS BIGINT) AS cents,
+             |  round(CAST(cents AS DOUBLE) /
+             |    CAST((SELECT sum(cents) FROM a) AS DOUBLE), 6) AS share
+             |FROM a ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
