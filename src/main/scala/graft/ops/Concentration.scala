@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Concentration {
 
+  /** Inverse Simpson index ("effective number of classes") per
+    * group: (Σc)²/Σc² over category counts — 5.0 means the mix
+    * behaves like 5 equally-likely classes, 1.0 means one class owns
+    * it. The log-free diversity metric (entropy needs ln; this is a
+    * ratio of two exact integer sums), so it hash-compares exactly.
+    *
+    * @return per group: `n`, `n_classes`, `inv_simpson` (round 4)
+    */
+  def inverseSimpson(
+      df: DataFrame, groupCol: String, classCol: String): DataFrame =
+    df.where(col(classCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(classCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("g")
+      .agg(sum("n").as("n"), count(lit(1)).as("n_classes"),
+        sum(col("n") * col("n")).as("_ss"))
+      .select(col("g"), col("n"), col("n_classes"),
+        round((col("n") * col("n")).cast("double") /
+          col("_ss").cast("double"), 4).as("inv_simpson"))
+
   /** @return per group: `n`, `total`, `gini` (round 6),
     *         `top10_share` (mass share of the n DIV 10 largest rows,
     *         round 6). Null and negative values are excluded.

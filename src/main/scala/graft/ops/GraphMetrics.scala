@@ -20,6 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * the degrees at the two ends of each edge — positive = hubs link
+    * hubs (social shape), negative = hubs link leaves (hub-and-spoke
+    * infrastructure shape). Every moment is an exact integer sum
+    * over the 2m directed edge ends; the final coefficient is one
+    * fixed-shape double expression (the q167 recipe).
+    *
+    * @return one row: `m` (undirected edges), `r` (round 6; null for
+    *         degree-regular graphs, whose variance is 0)
+    */
+  def assortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val ends = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      // both orientations so the correlation is symmetric
+      .select(col("da").as("x"), col("db").as("y"))
+      .unionAll(e
+        .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+        .select(col("db").as("x"), col("da").as("y")))
+    val mo = ends.agg(count(lit(1)).as("n2"),
+      sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    // x and y are exchangeable (both orientations present): means and
+    // variances coincide, so r = (n·Σxy − Σx²̄)/(n·Σx² − (Σx)²).
+    val num = d("n2") * d("sxy") - d("sx") * d("sx")
+    val den = d("n2") * d("sxx") - d("sx") * d("sx")
+    mo.select((col("n2") / 2).cast("long").as("m"),
+      round(when(den > 0.0, num / den), 6).as("r"))
+  }
+
   /** @param edges two columns `srcCol`, `dstCol` (undirected; dups
     *              and self-loops are dropped)
     * @return one row per node: `node`, `degree`, `triangles`,

@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, Retention, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
+  Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -7553,6 +7553,146 @@ object GemQueries {
              |SELECT class, n_parts, CAST(cents AS BIGINT) AS cents,
              |  round(CAST(cents AS DOUBLE) /
              |    CAST((SELECT sum(cents) FROM a) AS DOUBLE), 6) AS share
+             |FROM a ORDER BY 1""".stripMargin)),
+
+    // Session-scoped strict funnel (ops/Sessionize.gapSessions +
+    // the q102 funnel logic at SESSION grain): view → later click →
+    // later purchase must all land inside one 30-minute-gap session,
+    // not merely the same user's history. Three aggregate+join
+    // rounds, each min() conditioned on the prior stage's timestamp.
+    QueryDef("q204_session_funnel",
+      (s, dir) => {
+        val base = Sessionize.gapSessions(t(s, dir, "events"),
+            Seq("user_id"), "ts", "event_id", gapUs = 1800000000L)
+          .withColumn("t", unix_micros(col("ts").cast("timestamp")))
+          .select("user_id", "session_id", "event_type", "t")
+        val v = base.groupBy("user_id", "session_id")
+          .agg(min(when(col("event_type") === "view", col("t")))
+            .as("vt"))
+        val c = base.join(v, Seq("user_id", "session_id"))
+          .groupBy("user_id", "session_id")
+          .agg(max("vt").as("vt"),
+            min(when(col("event_type") === "click" &&
+              col("t") > col("vt"), col("t"))).as("ct"))
+        val p = base.join(c, Seq("user_id", "session_id"))
+          .groupBy("user_id", "session_id")
+          .agg(max("vt").as("vt"), max("ct").as("ct"),
+            min(when(col("event_type") === "purchase" &&
+              col("t") > col("ct"), col("t"))).as("pt"))
+        p.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("vt").isNotNull, 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("ct").isNotNull, 1L).otherwise(0L))
+              .as("n_view_click"),
+            sum(when(col("pt").isNotNull, 1L).otherwise(0L)).as("n_full"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b0 AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+             |  FROM events),
+             |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id) AS pt FROM b0),
+             |s AS (SELECT *, sum(CASE WHEN pt IS NULL
+             |      OR t - pt > 1800000000 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sess
+             |  FROM l),
+             |v AS (SELECT user_id, sess,
+             |    min(CASE WHEN event_type = 'view' THEN t END) AS vt
+             |  FROM s GROUP BY 1, 2),
+             |c AS (SELECT s.user_id, s.sess, max(v.vt) AS vt,
+             |    min(CASE WHEN s.event_type = 'click' AND s.t > v.vt
+             |      THEN s.t END) AS ct
+             |  FROM s JOIN v ON s.user_id = v.user_id AND s.sess = v.sess
+             |  GROUP BY 1, 2),
+             |p AS (SELECT s.user_id, s.sess, max(c.vt) AS vt,
+             |    max(c.ct) AS ct,
+             |    min(CASE WHEN s.event_type = 'purchase' AND s.t > c.ct
+             |      THEN s.t END) AS pt
+             |  FROM s JOIN c ON s.user_id = c.user_id AND s.sess = c.sess
+             |  GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(sum(CASE WHEN vt IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_view,
+             |  CAST(sum(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_view_click,
+             |  CAST(sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_full
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Degree assortativity of the trade graph (GraphMetrics
+    // .assortativity, Newman 2002): do high-degree trading nations
+    // link to other hubs (r > 0) or to spokes (r < 0)? Integer
+    // moments over both edge orientations; one fixed-shape double
+    // coefficient.
+    QueryDef("q205_assortativity",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val edges = cust
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("c_nationkey", "s_nationkey")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") >= 100)
+        GraphMetrics.assortativity(edges, "c_nationkey", "s_nationkey")
+      },
+      Some("""WITH tr AS (
+             |  SELECT c_nationkey AS x, s_nationkey AS y, count(*) AS n
+             |  FROM customer
+             |  JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 100),
+             |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+             |      FROM tr WHERE x <> y),
+             |deg AS (SELECT node, count(*) AS degree FROM (
+             |          SELECT a AS node FROM e
+             |          UNION ALL SELECT b FROM e)
+             |        GROUP BY 1),
+             |ends AS (
+             |  SELECT da.degree AS x, db.degree AS y
+             |  FROM e JOIN deg da ON e.a = da.node
+             |         JOIN deg db ON e.b = db.node
+             |  UNION ALL
+             |  SELECT db.degree, da.degree
+             |  FROM e JOIN deg da ON e.a = da.node
+             |         JOIN deg db ON e.b = db.node),
+             |mo AS (SELECT count(*) AS n2, sum(x) AS sx,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM ends)
+             |SELECT CAST(n2 // 2 AS BIGINT) AS m,
+             |  round(CASE WHEN CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             |    THEN (CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             |      (CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    END, 6) AS r
+             |FROM mo""".stripMargin)),
+
+    // Class-balance diversity (ops/Concentration.inverseSimpson):
+    // the effective number of languages per source, (Σc)²/Σc² — the
+    // log-free diversity metric (a ratio of exact integer sums, so
+    // it hash-compares exactly where entropy's ln cannot).
+    QueryDef("q206_class_balance",
+      (s, dir) => Concentration.inverseSimpson(
+          t(s, dir, "documents"), "source", "lang")
+        .orderBy("g"),
+      Some("""WITH c AS (
+             |  SELECT source AS g, lang, count(*) AS n
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+             |a AS (SELECT g, sum(n) AS n, count(*) AS n_classes,
+             |    sum(n * n) AS ss
+             |  FROM c GROUP BY 1)
+             |SELECT g, CAST(n AS BIGINT) AS n,
+             |  CAST(n_classes AS BIGINT) AS n_classes,
+             |  round(CAST(n * n AS DOUBLE) / CAST(ss AS DOUBLE), 4)
+             |    AS inv_simpson
              |FROM a ORDER BY 1""".stripMargin))
   )
 
