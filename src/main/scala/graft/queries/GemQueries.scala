@@ -7693,7 +7693,150 @@ object GemQueries {
              |  CAST(n_classes AS BIGINT) AS n_classes,
              |  round(CAST(n * n AS DOUBLE) / CAST(ss AS DOUBLE), 4)
              |    AS inv_simpson
-             |FROM a ORDER BY 1""".stripMargin))
+             |FROM a ORDER BY 1""".stripMargin)),
+
+    // Diversity-capped top-k: the 10 highest-revenue parts overall,
+    // but at most 2 per brand — the retrieval-diversification window
+    // stack (per-group row_number, then global rank over the
+    // survivors) that a plain top-k can't express. Exact cents;
+    // every rank tie-broken by key.
+    QueryDef("q207_capped_topk",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_partkey")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"))
+        val perBrand = Window.partitionBy("p_brand")
+          .orderBy(col("cents").desc, col("p_partkey"))
+        val overall = Window.orderBy(col("cents").desc, col("p_partkey"))
+        rev
+          .withColumn("_br", row_number().over(perBrand))
+          .where(col("_br") <= 2)
+          .withColumn("rank", row_number().over(overall).cast("int"))
+          .where(col("rank") <= 10)
+          .select("rank", "p_brand", "p_partkey", "cents")
+          .orderBy("rank")
+      },
+      Some("""WITH rev AS (
+             |  SELECT p_brand, p_partkey,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS cents
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |b AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+             |    ORDER BY cents DESC, p_partkey) AS br
+             |  FROM rev),
+             |r AS (SELECT *, CAST(row_number() OVER (
+             |    ORDER BY cents DESC, p_partkey) AS INT) AS "rank"
+             |  FROM b WHERE br <= 2)
+             |SELECT "rank", p_brand, p_partkey,
+             |  CAST(cents AS BIGINT) AS cents
+             |FROM r WHERE "rank" <= 10 ORDER BY 1""".stripMargin)),
+
+    // Trailing-window trend slope (rolling OLS): per event type, the
+    // 7-day OLS slope of daily volume at the LATEST day — q133's
+    // regression over q79's trailing-frame windows. Window moments
+    // are exact integer sums; the slope is one fixed-shape double.
+    QueryDef("q208_rolling_slope",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+          .groupBy(col("event_type").as("g"), col("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.partitionBy("g").orderBy(col("day"))
+          .rowsBetween(-6, Window.currentRow)
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val scored = daily
+          .withColumn("_n", count(lit(1)).over(w))
+          .withColumn("_sx", sum("day").over(w))
+          .withColumn("_sy", sum("y").over(w))
+          .withColumn("_sxy", sum(col("day") * col("y")).over(w))
+          .withColumn("_sxx", sum(col("day") * col("day")).over(w))
+        val latest = Window.partitionBy("g").orderBy(col("day").desc)
+        scored
+          .withColumn("_rk", row_number().over(latest))
+          .where(col("_rk") === 1)
+          .select(col("g"), col("day").as("last_day"),
+            col("_n").as("n_days"),
+            round((d(col("_n")) * d(col("_sxy")) -
+              d(col("_sx")) * d(col("_sy"))) /
+              (d(col("_n")) * d(col("_sxx")) -
+                d(col("_sx")) * d(col("_sx"))), 4).as("slope"))
+          .orderBy("g")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type AS g,
+             |    epoch_us(ts) // 86400000000 AS day, count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |sc AS (SELECT *,
+             |    count(*) OVER w AS n, sum(day) OVER w AS sx,
+             |    sum(y) OVER w AS sy, sum(day * y) OVER w AS sxy,
+             |    sum(day * day) OVER w AS sxx,
+             |    row_number() OVER (PARTITION BY g ORDER BY day DESC)
+             |      AS rk
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY g ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT g, CAST(day AS BIGINT) AS last_day,
+             |  CAST(n AS BIGINT) AS n_days,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope
+             |FROM sc WHERE rk = 1 ORDER BY g""".stripMargin)),
+
+    // Growth accounting (new / returning / churned): per day, actives
+    // split into first-ever-seen vs returning, plus how many of the
+    // previous day's actives went silent — the DAU ledger, all from
+    // the distinct (user, day) frame and integer counts.
+    QueryDef("q209_growth_accounting",
+      (s, dir) => {
+        val act = t(s, dir, "events")
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+          .select(col("user_id").as("u"), col("day").as("d"))
+          .distinct()
+        val firstSeen = act.groupBy("u").agg(min("d").as("first_d"))
+        val withFirst = act.join(firstSeen, Seq("u"))
+        val dayAgg = withFirst.groupBy("d")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+              .as("n_new"))
+          .withColumn("n_returning", col("n_active") - col("n_new"))
+        val churn = act.as("y")
+          .join(act.as("t"),
+            col("y.u") === col("t.u") &&
+              col("t.d") === col("y.d") + 1, "left")
+          .groupBy(col("y.d").as("d"))
+          .agg(sum(when(col("t.u").isNull, 1L).otherwise(0L))
+            .as("_gone"))
+          .select((col("d") + 1).as("d"), col("_gone").as("n_churned"))
+        dayAgg.join(churn, Seq("d"), "left")
+          .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+          .orderBy("d")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id AS u,
+             |    epoch_us(ts) // 86400000000 AS d
+             |  FROM events),
+             |fs AS (SELECT u, min(d) AS first_d FROM act GROUP BY 1),
+             |da AS (SELECT d, count(*) AS n_active,
+             |    sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS n_new
+             |  FROM act JOIN fs USING (u) GROUP BY 1),
+             |ch AS (SELECT y.d + 1 AS d,
+             |    sum(CASE WHEN t.u IS NULL THEN 1 ELSE 0 END)
+             |      AS n_churned
+             |  FROM act y LEFT JOIN act t
+             |    ON y.u = t.u AND t.d = y.d + 1
+             |  GROUP BY 1)
+             |SELECT da.d, CAST(n_active AS BIGINT) AS n_active,
+             |  CAST(n_new AS BIGINT) AS n_new,
+             |  CAST(n_active - n_new AS BIGINT) AS n_returning,
+             |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+             |FROM da LEFT JOIN ch ON da.d = ch.d
+             |ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
