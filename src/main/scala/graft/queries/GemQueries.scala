@@ -7842,7 +7842,104 @@ object GemQueries {
              |  CAST(n_active - n_new AS BIGINT) AS n_returning,
              |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
              |FROM da LEFT JOIN ch ON da.d = ch.d
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Dedup-cascade attrition report: the q61 corpus slice pushed
+    // through exact → canonical-text → MinHash-near-dup stages, with
+    // survivor counts per stage — the "which tier buys what" summary
+    // a curation pipeline publishes. Near-dup stage removes the
+    // GREATER id of each verified pair between canon survivors
+    // (pairwise domination at report grain; full transitive
+    // clustering is q61/q128's job).
+    QueryDef("q210_dedup_cascade",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val n0 = docs.agg(count(lit(1)).as("n_docs"))
+        val nExact = Dedup.exact(docs, "text", "doc_id")
+          .agg(count(lit(1)).as("n_after_exact"))
+        val canonKeep = Dedup.exact(docs
+            .withColumn("ctext", TextAnalysis.canonText(col("text"))),
+          "ctext", "doc_id").select("keep_id")
+        val nCanon = canonKeep.agg(count(lit(1)).as("n_after_canon"))
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val dom = pairs
+          .join(canonKeep.withColumnRenamed("keep_id", "id_a"), "id_a")
+          .join(canonKeep.withColumnRenamed("keep_id", "id_b"), "id_b")
+          .select("id_b").distinct()
+        val nNear = canonKeep.join(dom,
+            col("keep_id") === col("id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_after_near"))
+        n0.crossJoin(nExact).crossJoin(nCanon).crossJoin(nNear)
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        """sl AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |ex AS (SELECT count(DISTINCT md5(text)) AS n_after_exact
+          |  FROM sl),
+          |keepers AS (SELECT min(doc_id) AS keep_id FROM sl
+          |  GROUP BY md5(trim(regexp_replace(lower(nfc_normalize(text)),
+          |    '[ \t\n\f\r]+', ' ', 'g')))),
+          |dom AS (SELECT DISTINCT v.id_b FROM verified v
+          |  JOIN keepers ka ON v.id_a = ka.keep_id
+          |  JOIN keepers kb ON v.id_b = kb.keep_id
+          |  WHERE v.jaccard >= 0.8),
+          |surv AS (SELECT count(*) AS n_after_near FROM keepers
+          |  WHERE keep_id NOT IN (SELECT id_b FROM dom))
+          |SELECT (SELECT count(*) FROM sl) AS n_docs,
+          |  (SELECT n_after_exact FROM ex) AS n_after_exact,
+          |  (SELECT count(*) FROM keepers) AS n_after_canon,
+          |  (SELECT n_after_near FROM surv) AS n_after_near""".stripMargin)),
+
+    // Association rules at SESSION grain (ops/Itemsets over ops/
+    // Sessionize baskets): which event types co-occur within one
+    // 30-minute session — the operator-reuse composition where q161
+    // mined order×brand baskets; support counts are per-session.
+    QueryDef("q211_session_rules",
+      (s, dir) => {
+        val sess = Sessionize.gapSessions(t(s, dir, "events"),
+            Seq("user_id"), "ts", "event_id", gapUs = 1800000000L)
+          .withColumn("basket",
+            concat_ws("#", col("user_id"), col("session_id")))
+        Itemsets.rules(sess, "basket", "event_type", minSupport = 5)
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH b0 AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+             |  FROM events),
+             |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id) AS pt FROM b0),
+             |s AS (SELECT *, sum(CASE WHEN pt IS NULL
+             |      OR t - pt > 1800000000 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sess
+             |  FROM l),
+             |b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' ||
+             |    CAST(sess AS VARCHAR) AS basket, event_type AS item
+             |  FROM s),
+             |nb AS (SELECT count(DISTINCT basket) AS n FROM b),
+             |l1 AS (SELECT item, count(*) AS n_item FROM b
+             |       GROUP BY 1 HAVING count(*) >= 5),
+             |fb AS (SELECT b.basket, b.item FROM b JOIN l1 USING (item)),
+             |p AS (SELECT x.item AS item_a, y.item AS item_b,
+             |        count(*) AS n_both
+             |      FROM fb x JOIN fb y
+             |        ON x.basket = y.basket AND x.item < y.item
+             |      GROUP BY 1, 2 HAVING count(*) >= 5),
+             |d AS (SELECT item_a AS antecedent, item_b AS consequent,
+             |        n_both FROM p
+             |      UNION ALL
+             |      SELECT item_b, item_a, n_both FROM p)
+             |SELECT antecedent, consequent, n_both,
+             |  la.n_item AS n_ante, lc.n_item AS n_cons,
+             |  round(CAST(n_both AS DOUBLE) / nb.n, 6) AS support,
+             |  round(CAST(n_both AS DOUBLE) / la.n_item, 6) AS confidence,
+             |  round(CAST(n_both AS DOUBLE) * nb.n /
+             |    (CAST(la.n_item AS DOUBLE) * lc.n_item), 6) AS lift
+             |FROM d
+             |JOIN l1 la ON d.antecedent = la.item
+             |JOIN l1 lc ON d.consequent = lc.item, nb
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -187,7 +187,10 @@ class PlanShapeSpec extends SparkSpec {
       // contingency grid from two aggregated margin frames.
       "q178_chi2_independence",
       // q198: the same margin-cross contingency grids, per pair.
-      "q198_cramers_v")
+      "q198_cramers_v",
+      // q210: four 1-row stage-count aggregates cross into one report
+      // row (the q102 shape).
+      "q210_dedup_cascade")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
