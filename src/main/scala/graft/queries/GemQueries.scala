@@ -7939,7 +7939,51 @@ object GemQueries {
              |FROM d
              |JOIN l1 la ON d.antecedent = la.item
              |JOIN l1 lc ON d.consequent = lc.item, nb
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Ranking-function surface parity: percent_rank / cume_dist /
+    // ntile(4) over a unique ordering (price, partkey) — the exact
+    // rational definitions both engines share, pinned as a catalog
+    // row so the window surface is demonstrably complete beyond
+    // row_number/rank/lag.
+    QueryDef("q212_ranking_functions",
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+        t(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("quartile", ntile(4).over(w))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile
+             |FROM part
+             |WINDOW w AS (PARTITION BY p_brand
+             |  ORDER BY p_retailprice, p_partkey)
+             |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // Ordered LISTAGG parity (≡ DuckDB string_agg with ORDER BY):
+    // the sorted distinct language list per source as one delimited
+    // string. Spark side = array_join(array_sort(collect_set)) —
+    // the order-PINNED form; a bare listagg/collect_list is
+    // partitioning-dependent and could never hash-match.
+    QueryDef("q213_listagg",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          array_join(array_sort(collect_set(col("lang"))), ",")
+            .as("langs_csv"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_csv,
+             |  count(DISTINCT lang) AS n_langs
+             |FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
