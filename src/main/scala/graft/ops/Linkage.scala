@@ -56,6 +56,66 @@ object Linkage {
         round(lit(nameWeight) * col("jacc") + exactScore, 6).as("score"))
   }
 
+  /** Sorted-neighborhood candidate generation (the OTHER classic
+    * blocking family): union both sides, sort once on the blocking
+    * key, and pair records whose ranks fall within a window w — where
+    * composite-key blocking (q166) partitions by exact equality, SNM
+    * tolerates near-miss keys (typo'd first tokens land adjacent, not
+    * in a different block).
+    *
+    * Scale shape: the rank-band pairing is NOT a range join — each
+    * row computes band = rank DIV w and the probe side duplicates
+    * onto (band, band+1), so candidates come from one EQUI-join on
+    * the band id and a rank-distance filter. One global sort of the
+    * (small) key frame, no nested loops.
+    *
+    * @return one row: `w`, `n_candidates` (cross-side pairs within
+    *         the window), `n_true` (key-equal pairs among them),
+    *         `n_true_possible` (right-side records whose key exists
+    *         on the left), `recall_ppm`
+    */
+  def sortedNeighborhood(
+      a: DataFrame, b: DataFrame, keyCol: String, sortCol: String,
+      w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    def side(df: DataFrame, s: Int) = df.select(
+      col(keyCol).as("key"), col(sortCol).as("sk"), lit(s).as("side"))
+    val u = side(a, 0).unionByName(side(b, 1))
+      // (sk, key, side): the tie-break must INTERLEAVE sides — with
+      // duplicated sort keys, (sk, side, key) stacks all of one side
+      // first and pushes a record's twin ~dup-count ranks away.
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sk"), col("key"), col("side"))).cast("long"))
+      .withColumn("band", expr(s"r DIV $w"))
+    // The probe side always has the LARGER rank (y.r > x.r), so its
+    // band is ≥ the base band — it must replicate DOWN onto
+    // (band − 1, band) to meet every base row within w ranks.
+    val probe = u.withColumn("band",
+      explode(array(col("band"), col("band") - 1)))
+    val pairs = u.as("x").join(probe.as("y"),
+        col("x.band") === col("y.band") &&
+          col("y.r") > col("x.r") && col("y.r") <= col("x.r") + w &&
+          col("x.side") =!= col("y.side"))
+      .select(
+        when(col("x.side") === 0, col("x.key")).otherwise(col("y.key"))
+          .as("key_a"),
+        when(col("x.side") === 0, col("y.key")).otherwise(col("x.key"))
+          .as("key_b"))
+      .distinct()
+    val truePossible = b.select(col(keyCol).as("key")).distinct()
+      .join(a.select(col(keyCol).as("key")).distinct(), Seq("key"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_true_possible"))
+    pairs.agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("key_a") === col("key_b"), 1L).otherwise(0L))
+          .as("n_true"))
+      .crossJoin(truePossible)
+      .select(lit(w).as("w"), col("n_candidates"), col("n_true"),
+        col("n_true_possible"),
+        expr("(n_true * 1000000) DIV n_true_possible").as("recall_ppm"))
+  }
+
   /** Link and evaluate against the ground truth `key_a == key_b`
     * (available when linking a table against its perturbed twin):
     * per decision bucket, pair count, how many are true same-entity

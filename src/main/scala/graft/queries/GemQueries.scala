@@ -4,7 +4,7 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
-  Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
+  Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
@@ -7983,7 +7983,93 @@ object GemQueries {
              |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_csv,
              |  count(DISTINCT lang) AS n_langs
              |FROM documents GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Quantile normalization across sources (ops/QuantileNormalize
+    // .summary, the microarray/batch-effect classic): every source's
+    // length distribution replaced by the pooled one at matching
+    // within-group ranks — identical mapped min/max per source IS
+    // the visible proof. All rank→index arithmetic exact integers
+    // (endpoints meet exactly), no interpolation floats.
+    QueryDef("q214_quantile_normalize",
+      (s, dir) => QuantileNormalize.summary(
+          t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("g"),
+      Some("""WITH in0 AS (
+             |  SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |p AS (SELECT CAST(row_number() OVER (ORDER BY v)
+             |    AS BIGINT) AS idx, v AS pv
+             |  FROM in0),
+             |r AS (SELECT g, v,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY v)
+             |      AS BIGINT) AS r,
+             |    count(*) OVER (PARTITION BY g) AS n,
+             |    count(*) OVER () AS nt
+             |  FROM in0),
+             |m AS (SELECT g, v, CASE WHEN n = 1 THEN 1
+             |    ELSE 1 + ((r - 1) * (nt - 1)) // (n - 1) END AS idx
+             |  FROM r),
+             |j AS (SELECT m.g, m.v, p.pv FROM m JOIN p USING (idx))
+             |SELECT g, count(*) AS n,
+             |  round(CAST(sum(v) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 4) AS mean_orig,
+             |  round(CAST(sum(pv) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 4) AS mean_mapped,
+             |  CAST(min(pv) AS BIGINT) AS mapped_min,
+             |  CAST(max(pv) AS BIGINT) AS mapped_max
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sorted-neighborhood blocking eval (ops/Linkage
+    // .sortedNeighborhood): the OTHER classic ER candidate generator
+    // — one global sort of part ∪ twin on the (perturbed) name, pair
+    // cross-side records within a rank window of 5 via a band
+    // EQUI-join (never a range join). Recall against the key-equal
+    // ground truth sits beside q166's equality-blocking numbers.
+    QueryDef("q215_sorted_neighborhood",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        val toks = split(col("p_name"), " ")
+        val twin = p.select(col("p_partkey"),
+          when(col("p_partkey") % 3 === 0,
+            array_join(slice(toks, lit(1), size(toks) - 1), " "))
+            .otherwise(col("p_name")).as("p_name"))
+        Linkage.sortedNeighborhood(p.select("p_partkey", "p_name"),
+          twin, "p_partkey", "p_name", w = 5)
+      },
+      Some("""WITH tw AS (
+             |  SELECT p_partkey AS key,
+             |    CASE WHEN p_partkey % 3 = 0
+             |      THEN array_to_string(ss[1:len(ss) - 1], ' ')
+             |      ELSE p_name END AS sk
+             |  FROM (SELECT *, string_split(p_name, ' ') AS ss
+             |        FROM part)),
+             |u AS (SELECT p_partkey AS key, p_name AS sk, 0 AS side
+             |  FROM part
+             |  UNION ALL SELECT key, sk, 1 FROM tw),
+             |r AS (SELECT *, CAST(row_number() OVER (
+             |    ORDER BY sk, key, side) AS BIGINT) AS r FROM u),
+             |x AS (SELECT *, r // 5 AS band FROM r),
+             |y AS (SELECT key, sk, side, r, band FROM x
+             |  UNION ALL SELECT key, sk, side, r, band - 1 FROM x),
+             |pp AS (SELECT DISTINCT
+             |    CASE WHEN x.side = 0 THEN x.key ELSE y.key END AS key_a,
+             |    CASE WHEN x.side = 0 THEN y.key ELSE x.key END AS key_b
+             |  FROM x JOIN y ON x.band = y.band AND y.r > x.r
+             |    AND y.r <= x.r + 5 AND x.side <> y.side),
+             |tp AS (SELECT count(DISTINCT key) AS n_true_possible
+             |  FROM tw WHERE key IN (SELECT p_partkey FROM part)),
+             |c AS (SELECT count(*) AS n_candidates,
+             |    sum(CASE WHEN key_a = key_b THEN 1 ELSE 0 END)
+             |      AS n_true
+             |  FROM pp)
+             |SELECT 5 AS w, CAST(n_candidates AS BIGINT) AS n_candidates,
+             |  CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(n_true_possible AS BIGINT) AS n_true_possible,
+             |  CAST((n_true * 1000000) // n_true_possible AS BIGINT)
+             |    AS recall_ppm
+             |FROM c, tp""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
