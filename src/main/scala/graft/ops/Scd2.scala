@@ -55,4 +55,56 @@ object Scd2 {
         col("valid_from") :+ col("valid_to") :+
         col("valid_to").isNull.as("is_current"): _*)
   }
+
+  /** Incremental history maintenance — fold ONE new version batch
+    * into existing history without replaying the log: the operational
+    * path once history is materialized (the full-log [[history]] is
+    * the backfill/bootstrap path). Contract: `applyVersion(history(
+    * log), v) ≡ history(log ∪ v)` — CHANGED keys close their open
+    * interval at `ver − 1` and open a new one, unchanged keys keep
+    * their open interval, absent keys stay open (fingerprint
+    * semantics, matching [[history]]'s gap rule), and brand-new keys
+    * open their first interval.
+    *
+    * Cost: one join of the OPEN-interval slice against the batch on
+    * the key (closed intervals pass through untouched), fingerprints
+    * in the scan projections — batch-sized work, not history-sized.
+    */
+  def applyVersion(
+      history: DataFrame, batch: DataFrame, keyCol: String, ver: Long,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "applyVersion needs content columns")
+    val closed = history.where(!col("is_current"))
+    val open = history.where(col("is_current"))
+    val fp = SnapshotDiff.fingerprint(contentCols)
+    val b = batch.select(col(keyCol) +:
+        contentCols.map(c => col(c).as(s"_b_$c")): _*)
+      .withColumn("_bfp", SnapshotDiff.fingerprint(
+        contentCols.map(c => s"_b_$c")))
+    val vfType = history.schema("valid_from").dataType
+    val joined = open.withColumn("_ofp", fp)
+      .join(b, Seq(keyCol), "full_outer")
+    val changed = col("_bfp").isNotNull && col("_ofp").isNotNull &&
+      col("_bfp") =!= col("_ofp")
+    // Surviving open intervals: unchanged, or absent from the batch.
+    val keptOpen = joined.where(col("_bfp").isNull || !changed)
+      .where(col("_ofp").isNotNull)
+      .select(col(keyCol) +: contentCols.map(col) :+
+        col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
+    // Changed keys: the old interval closes at ver − 1 …
+    val nowClosed = joined.where(changed)
+      .select(col(keyCol) +: contentCols.map(col) :+
+        col("valid_from") :+ lit(ver - 1).cast(vfType).as("valid_to") :+
+        lit(false).as("is_current"): _*)
+    // … and the batch row opens a new one; brand-new keys open too.
+    val opened = joined.where(changed || col("_ofp").isNull)
+      .where(col("_bfp").isNotNull)
+      .select(col(keyCol) +:
+        contentCols.map(c => col(s"_b_$c").as(c)) :+
+        lit(ver).cast(vfType).as("valid_from") :+
+        lit(null).cast(vfType).as("valid_to") :+
+        lit(true).as("is_current"): _*)
+    closed.unionByName(keptOpen).unionByName(nowClosed)
+      .unionByName(opened)
+  }
 }

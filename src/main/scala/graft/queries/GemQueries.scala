@@ -8069,7 +8069,74 @@ object GemQueries {
              |  CAST(n_true_possible AS BIGINT) AS n_true_possible,
              |  CAST((n_true * 1000000) // n_true_possible AS BIGINT)
              |    AS recall_ppm
-             |FROM c, tp""".stripMargin))
+             |FROM c, tp""".stripMargin)),
+
+    // Incremental SCD2 maintenance (Scd2.applyVersion): history is
+    // built from versions 1–2 only, then version 3 folds in as a
+    // batch — one open-slice join, batch-sized work. The ORACLE is
+    // q157's full-log REBUILD, so the hash match IS the proof that
+    // incremental ≡ backfill (the q159 IVM contract, at SCD2 grain).
+    QueryDef("q216_scd2_apply",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+        val bump = when(col("c_custkey") % 7 === 0,
+          col("c_nationkey") + 1).otherwise(col("c_nationkey"))
+        val v1 = cust.withColumn("ver", lit(1))
+        val v2 = cust.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_nationkey", bump)
+          .withColumn("ver", lit(2))
+        val v3 = cust
+          .withColumn("c_nationkey", bump)
+          .withColumn("c_mktsegment", when(col("c_custkey") % 5 === 0,
+            lit("MOVED")).otherwise(col("c_mktsegment")))
+        val hist12 = Scd2.history(v1.unionByName(v2),
+          "c_custkey", "ver", Seq("c_nationkey", "c_mktsegment"))
+        Scd2.applyVersion(hist12, v3, "c_custkey", ver = 3L,
+          Seq("c_nationkey", "c_mktsegment"))
+          .groupBy("valid_from", "valid_to", "is_current")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("c_custkey").as("n_keys"))
+          .orderBy(col("valid_from"), col("valid_to").asc_nulls_first)
+      },
+      Some(s"""WITH v1 AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment, 1 AS ver
+             |  FROM customer),
+             |v2 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    c_mktsegment, 2 AS ver
+             |  FROM customer WHERE c_custkey % 11 <> 0),
+             |v3 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+             |      ELSE c_mktsegment END AS c_mktsegment,
+             |    3 AS ver FROM customer),
+             |vlog AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             |         UNION ALL SELECT * FROM v3),
+             |f AS (SELECT *, ${SnapshotDiff.duckFingerprint(
+                      Seq("c_nationkey", "c_mktsegment"))} AS fp
+             |      FROM vlog),
+             |g AS (SELECT *, CASE WHEN lag(fp) OVER w IS NULL
+             |        OR lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS nr
+             |      FROM f WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+             |r AS (SELECT *, sum(nr) OVER (
+             |        PARTITION BY c_custkey ORDER BY ver) AS run
+             |      FROM g),
+             |runs AS (SELECT c_custkey, run, min(ver) AS valid_from
+             |         FROM r GROUP BY 1, 2),
+             |iv AS (SELECT c_custkey, valid_from,
+             |         lead(valid_from) OVER (
+             |           PARTITION BY c_custkey ORDER BY valid_from) - 1
+             |           AS valid_to
+             |       FROM runs)
+             |SELECT valid_from, valid_to, valid_to IS NULL AS is_current,
+             |  count(*) AS n, count(DISTINCT c_custkey) AS n_keys
+             |FROM iv GROUP BY 1, 2, 3
+             |ORDER BY 1, 2 NULLS FIRST""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

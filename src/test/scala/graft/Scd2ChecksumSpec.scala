@@ -30,6 +30,31 @@ class Scd2ChecksumSpec extends SparkSpec {
       ("C", "x", 3, -1, true)))
   }
 
+  test("applyVersion: incremental fold equals full-log rebuild") {
+    // Keys: A changes at v3, B unchanged, C absent from v3 (stays
+    // open), D brand-new at v3.
+    val log12 = Seq(("A", 1, "x"), ("A", 2, "x"), ("B", 1, "p"),
+      ("C", 1, "q")).toDF("k", "ver", "seg")
+    val v3 = Seq(("A", "y"), ("B", "p"), ("D", "new")).toDF("k", "seg")
+    val applied = Scd2.applyVersion(
+      Scd2.history(log12, "k", "ver", Seq("seg")),
+      v3, "k", ver = 3L, Seq("seg"))
+    val fullLog = log12.unionByName(
+      Seq(("A", 3, "y"), ("B", 3, "p"), ("D", 3, "new"))
+        .toDF("k", "ver", "seg"))
+    val rebuilt = Scd2.history(fullLog, "k", "ver", Seq("seg"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "seg", "valid_from", "valid_to", "is_current")
+        .collect().map(_.toSeq).toSet
+    assert(canon(applied) == canon(rebuilt))
+    // And the specific shapes: A closed at 2 + open y@3; C open from
+    // 1; D open from 3.
+    val open = applied.filter(col("is_current"))
+      .select("k", "seg").collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet
+    assert(open == Set(("A", "y"), ("B", "p"), ("C", "q"), ("D", "new")))
+  }
+
   test("checksum: identical content matches under any partitioning") {
     val a = (1L to 500L).map(k => (k, s"n$k", (k % 7).toString))
       .toDF("k", "name", "seg").repartition(1)
