@@ -8136,7 +8136,66 @@ object GemQueries {
              |SELECT valid_from, valid_to, valid_to IS NULL AS is_current,
              |  count(*) AS n, count(DISTINCT c_custkey) AS n_keys
              |FROM iv GROUP BY 1, 2, 3
-             |ORDER BY 1, 2 NULLS FIRST""".stripMargin))
+             |ORDER BY 1, 2 NULLS FIRST""".stripMargin)),
+
+    // Ranking drift (Jaccard@10 of top-token lists): where q129
+    // compares token SHARES release-to-release, this compares the
+    // RANKINGS — per language, the top-10 vocabularies of the even-
+    // and odd-doc corpus halves and their set overlap. Ties break on
+    // the token, counts are integers, overlap is one division.
+    QueryDef("q217_ranking_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def top(half: DataFrame) = TextAnalysis
+          .topTokens(half, "lang", "text", k = 10)
+          .select(col("lang"), col("token"))
+        val a = top(docs.filter(col("doc_id") % 2 === 0))
+        val b = top(docs.filter(col("doc_id") % 2 =!= 0))
+        a.withColumn("_in_a", lit(1))
+          .join(b.withColumn("_in_b", lit(1)),
+            Seq("lang", "token"), "full_outer")
+          .groupBy("lang")
+          .agg(sum(when(col("_in_a").isNotNull &&
+              col("_in_b").isNotNull, 1L).otherwise(0L)).as("n_common"),
+            count(lit(1)).as("_n_union"))
+          .select(col("lang"), col("n_common"),
+            col("_n_union").as("n_union"),
+            round(col("n_common").cast("double") /
+              col("_n_union").cast("double"), 4).as("jacc10"))
+          .orderBy("lang")
+      },
+      Some("""WITH xa AS (
+             |  SELECT lang, unnest(list_filter(
+             |      string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |xb AS (
+             |  SELECT lang, unnest(list_filter(
+             |      string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents WHERE doc_id % 2 <> 0),
+             |ca AS (SELECT lang, token, count(*) AS cnt FROM xa
+             |  GROUP BY 1, 2),
+             |cb AS (SELECT lang, token, count(*) AS cnt FROM xb
+             |  GROUP BY 1, 2),
+             |ta AS (SELECT lang, token FROM (
+             |    SELECT lang, token, row_number() OVER (
+             |      PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+             |    FROM ca)
+             |  WHERE rk <= 10),
+             |tb AS (SELECT lang, token FROM (
+             |    SELECT lang, token, row_number() OVER (
+             |      PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+             |    FROM cb)
+             |  WHERE rk <= 10),
+             |j AS (SELECT coalesce(ta.lang, tb.lang) AS lang,
+             |    CASE WHEN ta.token IS NOT NULL AND tb.token IS NOT NULL
+             |      THEN 1 ELSE 0 END AS in_both
+             |  FROM ta FULL JOIN tb
+             |    ON ta.lang = tb.lang AND ta.token = tb.token)
+             |SELECT lang, CAST(sum(in_both) AS BIGINT) AS n_common,
+             |  count(*) AS n_union,
+             |  round(CAST(sum(in_both) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 4) AS jacc10
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
