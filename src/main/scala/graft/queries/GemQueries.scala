@@ -8195,7 +8195,43 @@ object GemQueries {
              |  count(*) AS n_union,
              |  round(CAST(sum(in_both) AS DOUBLE) /
              |    CAST(count(*) AS DOUBLE), 4) AS jacc10
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Schema-evolution-tolerant union: an old-schema parquet vintage
+    // (no p_retailprice) written beside a new-schema one, read back
+    // and unioned with allowMissingColumns — the added column null-
+    // fills for old rows, which is exactly what the report proves
+    // (per-brand counts with price stats counting only new-vintage
+    // rows). The lake-migration read path every long-lived dataset
+    // needs.
+    QueryDef("q218_schema_evolution",
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val tmpO = sys.props("java.io.tmpdir") + "/graft_sev_old"
+        val tmpN = sys.props("java.io.tmpdir") + "/graft_sev_new"
+        part.filter(col("p_partkey") % 2 === 0)
+          .select("p_partkey", "p_brand")
+          .write.mode("overwrite").parquet(tmpO)
+        part.filter(col("p_partkey") % 2 =!= 0)
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .write.mode("overwrite").parquet(tmpN)
+        val old = s.read.parquet(tmpO)
+        val neu = s.read.parquet(tmpN)
+        old.unionByName(neu, allowMissingColumns = true)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("p_retailprice")).as("n_priced"),
+            sum(round(col("p_retailprice") * 100).cast("long"))
+              .as("price_cents"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN p_partkey % 2 <> 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_priced,
+             |  CAST(sum(CASE WHEN p_partkey % 2 <> 0
+             |    THEN CAST(round(p_retailprice * 100) AS BIGINT) END)
+             |    AS BIGINT) AS price_cents
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
