@@ -8231,7 +8231,54 @@ object GemQueries {
              |  CAST(sum(CASE WHEN p_partkey % 2 <> 0
              |    THEN CAST(round(p_retailprice * 100) AS BIGINT) END)
              |    AS BIGINT) AS price_cents
-             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Near-dup threshold sensitivity sweep: pair counts and affected-
+    // doc counts at Jaccard ≥ {0.7, 0.8, 0.9} from ONE signature/
+    // verification pass (the q44 machinery, filtered three ways) —
+    // the tuning table that shows what a threshold buys BEFORE a full
+    // dedup run commits to it.
+    QueryDef("q219_threshold_sweep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.7)
+        // ONE pass over the verified pairs: conditional aggregates per
+        // threshold, exploded to rows — never three re-plans.
+        val ths = Seq(0.7, 0.8, 0.9)
+        def tag(th: Double) = (th * 10).toInt
+        val ends = pairs.select(col("jaccard"),
+          explode(array(col("id_a"), col("id_b"))).as("id"))
+        val aggs = ths.map(th => countDistinct(
+            when(col("jaccard") >= th, col("id")))
+            .as(s"a_${tag(th)}")) ++
+          ths.map(th => (sum(when(col("jaccard") >= th, 1L)
+            .otherwise(0L)) / 2).cast("long").as(s"p_${tag(th)}"))
+        val agged = ends.agg(aggs.head, aggs.tail: _*)
+        agged.select(explode(array(ths.map(th =>
+            struct(lit(th).as("threshold"),
+              col(s"p_${tag(th)}").as("n_pairs"),
+              col(s"a_${tag(th)}").as("n_docs_affected"))): _*)).as("r"))
+          .select("r.*")
+          .orderBy("threshold")
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        """th AS (SELECT unnest([0.7, 0.8, 0.9]) AS threshold),
+          |sw AS (SELECT th.threshold,
+          |    count(CASE WHEN v.jaccard >= th.threshold THEN 1 END)
+          |      AS n_pairs
+          |  FROM th LEFT JOIN verified v ON true GROUP BY 1),
+          |af AS (SELECT th.threshold, count(DISTINCT dd.id)
+          |      AS n_docs_affected
+          |  FROM th LEFT JOIN (
+          |    SELECT id_a AS id, jaccard FROM verified
+          |    UNION ALL SELECT id_b, jaccard FROM verified) dd
+          |    ON dd.jaccard >= th.threshold
+          |  GROUP BY 1)
+          |SELECT sw.threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
+          |  CAST(n_docs_affected AS BIGINT) AS n_docs_affected
+          |FROM sw JOIN af USING (threshold)
+          |ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
