@@ -8278,7 +8278,44 @@ object GemQueries {
           |SELECT sw.threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
           |  CAST(n_docs_affected AS BIGINT) AS n_docs_affected
           |FROM sw JOIN af USING (threshold)
-          |ORDER BY 1""".stripMargin))
+          |ORDER BY 1""".stripMargin)),
+
+    // Cross-format integrity: the same lineitem slice written to
+    // parquet, ORC, and CSV, read back, and proven IDENTICAL by the
+    // q158 bucketed-checksum compare — every bucket of every pair
+    // matches, or a sink lost something. Sources + anti-entropy
+    // composed into a lake-format conformance test.
+    QueryDef("q220_format_integrity",
+      (s, dir) => {
+        val base = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag")
+        val tmp = sys.props("java.io.tmpdir")
+        base.write.mode("overwrite").parquet(s"$tmp/graft_fmt_pq")
+        Orc.write(base, s"$tmp/graft_fmt_orc")
+        Csv.write(base, s"$tmp/graft_fmt_csv", sep = ",")
+        val ddl = "l_orderkey BIGINT, l_linenumber INT, " +
+          "l_quantity DOUBLE, l_returnflag STRING"
+        val pq = s.read.parquet(s"$tmp/graft_fmt_pq")
+        val orc = Orc.read(s, s"$tmp/graft_fmt_orc")
+        val csv = Csv.read(s, s"$tmp/graft_fmt_csv", sep = ",",
+          schema = Some(StructType.fromDDL(ddl)))
+        val key = "l_orderkey"
+        val fields = Seq("l_linenumber", "l_quantity", "l_returnflag")
+        def cmp(nm: String, b: DataFrame) = TableChecksum
+          .compare(pq, b, key, fields, buckets = 16)
+          .agg(lit(nm).as("pair"), count(lit(1)).as("n_buckets"),
+            sum(when(col("is_match"), 1L).otherwise(0L))
+              .as("n_matching"))
+        cmp("parquet_vs_orc", orc)
+          .unionByName(cmp("parquet_vs_csv", csv))
+          .orderBy("pair")
+      },
+      Some("""SELECT pair, CAST(16 AS BIGINT) AS n_buckets,
+             |  CAST(16 AS BIGINT) AS n_matching
+             |FROM (VALUES ('parquet_vs_csv'), ('parquet_vs_orc'))
+             |  AS t(pair)
+             |ORDER BY pair""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
