@@ -190,7 +190,11 @@ class PlanShapeSpec extends SparkSpec {
       "q198_cramers_v",
       // q210: four 1-row stage-count aggregates cross into one report
       // row (the q102 shape).
-      "q210_dedup_cascade")
+      "q210_dedup_cascade",
+      // q215: the 1-row candidate-stats aggregate crosses the 1-row
+      // true-possible count into the single report row (q102 shape);
+      // the SNM candidate generation itself is the band EQUI-join.
+      "q215_sorted_neighborhood")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
