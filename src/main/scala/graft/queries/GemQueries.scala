@@ -8315,7 +8315,140 @@ object GemQueries {
              |  CAST(16 AS BIGINT) AS n_matching
              |FROM (VALUES ('parquet_vs_csv'), ('parquet_vs_orc'))
              |  AS t(pair)
-             |ORDER BY pair""".stripMargin))
+             |ORDER BY pair""".stripMargin)),
+
+    // SLA conformance: per order priority, the share of lineitems
+    // shipped within 30/60/90 days of the order date — integer-day
+    // gaps, floor-ppm shares, one conditional aggregate.
+    QueryDef("q221_sla_conformance",
+      (s, dir) => {
+        val j = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("gap_days",
+            expr("unix_micros(cast(l_shipdate as timestamp))" +
+              " div 86400000000") -
+            expr("unix_micros(cast(o_orderdate as timestamp))" +
+              " div 86400000000"))
+        j.groupBy(col("o_orderpriority").as("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("gap_days") <= 30, 1L).otherwise(0L)).as("_d30"),
+            sum(when(col("gap_days") <= 60, 1L).otherwise(0L)).as("_d60"),
+            sum(when(col("gap_days") <= 90, 1L).otherwise(0L)).as("_d90"))
+          .select(col("seg"), col("n"),
+            expr("(_d30 * 1000000) DIV n").as("within30_ppm"),
+            expr("(_d60 * 1000000) DIV n").as("within60_ppm"),
+            expr("(_d90 * 1000000) DIV n").as("within90_ppm"))
+          .orderBy("seg")
+      },
+      Some("""WITH j AS (
+             |  SELECT o_orderpriority AS seg,
+             |    epoch_us(l_shipdate) // 86400000000 -
+             |    epoch_us(o_orderdate) // 86400000000 AS gap_days
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT seg, count(*) AS n,
+             |  CAST((sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
+             |    * 1000000) // count(*) AS BIGINT) AS within30_ppm,
+             |  CAST((sum(CASE WHEN gap_days <= 60 THEN 1 ELSE 0 END)
+             |    * 1000000) // count(*) AS BIGINT) AS within60_ppm,
+             |  CAST((sum(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END)
+             |    * 1000000) // count(*) AS BIGINT) AS within90_ppm
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Fuzzy duplicate transactions (the payments-audit classic):
+    // order pairs from the SAME customer whose totals differ by
+    // ≤ 1% (cross-multiplied integer cents — no division) and whose
+    // dates are ≤ 3 days apart — equi-join on the customer key, per-
+    // customer blow-up bounded by order counts. Likely double-charge
+    // candidates, summarized per priority of the earlier order.
+    QueryDef("q222_fuzzy_duplicates",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .withColumn("day",
+            expr("unix_micros(cast(o_orderdate as timestamp))" +
+              " div 86400000000"))
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            col("o_orderpriority").as("pri"), col("cents"), col("day"))
+        val pairs = o.as("x").join(o.as("y"),
+          col("x.c") === col("y.c") && col("x.k") < col("y.k") &&
+            abs(col("x.day") - col("y.day")) <= 3 &&
+            // |cents_x − cents_y| ≤ 1% of the larger, in integers
+            abs(col("x.cents") - col("y.cents")) * 100 <=
+              greatest(col("x.cents"), col("y.cents")))
+        pairs.groupBy(col("x.pri").as("pri"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("x.c")).as("n_customers"))
+          .orderBy("pri")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |    o_orderpriority AS pri,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    epoch_us(o_orderdate) // 86400000000 AS day
+             |  FROM orders)
+             |SELECT x.pri, count(*) AS n_pairs,
+             |  count(DISTINCT x.c) AS n_customers
+             |FROM o x JOIN o y
+             |  ON x.c = y.c AND x.k < y.k
+             |  AND abs(x.day - y.day) <= 3
+             |  AND abs(x.cents - y.cents) * 100 <=
+             |    greatest(x.cents, y.cents)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Decile migration matrix: every customer's spend decile in the
+    // first half-year vs the second — the rank-migration view that
+    // shows value churn a static RFM snapshot (q191) can't. Decile
+    // cuts are integer rank arithmetic on each period's customer
+    // frame; customers absent from a period land in decile 0.
+    QueryDef("q223_decile_migration",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .withColumn("p",
+            when(col("o_orderdate") <
+              lit("1995-06-01 00:00:00").cast("timestamp_ntz"), 0)
+              .otherwise(1))
+        def dec(period: Int) = {
+          val per = o.where(col("p") === period)
+            .groupBy(col("o_custkey").as("c"))
+            .agg(sum("cents").as("v"))
+          per
+            .withColumn("_rk", row_number().over(
+              Window.orderBy(col("v"), col("c"))).cast("long"))
+            .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+            .select(col("c"),
+              (expr("((_rk - 1) * 10) DIV _n") + 1).cast("int")
+                .as(s"d$period"))
+        }
+        dec(0).join(dec(1), Seq("c"), "full_outer")
+          .groupBy(coalesce(col("d0"), lit(0)).as("decile_h1"),
+            coalesce(col("d1"), lit(0)).as("decile_h2"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("decile_h1", "decile_h2")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS c,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    CASE WHEN o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+             |      THEN 0 ELSE 1 END AS p
+             |  FROM orders),
+             |d0 AS (SELECT c, CAST(((rk - 1) * 10) // n + 1 AS INT)
+             |      AS d0
+             |  FROM (SELECT c, row_number() OVER (ORDER BY v, c) AS rk,
+             |      count(*) OVER () AS n
+             |    FROM (SELECT c, sum(cents) AS v FROM o WHERE p = 0
+             |          GROUP BY 1))),
+             |d1 AS (SELECT c, CAST(((rk - 1) * 10) // n + 1 AS INT)
+             |      AS d1
+             |  FROM (SELECT c, row_number() OVER (ORDER BY v, c) AS rk,
+             |      count(*) OVER () AS n
+             |    FROM (SELECT c, sum(cents) AS v FROM o WHERE p = 1
+             |          GROUP BY 1)))
+             |SELECT coalesce(d0.d0, 0) AS decile_h1,
+             |  coalesce(d1.d1, 0) AS decile_h2,
+             |  count(*) AS n_customers
+             |FROM d0 FULL JOIN d1 ON d0.c = d1.c
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
