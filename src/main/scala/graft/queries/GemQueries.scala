@@ -8448,7 +8448,117 @@ object GemQueries {
              |  coalesce(d1.d1, 0) AS decile_h2,
              |  count(*) AS n_customers
              |FROM d0 FULL JOIN d1 ON d0.c = d1.c
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Release qualification report — the flagship drift composition:
+    // per language, the KS statistic (worst quantile shift, q160),
+    // PSI (total mass moved, q192), and top-10 vocabulary Jaccard
+    // (ranking drift, q217) between the corpus halves, in ONE row a
+    // release gate can threshold. Three proven operators, one join
+    // on the language grain.
+    QueryDef("q224_release_qualification",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+        val b = docs.filter(col("doc_id") % 2 =!= 0)
+          .withColumn("n_chars", col("n_chars") + lit(100L))
+        val ks = Drift.ksFromHists(a, b, "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256)
+        val psi = Drift.psiFromHists(a, b, "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256, eps = 1e-4)
+          .select(col("lang"), col("psi"))
+        def top(half: DataFrame) = TextAnalysis
+          .topTokens(half, "lang", "text", k = 10)
+          .select(col("lang"), col("token"))
+        val rd = top(a).withColumn("_in_a", lit(1))
+          .join(top(b).withColumn("_in_b", lit(1)),
+            Seq("lang", "token"), "full_outer")
+          .groupBy("lang")
+          .agg(sum(when(col("_in_a").isNotNull &&
+              col("_in_b").isNotNull, 1L).otherwise(0L)).as("_nc"),
+            count(lit(1)).as("_nu"))
+          .select(col("lang"),
+            round(col("_nc").cast("double") /
+              col("_nu").cast("double"), 4).as("vocab_jacc10"))
+        ks.join(psi, Seq("lang")).join(rd, Seq("lang"))
+          .orderBy("lang")
+      },
+      Some("""WITH aa AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars AS DOUBLE) / 4.0), 0), 255)
+             |      AS BIGINT) AS b
+             |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+             |bb AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars + 100 AS DOUBLE) / 4.0), 0), 255)
+             |      AS BIGINT) AS b
+             |  FROM documents WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+             |langs AS (SELECT DISTINCT lang FROM documents),
+             |grid AS (SELECT lang, s AS b FROM langs
+             |         CROSS JOIN (SELECT unnest(range(256)) AS s)),
+             |ka AS (SELECT lang, b, count(*) AS c FROM aa GROUP BY 1, 2),
+             |kb AS (SELECT lang, b, count(*) AS c FROM bb GROUP BY 1, 2),
+             |j AS (SELECT g.lang, g.b, coalesce(ka.c, 0) AS ca,
+             |        coalesce(kb.c, 0) AS cb
+             |      FROM grid g
+             |      LEFT JOIN ka ON g.lang = ka.lang AND g.b = ka.b
+             |      LEFT JOIN kb ON g.lang = kb.lang AND g.b = kb.b),
+             |cum AS (SELECT lang, b, ca, cb,
+             |          sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+             |          sum(ca) OVER wa AS n_a, sum(cb) OVER wa AS n_b
+             |        FROM j
+             |        WINDOW w AS (PARTITION BY lang ORDER BY b),
+             |               wa AS (PARTITION BY lang)),
+             |ksr AS (SELECT lang, CAST(n_a AS BIGINT) AS n_a,
+             |    CAST(n_b AS BIGINT) AS n_b,
+             |    round(max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |      - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))), 4)
+             |      + 0.0 AS ks
+             |  FROM cum WHERE n_a > 0 AND n_b > 0
+             |  GROUP BY 1, 2, 3),
+             |pq AS (SELECT lang,
+             |    greatest(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE),
+             |      0.0001) AS p,
+             |    greatest(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE),
+             |      0.0001) AS q
+             |  FROM cum WHERE n_a > 0 AND n_b > 0),
+             |psir AS (SELECT lang, round(sum((p - q) * ln(p / q)), 4)
+             |    + 0.0 AS psi
+             |  FROM pq GROUP BY 1),
+             |xa AS (SELECT lang, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |xb AS (SELECT lang, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents WHERE doc_id % 2 <> 0),
+             |ca2 AS (SELECT lang, token, count(*) AS cnt FROM xa
+             |  GROUP BY 1, 2),
+             |cb2 AS (SELECT lang, token, count(*) AS cnt FROM xb
+             |  GROUP BY 1, 2),
+             |ta AS (SELECT lang, token FROM (
+             |    SELECT lang, token, row_number() OVER (
+             |      PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+             |    FROM ca2)
+             |  WHERE rk <= 10),
+             |tb AS (SELECT lang, token FROM (
+             |    SELECT lang, token, row_number() OVER (
+             |      PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+             |    FROM cb2)
+             |  WHERE rk <= 10),
+             |rj AS (SELECT coalesce(ta.lang, tb.lang) AS lang,
+             |    CASE WHEN ta.token IS NOT NULL AND tb.token IS NOT NULL
+             |      THEN 1 ELSE 0 END AS in_both
+             |  FROM ta FULL JOIN tb
+             |    ON ta.lang = tb.lang AND ta.token = tb.token),
+             |rdr AS (SELECT lang,
+             |    round(CAST(sum(in_both) AS DOUBLE) /
+             |      CAST(count(*) AS DOUBLE), 4) AS vocab_jacc10
+             |  FROM rj GROUP BY 1)
+             |SELECT ksr.lang, n_a, n_b, ks, psi, vocab_jacc10
+             |FROM ksr
+             |JOIN psir ON ksr.lang = psir.lang
+             |JOIN rdr ON ksr.lang = rdr.lang
+             |ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
