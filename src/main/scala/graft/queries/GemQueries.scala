@@ -8558,7 +8558,58 @@ object GemQueries {
              |FROM ksr
              |JOIN psir ON ksr.lang = psir.lang
              |JOIN rdr ON ksr.lang = rdr.lang
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Winsorized mean (q176's sibling): instead of DROPPING the rank
+    // tails, CLAMP values to the exact interpolated P05/P95 — the
+    // robust center that keeps n constant (a trimmed mean changes
+    // the denominator; winsorizing doesn't, which matters when the
+    // mean feeds a rate). The percentile kernel is q143's pinned
+    // one; clamped values cross the compare as exact micro-unit
+    // sums.
+    QueryDef("q225_winsorized_mean",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .where(col("n_chars").isNotNull)
+        val caps = docs.groupBy("lang").agg(
+          expr("percentile(CAST(n_chars AS DOUBLE), 0.05)").as("lo"),
+          expr("percentile(CAST(n_chars AS DOUBLE), 0.95)").as("hi"))
+        docs.join(broadcast(caps), Seq("lang"))
+          .withColumn("w", least(greatest(
+            col("n_chars").cast("double"), col("lo")), col("hi")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            round(max("lo"), 4).as("p05"), round(max("hi"), 4).as("p95"),
+            sum(col("n_chars")).as("_sr"),
+            sum(round(col("w") * lit(1e6)).cast("long")).as("_sw"))
+          .select(col("lang"), col("n"), col("p05"), col("p95"),
+            round(col("_sr").cast("double") / col("n").cast("double"), 4)
+              .as("mean_raw"),
+            round(col("_sw").cast("double") /
+              (col("n").cast("double") * lit(1e6)), 4)
+              .as("mean_winsorized"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT lang, n_chars, CAST(n_chars AS DOUBLE) AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |caps AS (SELECT lang,
+             |    percentile_cont(0.05) WITHIN GROUP (ORDER BY v) AS lo,
+             |    percentile_cont(0.95) WITHIN GROUP (ORDER BY v) AS hi
+             |  FROM d GROUP BY 1),
+             |w AS (SELECT d.lang, d.n_chars,
+             |    least(greatest(d.v, caps.lo), caps.hi) AS w,
+             |    caps.lo, caps.hi
+             |  FROM d JOIN caps ON d.lang = caps.lang)
+             |SELECT lang, count(*) AS n,
+             |  round(max(lo), 4) AS p05, round(max(hi), 4) AS p95,
+             |  round(CAST(sum(n_chars) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 4) AS mean_raw,
+             |  round(CAST(sum(CAST(round(w * 1000000.0) AS BIGINT))
+             |      AS DOUBLE) /
+             |    (CAST(count(*) AS DOUBLE) * 1000000.0), 4)
+             |    AS mean_winsorized
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
