@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-touch conversion attribution: credit each conversion's value
+  * to the touch events (clicks/views/…) that preceded it within a
+  * lookback window, under the three standard position models at once —
+  * first-touch, last-touch, and linear. Conversions with no preceding
+  * touch fall into a `direct` channel so every model's column sums to
+  * total conversion value (the books must balance).
+  *
+  * Exactness: value is credited in integer cents. The linear model
+  * splits floor(cents/n) per touch and assigns the remainder to the
+  * FIRST touch (deterministic largest-position rule), so all three
+  * model columns are exact integer sums — no order-sensitive double
+  * accumulation anywhere.
+  *
+  * Scale shape: conversions and touches join on the entity key (one
+  * shuffle each); the per-conversion window runs over that entity's
+  * touches inside the lookback only — per-conversion fan-in is bounded
+  * by the entity's activity in the window, never by corpus size. At
+  * 100 TB this is the standard sessionized-join discipline: both
+  * sides pre-filtered to their type sets before the shuffle.
+  */
+object Attribution {
+
+  /** @param df event frame
+    * @param idCol      unique event id (the conversion grain key —
+    *                   deterministic, so the oracle groups identically)
+    * @param entityCol  user/account key
+    * @param tsCol      event-time column (timestamp)
+    * @param typeCol    event-type column
+    * @param convType   the conversion event type
+    * @param touchTypes channel event types eligible for credit
+    * @param valueCol   conversion value (double currency units)
+    * @param lookbackDays attribution window
+    * @return per channel (touch types + 'direct'): `n_conversions`
+    *         (conversions where this channel took ANY credit — for
+    *         linear, any touched conversion), `first_cents`,
+    *         `last_cents`, `linear_cents` (exact integer credit)
+    */
+  def report(
+      df: DataFrame, idCol: String, entityCol: String, tsCol: String,
+      typeCol: String, convType: String, touchTypes: Seq[String],
+      valueCol: String, lookbackDays: Int): DataFrame = {
+    val conv = df.where(col(typeCol) === convType)
+      .select(col(idCol).as("cid"), col(entityCol).as("e"),
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("cts"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+    val touch = df.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol).as("e"),
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("tts"),
+        col(typeCol).as("channel"))
+    val lookbackUs = lookbackDays.toLong * 86400000000L
+    val matched = conv.join(touch, Seq("e"))
+      .where(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - lit(lookbackUs))
+    val wC = Window.partitionBy("cid")
+    // Tie-break on (tts, channel): two touches in the same microsecond
+    // must rank deterministically in both engines.
+    val wAsc = wC.orderBy(col("tts").asc, col("channel").asc)
+    val credited = matched
+      .withColumn("pos", row_number().over(wAsc))
+      .withColumn("n_t", count(lit(1)).over(wC))
+      .withColumn("first_c",
+        when(col("pos") === 1, col("cents")).otherwise(0L))
+      .withColumn("last_c",
+        when(col("pos") === col("n_t"), col("cents")).otherwise(0L))
+      .withColumn("linear_c",
+        expr("cents DIV n_t") +
+          when(col("pos") === 1, col("cents") % col("n_t"))
+            .otherwise(0L))
+    val byChannel = credited.groupBy("channel").agg(
+      countDistinct("cid").as("n_conversions"),
+      sum("first_c").as("first_cents"),
+      sum("last_c").as("last_cents"),
+      sum("linear_c").as("linear_cents"))
+    // Conversions nothing touched: the 'direct' bucket.
+    val direct = conv.join(
+        matched.select("cid").distinct().withColumn("_hit", lit(1)),
+        Seq("cid"), "left")
+      .where(col("_hit").isNull)
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("cents").as("first_cents"))
+      .select(lit("direct").as("channel"), col("n_conversions"),
+        coalesce(col("first_cents"), lit(0L)).as("first_cents"),
+        coalesce(col("first_cents"), lit(0L)).as("last_cents"),
+        coalesce(col("first_cents"), lit(0L)).as("linear_cents"))
+      .where(col("n_conversions") > 0)
+    byChannel.unionByName(direct)
+  }
+}

@@ -104,6 +104,102 @@ object RobustStats {
         })
   }
 
+  /** Welch's unequal-variance t-test per stratum (`armCol` 0/1):
+    * the parametric sibling of [[mannWhitney]] for when the metric's
+    * moments are trusted. Per-arm n/Σx/Σx² are exact integer sums
+    * (values arrive as integer micro-units upstream), so t and the
+    * Welch–Satterthwaite df are fixed-shape double expressions over
+    * exact integers — reproducible bit-for-bit by an external
+    * engine. One count shuffle to the (strata × arm) frame; the
+    * windows run on that tiny frame.
+    *
+    * @return per stratum: n0, n1, mean0, mean1 (round 4), `t`
+    *         (round 4), `df` (Welch–Satterthwaite, round 2)
+    */
+  def welchT(
+      df: DataFrame, strataCol: String, armCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val arms = df.where(x.isNotNull)
+      .select(col(strataCol), col(armCol).cast("int").as("arm"), x.as("x"))
+      .groupBy(strataCol, "arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    def d(c: String) = col(c).cast("double")
+    // var/n for one arm, from exact sums: (Σx² − (Σx)²/n) / (n(n−1)).
+    val vOverN = (d("sxx") - d("sx") * d("sx") / d("n")) /
+      (d("n") * (d("n") - lit(1.0)))
+    val per = arms
+      .withColumn("mean", d("sx") / d("n"))
+      .withColumn("von", vOverN)
+    val a0 = per.where(col("arm") === 0)
+      .select(col(strataCol), col("n").as("n0"), col("mean").as("m0"),
+        col("von").as("v0"))
+    val a1 = per.where(col("arm") === 1)
+      .select(col(strataCol), col("n").as("n1"), col("mean").as("m1"),
+        col("von").as("v1"))
+    a0.join(a1, Seq(strataCol))
+      .select(col(strataCol), col("n0"), col("n1"),
+        round(col("m0"), 4).as("mean0"), round(col("m1"), 4).as("mean1"),
+        (round((col("m1") - col("m0")) / sqrt(col("v0") + col("v1")), 4)
+          + lit(0.0)).as("t"),
+        round((col("v0") + col("v1")) * (col("v0") + col("v1")) /
+          (col("v0") * col("v0") / (col("n0").cast("double") - lit(1.0)) +
+            col("v1") * col("v1") / (col("n1").cast("double") - lit(1.0))),
+          2).as("df"))
+  }
+
+  /** Theil–Sen robust slope per group (Sen, JASA 1968): the median of
+    * all pairwise slopes (y_j−y_i)/(x_j−x_i), x_i < x_j — the trend
+    * estimate a single outlier day can't own (OLS breaks down at one
+    * bad point; Theil–Sen tolerates ~29%). Emits the OLS slope beside
+    * it so the robustness delta is visible.
+    *
+    * SCALE CONTRACT: the caller aggregates to a per-group series
+    * FIRST (e.g. daily counts) — the pair self-join is quadratic in
+    * the per-group series length, which for calendar series is
+    * bounded by the day span, never by the event volume. Pair slopes
+    * are identical doubles in both engines (one division over exact
+    * integers), and `percentile`'s linear interpolation matches
+    * DuckDB's percentile_cont (the q143-pinned kernel), so a 6-dp
+    * round crosses the compare.
+    *
+    * @return per group: `n_points`, `n_pairs`, `sen_slope`,
+    *         `sen_intercept` (median of y−slope·x), `ols_slope`
+    *         (all round 6)
+    */
+  def theilSen(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val a = pts.select(col("g"), col("x").as("xi"), col("y").as("yi"))
+    val b = pts.select(col("g"), col("x").as("xj"), col("y").as("yj"))
+    val slopes = a.join(b, Seq("g")).where(col("xi") < col("xj"))
+      .select(col("g"), ((col("yj") - col("yi")).cast("double") /
+        (col("xj") - col("xi")).cast("double")).as("s"))
+    val sen = slopes.groupBy("g").agg(
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(s, 0.5)").as("_slope"))
+    val ols = pts.groupBy("g").agg(
+      count(lit(1)).as("n_points"), sum("x").as("_sx"),
+      sum("y").as("_sy"), sum(col("x") * col("x")).as("_sxx"),
+      sum(col("x") * col("y")).as("_sxy"))
+    val inter = pts.join(sen.select("g", "_slope"), Seq("g"))
+      .withColumn("_r", col("y").cast("double") -
+        col("_slope") * col("x").cast("double"))
+      .groupBy("g").agg(expr("percentile(_r, 0.5)").as("_icept"))
+    def d(c: String) = col(c).cast("double")
+    ols.join(sen, Seq("g")).join(inter, Seq("g"))
+      .select(col("g"), col("n_points"), col("n_pairs"),
+        (round(col("_slope"), 6) + lit(0.0)).as("sen_slope"),
+        (round(col("_icept"), 6) + lit(0.0)).as("sen_intercept"),
+        (round((d("n_points") * d("_sxy") - d("_sx") * d("_sy")) /
+          (d("n_points") * d("_sxx") - d("_sx") * d("_sx")), 6)
+          + lit(0.0)).as("ols_slope"))
+  }
+
   /** χ² independence test for two categorical columns: the full
     * contingency grid (dense over observed margins) with expected
     * counts from the margins and the per-table χ² repeated per row.

@@ -53,4 +53,68 @@ object Seasonal {
           .as("share"),
         col("n_anomaly_days"))
   }
+
+  /** Sample autocorrelation function of each group's daily volume at
+    * lags 1..`maxLag` — the "is there a weekly cycle / is yesterday
+    * predictive" diagnostic that decides whether [[dowProfile]]'s
+    * slot model is even warranted. Standard ACF normalization: one
+    * global mean and one global sum-of-squares per group (NOT
+    * per-lag), so r_k is comparable across lags and r_0 ≡ 1.
+    *
+    * Missing calendar days count as zero volume (the honest series
+    * for event data), via a per-group `sequence` day grid. Scale
+    * shape: one daily-count aggregate off the event grain; the grid,
+    * the lag self-join (an equi-join on (group, day+k) after a
+    * maxLag-sized explode), and all moment math run on the
+    * (groups × days) frame, bounded by the calendar span.
+    *
+    * @return per (group, lag): `n_days`, `n_pairs`, `acf` (round 4)
+    */
+  def acf(
+      df: DataFrame, groupCol: String, dayCol: String,
+      maxLag: Int): DataFrame = {
+    val counted = df
+      .select(col(groupCol).as("g"), col(dayCol).cast("long").as("d"))
+      .where(col("g").isNotNull && col("d").isNotNull)
+      .groupBy("g", "d").agg(count(lit(1)).as("x"))
+    val grid = counted.groupBy("g")
+      .agg(min("d").as("_lo"), max("d").as("_hi"))
+      .select(col("g"),
+        explode(sequence(col("_lo"), col("_hi"))).as("d"))
+    val daily = grid.join(counted, Seq("g", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val mom = daily.groupBy("g").agg(
+      count(lit(1)).as("n_days"), sum("x").as("_sx"),
+      sum(col("x") * col("x")).as("_sxx"))
+    // Denominator Σ(x−μ)² = Σx² − (Σx)²/n, from exact integer sums.
+    val base = daily.join(mom, Seq("g"))
+      .withColumn("_mu", col("_sx").cast("double") /
+        col("n_days").cast("double"))
+    val shifted = base.select(col("g"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        (col("d") + col("lag").cast("long")).as("d"),
+        col("x").as("x_lag"))
+    // Σ(x−μ)(x'−μ) = Σxx' − μ(Σx + Σx') + nμ²: every Σ is an exact
+    // integer sum, so the only doubles are this fixed-shape final
+    // expression — order-free, hence engine-portable.
+    base.join(shifted, Seq("g", "d"))
+      .groupBy("g", "lag")
+      .agg(max("n_days").as("n_days"), count(lit(1)).as("n_pairs"),
+        sum(col("x") * col("x_lag")).as("_sxy"),
+        sum("x").as("_spx"), sum("x_lag").as("_spl"),
+        max("_sx").as("_gsx"), max("_sxx").as("_gsxx"))
+      .withColumn("_mu", col("_gsx").cast("double") /
+        col("n_days").cast("double"))
+      .withColumn("_num", col("_sxy").cast("double") -
+        col("_mu") * (col("_spx") + col("_spl")).cast("double") +
+        col("n_pairs").cast("double") * col("_mu") * col("_mu"))
+      .withColumn("_den", col("_gsxx").cast("double") -
+        col("_gsx").cast("double") * col("_gsx").cast("double") /
+          col("n_days").cast("double"))
+      .where(col("_den") > 0.0)
+      .select(col("g"), col("lag"), col("n_days"), col("n_pairs"),
+        // + 0.0 normalizes −0.0 (a tiny negative acf rounding to
+        // zero) so the cross-engine hash can't split on sign bit.
+        (round(col("_num") / col("_den"), 4) + lit(0.0)).as("acf"))
+  }
 }

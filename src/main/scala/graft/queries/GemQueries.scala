@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
-import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
+import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
+  CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
@@ -10,7 +11,7 @@ import graft.ops.{Allocate, AsofJoin, Bpe, CardinalityEstimate,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew, SourceSim, ZOrder, CorrMatrix,
-  SnapshotDiff, SpanDedup, Stats, TableChecksum, TextAnalysis,
+  SnapshotDiff, SpanDedup, Stats, Survival, TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
 import org.apache.spark.sql.types.StructType
@@ -8612,8 +8613,315 @@ object GemQueries {
              |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
+  /** Fourth catalog section (q226+) — a fresh Seq literal so no single
+    * initializer method approaches the JVM 64 KB bytecode limit.
+    */
+  private val extra2Defs: Seq[QueryDef] = Seq(
+
+    // Kaplan–Meier survival over user lifetimes (ops/Survival
+    // .kaplanMeier): thin the stream to the ~5-events-per-user slice
+    // (props.k < 8, q92's JSON field), lifetime = last−first active
+    // day, right-censor users still active within 5 days of the
+    // horizon. All KM arithmetic runs on the per-duration frame
+    // (bounded by the 30-day span); the survival product is exp∘Σln
+    // accumulated in duration order in both engines.
+    QueryDef("q226_kaplan_meier",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(from_json(col("props"), "k INT",
+            Map.empty[String, String]).getField("k") < 8)
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Survival.kaplanMeier(ev, "user_id", "day", censorGap = 5)
+          .orderBy("t")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id AS e, epoch_us(ts) // 86400000000 AS d
+             |  FROM events
+             |  WHERE CAST(json_extract_string(props, '$.k') AS INT) < 8),
+             |spans AS (SELECT e, min(d) AS fd, max(d) AS ld
+             |  FROM ev GROUP BY 1),
+             |h AS (SELECT max(ld) AS h FROM spans),
+             |lab AS (SELECT
+             |    CASE WHEN ld <= h - 5 THEN ld - fd ELSE h - fd END AS t,
+             |    CASE WHEN ld <= h - 5 THEN 1 ELSE 0 END AS obs
+             |  FROM spans CROSS JOIN h),
+             |pt AS (SELECT t, sum(obs) AS n_churn,
+             |    sum(1 - obs) AS n_censored, count(*) AS n_at
+             |  FROM lab GROUP BY 1),
+             |w AS (SELECT *, sum(n_at) OVER (ORDER BY t) AS cum,
+             |    sum(n_at) OVER () AS tot
+             |  FROM pt),
+             |r AS (SELECT t, tot - cum + n_at AS n_risk, n_churn,
+             |    n_censored,
+             |    CASE WHEN n_churn > 0
+             |      THEN ln(1 - CAST(n_churn AS DOUBLE) /
+             |        CAST(n_risk AS DOUBLE))
+             |      ELSE 0.0 END AS lnterm
+             |  FROM w),
+             |sv AS (SELECT t, n_risk, n_churn, n_censored,
+             |    round(exp(sum(lnterm) OVER (ORDER BY t)), 6) AS survival
+             |  FROM r)
+             |SELECT CAST(t AS BIGINT) AS t,
+             |  CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(n_churn AS BIGINT) AS n_churn,
+             |  CAST(n_censored AS BIGINT) AS n_censored, survival
+             |FROM sv WHERE n_churn > 0 ORDER BY 1""".stripMargin)),
+
+    // Welch's unequal-variance t-test (RobustStats.welchT): arms by
+    // portable hash of user_id (the q57 split discipline), metric in
+    // exact integer cents, per event-type strata. The parametric
+    // sibling of q177's Mann–Whitney on the same layout — both
+    // should agree there is no effect (arms are random).
+    QueryDef("q227_welch_ttest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(col("value").isNotNull)
+          .withColumn("arm", pmod(
+            Hashing.portableHash(col("user_id").cast("string")),
+            lit(2L)).cast("int"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        RobustStats.welchT(ev, "event_type", "arm", "cents")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type,
+             |    CASE WHEN ${Hashing.duckPortableHash(
+                      "CAST(user_id AS VARCHAR)")} % 2 = 1
+             |      THEN 1 ELSE 0 END AS arm,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT event_type, arm, count(*) AS n,
+             |    sum(x) AS sx, sum(x * x) AS sxx
+             |  FROM ev GROUP BY 1, 2),
+             |p AS (SELECT event_type, arm, n,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS von
+             |  FROM a)
+             |SELECT a0.event_type, CAST(a0.n AS BIGINT) AS n0,
+             |  CAST(a1.n AS BIGINT) AS n1,
+             |  round(a0.mean, 4) AS mean0, round(a1.mean, 4) AS mean1,
+             |  round((a1.mean - a0.mean) / sqrt(a0.von + a1.von), 4)
+             |    + 0.0 AS t,
+             |  round((a0.von + a1.von) * (a0.von + a1.von) /
+             |    (a0.von * a0.von / (CAST(a0.n AS DOUBLE) - 1.0) +
+             |     a1.von * a1.von / (CAST(a1.n AS DOUBLE) - 1.0)), 2)
+             |    AS df
+             |FROM p a0 JOIN p a1
+             |  ON a0.event_type = a1.event_type
+             |  AND a0.arm = 0 AND a1.arm = 1
+             |ORDER BY 1""".stripMargin)),
+
+    // Daily-volume autocorrelation at lags 1..7 (Seasonal.acf): the
+    // "is there a weekly cycle" diagnostic behind q181's dow model.
+    // Missing calendar days count as zero; one global mean/SS per
+    // series (r_0 ≡ 1 normalization); every Σ is an exact integer
+    // sum so the final double expression is order-free.
+    QueryDef("q228_daily_acf",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Seasonal.acf(ev, "event_type", "day", maxLag = 7)
+          .orderBy("g", "lag")
+      },
+      Some("""WITH counted AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |lims AS (SELECT g, min(d) AS lo, max(d) AS hi
+             |  FROM counted GROUP BY 1),
+             |grid AS (SELECT g, unnest(generate_series(lo, hi)) AS d
+             |  FROM lims),
+             |daily AS (SELECT grid.g, grid.d, coalesce(x, 0) AS x
+             |  FROM grid LEFT JOIN counted
+             |    ON grid.g = counted.g AND grid.d = counted.d),
+             |mom AS (SELECT g, count(*) AS n_days, sum(x) AS sx,
+             |    sum(x * x) AS sxx
+             |  FROM daily GROUP BY 1),
+             |sh AS (SELECT g, unnest(generate_series(1, 7)) AS lag, d, x
+             |  FROM daily),
+             |shifted AS (SELECT g, lag, d + lag AS d, x AS x_lag
+             |  FROM sh),
+             |pairs AS (SELECT daily.g, lag, daily.x, x_lag
+             |  FROM daily JOIN shifted
+             |    ON daily.g = shifted.g AND daily.d = shifted.d),
+             |agg AS (SELECT g, lag, count(*) AS n_pairs,
+             |    sum(x * x_lag) AS sxy, sum(x) AS spx, sum(x_lag) AS spl
+             |  FROM pairs GROUP BY 1, 2)
+             |SELECT agg.g, CAST(lag AS INT) AS lag,
+             |  CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  round((CAST(sxy AS DOUBLE) -
+             |      (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) *
+             |        CAST(spx + spl AS DOUBLE) +
+             |      CAST(n_pairs AS DOUBLE) *
+             |        (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) *
+             |        (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) /
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |      CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)), 4)
+             |    + 0.0 AS acf
+             |FROM agg JOIN mom ON agg.g = mom.g
+             |WHERE CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |    CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) > 0
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Theil–Sen robust trend per event type (RobustStats.theilSen):
+    // median of pairwise daily-count slopes beside the OLS slope.
+    // The pair join is quadratic ONLY in the per-group day span
+    // (30 days → ≤435 pairs/group), never in event volume — the
+    // caller aggregates to the daily grain first, per the op's
+    // scale contract.
+    QueryDef("q229_theil_sen",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+          .groupBy(col("event_type").as("g"), col("day").as("x"))
+          .agg(count(lit(1)).as("y"))
+        RobustStats.theilSen(daily, "g", "x", "y").orderBy("g")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS x,
+             |    count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |pairs AS (SELECT a.g,
+             |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+             |      AS s
+             |  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+             |sen AS (SELECT g, count(*) AS n_pairs,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY s) AS slope
+             |  FROM pairs GROUP BY 1),
+             |icept AS (SELECT d.g,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY
+             |      CAST(d.y AS DOUBLE) - sen.slope * CAST(d.x AS DOUBLE))
+             |      AS ic
+             |  FROM daily d JOIN sen ON d.g = sen.g GROUP BY 1),
+             |ols AS (SELECT g, count(*) AS n_points, sum(x) AS sx,
+             |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM daily GROUP BY 1)
+             |SELECT ols.g, CAST(n_points AS BIGINT) AS n_points,
+             |  CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  round(slope, 6) + 0.0 AS sen_slope,
+             |  round(ic, 6) + 0.0 AS sen_intercept,
+             |  round((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+             |    AS ols_slope
+             |FROM ols JOIN sen ON ols.g = sen.g
+             |JOIN icept ON ols.g = icept.g
+             |ORDER BY 1""".stripMargin)),
+
+    // Multi-touch attribution (ops/Attribution.report): purchases
+    // credited to the click/view touches in the 3 preceding days
+    // under first/last/linear models at once, integer-cents exact
+    // (linear remainder to the first touch), untouched conversions
+    // in the 'direct' bucket so each model column sums to total
+    // conversion value.
+    QueryDef("q230_attribution",
+      (s, dir) => Attribution.report(t(s, dir, "events"),
+          "event_id", "user_id", "ts", "event_type",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          valueCol = "value", lookbackDays = 3)
+        .orderBy("channel"),
+      Some("""WITH conv AS (
+             |  SELECT event_id AS cid, user_id AS e, epoch_us(ts) AS cts,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |touch AS (SELECT user_id AS e, epoch_us(ts) AS tts,
+             |    event_type AS channel
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |m AS (SELECT cid, cents, tts, channel,
+             |    row_number() OVER (PARTITION BY cid
+             |      ORDER BY tts, channel) AS pos,
+             |    count(*) OVER (PARTITION BY cid) AS n_t
+             |  FROM conv JOIN touch ON conv.e = touch.e
+             |  WHERE tts < cts AND tts >= cts - 259200000000),
+             |cr AS (SELECT channel, cid,
+             |    CASE WHEN pos = 1 THEN cents ELSE 0 END AS fc,
+             |    CASE WHEN pos = n_t THEN cents ELSE 0 END AS lc,
+             |    cents // n_t +
+             |      CASE WHEN pos = 1 THEN cents % n_t ELSE 0 END AS nc
+             |  FROM m),
+             |bych AS (SELECT channel, count(DISTINCT cid)
+             |      AS n_conversions,
+             |    sum(fc) AS first_cents, sum(lc) AS last_cents,
+             |    sum(nc) AS linear_cents
+             |  FROM cr GROUP BY 1),
+             |direct AS (SELECT 'direct' AS channel,
+             |    count(*) AS n_conversions,
+             |    coalesce(sum(cents), 0) AS first_cents,
+             |    coalesce(sum(cents), 0) AS last_cents,
+             |    coalesce(sum(cents), 0) AS linear_cents
+             |  FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM m)
+             |  HAVING count(*) > 0)
+             |SELECT channel, CAST(n_conversions AS BIGINT)
+             |    AS n_conversions,
+             |  CAST(first_cents AS BIGINT) AS first_cents,
+             |  CAST(last_cents AS BIGINT) AS last_cents,
+             |  CAST(linear_cents AS BIGINT) AS linear_cents
+             |FROM (SELECT * FROM bych UNION ALL SELECT * FROM direct)
+             |ORDER BY 1""".stripMargin)),
+
+    // Hash-seeded Poisson bootstrap CI on mean event value
+    // (ops/Bootstrap.meanCi, Chamandy et al. 2012): 100 deterministic
+    // replicates ride ONE shuffle as weighted aggregates — the only
+    // bootstrap that works at 100 TB. Every draw is an inverse-CDF
+    // lookup of a portable hash, so DuckDB replays the exact
+    // resamples.
+    QueryDef("q231_bootstrap_ci",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(col("value").isNotNull)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        Bootstrap.meanCi(ev, "event_type", "event_id", "cents", r = 100)
+          .orderBy("g")
+      },
+      Some {
+        val wSum = Bootstrap.cdf
+          .map(c => s"(CASE WHEN $c < u THEN 1 ELSE 0 END)")
+          .mkString("\n             |      + ")
+        s"""WITH ev AS (
+             |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |reps AS (SELECT g, id, x,
+             |    unnest(generate_series(0, 99)) AS rep
+             |  FROM ev),
+             |uu AS (SELECT g, rep, x,
+             |    CAST(${Hashing.duckSeededHash("rep", "id")} AS DOUBLE) /
+             |      1152921504606846976.0 AS u
+             |  FROM reps),
+             |wt AS (SELECT g, rep, x,
+             |    $wSum AS w
+             |  FROM uu),
+             |rm AS (SELECT g, rep,
+             |    CAST(round(CAST(sum(w * x) AS DOUBLE) /
+             |      CAST(sum(w) AS DOUBLE) * 1000.0) AS BIGINT) AS mr
+             |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+             |pt AS (SELECT g, count(*) AS n, sum(x) AS sx
+             |  FROM ev GROUP BY 1),
+             |ci AS (SELECT g, count(*) AS nrep,
+             |    percentile_cont(0.025) WITHIN GROUP (ORDER BY mr) AS lo,
+             |    percentile_cont(0.975) WITHIN GROUP (ORDER BY mr) AS hi,
+             |    sum(mr) AS sm, sum(mr * mr) AS smm
+             |  FROM rm GROUP BY 1)
+             |SELECT pt.g, CAST(n AS BIGINT) AS n,
+             |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+             |  round(lo / 1000.0, 4) AS ci_lo,
+             |  round(hi / 1000.0, 4) AS ci_hi,
+             |  round(sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) *
+             |      CAST(sm AS DOUBLE) / CAST(nrep AS DOUBLE)) /
+             |    (CAST(nrep AS DOUBLE) - 1.0)) / 1000.0, 4) AS se_boot
+             |FROM pt JOIN ci ON pt.g = ci.g ORDER BY 1""".stripMargin
+      })
+  )
+
   /** The full catalog the driver consumes — declared LAST so every
     * section val is initialized before concatenation.
     */
-  val defs: Seq[QueryDef] = coreDefs ++ moreDefs ++ extraDefs
+  val defs: Seq[QueryDef] =
+    coreDefs ++ moreDefs ++ extraDefs ++ extra2Defs
 }
