@@ -234,4 +234,60 @@ object Components {
         col(idCol).as("keep_id"),
         col(qualityCol).as(s"keep_$qualityCol"))
   }
+
+  /** Synchronous label propagation (Raghavan et al., PRE 2007) with a
+    * DETERMINISTIC update: each round every node adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label;
+    * isolated nodes keep their own. Where [[connectedComponents]]
+    * answers "what is reachable", LPA answers "what is densely knit" —
+    * a chain of weak bridges stays one component but fragments into
+    * communities.
+    *
+    * Plain-vanilla LPA is tie-broken at random and run to
+    * oscillation-prone convergence; fixing the tie-break to min-label
+    * and the round count to `rounds` makes the output a pure function
+    * of the graph, replayable by the oracle round for round.
+    *
+    * Scale shape: per round one edges⋈labels shuffle, a (node, label)
+    * count aggregate, and a per-node argmax window — identical cost
+    * to a [[connectedComponents]] round. Lineage is cut per round via
+    * localCheckpoint (the Components discipline). Rounds are FIXED,
+    * not run to convergence, so the cost model is exact.
+    *
+    * @return (`id`, `community`) for every node in `nodes`
+    */
+  def labelPropagation(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    val allNodes = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    var lab = allNodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("c").desc, col("lbl").asc)
+    (1 to rounds).foreach { _ =>
+      val best = sym
+        .join(lab.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("id"), col("lbl").as("cand"))
+      val next = lab.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cand"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      lab.unpersist()
+      lab = next
+    }
+    sym.unpersist()
+    lab.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -61,6 +61,57 @@ object GraphMetrics {
       round(when(den > 0.0, num / den), 6).as("r"))
   }
 
+  /** Newman–Girvan modularity of a node partition: Q = Σ_c [ e_c/m −
+    * (d_c/2m)² ] — how much denser inside-community edges are than a
+    * degree-preserving random rewiring. THE quality gate for a
+    * clustering of the near-dup graph: components with Q near 0 mean
+    * the "clusters" are no better than chance.
+    *
+    * Exactness: Q = (4m·Σe_c − Σd_c²) / (4m²) — numerator and
+    * denominator are exact integer sums (intra-community edge counts,
+    * squared community degree sums), so the emitted double is one
+    * division. Scale shape: two equi-joins of edges against the label
+    * frame (shuffles on node id), then community-sized aggregates.
+    *
+    * @return one row: `m` (undirected edges), `n_communities`
+    *         (labels with ≥1 member incl. singletons),
+    *         `n_linked_communities` (with ≥1 intra edge),
+    *         `modularity` (round 6)
+    */
+  def modularity(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("node"),
+      col(labelCol).as("lbl"))
+    val labeled = e
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")), "b")
+    val intra = labeled.where(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val degPerLbl = labeled.select(col("la").as("lbl"))
+      .unionAll(labeled.select(col("lb").as("lbl")))
+      .groupBy("lbl").agg(count(lit(1)).as("d_c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val nComm = lab.select("lbl").distinct()
+      .agg(count(lit(1)).as("n_communities"))
+    val sums = degPerLbl.join(intra, Seq("lbl"), "left")
+      .agg(count(lit(1)).as("n_linked_communities"),
+        sum(coalesce(col("e_c"), lit(0L))).as("_se"),
+        sum(col("d_c") * col("d_c")).as("_sd2"))
+    // Three 1-row broadcast crosses: the report frame.
+    m.crossJoin(broadcast(nComm)).crossJoin(broadcast(sums))
+      .select(col("m"), col("n_communities"), col("n_linked_communities"),
+        (round((lit(4L) * col("m") * col("_se") - col("_sd2"))
+          .cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"), 6) + lit(0.0))
+          .as("modularity"))
+  }
+
   /** @param edges two columns `srcCol`, `dstCol` (undirected; dups
     *              and self-loops are dropped)
     * @return one row per node: `node`, `degree`, `triangles`,

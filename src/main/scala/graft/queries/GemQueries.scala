@@ -10,7 +10,8 @@ import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
   Experiment, IntervalJoin, Linkage,
   Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
-  Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew, SourceSim, ZOrder, CorrMatrix,
+  Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
+  SourceSim, SpatialJoin, ZOrder, CorrMatrix,
   SnapshotDiff, SpanDedup, Stats, Survival, TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
@@ -514,17 +515,46 @@ object GemQueries {
     * component) + `sizes`. ONE definition behind q61 and q128 (the
     * r3/r5 oracle-drift lesson). Callers prepend `WITH RECURSIVE`.
     */
-  private val clusterChainCtes: String =
+  /** 0.8-Jaccard pairs + both-orientation edges on top of
+    * [[minhashVerifiedCtes]] — shared prefix of the component chain
+    * (q61/q128) and the label-propagation chain (q233).
+    */
+  private val pairsEdgesCtes: String =
     """pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |          UNION ALL SELECT id_b, id_a FROM pairs),
-      |reach(id, lbl) AS (
+      |          UNION ALL SELECT id_b, id_a FROM pairs)""".stripMargin
+
+  private val clusterChainCtes: String =
+    pairsEdgesCtes + ",\n" +
+    """reach(id, lbl) AS (
       |  SELECT doc_id, doc_id FROM toks
       |  UNION
       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
       |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
       |sizes AS (SELECT component, count(*) AS cluster_size
       |          FROM comp GROUP BY component)""".stripMargin
+
+  /** Deterministic synchronous label-propagation rounds over
+    * [[pairsEdgesCtes]]'s `edges`: each round every node adopts its
+    * neighbors' modal label, ties to the smallest, isolated nodes
+    * keep theirs — the exact twin of `Components.labelPropagation`.
+    * Emits `lp0..lp<rounds>`.
+    */
+  private def lpaCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""n$i AS (SELECT e.src AS id, l.lbl, count(*) AS c
+         |  FROM edges e JOIN lp${i - 1} l ON l.id = e.dst
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT id, lbl, row_number() OVER (
+         |    PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM n$i),
+         |lp$i AS (SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+         |  FROM lp${i - 1} p
+         |  LEFT JOIN (SELECT id, lbl FROM b$i WHERE rk = 1) b
+         |  USING (id))""".stripMargin
+    }
+    ("lp0 AS (SELECT doc_id AS id, doc_id AS lbl FROM toks)" +: rs)
+      .mkString(",\n")
+  }
 
   /** Curation-funnel oracle CTE chain (exact dedup → quality/lang gate
     * → recursive near-dup components) ending in `fate`
@@ -8916,6 +8946,125 @@ object GemQueries {
              |      CAST(sm AS DOUBLE) / CAST(nrep AS DOUBLE)) /
              |    (CAST(nrep AS DOUBLE) - 1.0)) / 1000.0, 4) AS se_boot
              |FROM pt JOIN ci ON pt.g = ci.g ORDER BY 1""".stripMargin
+      }),
+
+    // Modularity of the near-dup cluster partition (GraphMetrics
+    // .modularity, Newman–Girvan): are q61's components actually
+    // denser than a degree-preserving rewiring? Q from exact integer
+    // sums — (4m·Σe_c − Σd_c²)/4m² — over the same verified pair
+    // frame and recursive components the q61 oracle pins.
+    QueryDef("q232_modularity",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val clusters = Components.dedupClusters(
+          docs, "doc_id", pairs, "id_a", "id_b")
+        GraphMetrics.modularity(pairs, "id_a", "id_b",
+          clusters, "doc_id", "component")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        """lab AS (SELECT id AS node, component AS lbl FROM comp),
+          |labeled AS (SELECT la.lbl AS la, lb.lbl AS lb
+          |  FROM pairs e
+          |  JOIN lab la ON e.id_a = la.node
+          |  JOIN lab lb ON e.id_b = lb.node),
+          |intra AS (SELECT la AS lbl, count(*) AS e_c
+          |  FROM labeled WHERE la = lb GROUP BY 1),
+          |degl AS (SELECT lbl, count(*) AS d_c FROM (
+          |    SELECT la AS lbl FROM labeled
+          |    UNION ALL SELECT lb FROM labeled)
+          |  GROUP BY 1),
+          |mm AS (SELECT count(*) AS m FROM pairs),
+          |nc AS (SELECT count(DISTINCT component) AS n_communities
+          |  FROM comp),
+          |sums AS (SELECT count(*) AS n_linked,
+          |    sum(coalesce(e_c, 0)) AS se, sum(d_c * d_c) AS sd2
+          |  FROM degl LEFT JOIN intra USING (lbl))
+          |SELECT CAST(m AS BIGINT) AS m,
+          |  CAST(n_communities AS BIGINT) AS n_communities,
+          |  CAST(n_linked AS BIGINT) AS n_linked_communities,
+          |  round(CAST(4 * m * se - sd2 AS DOUBLE) /
+          |    CAST(4 * m * m AS DOUBLE), 6) + 0.0 AS modularity
+          |FROM mm, nc, sums""".stripMargin)),
+
+    // Deterministic label propagation, 4 synchronized rounds
+    // (Components.labelPropagation): the density-aware sibling of
+    // connected components on the SAME near-dup graph — weakly
+    // bridged clumps that reach stays one component fragment into
+    // communities. Min-label tie-break + fixed rounds = replayable
+    // round for round by the oracle.
+    QueryDef("q233_label_propagation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.labelPropagation(docs.select("doc_id"), "doc_id",
+            pairs, "id_a", "id_b", rounds = 4)
+          .select(col("id").as("doc_id"), col("community"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        pairsEdgesCtes + ",\n" + lpaCtes(4) + "\n" +
+        """SELECT id AS doc_id, lbl AS community
+          |FROM lp4 ORDER BY 1""".stripMargin)),
+
+    // Grid-blocked nearest-neighbor spatial join (SpatialJoin
+    // .nearestNeighbor): deterministic offset-encoded micro-degree
+    // coordinates hashed per key, 30° cells, target side replicated
+    // into its 3×3 neighborhood, probe joins its own cell — an
+    // equi-join, never an all-pairs cross. Ranking distance is the
+    // exact integer squared degree distance.
+    QueryDef("q234_spatial_nn",
+      (s, dir) => {
+        def coords(df: DataFrame, key: String) = df.select(
+          col(key),
+          pmod(Hashing.portableHash(
+            concat(col(key).cast("string"), lit(":lat"))),
+            lit(120000001L)).as("lat"),
+          pmod(Hashing.portableHash(
+            concat(col(key).cast("string"), lit(":lon"))),
+            lit(360000001L)).as("lon"))
+        val cust = coords(t(s, dir, "customer"), "c_custkey")
+        val supp = coords(t(s, dir, "supplier"), "s_suppkey")
+        SpatialJoin.nearestNeighbor(
+            cust, "c_custkey", "lat", "lon",
+            supp, "s_suppkey", "lat", "lon", cellE6 = 30000000L)
+          .withColumnRenamed("pid", "c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some {
+        def h(key: String, tag: String) = Hashing.duckPortableHash(
+          s"CAST($key AS VARCHAR) || ':$tag'")
+        s"""WITH c AS (
+             |  SELECT c_custkey AS pid,
+             |    ${h("c_custkey", "lat")} % 120000001 AS plat,
+             |    ${h("c_custkey", "lon")} % 360000001 AS plon
+             |  FROM customer),
+             |s AS (SELECT s_suppkey AS tid,
+             |    ${h("s_suppkey", "lat")} % 120000001 AS tlat,
+             |    ${h("s_suppkey", "lon")} % 360000001 AS tlon
+             |  FROM supplier),
+             |t9 AS (SELECT tid, tlat, tlon,
+             |    tlat // 30000000 + dla AS cla,
+             |    tlon // 30000000 + dlo AS clo
+             |  FROM s,
+             |    (SELECT unnest([-1, 0, 1]) AS dla) a,
+             |    (SELECT unnest([-1, 0, 1]) AS dlo) b),
+             |cand AS (SELECT pid, tid,
+             |    (plat - tlat) * (plat - tlat) +
+             |      (plon - tlon) * (plon - tlon) AS dist2_e12
+             |  FROM c JOIN t9
+             |    ON plat // 30000000 = cla AND plon // 30000000 = clo),
+             |rk AS (SELECT *, row_number() OVER (
+             |    PARTITION BY pid ORDER BY dist2_e12, tid) AS rn
+             |  FROM cand)
+             |SELECT pid AS c_custkey, tid AS nn_id,
+             |  CAST(dist2_e12 AS BIGINT) AS dist2_e12,
+             |  round(sqrt(CAST(dist2_e12 AS DOUBLE)) / 1000000.0, 6)
+             |    AS dist_deg
+             |FROM rk WHERE rn = 1 ORDER BY 1""".stripMargin
       })
   )
 
