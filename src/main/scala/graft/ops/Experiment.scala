@@ -81,4 +81,95 @@ object Experiment {
         round(col("_t_raw"), 4).as("t_raw"),
         round(col("_t_cuped"), 4).as("t_cuped"))
   }
+
+  /** Difference-in-differences readout: the causal contrast for a
+    * treatment that switches ON at a known time — DiD = (treat_post −
+    * treat_pre) − (control_post − control_pre) nets out both the
+    * group baseline and the common time trend (the two confounders a
+    * naive post-only compare absorbs). SE from the four independent
+    * cell variances (unequal-variance, Welch-style).
+    *
+    * Exactness: per-cell n/Σx/Σx² are exact integer sums (integer
+    * metric units in); all ratios are fixed-shape doubles over them.
+    * One shuffle to the 4-cell frame; everything after is 4 rows.
+    *
+    * @param df rows with `armCol` (0/1), `postCol` (0/1), integer
+    *           `valueCol`
+    * @return one row: n00/n01/n10/n11 (arm,post), mean00..mean11
+    *         (round 4), `did` (round 4), `se` (round 4), `t`
+    *         (round 4; null if se is 0)
+    */
+  def diffInDiff(
+      df: DataFrame, armCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val cells = df.where(x.isNotNull)
+      .groupBy(col(armCol).cast("int").as("arm"),
+        col(postCol).cast("int").as("post"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(x * x).as("sxx"))
+    def d(c: Column) = c.cast("double")
+    val withM = cells
+      .withColumn("mean", d(col("sx")) / d(col("n")))
+      .withColumn("von", (d(col("sxx")) - d(col("sx")) * d(col("sx")) /
+        d(col("n"))) / (d(col("n")) * (d(col("n")) - lit(1.0))))
+    def cell(a: Int, p: Int, c: String, as: String) = withM
+      .where(col("arm") === a && col("post") === p)
+      .select(col("n").as(s"n$a$p"), col(c).as(as))
+    val j = cell(0, 0, "mean", "m00")
+      .crossJoin(cell(0, 1, "mean", "m01"))
+      .crossJoin(cell(1, 0, "mean", "m10"))
+      .crossJoin(cell(1, 1, "mean", "m11"))
+      .crossJoin(withM.agg(sum("von").as("_sevar")))
+    val did = (col("m11") - col("m10")) - (col("m01") - col("m00"))
+    val se = sqrt(col("_sevar"))
+    j.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      round(col("m00"), 4).as("mean00"), round(col("m01"), 4).as("mean01"),
+      round(col("m10"), 4).as("mean10"), round(col("m11"), 4).as("mean11"),
+      (round(did, 4) + lit(0.0)).as("did"),
+      round(se, 4).as("se"),
+      (round(when(se > 0.0, did / se), 4) + lit(0.0)).as("t"))
+  }
+
+  /** Simpson's-paradox detector: compare the pooled two-group mean
+    * difference against the SAME difference inside each stratum and
+    * flag strata whose sign reverses — the classic signal that the
+    * pooled readout is confounded by stratum mix, not a real effect.
+    *
+    * Exactness: integer moments per (stratum, arm); `reversed` is the
+    * product-sign test diff_s · diff_pooled < 0 on the unrounded
+    * doubles both engines derive from the same integer sums.
+    *
+    * @return per stratum: n0, n1, mean0, mean1 (round 4), `diff`
+    *         (round 4), `pooled_diff` (round 4, repeated),
+    *         `reversed` (int 0/1)
+    */
+  def simpsonScan(
+      df: DataFrame, strataCol: String, armCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val in = df.where(x.isNotNull)
+      .select(col(strataCol), col(armCol).cast("int").as("arm"),
+        x.as("x"))
+    val byStrata = in.groupBy(strataCol, "arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    def d(c: Column) = c.cast("double")
+    def side(a: Int, pfx: String) = byStrata.where(col("arm") === a)
+      .select(col(strataCol), col("n").as(s"n$a"),
+        (d(col("sx")) / d(col("n"))).as(s"${pfx}"))
+    val pooled = in.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .withColumn("m", d(col("sx")) / d(col("n")))
+    val pDiff = pooled.where(col("arm") === 1).select(col("m").as("p1"))
+      .crossJoin(pooled.where(col("arm") === 0).select(col("m").as("p0")))
+      .select((col("p1") - col("p0")).as("_pooled"))
+    side(0, "m0").join(side(1, "m1"), Seq(strataCol))
+      .crossJoin(broadcast(pDiff))
+      .select(col(strataCol), col("n0"), col("n1"),
+        round(col("m0"), 4).as("mean0"), round(col("m1"), 4).as("mean1"),
+        (round(col("m1") - col("m0"), 4) + lit(0.0)).as("diff"),
+        (round(col("_pooled"), 4) + lit(0.0)).as("pooled_diff"),
+        when((col("m1") - col("m0")) * col("_pooled") < 0.0, 1)
+          .otherwise(0).as("reversed"))
+  }
 }

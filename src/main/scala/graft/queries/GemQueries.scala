@@ -8,7 +8,8 @@ import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
-  Itemsets, LanguageModel, LineDedup, LogReg, Merge, Multimodal,
+  Itemsets, LanguageModel, Lateness, LineDedup, LogReg, Merge,
+  Multimodal,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix,
@@ -9065,7 +9066,173 @@ object GemQueries {
              |  round(sqrt(CAST(dist2_e12 AS DOUBLE)) / 1000000.0, 6)
              |    AS dist_deg
              |FROM rk WHERE rn = 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // Watermark-planning lateness profile (ops/Lateness
+    // .watermarkProfile): deterministic ±2 h hash jitter turns the
+    // in-order synthetic stream into an out-of-order arrival
+    // simulation; the running event-time watermark is computed as a
+    // proper two-pass DISTRIBUTED prefix scan (bucketed maxima +
+    // partitioned windows — no single-partition global window), and
+    // each candidate allowed-lateness setting reports its drop rate.
+    QueryDef("q235_watermark_profile",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("et", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("arr", col("et") +
+            pmod(Hashing.portableHash(
+              concat(col("event_id").cast("string"), lit(":arr"))),
+              lit(14400000001L)) - lit(7200000000L))
+        Lateness.watermarkProfile(ev, "event_id", "et", "arr",
+            bucketUs = 86400000000L,
+            allowedUs = Seq(600000000L, 1800000000L, 3600000000L,
+              7200000000L))
+          .orderBy("allowed_s")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id AS id, epoch_us(ts) AS et,
+             |    epoch_us(ts) + ${Hashing.duckPortableHash(
+                    "CAST(event_id AS VARCHAR) || ':arr'")}
+             |      % 14400000001 - 7200000000 AS arr
+             |  FROM events),
+             |w AS (SELECT id, et, arr,
+             |    max(et) OVER (ORDER BY arr, id) AS wm
+             |  FROM e),
+             |l AS (SELECT *, wm - et AS late_us FROM w),
+             |st AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY late_us)
+             |      AS p50,
+             |    percentile_cont(0.95) WITHIN GROUP (ORDER BY late_us)
+             |      AS p95,
+             |    percentile_cont(0.99) WITHIN GROUP (ORDER BY late_us)
+             |      AS p99
+             |  FROM l),
+             |al AS (SELECT unnest([600000000, 1800000000, 3600000000,
+             |    7200000000]) AS allowed_us),
+             |dr AS (SELECT allowed_us,
+             |    sum(CASE WHEN late_us > allowed_us THEN 1 ELSE 0 END)
+             |      AS n_dropped
+             |  FROM l CROSS JOIN al GROUP BY 1)
+             |SELECT allowed_us // 1000000 AS allowed_s,
+             |  CAST(n AS BIGINT) AS n, CAST(n_late AS BIGINT) AS n_late,
+             |  CAST(n_dropped AS BIGINT) AS n_dropped,
+             |  CAST((n_dropped * 1000000) // n AS BIGINT) AS drop_ppm,
+             |  round(p50 / 1000000.0, 3) AS p50_late_s,
+             |  round(p95 / 1000000.0, 3) AS p95_late_s,
+             |  round(p99 / 1000000.0, 3) AS p99_late_s
+             |FROM dr CROSS JOIN st ORDER BY 1""".stripMargin)),
+
+    // Difference-in-differences (Experiment.diffInDiff): hash-split
+    // pseudo-treatment switching on at the stream midpoint — the
+    // causal contrast that nets out group baseline AND common time
+    // trend. Four integer-moment cells; Welch-style SE; on a null
+    // effect the t should be small (and is).
+    QueryDef("q236_diff_in_diff",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(col("value").isNotNull)
+          .withColumn("arm", pmod(Hashing.portableHash(
+            concat(col("user_id").cast("string"), lit(":did"))),
+            lit(2L)).cast("int"))
+          .withColumn("post",
+            (expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+              >= 19738L).cast("int"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        Experiment.diffInDiff(ev, "arm", "post", "cents")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT CASE WHEN ${Hashing.duckPortableHash(
+                    "CAST(user_id AS VARCHAR) || ':did'")} % 2 = 1
+             |      THEN 1 ELSE 0 END AS arm,
+             |    CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+             |      THEN 1 ELSE 0 END AS post,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |cells AS (SELECT arm, post, count(*) AS n, sum(x) AS sx,
+             |    sum(x * x) AS sxx
+             |  FROM ev GROUP BY 1, 2),
+             |wm AS (SELECT arm, post, n,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS von
+             |  FROM cells),
+             |sv AS (SELECT sum(von) AS sevar FROM wm),
+             |j AS (SELECT
+             |    (SELECT n FROM wm WHERE arm = 0 AND post = 0) AS n00,
+             |    (SELECT n FROM wm WHERE arm = 0 AND post = 1) AS n01,
+             |    (SELECT n FROM wm WHERE arm = 1 AND post = 0) AS n10,
+             |    (SELECT n FROM wm WHERE arm = 1 AND post = 1) AS n11,
+             |    (SELECT mean FROM wm WHERE arm = 0 AND post = 0) AS m00,
+             |    (SELECT mean FROM wm WHERE arm = 0 AND post = 1) AS m01,
+             |    (SELECT mean FROM wm WHERE arm = 1 AND post = 0) AS m10,
+             |    (SELECT mean FROM wm WHERE arm = 1 AND post = 1) AS m11,
+             |    (SELECT sevar FROM sv) AS sevar)
+             |SELECT CAST(n00 AS BIGINT) AS n00,
+             |  CAST(n01 AS BIGINT) AS n01,
+             |  CAST(n10 AS BIGINT) AS n10,
+             |  CAST(n11 AS BIGINT) AS n11,
+             |  round(m00, 4) AS mean00, round(m01, 4) AS mean01,
+             |  round(m10, 4) AS mean10, round(m11, 4) AS mean11,
+             |  round((m11 - m10) - (m01 - m00), 4) + 0.0 AS did,
+             |  round(sqrt(sevar), 4) AS se,
+             |  round(CASE WHEN sqrt(sevar) > 0
+             |    THEN ((m11 - m10) - (m01 - m00)) / sqrt(sevar) END, 4)
+             |    + 0.0 AS t
+             |FROM j""".stripMargin)),
+
+    // Simpson's-paradox scan (Experiment.simpsonScan): pooled
+    // urgent-vs-rest order value difference vs the same contrast
+    // inside each market segment — strata whose sign flips flag a
+    // mix-confounded pooled readout. Product-sign test on unrounded
+    // doubles from exact integer moments.
+    QueryDef("q237_simpson_scan",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("arm",
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+              .cast("int"))
+          .withColumn("cents",
+            round(col("o_totalprice") * 100).cast("long"))
+        Experiment.simpsonScan(o, "c_mktsegment", "arm", "cents")
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH o AS (
+             |  SELECT c_mktsegment,
+             |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END AS arm,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |bys AS (SELECT c_mktsegment, arm, count(*) AS n,
+             |    sum(x) AS sx
+             |  FROM o GROUP BY 1, 2),
+             |pool AS (SELECT arm, count(*) AS n, sum(x) AS sx
+             |  FROM o GROUP BY 1),
+             |pd AS (SELECT
+             |    (SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+             |      FROM pool WHERE arm = 1) -
+             |    (SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+             |      FROM pool WHERE arm = 0) AS pooled),
+             |s0 AS (SELECT c_mktsegment, n AS n0,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m0
+             |  FROM bys WHERE arm = 0),
+             |s1 AS (SELECT c_mktsegment, n AS n1,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m1
+             |  FROM bys WHERE arm = 1)
+             |SELECT s0.c_mktsegment, CAST(n0 AS BIGINT) AS n0,
+             |  CAST(n1 AS BIGINT) AS n1,
+             |  round(m0, 4) AS mean0, round(m1, 4) AS mean1,
+             |  round(m1 - m0, 4) + 0.0 AS diff,
+             |  round(pooled, 4) + 0.0 AS pooled_diff,
+             |  CASE WHEN (m1 - m0) * pooled < 0 THEN 1 ELSE 0 END
+             |    AS reversed
+             |FROM s0 JOIN s1 USING (c_mktsegment)
+             |CROSS JOIN pd
+             |ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
