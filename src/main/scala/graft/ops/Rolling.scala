@@ -119,4 +119,86 @@ object Rolling {
           vp + (vn - vp) * ((t - tp) / (tn - tp)))
         .otherwise(lit(null).cast("double")))
   }
+
+  /** EWMA control chart over each group's daily volume: compare every
+    * day's count to the exponentially-weighted average of the PRIOR
+    * `window` days (α·(1−α)^(j−1) weights, renormalized over the lags
+    * available) and flag days beyond `kSigma` rolling standard
+    * deviations — the classic monitoring chart that reacts faster
+    * than a plain moving average because recent days dominate.
+    *
+    * Lag-dependent weights can't ride a plain window frame, so the
+    * prior window is materialized as a bounded shifted equi-join:
+    * each day contributes itself to its next `window` days (a
+    * `window`-sized explode — the ACF discipline), joined back on
+    * (group, day). All frames are (groups × days)-sized.
+    *
+    * Exactness: per-lag weight and weight·x are snapped to integer
+    * micro-units before summation (order-free), σ comes from exact
+    * integer Σx/Σx², and the flag compares doubles both engines
+    * derive from the same integers.
+    *
+    * @return per (group, day) with ≥`minPrior` prior days: `g`, `d`,
+    *         `x`, `n_prior`, `ewma` (round 4), `sigma` (round 4),
+    *         `flag` (0/1)
+    */
+  /** The lag-1..window EWMA weights as plain doubles — ONE generator
+    * for the Spark literals and the oracle SQL so the two engines
+    * cannot disagree on a pow().
+    */
+  def ewmaWeights(alpha: Double, window: Int): Seq[Double] =
+    (1 to window).map(j => alpha * math.pow(1.0 - alpha, j - 1))
+
+  def ewmaChart(
+      df: DataFrame, groupCol: String, dayCol: String,
+      alpha: Double, window: Int, kSigma: Int,
+      minPrior: Int): DataFrame = {
+    val counted = df
+      .select(col(groupCol).as("g"), col(dayCol).cast("long").as("d"))
+      .where(col("g").isNotNull && col("d").isNotNull)
+      .groupBy("g", "d").agg(count(lit(1)).as("x"))
+    val grid = counted.groupBy("g")
+      .agg(min("d").as("_lo"), max("d").as("_hi"))
+      .select(col("g"), explode(sequence(col("_lo"), col("_hi"))).as("d"))
+    val daily = grid.join(counted, Seq("g", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    // Day d−j contributes to day d with weight α(1−α)^(j−1) — the
+    // weights are PRE-COMPUTED Scala literals (shared with the
+    // oracle via [[ewmaWeights]]), so no cross-engine pow() ever
+    // runs.
+    val ws = ewmaWeights(alpha, window)
+    val contrib = daily.select(col("g"),
+        explode(sequence(lit(1), lit(window))).as("j"),
+        (col("d") + col("j").cast("long")).as("d"),
+        col("x").as("xp"))
+      .withColumn("w", element_at(lit(ws.toArray), col("j")))
+      .withColumn("w_u", round(col("w") * lit(1e6)).cast("long"))
+      .withColumn("wx_u",
+        round(col("w") * col("xp").cast("double") * lit(1e6))
+          .cast("long"))
+    val prior = contrib.groupBy("g", "d").agg(
+      count(lit(1)).as("n_prior"),
+      sum("w_u").as("_sw"), sum("wx_u").as("_swx"),
+      sum("xp").as("_sx"), sum(col("xp") * col("xp")).as("_sxx"))
+    def dd(c: String) = col(c).cast("double")
+    daily.join(prior, Seq("g", "d"))
+      .where(col("n_prior") >= minPrior)
+      .withColumn("_ewma", dd("_swx") / dd("_sw"))
+      .withColumn("_sigma", sqrt(
+        (dd("_sxx") - dd("_sx") * dd("_sx") / dd("n_prior")) /
+          (dd("n_prior") - lit(1.0))))
+      .select(col("g"), col("d"), col("x"), col("n_prior"),
+        round(col("_ewma"), 4).as("ewma"),
+        round(col("_sigma"), 4).as("sigma"),
+        // σ = 0 (a perfectly flat prior window) degenerates the band
+        // to a point: compare against the prior MEAN in exact integer
+        // form (x·n ≠ Σx) — the double EWMA carries micro-snap noise
+        // that would false-positive every row.
+        when(col("_sigma") > 0.0,
+          when(abs(col("x").cast("double") - col("_ewma")) >
+            lit(kSigma.toDouble) * col("_sigma"), 1).otherwise(0))
+          .otherwise(when(col("x") * col("n_prior") =!= col("_sx"), 1)
+            .otherwise(0))
+          .as("flag"))
+  }
 }

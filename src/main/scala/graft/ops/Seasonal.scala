@@ -117,4 +117,60 @@ object Seasonal {
         // zero) so the cross-engine hash can't split on sign bit.
         (round(col("_num") / col("_den"), 4) + lit(0.0)).as("acf"))
   }
+
+  /** Classical additive decomposition of each group's daily volume:
+    * trend = centered 7-day moving average (emitted only where the
+    * full window exists), seasonal = per-weekday mean of the
+    * detrended series, remainder = x − trend − seasonal. The "what
+    * part of today's volume is cycle vs drift vs surprise" readout
+    * behind [[dowProfile]]'s anomaly gate.
+    *
+    * Exactness: daily volumes are integer counts; the trend is one
+    * Σ7/7 division; the detrended value is snapped to integer
+    * micro-units before the per-weekday mean, so that mean is a
+    * ratio of exact integer sums (order-free across engines), and
+    * the remainder is derived from the snapped values only. Missing
+    * calendar days count as zero volume (same grid as [[acf]]).
+    *
+    * @return per (group, day) with a full trend window: `g`, `d`,
+    *         `dow` (1=Mon..7=Sun), `x`, `trend` (round 4),
+    *         `seasonal` (round 4), `remainder` (round 4)
+    */
+  def decompose(
+      df: DataFrame, groupCol: String, dayCol: String): DataFrame = {
+    val counted = df
+      .select(col(groupCol).as("g"), col(dayCol).cast("long").as("d"))
+      .where(col("g").isNotNull && col("d").isNotNull)
+      .groupBy("g", "d").agg(count(lit(1)).as("x"))
+    val grid = counted.groupBy("g")
+      .agg(min("d").as("_lo"), max("d").as("_hi"))
+      .select(col("g"), explode(sequence(col("_lo"), col("_hi"))).as("d"))
+    val daily = grid.join(counted, Seq("g", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val w7 = Window.partitionBy("g").orderBy("d").rowsBetween(-3L, 3L)
+    val trended = daily
+      .withColumn("_s7", sum("x").over(w7))
+      .withColumn("_n7", count(lit(1)).over(w7))
+      .where(col("_n7") === 7)
+      .withColumn("trend", col("_s7").cast("double") / lit(7.0))
+      // Detrended value in exact micro-units: ±ulp-free across
+      // engines because Σ7/7 is one division on an exact integer.
+      .withColumn("detr_u",
+        round((col("x").cast("double") - col("trend")) * lit(1e6))
+          .cast("long"))
+      .withColumn("dow",
+        (pmod(col("d") + lit(3L), lit(7L)) + lit(1L)).cast("int"))
+    val seas = trended.groupBy("g", "dow")
+      .agg(sum("detr_u").as("_su"), count(lit(1)).as("_nu"))
+      .withColumn("seas_u",
+        expr("CAST(round(CAST(_su AS DOUBLE) / CAST(_nu AS DOUBLE)) " +
+          "AS BIGINT)"))
+    trended.join(seas.select("g", "dow", "seas_u"), Seq("g", "dow"))
+      .select(col("g"), col("d"), col("dow"), col("x"),
+        round(col("trend"), 4).as("trend"),
+        (round(col("seas_u").cast("double") / lit(1e6), 4) + lit(0.0))
+          .as("seasonal"),
+        (round((col("detr_u") - col("seas_u")).cast("double") / lit(1e6),
+          4) + lit(0.0)).as("remainder"))
+  }
 }

@@ -8,8 +8,8 @@ import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
-  Itemsets, LanguageModel, Lateness, LineDedup, LogReg, Merge,
-  Multimodal,
+  FeatureSelect, Itemsets, LanguageModel, Lateness, LineDedup, LogReg,
+  Merge, Multimodal,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix,
@@ -9232,7 +9232,167 @@ object GemQueries {
              |    AS reversed
              |FROM s0 JOIN s1 USING (c_mktsegment)
              |CROSS JOIN pd
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Token↔label mutual information (ops/FeatureSelect
+    // .mutualInformation): which tokens carry the most information
+    // about a document's language — the filter-method feature
+    // selector feeding the q118 classifier tier. Cell terms snap to
+    // integer nano-nats before the per-token sum, and the top-20
+    // rank runs on the INTEGER score, so neither summation order nor
+    // round-boundary ties can split engines.
+    QueryDef("q238_token_label_mi",
+      (s, dir) => FeatureSelect.mutualInformation(
+          t(s, dir, "documents"), "doc_id", "lang", "text", k = 20)
+        .orderBy("token"),
+      Some("""WITH pres AS (
+             |  SELECT DISTINCT doc_id AS id, lang AS l, unnest(
+             |    list_distinct(list_filter(
+             |      string_split_regex(text, ' +'), t -> t <> '')))
+             |    AS token
+             |  FROM documents),
+             |ntl AS (SELECT token, l, count(*) AS n_tl
+             |  FROM pres GROUP BY 1, 2),
+             |nt AS (SELECT token, count(*) AS n_t FROM pres GROUP BY 1),
+             |nl AS (SELECT lang AS l, count(*) AS n_l
+             |  FROM documents GROUP BY 1),
+             |ntot AS (SELECT count(*) AS nn FROM documents),
+             |grid AS (SELECT nt.token, nt.n_t, nl.l, nl.n_l,
+             |    coalesce(ntl.n_tl, 0) AS n_tl, nn
+             |  FROM nt CROSS JOIN nl
+             |  LEFT JOIN ntl ON nt.token = ntl.token AND nl.l = ntl.l
+             |  CROSS JOIN ntot),
+             |cells AS (SELECT token, n_t,
+             |    (CASE WHEN n_tl > 0 THEN CAST(round(
+             |        CAST(n_tl AS DOUBLE) / nn *
+             |        ln(CAST(n_tl AS DOUBLE) * nn /
+             |          (CAST(n_t AS DOUBLE) * n_l)) * 1000000000.0)
+             |        AS BIGINT) ELSE 0 END
+             |     + CASE WHEN n_l - n_tl > 0 THEN CAST(round(
+             |        CAST(n_l - n_tl AS DOUBLE) / nn *
+             |        ln(CAST(n_l - n_tl AS DOUBLE) * nn /
+             |          (CAST(nn - n_t AS DOUBLE) * n_l)) * 1000000000.0)
+             |        AS BIGINT) ELSE 0 END) AS mi_nano
+             |  FROM grid),
+             |sc AS (SELECT token, max(n_t) AS n_docs,
+             |    sum(mi_nano) AS mi
+             |  FROM cells GROUP BY 1),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY mi DESC, token)
+             |    AS rk
+             |  FROM sc)
+             |SELECT token, CAST(n_docs AS BIGINT) AS n_docs,
+             |  round(CAST(mi AS DOUBLE) / 1000000000.0, 6) AS mi
+             |FROM rk WHERE rk <= 20 ORDER BY token""".stripMargin)),
+
+    // EWMA control chart on daily event volume (Rolling.ewmaChart):
+    // α=0.3 over the prior 14 days, 3σ gate — the fast-reacting
+    // monitor q181's weekday means can't provide. Weights are Scala
+    // literals shared with the oracle (no cross-engine pow), snapped
+    // to micro-units before any sum.
+    QueryDef("q239_ewma_chart",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Rolling.ewmaChart(ev, "event_type", "day",
+            alpha = 0.3, window = 14, kSigma = 3, minPrior = 7)
+          .orderBy("g", "d")
+      },
+      Some {
+        val ws = Rolling.ewmaWeights(0.3, 14).mkString("[", ", ", "]")
+        s"""WITH counted AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |lims AS (SELECT g, min(d) AS lo, max(d) AS hi
+             |  FROM counted GROUP BY 1),
+             |grid AS (SELECT g, unnest(generate_series(lo, hi)) AS d
+             |  FROM lims),
+             |daily AS (SELECT grid.g, grid.d, coalesce(x, 0) AS x
+             |  FROM grid LEFT JOIN counted
+             |    ON grid.g = counted.g AND grid.d = counted.d),
+             |contrib AS (SELECT g, d + j AS d, x AS xp,
+             |    list_extract($ws, CAST(j AS INT)) AS w
+             |  FROM daily,
+             |    (SELECT unnest(generate_series(1, 14)) AS j) js),
+             |snap AS (SELECT g, d, xp,
+             |    CAST(round(w * 1000000.0) AS BIGINT) AS w_u,
+             |    CAST(round(w * CAST(xp AS DOUBLE) * 1000000.0)
+             |      AS BIGINT) AS wx_u
+             |  FROM contrib),
+             |prior AS (SELECT g, d, count(*) AS n_prior,
+             |    sum(w_u) AS sw, sum(wx_u) AS swx,
+             |    sum(xp) AS sx, sum(xp * xp) AS sxx
+             |  FROM snap GROUP BY 1, 2)
+             |SELECT daily.g, daily.d, CAST(daily.x AS BIGINT) AS x,
+             |  CAST(n_prior AS BIGINT) AS n_prior,
+             |  round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 4)
+             |    AS ewma,
+             |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |      CAST(sx AS DOUBLE) / CAST(n_prior AS DOUBLE)) /
+             |    (CAST(n_prior AS DOUBLE) - 1.0)), 4) AS sigma,
+             |  CASE WHEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |      CAST(sx AS DOUBLE) / CAST(n_prior AS DOUBLE)) /
+             |      (CAST(n_prior AS DOUBLE) - 1.0)) > 0
+             |  THEN (CASE WHEN abs(CAST(daily.x AS DOUBLE) -
+             |      CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)) >
+             |      3.0 * sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sx AS DOUBLE) / CAST(n_prior AS DOUBLE)) /
+             |      (CAST(n_prior AS DOUBLE) - 1.0))
+             |    THEN 1 ELSE 0 END)
+             |  ELSE (CASE WHEN daily.x * n_prior <> sx
+             |    THEN 1 ELSE 0 END) END AS flag
+             |FROM daily JOIN prior
+             |  ON daily.g = prior.g AND daily.d = prior.d
+             |WHERE n_prior >= 7
+             |ORDER BY 1, 2""".stripMargin
+      }),
+
+    // Classical additive seasonal decomposition (Seasonal.decompose):
+    // centered 7-day MA trend, per-weekday seasonal from the
+    // micro-snapped detrended series, remainder from the snapped
+    // values — trend/cycle/surprise attribution for each day's
+    // volume.
+    QueryDef("q240_seasonal_decompose",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Seasonal.decompose(ev, "event_type", "day")
+          .orderBy("g", "d")
+      },
+      Some("""WITH counted AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |lims AS (SELECT g, min(d) AS lo, max(d) AS hi
+             |  FROM counted GROUP BY 1),
+             |grid AS (SELECT g, unnest(generate_series(lo, hi)) AS d
+             |  FROM lims),
+             |daily AS (SELECT grid.g, grid.d, coalesce(x, 0) AS x
+             |  FROM grid LEFT JOIN counted
+             |    ON grid.g = counted.g AND grid.d = counted.d),
+             |tw AS (SELECT g, d, x, sum(x) OVER w AS s7,
+             |    count(*) OVER w AS n7
+             |  FROM daily WINDOW w AS (PARTITION BY g ORDER BY d
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |tr AS (SELECT g, d, x,
+             |    CAST(s7 AS DOUBLE) / 7.0 AS trend,
+             |    CAST(round((CAST(x AS DOUBLE) -
+             |      CAST(s7 AS DOUBLE) / 7.0) * 1000000.0) AS BIGINT)
+             |      AS detr_u,
+             |    CAST((d + 3) % 7 + 1 AS INT) AS dow
+             |  FROM tw WHERE n7 = 7),
+             |se AS (SELECT g, dow, CAST(round(
+             |    CAST(sum(detr_u) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             |    AS BIGINT) AS seas_u
+             |  FROM tr GROUP BY 1, 2)
+             |SELECT tr.g, tr.d, tr.dow, CAST(tr.x AS BIGINT) AS x,
+             |  round(trend, 4) AS trend,
+             |  round(CAST(seas_u AS DOUBLE) / 1000000.0, 4) + 0.0
+             |    AS seasonal,
+             |  round(CAST(detr_u - seas_u AS DOUBLE) / 1000000.0, 4)
+             |    + 0.0 AS remainder
+             |FROM tr JOIN se ON tr.g = se.g AND tr.dow = se.dow
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
