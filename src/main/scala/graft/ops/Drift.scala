@@ -58,6 +58,37 @@ object Drift {
       .select(col(groupCol), col("n_a"), col("n_b"), col("psi"))
   }
 
+  /** Quantile–quantile profile of two cohorts of one metric: the
+    * interpolated quantile of each side at a shared probability grid,
+    * plus their difference — the SHAPE-level drift readout that a
+    * scalar KS/PSI compresses away (is the gap in the tail or the
+    * middle?). `percentile`'s interpolation is the q143-pinned kernel,
+    * so both engines emit identical doubles.
+    *
+    * One aggregate per cohort (map-side combinable percentile
+    * sketch), then everything runs on the |ps|-row grid.
+    *
+    * @return per probability `p`: `n_a`, `n_b`, `q_a`, `q_b`,
+    *         `gap` = q_b − q_a (all quantiles round 4)
+    */
+  def qqProfile(
+      df: DataFrame, cohortCol: String, valueCol: String,
+      cohortA: String, cohortB: String, ps: Seq[Double]): DataFrame = {
+    val pArr = s"array(${ps.map(p => s"${p}D").mkString(", ")})"
+    def side(c: String, pfx: String) = df
+      .where(col(cohortCol) === c && col(valueCol).isNotNull)
+      .agg(count(lit(1)).as(s"n_$pfx"),
+        expr(s"percentile($valueCol, $pArr)").as(s"qs_$pfx"))
+      .select(col(s"n_$pfx"),
+        posexplode(col(s"qs_$pfx")).as(Seq("i", s"q_$pfx")))
+    side(cohortA, "a").join(side(cohortB, "b"), Seq("i"))
+      .select(
+        element_at(lit(ps.toArray), col("i") + 1).as("p"),
+        col("n_a"), col("n_b"),
+        round(col("q_a"), 4).as("q_a"), round(col("q_b"), 4).as("q_b"),
+        (round(col("q_b") - col("q_a"), 4) + lit(0.0)).as("gap"))
+  }
+
   def ksFromHists(
       a: DataFrame, b: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double, nbins: Int): DataFrame = {

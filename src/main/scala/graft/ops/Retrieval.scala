@@ -100,4 +100,58 @@ object Retrieval {
     fused.withColumn("fused_rank", row_number().over(w))
       .select(col(idCol), col("fused_rank"), col("rrf"))
   }
+
+  /** Exact phrase search via positional postings intersection: a
+    * document matches where phrase word i sits at token position
+    * p + i for every i — the operator BM25's bag-of-words scoring
+    * cannot express. Scale shape: the positional posting list is
+    * filtered to the phrase's OWN words before any shuffle (the
+    * bm25TopK discipline), then one equi-join per additional word on
+    * (doc, position) — never a scan of full positions against full
+    * positions.
+    *
+    * @return per matching doc: `idCol`, `n_matches`, `first_pos`
+    *         (0-based token position of the first occurrence)
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase: _*))
+    def wordAt(i: Int) = pos.where(col("tok") === phrase(i))
+      .select(col(idCol), (col("pos") - lit(i)).as("p"))
+    val starts = phrase.indices.tail
+      .foldLeft(wordAt(0))((acc, i) => acc.join(wordAt(i), Seq(idCol.toString, "p")))
+    starts.groupBy(idCol)
+      .agg(count(lit(1)).as("n_matches"), min("p").as("first_pos"))
+  }
+
+  /** Keyword-in-context concordance: every occurrence of `term` with
+    * its ±`ctx` surrounding tokens — the "show me how this token is
+    * actually used" audit behind stopword lists, PII term review, and
+    * tokenizer debugging. One posexplode filtered to the term (narrow),
+    * then the context is sliced from the SAME token array the match
+    * came from — no second scan, no join back to raw text.
+    *
+    * @return per occurrence: `idCol`, `pos` (0-based), `left_ctx`,
+    *         `right_ctx` (space-joined, may be shorter at edges)
+    */
+  def kwic(
+      docs: DataFrame, idCol: String, textCol: String,
+      term: String, ctx: Int): DataFrame = {
+    val withToks = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    withToks.select(col(idCol), col("tk"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      .where(col("tok") === term)
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("tk"),
+          greatest(col("pos") - lit(ctx) + 1, lit(1)),
+          least(col("pos"), lit(ctx))), " ").as("left_ctx"),
+        array_join(slice(col("tk"), col("pos") + 2, lit(ctx)), " ")
+          .as("right_ctx"))
+  }
 }

@@ -9392,7 +9392,101 @@ object GemQueries {
              |  round(CAST(detr_u - seas_u AS DOUBLE) / 1000000.0, 4)
              |    + 0.0 AS remainder
              |FROM tr JOIN se ON tr.g = se.g AND tr.dow = se.dow
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Quantile–quantile drift profile (Drift.qqProfile): src0 vs src1
+    // document lengths at a 19-point probability grid — the
+    // SHAPE-level readout q160's scalar KS compresses away. One
+    // percentile sketch per cohort; everything else runs on 19 rows.
+    QueryDef("q241_qq_profile", {
+      val ps = Seq(0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+        0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+      (s: SparkSession, dir: String) => Drift.qqProfile(
+          t(s, dir, "documents"), "source", "n_chars",
+          cohortA = "src0", cohortB = "src1", ps = ps)
+        .orderBy("p")
+    },
+      Some {
+        val ps = Seq(0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+          0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+        val lst = ps.mkString("[", ", ", "]")
+        s"""WITH a AS (SELECT count(*) AS n_a,
+             |    percentile_cont($lst)
+             |      WITHIN GROUP (ORDER BY n_chars) AS qs
+             |  FROM documents
+             |  WHERE source = 'src0' AND n_chars IS NOT NULL),
+             |b AS (SELECT count(*) AS n_b,
+             |    percentile_cont($lst)
+             |      WITHIN GROUP (ORDER BY n_chars) AS qs
+             |  FROM documents
+             |  WHERE source = 'src1' AND n_chars IS NOT NULL),
+             |ix AS (SELECT unnest(generate_series(1, ${ps.size}))
+             |    AS i),
+             |ea AS (SELECT i, n_a, list_extract(a.qs, CAST(i AS INT))
+             |    AS q_a
+             |  FROM a CROSS JOIN ix),
+             |eb AS (SELECT i, n_b, list_extract(b.qs, CAST(i AS INT))
+             |    AS q_b
+             |  FROM b CROSS JOIN ix)
+             |SELECT list_extract($lst, CAST(i AS INT)) AS p,
+             |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  round(q_a, 4) AS q_a, round(q_b, 4) AS q_b,
+             |  round(q_b - q_a, 4) + 0.0 AS gap
+             |FROM ea JOIN eb USING (i) ORDER BY 1""".stripMargin
+      }),
+
+    // Exact positional phrase search (Retrieval.phraseSearch):
+    // "slow hash batch" as a (doc, position) postings intersection —
+    // postings filtered to the phrase's own words BEFORE any
+    // shuffle, one equi-join per extra word, never positions×positions.
+    QueryDef("q242_phrase_search",
+      (s, dir) => Retrieval.phraseSearch(t(s, dir, "documents"),
+          "doc_id", "text", phrase = Seq("slow", "hash", "batch"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |pos AS (SELECT doc_id, i, tk[i] AS tok
+             |  FROM (SELECT doc_id, tk,
+             |      unnest(generate_series(1, len(tk))) AS i
+             |    FROM tk)),
+             |w0 AS (SELECT doc_id, i - 1 AS p FROM pos
+             |  WHERE tok = 'slow'),
+             |w1 AS (SELECT doc_id, i - 2 AS p FROM pos
+             |  WHERE tok = 'hash'),
+             |w2 AS (SELECT doc_id, i - 3 AS p FROM pos
+             |  WHERE tok = 'batch'),
+             |st AS (SELECT w0.doc_id, w0.p FROM w0
+             |  JOIN w1 ON w0.doc_id = w1.doc_id AND w0.p = w1.p
+             |  JOIN w2 ON w0.doc_id = w2.doc_id AND w0.p = w2.p)
+             |SELECT doc_id, count(*) AS n_matches,
+             |  CAST(min(p) AS INT) AS first_pos
+             |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Keyword-in-context concordance (Retrieval.kwic): every
+    // occurrence of 'spark' with ±3 surrounding tokens, sliced from
+    // the SAME token array the posexplode matched on — no second
+    // scan, no join back to raw text.
+    QueryDef("q243_kwic",
+      (s, dir) => Retrieval.kwic(t(s, dir, "documents"),
+          "doc_id", "text", term = "spark", ctx = 3)
+        .orderBy("doc_id", "pos"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |m AS (SELECT doc_id, tk, i
+             |  FROM (SELECT doc_id, tk,
+             |      unnest(generate_series(1, len(tk))) AS i
+             |    FROM tk)
+             |  WHERE tk[i] = 'spark')
+             |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             |  coalesce(array_to_string(list_slice(tk,
+             |    greatest(i - 3, 1), i - 1), ' '), '') AS left_ctx,
+             |  coalesce(array_to_string(list_slice(tk,
+             |    i + 1, least(i + 3, len(tk))), ' '), '') AS right_ctx
+             |FROM m ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
