@@ -35,4 +35,44 @@ object Retention {
       .withColumn("retained_ppm",
         expr("(n_retained * 1000000) DIV n_active"))
   }
+
+  /** Cohort lifetime-value curve: entities bucketed by first-seen
+    * week, their integer-cents value accumulated by weeks-since-
+    * cohort — the growth-accounting triangle ("how much is a week-N
+    * user of cohort C worth so far") that q134's retention counts
+    * can't price. Cohort size uses the FULL cohort (not just weeks
+    * with revenue), so ltv is per acquired entity.
+    *
+    * Scale shape: one entity-grain min() for the cohort, one
+    * (cohort, age) revenue aggregate, then the cumulative window
+    * runs on the small (cohorts × ages) triangle.
+    *
+    * @return per (cohort_week, age_week) with activity: `n_cohort`,
+    *         `rev_cents`, `cum_rev_cents`, `ltv_cents` (cum/entity,
+    *         round 4)
+    */
+  def ltvCurve(
+      df: DataFrame, entityCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val in = df.select(col(entityCol).as("e"),
+        expr(s"CAST($dayCol AS LONG) DIV 7").as("wk"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("e").isNotNull && col("wk").isNotNull)
+    val cohorts = in.groupBy("e").agg(min("wk").as("cw"))
+    val sizes = cohorts.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    val tri = in.join(cohorts, Seq("e"))
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("age"))
+      .agg(sum(coalesce(col("v"), lit(0L))).as("rev_cents"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("cw").orderBy("age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    tri.withColumn("cum_rev_cents", sum("rev_cents").over(wCum))
+      .join(sizes, Seq("cw"))
+      .select(col("cw").as("cohort_week"), col("age").as("age_week"),
+        col("n_cohort"), col("rev_cents"), col("cum_rev_cents"),
+        round(col("cum_rev_cents").cast("double") /
+          col("n_cohort").cast("double"), 4).as("ltv_cents"))
+  }
 }

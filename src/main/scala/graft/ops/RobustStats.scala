@@ -149,6 +149,67 @@ object RobustStats {
           2).as("df"))
   }
 
+  /** Huber M-estimator of location per group (Huber 1964), solved by
+    * `iters` fixed IRLS rounds from the median: weights w_i =
+    * min(1, k·s/|x_i − m|) with s = 1.4826·MAD (the consistent
+    * robust scale) and tuning constant k — between the mean
+    * (k = ∞) and the median (k → 0), with 95% Gaussian efficiency at
+    * the default k = 1.345.
+    *
+    * Determinism: a FIXED round count (not convergence), so the
+    * output is a pure function of the data; weights are snapped to
+    * integer micro-units, making each round's update a ratio of
+    * exact integer sums (Σ w_u·x / Σ w_u — order-free); the
+    * median/MAD init is the q143-pinned percentile kernel.
+    *
+    * Scale shape: per round one broadcast of the (groups)-sized
+    * (m, s) frame and one map-side-combinable weighted aggregate —
+    * the Components/LogReg iteration discipline with model-sized
+    * state.
+    *
+    * @return per group: `n`, `median`, `mad_scale` (round 4),
+    *         `mean` (round 4), `huber` (round 4)
+    */
+  def huberLocation(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.345, iters: Int = 2): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val in = df.where(x.isNotNull)
+      .select(col(groupCol).as("g"), x.as("x"))
+    val med = in.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("x").as("_sx"),
+      expr("percentile(x, 0.5)").as("m0"))
+    val mad = in.join(broadcast(med.select("g", "m0")), Seq("g"))
+      .withColumn("_ad", abs(col("x").cast("double") - col("m0")))
+      .groupBy("g")
+      .agg(expr("percentile(_ad, 0.5)").as("_mad"))
+      .withColumn("s", col("_mad") * lit(1.4826))
+    var state = med.join(mad.select("g", "s"), Seq("g"))
+      .select(col("g"), col("n"), col("_sx"), col("s"),
+        col("m0").as("m"))
+    (1 to iters).foreach { _ =>
+      val next = in.join(broadcast(state), Seq("g"))
+        .withColumn("_r", abs(col("x").cast("double") - col("m")))
+        // w = min(1, k·s/r); r = 0 (or s = 0) → full weight.
+        .withColumn("_w", when(col("_r") > lit(k) * col("s"),
+          lit(k) * col("s") / col("_r")).otherwise(lit(1.0)))
+        .withColumn("_wu", round(col("_w") * lit(1e6)).cast("long"))
+        .groupBy("g")
+        .agg(max("n").as("n"), max("_sx").as("_sx"), max("s").as("s"),
+          (sum(col("_wu") * col("x")).cast("double") /
+            sum(col("_wu")).cast("double")).as("m"))
+      state = next
+    }
+    val medOut = med.select(col("g"), col("m0"))
+    state.join(medOut, Seq("g"))
+      .select(col("g"), col("n"),
+        round(col("m0"), 4).as("median"),
+        round(col("s"), 4).as("mad_scale"),
+        round(col("_sx").cast("double") / col("n").cast("double"), 4)
+          .as("mean"),
+        round(col("m"), 4).as("huber"))
+  }
+
   /** Theil–Sen robust slope per group (Sen, JASA 1968): the median of
     * all pairwise slopes (y_j−y_i)/(x_j−x_i), x_i < x_j — the trend
     * estimate a single outlier day can't own (OLS breaks down at one

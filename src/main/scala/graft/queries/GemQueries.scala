@@ -4,7 +4,8 @@ import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
   CardinalityEstimate,
-  Chunking, Classifier, Cleaning, Components, Coordinates,
+  Chunking, Classifier, Cleaning, Components, Compressibility,
+  Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
@@ -9486,7 +9487,131 @@ object GemQueries {
              |    greatest(i - 3, 1), i - 1), ' '), '') AS left_ctx,
              |  coalesce(array_to_string(list_slice(tk,
              |    i + 1, least(i + 3, len(tk))), ' '), '') AS right_ctx
-             |FROM m ORDER BY 1, 2""".stripMargin))
+             |FROM m ORDER BY 1, 2""".stripMargin)),
+
+    // Huber M-estimator of document length per language (RobustStats
+    // .huberLocation): 2 fixed IRLS rounds from the median, MAD
+    // scale, k = 1.345 — the robust center that, unlike q176's trim,
+    // downweights outliers smoothly instead of discarding a fixed
+    // fraction. Micro-snapped weights make each round a ratio of
+    // exact integer sums.
+    QueryDef("q244_huber_location",
+      (s, dir) => RobustStats.huberLocation(
+          t(s, dir, "documents").select(col("lang"), col("n_chars")),
+          "lang", "n_chars", k = 1.345, iters = 2)
+        .orderBy("g"),
+      Some("""WITH x AS (
+             |  SELECT lang AS g, n_chars AS x FROM documents
+             |  WHERE n_chars IS NOT NULL),
+             |med AS (SELECT g, count(*) AS n, sum(x) AS sx,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS m0
+             |  FROM x GROUP BY 1),
+             |mad AS (SELECT x.g, percentile_cont(0.5) WITHIN GROUP (
+             |      ORDER BY abs(CAST(x.x AS DOUBLE) - m0)) * 1.4826 AS s
+             |  FROM x JOIN med ON x.g = med.g GROUP BY 1),
+             |it0 AS (SELECT med.g, n, sx, s, m0, m0 AS m
+             |  FROM med JOIN mad ON med.g = mad.g),
+             |w1 AS (SELECT x.g, x.x, CAST(round((CASE
+             |      WHEN abs(CAST(x.x AS DOUBLE) - m) > 1.345 * s
+             |      THEN 1.345 * s / abs(CAST(x.x AS DOUBLE) - m)
+             |      ELSE 1.0 END) * 1000000.0) AS BIGINT) AS wu
+             |  FROM x JOIN it0 ON x.g = it0.g),
+             |m1 AS (SELECT g, CAST(sum(wu * x) AS DOUBLE) /
+             |    CAST(sum(wu) AS DOUBLE) AS m
+             |  FROM w1 GROUP BY 1),
+             |st1 AS (SELECT it0.g, n, sx, s, m0, m1.m
+             |  FROM it0 JOIN m1 ON it0.g = m1.g),
+             |w2 AS (SELECT x.g, x.x, CAST(round((CASE
+             |      WHEN abs(CAST(x.x AS DOUBLE) - m) > 1.345 * s
+             |      THEN 1.345 * s / abs(CAST(x.x AS DOUBLE) - m)
+             |      ELSE 1.0 END) * 1000000.0) AS BIGINT) AS wu
+             |  FROM x JOIN st1 ON x.g = st1.g),
+             |m2 AS (SELECT g, CAST(sum(wu * x) AS DOUBLE) /
+             |    CAST(sum(wu) AS DOUBLE) AS m
+             |  FROM w2 GROUP BY 1)
+             |SELECT st1.g, CAST(n AS BIGINT) AS n,
+             |  round(m0, 4) AS median, round(s, 4) AS mad_scale,
+             |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+             |  round(m2.m, 4) AS huber
+             |FROM st1 JOIN m2 ON st1.g = m2.g ORDER BY 1""".stripMargin)),
+
+    // Character-entropy compressibility per source (ops/
+    // Compressibility.charEntropy): zeroth-order Shannon bits/char +
+    // the conservative 8-bit compression-ratio bound — the storage
+    // planner's "which slices are worth zstd-ing hard" readout and a
+    // junk detector (binary ≈ 8 bits, text ≈ 4). Nano-snapped −p·lg p
+    // terms, alphabet-sized frames after the first aggregate.
+    QueryDef("q245_char_entropy",
+      (s, dir) => Compressibility.charEntropy(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy("g"),
+      Some("""WITH ch AS (
+             |  SELECT source AS g, substring(text, CAST(i AS INT), 1)
+             |    AS ch
+             |  FROM (SELECT source, text,
+             |      unnest(generate_series(1, length(text))) AS i
+             |    FROM documents WHERE text IS NOT NULL)),
+             |counts AS (SELECT g, ch, count(*) AS c
+             |  FROM ch GROUP BY 1, 2),
+             |wn AS (SELECT g, ch, c, sum(c) OVER (PARTITION BY g) AS n
+             |  FROM counts),
+             |terms AS (SELECT g, n, CAST(round(
+             |    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    1000000000.0) AS BIGINT) AS term
+             |  FROM wn),
+             |ent AS (SELECT g, max(n) AS n_chars,
+             |    count(*) AS n_distinct_chars, sum(term) AS hn
+             |  FROM terms GROUP BY 1),
+             |dc AS (SELECT source AS g, count(*) AS n_docs
+             |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+             |SELECT dc.g, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_chars AS BIGINT) AS n_chars,
+             |  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+             |  round(CAST(hn AS DOUBLE) / 1000000000.0, 4)
+             |    AS entropy_bits,
+             |  round(CASE WHEN hn > 0 THEN
+             |    8.0 / (CAST(hn AS DOUBLE) / 1000000000.0) END, 4)
+             |    AS est_ratio
+             |FROM dc JOIN ent ON dc.g = ent.g ORDER BY 1""".stripMargin)),
+
+    // Cohort LTV curve (Retention.ltvCurve): users bucketed by
+    // first-seen week, purchase cents accumulated by weeks-since —
+    // the growth triangle that prices a week-N user of each cohort.
+    // Cumulative window runs on the (cohorts × ages) triangle only.
+    QueryDef("q246_ltv_curve",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+          .withColumn("v",
+            when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L))
+        Retention.ltvCurve(ev, "user_id", "day", "v")
+          .orderBy("cohort_week", "age_week")
+      },
+      Some("""WITH ein AS (
+             |  SELECT user_id AS e,
+             |    epoch_us(ts) // 86400000000 // 7 AS wk,
+             |    CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT)
+             |      ELSE 0 END AS v
+             |  FROM events),
+             |coh AS (SELECT e, min(wk) AS cw FROM ein GROUP BY 1),
+             |sz AS (SELECT cw, count(*) AS n_cohort FROM coh GROUP BY 1),
+             |tri AS (SELECT coh.cw, wk - cw AS age, sum(v) AS rev
+             |  FROM ein JOIN coh ON ein.e = coh.e GROUP BY 1, 2),
+             |cum AS (SELECT cw, age, rev,
+             |    sum(rev) OVER (PARTITION BY cw ORDER BY age) AS cr
+             |  FROM tri)
+             |SELECT cw AS cohort_week, age AS age_week,
+             |  CAST(n_cohort AS BIGINT) AS n_cohort,
+             |  CAST(rev AS BIGINT) AS rev_cents,
+             |  CAST(cr AS BIGINT) AS cum_rev_cents,
+             |  round(CAST(cr AS DOUBLE) / CAST(n_cohort AS DOUBLE), 4)
+             |    AS ltv_cents
+             |FROM cum JOIN sz USING (cw)
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
