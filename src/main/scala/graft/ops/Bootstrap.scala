@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   * resamples vanishes at corpus scale. R replicate means live on a
   * (groups × R) frame — the quantile step is model-sized.
   *
-  * Determinism: the weight is an inverse-CDF lookup of u =
-  * portableHash(r:id)/2^60 against hard-coded cumulative Poisson(1)
-  * thresholds (truncated at 8, beyond which mass < 1e-6), so an
-  * external engine replays the exact draws. Replicate means are
-  * ratios of exact integer sums; the CI is `percentile` interpolation
-  * over those identical doubles.
+  * Determinism: the weight is an inverse-CDF lookup of u against
+  * hard-coded cumulative Poisson(1) thresholds (truncated at 8,
+  * beyond which mass < 1e-6), where u = h_r(id)/P31 from the
+  * [[Hashing.universalHashes]] affine family — ONE md5 per row and
+  * plain integer mixes per replicate, not R md5s (the k-seeded-md5
+  * form measured 2.5× slower on the 10M-row replicate frame at
+  * sf0.1). An external engine replays the exact draws via
+  * [[Hashing.duckUniversalHash]]. Replicate means are ratios of
+  * exact integer sums; the CI is `percentile` interpolation over
+  * those identical doubles.
   */
 object Bootstrap {
 
@@ -52,13 +56,17 @@ object Bootstrap {
     val in = df.where(x.isNotNull)
       .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
         x.as("x"))
-    val u = Hashing.seededHash(col("rep"), col("id")).cast("double") /
-      lit(1152921504606846976.0) // 2^60
+    val p31 = Hashing.P31
     val w = cdf.foldLeft(lit(0L)) { (acc, c) =>
       acc + when(lit(c) < col("u"), 1L).otherwise(0L) }
     val reps = in
-      .withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
-      .withColumn("u", u)
+      .withColumn("h31", pmod(Hashing.portableHash(col("id")), lit(p31)))
+      .withColumn("rep", explode(sequence(lit(0L), lit(r - 1L))))
+      .withColumn("u",
+        pmod(pmod(col("rep") * lit(1103515245L) + lit(12345L), lit(p31)) *
+          col("h31") +
+          pmod(col("rep") * lit(2654435761L) + lit(1013904223L),
+            lit(p31)), lit(p31)).cast("double") / lit(p31.toDouble))
       .withColumn("w", w)
       .groupBy("g", "rep")
       .agg(sum(col("w") * col("x")).as("_swx"), sum("w").as("_sw"))

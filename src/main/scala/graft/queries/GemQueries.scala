@@ -8923,8 +8923,8 @@ object GemQueries {
              |    unnest(generate_series(0, 99)) AS rep
              |  FROM ev),
              |uu AS (SELECT g, rep, x,
-             |    CAST(${Hashing.duckSeededHash("rep", "id")} AS DOUBLE) /
-             |      1152921504606846976.0 AS u
+             |    CAST(${Hashing.duckUniversalHash("rep", "id")} AS DOUBLE) /
+             |      2147483647.0 AS u
              |  FROM reps),
              |wt AS (SELECT g, rep, x,
              |    $wSum AS w

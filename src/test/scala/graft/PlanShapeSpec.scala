@@ -194,7 +194,26 @@ class PlanShapeSpec extends SparkSpec {
       // q215: the 1-row candidate-stats aggregate crosses the 1-row
       // true-possible count into the single report row (q102 shape);
       // the SNM candidate generation itself is the band EQUI-join.
-      "q215_sorted_neighborhood")
+      "q215_sorted_neighborhood",
+      // q226: the 1-row global horizon broadcasts onto the
+      // entity-sized spans frame (documented in Survival).
+      "q226_kaplan_meier",
+      // q232: three 1-row aggregates (m, community count, sums)
+      // cross into the single modularity report row.
+      "q232_modularity",
+      // q235: the 1-row lateness-percentile frame crosses onto the
+      // |allowed|-row drop table.
+      "q235_watermark_profile",
+      // q236: four 1-row cell frames + the 1-row pooled variance
+      // cross into the single DiD report row.
+      "q236_diff_in_diff",
+      // q237: the 1-row pooled-diff frame broadcasts onto the
+      // stratum frame.
+      "q237_simpson_scan",
+      // q238: the label dim (broadcast) crosses the vocab-sized
+      // token frame to build the dense MI grid (q178's margin-cross
+      // shape), plus the 1-row corpus total.
+      "q238_token_label_mi")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
