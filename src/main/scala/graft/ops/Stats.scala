@@ -47,6 +47,72 @@ object Stats {
       (round(r2, 4) + lit(0.0)).as("r2"))
   }
 
+  /** OLS fit diagnostics per group — the "should I trust q133's
+    * slope" readout: R² from the exact moment sums plus residual
+    * SKEWNESS and EXCESS KURTOSIS, the two numbers that say whether
+    * the residuals look Gaussian (both ≈ 0) or the fit is hiding
+    * structure (skewed/fat-tailed errors).
+    *
+    * Two passes: one moment aggregate fixes (slope, intercept); the
+    * residuals then snap to integer deci-units (scale cancels out of
+    * both shape statistics, so the snap costs nothing semantically)
+    * and a second aggregate collects Σr..Σr⁴ as exact integers.
+    * `snapScale` bounds Σr⁴: pick it so (max|r|·snapScale)⁴ · n_group
+    * stays inside int64 (the default 10 holds to |r| ≈ 3e3 per point
+    * at 30-point groups; shrink it for wilder metrics).
+    *
+    * @return per group: `n`, `slope` (round 6), `r2` (round 4),
+    *         `resid_skew` (round 4), `resid_kurtosis` (excess,
+    *         round 4)
+    */
+  def olsDiagnostics(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      snapScale: Int = 10): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val in = df.select(col(groupCol).as("g"), x.as("x"), y.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val agg = in.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val covN = d("n") * d("sxy") - d("sx") * d("sy")
+    val varXN = d("n") * d("sxx") - d("sx") * d("sx")
+    val varYN = d("n") * d("syy") - d("sy") * d("sy")
+    val params = agg
+      .withColumn("_b", covN / varXN)
+      .withColumn("_a", (d("sy") - col("_b") * d("sx")) / d("n"))
+      .withColumn("_r2", (covN * covN) / (varXN * varYN))
+    val resid = in.join(broadcast(params.select("g", "_a", "_b")), Seq("g"))
+      .withColumn("_rd",
+        round((col("y").cast("double") - col("_a") -
+          col("_b") * col("x").cast("double")) * lit(snapScale.toDouble))
+          .cast("long"))
+      .groupBy("g")
+      .agg(sum(col("_rd") * col("_rd")).as("_m2"),
+        sum(col("_rd") * col("_rd") * col("_rd")).as("_m3"),
+        sum(col("_rd") * col("_rd") * col("_rd") * col("_rd")).as("_m4"))
+    params.join(resid, Seq("g"))
+      .select(col("g"), col("n"),
+        (round(col("_b"), 6) + lit(0.0)).as("slope"),
+        round(col("_r2"), 4).as("r2"),
+        // x^1.5 as x·√x: sqrt is correctly rounded in IEEE, so the
+        // shape reproduces exactly in any engine (pow() would not).
+        (round(when(col("_m2") > 0,
+          (col("_m3").cast("double") / d("n")) /
+            ((col("_m2").cast("double") / d("n")) *
+              sqrt(col("_m2").cast("double") / d("n")))), 4)
+          + lit(0.0)).as("resid_skew"),
+        (round(when(col("_m2") > 0,
+          col("_m4").cast("double") / d("n") /
+            ((col("_m2").cast("double") / d("n")) *
+              (col("_m2").cast("double") / d("n"))) - lit(3.0)), 4)
+          + lit(0.0)).as("resid_kurtosis"))
+  }
+
   /** Per-group approximate percentiles from the portable histogram
     * sketch ([[graft.functions.HistSketchAgg]], `graft_hist`): ONE
     * map-side-combinable aggregate ships 8·nbins bytes per group

@@ -10,7 +10,7 @@ import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   FeatureSelect, Itemsets, LanguageModel, Lateness, LineDedup, LogReg,
-  Merge, Multimodal,
+  Markov, Merge, Multimodal, TimeWeighted,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix,
@@ -9611,7 +9611,161 @@ object GemQueries {
              |  round(CAST(cr AS DOUBLE) / CAST(n_cohort AS DOUBLE), 4)
              |    AS ltv_cents
              |FROM cum JOIN sz USING (cw)
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Time-weighted average value per (event type, day) (ops/
+    // TimeWeighted.twap): each observation weighted by how long it
+    // was last-seen — the right average for irregularly-sampled
+    // state, where the plain mean over-weights bursts. Exact
+    // integer ms·cents accumulation; one lead() window per
+    // (group, day) slice.
+    QueryDef("q247_twap",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(col("value").isNotNull)
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+          .withColumn("et", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        TimeWeighted.twap(ev, "event_type", "day", "et", "cents",
+            sliceWidthUs = 86400000000L)
+          .orderBy("g", "sl")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS sl,
+             |    epoch_us(ts) AS tsu,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |g2 AS (SELECT g, sl, tsu, v,
+             |    lead(tsu) OVER (PARTITION BY g, sl ORDER BY tsu, v)
+             |      AS nxt
+             |  FROM e),
+             |d2 AS (SELECT g, sl, v,
+             |    (coalesce(nxt, (sl + 1) * 86400000000) - tsu) // 1000
+             |      AS dt
+             |  FROM g2)
+             |SELECT g, sl, count(*) AS n_obs,
+             |  round(CAST(sum(v * dt) AS DOUBLE) /
+             |    CAST(sum(dt) AS DOUBLE), 4) AS twap,
+             |  round(CAST(sum(v) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 4) AS mean
+             |FROM d2 WHERE dt > 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Markov steady-state event mix (ops/Markov.stationary): the
+    // empirical transition matrix driven 3 fixed power-iteration
+    // rounds from uniform — capacity planning's "if today's behavior
+    // repeats" load model. Mass carried in integer nano-units,
+    // snapped per matrix CELL, so the iteration replays exactly;
+    // every round runs on the state²-sized frame.
+    QueryDef("q248_markov_stationary",
+      (s, dir) => Markov.stationary(t(s, dir, "events"),
+          "user_id", "event_id", "event_type", rounds = 3)
+        .orderBy("state"),
+      Some("""WITH tr AS (
+             |  SELECT i, j, count(*) AS n_ij FROM (
+             |    SELECT event_type AS j,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY event_id) AS i
+             |    FROM events)
+             |  WHERE i IS NOT NULL GROUP BY 1, 2),
+             |ot AS (SELECT i, sum(n_ij) AS n_i FROM tr GROUP BY 1),
+             |st AS (SELECT DISTINCT state FROM (
+             |    SELECT i AS state FROM tr UNION SELECT j FROM tr)),
+             |ns AS (SELECT count(*) AS ns FROM st),
+             |p0 AS (SELECT state,
+             |    CAST(round(1000000000.0 / ns) AS BIGINT) AS pn
+             |  FROM st CROSS JOIN ns),
+             |p1 AS (SELECT tr.j AS state, sum(CAST(round(
+             |      CAST(pn AS DOUBLE) * CAST(n_ij AS DOUBLE) /
+             |      CAST(n_i AS DOUBLE)) AS BIGINT)) AS pn
+             |  FROM tr JOIN ot ON tr.i = ot.i
+             |  JOIN p0 ON p0.state = tr.i GROUP BY 1),
+             |p2 AS (SELECT tr.j AS state, sum(CAST(round(
+             |      CAST(pn AS DOUBLE) * CAST(n_ij AS DOUBLE) /
+             |      CAST(n_i AS DOUBLE)) AS BIGINT)) AS pn
+             |  FROM tr JOIN ot ON tr.i = ot.i
+             |  JOIN p1 ON p1.state = tr.i GROUP BY 1),
+             |p3 AS (SELECT tr.j AS state, sum(CAST(round(
+             |      CAST(pn AS DOUBLE) * CAST(n_ij AS DOUBLE) /
+             |      CAST(n_i AS DOUBLE)) AS BIGINT)) AS pn
+             |  FROM tr JOIN ot ON tr.i = ot.i
+             |  JOIN p2 ON p2.state = tr.i GROUP BY 1),
+             |tt AS (SELECT sum(pn) AS tot FROM p3)
+             |SELECT st.state, CAST(coalesce(n_i, 0) AS BIGINT) AS n_out,
+             |  round(1.0 / ns, 6) AS pi0,
+             |  round(CAST(coalesce(p3.pn, 0) AS DOUBLE) /
+             |    CAST(tot AS DOUBLE), 6) AS pi
+             |FROM st
+             |LEFT JOIN ot ON st.state = ot.i
+             |LEFT JOIN p3 ON st.state = p3.state
+             |CROSS JOIN ns CROSS JOIN tt
+             |ORDER BY 1""".stripMargin)),
+
+    // OLS residual diagnostics (Stats.olsDiagnostics): R² plus
+    // residual skewness and excess kurtosis of the daily-volume
+    // trend fit — "should I trust q133's slope". Residuals snap to
+    // deci-units (scale cancels out of both shape statistics);
+    // x^1.5 computed as x·√x so no cross-engine pow().
+    QueryDef("q249_ols_diagnostics",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+          .groupBy(col("event_type").as("g"), col("day").as("x"))
+          .agg(count(lit(1)).as("y"))
+        Stats.olsDiagnostics(daily, "g", "x", "y", snapScale = 10)
+          .orderBy("g")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS x,
+             |    count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (SELECT g, count(*) AS n, sum(x) AS sx,
+             |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+             |    sum(y * y) AS syy
+             |  FROM daily GROUP BY 1),
+             |par AS (SELECT g, n,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+             |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |      CAST(sx AS DOUBLE) * (-1.0) +
+             |      CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+             |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+             |     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+             |    ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+             |  FROM agg),
+             |res AS (SELECT daily.g,
+             |    CAST(round((CAST(y AS DOUBLE) - a - b *
+             |      CAST(x AS DOUBLE)) * 10.0) AS BIGINT) AS rd
+             |  FROM daily JOIN par ON daily.g = par.g),
+             |mo AS (SELECT g, sum(rd * rd) AS m2,
+             |    sum(rd * rd * rd) AS m3,
+             |    sum(rd * rd * rd * rd) AS m4
+             |  FROM res GROUP BY 1)
+             |SELECT par.g, CAST(n AS BIGINT) AS n,
+             |  round(b, 6) + 0.0 AS slope, round(r2, 4) AS r2,
+             |  round(CASE WHEN m2 > 0 THEN
+             |    (CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |    ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |     sqrt(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) END, 4)
+             |    + 0.0 AS resid_skew,
+             |  round(CASE WHEN m2 > 0 THEN
+             |    CAST(m4 AS DOUBLE) / CAST(n AS DOUBLE) /
+             |    ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |     (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0 END, 4)
+             |    + 0.0 AS resid_kurtosis
+             |FROM par JOIN mo ON par.g = mo.g ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
