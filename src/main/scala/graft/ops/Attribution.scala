@@ -91,4 +91,45 @@ object Attribution {
       .where(col("n_conversions") > 0)
     byChannel.unionByName(direct)
   }
+
+  /** Conversion-latency profile: for each conversion, the time since
+    * the LAST touch of each channel inside the lookback, summarized
+    * as per-channel percentiles — "how long after a click does the
+    * purchase land", the input for choosing [[report]]'s lookback
+    * (and a watermark-style design aid: a lookback below p99 leaks
+    * credit). Same join discipline as [[report]]; the percentile
+    * frame is (channels × conversions)-sized before the final
+    * channel-sized aggregate.
+    *
+    * @return per channel: `n_conversions` (with ≥1 touch of that
+    *         channel in window), `p50_s`, `p90_s`, `p99_s` (latency
+    *         seconds, round 3)
+    */
+  def conversionLatency(
+      df: DataFrame, idCol: String, entityCol: String, tsCol: String,
+      typeCol: String, convType: String, touchTypes: Seq[String],
+      lookbackDays: Int): DataFrame = {
+    val conv = df.where(col(typeCol) === convType)
+      .select(col(idCol).as("cid"), col(entityCol).as("e"),
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("cts"))
+    val touch = df.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol).as("e"),
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("tts"),
+        col(typeCol).as("channel"))
+    val lookbackUs = lookbackDays.toLong * 86400000000L
+    conv.join(touch, Seq("e"))
+      .where(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - lit(lookbackUs))
+      .groupBy("cid", "channel")
+      .agg(min(col("cts") - col("tts")).as("lat_us"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        expr("percentile(lat_us, 0.5D)").as("_p50"),
+        expr("percentile(lat_us, 0.9D)").as("_p90"),
+        expr("percentile(lat_us, 0.99D)").as("_p99"))
+      .select(col("channel"), col("n_conversions"),
+        round(col("_p50") / lit(1e6), 3).as("p50_s"),
+        round(col("_p90") / lit(1e6), 3).as("p90_s"),
+        round(col("_p99") / lit(1e6), 3).as("p99_s"))
+  }
 }

@@ -71,4 +71,56 @@ object SpatialJoin {
         round(sqrt(col("dist2_e12").cast("double")) / lit(1e6), 6)
           .as("dist_deg"))
   }
+
+  /** Grid-density clustering (DBSCAN-lite): cells with ≥ `minPts`
+    * points are dense; dense cells that touch (8-neighborhood) merge
+    * into one cluster via connected components. The grid quantization
+    * is what makes density clustering tractable at 100 TB: the point
+    * set collapses to a cell-count frame after ONE aggregate, and
+    * everything else — the adjacency self-join (an equi-join on
+    * shifted cell keys, the [[nearestNeighbor]] 3×3 trick) and the
+    * component iteration — runs on the dense-cell frame, whose size
+    * is bounded by the grid, not the data.
+    *
+    * @param points  (latE6Col, lonE6Col) non-negative micro-degrees
+    * @param cellE6  cell size; `minPts` density threshold
+    * @return per cluster: `cluster` (min cell id), `n_cells`,
+    *         `n_points`, `cla_min/cla_max/clo_min/clo_max` (cell
+    *         bounding box)
+    */
+  def densityClusters(
+      points: DataFrame, latE6Col: String, lonE6Col: String,
+      cellE6: Long, minPts: Long): DataFrame = {
+    val cells = points.select(
+        expr(s"CAST($latE6Col AS LONG) DIV ${cellE6}L").as("cla"),
+        expr(s"CAST($lonE6Col AS LONG) DIV ${cellE6}L").as("clo"))
+      .groupBy("cla", "clo").agg(count(lit(1)).as("n_pts"))
+      .where(col("n_pts") >= minPts)
+      // Cell key: interleave-free encoding — grids are ≪ 1e6 cells
+      // per axis by construction.
+      .withColumn("cell", col("cla") * lit(1000000L) + col("clo"))
+      .localCheckpoint(true)
+    val off = Seq(-1L, 0L, 1L)
+    val shifted = cells.select(col("cell").as("nb_cell"),
+        col("cla"), col("clo"))
+      .withColumn("dla", explode(lit(off.toArray)))
+      .withColumn("dlo", explode(lit(off.toArray)))
+      .where(col("dla") =!= 0L || col("dlo") =!= 0L)
+      .select((col("cla") + col("dla")).as("cla"),
+        (col("clo") + col("dlo")).as("clo"), col("nb_cell"))
+    val edges = cells.join(shifted, Seq("cla", "clo"))
+      .select(col("cell").as("src"), col("nb_cell").as("dst"))
+      .where(col("src") < col("dst"))
+    // Star-contraction, not hash-min: a dense blob snaking across the
+    // grid has diameter ~ grid width (hash-min needs that many
+    // rounds; star contraction needs O(log²)).
+    val comp = Components.connectedComponentsStar(
+      cells.select(col("cell")), "cell", edges, "src", "dst")
+    cells.join(comp.select(col("id").as("cell"), col("component")),
+        Seq("cell"))
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum("n_pts").as("n_points"),
+        min("cla").as("cla_min"), max("cla").as("cla_max"),
+        min("clo").as("clo_min"), max("clo").as("clo_max"))
+  }
 }

@@ -13,7 +13,7 @@ import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
   Markov, Merge, Multimodal, TimeWeighted,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
-  SourceSim, SpatialJoin, ZOrder, CorrMatrix,
+  SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
   SnapshotDiff, SpanDedup, Stats, Survival, TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
@@ -9765,7 +9765,135 @@ object GemQueries {
              |    ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
              |     (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0 END, 4)
              |    + 0.0 AS resid_kurtosis
-             |FROM par JOIN mo ON par.g = mo.g ORDER BY 1""".stripMargin))
+             |FROM par JOIN mo ON par.g = mo.g ORDER BY 1""".stripMargin)),
+
+    // Conversion-latency percentiles per touch channel (Attribution
+    // .conversionLatency): time from the LAST click/view to the
+    // purchase — the evidence for q230's 3-day lookback (a lookback
+    // below p99 leaks credit) and the attribution twin of q235's
+    // watermark profile.
+    QueryDef("q250_conversion_latency",
+      (s, dir) => Attribution.conversionLatency(t(s, dir, "events"),
+          "event_id", "user_id", "ts", "event_type",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          lookbackDays = 3)
+        .orderBy("channel"),
+      Some("""WITH conv AS (
+             |  SELECT event_id AS cid, user_id AS e, epoch_us(ts) AS cts
+             |  FROM events WHERE event_type = 'purchase'),
+             |touch AS (SELECT user_id AS e, epoch_us(ts) AS tts,
+             |    event_type AS channel
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |lat AS (SELECT cid, channel, min(cts - tts) AS lat_us
+             |  FROM conv JOIN touch ON conv.e = touch.e
+             |  WHERE tts < cts AND tts >= cts - 259200000000
+             |  GROUP BY 1, 2)
+             |SELECT channel, count(*) AS n_conversions,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat_us)
+             |    / 1000000.0, 3) AS p50_s,
+             |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat_us)
+             |    / 1000000.0, 3) AS p90_s,
+             |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY lat_us)
+             |    / 1000000.0, 3) AS p99_s
+             |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Daily peak concurrency (ops/Concurrency.dailyPeak): 30-min-gap
+    // sessions swept as ±1 deltas, running sum via the SAME two-pass
+    // distributed prefix scan as q235 (no single-partition global
+    // window), ends-before-starts tie rule pinned in both engines.
+    QueryDef("q251_peak_concurrency",
+      (s, dir) => {
+        val sess = Sessionize.gapSessions(t(s, dir, "events"),
+            Seq("user_id"), "ts", "event_id", gapUs = 1800000000L)
+          .withColumn("tu", expr("unix_micros(cast(ts as timestamp))"))
+          .groupBy("user_id", "session_id")
+          .agg(min("tu").as("s_us"), (max("tu") + lit(1L)).as("e_us"))
+        Concurrency.dailyPeak(sess, "s_us", "e_us",
+            bucketUs = 86400000000L)
+          .orderBy("day")
+      },
+      Some("""WITH sv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tu
+             |  FROM events),
+             |lagged AS (SELECT user_id, tu,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |      OR tu - lag(tu) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw,
+             |    event_id
+             |  FROM sv WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY tu, event_id)),
+             |sess AS (SELECT user_id, tu, sum(nw) OVER (
+             |    PARTITION BY user_id ORDER BY tu, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sid
+             |  FROM lagged),
+             |iv AS (SELECT user_id, sid, min(tu) AS s, max(tu) + 1 AS e
+             |  FROM sess GROUP BY 1, 2),
+             |del AS (SELECT s AS t, 1 AS d FROM iv
+             |  UNION ALL SELECT e, -1 FROM iv),
+             |w2 AS (SELECT t, d, sum(d) OVER (ORDER BY t, d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS conc
+             |  FROM del)
+             |SELECT t // 86400000000 AS day,
+             |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_starts,
+             |  CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_ends,
+             |  CAST(max(conc) AS BIGINT) AS peak_concurrent
+             |FROM w2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Grid-density clustering, DBSCAN-lite (SpatialJoin
+    // .densityClusters): q234's hash-derived customer coordinates,
+    // 10° cells, ≥4 points dense, 8-neighborhood merge via connected
+    // components — the point set collapses to a cell frame after ONE
+    // aggregate; everything else is grid-bounded.
+    QueryDef("q252_density_clusters",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(
+          pmod(Hashing.portableHash(
+            concat(col("c_custkey").cast("string"), lit(":lat"))),
+            lit(120000001L)).as("lat"),
+          pmod(Hashing.portableHash(
+            concat(col("c_custkey").cast("string"), lit(":lon"))),
+            lit(360000001L)).as("lon"))
+        SpatialJoin.densityClusters(cust, "lat", "lon",
+            cellE6 = 10000000L, minPts = 4L)
+          .orderBy("cluster")
+      },
+      Some {
+        def h(key: String, tag: String) = Hashing.duckPortableHash(
+          s"CAST($key AS VARCHAR) || ':$tag'")
+        s"""WITH RECURSIVE c AS (
+             |  SELECT ${h("c_custkey", "lat")} % 120000001 AS plat,
+             |    ${h("c_custkey", "lon")} % 360000001 AS plon
+             |  FROM customer),
+             |cells AS (SELECT plat // 10000000 AS cla,
+             |    plon // 10000000 AS clo, count(*) AS n_pts
+             |  FROM c GROUP BY 1, 2 HAVING count(*) >= 4),
+             |ck AS (SELECT cla, clo, n_pts,
+             |    cla * 1000000 + clo AS cell
+             |  FROM cells),
+             |nb AS (SELECT a.cell AS src, b.cell AS dst
+             |  FROM ck a JOIN ck b
+             |    ON abs(a.cla - b.cla) <= 1 AND abs(a.clo - b.clo) <= 1
+             |    AND a.cell < b.cell),
+             |edges AS (SELECT src, dst FROM nb
+             |  UNION ALL SELECT dst, src FROM nb),
+             |reach(id, lbl) AS (
+             |  SELECT cell, cell FROM ck
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r
+             |  JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS component
+             |  FROM reach GROUP BY 1)
+             |SELECT component AS cluster, count(*) AS n_cells,
+             |  CAST(sum(n_pts) AS BIGINT) AS n_points,
+             |  min(cla) AS cla_min, max(cla) AS cla_max,
+             |  min(clo) AS clo_min, max(clo) AS clo_max
+             |FROM ck JOIN comp ON ck.cell = comp.id
+             |GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every
