@@ -396,4 +396,65 @@ class StreamingModeSpec extends SparkSpec {
       spark.sql("DROP VIEW IF EXISTS db_test")
     }
   }
+
+  test("watermark drops are bounded by q235's batch lateness profile") {
+    // The q235 jitter model replayed as a REAL watermarked stream:
+    // deliver sf0.001 events in hash-jittered ARRIVAL order across
+    // micro-batches and count the rows a 10-minute watermark drops.
+    // Structured Streaming advances the watermark BETWEEN batches,
+    // so its drop count is at most the batch profile's per-event
+    // running-watermark count (the profile is the conservative
+    // planning bound — exactly how it should be used).
+    import graft.functions.Hashing
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("et", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("arr", col("et") +
+        pmod(Hashing.portableHash(
+          concat(col("event_id").cast("string"), lit(":arr"))),
+          lit(14400000001L)) - lit(7200000000L))
+      .select("event_id", "et", "arr")
+      .orderBy("arr", "event_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val n = ev.size
+    val profileDrops = graft.ops.Lateness.watermarkProfile(
+        ev.toDF("id", "et", "arr"), "id", "et", "arr",
+        bucketUs = 86400000000L, allowedUs = Seq(600000000L))
+      .select("n_dropped").as[Long].head()
+    assert(profileDrops > 0, "jitter must produce late data")
+
+    def streamDropCount(watermark: String): Long = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long)] // (event_id, et)
+      val name = s"wm_drop_${watermark.replaceAll("[^0-9]", "")}"
+      val q = input.toDF().toDF("event_id", "et")
+        .withColumn("ets", timestamp_micros(col("et")))
+        .withWatermark("ets", watermark)
+        .groupBy(window(col("ets"), "1 hour"))
+        .count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        ev.grouped(math.max(1, n / 5)).foreach { chunk =>
+          input.addData(chunk.map(e => (e._1, e._2)))
+          q.processAllAvailable()
+        }
+        val counted = spark.table(name)
+          .groupBy("window").agg(max("count").as("c"))
+          .agg(sum("c")).as[Long].head()
+        n - counted
+      } finally {
+        q.stop()
+        spark.sql(s"DROP VIEW IF EXISTS $name")
+      }
+    }
+    val tight = streamDropCount("600 seconds")
+    // Max lateness is the full ±2 h jitter SPREAD (a −2 h-jittered
+    // event can trail a +2 h-jittered one), so only a >4 h watermark
+    // guarantees zero drops.
+    val loose = streamDropCount("14500 seconds")
+    assert(loose === 0L, s"a >4h watermark must drop nothing: $loose")
+    assert(tight > 0L && tight <= profileDrops,
+      s"stream drops ($tight) bounded by the batch profile ($profileDrops)")
+  }
 }
