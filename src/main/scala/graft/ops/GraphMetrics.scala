@@ -61,6 +61,51 @@ object GraphMetrics {
       round(when(den > 0.0, num / den), 6).as("r"))
   }
 
+  /** k-core decomposition by FIXED peeling rounds: repeatedly remove
+    * nodes with degree < k and their incident edges — the survivors
+    * after convergence are the k-core, the maximal subgraph where
+    * everyone keeps ≥ k neighbors. On a near-dup graph the 2-core
+    * separates genuinely clustered duplication from pendant one-off
+    * matches that components/PageRank both count.
+    *
+    * Fixed `rounds` (not convergence) keeps the output a pure
+    * function of the graph, oracle-replayable round for round; for
+    * clump-shaped dedup graphs peeling settles in 2–3 rounds (chains
+    * peel one layer per round — raise `rounds` for path-like
+    * graphs). Per round: one degree aggregate + two semi-joins, the
+    * Components cost shape, with per-round lineage cuts.
+    *
+    * @return nodes surviving `rounds` peels: `node`, `core_degree`
+    *         (degree within the surviving subgraph)
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    var sym = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("src").as("n"))
+      val next = sym
+        .join(keep.select(col("n").as("src")), "src")
+        .join(keep.select(col("n").as("dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      sym.unpersist()
+      sym = next
+    }
+    // No post-filter: degrees < k surviving here mean `rounds` was
+    // too small for this graph's peel depth — visible, not hidden.
+    sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Newman–Girvan modularity of a node partition: Q = Σ_c [ e_c/m −
     * (d_c/2m)² ] — how much denser inside-community edges are than a
     * degree-preserving random rewiring. THE quality gate for a

@@ -118,6 +118,45 @@ object Seasonal {
         (round(col("_num") / col("_den"), 4) + lit(0.0)).as("acf"))
   }
 
+  /** Inter-arrival cadence profile per stream: gap percentiles plus
+    * the burstiness coefficient CV² = var/mean² of the gaps — the
+    * Poisson litmus (CV² ≈ 1 memoryless, ≫ 1 bursty, ≪ 1 regular)
+    * that says whether rate-based capacity math ([[dowProfile]],
+    * q181) is even applicable to this stream.
+    *
+    * Gaps are integer MILLIseconds (µs DIV 1000 — keeps Σgap² inside
+    * int64 for month-scale spans; exactness survives because both
+    * engines floor identically); moments are exact integer sums; one
+    * lag window partitioned by the stream key.
+    *
+    * @return per stream: `n_gaps`, `mean_gap_s` (round 3),
+    *         `p50_gap_s`, `p90_gap_s` (round 3), `cv2` (round 4)
+    */
+  def interarrivalProfile(
+      df: DataFrame, groupCol: String, tsUsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(col("tu").asc, col("tie").asc)
+    val gaps = df.select(col(groupCol).as("g"),
+        col(tsUsCol).cast("long").as("tu"), col(tieCol).as("tie"))
+      .withColumn("_prev", lag("tu", 1).over(w))
+      .where(col("_prev").isNotNull)
+      .withColumn("gap_ms", expr("(tu - _prev) DIV 1000"))
+    def d(c: String) = col(c).cast("double")
+    gaps.groupBy("g")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_ms").as("_s"), sum(col("gap_ms") * col("gap_ms")).as("_ss"),
+        expr("percentile(gap_ms, 0.5D)").as("_p50"),
+        expr("percentile(gap_ms, 0.9D)").as("_p90"))
+      .select(col("g"), col("n_gaps"),
+        round(d("_s") / d("n_gaps") / lit(1e3), 3).as("mean_gap_s"),
+        round(col("_p50") / lit(1e3), 3).as("p50_gap_s"),
+        round(col("_p90") / lit(1e3), 3).as("p90_gap_s"),
+        // CV² = (Σg²·n − (Σg)²) / (Σg)² — one fixed-shape expression
+        // over the exact integer moments (population variance).
+        round((d("_ss") * d("n_gaps") - d("_s") * d("_s")) /
+          (d("_s") * d("_s")), 4).as("cv2"))
+  }
+
   /** Classical additive decomposition of each group's daily volume:
     * trend = centered 7-day moving average (emitted only where the
     * full window exists), seasonal = per-weekday mean of the

@@ -11,6 +11,52 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Heaps'-law vocabulary-growth profile: per corpus slice the token
+    * count N, vocabulary V, and hapax count (once-only tokens — the
+    * long-tail mass OOV handling must absorb), plus ONE fitted Heaps
+    * exponent β from the OLS of ln V on ln N across slices (V ≈
+    * k·N^β; English prose sits near β ≈ 0.5 — a slice family far off
+    * that is boilerplate or spam). The β fit runs on ln-values
+    * snapped to integer micro-nats, so the 20-point regression is
+    * exact-integer arithmetic (order-free), and β is scale-free so
+    * the snap cancels.
+    *
+    * One token explode + two vocabulary-sized aggregates; the
+    * regression runs on the |slices|-row frame.
+    *
+    * @return per slice: `slice`, `n_tokens`, `vocab`, `n_hapax`,
+    *         `hapax_frac` (round 4), `heaps_beta` (global fit,
+    *         round 4, repeated), `heaps_lnk` (round 4)
+    */
+  def heapsProfile(
+      df: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(sliceCol).as("slice"),
+        explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("slice", "tok").agg(count(lit(1)).as("c"))
+    val per = counts.groupBy("slice").agg(
+      sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val pts = per.select(col("slice"),
+      round(log(col("n_tokens").cast("double")) * lit(1e6)).cast("long")
+        .as("x"),
+      round(log(col("vocab").cast("double")) * lit(1e6)).cast("long")
+        .as("y"))
+    val fit = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val beta = (d("n") * d("sxy") - d("sx") * d("sy")) /
+      (d("n") * d("sxx") - d("sx") * d("sx"))
+    val fitRow = fit.select(beta.as("_beta"),
+      ((d("sy") - beta * d("sx")) / d("n") / lit(1e6)).as("_lnk"))
+    per.crossJoin(broadcast(fitRow))
+      .select(col("slice"), col("n_tokens"), col("vocab"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("vocab").cast("double"),
+          4).as("hapax_frac"),
+        round(col("_beta"), 4).as("heaps_beta"),
+        round(col("_lnk"), 4).as("heaps_lnk"))
+  }
+
   /** Whitespace tokens with empties dropped (texts carry trailing
     * spaces): maximal space-free runs, ≡ `split(" +")` + drop-empties.
     * `regexp_extract_all` rather than the `filter(split(...))` HOF pair

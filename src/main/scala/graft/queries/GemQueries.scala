@@ -9893,7 +9893,116 @@ object GemQueries {
              |  min(clo) AS clo_min, max(clo) AS clo_max
              |FROM ck JOIN comp ON ck.cell = comp.id
              |GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // k-core of the near-dup graph (GraphMetrics.kCore): 4 fixed
+    // peeling rounds at k=2 — separates genuinely clustered
+    // duplication (everyone keeps ≥2 neighbors) from pendant one-off
+    // matches that q61's components still count. Round-for-round
+    // oracle replay.
+    QueryDef("q253_kcore",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        GraphMetrics.kCore(pairs, "id_a", "id_b", k = 2, rounds = 4)
+          .orderBy("node")
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        pairsEdgesCtes + ",\n" +
+        (1 to 4).map { i =>
+          val prev = if (i == 1) "edges" else s"e${i - 1}"
+          s"""d$i AS (SELECT src AS n, count(*) AS dg
+             |  FROM $prev GROUP BY 1),
+             |k$i AS (SELECT n FROM d$i WHERE dg >= 2),
+             |e$i AS (SELECT e.src, e.dst FROM $prev e
+             |  JOIN k$i a ON e.src = a.n
+             |  JOIN k$i b ON e.dst = b.n)""".stripMargin
+        }.mkString(",\n") + "\n" +
+        """SELECT src AS node, count(*) AS core_degree
+          |FROM e4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Heaps'-law vocabulary growth per source (TextAnalysis
+    // .heapsProfile): N/V/hapax per slice plus ONE fitted exponent β
+    // from the exact-integer ln-ln regression across the 20 slices —
+    // the OOV-budget readout (V ≈ k·N^β).
+    QueryDef("q254_heaps_law",
+      (s, dir) => TextAnalysis.heapsProfile(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy("slice"),
+      Some("""WITH toks AS (
+             |  SELECT source AS slice, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tok
+             |  FROM documents),
+             |counts AS (SELECT slice, tok, count(*) AS c
+             |  FROM toks GROUP BY 1, 2),
+             |per AS (SELECT slice, sum(c) AS n_tokens,
+             |    count(*) AS vocab,
+             |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+             |  FROM counts GROUP BY 1),
+             |pts AS (SELECT slice,
+             |    CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+             |      AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000.0)
+             |      AS BIGINT) AS y
+             |  FROM per),
+             |fit AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM pts),
+             |fr AS (SELECT
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+             |    (CAST(sy AS DOUBLE) -
+             |     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0
+             |      AS lnk
+             |  FROM fit)
+             |SELECT slice, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(vocab AS BIGINT) AS vocab,
+             |  CAST(n_hapax AS BIGINT) AS n_hapax,
+             |  round(CAST(n_hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 4)
+             |    AS hapax_frac,
+             |  round(beta, 4) AS heaps_beta,
+             |  round(lnk, 4) AS heaps_lnk
+             |FROM per CROSS JOIN fr ORDER BY 1""".stripMargin)),
+
+    // Inter-arrival burstiness per event type (Seasonal
+    // .interarrivalProfile): gap percentiles + CV² — the Poisson
+    // litmus deciding whether q181/q239's rate math applies.
+    // Integer-ms gap moments; one lag window per stream key.
+    QueryDef("q255_interarrival",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("tu", expr("unix_micros(cast(ts as timestamp))"))
+        Seasonal.interarrivalProfile(ev, "event_type", "tu", "event_id")
+          .orderBy("g")
+      },
+      Some("""WITH gv AS (
+             |  SELECT event_type AS g, epoch_us(ts) AS tu, event_id
+             |  FROM events),
+             |l AS (SELECT g, tu, lag(tu) OVER (
+             |    PARTITION BY g ORDER BY tu, event_id) AS prev
+             |  FROM gv),
+             |gg AS (SELECT g, (tu - prev) // 1000 AS gap
+             |  FROM l WHERE prev IS NOT NULL)
+             |SELECT g, count(*) AS n_gaps,
+             |  round(CAST(sum(gap) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE) / 1000.0, 3) AS mean_gap_s,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)
+             |    / 1000.0, 3) AS p50_gap_s,
+             |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap)
+             |    / 1000.0, 3) AS p90_gap_s,
+             |  round((CAST(sum(gap * gap) AS DOUBLE) *
+             |      CAST(count(*) AS DOUBLE) -
+             |      CAST(sum(gap) AS DOUBLE) * CAST(sum(gap) AS DOUBLE)) /
+             |    (CAST(sum(gap) AS DOUBLE) * CAST(sum(gap) AS DOUBLE)),
+             |    4) AS cv2
+             |FROM gg GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -213,7 +213,10 @@ class PlanShapeSpec extends SparkSpec {
       // q238: the label dim (broadcast) crosses the vocab-sized
       // token frame to build the dense MI grid (q178's margin-cross
       // shape), plus the 1-row corpus total.
-      "q238_token_label_mi")
+      "q238_token_label_mi",
+      // q254: the 1-row Heaps-fit frame broadcasts onto the
+      // |slices|-row profile.
+      "q254_heaps_law")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
