@@ -5,7 +5,7 @@ import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
   CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Compressibility,
-  Coordinates,
+  Contrastive, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
@@ -10002,7 +10002,158 @@ object GemQueries {
              |      CAST(sum(gap) AS DOUBLE) * CAST(sum(gap) AS DOUBLE)) /
              |    (CAST(sum(gap) AS DOUBLE) * CAST(sum(gap) AS DOUBLE)),
              |    4) AS cv2
-             |FROM gg GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM gg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Contrastive triplet construction (ops/Contrastive.triplets):
+    // positives from the verified near-dup graph, negatives drawn by
+    // hash from ONE distributed corpus permutation (q57's sortBy+
+    // zipWithIndex discipline, no global window), with draws that
+    // collide with the anchor's duplicate neighborhood FLAGGED —
+    // contrastive losses are poisoned by secret positives.
+    QueryDef("q256_contrastive_triplets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Contrastive.triplets(docs.select("doc_id"), "doc_id",
+            pairs, "id_a", "id_b", negsPer = 2)
+          .orderBy("anchor", "neg_ix")
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        s"""pr AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+          |sym AS (SELECT id_a AS u, id_b AS v FROM pr
+          |  UNION SELECT id_b, id_a FROM pr),
+          |anch AS (SELECT u AS anchor, min(v) AS pos
+          |  FROM sym GROUP BY 1),
+          |ranked AS (SELECT doc_id AS neg,
+          |    row_number() OVER (ORDER BY
+          |      ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")},
+          |      CAST(doc_id AS VARCHAR)) - 1 AS rank
+          |  FROM toks),
+          |nt AS (SELECT count(*) AS n FROM ranked),
+          |drawn AS (SELECT anchor, pos, ix AS neg_ix,
+          |    ${Hashing.duckSeededHash("ix", "CAST(anchor AS VARCHAR)")}
+          |      % n AS rank
+          |  FROM anch CROSS JOIN nt,
+          |    (SELECT unnest(generate_series(0, 1)) AS ix) xs),
+          |dj AS (SELECT anchor, pos, neg_ix, neg
+          |  FROM drawn JOIN ranked USING (rank))
+          |SELECT dj.anchor, dj.pos, CAST(neg_ix AS INT) AS neg_ix, neg,
+          |  CASE WHEN neg = anchor OR neg = pos OR sym.v IS NOT NULL
+          |    THEN 0 ELSE 1 END AS clean
+          |FROM dj LEFT JOIN sym
+          |  ON sym.u = dj.anchor AND sym.v = dj.neg
+          |ORDER BY 1, 3""".stripMargin)),
+
+    // Hard-negative mining by label (Similarity.bruteForceTopK +
+    // label audit): for each probe, its top-10 cosine neighbors
+    // marked same/different label — the different-label close
+    // neighbors ARE the hard negatives a contrastive trainer wants,
+    // and a high same-label fraction is the embedding sanity check.
+    QueryDef("q257_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10)
+          .join(emb.select(col("vec_id").as("query_id"),
+            col("label").as("q_label")), "query_id")
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label")), "neighbor_id")
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("cos"),
+            (col("q_label") === col("n_label")).cast("int")
+              .as("same_label"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+             |    label AS q_label
+             |  FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+             |    label AS n_label
+             |  FROM embeddings),
+             |scored AS (SELECT query_id, neighbor_id, q_label, n_label,
+             |    ${duckCos("qvec", "cvec")} AS cos
+             |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+             |  round(cos, 4) AS cos,
+             |  CASE WHEN q_label = n_label THEN 1 ELSE 0 END
+             |    AS same_label
+             |FROM rk WHERE rank <= 10 ORDER BY 1, 2""".stripMargin)),
+
+    // Embedding outliers per label (centroid-cosine z-score): the
+    // mislabel/junk detector — each label's centroid (the q65
+    // per-dim avg → round-6 → float discipline), every member's
+    // cosine to its OWN centroid snapped to integer micro-units for
+    // exact moments, bottom-5 per label by the integer rank.
+    QueryDef("q258_embedding_outliers",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg(col("x").cast("double")).as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("pm"))
+          .select(col("label"),
+            transform(col("pm"), p => round(p("m"), 6).cast("float"))
+              .as("cvec"))
+        val scored = emb.join(broadcast(cents), "label")
+          .withColumn("cos_u",
+            round(Similarity.cosine(col("embedding"), col("cvec")) *
+              lit(1e6)).cast("long"))
+        val mom = scored.groupBy("label").agg(
+          count(lit(1)).as("n"), sum("cos_u").as("_s"),
+          sum(col("cos_u") * col("cos_u")).as("_ss"))
+        def d(c: String) = col(c).cast("double")
+        val wL = Window.partitionBy("label")
+          .orderBy(col("cos_u").asc, col("vec_id").asc)
+        scored
+          .withColumn("_rk", row_number().over(wL))
+          .where(col("_rk") <= 5)
+          .join(mom, Seq("label"))
+          .select(col("label"), col("_rk").as("out_rank"), col("vec_id"),
+            round(col("cos_u").cast("double") / lit(1e6), 4).as("cos"),
+            round((col("cos_u").cast("double") - d("_s") / d("n")) /
+              sqrt((d("_ss") - d("_s") * d("_s") / d("n")) /
+                (d("n") - lit(1.0))), 2).as("z"))
+          .orderBy("label", "out_rank")
+      },
+      Some {
+        val cosFrag = duckCos("embedding", "cvec")
+        s"""WITH ex AS (SELECT label, embedding,
+             |    unnest(generate_series(1, len(embedding))) AS i
+             |  FROM embeddings),
+             |ce AS (SELECT label, i,
+             |    avg(CAST(embedding[i] AS DOUBLE)) AS m
+             |  FROM ex GROUP BY 1, 2),
+             |cv AS (SELECT label, list(CAST(round(m, 6) AS FLOAT)
+             |    ORDER BY i) AS cvec
+             |  FROM ce GROUP BY 1),
+             |sc AS (SELECT e.label, e.vec_id,
+             |    CAST(round($cosFrag * 1000000.0) AS BIGINT) AS cos_u
+             |  FROM embeddings e JOIN cv ON e.label = cv.label),
+             |mom AS (SELECT label, count(*) AS n, sum(cos_u) AS s,
+             |    sum(cos_u * cos_u) AS ss
+             |  FROM sc GROUP BY 1),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY label
+             |    ORDER BY cos_u, vec_id) AS out_rank
+             |  FROM sc)
+             |SELECT rk.label, CAST(out_rank AS INT) AS out_rank, vec_id,
+             |  round(CAST(cos_u AS DOUBLE) / 1000000.0, 4) AS cos,
+             |  round((CAST(cos_u AS DOUBLE) -
+             |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+             |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) - 1.0)), 2) AS z
+             |FROM rk JOIN mom ON rk.label = mom.label
+             |WHERE out_rank <= 5 ORDER BY 1, 2""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -216,7 +216,13 @@ class PlanShapeSpec extends SparkSpec {
       "q238_token_label_mi",
       // q254: the 1-row Heaps-fit frame broadcasts onto the
       // |slices|-row profile.
-      "q254_heaps_law")
+      "q254_heaps_law",
+      // q256: the 1-row corpus count crosses onto the anchor frame
+      // before the hash-rank draw (q91's 1-row-total shape).
+      "q256_contrastive_triplets",
+      // q257: bruteForceTopK's broadcast query set (q29's documented
+      // brute-force-tier shape).
+      "q257_hard_negatives")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
