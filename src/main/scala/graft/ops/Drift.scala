@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,54 @@ object Drift {
       .agg((round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4)
         + lit(0.0)).as("psi"))
       .select(col(groupCol), col("n_a"), col("n_b"), col("psi"))
+  }
+
+  /** Jensen–Shannon divergence between two corpora's token
+    * distributions — the symmetric, bounded (≤ ln 2) distribution-
+    * shift readout. The canonical use: BEFORE vs AFTER a dedup/
+    * filter stage, answering "did cleaning skew the content mix" —
+    * dedup that removes boilerplate SHOULD move the needle a little;
+    * a large JS means the filter is deleting a topic.
+    *
+    * JS = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2, over the union
+    * vocabulary. Each term is snapped to integer nano-nats before the
+    * sum (the q238 discipline): one ln per vocab row on identical
+    * rationals, integer sums, order-free. Two token-count aggregates
+    * + one vocab-sized full-outer join.
+    *
+    * @return one row: `docs_a`, `docs_b`, `tokens_a`, `tokens_b`,
+    *         `vocab_union`, `js_nats` (round 6)
+    */
+  def jsTokenShift(
+      a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val na = a.agg(count(lit(1)).as("docs_a"))
+      .crossJoin(broadcast(ca.agg(sum("c").as("tokens_a"))))
+    val nb = b.agg(count(lit(1)).as("docs_b"))
+      .crossJoin(broadcast(cb.agg(sum("c").as("tokens_b"))))
+    val joined = ca.withColumnRenamed("c", "c_a")
+      .join(cb.withColumnRenamed("c", "c_b"), Seq("tok"), "full_outer")
+      .select(coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    def dd(c: Column) = c.cast("double")
+    val p = dd(col("c_a")) / dd(col("tokens_a"))
+    val q = dd(col("c_b")) / dd(col("tokens_b"))
+    val m = (p + q) / lit(2.0)
+    def half(x: Column, cnt: Column) = when(cnt > 0,
+      round(x / lit(2.0) * log(x / m) * lit(1e9)).cast("long"))
+      .otherwise(0L)
+    joined
+      .withColumn("_t", half(p, col("c_a")) + half(q, col("c_b")))
+      .groupBy("docs_a", "docs_b", "tokens_a", "tokens_b")
+      .agg(count(lit(1)).as("vocab_union"), sum("_t").as("_js"))
+      .select(col("docs_a"), col("docs_b"), col("tokens_a"),
+        col("tokens_b"), col("vocab_union"),
+        round(col("_js").cast("double") / lit(1e9), 6).as("js_nats"))
   }
 
   /** Quantile–quantile profile of two cohorts of one metric: the

@@ -491,4 +491,37 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cos"))
   }
+
+  /** k-NN majority-vote label prediction ([[bruteForceTopK]] ∘
+    * argmax): each query adopts the modal label among its k nearest
+    * corpus neighbors (self excluded — so querying the corpus itself
+    * IS leave-one-out evaluation), ties to the smallest label. The
+    * embedding-quality eval that needs no trained model: if labels
+    * don't cluster, k-NN accuracy says so immediately.
+    *
+    * Scale note: brute-force scoring is for BOUNDED query samples
+    * (the q103 eval discipline); swap in [[ivfTopK]]'s probed cells
+    * for corpus-scale prediction — the voting stage is unchanged.
+    *
+    * @return per query: `query_id`, `true_label`, `pred_label`,
+    *         `n_votes` (votes for the winner)
+    */
+  def knnPredict(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val votes = top
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("n_label")), "neighbor_id")
+      .groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("c").desc, col("n_label").asc)
+    votes.withColumn("_vr", row_number().over(w))
+      .where(col("_vr") === 1)
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("n_label").as("pred_label"), col("c").as("n_votes"))
+  }
 }

@@ -558,6 +558,33 @@ object GemQueries {
       .mkString(",\n")
   }
 
+  /** k-NN majority-vote oracle chain over `embeddings` (queries =
+    * `vec_id < qMax`, self excluded, vote ties to the smallest
+    * label): emits `knp` (query_id, t_label, pred). ONE generator
+    * behind the q261 accuracy and q262 confusion oracles so the vote
+    * arithmetic cannot drift.
+    */
+  private def knnCtes(qMax: Int, k: Int): String =
+    s"""knnq AS (SELECT vec_id AS query_id, embedding AS qvec,
+       |    label AS t_label
+       |  FROM embeddings WHERE vec_id < $qMax),
+       |knnc AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+       |    label AS n_label
+       |  FROM embeddings),
+       |knsc AS (SELECT query_id, t_label, neighbor_id, n_label,
+       |    ${duckCos("qvec", "cvec")} AS cos
+       |  FROM knnc CROSS JOIN knnq WHERE neighbor_id <> query_id),
+       |knrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM knsc),
+       |knv AS (SELECT query_id, t_label, n_label, count(*) AS c
+       |  FROM knrk WHERE rank <= $k GROUP BY 1, 2, 3),
+       |knp AS (SELECT query_id, t_label, n_label AS pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c DESC, n_label) AS vr
+       |    FROM knv)
+       |  WHERE vr = 1)""".stripMargin
+
   /** Curation-funnel oracle CTE chain (exact dedup → quality/lang gate
     * → recursive near-dup components) ending in `fate`
     * (doc_id, source, ntok, fate) — ONE definition behind q50's funnel
@@ -10153,7 +10180,209 @@ object GemQueries {
              |      (CAST(n AS DOUBLE) - 1.0)), 2) AS z
              |FROM rk JOIN mom ON rk.label = mom.label
              |WHERE out_rank <= 5 ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // Dedup distribution-shift audit (Drift.jsTokenShift): Jensen–
+    // Shannon divergence of the token mix BEFORE vs AFTER exact
+    // dedup — "did cleaning skew the content" in one bounded number.
+    // Nano-snapped terms over the union vocabulary (q238's
+    // discipline).
+    QueryDef("q259_dedup_shift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = docs.join(
+          Dedup.exact(docs, "text", "doc_id")
+            .select(col("keep_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        Drift.jsTokenShift(docs, kept, "text")
+      },
+      Some("""WITH tka AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tok
+             |  FROM documents),
+             |ca AS (SELECT tok, count(*) AS c_a FROM tka GROUP BY 1),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+             |  GROUP BY md5(text)),
+             |tkb AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tok
+             |  FROM documents
+             |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+             |cb AS (SELECT tok, count(*) AS c_b FROM tkb GROUP BY 1),
+             |na AS (SELECT count(*) AS docs_a FROM documents),
+             |nb AS (SELECT count(*) AS docs_b FROM keep),
+             |tta AS (SELECT sum(c_a) AS tokens_a FROM ca),
+             |ttb AS (SELECT sum(c_b) AS tokens_b FROM cb),
+             |j AS (SELECT coalesce(c_a, 0) AS c_a,
+             |    coalesce(c_b, 0) AS c_b
+             |  FROM ca FULL JOIN cb USING (tok)),
+             |terms AS (SELECT c_a, c_b,
+             |    (CASE WHEN c_a > 0 THEN CAST(round(
+             |      CAST(c_a AS DOUBLE) / tokens_a / 2.0 *
+             |      ln((CAST(c_a AS DOUBLE) / tokens_a) /
+             |        ((CAST(c_a AS DOUBLE) / tokens_a +
+             |          CAST(c_b AS DOUBLE) / tokens_b) / 2.0)) *
+             |      1000000000.0) AS BIGINT) ELSE 0 END
+             |   + CASE WHEN c_b > 0 THEN CAST(round(
+             |      CAST(c_b AS DOUBLE) / tokens_b / 2.0 *
+             |      ln((CAST(c_b AS DOUBLE) / tokens_b) /
+             |        ((CAST(c_a AS DOUBLE) / tokens_a +
+             |          CAST(c_b AS DOUBLE) / tokens_b) / 2.0)) *
+             |      1000000000.0) AS BIGINT) ELSE 0 END) AS t,
+             |    docs_a, docs_b, tokens_a, tokens_b
+             |  FROM j CROSS JOIN na CROSS JOIN nb
+             |  CROSS JOIN tta CROSS JOIN ttb)
+             |SELECT CAST(docs_a AS BIGINT) AS docs_a,
+             |  CAST(docs_b AS BIGINT) AS docs_b,
+             |  CAST(tokens_a AS BIGINT) AS tokens_a,
+             |  CAST(tokens_b AS BIGINT) AS tokens_b,
+             |  count(*) AS vocab_union,
+             |  round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6)
+             |    AS js_nats
+             |FROM terms
+             |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // Grouped 5-fold assignment with leakage audit: folds cut on the
+    // USER hash (GroupKFold — a user never spans folds, the leak
+    // cross-validation must avoid), per-fold volume and purchase mix,
+    // plus the structural leaky-user count (provably 0, measured
+    // anyway — audits state what holds, they don't assume it).
+    QueryDef("q260_grouped_folds",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("fold", pmod(Hashing.portableHash(
+            concat(col("user_id").cast("string"), lit(":fold"))),
+            lit(5L)).cast("int"))
+        val perFold = ev.groupBy("fold").agg(
+          countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("_np"))
+        val leaky = ev.groupBy("user_id")
+          .agg(countDistinct("fold").as("_nf"))
+          .agg(sum(when(col("_nf") > 1, 1L).otherwise(0L))
+            .as("leaky_users"))
+        perFold.crossJoin(broadcast(leaky))
+          .select(col("fold"), col("n_users"), col("n_events"),
+            expr("(_np * 1000000) DIV n_events").as("purchase_ppm"),
+            col("leaky_users"))
+          .orderBy("fold")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    ${Hashing.duckPortableHash(
+                    "CAST(user_id AS VARCHAR) || ':fold'")} % 5 AS fold
+             |  FROM events),
+             |pf AS (SELECT fold, count(DISTINCT user_id) AS n_users,
+             |    count(*) AS n_events,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS np
+             |  FROM ev GROUP BY 1),
+             |lk AS (SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS leaky_users
+             |  FROM (SELECT user_id, count(DISTINCT fold) AS nf
+             |    FROM ev GROUP BY 1))
+             |SELECT CAST(fold AS INT) AS fold, n_users,
+             |  CAST(n_events AS BIGINT) AS n_events,
+             |  CAST((np * 1000000) // n_events AS BIGINT)
+             |    AS purchase_ppm,
+             |  leaky_users
+             |FROM pf CROSS JOIN lk ORDER BY 1""".stripMargin)),
+
+    // Leave-one-out k-NN accuracy per label (Similarity.knnPredict):
+    // the no-model embedding-quality eval — if labels cluster, 5-NN
+    // gets them right. Queries bounded to the vec_id<200 eval sample
+    // (the q103 discipline); at corpus scale swap brute force for
+    // the IVF probe, voting unchanged.
+    QueryDef("q261_knn_loo_eval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnPredict(emb, emb.filter(col("vec_id") < 200),
+            "vec_id", "embedding", "label", k = 5)
+          .groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("pred_label") === col("true_label"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .withColumn("accuracy",
+            round(col("n_correct").cast("double") /
+              col("n_queries").cast("double"), 4))
+          .orderBy("label")
+      },
+      Some("WITH " + knnCtes(200, 5) + "\n" +
+        """SELECT t_label AS label, count(*) AS n_queries,
+          |  CAST(sum(CASE WHEN pred = t_label THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_correct,
+          |  round(CAST(sum(CASE WHEN pred = t_label THEN 1 ELSE 0 END)
+          |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS accuracy
+          |FROM knp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-class precision/recall/F1 of the q261 k-NN classifier:
+    // the confusion-margin readout a single accuracy number hides —
+    // which labels bleed into which. All ratios from exact integer
+    // confusion counts.
+    QueryDef("q262_knn_prf1",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pred = Similarity.knnPredict(emb,
+          emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+          "label", k = 5)
+        val tp = pred.where(col("pred_label") === col("true_label"))
+          .groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("tp"))
+        val act = pred.groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("n_actual"))
+        val prd = pred.groupBy(col("pred_label").as("label"))
+          .agg(count(lit(1)).as("n_predicted"))
+        act.join(prd, Seq("label"), "full_outer")
+          .join(tp, Seq("label"), "left")
+          .select(col("label"),
+            coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+            coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .withColumn("precision", round(when(col("n_predicted") > 0,
+            col("tp").cast("double") / col("n_predicted").cast("double"))
+            .otherwise(lit(null)), 4))
+          .withColumn("recall", round(when(col("n_actual") > 0,
+            col("tp").cast("double") / col("n_actual").cast("double"))
+            .otherwise(lit(null)), 4))
+          .withColumn("f1", round(when(
+            col("tp") > 0,
+            lit(2.0) * (col("tp").cast("double") /
+              col("n_predicted").cast("double")) *
+              (col("tp").cast("double") / col("n_actual").cast("double")) /
+              (col("tp").cast("double") / col("n_predicted").cast("double") +
+                col("tp").cast("double") / col("n_actual").cast("double")))
+            .otherwise(lit(0.0)), 4))
+          .orderBy("label")
+      },
+      Some("WITH " + knnCtes(200, 5) + ",\n" +
+        """tp AS (SELECT t_label AS label, count(*) AS tp
+          |  FROM knp WHERE pred = t_label GROUP BY 1),
+          |act AS (SELECT t_label AS label, count(*) AS n_actual
+          |  FROM knp GROUP BY 1),
+          |prd AS (SELECT pred AS label, count(*) AS n_predicted
+          |  FROM knp GROUP BY 1)
+          |SELECT coalesce(act.label, prd.label) AS label,
+          |  coalesce(n_actual, 0) AS n_actual,
+          |  coalesce(n_predicted, 0) AS n_predicted,
+          |  CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+          |  round(CASE WHEN coalesce(n_predicted, 0) > 0
+          |    THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) /
+          |      CAST(n_predicted AS DOUBLE)
+          |    END, 4) AS precision,
+          |  round(CASE WHEN coalesce(n_actual, 0) > 0
+          |    THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) /
+          |      CAST(n_actual AS DOUBLE)
+          |    END, 4) AS recall,
+          |  round(CASE WHEN coalesce(tp.tp, 0) > 0
+          |    THEN 2.0 * (CAST(tp.tp AS DOUBLE) /
+          |        CAST(n_predicted AS DOUBLE)) *
+          |      (CAST(tp.tp AS DOUBLE) / CAST(n_actual AS DOUBLE)) /
+          |      (CAST(tp.tp AS DOUBLE) / CAST(n_predicted AS DOUBLE) +
+          |       CAST(tp.tp AS DOUBLE) / CAST(n_actual AS DOUBLE))
+          |    ELSE 0.0 END, 4) AS f1
+          |FROM act
+          |FULL JOIN prd ON act.label = prd.label
+          |LEFT JOIN tp ON act.label = tp.label
+          |ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -222,7 +222,16 @@ class PlanShapeSpec extends SparkSpec {
       "q256_contrastive_triplets",
       // q257: bruteForceTopK's broadcast query set (q29's documented
       // brute-force-tier shape).
-      "q257_hard_negatives")
+      "q257_hard_negatives",
+      // q259: four 1-row doc/token-total frames cross onto the
+      // union-vocab frame (q102's report-cross shape).
+      "q259_dedup_shift",
+      // q260: the 1-row leakage audit crosses onto the 5-row fold
+      // frame.
+      "q260_grouped_folds",
+      // q261/q262: knnPredict rides bruteForceTopK's broadcast query
+      // sample (q29's shape).
+      "q261_knn_loo_eval", "q262_knn_prf1")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
