@@ -149,6 +149,50 @@ object RobustStats {
           2).as("df"))
   }
 
+  /** Distribution-free confidence interval for the median, from order
+    * statistics: the binomial argument puts the true median between
+    * the value at rank ⌊(n − z√n)/2⌋ and the value at rank
+    * ⌈(n + 2 + z√n)/2⌉ with ~95% coverage (z = 1.959964) — NO
+    * normality assumption, which is the point for the heavy-tailed
+    * metrics this module exists for.
+    *
+    * Rank bounds are floor/ceil of one fixed double expression
+    * (identical in any IEEE engine); the interval endpoints are
+    * EXACT data values selected by rank (one partitioned row_number
+    * window), and the median itself is the q143-pinned percentile
+    * kernel.
+    *
+    * @return per group: `n`, `median` (round 4), `ci_lo`, `ci_hi`
+    *         (exact order-statistic values as doubles)
+    */
+  def medianCi(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val in = df.where(x.isNotNull).select(col(groupCol).as("g"), x.as("x"))
+    val w = Window.partitionBy("g").orderBy(col("x").asc)
+    val ranked = in
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("g")))
+    def dn = col("_n").cast("double")
+    val lo = greatest(lit(1L),
+      floor((dn - lit(1.959964) * sqrt(dn)) / lit(2.0)).cast("long"))
+    val hi = least(col("_n"),
+      ceil((dn + lit(2.0) + lit(1.959964) * sqrt(dn)) / lit(2.0))
+        .cast("long"))
+    val bounds = ranked
+      .withColumn("_lo", lo).withColumn("_hi", hi)
+      .where(col("_rn") === col("_lo") || col("_rn") === col("_hi"))
+      .groupBy("g")
+      .agg(min(when(col("_rn") === col("_lo"), col("x"))).as("ci_lo"),
+        max(when(col("_rn") === col("_hi"), col("x"))).as("ci_hi"))
+    val med = in.groupBy("g").agg(count(lit(1)).as("n"),
+      expr("percentile(x, 0.5)").as("_med"))
+    med.join(bounds, Seq("g"))
+      .select(col("g"), col("n"), round(col("_med"), 4).as("median"),
+        col("ci_lo").cast("double").as("ci_lo"),
+        col("ci_hi").cast("double").as("ci_hi"))
+  }
+
   /** Huber M-estimator of location per group (Huber 1964), solved by
     * `iters` fixed IRLS rounds from the median: weights w_i =
     * min(1, k·s/|x_i − m|) with s = 1.4826·MAD (the consistent

@@ -32,4 +32,38 @@ object Sessionize {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_new")
   }
+
+  /** Session dwell/bounce report on top of [[gapSessions]]: per day
+    * (of session start) the session count, the single-event BOUNCE
+    * share, and dwell-time percentiles — the web-analytics trio that
+    * says whether engagement moved or just traffic did.
+    *
+    * One session-grain aggregate (the gapSessions windows are
+    * already partitioned per entity); dwell is exact integer ms; the
+    * day frame is calendar-bounded.
+    *
+    * @return per day: `day`, `n_sessions`, `bounce_ppm`,
+    *         `p50_dwell_s`, `p90_dwell_s` (round 3; bounces count as
+    *         0 dwell)
+    */
+  def dwellStats(
+      df: DataFrame, partCols: Seq[String], timeCol: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    val sess = gapSessions(df, partCols, timeCol, tieCol, gapUs)
+      .withColumn("_tu", unix_micros(col(timeCol).cast("timestamp")))
+      .groupBy((partCols.map(col) :+ col("session_id")): _*)
+      .agg(count(lit(1)).as("n_ev"), min("_tu").as("_s"),
+        max("_tu").as("_e"))
+      .withColumn("dwell_ms", expr("(_e - _s) DIV 1000"))
+      .withColumn("day", expr("_s DIV 86400000000"))
+    sess.groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("_b"),
+        expr("percentile(dwell_ms, 0.5D)").as("_p50"),
+        expr("percentile(dwell_ms, 0.9D)").as("_p90"))
+      .select(col("day"), col("n_sessions"),
+        expr("(_b * 1000000) DIV n_sessions").as("bounce_ppm"),
+        round(col("_p50") / lit(1e3), 3).as("p50_dwell_s"),
+        round(col("_p90") / lit(1e3), 3).as("p90_dwell_s"))
+  }
 }

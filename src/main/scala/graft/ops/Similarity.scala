@@ -492,6 +492,40 @@ object Similarity {
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cos"))
   }
 
+  /** Two-NN intrinsic-dimension estimate (Facco et al., Scientific
+    * Reports 2017): ID ≈ n / Σ ln(d₂/d₁) over the sample, where
+    * d₁/d₂ are each point's distances to its two nearest neighbors —
+    * the "how many effective dimensions does this embedding space
+    * use" diagnostic that tells you whether a JL/PCA projection
+    * (q121/q122) is about to destroy structure (target dim below ID)
+    * or is free (far above it).
+    *
+    * Distance = 1 − cosine on the ROUNDED-4 neighbor scores
+    * [[bruteForceTopK]] emits, so both engines ratio identical
+    * rationals; each ln is snapped to integer nano-nats before the
+    * sum. Degenerate points (d₁ = 0: an exact duplicate neighbor, or
+    * d₂ = d₁) are excluded and COUNTED — duplicates would send
+    * ln μ → 0 and inflate ID silently.
+    *
+    * @return one row: `n_sample`, `n_valid`, `id_est` (round 3)
+    */
+  def twoNnDimension(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val top2 = bruteForceTopK(corpus, queries, idCol, vecCol, k = 2)
+    val mu = top2.groupBy("query_id").agg(
+        min(when(col("rank") === 1, lit(1.0) - col("cos"))).as("d1"),
+        min(when(col("rank") === 2, lit(1.0) - col("cos"))).as("d2"))
+      .withColumn("_ln", when(col("d1") > 0.0 && col("d2") > col("d1"),
+        round(log(col("d2") / col("d1")) * lit(1e9)).cast("long")))
+    mu.agg(count(lit(1)).as("n_sample"),
+        count(col("_ln")).as("n_valid"),
+        sum("_ln").as("_s"))
+      .select(col("n_sample"), col("n_valid"),
+        round(col("n_valid").cast("double") /
+          (col("_s").cast("double") / lit(1e9)), 3).as("id_est"))
+  }
+
   /** k-NN majority-vote label prediction ([[bruteForceTopK]] ∘
     * argmax): each query adopts the modal label among its k nearest
     * corpus neighbors (self excluded — so querying the corpus itself

@@ -10382,7 +10382,117 @@ object GemQueries {
           |FROM act
           |FULL JOIN prd ON act.label = prd.label
           |LEFT JOIN tp ON act.label = tp.label
-          |ORDER BY 1""".stripMargin))
+          |ORDER BY 1""".stripMargin)),
+
+    // Distribution-free median CI per language (RobustStats
+    // .medianCi): binomial order-statistic bounds — no normality
+    // assumption, exact data values as endpoints, rank bounds from
+    // one fixed floor/ceil expression.
+    QueryDef("q263_median_ci",
+      (s, dir) => RobustStats.medianCi(
+          t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("g"),
+      Some("""WITH x AS (SELECT lang AS g, n_chars AS x
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |rk AS (SELECT g, x,
+             |    row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM x),
+             |bd AS (SELECT g, x, rn, n,
+             |    greatest(1, CAST(floor((CAST(n AS DOUBLE) -
+             |      1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+             |      AS BIGINT)) AS lo,
+             |    least(n, CAST(ceil((CAST(n AS DOUBLE) + 2.0 +
+             |      1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+             |      AS BIGINT)) AS hi
+             |  FROM rk),
+             |ci AS (SELECT g,
+             |    min(CASE WHEN rn = lo THEN x END) AS ci_lo,
+             |    max(CASE WHEN rn = hi THEN x END) AS ci_hi
+             |  FROM bd WHERE rn = lo OR rn = hi GROUP BY 1),
+             |md AS (SELECT g, count(*) AS n,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS med
+             |  FROM x GROUP BY 1)
+             |SELECT md.g, CAST(md.n AS BIGINT) AS n,
+             |  round(med, 4) AS median,
+             |  CAST(ci_lo AS DOUBLE) AS ci_lo,
+             |  CAST(ci_hi AS DOUBLE) AS ci_hi
+             |FROM md JOIN ci ON md.g = ci.g ORDER BY 1""".stripMargin)),
+
+    // Session dwell/bounce report (Sessionize.dwellStats): 30-min-gap
+    // sessions → per start day the session count, single-event
+    // bounce share, and dwell percentiles — did engagement move or
+    // just traffic.
+    QueryDef("q264_session_dwell",
+      (s, dir) => Sessionize.dwellStats(t(s, dir, "events"),
+          Seq("user_id"), "ts", "event_id", gapUs = 1800000000L)
+        .orderBy("day"),
+      Some("""WITH sv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tu
+             |  FROM events),
+             |lg AS (SELECT user_id, tu, event_id,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |      OR tu - lag(tu) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM sv WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY tu, event_id)),
+             |ss AS (SELECT user_id, tu, sum(nw) OVER (
+             |    PARTITION BY user_id ORDER BY tu, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sid
+             |  FROM lg),
+             |ag AS (SELECT user_id, sid, count(*) AS n_ev,
+             |    min(tu) AS s, max(tu) AS e
+             |  FROM ss GROUP BY 1, 2),
+             |dd AS (SELECT (e - s) // 1000 AS dwell,
+             |    s // 86400000000 AS day, n_ev
+             |  FROM ag)
+             |SELECT day, count(*) AS n_sessions,
+             |  CAST((sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) *
+             |    1000000) // count(*) AS BIGINT) AS bounce_ppm,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY dwell)
+             |    / 1000.0, 3) AS p50_dwell_s,
+             |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY dwell)
+             |    / 1000.0, 3) AS p90_dwell_s
+             |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Two-NN intrinsic dimension (Similarity.twoNnDimension, Facco
+    // et al. 2017): ID ≈ n/Σln(d₂/d₁) over the bounded query sample —
+    // tells you whether q121's JL target dim is below the data's
+    // effective dimension. Duplicate-degenerate points excluded AND
+    // counted.
+    QueryDef("q265_intrinsic_dim",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.twoNnDimension(emb,
+          emb.filter(col("vec_id") < 200), "vec_id", "embedding")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+             |  FROM embeddings WHERE vec_id < 200),
+             |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+             |  FROM embeddings),
+             |sc AS (SELECT query_id, neighbor_id,
+             |    ${duckCos("qvec", "cvec")} AS cos
+             |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+             |rk0 AS (SELECT query_id, cos, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+             |    AS rank
+             |  FROM sc),
+             |rk AS (SELECT query_id, round(cos, 4) AS cos, rank
+             |  FROM rk0 WHERE rank <= 2),
+             |mu AS (SELECT query_id,
+             |    min(CASE WHEN rank = 1 THEN 1.0 - cos END) AS d1,
+             |    min(CASE WHEN rank = 2 THEN 1.0 - cos END) AS d2
+             |  FROM rk GROUP BY 1),
+             |lr AS (SELECT CASE WHEN d1 > 0 AND d2 > d1
+             |    THEN CAST(round(ln(d2 / d1) * 1000000000.0) AS BIGINT)
+             |    END AS lnr
+             |  FROM mu)
+             |SELECT count(*) AS n_sample, count(lnr) AS n_valid,
+             |  round(CAST(count(lnr) AS DOUBLE) /
+             |    (CAST(sum(lnr) AS DOUBLE) / 1000000000.0), 3)
+             |    AS id_est
+             |FROM lr""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

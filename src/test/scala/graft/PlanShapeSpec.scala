@@ -231,7 +231,9 @@ class PlanShapeSpec extends SparkSpec {
       "q260_grouped_folds",
       // q261/q262: knnPredict rides bruteForceTopK's broadcast query
       // sample (q29's shape).
-      "q261_knn_loo_eval", "q262_knn_prf1")
+      "q261_knn_loo_eval", "q262_knn_prf1",
+      // q265: twoNnDimension rides the same broadcast query sample.
+      "q265_intrinsic_dim")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
