@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-anonymity risk report over quasi-identifier columns (Sweeney
+  * 2002): every row whose QI equivalence class has fewer than k
+  * members is re-identifiable by linking those attributes — the
+  * governance gate to run BEFORE sharing a "de-identified" extract.
+  *
+  * One QI-grain count aggregate; the report is the class frame. The
+  * output is the `topN` SMALLEST classes (the actual risk surface,
+  * not a yes/no) with the corpus-level summary repeated on each row:
+  * total classes, classes below k, records at risk, and the minimum
+  * class size (the dataset's true k).
+  */
+object Anonymity {
+
+  def kAnonymity(
+      df: DataFrame, qiCols: Seq[String], k: Long,
+      topN: Int): DataFrame = {
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .localCheckpoint(true)
+    val summary = classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("class_size") < k, 1L).otherwise(0L))
+        .as("n_small_classes"),
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+        .as("records_at_risk"),
+      min("class_size").as("min_class_size"),
+      sum("class_size").as("n_records"))
+    val w = Window.orderBy(
+      (col("class_size").asc +: qiCols.map(col(_).asc)): _*)
+    classes
+      .withColumn("risk_rank", row_number().over(w))
+      .where(col("risk_rank") <= topN)
+      .crossJoin(broadcast(summary))
+      .select((col("risk_rank") +: qiCols.map(col) :+
+        col("class_size") :+ col("n_classes") :+
+        col("n_small_classes") :+ col("records_at_risk") :+
+        col("min_class_size") :+
+        expr("(records_at_risk * 1000000) DIV n_records")
+          .as("risk_ppm")): _*)
+  }
+}

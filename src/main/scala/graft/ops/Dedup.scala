@@ -27,6 +27,38 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplication-rate growth curve: the exact-dup fraction at nested
+    * id-prefix slices of the corpus (¼, ½, full) — dup rate GROWS
+    * with corpus size (more chances to collide), so the small-sample
+    * rate understates what a 100 TB crawl will dedup; this curve is
+    * the extrapolation evidence. ONE pass: per content hash, count
+    * members under each cutoff; dups at cutoff = rows − distinct
+    * hashes present.
+    *
+    * @param cuts ascending id cutoffs (exclusive)
+    * @return one row per cutoff: `cutoff`, `n_docs`, `n_distinct`,
+    *         `n_dups`, `dup_ppm`
+    */
+  def dupRateCurve(
+      df: DataFrame, idCol: String, contentCol: String,
+      cuts: Seq[Long]): DataFrame = {
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+      md5(col(contentCol)).as("h"))
+    val aggs = cuts.flatMap { c =>
+      Seq(sum(when(col("id") < c, 1L).otherwise(0L)).as(s"n_$c"),
+        countDistinct(when(col("id") < c, col("h"))).as(s"d_$c"))
+    }
+    // One 1-row aggregate, materialized ONCE (each cutoff row below
+    // re-reads it).
+    val one = hashed.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    cuts.map { c =>
+      one.select(lit(c).as("cutoff"), col(s"n_$c").as("n_docs"),
+        col(s"d_$c").as("n_distinct"),
+        (col(s"n_$c") - col(s"d_$c")).as("n_dups"),
+        expr(s"((n_$c - d_$c) * 1000000) DIV n_$c").as("dup_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Edit-distance near-duplicate pairs over SHORT strings (names,
     * titles, product labels — not documents: Levenshtein is O(len²)
     * per pair and length-blind at document size; the MinHash/SimHash

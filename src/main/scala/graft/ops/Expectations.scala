@@ -88,4 +88,31 @@ object Expectations {
     all.select(col("check"), col("n_rows"), col("n_violations"),
       (col("n_violations") === 0).as("ok"))
   }
+
+  /** Referential-integrity audit for one FK relation: child rows
+    * whose key has no parent (left anti count) — the DQ check every
+    * star schema runs on load. NULL child keys are counted
+    * separately (a null FK is a different defect than an orphan).
+    * One semi-join per relation; union the rows for a whole-schema
+    * audit.
+    *
+    * @return one row: `relation`, `n_child`, `n_null_key`,
+    *         `n_orphans`, `orphan_ppm`
+    */
+  def refIntegrity(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String,
+      relation: String): DataFrame = {
+    val keyed = child.select(col(childKey).as("_k"))
+    val nonNull = keyed.where(col("_k").isNotNull)
+    val orphans = nonNull.join(
+      parent.select(col(parentKey).as("_k")).distinct(),
+      Seq("_k"), "left_anti")
+    keyed.agg(count(lit(1)).as("n_child"),
+        sum(when(col("_k").isNull, 1L).otherwise(0L)).as("n_null_key"))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_null_key"), col("n_orphans"),
+        expr("(n_orphans * 1000000) DIV n_child").as("orphan_ppm"))
+  }
 }

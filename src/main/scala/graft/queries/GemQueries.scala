@@ -2,8 +2,8 @@ package graft.queries
 
 import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
-import graft.ops.{Allocate, AsofJoin, Attribution, Bootstrap, Bpe,
-  CardinalityEstimate,
+import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
+  Bootstrap, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Compressibility,
   Contrastive, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
@@ -10492,7 +10492,128 @@ object GemQueries {
              |  round(CAST(count(lnr) AS DOUBLE) /
              |    (CAST(sum(lnr) AS DOUBLE) / 1000000000.0), 3)
              |    AS id_est
-             |FROM lr""".stripMargin))
+             |FROM lr""".stripMargin)),
+
+    // k-anonymity risk report (ops/Anonymity.kAnonymity, Sweeney
+    // 2002): QI = (lang, source, length bucket) — the 10 smallest
+    // equivalence classes (the actual re-identification surface)
+    // with the corpus summary repeated. The governance gate before
+    // sharing a "de-identified" extract.
+    QueryDef("q266_k_anonymity",
+      (s, dir) => Anonymity.kAnonymity(
+          t(s, dir, "documents")
+            .withColumn("len_bucket", expr("n_chars DIV 500")),
+          Seq("lang", "source", "len_bucket"), k = 5L, topN = 10)
+        .orderBy("risk_rank"),
+      Some("""WITH q AS (SELECT lang, source, n_chars // 500
+             |    AS len_bucket
+             |  FROM documents),
+             |cl AS (SELECT lang, source, len_bucket,
+             |    count(*) AS class_size
+             |  FROM q GROUP BY 1, 2, 3),
+             |sm AS (SELECT count(*) AS n_classes,
+             |    sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+             |      AS n_small_classes,
+             |    sum(CASE WHEN class_size < 5 THEN class_size
+             |      ELSE 0 END) AS records_at_risk,
+             |    min(class_size) AS min_class_size,
+             |    sum(class_size) AS n_records
+             |  FROM cl),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY class_size,
+             |    lang, source, len_bucket) AS risk_rank
+             |  FROM cl)
+             |SELECT CAST(risk_rank AS INT) AS risk_rank, lang, source,
+             |  len_bucket, CAST(class_size AS BIGINT) AS class_size,
+             |  CAST(n_classes AS BIGINT) AS n_classes,
+             |  CAST(n_small_classes AS BIGINT) AS n_small_classes,
+             |  CAST(records_at_risk AS BIGINT) AS records_at_risk,
+             |  CAST(min_class_size AS BIGINT) AS min_class_size,
+             |  CAST((records_at_risk * 1000000) // n_records AS BIGINT)
+             |    AS risk_ppm
+             |FROM rk CROSS JOIN sm
+             |WHERE risk_rank <= 10 ORDER BY risk_rank""".stripMargin)),
+
+    // Whole-star referential-integrity audit (Expectations
+    // .refIntegrity ×5): orphan + null-FK counts for every relation
+    // in the schema — the on-load DQ check. (The synthetic star is
+    // clean; the audit MEASURES that rather than assuming it.)
+    QueryDef("q267_ref_integrity",
+      (s, dir) => {
+        import graft.ops.Expectations
+        val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer"); val pt = t(s, dir, "part")
+        val sup = t(s, dir, "supplier"); val nat = t(s, dir, "nation")
+        Seq(
+          Expectations.refIntegrity(li, "l_orderkey", ord,
+            "o_orderkey", "lineitem->orders"),
+          Expectations.refIntegrity(li, "l_partkey", pt,
+            "p_partkey", "lineitem->part"),
+          Expectations.refIntegrity(li, "l_suppkey", sup,
+            "s_suppkey", "lineitem->supplier"),
+          Expectations.refIntegrity(ord, "o_custkey", cust,
+            "c_custkey", "orders->customer"),
+          Expectations.refIntegrity(cust, "c_nationkey", nat,
+            "n_nationkey", "customer->nation")
+        ).reduce(_ unionByName _).orderBy("relation")
+      },
+      Some {
+        def rel(label: String, child: String, ck: String,
+            parent: String, pk: String) =
+          s"""SELECT '$label' AS relation,
+             |  (SELECT count(*) FROM $child) AS n_child,
+             |  (SELECT count(*) FROM $child WHERE $ck IS NULL)
+             |    AS n_null_key,
+             |  (SELECT count(*) FROM $child WHERE $ck IS NOT NULL
+             |    AND $ck NOT IN (SELECT DISTINCT $pk FROM $parent
+             |      WHERE $pk IS NOT NULL)) AS n_orphans""".stripMargin
+        Seq(
+          rel("lineitem->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          rel("lineitem->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          rel("lineitem->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          rel("orders->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          rel("customer->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"))
+          .mkString("WITH u AS (\n", "\nUNION ALL\n", """)
+            |SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+            |  CAST(n_null_key AS BIGINT) AS n_null_key,
+            |  CAST(n_orphans AS BIGINT) AS n_orphans,
+            |  CAST((n_orphans * 1000000) // n_child AS BIGINT)
+            |    AS orphan_ppm
+            |FROM u ORDER BY relation""".stripMargin)
+      }),
+
+    // Duplication-rate growth curve (Dedup.dupRateCurve): exact-dup
+    // ppm at ¼/½/full id-prefix slices in ONE pass — dup rate grows
+    // with corpus size, so this curve is the extrapolation evidence
+    // for what a 100 TB crawl will dedup.
+    QueryDef("q268_dup_growth",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max("doc_id")).head.getLong(0) + 1
+        Dedup.dupRateCurve(docs, "doc_id", "text",
+            Seq(mx / 4, mx / 2, mx))
+          .orderBy("cutoff")
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+             |cc AS (SELECT unnest([m // 4, m // 2, m]) AS c FROM mx),
+             |h AS (SELECT doc_id AS id, md5(text) AS h
+             |  FROM documents),
+             |per AS (SELECT c AS cutoff,
+             |    sum(CASE WHEN id < c THEN 1 ELSE 0 END) AS n_docs,
+             |    count(DISTINCT CASE WHEN id < c THEN h END)
+             |      AS n_distinct
+             |  FROM h CROSS JOIN cc GROUP BY 1)
+             |SELECT CAST(cutoff AS BIGINT) AS cutoff,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct,
+             |  CAST(n_docs - n_distinct AS BIGINT) AS n_dups,
+             |  CAST(((n_docs - n_distinct) * 1000000) // n_docs
+             |    AS BIGINT) AS dup_ppm
+             |FROM per ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

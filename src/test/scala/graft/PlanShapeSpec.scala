@@ -233,7 +233,13 @@ class PlanShapeSpec extends SparkSpec {
       // sample (q29's shape).
       "q261_knn_loo_eval", "q262_knn_prf1",
       // q265: twoNnDimension rides the same broadcast query sample.
-      "q265_intrinsic_dim")
+      "q265_intrinsic_dim",
+      // q266: the 1-row anonymity summary crosses onto the top-N
+      // risk classes.
+      "q266_k_anonymity",
+      // q267: each relation's 1-row orphan count crosses into its
+      // 1-row report (q102's shape, x5).
+      "q267_ref_integrity")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
