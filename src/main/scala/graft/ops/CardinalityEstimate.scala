@@ -33,6 +33,42 @@ object CardinalityEstimate {
     * intersection). Null keys are excluded on both tiers (a null key
     * never joins).
     */
+  /** Chapman capture–recapture population estimate (the bias-corrected
+    * Lincoln–Petersen): run two INDEPENDENT deterministic hash
+    * "captures" of the id space and estimate the total from their
+    * overlap — N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The estimator behind
+    * "how big is the true corpus when each crawl only sees part of
+    * it": two partial snapshots bound the whole without ever
+    * enumerating it. Here the truth is available, so the error is
+    * MEASURED (the eval harness discipline), not assumed.
+    *
+    * One conditional-sum aggregate over the id scan; hash membership
+    * is the q57 split discipline (portable md5 buckets), so the
+    * captures replay in any engine.
+    *
+    * @return one row: `n_true`, `n_a`, `n_b`, `n_both`, `chapman_est`
+    *         (round 2), `err_ppm` (signed, vs truth)
+    */
+  def chapmanEstimate(
+      df: DataFrame, idCol: String, pctA: Int, pctB: Int): DataFrame = {
+    def in(tag: String, pct: Int) = pmod(Hashing.portableHash(
+      concat(col(idCol).cast("string"), lit(s":$tag"))), lit(100L)) <
+      pct.toLong
+    val agg = df.agg(
+      count(lit(1)).as("n_true"),
+      sum(when(in("crA", pctA), 1L).otherwise(0L)).as("n_a"),
+      sum(when(in("crB", pctB), 1L).otherwise(0L)).as("n_b"),
+      sum(when(in("crA", pctA) && in("crB", pctB), 1L).otherwise(0L))
+        .as("n_both"))
+    def d(c: String) = col(c).cast("double")
+    val est = (d("n_a") + lit(1.0)) * (d("n_b") + lit(1.0)) /
+      (d("n_both") + lit(1.0)) - lit(1.0)
+    agg.select(col("n_true"), col("n_a"), col("n_b"), col("n_both"),
+      round(est, 2).as("chapman_est"),
+      (round((est / d("n_true") - lit(1.0)) * lit(1e6)) + lit(0.0))
+        .cast("long").as("err_ppm"))
+  }
+
   def kmvJoinEstimate(
       left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String, k: Int): DataFrame = {

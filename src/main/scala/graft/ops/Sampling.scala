@@ -58,6 +58,43 @@ object Sampling {
     df.filter(bucket(col(keyCol)) < rate)
   }
 
+  /** Inverse-propensity (Horvitz–Thompson) mean over a
+    * [[stratifiedSample]]: each sampled row is re-weighted by
+    * 1/p(selected) so the biased sample estimates the FULL-corpus
+    * mean — the survey-statistics correction every down-sampled
+    * metric needs. Weights are exact integers (10000/pct for the
+    * percent rates this module draws with), so the estimate is a
+    * ratio of exact integer sums.
+    *
+    * @param sampled output of [[stratifiedSample]] with the SAME
+    *                rates
+    * @return one row: `n_sample`, `naive_mean` (round 4, the biased
+    *         one), `ipw_mean` (round 4)
+    */
+  def ipwMean(
+      sampled: DataFrame, strataCol: String, valueCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    require((defaultPct +: rates.map(_._2)).forall(
+      p => p > 0 && 10000 % p == 0),
+      s"rates must divide 10000 for exact integer weights: $rates")
+    val w = rates.foldRight(lit(10000L / defaultPct): Column) {
+      case ((stratum, pct), rest) =>
+        when(col(strataCol) === stratum, 10000L / pct).otherwise(rest)
+    }
+    val x = col(valueCol).cast("long")
+    sampled.where(x.isNotNull)
+      .select(col(strataCol), x.as("x"))
+      .withColumn("_w", w)
+      .agg(count(lit(1)).as("n_sample"),
+        sum("x").as("_sx"), sum(col("_w") * col("x")).as("_swx"),
+        sum("_w").as("_sw"))
+      .select(col("n_sample"),
+        round(col("_sx").cast("double") / col("n_sample").cast("double"),
+          4).as("naive_mean"),
+        round(col("_swx").cast("double") / col("_sw").cast("double"), 4)
+          .as("ipw_mean"))
+  }
+
   /** DuckDB fragment for [[bucket]], kept adjacent to prevent drift. */
   def duckBucket(x: String): String =
     Hashing.duckPortableHash(s"CAST($x AS VARCHAR)") + " % 100"

@@ -14,7 +14,8 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
-  SnapshotDiff, SpanDedup, Stats, Survival, TableChecksum, TextAnalysis,
+  Shrinkage, SnapshotDiff, SpanDedup, Stats, Survival, TableChecksum,
+  TextAnalysis,
   Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
 import org.apache.spark.sql.types.StructType
@@ -10613,7 +10614,115 @@ object GemQueries {
              |  CAST(n_docs - n_distinct AS BIGINT) AS n_dups,
              |  CAST(((n_docs - n_distinct) * 1000000) // n_docs
              |    AS BIGINT) AS dup_ppm
-             |FROM per ORDER BY 1""".stripMargin))
+             |FROM per ORDER BY 1""".stripMargin)),
+
+    // Chapman capture–recapture (CardinalityEstimate
+    // .chapmanEstimate): two independent 40%/30% hash "crawls" of
+    // the doc id space estimate the full corpus from their overlap —
+    // with the truth available, the error is MEASURED.
+    QueryDef("q269_capture_recapture",
+      (s, dir) => CardinalityEstimate.chapmanEstimate(
+        t(s, dir, "documents"), "doc_id", pctA = 40, pctB = 30),
+      Some {
+        def h(tag: String) = Hashing.duckPortableHash(
+          s"CAST(doc_id AS VARCHAR) || ':$tag'")
+        s"""WITH agg AS (SELECT count(*) AS n_true,
+             |    sum(CASE WHEN ${h("crA")} % 100 < 40
+             |      THEN 1 ELSE 0 END) AS n_a,
+             |    sum(CASE WHEN ${h("crB")} % 100 < 30
+             |      THEN 1 ELSE 0 END) AS n_b,
+             |    sum(CASE WHEN ${h("crA")} % 100 < 40
+             |      AND ${h("crB")} % 100 < 30
+             |      THEN 1 ELSE 0 END) AS n_both
+             |  FROM documents)
+             |SELECT CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(n_both AS BIGINT) AS n_both,
+             |  round((CAST(n_a AS DOUBLE) + 1.0) *
+             |    (CAST(n_b AS DOUBLE) + 1.0) /
+             |    (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 2)
+             |    AS chapman_est,
+             |  CAST(round((((CAST(n_a AS DOUBLE) + 1.0) *
+             |      (CAST(n_b AS DOUBLE) + 1.0) /
+             |      (CAST(n_both AS DOUBLE) + 1.0) - 1.0) /
+             |    CAST(n_true AS DOUBLE) - 1.0) * 1000000.0) AS BIGINT)
+             |    AS err_ppm
+             |FROM agg""".stripMargin
+      }),
+
+    // Empirical-Bayes purchase-rate leaderboard (ops/Shrinkage
+    // .empiricalBayesRate): per-user rates pulled toward the pooled
+    // rate by 50 pseudo-trials — the small-sample-leaderboard fix,
+    // top-20 via TakeOrderedAndProject (no global window).
+    QueryDef("q270_eb_shrinkage",
+      (s, dir) => Shrinkage.empiricalBayesRate(
+          t(s, dir, "events")
+            .withColumn("is_trial", lit(1))
+            .withColumn("is_succ",
+              (col("event_type") === "purchase").cast("int")),
+          "user_id", "is_trial", "is_succ", m = 50, topN = 20),
+      Some("""WITH per AS (SELECT user_id AS entity,
+             |    count(*) AS n_trials,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END) AS n_succ
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT CAST(sum(n_succ) AS DOUBLE) /
+             |    CAST(sum(n_trials) AS DOUBLE) AS p0
+             |  FROM per),
+             |sh AS (SELECT entity, n_trials, n_succ,
+             |    (CAST(n_succ AS DOUBLE) + 50.0 * p0) /
+             |      (CAST(n_trials AS DOUBLE) + 50.0) AS shrunk
+             |  FROM per CROSS JOIN g)
+             |SELECT entity, CAST(n_trials AS BIGINT) AS n_trials,
+             |  CAST(n_succ AS BIGINT) AS n_succ,
+             |  round(CAST(n_succ AS DOUBLE) /
+             |    CAST(n_trials AS DOUBLE), 4) AS raw_rate,
+             |  round(shrunk, 4) AS shrunk_rate
+             |FROM sh ORDER BY shrunk DESC, entity
+             |LIMIT 20""".stripMargin)),
+
+    // Inverse-propensity (Horvitz–Thompson) mean over q64's
+    // stratified sample (Sampling.ipwMean): the naive sample mean is
+    // biased by the per-source rates; 1/p re-weighting recovers the
+    // full-corpus mean — all three shown side by side.
+    QueryDef("q271_ipw_mean",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 10)
+        val sampled = Sampling.stratifiedSample(docs, "doc_id",
+          "source", rates, defaultPct = 25)
+        val truth = docs.where(col("n_chars").isNotNull)
+          .agg(round(sum("n_chars").cast("double") /
+            count(lit(1)).cast("double"), 4).as("true_mean"))
+        Sampling.ipwMean(sampled, "source", "n_chars", rates,
+            defaultPct = 25)
+          .crossJoin(broadcast(truth))
+          .select("n_sample", "true_mean", "naive_mean", "ipw_mean")
+      },
+      Some(("""WITH s AS (SELECT source, n_chars
+             |  FROM (SELECT source, n_chars,
+             |      """ + Sampling.duckBucket("doc_id") + """ AS b
+             |    FROM documents)
+             |  WHERE b < CASE source WHEN 'src0' THEN 100
+             |    WHEN 'src1' THEN 50 WHEN 'src2' THEN 10
+             |    ELSE 25 END),
+             |w AS (SELECT n_chars,
+             |    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 200
+             |      WHEN 'src2' THEN 1000 ELSE 400 END AS w
+             |  FROM s WHERE n_chars IS NOT NULL),
+             |ip AS (SELECT count(*) AS n_sample,
+             |    round(CAST(sum(n_chars) AS DOUBLE) /
+             |      CAST(count(*) AS DOUBLE), 4) AS naive_mean,
+             |    round(CAST(sum(w * n_chars) AS DOUBLE) /
+             |      CAST(sum(w) AS DOUBLE), 4) AS ipw_mean
+             |  FROM w),
+             |tm AS (SELECT round(CAST(sum(n_chars) AS DOUBLE) /
+             |      CAST(count(*) AS DOUBLE), 4) AS true_mean
+             |  FROM documents WHERE n_chars IS NOT NULL)
+             |SELECT CAST(n_sample AS BIGINT) AS n_sample, true_mean,
+             |  naive_mean, ipw_mean
+             |FROM ip CROSS JOIN tm""").stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

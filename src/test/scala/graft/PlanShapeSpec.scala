@@ -239,7 +239,14 @@ class PlanShapeSpec extends SparkSpec {
       "q266_k_anonymity",
       // q267: each relation's 1-row orphan count crosses into its
       // 1-row report (q102's shape, x5).
-      "q267_ref_integrity")
+      "q267_ref_integrity",
+      // q270: the 1-row pooled-rate prior crosses onto the entity
+      // frame. q271: the 1-row truth crosses onto the 1-row IPW
+      // report.
+      "q270_eb_shrinkage", "q271_ipw_mean",
+      // q248: the 1-row mass total crosses onto the state-sized π
+      // frame for renormalization (q83's dangling-mass shape).
+      "q248_markov_stationary")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
