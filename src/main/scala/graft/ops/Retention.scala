@@ -36,6 +36,64 @@ object Retention {
         expr("(n_retained * 1000000) DIV n_active"))
   }
 
+  /** Retention-decay fit: the pooled bounce-back rate at every lag
+    * k = 1..maxLag in ONE shifted join (the ACF discipline — not
+    * maxLag separate [[nDayRetention]] runs), plus an exponential
+    * half-life from the OLS of ln(rate) on k. "How fast does
+    * engagement decay" as one number, with the curve it came from.
+    *
+    * rate_k is a ratio of exact integer counts; the fit runs on
+    * maxLag points with ln snapped to integer micro-nats (order-free,
+    * scale cancels out of the slope).
+    *
+    * @return per lag: `lag`, `n_base` (entity-days with a day+lag
+    *         candidate in span), `n_retained`, `rate` (round 4),
+    *         `half_life_days` (round 2, repeated; null if decay
+    *         slope ≥ 0)
+    */
+  def decayFit(
+      df: DataFrame, entityCol: String, dayCol: String,
+      maxLag: Int): DataFrame = {
+    val active = df.select(col(entityCol).as("e"),
+        col(dayCol).cast("long").as("d"))
+      .where(col("e").isNotNull && col("d").isNotNull).distinct()
+      .localCheckpoint(true)
+    val span = active.agg(max("d").as("_mx"))
+    val shifted = active
+      .select(col("e"), explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        (col("d") + col("lag").cast("long")).as("d"))
+    val hits = shifted
+      .join(active.withColumn("_hit", lit(1L)), Seq("e", "d"), "left")
+      // Only base days whose lag-target is inside the observed span
+      // count (otherwise the tail lags are biased low by truncation).
+      .crossJoin(broadcast(span))
+      .where(col("d") <= col("_mx"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_base"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_retained"))
+      .localCheckpoint(true)
+    // Zero-retention lags carry no ln: drop them from the fit (an
+    // ANSI engine would otherwise throw casting ln 0 = −∞).
+    val pts = hits.where(col("n_retained") > 0)
+      .select(col("lag").cast("long").as("x"),
+        round(log(col("n_retained").cast("double") /
+          col("n_base").cast("double")) * lit(1e6)).cast("long").as("y"))
+    val fit = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val slope = (d("n") * d("sxy") - d("sx") * d("sy")) /
+      (d("n") * d("sxx") - d("sx") * d("sx")) / lit(1e6)
+    val hl = fit.select(
+      round(when(slope < 0.0, lit(-math.log(2.0)) / slope), 2)
+        .as("half_life_days"))
+    hits.crossJoin(broadcast(hl))
+      .select(col("lag"), col("n_base"), col("n_retained"),
+        round(col("n_retained").cast("double") /
+          col("n_base").cast("double"), 4).as("rate"),
+        col("half_life_days"))
+  }
+
   /** Cohort lifetime-value curve: entities bucketed by first-seen
     * week, their integer-cents value accumulated by weeks-since-
     * cohort — the growth-accounting triangle ("how much is a week-N

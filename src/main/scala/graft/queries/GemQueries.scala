@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
-  Bootstrap, Bpe, CardinalityEstimate,
+  Behavior, Bootstrap, Bpe, CardinalityEstimate,
   Chunking, Classifier, Cleaning, Components, Compressibility,
   Contrastive, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
@@ -10722,7 +10722,176 @@ object GemQueries {
              |  FROM documents WHERE n_chars IS NOT NULL)
              |SELECT CAST(n_sample AS BIGINT) AS n_sample, true_mean,
              |  naive_mean, ipw_mean
-             |FROM ip CROSS JOIN tm""").stripMargin))
+             |FROM ip CROSS JOIN tm""").stripMargin)),
+
+    // Behavioral-combo lattice (ops/Behavior.typeCombos): per
+    // (user, day) the bitmask of event types seen, counted per mask —
+    // every "did X and Y but not Z" cohort in ONE bit_or pass.
+    QueryDef("q272_behavior_combos",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Behavior.typeCombos(ev, "user_id", "day", "event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .orderBy("mask")
+      },
+      Some("""WITH rows_ AS (SELECT user_id AS e,
+             |    epoch_us(ts) // 86400000000 AS d,
+             |    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+             |      WHEN 'view' THEN 16 ELSE 0 END AS b
+             |  FROM events),
+             |m AS (SELECT e, d, bit_or(b) AS mask FROM rows_
+             |  WHERE b > 0 GROUP BY 1, 2),
+             |c AS (SELECT mask, count(*) AS n_entity_days,
+             |    count(DISTINCT e) AS n_entities
+             |  FROM m GROUP BY 1)
+             |SELECT CAST(mask AS BIGINT) AS mask,
+             |  concat_ws('+',
+             |    CASE WHEN mask & 1 > 0 THEN 'click' END,
+             |    CASE WHEN mask & 2 > 0 THEN 'error' END,
+             |    CASE WHEN mask & 4 > 0 THEN 'purchase' END,
+             |    CASE WHEN mask & 8 > 0 THEN 'signup' END,
+             |    CASE WHEN mask & 16 > 0 THEN 'view' END) AS combo,
+             |  n_entity_days, n_entities
+             |FROM c ORDER BY 1""".stripMargin)),
+
+    // Degree power-law MLE (GraphMetrics.powerLawAlpha, Clauset et
+    // al. 2009): is near-duplication hub-dominated (template spam,
+    // α ≈ 2) or local (α ≫ 3)? Nano-snapped ln terms.
+    QueryDef("q273_power_law",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        GraphMetrics.powerLawAlpha(pairs, "id_a", "id_b", dmin = 2)
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        """pr AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+          |dg AS (SELECT node, count(*) AS degree FROM (
+          |    SELECT id_a AS node FROM pr
+          |    UNION ALL SELECT id_b FROM pr)
+          |  GROUP BY 1),
+          |sl AS (SELECT degree,
+          |    CASE WHEN degree >= 2 THEN CAST(round(
+          |      ln(CAST(degree AS DOUBLE) / 1.5) * 1000000000.0)
+          |      AS BIGINT) ELSE 0 END AS sln
+          |  FROM dg)
+          |SELECT count(*) AS n_nodes,
+          |  CAST(sum(CASE WHEN degree >= 2 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_tail,
+          |  CAST(min(degree) AS BIGINT) AS d_min,
+          |  CAST(max(degree) AS BIGINT) AS d_max,
+          |  round(CASE WHEN sum(sln) > 0 THEN 1.0 +
+          |    CAST(sum(CASE WHEN degree >= 2 THEN 1 ELSE 0 END)
+          |      AS DOUBLE) /
+          |    (CAST(sum(sln) AS DOUBLE) / 1000000000.0) END, 4)
+          |    AS alpha
+          |FROM sl""".stripMargin)),
+
+    // Retention decay + half-life (Retention.decayFit): pooled
+    // bounce-back rate at lags 1..14 in ONE shifted join, ln-linear
+    // fit → engagement half-life in days.
+    QueryDef("q274_retention_decay",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Retention.decayFit(ev, "user_id", "day", maxLag = 14)
+          .orderBy("lag")
+      },
+      Some(s"""WITH act AS (SELECT DISTINCT user_id AS e,
+             |    epoch_us(ts) // 86400000000 AS d
+             |  FROM events),
+             |mx AS (SELECT max(d) AS m FROM act),
+             |sh AS (SELECT e, lag, d + lag AS d
+             |  FROM act, (SELECT unnest(generate_series(1, 14)) AS lag)
+             |    l),
+             |base AS (SELECT sh.lag, count(*) AS n_base,
+             |    sum(CASE WHEN a2.e IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS n_ret
+             |  FROM sh CROSS JOIN mx
+             |  LEFT JOIN act a2 ON sh.e = a2.e AND sh.d = a2.d
+             |  WHERE sh.d <= m GROUP BY 1),
+             |pts AS (SELECT lag AS x, CAST(round(
+             |    ln(CAST(n_ret AS DOUBLE) / CAST(n_base AS DOUBLE)) *
+             |    1000000.0) AS BIGINT) AS y
+             |  FROM base WHERE n_ret > 0),
+             |fit AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM pts),
+             |hl AS (SELECT round(CASE WHEN
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             |    1000000.0 < 0
+             |    THEN ${-math.log(2.0)} /
+             |      ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             |       1000000.0)
+             |    END, 2) AS half_life_days
+             |  FROM fit)
+             |SELECT CAST(lag AS INT) AS lag,
+             |  CAST(n_base AS BIGINT) AS n_base,
+             |  CAST(n_ret AS BIGINT) AS n_retained,
+             |  round(CAST(n_ret AS DOUBLE) / CAST(n_base AS DOUBLE), 4)
+             |    AS rate,
+             |  half_life_days
+             |FROM base CROSS JOIN hl ORDER BY 1""".stripMargin)),
+
+    // A/A calibration harness (RobustStats.welchT over 20 hash
+    // seeds): on null data the t statistics must look standard
+    // normal — the end-to-end validity check of the whole
+    // experimentation stack (~1 of 20 beyond ±1.96 expected).
+    QueryDef("q275_aa_calibration",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(col("value").isNotNull)
+          .withColumn("seed", explode(sequence(lit(0), lit(19))))
+          .withColumn("arm", pmod(Hashing.seededHash(col("seed"),
+            col("user_id").cast("string")), lit(2L)).cast("int"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        val ts = RobustStats.welchT(ev, "seed", "arm", "cents")
+        val sig = ts.agg(sum(when(abs(col("t")) > 1.96, 1L)
+          .otherwise(0L)).as("n_sig_of_20"))
+        ts.crossJoin(broadcast(sig))
+          .select(col("seed"), col("n0"), col("n1"), col("t"),
+            col("n_sig_of_20"))
+          .orderBy("seed")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT s.seed,
+             |    CASE WHEN ${Hashing.duckSeededHash("seed",
+                    "CAST(user_id AS VARCHAR)")} % 2 = 1
+             |      THEN 1 ELSE 0 END AS arm,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events,
+             |    (SELECT unnest(generate_series(0, 19)) AS seed) s
+             |  WHERE value IS NOT NULL),
+             |a AS (SELECT seed, arm, count(*) AS n, sum(x) AS sx,
+             |    sum(x * x) AS sxx
+             |  FROM ev GROUP BY 1, 2),
+             |p AS (SELECT seed, arm, n,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             |      AS von
+             |  FROM a),
+             |tt AS (SELECT a0.seed, a0.n AS n0, a1.n AS n1,
+             |    round((a1.mean - a0.mean) / sqrt(a0.von + a1.von), 4)
+             |      + 0.0 AS t
+             |  FROM p a0 JOIN p a1
+             |    ON a0.seed = a1.seed AND a0.arm = 0 AND a1.arm = 1),
+             |sg AS (SELECT CAST(sum(CASE WHEN abs(t) > 1.96
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sig_of_20
+             |  FROM tt)
+             |SELECT CAST(seed AS INT) AS seed,
+             |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, t,
+             |  n_sig_of_20
+             |FROM tt CROSS JOIN sg ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

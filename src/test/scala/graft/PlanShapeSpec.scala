@@ -246,7 +246,13 @@ class PlanShapeSpec extends SparkSpec {
       "q270_eb_shrinkage", "q271_ipw_mean",
       // q248: the 1-row mass total crosses onto the state-sized π
       // frame for renormalization (q83's dangling-mass shape).
-      "q248_markov_stationary")
+      "q248_markov_stationary",
+      // q274: the 1-row half-life fit crosses onto the 14-row lag
+      // curve; the span bound is a 1-row cross too.
+      "q274_retention_decay",
+      // q275: the 1-row significance count crosses onto the 20-row
+      // seed frame.
+      "q275_aa_calibration")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
