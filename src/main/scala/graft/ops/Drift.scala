@@ -58,6 +58,53 @@ object Drift {
       .select(col(groupCol), col("n_a"), col("n_b"), col("psi"))
   }
 
+  /** Standardized-mean-difference drift screen across MANY numeric
+    * columns at once: SMD = |m₁ − m₀| / √((v₀+v₁)/2) per column
+    * between two cohorts — the scale-free "which feature moved"
+    * triage that runs BEFORE the per-column deep dives (KS, PSI, QQ).
+    * SMD < 0.1 is conventionally negligible.
+    *
+    * Columns are unpivoted with per-column integer snap scales
+    * (SMD is scale-invariant, so the snap only sets granularity and
+    * each column can pick one that keeps Σx² inside int64); all
+    * moments are exact integer sums in ONE pass over the unpivoted
+    * frame.
+    *
+    * @param cols (column, snapScale) pairs
+    * @return per column: `column`, `n0`, `n1`, `mean0`, `mean1`
+    *         (snapped units, round 4), `smd` (round 4)
+    */
+  def smdScreen(
+      df: DataFrame, cohortCol: String,
+      cols: Seq[(String, Long)]): DataFrame = {
+    val melted = cols.map { case (c, scale) =>
+      df.select(col(cohortCol).cast("int").as("arm"),
+        lit(c).as("column"),
+        round(col(c).cast("double") * lit(scale.toDouble)).cast("long")
+          .as("x"))
+    }.reduce(_ unionByName _)
+    val mom = melted.where(col("x").isNotNull)
+      .groupBy("column", "arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    def d(c: Column) = c.cast("double")
+    val withV = mom
+      .withColumn("mean", d(col("sx")) / d(col("n")))
+      .withColumn("v", (d(col("sxx")) - d(col("sx")) * d(col("sx")) /
+        d(col("n"))) / (d(col("n")) - lit(1.0)))
+    val a0 = withV.where(col("arm") === 0)
+      .select(col("column"), col("n").as("n0"), col("mean").as("m0"),
+        col("v").as("v0"))
+    val a1 = withV.where(col("arm") === 1)
+      .select(col("column"), col("n").as("n1"), col("mean").as("m1"),
+        col("v").as("v1"))
+    a0.join(a1, Seq("column"))
+      .select(col("column"), col("n0"), col("n1"),
+        round(col("m0"), 4).as("mean0"), round(col("m1"), 4).as("mean1"),
+        round(abs(col("m1") - col("m0")) /
+          sqrt((col("v0") + col("v1")) / lit(2.0)), 4).as("smd"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's token
     * distributions — the symmetric, bounded (≤ ln 2) distribution-
     * shift readout. The canonical use: BEFORE vs AFTER a dedup/

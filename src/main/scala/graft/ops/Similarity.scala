@@ -492,6 +492,42 @@ object Similarity {
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cos"))
   }
 
+  /** Reliability diagram + expected calibration error for
+    * [[knnPredict]]'s vote confidence: per vote-count bin, the mean
+    * confidence (votes/k) against the empirical accuracy, plus
+    * ECE = Σ n_b·|acc_b − conf_b| / N — "when the classifier says
+    * 80%, is it right 80% of the time". Per-bin terms snap to
+    * integer nano units before the ECE sum (order-free); all rates
+    * are ratios of exact integer counts.
+    *
+    * @return per vote count: `n_votes`, `n`, `confidence` (round 4),
+    *         `accuracy` (round 4), `ece` (round 4, repeated)
+    */
+  def knnReliability(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val pred = knnPredict(corpus, queries, idCol, vecCol, labelCol, k)
+    val bins = pred.groupBy("n_votes").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .localCheckpoint(true)
+    def d(c: Column) = c.cast("double")
+    val withRates = bins
+      .withColumn("_conf", d(col("n_votes")) / lit(k.toDouble))
+      .withColumn("_acc", d(col("n_correct")) / d(col("n")))
+      .withColumn("_term",
+        round(d(col("n")) * abs(col("_acc") - col("_conf")) * lit(1e9))
+          .cast("long"))
+    val tot = withRates.agg(sum("n").as("_nn"), sum("_term").as("_se"))
+    withRates.crossJoin(broadcast(tot))
+      .select(col("n_votes"), col("n"),
+        round(col("_conf"), 4).as("confidence"),
+        round(col("_acc"), 4).as("accuracy"),
+        round(col("_se").cast("double") / lit(1e9) /
+          col("_nn").cast("double"), 4).as("ece"))
+  }
+
   /** Two-NN intrinsic-dimension estimate (Facco et al., Scientific
     * Reports 2017): ID ≈ n / Σ ln(d₂/d₁) over the sample, where
     * d₁/d₂ are each point's distances to its two nearest neighbors —

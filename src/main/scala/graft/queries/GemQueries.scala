@@ -14,8 +14,8 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
-  Shrinkage, SnapshotDiff, SpanDedup, Stats, Survival, TableChecksum,
-  TextAnalysis,
+  Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
+  TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs}
 import graft.sources.{CountryDim, Csv, Jsonl, Orc}
 import org.apache.spark.sql.types.StructType
@@ -580,7 +580,9 @@ object GemQueries {
        |  FROM knsc),
        |knv AS (SELECT query_id, t_label, n_label, count(*) AS c
        |  FROM knrk WHERE rank <= $k GROUP BY 1, 2, 3),
-       |knp AS (SELECT query_id, t_label, n_label AS pred FROM (
+       |knp AS (SELECT query_id, t_label, n_label AS pred,
+       |    c AS n_votes
+       |  FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY c DESC, n_label) AS vr
        |    FROM knv)
@@ -10891,7 +10893,120 @@ object GemQueries {
              |SELECT CAST(seed AS INT) AS seed,
              |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, t,
              |  n_sig_of_20
-             |FROM tt CROSS JOIN sg ORDER BY 1""".stripMargin))
+             |FROM tt CROSS JOIN sg ORDER BY 1""".stripMargin)),
+
+    // Incremental surrogate keys (ops/SurrogateKeys
+    // .assignIncremental): the first-100-docs (source, lang) dim
+    // keeps its ids; only never-seen combos get new ones, densely
+    // after the max, in key order. The only ordered window runs on
+    // the DELTA.
+    QueryDef("q276_surrogate_keys",
+      (s, dir) => {
+        val keyed = t(s, dir, "documents")
+          .withColumn("skey", concat_ws(":", col("source"), col("lang")))
+        val existing = keyed.filter(col("doc_id") < 100)
+          .select("skey").distinct()
+          .withColumn("sk", row_number().over(
+            Window.orderBy("skey")).cast("long"))
+        SurrogateKeys.assignIncremental(existing, "skey", "sk", keyed)
+          .orderBy("sk")
+      },
+      Some("""WITH ex AS (SELECT skey,
+             |    row_number() OVER (ORDER BY skey) AS sk
+             |  FROM (SELECT DISTINCT source || ':' || lang AS skey
+             |    FROM documents WHERE doc_id < 100)),
+             |mx AS (SELECT coalesce(max(sk), 0) AS m FROM ex),
+             |fresh AS (SELECT DISTINCT source || ':' || lang AS skey
+             |  FROM documents
+             |  WHERE source || ':' || lang NOT IN
+             |    (SELECT skey FROM ex)),
+             |asg AS (SELECT skey,
+             |    m + row_number() OVER (ORDER BY skey) AS sk,
+             |    1 AS is_new
+             |  FROM fresh CROSS JOIN mx)
+             |SELECT skey, CAST(sk AS BIGINT) AS sk, is_new FROM (
+             |  SELECT skey, sk, 0 AS is_new FROM ex
+             |  UNION ALL SELECT * FROM asg)
+             |ORDER BY sk""".stripMargin)),
+
+    // k-NN reliability diagram + ECE (Similarity.knnReliability):
+    // vote confidence vs empirical accuracy per vote bin — "when the
+    // classifier says 80%, is it right 80% of the time" — with the
+    // expected calibration error from nano-snapped bin terms.
+    QueryDef("q277_knn_reliability",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnReliability(emb,
+            emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+            "label", k = 5)
+          .orderBy("n_votes")
+      },
+      Some("WITH " + knnCtes(200, 5) + ",\n" +
+        """bins AS (SELECT n_votes, count(*) AS n,
+          |    sum(CASE WHEN pred = t_label THEN 1 ELSE 0 END)
+          |      AS n_correct
+          |  FROM knp GROUP BY 1),
+          |wr AS (SELECT n_votes, n, n_correct,
+          |    CAST(n_votes AS DOUBLE) / 5.0 AS conf,
+          |    CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+          |  FROM bins),
+          |t2 AS (SELECT *, CAST(round(CAST(n AS DOUBLE) *
+          |    abs(acc - conf) * 1000000000.0) AS BIGINT) AS term
+          |  FROM wr),
+          |tot AS (SELECT sum(n) AS nn, sum(term) AS se FROM t2)
+          |SELECT CAST(n_votes AS BIGINT) AS n_votes,
+          |  CAST(n AS BIGINT) AS n,
+          |  round(conf, 4) AS confidence, round(acc, 4) AS accuracy,
+          |  round(CAST(se AS DOUBLE) / 1000000000.0 /
+          |    CAST(nn AS DOUBLE), 4) AS ece
+          |FROM t2 CROSS JOIN tot ORDER BY 1""".stripMargin)),
+
+    // Standardized-mean-difference drift screen (Drift.smdScreen):
+    // all four lineitem metrics between orderkey-parity cohorts in
+    // ONE unpivoted pass — the scale-free triage run before
+    // per-column KS/PSI deep dives.
+    QueryDef("q278_smd_screen",
+      (s, dir) => Drift.smdScreen(
+          t(s, dir, "lineitem")
+            .withColumn("arm", pmod(col("l_orderkey"), lit(2L))),
+          "arm",
+          Seq(("l_quantity", 100L), ("l_extendedprice", 1L),
+            ("l_discount", 10000L), ("l_tax", 10000L)))
+        .orderBy("column"),
+      Some {
+        def leg(c: String, scale: String) =
+          s"""SELECT CAST(l_orderkey % 2 AS INT) AS arm,
+             |  '$c' AS col_, CAST(round(CAST($c AS DOUBLE) * $scale)
+             |    AS BIGINT) AS x
+             |FROM lineitem""".stripMargin
+        s"""WITH m AS (
+             |${leg("l_quantity", "100.0")}
+             |UNION ALL
+             |${leg("l_extendedprice", "1.0")}
+             |UNION ALL
+             |${leg("l_discount", "10000.0")}
+             |UNION ALL
+             |${leg("l_tax", "10000.0")}),
+             |mom AS (SELECT col_, arm, count(*) AS n, sum(x) AS sx,
+             |    sum(x * x) AS sxx
+             |  FROM m WHERE x IS NOT NULL GROUP BY 1, 2),
+             |wv AS (SELECT col_, arm, n,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) - 1.0) AS v
+             |  FROM mom),
+             |a0 AS (SELECT col_, n AS n0, mean AS m0, v AS v0
+             |  FROM wv WHERE arm = 0),
+             |a1 AS (SELECT col_, n AS n1, mean AS m1, v AS v1
+             |  FROM wv WHERE arm = 1)
+             |SELECT a0.col_ AS "column",
+             |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |  round(m0, 4) AS mean0, round(m1, 4) AS mean1,
+             |  round(abs(m1 - m0) / sqrt((v0 + v1) / 2.0), 4) AS smd
+             |FROM a0 JOIN a1 USING (col_)
+             |ORDER BY 1""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -250,6 +250,11 @@ class PlanShapeSpec extends SparkSpec {
       // q274: the 1-row half-life fit crosses onto the 14-row lag
       // curve; the span bound is a 1-row cross too.
       "q274_retention_decay",
+      // q276: the 1-row current-max crosses onto the delta frame.
+      "q276_surrogate_keys",
+      // q277: knnPredict's broadcast query sample + the 1-row ECE
+      // total crossing onto the 5-row bin frame.
+      "q277_knn_reliability",
       // q275: the 1-row significance count crosses onto the 20-row
       // seed frame.
       "q275_aa_calibration")
