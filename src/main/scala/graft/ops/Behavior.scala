@@ -40,4 +40,39 @@ object Behavior {
       .withColumn("combo", concat_ws("+", combo: _*))
       .select("mask", "combo", "n_entity_days", "n_entities")
   }
+
+  /** Per-entity behavioral entropy: Shannon entropy of each entity's
+    * event-type mix, plus the ln(k)-normalized version — the
+    * "predictability" score (0 = always the same action, 1 = uniform
+    * over observed types) that segments power users from one-trick
+    * bots. Each −p·ln p term snaps to integer nano-nats before the
+    * per-entity sum (≤ |types| cells, order-free); the type-count
+    * frame is (entities × types)-sized.
+    *
+    * @return per entity: `entity`, `n_events`, `n_types`,
+    *         `entropy_nats` (round 4), `entropy_norm` (round 4;
+    *         null for single-type entities, whose ln(k) is 0)
+    */
+  def entityEntropy(
+      df: DataFrame, entityCol: String, typeCol: String): DataFrame = {
+    val counts = df
+      .select(col(entityCol).as("entity"), col(typeCol).as("t"))
+      .where(col("t").isNotNull)
+      .groupBy("entity", "t").agg(count(lit(1)).as("c"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val per = counts
+      .withColumn("_n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("entity")))
+      .withColumn("_term",
+        round(-(d(col("c")) / d(col("_n"))) *
+          log(d(col("c")) / d(col("_n"))) * lit(1e9)).cast("long"))
+      .groupBy("entity")
+      .agg(max("_n").as("n_events"), count(lit(1)).as("n_types"),
+        sum("_term").as("_h"))
+    per.select(col("entity"), col("n_events"), col("n_types"),
+      round(col("_h").cast("double") / lit(1e9), 4).as("entropy_nats"),
+      round(when(col("n_types") > 1,
+        col("_h").cast("double") / lit(1e9) /
+          log(col("n_types").cast("double"))), 4).as("entropy_norm"))
+  }
 }

@@ -11006,7 +11006,163 @@ object GemQueries {
              |  round(abs(m1 - m0) / sqrt((v0 + v1) / 2.0), 4) AS smd
              |FROM a0 JOIN a1 USING (col_)
              |ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // Native session_window parity (Structured Streaming's gap-based
+    // session operator, exercised in BATCH mode): Spark's built-in
+    // session assembly must agree with the hand-rolled q264 window
+    // chain — start = first event, end = last event + gap, exact
+    // integer counts/cents.
+    QueryDef("q279_session_window",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        ev.groupBy(col("user_id"),
+            session_window(col("ts").cast("timestamp"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz")
+              .as("session_start"),
+            col("session_window.end").cast("timestamp_ntz")
+              .as("session_end"),
+            col("n_events"), col("cents"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH sv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |lg AS (SELECT user_id, tu, cents, event_id,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |      OR tu - lag(tu) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM sv WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY tu, event_id)),
+             |ss AS (SELECT user_id, tu, cents, sum(nw) OVER (
+             |    PARTITION BY user_id ORDER BY tu, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sid
+             |  FROM lg)
+             |SELECT user_id,
+             |  make_timestamp(min(tu)) AS session_start,
+             |  make_timestamp(max(tu) + 1800000000) AS session_end,
+             |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+             |FROM ss GROUP BY user_id, sid
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Approximate MAD from two histogram-sketch passes (Stats
+    // .histPercentiles ∘ itself): sketch median → sketch median of
+    // |x − med| — the 100 TB-shaped robust scale (two
+    // map-side-combined sketch aggregates instead of two full
+    // sorts), with the exact MAD beside it so the sketch error is
+    // MEASURED.
+    QueryDef("q280_approx_mad",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("n_chars").isNotNull)
+        val medA = Stats.histPercentiles(docs, "lang", "n_chars",
+            lo = 0.0, hi = 1024.0, nbins = 256, ps = Seq(0.5))
+          .select(col("lang"), col("est").as("med_est"))
+        val dev = docs.join(broadcast(medA), "lang")
+          .withColumn("ad",
+            abs(col("n_chars").cast("double") - col("med_est")))
+        val madA = Stats.histPercentiles(dev, "lang", "ad",
+            lo = 0.0, hi = 1024.0, nbins = 256, ps = Seq(0.5))
+          .select(col("lang"), col("est").as("mad_est"))
+        val medEx = docs.groupBy("lang").agg(count(lit(1)).as("n"),
+          expr("percentile(n_chars, 0.5)").as("_mx"))
+        val madEx = docs
+          .join(broadcast(medEx.select("lang", "_mx")), "lang")
+          .withColumn("_ad",
+            abs(col("n_chars").cast("double") - col("_mx")))
+          .groupBy("lang")
+          .agg(expr("percentile(_ad, 0.5)").as("_madx"))
+        medEx.join(medA, Seq("lang")).join(madA, Seq("lang"))
+          .join(madEx, Seq("lang"))
+          .select(col("lang"), col("n"), col("med_est"), col("mad_est"),
+            round(col("_madx"), 4).as("mad_exact"))
+          .orderBy("lang")
+      },
+      Some("""WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |b1 AS (SELECT lang, CAST(least(greatest(
+             |    floor(v / 4.0), 0), 255) AS BIGINT) AS b FROM v),
+             |c1 AS (SELECT lang, b, count(*) AS cnt
+             |  FROM b1 GROUP BY 1, 2),
+             |cc1 AS (SELECT lang, b, cnt,
+             |    sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |    sum(cnt) OVER (PARTITION BY lang) AS total
+             |  FROM c1),
+             |m1 AS (SELECT lang, round(4.0 * (CAST(b AS DOUBLE)
+             |    + (0.5 * CAST(total AS DOUBLE) -
+             |      CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+             |    4) + 0.0 AS med_est
+             |  FROM cc1
+             |  WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+             |    AND CAST(cum - cnt AS DOUBLE) <
+             |      0.5 * CAST(total AS DOUBLE)),
+             |dv AS (SELECT v.lang, abs(v.v - med_est) AS ad
+             |  FROM v JOIN m1 ON v.lang = m1.lang),
+             |b2 AS (SELECT lang, CAST(least(greatest(
+             |    floor(ad / 4.0), 0), 255) AS BIGINT) AS b FROM dv),
+             |c2 AS (SELECT lang, b, count(*) AS cnt
+             |  FROM b2 GROUP BY 1, 2),
+             |cc2 AS (SELECT lang, b, cnt,
+             |    sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |    sum(cnt) OVER (PARTITION BY lang) AS total
+             |  FROM c2),
+             |m2 AS (SELECT lang, round(4.0 * (CAST(b AS DOUBLE)
+             |    + (0.5 * CAST(total AS DOUBLE) -
+             |      CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+             |    4) + 0.0 AS mad_est
+             |  FROM cc2
+             |  WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+             |    AND CAST(cum - cnt AS DOUBLE) <
+             |      0.5 * CAST(total AS DOUBLE)),
+             |ex AS (SELECT lang, count(*) AS n,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS mx
+             |  FROM v GROUP BY 1),
+             |exd AS (SELECT v.lang, percentile_cont(0.5)
+             |    WITHIN GROUP (ORDER BY abs(v.v - mx)) AS madx
+             |  FROM v JOIN ex ON v.lang = ex.lang GROUP BY 1)
+             |SELECT ex.lang, CAST(n AS BIGINT) AS n, med_est, mad_est,
+             |  round(madx, 4) AS mad_exact
+             |FROM ex
+             |JOIN m1 ON ex.lang = m1.lang
+             |JOIN m2 ON ex.lang = m2.lang
+             |JOIN exd ON ex.lang = exd.lang
+             |ORDER BY 1""".stripMargin)),
+
+    // Per-user behavioral entropy (Behavior.entityEntropy): Shannon
+    // entropy of each user's event-type mix + the ln(k)-normalized
+    // predictability score — power users vs one-trick bots in one
+    // number. Nano-snapped −p·ln p cells.
+    QueryDef("q281_behavior_entropy",
+      (s, dir) => Behavior.entityEntropy(
+          t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("entity"),
+      Some("""WITH c AS (SELECT user_id AS entity, event_type AS t,
+             |    count(*) AS c
+             |  FROM events WHERE event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |wn AS (SELECT entity, t, c,
+             |    sum(c) OVER (PARTITION BY entity) AS n
+             |  FROM c),
+             |tm AS (SELECT entity, n, CAST(round(
+             |    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    1000000000.0) AS BIGINT) AS term
+             |  FROM wn),
+             |per AS (SELECT entity, max(n) AS n_events,
+             |    count(*) AS n_types, sum(term) AS h
+             |  FROM tm GROUP BY 1)
+             |SELECT entity, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(n_types AS BIGINT) AS n_types,
+             |  round(CAST(h AS DOUBLE) / 1000000000.0, 4)
+             |    AS entropy_nats,
+             |  round(CASE WHEN n_types > 1 THEN
+             |    CAST(h AS DOUBLE) / 1000000000.0 /
+             |    ln(CAST(n_types AS DOUBLE)) END, 4) AS entropy_norm
+             |FROM per ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -257,7 +257,10 @@ class PlanShapeSpec extends SparkSpec {
       "q277_knn_reliability",
       // q275: the 1-row significance count crosses onto the 20-row
       // seed frame.
-      "q275_aa_calibration")
+      "q275_aa_calibration",
+      // q280: histPercentiles' |ps|-row BNLJ (q151's documented
+      // post-sketch shape), twice.
+      "q280_approx_mad")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
