@@ -92,6 +92,61 @@ object Attribution {
     byChannel.unionByName(direct)
   }
 
+  /** Time-decay attribution — the fourth standard model beside
+    * [[report]]'s first/last/linear: each touch's credit is
+    * proportional to 2^(−Δt/halfLife), so recency wins smoothly
+    * instead of winner-take-all. Weights snap to integer micro-units;
+    * each touch gets ⌊cents·w/Σw⌋ and the integer remainder goes to
+    * the first touch, so the books balance exactly (the [[report]]
+    * discipline).
+    *
+    * @return per channel (+ 'direct'): `n_conversions`, `decay_cents`
+    */
+  def decayReport(
+      df: DataFrame, idCol: String, entityCol: String, tsCol: String,
+      typeCol: String, convType: String, touchTypes: Seq[String],
+      valueCol: String, lookbackDays: Int,
+      halfLifeDays: Double): DataFrame = {
+    val conv = df.where(col(typeCol) === convType)
+      .select(col(idCol).as("cid"), col(entityCol).as("e"),
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("cts"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+    val touch = df.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol).as("e"),
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("tts"),
+        col(typeCol).as("channel"))
+    val lookbackUs = lookbackDays.toLong * 86400000000L
+    val hlUs = halfLifeDays * 86400000000.0
+    val matched = conv.join(touch, Seq("e"))
+      .where(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - lit(lookbackUs))
+      .withColumn("w_u", round(exp(lit(-math.log(2.0)) *
+        (col("cts") - col("tts")).cast("double") / lit(hlUs)) *
+        lit(1e6)).cast("long"))
+    val wC = Window.partitionBy("cid")
+    val wAsc = wC.orderBy(col("tts").asc, col("channel").asc)
+    val credited = matched
+      .withColumn("pos", row_number().over(wAsc))
+      .withColumn("sw", sum("w_u").over(wC))
+      .withColumn("base", expr("(cents * w_u) DIV sw"))
+      .withColumn("rem", col("cents") - sum("base").over(wC))
+      .withColumn("decay_c",
+        col("base") + when(col("pos") === 1, col("rem")).otherwise(0L))
+    val byChannel = credited.groupBy("channel").agg(
+      countDistinct("cid").as("n_conversions"),
+      sum("decay_c").as("decay_cents"))
+    val direct = conv.join(
+        matched.select("cid").distinct().withColumn("_hit", lit(1)),
+        Seq("cid"), "left")
+      .where(col("_hit").isNull)
+      .agg(count(lit(1)).as("n_conversions"),
+        coalesce(sum("cents"), lit(0L)).as("decay_cents"))
+      .select(lit("direct").as("channel"), col("n_conversions"),
+        col("decay_cents"))
+      .where(col("n_conversions") > 0)
+    byChannel.unionByName(direct)
+  }
+
   /** Conversion-latency profile: for each conversion, the time since
     * the LAST touch of each channel inside the lookback, summarized
     * as per-channel percentiles — "how long after a click does the

@@ -11162,7 +11162,167 @@ object GemQueries {
              |  round(CASE WHEN n_types > 1 THEN
              |    CAST(h AS DOUBLE) / 1000000000.0 /
              |    ln(CAST(n_types AS DOUBLE)) END, 4) AS entropy_norm
-             |FROM per ORDER BY 1""".stripMargin))
+             |FROM per ORDER BY 1""".stripMargin)),
+
+    // Time-decay attribution (Attribution.decayReport): credit
+    // proportional to 2^(−Δt / 1 day) — recency wins smoothly, not
+    // winner-take-all. Micro-snapped weights, integer floor split,
+    // remainder to the first touch: the books balance exactly.
+    QueryDef("q282_decay_attribution",
+      (s, dir) => Attribution.decayReport(t(s, dir, "events"),
+          "event_id", "user_id", "ts", "event_type",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          valueCol = "value", lookbackDays = 3, halfLifeDays = 1.0)
+        .orderBy("channel"),
+      Some("""WITH conv AS (
+             |  SELECT event_id AS cid, user_id AS e, epoch_us(ts) AS cts,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |touch AS (SELECT user_id AS e, epoch_us(ts) AS tts,
+             |    event_type AS channel
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |m AS (SELECT cid, cents, tts, channel,
+             |    CAST(round(exp(-0.6931471805599453 *
+             |      CAST(cts - tts AS DOUBLE) / 86400000000.0) *
+             |      1000000.0) AS BIGINT) AS w_u
+             |  FROM conv JOIN touch ON conv.e = touch.e
+             |  WHERE tts < cts AND tts >= cts - 259200000000),
+             |r AS (SELECT cid, cents, channel, w_u,
+             |    row_number() OVER (PARTITION BY cid
+             |      ORDER BY tts, channel) AS pos,
+             |    sum(w_u) OVER (PARTITION BY cid) AS sw
+             |  FROM m),
+             |b AS (SELECT *, (cents * w_u) // sw AS base FROM r),
+             |b2 AS (SELECT *,
+             |    cents - sum(base) OVER (PARTITION BY cid) AS rem
+             |  FROM b),
+             |cr AS (SELECT channel, cid,
+             |    base + CASE WHEN pos = 1 THEN rem ELSE 0 END AS dc
+             |  FROM b2),
+             |bych AS (SELECT channel, count(DISTINCT cid)
+             |      AS n_conversions,
+             |    sum(dc) AS decay_cents
+             |  FROM cr GROUP BY 1),
+             |direct AS (SELECT 'direct' AS channel,
+             |    count(*) AS n_conversions,
+             |    coalesce(sum(cents), 0) AS decay_cents
+             |  FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM m)
+             |  HAVING count(*) > 0)
+             |SELECT channel,
+             |  CAST(n_conversions AS BIGINT) AS n_conversions,
+             |  CAST(decay_cents AS BIGINT) AS decay_cents
+             |FROM (SELECT * FROM bych UNION ALL SELECT * FROM direct)
+             |ORDER BY 1""".stripMargin)),
+
+    // Perplexity curriculum (LanguageModel.scoreNll ∘ quartile
+    // phases): documents staged easy→hard by unigram NLL — the
+    // curriculum-learning data layout, with per-phase token budgets.
+    // Phase cuts compare the exact integer-snapped NLL against its
+    // own quartiles.
+    QueryDef("q283_curriculum_phases",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lm = LanguageModel.trainUnigram(docs, "text")
+        val scored = LanguageModel
+          .scoreNll(docs, "doc_id", "text", lm, alpha = 1.0)
+          .where(col("n_tokens") > 0)
+          .withColumn("nu", round(col("nll") * 1e4).cast("long"))
+        val bounds = scored.agg(
+          expr("percentile(nu, 0.25D)").as("b1"),
+          expr("percentile(nu, 0.5D)").as("b2"),
+          expr("percentile(nu, 0.75D)").as("b3"))
+        scored.crossJoin(broadcast(bounds))
+          .withColumn("phase", lit(1) +
+            (col("nu").cast("double") > col("b1")).cast("int") +
+            (col("nu").cast("double") > col("b2")).cast("int") +
+            (col("nu").cast("double") > col("b3")).cast("int"))
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum("nu").cast("double") / lit(1e4) /
+              count(lit(1)).cast("double"), 4).as("mean_nll"),
+            sum("n_tokens").as("tokens"),
+            round(sum("n_tokens").cast("double") /
+              count(lit(1)).cast("double"), 2).as("mean_tokens"))
+          .orderBy("phase")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |lm AS (SELECT token, count(*) AS cnt FROM tok
+             |  GROUP BY token),
+             |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+             |    CAST(count(*) AS DOUBLE) AS v_size FROM lm),
+             |sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+             |    avg(-ln((coalesce(l.cnt, 0) + 1.0) /
+             |      (s.t_total + 1.0 * s.v_size))) AS nll
+             |  FROM tok t LEFT JOIN lm l USING (token)
+             |  CROSS JOIN stats s
+             |  GROUP BY t.doc_id),
+             |sn AS (SELECT doc_id, n_tokens,
+             |    CAST(round(round(nll, 4) * 10000.0) AS BIGINT) AS nu
+             |  FROM sc WHERE n_tokens > 0),
+             |bd AS (SELECT
+             |    percentile_cont(0.25) WITHIN GROUP (ORDER BY nu) AS b1,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY nu) AS b2,
+             |    percentile_cont(0.75) WITHIN GROUP (ORDER BY nu) AS b3
+             |  FROM sn),
+             |ph AS (SELECT n_tokens, nu, 1 +
+             |    (CASE WHEN CAST(nu AS DOUBLE) > b1 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN CAST(nu AS DOUBLE) > b2 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN CAST(nu AS DOUBLE) > b3 THEN 1 ELSE 0 END)
+             |    AS phase
+             |  FROM sn CROSS JOIN bd)
+             |SELECT CAST(phase AS INT) AS phase, count(*) AS n_docs,
+             |  round(CAST(sum(nu) AS DOUBLE) / 10000.0 /
+             |    CAST(count(*) AS DOUBLE), 4) AS mean_nll,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             |  round(CAST(sum(n_tokens) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 2) AS mean_tokens
+             |FROM ph GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Kish design effect of q271's sampling weights (survey
+    // statistics): deff = n·Σw²/(Σw)², effective sample size
+    // n_eff = (Σw)²/Σw² — how much estimating power the unequal
+    // weights cost. Exact integer weight moments.
+    QueryDef("q284_design_effect",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 10)
+        val sampled = Sampling.stratifiedSample(docs, "doc_id",
+          "source", rates, defaultPct = 25)
+        val w = rates.foldRight(lit(10000L / 25): Column) {
+          case ((stratum, pct), rest) =>
+            when(col("source") === stratum, 10000L / pct).otherwise(rest)
+        }
+        sampled.select(w.as("w"))
+          .agg(count(lit(1)).as("n_sample"), sum("w").as("_sw"),
+            sum(col("w") * col("w")).as("_sww"))
+          .select(col("n_sample"),
+            round(col("_sw").cast("double") * col("_sw").cast("double") /
+              col("_sww").cast("double"), 2).as("n_eff"),
+            round(col("n_sample").cast("double") *
+              col("_sww").cast("double") /
+              (col("_sw").cast("double") * col("_sw").cast("double")),
+              4).as("deff"))
+      },
+      Some(("""WITH s AS (SELECT source FROM (SELECT source,
+             |      """ + Sampling.duckBucket("doc_id") + """ AS b
+             |    FROM documents)
+             |  WHERE b < CASE source WHEN 'src0' THEN 100
+             |    WHEN 'src1' THEN 50 WHEN 'src2' THEN 10 ELSE 25 END),
+             |w AS (SELECT CASE source WHEN 'src0' THEN 100
+             |    WHEN 'src1' THEN 200 WHEN 'src2' THEN 1000
+             |    ELSE 400 END AS w
+             |  FROM s)
+             |SELECT count(*) AS n_sample,
+             |  round(CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE) /
+             |    CAST(sum(w * w) AS DOUBLE), 2) AS n_eff,
+             |  round(CAST(count(*) AS DOUBLE) *
+             |    CAST(sum(w * w) AS DOUBLE) /
+             |    (CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE)), 4)
+             |    AS deff
+             |FROM w""").stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -260,7 +260,10 @@ class PlanShapeSpec extends SparkSpec {
       "q275_aa_calibration",
       // q280: histPercentiles' |ps|-row BNLJ (q151's documented
       // post-sketch shape), twice.
-      "q280_approx_mad")
+      "q280_approx_mad",
+      // q283: scoreNll's 1-row (T, V) model stats (q76's shape) plus
+      // the 1-row quartile-bounds cross.
+      "q283_curriculum_phases")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
