@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the missing last step of every
@@ -233,6 +233,52 @@ object Components {
       .select(col("component"), col("cluster_size"),
         col(idCol).as("keep_id"),
         col(qualityCol).as(s"keep_$qualityCol"))
+  }
+
+  /** Adjusted Rand Index between two partitions of the same node set
+    * (Hubert & Arabie 1985): pair-counting agreement corrected for
+    * chance — THE metric for "how much does the clustering change if
+    * I move the threshold", where raw label comparison is
+    * meaningless (labels are arbitrary).
+    *
+    * All pair counts are exact integer binomials from the
+    * contingency table (one join + three aggregates, all
+    * partition-sized); the index itself is one fixed-shape double
+    * expression. ARI = 1 ⇔ identical partitions; ≈ 0 ⇔ independent.
+    *
+    * @param a/b (nodeCol, labelCol-a / labelCol-b) — must cover the
+    *            same nodes
+    * @return one row: `n_nodes`, `n_clusters_a`, `n_clusters_b`,
+    *         `ari` (round 6)
+    */
+  def adjustedRandIndex(
+      a: DataFrame, b: DataFrame, nodeCol: String,
+      labelACol: String, labelBCol: String): DataFrame = {
+    val joined = a.select(col(nodeCol).as("node"),
+        col(labelACol).as("la"))
+      .join(b.select(col(nodeCol).as("node"), col(labelBCol).as("lb")),
+        Seq("node"))
+      .localCheckpoint(true)
+    // Always-even product: the cast back to long is exact.
+    def choose2(c: Column) = ((c * (c - lit(1L))) / lit(2L)).cast("long")
+    val cont = joined.groupBy("la", "lb").agg(count(lit(1)).as("nij"))
+      .agg(sum(choose2(col("nij"))).as("_sij"))
+    val ra = joined.groupBy("la").agg(count(lit(1)).as("ai"))
+      .agg(count(lit(1)).as("n_clusters_a"),
+        sum(choose2(col("ai"))).as("_sa"))
+    val rb = joined.groupBy("lb").agg(count(lit(1)).as("bj"))
+      .agg(count(lit(1)).as("n_clusters_b"),
+        sum(choose2(col("bj"))).as("_sb"))
+    val nTot = joined.agg(count(lit(1)).as("n_nodes"))
+    def d(c: String) = col(c).cast("double")
+    nTot.crossJoin(broadcast(cont)).crossJoin(broadcast(ra))
+      .crossJoin(broadcast(rb))
+      .withColumn("_nc2", choose2(col("n_nodes")).cast("double"))
+      .withColumn("_exp", d("_sa") * d("_sb") / col("_nc2"))
+      .select(col("n_nodes"), col("n_clusters_a"), col("n_clusters_b"),
+        (round((d("_sij") - col("_exp")) /
+          ((d("_sa") + d("_sb")) / lit(2.0) - col("_exp")), 6)
+          + lit(0.0)).as("ari"))
   }
 
   /** Synchronous label propagation (Raghavan et al., PRE 2007) with a

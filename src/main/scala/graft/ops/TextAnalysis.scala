@@ -11,6 +11,50 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Term-dispersion (burstiness) profile: per token the document
+    * frequency, collection frequency, and the Fano factor of its
+    * per-document counts over the WHOLE corpus (zeros included) —
+    * Fano ≈ 1 is Poisson scatter, Fano ≫ 1 means the token clumps
+    * into few documents (keyword stuffing, boilerplate, code blocks).
+    * The corpus-linguistics triage behind stopword and boilerplate
+    * lists.
+    *
+    * Var over all N docs needs only Σc and Σc² of the PRESENT docs
+    * (absent docs contribute zero), so the whole profile is one
+    * inverted-index aggregate; the top-k rank runs on the integer
+    * micro-snapped Fano so ties can't split engines.
+    *
+    * @return top `k` tokens by Fano (df ≥ `minDf`): `token`, `df`,
+    *         `cf`, `max_in_doc`, `fano` (round 4)
+    */
+  def termDispersion(
+      df: DataFrame, idCol: String, textCol: String, minDf: Long,
+      k: Int): DataFrame = {
+    val perDoc = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("c"))
+    val nDocs = df.agg(count(lit(1)).as("nn"))
+    val stats = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"),
+        max("c").as("max_in_doc"), sum(col("c") * col("c")).as("_scc"))
+      .where(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // Fano = var/mean over ALL docs = (Σc² − (Σc)²/N)/(N−1) / (Σc/N).
+    val fano = (d(col("_scc")) - d(col("cf")) * d(col("cf")) /
+      d(col("nn"))) / (d(col("nn")) - lit(1.0)) /
+      (d(col("cf")) / d(col("nn")))
+    val snapped = stats
+      .withColumn("_fu", round(fano * lit(1e6)).cast("long"))
+    snapped
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("_fu").desc, col("token").asc)))
+      .where(col("_rk") <= k)
+      .select(col("token"), col("df"), col("cf"), col("max_in_doc"),
+        round(col("_fu").cast("double") / lit(1e6), 4).as("fano"))
+  }
+
   /** Heaps'-law vocabulary-growth profile: per corpus slice the token
     * count N, vocabulary V, and hapax count (once-only tokens — the
     * long-tail mass OOV handling must absorb), plus ONE fitted Heaps

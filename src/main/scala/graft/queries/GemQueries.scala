@@ -11322,7 +11322,101 @@ object GemQueries {
              |    CAST(sum(w * w) AS DOUBLE) /
              |    (CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE)), 4)
              |    AS deff
-             |FROM w""").stripMargin))
+             |FROM w""").stripMargin)),
+
+    // Term-dispersion/burstiness profile (TextAnalysis
+    // .termDispersion): Fano factor of per-doc counts over the whole
+    // corpus — clumpy tokens (Fano ≫ 1) are the boilerplate/stuffing
+    // candidates. Rank on the integer micro-snapped score.
+    QueryDef("q285_term_dispersion",
+      (s, dir) => TextAnalysis.termDispersion(
+          t(s, dir, "documents"), "doc_id", "text", minDf = 5L, k = 20)
+        .orderBy("token"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |pd AS (SELECT token, doc_id, count(*) AS c
+             |  FROM tok GROUP BY 1, 2),
+             |nn AS (SELECT count(*) AS nn FROM documents),
+             |st AS (SELECT token, count(*) AS df, sum(c) AS cf,
+             |    max(c) AS max_in_doc, sum(c * c) AS scc
+             |  FROM pd GROUP BY 1 HAVING count(*) >= 5),
+             |fn AS (SELECT token, df, cf, max_in_doc,
+             |    CAST(round((CAST(scc AS DOUBLE) -
+             |        CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE) /
+             |        CAST(nn AS DOUBLE)) /
+             |      (CAST(nn AS DOUBLE) - 1.0) /
+             |      (CAST(cf AS DOUBLE) / CAST(nn AS DOUBLE)) *
+             |      1000000.0) AS BIGINT) AS fu
+             |  FROM st CROSS JOIN nn),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY fu DESC,
+             |    token) AS rk
+             |  FROM fn)
+             |SELECT token, CAST(df AS BIGINT) AS df,
+             |  CAST(cf AS BIGINT) AS cf,
+             |  CAST(max_in_doc AS BIGINT) AS max_in_doc,
+             |  round(CAST(fu AS DOUBLE) / 1000000.0, 4) AS fano
+             |FROM rk WHERE rk <= 20 ORDER BY token""".stripMargin)),
+
+    // Cluster stability across thresholds (Components
+    // .adjustedRandIndex, Hubert–Arabie): ARI between the 0.7- and
+    // 0.8-Jaccard near-dup partitions — "how much does the
+    // clustering move if I loosen the threshold", chance-corrected.
+    // Exact integer pair binomials from the contingency table.
+    QueryDef("q286_cluster_ari",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        def clusters(thr: Double, as: String) = {
+          val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+            k = 64, bands = 8, threshold = thr)
+          Components.dedupClusters(docs, "doc_id", pairs,
+              "id_a", "id_b")
+            .select(col("doc_id"), col("component").as(as))
+        }
+        Components.adjustedRandIndex(
+          clusters(0.7, "ca"), clusters(0.8, "cb"),
+          "doc_id", "ca", "cb")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        """p7 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.7),
+          |e7 AS (SELECT id_a AS src, id_b AS dst FROM p7
+          |  UNION ALL SELECT id_b, id_a FROM p7),
+          |r7(id, lbl) AS (
+          |  SELECT doc_id, doc_id FROM toks
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM r7 r JOIN e7 e ON e.src = r.id),
+          |c7 AS (SELECT id, min(lbl) AS ca FROM r7 GROUP BY 1),
+          |p8 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+          |e8 AS (SELECT id_a AS src, id_b AS dst FROM p8
+          |  UNION ALL SELECT id_b, id_a FROM p8),
+          |r8(id, lbl) AS (
+          |  SELECT doc_id, doc_id FROM toks
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM r8 r JOIN e8 e ON e.src = r.id),
+          |c8 AS (SELECT id, min(lbl) AS cb FROM r8 GROUP BY 1),
+          |j AS (SELECT c7.id, ca, cb FROM c7
+          |  JOIN c8 ON c7.id = c8.id),
+          |cont AS (SELECT sum(nij * (nij - 1) // 2) AS sij
+          |  FROM (SELECT ca, cb, count(*) AS nij FROM j GROUP BY 1, 2)),
+          |ra AS (SELECT count(*) AS nca,
+          |    sum(ai * (ai - 1) // 2) AS sa
+          |  FROM (SELECT ca, count(*) AS ai FROM j GROUP BY 1)),
+          |rb AS (SELECT count(*) AS ncb,
+          |    sum(bj * (bj - 1) // 2) AS sb
+          |  FROM (SELECT cb, count(*) AS bj FROM j GROUP BY 1)),
+          |nt AS (SELECT count(*) AS n FROM j)
+          |SELECT CAST(n AS BIGINT) AS n_nodes,
+          |  CAST(nca AS BIGINT) AS n_clusters_a,
+          |  CAST(ncb AS BIGINT) AS n_clusters_b,
+          |  round((CAST(sij AS DOUBLE) -
+          |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) /
+          |      CAST(n * (n - 1) // 2 AS DOUBLE)) /
+          |    ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 -
+          |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) /
+          |      CAST(n * (n - 1) // 2 AS DOUBLE)), 6) + 0.0 AS ari
+          |FROM nt CROSS JOIN cont CROSS JOIN ra CROSS JOIN rb"""
+          .stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

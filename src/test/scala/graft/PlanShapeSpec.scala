@@ -263,7 +263,11 @@ class PlanShapeSpec extends SparkSpec {
       "q280_approx_mad",
       // q283: scoreNll's 1-row (T, V) model stats (q76's shape) plus
       // the 1-row quartile-bounds cross.
-      "q283_curriculum_phases")
+      "q283_curriculum_phases",
+      // q285: the 1-row corpus count crosses onto the vocab frame
+      // (q114's shape). q286: three 1-row binomial sums cross into
+      // the single ARI report row.
+      "q285_term_dispersion", "q286_cluster_ari")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
