@@ -23,6 +23,17 @@ object Layout {
     sortCol.fold(w)(w.sortBy(_)).format("parquet").saveAsTable(table)
   }
 
+  /** Append into an EXISTING bucketed table with the same bucket
+    * spec — the ingest half of a persisted index: each batch's rows
+    * land in the matching buckets, so probes keep joining with no
+    * index-side exchange as the index grows.
+    */
+  def appendBucketed(
+      df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("append").bucketBy(buckets, bucketCol)
+      .format("parquet").saveAsTable(table)
+
   def writePartitioned(
       df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)

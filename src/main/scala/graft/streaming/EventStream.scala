@@ -261,4 +261,51 @@ object EventStream {
         "value DOUBLE, props STRING")
     spark.readStream.schema(schema).parquet(dir)
   }
+
+  /** Operational near-dup ingest: each micro-batch of documents
+    * PROBES the persisted bucketed minhash index
+    * ([[graft.ops.Dedup.incrementalNearDupsFromIndex]] — batch bands ×
+    * index bands only, no index-side exchange thanks to the
+    * band_hash bucketing) and is then APPENDED to the index, so the
+    * next batch also dedups against it. This is the foreachBatch
+    * composition of the q93 batch operator — the form a 100 TB crawl
+    * ingest actually runs: per-batch cost scales with the batch, the
+    * standing corpus is signature-indexed exactly once.
+    *
+    * Emitted pairs land in `outTable` tagged with the micro-batch id;
+    * exactly-once bookkeeping rides the checkpoint.
+    */
+  def incrementalDedupIngest(
+      docs: DataFrame, bandsTable: String, toksTable: String,
+      outTable: String, checkpoint: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Dedup
+    import graft.sources.Layout
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        // The index tables grew LAST batch: drop any cached file
+        // listing so this batch probes the appended state (session
+        // relation caches do not see appends made by other clones).
+        sp.catalog.refreshTable(bandsTable)
+        sp.catalog.refreshTable(toksTable)
+        val b = batch.localCheckpoint(true)
+        Dedup.incrementalNearDupsFromIndex(b, "doc_id", "text",
+            sp.table(bandsTable), sp.table(toksTable),
+            k, bands, threshold)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").saveAsTable(outTable)
+        // Index growth: the batch joins the standing corpus for every
+        // LATER batch. Bands keep the bucket layout; toks append flat.
+        Layout.appendBucketed(
+          Dedup.lshBands(b, "doc_id", "text", k, bands),
+          bandsTable, "band_hash")
+        Dedup.tokenIndex(b, "doc_id", "text")
+          .write.mode("append").saveAsTable(toksTable)
+        ()
+      }
+      .start()
+  }
 }

@@ -457,4 +457,66 @@ class StreamingModeSpec extends SparkSpec {
     assert(tight > 0L && tight <= profileDrops,
       s"stream drops ($tight) bounded by the batch profile ($profileDrops)")
   }
+
+  test("incrementalDedupIngest probes then grows the index per batch") {
+    import graft.ops.Dedup
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.01", "documents")
+      .filter(col("doc_id") < 1000)
+      .select("doc_id", "text")
+    val idx0 = docs.filter(col("doc_id") < 250)
+    val b1df = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+    val b2df = docs.filter(col("doc_id") >= 375)
+    Seq("ing_pairs", "ing_bands", "ing_toks").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Layout.writeBucketed(
+      Dedup.lshBands(idx0, "doc_id", "text", 16, 4),
+      "ing_bands", "band_hash")
+    Dedup.tokenIndex(idx0, "doc_id", "text")
+      .write.mode("overwrite").saveAsTable("ing_toks")
+    val bandsBefore = spark.table("ing_bands").count()
+
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ing_ckpt").toString
+    val q = EventStream.incrementalDedupIngest(
+      input.toDF().toDF("doc_id", "text"),
+      "ing_bands", "ing_toks", "ing_pairs", ckpt)
+    try {
+      input.addData(b1df.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(b2df.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+
+      // Batch-parity: batch 1 dedups against the seed index; batch 2
+      // against seed ∪ batch 1 (the probe-then-append contract).
+      def pairsOf(b: org.apache.spark.sql.DataFrame,
+          idx: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNearDups(b, idx, "doc_id", "text")
+          .select("batch_id", "index_id")
+          .as[(Long, Long)].collect().toSet
+      val expected = pairsOf(b1df, idx0) ++
+        pairsOf(b2df, idx0.unionByName(b1df))
+      val got = spark.table("ing_pairs")
+        .select("batch_id", "index_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected,
+        s"ingest pairs must match the sequential batch computation " +
+          s"(${got.size} vs ${expected.size})")
+      // The index grew by both batches' bands. (Refresh: this
+      // session cached the table's file listing at the pre-count.)
+      spark.catalog.refreshTable("ing_bands")
+      val grown = spark.table("ing_bands").count()
+      assert(grown === bandsBefore +
+        Dedup.lshBands(b1df.unionByName(b2df), "doc_id", "text", 16, 4)
+          .count())
+    } finally {
+      q.stop()
+      Seq("ing_pairs", "ing_bands", "ing_toks").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
