@@ -142,6 +142,44 @@ object Rolling {
     *         `x`, `n_prior`, `ewma` (round 4), `sigma` (round 4),
     *         `flag` (0/1)
     */
+  /** Trailing rolling MEDIAN of daily volume — the robust counterpart
+    * of [[trailingStats]]' mean (one outage day drags a 7-day mean for
+    * a week; the median shrugs). A median can't ride a plain window
+    * frame, so the trailing window is materialized as the bounded
+    * shifted self-join ([[ewmaChart]]'s discipline) and each (group,
+    * day) takes `percentile` over its ≤`window` contributors — all
+    * frames (groups × days)-sized.
+    *
+    * @return per (group, day) with a FULL window: `g`, `d`,
+    *         `roll_mean` (round 4), `roll_median` (round 4)
+    */
+  def rollingMedian(
+      df: DataFrame, groupCol: String, dayCol: String,
+      window: Int): DataFrame = {
+    val counted = df
+      .select(col(groupCol).as("g"), col(dayCol).cast("long").as("d"))
+      .where(col("g").isNotNull && col("d").isNotNull)
+      .groupBy("g", "d").agg(count(lit(1)).as("x"))
+    val grid = counted.groupBy("g")
+      .agg(min("d").as("_lo"), max("d").as("_hi"))
+      .select(col("g"), explode(sequence(col("_lo"), col("_hi"))).as("d"))
+    val daily = grid.join(counted, Seq("g", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val contrib = daily.select(col("g"),
+        explode(sequence(lit(0), lit(window - 1))).as("j"),
+        (col("d") + col("j").cast("long")).as("d"), col("x").as("xp"))
+    daily.select(col("g"), col("d"))
+      .join(contrib, Seq("g", "d"))
+      .groupBy("g", "d")
+      .agg(count(lit(1)).as("_n"), sum("xp").as("_s"),
+        expr("percentile(xp, 0.5D)").as("_med"))
+      .where(col("_n") === window)
+      .select(col("g"), col("d"),
+        round(col("_s").cast("double") / col("_n").cast("double"), 4)
+          .as("roll_mean"),
+        round(col("_med"), 4).as("roll_median"))
+  }
+
   /** The lag-1..window EWMA weights as plain doubles — ONE generator
     * for the Spark literals and the oracle SQL so the two engines
     * cannot disagree on a pow().

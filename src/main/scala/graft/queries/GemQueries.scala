@@ -9,7 +9,8 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
-  FeatureSelect, Itemsets, LanguageModel, Lateness, LineDedup, LogReg,
+  FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
+  LineDedup, LogReg,
   Markov, Merge, Multimodal, TimeWeighted,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
@@ -11422,7 +11423,81 @@ object GemQueries {
           |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) /
           |      CAST(n * (n - 1) // 2 AS DOUBLE)), 6) + 0.0 AS ari
           |FROM nt CROSS JOIN cont CROSS JOIN ra CROSS JOIN rb"""
-          .stripMargin))
+          .stripMargin)),
+
+    // Trailing rolling median (Rolling.rollingMedian): the robust
+    // 7-day volume smoother — one outage day drags q79's mean for a
+    // week, the median shrugs. Bounded shifted self-join, percentile
+    // per (group, day).
+    QueryDef("q287_rolling_median",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Rolling.rollingMedian(ev, "event_type", "day", window = 7)
+          .orderBy("g", "d")
+      },
+      Some("""WITH counted AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |lims AS (SELECT g, min(d) AS lo, max(d) AS hi
+             |  FROM counted GROUP BY 1),
+             |grid AS (SELECT g, unnest(generate_series(lo, hi)) AS d
+             |  FROM lims),
+             |daily AS (SELECT grid.g, grid.d, coalesce(x, 0) AS x
+             |  FROM grid LEFT JOIN counted
+             |    ON grid.g = counted.g AND grid.d = counted.d),
+             |contrib AS (SELECT g, d + j AS d, x AS xp
+             |  FROM daily,
+             |    (SELECT unnest(generate_series(0, 6)) AS j) js),
+             |ag AS (SELECT daily.g, daily.d, count(*) AS n,
+             |    sum(xp) AS s,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY xp) AS med
+             |  FROM daily JOIN contrib
+             |    ON daily.g = contrib.g AND daily.d = contrib.d
+             |  GROUP BY 1, 2)
+             |SELECT g, d,
+             |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             |    AS roll_mean,
+             |  round(med, 4) AS roll_median
+             |FROM ag WHERE n = 7 ORDER BY 1, 2""".stripMargin)),
+
+    // Small-files compaction report (ops/FileAudit
+    // .smallFilesReport): documents rewritten 8-way hash-partitioned
+    // to a scratch dir, then audited by physical file via
+    // input_file_name() — rows per file, imbalance, and the
+    // compaction target. The oracle reads the SAME files with
+    // DuckDB's filename=true scan.
+    QueryDef("q288_small_files", {
+      val tmp = sys.props("java.io.tmpdir") + "/graft_fileaudit"
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents").repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(tmp)
+        FileAudit.smallFilesReport(
+          Seq(("documents_8way", s.read.parquet(tmp))),
+          targetRows = 100L)
+      }
+    },
+      Some {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_fileaudit"
+        s"""WITH pf AS (SELECT filename AS f, count(*) AS n
+             |  FROM read_parquet('$tmp/*.parquet', filename=true)
+             |  GROUP BY 1),
+             |ag AS (SELECT count(*) AS n_files, sum(n) AS n_rows,
+             |    min(n) AS min_rows, max(n) AS max_rows,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS med
+             |  FROM pf)
+             |SELECT 'documents_8way' AS table_name,
+             |  CAST(n_files AS BIGINT) AS n_files,
+             |  CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(min_rows AS BIGINT) AS min_rows,
+             |  CAST(max_rows AS BIGINT) AS max_rows,
+             |  round(med, 1) AS median_rows,
+             |  CAST((max_rows * n_files * 1000000) // n_rows AS BIGINT)
+             |    AS imbalance_ppm,
+             |  CAST((n_rows + 99) // 100 AS BIGINT) AS target_files
+             |FROM ag""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every
