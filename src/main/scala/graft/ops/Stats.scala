@@ -47,6 +47,38 @@ object Stats {
       (round(r2, 4) + lit(0.0)).as("r2"))
   }
 
+  /** Wilson score interval for a per-group binomial rate (Wilson
+    * 1927): the CI that behaves at small n and extreme rates, where
+    * the naive ±z√(p(1−p)/n) collapses to zero width on 0/n and
+    * n/n days — exactly the days a conversion monitor most needs
+    * honest uncertainty on.
+    *
+    * One count aggregate; the bounds are fixed-shape double
+    * expressions over the exact integer (n, k) pair, z = 1.959964.
+    *
+    * @param df rows with groupCol and integer 0/1 `hitCol`
+    * @return per group: `n`, `k`, `rate` (round 4), `wilson_lo`,
+    *         `wilson_hi` (round 4)
+    */
+  def wilsonRate(
+      df: DataFrame, groupCol: String, hitCol: String): DataFrame = {
+    val z = 1.959964
+    val agg = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(hitCol).cast("long")).as("k"))
+    def d(c: String): Column = col(c).cast("double")
+    val p = d("k") / d("n")
+    val z2n = lit(z * z) / d("n")
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / lit(2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / d("n") +
+      z2n / (lit(4.0) * d("n")))) / denom
+    agg.select(col("g"), col("n"), col("k"),
+      round(p, 4).as("rate"),
+      round(center - half, 4).as("wilson_lo"),
+      round(center + half, 4).as("wilson_hi"))
+  }
+
   /** OLS fit diagnostics per group — the "should I trust q133's
     * slope" readout: R² from the exact moment sums plus residual
     * SKEWNESS and EXCESS KURTOSIS, the two numbers that say whether

@@ -11,7 +11,7 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Experiment, IntervalJoin, Linkage,
   FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
   LineDedup, LogReg,
-  Markov, Merge, Multimodal, TimeWeighted,
+  Markov, Merge, Multimodal, NaiveBayes, TimeWeighted,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
   Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
@@ -11497,7 +11497,105 @@ object GemQueries {
              |    AS imbalance_ppm,
              |  CAST((n_rows + 99) // 100 AS BIGINT) AS target_files
              |FROM ag""".stripMargin
-      })
+      }),
+
+    // Wilson score interval on the daily purchase rate (Stats
+    // .wilsonRate): the small-n-honest CI the naive ±z√(pq/n)
+    // collapses on — a conversion monitor's per-day uncertainty.
+    QueryDef("q289_wilson_rate", {
+      val z = 1.959964
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .withColumn("day",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+          .withColumn("hit",
+            (col("event_type") === "purchase").cast("int"))
+        Stats.wilsonRate(ev, "day", "hit").orderBy("g")
+      }
+    },
+      Some {
+        val z = 1.959964
+        val nD = "CAST(n AS DOUBLE)"
+        val p = s"CAST(k AS DOUBLE) / $nD"
+        val z2n = s"${z * z} / $nD"
+        s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS g,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS h
+             |  FROM events),
+             |a AS (SELECT g, count(*) AS n, sum(h) AS k
+             |  FROM e GROUP BY 1)
+             |SELECT g, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             |  round($p, 4) AS rate,
+             |  round(($p + $z2n / 2.0) / (1.0 + $z2n) -
+             |    ($z * sqrt($p * (1.0 - ($p)) / $nD +
+             |      $z2n / (4.0 * $nD))) / (1.0 + $z2n), 4)
+             |    AS wilson_lo,
+             |  round(($p + $z2n / 2.0) / (1.0 + $z2n) +
+             |    ($z * sqrt($p * (1.0 - ($p)) / $nD +
+             |      $z2n / (4.0 * $nD))) / (1.0 + $z2n), 4)
+             |    AS wilson_hi
+             |FROM a ORDER BY 1""".stripMargin
+      }),
+
+    // Trained multinomial Naive Bayes (ops/NaiveBayes.evalSplit):
+    // train on even doc_ids, score odd — the ONE-PASS classifier
+    // (training is a count aggregate, no gradient rounds) every
+    // fancier model must beat. Nano-snapped model weights make
+    // inference an integer sum, replayed exactly by the oracle.
+    QueryDef("q290_naive_bayes",
+      (s, dir) => NaiveBayes.evalSplit(t(s, dir, "documents"),
+          "doc_id", "lang", "text", col("doc_id") % 2 === 0)
+        .orderBy("label"),
+      Some("""WITH base AS (SELECT doc_id AS id, lang AS label, text,
+             |    doc_id % 2 = 0 AS is_train
+             |  FROM documents),
+             |ttok AS (SELECT label, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM base WHERE is_train),
+             |counts AS (SELECT label, token, count(*) AS c
+             |  FROM ttok GROUP BY 1, 2),
+             |cl AS (SELECT label, sum(c) AS cl FROM counts GROUP BY 1),
+             |vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+             |nt AS (SELECT count(*) AS nt FROM base WHERE is_train),
+             |priors AS (SELECT label, CAST(round(ln(
+             |    CAST(count(*) AS DOUBLE) / CAST(nt AS DOUBLE)) *
+             |    1000000000.0) AS BIGINT) AS prior_n
+             |  FROM base CROSS JOIN nt WHERE is_train
+             |  GROUP BY label, nt),
+             |model AS (SELECT counts.label, token, CAST(round(ln(
+             |    (CAST(c AS DOUBLE) + 1.0) /
+             |    (CAST(cl AS DOUBLE) + CAST(v AS DOUBLE))) *
+             |    1000000000.0) AS BIGINT) AS w_n
+             |  FROM counts JOIN cl ON counts.label = cl.label
+             |  CROSS JOIN vocab),
+             |defaults AS (SELECT label, CAST(round(ln(
+             |    1.0 / (CAST(cl AS DOUBLE) + CAST(v AS DOUBLE))) *
+             |    1000000000.0) AS BIGINT) AS def_n
+             |  FROM cl CROSS JOIN vocab),
+             |tt AS (SELECT id, label AS true_label, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM base WHERE NOT is_train),
+             |cells AS (SELECT tt.id, tt.true_label, dfl.label AS cand,
+             |    coalesce(m.w_n, dfl.def_n) AS cell
+             |  FROM tt CROSS JOIN defaults dfl
+             |  LEFT JOIN model m
+             |    ON m.label = dfl.label AND m.token = tt.token),
+             |sc AS (SELECT id, true_label, cand,
+             |    sum(cell) + max(prior_n) AS score
+             |  FROM cells JOIN priors ON cells.cand = priors.label
+             |  GROUP BY 1, 2, 3),
+             |preds AS (SELECT id, true_label, cand FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY id
+             |      ORDER BY score DESC, cand) AS rk
+             |    FROM sc)
+             |  WHERE rk = 1)
+             |SELECT true_label AS label, count(*) AS n_test,
+             |  CAST(sum(CASE WHEN cand = true_label THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  round(CAST(sum(CASE WHEN cand = true_label
+             |      THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 4) AS accuracy
+             |FROM preds GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

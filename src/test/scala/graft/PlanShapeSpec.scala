@@ -267,7 +267,11 @@ class PlanShapeSpec extends SparkSpec {
       // q285: the 1-row corpus count crosses onto the vocab frame
       // (q114's shape). q286: three 1-row binomial sums cross into
       // the single ARI report row.
-      "q285_term_dispersion", "q286_cluster_ari")
+      "q285_term_dispersion", "q286_cluster_ari",
+      // q290: the |labels| dim broadcasts across the test token
+      // stream (q178's margin-cross shape) plus 1-row vocab/total
+      // crosses onto vocab-sized model frames.
+      "q290_naive_bayes")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
