@@ -131,6 +131,64 @@ object Experiment {
       (round(when(se > 0.0, did / se), 4) + lit(0.0)).as("t"))
   }
 
+  /** Post-stratified treatment effect: the per-stratum contrasts
+    * weighted by stratum SHARE — the estimator that stays unbiased
+    * when arm balance differs across strata (the pooled diff mixes
+    * stratum composition into the effect; [[simpsonScan]] detects
+    * that failure, this fixes it). SE from the within-stratum Welch
+    * variances, share-weighted.
+    *
+    * Exactness: integer moments per (stratum, arm); shares are exact
+    * integer ratios; one fixed-shape double expression per output
+    * column.
+    *
+    * @return per stratum: n0, n1, `share_ppm` (integer), `diff`
+    *         (round 4), plus the pooled post-stratified `effect`
+    *         (round 4, repeated) and its `se` (round 4, repeated)
+    */
+  def postStratified(
+      df: DataFrame, strataCol: String, armCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val cells = df.where(x.isNotNull)
+      .select(col(strataCol).as("s"), col(armCol).cast("int").as("arm"),
+        x.as("x"))
+      .groupBy("s", "arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    def d(c: Column) = c.cast("double")
+    val per = cells
+      .withColumn("mean", d(col("sx")) / d(col("n")))
+      .withColumn("von", (d(col("sxx")) - d(col("sx")) * d(col("sx")) /
+        d(col("n"))) / (d(col("n")) * (d(col("n")) - lit(1.0))))
+    val a0 = per.where(col("arm") === 0)
+      .select(col("s"), col("n").as("n0"), col("mean").as("m0"),
+        col("von").as("v0"))
+    val a1 = per.where(col("arm") === 1)
+      .select(col("s"), col("n").as("n1"), col("mean").as("m1"),
+        col("von").as("v1"))
+    val strata = a0.join(a1, Seq("s"))
+      .withColumn("n_s", col("n0") + col("n1"))
+      .localCheckpoint(true)
+    val tot = strata.agg(sum("n_s").as("_nt"))
+    val staged = strata.crossJoin(broadcast(tot))
+      .withColumn("_w", d(col("n_s")) / d(col("_nt")))
+      .withColumn("_d", col("m1") - col("m0"))
+      .withColumn("_wd_n", round(col("_w") * col("_d") * lit(1e6))
+        .cast("long"))
+      .withColumn("_wv_n", round(col("_w") * col("_w") *
+        (col("v0") + col("v1")) * lit(1e9)).cast("long"))
+      .localCheckpoint(true)
+    val pooled = staged.agg(sum("_wd_n").as("_e"), sum("_wv_n").as("_v"))
+    staged.crossJoin(broadcast(pooled))
+      .select(col("s"), col("n0"), col("n1"),
+        expr("(n_s * 1000000) DIV _nt").as("share_ppm"),
+        (round(col("_d"), 4) + lit(0.0)).as("diff"),
+        (round(col("_e").cast("double") / lit(1e6), 4) + lit(0.0))
+          .as("effect"),
+        round(sqrt(col("_v").cast("double") / lit(1e9)), 4).as("se"))
+  }
+
   /** Simpson's-paradox detector: compare the pooled two-group mean
     * difference against the SAME difference inside each stratum and
     * flag strata whose sign reverses — the classic signal that the

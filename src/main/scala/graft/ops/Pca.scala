@@ -179,4 +179,47 @@ object Pca {
         transform(residual(vec, mu, v, dim), e => round(e, 4) + lit(0.0)))
         .as("resid"))
   }
+
+  /** Whitening audit for [[removeTop]] (Mu & Viswanath's
+    * all-but-the-top): per-dimension variance of the raw embeddings
+    * vs the top-component residuals — removing the dominant
+    * direction should FLATTEN the variance profile; dimensions whose
+    * ratio barely moves weren't aligned with it. The evidence that
+    * the projection did what the paper promises, per dimension.
+    *
+    * Raw components snap to micro-ints and residuals (already
+    * round-4 by [[removeTop]]'s contract) to 1e4-ints, so both
+    * variance columns are ratios of exact integer moments.
+    *
+    * @return per dimension: `pos` (1-based), `n`, `var_before`
+    *         (round 6), `var_after` (round 6), `ratio` (round 4;
+    *         after/before)
+    */
+  def whitenAudit(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val valid = df.where(size(col(vecCol)) === dim)
+    def moments(src: DataFrame, c: String, scale: Double,
+        out: String) = src
+      .select(posexplode(col(c)).as(Seq("pos0", "x")))
+      .withColumn("xu", round(col("x").cast("double") * lit(scale))
+        .cast("long"))
+      .groupBy("pos0")
+      .agg(count(lit(1)).as(s"n_$out"), sum("xu").as(s"s_$out"),
+        sum(col("xu") * col("xu")).as(s"ss_$out"))
+    def variance(n: String, s: String, ss: String, scale: Double) =
+      (col(ss).cast("double") - col(s).cast("double") *
+        col(s).cast("double") / col(n).cast("double")) /
+        (col(n).cast("double") - lit(1.0)) / lit(scale * scale)
+    val before = moments(valid, vecCol, 1e6, "b")
+    val after = moments(
+      removeTop(valid, idCol, vecCol, dim, iters), "resid", 1e4, "a")
+    before.join(after, Seq("pos0"))
+      .select((col("pos0") + 1).cast("int").as("pos"),
+        col("n_b").as("n"),
+        round(variance("n_b", "s_b", "ss_b", 1e6), 6).as("var_before"),
+        round(variance("n_a", "s_a", "ss_a", 1e4), 6).as("var_after"),
+        round(variance("n_a", "s_a", "ss_a", 1e4) /
+          variance("n_b", "s_b", "ss_b", 1e6), 4).as("ratio"))
+  }
 }

@@ -11,6 +11,52 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Zipf rank–frequency fit: OLS of ln(freq) on ln(rank) over the
+    * top-`topK` tokens — natural language sits near slope −1
+    * (Zipf's law); a much flatter slope flags synthetic/templated
+    * text, much steeper flags a degenerate vocabulary. The
+    * frequency twin of [[heapsProfile]]'s growth exponent.
+    *
+    * Rank is an integer (count desc, token asc — no float ties);
+    * both lns snap to integer micro-nats so the regression runs on
+    * exact integers (order-free). The ranked frame is top-K-sized.
+    *
+    * @return one row: `total_tokens`, `vocab`, `top_k`,
+    *         `zipf_slope` (round 4), `zipf_r2` (round 4)
+    */
+  def zipfFit(
+      df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum("c").as("total_tokens"),
+      count(lit(1)).as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    val pts = counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .where(col("r") <= topK)
+      .select(
+        round(log(col("r").cast("double")) * lit(1e6)).cast("long")
+          .as("x"),
+        round(log(col("c").cast("double")) * lit(1e6)).cast("long")
+          .as("y"))
+    val fit = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val covN = d("n") * d("sxy") - d("sx") * d("sy")
+    val varXN = d("n") * d("sxx") - d("sx") * d("sx")
+    val varYN = d("n") * d("syy") - d("sy") * d("sy")
+    tot.crossJoin(broadcast(fit))
+      .select(col("total_tokens"), col("vocab"),
+        col("n").as("top_k"),
+        (round(covN / varXN, 4) + lit(0.0)).as("zipf_slope"),
+        round(covN * covN / (varXN * varYN), 4).as("zipf_r2"))
+  }
+
   /** Term-dispersion (burstiness) profile: per token the document
     * frequency, collection frequency, and the Fano factor of its
     * per-document counts over the WHOLE corpus (zeros included) —

@@ -11595,7 +11595,158 @@ object GemQueries {
              |  round(CAST(sum(CASE WHEN cand = true_label
              |      THEN 1 ELSE 0 END) AS DOUBLE) /
              |    CAST(count(*) AS DOUBLE), 4) AS accuracy
-             |FROM preds GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM preds GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Zipf rank–frequency fit (TextAnalysis.zipfFit): ln-ln OLS over
+    // the top-200 tokens — natural text sits near slope −1; flat
+    // slopes flag templated/synthetic text. The frequency twin of
+    // q254's Heaps exponent.
+    QueryDef("q291_zipf_fit",
+      (s, dir) => TextAnalysis.zipfFit(
+        t(s, dir, "documents"), "text", topK = 200),
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tok
+             |  FROM documents),
+             |counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+             |tot AS (SELECT sum(c) AS total_tokens, count(*) AS vocab
+             |  FROM counts),
+             |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)
+             |    AS r
+             |  FROM counts),
+             |pts AS (SELECT
+             |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0)
+             |      AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0)
+             |      AS BIGINT) AS y
+             |  FROM rk WHERE r <= 200),
+             |fit AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy,
+             |    sum(y * y) AS syy
+             |  FROM pts)
+             |SELECT CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  CAST(vocab AS BIGINT) AS vocab,
+             |  CAST(n AS BIGINT) AS top_k,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0.0
+             |    AS zipf_slope,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             |    AS zipf_r2
+             |FROM tot CROSS JOIN fit""".stripMargin)),
+
+    // Post-stratified treatment effect (Experiment.postStratified):
+    // per-event-type contrasts weighted by stratum share — unbiased
+    // when arm balance differs across strata (q237 detects that
+    // failure; this is the fix). Micro-snapped share-weighted terms.
+    QueryDef("q292_post_stratified",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(col("value").isNotNull)
+          .withColumn("arm", pmod(Hashing.portableHash(
+            concat(col("user_id").cast("string"), lit(":ps"))),
+            lit(2L)).cast("int"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        Experiment.postStratified(ev, "event_type", "arm", "cents")
+          .orderBy("s")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type AS s,
+             |    CASE WHEN ${Hashing.duckPortableHash(
+                    "CAST(user_id AS VARCHAR) || ':ps'")} % 2 = 1
+             |      THEN 1 ELSE 0 END AS arm,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |cells AS (SELECT s, arm, count(*) AS n, sum(x) AS sx,
+             |    sum(x * x) AS sxx
+             |  FROM ev GROUP BY 1, 2),
+             |per AS (SELECT s, arm, n,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             |      AS von
+             |  FROM cells),
+             |a0 AS (SELECT s, n AS n0, mean AS m0, von AS v0
+             |  FROM per WHERE arm = 0),
+             |a1 AS (SELECT s, n AS n1, mean AS m1, von AS v1
+             |  FROM per WHERE arm = 1),
+             |strata AS (SELECT a0.s, n0, m0, v0, n1, m1, v1,
+             |    n0 + n1 AS n_s
+             |  FROM a0 JOIN a1 ON a0.s = a1.s),
+             |tot AS (SELECT sum(n_s) AS ntt FROM strata),
+             |staged AS (SELECT *,
+             |    m1 - m0 AS dd,
+             |    CAST(round(CAST(n_s AS DOUBLE) / CAST(ntt AS DOUBLE) *
+             |      (m1 - m0) * 1000000.0) AS BIGINT) AS wdn,
+             |    CAST(round(CAST(n_s AS DOUBLE) / CAST(ntt AS DOUBLE) *
+             |      (CAST(n_s AS DOUBLE) / CAST(ntt AS DOUBLE)) *
+             |      (v0 + v1) * 1000000000.0) AS BIGINT) AS wvn
+             |  FROM strata CROSS JOIN tot),
+             |pl AS (SELECT sum(wdn) AS e, sum(wvn) AS v FROM staged)
+             |SELECT s, CAST(n0 AS BIGINT) AS n0,
+             |  CAST(n1 AS BIGINT) AS n1,
+             |  CAST((n_s * 1000000) // ntt AS BIGINT) AS share_ppm,
+             |  round(dd, 4) + 0.0 AS diff,
+             |  round(CAST(e AS DOUBLE) / 1000000.0, 4) + 0.0 AS effect,
+             |  round(sqrt(CAST(v AS DOUBLE) / 1000000000.0), 4) AS se
+             |FROM staged CROSS JOIN pl ORDER BY s""".stripMargin)),
+
+    // All-but-the-top whitening audit (Pca.whitenAudit): per-dim
+    // variance before vs after q123's top-component removal — the
+    // per-dimension evidence that the projection flattened the
+    // dominant direction. Exact integer moments on snapped values.
+    QueryDef("q293_whiten_audit",
+      (s, dir) => Pca.whitenAudit(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, iters = 3)
+        .orderBy("pos"),
+      Some("WITH " + pcaCtes(dim = 64, iters = 3) + ",\n" +
+        """px AS (SELECT e.vec_id, e.embedding,
+          |    list_sum(list_transform(e.embedding, (x, j) ->
+          |      CAST(x AS DOUBLE) * v.vl[j]))
+          |    - list_sum(list_transform(m.ml, (mm, j) -> mm * v.vl[j]))
+          |      AS s
+          |  FROM embeddings e CROSS JOIN pv3 v CROSS JOIN pml m
+          |  WHERE len(e.embedding) = 64),
+          |resid AS (SELECT ps.pos, CAST(round((round(
+          |    CAST(p.embedding[CAST(ps.pos AS INT)] AS DOUBLE)
+          |    - m.ml[CAST(ps.pos AS INT)]
+          |    - p.s * v.vl[CAST(ps.pos AS INT)], 4) + 0.0) * 10000.0)
+          |    AS BIGINT) AS xu
+          |  FROM px p CROSS JOIN pml m CROSS JOIN pv3 v
+          |  CROSS JOIN poss ps),
+          |am AS (SELECT pos, count(*) AS na, sum(xu) AS sa,
+          |    sum(xu * xu) AS ssa
+          |  FROM resid GROUP BY 1),
+          |braw AS (SELECT ps.pos, CAST(round(
+          |    CAST(e.embedding[CAST(ps.pos AS INT)] AS DOUBLE) *
+          |    1000000.0) AS BIGINT) AS xu
+          |  FROM embeddings e CROSS JOIN poss ps
+          |  WHERE len(e.embedding) = 64),
+          |bm AS (SELECT pos, count(*) AS nb, sum(xu) AS sb,
+          |    sum(xu * xu) AS ssb
+          |  FROM braw GROUP BY 1),
+          |vv AS (SELECT bm.pos, nb,
+          |    (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) *
+          |      CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+          |     (CAST(nb AS DOUBLE) - 1.0) / 1000000000000.0 AS varb,
+          |    (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) *
+          |      CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) /
+          |     (CAST(na AS DOUBLE) - 1.0) / 100000000.0 AS vara
+          |  FROM bm JOIN am ON bm.pos = am.pos)
+          |SELECT CAST(pos AS INT) AS pos, CAST(nb AS BIGINT) AS n,
+          |  round(varb, 6) AS var_before,
+          |  round(vara, 6) AS var_after,
+          |  round(vara / varb, 4) AS ratio
+          |FROM vv ORDER BY 1""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -271,7 +271,13 @@ class PlanShapeSpec extends SparkSpec {
       // q290: the |labels| dim broadcasts across the test token
       // stream (q178's margin-cross shape) plus 1-row vocab/total
       // crosses onto vocab-sized model frames.
-      "q290_naive_bayes")
+      "q290_naive_bayes",
+      // q291: the 1-row fit crosses onto the 1-row totals.
+      // q292: the 1-row stratum total and pooled effect cross onto
+      // the stratum frame.
+      // q293: removeTop's broadcast PCA model (dim-sized literals)
+      // rides the q123 shape.
+      "q291_zipf_fit", "q292_post_stratified", "q293_whiten_audit")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
