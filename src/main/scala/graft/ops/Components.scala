@@ -235,6 +235,49 @@ object Components {
         col(qualityCol).as(s"keep_$qualityCol"))
   }
 
+  /** Similarity-weighted medoid per cluster: the member with the
+    * highest total verified-pair similarity to its cluster mates
+    * (ties to the smallest id) — the "most central copy", which is a
+    * better keeper than [[canonicalPerCluster]]'s quality rank when
+    * no quality signal exists and better than min-id always (min-id
+    * can keep an outlier member connected by one weak edge).
+    * Similarity beyond the verified pairs is 0 by construction — the
+    * medoid is over the SAME evidence the clustering used.
+    *
+    * One weighted-degree aggregate over the (both-orientation) pair
+    * frame + one rank window partitioned by component.
+    *
+    * @param pairs verified pairs (aCol, bCol, simCol)
+    * @return per cluster with ≥2 members: `component`,
+    *         `cluster_size`, `medoid_id`, `medoid_sim_sum`
+    *         (round 4), `minid_keeper` (the naive choice, for
+    *         contrast)
+    */
+  def medoidPerCluster(
+      clusters: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      simCol: String): DataFrame = {
+    val simU = round(col(simCol) * lit(1e4)).cast("long")
+    val ends = pairs.select(col(aCol).as("id"), simU.as("su"))
+      .unionAll(pairs.select(col(bCol).as("id"), simU.as("su")))
+      .groupBy("id").agg(sum("su").as("deg_su"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("deg_su").desc, col(idCol).asc)
+    clusters.where(col("cluster_size") >= 2)
+      .join(ends.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("deg_su", coalesce(col("deg_su"), lit(0L)))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_min", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .where(col("_rk") === 1)
+      .select(col("component"), col("cluster_size"),
+        col(idCol).as("medoid_id"),
+        round(col("deg_su").cast("double") / lit(1e4), 4)
+          .as("medoid_sim_sum"),
+        col("_min").as("minid_keeper"))
+  }
+
   /** Adjusted Rand Index between two partitions of the same node set
     * (Hubert & Arabie 1985): pair-counting agreement corrected for
     * chance — THE metric for "how much does the clustering change if

@@ -66,4 +66,35 @@ object Sessionize {
         round(col("_p50") / lit(1e3), 3).as("p50_dwell_s"),
         round(col("_p90") / lit(1e3), 3).as("p90_dwell_s"))
   }
+
+  /** Session entry→exit matrix: how sessions begin vs how they end
+    * (the web-analytics landing/exit-page readout, at event-type
+    * grain): per (first type, last type) the session count and share.
+    * Single-event sessions sit on the diagonal by construction.
+    *
+    * One min/max-by aggregate at session grain ([[gapSessions]]'s
+    * windows are already entity-partitioned); the matrix frame is
+    * |types|²-sized.
+    *
+    * @return per (entry, exit): `n_sessions`, `share_ppm`
+    */
+  def entryExitMatrix(
+      df: DataFrame, partCols: Seq[String], timeCol: String,
+      tieCol: String, typeCol: String, gapUs: Long): DataFrame = {
+    val sess = gapSessions(df, partCols, timeCol, tieCol, gapUs)
+      .withColumn("_tu", unix_micros(col(timeCol).cast("timestamp")))
+    // min_by/max_by on the (time, tie) pair: deterministic ends even
+    // for same-microsecond ties.
+    val perSession = sess
+      .groupBy((partCols.map(col) :+ col("session_id")): _*)
+      .agg(
+        expr(s"min_by($typeCol, struct(_tu, $tieCol))").as("entry_type"),
+        expr(s"max_by($typeCol, struct(_tu, $tieCol))").as("exit_type"))
+    val m = perSession.groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+    m.withColumn("_tot", sum("n_sessions").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        expr("(n_sessions * 1000000) DIV _tot").as("share_ppm"))
+  }
 }

@@ -11746,7 +11746,261 @@ object GemQueries {
           |  round(varb, 6) AS var_before,
           |  round(vara, 6) AS var_after,
           |  round(vara / varb, 4) AS ratio
-          |FROM vv ORDER BY 1""".stripMargin))
+          |FROM vv ORDER BY 1""".stripMargin)),
+
+    // Similarity-weighted medoid per cluster (Components
+    // .medoidPerCluster): keep the most CENTRAL copy (highest total
+    // verified-pair similarity), not the oldest id — min-id can keep
+    // an outlier hanging by one weak edge. Both keepers shown.
+    QueryDef("q294_cluster_medoid",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8).localCheckpoint(true)
+        val clusters = Components.dedupClusters(docs, "doc_id",
+          pairs, "id_a", "id_b")
+        Components.medoidPerCluster(clusters, "doc_id",
+            pairs, "id_a", "id_b", "jaccard")
+          .orderBy("component")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        """ends AS (SELECT id, sum(su) AS deg FROM (
+          |    SELECT id_a AS id,
+          |      CAST(round(jaccard * 10000.0) AS BIGINT) AS su
+          |    FROM verified WHERE jaccard >= 0.8
+          |    UNION ALL
+          |    SELECT id_b,
+          |      CAST(round(jaccard * 10000.0) AS BIGINT)
+          |    FROM verified WHERE jaccard >= 0.8)
+          |  GROUP BY 1),
+          |cs AS (SELECT comp.id, comp.component, sizes.cluster_size,
+          |    coalesce(deg, 0) AS deg
+          |  FROM comp JOIN sizes USING (component)
+          |  LEFT JOIN ends ON comp.id = ends.id
+          |  WHERE cluster_size >= 2),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY component
+          |    ORDER BY deg DESC, id) AS rk,
+          |    min(id) OVER (PARTITION BY component) AS mn
+          |  FROM cs)
+          |SELECT component, CAST(cluster_size AS BIGINT)
+          |    AS cluster_size,
+          |  id AS medoid_id,
+          |  round(CAST(deg AS DOUBLE) / 10000.0, 4) AS medoid_sim_sum,
+          |  mn AS minid_keeper
+          |FROM rk WHERE rk = 1 ORDER BY component""".stripMargin)),
+
+    // Exact histogram-intersection source overlap (SourceSim
+    // .histIntersection): Σ min(p_a, p_b) over the shared
+    // vocabulary — the exact twin of q169's KMV sketch matrix,
+    // equi-joined on token (fan-out bounded by slices-per-token,
+    // never |slices|²).
+    QueryDef("q295_hist_intersection",
+      (s, dir) => SourceSim.histIntersection(
+          t(s, dir, "documents"), "source", "text", k = 10)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH tok AS (
+             |  SELECT source AS s, unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tok
+             |  FROM documents),
+             |counts AS (SELECT s, tok, count(*) AS c
+             |  FROM tok GROUP BY 1, 2),
+             |tot AS (SELECT s, sum(c) AS n FROM counts GROUP BY 1),
+             |wp AS (SELECT counts.s, tok, c, n
+             |  FROM counts JOIN tot ON counts.s = tot.s),
+             |pr AS (SELECT a.s AS src_a, b.s AS src_b,
+             |    CAST(round(least(
+             |      CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE),
+             |      CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+             |      1000000000.0) AS BIGINT) AS term
+             |  FROM wp a JOIN wp b ON a.tok = b.tok AND a.s < b.s),
+             |sc AS (SELECT src_a, src_b, count(*) AS n_common_tokens,
+             |    sum(term) AS hi
+             |  FROM pr GROUP BY 1, 2),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY hi DESC,
+             |    src_a, src_b) AS rk
+             |  FROM sc)
+             |SELECT src_a, src_b,
+             |  CAST(n_common_tokens AS BIGINT) AS n_common_tokens,
+             |  round(CAST(hi AS DOUBLE) / 1000000000.0, 6)
+             |    AS hist_intersection
+             |FROM rk WHERE rk <= 10
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Session entry→exit matrix (Sessionize.entryExitMatrix): how
+    // sessions begin vs how they end — landing/exit analytics at
+    // event-type grain, deterministic min_by/max_by on the
+    // (time, id) pair.
+    QueryDef("q296_entry_exit",
+      (s, dir) => Sessionize.entryExitMatrix(t(s, dir, "events"),
+          Seq("user_id"), "ts", "event_id", "event_type",
+          gapUs = 1800000000L)
+        .orderBy("entry_type", "exit_type"),
+      Some("""WITH sv AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+             |  FROM events),
+             |lg AS (SELECT user_id, tu, event_id, event_type,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |      OR tu - lag(tu) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM sv WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY tu, event_id)),
+             |ss AS (SELECT user_id, tu, event_id, event_type,
+             |    sum(nw) OVER (PARTITION BY user_id
+             |      ORDER BY tu, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sid
+             |  FROM lg),
+             |fr AS (SELECT user_id, sid, event_type,
+             |    row_number() OVER (PARTITION BY user_id, sid
+             |      ORDER BY tu, event_id) AS a,
+             |    row_number() OVER (PARTITION BY user_id, sid
+             |      ORDER BY tu DESC, event_id DESC) AS z
+             |  FROM ss),
+             |per AS (SELECT user_id, sid,
+             |    max(CASE WHEN a = 1 THEN event_type END)
+             |      AS entry_type,
+             |    max(CASE WHEN z = 1 THEN event_type END) AS exit_type
+             |  FROM fr GROUP BY 1, 2),
+             |m AS (SELECT entry_type, exit_type, count(*) AS n
+             |  FROM per GROUP BY 1, 2),
+             |tt AS (SELECT sum(n) AS tot FROM m)
+             |SELECT entry_type, exit_type, CAST(n AS BIGINT)
+             |    AS n_sessions,
+             |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm
+             |FROM m CROSS JOIN tt
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Bot-score composite: z(rate) − z(entropy) − z(burstiness) per
+    // user over exact integer-snapped metrics — high-volume,
+    // low-entropy, metronomic actors surface first. Composes q281's
+    // entropy and q255's CV² at user grain; single-type users
+    // (entropy null) coalesce to 0, the most bot-like value.
+    QueryDef("q297_bot_score",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("tu", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("day", expr("tu DIV 86400000000"))
+        val vol = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("day").as("n_days"))
+          .withColumn("r_u", expr("(n_events * 1000000) DIV n_days"))
+        val ent = Behavior.entityEntropy(ev, "user_id", "event_type")
+          .select(col("entity").as("user_id"), col("entropy_norm"))
+        val ia = Seasonal.interarrivalProfile(ev, "user_id", "tu",
+            "event_id")
+          .select(col("g").as("user_id"), col("cv2"))
+        val base = vol.join(ent, Seq("user_id")).join(ia, Seq("user_id"))
+          .where(col("n_events") >= 5)
+          .withColumn("e_u",
+            coalesce(round(col("entropy_norm") * 1e4), lit(0.0))
+              .cast("long"))
+          .withColumn("c_u", round(col("cv2") * 1e4).cast("long"))
+          .localCheckpoint(true)
+        val mom = base.agg(count(lit(1)).as("nn"),
+          sum("r_u").as("sr"), sum(col("r_u") * col("r_u")).as("srr"),
+          sum("e_u").as("se"), sum(col("e_u") * col("e_u")).as("see"),
+          sum("c_u").as("sc"), sum(col("c_u") * col("c_u")).as("scc"))
+        def dd(c: String) = col(c).cast("double")
+        def z(x: String, s: String, ss: String) =
+          (col(x).cast("double") - dd(s) / dd("nn")) /
+            sqrt((dd(ss) - dd(s) * dd(s) / dd("nn")) /
+              (dd("nn") - lit(1.0)))
+        val scored = base.crossJoin(broadcast(mom))
+          .withColumn("_score_n", round(
+            (z("r_u", "sr", "srr") - z("e_u", "se", "see") -
+              z("c_u", "sc", "scc")) * lit(1e6)).cast("long"))
+        scored
+          .withColumn("_rk", row_number().over(
+            Window.orderBy(col("_score_n").desc, col("user_id").asc)))
+          .where(col("_rk") <= 10)
+          .select(col("user_id"), col("n_events"),
+            round(col("r_u").cast("double") / lit(1e6), 2)
+              .as("events_per_day"),
+            col("entropy_norm"), col("cv2"),
+            round(col("_score_n").cast("double") / lit(1e6), 4)
+              .as("bot_score"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS tu, epoch_us(ts) // 86400000000 AS d
+             |  FROM events),
+             |vol AS (SELECT user_id, count(*) AS n_events,
+             |    count(DISTINCT d) AS n_days
+             |  FROM ev GROUP BY 1),
+             |vr AS (SELECT user_id, n_events,
+             |    (n_events * 1000000) // n_days AS r_u
+             |  FROM vol),
+             |ec AS (SELECT user_id, event_type, count(*) AS c
+             |  FROM ev GROUP BY 1, 2),
+             |en AS (SELECT user_id, c,
+             |    sum(c) OVER (PARTITION BY user_id) AS n
+             |  FROM ec),
+             |eh AS (SELECT user_id, max(n) AS n, count(*) AS k,
+             |    sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      1000000000.0) AS BIGINT)) AS h
+             |  FROM en GROUP BY 1),
+             |ez AS (SELECT user_id, CASE WHEN k > 1 THEN
+             |    CAST(round(round(CAST(h AS DOUBLE) / 1000000000.0 /
+             |      ln(CAST(k AS DOUBLE)), 4) * 10000.0) AS BIGINT)
+             |    ELSE 0 END AS e_u,
+             |    CASE WHEN k > 1 THEN round(CAST(h AS DOUBLE) /
+             |      1000000000.0 / ln(CAST(k AS DOUBLE)), 4)
+             |      END AS entropy_norm
+             |  FROM eh),
+             |lg AS (SELECT user_id, tu, lag(tu) OVER (
+             |    PARTITION BY user_id ORDER BY tu, event_id) AS prev
+             |  FROM ev),
+             |gg AS (SELECT user_id, (tu - prev) // 1000 AS gap
+             |  FROM lg WHERE prev IS NOT NULL),
+             |cvt AS (SELECT user_id,
+             |    round((CAST(sum(gap * gap) AS DOUBLE) *
+             |        CAST(count(*) AS DOUBLE) -
+             |        CAST(sum(gap) AS DOUBLE) * CAST(sum(gap) AS DOUBLE))
+             |      / (CAST(sum(gap) AS DOUBLE) *
+             |         CAST(sum(gap) AS DOUBLE)), 4) AS cv2
+             |  FROM gg GROUP BY 1),
+             |base AS (SELECT vr.user_id, n_events, r_u, e_u,
+             |    entropy_norm, cv2,
+             |    CAST(round(cv2 * 10000.0) AS BIGINT) AS c_u
+             |  FROM vr
+             |  JOIN ez ON vr.user_id = ez.user_id
+             |  JOIN cvt ON vr.user_id = cvt.user_id
+             |  WHERE n_events >= 5),
+             |mom AS (SELECT count(*) AS nn,
+             |    sum(r_u) AS sr, sum(r_u * r_u) AS srr,
+             |    sum(e_u) AS se, sum(e_u * e_u) AS see,
+             |    sum(c_u) AS sc, sum(c_u * c_u) AS scc
+             |  FROM base),
+             |sc2 AS (SELECT base.*, CAST(round((
+             |    (CAST(r_u AS DOUBLE) - CAST(sr AS DOUBLE) /
+             |      CAST(nn AS DOUBLE)) /
+             |    sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) *
+             |        CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)) /
+             |      (CAST(nn AS DOUBLE) - 1.0)) -
+             |    (CAST(e_u AS DOUBLE) - CAST(se AS DOUBLE) /
+             |      CAST(nn AS DOUBLE)) /
+             |    sqrt((CAST(see AS DOUBLE) - CAST(se AS DOUBLE) *
+             |        CAST(se AS DOUBLE) / CAST(nn AS DOUBLE)) /
+             |      (CAST(nn AS DOUBLE) - 1.0)) -
+             |    (CAST(c_u AS DOUBLE) - CAST(sc AS DOUBLE) /
+             |      CAST(nn AS DOUBLE)) /
+             |    sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) *
+             |        CAST(sc AS DOUBLE) / CAST(nn AS DOUBLE)) /
+             |      (CAST(nn AS DOUBLE) - 1.0))) * 1000000.0)
+             |    AS BIGINT) AS score_n
+             |  FROM base CROSS JOIN mom),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY score_n DESC,
+             |    user_id) AS rk
+             |  FROM sc2)
+             |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             |  round(CAST(r_u AS DOUBLE) / 1000000.0, 2)
+             |    AS events_per_day,
+             |  entropy_norm, cv2,
+             |  round(CAST(score_n AS DOUBLE) / 1000000.0, 4)
+             |    AS bot_score
+             |FROM rk WHERE rk <= 10 ORDER BY user_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

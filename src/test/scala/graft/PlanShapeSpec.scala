@@ -277,7 +277,10 @@ class PlanShapeSpec extends SparkSpec {
       // the stratum frame.
       // q293: removeTop's broadcast PCA model (dim-sized literals)
       // rides the q123 shape.
-      "q291_zipf_fit", "q292_post_stratified", "q293_whiten_audit")
+      "q291_zipf_fit", "q292_post_stratified", "q293_whiten_audit",
+      // q297: the 1-row metric-moment frame crosses onto the user
+      // frame for the z-scores.
+      "q297_bot_score")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
