@@ -12000,7 +12000,312 @@ object GemQueries {
              |  entropy_norm, cv2,
              |  round(CAST(score_n AS DOUBLE) / 1000000.0, 4)
              |    AS bot_score
-             |FROM rk WHERE rk <= 10 ORDER BY user_id""".stripMargin))
+             |FROM rk WHERE rk <= 10 ORDER BY user_id""".stripMargin)),
+
+    // LSH band-count recall sweep (the OTHER tuning axis next to
+    // q219's threshold sweep): k=64 signatures banded 2/4/8 ways
+    // against the exhaustive ground truth on the bounded doc_id<200
+    // eval sample (the q103 discipline) — more bands = more
+    // candidates = higher recall, and here the curve is MEASURED.
+    QueryDef("q298_bands_recall",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        val tk = Dedup.tokenIndex(docs, "doc_id", "text")
+          .localCheckpoint(true)
+        val a = tk.select(col("doc_id").as("id_a"),
+          col("toks").as("ta"), col("n_toks").as("na"))
+        val b = tk.select(col("doc_id").as("id_b"),
+          col("toks").as("tb"), col("n_toks").as("nb"))
+        val truth = a.join(b, col("id_a") < col("id_b"))
+          .withColumn("inter",
+            call_function("graft_overlap", col("ta"), col("tb")))
+          .withColumn("j", round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 4))
+          .filter(col("j") >= 0.8)
+          .agg(count(lit(1)).as("n_true"))
+        Seq(2, 4, 8).map { bands =>
+          val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+              k = 64, bands = bands, threshold = 0.8)
+            .agg(count(lit(1)).as("n_found"))
+          found.crossJoin(broadcast(truth))
+            .select(lit(bands).as("bands"), col("n_true"),
+              col("n_found"),
+              expr("(n_found * 1000000) DIV n_true").as("recall_ppm"))
+        }.reduce(_ unionByName _).orderBy("bands")
+      },
+      Some {
+        def bandCte(b: Int) = {
+          val r = 64 / b
+          s"""bs$b AS (SELECT doc_id, bb.band_id,
+             |    md5(array_to_string(list_transform(
+             |      list_slice(sig, band_id * $r + 1, band_id * $r + $r),
+             |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+             |  FROM sig, (SELECT unnest(generate_series(0, ${b - 1}))
+             |    AS band_id) bb),
+             |cd$b AS (SELECT DISTINCT l.doc_id AS id_a,
+             |    r.doc_id AS id_b
+             |  FROM bs$b l JOIN bs$b r
+             |    ON l.band_id = r.band_id
+             |    AND l.band_hash = r.band_hash
+             |    AND l.doc_id < r.doc_id),
+             |fd$b AS (SELECT count(*) AS n_found FROM (
+             |    SELECT c.id_a FROM cd$b c
+             |    JOIN toks a ON a.doc_id = c.id_a
+             |    JOIN toks b2 ON b2.doc_id = c.id_b
+             |    WHERE round(CAST(len(list_intersect(a.tk, b2.tk))
+             |        AS DOUBLE) /
+             |      len(list_distinct(list_concat(a.tk, b2.tk))), 4)
+             |      >= 0.8))""".stripMargin
+        }
+        "WITH " + minhashSigCtes("", "doc_id < 200") + ",\n" +
+          s"""tr AS (SELECT count(*) AS n_true
+             |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+             |  WHERE round(CAST(len(list_intersect(a.tk, b.tk))
+             |      AS DOUBLE) /
+             |    len(list_distinct(list_concat(a.tk, b.tk))), 4)
+             |    >= 0.8),
+             |${bandCte(2)},
+             |${bandCte(4)},
+             |${bandCte(8)}
+             |SELECT bands, CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(n_found AS BIGINT) AS n_found,
+             |  CAST((n_found * 1000000) // n_true AS BIGINT)
+             |    AS recall_ppm
+             |FROM (
+             |  SELECT 2 AS bands, n_true, n_found FROM fd2 CROSS JOIN tr
+             |  UNION ALL
+             |  SELECT 4, n_true, n_found FROM fd4 CROSS JOIN tr
+             |  UNION ALL
+             |  SELECT 8, n_true, n_found FROM fd8 CROSS JOIN tr)
+             |ORDER BY bands""".stripMargin
+      }),
+
+    // Sketch-merge associativity, proven as data (the mergeability
+    // contract every distributed sketch rests on): graft_hist built
+    // on the even and odd halves, merged by elementwise addition,
+    // must answer the same p50 as one sketch over everything.
+    QueryDef("q299_sketch_merge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("n_chars").isNotNull)
+        def sk(f: DataFrame) = f.groupBy("lang").agg(
+          expr("graft_hist(CAST(n_chars AS DOUBLE), 0D, 1024D, 256)")
+            .as("cts"))
+        val merged = sk(docs.where(col("doc_id") % 2 === 0))
+          .withColumnRenamed("cts", "ca")
+          .join(sk(docs.where(col("doc_id") % 2 =!= 0))
+            .withColumnRenamed("cts", "cb"), Seq("lang"))
+          .select(col("lang"), zip_with(col("ca"), col("cb"),
+            (x, y) => x + y).as("cts"))
+        def crossing(f: DataFrame, out: String) = f
+          .select(col("lang"), posexplode(col("cts")).as(Seq("b", "cnt")))
+          .where(col("cnt") > 0)
+          .withColumn("cum", sum("cnt").over(Window.partitionBy("lang")
+            .orderBy("b")))
+          .withColumn("total", sum("cnt").over(
+            Window.partitionBy("lang")))
+          .where(col("cum").cast("double") >=
+            lit(0.5) * col("total").cast("double") &&
+            (col("cum") - col("cnt")).cast("double") <
+              lit(0.5) * col("total").cast("double"))
+          .select(col("lang"), (round(lit(4.0) *
+            (col("b").cast("double") +
+              (lit(0.5) * col("total").cast("double") -
+                (col("cum") - col("cnt")).cast("double")) /
+                col("cnt").cast("double")), 4) + lit(0.0)).as(out))
+        crossing(merged, "p50_merged")
+          .join(crossing(sk(docs), "p50_whole"), Seq("lang"))
+          .withColumn("equal",
+            (col("p50_merged") === col("p50_whole")).cast("int"))
+          .orderBy("lang")
+      },
+      Some("""WITH v AS (SELECT lang, doc_id,
+             |    CAST(n_chars AS DOUBLE) AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |b0 AS (SELECT lang, doc_id, CAST(least(greatest(
+             |    floor(v / 4.0), 0), 255) AS BIGINT) AS b FROM v),
+             |cm AS (SELECT lang, b, count(*) AS cnt
+             |  FROM b0 GROUP BY 1, 2),
+             |ccm AS (SELECT lang, b, cnt,
+             |    sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |    sum(cnt) OVER (PARTITION BY lang) AS total
+             |  FROM cm),
+             |pm AS (SELECT lang, round(4.0 * (CAST(b AS DOUBLE)
+             |    + (0.5 * CAST(total AS DOUBLE) -
+             |      CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+             |    4) + 0.0 AS p50
+             |  FROM ccm
+             |  WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+             |    AND CAST(cum - cnt AS DOUBLE) <
+             |      0.5 * CAST(total AS DOUBLE))
+             |SELECT lang, p50 AS p50_merged, p50 AS p50_whole,
+             |  1 AS equal
+             |FROM pm ORDER BY lang""".stripMargin)),
+
+    // q300 — release-readiness scorecard: five independent gates
+    // (dup rate, dedup content shift, referential integrity,
+    // k-anonymity, late-data exposure) composed from the library's
+    // own operators into ONE pass/fail table — the "can we ship this
+    // dataset" report a data-release process actually runs.
+    QueryDef("q300_release_scorecard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val row1 = docs
+          .agg(count(lit(1)).as("_n"),
+            countDistinct(md5(col("text"))).as("_d"))
+          .select(lit("1_exact_dup_ppm").as("check"),
+            expr("CAST(((_n - _d) * 1000000) DIV _n AS DOUBLE)")
+              .as("value"),
+            lit(100000.0).as("threshold"),
+            expr("CAST(((_n - _d) * 1000000) DIV _n <= 100000 AS INT)")
+              .as("pass"))
+        val kept = docs.join(
+          Dedup.exact(docs, "text", "doc_id")
+            .select(col("keep_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        val row2 = Drift.jsTokenShift(docs, kept, "text")
+          .select(lit("2_dedup_js_nats").as("check"),
+            col("js_nats").as("value"), lit(0.05).as("threshold"),
+            (col("js_nats") <= 0.05).cast("int").as("pass"))
+        val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer"); val pt = t(s, dir, "part")
+        val sup = t(s, dir, "supplier"); val nat = t(s, dir, "nation")
+        val row3 = {
+          import graft.ops.Expectations.refIntegrity
+          Seq(
+            refIntegrity(li, "l_orderkey", ord, "o_orderkey", "a"),
+            refIntegrity(li, "l_partkey", pt, "p_partkey", "b"),
+            refIntegrity(li, "l_suppkey", sup, "s_suppkey", "c"),
+            refIntegrity(ord, "o_custkey", cust, "c_custkey", "d"),
+            refIntegrity(cust, "c_nationkey", nat, "n_nationkey", "e"))
+            .reduce(_ unionByName _)
+            .agg(sum("n_orphans").as("_o"))
+            .select(lit("3_ref_orphans").as("check"),
+              col("_o").cast("double").as("value"),
+              lit(0.0).as("threshold"),
+              (col("_o") === 0).cast("int").as("pass"))
+        }
+        val row4 = docs
+          .groupBy(col("lang"), col("source"),
+            expr("n_chars DIV 500").as("lb"))
+          .agg(count(lit(1)).as("cs"))
+          .agg(min("cs").as("_m"))
+          .select(lit("4_k_anon_min_class").as("check"),
+            col("_m").cast("double").as("value"),
+            lit(5.0).as("threshold"),
+            (col("_m") >= 5).cast("int").as("pass"))
+        val ev = t(s, dir, "events")
+          .withColumn("et", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("arr", col("et") +
+            pmod(Hashing.portableHash(
+              concat(col("event_id").cast("string"), lit(":arr"))),
+              lit(14400000001L)) - lit(7200000000L))
+        val row5 = Lateness.watermarkProfile(ev, "event_id", "et",
+            "arr", bucketUs = 86400000000L, allowedUs = Seq(3600000000L))
+          .select(lit("5_late_drop_ppm_1h").as("check"),
+            col("drop_ppm").cast("double").as("value"),
+            lit(10000.0).as("threshold"),
+            (col("drop_ppm") <= 10000).cast("int").as("pass"))
+        Seq(row1, row2, row3, row4, row5).reduce(_ unionByName _)
+          .orderBy("check")
+      },
+      Some(s"""WITH r1 AS (SELECT '1_exact_dup_ppm' AS "check",
+             |    CAST(((count(*) - count(DISTINCT md5(text))) *
+             |      1000000) // count(*) AS DOUBLE) AS value,
+             |    100000.0 AS threshold,
+             |    CAST(((count(*) - count(DISTINCT md5(text))) *
+             |      1000000) // count(*) <= 100000 AS INT) AS pass
+             |  FROM documents),
+             |tka AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tok
+             |  FROM documents),
+             |ca AS (SELECT tok, count(*) AS c_a FROM tka GROUP BY 1),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+             |  GROUP BY md5(text)),
+             |tkb AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS tok
+             |  FROM documents
+             |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+             |cb AS (SELECT tok, count(*) AS c_b FROM tkb GROUP BY 1),
+             |tta AS (SELECT sum(c_a) AS tokens_a FROM ca),
+             |ttb AS (SELECT sum(c_b) AS tokens_b FROM cb),
+             |jj AS (SELECT coalesce(c_a, 0) AS c_a,
+             |    coalesce(c_b, 0) AS c_b
+             |  FROM ca FULL JOIN cb USING (tok)),
+             |terms AS (SELECT
+             |    (CASE WHEN c_a > 0 THEN CAST(round(
+             |      CAST(c_a AS DOUBLE) / tokens_a / 2.0 *
+             |      ln((CAST(c_a AS DOUBLE) / tokens_a) /
+             |        ((CAST(c_a AS DOUBLE) / tokens_a +
+             |          CAST(c_b AS DOUBLE) / tokens_b) / 2.0)) *
+             |      1000000000.0) AS BIGINT) ELSE 0 END
+             |   + CASE WHEN c_b > 0 THEN CAST(round(
+             |      CAST(c_b AS DOUBLE) / tokens_b / 2.0 *
+             |      ln((CAST(c_b AS DOUBLE) / tokens_b) /
+             |        ((CAST(c_a AS DOUBLE) / tokens_a +
+             |          CAST(c_b AS DOUBLE) / tokens_b) / 2.0)) *
+             |      1000000000.0) AS BIGINT) ELSE 0 END) AS t
+             |  FROM jj CROSS JOIN tta CROSS JOIN ttb),
+             |r2 AS (SELECT '2_dedup_js_nats' AS "check",
+             |    round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6)
+             |      AS value,
+             |    0.05 AS threshold,
+             |    CAST(round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6)
+             |      <= 0.05 AS INT) AS pass
+             |  FROM terms),
+             |orp AS (SELECT
+             |    (SELECT count(*) FROM lineitem
+             |      WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+             |        (SELECT DISTINCT o_orderkey FROM orders
+             |         WHERE o_orderkey IS NOT NULL)) +
+             |    (SELECT count(*) FROM lineitem
+             |      WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+             |        (SELECT DISTINCT p_partkey FROM part
+             |         WHERE p_partkey IS NOT NULL)) +
+             |    (SELECT count(*) FROM lineitem
+             |      WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
+             |        (SELECT DISTINCT s_suppkey FROM supplier
+             |         WHERE s_suppkey IS NOT NULL)) +
+             |    (SELECT count(*) FROM orders
+             |      WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+             |        (SELECT DISTINCT c_custkey FROM customer
+             |         WHERE c_custkey IS NOT NULL)) +
+             |    (SELECT count(*) FROM customer
+             |      WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
+             |        (SELECT DISTINCT n_nationkey FROM nation
+             |         WHERE n_nationkey IS NOT NULL)) AS o),
+             |r3 AS (SELECT '3_ref_orphans' AS "check",
+             |    CAST(o AS DOUBLE) AS value, 0.0 AS threshold,
+             |    CAST(o = 0 AS INT) AS pass
+             |  FROM orp),
+             |kan AS (SELECT min(cs) AS m FROM (
+             |    SELECT count(*) AS cs FROM documents
+             |    GROUP BY lang, source, n_chars // 500)),
+             |r4 AS (SELECT '4_k_anon_min_class' AS "check",
+             |    CAST(m AS DOUBLE) AS value, 5.0 AS threshold,
+             |    CAST(m >= 5 AS INT) AS pass
+             |  FROM kan),
+             |le AS (SELECT event_id AS id, epoch_us(ts) AS et,
+             |    epoch_us(ts) + ${Hashing.duckPortableHash(
+                    "CAST(event_id AS VARCHAR) || ':arr'")}
+             |      % 14400000001 - 7200000000 AS arr
+             |  FROM events),
+             |lw AS (SELECT id, et, arr,
+             |    max(et) OVER (ORDER BY arr, id) AS wm
+             |  FROM le),
+             |ll AS (SELECT wm - et AS late_us FROM lw),
+             |ld AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+             |      AS nd
+             |  FROM ll),
+             |r5 AS (SELECT '5_late_drop_ppm_1h' AS "check",
+             |    CAST((nd * 1000000) // n AS DOUBLE) AS value,
+             |    10000.0 AS threshold,
+             |    CAST((nd * 1000000) // n <= 10000 AS INT) AS pass
+             |  FROM ld)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+             |UNION ALL SELECT * FROM r5
+             |ORDER BY "check"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -280,7 +280,15 @@ class PlanShapeSpec extends SparkSpec {
       "q291_zipf_fit", "q292_post_stratified", "q293_whiten_audit",
       // q297: the 1-row metric-moment frame crosses onto the user
       // frame for the z-scores.
-      "q297_bot_score")
+      "q297_bot_score",
+      // q298: the exhaustive ground truth over the bounded doc_id<200
+      // eval sample (q103's documented all-pairs-baseline shape) plus
+      // 1-row truth/found crosses.
+      "q298_bands_recall",
+      // q300: the scorecard composes jsTokenShift, refIntegrity, and
+      // the lateness profile — all of whose 1-row report crosses are
+      // individually documented above (q259/q267/q235).
+      "q300_release_scorecard")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
