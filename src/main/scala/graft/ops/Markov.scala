@@ -23,6 +23,59 @@ import org.apache.spark.sql.functions._
   */
 object Markov {
 
+  /** Conditional entropy of the transition structure: per state the
+    * entropy of ITS next-step distribution, plus the chain-level
+    * H(next|cur) = Σ pᵢ·Hᵢ against the marginal H(next) — the
+    * information gain of knowing the current state ("how much more
+    * predictable is the next action given this one"). A gain near 0
+    * means the first-order model ([[stationary]]) adds nothing over
+    * the base rates.
+    *
+    * Every −p·ln p cell snaps to integer nano-nats (the q281
+    * discipline); the weighted chain-level sums are integer too.
+    *
+    * @return per state: `state`, `n_out`, `h_row` (round 4), plus
+    *         chain-level `h_cond`, `h_marginal`, `info_gain`
+    *         (round 4, repeated)
+    */
+  def conditionalEntropy(
+      df: DataFrame, entityCol: String, orderCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(orderCol)
+    val trans = df
+      .select(col(entityCol), col(orderCol), col(stateCol).as("j"))
+      .withColumn("i", lag("j", 1).over(w))
+      .where(col("i").isNotNull)
+      .groupBy("i", "j").agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint(true)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val rows = trans
+      .withColumn("n_i", sum("n_ij").over(Window.partitionBy("i")))
+      .withColumn("_cell", round(-(d(col("n_ij")) / d(col("n_i"))) *
+        log(d(col("n_ij")) / d(col("n_i"))) * lit(1e9)).cast("long"))
+      .groupBy(col("i").as("state"))
+      .agg(max("n_i").as("n_out"), sum("_cell").as("_h_row"))
+    val tot = rows.agg(sum("n_out").as("_nt"))
+    val weighted = rows.crossJoin(broadcast(tot))
+      .withColumn("_w_n", round(d(col("n_out")) / d(col("_nt")) *
+        (d(col("_h_row")) / lit(1e9)) * lit(1e9)).cast("long"))
+    val hCond = weighted.agg(sum("_w_n").as("_hc"))
+    val marg = trans.groupBy("j").agg(sum("n_ij").as("nj"))
+      .crossJoin(broadcast(tot))
+      .select(round(-(d(col("nj")) / d(col("_nt"))) *
+        log(d(col("nj")) / d(col("_nt"))) * lit(1e9)).cast("long")
+        .as("_cell"))
+      .agg(sum("_cell").as("_hm"))
+    weighted
+      .crossJoin(broadcast(hCond)).crossJoin(broadcast(marg))
+      .select(col("state"), col("n_out"),
+        round(d(col("_h_row")) / lit(1e9), 4).as("h_row"),
+        round(d(col("_hc")) / lit(1e9), 4).as("h_cond"),
+        round(d(col("_hm")) / lit(1e9), 4).as("h_marginal"),
+        (round((d(col("_hm")) - d(col("_hc"))) / lit(1e9), 4)
+          + lit(0.0)).as("info_gain"))
+  }
+
   /** @return per state: `state`, `n_out` (outgoing transitions),
     *         `pi0` (uniform start, round 6), `pi` (after `rounds`
     *         power iterations, renormalized, round 6)

@@ -157,6 +157,64 @@ object Seasonal {
           (d("_s") * d("_s")), 4).as("cv2"))
   }
 
+  /** Cross-correlation of two event streams' daily volumes at lags
+    * −maxLag..maxLag — "does series A LEAD series B" (clicks lead
+    * purchases?): r_k correlates a_t with b_{t+k}, so a peak at
+    * positive k means A moves first. The two-series sibling of
+    * [[acf]], with the same exact-integer decomposition —
+    * Σ(a−ā)(b'−b̄) expands into pure integer sums, one fixed-shape
+    * double at the edge.
+    *
+    * Both series share one calendar grid (the union span, zeros
+    * filled); all frames are day-span-sized.
+    *
+    * @return per lag k: `lag`, `n_pairs`, `ccf` (round 4)
+    */
+  def crossCorrelation(
+      a: DataFrame, b: DataFrame, dayCol: String,
+      maxLag: Int): DataFrame = {
+    def daily(df: DataFrame, out: String) = df
+      .select(col(dayCol).cast("long").as("d"))
+      .where(col("d").isNotNull)
+      .groupBy("d").agg(count(lit(1)).as(out))
+    val ca = daily(a, "xa")
+    val cb = daily(b, "xb")
+    val joined = ca.join(cb, Seq("d"), "full_outer")
+      .select(col("d"), coalesce(col("xa"), lit(0L)).as("xa"),
+        coalesce(col("xb"), lit(0L)).as("xb"))
+    val grid = joined.agg(min("d").as("_lo"), max("d").as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("d"))
+    val series = grid.join(joined, Seq("d"), "left")
+      .select(col("d"), coalesce(col("xa"), lit(0L)).as("xa"),
+        coalesce(col("xb"), lit(0L)).as("xb"))
+      .localCheckpoint(true)
+    val mom = series.agg(count(lit(1)).as("nd"),
+      sum("xa").as("sa"), sum(col("xa") * col("xa")).as("saa"),
+      sum("xb").as("sb"), sum(col("xb") * col("xb")).as("sbb"))
+    val shifted = series.select(
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"),
+      (col("d") - col("lag").cast("long")).as("d"),
+      col("xb").as("xbl"))
+    def d(c: String) = col(c).cast("double")
+    series.select("d", "xa").join(shifted, Seq("d"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa") * col("xbl")).as("_sxy"),
+        sum("xa").as("_spa"), sum("xbl").as("_spb"))
+      .crossJoin(broadcast(mom))
+      .withColumn("_ma", d("sa") / d("nd"))
+      .withColumn("_mb", d("sb") / d("nd"))
+      .withColumn("_num", d("_sxy") - col("_mb") * d("_spa") -
+        col("_ma") * d("_spb") +
+        col("n_pairs").cast("double") * col("_ma") * col("_mb"))
+      .withColumn("_den", sqrt(
+        (d("saa") - d("sa") * d("sa") / d("nd")) *
+          (d("sbb") - d("sb") * d("sb") / d("nd"))))
+      .where(col("_den") > 0.0)
+      .select(col("lag"), col("n_pairs"),
+        (round(col("_num") / col("_den"), 4) + lit(0.0)).as("ccf"))
+  }
+
   /** Classical additive decomposition of each group's daily volume:
     * trend = centered 7-day moving average (emitted only where the
     * full window exists), seasonal = per-weekday mean of the

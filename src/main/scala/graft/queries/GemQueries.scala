@@ -12305,7 +12305,196 @@ object GemQueries {
              |SELECT * FROM r1 UNION ALL SELECT * FROM r2
              |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
              |UNION ALL SELECT * FROM r5
-             |ORDER BY "check"""".stripMargin))
+             |ORDER BY "check"""".stripMargin)),
+
+    // Lead/lag cross-correlation (Seasonal.crossCorrelation): does
+    // click volume LEAD purchase volume? r_k correlates clicks at t
+    // with purchases at t+k over the shared day grid — the
+    // two-series sibling of q228's ACF, same exact-integer
+    // decomposition.
+    QueryDef("q301_click_purchase_ccf",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        Seasonal.crossCorrelation(
+            ev.where(col("event_type") === "click"),
+            ev.where(col("event_type") === "purchase"),
+            "day", maxLag = 7)
+          .orderBy("lag")
+      },
+      Some("""WITH da AS (SELECT epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS xa
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |db AS (SELECT epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS xb
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |j AS (SELECT coalesce(da.d, db.d) AS d,
+             |    coalesce(xa, 0) AS xa, coalesce(xb, 0) AS xb
+             |  FROM da FULL JOIN db ON da.d = db.d),
+             |g AS (SELECT unnest(generate_series(
+             |    (SELECT min(d) FROM j), (SELECT max(d) FROM j))) AS d),
+             |se AS (SELECT g.d, coalesce(xa, 0) AS xa,
+             |    coalesce(xb, 0) AS xb
+             |  FROM g LEFT JOIN j ON g.d = j.d),
+             |mom AS (SELECT count(*) AS nd, sum(xa) AS sa,
+             |    sum(xa * xa) AS saa, sum(xb) AS sb,
+             |    sum(xb * xb) AS sbb
+             |  FROM se),
+             |sh AS (SELECT lag, d - lag AS d, xb AS xbl
+             |  FROM se,
+             |    (SELECT unnest(generate_series(-7, 7)) AS lag) ll),
+             |ag AS (SELECT lag, count(*) AS n_pairs,
+             |    sum(xa * xbl) AS sxy, sum(xa) AS spa,
+             |    sum(xbl) AS spb
+             |  FROM se s JOIN sh ON s.d = sh.d GROUP BY 1)
+             |SELECT CAST(lag AS INT) AS lag,
+             |  CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  round((CAST(sxy AS DOUBLE) -
+             |      CAST(sb AS DOUBLE) / CAST(nd AS DOUBLE) *
+             |        CAST(spa AS DOUBLE) -
+             |      CAST(sa AS DOUBLE) / CAST(nd AS DOUBLE) *
+             |        CAST(spb AS DOUBLE) +
+             |      CAST(n_pairs AS DOUBLE) *
+             |        (CAST(sa AS DOUBLE) / CAST(nd AS DOUBLE)) *
+             |        (CAST(sb AS DOUBLE) / CAST(nd AS DOUBLE))) /
+             |    sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) *
+             |        CAST(sa AS DOUBLE) / CAST(nd AS DOUBLE)) *
+             |      (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) *
+             |        CAST(sb AS DOUBLE) / CAST(nd AS DOUBLE))), 4)
+             |    + 0.0 AS ccf
+             |FROM ag CROSS JOIN mom
+             |WHERE sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) *
+             |    CAST(sa AS DOUBLE) / CAST(nd AS DOUBLE)) *
+             |  (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) *
+             |    CAST(sb AS DOUBLE) / CAST(nd AS DOUBLE))) > 0
+             |ORDER BY 1""".stripMargin)),
+
+    // Seasonality-adjusted anomaly days (q240's decomposition ∘
+    // robust MAD gate): the 3 most anomalous REMAINDER days per
+    // event type, flagged when beyond 3·1.4826·MAD — "weird after
+    // accounting for trend and weekday", which q181's raw-volume
+    // gate can't say.
+    QueryDef("q302_seasonal_anomalies",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        val dec = Seasonal.decompose(ev, "event_type", "day")
+          .withColumn("ru", round(col("remainder") * 1e4).cast("long"))
+        val med = dec.groupBy("g")
+          .agg(expr("percentile(ru, 0.5)").as("med"))
+        val dev = dec.join(broadcast(med), Seq("g"))
+          .withColumn("dev", abs(col("ru").cast("double") - col("med")))
+        val mad = dev.groupBy("g")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("g"))
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy("g")
+              .orderBy(col("dev").desc, col("d").asc)))
+          .where(col("_rk") <= 3)
+          .select(col("g"), col("d"), col("x"), col("remainder"),
+            // dev is an exact half-integer in 1e4 units: 5 decimals
+            // is EXACT (a 4-dp round can land on a .5 boundary where
+            // the engines' decimal conversions disagree).
+            round(col("dev") / lit(1e4), 5).as("deviation"),
+            (col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+              .cast("int").as("flag"))
+          .orderBy("g", "d")
+      },
+      Some("""WITH counted AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |lims AS (SELECT g, min(d) AS lo, max(d) AS hi
+             |  FROM counted GROUP BY 1),
+             |grid AS (SELECT g, unnest(generate_series(lo, hi)) AS d
+             |  FROM lims),
+             |daily AS (SELECT grid.g, grid.d, coalesce(x, 0) AS x
+             |  FROM grid LEFT JOIN counted
+             |    ON grid.g = counted.g AND grid.d = counted.d),
+             |tw AS (SELECT g, d, x, sum(x) OVER w AS s7,
+             |    count(*) OVER w AS n7
+             |  FROM daily WINDOW w AS (PARTITION BY g ORDER BY d
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |tr AS (SELECT g, d, x,
+             |    CAST(round((CAST(x AS DOUBLE) -
+             |      CAST(s7 AS DOUBLE) / 7.0) * 1000000.0) AS BIGINT)
+             |      AS detr_u,
+             |    CAST((d + 3) % 7 + 1 AS INT) AS dow
+             |  FROM tw WHERE n7 = 7),
+             |se2 AS (SELECT g, dow, CAST(round(
+             |    CAST(sum(detr_u) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             |    AS BIGINT) AS seas_u
+             |  FROM tr GROUP BY 1, 2),
+             |rem AS (SELECT tr.g, tr.d, tr.x,
+             |    round(CAST(detr_u - seas_u AS DOUBLE) / 1000000.0, 4)
+             |      + 0.0 AS remainder
+             |  FROM tr JOIN se2 ON tr.g = se2.g AND tr.dow = se2.dow),
+             |ru AS (SELECT g, d, x, remainder,
+             |    CAST(round(remainder * 10000.0) AS BIGINT) AS ru
+             |  FROM rem),
+             |md AS (SELECT g, percentile_cont(0.5)
+             |    WITHIN GROUP (ORDER BY ru) AS med
+             |  FROM ru GROUP BY 1),
+             |dv AS (SELECT ru.g, d, x, remainder,
+             |    abs(CAST(ru AS DOUBLE) - med) AS dev
+             |  FROM ru JOIN md ON ru.g = md.g),
+             |mad AS (SELECT g, percentile_cont(0.5)
+             |    WITHIN GROUP (ORDER BY dev) AS mad
+             |  FROM dv GROUP BY 1),
+             |rk AS (SELECT dv.*, mad, row_number() OVER (
+             |    PARTITION BY dv.g ORDER BY dev DESC, d) AS rk
+             |  FROM dv JOIN mad ON dv.g = mad.g)
+             |SELECT g, d, CAST(x AS BIGINT) AS x, remainder,
+             |  round(dev / 10000.0, 5) AS deviation,
+             |  CAST(dev > 3.0 * 1.4826 * mad AS INT) AS flag
+             |FROM rk WHERE rk <= 3 ORDER BY g, d""".stripMargin)),
+
+    // Conditional transition entropy (Markov.conditionalEntropy):
+    // H(next|cur) vs H(next) — how much more predictable the next
+    // action is GIVEN the current one; gain ≈ 0 would mean q248's
+    // first-order chain adds nothing over base rates.
+    QueryDef("q303_transition_entropy",
+      (s, dir) => Markov.conditionalEntropy(t(s, dir, "events"),
+          "user_id", "event_id", "event_type")
+        .orderBy("state"),
+      Some("""WITH tr AS (SELECT i, j, count(*) AS n_ij FROM (
+             |    SELECT event_type AS j,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY event_id) AS i
+             |    FROM events)
+             |  WHERE i IS NOT NULL GROUP BY 1, 2),
+             |rws AS (SELECT i, n_ij,
+             |    sum(n_ij) OVER (PARTITION BY i) AS n_i
+             |  FROM tr),
+             |hr AS (SELECT i AS state, max(n_i) AS n_out,
+             |    sum(CAST(round(-(CAST(n_ij AS DOUBLE) /
+             |      CAST(n_i AS DOUBLE)) * ln(CAST(n_ij AS DOUBLE) /
+             |      CAST(n_i AS DOUBLE)) * 1000000000.0) AS BIGINT))
+             |      AS h_row_n
+             |  FROM rws GROUP BY 1),
+             |tt AS (SELECT sum(n_out) AS nt FROM hr),
+             |wtd AS (SELECT state, n_out, h_row_n,
+             |    CAST(round(CAST(n_out AS DOUBLE) / CAST(nt AS DOUBLE) *
+             |      (CAST(h_row_n AS DOUBLE) / 1000000000.0) *
+             |      1000000000.0) AS BIGINT) AS w_n
+             |  FROM hr CROSS JOIN tt),
+             |hc AS (SELECT sum(w_n) AS hcn FROM wtd),
+             |mg AS (SELECT sum(CAST(round(-(CAST(nj AS DOUBLE) /
+             |      CAST(nt AS DOUBLE)) * ln(CAST(nj AS DOUBLE) /
+             |      CAST(nt AS DOUBLE)) * 1000000000.0) AS BIGINT))
+             |      AS hmn
+             |  FROM (SELECT j, sum(n_ij) AS nj FROM tr GROUP BY 1)
+             |  CROSS JOIN tt)
+             |SELECT state, CAST(n_out AS BIGINT) AS n_out,
+             |  round(CAST(h_row_n AS DOUBLE) / 1000000000.0, 4)
+             |    AS h_row,
+             |  round(CAST(hcn AS DOUBLE) / 1000000000.0, 4) AS h_cond,
+             |  round(CAST(hmn AS DOUBLE) / 1000000000.0, 4)
+             |    AS h_marginal,
+             |  round((CAST(hmn AS DOUBLE) - CAST(hcn AS DOUBLE)) /
+             |    1000000000.0, 4) + 0.0 AS info_gain
+             |FROM wtd CROSS JOIN hc CROSS JOIN mg
+             |ORDER BY state""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

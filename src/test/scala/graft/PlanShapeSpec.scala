@@ -288,7 +288,11 @@ class PlanShapeSpec extends SparkSpec {
       // q300: the scorecard composes jsTokenShift, refIntegrity, and
       // the lateness profile — all of whose 1-row report crosses are
       // individually documented above (q259/q267/q235).
-      "q300_release_scorecard")
+      "q300_release_scorecard",
+      // q301: the 1-row two-series moment frame crosses onto the
+      // 15-row lag frame. q303: 1-row totals/entropies cross onto
+      // the state frame.
+      "q301_click_purchase_ccf", "q303_transition_entropy")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
