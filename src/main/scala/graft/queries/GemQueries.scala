@@ -12494,7 +12494,149 @@ object GemQueries {
              |  round((CAST(hmn AS DOUBLE) - CAST(hcn AS DOUBLE)) /
              |    1000000000.0, 4) + 0.0 AS info_gain
              |FROM wtd CROSS JOIN hc CROSS JOIN mg
-             |ORDER BY state""".stripMargin))
+             |ORDER BY state""".stripMargin)),
+
+    // Tokenizer fertility by source (Bpe.train ∘ tokenCount): chars
+    // per BPE token under the q106-trained vocab, per slice — the
+    // "how expensive is this source to tokenize" readout that drives
+    // per-domain token budgeting (high fertility = vocab mismatch).
+    QueryDef("q304_bpe_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rules = Bpe.train(docs, "text", merges = 6)
+          .select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        docs.select(col("source"), length(col("text")).as("chars"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+            Bpe.tokenCount(col("text"), rules).as("bpe"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("chars").as("n_chars"), sum("ws").as("n_ws_tokens"),
+            sum("bpe").as("n_bpe_tokens"))
+          .withColumn("fertility_bpe",
+            round(col("n_chars").cast("double") /
+              col("n_bpe_tokens").cast("double"), 4))
+          .withColumn("bpe_per_word",
+            round(col("n_bpe_tokens").cast("double") /
+              col("n_ws_tokens").cast("double"), 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${bpeTrainCtes(6)},
+             |${bpeEncodeCtes(6)}
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+             |  CAST(sum(len(list_filter(
+             |    string_split_regex(d.text, ' +'), t -> t <> '')))
+             |    AS BIGINT) AS n_ws_tokens,
+             |  CAST(sum(coalesce(b.n_tokens_bpe, 0)) AS BIGINT)
+             |    AS n_bpe_tokens,
+             |  round(CAST(sum(length(d.text)) AS DOUBLE) /
+             |    CAST(sum(coalesce(b.n_tokens_bpe, 0)) AS DOUBLE), 4)
+             |    AS fertility_bpe,
+             |  round(CAST(sum(coalesce(b.n_tokens_bpe, 0)) AS DOUBLE) /
+             |    CAST(sum(len(list_filter(
+             |      string_split_regex(d.text, ' +'), t -> t <> '')))
+             |      AS DOUBLE), 4) AS bpe_per_word
+             |FROM documents d LEFT JOIN bpec b USING (doc_id)
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // Trend + weekday-seasonal 7-day forecast: ŷ(d) = OLS trend +
+    // per-dow mean residual — the closed-form forecaster composed
+    // from q249's fit and q240's seasonal means, extrapolated one
+    // week past the horizon. Deterministic: exact moments, snapped
+    // residual means, fixed-shape arithmetic.
+    QueryDef("q305_volume_forecast",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        val counted = ev.groupBy(col("event_type").as("g"),
+            col("day").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val grid = counted.groupBy("g")
+          .agg(min("d").as("_lo"), max("d").as("_hi"))
+          .select(col("g"), col("_hi"),
+            explode(sequence(col("_lo"), col("_hi"))).as("d"))
+        val daily = grid.join(counted, Seq("g", "d"), "left")
+          .withColumn("x", coalesce(col("x"), lit(0L)))
+          .localCheckpoint(true)
+        def dd(c: String) = col(c).cast("double")
+        val fit = daily.groupBy("g").agg(
+            max("_hi").as("hi"), count(lit(1)).as("n"),
+            sum("d").as("sx"), sum("x").as("sy"),
+            sum(col("d") * col("d")).as("sxx"),
+            sum(col("d") * col("x")).as("sxy"))
+          .withColumn("b", (dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+            (dd("n") * dd("sxx") - dd("sx") * dd("sx")))
+          .withColumn("a", (dd("sy") - col("b") * dd("sx")) / dd("n"))
+        val seas = daily.join(broadcast(fit.select("g", "a", "b")),
+            Seq("g"))
+          .withColumn("_r_u",
+            round((col("x").cast("double") - col("a") -
+              col("b") * col("d").cast("double")) * lit(1e6))
+              .cast("long"))
+          .withColumn("dow",
+            (pmod(col("d") + lit(3L), lit(7L)) + lit(1L)).cast("int"))
+          .groupBy("g", "dow")
+          .agg(expr("CAST(round(CAST(sum(_r_u) AS DOUBLE) / " +
+            "CAST(count(1) AS DOUBLE)) AS BIGINT)").as("seas_u"))
+        val future = fit
+          .select(col("g"), col("a"), col("b"),
+            explode(sequence(lit(1), lit(7))).as("k"),
+            (col("hi") + col("k").cast("long")).as("d"))
+          .withColumn("dow",
+            (pmod(col("d") + lit(3L), lit(7L)) + lit(1L)).cast("int"))
+        future.join(seas, Seq("g", "dow"))
+          .select(col("g"), col("d"), col("dow"),
+            round(col("a") + col("b") * col("d").cast("double") +
+              col("seas_u").cast("double") / lit(1e6), 2)
+              .as("forecast"))
+          .orderBy("g", "d")
+      },
+      Some("""WITH counted AS (
+             |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |lims AS (SELECT g, min(d) AS lo, max(d) AS hi
+             |  FROM counted GROUP BY 1),
+             |grid AS (SELECT g, hi, unnest(generate_series(lo, hi)) AS d
+             |  FROM lims),
+             |daily AS (SELECT grid.g, grid.hi, grid.d,
+             |    coalesce(x, 0) AS x
+             |  FROM grid LEFT JOIN counted
+             |    ON grid.g = counted.g AND grid.d = counted.d),
+             |fit AS (SELECT g, max(hi) AS hi, count(*) AS n,
+             |    sum(d) AS sx, sum(x) AS sy, sum(d * d) AS sxx,
+             |    sum(d * x) AS sxy
+             |  FROM daily GROUP BY 1),
+             |ab AS (SELECT g, hi,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+             |    (CAST(sy AS DOUBLE) -
+             |     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+             |  FROM fit),
+             |seas AS (SELECT daily.g,
+             |    CAST((daily.d + 3) % 7 + 1 AS INT) AS dow,
+             |    CAST(round(CAST(sum(CAST(round((CAST(x AS DOUBLE) - a -
+             |      b * CAST(daily.d AS DOUBLE)) * 1000000.0) AS BIGINT))
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             |      AS seas_u
+             |  FROM daily JOIN ab ON daily.g = ab.g
+             |  GROUP BY 1, 2),
+             |future AS (SELECT ab.g, a, b, hi + k AS d,
+             |    CAST((hi + k + 3) % 7 + 1 AS INT) AS dow
+             |  FROM ab, (SELECT unnest(generate_series(1, 7)) AS k) kk)
+             |SELECT future.g, d, future.dow,
+             |  round(a + b * CAST(d AS DOUBLE) +
+             |    CAST(seas_u AS DOUBLE) / 1000000.0, 2) AS forecast
+             |FROM future JOIN seas
+             |  ON future.g = seas.g AND future.dow = seas.dow
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
