@@ -31,11 +31,15 @@ object Anonymity {
         .as("records_at_risk"),
       min("class_size").as("min_class_size"),
       sum("class_size").as("n_records"))
-    val w = Window.orderBy(
-      (col("class_size").asc +: qiCols.map(col(_).asc)): _*)
+    // Explicit top-N (TakeOrderedAndProject — per-partition heaps,
+    // one topN-row merge), then the rank window runs on the ≤ topN
+    // survivors only: never a rank window over the full class frame
+    // whose single-task sort only InferWindowGroupLimit defuses.
+    val ordCols = col("class_size").asc +: qiCols.map(col(_).asc)
     classes
-      .withColumn("risk_rank", row_number().over(w))
-      .where(col("risk_rank") <= topN)
+      .orderBy(ordCols: _*)
+      .limit(topN)
+      .withColumn("risk_rank", row_number().over(Window.orderBy(ordCols: _*)))
       .crossJoin(broadcast(summary))
       .select((col("risk_rank") +: qiCols.map(col) :+
         col("class_size") :+ col("n_classes") :+

@@ -58,10 +58,13 @@ object FeatureSelect {
           col("n_l") - col("n_tl"))).as("mi_nano"))
     val scored = cells.groupBy("token")
       .agg(max("n_t").as("n_docs"), sum("mi_nano").as("_mi"))
+    // Explicit top-k (TakeOrderedAndProject): per-partition heaps +
+    // one k-row merge, by construction — not a rank window whose
+    // single-task sort only an optimizer rule (InferWindowGroupLimit)
+    // defuses.
     scored
-      .withColumn("_rk", row_number().over(
-        Window.orderBy(col("_mi").desc, col("token").asc)))
-      .where(col("_rk") <= k)
+      .orderBy(col("_mi").desc, col("token").asc)
+      .limit(k)
       .select(col("token"), col("n_docs"),
         round(col("_mi").cast("double") / lit(1e9), 6).as("mi"))
   }

@@ -31,13 +31,21 @@ object JoinDiagnostics {
     val ra = right.where(col(rightKey).isNotNull)
       .groupBy(col(rightKey).cast("string").as("key"))
       .agg(count(lit(1)).as("n_right"))
-    val wAll = Window.partitionBy()
-    la.join(ra, Seq("key"))
+    // The joined key frame is data-proportional (every shared key):
+    // the total is a 1-row aggregate broadcast back and the top
+    // contributors an explicit top-K (TakeOrderedAndProject) — never
+    // an unpartitioned sum/rank window over the key dim. The rank
+    // window then runs on the ≤ topK survivors only.
+    val joined = la.join(ra, Seq("key"))
       .withColumn("out_rows", col("n_left") * col("n_right"))
-      .withColumn("total_out_rows", sum("out_rows").over(wAll))
+      .localCheckpoint(true)
+    joined
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("out_rows").desc, col("key"))).cast("int"))
-      .where(col("rank") <= topK)
+      .crossJoin(broadcast(
+        joined.agg(sum("out_rows").as("total_out_rows"))))
       .select(col("rank"), col("key"), col("n_left"), col("n_right"),
         col("out_rows"), col("total_out_rows"),
         expr("(out_rows * 1000000) DIV total_out_rows")

@@ -80,14 +80,19 @@ object Linkage {
     require(w >= 1, s"window must be >= 1: $w")
     def side(df: DataFrame, s: Int) = df.select(
       col(keyCol).as("key"), col(sortCol).as("sk"), lit(s).as("side"))
-    val u = side(a, 0).unionByName(side(b, 1))
-      // (sk, key, side): the tie-break must INTERLEAVE sides — with
-      // duplicated sort keys, (sk, side, key) stacks all of one side
-      // first and pushes a record's twin ~dup-count ranks away.
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("sk"), col("key"), col("side"))).cast("long"))
+    // (sk, key, side): the tie-break must INTERLEAVE sides — with
+    // duplicated sort keys, (sk, side, key) stacks all of one side
+    // first and pushes a record's twin ~dup-count ranks away. The
+    // global sort is DISTRIBUTED (Rank.globalRowNumber) — the record
+    // frame is corpus-sized in real ER use, so an unpartitioned
+    // row_number window here would be a single-task sort of the data.
+    val u = Rank.globalRowNumber(
+        side(a, 0).unionByName(side(b, 1)),
+        Seq("sk" -> true, "key" -> true, "side" -> true), "r")
       .withColumn("band", expr(s"r DIV $w"))
+      // Self-joined below (base × down-replicated probe): pin so the
+      // ranked union materializes once.
+      .localCheckpoint(true)
     // The probe side always has the LARGER rank (y.r > x.r), so its
     // band is ≥ the base band — it must replicate DOWN onto
     // (band − 1, band) to meet every base row within w ranks.

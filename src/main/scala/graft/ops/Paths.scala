@@ -33,9 +33,13 @@ object Paths {
       .groupBy(col(typeCol).as("step1"), col("_s2").as("step2"),
         col("_s3").as("step3"))
       .agg(count(lit(1)).as("n"))
+    // Explicit top-k (TakeOrderedAndProject), then rank the ≤ k
+    // survivors — the trigram frame is |types|³-bounded, but saying
+    // top-k as a limit costs nothing and depends on no optimizer rule.
     val rk = Window.orderBy(col("n").desc, col("step1"), col("step2"),
       col("step3"))
-    tri.withColumn("rank", row_number().over(rk).cast("int"))
-      .where(col("rank") <= k)
+    tri.orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+      .withColumn("rank", row_number().over(rk).cast("int"))
   }
 }

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * maps to pooled index 1 + (r−1)·(N−1) DIV (n−1) (endpoints meet
   * exactly), and the mapped value is joined by that index — no
   * interpolation floats anywhere, so the mapping hash-compares
-  * bit-for-bit. Two sorts (group-local, pooled), one index equi-join.
+  * bit-for-bit. Two DISTRIBUTED sorts (pooled on v, grouped on
+  * (g, v) — `Rank.globalRowNumber`, never a single-task window),
+  * one index equi-join.
   */
 object QuantileNormalize {
 
@@ -30,16 +32,37 @@ object QuantileNormalize {
     val x = col(valueCol).cast("long")
     val in = df.where(x.isNotNull)
       .select(col(groupCol).as("g"), x.as("v"))
-    val wg = Window.partitionBy("g").orderBy(col("v"))
-    val wgAll = Window.partitionBy("g")
-    val pooled = in
-      .withColumn("_pr", row_number().over(Window.orderBy(col("v"))))
-      .select(col("_pr").cast("long").as("idx"), col("v").as("pv"))
-    val nTotal = Window.partitionBy()
-    val ranked = in
-      .withColumn("_r", row_number().over(wg).cast("long"))
-      .withColumn("_n", count(lit(1)).over(wgAll))
-      .withColumn("_nt", count(lit(1)).over(nTotal))
+      // Consumed three times (pooled rank, per-group rank, total):
+      // pin it so the source scans once.
+      .localCheckpoint(true)
+    // The pooled rank runs over the RAW input rows — a DISTRIBUTED
+    // sort (Rank.globalRowNumber), never a single-task
+    // `row_number().over(Window.orderBy(v))` of the corpus itself
+    // (the r11 verdict's q214 scale-killer). No tie-break column:
+    // rows with equal v receive an arbitrary permutation of the tie
+    // range, but the idx→pv mapping is invariant under it (equal v ⇒
+    // equal pv), so the join result is deterministic.
+    val pooled = Rank.globalRowNumber(in, Seq("v" -> true), "idx")
+      .select(col("idx"), col("v").as("pv"))
+    // Within-group ranks the same way: one distributed (g, v) sort,
+    // then subtract each group's start offset (a prefix over the
+    // |groups|-row frame — the only unpartitioned window, dim-sized).
+    // `Window.partitionBy("g")` would put EVERY row of a group in one
+    // task — with a handful of sources that is the q214 killer again,
+    // one level down. Per-block permutation of within-group ties
+    // cancels in the output: the tie block gets the same SET of ranks
+    // either way, so each group's multiset of mapped pv is invariant.
+    val offs = in.groupBy("g").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(
+        Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1L)), lit(0L)))
+    val ranked = Rank.globalRowNumber(
+        in, Seq("g" -> true, "v" -> true), "_gr")
+      .join(broadcast(offs), Seq("g"))
+      .withColumn("_r", col("_gr") - col("_off"))
+      // Total row count: 1-row aggregate broadcast back, not a
+      // count-over-everything window.
+      .crossJoin(broadcast(in.agg(count(lit(1)).as("_nt"))))
       .withColumn("idx",
         when(col("_n") === 1L, lit(1L))
           .otherwise(lit(1L) +

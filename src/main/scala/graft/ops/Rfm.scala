@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** RFM segmentation (recency / frequency / monetary): every customer
@@ -28,15 +27,24 @@ object Rfm {
       .agg(max(col(slotCol).cast("long")).as("last_slot"),
         count(lit(1)).as("freq"),
         sum(col(amountCol).cast("long")).as("cents"))
-    val n = Window.partitionBy()
-    val scored = per
-      .withColumn("_n", count(lit(1)).over(n))
-      .withColumn("_rk_r", row_number().over(
-        Window.orderBy(col("last_slot"), col("e"))).cast("long"))
-      .withColumn("_rk_f", row_number().over(
-        Window.orderBy(col("freq"), col("e"))).cast("long"))
-      .withColumn("_rk_m", row_number().over(
-        Window.orderBy(col("cents"), col("e"))).cast("long"))
+      // The three axis ranks re-sort this frame three times: pin it
+      // so the upstream aggregation runs once.
+      .localCheckpoint(true)
+    // Three DISTRIBUTED global ranks (Rank.globalRowNumber — range-
+    // partitioned sortBy+zipWithIndex), replacing the three
+    // unpartitioned row_number windows that funneled every entity
+    // through one task (the r11 verdict's q191 scale-killer). The
+    // entity count is a 1-row aggregate broadcast back — never a
+    // count-over-everything window.
+    val ranked = Seq(
+      (Seq("last_slot", "e"), "_rk_r"),
+      (Seq("freq", "e"), "_rk_f"),
+      (Seq("cents", "e"), "_rk_m"))
+      .foldLeft(per) { case (acc, (keys, out)) =>
+        Rank.globalRowNumber(acc, keys.map(_ -> true), out)
+      }
+    val scored = ranked
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("_n"))))
       .withColumn("r_q", expr("((_rk_r - 1) * 5) DIV _n + 1").cast("int"))
       .withColumn("f_q", expr("((_rk_f - 1) * 5) DIV _n + 1").cast("int"))
       .withColumn("m_q", expr("((_rk_m - 1) * 5) DIV _n + 1").cast("int"))

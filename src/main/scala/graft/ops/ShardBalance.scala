@@ -31,14 +31,16 @@ object ShardBalance {
     val keyed = df.where(col(keyCol).isNotNull)
       .select(col(keyCol).cast("string").as("k"))
     val perKey = keyed.groupBy("k").agg(count(lit(1)).as("kn"))
+      // Ranked AND counted below: pin so the rollup runs once.
+      .localCheckpoint(true)
     val hashShard = perKey.select(lit("hash").as("strategy"),
       pmod(Hashing.portableHash(col("k")), lit(shards.toLong)).as("shard"),
       col("kn"))
-    val wRank = Window.orderBy(col("k"))
-    val wAll = Window.partitionBy()
-    val rangeShard = perKey
-      .withColumn("_rk", row_number().over(wRank).cast("long"))
-      .withColumn("_nk", count(lit(1)).over(wAll))
+    // The key frame is data-proportional (every distinct key):
+    // DISTRIBUTED rank (Rank.globalRowNumber) + a 1-row count
+    // broadcast, never an unpartitioned window over the key dim.
+    val rangeShard = Rank.globalRowNumber(perKey, Seq("k" -> true), "_rk")
+      .crossJoin(broadcast(perKey.agg(count(lit(1)).as("_nk"))))
       .select(lit("keyrange").as("strategy"),
         expr(s"((_rk - 1) * $shards) DIV _nk").as("shard"), col("kn"))
     val perShard = hashShard.unionByName(rangeShard)

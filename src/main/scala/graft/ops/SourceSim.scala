@@ -53,11 +53,11 @@ object SourceSim {
           lit(1e9)).cast("long").as("term"))
     val scored = pairs.groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_common_tokens"), sum("term").as("_hi"))
+    // Explicit top-k over the |sources|²-bounded pair frame
+    // (TakeOrderedAndProject) — no rank window.
     scored
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("_hi").desc, col("src_a").asc, col("src_b").asc)))
-      .where(col("_rk") <= k)
+      .orderBy(col("_hi").desc, col("src_a").asc, col("src_b").asc)
+      .limit(k)
       .select(col("src_a"), col("src_b"), col("n_common_tokens"),
         round(col("_hi").cast("double") / lit(1e9), 6)
           .as("hist_intersection"))

@@ -32,11 +32,15 @@ object TextAnalysis {
       .localCheckpoint(true)
     val tot = counts.agg(sum("c").as("total_tokens"),
       count(lit(1)).as("vocab"))
+    // Explicit top-K over the vocab frame (TakeOrderedAndProject —
+    // per-partition heaps, one K-row merge); the rank VALUE ln(r) is
+    // then a window over the ≤ topK survivors only, never the vocab.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("tok").asc)
     val pts = counts
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(topK)
       .withColumn("r", row_number().over(w).cast("long"))
-      .where(col("r") <= topK)
       .select(
         round(log(col("r").cast("double")) * lit(1e6)).cast("long")
           .as("x"),
@@ -92,11 +96,11 @@ object TextAnalysis {
       (d(col("cf")) / d(col("nn")))
     val snapped = stats
       .withColumn("_fu", round(fano * lit(1e6)).cast("long"))
+    // Explicit top-k over the vocab frame (TakeOrderedAndProject), not
+    // a rank window only an optimizer rule defuses.
     snapped
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("_fu").desc, col("token").asc)))
-      .where(col("_rk") <= k)
+      .orderBy(col("_fu").desc, col("token").asc)
+      .limit(k)
       .select(col("token"), col("df"), col("cf"), col("max_in_doc"),
         round(col("_fu").cast("double") / lit(1e6), 4).as("fano"))
   }
@@ -402,10 +406,10 @@ object TextAnalysis {
     val counts = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("pair"))
-    // Partition-less window is safe: it runs on the ≤ vocab²-sized
-    // aggregate, further cut to the top-k frontier by the filter.
-    counts.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    // Explicit top-k over the pair aggregate (TakeOrderedAndProject);
+    // the rank window then runs on the ≤ k survivors only.
+    counts.orderBy(col("cnt").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"), col("pair"), col("cnt"))
   }
 

@@ -13,7 +13,7 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   LineDedup, LogReg,
   Markov, Merge, Multimodal, NaiveBayes, TimeWeighted,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
-  Quantize, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
+  Quantize, Rank, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
   Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
   TableChecksum, TextAnalysis,
@@ -6381,15 +6381,21 @@ object GemQueries {
         val scored = docs.select(col("doc_id"), col("y"))
           .join(LogReg.score(docs, "doc_id", "text", model, dim = 256)
             .select(col("doc_id"), col("p")), Seq("doc_id"))
-        val wTot = Window.partitionBy()
-        scored
-          // Rank on the ROUNDED score: ulp-level engine differences in
-          // the float dot product must not reorder near-ties at a
-          // decile boundary; round-6 + doc_id makes the order exact.
-          .withColumn("_rk", row_number().over(
-            Window.orderBy(round(col("p"), 6).desc, col("doc_id"))))
-          .withColumn("_n_tot", count(lit(1)).over(wTot))
-          .withColumn("_pos_tot", sum(col("y").cast("long")).over(wTot))
+          // Ranked AND totalled below: pin so scoring runs once.
+          .localCheckpoint(true)
+        // Rank on the ROUNDED score: ulp-level engine differences in
+        // the float dot product must not reorder near-ties at a
+        // decile boundary; round-6 + doc_id makes the order exact.
+        // The rank is DISTRIBUTED (Rank.globalRowNumber) — the r11
+        // verdict's q175 scale-killer was this exact frame through an
+        // unpartitioned row_number window; totals are a 1-row
+        // aggregate broadcast back, not count-over-everything windows.
+        Rank.globalRowNumber(
+            scored.withColumn("_pk", round(col("p"), 6)),
+            Seq("_pk" -> false, "doc_id" -> true), "_rk")
+          .crossJoin(broadcast(scored.agg(
+            count(lit(1)).as("_n_tot"),
+            sum(col("y").cast("long")).as("_pos_tot"))))
           .withColumn("decile",
             expr("((_rk - 1) * 10) DIV _n_tot").cast("int"))
           .groupBy("decile")
@@ -7585,21 +7591,30 @@ object GemQueries {
           .groupBy(col("l_partkey"))
           .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy()
-        rev
-          .withColumn("cum", sum("cents").over(w))
-          .withColumn("tot", sum("cents").over(wAll))
+          // Ranked AND totalled below: pin so the rollup runs once.
+          .localCheckpoint(true)
+        // The Pareto running sum is the r11 verdict's q203 scale-
+        // killer when written as an unpartitioned window (the part
+        // dim is data-proportional): instead, a DISTRIBUTED rank
+        // (Rank.globalRowNumber) + the two-pass bucketed prefix scan
+        // (Rank.prefixSum — heavy windows partitioned by rank
+        // bucket); the grand total is a 1-row aggregate broadcast
+        // back, reused for the per-class share.
+        val ranked = Rank.globalRowNumber(rev,
+          Seq("cents" -> false, "l_partkey" -> true), "_rk")
+        Rank.prefixSum(ranked, "_rk", "cents", "cum")
+          .crossJoin(broadcast(rev.agg(sum("cents").as("tot"))))
           .withColumn("class",
             when(col("cum") * 5 <= col("tot") * 4, "A")
               .when(col("cum") * 20 <= col("tot") * 19, "B")
               .otherwise("C"))
           .groupBy("class")
-          .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"),
+            max("tot").as("_tot"))
           .withColumn("share",
             round(col("cents").cast("double") /
-              sum(col("cents")).over(wAll).cast("double"), 6))
+              col("_tot").cast("double"), 6))
+          .drop("_tot")
           .orderBy("class")
       },
       Some("""WITH rev AS (
@@ -7783,8 +7798,12 @@ object GemQueries {
         rev
           .withColumn("_br", row_number().over(perBrand))
           .where(col("_br") <= 2)
+          // Explicit top-10 over the ≤ 2·|brands| survivors
+          // (TakeOrderedAndProject); the rank window then runs on the
+          // 10-row result only.
+          .orderBy(col("cents").desc, col("p_partkey"))
+          .limit(10)
           .withColumn("rank", row_number().over(overall).cast("int"))
-          .where(col("rank") <= 10)
           .select("rank", "p_brand", "p_partkey", "cents")
           .orderBy("rank")
       },
@@ -8472,14 +8491,17 @@ object GemQueries {
             when(col("o_orderdate") <
               lit("1995-06-01 00:00:00").cast("timestamp_ntz"), 0)
               .otherwise(1))
+        // Decile ranks over the per-period CUSTOMER frame — data-
+        // proportional, so the rank is DISTRIBUTED
+        // (Rank.globalRowNumber) and the count a 1-row broadcast,
+        // never an unpartitioned window (q175/q191's killer shape).
         def dec(period: Int) = {
           val per = o.where(col("p") === period)
             .groupBy(col("o_custkey").as("c"))
             .agg(sum("cents").as("v"))
-          per
-            .withColumn("_rk", row_number().over(
-              Window.orderBy(col("v"), col("c"))).cast("long"))
-            .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+            .localCheckpoint(true)
+          Rank.globalRowNumber(per, Seq("v" -> true, "c" -> true), "_rk")
+            .crossJoin(broadcast(per.agg(count(lit(1)).as("_n"))))
             .select(col("c"),
               (expr("((_rk - 1) * 10) DIV _n") + 1).cast("int")
                 .as(s"d$period"))
@@ -11911,9 +11933,10 @@ object GemQueries {
             (z("r_u", "sr", "srr") - z("e_u", "se", "see") -
               z("c_u", "sc", "scc")) * lit(1e6)).cast("long"))
         scored
-          .withColumn("_rk", row_number().over(
-            Window.orderBy(col("_score_n").desc, col("user_id").asc)))
-          .where(col("_rk") <= 10)
+          // Explicit top-10 (TakeOrderedAndProject), not a rank
+          // window over the full user frame.
+          .orderBy(col("_score_n").desc, col("user_id").asc)
+          .limit(10)
           .select(col("user_id"), col("n_events"),
             round(col("r_u").cast("double") / lit(1e6), 2)
               .as("events_per_day"),

@@ -292,9 +292,30 @@ class PlanShapeSpec extends SparkSpec {
       // q301: the 1-row two-series moment frame crosses onto the
       // 15-row lag frame. q303: 1-row totals/entropies cross onto
       // the state frame.
-      "q301_click_purchase_ccf", "q303_transition_entropy")
+      "q301_click_purchase_ccf", "q303_transition_entropy",
+      // r12 distributed-rank migrations: each former unpartitioned
+      // count/sum-over-everything window is now a 1-row aggregate
+      // broadcast-crossed back (the q91 shape) — q175's (n, positives),
+      // q182's distinct-key count, q188's total output rows, q191's
+      // entity count, q203's grand-total cents, q214's pooled row
+      // count, q223's per-period entity counts.
+      "q175_calibration", "q182_shard_balance", "q188_join_forecast",
+      "q191_rfm_segments", "q203_abc_classification",
+      "q214_quantile_normalize", "q223_decile_migration")
+    // r11 verdict lesson (q175/q191/q203/q214): a Window with an EMPTY
+    // partition spec plans Exchange SinglePartition — the whole frame
+    // through ONE task. Banned catalog-wide unless the query is
+    // whitelisted here with a why-the-frame-is-tiny justification
+    // (the intendedCross precedent). Data-proportional frames must use
+    // Rank.globalRowNumber / Rank.prefixSum / an explicit limit instead.
+    val tinyFrameWindow: Set[String] = PlanShapeSpec.tinyFrameWindow
+    val windowOffenders = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
+      val unpart =
+        PlanShapeSpec.unpartitionedWindows(df.queryExecution.executedPlan)
+      if (unpart.nonEmpty && !tinyFrameWindow(name))
+        windowOffenders += s"$name: ${unpart.mkString(", ")}"
       // Gate-shape guard (r9 lesson): the driver's comparator sorts
       // result rows in pandas, which cannot sort/hash array, map or
       // struct cells — a query emitting one can never go green.
@@ -315,6 +336,11 @@ class PlanShapeSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct"),
           s"$name must broadcast its cross side, never a full cartesian:\n$plan")
     }
+    assert(windowOffenders.isEmpty,
+      "unpartitioned (single-task) window over a frame not whitelisted" +
+        " as tiny — use Rank.globalRowNumber / Rank.prefixSum /" +
+        " orderBy().limit(k), or whitelist with a justification:\n" +
+        windowOffenders.mkString("\n"))
   }
 
   test("gopherGates plans with ZERO exchanges (pure narrow projection)") {
@@ -359,4 +385,66 @@ class PlanShapeSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
       s"kernel expressions must not break codegen:\n$plan")
   }
+}
+
+object PlanShapeSpec {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+  /** Every empty-partition (single-task) window/group-limit node in
+    * the plan, descending through the AQE wrapper (whose `children`
+    * is empty — a plain `collect` sees NOTHING under
+    * AdaptiveSparkPlanExec) and subquery plans.
+    */
+  def unpartitionedWindows(p: SparkPlan): Seq[String] = {
+    val self = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case _ => p.children
+    }
+    self ++ (kids ++ p.subqueries).flatMap(unpartitionedWindows)
+  }
+
+  /** Queries allowed an empty-partition (single-task) Window because
+    * the frame it runs on is provably TINY — bounded by a dim, a
+    * limit, or a prefix-scan bucket count — never data-proportional.
+    * Every entry carries its justification; a new unpartitioned
+    * window anywhere else fails the catalog sweep.
+    */
+  val tinyFrameWindow: Set[String] = Set(
+    // Post-limit rank windows: an explicit orderBy().limit(k)
+    // (TakeOrderedAndProject) runs first, so the window ranks the
+    // ≤ k surviving rows only.
+    "q69_bm25_search",      // bm25TopK: rank over the k-row result
+    "q97_hybrid_rrf",       // bm25TopK + rrfFuse fused-rank, both ≤ k
+    "q101_bpe_pairs",       // pair rank over the k-row result
+    "q171_event_paths",     // trigram rank over the k-row result
+    "q188_join_forecast",   // top-contributor rank over ≤ topK keys
+    "q207_capped_topk",     // global rank over the 10-row result
+    "q266_k_anonymity",     // risk rank over the ≤ topN smallest classes
+    "q291_zipf_fit",        // ln(rank) points over the topK-row result
+    // Two-pass prefix scans: the ONLY unpartitioned window runs on
+    // the per-bucket partials frame (n/bucketSize rows, sized tiny
+    // by construction); per-row windows partition by bucket.
+    "q203_abc_classification", // Rank.prefixSum bucket frame
+    "q235_watermark_profile",  // Lateness bucket frame (×2 passes)
+    "q251_peak_concurrency",   // Concurrency bucket frame
+    "q300_release_scorecard",  // composes the Lateness profile
+    // Dim-bounded frames: the window input is an aggregate over a
+    // fixed/dim-sized domain, not data-proportional.
+    "q164_largest_remainder",  // allocation groups (sources)
+    "q167_cuped_abtest",       // per-arm frame (2 rows)
+    "q178_chi2_independence",  // lang × source category grid
+    "q187_hierarchy_shares",   // region × nation dim frame
+    "q198_cramers_v",          // category grids per column pair
+    "q214_quantile_normalize", // |groups|-row rank-offset prefix
+    "q226_kaplan_meier",       // per-duration-day frame (horizon-bounded)
+    "q296_entry_exit",         // entry × exit event-type matrix
+    // Delta/bounded-input ranks (documented in the op scaladoc).
+    "q276_surrogate_keys")     // existing dim ≤ 100 docs; rank on DELTA
 }
