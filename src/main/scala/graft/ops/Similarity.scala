@@ -327,16 +327,35 @@ object Similarity {
   def ivfSq8TopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
-      shortlist: Int = 20): DataFrame = {
-    require(shortlist >= k, "shortlist must cover the requested top-k")
+      shortlist: Int = 20): DataFrame =
+    ivfSq8TopKFromIndex(corpus, queries, centroids,
+      buildIvfSq8Index(corpus, centroids, idCol, vecCol),
+      idCol, vecCol, k, nProbe, shortlist)
+
+  /** The build pass of [[ivfSq8TopK]], factored out so the index can be
+    * PERSISTED: per corpus vector its nearest codebook cell and the
+    * int8 SQ codes (stored as float for the codegen'd dot — exact,
+    * |code| <= 127). One corpus pass: broadcast codebook, one argmax
+    * shuffle; float vectors do NOT enter the index.
+    *
+    * Operational form: write the result bucketed on `cell_id`
+    * ([[graft.sources.Layout.writeBucketed]]) next to the k-row
+    * centroid table, then serve queries with [[ivfSq8TopKFromIndex]] —
+    * the corpus is scanned once at build time and never again per
+    * probe, which is what "searchable 100 TB embedding store" means
+    * operationally (mirror of `Dedup.incrementalNearDupsFromIndex`'s
+    * persisted MinHash band index).
+    *
+    * @return `neighbor_id`, `cell_id`, `qcodes` (array<float>)
+    */
+  def buildIvfSq8Index(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val cents = centroids
       .select(col(idCol).as("cell_id"), col(vecCol).as("centvec"))
-    // index build: nearest cell + int8 codes; float vectors do NOT
-    // enter the index (codes cast to float for the codegen'd dot —
-    // exact, |code| <= 127)
     val wc = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cell_cos").desc, col("cell_id"))
-    val index = corpus
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .crossJoin(broadcast(cents))
       .withColumn("cell_cos", cosine(col("cvec"), col("centvec")))
@@ -346,6 +365,24 @@ object Similarity {
       .select(col("neighbor_id"), col("cell_id"),
         Quantize.quantizeInt8(col("cvec"), col("scale"))
           .cast("array<float>").as("qcodes"))
+  }
+
+  /** Serve IVF+SQ8 top-k from a PRE-BUILT index
+    * ([[buildIvfSq8Index]], typically read back from a `cell_id`-
+    * bucketed table): queries route to their `nProbe` nearest cells
+    * against the broadcast codebook, the stored codes are probed by a
+    * broadcast join (NO index-side exchange — the index scan feeds the
+    * join directly, plan-asserted in LayoutSpec), ADC-shortlisted, and
+    * exact-re-ranked against the corpus. Neither re-training, nor
+    * re-quantization, nor an index shuffle happens per query batch.
+    */
+  def ivfSq8TopKFromIndex(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      index: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2, shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the requested top-k")
+    val cents = centroids
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centvec"))
     // probe: queries at full precision to their nProbe nearest cells
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_cos").desc, col("cell_id"))

@@ -18,7 +18,7 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
   TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs}
-import graft.sources.{CountryDim, Csv, Jsonl, Orc}
+import graft.sources.{CountryDim, Csv, Jsonl, Layout, Orc}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -12659,7 +12659,39 @@ object GemQueries {
              |    CAST(seas_u AS DOUBLE) / 1000000.0, 2) AS forecast
              |FROM future JOIN seas
              |  ON future.g = seas.g AND future.dow = seas.dow
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Persisted IVF+SQ8 index (Similarity.buildIvfSq8Index +
+    // ivfSq8TopKFromIndex over a cell_id-bucketed table): q150's
+    // search served OPERATIONALLY — the codes index is written once
+    // (Layout.writeBucketed on cell_id, the vector mirror of q93's
+    // persisted MinHash band index), read back from storage, and
+    // probed with no re-training, no re-quantization, and no
+    // index-side exchange (plan-asserted in LayoutSpec). Oracle is
+    // q150's verbatim: the stored-index path must reproduce the
+    // build-inline path bit for bit.
+    QueryDef("q306_ivf_sq8_from_index",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+          .localCheckpoint(true)
+        val table = "graft_ivf_sq8_idx"
+        Layout.replaceBucketed(s,
+          Similarity.buildIvfSq8Index(emb, cents, "vec_id", "embedding"),
+          table, "cell_id", buckets = 8)
+        Similarity.ivfSq8TopKFromIndex(
+          emb, emb.filter(col("vec_id").between(100, 104)), cents,
+          Layout.table(s, table), "vec_id", "embedding",
+          k = 3, nProbe = 2, shortlist = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH " + kmeansCtes(k = 8, iters = 2) + ",\n" +
+        ivfSearchCtes("cent2", nProbe = 2, qLo = 100, qHi = 104) + ",\n" +
+        ivfSq8Ctes("", shortlist = 20) + "\n" +
+        """SELECT query_id, neighbor_id, "rank", round(cos, 4) + 0.0 AS cos
+          |FROM sqranked WHERE "rank" <= 3
+          |ORDER BY query_id, "rank"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -23,6 +23,24 @@ object Layout {
     sortCol.fold(w)(w.sortBy(_)).format("parquet").saveAsTable(table)
   }
 
+  /** [[writeBucketed]] with idempotent replacement across SESSIONS:
+    * drops a same-name catalog entry AND any orphaned warehouse
+    * directory a previous (crashed or separate-catalog) run left
+    * behind — `saveAsTable` refuses to create a managed table over an
+    * existing location, and `DROP TABLE IF EXISTS` cannot see a
+    * directory the current in-memory catalog never registered.
+    */
+  def replaceBucketed(
+      spark: SparkSession, df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 32, sortCol: Option[String] = None): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writeBucketed(df, table, bucketCol, buckets, sortCol)
+  }
+
   /** Append into an EXISTING bucketed table with the same bucket
     * spec — the ingest half of a persisted index: each batch's rows
     * land in the matching buckets, so probes keep joining with no

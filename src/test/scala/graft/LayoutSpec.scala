@@ -68,6 +68,44 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF+SQ8 index: stored probe matches inline build, index side never shuffles") {
+    import graft.ops.Similarity
+    // 40 deterministic 8-d vectors in two obvious clusters.
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(d => base * (1.0f + 0.01f * ((i * 7 + d * 3) % 5))))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding", k = 4, iters = 1)
+      .localCheckpoint(true)
+    Layout.replaceBucketed(spark,
+      Similarity.buildIvfSq8Index(vecs, cents, "vec_id", "embedding"),
+      "ivf_sq8_test_idx", "cell_id", buckets = 4)
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val queries = vecs.filter(col("vec_id") < 3)
+      val stored = Similarity.ivfSq8TopKFromIndex(
+        vecs, queries, cents, Layout.table(spark, "ivf_sq8_test_idx"),
+        "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 10)
+      val inline = Similarity.ivfSq8TopK(
+        vecs, queries, cents, "vec_id", "embedding",
+        k = 3, nProbe = 2, shortlist = 10)
+      val got = stored.collect().map(_.toSeq).toSet
+      assert(got == inline.collect().map(_.toSeq).toSet && got.nonEmpty)
+      // The probe join consumes the bucketed index scan with NO
+      // exchange above it: queries broadcast, codes stay in place.
+      val probePlan = Layout.table(spark, "ivf_sq8_test_idx")
+        .join(broadcast(cents.select(col("vec_id").as("cell_id"),
+          col("embedding").as("qvec"))), Seq("cell_id"))
+        .queryExecution.executedPlan.toString
+      assert(!probePlan.contains("Exchange hashpartitioning"),
+        s"index side must not shuffle on probe:\n$probePlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ivf_sq8_test_idx")
+    }
+  }
+
   test("partitioned write prunes directories on partition predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (2023 to 2026).flatMap(y => (1 to 10).map(i => (y, i.toLong)))

@@ -167,6 +167,10 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast trained codebook — q66's documented shape; the ADC
       // probe and re-rank stages are equi-joins.
       "q150_ivf_sq8_search",
+      // q306: q150's probe half served from the PERSISTED codes index —
+      // the surviving crosses are the query-routing pass against the
+      // broadcast k-row codebook (index build happened at write time).
+      "q306_ivf_sq8_from_index",
       // q151: the |ps|-row percentile frame broadcast-nested-loop
       // joins onto the (groups × occupied-buckets) post-sketch frame
       // to find each crossing bucket — both sides tiny by construction.
