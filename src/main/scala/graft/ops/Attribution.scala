@@ -120,9 +120,13 @@ object Attribution {
     val matched = conv.join(touch, Seq("e"))
       .where(col("tts") < col("cts") &&
         col("tts") >= col("cts") - lit(lookbackUs))
-      .withColumn("w_u", round(exp(lit(-math.log(2.0)) *
+      // Clamp to >= 1 micro-unit: a touch whose decay rounds to 0
+      // (conversion-touch gap >> halfLife under a long lookback) must
+      // not zero Σw — (cents · w) DIV 0 is null and would silently
+      // drop that conversion's value from the books.
+      .withColumn("w_u", greatest(round(exp(lit(-math.log(2.0)) *
         (col("cts") - col("tts")).cast("double") / lit(hlUs)) *
-        lit(1e6)).cast("long"))
+        lit(1e6)).cast("long"), lit(1L)))
     val wC = Window.partitionBy("cid")
     val wAsc = wC.orderBy(col("tts").asc, col("channel").asc)
     val credited = matched

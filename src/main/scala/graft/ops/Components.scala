@@ -302,21 +302,25 @@ object Components {
       .join(b.select(col(nodeCol).as("node"), col(labelBCol).as("lb")),
         Seq("node"))
       .localCheckpoint(true)
-    // Always-even product: the cast back to long is exact.
-    def choose2(c: Column) = ((c * (c - lit(1L))) / lit(2L)).cast("long")
+    // Integer DIV keeps the binomial exact in int64 for any cluster
+    // size — Spark's `/` on longs is double division, exact only
+    // below 2^53 (cluster sizes under ~9.5e7). The product is always
+    // even, so DIV loses nothing, and it now matches the oracle's
+    // BIGINT `//` bit for bit at any scale.
+    def choose2(name: String) = expr(s"($name * ($name - 1L)) DIV 2L")
     val cont = joined.groupBy("la", "lb").agg(count(lit(1)).as("nij"))
-      .agg(sum(choose2(col("nij"))).as("_sij"))
+      .agg(sum(choose2("nij")).as("_sij"))
     val ra = joined.groupBy("la").agg(count(lit(1)).as("ai"))
       .agg(count(lit(1)).as("n_clusters_a"),
-        sum(choose2(col("ai"))).as("_sa"))
+        sum(choose2("ai")).as("_sa"))
     val rb = joined.groupBy("lb").agg(count(lit(1)).as("bj"))
       .agg(count(lit(1)).as("n_clusters_b"),
-        sum(choose2(col("bj"))).as("_sb"))
+        sum(choose2("bj")).as("_sb"))
     val nTot = joined.agg(count(lit(1)).as("n_nodes"))
     def d(c: String) = col(c).cast("double")
     nTot.crossJoin(broadcast(cont)).crossJoin(broadcast(ra))
       .crossJoin(broadcast(rb))
-      .withColumn("_nc2", choose2(col("n_nodes")).cast("double"))
+      .withColumn("_nc2", choose2("n_nodes").cast("double"))
       .withColumn("_exp", d("_sa") * d("_sb") / col("_nc2"))
       .select(col("n_nodes"), col("n_clusters_a"), col("n_clusters_b"),
         (round((d("_sij") - col("_exp")) /

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
 object NaiveBayes {
 
   /** Train on `trainFilter` rows, score the rest, report per-label
-    * accuracy.
+    * accuracy. A test document whose tokenization is EMPTY still
+    * scores — token sum 0, so its argmax is the max-prior (most
+    * frequent training) label — and counts in `n_test`; the explode
+    * never silently drops it.
     *
     * @return per true label: `label`, `n_test`, `n_correct`,
     *         `accuracy` (round 4)
@@ -63,17 +66,25 @@ object NaiveBayes {
     val labels = defaults.select("label", "def_n")
     val testToks = test.select(col("id"), col("label").as("true_label"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val scoredCells = testToks
+    val tokSums = testToks
       .join(broadcast(labels.withColumnRenamed("label", "cand")),
         lit(true))
       .join(model.select(col("label").as("cand"), col("token"),
         col("w_n")), Seq("cand", "token"), "left")
       .withColumn("cell", coalesce(col("w_n"), col("def_n")))
-      .groupBy("id", "true_label", "cand")
-      .agg(sum("cell").as("_s"))
+      .groupBy("id", "cand")
+      .agg(sum("cell").as("_toksum"))
+    // Left join from the full test frame, not from the exploded
+    // tokens: empty-token docs keep a row per candidate (token sum 0
+    // → prior-only argmax) instead of dropping out of n_test.
+    val scoredCells = test
+      .select(col("id"), col("label").as("true_label"))
+      .join(broadcast(labels.select(col("label").as("cand"))), lit(true))
+      .join(tokSums, Seq("id", "cand"), "left")
       .join(broadcast(priors.select(col("label").as("cand"),
         col("prior_n"))), Seq("cand"))
-      .withColumn("score", col("_s") + col("prior_n"))
+      .withColumn("score",
+        coalesce(col("_toksum"), lit(0L)) + col("prior_n"))
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("cand").asc)
     val preds = scoredCells

@@ -11205,9 +11205,9 @@ object GemQueries {
              |    event_type AS channel
              |  FROM events WHERE event_type IN ('click', 'view')),
              |m AS (SELECT cid, cents, tts, channel,
-             |    CAST(round(exp(-0.6931471805599453 *
+             |    greatest(CAST(round(exp(-0.6931471805599453 *
              |      CAST(cts - tts AS DOUBLE) / 86400000000.0) *
-             |      1000000.0) AS BIGINT) AS w_u
+             |      1000000.0) AS BIGINT), 1) AS w_u
              |  FROM conv JOIN touch ON conv.e = touch.e
              |  WHERE tts < cts AND tts >= cts - 259200000000),
              |r AS (SELECT cid, cents, channel, w_u,
@@ -11597,15 +11597,22 @@ object GemQueries {
              |tt AS (SELECT id, label AS true_label, unnest(list_filter(
              |    string_split_regex(text, ' +'), t -> t <> '')) AS token
              |  FROM base WHERE NOT is_train),
-             |cells AS (SELECT tt.id, tt.true_label, dfl.label AS cand,
+             |cells AS (SELECT tt.id, dfl.label AS cand,
              |    coalesce(m.w_n, dfl.def_n) AS cell
              |  FROM tt CROSS JOIN defaults dfl
              |  LEFT JOIN model m
              |    ON m.label = dfl.label AND m.token = tt.token),
-             |sc AS (SELECT id, true_label, cand,
-             |    sum(cell) + max(prior_n) AS score
-             |  FROM cells JOIN priors ON cells.cand = priors.label
-             |  GROUP BY 1, 2, 3),
+             |tsum AS (SELECT id, cand, sum(cell) AS toksum
+             |  FROM cells GROUP BY 1, 2),
+             |allc AS (SELECT id, base.label AS true_label,
+             |    dfl.label AS cand
+             |  FROM base CROSS JOIN defaults dfl WHERE NOT is_train),
+             |sc AS (SELECT allc.id, allc.true_label, allc.cand,
+             |    coalesce(ts.toksum, 0) + p.prior_n AS score
+             |  FROM allc
+             |  LEFT JOIN tsum ts
+             |    ON ts.id = allc.id AND ts.cand = allc.cand
+             |  JOIN priors p ON allc.cand = p.label),
              |preds AS (SELECT id, true_label, cand FROM (
              |    SELECT *, row_number() OVER (PARTITION BY id
              |      ORDER BY score DESC, cand) AS rk

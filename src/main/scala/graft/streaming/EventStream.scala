@@ -272,8 +272,16 @@ object EventStream {
     * ingest actually runs: per-batch cost scales with the batch, the
     * standing corpus is signature-indexed exactly once.
     *
-    * Emitted pairs land in `outTable` tagged with the micro-batch id;
-    * exactly-once bookkeeping rides the checkpoint.
+    * Emitted pairs land in `outTable` tagged with the micro-batch id.
+    * Delivery is AT-LEAST-ONCE, not exactly-once: foreachBatch replays
+    * a failed batch from the checkpoint, and the three appends (pairs,
+    * bands, toks) are not atomic — a crash between them re-appends
+    * index rows on retry, which surfaces as duplicate candidate pairs
+    * in later batches. Consumers must either dedup on
+    * (batch_id, index_id, ingest_batch) / distinct the index probe, or
+    * back the three tables with a transactional format whose
+    * replaceWhere(ingest_batch = N) makes the replay idempotent —
+    * plain parquet tables cannot delete-by-predicate.
     */
   def incrementalDedupIngest(
       docs: DataFrame, bandsTable: String, toksTable: String,

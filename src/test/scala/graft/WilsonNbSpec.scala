@@ -23,7 +23,7 @@ class WilsonNbSpec extends SparkSpec {
       (0L, "en", "the cat"), (2L, "en", "the dog"),
       (4L, "fr", "le chat"), (6L, "fr", "le chien"),
       (11L, "en", "the cat"), (13L, "fr", "le chien"),
-      (15L, "fr", "zzz")
+      (15L, "fr", "zzz"), (17L, "fr", "   ")
     ).toDF("doc_id", "lang", "text")
     val r = NaiveBayes.evalSplit(docs, "doc_id", "lang", "text",
         col("doc_id") % 2 === 0)
@@ -31,7 +31,9 @@ class WilsonNbSpec extends SparkSpec {
       .select("label", "n_test", "n_correct", "accuracy")
       .as[(String, Long, Long, Double)].collect().toSeq
     // 'the cat' → en, 'le chien' → fr; the all-OOV doc ties and
-    // falls to the smallest label (en), costing fr one miss.
-    assert(r === Seq(("en", 1L, 1L, 1.0), ("fr", 2L, 1L, 0.5)))
+    // falls to the smallest label (en), costing fr one miss. The
+    // EMPTY-token doc 17 is still scored (prior-only; equal priors
+    // tie to en) — it must count in n_test, not vanish.
+    assert(r === Seq(("en", 1L, 1L, 1.0), ("fr", 3L, 1L, 0.3333)))
   }
 }
