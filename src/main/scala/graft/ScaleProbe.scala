@@ -1,8 +1,8 @@
 package graft
 
 import graft.core.Graft
-import graft.ops.{Bpe, Components, CorpusPipeline, Dedup, LanguageModel,
-  LineDedup, PageRank, SpanDedup, TextAnalysis}
+import graft.ops.{Bpe, Components, CorpusPipeline, Dedup, GraphMetrics,
+  LanguageModel, LineDedup, PageRank, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,16 +19,18 @@ import org.apache.spark.sql.functions._
   * text would instead add N·|docs| artificial exact-dup cliques and
   * measure a different, quadratically-inflated problem.)
   *
-  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [tiles,...] [reps]"`;
-  * defaults: sf0.1, tiles 1,3,10, 2 interleaved reps (this box's
-  * per-run variance is ±2-3×, so the minimum over interleaved passes
-  * is the number to read). Prints one JSON line per (op, tiles, rep).
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [tiles,...] [reps]
+  * [ops,...]"`; defaults: sf0.1, tiles 1,3,10, 2 interleaved reps
+  * (this box's per-run variance is ±2-3×, so the minimum over
+  * interleaved passes is the number to read), all ops. Prints one
+  * JSON line per (op, tiles, rep).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val tiles = args.lift(1).getOrElse("1,3,10").split(",").map(_.toInt).toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val opFilter = args.lift(3).map(_.split(",").toSet)
     val spark = Graft.session("graft-scaleprobe")
 
     val base = Graft.table(spark, sfDir, "documents")
@@ -106,8 +108,40 @@ object ScaleProbe {
         "logreg_train" -> (() =>
           graft.ops.LogReg.train(
             df.withColumn("y", (col("lang") === "en").cast("int")),
-            "doc_id", "text", "y", dim = 256, lr = 1.0, iters = 3)))
-      ops.foreach { case (name, f) =>
+            "doc_id", "text", "y", dim = 256, lr = 1.0, iters = 3)),
+        // Component-iteration family (q232/q286/q294): cost =
+        // pairs + the delta-frontier round floor (+ one labeled-edge
+        // aggregate / argmax). Tiling multiplies rows but NOT round
+        // count (tiles are disjoint graphs), so growth should track
+        // the pair stage, not explode with the partition count.
+        "modularity" -> (() => {
+          val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.8)
+          val clusters = Components.dedupClusters(
+            df, "doc_id", pairs, "id_a", "id_b")
+          GraphMetrics.modularity(pairs, "id_a", "id_b",
+            clusters, "doc_id", "component")
+        }),
+        "cluster_ari" -> (() => {
+          val pairs7 = Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.7).localCheckpoint(true)
+          def cl(p: DataFrame, as: String) =
+            Components.dedupClusters(df, "doc_id", p, "id_a", "id_b")
+              .select(col("doc_id"), col("component").as(as))
+          Components.adjustedRandIndex(
+            cl(pairs7, "ca"),
+            cl(pairs7.where(col("jaccard") >= 0.8), "cb"),
+            "doc_id", "ca", "cb")
+        }),
+        "medoid" -> (() => {
+          val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.8).localCheckpoint(true)
+          val clusters = Components.dedupClusters(
+            df, "doc_id", pairs, "id_a", "id_b")
+          Components.medoidPerCluster(clusters, "doc_id",
+            pairs, "id_a", "id_b", "jaccard")
+        }))
+      ops.filter(o => opFilter.forall(_.contains(o._1))).foreach { case (name, f) =>
         val sec = time(f())
         println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
       }

@@ -288,16 +288,22 @@ object Multimodal {
     *  - GIF (87a/89a, first frame) → palette-mapped per-channel means
     *    via [[gifPixels]] — pure-Scala variable-width LZW.
     *
-    * Anything else falls back to the deterministic byte-histogram
-    * stub moments of [[extractFeatures]] (kind `other`) — the
-    * codec-bound formats (JPEG entropy scan, MP4 payload) stay
-    * honestly stubbed. All accumulation is exact integer arithmetic
-    * in double (sums < 2^53), so an external oracle reproduces every
-    * statistic bit-for-bit.
+    *  - JPEG (baseline) → per-band means through the JDK's own
+    *    `javax.imageio` decoder — real DCT/entropy decode, still zero
+    *    EXTERNAL codecs. (Oracle checkability comes from the fixture
+    *    side: constant-per-8×8-block gray images round-trip the lossy
+    *    codec exactly — see `MediaFixtures.jpegBytes`.)
     *
-    * @return `id`, `kind` (bmp|wav|png|gif|other), `f1`, `f2`, `f3` —
-    *         (mean_b, mean_g, mean_r) / (rms, peak, n_samples) /
-    *         (mean_r, mean_g, mean_b) / (first three stub moments),
+    * Anything else falls back to the deterministic byte-histogram
+    * stub moments of [[extractFeatures]] (kind `other`) — the one
+    * codec-bound format left (MP4 payload) stays honestly stubbed.
+    * All accumulation is exact integer arithmetic in double
+    * (sums < 2^53), so an external oracle reproduces every statistic
+    * bit-for-bit.
+    *
+    * @return `id`, `kind` (bmp|wav|png|gif|jpeg|other), `f1`, `f2`,
+    *         `f3` — (mean_b, mean_g, mean_r) / (rms, peak, n_samples)
+    *         / (mean_r, mean_g, mean_b) / (first three stub moments),
     *         each rounded to 4
     */
   def contentFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
@@ -390,6 +396,45 @@ object Multimodal {
                 }
                 (id, "gif", r4(sr / np), r4(sg / np), r4(sb / np))
               case None => stubFeatureRow(id, b)
+            }
+          } else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+              (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) {
+            // JPEG: the JDK ships a full baseline decoder
+            // (javax.imageio) — no external codec, and unlike the
+            // header-only jpegDims walk this touches every pixel.
+            // Gray fills all three lanes (the PNG color-type-0 rule);
+            // >=3 bands report band 0/1/2 means. Undecodable or
+            // unexpected-layout payloads fall back to the stub.
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b))
+              if (img == null) stubFeatureRow(id, b)
+              else {
+                val ras = img.getRaster
+                val (w, h, bands) =
+                  (img.getWidth, img.getHeight, ras.getNumBands)
+                var (s0, s1, s2) = (0L, 0L, 0L)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    if (bands == 1) {
+                      val v = ras.getSample(x, y, 0).toLong
+                      s0 += v; s1 += v; s2 += v
+                    } else {
+                      s0 += ras.getSample(x, y, 0)
+                      s1 += ras.getSample(x, y, 1)
+                      s2 += ras.getSample(x, y, 2)
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (w.toLong * h).toDouble
+                (id, "jpeg", r4(s0 / n), r4(s1 / n), r4(s2 / n))
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => stubFeatureRow(id, b)
             }
           } else stubFeatureRow(id, b)
         }

@@ -51,7 +51,64 @@ object Retrieval {
       .where(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // (idCol, term) is unique after the groupBy, so df is a plain count.
+    scoreFromPostings(postings, stats, idCol, k, k1, b)
+  }
+
+  /** The FULL inverted index [[bm25TopK]] builds only the query slice
+    * of: one `(term, id, dl, tf)` row per distinct (doc, term). Write
+    * it bucketed on `term` ([[graft.sources.Layout.writeBucketed]])
+    * next to the 1-row [[bm25CorpusStats]] table and serve with
+    * [[bm25TopKFromIndex]] — the corpus is tokenized once at build
+    * time and never again per query, completing the persisted-index
+    * triad (MinHash bands / IVF+SQ8 codes / lexical postings).
+    */
+  def bm25Postings(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")))
+      .select(col(idCol), col("dl"), explode(col("tk")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus-level BM25 scalars (`n_docs`, `avgdl`) — the 1-row table
+    * stored beside [[bm25Postings]]: the probed slice cannot derive
+    * corpus totals, so they are fixed at index-build time.
+    */
+  def bm25CorpusStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+  /** Serve BM25 top-k from the PERSISTED index: prune the stored
+    * postings to the query's terms (bucket pruning on the `term`
+    * layout — the scan touches only the matching buckets, never the
+    * corpus), recount per-term df from the pruned slice (exact:
+    * (term, id) is unique in the index), and score identically to
+    * [[bm25TopK]] — the two paths are bit-equal by construction.
+    */
+  def bm25TopKFromIndex(
+      postings: DataFrame, stats: DataFrame, idCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    scoreFromPostings(
+      postings.where(col("term").isin(queryTerms: _*)),
+      stats, idCol, k, k1, b)
+  }
+
+  /** Shared scoring tail of the inline and stored-index paths:
+    * per-term df from the (already query-pruned) postings, idf ×
+    * length-normalized tf, per-doc sum, explicit
+    * `orderBy().limit(k)` top-k (TakeOrderedAndProject — never a
+    * partition-less window over the corpus).
+    */
+  private def scoreFromPostings(
+      postings: DataFrame, stats: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    // (idCol, term) is unique in the postings, so df is a plain count.
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("dfn"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfn") + lit(0.5)) / (col("dfn") + lit(0.5)))

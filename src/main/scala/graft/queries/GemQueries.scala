@@ -12698,7 +12698,60 @@ object GemQueries {
         ivfSq8Ctes("", shortlist = 20) + "\n" +
         """SELECT query_id, neighbor_id, "rank", round(cos, 4) + 0.0 AS cos
           |FROM sqranked WHERE "rank" <= 3
-          |ORDER BY query_id, "rank"""".stripMargin))
+          |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Baseline-JPEG pixel decode (Multimodal.contentFeatures through
+    // the JDK's javax.imageio DCT decoder — the last image format off
+    // the stub list; only the MP4 payload remains codec-bound). The
+    // q149 oracle trick adapted to a LOSSY codec: fixture pixels are
+    // constant per 8×8 block (MediaFixtures.jpegBytes), so every
+    // block is DC-only, quality-1.0 quantization is exact, and the
+    // round trip is bit-exact — the oracle recomputes the channel
+    // means from the block formula without owning a decoder.
+    QueryDef("q307_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id")).as[Long]
+        val media = ids.map { id =>
+          (id, MediaFixtures.jpegBytes(id, 16, 16), "image")
+        }.toDF("id", "bytes", "media_type")
+        Multimodal.contentFeatures(s, media).orderBy("id")
+      },
+      Some("""WITH bm AS (
+             |  SELECT doc_id AS id,
+             |    round(list_sum(list_transform(generate_series(0, 3),
+             |      i -> (doc_id * 7 + 13 * (i % 2) + 29 * (i // 2))
+             |        % 256)) / 4.0, 4) + 0.0 AS m
+             |  FROM documents)
+             |SELECT id, 'jpeg' AS kind, m AS f1, m AS f2, m AS f3
+             |FROM bm ORDER BY id""".stripMargin)),
+
+    // Persisted BM25 postings index (Retrieval.bm25Postings +
+    // bm25TopKFromIndex): the FULL (term, doc, dl, tf) inverted index
+    // written once, bucketed on term, beside the 1-row corpus-stats
+    // table; probes prune the stored postings to the query's terms
+    // (bucket pruning — the corpus is never re-tokenized) and score
+    // identically to q69's inline path. Completes the persisted-index
+    // triad: MinHash bands (q93), IVF+SQ8 codes (q306), lexical
+    // postings (here). Oracle is q69's verbatim.
+    QueryDef("q308_bm25_from_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Layout.replaceBucketed(s,
+          Retrieval.bm25Postings(docs, "doc_id", "text"),
+          "graft_bm25_postings", "term", buckets = 8)
+        Layout.replaceTable(s,
+          Retrieval.bm25CorpusStats(docs, "doc_id", "text"),
+          "graft_bm25_stats")
+        Retrieval.bm25TopKFromIndex(
+          Layout.table(s, "graft_bm25_postings"),
+          Layout.table(s, "graft_bm25_stats"), "doc_id",
+          queryTerms = Seq("spark", "join", "stream"), k = 10)
+      },
+      Some("WITH " + bm25RankedCtes(10) + "\n" +
+        """SELECT doc_id, "rank", round(score, 4) AS score
+          |FROM lexr ORDER BY "rank"""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -191,4 +191,34 @@ object MediaFixtures {
     }
     gifFromIndices(w, h, idx, gifPalette(64))
   }
+
+  /** The q307 JPEG: a REAL baseline JPEG (JDK `javax.imageio` writer,
+    * quality 1.0) whose grayscale pixels are CONSTANT per 8×8 block —
+    * value(bx, by) = (id*7 + 13·bx + 29·by) mod 256. A constant block's
+    * DCT is DC-only (8·(v−128), an exact float), every AC quantizes to
+    * 0, and quality 1.0's all-ones tables keep the DC exact, so the
+    * lossy codec round-trips these images bit-for-bit — verified
+    * exhaustively over ids — and the oracle can recompute the channel
+    * means from the block formula without owning a JPEG decoder.
+    * `w`/`h` must be multiples of 8 so no block straddles an edge.
+    */
+  def jpegBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "dims must be multiples of 8")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      r.setSample(x, y, 0,
+        ((id * 7 + 13L * (x / 8) + 29L * (y / 8)) % 256).toInt)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
 }

@@ -30,15 +30,27 @@ object Layout {
     * existing location, and `DROP TABLE IF EXISTS` cannot see a
     * directory the current in-memory catalog never registered.
     */
-  def replaceBucketed(
-      spark: SparkSession, df: DataFrame, table: String, bucketCol: String,
-      buckets: Int = 32, sortCol: Option[String] = None): Unit = {
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  def replaceBucketed(
+      spark: SparkSession, df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 32, sortCol: Option[String] = None): Unit = {
+    dropWithLocation(spark, table)
     writeBucketed(df, table, bucketCol, buckets, sortCol)
+  }
+
+  /** Cross-session-idempotent plain (unbucketed) managed-table write —
+    * same orphan-location cleanup as [[replaceBucketed]].
+    */
+  def replaceTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    dropWithLocation(spark, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** Append into an EXISTING bucketed table with the same bucket

@@ -106,6 +106,40 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("persisted BM25 postings: stored probe matches inline scoring, buckets prune") {
+    import graft.ops.Retrieval
+    val docs = Seq(
+      (1L, "spark join stream spark"), (2L, "join the queue"),
+      (3L, "stream of consciousness"), (4L, "unrelated words only"),
+      (5L, "spark spark spark join")).toDF("doc_id", "text")
+    Layout.replaceBucketed(spark,
+      Retrieval.bm25Postings(docs, "doc_id", "text"),
+      "bm25_test_postings", "term", buckets = 4)
+    Layout.replaceTable(spark,
+      Retrieval.bm25CorpusStats(docs, "doc_id", "text"),
+      "bm25_test_stats")
+    try {
+      val terms = Seq("spark", "stream")
+      val stored = Retrieval.bm25TopKFromIndex(
+        Layout.table(spark, "bm25_test_postings"),
+        Layout.table(spark, "bm25_test_stats"), "doc_id", terms, k = 5)
+      val inline = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 5)
+      val got = stored.collect().map(_.toSeq).toSeq
+      assert(got == inline.collect().map(_.toSeq).toSeq && got.nonEmpty)
+      // The term filter prunes BUCKETS on the stored scan — the probe
+      // reads the matching slices, not the whole index (and the plan
+      // re-tokenizes nothing: no regexp in sight).
+      val plan = stored.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected bucket pruning on the postings scan:\n$plan")
+      assert(!plan.toLowerCase.contains("regexp"),
+        "stored probe must not re-tokenize the corpus")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_test_postings")
+      spark.sql("DROP TABLE IF EXISTS bm25_test_stats")
+    }
+  }
+
   test("partitioned write prunes directories on partition predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (2023 to 2026).flatMap(y => (1 to 10).map(i => (y, i.toLong)))

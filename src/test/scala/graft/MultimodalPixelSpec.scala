@@ -121,4 +121,30 @@ class MultimodalPixelSpec extends SparkSpec {
       yield (30 + 3 * x + 7 * y) % 256).sum / 48.0
     assert(math.abs(f1 - want) < 1e-9)
   }
+
+  test("contentFeatures decodes baseline JPEG exactly on DC-only fixtures") {
+    import spark.implicits._
+    val media = (0L until 20L).map(id =>
+      (id, MediaFixtures.jpegBytes(id, 16, 16), "image"))
+      .toDF("id", "bytes", "media_type")
+    val got = Multimodal.contentFeatures(spark, media)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    got.foreach { case (id, kind, a, b, c) =>
+      // constant-per-block formula: mean over the 4 blocks of
+      // (id*7 + 13bx + 29by) mod 256 — the lossy codec must round-trip
+      // DC-only blocks bit-exactly (gray fills all three lanes)
+      val want = (for (by <- 0 to 1; bx <- 0 to 1)
+        yield (id * 7 + 13 * bx + 29 * by) % 256).sum / 4.0
+      assert(kind == "jpeg" && a == b && b == c &&
+        math.abs(a - want) < 1e-9, s"id=$id got=$a want=$want")
+    }
+    // truncated JPEG bytes must fall to the stub, not throw
+    val broken = Seq((99L,
+      MediaFixtures.jpegBytes(1L, 16, 16).take(40), "image"))
+      .toDF("id", "bytes", "media_type")
+    assert(Multimodal.contentFeatures(spark, broken)
+      .collect()(0).getString(1) == "other")
+  }
 }
