@@ -171,6 +171,9 @@ class PlanShapeSpec extends SparkSpec {
       // the surviving crosses are the query-routing pass against the
       // broadcast k-row codebook (index build happened at write time).
       "q306_ivf_sq8_from_index",
+      // q308: q69's 1-row corpus-stats broadcast cross, served from
+      // the stored stats table instead of an inline aggregate.
+      "q308_bm25_from_index",
       // q151: the |ps|-row percentile frame broadcast-nested-loop
       // joins onto the (groups × occupied-buckets) post-sketch frame
       // to find each crossing bucket — both sides tiny by construction.
@@ -425,6 +428,7 @@ object PlanShapeSpec {
     // (TakeOrderedAndProject) runs first, so the window ranks the
     // ≤ k surviving rows only.
     "q69_bm25_search",      // bm25TopK: rank over the k-row result
+    "q308_bm25_from_index", // same scoring tail over the stored index
     "q97_hybrid_rrf",       // bm25TopK + rrfFuse fused-rank, both ≤ k
     "q101_bpe_pairs",       // pair rank over the k-row result
     "q171_event_paths",     // trigram rank over the k-row result
