@@ -12,12 +12,12 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
   LineDedup, LogReg,
   Markov, Merge, Multimodal, NaiveBayes, TimeWeighted,
-  Normalize, Outliers, Ownership, Packing, PageRank, Pca, Profile,
+  Normalize, Outliers, Ownership, Packing, PageRank, Pca, Pii, Profile,
   Quantize, Rank, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
   Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
   TableChecksum, TextAnalysis,
-  Timeseries, TrackerConfigs}
+  Timeseries, TrackerConfigs, Valuation}
 import graft.sources.{CountryDim, Csv, Jsonl, Layout, Orc}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -356,6 +356,76 @@ object GemQueries {
          |  FROM e$iters GROUP BY doc_id)""".stripMargin
     (seed +: rounds :+ tail).mkString(",\n")
   }
+
+  /** Deterministic PII planting for q309/q310 (the q149 fixture
+    * discipline: the synthetic corpus carries no PII, so the query
+    * derives it from doc_id and the oracle replays the same closed
+    * forms): doc_id % 3 → an email, % 5 → an E.164 phone, % 7 → an
+    * IPv4, % 11 → a 16-digit card candidate whose Luhn validity
+    * varies with the id (so BOTH branches of the mod-10 check are
+    * exercised).
+    */
+  private def piiAugmented(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1555"),
+            lpad((col("doc_id") % 10000).cast("string"), 7, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 3) % 256).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" card 4"),
+            lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"),
+              15, "0"))).otherwise(lit(""))).as("text"))
+
+  /** DuckDB twin of [[piiAugmented]] — emits CTE `aug(doc_id, source,
+    * t)`.
+    */
+  private val piiAugCte: String =
+    """aug AS (SELECT doc_id, source, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+      |      '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' call +1555' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+      |      (doc_id % 256) || '.' || ((doc_id * 3) % 256) ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' card 4' ||
+      |      lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR),
+      |        15, '0') ELSE '' END AS t
+      |  FROM documents)""".stripMargin
+
+  /** Oracle twin of [[graft.ops.Pii.scan]] over `aug` — emits CTEs
+    * `sc` (raw detector matches) and `scl` (+ `cdv`, the Luhn-valid
+    * card sublist via the same reverse-indexed mod-10 doubling).
+    */
+  private val piiScanCtes: String =
+    s"""sc AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(t, '${Pii.emailRe}') AS em,
+       |    regexp_extract_all(t, '${Pii.phoneRe}') AS ph,
+       |    regexp_extract_all(t, '${Pii.ipv4Re}') AS ip,
+       |    regexp_extract_all(t, '${Pii.cardRe}') AS cd
+       |  FROM aug),
+       |scl AS (
+       |  SELECT doc_id, em, ph, ip, cd,
+       |    list_filter(cd, c -> list_sum(list_transform(
+       |      generate_series(1, length(c)), i ->
+       |      CASE WHEN i % 2 = 1
+       |        THEN CAST(substring(c, length(c) - i + 1, 1) AS INT)
+       |        ELSE CASE WHEN
+       |            CAST(substring(c, length(c) - i + 1, 1) AS INT) * 2 > 9
+       |          THEN CAST(substring(c, length(c) - i + 1, 1) AS INT) * 2 - 9
+       |          ELSE CAST(substring(c, length(c) - i + 1, 1) AS INT) * 2
+       |        END
+       |      END)) % 10 = 0) AS cdv
+       |  FROM sc)""".stripMargin
 
   /** Oracle twin of [[Similarity.ivfTopK]] searching the codebook CTE
     * `cent` for queries `vec_id BETWEEN qLo AND qHi`: nearest-cell
@@ -12751,7 +12821,131 @@ object GemQueries {
       },
       Some("WITH " + bm25RankedCtes(10) + "\n" +
         """SELECT doc_id, "rank", round(score, 4) AS score
-          |FROM lexr ORDER BY "rank"""".stripMargin))
+          |FROM lexr ORDER BY "rank"""".stripMargin)),
+
+    // PII scan (ops/Pii.scan): the release-gate scrub every public-web
+    // corpus runs — email / E.164 phone / IPv4 / payment-card
+    // detection, cards additionally Luhn-checked as a pure HOF
+    // expression (valid vs failed reported separately). The synthetic
+    // corpus carries no PII, so the query PLANTS it deterministically
+    // from doc_id (the q149 fixture discipline) and the oracle replays
+    // both the planting and every detector — including the mod-10
+    // doubling — from the same closed forms.
+    QueryDef("q309_pii_scan",
+      (s, dir) => Pii.scan(piiAugmented(t(s, dir, "documents")),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("WITH " + piiAugCte + ",\n" + piiScanCtes + "\n" +
+        """SELECT doc_id,
+          |  CAST(len(em) AS INT) AS n_emails,
+          |  CAST(len(ph) AS INT) AS n_phones,
+          |  CAST(len(ip) AS INT) AS n_ipv4,
+          |  CAST(len(cdv) AS INT) AS n_cards_valid,
+          |  CAST(len(cd) - len(cdv) AS INT) AS n_cards_invalid,
+          |  len(em) + len(ph) + len(ip) + len(cd) > 0 AS has_pii
+          |FROM scl ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction + per-source release report (Pii.redact /
+    // sourceReport): the data-card table — per source, how many docs
+    // carry PII and of which classes — plus the closed-loop residual
+    // column: re-scanning the REDACTED text must find zero remaining
+    // hits, proven per source inside the same query rather than
+    // asserted in prose.
+    QueryDef("q310_pii_redact_report",
+      (s, dir) => {
+        val aug = piiAugmented(t(s, dir, "documents"))
+        val report = Pii.sourceReport(
+          Pii.scan(aug, "doc_id", "text"), aug, "doc_id", "source")
+        val residual = Pii.scan(
+            Pii.redact(aug, "text").select(
+              col("doc_id"), col("source"), col("redacted")),
+            "doc_id", "redacted")
+          .join(aug.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(sum(when(col("has_pii"), 1L).otherwise(0L))
+            .as("residual_docs"))
+        report.join(residual, "source").orderBy("source")
+      },
+      Some("WITH " + piiAugCte + ",\n" + piiScanCtes + ",\n" +
+        s"""red AS (SELECT doc_id, source,
+           |    regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(t, '${Pii.emailRe}', '[EMAIL]', 'g'),
+           |      '${Pii.ipv4Re}', '[IP]', 'g'),
+           |      '${Pii.phoneRe}', '[PHONE]', 'g'),
+           |      '${Pii.cardRe}', '[CARD]', 'g') AS rt
+           |  FROM aug),
+           |resid AS (SELECT source,
+           |    CAST(sum(CASE WHEN
+           |      len(regexp_extract_all(rt, '${Pii.emailRe}')) +
+           |      len(regexp_extract_all(rt, '${Pii.phoneRe}')) +
+           |      len(regexp_extract_all(rt, '${Pii.ipv4Re}')) +
+           |      len(regexp_extract_all(rt, '${Pii.cardRe}')) > 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS residual_docs
+           |  FROM red GROUP BY 1),
+           |rep AS (SELECT aug.source,
+           |    count(*) AS n_docs,
+           |    CAST(sum(CASE WHEN len(em) + len(ph) + len(ip) + len(cd)
+           |      > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           |    CAST(sum(len(em)) AS BIGINT) AS emails,
+           |    CAST(sum(len(ph)) AS BIGINT) AS phones,
+           |    CAST(sum(len(ip)) AS BIGINT) AS ipv4s,
+           |    CAST(sum(len(cdv)) AS BIGINT) AS cards_valid
+           |  FROM scl JOIN aug USING (doc_id) GROUP BY 1)
+           |SELECT rep.source, n_docs, n_docs_with_pii,
+           |  round(CAST(n_docs_with_pii AS DOUBLE) /
+           |    CAST(n_docs AS DOUBLE), 4) AS pii_rate,
+           |  emails, phones, ipv4s, cards_valid, residual_docs
+           |FROM rep JOIN resid ON rep.source = resid.source
+           |ORDER BY rep.source""".stripMargin)),
+
+    // Exact KNN-Shapley data valuation (ops/Valuation.knnShapley, Jia
+    // et al. VLDB'19): the closed-form Shapley value of every training
+    // vector for a 5-NN classifier over a 20-point validation sample —
+    // rank-ordered indicator deltas, nano-snapped, suffix-summed. The
+    // principled form of "which training examples help" that the DSIR
+    // and quality-score tiers approximate; per-val values sum to the
+    // K-NN utility by construction.
+    QueryDef("q311_knn_shapley",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Valuation.knnShapley(
+          emb.filter(!col("vec_id").between(100, 119)),
+          emb.filter(col("vec_id").between(100, 119)),
+          "vec_id", "embedding", "label", k = 5)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH tr AS (SELECT vec_id AS tid, embedding AS tv,
+             |    label AS tl
+             |  FROM embeddings WHERE vec_id NOT BETWEEN 100 AND 119),
+             |va AS (SELECT vec_id AS vid, embedding AS vv, label AS vl
+             |  FROM embeddings WHERE vec_id BETWEEN 100 AND 119),
+             |p AS (SELECT tid, tl, vid, vl,
+             |    ${duckCos("tv", "vv")} AS c
+             |  FROM tr CROSS JOIN va),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY vid
+             |      ORDER BY c DESC, tid) AS j,
+             |    count(*) OVER (PARTITION BY vid) AS n FROM p),
+             |iv AS (SELECT *, CASE WHEN tl = vl THEN 1 ELSE 0 END
+             |    AS ind FROM rk),
+             |ld AS (SELECT *, lead(ind) OVER (PARTITION BY vid
+             |    ORDER BY j) AS indn FROM iv),
+             |tm AS (SELECT vid, tid, tl, j, CAST(CASE WHEN j = n
+             |    THEN round(1000000000.0 * CAST(ind AS DOUBLE) /
+             |      CAST(n AS DOUBLE))
+             |    ELSE round(1000000000.0 *
+             |      (CAST(ind AS DOUBLE) - CAST(indn AS DOUBLE)) *
+             |      CAST(least(5, j) AS DOUBLE) /
+             |      (5.0 * CAST(j AS DOUBLE))) END AS BIGINT) AS tu
+             |  FROM ld),
+             |sx AS (SELECT vid, tid, tl, sum(tu) OVER (
+             |    PARTITION BY vid ORDER BY j
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |    AS su FROM tm)
+             |SELECT tid AS vec_id, tl AS label,
+             |  count(*) AS n_val,
+             |  round(CAST(sum(su) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE) / 1000000000.0, 6) AS value
+             |FROM sx GROUP BY 1, 2 ORDER BY vec_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -316,4 +316,49 @@ object EventStream {
       }
       .start()
   }
+
+  /** Operational EMBEDDING ingest — the vector twin of
+    * [[incrementalDedupIngest]]: each micro-batch of (id, vector)
+    * rows probes the persisted IVF+SQ8 codes index
+    * ([[graft.ops.Similarity.ivfSq8TopKFromIndex]] against the FROZEN
+    * bootstrap codebook `centsTable` — standard IVF operation: the
+    * codebook never moves, codes append) for semantic near-dups in
+    * the standing corpus, emits hits with `cos >= minCos` into
+    * `outTable` tagged by micro-batch, then appends the batch's codes
+    * (cell_id-bucketed) and float vectors so later batches dedup
+    * against it. Same at-least-once caveat as the MinHash ingest:
+    * three non-atomic appends under foreachBatch replay.
+    */
+  def incrementalVectorIngest(
+      vecs: DataFrame, centsTable: String, idxTable: String,
+      vecsTable: String, outTable: String, checkpoint: String,
+      idCol: String, vecCol: String, k: Int = 3, nProbe: Int = 2,
+      shortlist: Int = 20, minCos: Double = 0.0, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Similarity
+    import graft.sources.Layout
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        sp.catalog.refreshTable(idxTable)
+        sp.catalog.refreshTable(vecsTable)
+        val b = batch.localCheckpoint(true)
+        val cents = sp.table(centsTable)
+        Similarity.ivfSq8TopKFromIndex(
+            sp.table(vecsTable), b, cents, sp.table(idxTable),
+            idCol, vecCol, k, nProbe, shortlist)
+          .where(col("cos") >= minCos)
+          .select(col("query_id").as("batch_id"),
+            col("neighbor_id").as("index_id"), col("rank"), col("cos"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").saveAsTable(outTable)
+        Layout.appendBucketed(
+          Similarity.buildIvfSq8Index(b, cents, idCol, vecCol),
+          idxTable, "cell_id", buckets)
+        b.write.mode("append").saveAsTable(vecsTable)
+        ()
+      }
+      .start()
+  }
 }

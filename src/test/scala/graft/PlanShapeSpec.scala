@@ -174,6 +174,9 @@ class PlanShapeSpec extends SparkSpec {
       // q308: q69's 1-row corpus-stats broadcast cross, served from
       // the stored stats table instead of an inline aggregate.
       "q308_bm25_from_index",
+      // q311: KNN-Shapley scores the train frame against the BROADCAST
+      // 20-point validation sample — q29's bounded-eval-tier shape.
+      "q311_knn_shapley",
       // q151: the |ps|-row percentile frame broadcast-nested-loop
       // joins onto the (groups × occupied-buckets) post-sketch frame
       // to find each crossing bucket — both sides tiny by construction.

@@ -519,4 +519,71 @@ class StreamingModeSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("incrementalVectorIngest probes the codes index then appends per batch") {
+    import graft.ops.Similarity
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val seed = emb.filter(col("vec_id") < 250)
+    val b1df = emb.filter(col("vec_id") >= 250 && col("vec_id") < 375)
+    val b2df = emb.filter(col("vec_id") >= 375)
+    Seq("ving_out", "ving_idx", "ving_vecs", "ving_cents").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // Bootstrap: codebook trained on the seed ONLY (frozen), seed codes
+    // bucketed, seed float vectors stored.
+    val cents = Similarity.trainCentroids(
+      seed, "vec_id", "embedding", k = 8, iters = 2)
+    Layout.replaceTable(spark, cents, "ving_cents")
+    Layout.replaceBucketed(spark,
+      Similarity.buildIvfSq8Index(seed, spark.table("ving_cents"),
+        "vec_id", "embedding"),
+      "ving_idx", "cell_id", buckets = 8)
+    Layout.replaceTable(spark, seed, "ving_vecs")
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ving_ckpt").toString
+    val q = EventStream.incrementalVectorIngest(
+      input.toDF().toDF("vec_id", "embedding"),
+      "ving_cents", "ving_idx", "ving_vecs", "ving_out", ckpt,
+      "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 10,
+      buckets = 8)
+    try {
+      input.addData(b1df.as[(Long, Array[Float])].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(b2df.as[(Long, Array[Float])].collect().toSeq)
+      q.processAllAvailable()
+      // Batch parity: batch 1 matches against the seed; batch 2
+      // against seed ∪ batch 1 — both via the inline (non-persisted)
+      // path, same frozen codebook.
+      def topk(b: org.apache.spark.sql.DataFrame,
+          corpus: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfSq8TopK(corpus, b, cents,
+            "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 10)
+          .select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      val expected = topk(b1df, seed) ++
+        topk(b2df, seed.unionByName(b1df))
+      spark.catalog.refreshTable("ving_out")
+      val got = spark.table("ving_out")
+        .select("batch_id", "index_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === expected,
+        s"vector ingest must match the sequential batch computation " +
+          s"(${got.size} vs ${expected.size})")
+      // Index and vector store both grew by the two batches.
+      spark.catalog.refreshTable("ving_idx")
+      spark.catalog.refreshTable("ving_vecs")
+      assert(spark.table("ving_idx").count() === emb.count())
+      assert(spark.table("ving_vecs").count() === emb.count())
+    } finally {
+      q.stop()
+      Seq("ving_out", "ving_idx", "ving_vecs", "ving_cents").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
