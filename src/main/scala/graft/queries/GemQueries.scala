@@ -7,7 +7,7 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Chunking, Classifier, Cleaning, Components, Compressibility,
   Contrastive, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
-  Dedup, Drift, Dsir, GemPipeline, GraphMetrics, IncrementalAgg,
+  Dedup, Drift, Dsir, GemPipeline, GraphMetrics, Homoglyph, IncrementalAgg,
   Experiment, IntervalJoin, Linkage,
   FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
   LineDedup, LogReg,
@@ -12945,7 +12945,77 @@ object GemQueries {
              |  count(*) AS n_val,
              |  round(CAST(sum(su) AS DOUBLE) /
              |    CAST(count(*) AS DOUBLE) / 1000000000.0, 6) AS value
-             |FROM sx GROUP BY 1, 2 ORDER BY vec_id""".stripMargin))
+             |FROM sx GROUP BY 1, 2 ORDER BY vec_id""".stripMargin)),
+
+    // Homoglyph-skeleton dedup (ops/Homoglyph.dupGroups): the
+    // exact-dedup evasion catch — every fourth document gets a spoofed
+    // twin with Latin→Cyrillic confusables swapped in and a zero-width
+    // space appended (invisible to md5 dedup, q25), and the TR39-style
+    // skeleton (one translate pass: confusables→Latin exemplars,
+    // invisibles deleted) groups each spoof back with its original.
+    QueryDef("q312_homoglyph_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val spoof = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(translate(col("text"), "aeopcx", "аеорсх"),
+              lit("\u200B")).as("text"))
+        Homoglyph.dupGroups(docs.unionByName(spoof), "doc_id", "text")
+          .orderBy("skeleton_hash")
+      },
+      Some(s"""WITH spoof AS (
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |    translate(text, 'aeopcx', 'аеорсх') || '​' AS text
+             |  FROM documents WHERE doc_id % 4 = 0),
+             |allr AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id, text FROM spoof),
+             |sk AS (SELECT doc_id, md5(lower(translate(text,
+             |    '${graft.ops.Homoglyph.fromChars}',
+             |    '${graft.ops.Homoglyph.toChars}'))) AS skeleton_hash
+             |  FROM allr)
+             |SELECT skeleton_hash, count(*) AS n,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM sk GROUP BY 1 HAVING count(*) >= 2
+             |ORDER BY skeleton_hash""".stripMargin)),
+
+    // WAV periodicity by exact integer autocorrelation
+    // (Multimodal.wavPeriodicity): R(L) = Σ s_k·s_{k+L} over int16
+    // samples, argmax lag in [2, 16] (ties to the smallest), R/R(0)
+    // normalization — pitch detection with no codec and no floating
+    // transform, so the oracle replays every product from the
+    // closed-form square-wave fixture (period 4 + 2·(id mod 6)).
+    QueryDef("q313_wav_periodicity",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id")).as[Long]
+        val media = ids.map(id =>
+          (id, MediaFixtures.wavBytes(id, 64), "audio"))
+          .toDF("id", "bytes", "media_type")
+        Multimodal.wavPeriodicity(s, media, maxLag = 16).orderBy("id")
+      },
+      Some("""WITH w AS (SELECT doc_id AS id,
+             |    4 + 2 * (doc_id % 6) AS p,
+             |    1000 + 500 * (doc_id % 7) AS a
+             |  FROM documents),
+             |sm AS (SELECT id, list_transform(generate_series(0, 63),
+             |    k -> CASE WHEN (k % p) * 2 < p THEN a ELSE -a END)
+             |    AS s
+             |  FROM w),
+             |r0 AS (SELECT id,
+             |    list_sum(list_transform(s, x -> x * x)) AS r0 FROM sm),
+             |lg AS (SELECT unnest(generate_series(2, 16)) AS l),
+             |rl AS (SELECT id, l,
+             |    list_sum(list_transform(generate_series(1, 64 - l),
+             |      j -> s[j] * s[j + l])) AS r
+             |  FROM sm CROSS JOIN lg),
+             |best AS (SELECT id, l, r, row_number() OVER (
+             |    PARTITION BY id ORDER BY r DESC, l) AS rk FROM rl)
+             |SELECT best.id, 'wav' AS kind, CAST(l AS INT) AS best_lag,
+             |  round(CAST(r AS DOUBLE) / CAST(r0.r0 AS DOUBLE), 4) + 0.0
+             |    AS periodicity
+             |FROM best JOIN r0 USING (id) WHERE rk = 1
+             |ORDER BY id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

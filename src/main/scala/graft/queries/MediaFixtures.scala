@@ -192,6 +192,32 @@ object MediaFixtures {
     gifFromIndices(w, h, idx, gifPalette(64))
   }
 
+  /** The q313 WAV: canonical 44-byte header, 16-bit mono PCM square
+    * wave of period `P = 4 + 2·(id mod 6)` samples and amplitude
+    * `A = 1000 + 500·(id mod 7)`: sample k is +A while
+    * `(k mod P)·2 < P`, else −A. Closed-form and integer-exact, so
+    * the oracle recomputes every autocorrelation the engine measures.
+    */
+  def wavBytes(id: Long, n: Int): Array[Byte] = {
+    val p = 4 + 2 * (id % 6).toInt
+    val a = 1000 + 500 * (id % 7).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def le4(v: Long): Unit = (0 to 3).foreach(i =>
+      out.write(((v >> (8 * i)) & 0xff).toInt))
+    def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes("ISO-8859-1")); le4(36L + 2 * n)
+    out.write("WAVEfmt ".getBytes("ISO-8859-1")); le4(16)
+    le2(1); le2(1) // PCM, mono
+    le4(8000); le4(16000) // sample rate, byte rate
+    le2(2); le2(16) // block align, bits
+    out.write("data".getBytes("ISO-8859-1")); le4(2L * n)
+    for (k <- 0 until n) {
+      val s = if ((k % p) * 2 < p) a else -a
+      le2(s & 0xffff)
+    }
+    out.toByteArray
+  }
+
   /** The q307 JPEG: a REAL baseline JPEG (JDK `javax.imageio` writer,
     * quality 1.0) whose grayscale pixels are CONSTANT per 8×8 block —
     * value(bx, by) = (id*7 + 13·bx + 29·by) mod 256. A constant block's
