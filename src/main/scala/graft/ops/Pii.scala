@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   * ALL 13–19-digit runs are masked (not only Luhn-valid ones) — a
   * release pipeline over-redacts rather than leaking a card with a
   * typo'd check digit.
+  *
+  * Supersedes [[TextAnalysis.redactPii]]'s one-expression mask (q54)
+  * with detection counts, Luhn validation, phones, and reporting; the
+  * old form remains for inline scrubbing.
   */
 object Pii {
 

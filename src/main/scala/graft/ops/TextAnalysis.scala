@@ -237,12 +237,15 @@ object TextAnalysis {
     round((lengthOk + diversity + sw) / 3.0, 4)
   }
 
-  /** PII redaction — the scrubbing pass every public-web training
-    * corpus gets before tokenization. A chained `regexp_replace`
-    * (codegen'd, narrow, zero shuffle): emails, IPv4 addresses, then
-    * long digit runs (SSN/credit-card stand-in). Patterns deliberately
-    * stay inside the regex subset Java and RE2 share (no lookarounds),
-    * so the same pattern text runs in the DuckDB oracle.
+  /** Minimal PII mask (the q54 form): chained `regexp_replace`
+    * (codegen'd, narrow, zero shuffle) over emails, IPv4 addresses,
+    * and long digit runs. Patterns deliberately stay inside the regex
+    * subset Java and RE2 share (no lookarounds), so the same pattern
+    * text runs in the DuckDB oracle. The full release-gate suite —
+    * per-class DETECTION counts, Luhn-checked card validation, E.164
+    * phones, per-source reporting, closed-loop residual proof — is
+    * [[Pii]] (q309/q310); this stays as the one-expression scrubber
+    * for inline use.
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
