@@ -103,6 +103,80 @@ object LanguageModel {
         round(col("nll"), 4).as("nll"))
   }
 
+  /** Kneser–Ney smoothed bigram NLL per group — the standard n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999's benchmark
+    * winner) one rung above [[scoreBigramNll]]'s add-alpha
+    * interpolation: the backoff distribution is the CONTINUATION
+    * count (in how many distinct contexts does w appear) rather than
+    * raw frequency, which stops high-count-but-single-context tokens
+    * ("Francisco") from stealing backoff mass.
+    *
+    * With d the absolute discount, for a test bigram (w1, w2):
+    *
+    *   seen context w1:  P = max(c12 − d, 0)/c1
+    *                        + d·N1+(w1·)/c1 · N1+(·w2)/B
+    *   unseen context:   P = N1+(·w2)/B   (pure continuation)
+    *
+    * where B = distinct training bigram types. Bigrams with P = 0
+    * (w2 never seen as a continuation AND pair unseen) are
+    * UNSCORABLE: counted in `n_skipped`, excluded from the mean —
+    * the documented contract (the NaiveBayes empty-token lesson:
+    * never silently drop, always count).
+    *
+    * Each −ln P is snapped to integer nano-nats before the group
+    * mean, so the oracle replays the identical integers. Scale
+    * shape: model frames are bigram-type-bounded (broadcastable);
+    * the test corpus explodes once and shuffles once for the final
+    * group aggregate.
+    *
+    * @return per group: `groupCol`, `n_bigrams`, `n_scored`,
+    *         `n_skipped`, `kn_nll` (round 4; null if nothing scored)
+    */
+  def knBigramNll(
+      train: DataFrame, test: DataFrame, groupCol: String,
+      textCol: String, d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0, 1): $d")
+    val bi = trainBigram(train, textCol).localCheckpoint(true)
+    val ctx = bi.groupBy("prev").agg(sum("bcnt").as("c1"),
+      count(lit(1)).as("n1fwd"))
+    val cont = bi.groupBy("cur").agg(count(lit(1)).as("ncont"))
+    val btypes = bi.agg(count(lit(1)).as("b"))
+    val tk = col("tk")
+    val items = test
+      .select(col(groupCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col(groupCol), explode(when(size(tk) >= 2,
+        transform(sequence(lit(2), size(tk)), i =>
+          struct(element_at(tk, i - 1).as("prev"),
+            element_at(tk, i).as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+        .as("bg"))
+      .select(col(groupCol), col("bg.prev").as("prev"),
+        col("bg.cur").as("cur"))
+    def dd(c: String) = col(c).cast("double")
+    val pCont = coalesce(col("ncont"), lit(0L)).cast("double") / dd("b")
+    val p = when(col("c1").isNotNull,
+      greatest(coalesce(col("bcnt"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) / dd("c1") +
+        lit(d) * dd("n1fwd") / dd("c1") * pCont)
+      .otherwise(pCont)
+    val scored = items
+      .join(broadcast(bi), Seq("prev", "cur"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .join(broadcast(cont), Seq("cur"), "left")
+      .crossJoin(broadcast(btypes))
+      .withColumn("_nll_u",
+        when(p > 0, round(-log(p) * lit(1e9)).cast("long")))
+    scored.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("_nll_u")).as("n_scored"),
+        (count(lit(1)) - count(col("_nll_u"))).as("n_skipped"),
+        sum("_nll_u").as("_s"))
+      .select(col(groupCol), col("n_bigrams"), col("n_scored"),
+        col("n_skipped"),
+        round(col("_s").cast("double") / lit(1e9) /
+          col("n_scored").cast("double"), 4).as("kn_nll"))
+  }
+
   /** Mean negative log-likelihood of each document under the add-alpha
     * smoothed unigram model `lm` (from [[trainUnigram]]):
     * p(t) = (cnt(t) + alpha) / (T + alpha * V) with T = total training

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,69 @@ object Retrieval {
     scoreFromPostings(
       postings.where(col("term").isin(queryTerms: _*)),
       stats, idCol, k, k1, b)
+  }
+
+  /** Graded ranking evaluation — nDCG@k and MRR for a retrieval run
+    * against a DERIVED relevance oracle: a document's grade for a
+    * query is the number of DISTINCT query terms it contains (0..|q|),
+    * the standard synthetic-relevance protocol when no human
+    * judgments exist. Completes the retrieval tier with the metric
+    * layer every IR system reports:
+    *
+    *  - DCG@k = Σ (2^grade − 1) / log2(rank + 1) over the run's top
+    *    k, each term snapped to integer nano-units before the sum
+    *    (order-free, engine-exact);
+    *  - IDCG@k from the corpus-wide ideal ordering (grade desc, id
+    *    asc — an `orderBy().limit(k)` top-k, never a global window);
+    *  - MRR = 1 / first rank with grade > 0 (0.0 if none).
+    *
+    * Scale shape: relevance grading is one narrow projection over the
+    * corpus; the run side is ≤ k rows; ideal ordering is a
+    * TakeOrderedAndProject. Everything downstream of grading is
+    * k-row arithmetic.
+    *
+    * @param run top-k ranking (`idCol`, `rank`) — e.g. [[bm25TopK]]
+    *            or [[rrfFuse]] output
+    * @return one row: `k`, `n_relevant` (corpus docs with grade > 0),
+    *         `dcg` (round 4), `idcg` (round 4), `ndcg` (round 4),
+    *         `mrr` (round 4)
+    */
+  def rankingEval(
+      docs: DataFrame, run: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val graded = docs.select(col(idCol),
+      size(array_intersect(
+        array_distinct(TextAnalysis.tokens(col(textCol))),
+        typedlit(queryTerms))).as("grade"))
+    def dcgTerm(grade: Column, rank: Column): Column =
+      round(lit(1e9) * (pow(lit(2.0), grade.cast("double")) - lit(1.0)) /
+        (log(rank.cast("double") + lit(1.0)) / log(lit(2.0))))
+        .cast("long")
+    val runDcg = run.join(graded, idCol)
+      .agg(coalesce(sum(dcgTerm(col("grade"), col("rank"))), lit(0L))
+          .as("_dcg_u"),
+        coalesce(max(when(col("grade") > 0,
+          round(lit(1e9) / col("rank").cast("double")).cast("long"))),
+          lit(0L)).as("_rr_u"))
+    val ideal = graded.where(col("grade") > 0)
+      .orderBy(col("grade").desc, col(idCol).asc)
+      .limit(k)
+      // Partition-less window is safe here: it ranks the ≤ k-row ideal.
+      .withColumn("irank", row_number().over(
+        Window.orderBy(col("grade").desc, col(idCol).asc)))
+      .agg(coalesce(sum(dcgTerm(col("grade"), col("irank"))), lit(0L))
+        .as("_idcg_u"))
+    val nRel = graded.where(col("grade") > 0)
+      .agg(count(lit(1)).as("n_relevant"))
+    def d(c: String) = col(c).cast("double")
+    nRel.crossJoin(broadcast(runDcg)).crossJoin(broadcast(ideal))
+      .select(lit(k).as("k"), col("n_relevant"),
+        round(d("_dcg_u") / lit(1e9), 4).as("dcg"),
+        round(d("_idcg_u") / lit(1e9), 4).as("idcg"),
+        round(when(col("_idcg_u") > 0, d("_dcg_u") / d("_idcg_u"))
+          .otherwise(lit(0.0)), 4).as("ndcg"),
+        round(d("_rr_u") / lit(1e9), 4).as("mrr"))
   }
 
   /** Shared scoring tail of the inline and stored-index paths:

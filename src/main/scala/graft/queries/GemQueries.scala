@@ -13015,7 +13015,143 @@ object GemQueries {
              |  round(CAST(r AS DOUBLE) / CAST(r0.r0 AS DOUBLE), 4) + 0.0
              |    AS periodicity
              |FROM best JOIN r0 USING (id) WHERE rk = 1
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // Graded ranking evaluation (Retrieval.rankingEval): nDCG@10 and
+    // MRR for the q69 BM25 run against the derived term-coverage
+    // relevance oracle — the metric layer every IR system reports,
+    // with nano-snapped DCG terms and the ideal ordering as a
+    // TakeOrderedAndProject (never a corpus-wide window).
+    QueryDef("q314_ranking_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val terms = Seq("spark", "join", "stream")
+        Retrieval.rankingEval(docs,
+          Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10),
+          "doc_id", "text", terms, k = 10)
+      },
+      Some("WITH " + bm25RankedCtes(10) + ",\n" +
+        """grade AS (SELECT tk.doc_id,
+          |    CAST(len(list_intersect(list_distinct(tk),
+          |      ['spark', 'join', 'stream'])) AS INT) AS grade
+          |  FROM tk),
+          |rdcg AS (SELECT
+          |    coalesce(sum(CAST(round(1000000000.0 *
+          |      (pow(2.0, CAST(grade AS DOUBLE)) - 1.0) /
+          |      (ln(CAST("rank" AS DOUBLE) + 1.0) / ln(2.0)))
+          |      AS BIGINT)), 0) AS dcg_u,
+          |    coalesce(max(CASE WHEN grade > 0 THEN
+          |      CAST(round(1000000000.0 / CAST("rank" AS DOUBLE))
+          |        AS BIGINT) END), 0) AS rr_u
+          |  FROM lexr JOIN grade USING (doc_id)),
+          |ideal AS (SELECT grade, row_number() OVER (
+          |    ORDER BY grade DESC, doc_id) AS irank
+          |  FROM (SELECT doc_id, grade FROM grade WHERE grade > 0
+          |        ORDER BY grade DESC, doc_id LIMIT 10)),
+          |idcg AS (SELECT coalesce(sum(CAST(round(1000000000.0 *
+          |      (pow(2.0, CAST(grade AS DOUBLE)) - 1.0) /
+          |      (ln(CAST(irank AS DOUBLE) + 1.0) / ln(2.0)))
+          |      AS BIGINT)), 0) AS idcg_u FROM ideal),
+          |nrel AS (SELECT count(*) AS n_relevant FROM grade
+          |  WHERE grade > 0)
+          |SELECT 10 AS k, n_relevant,
+          |  round(CAST(dcg_u AS DOUBLE) / 1000000000.0, 4) AS dcg,
+          |  round(CAST(idcg_u AS DOUBLE) / 1000000000.0, 4) AS idcg,
+          |  round(CASE WHEN idcg_u > 0 THEN CAST(dcg_u AS DOUBLE) /
+          |    CAST(idcg_u AS DOUBLE) ELSE 0.0 END, 4) AS ndcg,
+          |  round(CAST(rr_u AS DOUBLE) / 1000000000.0, 4) AS mrr
+          |FROM nrel CROSS JOIN rdcg CROSS JOIN idcg""".stripMargin)),
+
+    // IVF cell-occupancy report (over buildIvfSq8Index's assignment):
+    // per-cell code counts, share, and the max/mean imbalance factor —
+    // the operational metric that says when the frozen codebook has
+    // drifted from the data and the q306 index needs a retrain (an
+    // imbalanced index probes its hot cell at full fan-out).
+    QueryDef("q315_ivf_occupancy",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+        val occ = Similarity
+          .buildIvfSq8Index(emb, cents, "vec_id", "embedding")
+          .groupBy("cell_id").agg(count(lit(1)).as("n"))
+        val tot = occ.agg(sum("n").as("_t"), count(lit(1)).as("_cells"),
+          max("n").as("_mx"))
+        occ.crossJoin(broadcast(tot))
+          .select(col("cell_id"), col("n"),
+            round(col("n").cast("double") / col("_t").cast("double"), 4)
+              .as("share"),
+            round(col("_mx").cast("double") * col("_cells").cast("double") /
+              col("_t").cast("double"), 4).as("imbalance"))
+          .orderBy("cell_id")
+      },
+      Some("WITH " + kmeansCtes(k = 8, iters = 2) + ",\n" +
+        ivfSearchCtes("cent2", nProbe = 1, qLo = 0, qHi = -1) + ",\n" +
+        """occ AS (SELECT cell_id, count(*) AS n FROM corpus GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS cells,
+          |    max(n) AS mx FROM occ)
+          |SELECT cell_id, CAST(n AS BIGINT) AS n,
+          |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share,
+          |  round(CAST(mx AS DOUBLE) * CAST(cells AS DOUBLE) /
+          |    CAST(t AS DOUBLE), 4) AS imbalance
+          |FROM occ CROSS JOIN tot ORDER BY cell_id""".stripMargin)),
+
+    // Kneser-Ney smoothed bigram NLL (LanguageModel.knBigramNll):
+    // the Chen-Goodman benchmark smoothing — continuation counts as
+    // the backoff distribution — trained on even doc_ids, scored on
+    // odd, per language. Unscorable bigrams (P = 0) are counted, not
+    // silently dropped; every -ln P is nano-snapped so the oracle
+    // replays identical integers.
+    QueryDef("q316_kneser_ney",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        LanguageModel.knBigramNll(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "lang", "text", d = 0.75)
+          .orderBy("lang")
+      },
+      Some("""WITH trtk AS (SELECT list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |trbg AS (SELECT tk[j - 1] AS prev, tk[j] AS cur FROM (
+             |  SELECT tk, unnest(generate_series(2, len(tk))) AS j
+             |  FROM trtk)),
+             |bi AS (SELECT prev, cur, count(*) AS bcnt FROM trbg
+             |  GROUP BY 1, 2),
+             |ctx AS (SELECT prev, sum(bcnt) AS c1, count(*) AS n1fwd
+             |  FROM bi GROUP BY 1),
+             |cont AS (SELECT cur, count(*) AS ncont FROM bi GROUP BY 1),
+             |bt AS (SELECT count(*) AS b FROM bi),
+             |tetk AS (SELECT lang, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |tebg AS (SELECT lang, tk[j - 1] AS prev, tk[j] AS cur
+             |  FROM (SELECT lang, tk,
+             |    unnest(generate_series(2, len(tk))) AS j FROM tetk)),
+             |sc AS (SELECT lang,
+             |    CASE WHEN c1 IS NOT NULL THEN
+             |      greatest(CAST(coalesce(bcnt, 0) AS DOUBLE) - 0.75, 0.0)
+             |        / CAST(c1 AS DOUBLE) +
+             |      0.75 * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE) *
+             |        (CAST(coalesce(ncont, 0) AS DOUBLE) /
+             |         CAST(b AS DOUBLE))
+             |    ELSE CAST(coalesce(ncont, 0) AS DOUBLE) /
+             |      CAST(b AS DOUBLE) END AS p
+             |  FROM tebg
+             |  LEFT JOIN bi USING (prev, cur)
+             |  LEFT JOIN ctx USING (prev)
+             |  LEFT JOIN cont USING (cur)
+             |  CROSS JOIN bt),
+             |snl AS (SELECT lang, CASE WHEN p > 0 THEN
+             |    CAST(round(-ln(p) * 1000000000.0) AS BIGINT) END AS nu
+             |  FROM sc)
+             |SELECT lang, count(*) AS n_bigrams,
+             |  count(nu) AS n_scored,
+             |  count(*) - count(nu) AS n_skipped,
+             |  round(CAST(sum(nu) AS DOUBLE) / 1000000000.0 /
+             |    CAST(count(nu) AS DOUBLE), 4) AS kn_nll
+             |FROM snl GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

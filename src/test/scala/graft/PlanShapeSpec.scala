@@ -177,6 +177,15 @@ class PlanShapeSpec extends SparkSpec {
       // q311: KNN-Shapley scores the train frame against the BROADCAST
       // 20-point validation sample — q29's bounded-eval-tier shape.
       "q311_knn_shapley",
+      // q314: three 1-row metric aggregates (run DCG, ideal DCG,
+      // relevant count) cross into the single report row (q102 shape).
+      "q314_ranking_eval",
+      // q315: the 1-row occupancy-total aggregate crosses onto the
+      // k-cell frame; assignment rides q150's broadcast codebook.
+      "q315_ivf_occupancy",
+      // q316: the 1-row bigram-type count broadcast-crosses the test
+      // bigrams (q76's single-row model-stats shape).
+      "q316_kneser_ney",
       // q151: the |ps|-row percentile frame broadcast-nested-loop
       // joins onto the (groups × occupied-buckets) post-sketch frame
       // to find each crossing bucket — both sides tiny by construction.
@@ -432,6 +441,7 @@ object PlanShapeSpec {
     // ≤ k surviving rows only.
     "q69_bm25_search",      // bm25TopK: rank over the k-row result
     "q308_bm25_from_index", // same scoring tail over the stored index
+    "q314_ranking_eval",    // bm25 run rank + ideal rank, both ≤ k rows
     "q97_hybrid_rrf",       // bm25TopK + rrfFuse fused-rank, both ≤ k
     "q101_bpe_pairs",       // pair rank over the k-row result
     "q171_event_paths",     // trigram rank over the k-row result
