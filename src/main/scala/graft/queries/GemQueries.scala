@@ -18,7 +18,7 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
   TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs, Valuation}
-import graft.sources.{CountryDim, Csv, Jsonl, Layout, Orc}
+import graft.sources.{CountryDim, Csv, Jsonl, Layout, Orc, Xml}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -13151,7 +13151,34 @@ object GemQueries {
              |  count(*) - count(nu) AS n_skipped,
              |  round(CAST(sum(nu) AS DOUBLE) / 1000000000.0 /
              |    CAST(count(nu) AS DOUBLE), 4) AS kn_nll
-             |FROM snl GROUP BY 1 ORDER BY lang""".stripMargin))
+             |FROM snl GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // S-tier: XML sink + source round-trip (sources/Xml — Spark 4's
+    // NATIVE xml data source, the spark-xml donation). Text crosses
+    // the entity-escaping boundary (&, <, > in documents), so the
+    // re-read aggregate hash-matching the oracle — which reads the
+    // ORIGINAL parquet — proves escape/unescape and the declared
+    // types survive the trip. Completes the boundary-format matrix:
+    // CSV, JSONL, ORC, Excel, XML.
+    QueryDef("q317_xml_roundtrip",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_xml_roundtrip"
+        Xml.write(t(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars"), tmp)
+        Xml.read(s, tmp, StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).as("chars"),
+            sum("n_chars").as("n_chars_sum"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n,
+             |  CAST(sum(length(text)) AS BIGINT) AS chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -64,6 +64,24 @@ object Layout {
     df.write.mode("append").bucketBy(buckets, bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Replay compaction for an append-only bucketed index: rewrite the
+    * table as its DISTINCT row set, keeping the bucket layout. This is
+    * the operational answer to foreachBatch's at-least-once appends
+    * (`EventStream.incrementalDedupIngest` / `incrementalVectorIngest`
+    * doc contract): a crashed batch that re-appended index rows is
+    * healed offline by one compaction pass, instead of every probe
+    * paying a `distinct` forever. The distinct result is materialized
+    * (localCheckpoint) BEFORE the source table is dropped, so a
+    * failure mid-rewrite cannot lose the index.
+    */
+  def compactBucketed(
+      spark: SparkSession, table: String, bucketCol: String,
+      buckets: Int = 32): Unit = {
+    val clean = spark.table(table).distinct().localCheckpoint(true)
+    replaceBucketed(spark, clean, table, bucketCol, buckets)
+    spark.catalog.refreshTable(table)
+  }
+
   def writePartitioned(
       df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)

@@ -140,6 +140,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed heals a replayed (double-appended) index") {
+    import graft.ops.Dedup
+    val shared = (1 to 30).map(i => s"t$i").mkString(" ")
+    val index = Seq((1L, shared), (2L, "old unrelated entry"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(index, "doc_id", "text", 16, 4)
+    Layout.replaceBucketed(spark, bands, "cmp_bands", "band_hash",
+      buckets = 8)
+    try {
+      val clean = spark.table("cmp_bands").count()
+      // simulate an at-least-once replay: the same batch appends twice
+      Layout.appendBucketed(bands, "cmp_bands", "band_hash", buckets = 8)
+      spark.catalog.refreshTable("cmp_bands")
+      assert(spark.table("cmp_bands").count() == 2 * clean)
+      Layout.compactBucketed(spark, "cmp_bands", "band_hash", buckets = 8)
+      val healed = spark.table("cmp_bands")
+      assert(healed.count() == clean)
+      // still bucketed: a same-key join plans with no index-side shuffle
+      val plan = healed.join(
+          Layout.table(spark, "cmp_bands").select("band_hash").distinct()
+            .limit(5), "band_hash")
+        .queryExecution.executedPlan.toString
+      assert(healed.collect().map(_.toSeq).toSet ==
+        bands.collect().map(_.toSeq).toSet && plan.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmp_bands")
+    }
+  }
+
   test("partitioned write prunes directories on partition predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (2023 to 2026).flatMap(y => (1 to 10).map(i => (y, i.toLong)))
