@@ -251,6 +251,33 @@ object EventStream {
       .drop(col(s"cr.$key"))
   }
 
+  /** LEFT-OUTER stream-stream correlation — [[correlate]]'s join with
+    * the "what never got an answer" rows kept: a left event with no
+    * right match inside `within` emits ONCE with nulls, but only
+    * after the watermark passes its join window (Spark holds the row
+    * in state until no future right event could still match — the
+    * outer-join state-eviction contract). This is the streaming form
+    * of [[graft.ops.TemporalAntiJoin]]: alerting on unanswered
+    * requests without a batch sweep.
+    *
+    * Scale shape: state is bounded by watermark horizon × arrival
+    * rate on both sides, same as the inner join; the null emission
+    * adds no state, only delayed output.
+    */
+  def correlateOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark)
+             else left).alias("cl")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark)
+             else right).alias("cr")
+    l.join(r, col(s"cl.$key") === col(s"cr.$key") &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "leftOuter")
+      .drop(col(s"cr.$key"))
+  }
+
   /** File-source streaming entry: treat a directory of event parquet as
     * an unbounded stream (the production shape for landing-zone
     * ingest). Caller starts/stops the query.

@@ -206,6 +206,42 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("correlateOuter emits the unanswered left row once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val views = vIn.toDF().toDF("user_id", "view_ts", "view_id")
+    val clicks = cIn.toDF().toDF("user_id", "click_ts", "click_id")
+    val q = EventStream.correlateOuter(
+      views, clicks, "user_id", "view_ts", "click_ts", "10 minutes",
+      watermark = "5 minutes")
+      .writeStream.format("memory").queryName("soj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vIn.addData(
+        (7L, ts("2024-01-01 00:10:00"), 100L), // will match
+        (8L, ts("2024-01-01 00:10:00"), 101L)) // never answered
+      cIn.addData((7L, ts("2024-01-01 00:15:00"), 200L))
+      q.processAllAvailable()
+      // matched row emits immediately; user 8 is still held in state
+      // (a right event could yet arrive inside its window)
+      val early = spark.table("soj_test").collect()
+      assert(early.map(_.getAs[Long]("view_id")).toSet == Set(100L))
+      // advance both watermarks far past user 8's join window
+      vIn.addData((99L, ts("2024-01-01 03:00:00"), 900L))
+      cIn.addData((98L, ts("2024-01-01 03:00:00"), 901L))
+      q.processAllAvailable()
+      val late = spark.table("soj_test")
+        .where(col("view_id") === 101L).collect()
+      assert(late.length == 1 && late.head.isNullAt(
+        late.head.fieldIndex("click_id")),
+        "unanswered view must emit exactly once with a null click")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS soj_test")
+    }
+  }
+
   test("checkpointed parquet sink: dedupEvents lands exactly-once output on disk") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
