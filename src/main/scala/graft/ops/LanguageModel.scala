@@ -125,9 +125,12 @@ object LanguageModel {
     *
     * Each −ln P is snapped to integer nano-nats before the group
     * mean, so the oracle replays the identical integers. Scale
-    * shape: model frames are bigram-type-bounded (broadcastable);
-    * the test corpus explodes once and shuffles once for the final
-    * group aggregate.
+    * shape: the model frames are bigram-TYPE-bounded — sub-linear in
+    * corpus size but unbounded, so the model joins are left to
+    * Catalyst/AQE (broadcast when small, shuffle when not) rather
+    * than hint-forced; only the 1-row type count broadcasts. The
+    * test corpus explodes once and shuffles once for the final group
+    * aggregate.
     *
     * @return per group: `groupCol`, `n_bigrams`, `n_scored`,
     *         `n_skipped`, `kn_nll` (round 4; null if nothing scored)
@@ -160,9 +163,9 @@ object LanguageModel {
         lit(d) * dd("n1fwd") / dd("c1") * pCont)
       .otherwise(pCont)
     val scored = items
-      .join(broadcast(bi), Seq("prev", "cur"), "left")
-      .join(broadcast(ctx), Seq("prev"), "left")
-      .join(broadcast(cont), Seq("cur"), "left")
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(cont, Seq("cur"), "left")
       .crossJoin(broadcast(btypes))
       .withColumn("_nll_u",
         when(p > 0, round(-log(p) * lit(1e9)).cast("long")))
