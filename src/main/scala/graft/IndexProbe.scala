@@ -1,0 +1,105 @@
+package graft
+
+import graft.core.Graft
+import graft.ops.{Dedup, Retrieval, Similarity}
+import graft.sources.Layout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Operational-index probe benchmark (builder-side tool): for each of
+  * the three persisted indexes (MinHash bands, IVF+SQ8 codes, BM25
+  * postings), time the one-off BUILD+WRITE against repeated PROBES of
+  * the stored tables — the measured form of "the corpus is scanned
+  * once at build time and never again per query". Prints one JSON
+  * line per (index, phase, rep).
+  *
+  * Usage: `sbt "runMain graft.IndexProbe [sfDir] [reps]"`.
+  */
+object IndexProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = Graft.session("graft-indexprobe")
+    import spark.implicits._
+
+    def time(body: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    def emit(index: String, phase: String, rep: Int, sec: Double): Unit =
+      println(f"""{"index":"$index","phase":"$phase","rep":$rep,"sec":$sec%.3f}""")
+
+    val docs = Graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text").localCheckpoint(true)
+    val emb = Graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+
+    // --- MinHash band index ---
+    emit("minhash", "build", 0, timed {
+      Layout.replaceBucketed(spark,
+        Dedup.lshBands(docs, "doc_id", "text", 64, 8),
+        "ip_mh_bands", "band_hash", buckets = 32)
+      Layout.replaceTable(spark,
+        Dedup.tokenIndex(docs, "doc_id", "text"), "ip_mh_toks")
+    })
+    for (r <- 1 to reps) {
+      val batch = docs.where(col("doc_id") % 97 === r)
+      emit("minhash", "probe", r, time(
+        Dedup.incrementalNearDupsFromIndex(batch, "doc_id", "text",
+          spark.table("ip_mh_bands"), spark.table("ip_mh_toks"),
+          k = 64, bands = 8, threshold = 0.8)))
+      emit("minhash", "inline", r, time(
+        Dedup.incrementalNearDups(batch, docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)))
+    }
+
+    // --- IVF+SQ8 codes index ---
+    val cents = Similarity.trainCentroids(
+      emb, "vec_id", "embedding", k = 8, iters = 2).localCheckpoint(true)
+    emit("ivf_sq8", "build", 0, timed {
+      Layout.replaceBucketed(spark,
+        Similarity.buildIvfSq8Index(emb, cents, "vec_id", "embedding"),
+        "ip_ivf_idx", "cell_id", buckets = 8)
+    })
+    for (r <- 1 to reps) {
+      val queries = emb.where(col("vec_id") % 97 === r).limit(20)
+        .localCheckpoint(true)
+      emit("ivf_sq8", "probe", r, time(
+        Similarity.ivfSq8TopKFromIndex(emb, queries, cents,
+          spark.table("ip_ivf_idx"), "vec_id", "embedding",
+          k = 3, nProbe = 2, shortlist = 20)))
+      emit("ivf_sq8", "inline", r, time(
+        Similarity.ivfSq8TopK(emb, queries, cents,
+          "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 20)))
+    }
+
+    // --- BM25 postings index ---
+    emit("bm25", "build", 0, timed {
+      Layout.replaceBucketed(spark,
+        Retrieval.bm25Postings(docs, "doc_id", "text"),
+        "ip_bm25_post", "term", buckets = 32)
+      Layout.replaceTable(spark,
+        Retrieval.bm25CorpusStats(docs, "doc_id", "text"), "ip_bm25_stats")
+    })
+    val termSets = Seq(Seq("spark", "join", "stream"),
+      Seq("data", "shuffle", "plan"), Seq("quick", "brown", "fox"))
+    for (r <- 1 to reps) {
+      val terms = termSets(r % termSets.length)
+      emit("bm25", "probe", r, time(
+        Retrieval.bm25TopKFromIndex(spark.table("ip_bm25_post"),
+          spark.table("ip_bm25_stats"), "doc_id", terms, k = 10)))
+      emit("bm25", "inline", r, time(
+        Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)))
+    }
+
+    Seq("ip_mh_bands", "ip_mh_toks", "ip_ivf_idx", "ip_bm25_post",
+      "ip_bm25_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
+  }
+}

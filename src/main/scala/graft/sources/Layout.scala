@@ -82,6 +82,26 @@ object Layout {
     spark.catalog.refreshTable(table)
   }
 
+  /** Targeted deletion from a bucketed managed table — the
+    * right-to-be-forgotten pass over the persisted index family
+    * (MinHash bands/toks, IVF codes, BM25 postings): rewrite the
+    * table MINUS the rows whose `keyCol` is in `keys`, keeping the
+    * bucket layout. Plain parquet cannot delete in place, so this is
+    * the honest full-rewrite form (a transactional format would make
+    * it a metadata operation); like [[compactBucketed]], the
+    * surviving rows materialize before the source drops.
+    */
+  def forgetKeys(
+      spark: SparkSession, table: String, bucketCol: String,
+      keyCol: String, keys: DataFrame, buckets: Int = 32): Unit = {
+    val kept = spark.table(table)
+      .join(keys.select(keys.columns.head).toDF(keyCol),
+        Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    replaceBucketed(spark, kept, table, bucketCol, buckets)
+    spark.catalog.refreshTable(table)
+  }
+
   def writePartitioned(
       df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)

@@ -169,6 +169,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("forgetKeys removes a document from every index table it touches") {
+    import graft.ops.Dedup
+    val shared = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, "keep me around"),
+      (3L, shared + " extra")).toDF("doc_id", "text")
+    Layout.replaceBucketed(spark,
+      Dedup.lshBands(docs, "doc_id", "text", 16, 4),
+      "fk_bands", "band_hash", buckets = 8)
+    try {
+      val gone = Seq(1L).toDF("doc_id")
+      Layout.forgetKeys(spark, "fk_bands", "band_hash", "doc_id", gone,
+        buckets = 8)
+      val left = spark.table("fk_bands")
+      assert(left.where(col("doc_id") === 1L).count() == 0)
+      // the other documents' band rows survive untouched
+      assert(left.select("doc_id").distinct().as[Long].collect().toSet
+        == Set(2L, 3L))
+      // and the erased doc can no longer be found by a probe
+      val probe = Dedup.incrementalNearDupsFromIndex(
+        Seq((10L, shared)).toDF("doc_id", "text"), "doc_id", "text",
+        left, Dedup.tokenIndex(docs.where(col("doc_id") =!= 1L),
+          "doc_id", "text"), k = 16, bands = 4, threshold = 0.5)
+      assert(!probe.select("index_id").as[Long].collect().contains(1L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fk_bands")
+    }
+  }
+
   test("partitioned write prunes directories on partition predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (2023 to 2026).flatMap(y => (1 to 10).map(i => (y, i.toLong)))
