@@ -386,10 +386,10 @@ object GemQueries {
               15, "0"))).otherwise(lit(""))).as("text"))
 
   /** DuckDB twin of [[piiAugmented]] — emits CTE `aug(doc_id, source,
-    * t)`.
+    * t)`; `where` restricts the planted slice (q318).
     */
-  private val piiAugCte: String =
-    """aug AS (SELECT doc_id, source, text ||
+  private def piiAugCte(where: String = "1 = 1"): String =
+    s"""aug AS (SELECT doc_id, source, text ||
       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
       |      '@example.com' ELSE '' END ||
       |    CASE WHEN doc_id % 5 = 0 THEN ' call +1555' ||
@@ -399,7 +399,7 @@ object GemQueries {
       |    CASE WHEN doc_id % 11 = 0 THEN ' card 4' ||
       |      lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR),
       |        15, '0') ELSE '' END AS t
-      |  FROM documents)""".stripMargin
+      |  FROM documents WHERE $where)""".stripMargin
 
   /** Oracle twin of [[graft.ops.Pii.scan]] over `aug` — emits CTEs
     * `sc` (raw detector matches) and `scl` (+ `cdv`, the Luhn-valid
@@ -12835,7 +12835,7 @@ object GemQueries {
       (s, dir) => Pii.scan(piiAugmented(t(s, dir, "documents")),
           "doc_id", "text")
         .orderBy("doc_id"),
-      Some("WITH " + piiAugCte + ",\n" + piiScanCtes + "\n" +
+      Some("WITH " + piiAugCte() + ",\n" + piiScanCtes + "\n" +
         """SELECT doc_id,
           |  CAST(len(em) AS INT) AS n_emails,
           |  CAST(len(ph) AS INT) AS n_phones,
@@ -12866,7 +12866,7 @@ object GemQueries {
             .as("residual_docs"))
         report.join(residual, "source").orderBy("source")
       },
-      Some("WITH " + piiAugCte + ",\n" + piiScanCtes + ",\n" +
+      Some("WITH " + piiAugCte() + ",\n" + piiScanCtes + ",\n" +
         s"""red AS (SELECT doc_id, source,
            |    regexp_replace(regexp_replace(regexp_replace(
            |      regexp_replace(t, '${Pii.emailRe}', '[EMAIL]', 'g'),
@@ -13178,7 +13178,71 @@ object GemQueries {
              |  CAST(sum(length(text)) AS BIGINT) AS chars,
              |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
              |FROM documents GROUP BY lang, source
-             |ORDER BY lang, source""".stripMargin))
+             |ORDER BY lang, source""".stripMargin)),
+
+    // Release manifest — the capstone composite over the round-12
+    // governance tier, proving the ops compose into one data-card
+    // row: raw count → exact-dup collapse (md5) → homoglyph-skeleton
+    // collapse → near-dup cluster count (the q61 chain) → PII-bearing
+    // docs (on the q309 planted fixture) → releasable keepers (one
+    // min-id doc per near-dup cluster whose enriched text carries no
+    // PII). Every stage reuses a proven operator and its proven
+    // oracle CTEs; the manifest is where a real pipeline's stages
+    // reconcile.
+    QueryDef("q318_release_manifest",
+      (s, dir) => {
+        val full = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val slice = full.select("doc_id", "text")
+        val aug = piiAugmented(full)
+        val pii = Pii.scan(aug, "doc_id", "text").localCheckpoint(true)
+        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val clusters = Components.dedupClusters(
+          slice, "doc_id", pairs, "id_a", "id_b").localCheckpoint(true)
+        val keepers = clusters.groupBy("component")
+          .agg(min(col("doc_id")).as("doc_id"))
+        val nRaw = slice.agg(count(lit(1)).as("n_raw"))
+        val nExact = slice.agg(
+          countDistinct(md5(col("text"))).as("n_exact_unique"))
+        val nSkel = slice.agg(countDistinct(
+          md5(Homoglyph.skeleton(col("text")))).as("n_skeleton_unique"))
+        val nCl = clusters.agg(
+          countDistinct(col("component")).as("n_clusters"))
+        val nPii = pii.agg(sum(when(col("has_pii"), 1L).otherwise(0L))
+          .as("n_pii_docs"))
+        val nRel = keepers.join(pii, "doc_id")
+          .where(!col("has_pii"))
+          .agg(count(lit(1)).as("n_release_keepers"))
+        nRaw.crossJoin(broadcast(nExact)).crossJoin(broadcast(nSkel))
+          .crossJoin(broadcast(nCl)).crossJoin(broadcast(nPii))
+          .crossJoin(broadcast(nRel))
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        piiAugCte("doc_id < 1000") + ",\n" + piiScanCtes + ",\n" +
+        s"""raw AS (SELECT count(*) AS n_raw FROM documents
+           |  WHERE doc_id < 1000),
+           |ex AS (SELECT count(DISTINCT md5(text)) AS n_exact_unique
+           |  FROM documents WHERE doc_id < 1000),
+           |skx AS (SELECT count(DISTINCT md5(lower(translate(text,
+           |    '${graft.ops.Homoglyph.fromChars}',
+           |    '${graft.ops.Homoglyph.toChars}'))))
+           |    AS n_skeleton_unique
+           |  FROM documents WHERE doc_id < 1000),
+           |ncl AS (SELECT count(DISTINCT component) AS n_clusters
+           |  FROM comp),
+           |keepers AS (SELECT component, min(id) AS doc_id FROM comp
+           |  GROUP BY 1),
+           |piid AS (SELECT CAST(sum(CASE WHEN
+           |    len(em) + len(ph) + len(ip) + len(cd) > 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs FROM scl),
+           |rel AS (SELECT count(*) AS n_release_keepers
+           |  FROM keepers JOIN scl USING (doc_id)
+           |  WHERE len(em) + len(ph) + len(ip) + len(cd) = 0)
+           |SELECT n_raw, n_exact_unique, n_skeleton_unique, n_clusters,
+           |  n_pii_docs, n_release_keepers
+           |FROM raw CROSS JOIN ex CROSS JOIN skx CROSS JOIN ncl
+           |CROSS JOIN piid CROSS JOIN rel""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

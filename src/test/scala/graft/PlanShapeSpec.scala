@@ -186,6 +186,9 @@ class PlanShapeSpec extends SparkSpec {
       // q316: the 1-row bigram-type count broadcast-crosses the test
       // bigrams (q76's single-row model-stats shape).
       "q316_kneser_ney",
+      // q318: six 1-row stage-count aggregates cross into the single
+      // manifest row (the q102/q210 report shape).
+      "q318_release_manifest",
       // q151: the |ps|-row percentile frame broadcast-nested-loop
       // joins onto the (groups × occupied-buckets) post-sketch frame
       // to find each crossing bucket — both sides tiny by construction.
