@@ -197,6 +197,56 @@ object Components {
     * Singletons (no near-dup) are their own component of size 1.
     * The dedup decision is then a filter: keep `doc_id == component`.
     */
+  /** Multi-source BFS hop distance — "how far is every node from the
+    * seed set": frontier expansion with FIXED `maxHops` rounds, each
+    * round one edges⋈frontier shuffle + an anti-join against the
+    * already-settled set, lineage cut per round (the
+    * [[connectedComponents]] discipline). Unreachable nodes (and
+    * nodes beyond `maxHops`) report null distance — counted by the
+    * caller, never silently dropped. The distance complement of the
+    * component tier: membership says WHETHER two docs are linked,
+    * hops says HOW CLOSE (contamination radius around a flagged
+    * seed, influence rings around a canonical doc).
+    *
+    * @return (`idCol`, `hops`) for every node in `nodes`; `hops` null
+    *         if unreached within `maxHops`
+    */
+  def bfsDistance(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative: $maxHops")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var settled = seeds
+      .select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint(true)
+    var frontier = settled
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(sym, frontier("id") === sym("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(settled.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint(true)
+      settled = settled.unionByName(next).localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    sym.unpersist()
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(settled, Seq("id"), "left")
+      .select(col("id").as(idCol), col("hops"))
+  }
+
   def dedupClusters(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -7,7 +7,8 @@ import graft.ops.{Allocate, Anonymity, AsofJoin, Attribution,
   Chunking, Classifier, Cleaning, Components, Compressibility,
   Contrastive, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
-  Dedup, Drift, Dsir, GemPipeline, GraphMetrics, Homoglyph, IncrementalAgg,
+  Dedup, Drift, Dsir, GemPipeline, GraphMetrics, Homoglyph,
+  IncrementalAgg, Isotonic,
   Experiment, IntervalJoin, Linkage,
   FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
   LineDedup, LogReg,
@@ -13242,7 +13243,91 @@ object GemQueries {
            |SELECT n_raw, n_exact_unique, n_skeleton_unique, n_clusters,
            |  n_pii_docs, n_release_keepers
            |FROM raw CROSS JOIN ex CROSS JOIN skx CROSS JOIN ncl
-           |CROSS JOIN piid CROSS JOIN rel""".stripMargin))
+           |CROSS JOIN piid CROSS JOIN rel""".stripMargin)),
+
+    // Multi-source BFS contamination radius (Components.bfsDistance):
+    // hop-distance rings around flagged seed documents over the
+    // near-dup graph — membership says WHETHER a doc links to a seed,
+    // hops says HOW CLOSE (delta-frontier rounds, one edges⋈frontier
+    // shuffle each, unreachable docs reported as a null ring rather
+    // than dropped). The oracle unrolls the same three frontiers.
+    QueryDef("q319_bfs_contamination",
+      (s, dir) => {
+        val slice = t(s, dir, "documents")
+          .filter(col("doc_id") < 1000).select("doc_id", "text")
+        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.bfsDistance(slice, "doc_id", pairs, "id_a", "id_b",
+            slice.filter(col("doc_id") % 100 === 0).select("doc_id"),
+            maxHops = 3)
+          .groupBy("hops").agg(count(lit(1)).as("n"))
+          .orderBy(col("hops").asc_nulls_first)
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" + pairsEdgesCtes + ",\n" +
+        """d0 AS (SELECT DISTINCT doc_id AS id FROM documents
+          |  WHERE doc_id < 1000 AND doc_id % 100 = 0),
+          |f1 AS (SELECT DISTINCT e.dst AS id FROM edges e
+          |  JOIN d0 ON e.src = d0.id
+          |  WHERE e.dst NOT IN (SELECT id FROM d0)),
+          |s1 AS (SELECT id FROM d0 UNION ALL SELECT id FROM f1),
+          |f2 AS (SELECT DISTINCT e.dst AS id FROM edges e
+          |  JOIN f1 ON e.src = f1.id
+          |  WHERE e.dst NOT IN (SELECT id FROM s1)),
+          |s2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM f2),
+          |f3 AS (SELECT DISTINCT e.dst AS id FROM edges e
+          |  JOIN f2 ON e.src = f2.id
+          |  WHERE e.dst NOT IN (SELECT id FROM s2)),
+          |hopped AS (SELECT id, 0 AS hops FROM d0
+          |  UNION ALL SELECT id, 1 FROM f1
+          |  UNION ALL SELECT id, 2 FROM f2
+          |  UNION ALL SELECT id, 3 FROM f3),
+          |alln AS (SELECT doc_id AS id FROM documents
+          |  WHERE doc_id < 1000)
+          |SELECT CAST(hops AS INT) AS hops, count(*) AS n
+          |FROM alln LEFT JOIN hopped USING (id)
+          |GROUP BY 1 ORDER BY hops NULLS FIRST""".stripMargin)),
+
+    // Isotonic calibration of the k-NN reliability diagram
+    // (Isotonic.calibrate over q277's vote bins): PAV via its
+    // closed-form minimax identity — interval averages from integer
+    // prefix sums over the bounded bin frame, max-of-min per bin —
+    // giving the monotone probability corrector (Zadrozny-Elkan)
+    // without a sequential scan in either engine.
+    QueryDef("q320_isotonic_calibration",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pred = Similarity.knnPredict(emb,
+          emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+          "label", k = 5)
+        val bins = pred.groupBy("n_votes").agg(
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"),
+          count(lit(1)).as("n"))
+        Isotonic.calibrate(bins, "n_votes", "n_correct", "n")
+          .orderBy("n_votes")
+      },
+      Some("WITH " + knnCtes(200, 5) + ",\n" +
+        """bins AS (SELECT n_votes, count(*) AS n,
+          |    sum(CASE WHEN pred = t_label THEN 1 ELSE 0 END)
+          |      AS n_correct
+          |  FROM knp GROUP BY 1),
+          |pre AS (SELECT CAST(n_votes AS DOUBLE) AS x,
+          |    n_correct AS s, n AS t,
+          |    row_number() OVER (ORDER BY n_votes) AS i,
+          |    sum(n_correct) OVER (ORDER BY n_votes) AS cs,
+          |    sum(n) OVER (ORDER BY n_votes) AS ct
+          |  FROM bins),
+          |iv AS (SELECT pj.i AS j, pk.i AS k,
+          |    CAST(pk.cs - (pj.cs - pj.s) AS DOUBLE) /
+          |    CAST(pk.ct - (pj.ct - pj.t) AS DOUBLE) AS iavg
+          |  FROM pre pj JOIN pre pk ON pj.i <= pk.i),
+          |mi AS (SELECT p.i, iv.j, min(iavg) AS m FROM pre p
+          |  JOIN iv ON iv.j <= p.i AND iv.k >= p.i GROUP BY 1, 2),
+          |ft AS (SELECT i, max(m) AS iso FROM mi GROUP BY 1)
+          |SELECT x AS n_votes, CAST(t AS BIGINT) AS trials,
+          |  round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS rate,
+          |  round(iso, 6) AS iso_rate
+          |FROM pre JOIN ft USING (i) ORDER BY n_votes""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -189,6 +189,11 @@ class PlanShapeSpec extends SparkSpec {
       // q318: six 1-row stage-count aggregates cross into the single
       // manifest row (the q102/q210 report shape).
       "q318_release_manifest",
+      // q320: PAV's minimax runs O(B³) interval enumeration as
+      // non-equi self-joins of the ≤(k+1)-row VOTE-BIN frame — the
+      // q169 bounded-frame BNLJ shape; the k-NN scoring underneath is
+      // q29's broadcast-query cross.
+      "q320_isotonic_calibration",
       // q151: the |ps|-row percentile frame broadcast-nested-loop
       // joins onto the (groups × occupied-buckets) post-sketch frame
       // to find each crossing bucket — both sides tiny by construction.
@@ -445,6 +450,7 @@ object PlanShapeSpec {
     "q69_bm25_search",      // bm25TopK: rank over the k-row result
     "q308_bm25_from_index", // same scoring tail over the stored index
     "q314_ranking_eval",    // bm25 run rank + ideal rank, both ≤ k rows
+    "q320_isotonic_calibration", // rank/prefix windows over the vote-bin frame
     "q97_hybrid_rrf",       // bm25TopK + rrfFuse fused-rank, both ≤ k
     "q101_bpe_pairs",       // pair rank over the k-row result
     "q171_event_paths",     // trigram rank over the k-row result
