@@ -140,7 +140,16 @@ object ScaleProbe {
             df, "doc_id", pairs, "id_a", "id_b")
           Components.medoidPerCluster(clusters, "doc_id",
             pairs, "id_a", "id_b", "jaccard")
-        }))
+        }),
+        // Round-12 scrub/index tier: pii + skeleton are pure narrow
+        // passes (expect ~linear), the postings build is the one
+        // corpus explode+shuffle an index write costs.
+        "pii_scan" -> (() =>
+          graft.ops.Pii.scan(df, "doc_id", "text")),
+        "skeleton_dedup" -> (() =>
+          graft.ops.Homoglyph.dupGroups(df, "doc_id", "text")),
+        "bm25_index_build" -> (() =>
+          graft.ops.Retrieval.bm25Postings(df, "doc_id", "text")))
       ops.filter(o => opFilter.forall(_.contains(o._1))).foreach { case (name, f) =>
         val sec = time(f())
         println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
