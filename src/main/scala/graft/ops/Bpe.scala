@@ -90,10 +90,11 @@ object Bpe {
         case Some(r) =>
           val (l, rgt, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
           rules += Row(step, l, rgt, l + rgt, cnt)
-          vocab = vocab
+          // pinEvery: merges is caller-chosen and each step chains a
+          // checkpoint generation (Iterate's planning-knee doc).
+          vocab = Iterate.pinEvery(step, vocab
             .withColumn("state", replace(
-              col("state"), lit(s" $l  $rgt "), lit(s" ${l + rgt} ")))
-            .localCheckpoint()
+              col("state"), lit(s" $l  $rgt "), lit(s" ${l + rgt} "))))
           step += 1
       }
     }

@@ -59,7 +59,7 @@ object LogReg {
     var model = feats.select("bucket").distinct()
       .withColumn("w", lit(0.0))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val margins = feats
         .join(broadcast(model), Seq("bucket"))
         .groupBy(idCol)
@@ -70,11 +70,12 @@ object LogReg {
         .join(margins, Seq(idCol))
         .groupBy("bucket")
         .agg((sum(col("x") * col("err")) / nDocs).as("g"))
-      model = model
+      // pinEvery: iters is caller-chosen; checkpoint generations past
+      // ~16 hit the planning knee (Iterate's doc).
+      model = Iterate.pinEvery(it, model
         .join(grad, Seq("bucket"), "left")
         .select(col("bucket"),
-          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
-        .localCheckpoint(true)
+          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w")))
     }
     model
   }

@@ -77,20 +77,20 @@ object PageRank {
     // double steps to the oracle's unrolled 1-row CTEs.
     var prIso = 1.0 / n
     var cur = endpoints.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val dmass = nIso * prIso
       val contribs = sym
         .join(cur.join(deg, "id")
           .select(col("id").as("src"), (col("pr") / col("deg")).as("c")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum("c").as("contrib"))
-      cur = endpoints
+      // pinEvery: iters is caller-chosen (Iterate's planning-knee doc).
+      cur = Iterate.pinEvery(it, endpoints
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - d) / n) +
             lit(d) * (coalesce(col("contrib"), lit(0.0)) + lit(dmass / n)))
-            .as("pr"))
-        .localCheckpoint(true)
+            .as("pr")))
       prIso = (1.0 - d) / n + d * (dmass / n)
     }
     sym.unpersist()

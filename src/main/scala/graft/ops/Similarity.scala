@@ -455,7 +455,7 @@ object Similarity {
       .withColumn("cell_id", row_number().over(seedW) - 1)
       .select(col("cell_id"), col(vecCol).as("centvec"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cell_cos").desc, col("cell_id"))
       val assigned = corpus.select(col(idCol), col(vecCol))
@@ -471,7 +471,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"),
           transform(col("pm"), p => round(p("m"), 6).cast("float")).as("centvec"))
-        .localCheckpoint(true)
+        // pinEvery: iters is caller-chosen (Iterate's planning-knee doc).
+        .transform(d => Iterate.pinEvery(it, d))
     }
     cents.select(col("cell_id").as(idCol), col("centvec").as(vecCol))
   }
