@@ -97,12 +97,14 @@ object Components {
           .select(col("id").as("src"), col("component")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("cand"))
-      val next = labels
+      // pinEvery: maxIter=20 reaches past the ~16-generation
+      // checkpoint-metadata planning knee (Iterate's doc) — periodic
+      // full pins reset the chain on long-diameter graphs.
+      val next = Iterate.pinEvery(round, labels
         .join(cand, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), col("cand")).as("component"),
-          coalesce(col("cand") < col("component"), lit(false)).as("changed"))
-        .localCheckpoint(true)
+          coalesce(col("cand") < col("component"), lit(false)).as("changed")))
       // The probe reads the blocks the checkpoint just materialized —
       // no join, no shuffle, stops at the first changed row.
       converged = next.where(col("changed")).isEmpty
@@ -169,11 +171,12 @@ object Components {
         .select(col("v").as("a"), col("m").as("b")))
       val s2 = sym(large)
       val m2 = minOfStar(s2)
-      val small = canon(
+      // pinEvery: star rounds are bounded O(log² n) but maxIter=30
+      // allows generations past the planning knee (Iterate's doc).
+      val small = Iterate.pinEvery(round, canon(
         s2.join(m2, "u").filter(col("v") <= col("u"))
           .select(col("v").as("a"), col("m").as("b"))
-          .union(m2.select(col("u").as("a"), col("m").as("b"))))
-        .localCheckpoint(true)
+          .union(m2.select(col("u").as("a"), col("m").as("b")))))
       // Fixpoint = same canonical edge set. Equal counts + empty
       // one-sided except ⇒ set equality (both are distinct sets).
       converged = small.count() == cur.count() &&
@@ -231,13 +234,15 @@ object Components {
     var frontier = settled
     var hop = 1
     while (hop <= maxHops && !frontier.isEmpty) {
-      val next = frontier.join(sym, frontier("id") === sym("src"))
+      // pinEvery: maxHops is caller-chosen and may exceed the
+      // checkpoint-generation planning knee (Iterate's doc).
+      val next = Iterate.pinEvery(hop, frontier
+        .join(sym, frontier("id") === sym("src"))
         .select(col("dst").as("id"))
         .distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
-        .withColumn("hops", lit(hop))
-        .localCheckpoint(true)
-      settled = settled.unionByName(next).localCheckpoint(true)
+        .withColumn("hops", lit(hop)))
+      settled = Iterate.pinEvery(hop, settled.unionByName(next))
       frontier = next
       hop += 1
     }
@@ -416,7 +421,7 @@ object Components {
       .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("c").desc, col("lbl").asc)
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { rnd =>
       val best = sym
         .join(lab.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("id"), col("lbl"))
@@ -424,13 +429,61 @@ object Components {
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .select(col("id"), col("lbl").as("cand"))
-      val next = lab.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("cand"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      // pinEvery: rounds is caller-chosen (Iterate's planning-knee doc).
+      val next = Iterate.pinEvery(rnd, lab.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cand"), col("lbl")).as("lbl")))
       lab.unpersist()
       lab = next
     }
     sym.unpersist()
     lab.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** Soft deduplication (SoftDeDup shape — reweight duplicated
+    * content instead of deleting it): every member of a near-dup
+    * cluster keeps 1/cluster_size of its training weight, so the
+    * CONTENT contributes exactly once in expectation while no
+    * individual copy (with its unique context) is lost. The per-group
+    * report is the planning view: raw vs effective token mass per
+    * group shows which sources are inflated by duplication.
+    *
+    * Weight is the exact integer `1000000 DIV cluster_size` ppm
+    * (floor — documented, oracle-identical); docs outside every
+    * cluster carry weight 1. One left join of the doc frame to the
+    * cluster assignment (both at doc grain, co-partitioned) + one
+    * combinable group aggregate; nothing global anywhere.
+    *
+    * @param docs     doc-grain frame
+    * @param clusters [[dedupClusters]] output (idCol, cluster_size)
+    * @param metricCol integer mass per doc (tokens / chars)
+    * @return per group: `n_docs`, `n_in_clusters`, `raw_mass`,
+    *         `eff_mass` (round 6), `dup_inflation_ppm`
+    *         (raw·1e6 DIV eff_micro − 1e6: excess mass from dup
+    *         copies, 0 when nothing is duplicated)
+    */
+  def softDedupWeights(
+      docs: DataFrame, idCol: String, groupCol: String,
+      metricCol: String, clusters: DataFrame): DataFrame = {
+    val sized = docs
+      .select(col(idCol), col(groupCol).as("_grp"),
+        col(metricCol).cast("long").as("_m"))
+      .join(clusters.select(col(idCol), col("cluster_size")),
+        Seq(idCol), "left")
+      .withColumn("_sz", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("_w_ppm", expr("1000000L DIV _sz"))
+    sized.groupBy(col("_grp").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size").isNotNull, 1L).otherwise(0L))
+          .as("n_in_clusters"),
+        sum("_m").as("raw_mass"),
+        sum(col("_m") * col("_w_ppm")).as("_eff_micro"))
+      .select(col(groupCol), col("n_docs"), col("n_in_clusters"),
+        col("raw_mass"),
+        round(col("_eff_micro").cast("double") / 1e6, 6).as("eff_mass"),
+        // (raw/eff)·1e6 − 1e6 in int64: denominator demoted to
+        // milli-units so the numerator is raw·1e9 (exact below ~9e9
+        // mass; swap both scale factors down one decade past that).
+        expr("((raw_mass * 1000000000) DIV (_eff_micro DIV 1000))" +
+          " - 1000000").as("dup_inflation_ppm"))
   }
 }
