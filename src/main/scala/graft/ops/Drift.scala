@@ -208,4 +208,54 @@ object Drift {
         + lit(0.0)).as("ks"))
       .select(col(groupCol), col("n_a"), col("n_b"), col("ks"))
   }
+
+  /** Embedding centroid drift per group: cosine of each group's mean
+    * vector against the corpus mean, plus the norm ratio — the
+    * embedding-space analogue of [[jsTokenShift]]: a group whose
+    * centroid swings away from (or collapses toward) the corpus
+    * centroid has semantically drifted even when its token marginals
+    * look stable. A LOW centroid norm relative to members flags
+    * internal dispersion (vectors cancelling), which is why the
+    * per-group norm is reported too.
+    *
+    * Scale shape: posexplode to (group, dim, value) and everything
+    * after is map-side-combinable sums over a |groups|×dim key space —
+    * the embedding matrix itself never collects, never crosses a
+    * window, and shuffles once on its own (group, dim) keys. The
+    * dim-sized centroid frames self-join only at |groups|×dim grain.
+    *
+    * @return per group: `n_vecs`, `cos_to_global` (round 6),
+    *         `norm` (round 6), `norm_ratio` (round 6, vs the global
+    *         centroid norm)
+    */
+  def centroidDrift(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val comps = df
+      .select(col(groupCol).as("_g"),
+        posexplode(col(vecCol)).as(Seq("_i", "_v")))
+      .select(col("_g"), col("_i"), col("_v").cast("double").as("_v"))
+    val byGroup = comps.groupBy("_g", "_i")
+      .agg(sum("_v").as("_s"), count(lit(1)).as("_n"))
+      .select(col("_g"), col("_i"), (col("_s") / col("_n")).as("_c"))
+      .localCheckpoint(true)
+    // Global centroid = mean over ALL vectors, computed directly from
+    // the component stream (NOT reconstructed from per-group means:
+    // that walks a different floating-point path than the oracle's
+    // plain sum/count and can drift in the last ulps).
+    val global = comps.groupBy("_i")
+      .agg((sum("_v") / count(lit(1))).as("_cg"))
+    val dots = byGroup.join(global, Seq("_i"))
+      .groupBy("_g")
+      .agg(sum(col("_c") * col("_cg")).as("_dot"),
+        sum(col("_c") * col("_c")).as("_nn"),
+        sum(col("_cg") * col("_cg")).as("_gg"))
+    val nvec = df.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("n_vecs"))
+    nvec.join(dots, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n_vecs"),
+        round(col("_dot") / (sqrt(col("_nn")) * sqrt(col("_gg"))), 6)
+          .as("cos_to_global"),
+        round(sqrt(col("_nn")), 6).as("norm"),
+        round(sqrt(col("_nn")) / sqrt(col("_gg")), 6).as("norm_ratio"))
+  }
 }

@@ -106,6 +106,38 @@ object Pii {
           phoneRe, "[PHONE]"),
         cardRe, "[CARD]"))
 
+  /** German-format IBAN candidate: `DE` + 2 check digits + 18-digit
+    * BBAN (22 chars). Fixed-length and all-numeric after the country
+    * code, so the ISO 7064 mod-97 check needs NO bignum: the 18-digit
+    * BBAN fits int64 exactly (< 9.2·10^18), and the rearranged
+    * check number BBAN‖1314‖cc reduces stepwise —
+    * m1 = bban % 97, m2 = (m1·10⁴ + 1314) % 97,
+    * m3 = (m2·10² + cc) % 97, valid ⇔ m3 = 1 — pure codegen'd
+    * integer arithmetic, identical in any engine.
+    */
+  val ibanDeRe = "\\bDE[0-9]{20}\\b"
+
+  /** Per-document IBAN scan with exact mod-97 validation: candidates
+    * split into checksum-valid and -failed counts (the calibration
+    * split [[scan]] applies to cards). Narrow per-row projection, no
+    * shuffle.
+    *
+    * @return `idCol`, `n_iban_cands`, `n_iban_valid`, `n_iban_invalid`
+    */
+  def ibanScan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit(ibanDeRe), lit(0)).as("_c"))
+      .withColumn("_valid", expr(
+        """filter(_c, c ->
+          |  (((CAST(substring(c, 5, 18) AS BIGINT) % 97)
+          |     * 10000 + 1314) % 97
+          |    * 100 + CAST(substring(c, 3, 2) AS BIGINT)) % 97 = 1)"""
+          .stripMargin))
+      .select(col(idCol),
+        size(col("_c")).as("n_iban_cands"),
+        size(col("_valid")).as("n_iban_valid"),
+        (size(col("_c")) - size(col("_valid"))).as("n_iban_invalid"))
+
   /** Per-source release report over [[scan]]'s rows: document counts,
     * PII-bearing share, and per-class totals — the table a data-card
     * publishes.

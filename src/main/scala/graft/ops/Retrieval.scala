@@ -274,4 +274,82 @@ object Retrieval {
         array_join(slice(col("tk"), col("pos") + 2, lit(ctx)), " ")
           .as("right_ctx"))
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `select` results from the BM25 top-`pool`
+    * that balance relevance against redundancy —
+    * `argmax λ·rel − (1−λ)·max_sim_to_selected` — the
+    * diversification step between retrieval and a context window
+    * (q207's per-group cap is the blunt version; MMR trades off
+    * continuously).
+    *
+    * Redundancy is exact distinct-token Jaccard between candidates;
+    * relevance is the candidate's BM25 score normalized by the pool
+    * max (both from the 4-decimal-rounded [[bm25TopK]] scores, so the
+    * greedy comparisons are over portable doubles — no ln-ulp
+    * tie hazards cross-engine).
+    *
+    * Scale shape: the corpus is touched exactly once (the bm25TopK
+    * scan); every greedy step operates on the ≤ pool-row candidate
+    * frame with a ≤ pool×select broadcast pair join — driver-side
+    * loop, pool-sized state, localCheckpoint per step. Ties at equal
+    * MMR break to the smaller id.
+    *
+    * @return `select` rows: `step`, idCol, `rel` (round 6), `max_sim`
+    *         (round 4, 0.0 for the first pick), `mmr` (round 6)
+    */
+  def mmrRerank(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], pool: Int = 20, select: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    require(select >= 1 && select <= pool,
+      s"select in [1, pool]: $select vs $pool")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val ranked = bm25TopK(docs, idCol, textCol, queryTerms, k = pool)
+    val toks = docs.select(col(idCol),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("_tk"))
+    val cands = ranked.join(toks, Seq(idCol))
+      .crossJoin(broadcast(ranked.agg(max("score").as("_mx"))))
+      .select(col(idCol), col("_tk"),
+        (col("score") / col("_mx")).as("_rel"))
+      .localCheckpoint(true)
+    var selected = cands.limit(0)
+      .select(col(idCol), col("_tk"), col("_rel"),
+        lit(0.0).as("_maxsim"), lit(0.0).as("_mmr"),
+        lit(0).as("step"))
+      .localCheckpoint(true)
+    for (step <- 1 to select) {
+      val rem = cands
+        .join(selected.select(col(idCol)), Seq(idCol), "left_anti")
+      val pick =
+        if (step == 1)
+          rem.orderBy(col("_rel").desc, col(idCol)).limit(1)
+            .select(col(idCol), col("_tk"), col("_rel"),
+              lit(0.0).as("_maxsim"), col("_rel").as("_mmr"))
+        else {
+          val selT = broadcast(
+            selected.select(col("_tk").as("_stk")))
+          rem.crossJoin(selT)
+            .withColumn("_sim",
+              size(array_intersect(col("_tk"), col("_stk")))
+                .cast("double") /
+              size(array_union(col("_tk"), col("_stk"))).cast("double"))
+            .groupBy(col(idCol))
+            .agg(first("_tk").as("_tk"), first("_rel").as("_rel"),
+              max("_sim").as("_maxsim"))
+            .withColumn("_mmr", lit(lambda) * col("_rel") -
+              lit(1.0 - lambda) * col("_maxsim"))
+            .orderBy(col("_mmr").desc, col(idCol)).limit(1)
+            .select(col(idCol), col("_tk"), col("_rel"),
+              col("_maxsim"), col("_mmr"))
+        }
+      selected = selected
+        .unionByName(pick.withColumn("step", lit(step)))
+        .localCheckpoint(true)
+    }
+    selected.where(col("step") >= 1)
+      .select(col("step"), col(idCol), round(col("_rel"), 6).as("rel"),
+        round(col("_maxsim"), 4).as("max_sim"),
+        round(col("_mmr"), 6).as("mmr"))
+  }
 }

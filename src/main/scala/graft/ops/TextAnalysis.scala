@@ -620,6 +620,47 @@ object TextAnalysis {
           .otherwise("cyrillic"))
   }
 
+  /** Vocabulary coverage curve: what fraction of all token
+    * OCCURRENCES the top-K most frequent types cover, reported at the
+    * given vocab-size checkpoints — the tokenizer-budget planning
+    * curve (the integral view of the Zipf fit q291 estimates): "how
+    * big a vocab covers 99% of the corpus" read directly off the
+    * cumulative mass.
+    *
+    * Scale shape: one combinable (token → count) aggregate, then the
+    * round-12 global-rank discipline end-to-end — frequency ranks via
+    * [[Rank.globalRowNumber]] (distributed range-partitioned sort of
+    * the vocab frame) and cumulative mass via [[Rank.prefixSum]] (the
+    * two-pass bucketed scan), never a single-task
+    * `Window.orderBy(count)` over the vocabulary (data-proportional:
+    * Heaps' law says it grows with the corpus).
+    *
+    * @return one row per checkpoint present in the vocab: `vocab_k`,
+    *         `boundary_token` (the K-th type — rank ties broken by
+    *         token), `boundary_count`, `cum_tokens`, `coverage_ppm`
+    *         (exact integer floor), plus corpus totals `n_types`,
+    *         `n_tokens` on every row
+    */
+  def vocabCoverage(
+      df: DataFrame, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "checkpoints must be non-empty")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = Rank.globalRowNumber(
+      counts, Seq("cnt" -> false, "token" -> true), "vocab_k")
+    val cum = Rank.prefixSum(ranked, "vocab_k", "cnt", "cum_tokens")
+    val tot = counts.agg(count(lit(1)).as("n_types"),
+      sum("cnt").as("n_tokens"))
+    cum.where(col("vocab_k").isin(checkpoints: _*))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_k"), col("token").as("boundary_token"),
+        col("cnt").as("boundary_count"), col("cum_tokens"),
+        expr("(cum_tokens * 1000000) DIV n_tokens").as("coverage_ppm"),
+        col("n_types"), col("n_tokens"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

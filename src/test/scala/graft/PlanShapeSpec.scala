@@ -262,8 +262,25 @@ class PlanShapeSpec extends SparkSpec {
       // q265: twoNnDimension rides the same broadcast query sample.
       "q265_intrinsic_dim",
       // q266: the 1-row anonymity summary crosses onto the top-N
-      // risk classes.
-      "q266_k_anonymity",
+      // risk classes. q326: the same shape at l-diversity grain.
+      "q266_k_anonymity", "q326_l_diversity",
+      // q321/q322: 1-row chance-agreement / panel-summary frames
+      // cross into the 1-row kappa report (q102's shape).
+      "q321_cohen_kappa", "q322_fleiss_kappa",
+      // q323: the 1-row normalization sum crosses onto the
+      // leaderboard-sized strength frame each MM round (q248's
+      // renormalization shape). q324: the 1-row α-weight total
+      // crosses onto the per-language plan frame (q91's shape).
+      "q323_bradley_terry", "q324_mixing_plan",
+      // q327: the 1-row calibration count / q̂ order statistic
+      // crosses into the evaluation pass.
+      "q327_conformal_interval",
+      // q328: the 1-row vocab totals cross onto the checkpoint rows.
+      // q329: Mixing's 1-row α-weight total (q324's shape).
+      "q328_vocab_coverage", "q329_mixture_rebalance",
+      // q330: the 1-row pool-max normalizer + the ≤ select-row
+      // selected-set broadcast pair join, both bounded by pool=20.
+      "q330_mmr_rerank",
       // q267: each relation's 1-row orphan count crosses into its
       // 1-row report (q102's shape, x5).
       "q267_ref_integrity",
@@ -457,11 +474,15 @@ object PlanShapeSpec {
     "q188_join_forecast",   // top-contributor rank over ≤ topK keys
     "q207_capped_topk",     // global rank over the 10-row result
     "q266_k_anonymity",     // risk rank over the ≤ topN smallest classes
+    "q326_l_diversity",     // same shape: rank over the ≤ topN survivors
     "q291_zipf_fit",        // ln(rank) points over the topK-row result
     // Two-pass prefix scans: the ONLY unpartitioned window runs on
     // the per-bucket partials frame (n/bucketSize rows, sized tiny
     // by construction); per-row windows partition by bucket.
     "q203_abc_classification", // Rank.prefixSum bucket frame
+    "q328_vocab_coverage",     // Rank.prefixSum bucket frame
+    "q330_mmr_rerank",         // bm25TopK rank over the ≤ pool-row result
+    "q332_decision_stump",     // overall rank over the |features|-row frame
     "q235_watermark_profile",  // Lateness bucket frame (×2 passes)
     "q251_peak_concurrency",   // Concurrency bucket frame
     "q300_release_scorecard",  // composes the Lateness profile
