@@ -209,6 +209,44 @@ object Drift {
       .select(col(groupCol), col("n_a"), col("n_b"), col("ks"))
   }
 
+  /** 1-D Wasserstein-1 (earth-mover) distance per group from the same
+    * `graft_hist` sketches as [[ksFromHists]]: W₁ = ∫|CDF_A − CDF_B|
+    * = Σ_bins |ΔCDF| · binwidth. KS reports only the WORST single
+    * gap; EMD integrates the whole displacement, so a distribution
+    * that shifted a little everywhere (which KS under-scores) and one
+    * with a single spike (which KS over-scores) are ranked by the
+    * actual mass×distance to move — the drift scalar a re-balancing
+    * job actually pays. Same scale shape as KS: two bounded sketches
+    * per group, bucket frames are nbins-sized.
+    *
+    * @return per group: `n_a`, `n_b`, `emd` (round 4, in VALUE units)
+    */
+  def emdFromHists(
+      a: DataFrame, b: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int): DataFrame = {
+    def buckets(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy(groupCol)
+        .agg(expr(s"graft_hist(CAST($valueCol AS DOUBLE), ${lo}D, ${hi}D, $nbins)")
+          .as("_h"))
+        .select(col(groupCol), posexplode(col("_h")).as(Seq("b", cnt)))
+    val w = Window.partitionBy(groupCol).orderBy("b")
+    val wAll = Window.partitionBy(groupCol)
+    val width = (hi - lo) / nbins
+    val joined = buckets(a, "ca").join(buckets(b, "cb"), Seq(groupCol, "b"))
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .withColumn("n_a", sum("ca").over(wAll))
+      .withColumn("n_b", sum("cb").over(wAll))
+    joined
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .groupBy(col(groupCol), col("n_a"), col("n_b"))
+      .agg((round(sum(abs(
+        col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double"))) *
+        lit(width), 4) + lit(0.0)).as("emd"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("emd"))
+  }
+
   /** Embedding centroid drift per group: cosine of each group's mean
     * vector against the corpus mean, plus the norm ratio — the
     * embedding-space analogue of [[jsTokenShift]]: a group whose

@@ -14047,7 +14047,116 @@ object GemQueries {
           |      WHERE jaccard >= 0.8) pr
           |JOIN documents a ON a.doc_id = pr.id_a
           |JOIN documents b ON b.doc_id = pr.id_b
-          |GROUP BY 1 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 1-D Wasserstein drift (Drift.emdFromHists) on q160's exact
+    // setup: where KS reports only the worst single CDF gap, EMD
+    // integrates |ΔCDF| over the grid — the +100-char shift costs
+    // ~100 char-units of mass transport per language, which is the
+    // number a re-balancing job actually pays. Same two graft_hist
+    // sketches; neither sample ships a row.
+    QueryDef("q335_emd_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+        val b = docs.filter(col("doc_id") % 2 =!= 0)
+          .withColumn("n_chars", col("n_chars") + lit(100L))
+        Drift.emdFromHists(a, b, "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256)
+          .orderBy("lang")
+      },
+      Some("""WITH aa AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars AS DOUBLE) / 4.0), 0), 255) AS BIGINT)
+             |      AS b
+             |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+             |bb AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars + 100 AS DOUBLE) / 4.0), 0), 255)
+             |      AS BIGINT) AS b
+             |  FROM documents WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+             |langs AS (SELECT DISTINCT lang FROM documents),
+             |grid AS (SELECT lang, s AS b FROM langs
+             |         CROSS JOIN (SELECT unnest(range(256)) AS s)),
+             |ka AS (SELECT lang, b, count(*) AS c FROM aa GROUP BY 1, 2),
+             |kb AS (SELECT lang, b, count(*) AS c FROM bb GROUP BY 1, 2),
+             |j AS (SELECT g.lang, g.b, coalesce(ka.c, 0) AS ca,
+             |        coalesce(kb.c, 0) AS cb
+             |      FROM grid g
+             |      LEFT JOIN ka ON g.lang = ka.lang AND g.b = ka.b
+             |      LEFT JOIN kb ON g.lang = kb.lang AND g.b = kb.b),
+             |cum AS (SELECT lang, b,
+             |          sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+             |          sum(ca) OVER wa AS n_a, sum(cb) OVER wa AS n_b
+             |        FROM j
+             |        WINDOW w AS (PARTITION BY lang ORDER BY b),
+             |               wa AS (PARTITION BY lang))
+             |SELECT lang, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  round(sum(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |    - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) * 4.0, 4)
+             |    + 0.0 AS emd
+             |FROM cum WHERE n_a > 0 AND n_b > 0
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04) by
+    // pure op composition: adjacency bigrams → distinct undirected
+    // word graph (tokens keyed by portable hash) → the q83 PageRank
+    // kernel → top-10 by stationary score. The graph-centrality
+    // counterpart of q114's TF-IDF keywords: TF-IDF scores terms by
+    // rarity, TextRank by how central they sit in the co-occurrence
+    // structure.
+    QueryDef("q336_textrank_keywords",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        val pos = toks.select(col("doc_id"),
+          posexplode(col("tk")).as(Seq("pos", "w")))
+        val pairs = pos.alias("l")
+          .join(pos.alias("r"),
+            col("l.doc_id") === col("r.doc_id") &&
+              col("r.pos") === col("l.pos") + 1)
+          .select(col("l.w").as("wa"), col("r.w").as("wb"))
+          .where(col("wa") =!= col("wb"))
+          .select(Hashing.portableHash(col("wa")).as("src"),
+            Hashing.portableHash(col("wb")).as("dst"))
+          .distinct()
+        val names = pos.select(col("w")).distinct()
+          .select(col("w"), Hashing.portableHash(col("w")).as("id"))
+        PageRank.run(names.select("id"), "id", pairs, "src", "dst",
+            damping = 0.85, iters = 5)
+          .join(names, "id")
+          .select(col("w").as("token"), col("pr"))
+          .orderBy(col("pr").desc, col("token")).limit(10)
+          .orderBy(col("pr").desc, col("token"))
+      },
+      Some("WITH tkz AS (\n" +
+        """  SELECT doc_id, list_filter(
+          |    string_split_regex(text, ' +'), x -> x <> '') AS tk
+          |  FROM documents),
+          |bgs AS (SELECT unnest(list_transform(
+          |    generate_series(1, len(tk) - 1),
+          |    i -> tk[i] || chr(1) || tk[i + 1])) AS bg FROM tkz),
+          |spl AS (SELECT string_split(bg, chr(1))[1] AS wa,
+          |    string_split(bg, chr(1))[2] AS wb FROM bgs),
+          |""".stripMargin +
+        s"""ed AS (SELECT DISTINCT
+           |    ${Hashing.duckPortableHash("wa")} AS src,
+           |    ${Hashing.duckPortableHash("wb")} AS dst
+           |  FROM spl WHERE wa <> wb),
+           |names AS (SELECT w, ${Hashing.duckPortableHash("w")} AS id
+           |  FROM (SELECT DISTINCT unnest(tk) AS w FROM tkz)),
+           |prnodes AS (SELECT id FROM names),
+           |predges AS (SELECT src, dst FROM ed
+           |            UNION SELECT dst, src FROM ed),
+           |""".stripMargin +
+        pageRankCtes(d = 0.85, iters = 5) + "\n" +
+        """SELECT n.w AS token,
+          |  round(coalesce(p.pr, iso5.pr), 6) AS pr
+          |FROM prnodes nd
+          |LEFT JOIN pre5 p USING (id) CROSS JOIN iso5
+          |JOIN names n ON n.id = nd.id
+          |ORDER BY pr DESC, token LIMIT 10""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

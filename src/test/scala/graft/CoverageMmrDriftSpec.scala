@@ -102,6 +102,22 @@ class CoverageMmrDriftSpec extends SparkSpec {
     assert(m(4L) == ((2, 1, 1)))
   }
 
+  test("emdFromHists: a uniform +2 shift costs exactly 2 units") {
+    // A = {1, 3}, B = {3, 5}: every point moves +2, so W1 = 2.0 —
+    // the property KS cannot see (its statistic is 0.5 for ANY
+    // non-overlap pattern of this size).
+    val a = Seq(("g", 1.0), ("g", 3.0)).toDF("grp", "v")
+    val b = Seq(("g", 3.0), ("g", 5.0)).toDF("grp", "v")
+    val r = graft.ops.Drift.emdFromHists(a, b, "grp", "v",
+      lo = 0.0, hi = 8.0, nbins = 8).collect()(0)
+    assert(r.getAs[Double]("emd") == 2.0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    // Identical samples: zero transport.
+    val z = graft.ops.Drift.emdFromHists(a, a, "grp", "v",
+      lo = 0.0, hi = 8.0, nbins = 8).collect()(0)
+    assert(z.getAs[Double]("emd") == 0.0)
+  }
+
   test("centroidDrift: aligned group = cosine 1, opposed = -1") {
     val df = Seq(
       ("up", Seq(1.0f, 0.0f)), ("up", Seq(3.0f, 0.0f)),

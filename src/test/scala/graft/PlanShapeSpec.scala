@@ -275,6 +275,9 @@ class PlanShapeSpec extends SparkSpec {
       // q327: the 1-row calibration count / q̂ order statistic
       // crosses into the evaluation pass.
       "q327_conformal_interval",
+      // q336: PageRank.run's 1-row dangling-mass cross (q83's shape)
+      // inside the TextRank composition.
+      "q336_textrank_keywords",
       // q328: the 1-row vocab totals cross onto the checkpoint rows.
       // q329: Mixing's 1-row α-weight total (q324's shape).
       "q328_vocab_coverage", "q329_mixture_rebalance",
