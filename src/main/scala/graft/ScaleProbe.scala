@@ -149,7 +149,36 @@ object ScaleProbe {
         "skeleton_dedup" -> (() =>
           graft.ops.Homoglyph.dupGroups(df, "doc_id", "text")),
         "bm25_index_build" -> (() =>
-          graft.ops.Retrieval.bm25Postings(df, "doc_id", "text")))
+          graft.ops.Retrieval.bm25Postings(df, "doc_id", "text")),
+        // Round-12 session-2 tier. vocab_coverage: the tiled corpus
+        // multiplies the VOCAB too (disjoint token prefixes), so this
+        // measures the distributed rank/prefix-sum path on a
+        // Heaps-law-growing frame — the exact thing the q214-class
+        // single-task window would have died on. conformal: one
+        // combinable mean + one distributed sort of the calibration
+        // half. emd_drift: two bounded sketches per group — expect
+        // near-flat (sketch size is nbins, not rows). stump: one
+        // combinable (feature × bucket) aggregate — near-flat too.
+        "vocab_coverage" -> (() =>
+          TextAnalysis.vocabCoverage(df, "text",
+            Seq(1L, 10L, 100L, 1000L))),
+        "conformal" -> (() =>
+          graft.ops.Conformal.splitConformalMean(
+            df.withColumn("v", col("n_chars").cast("double")),
+            "doc_id", "lang", "v", alphaPpm = 100000L)),
+        "emd_drift" -> (() =>
+          graft.ops.Drift.emdFromHists(
+            df.filter(col("doc_id") % 2 === 0),
+            df.filter(col("doc_id") % 2 =!= 0)
+              .withColumn("n_chars", col("n_chars") + lit(100L)),
+            "lang", "n_chars", lo = 0.0, hi = 1024.0, nbins = 256)),
+        "decision_stump" -> (() =>
+          graft.ops.DecisionStump.fit(
+            df.select(col("n_chars"),
+              TextAnalysis.tokenCount(col("text")).cast("long")
+                .as("n_tokens"),
+              when(col("n_chars") >= 300, 1L).otherwise(0L).as("y")),
+            "y", Seq(("n_chars", 100L), ("n_tokens", 10L)))))
       ops.filter(o => opFilter.forall(_.contains(o._1))).foreach { case (name, f) =>
         val sec = time(f())
         println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")

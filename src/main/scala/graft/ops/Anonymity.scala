@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,68 @@ object Anonymity {
     *         `n_classes`, `n_below_l`, `records_below_l`, `min_l`
     *         (the dataset's true l)
     */
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): the
+    * step after [[lDiversity]] — a class can hold l distinct
+    * sensitive values and STILL leak when its distribution is skewed
+    * far from the corpus-wide one (all-low-salary classes are
+    * disclosive even with many distinct salaries). Closeness is the
+    * 1-D earth-mover distance between the class's sensitive
+    * distribution and the global one over the ORDERED sensitive
+    * domain with unit adjacent-bucket ground distance (the paper's
+    * numeric-attribute form; [[graft.ops.Drift.emdFromHists]] is the
+    * same integral at corpus-drift grain).
+    *
+    * Scale shape: one (QI, sens) count aggregate; the sensitive
+    * DOMAIN is attribute-bounded (broadcast), so densifying each
+    * class against it is a dim-sized broadcast join, cumsums window
+    * PARTITIONED by class, and the report ranks only the topN
+    * worst via explicit TakeOrderedAndProject.
+    *
+    * @return topN rows: `risk_rank`, QI cols, `class_size`, `emd`
+    *         (round 4, in bucket units), plus summary on every row:
+    *         `n_classes`, `n_above_t`, `max_emd`
+    */
+  def tCloseness(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      t: Double, topN: Int): DataFrame = {
+    val cells = df.groupBy(
+        (qiCols.map(col) :+ col(sensitiveCol).cast("long").as("_sv")): _*)
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val domain = cells.select(col("_sv")).distinct()
+    val global = cells.groupBy("_sv").agg(sum("_n").as("_gn"))
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum("_n").as("class_size"))
+    val grid = classes.crossJoin(broadcast(domain))
+      .join(cells, qiCols :+ "_sv", "left")
+      .na.fill(0L, Seq("_n"))
+      .join(broadcast(global), Seq("_sv"))
+    val wc = Window.partitionBy(qiCols.map(col): _*).orderBy("_sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.crossJoin(broadcast(
+      global.agg(sum("_gn").as("_gt"))))
+    val emd = tot
+      .withColumn("_cc", sum("_n").over(wc))
+      .withColumn("_cg", sum("_gn").over(wc))
+      .groupBy((qiCols.map(col) :+ col("class_size")): _*)
+      .agg(round(sum(abs(
+        col("_cc").cast("double") / col("class_size").cast("double") -
+          col("_cg").cast("double") / col("_gt").cast("double"))), 4)
+        .as("emd"))
+      .localCheckpoint(true)
+    val summary = emd.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("emd") > t, 1L).otherwise(0L)).as("n_above_t"),
+      max("emd").as("max_emd"))
+    val ordCols = col("emd").desc +: qiCols.map(col(_).asc)
+    emd.orderBy(ordCols: _*).limit(topN)
+      .withColumn("risk_rank", row_number().over(Window.orderBy(ordCols: _*)))
+      .crossJoin(broadcast(summary))
+      .select((col("risk_rank") +: qiCols.map(col) :+
+        col("class_size") :+ col("emd") :+ col("n_classes") :+
+        col("n_above_t") :+ col("max_emd")): _*)
+  }
+
   def lDiversity(
       df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
       l: Long, topN: Int): DataFrame = {
@@ -95,5 +157,74 @@ object Anonymity {
       .select((col("risk_rank") +: qiCols.map(col) :+
         col("class_size") :+ col("n_sensitive") :+ col("n_classes") :+
         col("n_below_l") :+ col("records_below_l") :+ col("min_l")): _*)
+  }
+
+  /** ε-DP noisy-count release audit — the last rung of the privacy
+    * ladder after [[kAnonymity]]/[[lDiversity]]/[[tCloseness]]: those
+    * audit a deterministic release, this one QUANTIFIES the utility
+    * cost of the release that actually carries a privacy guarantee.
+    * Mechanism: the two-sided geometric (discrete Laplace) of
+    * Ghosh–Roughgarden–Sundararajan (STOC'09) — universally
+    * utility-maximizing for counts under ε-DP with α = e^(-ε); counts
+    * have sensitivity 1 under add/remove-one-row neighbors.
+    *
+    * Noise is drawn as G₁ − G₂ of two truncated geometrics: per
+    * group, `2·trials` members of the [[graft.functions.Hashing]]
+    * md5-seeded affine family act as Bernoulli(α) trials (success ⇔
+    * h < ⌊α·P31⌋, integer-exact in both engines) and Gᵢ is the count
+    * of leading successes. Truncation at `trials` bounds |noise| (tail
+    * mass α^trials — pick trials so it is negligible at your ε).
+    * DETERMINISTIC seeding makes the draw reproducible and
+    * oracle-checkable — and means this op is a release *rehearsal*,
+    * not the release itself: a production release must swap `seed`
+    * for a secret high-entropy value (with a public seed the noise is
+    * recomputable and the guarantee void). Cells whose noisy count
+    * falls below `suppressBelow` are suppressed (null `released`),
+    * the standard small-cell rule layered over DP.
+    *
+    * Scale shape: one count aggregate on the release grain; noise,
+    * suppression and the release are narrow per-group expressions,
+    * and the summary is a 1-row broadcast back onto the group frame.
+    *
+    * @param alphaPpm α = e^(-ε) in parts-per-million (500000 ⇒
+    *                 ε = ln 2 ≈ 0.693)
+    * @return per group: `n` (true count — this is the utility AUDIT
+    *         view; publish only `released`), `noise`, `released`
+    *         (null when suppressed), `suppressed`, plus on every row:
+    *         `n_groups`, `n_suppressed`, `l1_noise` (Σ|noise|)
+    */
+  def dpNoisyCounts(
+      df: DataFrame, groupCols: Seq[String], alphaPpm: Long,
+      trials: Int, suppressBelow: Long, seed: String): DataFrame = {
+    val thresh = alphaPpm * graft.functions.Hashing.P31 / 1000000L
+    val key = concat_ws(":",
+      (lit(seed) +: groupCols.map(c => col(c).cast("string"))): _*)
+    val hs = graft.functions.Hashing.universalHashes(key, 2 * trials)
+    val succ = transform(hs, h => when(h < thresh, 1).otherwise(0))
+    // Count of leading successes = 0-based position of the first
+    // failure (array_position is 1-based, 0 when absent → trials).
+    def leadRun(c: Column): Column = {
+      val p = array_position(c, 0)
+      when(p > 0L, p - 1L).otherwise(lit(trials.toLong))
+    }
+    val noisy = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_succ", succ)
+      .withColumn("noise",
+        leadRun(slice(col("_succ"), 1, trials)) -
+          leadRun(slice(col("_succ"), trials + 1, trials)))
+      .withColumn("_rel", greatest(col("n") + col("noise"), lit(0L)))
+      .withColumn("suppressed",
+        when(col("_rel") < suppressBelow, 1).otherwise(0))
+      .withColumn("released", when(col("suppressed") === 0, col("_rel")))
+      .localCheckpoint(true)
+    val summary = noisy.agg(
+      count(lit(1)).as("n_groups"),
+      sum("suppressed").cast("long").as("n_suppressed"),
+      sum(abs(col("noise"))).as("l1_noise"))
+    noisy.crossJoin(broadcast(summary))
+      .select((groupCols.map(col) :+ col("n") :+ col("noise") :+
+        col("released") :+ col("suppressed") :+ col("n_groups") :+
+        col("n_suppressed") :+ col("l1_noise")): _*)
   }
 }

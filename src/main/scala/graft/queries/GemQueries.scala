@@ -12,7 +12,7 @@ import graft.ops.{Agreement, Allocate, Anonymity, AsofJoin, Attribution,
   Dedup, Drift, Dsir, GemPipeline, GraphMetrics, Homoglyph,
   IncrementalAgg, Isotonic,
   Experiment, IntervalJoin, Linkage,
-  FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
+  Fairness, FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
   LineDedup, LogReg,
   Markov, Merge, Multimodal, NaiveBayes, TimeWeighted,
   Normalize, Outliers, Ownership, Packing, PageRank, Pca, Pii, Profile,
@@ -14156,7 +14156,188 @@ object GemQueries {
           |FROM prnodes nd
           |LEFT JOIN pre5 p USING (id) CROSS JOIN iso5
           |JOIN names n ON n.id = nd.id
-          |ORDER BY pr DESC, token LIMIT 10""".stripMargin))
+          |ORDER BY pr DESC, token LIMIT 10""".stripMargin)),
+
+    // t-closeness audit (Anonymity.tCloseness, Li et al. ICDE'07) on
+    // q326's customer extract: classes that PASS l-diversity can
+    // still leak when their sensitive distribution sits far from the
+    // global one — closeness is the 1-D EMD over the ordered acctbal
+    // buckets (q335's integral at governance grain). The worst-15
+    // classes are the disclosure surface; the summary counts classes
+    // above t = 0.35.
+    QueryDef("q337_t_closeness",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("band"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("sens"))
+        Anonymity.tCloseness(cust,
+          Seq("c_nationkey", "c_mktsegment", "band"), "sens",
+          t = 0.35, topN = 15)
+          .orderBy("risk_rank")
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens
+             |  FROM customer),
+             |cells AS (SELECT c_nationkey, c_mktsegment, band, sens,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM cust GROUP BY 1, 2, 3, 4),
+             |dom AS (SELECT DISTINCT sens FROM cells),
+             |gdist AS (SELECT sens, CAST(sum(n) AS BIGINT) AS gn
+             |  FROM cells GROUP BY 1),
+             |gt AS (SELECT CAST(sum(gn) AS BIGINT) AS gt FROM gdist),
+             |cls AS (SELECT c_nationkey, c_mktsegment, band,
+             |    CAST(sum(n) AS BIGINT) AS class_size
+             |  FROM cells GROUP BY 1, 2, 3),
+             |grid AS (SELECT c.c_nationkey, c.c_mktsegment, c.band,
+             |    c.class_size, d.sens, coalesce(ce.n, 0) AS n, g.gn
+             |  FROM cls c CROSS JOIN dom d
+             |  LEFT JOIN cells ce ON ce.c_nationkey = c.c_nationkey
+             |    AND ce.c_mktsegment = c.c_mktsegment
+             |    AND ce.band = c.band AND ce.sens = d.sens
+             |  JOIN gdist g ON g.sens = d.sens),
+             |cum AS (SELECT *, sum(n) OVER w AS cc, sum(gn) OVER w AS cg
+             |  FROM grid, gt
+             |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment, band
+             |    ORDER BY sens ROWS UNBOUNDED PRECEDING)),
+             |emd AS (SELECT c_nationkey, c_mktsegment, band, class_size,
+             |    round(sum(abs(CAST(cc AS DOUBLE) / CAST(class_size AS DOUBLE)
+             |      - CAST(cg AS DOUBLE) / CAST(gt AS DOUBLE))), 4) AS emd
+             |  FROM cum GROUP BY 1, 2, 3, 4),
+             |summ AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             |    CAST(sum(CASE WHEN emd > 0.35 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_above_t,
+             |    max(emd) AS max_emd
+             |  FROM emd),
+             |top AS (SELECT *, row_number() OVER (
+             |      ORDER BY emd DESC, c_nationkey ASC,
+             |        c_mktsegment ASC, band ASC) AS risk_rank
+             |  FROM emd
+             |  ORDER BY emd DESC, c_nationkey ASC, c_mktsegment ASC,
+             |    band ASC
+             |  LIMIT 15)
+             |SELECT risk_rank, c_nationkey, c_mktsegment, band,
+             |  class_size, emd, n_classes, n_above_t, max_emd
+             |FROM top, summ ORDER BY risk_rank""".stripMargin)),
+
+    // Per-language fairness audit of the quality gate
+    // (Fairness.selectionParity + equalizedOdds): does
+    // `qualityScore >= 0.5` keep each language at comparable rates
+    // (four-fifths rule), and are its ERRORS balanced against the
+    // long-document ground truth? The per-group corpus-governance
+    // table a multilingual data card publishes.
+    QueryDef("q338_fairness_audit",
+      (s, dir) => {
+        val q = TextAnalysis.qualityScore(col("text"))
+        val docs = t(s, dir, "documents").select(col("lang"),
+          (q >= 0.5).cast("int").as("kept"),
+          (col("n_chars") >= 300L).cast("int").as("y"))
+        Fairness.selectionParity(docs, "lang", "kept")
+          .join(Fairness.equalizedOdds(docs, "lang", "kept", "y"),
+            Seq("lang"))
+          .orderBy("lang")
+      },
+      Some("""WITH tkq AS (
+             |  SELECT lang, n_chars, list_filter(
+             |    string_split_regex(text, ' +'), x -> x <> '') AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT lang,
+             |    CASE WHEN round((
+             |        CASE WHEN len(tk) BETWEEN 5 AND 10000
+             |          THEN 1.0 ELSE 0.0 END
+             |        + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+             |        + CASE WHEN len(list_filter(tk, x -> x IN
+             |            ('the','a','an','of','and','to','in','is'))) > 0
+             |          THEN 1.0 ELSE 0.0 END) / 3.0, 4) >= 0.5
+             |      THEN 1 ELSE 0 END AS kept,
+             |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+             |  FROM tkq),
+             |per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(kept) AS BIGINT) AS n_selected,
+             |    CAST(sum(y) AS BIGINT) AS n_pos,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+             |    CAST(sum(CASE WHEN y = 1 AND kept = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN y = 0 AND kept = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS fp
+             |  FROM base GROUP BY 1),
+             |rates AS (SELECT *,
+             |    (n_selected * 1000000) // n AS sel_rate_ppm,
+             |    CASE WHEN n_pos > 0
+             |      THEN (tp * 1000000) // n_pos END AS tpr_ppm,
+             |    CASE WHEN n_neg > 0
+             |      THEN (fp * 1000000) // n_neg END AS fpr_ppm
+             |  FROM per),
+             |best AS (SELECT max(sel_rate_ppm) AS best FROM rates),
+             |ov AS (SELECT
+             |    (CAST(sum(tp) AS BIGINT) * 1000000) //
+             |      CAST(sum(n_pos) AS BIGINT) AS otpr,
+             |    (CAST(sum(fp) AS BIGINT) * 1000000) //
+             |      CAST(sum(n_neg) AS BIGINT) AS ofpr
+             |  FROM per)
+             |SELECT lang, n, n_selected, sel_rate_ppm,
+             |  round(CAST(sel_rate_ppm AS DOUBLE) /
+             |    CAST(best AS DOUBLE), 4) AS ratio_to_best,
+             |  CASE WHEN sel_rate_ppm * 5 < best * 4 THEN 1 ELSE 0 END
+             |    AS four_fifths_flag,
+             |  n_pos, n_neg, tpr_ppm, fpr_ppm,
+             |  tpr_ppm - otpr AS tpr_gap_ppm,
+             |  fpr_ppm - ofpr AS fpr_gap_ppm
+             |FROM rates, best, ov ORDER BY lang""".stripMargin)),
+
+    // ε-DP noisy-count release rehearsal (Anonymity.dpNoisyCounts,
+    // Ghosh–Roughgarden–Sundararajan geometric mechanism) over the
+    // q266/q337 governance grain: nation × mktsegment customer counts
+    // at ε = ln 2 (alphaPpm 500000), noise from md5-seeded Bernoulli
+    // trial runs (integer-exact, so DuckDB replays the exact draw),
+    // small cells suppressed below 5. The utility audit a data
+    // steward reads before choosing ε.
+    QueryDef("q339_dp_release",
+      (s, dir) =>
+        Anonymity.dpNoisyCounts(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), alphaPpm = 500000L,
+          trials = 30, suppressBelow = 5L, seed = "r12")
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some {
+        val h = graft.functions.Hashing.duckUniversalHash("s", "k")
+        val thresh = 500000L * graft.functions.Hashing.P31 / 1000000L
+        s"""WITH cnt AS (
+           |  SELECT c_nationkey, c_mktsegment,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    'r12:' || CAST(c_nationkey AS VARCHAR) || ':' ||
+           |      c_mktsegment AS k
+           |  FROM customer GROUP BY 1, 2),
+           |tr AS (SELECT c_nationkey, c_mktsegment, n, k,
+           |    unnest(generate_series(0, 59)) AS s FROM cnt),
+           |hh AS (SELECT c_nationkey, c_mktsegment, n, s,
+           |    $h AS h FROM tr),
+           |gg AS (SELECT c_nationkey, c_mktsegment, n,
+           |    coalesce(min(CASE WHEN s < 30 AND h >= $thresh
+           |      THEN s END), 30) AS g1,
+           |    coalesce(min(CASE WHEN s >= 30 AND h >= $thresh
+           |      THEN s - 30 END), 30) AS g2
+           |  FROM hh GROUP BY 1, 2, 3),
+           |nz AS (SELECT c_nationkey, c_mktsegment, n,
+           |    CAST(g1 - g2 AS BIGINT) AS noise,
+           |    greatest(n + g1 - g2, 0) AS rel
+           |  FROM gg),
+           |fl AS (SELECT c_nationkey, c_mktsegment, n, noise,
+           |    CASE WHEN rel < 5 THEN 1 ELSE 0 END AS suppressed,
+           |    CASE WHEN rel >= 5 THEN CAST(rel AS BIGINT) END
+           |      AS released
+           |  FROM nz),
+           |summ AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           |    CAST(sum(suppressed) AS BIGINT) AS n_suppressed,
+           |    CAST(sum(abs(noise)) AS BIGINT) AS l1_noise
+           |  FROM fl)
+           |SELECT c_nationkey, c_mktsegment, n, noise, released,
+           |  suppressed, n_groups, n_suppressed, l1_noise
+           |FROM fl, summ
+           |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -278,6 +278,14 @@ class PlanShapeSpec extends SparkSpec {
       // q336: PageRank.run's 1-row dangling-mass cross (q83's shape)
       // inside the TextRank composition.
       "q336_textrank_keywords",
+      // q337: the attribute-bounded sensitive DOMAIN (|values| ~ 11)
+      // broadcast-crosses onto the class frame to densify each
+      // class's distribution; plus the 1-row summary/total crosses.
+      "q337_t_closeness",
+      // q338: 1-row best-rate + overall-rate crosses (q102's shape).
+      "q338_fairness_audit",
+      // q339: the 1-row DP-release summary cross onto the group frame.
+      "q339_dp_release",
       // q328: the 1-row vocab totals cross onto the checkpoint rows.
       // q329: Mixing's 1-row α-weight total (q324's shape).
       "q328_vocab_coverage", "q329_mixture_rebalance",
@@ -478,6 +486,7 @@ object PlanShapeSpec {
     "q207_capped_topk",     // global rank over the 10-row result
     "q266_k_anonymity",     // risk rank over the ≤ topN smallest classes
     "q326_l_diversity",     // same shape: rank over the ≤ topN survivors
+    "q337_t_closeness",     // rank over the ≤ topN worst classes
     "q291_zipf_fit",        // ln(rank) points over the topK-row result
     // Two-pass prefix scans: the ONLY unpartitioned window runs on
     // the per-bucket partials frame (n/bucketSize rows, sized tiny
