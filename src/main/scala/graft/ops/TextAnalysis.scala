@@ -661,6 +661,87 @@ object TextAnalysis {
         col("n_types"), col("n_tokens"))
   }
 
+  /** Temporal-leakage audit: documents that mention dates AFTER the
+    * training cutoff either post-date the claimed snapshot (crawl
+    * metadata is wrong) or discuss events the model must not have
+    * seen — both invalidate "trained on data up to X" claims and
+    * contaminate time-split evaluations. Extracts ISO `YYYY-MM-DD`
+    * candidates, keeps calendar-plausible ones (month 01–12, day
+    * 01–31 — loose by design: an audit wants recall), and compares
+    * LEXICOGRAPHICALLY against the cutoff (ISO dates order as
+    * strings, so no engine-specific date parsing crosses the oracle).
+    *
+    * Scale shape: extraction/validation are narrow per-row
+    * higher-order functions inside codegen; the only shuffle is the
+    * final group-grain aggregate.
+    *
+    * @param cutoff ISO date string; dates strictly after it leak
+    * @return per group: `n_docs`, `n_docs_dated`, `n_dates`,
+    *         `n_future_dates`, `n_leaking_docs`, `leak_ppm`
+    *         (exact integer floor), `max_date` (null when no dates)
+    */
+  def temporalLeakage(
+      df: DataFrame, textCol: String, groupCol: String,
+      cutoff: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit("[0-9]{4}-[0-9]{2}-[0-9]{2}"), lit(0))
+    val valid = filter(cands, d =>
+      substring(d, 6, 2).between("01", "12") &&
+        substring(d, 9, 2).between("01", "31"))
+    val future = filter(valid, d => d > lit(cutoff))
+    df.select(col(groupCol),
+        size(valid).cast("long").as("_nd"),
+        size(future).cast("long").as("_nf"),
+        array_max(valid).as("_mx"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_nd") > 0L, 1L).otherwise(0L)).as("n_docs_dated"),
+        sum("_nd").as("n_dates"),
+        sum("_nf").as("n_future_dates"),
+        sum(when(col("_nf") > 0L, 1L).otherwise(0L))
+          .as("n_leaking_docs"),
+        max("_mx").as("max_date"))
+      .withColumn("leak_ppm",
+        expr("(n_leaking_docs * 1000000) DIV n_docs"))
+      .select(col(groupCol), col("n_docs"), col("n_docs_dated"),
+        col("n_dates"), col("n_future_dates"), col("n_leaking_docs"),
+        col("leak_ppm"), col("max_date"))
+  }
+
+  /** Context-length planning: what a per-document token cap costs at
+    * each candidate limit — the curve that picks a packing length
+    * (q91's bin size) or a truncation policy. For every limit L:
+    * how many documents exceed it, how many tokens survive
+    * (Σ min(n_tokens, L)), how many are cut (Σ max(n_tokens − L, 0)),
+    * and the waste as an exact ppm of the corpus.
+    *
+    * Scale shape: one narrow token-count projection, fanned out by
+    * the (tiny, caller-bounded) limit list, then a |limits|-group
+    * combinable aggregate — linear in rows × limits, no row ever
+    * carries text past the first projection.
+    *
+    * @return per limit: `cap`, `n_docs`, `n_truncated`,
+    *         `total_tokens`, `kept_tokens`, `lost_tokens`,
+    *         `waste_ppm`
+    */
+  def truncationWaste(
+      df: DataFrame, textCol: String, limits: Seq[Long]): DataFrame = {
+    require(limits.nonEmpty, "limits must be non-empty")
+    df.select(tokenCount(col(textCol)).cast("long").as("_nt"))
+      .select(col("_nt"),
+        explode(array(limits.map(lit): _*)).as("cap"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_nt") > col("cap"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum("_nt").as("total_tokens"),
+        sum(least(col("_nt"), col("cap"))).as("kept_tokens"),
+        sum(greatest(col("_nt") - col("cap"), lit(0L)))
+          .as("lost_tokens"))
+      .withColumn("waste_ppm",
+        expr("(lost_tokens * 1000000) DIV total_tokens"))
+  }
+
   /** Convenience: annotate a documents frame with all signals. */
   def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

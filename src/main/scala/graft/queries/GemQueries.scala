@@ -14337,7 +14337,92 @@ object GemQueries {
            |  suppressed, n_groups, n_suppressed, l1_noise
            |FROM fl, summ
            |ORDER BY c_nationkey, c_mktsegment""".stripMargin
-      })
+      }),
+
+    // Temporal-leakage audit (TextAnalysis.temporalLeakage): per
+    // source, documents mentioning ISO dates AFTER the training
+    // cutoff — snapshot-claim contamination for time-split evals.
+    // Dates are planted deterministically from doc_id (the q333 IBAN
+    // pattern): %5 past dates, %7 future dates past the 2025-12-31
+    // cutoff, %11 a calendar-invalid 2024-13-41 the validator must
+    // reject; the oracle recomputes the expected counts analytically
+    // from the plant arithmetic, never running the regex.
+    QueryDef("q340_temporal_leakage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mm = lpad(((col("doc_id") % 12L) + 1L).cast("string"), 2, "0")
+        val dd = lpad(((col("doc_id") % 28L) + 1L).cast("string"), 2, "0")
+        val past = concat(lit(" archived "),
+          (lit(2020L) + col("doc_id") % 4L).cast("string"),
+          lit("-"), mm, lit("-"), dd)
+        val fut = concat(lit(" scheduled "),
+          (lit(2027L) + col("doc_id") % 3L).cast("string"),
+          lit("-"), mm, lit("-"), dd)
+        val planted = docs.select(col("source"), concat(col("text"),
+          when(col("doc_id") % 5L === 0L, past).otherwise(lit("")),
+          when(col("doc_id") % 7L === 0L, fut).otherwise(lit("")),
+          when(col("doc_id") % 11L === 0L, lit(" v2024-13-41"))
+            .otherwise(lit(""))).as("text"))
+        TextAnalysis.temporalLeakage(planted, "text", "source",
+          cutoff = "2025-12-31")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS hp,
+             |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS hf,
+             |    CAST(2020 + doc_id % 4 AS VARCHAR) || '-' ||
+             |      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+             |      '-' ||
+             |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             |      AS pd,
+             |    CAST(2027 + doc_id % 3 AS VARCHAR) || '-' ||
+             |      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+             |      '-' ||
+             |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             |      AS fd
+             |  FROM documents),
+             |per AS (SELECT source, hp + hf AS nd, hf AS nf,
+             |    CASE WHEN hf = 1 THEN fd WHEN hp = 1 THEN pd END
+             |      AS mx
+             |  FROM d)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_docs_dated,
+             |  CAST(sum(nd) AS BIGINT) AS n_dates,
+             |  CAST(sum(nf) AS BIGINT) AS n_future_dates,
+             |  CAST(sum(nf) AS BIGINT) AS n_leaking_docs,
+             |  (CAST(sum(nf) AS BIGINT) * 1000000) // count(*)
+             |    AS leak_ppm,
+             |  max(mx) AS max_date
+             |FROM per GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Truncation-waste curve (TextAnalysis.truncationWaste): the cost
+    // of a per-document token cap at each candidate context length —
+    // the planning table behind q91's packing bin size. Exact integer
+    // token accounting at every cap.
+    QueryDef("q341_truncation_waste",
+      (s, dir) =>
+        TextAnalysis.truncationWaste(t(s, dir, "documents"), "text",
+          Seq(32L, 64L, 128L, 256L))
+          .orderBy("cap"),
+      Some("""WITH tk AS (
+             |  SELECT len(list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '')) AS nt
+             |  FROM documents),
+             |caps AS (SELECT unnest([32, 64, 128, 256]) AS cap),
+             |x AS (SELECT cap, nt FROM tk CROSS JOIN caps)
+             |SELECT CAST(cap AS BIGINT) AS cap,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN nt > cap THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_truncated,
+             |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+             |  CAST(sum(least(nt, cap)) AS BIGINT) AS kept_tokens,
+             |  CAST(sum(greatest(nt - cap, 0)) AS BIGINT)
+             |    AS lost_tokens,
+             |  (CAST(sum(greatest(nt - cap, 0)) AS BIGINT) * 1000000)
+             |    // CAST(sum(nt) AS BIGINT) AS waste_ppm
+             |FROM x GROUP BY cap ORDER BY cap""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

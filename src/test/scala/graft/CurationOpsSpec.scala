@@ -397,4 +397,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1L)._2.get > got(2L)._2.get)
     assert(got.values.count(_._3) == 1)
   }
+
+  test("temporalLeakage: future vs past split, invalid dates rejected") {
+    val df = Seq(
+      ("a", "released 2024-03-15 and 2026-01-02"), // one past, one future
+      ("a", "v2024-13-05 and 2023-06-99"),         // both calendar-invalid
+      ("a", "no dates at all"),
+      ("b", "meeting 2025-12-31")                  // ON the cutoff: not a leak
+    ).toDF("src", "text")
+    val got = TextAnalysis.temporalLeakage(df, "text", "src", "2025-12-31")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_docs_dated") == 1L) // invalid-only doc not dated
+    assert(a.getAs[Long]("n_dates") == 2L)
+    assert(a.getAs[Long]("n_future_dates") == 1L)
+    assert(a.getAs[Long]("n_leaking_docs") == 1L)
+    assert(a.getAs[Long]("leak_ppm") == 333333L)
+    assert(a.getAs[String]("max_date") == "2026-01-02")
+    val b = got("b")
+    assert(b.getAs[Long]("n_future_dates") == 0L)
+    assert(b.getAs[Long]("leak_ppm") == 0L)
+    assert(b.getAs[String]("max_date") == "2025-12-31")
+  }
+
+  test("truncationWaste: exact token accounting at each cap") {
+    // Docs of 2, 4 and 6 tokens; caps 3 and 10.
+    val df = Seq("a b", "a b c d", "a b c d e f").toDF("text")
+    val got = TextAnalysis.truncationWaste(df, "text", Seq(3L, 10L))
+      .collect().map(r => r.getAs[Long]("cap") -> r).toMap
+    val c3 = got(3L)
+    assert(c3.getAs[Long]("n_docs") == 3L)
+    assert(c3.getAs[Long]("n_truncated") == 2L)
+    assert(c3.getAs[Long]("total_tokens") == 12L)
+    assert(c3.getAs[Long]("kept_tokens") == 2L + 3L + 3L)
+    assert(c3.getAs[Long]("lost_tokens") == 0L + 1L + 3L)
+    assert(c3.getAs[Long]("waste_ppm") == 333333L)
+    val c10 = got(10L)
+    assert(c10.getAs[Long]("n_truncated") == 0L)
+    assert(c10.getAs[Long]("lost_tokens") == 0L)
+    assert(c10.getAs[Long]("kept_tokens") == 12L)
+    assert(c10.getAs[Long]("waste_ppm") == 0L)
+  }
 }
