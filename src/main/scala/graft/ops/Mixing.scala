@@ -63,4 +63,83 @@ object Mixing {
         (col("planned_tokens") - col("granted_tokens"))
           .as("shortfall_tokens"))
   }
+
+  /** Iterative proportional fitting (raking, Deming–Stephan 1940):
+    * reweight a two-way (row × col) composition so BOTH marginals hit
+    * caller targets — the corpus-rebalancing move when you must match
+    * a target language mix WITHOUT changing each language's source
+    * profile more than necessary (IPF is the minimum-KL such
+    * adjustment). Alternate row- and column-scaling for a fixed
+    * number of rounds; with fixed rounds the result is deterministic
+    * and the oracle replays it exactly.
+    *
+    * Integer-exact throughout: cell masses live in ppb of the corpus
+    * (int64), each scaling is `(w · target) DIV marginal-mass` —
+    * products stay ≤ 1e18 < 2^63. Cells below 1 ppb floor to 0 and
+    * stay there (documented: raking a cell that is < 10⁻⁹ of the
+    * corpus is noise at any realistic grain).
+    *
+    * Scale shape: ONE (row × col) count aggregate over the data; all
+    * `rounds` iterations run on that grid frame with leaderboard-sized
+    * marginal broadcasts — the corpus is never touched again.
+    *
+    * @param rowTargets (row value, target ppb) — rows absent here get
+    *                   target 0 and rake to nothing; targets should
+    *                   sum to ~1e9
+    * @param colTargets same for the column marginal
+    * @return per cell: rowCol, colCol, `n`, `n_ppb` (observed),
+    *         `w_ppb` (raked), plus on every row `row_dev_ppb` /
+    *         `col_dev_ppb` (max |achieved − target| over the
+    *         respective marginal after the last round)
+    */
+  def ipfRake(
+      df: DataFrame, rowCol: String, colCol: String,
+      rowTargets: Seq[(String, Long)], colTargets: Seq[(String, Long)],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, s"rounds in [1,30]: $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rt = broadcast(rowTargets.toDF(rowCol, "_rt"))
+    val ct = broadcast(colTargets.toDF(colCol, "_ct"))
+    val cells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum("n").as("_tot"))
+    var w = cells.crossJoin(broadcast(total))
+      .withColumn("w_ppb", expr("(n * 1000000000) DIV _tot"))
+      .drop("_tot")
+      .withColumn("n_ppb", col("w_ppb"))
+      .localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val rm = w.groupBy(rowCol).agg(sum("w_ppb").as("_rm"))
+      w = w.join(broadcast(rm), Seq(rowCol))
+        .join(rt, Seq(rowCol), "left")
+        .withColumn("w_ppb",
+          when(col("_rm") > 0L,
+            expr("(w_ppb * coalesce(_rt, 0)) DIV _rm")).otherwise(0L))
+        .drop("_rm", "_rt")
+      val cm = w.groupBy(colCol).agg(sum("w_ppb").as("_cm"))
+      w = w.join(broadcast(cm), Seq(colCol))
+        .join(ct, Seq(colCol), "left")
+        .withColumn("w_ppb",
+          when(col("_cm") > 0L,
+            expr("(w_ppb * coalesce(_ct, 0)) DIV _cm")).otherwise(0L))
+        .drop("_cm", "_ct")
+      // Each round reads `w` TWICE (marginal + rescale join), so the
+      // un-pinned logical plan doubles per half-round — the measured
+      // exponential-planning trap. Grid state is model-sized: pin
+      // every round (see Iterate scaladoc).
+      w = Iterate.pin(w)
+    }
+    val rowDev = w.groupBy(rowCol).agg(sum("w_ppb").as("_am"))
+      .join(rt, Seq(rowCol), "left")
+      .agg(max(abs(col("_am") - coalesce(col("_rt"), lit(0L))))
+        .as("row_dev_ppb"))
+    val colDev = w.groupBy(colCol).agg(sum("w_ppb").as("_am"))
+      .join(ct, Seq(colCol), "left")
+      .agg(max(abs(col("_am") - coalesce(col("_ct"), lit(0L))))
+        .as("col_dev_ppb"))
+    w.crossJoin(broadcast(rowDev)).crossJoin(broadcast(colDev))
+      .select(col(rowCol), col(colCol), col("n"), col("n_ppb"),
+        col("w_ppb"), col("row_dev_ppb"), col("col_dev_ppb"))
+  }
 }

@@ -13359,6 +13359,48 @@ object GemQueries {
       +: rounds).mkString(",\n")
   }
 
+  /** q342 oracle: unrolled IPF rounds over the lang × source grid.
+    * MATERIALIZED for the btCtes reason (each round reads the prior
+    * one twice). Integer ppb arithmetic mirrors Mixing.ipfRake: w·t
+    * products ≤ 1e18 fit BIGINT; DuckDB sums promote to HUGEINT,
+    * which stays exact and is cast back at the end.
+    */
+  private def ipfCtes(rounds: Int): String = {
+    val setup =
+      """rt AS MATERIALIZED (
+        |  SELECT lang, 1000000000 // (SELECT count(*) FROM
+        |      (SELECT DISTINCT lang FROM documents)) AS t
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |ct AS MATERIALIZED (
+        |  SELECT source, (CAST(count(*) AS BIGINT) * 1000000000) //
+        |      (SELECT CAST(count(*) AS BIGINT) FROM documents) AS t
+        |  FROM documents GROUP BY 1),
+        |w0 AS MATERIALIZED (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(count(*) AS BIGINT) * 1000000000) //
+        |      (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nb,
+        |    (CAST(count(*) AS BIGINT) * 1000000000) //
+        |      (SELECT CAST(count(*) AS BIGINT) FROM documents) AS w
+        |  FROM documents GROUP BY 1, 2)""".stripMargin
+    val iter = (1 to rounds).map { k =>
+      s"""rm$k AS MATERIALIZED (SELECT lang, sum(w) AS m
+         |  FROM w${k - 1} GROUP BY 1),
+         |wa$k AS MATERIALIZED (SELECT w.lang, w.source, w.n, w.nb,
+         |    CASE WHEN m > 0 THEN (w * coalesce(t, 0)) // m
+         |      ELSE 0 END AS w
+         |  FROM w${k - 1} w JOIN rm$k USING (lang)
+         |  LEFT JOIN rt USING (lang)),
+         |cm$k AS MATERIALIZED (SELECT source, sum(w) AS m
+         |  FROM wa$k GROUP BY 1),
+         |w$k AS MATERIALIZED (SELECT w.lang, w.source, w.n, w.nb,
+         |    CASE WHEN m > 0 THEN (w * coalesce(t, 0)) // m
+         |      ELSE 0 END AS w
+         |  FROM wa$k w JOIN cm$k USING (source)
+         |  LEFT JOIN ct USING (source))""".stripMargin
+    }
+    (setup +: iter).mkString(",\n")
+  }
+
   /** Round-12 session 2: preference/annotation QA, training-mixture
     * planning, soft dedup, l-diversity, conformal intervals
     * (q321–q328). Each cites the published estimator it implements;
@@ -14422,7 +14464,41 @@ object GemQueries {
              |    AS lost_tokens,
              |  (CAST(sum(greatest(nt - cap, 0)) AS BIGINT) * 1000000)
              |    // CAST(sum(nt) AS BIGINT) AS waste_ppm
-             |FROM x GROUP BY cap ORDER BY cap""".stripMargin))
+             |FROM x GROUP BY cap ORDER BY cap""".stripMargin)),
+
+    // IPF raking (Mixing.ipfRake, Deming–Stephan 1940): rebalance the
+    // lang × source composition to a UNIFORM language marginal while
+    // preserving the observed source marginal — the minimum-KL
+    // reweighting, 4 alternating scaling rounds in exact ppb integer
+    // arithmetic so the oracle replays every floor. Targets are
+    // derived from the data (uniform langs / observed sources), the
+    // corpus is touched once (the grid count); all iterations ride
+    // the grid with marginal-sized broadcasts.
+    QueryDef("q342_ipf_rake",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val langs = docs.select("lang").distinct().orderBy("lang")
+          .collect().map(_.getString(0)).toSeq
+        val rowT = langs.map(_ -> 1000000000L / langs.length)
+        val total = docs.count()
+        val colT = docs.groupBy("source").count().collect()
+          .map(r => r.getString(0) ->
+            r.getLong(1) * 1000000000L / total).toSeq
+        Mixing.ipfRake(docs, "lang", "source", rowT, colT, rounds = 4)
+          .orderBy("lang", "source")
+      },
+      Some(s"""WITH ${ipfCtes(4)},
+             |dr AS (SELECT max(abs(am - coalesce(t, 0))) AS row_dev
+             |  FROM (SELECT lang, sum(w) AS am FROM w4 GROUP BY 1) a
+             |  LEFT JOIN rt USING (lang)),
+             |dc AS (SELECT max(abs(am - coalesce(t, 0))) AS col_dev
+             |  FROM (SELECT source, sum(w) AS am FROM w4 GROUP BY 1) a
+             |  LEFT JOIN ct USING (source))
+             |SELECT lang, source, n, CAST(nb AS BIGINT) AS n_ppb,
+             |  CAST(w AS BIGINT) AS w_ppb,
+             |  CAST(row_dev AS BIGINT) AS row_dev_ppb,
+             |  CAST(col_dev AS BIGINT) AS col_dev_ppb
+             |FROM w4, dr, dc ORDER BY lang, source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -286,6 +286,9 @@ class PlanShapeSpec extends SparkSpec {
       "q338_fairness_audit",
       // q339: the 1-row DP-release summary cross onto the group frame.
       "q339_dp_release",
+      // q342: 1-row total + row/col max-deviation crosses onto the
+      // lang × source grid.
+      "q342_ipf_rake",
       // q328: the 1-row vocab totals cross onto the checkpoint rows.
       // q329: Mixing's 1-row α-weight total (q324's shape).
       "q328_vocab_coverage", "q329_mixture_rebalance",

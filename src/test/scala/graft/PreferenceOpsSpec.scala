@@ -150,4 +150,39 @@ class PreferenceOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_width") ==
       2.0 * r.getAs[Double]("q"))
   }
+
+  test("ipfRake: fixed point when marginals already match targets") {
+    val df = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 4 }
+      yield (r, c)).toDF("r", "c")
+    val got = Mixing.ipfRake(df, "r", "c",
+      Seq("a" -> 500000000L, "b" -> 500000000L),
+      Seq("x" -> 500000000L, "y" -> 500000000L), rounds = 3).collect()
+    got.foreach { row =>
+      assert(row.getAs[Long]("w_ppb") == 250000000L)
+      assert(row.getAs[Long]("w_ppb") == row.getAs[Long]("n_ppb"))
+      assert(row.getAs[Long]("row_dev_ppb") == 0L)
+      assert(row.getAs[Long]("col_dev_ppb") == 0L)
+    }
+  }
+
+  test("ipfRake: converges to both marginals on a skewed grid") {
+    // counts: (a,x)=4 (a,y)=4 (b,x)=2 (b,y)=6 — lang marginal already
+    // uniform, source marginal 6/10; rake to uniform rows + observed
+    // cols, which IPF reaches to within floor residue.
+    val rows = Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(6)(("b", "y"))
+    val got = Mixing.ipfRake(rows.toDF("r", "c"), "r", "c",
+      Seq("a" -> 500000000L, "b" -> 500000000L),
+      Seq("x" -> 375000000L, "y" -> 625000000L), rounds = 8).collect()
+    val cell = got.map(r =>
+      (r.getAs[String]("r"), r.getAs[String]("c")) ->
+        r.getAs[Long]("w_ppb")).toMap
+    // Achieved marginals within a few ppb of target (integer floors).
+    assert(got.head.getAs[Long]("row_dev_ppb") <= 10L)
+    assert(got.head.getAs[Long]("col_dev_ppb") <= 10L)
+    assert(math.abs(cell(("a", "x")) + cell(("b", "x")) - 375000000L) <= 10L)
+    // IPF preserves the odds structure: within each row, mass shifts
+    // toward x for row a (x-heavy vs its target) — sanity direction.
+    assert(cell(("a", "x")) > cell(("b", "x")))
+  }
 }
