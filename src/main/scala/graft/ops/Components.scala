@@ -486,4 +486,58 @@ object Components {
         expr("((raw_mass * 1000000000) DIV (_eff_micro DIV 1000))" +
           " - 1000000").as("dup_inflation_ppm"))
   }
+
+  /** License/consent propagation over near-dup clusters: a document's
+    * EFFECTIVE license is the most restrictive one carried by ANY
+    * near-identical copy — releasing content under its own permissive
+    * label while a restricted twin exists is exactly the mistake a
+    * release review must catch (same content, different crawl,
+    * different terms). Ranks are caller-defined, higher = more
+    * restrictive; propagation is max-over-cluster.
+    *
+    * Scale shape: one id-keyed join of the doc frame to the cluster
+    * assignment, one component-grain max (component keys are
+    * high-cardinality — partitions evenly), one join back, one
+    * group-grain report aggregate. Unclustered docs keep their own
+    * rank and never shuffle on component.
+    *
+    * @param rankCol        integer restrictiveness rank per doc
+    * @param restrictedRank threshold for the "must not release" tier
+    * @return per group: `n_docs`, `n_in_clusters`, `n_upgraded`
+    *         (docs whose effective rank exceeds their own label),
+    *         `upgraded_ppm`, `max_upgrade` (worst rank jump),
+    *         `n_own_restricted`, `n_eff_restricted` (at
+    *         restrictedRank — the release-blocking delta is the
+    *         difference)
+    */
+  def licensePropagation(
+      docs: DataFrame, idCol: String, groupCol: String, rankCol: String,
+      clusters: DataFrame, restrictedRank: Long): DataFrame = {
+    val base = docs
+      .select(col(idCol), col(groupCol).as("_grp"),
+        col(rankCol).cast("long").as("_own"))
+      .join(clusters.select(col(idCol), col("component")),
+        Seq(idCol), "left")
+    val clusterMax = base.where(col("component").isNotNull)
+      .groupBy("component").agg(max("_own").as("_cmax"))
+    base.join(clusterMax, Seq("component"), "left")
+      .withColumn("_eff",
+        greatest(col("_own"), coalesce(col("_cmax"), col("_own"))))
+      .groupBy(col("_grp").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L))
+          .as("n_in_clusters"),
+        sum(when(col("_eff") > col("_own"), 1L).otherwise(0L))
+          .as("n_upgraded"),
+        max(col("_eff") - col("_own")).as("max_upgrade"),
+        sum(when(col("_own") >= restrictedRank, 1L).otherwise(0L))
+          .as("n_own_restricted"),
+        sum(when(col("_eff") >= restrictedRank, 1L).otherwise(0L))
+          .as("n_eff_restricted"))
+      .withColumn("upgraded_ppm",
+        expr("(n_upgraded * 1000000) DIV n_docs"))
+      .select(col(groupCol), col("n_docs"), col("n_in_clusters"),
+        col("n_upgraded"), col("upgraded_ppm"), col("max_upgrade"),
+        col("n_own_restricted"), col("n_eff_restricted"))
+  }
 }

@@ -14498,7 +14498,55 @@ object GemQueries {
              |  CAST(w AS BIGINT) AS w_ppb,
              |  CAST(row_dev AS BIGINT) AS row_dev_ppb,
              |  CAST(col_dev AS BIGINT) AS col_dev_ppb
-             |FROM w4, dr, dc ORDER BY lang, source""".stripMargin))
+             |FROM w4, dr, dc ORDER BY lang, source""".stripMargin)),
+
+    // License propagation over near-dup clusters
+    // (Components.licensePropagation): a permissively-labeled doc
+    // with a restricted near-identical twin is NOT releasable — the
+    // effective license is the cluster max. Rides q325's verified
+    // cluster chain; license ranks derived deterministically from
+    // doc_id (0 permissive / 1 attribution / 2 restricted).
+    QueryDef("q343_license_propagation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val slice = docs.filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val clusters = Components
+          .dedupClusters(slice, "doc_id", pairs, "id_a", "id_b")
+        val ranked = docs.withColumn("own",
+          when(col("doc_id") % 10L === 9L, 2L)
+            .when(col("doc_id") % 10L >= 6L, 1L).otherwise(0L))
+        Components.licensePropagation(ranked, "doc_id", "source",
+            "own", clusters, restrictedRank = 2L)
+          .orderBy("source")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        """lic AS (SELECT doc_id, source,
+          |    CASE WHEN doc_id % 10 = 9 THEN 2
+          |         WHEN doc_id % 10 >= 6 THEN 1 ELSE 0 END AS own
+          |  FROM documents),
+          |cm AS (SELECT c.component, max(l.own) AS cmax
+          |  FROM comp c JOIN lic l ON l.doc_id = c.id GROUP BY 1),
+          |eff AS (SELECT l.source, l.own,
+          |    CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END AS incl,
+          |    CASE WHEN c.id IS NOT NULL THEN greatest(l.own, cm.cmax)
+          |         ELSE l.own END AS eff
+          |  FROM lic l LEFT JOIN comp c ON c.id = l.doc_id
+          |  LEFT JOIN cm ON cm.component = c.component)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(incl) AS BIGINT) AS n_in_clusters,
+          |  CAST(sum(CASE WHEN eff > own THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_upgraded,
+          |  (CAST(sum(CASE WHEN eff > own THEN 1 ELSE 0 END)
+          |      AS BIGINT) * 1000000) // count(*) AS upgraded_ppm,
+          |  CAST(max(eff - own) AS BIGINT) AS max_upgrade,
+          |  CAST(sum(CASE WHEN own >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_own_restricted,
+          |  CAST(sum(CASE WHEN eff >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_eff_restricted
+          |FROM eff GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Anonymity, Fairness}
+import graft.ops.{Anonymity, Components, Fairness}
 import org.apache.spark.sql.functions._
 
 /** Hand semantics for the round-12 governance additions: t-closeness
@@ -64,6 +64,31 @@ class GovernanceFairnessSpec extends SparkSpec {
       .collect()
     assert(exact.forall(r => r.getAs[Long]("noise") == 0L &&
       r.getAs[Long]("released") == r.getAs[Long]("n")))
+  }
+
+  test("licensePropagation: cluster max wins; singletons and unclustered keep own") {
+    // d1 (permissive) shares a cluster with d2 (restricted) -> d1's
+    // effective rank upgrades to 2; d3 is unclustered, d4 a singleton.
+    val docs = Seq((1L, "s", 0L), (2L, "s", 2L), (3L, "s", 1L),
+      (4L, "t", 0L)).toDF("id", "g", "own")
+    val clusters = Seq((1L, 100L), (2L, 100L), (4L, 200L))
+      .toDF("id", "component")
+    val got = Components.licensePropagation(docs, "id", "g", "own",
+      clusters, restrictedRank = 2L)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val s = got("s")
+    assert(s.getAs[Long]("n_docs") == 3L)
+    assert(s.getAs[Long]("n_in_clusters") == 2L)
+    assert(s.getAs[Long]("n_upgraded") == 1L)
+    assert(s.getAs[Long]("upgraded_ppm") == 333333L)
+    assert(s.getAs[Long]("max_upgrade") == 2L)
+    assert(s.getAs[Long]("n_own_restricted") == 1L)
+    assert(s.getAs[Long]("n_eff_restricted") == 2L)
+    val t = got("t")
+    assert(t.getAs[Long]("n_in_clusters") == 1L)
+    assert(t.getAs[Long]("n_upgraded") == 0L)
+    assert(t.getAs[Long]("max_upgrade") == 0L)
+    assert(t.getAs[Long]("n_eff_restricted") == 0L)
   }
 
   test("selectionParity: rates, best-ratio, four-fifths flag") {
