@@ -65,4 +65,66 @@ object Classifier {
       " % 1000001 - 500000"
     s"list_sum(list_transform($toksExpr, t -> $w))"
   }
+
+  /** ROC operating table + exact tie-corrected AUC for a continuous
+    * score against a binary label — the standard readout for choosing
+    * a quality-gate threshold. AUC is the Mann–Whitney statistic in
+    * its grouped form: reduce to score-DISTINCT grain (pos/neg counts
+    * per score), then AUC·2PN = Σ_s (2·negBelow(s)·pos_s +
+    * neg_s·pos_s) — the half-credit term handles ties exactly. The
+    * cumulative negBelow runs on [[Rank.globalRowNumber]] +
+    * [[Rank.prefixSum]], never a single-task window, so the
+    * score-distinct frame may be data-proportional.
+    *
+    * Integer-exact until the final division: the AUC ratio is one
+    * double divide of two exact int64s (order-independent sums), so
+    * the rounded value is engine-portable. Confusion counts per
+    * threshold are exact; derived rates are integer-ppm floors.
+    *
+    * @param thresholds predicted-positive rule is `score >= t`
+    * @return one row per threshold: `thr`, `tp`, `fp`, `fn`, `tn`,
+    *         `precision_ppm` (null when nothing is predicted
+    *         positive), `recall_ppm`, `fpr_ppm`, `f1_ppm`, plus
+    *         `auc` (round 6) and `n_pos`/`n_neg` on every row
+    */
+  def rocAuc(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val byScore = df.groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"),
+        sum(when(!col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("neg"))
+      .localCheckpoint(true)
+    val ranked = Rank.globalRowNumber(byScore, Seq("s" -> true), "_rk")
+    val cum = Rank.prefixSum(ranked, "_rk", "neg", "_cneg")
+    val auc = cum.agg(
+      sum(lit(2L) * (col("_cneg") - col("neg")) * col("pos") +
+        col("neg") * col("pos")).as("_a2"),
+      sum("pos").as("n_pos"), sum("neg").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("_a2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    byScore
+      .select(col("s"), col("pos"), col("neg"),
+        explode(array(thresholds.map(lit): _*)).as("thr"))
+      .groupBy("thr")
+      .agg(sum(when(col("s") >= col("thr"), col("pos")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("s") >= col("thr"), col("neg")).otherwise(0L))
+          .as("fp"))
+      .crossJoin(broadcast(auc))
+      .withColumn("fn", col("n_pos") - col("tp"))
+      .withColumn("tn", col("n_neg") - col("fp"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp > 0" +
+          " THEN (tp * 1000000) DIV (tp + fp) END").as("precision_ppm"),
+        expr("(tp * 1000000) DIV n_pos").as("recall_ppm"),
+        expr("(fp * 1000000) DIV n_neg").as("fpr_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn > 0" +
+          " THEN (2 * tp * 1000000) DIV (2 * tp + fp + fn) END")
+          .as("f1_ppm"),
+        col("auc"), col("n_pos"), col("n_neg"))
+  }
 }

@@ -14546,7 +14546,70 @@ object GemQueries {
           |    AS n_own_restricted,
           |  CAST(sum(CASE WHEN eff >= 2 THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_eff_restricted
-          |FROM eff GROUP BY source ORDER BY source""".stripMargin))
+          |FROM eff GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ROC operating table + exact tie-corrected AUC
+    // (Classifier.rocAuc, Mann–Whitney grouped form) for the quality
+    // score against the long-document label — q338 judged ONE
+    // operating point for fairness; this sweeps the threshold and
+    // prices each choice in exact confusion counts. The cumulative
+    // tie term rides Rank.globalRowNumber + prefixSum, so the
+    // score-distinct frame never meets a single-task window.
+    QueryDef("q344_roc_auc",
+      (s, dir) => {
+        val q = TextAnalysis.qualityScore(col("text"))
+        val scored = t(s, dir, "documents").select(q.as("score"),
+          (col("n_chars") >= 300L).cast("int").as("y"))
+        Classifier.rocAuc(scored, "score", "y",
+          Seq(0.3, 0.5, 0.7, 0.9))
+          .orderBy("thr")
+      },
+      Some("""WITH tkq AS (
+             |  SELECT n_chars, list_filter(
+             |    string_split_regex(text, ' +'), x -> x <> '') AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT round((
+             |      CASE WHEN len(tk) BETWEEN 5 AND 10000
+             |        THEN 1.0 ELSE 0.0 END
+             |      + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+             |      + CASE WHEN len(list_filter(tk, x -> x IN
+             |          ('the','a','an','of','and','to','in','is'))) > 0
+             |        THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS s,
+             |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+             |  FROM tkq),
+             |bys AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+             |    CAST(sum(1 - y) AS BIGINT) AS neg
+             |  FROM base GROUP BY 1),
+             |cum AS (SELECT *, CAST(sum(neg) OVER (ORDER BY s
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cneg
+             |  FROM bys),
+             |auc AS (SELECT
+             |    CAST(sum(2 * (cneg - neg) * pos + neg * pos)
+             |      AS BIGINT) AS a2,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    CAST(sum(neg) AS BIGINT) AS n_neg
+             |  FROM cum),
+             |th AS (SELECT CAST(unnest([0.3, 0.5, 0.7, 0.9]) AS DOUBLE)
+             |    AS thr),
+             |tab AS (SELECT thr,
+             |    CAST(sum(CASE WHEN s >= thr THEN pos ELSE 0 END)
+             |      AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN s >= thr THEN neg ELSE 0 END)
+             |      AS BIGINT) AS fp
+             |  FROM bys CROSS JOIN th GROUP BY 1)
+             |SELECT thr, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn,
+             |  CASE WHEN tp + fp > 0
+             |    THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+             |  (tp * 1000000) // n_pos AS recall_ppm,
+             |  (fp * 1000000) // n_neg AS fpr_ppm,
+             |  CASE WHEN 2 * tp + fp + (n_pos - tp) > 0
+             |    THEN (2 * tp * 1000000) // (2 * tp + fp + (n_pos - tp))
+             |    END AS f1_ppm,
+             |  round(CAST(a2 AS DOUBLE) /
+             |    ((2.0 * n_pos) * n_neg), 6) AS auc,
+             |  n_pos, n_neg
+             |FROM tab, auc ORDER BY thr""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -289,6 +289,8 @@ class PlanShapeSpec extends SparkSpec {
       // q342: 1-row total + row/col max-deviation crosses onto the
       // lang × source grid.
       "q342_ipf_rake",
+      // q344: the 1-row AUC/totals cross onto the threshold table.
+      "q344_roc_auc",
       // q328: the 1-row vocab totals cross onto the checkpoint rows.
       // q329: Mixing's 1-row α-weight total (q324's shape).
       "q328_vocab_coverage", "q329_mixture_rebalance",

@@ -56,4 +56,34 @@ class ProfileClassifySpec extends SparkSpec {
     assert(got("s") == ((3L, 2L, 2L, None, None)),
       "string col: null count drops the null, no numeric min/max")
   }
+
+  test("rocAuc: tie-corrected hand value and exact confusion counts") {
+    // pos scores {0.8, 0.6, 0.4}, neg {0.6, 0.2}: of the 6 pairs,
+    // 4 are concordant and the 0.6-0.6 tie earns half -> AUC 0.75.
+    val df = Seq((0.8, 1), (0.6, 1), (0.4, 1), (0.6, 0), (0.2, 0))
+      .toDF("score", "y")
+    val got = Classifier.rocAuc(df, "score", "y", Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("thr") -> r).toMap
+    val t5 = got(0.5)
+    assert(t5.getAs[Double]("auc") == 0.75)
+    assert(t5.getAs[Long]("tp") == 2L && t5.getAs[Long]("fp") == 1L)
+    assert(t5.getAs[Long]("fn") == 1L && t5.getAs[Long]("tn") == 1L)
+    assert(t5.getAs[Long]("precision_ppm") == 666666L)
+    assert(t5.getAs[Long]("recall_ppm") == 666666L)
+    assert(t5.getAs[Long]("fpr_ppm") == 500000L)
+    assert(t5.getAs[Long]("f1_ppm") == 666666L)
+    // Threshold above every score: nothing predicted positive,
+    // precision null, zero recall.
+    val t9 = got(0.9)
+    assert(t9.getAs[Long]("tp") == 0L && t9.getAs[Long]("fp") == 0L)
+    assert(t9.isNullAt(t9.fieldIndex("precision_ppm")))
+    assert(t9.getAs[Long]("recall_ppm") == 0L)
+    // Perfect separation -> AUC 1; reversed labels -> AUC 0.
+    val sep = Seq((0.9, 1), (0.8, 1), (0.1, 0)).toDF("score", "y")
+    assert(Classifier.rocAuc(sep, "score", "y", Seq(0.5))
+      .collect()(0).getAs[Double]("auc") == 1.0)
+    val rev = Seq((0.9, 0), (0.1, 1)).toDF("score", "y")
+    assert(Classifier.rocAuc(rev, "score", "y", Seq(0.5))
+      .collect()(0).getAs[Double]("auc") == 0.0)
+  }
 }
