@@ -169,11 +169,17 @@ object Anonymity {
     * have sensitivity 1 under add/remove-one-row neighbors.
     *
     * Noise is drawn as G₁ − G₂ of two truncated geometrics: per
-    * group, `2·trials` members of the [[graft.functions.Hashing]]
-    * md5-seeded affine family act as Bernoulli(α) trials (success ⇔
-    * h < ⌊α·P31⌋, integer-exact in both engines) and Gᵢ is the count
-    * of leading successes. Truncation at `trials` bounds |noise| (tail
-    * mass α^trials — pick trials so it is negligible at your ε).
+    * group, `2·trials` INDEPENDENT md5 hashes (one
+    * [[graft.functions.Hashing.seededHash]] per trial index — not the
+    * affine universal family, whose members are all deterministic
+    * functions of one base hash and at best pairwise independent, so
+    * leading-run counts over them are not truncated geometrics) act
+    * as Bernoulli(α) trials (success ⇔ h mod P31 < ⌊α·P31⌋,
+    * integer-exact in both engines) and Gᵢ is the count of leading
+    * successes. Truncation at `trials` bounds |noise| (tail mass
+    * α^trials — pick trials so it is negligible at your ε). md5 cost
+    * is per GROUP (post-aggregation), not per row, so 2·trials
+    * digests are negligible at any scale.
     * DETERMINISTIC seeding makes the draw reproducible and
     * oracle-checkable — and means this op is a release *rehearsal*,
     * not the release itself: a production release must swap `seed`
@@ -196,10 +202,12 @@ object Anonymity {
   def dpNoisyCounts(
       df: DataFrame, groupCols: Seq[String], alphaPpm: Long,
       trials: Int, suppressBelow: Long, seed: String): DataFrame = {
-    val thresh = alphaPpm * graft.functions.Hashing.P31 / 1000000L
+    import graft.functions.Hashing
+    val thresh = alphaPpm * Hashing.P31 / 1000000L
     val key = concat_ws(":",
       (lit(seed) +: groupCols.map(c => col(c).cast("string"))): _*)
-    val hs = graft.functions.Hashing.universalHashes(key, 2 * trials)
+    val hs = transform(sequence(lit(0), lit(2 * trials - 1)),
+      s => pmod(Hashing.seededHash(s, key), lit(Hashing.P31)))
     val succ = transform(hs, h => when(h < thresh, 1).otherwise(0))
     // Count of leading successes = 0-based position of the first
     // failure (array_position is 1-based, 0 when absent → trials).

@@ -483,8 +483,11 @@ object Components {
         // (raw/eff)·1e6 − 1e6 in int64: denominator demoted to
         // milli-units so the numerator is raw·1e9 (exact below ~9e9
         // mass; swap both scale factors down one decade past that).
-        expr("((raw_mass * 1000000000) DIV (_eff_micro DIV 1000))" +
-          " - 1000000").as("dup_inflation_ppm"))
+        // Degenerate groups (_eff_micro < 1000, e.g. every doc has
+        // zero mass) report 0, not a NULL from a zero denominator.
+        expr("CASE WHEN _eff_micro >= 1000 THEN" +
+          " ((raw_mass * 1000000000) DIV (_eff_micro DIV 1000))" +
+          " - 1000000 ELSE 0 END").as("dup_inflation_ppm"))
   }
 
   /** License/consent propagation over near-dup clusters: a document's

@@ -27,10 +27,16 @@ object Conformal {
     * @param groupCol predictor conditioning column
     * @param valueCol numeric response (snapped to micro-units)
     * @param alphaPpm miscoverage α in ppm (e.g. 100000 = 10%)
-    * @return 1 row: `n_cal`, `n_eval`, `k` (the order-statistic
-    *         rank), `q` (interval half-width, round 6), `n_covered`,
-    *         `coverage_ppm` (integer floor), `target_ppm`
-    *         (= 1e6 − alphaPpm), `mean_width` (round 6, = 2q̂)
+    * @return 1 row: `n_cal`, `n_eval` (evaluation rows whose group
+    *         HAS a calibration predictor — rows in groups unseen at
+    *         calibration time carry no interval and are counted in
+    *         `n_eval_dropped` instead of silently vanishing),
+    *         `n_eval_dropped`, `k` (the order-statistic rank), `q`
+    *         (interval half-width, round 6), `n_covered`,
+    *         `coverage_ppm` (integer floor; null when n_eval = 0),
+    *         `target_ppm` (= 1e6 − alphaPpm), `mean_width` (round 6,
+    *         = 2q̂). Degenerate splits (empty calibration half) still
+    *         emit the 1-row report, with null k/q/coverage.
     */
   def splitConformalMean(
       df: DataFrame, idCol: String, groupCol: String, valueCol: String,
@@ -64,26 +70,37 @@ object Conformal {
     // we report the max residual instead and the coverage shows it).
     val ranked = Rank.globalRowNumber(
       calRes, Seq("_r" -> true, "_id" -> true), "_rk")
-    val qhat = ranked.crossJoin(broadcast(nCal))
+    val qrow = ranked.crossJoin(broadcast(nCal))
       // ceil(a/b) as exact int64: (a + b − 1) DIV b.
       .withColumn("_k",
         least(col("n_cal"),
           expr(s"((n_cal + 1) * ${1000000L - alphaPpm}L + 999999L)" +
             " DIV 1000000L")))
       .where(col("_rk") === col("_k"))
-      .select(col("n_cal"), col("_k").as("k"), col("_r").as("_q"))
+      .select(col("_k").as("k"), col("_r").as("_q"))
+    // 1-row always: an empty calibration half leaves k/q null instead
+    // of collapsing the whole report to 0 rows.
+    val qhat = nCal.join(broadcast(qrow), lit(true), "left")
     val eval = in.where(!col("_cal"))
-      .join(broadcast(mu), Seq("_g"))
+      // LEFT join: eval rows in groups with no calibration predictor
+      // are COUNTED (n_eval_dropped), never silently discarded.
+      .join(broadcast(mu), Seq("_g"), "left")
       .crossJoin(broadcast(qhat))
       .agg(first(col("n_cal")).as("n_cal"), first(col("k")).as("k"),
         first(col("_q")).as("_q"),
-        count(lit(1)).as("n_eval"),
-        sum(when(abs(col("_v") - col("_mu")) <= col("_q"), 1L)
-          .otherwise(0L)).as("n_covered"))
-    eval.select(col("n_cal"), col("n_eval"), col("k"),
+        coalesce(sum(when(col("_mu").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_eval"),
+        coalesce(sum(when(col("_mu").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_eval_dropped"),
+        coalesce(sum(when(col("_mu").isNotNull &&
+            abs(col("_v") - col("_mu")) <= col("_q"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_covered"))
+    eval.select(col("n_cal"), col("n_eval"), col("n_eval_dropped"),
+      col("k"),
       round(col("_q").cast("double") / 1e6, 6).as("q"),
       col("n_covered"),
-      expr("(n_covered * 1000000) DIV n_eval").as("coverage_ppm"),
+      expr("CASE WHEN n_eval > 0 THEN" +
+        " (n_covered * 1000000) DIV n_eval END").as("coverage_ppm"),
       lit(1000000L - alphaPpm).as("target_ppm"),
       round(col("_q").cast("double") * 2.0 / 1e6, 6).as("mean_width"))
   }

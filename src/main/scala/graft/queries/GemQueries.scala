@@ -13650,8 +13650,9 @@ object GemQueries {
           |  FROM wgt GROUP BY 1)
           |SELECT source, n_docs, n_in_clusters, raw_mass,
           |  round(CAST(eff_micro AS DOUBLE) / 1000000.0, 6) AS eff_mass,
-          |  ((raw_mass * 1000000000) // (eff_micro // 1000)) - 1000000
-          |    AS dup_inflation_ppm
+          |  CASE WHEN eff_micro >= 1000 THEN
+          |    ((raw_mass * 1000000000) // (eff_micro // 1000)) - 1000000
+          |  ELSE 0 END AS dup_inflation_ppm
           |FROM grp ORDER BY source""".stripMargin)),
 
     // l-diversity audit (Anonymity.lDiversity, Machanavajjhala 2007)
@@ -13731,14 +13732,19 @@ object GemQueries {
              |      ORDER BY r ASC, id ASC) AS rk FROM calres) cr
              |    ON cr.rk = kk.k),
              |ev AS (SELECT qh.n_cal, qh.k, qh.q,
-             |    CAST(count(*) AS BIGINT) AS n_eval,
-             |    CAST(sum(CASE WHEN abs(b.v - mu.mu) <= qh.q THEN 1
+             |    CAST(sum(CASE WHEN mu.mu IS NOT NULL THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_eval,
+             |    CAST(sum(CASE WHEN mu.mu IS NULL THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_eval_dropped,
+             |    CAST(sum(CASE WHEN mu.mu IS NOT NULL AND
+             |      abs(b.v - mu.mu) <= qh.q THEN 1
              |      ELSE 0 END) AS BIGINT) AS n_covered
-             |  FROM base b JOIN mu USING (g), qh
+             |  FROM base b LEFT JOIN mu USING (g), qh
              |  WHERE NOT b.cal GROUP BY 1, 2, 3)
-             |SELECT n_cal, n_eval, k,
+             |SELECT n_cal, n_eval, n_eval_dropped, k,
              |  round(CAST(q AS DOUBLE) / 1000000.0, 6) AS q, n_covered,
-             |  (n_covered * 1000000) // n_eval AS coverage_ppm,
+             |  CASE WHEN n_eval > 0 THEN (n_covered * 1000000) // n_eval
+             |    END AS coverage_ppm,
              |  CAST(900000 AS BIGINT) AS target_ppm,
              |  round(CAST(q AS DOUBLE) * 2.0 / 1000000.0, 6)
              |    AS mean_width
@@ -14333,10 +14339,10 @@ object GemQueries {
     // ε-DP noisy-count release rehearsal (Anonymity.dpNoisyCounts,
     // Ghosh–Roughgarden–Sundararajan geometric mechanism) over the
     // q266/q337 governance grain: nation × mktsegment customer counts
-    // at ε = ln 2 (alphaPpm 500000), noise from md5-seeded Bernoulli
-    // trial runs (integer-exact, so DuckDB replays the exact draw),
-    // small cells suppressed below 5. The utility audit a data
-    // steward reads before choosing ε.
+    // at ε = ln 2 (alphaPpm 500000), noise from per-trial INDEPENDENT
+    // md5-seeded Bernoulli draws (integer-exact, so DuckDB replays the
+    // exact draw), small cells suppressed below 5. The utility audit a
+    // data steward reads before choosing ε.
     QueryDef("q339_dp_release",
       (s, dir) =>
         Anonymity.dpNoisyCounts(t(s, dir, "customer"),
@@ -14344,7 +14350,8 @@ object GemQueries {
           trials = 30, suppressBelow = 5L, seed = "r12")
           .orderBy("c_nationkey", "c_mktsegment"),
       Some {
-        val h = graft.functions.Hashing.duckUniversalHash("s", "k")
+        val h = s"(${graft.functions.Hashing.duckSeededHash("s", "k")})" +
+          s" % ${graft.functions.Hashing.P31}"
         val thresh = 500000L * graft.functions.Hashing.P31 / 1000000L
         s"""WITH cnt AS (
            |  SELECT c_nationkey, c_mktsegment,

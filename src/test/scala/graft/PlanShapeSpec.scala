@@ -498,6 +498,7 @@ object PlanShapeSpec {
     // by construction); per-row windows partition by bucket.
     "q203_abc_classification", // Rank.prefixSum bucket frame
     "q328_vocab_coverage",     // Rank.prefixSum bucket frame
+    "q344_roc_auc",            // Rank.prefixSum bucket frame (×2: ranks + partials)
     "q330_mmr_rerank",         // bm25TopK rank over the ≤ pool-row result
     "q332_decision_stump",     // overall rank over the |features|-row frame
     "q235_watermark_profile",  // Lateness bucket frame (×2 passes)

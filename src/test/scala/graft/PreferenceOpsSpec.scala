@@ -147,8 +147,33 @@ class PreferenceOpsSpec extends SparkSpec {
     // With an honest quantile the guarantee is >= target minus the
     // finite-sample slack; on this well-behaved data it clears target.
     assert(r.getAs[Long]("coverage_ppm") >= 850000L)
+    assert(r.getAs[Long]("n_eval_dropped") == 0L)
     assert(r.getAs[Double]("mean_width") ==
       2.0 * r.getAs[Double]("q"))
+  }
+
+  test("splitConformalMean: eval rows in calibration-unseen groups are counted, not dropped") {
+    // Group "h2" gets only rows whose id hashes to the EVAL split, so
+    // it has no calibration predictor; those rows must be reported in
+    // n_eval_dropped, never silently discarded by the eval join.
+    import graft.functions.Hashing
+    val base = (1L to 200L).map(i => (i, "g", (i % 10).toDouble))
+    // find fresh eval-split ids (odd portable-hash parity) via the
+    // op's own hash and plant them under the new group — every "h2"
+    // row lands on the eval side, so the group is calibration-empty.
+    val candSplit = (1001L to 1400L).map(i => (i, "h2", 3.0))
+      .toDF("id", "g", "v").select(col("id"),
+        pmod(Hashing.portableHash(col("id").cast("string")), lit(2L))
+          .as("p")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2Ids = (1001L to 1400L).filter(i => candSplit(i) == 1L).take(5)
+    assert(h2Ids.nonEmpty)
+    val df2 = (base ++ h2Ids.map(i => (i, "h2", 3.0)))
+      .toDF("id", "g", "v")
+    val r2 = Conformal.splitConformalMean(df2, "id", "g", "v", 100000L)
+      .collect()(0)
+    assert(r2.getAs[Long]("n_eval_dropped") == h2Ids.length.toLong)
+    assert(r2.getAs[Long]("n_cal") + r2.getAs[Long]("n_eval") +
+      r2.getAs[Long]("n_eval_dropped") == 200L + h2Ids.length)
   }
 
   test("ipfRake: fixed point when marginals already match targets") {
