@@ -113,4 +113,99 @@ object CardinalityEstimate {
         (round(jacc, 4) + lit(0.0)).as("jacc_est"),
         (round(jacc * unionEst, 1) + lit(0.0)).as("inter_est"))
   }
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) with the
+    * SHARD-MERGE law proven in-query — the property KMV (q78) shares
+    * but HLL delivers in O(m) fixed registers per shard: register j
+    * holds max(ρ) over keys hashing to bucket j, and the union of two
+    * shards is the element-wise register MAX, so a 1000-executor scan
+    * ships m longs per partition and merges associatively. This op
+    * builds per-group register tables, merges them, and checks the
+    * merged table equals the one built over the ungrouped scan —
+    * `merge_register_mismatches` MUST be 0.
+    *
+    * Engine-portable arithmetic (the KMV discipline,
+    * `functions/KmvSketch.scala:20` explains why Spark's built-in
+    * `approx_count_distinct` registers can't be oracle-checked):
+    * h = [[Hashing.portableHash]] ∈ [0, 2⁶⁰); bucket = h mod m;
+    * ρ = (61−p) − bitlen(h div m) (the 1-based first-one position in
+    * the (60−p)-bit window, bitlen via `bin()`, identical in both
+    * engines); the harmonic-mean denominator Σ 2^−M is kept EXACT as
+    * the integer Σ 2^((61−p)−M) plus 2^(61−p) per empty register —
+    * order-free, so sum order can't drift a double. The only floats
+    * are the final α·m²/Σ division and the small-range linear-counting
+    * branch (m·ln(m/zeros) when raw ≤ 2.5m and zeros > 0), both single
+    * expressions over exact integers.
+    *
+    * @param p register-index bits; m = 2^p registers (64 at the test
+    *          scale; production would use 12–14)
+    * @return per group: `n_keys`, `n_distinct_exact`,
+    *         `registers_used`, `zeros`, `sum_scaled` (the exact
+    *         integer denominator), `hll_raw` (round 2), `hll_est`
+    *         (round 2, correction applied), `err_ppm` (signed, vs
+    *         exact); repeated on every row: `merged_est` (round 2,
+    *         from the max-merged per-group registers),
+    *         `merge_register_mismatches` (vs the ungrouped build)
+    */
+  def hllReport(
+      df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16]: $p")
+    val m = 1 << p
+    val rmax = 61 - p // max rho: (60-p)-bit window, 1-based
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    val base = df
+      .select(col(groupCol).as("_g"), col(keyCol).cast("string").as("_k"))
+      .where(col("_k").isNotNull)
+      .withColumn("_h", Hashing.portableHash(col("_k")))
+      .withColumn("_b", pmod(col("_h"), lit(m.toLong)))
+      .withColumn("_rho", expr(
+        s"CASE WHEN _h DIV ${m}L = 0 THEN ${rmax}L" +
+          s" ELSE ${rmax}L - length(bin(_h DIV ${m}L)) END"))
+    def summarize(regs: DataFrame, grp: Seq[String]): DataFrame = {
+      val g = if (grp.isEmpty) regs.groupBy() else regs.groupBy(grp.map(col): _*)
+      g.agg(count(lit(1)).as("registers_used"),
+          sum(expr(s"shiftleft(1L, cast($rmax - _m AS INT))")).as("_su"))
+        .withColumn("zeros", lit(m.toLong) - col("registers_used"))
+        .withColumn("sum_scaled",
+          col("_su") + col("zeros") * lit(1L << rmax))
+        .withColumn("_raw", expr(
+          s"$alpha * $m.0 * $m.0 * CAST(${1L << rmax}L AS DOUBLE)" +
+            " / CAST(sum_scaled AS DOUBLE)"))
+        .withColumn("_est", expr(
+          s"CASE WHEN _raw <= 2.5 * $m.0 AND zeros > 0" +
+            s" THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))" +
+            " ELSE _raw END"))
+        .drop("_su")
+    }
+    // per-group register tables → per-group estimates
+    val regs = base.groupBy("_g", "_b").agg(max("_rho").as("_m"))
+      .localCheckpoint(true)
+    val perGroup = summarize(regs, Seq("_g"))
+    val exact = base.groupBy("_g").agg(
+      count(lit(1)).as("n_keys"),
+      countDistinct(col("_k")).as("n_distinct_exact"))
+    // merge law: element-wise max of the per-group registers must
+    // equal the registers of the ungrouped scan, bucket by bucket.
+    val merged = regs.groupBy("_b").agg(max("_m").as("_m"))
+    val global = base.groupBy("_b").agg(max("_rho").as("_m"))
+    val mismatches = merged.select(col("_b"), col("_m").as("_mm"))
+      .join(global.select(col("_b"), col("_m").as("_mg")), Seq("_b"), "full")
+      .agg(coalesce(sum(when(col("_mm").isNull || col("_mg").isNull ||
+        col("_mm") =!= col("_mg"), 1L).otherwise(0L)), lit(0L))
+        .as("merge_register_mismatches"))
+    val mergedEst = summarize(merged, Seq.empty)
+      .select(round(col("_est"), 2).as("merged_est"))
+    exact.join(perGroup, Seq("_g"))
+      .crossJoin(broadcast(mergedEst))
+      .crossJoin(broadcast(mismatches))
+      .select(col("_g").as(groupCol), col("n_keys"),
+        col("n_distinct_exact"), col("registers_used"), col("zeros"),
+        col("sum_scaled"),
+        round(col("_raw"), 2).as("hll_raw"),
+        round(col("_est"), 2).as("hll_est"),
+        expr("CAST(round((_est / CAST(n_distinct_exact AS DOUBLE)" +
+          " - 1.0) * 1000000.0) AS BIGINT)").as("err_ppm"),
+        col("merged_est"), col("merge_register_mismatches"))
+  }
 }

@@ -14619,10 +14619,95 @@ object GemQueries {
              |FROM tab, auc ORDER BY thr""".stripMargin))
   )
 
+  /** Round-13: mergeable HLL registers, sequential testing, product
+    * quantization, coreset selection (q345+).
+    */
+  private val extra5Defs: Seq[QueryDef] = Seq(
+
+    // HyperLogLog distinct-token sketch (CardinalityEstimate
+    // .hllReport, Flajolet 2007) per source, p=6 → 64 registers, with
+    // the shard-merge law PROVEN in-query: the element-wise max of the
+    // per-source register tables must equal the registers of the
+    // ungrouped scan (merge_register_mismatches = 0) — the property
+    // that lets a 1000-executor scan ship 64 longs per shard. The
+    // exact distinct runs alongside so the estimator's error is
+    // measured, not assumed (the q154 KMV discipline).
+    QueryDef("q345_hll_distinct",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("source"),
+          explode(split(col("text"), " +")).as("token"))
+          .where(col("token") =!= "")
+        CardinalityEstimate.hllReport(toks, "source", "token", p = 6)
+          .orderBy("source")
+      },
+      Some {
+        val h = Hashing.duckPortableHash("token")
+        val rho = "CASE WHEN h // 64 = 0 THEN 55" +
+          " ELSE 55 - length(bin(h // 64)) END"
+        val alpha = "(0.7213 / (1.0 + 1.079 / 64.0))"
+        val two55 = "(CAST(1 AS BIGINT) << 55)"
+        s"""WITH tok AS (
+           |  SELECT source, unnest(list_filter(
+           |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+           |  FROM documents),
+           |hh AS (SELECT source, token, $h AS h FROM tok),
+           |rr AS (SELECT source, h % 64 AS b, max($rho) AS m
+           |  FROM hh GROUP BY 1, 2),
+           |sg AS (SELECT source,
+           |    CAST(count(*) AS BIGINT) AS registers_used,
+           |    64 - CAST(count(*) AS BIGINT) AS zeros,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+           |      AS BIGINT) +
+           |      (64 - CAST(count(*) AS BIGINT)) * $two55 AS sum_scaled
+           |  FROM rr GROUP BY 1),
+           |est AS (SELECT *,
+           |    $alpha * 64.0 * 64.0 * CAST($two55 AS DOUBLE) /
+           |      CAST(sum_scaled AS DOUBLE) AS raw
+           |  FROM sg),
+           |est2 AS (SELECT *,
+           |    CASE WHEN raw <= 2.5 * 64.0 AND zeros > 0
+           |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+           |      ELSE raw END AS e
+           |  FROM est),
+           |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_keys,
+           |    CAST(count(DISTINCT token) AS BIGINT)
+           |      AS n_distinct_exact
+           |  FROM tok GROUP BY 1),
+           |mrr AS (SELECT b, max(m) AS m FROM rr GROUP BY 1),
+           |grr AS (SELECT h % 64 AS b, max($rho) AS m
+           |  FROM hh GROUP BY 1),
+           |mm AS (SELECT CAST(coalesce(sum(CASE WHEN mrr.m IS NULL
+           |      OR grr.m IS NULL OR mrr.m <> grr.m THEN 1 ELSE 0
+           |      END), 0) AS BIGINT) AS merge_register_mismatches
+           |  FROM mrr FULL JOIN grr USING (b)),
+           |msum AS (SELECT 64 - CAST(count(*) AS BIGINT) AS zeros,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+           |      AS BIGINT) +
+           |      (64 - CAST(count(*) AS BIGINT)) * $two55 AS ss
+           |  FROM mrr),
+           |mest AS (SELECT round(CASE WHEN raw <= 2.5 * 64.0
+           |      AND zeros > 0
+           |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+           |      ELSE raw END, 2) AS merged_est
+           |  FROM (SELECT zeros,
+           |      $alpha * 64.0 * 64.0 * CAST($two55 AS DOUBLE) /
+           |        CAST(ss AS DOUBLE) AS raw
+           |    FROM msum))
+           |SELECT ex.source, n_keys, n_distinct_exact, registers_used,
+           |  zeros, sum_scaled, round(raw, 2) AS hll_raw,
+           |  round(e, 2) AS hll_est,
+           |  CAST(round((e / CAST(n_distinct_exact AS DOUBLE) - 1.0)
+           |    * 1000000.0) AS BIGINT) AS err_ppm,
+           |  merged_est, merge_register_mismatches
+           |FROM ex JOIN est2 USING (source), mest, mm
+           |ORDER BY source""".stripMargin
+      })
+  )
+
   /** The full catalog the driver consumes — declared LAST so every
     * section val is initialized before concatenation.
     */
   val defs: Seq[QueryDef] =
     coreDefs ++ moreDefs ++ extraDefs ++ extra2Defs ++ extra3Defs ++
-      extra4Defs
+      extra4Defs ++ extra5Defs
 }

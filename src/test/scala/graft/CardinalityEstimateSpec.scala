@@ -46,4 +46,40 @@ class CardinalityEstimateSpec extends SparkSpec {
     val est = row.getDouble(7)
     assert(est > 650 && est < 1350, s"inter_est $est drifted from 1000")
   }
+
+  test("hllReport: estimate near exact, merge law exact, registers bounded") {
+    // two groups with overlapping key ranges; m=64 registers.
+    val df = ((1L to 2000L).map(i => ("a", s"k$i")) ++
+      (1001L to 3000L).map(i => ("b", s"k$i"))).toDF("g", "k")
+    val rows = CardinalityEstimate.hllReport(df, "g", "k", p = 6)
+      .orderBy("g").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keys") == 2000L)
+      assert(r.getAs[Long]("n_distinct_exact") == 2000L)
+      assert(r.getAs[Long]("registers_used") <= 64L)
+      assert(r.getAs[Long]("zeros") ==
+        64L - r.getAs[Long]("registers_used"))
+      // HLL standard error at m=64 is ~1.04/8 = 13%; allow 3σ.
+      assert(math.abs(r.getAs[Long]("err_ppm")) < 400000L,
+        s"estimate off by ${r.getAs[Long]("err_ppm")} ppm")
+      assert(r.getAs[Long]("merge_register_mismatches") == 0L)
+    }
+    // merged estimate sees the 3000-key union, so it must exceed
+    // every per-group estimate on this overlap layout.
+    val merged = rows.head.getAs[Double]("merged_est")
+    assert(merged > rows.map(_.getAs[Double]("hll_est")).max)
+    assert(math.abs(merged / 3000.0 - 1.0) < 0.4)
+  }
+
+  test("hllReport: small-range linear counting branch is exact-ish and deterministic") {
+    val df = (1L to 10L).map(i => ("g", s"x$i")).toDF("g", "k")
+    val r1 = CardinalityEstimate.hllReport(df, "g", "k", p = 6).head()
+    val r2 = CardinalityEstimate.hllReport(df, "g", "k", p = 6).head()
+    assert(r1 == r2)
+    // 10 distinct keys, 64 registers → linear counting applies and is
+    // accurate to within a couple of collisions.
+    assert(math.abs(r1.getAs[Double]("hll_est") - 10.0) <= 2.0)
+    assert(r1.getAs[Long]("merge_register_mismatches") == 0L)
+  }
 }

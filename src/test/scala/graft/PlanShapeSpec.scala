@@ -272,6 +272,9 @@ class PlanShapeSpec extends SparkSpec {
       // renormalization shape). q324: the 1-row α-weight total
       // crosses onto the per-language plan frame (q91's shape).
       "q323_bradley_terry", "q324_mixing_plan",
+      // q345: two 1-row frames (merged-register estimate + merge-law
+      // mismatch count) cross onto the per-source report rows.
+      "q345_hll_distinct",
       // q327: the 1-row calibration count / q̂ order statistic
       // crosses into the evaluation pass.
       "q327_conformal_interval",
