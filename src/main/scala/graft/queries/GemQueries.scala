@@ -19,7 +19,7 @@ import graft.ops.{Agreement, Allocate, Anonymity, AsofJoin, Attribution,
   Quantize, Rank, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
   Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
-  TableChecksum, TextAnalysis,
+  SequentialTest, TableChecksum, TextAnalysis,
   Timeseries, TrackerConfigs, Valuation}
 import graft.sources.{CountryDim, Csv, Jsonl, Layout, Orc, Xml}
 import org.apache.spark.sql.types.StructType
@@ -14701,6 +14701,55 @@ object GemQueries {
            |  merged_est, merge_register_mismatches
            |FROM ex JOIN est2 USING (source), mest, mm
            |ORDER BY source""".stripMargin
+      }),
+
+    // Wald SPRT rollout monitor (SequentialTest.sprtMonitor, Wald
+    // 1945): walk the event log in (ts, event_id) order accumulating
+    // the exact integer micro-nat LLR of purchase-rate H1 p=0.25 vs
+    // H0 p=0.15, stop at the first Wald boundary crossing — the
+    // minimal-expected-sample test, with the saved fraction of the
+    // horizon reported. Constants are rounded ONCE on the driver and
+    // inlined in both engines, so the walk replays bit-for-bit.
+    QueryDef("q346_sprt_monitor",
+      (s, dir) => SequentialTest.sprtMonitor(
+        t(s, dir, "events"), Seq("ts", "event_id"),
+        col("event_type") === "purchase",
+        p0 = 0.15, p1 = 0.25, alpha = 0.05, beta = 0.05),
+      Some {
+        val (a, b) = SequentialTest.llrMicroNats(0.15, 0.25)
+        val (lower, upper) = SequentialTest.boundariesMicroNats(0.05, 0.05)
+        s"""WITH e AS (SELECT ts, event_id,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+           |  FROM events),
+           |r AS (SELECT x, row_number() OVER (ORDER BY ts, event_id)
+           |      AS rk,
+           |    CAST(x * $a + (1 - x) * ($b) AS BIGINT) AS llr
+           |  FROM e),
+           |c AS (SELECT rk, CAST(sum(llr) OVER (ORDER BY rk
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM r),
+           |fx AS (SELECT CAST(rk AS BIGINT) AS crossing_n,
+           |    cum AS llr_at_crossing_micro
+           |  FROM c WHERE cum >= $upper OR cum <= $lower
+           |  ORDER BY rk LIMIT 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS n_success,
+           |    CAST(sum(llr) AS BIGINT) AS llr_final_micro
+           |  FROM r)
+           |SELECT n, n_success,
+           |  (n_success * 1000000) // n AS success_rate_ppm,
+           |  llr_final_micro,
+           |  CAST($lower AS BIGINT) AS lower_micro,
+           |  CAST($upper AS BIGINT) AS upper_micro,
+           |  crossing_n, llr_at_crossing_micro,
+           |  CASE WHEN llr_at_crossing_micro >= $upper
+           |      THEN 'accept_h1'
+           |    WHEN llr_at_crossing_micro <= $lower THEN 'accept_h0'
+           |    ELSE 'continue' END AS decision,
+           |  CASE WHEN crossing_n IS NOT NULL
+           |    THEN ((n - crossing_n) * 1000000) // n
+           |    ELSE 0 END AS savings_ppm
+           |FROM tot LEFT JOIN fx ON TRUE""".stripMargin
       })
   )
 

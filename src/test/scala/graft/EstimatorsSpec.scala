@@ -47,4 +47,42 @@ class EstimatorsSpec extends SparkSpec {
     // weights 100/200: ipw = (1000+1200+4000)/400 = 15.5.
     assert(r === ((3L, 14.0, 15.5)))
   }
+
+  test("sprtMonitor: all-success stream crosses the upper boundary at the exact step") {
+    import graft.ops.SequentialTest
+    import org.apache.spark.sql.functions.col
+    val (a, _) = SequentialTest.llrMicroNats(0.15, 0.25)
+    val (_, upper) = SequentialTest.boundariesMicroNats(0.05, 0.05)
+    // every observation a success: cum = n·a; first crossing at
+    // ceil(upper / a).
+    val df = (1L to 50L).map(i => (i, 1L)).toDF("i", "x")
+    val r = SequentialTest.sprtMonitor(df, Seq("i"), col("x") === 1L,
+      0.15, 0.25, 0.05, 0.05).head()
+    val expected = (upper + a - 1) / a
+    assert(r.getAs[Long]("crossing_n") == expected)
+    assert(r.getAs[String]("decision") == "accept_h1")
+    assert(r.getAs[Long]("llr_at_crossing_micro") == expected * a)
+    assert(r.getAs[Long]("llr_final_micro") == 50L * a)
+    assert(r.getAs[Long]("savings_ppm") ==
+      (50L - expected) * 1000000L / 50L)
+  }
+
+  test("sprtMonitor: all-failure stream accepts H0; no-crossing stream continues") {
+    import graft.ops.SequentialTest
+    import org.apache.spark.sql.functions.col
+    val fail = (1L to 100L).map(i => (i, 0L)).toDF("i", "x")
+    val r0 = SequentialTest.sprtMonitor(fail, Seq("i"), col("x") === 1L,
+      0.15, 0.25, 0.05, 0.05).head()
+    assert(r0.getAs[String]("decision") == "accept_h0")
+    assert(r0.getAs[Long]("n_success") == 0L)
+    // alternating at the indifference rate stays inside the corridor
+    // for a short horizon: b ≈ -a/4, so pick 1 success per 5 obs.
+    val mid = (1L to 10L).map(i => (i, if (i % 5L == 0L) 1L else 0L))
+      .toDF("i", "x")
+    val rc = SequentialTest.sprtMonitor(mid, Seq("i"), col("x") === 1L,
+      0.15, 0.25, 0.05, 0.05).head()
+    assert(rc.getAs[String]("decision") == "continue")
+    assert(rc.isNullAt(rc.fieldIndex("crossing_n")))
+    assert(rc.getAs[Long]("savings_ppm") == 0L)
+  }
 }

@@ -275,6 +275,9 @@ class PlanShapeSpec extends SparkSpec {
       // q345: two 1-row frames (merged-register estimate + merge-law
       // mismatch count) cross onto the per-source report rows.
       "q345_hll_distinct",
+      // q346: the 1-row totals left-cross the ≤1-row first-crossing
+      // frame into the single report row.
+      "q346_sprt_monitor",
       // q327: the 1-row calibration count / q̂ order statistic
       // crosses into the evaluation pass.
       "q327_conformal_interval",
@@ -502,6 +505,7 @@ object PlanShapeSpec {
     "q203_abc_classification", // Rank.prefixSum bucket frame
     "q328_vocab_coverage",     // Rank.prefixSum bucket frame
     "q344_roc_auc",            // Rank.prefixSum bucket frame (×2: ranks + partials)
+    "q346_sprt_monitor",       // Rank.prefixSum bucket frame (LLR walk)
     "q330_mmr_rerank",         // bm25TopK rank over the ≤ pool-row result
     "q332_decision_stump",     // overall rank over the |features|-row frame
     "q235_watermark_profile",  // Lateness bucket frame (×2 passes)
