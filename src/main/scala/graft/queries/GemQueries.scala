@@ -15,7 +15,7 @@ import graft.ops.{Agreement, Allocate, Anonymity, AsofJoin, Attribution,
   Fairness, FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
   LineDedup, LogReg,
   Markov, Merge, Multimodal, NaiveBayes, TimeWeighted,
-  Normalize, Outliers, Ownership, Packing, PageRank, Pca, Pii, Profile,
+  Normalize, Outliers, Ownership, Packing, PageRank, Pca, Pii, Pq, Profile,
   Quantize, Rank, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
   SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
   Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
@@ -14619,6 +14619,62 @@ object GemQueries {
              |FROM tab, auc ORDER BY thr""".stripMargin))
   )
 
+  /** Oracle twin of [[graft.ops.Pq.dist2]]: L2² expanded as
+    * x·x − 2·x·c + c·c, three sequential-order list_sums mirroring the
+    * three `graft_dot` calls, so both engines walk identical IEEE
+    * operations.
+    */
+  private def duckDist2(a: String, b: String): String =
+    s"""(list_sum(list_transform($a, x ->
+       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |    - 2 * list_sum(list_transform($a, (x, i) ->
+       |      CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    + list_sum(list_transform($b, x ->
+       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  /** Oracle twin of [[graft.ops.Pq.train]]: subvector explode (`psv`),
+    * hash-rank seeds shared by all subspaces (`pseed`/`pcent0`), then
+    * `iters` unrolled Lloyd rounds `passign{i}`/`pcent{i}` — argmin-L2
+    * assignment (tie on cell_id), per-position mean rounded to 6
+    * decimals and cast to REAL. Ends at `pcent{iters}`.
+    */
+  private def pqCtes(m: Int, subDim: Int, ks: Int, iters: Int): String = {
+    val seed =
+      s"""psubs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+         |pposs AS (SELECT unnest(generate_series(1, $subDim)) AS pos),
+         |psv AS MATERIALIZED (SELECT vec_id, sub,
+         |    list_slice(embedding, sub * $subDim + 1,
+         |      sub * $subDim + $subDim) AS v
+         |  FROM embeddings CROSS JOIN psubs),
+         |pseed AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1
+         |      AS cell_id
+         |  FROM (SELECT vec_id,
+         |          ${Hashing.duckPortableHash("CAST(vec_id AS VARCHAR)")} AS h
+         |        FROM embeddings ORDER BY h, vec_id LIMIT $ks)),
+         |pcent0 AS (SELECT s.sub, p.cell_id, s.v AS centvec
+         |  FROM psv s JOIN pseed p USING (vec_id))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""passign$i AS (
+         |  SELECT vec_id, sub, v, cell_id FROM (
+         |    SELECT s.vec_id, s.sub, s.v, c.cell_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${duckDist2("s.v", "c.centvec")} ASC,
+         |          c.cell_id) AS rn
+         |    FROM psv s JOIN pcent${i - 1} c ON s.sub = c.sub)
+         |  WHERE rn = 1),
+         |pcent$i AS (
+         |  SELECT sub, cell_id,
+         |    list(CAST(round(mu, 6) AS REAL) ORDER BY pos) AS centvec
+         |  FROM (SELECT a.sub, a.cell_id, p.pos,
+         |          avg(CAST(a.v[p.pos] AS DOUBLE)) AS mu
+         |        FROM passign$i a CROSS JOIN pposs p
+         |        GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   /** Round-13: mergeable HLL registers, sequential testing, product
     * quantization, coreset selection (q345+).
     */
@@ -14750,7 +14806,75 @@ object GemQueries {
            |    THEN ((n - crossing_n) * 1000000) // n
            |    ELSE 0 END AS savings_ppm
            |FROM tot LEFT JOIN fx ON TRUE""".stripMargin
-      })
+      }),
+
+    // Product-quantization ADC search (Pq.adcTopK, Jégou TPAMI'11):
+    // m=4 subspaces × ks=8 centroids trained with 2 deterministic
+    // Lloyd rounds (the q65 discipline, L2 metric), corpus stored as
+    // 4 codes/vector, queries answered by asymmetric distance — each
+    // (query, sub, cell) distance snapped to integer micro-units ONCE
+    // so candidate distances are exact order-free integer sums — with
+    // recall@10 measured against the exact L2 top-10. The memory tier
+    // below q150's SQ8: 64-dim floats become 4 codes.
+    QueryDef("q347_pq_adc_search",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Pq.adcTopK(emb, emb.filter(col("vec_id").between(100, 104)),
+          "vec_id", "embedding", m = 4, subDim = 16, ks = 8,
+          iters = 2, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH " + pqCtes(m = 4, subDim = 16, ks = 8, iters = 2) + ",\n" +
+        s"""pcodes AS (
+           |  SELECT vec_id, sub, cell_id AS code FROM (
+           |    SELECT s.vec_id, s.sub, c.cell_id,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+           |        ORDER BY ${duckDist2("s.v", "c.centvec")} ASC,
+           |          c.cell_id) AS rn
+           |    FROM psv s JOIN pcent2 c ON s.sub = c.sub)
+           |  WHERE rn = 1),
+           |pqt AS (
+           |  SELECT q.vec_id AS query_id, c.sub, c.cell_id AS code,
+           |    CAST(round(${duckDist2("q.v", "c.centvec")}
+           |      * 1000000.0) AS BIGINT) AS tm
+           |  FROM (SELECT * FROM psv
+           |        WHERE vec_id BETWEEN 100 AND 104) q
+           |  JOIN pcent2 c ON q.sub = c.sub),
+           |papprox AS (
+           |  SELECT query_id, neighbor_id, adc_micro,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc_micro ASC, neighbor_id ASC) AS "rank"
+           |  FROM (SELECT t.query_id, k.vec_id AS neighbor_id,
+           |      CAST(sum(t.tm) AS BIGINT) AS adc_micro
+           |    FROM pcodes k
+           |    JOIN pqt t ON k.sub = t.sub AND k.code = t.code
+           |    WHERE k.vec_id <> t.query_id
+           |    GROUP BY 1, 2)),
+           |ptop AS (SELECT * FROM papprox WHERE "rank" <= 10),
+           |pexact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY CAST(round(
+           |          ${duckDist2("e.embedding", "q.embedding")}
+           |          * 1000000.0) AS BIGINT) ASC, e.vec_id) AS rn
+           |    FROM embeddings e,
+           |      (SELECT vec_id, embedding FROM embeddings
+           |       WHERE vec_id BETWEEN 100 AND 104) q
+           |    WHERE e.vec_id <> q.vec_id)
+           |  WHERE rn <= 10),
+           |prec AS (SELECT CAST(((SELECT count(*) FROM ptop a
+           |      JOIN pexact e USING (query_id, neighbor_id))
+           |    * 1000000) // ((SELECT count(DISTINCT query_id)
+           |      FROM ptop) * 10) AS BIGINT) AS recall_ppm)
+           |SELECT a.query_id, a."rank", a.neighbor_id, a.adc_micro,
+           |  CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+           |    AS exact_hit,
+           |  recall_ppm
+           |FROM ptop a LEFT JOIN pexact e
+           |  USING (query_id, neighbor_id), prec
+           |ORDER BY a.query_id, a."rank"""".stripMargin)
+      )
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -278,6 +278,11 @@ class PlanShapeSpec extends SparkSpec {
       // q346: the 1-row totals left-cross the ≤1-row first-crossing
       // frame into the single report row.
       "q346_sprt_monitor",
+      // q347: PQ codebook (m·ks ≤ 32 rows) + query ADC table
+      // (|queries|·m·ks rows) broadcast-cross the corpus (q65/q66's
+      // documented shape); the exact-recall tier is q29's
+      // brute-force-baseline broadcast of the 5-query frame.
+      "q347_pq_adc_search",
       // q327: the 1-row calibration count / q̂ order statistic
       // crosses into the evaluation pass.
       "q327_conformal_interval",

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Pq
+import org.apache.spark.sql.functions._
+
+/** Product-quantization invariants on hand-built separable data:
+  * training recovers the true cluster means per subspace, encoding
+  * maps every vector to its own cluster's code, and ADC search on
+  * cleanly separated clusters reproduces the exact L2 ranking
+  * (recall@k = 1e6).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim vectors, two subspaces of dim 2. Two clean clusters per
+  // subspace: values near 0 and values near 10.
+  private def mk(id: Long, a: Float, b: Float): (Long, Seq[Float]) =
+    (id, Seq(a, a + 1f, b, b + 1f))
+
+  test("train recovers per-subspace cluster means; encode is consistent") {
+    val rows = Seq(
+      mk(1L, 0f, 0f), mk(2L, 1f, 1f),      // low/low
+      mk(3L, 10f, 10f), mk(4L, 11f, 11f))  // high/high
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cb = Pq.train(df, "vec_id", "embedding",
+      m = 2, subDim = 2, ks = 2, iters = 2).collect()
+    // 2 subspaces × 2 cells, each centroid the mean of its 2 members.
+    assert(cb.length == 4)
+    val bySub = cb.groupBy(_.getAs[Int]("sub"))
+    bySub.foreach { case (_, cells) =>
+      val means = cells.map(_.getAs[Seq[Float]]("centvec").head).sorted
+      assert(means sameElements Array(0.5f, 10.5f))
+    }
+    val codes = Pq.encode(df, "vec_id", "embedding",
+      Pq.train(df, "vec_id", "embedding", 2, 2, 2, 2), 2, 2)
+      .collect()
+    assert(codes.length == 8) // 4 vectors × 2 subspaces
+    // vectors 1,2 share a code in every subspace; likewise 3,4 — and
+    // the two groups never share one.
+    val m = codes.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("sub")) -> r.getAs[Int]("code")).toMap
+    for (s <- 0 to 1) {
+      assert(m((1L, s)) == m((2L, s)))
+      assert(m((3L, s)) == m((4L, s)))
+      assert(m((1L, s)) != m((3L, s)))
+    }
+  }
+
+  test("adcTopK on separated clusters matches exact L2 (recall = 1e6)") {
+    val rows = (0L until 8L).map { i =>
+      val base = if (i < 4) 0f else 10f
+      mk(i, base + i.toFloat % 4 * 0.1f, base + i.toFloat % 4 * 0.1f)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val res = Pq.adcTopK(df, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", m = 2, subDim = 2, ks = 2, iters = 2,
+      k = 3).orderBy("rank").collect()
+    assert(res.length == 3)
+    // neighbors of vector 0 are its own low cluster, never the high one
+    assert(res.forall(_.getAs[Long]("neighbor_id") < 4L))
+    assert(res.forall(_.getAs[Int]("exact_hit") == 1))
+    assert(res.head.getAs[Long]("recall_ppm") == 1000000L)
+    // within-cluster ADC distances collapse to the shared centroid —
+    // ranks then order by neighbor_id, deterministically.
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+  }
+}
