@@ -5,7 +5,7 @@ import graft.functions.{CmsSketch, Hashing}
 import graft.ops.{Agreement, Allocate, Anonymity, AsofJoin, Attribution,
   Behavior, Bootstrap, Bpe, BradleyTerry, CardinalityEstimate, Conformal,
   Mixing,
-  Chunking, Classifier, Cleaning, Components, Compressibility,
+  Chunking, Classifier, Cleaning, Components, Compressibility, Coreset,
   Contrastive, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   DecisionStump,
@@ -14874,7 +14874,56 @@ object GemQueries {
            |FROM ptop a LEFT JOIN pexact e
            |  USING (query_id, neighbor_id), prec
            |ORDER BY a.query_id, a."rank"""".stripMargin)
-      )
+      ),
+
+    // Greedy k-center coreset (Coreset.kCenter, Gonzalez 1985): the
+    // 8 maximally-diverse embedding rows — farthest-point selection
+    // with integer-micro L2² distances and hash-seeded start, the
+    // annotation-batch / cluster-seed picker. Selection order is the
+    // output (prefixes are themselves greedy solutions) and the final
+    // coverage radius (the 2-approximated k-center objective) is
+    // audited over the full frame.
+    QueryDef("q348_kcenter_coreset",
+      (s, dir) => Coreset.kCenter(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy("rank"),
+      Some {
+        val k = 8
+        val d2 = "CAST(round(" + duckDist2("e.embedding", "c.embedding") +
+          " * 1000000.0) AS BIGINT)"
+        val seed =
+          s"""kcseed AS (SELECT vec_id FROM (SELECT vec_id,
+             |    ${Hashing.duckPortableHash("CAST(vec_id AS VARCHAR)")} AS h
+             |  FROM embeddings ORDER BY h, vec_id LIMIT 1)),
+             |kcc0 AS (SELECT vec_id, 0 AS "rank",
+             |    CAST(NULL AS BIGINT) AS gain_micro FROM kcseed)""".stripMargin
+        val steps = (1 until k).map { i =>
+          // MATERIALIZED: each kcc is referenced 3× by the next step
+          // (two membership subqueries + the union) — inlined, the
+          // chain goes exponential (the r12 btCtes lesson).
+          s"""kcm$i AS MATERIALIZED (SELECT e.vec_id, min($d2) AS md
+             |  FROM embeddings e, embeddings c
+             |  WHERE c.vec_id IN (SELECT vec_id FROM kcc${i - 1})
+             |    AND e.vec_id NOT IN (SELECT vec_id FROM kcc${i - 1})
+             |  GROUP BY e.vec_id),
+             |kcp$i AS MATERIALIZED (
+             |  SELECT vec_id, $i AS "rank", md AS gain_micro
+             |  FROM kcm$i ORDER BY md DESC, vec_id LIMIT 1),
+             |kcc$i AS MATERIALIZED (SELECT * FROM kcc${i - 1}
+             |  UNION ALL SELECT * FROM kcp$i)""".stripMargin
+        }
+        "WITH " + (seed +: steps).mkString(",\n") + ",\n" +
+          s"""kcrad AS (SELECT max(md) AS coverage_radius_micro FROM (
+             |    SELECT e.vec_id, min($d2) AS md
+             |    FROM embeddings e, embeddings c
+             |    WHERE c.vec_id IN (SELECT vec_id FROM kcc${k - 1})
+             |    GROUP BY e.vec_id)),
+             |kcn AS (SELECT CAST(count(*) AS BIGINT) AS n_points
+             |  FROM embeddings)
+             |SELECT "rank", vec_id, gain_micro, coverage_radius_micro,
+             |  n_points
+             |FROM kcc${k - 1}, kcrad, kcn ORDER BY "rank"""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every

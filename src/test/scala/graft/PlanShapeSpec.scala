@@ -278,6 +278,10 @@ class PlanShapeSpec extends SparkSpec {
       // q346: the 1-row totals left-cross the ≤1-row first-crossing
       // frame into the single report row.
       "q346_sprt_monitor",
+      // q348: each greedy round broadcast-crosses the ≤ k-row center
+      // set against the point frame; the report crosses two 1-row
+      // frames (radius, count) onto the k selected rows.
+      "q348_kcenter_coreset",
       // q347: PQ codebook (m·ks ≤ 32 rows) + query ADC table
       // (|queries|·m·ks rows) broadcast-cross the corpus (q65/q66's
       // documented shape); the exact-recall tier is q29's

@@ -66,4 +66,31 @@ class PqSpec extends SparkSpec {
     // ranks then order by neighbor_id, deterministically.
     assert(res.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("kCenter: greedy picks one point per cluster before any duplicate") {
+    import graft.ops.Coreset
+    // three tight clusters at 0, 100, 200 on the first axis; k=3 must
+    // select one member of each, regardless of which seeds.
+    val rows = (0L until 9L).map { i =>
+      val base = (i % 3L) * 100f
+      (i, Seq(base + i / 3f * 0.1f, 0f, 0f, 0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val sel = Coreset.kCenter(df, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(sel.length == 3)
+    assert(sel.map(_.getAs[Long]("vec_id") % 3L).toSet == Set(0L, 1L, 2L))
+    assert(sel.head.isNullAt(sel.head.fieldIndex("gain_micro")))
+    assert(sel.tail.forall(_.getAs[Long]("gain_micro") > 0L))
+    // with one center per cluster, the radius is the worst
+    // within-cluster spread: (0.2)² = 0.04 → 40000 micro.
+    sel.foreach { r =>
+      assert(r.getAs[Long]("n_points") == 9L)
+      assert(r.getAs[Long]("coverage_radius_micro") <= 41000L)
+    }
+    // gains never increase along the greedy order.
+    val gains = sel.tail.map(_.getAs[Long]("gain_micro"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+  }
 }
