@@ -492,4 +492,68 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 5): DataFrame =
     docs.join(contaminatedIds(docs, bench, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** LSH band-tuning planning table — the S-curve arithmetic every
+    * [[minhashNearDups]] scaladoc hand-waves ("pick b·r for your
+    * threshold"), materialized as a queryable dim: for each candidate
+    * (bands b, rows-per-band r) config, the detection probability
+    * P(s) = 1 − (1 − s^r)^b on a similarity grid, its value at the
+    * dedup threshold, the false-positive / false-negative areas
+    * (∫ P below / ∫ (1−P) above the threshold — the shuffle-volume
+    * vs missed-dup tradeoff a 100 TB band choice is made on), and the
+    * curve midpoint s₅₀. A planning query, so the frame is
+    * |configs| × |grid| literal rows — zero scans, zero shuffles
+    * beyond the dim-sized group.
+    *
+    * Engine portability: powers are explicit left-associated
+    * multiplication chains (never `pow`, whose libm rounding differs
+    * across engines); P snaps to integer NANO units per grid point,
+    * so the area integrals are exact order-free integer sums.
+    *
+    * @param configs         (bands, rowsPerBand) candidates
+    * @param grid            similarity grid resolution (points at
+    *                        i/grid, i = 1..grid−1)
+    * @param thresholdPermil dedup threshold in permil; must land on a
+    *                        grid point
+    * @return per config: `bands`, `rows_per_band`, `k` (= b·r
+    *         signature size), `p_at_threshold_nano`, `fp_area_nano`,
+    *         `fn_area_nano`, `s50_permil` (first grid point with
+    *         P ≥ ½; null if the curve never reaches it)
+    */
+  def lshTuningTable(
+      spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)], grid: Int,
+      thresholdPermil: Int): DataFrame = {
+    require(grid > 1 && thresholdPermil * grid % 1000 == 0,
+      s"threshold $thresholdPermil‰ must land on a point of the " +
+        s"$grid-grid")
+    require(configs.nonEmpty, "at least one (bands, rows) config")
+    val tIdx = thresholdPermil * grid / 1000
+    val frames = configs.map { case (b, r) =>
+      require(b > 0 && r > 0, s"positive bands/rows: ($b, $r)")
+      val s = col("i").cast("double") / lit(grid.toDouble)
+      val sr = (1 to r).foldLeft(lit(1.0): Column)((acc, _) => acc * s)
+      val onems = lit(1.0) - sr
+      val q = (1 to b).foldLeft(lit(1.0): Column)((acc, _) => acc * onems)
+      spark.range(1, grid).toDF("i").select(
+        lit(b).as("bands"), lit(r).as("rows_per_band"), col("i"),
+        round((lit(1.0) - q) * 1e9).cast("long").as("p_nano"))
+    }
+    frames.reduce(_ unionByName _)
+      .groupBy("bands", "rows_per_band")
+      .agg(
+        max(when(col("i") === tIdx, col("p_nano")))
+          .as("p_at_threshold_nano"),
+        sum(when(col("i") < tIdx, col("p_nano")).otherwise(0L))
+          .as("_fp"),
+        sum(when(col("i") >= tIdx, lit(1000000000L) - col("p_nano"))
+          .otherwise(0L)).as("_fn"),
+        min(when(col("p_nano") >= 500000000L, col("i"))).as("_s50i"))
+      .select(col("bands"), col("rows_per_band"),
+        (col("bands") * col("rows_per_band")).as("k"),
+        col("p_at_threshold_nano"),
+        expr(s"_fp DIV ${grid}L").as("fp_area_nano"),
+        expr(s"_fn DIV ${grid}L").as("fn_area_nano"),
+        expr(s"_s50i * 1000 DIV ${grid}L").as("s50_permil"))
+  }
 }

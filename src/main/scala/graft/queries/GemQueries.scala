@@ -14923,6 +14923,49 @@ object GemQueries {
              |SELECT "rank", vec_id, gain_micro, coverage_radius_micro,
              |  n_points
              |FROM kcc${k - 1}, kcrad, kcn ORDER BY "rank"""".stripMargin
+      }),
+
+    // LSH band-tuning table (Dedup.lshTuningTable): the S-curve
+    // P(s) = 1 − (1 − s^r)^b for the four ways to spend a 64-hash
+    // MinHash signature, with detection probability at the 0.8 dedup
+    // threshold, false-positive / false-negative areas (the
+    // shuffle-volume vs missed-dup tradeoff a band choice is made
+    // on) and the curve midpoint — the planning dim behind q44/q61's
+    // bands=8 choice. Powers are explicit multiplication chains and
+    // P snaps to integer nanos per grid point, so both engines
+    // produce identical integers.
+    QueryDef("q349_lsh_tuning",
+      (s, dir) => Dedup.lshTuningTable(s,
+        configs = Seq((32, 2), (16, 4), (8, 8), (4, 16)),
+        grid = 20, thresholdPermil = 800)
+        .orderBy("rows_per_band"),
+      Some {
+        val grid = 20; val tIdx = 16
+        val cfgs = Seq((32, 2), (16, 4), (8, 8), (4, 16))
+        val parts = cfgs.map { case (b, r) =>
+          val srChain = Seq.fill(r)("s").mkString(" * ")
+          val qChain = Seq.fill(b)("onems").mkString(" * ")
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+             |    ${b * r} AS k,
+             |    max(CASE WHEN i = $tIdx THEN p_nano END)
+             |      AS p_at_threshold_nano,
+             |    CAST(sum(CASE WHEN i < $tIdx THEN p_nano ELSE 0 END)
+             |      // $grid AS BIGINT) AS fp_area_nano,
+             |    CAST(sum(CASE WHEN i >= $tIdx
+             |        THEN 1000000000 - p_nano ELSE 0 END)
+             |      // $grid AS BIGINT) AS fn_area_nano,
+             |    CAST(min(CASE WHEN p_nano >= 500000000 THEN i END)
+             |      * 1000 // $grid AS BIGINT) AS s50_permil
+             |  FROM (
+             |    SELECT i, CAST(round((1.0 - ($qChain))
+             |        * 1000000000.0) AS BIGINT) AS p_nano
+             |    FROM (
+             |      SELECT i, 1.0 - ($srChain) AS onems
+             |      FROM (SELECT i, CAST(i AS DOUBLE) / $grid.0 AS s
+             |            FROM (SELECT unnest(generate_series(1,
+             |              ${grid - 1})) AS i))))""".stripMargin
+        }
+        parts.mkString("", "\nUNION ALL\n", "\nORDER BY rows_per_band")
       })
   )
 

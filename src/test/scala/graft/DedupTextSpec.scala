@@ -135,4 +135,28 @@ class DedupTextSpec extends SparkSpec {
       n = 3, threshold = 0.9).count()
     assert(jac == 0)
   }
+
+  test("lshTuningTable: S-curve values match closed form; more rows/band = sharper") {
+    val rows = Dedup.lshTuningTable(spark,
+      configs = Seq((32, 2), (16, 4), (8, 8), (4, 16)),
+      grid = 20, thresholdPermil = 800)
+      .collect().map(r => (r.getAs[Int]("bands"),
+        r.getAs[Int]("rows_per_band")) -> r).toMap
+    assert(rows.size == 4)
+    // closed form at s = 0.8 (chain vs pow agree to a few nanos)
+    def pAt(b: Int, r: Int, s: Double): Long =
+      math.round((1.0 - math.pow(1.0 - math.pow(s, r), b)) * 1e9)
+    rows.foreach { case ((b, r), row) =>
+      assert(row.getAs[Int]("k") == 64)
+      val got = row.getAs[Long]("p_at_threshold_nano")
+      assert(math.abs(got - pAt(b, r, 0.8)) <= 16L,
+        s"($b,$r): $got vs ${pAt(b, r, 0.8)}")
+    }
+    // higher rows-per-band → sharper curve → less FP area below the
+    // threshold; and the (8,8) midpoint sits at 0.75 on the 20-grid.
+    val fp = Seq((32, 2), (16, 4), (8, 8), (4, 16))
+      .map(c => rows(c).getAs[Long]("fp_area_nano"))
+    assert(fp.zip(fp.tail).forall { case (a, b) => a > b })
+    assert(rows((8, 8)).getAs[Long]("s50_permil") == 750L)
+  }
 }
