@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Graft
 import graft.functions.{CmsSketch, Hashing}
-import graft.ops.{Agreement, Allocate, Anonymity, AsofJoin, Attribution,
+import graft.ops.{ActiveLearning, Agreement, Allocate, Anonymity, AsofJoin, Attribution,
   Behavior, Bootstrap, Bpe, BradleyTerry, CardinalityEstimate, Conformal,
   Mixing,
   Chunking, Classifier, Cleaning, Components, Compressibility, Coreset,
@@ -14966,7 +14966,54 @@ object GemQueries {
              |              ${grid - 1})) AS i))))""".stripMargin
         }
         parts.mkString("", "\nUNION ALL\n", "\nORDER BY rows_per_band")
-      })
+      }),
+
+    // Active-learning batch selection (ActiveLearning
+    // .uncertaintyBatch, Lewis & Gale '94 margin sampling): k-NN
+    // classify every unlabeled pool vector against the labeled seed
+    // set (vec_id < 100) and queue the 10 smallest-vote-margin rows
+    // for annotation — the rows the current labels are least sure
+    // about. Integer vote margins; the labeled side broadcasts, the
+    // pool never shuffles beyond its per-row top-k.
+    QueryDef("q350_active_learning",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        ActiveLearning.uncertaintyBatch(
+          emb.where(col("vec_id") < 100),
+          emb.where(col("vec_id") >= 100),
+          "vec_id", "embedding", "label", k = 5, batch = 10)
+          .orderBy("selection_rank")
+      },
+      Some(s"""WITH lab AS (SELECT vec_id AS lid, embedding AS lv,
+             |    label AS lbl FROM embeddings WHERE vec_id < 100),
+             |pool AS (SELECT vec_id AS pid, embedding AS pv
+             |  FROM embeddings WHERE vec_id >= 100),
+             |sc AS (SELECT pid, lid, lbl,
+             |    ${duckCos("pv", "lv")} AS cos
+             |  FROM pool, lab),
+             |topk AS (SELECT pid, lbl FROM (
+             |    SELECT pid, lbl, row_number() OVER (
+             |      PARTITION BY pid ORDER BY cos DESC, lid ASC) AS rn
+             |    FROM sc) WHERE rn <= 5),
+             |v AS (SELECT pid, lbl, CAST(count(*) AS BIGINT) AS votes
+             |  FROM topk GROUP BY 1, 2),
+             |vr AS (SELECT pid, lbl, votes, row_number() OVER (
+             |    PARTITION BY pid ORDER BY votes DESC, lbl ASC) AS r
+             |  FROM v),
+             |pp AS (SELECT pid,
+             |    max(CASE WHEN r = 1 THEN lbl END) AS top_label,
+             |    max(CASE WHEN r = 1 THEN votes END) AS top_votes,
+             |    coalesce(max(CASE WHEN r = 2 THEN votes END),
+             |      CAST(0 AS BIGINT)) AS second_votes
+             |  FROM vr WHERE r <= 2 GROUP BY 1),
+             |sel AS (SELECT pid, top_label, top_votes, second_votes,
+             |    top_votes - second_votes AS margin
+             |  FROM pp ORDER BY margin ASC, pid ASC LIMIT 10)
+             |SELECT row_number() OVER (ORDER BY margin ASC, pid ASC)
+             |    AS selection_rank,
+             |  pid AS vec_id, top_label, top_votes, second_votes,
+             |  margin
+             |FROM sel ORDER BY selection_rank""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

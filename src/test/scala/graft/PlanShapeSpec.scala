@@ -278,6 +278,10 @@ class PlanShapeSpec extends SparkSpec {
       // q346: the 1-row totals left-cross the ≤1-row first-crossing
       // frame into the single report row.
       "q346_sprt_monitor",
+      // q350: the labeled seed set broadcast-crosses the pool (the
+      // q29 bounded-small-side shape; here the SMALL side is the
+      // seed set and the pool is the big probe side).
+      "q350_active_learning",
       // q348: each greedy round broadcast-crosses the ≤ k-row center
       // set against the point frame; the report crosses two 1-row
       // frames (radius, count) onto the k selected rows.
@@ -515,6 +519,7 @@ object PlanShapeSpec {
     "q328_vocab_coverage",     // Rank.prefixSum bucket frame
     "q344_roc_auc",            // Rank.prefixSum bucket frame (×2: ranks + partials)
     "q346_sprt_monitor",       // Rank.prefixSum bucket frame (LLR walk)
+    "q350_active_learning",    // selection rank over the ≤ batch-row result
     "q330_mmr_rerank",         // bm25TopK rank over the ≤ pool-row result
     "q332_decision_stump",     // overall rank over the |features|-row frame
     "q235_watermark_profile",  // Lateness bucket frame (×2 passes)

@@ -93,4 +93,31 @@ class PqSpec extends SparkSpec {
     val gains = sel.tail.map(_.getAs[Long]("gain_micro"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
   }
+
+  test("uncertaintyBatch: boundary point outranks a confident one") {
+    import graft.ops.ActiveLearning
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val labeled = Seq(
+      (1L, v(1.0, 0.0), 0), (2L, v(0.995, 0.1), 0), (3L, v(0.99, 0.14), 0),
+      (4L, v(0.0, 1.0), 1), (5L, v(0.1, 0.995), 1), (6L, v(0.14, 0.99), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val pool = Seq(
+      (100L, v(1.0, 0.05), -1), // squarely class 0: margin 3
+      (101L, v(0.9, 1.0), -1))  // near the boundary: 2-1 votes
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = ActiveLearning.uncertaintyBatch(labeled, pool,
+      "vec_id", "embedding", "label", k = 3, batch = 2)
+      .orderBy("selection_rank").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("vec_id") == 101L)
+    assert(got(0).getAs[Long]("margin") == 1L)
+    assert(got(0).getAs[Int]("top_label") == 1)
+    assert(got(0).getAs[Long]("top_votes") == 2L &&
+      got(0).getAs[Long]("second_votes") == 1L)
+    assert(got(1).getAs[Long]("vec_id") == 100L)
+    assert(got(1).getAs[Long]("margin") == 3L)
+    assert(got(1).getAs[Long]("second_votes") == 0L)
+  }
 }
