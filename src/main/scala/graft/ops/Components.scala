@@ -439,6 +439,70 @@ object Components {
     lab.select(col("id"), col("lbl").as("community"))
   }
 
+  /** Semi-supervised label SPREADING with clamped seeds — the
+    * annotation-amplifier counterpart of [[labelPropagation]] (which
+    * discovers communities from node ids): seed rows keep their label
+    * forever, unlabeled rows adopt the modal label among their
+    * LABELED neighbors (ties to the smallest label), and labels march
+    * outward one hop per round. The standard way a few thousand human
+    * quality/toxicity labels cover a near-dup-connected corpus slice;
+    * rows no labeled region can reach stay null, honestly.
+    *
+    * Determinism: synchronous rounds, modal vote with (count desc,
+    * label asc) tie-break — an external engine replays every round.
+    * Scale shape per round: one edge-to-labels equi-join, one
+    * combinable (node, label) count, one per-node argmax window
+    * (high-cardinality key), one left join back; lineage pinned via
+    * [[Iterate.pinEvery]].
+    *
+    * @param docs    node frame; `labelCol` null = unlabeled
+    * @param pairs   undirected near-dup pairs (aCol, bCol)
+    * @param rounds  spreading hops
+    * @return per node: `<idCol>`, `label` (final; null if never
+    *         reached), `labeled_at` (0 = seed, r = adopted in round
+    *         r, null = never), `is_seed` (0/1)
+    */
+  def seededLabelSpread(
+      docs: DataFrame, idCol: String, labelCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds >= 1: $rounds")
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .persist()
+    var state = docs.select(col(idCol).cast("long").as("id"),
+        col(labelCol).as("lbl"),
+        when(col(labelCol).isNotNull, 0).otherwise(lit(null))
+          .cast("int").as("labeled_at"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("c").desc, col("lbl").asc)
+    (1 to rounds).foreach { rnd =>
+      val best = edges
+        .join(state.where(col("lbl").isNotNull)
+          .select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("id"), col("lbl").as("cand"))
+      // pinEvery: rounds is caller-chosen (Iterate's planning-knee doc).
+      state = Iterate.pinEvery(rnd, state.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("lbl"), col("cand")).as("lbl"),
+          when(col("lbl").isNull && col("cand").isNotNull, lit(rnd))
+            .otherwise(col("labeled_at")).cast("int").as("labeled_at")))
+    }
+    edges.unpersist()
+    state.select(col("id").as(idCol), col("lbl").as("label"),
+      col("labeled_at"),
+      when(col("labeled_at") === 0, 1).otherwise(0).as("is_seed"))
+  }
+
   /** Soft deduplication (SoftDeDup shape — reweight duplicated
     * content instead of deleting it): every member of a near-dup
     * cluster keeps 1/cluster_size of its training weight, so the

@@ -15013,7 +15013,54 @@ object GemQueries {
              |    AS selection_rank,
              |  pid AS vec_id, top_label, top_votes, second_votes,
              |  margin
-             |FROM sel ORDER BY selection_rank""".stripMargin))
+             |FROM sel ORDER BY selection_rank""".stripMargin)),
+
+    // Seeded label spreading (Components.seededLabelSpread): plant
+    // lang labels on every third doc, spread them 3 synchronous hops
+    // over the 0.8-Jaccard near-dup graph — seeds clamped, unlabeled
+    // docs adopt the modal labeled-neighbor label (ties smallest),
+    // unreached docs stay null. The annotation amplifier: how far a
+    // seed-label budget carries through duplication structure. The
+    // adoption ROUND is emitted per doc, so the hop-by-hop frontier
+    // is auditable.
+    QueryDef("q351_label_spread",
+      (s, dir) => {
+        val slice = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val seeded = slice.select(col("doc_id"),
+          when(col("doc_id") % 3L === 0L, col("lang")).as("seed_label"))
+        Components.seededLabelSpread(seeded, "doc_id", "seed_label",
+            pairs, "id_a", "id_b", rounds = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""sv$r AS (SELECT e.src AS id, l.lbl, count(*) AS c
+             |  FROM edges e JOIN sl${r - 1} l ON l.id = e.dst
+             |  WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+             |sb$r AS (SELECT id, lbl AS cand FROM (
+             |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+             |      ORDER BY c DESC, lbl) AS rk
+             |    FROM sv$r) WHERE rk = 1),
+             |sl$r AS MATERIALIZED (SELECT p.id,
+             |    coalesce(p.lbl, b.cand) AS lbl,
+             |    CASE WHEN p.lbl IS NULL AND b.cand IS NOT NULL
+             |      THEN $r ELSE p.labeled_at END AS labeled_at
+             |  FROM sl${r - 1} p LEFT JOIN sb$r b USING (id))"""
+            .stripMargin
+        }
+        "WITH " + minhashVerifiedCtes + ",\n" + pairsEdgesCtes + ",\n" +
+          """sl0 AS MATERIALIZED (SELECT doc_id AS id,
+            |    CASE WHEN doc_id % 3 = 0 THEN lang END AS lbl,
+            |    CASE WHEN doc_id % 3 = 0 THEN 0 END AS labeled_at
+            |  FROM documents WHERE doc_id < 1000),""".stripMargin +
+          "\n" + rounds.mkString(",\n") + "\n" +
+          """SELECT id AS doc_id, lbl AS label,
+            |  CAST(labeled_at AS INT) AS labeled_at,
+            |  CASE WHEN labeled_at = 0 THEN 1 ELSE 0 END AS is_seed
+            |FROM sl3 ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -80,4 +80,37 @@ class ComponentsSpec extends SparkSpec {
     assert(got(7L) == ((2L, 7L, 5L)))
     assert(got.size == 2)
   }
+
+  test("seededLabelSpread: labels march one hop per round, seeds clamped, ties smallest") {
+    // path 1-2-3-4 with seeds A@1, B@4; node 5 isolated; node 6 tied
+    // between A@1 and B@4 via direct edges.
+    val docs = Seq(
+      (1L, Some("A")), (2L, None), (3L, None), (4L, Some("B")),
+      (5L, None), (6L, None))
+      .toDF("id", "lab")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 6L), (4L, 6L))
+      .toDF("a", "b")
+    val got = Components.seededLabelSpread(docs, "id", "lab",
+        pairs, "a", "b", rounds = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("label")),
+          Option(r.get(r.fieldIndex("labeled_at")))
+            .map(_.asInstanceOf[Int]),
+          r.getAs[Int]("is_seed")))).toMap
+    assert(got(1L) == ((Some("A"), Some(0), 1)))
+    assert(got(4L) == ((Some("B"), Some(0), 1)))
+    // hop 1: 2 sees A, 3 sees B, 6 sees both (tie -> A).
+    assert(got(2L) == ((Some("A"), Some(1), 0)))
+    assert(got(3L) == ((Some("B"), Some(1), 0)))
+    assert(got(6L) == ((Some("A"), Some(1), 0)))
+    // isolated node never reached.
+    assert(got(5L) == ((None, None, 0)))
+    // clamping: one more round must not flip anything already set.
+    val again = Components.seededLabelSpread(docs, "id", "lab",
+        pairs, "a", "b", rounds = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("label"))).toMap
+    assert(again(2L) == Some("A") && again(3L) == Some("B") &&
+      again(6L) == Some("A"))
+  }
 }
