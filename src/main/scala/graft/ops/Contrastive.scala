@@ -65,4 +65,57 @@ object Contrastive {
         when(col("neg") === col("anchor") || col("neg") === col("pos") ||
           col("_dup").isNotNull, 0).otherwise(1).as("clean"))
   }
+
+  /** Hard-negative mining for metric/two-tower training (the step
+    * [[triplets]]' random draws skip): for each anchor, the `n` most
+    * cosine-similar vectors carrying a DIFFERENT label — the negatives
+    * that actually move the loss — plus the anchor's nearest
+    * same-label positive and a `violation` flag (hard negative scores
+    * at or above the positive: the triplet is actively wrong, the
+    * highest-value training signal). The violation count per batch is
+    * the curriculum dial hard-example miners tune.
+    *
+    * Scale shape: anchors are a bounded mining batch — they broadcast;
+    * the corpus never shuffles beyond the per-anchor top-(n|1) windows
+    * (high-cardinality keys). Cosines round to 4 decimals AFTER
+    * ranking, and the violation compare uses the rounded values so the
+    * flag is engine-portable.
+    *
+    * @return per (anchor, rank ≤ n): `anchor_id`, `anchor_label`,
+    *         `rank`, `neg_id`, `neg_label`, `neg_cos` (round 4),
+    *         `pos_id`, `pos_cos` (round 4; null if the anchor's label
+    *         is unique in the corpus), `violation` (0/1)
+    */
+  def hardNegatives(
+      corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, n: Int): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("_av"), col(labelCol).as("anchor_label"))
+    val scored = corpus
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+        col(labelCol).as("_clbl"))
+      .crossJoin(broadcast(a))
+      .where(col("_cid") =!= col("anchor_id"))
+      .withColumn("_cos", Similarity.cosine(col("_av"), col("_cv")))
+    val wNeg = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("_cos").desc, col("_cid").asc)
+    val negs = scored.where(col("_clbl") =!= col("anchor_label"))
+      .withColumn("rank", row_number().over(wNeg))
+      .where(col("rank") <= n)
+      .select(col("anchor_id"), col("anchor_label"), col("rank"),
+        col("_cid").as("neg_id"), col("_clbl").as("neg_label"),
+        round(col("_cos"), 4).as("neg_cos"))
+    val pos = scored.where(col("_clbl") === col("anchor_label"))
+      .withColumn("_pr", row_number().over(wNeg))
+      .where(col("_pr") === 1)
+      .select(col("anchor_id"), col("_cid").as("pos_id"),
+        round(col("_cos"), 4).as("pos_cos"))
+    negs.join(broadcast(pos), Seq("anchor_id"), "left")
+      .withColumn("violation",
+        when(col("pos_cos").isNotNull && col("neg_cos") >= col("pos_cos"),
+          1).otherwise(0))
+      .select(col("anchor_id"), col("anchor_label"), col("rank"),
+        col("neg_id"), col("neg_label"), col("neg_cos"),
+        col("pos_id"), col("pos_cos"), col("violation"))
+  }
 }

@@ -160,4 +160,87 @@ object Pq {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("adc_micro"), col("exact_hit"), col("recall_ppm"))
   }
+
+  /** IVF-PQ (the FAISS `IVFx,PQy` architecture): a coarse L2
+    * quantizer routes each query to its `nProbe` nearest cells, and
+    * only the PQ codes INSIDE those cells pay ADC — the index shape
+    * that makes billion-vector search tractable (scan cost drops by
+    * ~kCoarse/nProbe on top of PQ's memory win). The coarse level IS
+    * [[train]] with m = 1 (one subspace spanning the whole vector),
+    * so both levels share one verified Lloyd kernel; PQ codes are
+    * over raw vectors (no residual encoding — documented, and what
+    * the recall audit measures).
+    *
+    * @return per (query, rank ≤ k): `neighbor_id`, `adc_micro`,
+    *         `exact_hit` (vs the exact L2 top-k over the FULL
+    *         corpus, so probe misses count against recall),
+    *         `n_candidates` (corpus rows the probe admitted — the
+    *         selectivity audit), repeated `recall_ppm`
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, kCoarse: Int, nProbe: Int,
+      m: Int, subDim: Int, ks: Int, iters: Int, k: Int): DataFrame = {
+    require(m * subDim == dim, s"m*subDim must equal dim: $m*$subDim != $dim")
+    val coarseCb = train(corpus, idCol, vecCol, 1, dim, kCoarse, iters)
+      .localCheckpoint(true)
+    val cells = encode(corpus, idCol, vecCol, coarseCb, 1, dim)
+      .select(col(idCol), col("code").as("cell"))
+    val pqCb = train(corpus, idCol, vecCol, m, subDim, ks, iters)
+      .localCheckpoint(true)
+    val codes = encode(corpus, idCol, vecCol, pqCb, m, subDim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("_pd").asc, col("cell_id").asc)
+    val probes = q.crossJoin(broadcast(coarseCb))
+      .withColumn("_pd", dist2(col("qv"), col("centvec")))
+      .withColumn("_pr", row_number().over(wp))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("cell_id").as("cell"))
+    val qsv = subVecs(q.select(col("query_id").as(idCol), col("qv")
+        .as(vecCol)), idCol, vecCol, m, subDim)
+      .select(col(idCol).as("query_id"), col("sub"), col("v"))
+    val qtab = qsv.join(broadcast(pqCb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell_id").as("code"),
+        round(dist2(col("v"), col("centvec")) * 1e6).cast("long")
+          .as("_tm"))
+    val admitted = cells.join(broadcast(probes), Seq("cell"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+      .localCheckpoint(true)
+    val nCand = admitted.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    val approx = admitted.join(codes, Seq(idCol))
+      .join(broadcast(qtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(sum("_tm").as("adc_micro"))
+      .withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= k)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("_em").asc, col("neighbor_id").asc)
+    val exact = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_em", round(dist2(col("cv"), col("qv")) * 1e6)
+        .cast("long"))
+      .withColumn("_er", row_number().over(we))
+      .where(col("_er") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("exact_hit"))
+    val joined = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0)))
+      .join(broadcast(nCand), Seq("query_id"))
+      .localCheckpoint(true)
+    val recall = joined
+      .agg(sum("exact_hit").cast("long").as("_hits"),
+        countDistinct("query_id").as("_nq"))
+      .select(expr(s"(_hits * 1000000) DIV (_nq * ${k}L)")
+        .as("recall_ppm"))
+    joined.crossJoin(broadcast(recall))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_micro"), col("exact_hit"), col("n_candidates"),
+        col("recall_ppm"))
+  }
 }

@@ -73,4 +73,44 @@ object Quantize {
           (v, qi) => abs(d(v) - dequant(qi, col("scale"))))), lit(0d)), 6)
           .as("max_abs_err"))
   }
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022): how much
+    * retrieval quality survives keeping only the first `d` embedding
+    * dimensions — the question behind "can we store 8× fewer floats
+    * per vector". For each candidate prefix length, cosine top-k over
+    * the TRUNCATED vectors is compared to the full-precision top-k;
+    * recall@k is the fraction of true neighbors the truncated index
+    * still finds. A 100 TB vector store reads this table before
+    * choosing its stored dimensionality (and it composes with
+    * [[quantizeInt8]] / [[graft.ops.Pq]] for the bytes-per-dim axis).
+    *
+    * One broadcast-query brute-force pass per candidate dim (the q29
+    * tier — at production scale swap in the IVF/PQ searchers, the
+    * recall math is unchanged); all counts exact integers.
+    *
+    * @return per candidate dim: `dim`, `hits`, `n_queries`,
+    *         `recall_ppm`
+    */
+  def matryoshkaRecall(
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && k > 0, "dims non-empty, k > 0")
+    val full = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nq = queries.select(col(idCol)).distinct().count()
+    dims.map { dd =>
+      def trunc(df: DataFrame) =
+        df.select(col(idCol), slice(col(vecCol), 1, dd).as(vecCol))
+      Similarity.bruteForceTopK(trunc(corpus), trunc(queries),
+          idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(dd).as("dim"), col("hits"),
+          lit(nq).as("n_queries"),
+          expr(s"(hits * 1000000) DIV (${nq}L * ${k}L)")
+            .as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

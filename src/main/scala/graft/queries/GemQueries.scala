@@ -14638,37 +14638,38 @@ object GemQueries {
     * assignment (tie on cell_id), per-position mean rounded to 6
     * decimals and cast to REAL. Ends at `pcent{iters}`.
     */
-  private def pqCtes(m: Int, subDim: Int, ks: Int, iters: Int): String = {
+  private def pqCtes(m: Int, subDim: Int, ks: Int, iters: Int,
+      f: String = "p"): String = {
     val seed =
-      s"""psubs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
-         |pposs AS (SELECT unnest(generate_series(1, $subDim)) AS pos),
-         |psv AS MATERIALIZED (SELECT vec_id, sub,
+      s"""${f}subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+         |${f}poss AS (SELECT unnest(generate_series(1, $subDim)) AS pos),
+         |${f}sv AS MATERIALIZED (SELECT vec_id, sub,
          |    list_slice(embedding, sub * $subDim + 1,
          |      sub * $subDim + $subDim) AS v
-         |  FROM embeddings CROSS JOIN psubs),
-         |pseed AS (
+         |  FROM embeddings CROSS JOIN ${f}subs),
+         |${f}seed AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1
          |      AS cell_id
          |  FROM (SELECT vec_id,
          |          ${Hashing.duckPortableHash("CAST(vec_id AS VARCHAR)")} AS h
          |        FROM embeddings ORDER BY h, vec_id LIMIT $ks)),
-         |pcent0 AS (SELECT s.sub, p.cell_id, s.v AS centvec
-         |  FROM psv s JOIN pseed p USING (vec_id))""".stripMargin
+         |${f}cent0 AS (SELECT s.sub, p.cell_id, s.v AS centvec
+         |  FROM ${f}sv s JOIN ${f}seed p USING (vec_id))""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""passign$i AS (
+      s"""${f}assign$i AS (
          |  SELECT vec_id, sub, v, cell_id FROM (
          |    SELECT s.vec_id, s.sub, s.v, c.cell_id,
          |      row_number() OVER (PARTITION BY s.vec_id, s.sub
          |        ORDER BY ${duckDist2("s.v", "c.centvec")} ASC,
          |          c.cell_id) AS rn
-         |    FROM psv s JOIN pcent${i - 1} c ON s.sub = c.sub)
+         |    FROM ${f}sv s JOIN ${f}cent${i - 1} c ON s.sub = c.sub)
          |  WHERE rn = 1),
-         |pcent$i AS (
+         |${f}cent$i AS (
          |  SELECT sub, cell_id,
          |    list(CAST(round(mu, 6) AS REAL) ORDER BY pos) AS centvec
          |  FROM (SELECT a.sub, a.cell_id, p.pos,
          |          avg(CAST(a.v[p.pos] AS DOUBLE)) AS mu
-         |        FROM passign$i a CROSS JOIN pposs p
+         |        FROM ${f}assign$i a CROSS JOIN ${f}poss p
          |        GROUP BY 1, 2, 3)
          |  GROUP BY 1, 2)""".stripMargin
     }
@@ -15060,7 +15061,189 @@ object GemQueries {
             |  CAST(labeled_at AS INT) AS labeled_at,
             |  CASE WHEN labeled_at = 0 THEN 1 ELSE 0 END AS is_seed
             |FROM sl3 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Matryoshka truncation audit (Quantize.matryoshkaRecall,
+    // Kusupati '22): recall@10 of cosine search over the first
+    // 8/16/32 embedding dims vs the full 64 — the dimensionality
+    // half of the storage tradeoff next to q73's int8 and q347's PQ
+    // codes. Exact integer recall; one broadcast-query pass per dim.
+    QueryDef("q352_matryoshka_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Quantize.matryoshkaRecall(emb,
+          emb.filter(col("vec_id").between(100, 104)),
+          "vec_id", "embedding", dims = Seq(8, 16, 32), k = 10)
+          .orderBy("dim")
+      },
+      Some {
+        def sliced(e: String, d: Int) = s"list_slice($e, 1, $d)"
+        val dims = Seq(8, 16, 32)
+        val perDim = dims.map { d =>
+          s"""t$d AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${duckCos(sliced("e.embedding", d),
+                       sliced("q.embedding", d))} DESC,
+             |          e.vec_id) AS rn
+             |    FROM embeddings e, fq q WHERE e.vec_id <> q.vec_id)
+             |  WHERE rn <= 10),
+             |r$d AS (SELECT $d AS dim,
+             |    CAST(count(*) AS BIGINT) AS hits,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM fq)
+             |      AS n_queries,
+             |    CAST((count(*) * 1000000) //
+             |      ((SELECT count(*) FROM fq) * 10) AS BIGINT)
+             |      AS recall_ppm
+             |  FROM t$d JOIN ffull USING (query_id, neighbor_id))"""
+            .stripMargin
+        }
+        s"""WITH fq AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id BETWEEN 100 AND 104),
+           |ffull AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "q.embedding")}
+           |          DESC, e.vec_id) AS rn
+           |    FROM embeddings e, fq q WHERE e.vec_id <> q.vec_id)
+           |  WHERE rn <= 10),
+           |""".stripMargin + perDim.mkString(",\n") + "\n" +
+          dims.map(d => s"SELECT * FROM r$d").mkString("", "\nUNION ALL\n",
+            "\nORDER BY dim")
+      }),
+
+    // Hard-negative mining (Contrastive.hardNegatives): for each of
+    // the 10 anchor embeddings, the 5 most-similar OTHER-label
+    // vectors (the negatives that move a contrastive loss), the
+    // nearest same-label positive, and the margin-violation flag —
+    // q109's random triplets pick easy negatives; this is the miner
+    // that finds the hard ones.
+    QueryDef("q353_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Contrastive.hardNegatives(emb,
+          emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", n = 5)
+          .orderBy("anchor_id", "rank")
+      },
+      Some(s"""WITH ha AS (SELECT vec_id AS anchor_id, embedding AS av,
+             |    label AS albl FROM embeddings WHERE vec_id < 10),
+             |hsc AS (SELECT a.anchor_id, a.albl, e.vec_id AS cid,
+             |    e.label AS clbl,
+             |    ${duckCos("a.av", "e.embedding")} AS cos
+             |  FROM embeddings e, ha a
+             |  WHERE e.vec_id <> a.anchor_id),
+             |hneg AS (SELECT anchor_id, albl AS anchor_label, "rank",
+             |    cid AS neg_id, clbl AS neg_label,
+             |    round(cos, 4) AS neg_cos
+             |  FROM (SELECT anchor_id, albl, cid, clbl, cos,
+             |      row_number() OVER (PARTITION BY anchor_id
+             |        ORDER BY cos DESC, cid ASC) AS "rank"
+             |    FROM hsc WHERE clbl <> albl)
+             |  WHERE "rank" <= 5),
+             |hpos AS (SELECT anchor_id, cid AS pos_id,
+             |    round(cos, 4) AS pos_cos
+             |  FROM (SELECT anchor_id, cid, cos,
+             |      row_number() OVER (PARTITION BY anchor_id
+             |        ORDER BY cos DESC, cid ASC) AS pr
+             |    FROM hsc WHERE clbl = albl)
+             |  WHERE pr = 1)
+             |SELECT n.anchor_id, n.anchor_label, n."rank", n.neg_id,
+             |  n.neg_label, n.neg_cos, p.pos_id, p.pos_cos,
+             |  CASE WHEN p.pos_cos IS NOT NULL
+             |      AND n.neg_cos >= p.pos_cos THEN 1 ELSE 0 END
+             |    AS violation
+             |FROM hneg n LEFT JOIN hpos p USING (anchor_id)
+             |ORDER BY anchor_id, n."rank"""".stripMargin)),
+
+    // IVF-PQ composite index (Pq.ivfPqTopK, the FAISS IVF8,PQ4
+    // shape): a coarse 8-cell L2 quantizer (Pq.train with m=1 — both
+    // levels share ONE verified Lloyd kernel) routes each query to
+    // its 2 nearest cells, and only the PQ codes inside those cells
+    // pay ADC. Recall@10 is judged against the exact L2 top-10 over
+    // the FULL corpus, so probe misses count; n_candidates audits the
+    // probe's selectivity.
+    QueryDef("q354_ivfpq_search",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Pq.ivfPqTopK(emb, emb.filter(col("vec_id").between(100, 104)),
+          "vec_id", "embedding", dim = 64, kCoarse = 8, nProbe = 2,
+          m = 4, subDim = 16, ks = 8, iters = 2, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH " + pqCtes(1, 64, 8, 2, "c") + ",\n" +
+        pqCtes(4, 16, 8, 2, "p") + ",\n" +
+        s"""ccells AS (SELECT vec_id, cell_id AS cell FROM (
+           |    SELECT s.vec_id, c.cell_id,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+           |        ORDER BY ${duckDist2("s.v", "c.centvec")} ASC,
+           |          c.cell_id) AS rn
+           |    FROM csv s JOIN ccent2 c ON s.sub = c.sub)
+           |  WHERE rn = 1),
+           |pcodes AS (SELECT vec_id, sub, cell_id AS code FROM (
+           |    SELECT s.vec_id, s.sub, c.cell_id,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+           |        ORDER BY ${duckDist2("s.v", "c.centvec")} ASC,
+           |          c.cell_id) AS rn
+           |    FROM psv s JOIN pcent2 c ON s.sub = c.sub)
+           |  WHERE rn = 1),
+           |iprobe AS (SELECT query_id, cell FROM (
+           |    SELECT q.vec_id AS query_id, c.cell_id AS cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${duckDist2("q.embedding", "c.centvec")}
+           |          ASC, c.cell_id) AS rn
+           |    FROM (SELECT vec_id, embedding FROM embeddings
+           |          WHERE vec_id BETWEEN 100 AND 104) q
+           |    JOIN ccent2 c ON c.sub = 0)
+           |  WHERE rn <= 2),
+           |iqt AS (SELECT s.vec_id AS query_id, s.sub,
+           |    c.cell_id AS code,
+           |    CAST(round(${duckDist2("s.v", "c.centvec")}
+           |      * 1000000.0) AS BIGINT) AS tm
+           |  FROM psv s JOIN pcent2 c ON s.sub = c.sub
+           |  WHERE s.vec_id BETWEEN 100 AND 104),
+           |iadm AS (SELECT pr.query_id, k.vec_id
+           |  FROM ccells k JOIN iprobe pr ON k.cell = pr.cell
+           |  WHERE k.vec_id <> pr.query_id),
+           |inc AS (SELECT query_id,
+           |    CAST(count(*) AS BIGINT) AS n_candidates
+           |  FROM iadm GROUP BY 1),
+           |iadc AS (SELECT a.query_id, a.vec_id AS neighbor_id,
+           |    CAST(sum(t.tm) AS BIGINT) AS adc_micro
+           |  FROM iadm a
+           |  JOIN pcodes c2 ON c2.vec_id = a.vec_id
+           |  JOIN iqt t ON t.query_id = a.query_id
+           |    AND t.sub = c2.sub AND t.code = c2.code
+           |  GROUP BY 1, 2),
+           |itk AS (SELECT * FROM (
+           |    SELECT query_id, neighbor_id, adc_micro,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY adc_micro ASC, neighbor_id ASC) AS "rank"
+           |    FROM iadc) WHERE "rank" <= 10),
+           |iexact AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY CAST(round(
+           |          ${duckDist2("e.embedding", "q.embedding")}
+           |          * 1000000.0) AS BIGINT) ASC, e.vec_id) AS rn
+           |    FROM embeddings e,
+           |      (SELECT vec_id, embedding FROM embeddings
+           |       WHERE vec_id BETWEEN 100 AND 104) q
+           |    WHERE e.vec_id <> q.vec_id)
+           |  WHERE rn <= 10),
+           |irec AS (SELECT CAST(((SELECT count(*) FROM itk a
+           |      JOIN iexact e USING (query_id, neighbor_id))
+           |    * 1000000) // ((SELECT count(DISTINCT query_id)
+           |      FROM itk) * 10) AS BIGINT) AS recall_ppm)
+           |SELECT a.query_id, a."rank", a.neighbor_id, a.adc_micro,
+           |  CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+           |    AS exact_hit,
+           |  n.n_candidates, recall_ppm
+           |FROM itk a LEFT JOIN iexact e
+           |  USING (query_id, neighbor_id)
+           |JOIN inc n USING (query_id), irec
+           |ORDER BY a.query_id, a."rank"""".stripMargin)
+      )
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -278,6 +278,16 @@ class PlanShapeSpec extends SparkSpec {
       // q346: the 1-row totals left-cross the ≤1-row first-crossing
       // frame into the single report row.
       "q346_sprt_monitor",
+      // q352: per-dim brute-force recall = q29's broadcast-query
+      // baseline tier, once per candidate prefix length.
+      "q352_matryoshka_recall",
+      // q353: the 10-anchor mining batch broadcast-crosses the corpus
+      // (q29's bounded-small-side shape).
+      "q353_hard_negatives",
+      // q354: IVF-PQ — coarse codebook, PQ codebook and query ADC
+      // tables all broadcast-cross (q65/q66/q347's documented shape);
+      // the recall tier is q29's brute-force baseline.
+      "q354_ivfpq_search",
       // q350: the labeled seed set broadcast-crosses the pool (the
       // q29 bounded-small-side shape; here the SMALL side is the
       // seed set and the pool is the big probe side).

@@ -120,4 +120,74 @@ class PqSpec extends SparkSpec {
     assert(got(1).getAs[Long]("margin") == 3L)
     assert(got(1).getAs[Long]("second_votes") == 0L)
   }
+
+  test("matryoshkaRecall: full-length prefix is perfect; signal-free prefix is not") {
+    import graft.ops.Quantize
+    // all ranking signal lives in dims 3-4; dims 1-2 are constant.
+    val rows = (0L until 20L).map { i =>
+      (i, Seq(1f, 1f, math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Quantize.matryoshkaRecall(df,
+        df.filter(col("vec_id") < 3), "vec_id", "embedding",
+        dims = Seq(2, 4), k = 5)
+      .orderBy("dim").collect()
+    assert(got.length == 2)
+    val byDim = got.map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(byDim(4).getAs[Long]("recall_ppm") == 1000000L)
+    assert(byDim(4).getAs[Long]("hits") == 15L)
+    assert(byDim(2).getAs[Long]("recall_ppm") <
+      byDim(4).getAs[Long]("recall_ppm"))
+    assert(got.forall(_.getAs[Long]("n_queries") == 3L))
+  }
+
+  test("hardNegatives: other-label neighbors only; violation flags an inverted margin") {
+    import graft.ops.Contrastive
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    // anchor 1 (label 0): its nearest OTHER-label vector (id 10) is
+    // closer than its nearest positive (id 2) -> violation.
+    // anchor 3 (label 1): positive id 10 is closest -> no violation.
+    val emb = Seq(
+      (1L, v(1.0, 0.0), 0), (2L, v(0.0, 1.0), 0),
+      (10L, v(0.95, 0.3), 1), (3L, v(0.9, 0.4), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Contrastive.hardNegatives(emb,
+        emb.filter(col("vec_id") <= 3), "vec_id", "embedding",
+        "label", n = 2)
+      .collect().groupBy(_.getAs[Long]("anchor_id"))
+    val a1 = got(1L).sortBy(_.getAs[Int]("rank"))
+    assert(a1.forall(_.getAs[Int]("neg_label") == 1))
+    assert(a1.head.getAs[Long]("neg_id") == 10L)
+    assert(a1.head.getAs[Long]("pos_id") == 2L)
+    assert(a1.head.getAs[Int]("violation") == 1)
+    val a3 = got(3L).sortBy(_.getAs[Int]("rank"))
+    assert(a3.forall(_.getAs[Int]("neg_label") == 0))
+    assert(a3.head.getAs[Long]("pos_id") == 10L)
+    assert(a3.forall(_.getAs[Int]("violation") == 0))
+  }
+
+  test("ivfPqTopK: probe routes to the right cluster; clean clusters give perfect recall") {
+    // two well-separated clusters of 6; coarse k=2 must split them,
+    // so a probe with nProbe=1 admits only the query's own cluster.
+    val rows = (0L until 12L).map { i =>
+      val base = if (i < 6) 0f else 50f
+      (i, Seq(base + (i % 6) * 0.1f, base + (i % 6) * 0.1f,
+        base, base))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val res = Pq.ivfPqTopK(df, df.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", dim = 4, kCoarse = 2, nProbe = 1,
+      m = 2, subDim = 2, ks = 4, iters = 2, k = 3)
+      .orderBy("rank").collect()
+    assert(res.length == 3)
+    // only own-cluster members are admitted (5 candidates) and the
+    // exact top-3 all live there too.
+    assert(res.forall(_.getAs[Long]("n_candidates") == 5L))
+    assert(res.forall(_.getAs[Long]("neighbor_id") < 6L))
+    assert(res.forall(_.getAs[Int]("exact_hit") == 1))
+    assert(res.head.getAs[Long]("recall_ppm") == 1000000L)
+  }
 }
