@@ -209,6 +209,56 @@ object Drift {
       .select(col(groupCol), col("n_a"), col("n_b"), col("ks"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the
+    * sketch-free tier above [[ksFromHists]] (whose D is only as sharp
+    * as its bins): D = sup|F_A − F_B| evaluated at every distinct
+    * pooled value, kept EXACT as the integer
+    * Dstar = max|cumA·n_B − cumB·n_A| (D = Dstar / (n_A·n_B), so no
+    * double ever enters the max). Ties are handled the standard way: F is
+    * read AFTER all ties at a value are consumed, because the
+    * cumulative counts live at value-distinct grain.
+    *
+    * Scale shape: one (value → countA, countB) aggregate, then
+    * [[Rank.globalRowNumber]] + two [[Rank.prefixSum]] passes over
+    * the value-distinct frame — never a single-task window over
+    * data-proportional rows. The critical value λ = D·√(n_A·n_B/
+    * (n_A+n_B)) is emitted in milli-units for the caller's lookup
+    * table (the p-value series is a scalar the caller can apply).
+    *
+    * @return 1 row: `n_a`, `n_b`, `d_star` (exact integer numerator),
+    *         `d_ppm` (= D in ppm, integer floor), `lambda_milli`
+    *         (round via integer floor of λ·1000)
+    */
+  def ksExact(
+      a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val pooled = a.select(col(valueCol).cast("long").as("_v"),
+        lit(1L).as("_ca"), lit(0L).as("_cb"))
+      .where(col("_v").isNotNull)
+      .unionByName(b.select(col(valueCol).cast("long").as("_v"),
+        lit(0L).as("_ca"), lit(1L).as("_cb"))
+        .where(col("_v").isNotNull))
+      .groupBy("_v")
+      .agg(sum("_ca").as("_na"), sum("_cb").as("_nb"))
+    val ranked = Rank.globalRowNumber(pooled, Seq("_v" -> true), "_rk")
+    val cum = Rank.prefixSum(
+      Rank.prefixSum(ranked, "_rk", "_na", "_cuma"),
+      "_rk", "_nb", "_cumb")
+    val totals = pooled.agg(sum("_na").as("n_a"), sum("_nb").as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a"))
+          .as("_dstar"))
+      .groupBy("n_a", "n_b")
+      .agg(max("_dstar").as("d_star"))
+      .select(col("n_a"), col("n_b"), col("d_star"),
+        expr("(d_star * 1000000) DIV (n_a * n_b)").as("d_ppm"),
+        expr("CAST(floor(CAST(d_star AS DOUBLE) / " +
+          "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * " +
+          "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / " +
+          "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * 1000.0) " +
+          "AS BIGINT)").as("lambda_milli"))
+  }
+
   /** 1-D Wasserstein-1 (earth-mover) distance per group from the same
     * `graft_hist` sketches as [[ksFromHists]]: W₁ = ∫|CDF_A − CDF_B|
     * = Σ_bins |ΔCDF| · binwidth. KS reports only the WORST single

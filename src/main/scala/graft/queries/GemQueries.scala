@@ -15243,7 +15243,50 @@ object GemQueries {
            |  USING (query_id, neighbor_id)
            |JOIN inc n USING (query_id), irec
            |ORDER BY a.query_id, a."rank"""".stripMargin)
-      )
+      ),
+
+    // Exact two-sample KS (Drift.ksExact): src0-vs-src1 document
+    // length distributions at full resolution — the sketch-free tier
+    // above q257's binned KS, with D kept exact as the integer
+    // max|cumA·nB − cumB·nA| over the value-distinct frame
+    // (globalRowNumber + two prefixSum passes, never a single-task
+    // window).
+    QueryDef("q355_ks_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Drift.ksExact(
+          docs.where(col("source") === "src0").select(col("n_chars")),
+          docs.where(col("source") === "src1").select(col("n_chars")),
+          "n_chars")
+      },
+      Some("""WITH pool AS (
+             |  SELECT v, CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb
+             |  FROM (
+             |    SELECT n_chars AS v, 1 AS ca, 0 AS cb FROM documents
+             |    WHERE source = 'src0' AND n_chars IS NOT NULL
+             |    UNION ALL
+             |    SELECT n_chars, 0, 1 FROM documents
+             |    WHERE source = 'src1' AND n_chars IS NOT NULL)
+             |  GROUP BY v),
+             |cum AS (SELECT v,
+             |    sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS cuma,
+             |    sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS cumb
+             |  FROM pool),
+             |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             |    CAST(sum(nb) AS BIGINT) AS n_b FROM pool),
+             |ds AS (SELECT CAST(max(abs(cuma * n_b - cumb * n_a))
+             |    AS BIGINT) AS d_star FROM cum, tot)
+             |SELECT n_a, n_b, d_star,
+             |  (d_star * 1000000) // (n_a * n_b) AS d_ppm,
+             |  CAST(floor(CAST(d_star AS DOUBLE) /
+             |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) *
+             |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+             |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
+             |    1000.0) AS BIGINT) AS lambda_milli
+             |FROM ds, tot""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

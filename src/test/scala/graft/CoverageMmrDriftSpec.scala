@@ -135,4 +135,19 @@ class CoverageMmrDriftSpec extends SparkSpec {
     assert(m("up")._3 == 2.0)
     assert(math.abs(m("down")._2 - (-0.75 / math.sqrt(0.8125))) < 1e-6)
   }
+
+  test("ksExact: hand D on overlapping samples; zero on identical ones") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Drift.ksExact(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    // F diverges most at v=2: |F_A - F_B| = 0.5 -> d_star = 8/16.
+    assert(r.getAs[Long]("d_star") == 8L)
+    assert(r.getAs[Long]("d_ppm") == 500000L)
+    // lambda = 0.5 * sqrt(16/8) = 0.7071 -> 707 milli.
+    assert(r.getAs[Long]("lambda_milli") == 707L)
+    val same = Drift.ksExact(a, a, "v").head()
+    assert(same.getAs[Long]("d_star") == 0L)
+    assert(same.getAs[Long]("d_ppm") == 0L)
+  }
 }

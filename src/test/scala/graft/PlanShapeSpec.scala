@@ -288,6 +288,9 @@ class PlanShapeSpec extends SparkSpec {
       // tables all broadcast-cross (q65/q66/q347's documented shape);
       // the recall tier is q29's brute-force baseline.
       "q354_ivfpq_search",
+      // q355: the 1-row totals broadcast-cross the value-distinct
+      // CDF frame (the q91 1-row shape).
+      "q355_ks_exact",
       // q350: the labeled seed set broadcast-crosses the pool (the
       // q29 bounded-small-side shape; here the SMALL side is the
       // seed set and the pool is the big probe side).
@@ -530,6 +533,7 @@ object PlanShapeSpec {
     "q344_roc_auc",            // Rank.prefixSum bucket frame (×2: ranks + partials)
     "q346_sprt_monitor",       // Rank.prefixSum bucket frame (LLR walk)
     "q350_active_learning",    // selection rank over the ≤ batch-row result
+    "q355_ks_exact",           // Rank.prefixSum bucket frame (×2 CDF passes)
     "q330_mmr_rerank",         // bm25TopK rank over the ≤ pool-row result
     "q332_decision_stump",     // overall rank over the |features|-row frame
     "q235_watermark_profile",  // Lateness bucket frame (×2 passes)
