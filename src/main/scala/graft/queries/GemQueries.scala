@@ -611,6 +611,26 @@ object GemQueries {
       |sizes AS (SELECT component, count(*) AS cluster_size
       |          FROM comp GROUP BY component)""".stripMargin
 
+  /** [[clusterChainCtes]] parameterized by Jaccard threshold and CTE
+    * prefix, so several thresholds' component chains coexist in one
+    * query (q356's sweep). `clusterChainCtes` stays the fixed-0.8
+    * instantiation q61/q128/q325 share.
+    */
+  private def clusterChainCtesAt(thr: String, f: String): String =
+    s"""${f}pairs AS (SELECT id_a, id_b FROM verified
+       |  WHERE jaccard >= $thr),
+       |${f}edges AS (SELECT id_a AS src, id_b AS dst FROM ${f}pairs
+       |          UNION ALL SELECT id_b, id_a FROM ${f}pairs),
+       |${f}reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM toks
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM ${f}reach r JOIN ${f}edges e
+       |    ON e.src = r.id),
+       |${f}comp AS (SELECT id, min(lbl) AS component FROM ${f}reach
+       |  GROUP BY id),
+       |${f}sizes AS (SELECT component, count(*) AS cluster_size
+       |          FROM ${f}comp GROUP BY component)""".stripMargin
+
   /** Deterministic synchronous label-propagation rounds over
     * [[pairsEdgesCtes]]'s `edges`: each round every node adopts its
     * neighbors' modal label, ties to the smallest, isolated nodes
@@ -15286,7 +15306,69 @@ object GemQueries {
              |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
              |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
              |    1000.0) AS BIGINT) AS lambda_milli
-             |FROM ds, tot""".stripMargin))
+             |FROM ds, tot""".stripMargin)),
+
+    // Dedup-threshold sensitivity sweep (the planning table BEHIND
+    // q61's 0.8): candidate pairs are found ONCE at the loosest
+    // threshold (the LSH candidate set does not depend on τ), then
+    // filtered and re-clustered at 0.7 / 0.8 / 0.9 — pair counts,
+    // cluster counts and the removed-doc fraction per τ, the
+    // aggressiveness-vs-loss curve a dedup run is tuned on.
+    QueryDef("q356_threshold_sweep",
+      (s, dir) => {
+        val slice = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs0 = Dedup.minhashNearDups(slice, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.7).localCheckpoint(true)
+        val n = slice.agg(count(lit(1)).as("_n"))
+        Seq(700, 800, 900).map { p =>
+          val pairs = pairs0.where(col("jaccard") >= p / 1000.0)
+          val cl = Components.dedupClusters(slice, "doc_id",
+              pairs, "id_a", "id_b")
+            .where(col("cluster_size") >= 2L)
+          pairs.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(cl.agg(
+              countDistinct("component").as("n_clusters"),
+              count(lit(1)).as("n_docs_in_clusters")))
+            .select(lit(p).as("threshold_permil"), col("n_pairs"),
+              col("n_clusters"), col("n_docs_in_clusters"))
+        }.reduce(_ unionByName _)
+          .crossJoin(broadcast(n))
+          .select(col("threshold_permil"), col("n_pairs"),
+            col("n_clusters"), col("n_docs_in_clusters"),
+            (col("n_docs_in_clusters") - col("n_clusters"))
+              .as("n_removed"),
+            expr("((n_docs_in_clusters - n_clusters) * 1000000)" +
+              " DIV _n").as("removed_ppm"))
+          .orderBy("threshold_permil")
+      },
+      Some {
+        val chains = Seq(700 -> "t7", 800 -> "t8", 900 -> "t9")
+        val rs = chains.map { case (p, f) =>
+          val thr = s"0.${p / 100}"
+          s"""r$f AS (SELECT $p AS threshold_permil,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM verified
+             |     WHERE jaccard >= $thr) AS n_pairs,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ${f}sizes
+             |     WHERE cluster_size >= 2) AS n_clusters,
+             |    (SELECT CAST(coalesce(sum(cluster_size), 0)
+             |       AS BIGINT) FROM ${f}sizes
+             |     WHERE cluster_size >= 2) AS n_docs_in_clusters)"""
+            .stripMargin
+        }
+        "WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+          chains.map { case (p, f) =>
+            clusterChainCtesAt(s"0.${p / 100}", f)
+          }.mkString(",\n") + ",\n" +
+          rs.mkString(",\n") + "\n" +
+          """SELECT threshold_permil, n_pairs, n_clusters,
+            |  n_docs_in_clusters,
+            |  n_docs_in_clusters - n_clusters AS n_removed,
+            |  ((n_docs_in_clusters - n_clusters) * 1000000) //
+            |    (SELECT count(*) FROM toks) AS removed_ppm
+            |FROM (SELECT * FROM rt7 UNION ALL SELECT * FROM rt8
+            |      UNION ALL SELECT * FROM rt9)
+            |ORDER BY threshold_permil""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -291,6 +291,9 @@ class PlanShapeSpec extends SparkSpec {
       // q355: the 1-row totals broadcast-cross the value-distinct
       // CDF frame (the q91 1-row shape).
       "q355_ks_exact",
+      // q356: per-threshold 1-row pair/cluster counts cross into the
+      // 3-row sweep table (the q102 report shape).
+      "q356_threshold_sweep",
       // q350: the labeled seed set broadcast-crosses the pool (the
       // q29 bounded-small-side shape; here the SMALL side is the
       // seed set and the pool is the big probe side).
