@@ -15311,27 +15311,51 @@ object GemQueries {
     // Dedup-threshold sensitivity sweep (the planning table BEHIND
     // q61's 0.8): candidate pairs are found ONCE at the loosest
     // threshold (the LSH candidate set does not depend on τ), then
-    // filtered and re-clustered at 0.7 / 0.8 / 0.9 — pair counts,
-    // cluster counts and the removed-doc fraction per τ, the
-    // aggressiveness-vs-loss curve a dedup run is tuned on.
+    // the three clusterings run as ONE connected-components pass —
+    // node ids are lifted into disjoint per-threshold planes
+    // (τ·10⁷ + doc_id), so one iterative convergence covers all
+    // thresholds instead of three sequential chains. At sf0.1 the
+    // LSH pair search dominates (~10 s, the minhashNearDups band
+    // join) so wall-clock is flat, but the iterative TAIL drops from
+    // 3 chains of driver-synchronized rounds to 1 — the part that
+    // matters at 100 TB, where every extra chain is another full set
+    // of convergence shuffles. Pair counts, cluster counts and the
+    // removed-doc fraction per τ: the aggressiveness-vs-loss curve a
+    // dedup run is tuned on.
     QueryDef("q356_threshold_sweep",
       (s, dir) => {
         val slice = t(s, dir, "documents").filter(col("doc_id") < 1000)
         val pairs0 = Dedup.minhashNearDups(slice, "doc_id", "text",
           k = 64, bands = 8, threshold = 0.7).localCheckpoint(true)
+        val taus = Seq(700, 800, 900)
+        def lift(p: Int, c: Column): Column = lit(p.toLong) * 10000000L + c
+        val liftedNodes = taus.map(p => slice.select(
+          lift(p, col("doc_id")).as("doc_id"))).reduce(_ unionByName _)
+        val liftedPairs = taus.map(p =>
+          pairs0.where(col("jaccard") >= p / 1000.0)
+            .select(lift(p, col("id_a")).as("id_a"),
+              lift(p, col("id_b")).as("id_b"))).reduce(_ unionByName _)
+        val cl = Components.dedupClusters(liftedNodes, "doc_id",
+            liftedPairs, "id_a", "id_b")
+          .where(col("cluster_size") >= 2L)
+          .withColumn("threshold_permil",
+            expr("CAST(doc_id DIV 10000000L AS INT)"))
+          .groupBy("threshold_permil")
+          .agg(countDistinct("component").as("n_clusters"),
+            count(lit(1)).as("n_docs_in_clusters"))
+        val pc = taus.map(p =>
+          pairs0.where(col("jaccard") >= p / 1000.0)
+            .agg(count(lit(1)).as("n_pairs"))
+            .select(lit(p).as("threshold_permil"), col("n_pairs")))
+          .reduce(_ unionByName _)
         val n = slice.agg(count(lit(1)).as("_n"))
-        Seq(700, 800, 900).map { p =>
-          val pairs = pairs0.where(col("jaccard") >= p / 1000.0)
-          val cl = Components.dedupClusters(slice, "doc_id",
-              pairs, "id_a", "id_b")
-            .where(col("cluster_size") >= 2L)
-          pairs.agg(count(lit(1)).as("n_pairs"))
-            .crossJoin(cl.agg(
-              countDistinct("component").as("n_clusters"),
-              count(lit(1)).as("n_docs_in_clusters")))
-            .select(lit(p).as("threshold_permil"), col("n_pairs"),
-              col("n_clusters"), col("n_docs_in_clusters"))
-        }.reduce(_ unionByName _)
+        // LEFT join: a threshold whose clustering is empty still
+        // reports its row (0 clusters), never vanishes.
+        pc.join(cl, Seq("threshold_permil"), "left")
+          .select(col("threshold_permil"), col("n_pairs"),
+            coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+            coalesce(col("n_docs_in_clusters"), lit(0L))
+              .as("n_docs_in_clusters"))
           .crossJoin(broadcast(n))
           .select(col("threshold_permil"), col("n_pairs"),
             col("n_clusters"), col("n_docs_in_clusters"),
