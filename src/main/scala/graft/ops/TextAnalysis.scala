@@ -752,4 +752,53 @@ object TextAnalysis {
       .withColumn("fingerprint", bowFingerprint(t))
       .withColumn("quality", qualityScore(t))
   }
+
+  /** Flesch readability per group — the classic document-difficulty
+    * signal next to [[qualityScore]]'s surface ratios, built entirely
+    * from three EXACT integer run counts per doc (words = the house
+    * tokenizer; sentences = `[.!?]+` runs, floored at 1 per doc;
+    * syllables ≈ `[aeiouy]+` vowel-group runs in the lowercased text —
+    * the standard heuristic, and a run can never span a space so the
+    * doc-level count equals the per-word sum). Counts sum map-side per
+    * group; the Flesch reading-ease 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W) and Flesch–Kincaid grade 0.39·(W/S) + 11.8·(Y/W) −
+    * 15.59 are then single double expressions over the exact sums
+    * (mass-weighted group scores, not mean-of-doc-scores —
+    * documented), so any engine replays them bit-for-bit.
+    *
+    * @return per group: `n_docs`, `words`, `sentences`, `syllables`,
+    *         `wps` (words/sentence, round 4), `spw` (syllables/word,
+    *         round 4), `flesch` (round 4), `fk_grade` (round 4);
+    *         ratio columns null when a denominator is 0
+    */
+  def readability(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = tokenCount(t).cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syllables =
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+        .cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(words).as("words"),
+        sum(sentences).as("sentences"),
+        sum(syllables).as("syllables"))
+      .select(col(groupCol), col("n_docs"), col("words"),
+        col("sentences"), col("syllables"),
+        expr("round(CAST(words AS DOUBLE) /" +
+          " CAST(sentences AS DOUBLE), 4)").as("wps"),
+        expr("CASE WHEN words > 0 THEN round(CAST(syllables AS DOUBLE)" +
+          " / CAST(words AS DOUBLE), 4) END").as("spw"),
+        expr("CASE WHEN words > 0 THEN round(206.835" +
+          " - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))" +
+          " - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))," +
+          " 4) END").as("flesch"),
+        expr("CASE WHEN words > 0 THEN round(0.39" +
+          " * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))" +
+          " + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))" +
+          " - 15.59, 4) END").as("fk_grade"))
+  }
 }

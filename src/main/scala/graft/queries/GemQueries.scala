@@ -15392,7 +15392,48 @@ object GemQueries {
             |FROM (SELECT * FROM rt7 UNION ALL SELECT * FROM rt8
             |      UNION ALL SELECT * FROM rt9)
             |ORDER BY threshold_permil""".stripMargin
-      })
+      }),
+
+    // Flesch readability per source (TextAnalysis.readability):
+    // reading-ease + Flesch–Kincaid grade from three exact integer
+    // run counts (words, [.!?]+ sentence runs floored at 1/doc,
+    // [aeiouy]+ vowel-group syllables) summed map-side — the classic
+    // difficulty signal beside q85's surface-ratio quality tiers.
+    QueryDef("q357_readability",
+      (s, dir) => TextAnalysis.readability(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+      Some("""WITH perdoc AS (
+             |  SELECT source,
+             |    CAST(len(list_filter(string_split_regex(text, ' +'),
+             |      x -> x <> '')) AS BIGINT) AS w,
+             |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+             |      AS BIGINT), 1) AS st,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |      AS BIGINT) AS y
+             |  FROM documents),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(w) AS BIGINT) AS words,
+             |    CAST(sum(st) AS BIGINT) AS sentences,
+             |    CAST(sum(y) AS BIGINT) AS syllables
+             |  FROM perdoc GROUP BY 1)
+             |SELECT source, n_docs, words, sentences, syllables,
+             |  round(CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE),
+             |    4) AS wps,
+             |  CASE WHEN words > 0 THEN
+             |    round(CAST(syllables AS DOUBLE) /
+             |      CAST(words AS DOUBLE), 4) END AS spw,
+             |  CASE WHEN words > 0 THEN round(206.835
+             |    - 1.015 * (CAST(words AS DOUBLE) /
+             |        CAST(sentences AS DOUBLE))
+             |    - 84.6 * (CAST(syllables AS DOUBLE) /
+             |        CAST(words AS DOUBLE)), 4) END AS flesch,
+             |  CASE WHEN words > 0 THEN round(0.39
+             |    * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             |    + 11.8 * (CAST(syllables AS DOUBLE) /
+             |        CAST(words AS DOUBLE))
+             |    - 15.59, 4) END AS fk_grade
+             |FROM g ORDER BY source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

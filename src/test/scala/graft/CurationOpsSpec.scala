@@ -439,4 +439,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(c10.getAs[Long]("kept_tokens") == 12L)
     assert(c10.getAs[Long]("waste_ppm") == 0L)
   }
+
+  test("readability: hand-counted Flesch on a two-sentence doc; sentence floor") {
+    val df = Seq(
+      ("g", "Hello world. This is a test!"),
+      ("h", "no punctuation here at all"))
+      .toDF("src", "text")
+    val m = TextAnalysis.readability(df, "src", "text")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val g = m("g")
+    assert(g.getAs[Long]("words") == 6L)
+    assert(g.getAs[Long]("sentences") == 2L)
+    // vowel-group runs: he-llo(2) world(1) this(1) is(1) a(1) test(1)
+    assert(g.getAs[Long]("syllables") == 7L)
+    assert(g.getAs[Double]("wps") == 3.0)
+    assert(g.getAs[Double]("flesch") == 105.09)
+    assert(g.getAs[Double]("fk_grade") == -0.6533)
+    // no terminal punctuation -> the per-doc sentence floor of 1.
+    val h = m("h")
+    assert(h.getAs[Long]("sentences") == 1L)
+    assert(h.getAs[Long]("words") == 5L)
+  }
 }
