@@ -147,37 +147,92 @@ object CardinalityEstimate {
     *         from the max-merged per-group registers),
     *         `merge_register_mismatches` (vs the ungrouped build)
     */
-  def hllReport(
+  /** The per-(group, bucket) HLL register table — the mergeable,
+    * persistable form ([[hllFromRegisters]] consumes it; q358 stores
+    * it as an index and answers distinct queries without re-reading
+    * raw keys). Register value = max ρ over keys in the bucket.
+    */
+  def hllRegisters(
       df: DataFrame, groupCol: String, keyCol: String,
-      p: Int = 6): DataFrame = {
+      p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16]: $p")
+    hllBase(df, groupCol, keyCol, p)
+      .groupBy("_g", "_b").agg(max("_rho").as("_m"))
+      .select(col("_g").as(groupCol), col("_b").as("bucket"),
+        col("_m").as("register"))
+  }
+
+  /** Per-group + merged estimates from a STORED register table — the
+    * query-time half of the sketch index: no raw keys are touched,
+    * and the merged (all-group) estimate is the element-wise register
+    * max, exactly the law [[hllReport]] proves.
+    *
+    * @return per group: `registers_used`, `zeros`, `sum_scaled`,
+    *         `hll_est` (round 2); repeated: `merged_est` (round 2)
+    */
+  def hllFromRegisters(
+      regs: DataFrame, groupCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16]: $p")
+    val r = regs.select(col(groupCol).as("_g"),
+      col("bucket").as("_b"), col("register").as("_m"))
+    val perGroup = hllSummarize(r, Seq("_g"), p)
+    val mergedEst = hllSummarize(
+      r.groupBy("_b").agg(max("_m").as("_m")), Seq.empty, p)
+      .select(round(col("_est"), 2).as("merged_est"))
+    perGroup.crossJoin(broadcast(mergedEst))
+      .select(col("_g").as(groupCol), col("registers_used"),
+        col("zeros"), col("sum_scaled"),
+        round(col("_est"), 2).as("hll_est"), col("merged_est"))
+  }
+
+  /** (group, bucket, rho) per input key — shared scan of the register
+    * builders. */
+  private def hllBase(
+      df: DataFrame, groupCol: String, keyCol: String,
+      p: Int): DataFrame = {
     val m = 1 << p
     val rmax = 61 - p // max rho: (60-p)-bit window, 1-based
-    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
-    val base = df
-      .select(col(groupCol).as("_g"), col(keyCol).cast("string").as("_k"))
+    df.select(col(groupCol).as("_g"), col(keyCol).cast("string").as("_k"))
       .where(col("_k").isNotNull)
       .withColumn("_h", Hashing.portableHash(col("_k")))
       .withColumn("_b", pmod(col("_h"), lit(m.toLong)))
       .withColumn("_rho", expr(
         s"CASE WHEN _h DIV ${m}L = 0 THEN ${rmax}L" +
           s" ELSE ${rmax}L - length(bin(_h DIV ${m}L)) END"))
-    def summarize(regs: DataFrame, grp: Seq[String]): DataFrame = {
-      val g = if (grp.isEmpty) regs.groupBy() else regs.groupBy(grp.map(col): _*)
-      g.agg(count(lit(1)).as("registers_used"),
-          sum(expr(s"shiftleft(1L, cast($rmax - _m AS INT))")).as("_su"))
-        .withColumn("zeros", lit(m.toLong) - col("registers_used"))
-        .withColumn("sum_scaled",
-          col("_su") + col("zeros") * lit(1L << rmax))
-        .withColumn("_raw", expr(
-          s"$alpha * $m.0 * $m.0 * CAST(${1L << rmax}L AS DOUBLE)" +
-            " / CAST(sum_scaled AS DOUBLE)"))
-        .withColumn("_est", expr(
-          s"CASE WHEN _raw <= 2.5 * $m.0 AND zeros > 0" +
-            s" THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))" +
-            " ELSE _raw END"))
-        .drop("_su")
-    }
+  }
+
+  /** Exact-integer harmonic summary + estimate over a (_g?, _b, _m)
+    * register frame; `grp` empty = one merged row. Emits `_raw`/`_est`
+    * unrounded for the caller to shape.
+    */
+  private def hllSummarize(
+      regs: DataFrame, grp: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val rmax = 61 - p
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    val g = if (grp.isEmpty) regs.groupBy() else regs.groupBy(grp.map(col): _*)
+    g.agg(count(lit(1)).as("registers_used"),
+        sum(expr(s"shiftleft(1L, cast($rmax - _m AS INT))")).as("_su"))
+      .withColumn("zeros", lit(m.toLong) - col("registers_used"))
+      .withColumn("sum_scaled",
+        col("_su") + col("zeros") * lit(1L << rmax))
+      .withColumn("_raw", expr(
+        s"$alpha * $m.0 * $m.0 * CAST(${1L << rmax}L AS DOUBLE)" +
+          " / CAST(sum_scaled AS DOUBLE)"))
+      .withColumn("_est", expr(
+        s"CASE WHEN _raw <= 2.5 * $m.0 AND zeros > 0" +
+          s" THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))" +
+          " ELSE _raw END"))
+      .drop("_su")
+  }
+
+  def hllReport(
+      df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16]: $p")
+    val base = hllBase(df, groupCol, keyCol, p)
+    def summarize(regs: DataFrame, grp: Seq[String]): DataFrame =
+      hllSummarize(regs, grp, p)
     // per-group register tables → per-group estimates
     val regs = base.groupBy("_g", "_b").agg(max("_rho").as("_m"))
       .localCheckpoint(true)

@@ -15433,7 +15433,76 @@ object GemQueries {
              |    + 11.8 * (CAST(syllables AS DOUBLE) /
              |        CAST(words AS DOUBLE))
              |    - 15.59, 4) END AS fk_grade
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // HLL sketch as a PERSISTED index (the q306/q308 stored-index
+    // tier for q345's registers): the per-(source, bucket) register
+    // table is written once at build time, and the distinct-count
+    // question — per source AND corpus-wide via register-max merge —
+    // is answered from the stored 64-longs-per-source table without
+    // re-reading a byte of raw text. The oracle recomputes from raw,
+    // proving the index path loses nothing.
+    QueryDef("q358_hll_from_index",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("source"),
+          explode(split(col("text"), " +")).as("token"))
+          .where(col("token") =!= "")
+        Layout.replaceTable(s,
+          CardinalityEstimate.hllRegisters(toks, "source", "token",
+            p = 6),
+          "graft_hll_registers")
+        CardinalityEstimate.hllFromRegisters(
+          Layout.table(s, "graft_hll_registers"), "source", p = 6)
+          .orderBy("source")
+      },
+      Some {
+        val h = Hashing.duckPortableHash("token")
+        val rho = "CASE WHEN h // 64 = 0 THEN 55" +
+          " ELSE 55 - length(bin(h // 64)) END"
+        val alpha = "(0.7213 / (1.0 + 1.079 / 64.0))"
+        val two55 = "(CAST(1 AS BIGINT) << 55)"
+        s"""WITH tok AS (
+           |  SELECT source, unnest(list_filter(
+           |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+           |  FROM documents),
+           |hh AS (SELECT source, token, $h AS h FROM tok),
+           |rr AS (SELECT source, h % 64 AS b, max($rho) AS m
+           |  FROM hh GROUP BY 1, 2),
+           |sg AS (SELECT source,
+           |    CAST(count(*) AS BIGINT) AS registers_used,
+           |    64 - CAST(count(*) AS BIGINT) AS zeros,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+           |      AS BIGINT) +
+           |      (64 - CAST(count(*) AS BIGINT)) * $two55 AS sum_scaled
+           |  FROM rr GROUP BY 1),
+           |est AS (SELECT *,
+           |    $alpha * 64.0 * 64.0 * CAST($two55 AS DOUBLE) /
+           |      CAST(sum_scaled AS DOUBLE) AS raw
+           |  FROM sg),
+           |est2 AS (SELECT *,
+           |    CASE WHEN raw <= 2.5 * 64.0 AND zeros > 0
+           |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+           |      ELSE raw END AS e
+           |  FROM est),
+           |mrr AS (SELECT b, max(m) AS m FROM rr GROUP BY 1),
+           |msum AS (SELECT 64 - CAST(count(*) AS BIGINT) AS zeros,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+           |      AS BIGINT) +
+           |      (64 - CAST(count(*) AS BIGINT)) * $two55 AS ss
+           |  FROM mrr),
+           |mest AS (SELECT round(CASE WHEN raw <= 2.5 * 64.0
+           |      AND zeros > 0
+           |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+           |      ELSE raw END, 2) AS merged_est
+           |  FROM (SELECT zeros,
+           |      $alpha * 64.0 * 64.0 * CAST($two55 AS DOUBLE) /
+           |        CAST(ss AS DOUBLE) AS raw
+           |    FROM msum))
+           |SELECT source, registers_used, zeros, sum_scaled,
+           |  round(e, 2) AS hll_est, merged_est
+           |FROM est2, mest
+           |ORDER BY source""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every

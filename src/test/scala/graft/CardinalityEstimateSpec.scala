@@ -72,6 +72,23 @@ class CardinalityEstimateSpec extends SparkSpec {
     assert(math.abs(merged / 3000.0 - 1.0) < 0.4)
   }
 
+  test("hllRegisters/hllFromRegisters: stored-register path equals the direct report") {
+    val df = ((1L to 500L).map(i => ("a", s"k$i")) ++
+      (400L to 900L).map(i => ("b", s"k$i"))).toDF("g", "k")
+    val direct = CardinalityEstimate.hllReport(df, "g", "k", p = 6)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Double]("hll_est"), r.getAs[Double]("merged_est"),
+          r.getAs[Long]("sum_scaled")))).toMap
+    val regs = CardinalityEstimate.hllRegisters(df, "g", "k", p = 6)
+    val viaIndex = CardinalityEstimate.hllFromRegisters(regs, "g", p = 6)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Double]("hll_est"), r.getAs[Double]("merged_est"),
+          r.getAs[Long]("sum_scaled")))).toMap
+    assert(viaIndex == direct)
+    // register table is bounded: at most m rows per group.
+    assert(regs.count() <= 128L)
+  }
+
   test("hllReport: small-range linear counting branch is exact-ish and deterministic") {
     val df = (1L to 10L).map(i => ("g", s"x$i")).toDF("g", "k")
     val r1 = CardinalityEstimate.hllReport(df, "g", "k", p = 6).head()

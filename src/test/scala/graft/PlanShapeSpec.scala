@@ -294,6 +294,10 @@ class PlanShapeSpec extends SparkSpec {
       // q356: per-threshold 1-row pair/cluster counts cross into the
       // 3-row sweep table (the q102 report shape).
       "q356_threshold_sweep",
+      // q358: the 1-row merged-register estimate crosses onto the
+      // per-source rows (q345's documented shape, from the stored
+      // register table).
+      "q358_hll_from_index",
       // q350: the labeled seed set broadcast-crosses the pool (the
       // q29 bounded-small-side shape; here the SMALL side is the
       // seed set and the pool is the big probe side).
