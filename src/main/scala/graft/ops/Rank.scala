@@ -102,6 +102,53 @@ object Rank {
     * bucket-PARTITIONED running sum finishes within buckets in
     * parallel.
     */
+  /** EXACT per-group discontinuous quantiles at scale — the answer to
+    * "p50/p95/p99 per group" when groups are FEW and HUGE, where
+    * `Window.partitionBy(group).orderBy(value)` funnels each giant
+    * group through one task. One distributed range-partitioned sort
+    * on (group, value, tie) ranks everything ([[globalRowNumber]]);
+    * per-group offsets come from a tiny group-count frame; the wanted
+    * order statistics are then a semi-join on rank — no skewed window
+    * anywhere, and the result is the exact lower order statistic
+    * (`rank = floor(q·(n−1)) + 1`, SQL type-1 / disc semantics), not
+    * an interpolation or a sketch.
+    *
+    * @param tieCol    unique tiebreak column (exact ranks of tied
+    *                  values must be deterministic)
+    * @param qsPermil  quantiles in permil (500 = median)
+    * @return per (group, q_permil): `n`, `<valueCol>` (the order
+    *         statistic)
+    */
+  def groupedQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String, tieCol: String,
+      qsPermil: Seq[Int]): DataFrame = {
+    require(qsPermil.nonEmpty && qsPermil.forall(q => q >= 0 && q <= 1000),
+      s"quantiles in [0,1000] permil: $qsPermil")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val in = df.select(col(groupCol), col(valueCol), col(tieCol))
+      .where(col(valueCol).isNotNull)
+    val ranked = globalRowNumber(in,
+      Seq(groupCol -> true, valueCol -> true, tieCol -> true), "_grk")
+    val counts = in.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    // offset of each group = ranks consumed by smaller groups; the
+    // group frame is tiny (FEW groups by precondition) — a window
+    // over it is driver-trivial, mirroring prefixSum's bucket frame.
+    val offs = counts.withColumn("_off",
+      coalesce(sum("n").over(Window.orderBy(groupCol)
+        .rowsBetween(Window.unboundedPreceding, -1L)), lit(0L)))
+    val wanted = offs.select(col(groupCol), col("n"), col("_off"))
+      .crossJoin(broadcast(
+        qsPermil.toDF("q_permil").select(col("q_permil").cast("int"))))
+      .withColumn("_grk",
+        col("_off") + expr("(q_permil * (n - 1)) DIV 1000") + lit(1L))
+      .select(col(groupCol).as("_wg"), col("q_permil"), col("n"),
+        col("_grk"))
+    ranked.join(broadcast(wanted), Seq("_grk"))
+      .select(col("_wg").as(groupCol), col("q_permil"), col("n"),
+        col(valueCol))
+  }
+
   def prefixSum(
       df: DataFrame, rankCol: String, valueCol: String, outCol: String,
       bucketSize: Long = 1L << 16): DataFrame = {

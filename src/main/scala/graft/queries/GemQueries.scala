@@ -15502,7 +15502,38 @@ object GemQueries {
            |  round(e, 2) AS hll_est, merged_est
            |FROM est2, mest
            |ORDER BY source""".stripMargin
-      })
+      }),
+
+    // Exact grouped quantiles at scale (Rank.groupedQuantiles):
+    // p50/p90/p99 of event value per event_type WITHOUT a skewed
+    // per-group window — few-huge-groups is exactly where
+    // Window.partitionBy(group) funnels each group through one task;
+    // here ONE distributed range-partitioned sort ranks everything
+    // and the order statistics are a broadcast semi-join on rank.
+    // Exact disc (type-1) semantics, no sketch, no interpolation.
+    QueryDef("q359_exact_quantiles",
+      (s, dir) => Rank.groupedQuantiles(
+        t(s, dir, "events"), "event_type", "value", "event_id",
+        qsPermil = Seq(500, 900, 990))
+        .orderBy("event_type", "q_permil"),
+      Some("""WITH v AS (SELECT event_type, value, event_id
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT event_type, value, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY value, event_id)
+             |      AS rk
+             |  FROM v),
+             |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM v GROUP BY 1),
+             |q AS (SELECT * FROM (VALUES (500), (900), (990))
+             |  t(q_permil)),
+             |w AS (SELECT n.event_type, q.q_permil, n.n,
+             |    (q.q_permil * (n.n - 1)) // 1000 + 1 AS rk
+             |  FROM n, q)
+             |SELECT w.event_type, CAST(w.q_permil AS INT) AS q_permil,
+             |  w.n, r.value
+             |FROM w JOIN r ON r.event_type = w.event_type
+             |  AND r.rk = w.rk
+             |ORDER BY w.event_type, w.q_permil""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

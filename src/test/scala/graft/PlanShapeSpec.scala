@@ -298,6 +298,10 @@ class PlanShapeSpec extends SparkSpec {
       // per-source rows (q345's documented shape, from the stored
       // register table).
       "q358_hll_from_index",
+      // q359: the |groups|×|quantiles| wanted-rank frame broadcasts
+      // onto the ranked scan (a semi-join, but planned as a
+      // broadcast hash join on the computed rank).
+      "q359_exact_quantiles",
       // q350: the labeled seed set broadcast-crosses the pool (the
       // q29 bounded-small-side shape; here the SMALL side is the
       // seed set and the pool is the big probe side).
@@ -541,6 +545,7 @@ object PlanShapeSpec {
     "q346_sprt_monitor",       // Rank.prefixSum bucket frame (LLR walk)
     "q350_active_learning",    // selection rank over the ≤ batch-row result
     "q355_ks_exact",           // Rank.prefixSum bucket frame (×2 CDF passes)
+    "q359_exact_quantiles",    // group-offset prefix over the |groups| frame
     "q330_mmr_rerank",         // bm25TopK rank over the ≤ pool-row result
     "q332_decision_stump",     // overall rank over the |features|-row frame
     "q235_watermark_profile",  // Lateness bucket frame (×2 passes)

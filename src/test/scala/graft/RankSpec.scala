@@ -80,4 +80,29 @@ class RankSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastExchange"),
       s"bucket offsets must broadcast back:\n$plan")
   }
+
+  test("groupedQuantiles: exact disc order statistics per group; nulls excluded") {
+    import spark.implicits._
+    // group a: values 10..100 step 10 (n=10); group b: 1..5 (n=5)
+    // plus a null that must not count.
+    val rows = (1 to 10).map(i => ("a", Some(i * 10.0), i.toLong)) ++
+      (1 to 5).map(i => ("b", Some(i.toDouble), 100L + i)) :+
+      (("b", None: Option[Double], 200L))
+    val df = rows.toDF("g", "v", "id")
+    val got = Rank.groupedQuantiles(df, "g", "v", "id",
+        Seq(0, 500, 900, 1000))
+      .collect().map(r => (r.getAs[String]("g"),
+        r.getAs[Int]("q_permil")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("v")))).toMap
+    // a: n=10 → p50 rank = 500*9/1000+1 = 5 → 50; p90 rank 9 → 90;
+    // p0 rank 1 → 10; p100 rank 10 → 100.
+    assert(got(("a", 0)) == ((10L, 10.0)))
+    assert(got(("a", 500)) == ((10L, 50.0)))
+    assert(got(("a", 900)) == ((10L, 90.0)))
+    assert(got(("a", 1000)) == ((10L, 100.0)))
+    // b: n=5 (null excluded) → p50 rank = 3 → 3.0.
+    assert(got(("b", 500)) == ((5L, 3.0)))
+    assert(got(("b", 1000)) == ((5L, 5.0)))
+    assert(got.size == 8)
+  }
 }
