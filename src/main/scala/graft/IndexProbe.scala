@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Graft
-import graft.ops.{Dedup, Retrieval, Similarity}
+import graft.ops.{Components, Dedup, Retrieval, Similarity}
 import graft.sources.Layout
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -98,8 +98,30 @@ object IndexProbe {
         Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)))
     }
 
+    // --- Near-dup cluster map (the fourth index, round 13) ---
+    // Build = minhash pairs + component iteration + bucketed write —
+    // the full-corpus cost every governance query used to pay INLINE.
+    // Probe = min-resolve + size aggregate over the stored map (no
+    // minhash fold, no iteration). Inline = dedupClusters from raw
+    // text, the pre-r13 shape of q318/q325/q329/q334/q343.
+    emit("cluster_map", "build", 0, timed {
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 64, bands = 8, threshold = 0.8).localCheckpoint(true)
+      Components.writeClusterIndex(spark, docs, "doc_id",
+        pairs, "id_a", "id_b", "ip_cmap", buckets = 32)
+    })
+    for (r <- 1 to reps) {
+      emit("cluster_map", "probe", r, time(
+        Components.clustersFromIndex(spark.table("ip_cmap"))))
+      emit("cluster_map", "inline", r, time {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      })
+    }
+
     Seq("ip_mh_bands", "ip_mh_toks", "ip_ivf_idx", "ip_bm25_post",
-      "ip_bm25_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      "ip_bm25_stats", "ip_cmap").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
 }

@@ -607,4 +607,178 @@ object Components {
         col("n_upgraded"), col("upgraded_ppm"), col("max_upgrade"),
         col("n_own_restricted"), col("n_eff_restricted"))
   }
+
+  /** Build + PERSIST the near-dup cluster map — the fourth stored
+    * index beside MinHash bands, IVF+SQ8 codes, and BM25 postings:
+    * a `(doc_id, component)` table, `doc_id`-bucketed via
+    * [[graft.sources.Layout.replaceBucketed]]. Every release-review
+    * query that consumes clusters (soft-dedup weights, license
+    * propagation, manifests) probes this table instead of re-running
+    * minhash + component iteration over the corpus — at 100 TB the
+    * inline rebuild is not a slower alternative, it is infeasible
+    * per query.
+    *
+    * Storage contract (what makes APPEND-ONLY maintenance sound):
+    * component labels are min-ids, and merging clusters can only
+    * SHRINK a member's label — so the stored table may hold multiple
+    * generations of rows per doc, and `min(component) GROUP BY
+    * doc_id` always resolves the newest label
+    * ([[clustersFromIndex]]). [[mergeClusterIndex]] relies on this:
+    * it appends relabel rows for touched members instead of
+    * rewriting the table; [[graft.sources.Layout.compactBucketed]]
+    * is NOT the right heal here (plain distinct keeps stale labels)
+    * — recompact by rewriting [[clustersFromIndex]]'s resolved
+    * output when generations accumulate.
+    *
+    * Bucketing on `doc_id` (not component) because the EVERY-PROBE
+    * step is the per-doc min resolve, which runs with no index-side
+    * exchange on this layout; per-component stats (sizes) are one
+    * combinable shuffle after the resolve.
+    */
+  def writeClusterIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    val cc = connectedComponents(
+      docs.select(idCol), idCol, pairs, srcCol, dstCol)
+    graft.sources.Layout.replaceBucketed(spark,
+      cc.select(col("id").as("doc_id"), col("component")),
+      table, "doc_id", buckets)
+  }
+
+  /** Probe the persisted cluster map ([[writeClusterIndex]] /
+    * [[mergeClusterIndex]] output read back from the `doc_id`-
+    * bucketed table): resolve each doc's NEWEST label (min over the
+    * stored generations — exchange-free on the bucket layout), then
+    * attach cluster sizes. Output schema matches [[dedupClusters]]
+    * exactly (`<idCol>`, `component`, `cluster_size`), so any
+    * cluster consumer swaps the inline rebuild for this probe
+    * without change.
+    */
+  def clustersFromIndex(index: DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    val resolved = index
+      .groupBy(col("doc_id")).agg(min("component").as("component"))
+    val sizes = resolved.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    resolved.join(sizes, "component")
+      .select(col("doc_id").as(idCol), col("component"),
+        col("cluster_size"))
+  }
+
+  /** Incremental cluster maintenance on append — the actual 100 TB
+    * dedup story: a NEW batch of docs joins the standing corpus
+    * WITHOUT a full cluster rebuild. Compute cost is delta-sized:
+    * the union-find step runs over the TOUCHED components only
+    * (components containing a cross-pair endpoint), never the
+    * corpus; the write is an append of relabel rows (see
+    * [[writeClusterIndex]]'s min-resolve storage contract), never a
+    * table rewrite.
+    *
+    * Algorithm per batch:
+    *  1. resolve current labels of the cross-pair index endpoints;
+    *  2. fetch ALL members of those touched components (broadcast
+    *     semi-join on `component` — the touched set is batch-sized;
+    *     at extreme scale collect it into an `isin` literal so the
+    *     bucket-pruned scan touches only matching files);
+    *  3. run [[connectedComponents]] over the SUBGRAPH: batch ids +
+    *     touched members as nodes; batch-internal pairs, cross
+    *     pairs, and each member's star edge to its current label as
+    *     edges (the star edges carry the existing clustering, so
+    *     untouched members of a merged cluster inherit the new min);
+    *  4. append rows for every batch doc and every existing member
+    *     whose label changed.
+    *
+    * Equivalence to a full rebuild: the subgraph contains every path
+    * that can change a label (a new edge only merges components it
+    * touches; min-labels elsewhere are unaffected), so
+    * [[clustersFromIndex]] after the merge equals [[dedupClusters]]
+    * over the unioned corpus — property-tested on split corpora,
+    * including batch docs bridging two existing clusters.
+    *
+    * At-least-once caveat (same as the band-index ingest): the
+    * append is not atomic under foreachBatch replay; a replayed
+    * batch re-appends identical relabel rows, which the min-resolve
+    * absorbs harmlessly (labels are idempotent under re-append).
+    *
+    * @param batchDocs  new docs (`idCol` long-castable)
+    * @param batchPairs near-dup pairs WITHIN the batch
+    *                   (`srcCol`, `dstCol`)
+    * @param crossPairs batch↔corpus pairs, e.g.
+    *                   [[graft.ops.Dedup.incrementalNearDupsFromIndex]]
+    *                   output (`batchIdCol`, `indexIdCol`)
+    */
+  def mergeClusterIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batchDocs: DataFrame, idCol: String,
+      batchPairs: DataFrame, srcCol: String, dstCol: String,
+      crossPairs: DataFrame, batchIdCol: String, indexIdCol: String,
+      buckets: Int = 32): Unit = {
+    val stored = spark.table(table)
+    // 1. current labels of the touched index endpoints
+    val touchedIds = crossPairs
+      .select(col(indexIdCol).cast("long").as("doc_id")).distinct()
+    val touchedComps = stored.join(broadcast(touchedIds), "doc_id")
+      .groupBy("doc_id").agg(min("component").as("component"))
+      .select("component").distinct()
+    // 2. all members of touched components, at their CURRENT label
+    val members = stored.join(broadcast(touchedComps), "component")
+      .groupBy("doc_id").agg(min("component").as("component"))
+      .localCheckpoint(true)
+    // 3. delta-sized union-find: batch + members, all linking edges
+    val nodes = batchDocs.select(col(idCol).cast("long").as("id"))
+      .union(members.select(col("doc_id").as("id")))
+    val edges = batchPairs
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(crossPairs.select(col(batchIdCol).cast("long").as("src"),
+        col(indexIdCol).cast("long").as("dst")))
+      .union(members.select(col("doc_id").as("src"),
+        col("component").as("dst")))
+    val relabeled = connectedComponents(
+      nodes.toDF("id"), "id", edges, "src", "dst")
+    // 4. append: every batch row + every member whose label shrank
+    val batchRows = relabeled
+      .join(batchDocs.select(col(idCol).cast("long").as("id")), "id")
+      .select(col("id").as("doc_id"), col("component"))
+    val changed = relabeled
+      .join(members.select(col("doc_id").as("id"),
+        col("component").as("old_component")), "id")
+      .where(col("component") < col("old_component"))
+      .select(col("id").as("doc_id"), col("component"))
+    graft.sources.Layout.appendBucketed(
+      batchRows.union(changed).distinct(), table, "doc_id", buckets)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Generation compaction for the cluster map — the index-specific
+    * heal [[writeClusterIndex]]'s storage contract calls for (plain
+    * [[graft.sources.Layout.compactBucketed]] would keep stale
+    * labels: its `distinct` removes only exact duplicate rows, and a
+    * relabeled doc's OLD `(doc_id, old_component)` row is not a
+    * duplicate of its new one). Rewrites the table as the RESOLVED
+    * one-row-per-doc view — `min(component)` per doc, i.e. exactly
+    * what every probe computes — restoring the bucket layout, so
+    * after compaction the probe's min-resolve aggregates one row per
+    * group. Safe at any time: resolve-then-rewrite commutes with the
+    * min-resolve probes (min over one generation = that generation),
+    * and like the other Layout heals the resolved frame materializes
+    * (localCheckpoint inside replaceBucketed's input) before the
+    * source table drops.
+    *
+    * Run it when merge generations accumulate (monitor
+    * `count(*)/count(distinct doc_id)`); between compactions probes
+    * stay correct, just carrying extra rows per touched doc.
+    */
+  def compactClusterIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int = 32): Unit = {
+    val resolved = spark.table(table)
+      .groupBy(col("doc_id")).agg(min("component").as("component"))
+      .localCheckpoint(true)
+    graft.sources.Layout.replaceBucketed(spark, resolved, table,
+      "doc_id", buckets)
+    spark.catalog.refreshTable(table)
+  }
 }

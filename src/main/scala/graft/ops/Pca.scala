@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * the whole trajectory — including the component's sign — replays
   * bit-for-bit in the DuckDB oracle; all driver-side reductions run
   * left-to-right in position order to match the oracle's `list_sum`.
+  *
+  * The two `collect()` calls in [[fit]] are bounded by construction:
+  * each materializes exactly `dim` rows (one per vector position,
+  * dim ≤ 256 everywhere in this catalog → ≤ 256 doubles), never a
+  * data-proportional frame — the same model-sized codebook pattern as
+  * [[Similarity.trainCentroids]] / [[Bpe]]'s merge rules. At larger
+  * dims the vectors still fit the driver trivially (dim 4096 = 32 KB);
+  * the thing to change at that point is shipping `v` as a broadcast
+  * variable instead of a `typedlit` literal, so the per-round plan
+  * string stops embedding the full vector.
   */
 object Pca {
 

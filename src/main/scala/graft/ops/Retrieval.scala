@@ -82,6 +82,37 @@ object Retrieval {
         size(TextAnalysis.tokens(col(textCol))).as("dl"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
+  /** Per-slice corpus-stats PARTIAL (`n_docs`, `total_dl`) — the
+    * append-only form of [[bm25CorpusStats]]: both corpus scalars are
+    * sums, so an ingest batch appends ONE partial row (tagged with its
+    * batch id by the caller) instead of rewriting the 1-row stats
+    * table, and probes fold the partials with [[bm25MergeStats]].
+    * This is what lets the postings index grow under streaming append
+    * with no read-modify-write anywhere.
+    */
+  def bm25StatsPartial(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("total_dl"))
+
+  /** Fold stats partials back to the 1-row (`n_docs`, `avgdl`) frame
+    * [[bm25TopKFromIndex]] expects. Exact: `avgdl` divides the summed
+    * integer totals once, so the result is bit-identical to
+    * [[bm25CorpusStats]] over the unioned corpus. The leading
+    * `distinct()` heals foreachBatch replays (a replayed batch
+    * re-appends an IDENTICAL tagged row) — which is why streaming
+    * partials must carry a batch-id tag: two legitimate batches with
+    * equal counts stay distinct through their tags.
+    */
+  def bm25MergeStats(partials: DataFrame): DataFrame =
+    partials.distinct()
+      .agg(sum("n_docs").as("n_docs"),
+        (sum("total_dl").cast("double") /
+          sum("n_docs").cast("double")).as("avgdl"))
+
   /** Serve BM25 top-k from the PERSISTED index: prune the stored
     * postings to the query's terms (bucket pruning on the `term`
     * layout — the scan touches only the matching buckets, never the

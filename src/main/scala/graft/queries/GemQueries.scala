@@ -36,6 +36,53 @@ object GemQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** Session-memoized build of the SHARED near-dup index pair over the
+    * governance slice (`doc_id < 1000`, k=64/bands=8/thr=0.8 — the
+    * exact parameters q61 established): `graft_nd_pairs` (verified
+    * pairs with jaccard, `id_a`-bucketed) and `graft_cluster_map` (the
+    * persisted `doc_id → component` map,
+    * [[Components.writeClusterIndex]] — the fourth stored index beside
+    * bands/codes/postings). Until round 13 every release-governance
+    * query (q318 manifest, q325/q329 soft-dedup, q334 locality, q343
+    * license propagation) re-ran minhash + component iteration INLINE —
+    * at 100 TB that is a full-corpus pair rebuild per review query.
+    * Now the build runs once per session+dir and the queries PROBE the
+    * stored tables; their returned plans contain no minhash signature
+    * fold and no component iteration (plan-asserted in LayoutSpec).
+    * Cache key includes the warehouse dir so two sessions in one JVM
+    * (the test harness) never cross-write.
+    */
+  private val ndIdxBuilt = scala.collection.mutable.Set[String]()
+  private def ensureNearDupIndex(s: SparkSession, dir: String): Unit =
+    ndIdxBuilt.synchronized {
+      val key = s.conf.get("spark.sql.warehouse.dir") + "|" + dir
+      if (!ndIdxBuilt.contains(key)) {
+        val slice = t(s, dir, "documents")
+          .filter(col("doc_id") < 1000).select("doc_id", "text")
+        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8).localCheckpoint(true)
+        Layout.replaceBucketed(s, pairs, "graft_nd_pairs", "id_a",
+          buckets = 8)
+        Components.writeClusterIndex(s, slice, "doc_id",
+          pairs, "id_a", "id_b", "graft_cluster_map", buckets = 8)
+        ndIdxBuilt += key
+      }
+    }
+
+  /** Stored verified near-dup pairs (`id_a`, `id_b`, `jaccard`). */
+  private def ndPairs(s: SparkSession, dir: String): DataFrame = {
+    ensureNearDupIndex(s, dir)
+    Layout.table(s, "graft_nd_pairs")
+  }
+
+  /** Stored cluster map, probe-resolved to the [[Components
+    * .dedupClusters]] schema (`doc_id`, `component`, `cluster_size`).
+    */
+  private def ndClusters(s: SparkSession, dir: String): DataFrame = {
+    ensureNearDupIndex(s, dir)
+    Components.clustersFromIndex(Layout.table(s, "graft_cluster_map"))
+  }
+
   /** Shared oracle CTE chain: MinHash signatures → LSH bands → verified
     * exact-Jaccard pairs on the `doc_id < 1000` slice. q44 selects the
     * pairs directly; q61 stacks a recursive connected-components CTE on
@@ -13218,10 +13265,9 @@ object GemQueries {
         val slice = full.select("doc_id", "text")
         val aug = piiAugmented(full)
         val pii = Pii.scan(aug, "doc_id", "text").localCheckpoint(true)
-        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
-        val clusters = Components.dedupClusters(
-          slice, "doc_id", pairs, "id_a", "id_b").localCheckpoint(true)
+        // r13: probe the persisted cluster map (ensureNearDupIndex)
+        // instead of re-running minhash + component iteration inline.
+        val clusters = ndClusters(s, dir).localCheckpoint(true)
         val keepers = clusters.groupBy("component")
           .agg(min(col("doc_id")).as("doc_id"))
         val nRaw = slice.agg(count(lit(1)).as("n_raw"))
@@ -13638,11 +13684,8 @@ object GemQueries {
     QueryDef("q325_soft_dedup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val slice = docs.filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
-        val clusters = Components
-          .dedupClusters(slice, "doc_id", pairs, "id_a", "id_b")
+        // r13: stored cluster map probe (see ensureNearDupIndex).
+        val clusters = ndClusters(s, dir)
           .where(col("cluster_size") >= 2L)
         val withTok = docs.withColumn("toks",
           TextAnalysis.tokenCount(col("text")).cast("long"))
@@ -13809,11 +13852,8 @@ object GemQueries {
     QueryDef("q329_mixture_rebalance",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val slice = docs.filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
-        val clusters = Components
-          .dedupClusters(slice, "doc_id", pairs, "id_a", "id_b")
+        // r13: stored cluster map probe (see ensureNearDupIndex).
+        val clusters = ndClusters(s, dir)
           .where(col("cluster_size") >= 2L)
         val withTok = docs.withColumn("toks",
           TextAnalysis.tokenCount(col("text")).cast("long"))
@@ -14090,9 +14130,8 @@ object GemQueries {
     QueryDef("q334_dup_locality",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val slice = docs.filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // r13: stored verified-pairs probe (see ensureNearDupIndex).
+        val pairs = ndPairs(s, dir)
         pairs
           .join(docs.select(col("doc_id").as("id_a"),
             col("source").as("src_a")), "id_a")
@@ -14536,11 +14575,8 @@ object GemQueries {
     QueryDef("q343_license_propagation",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val slice = docs.filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
-        val clusters = Components
-          .dedupClusters(slice, "doc_id", pairs, "id_a", "id_b")
+        // r13: stored cluster map probe (see ensureNearDupIndex).
+        val clusters = ndClusters(s, dir)
         val ranked = docs.withColumn("own",
           when(col("doc_id") % 10L === 9L, 2L)
             .when(col("doc_id") % 10L >= 6L, 1L).otherwise(0L))
@@ -15533,7 +15569,110 @@ object GemQueries {
              |  w.n, r.value
              |FROM w JOIN r ON r.event_type = w.event_type
              |  AND r.rk = w.rk
-             |ORDER BY w.event_type, w.q_permil""".stripMargin))
+             |ORDER BY w.event_type, w.q_permil""".stripMargin)),
+
+    // The persisted near-dup cluster map probed as a first-class
+    // query (Components.writeClusterIndex + clustersFromIndex): q61's
+    // clusters served from the doc_id-bucketed stored table — the
+    // fourth index beside bands (q93), codes (q306), postings (q308).
+    // The probe is a per-doc min resolve (exchange-free on the bucket
+    // layout) + one size aggregate; no minhash fold, no component
+    // iteration anywhere in the returned plan (LayoutSpec-asserted).
+    // Oracle is q61's verbatim recursive chain: the stored-map path
+    // must reproduce the inline path bit for bit.
+    QueryDef("q360_clusters_from_index",
+      (s, dir) => ndClusters(s, dir).orderBy("doc_id"),
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + "\n" +
+        """SELECT comp.id AS doc_id, comp.component, sizes.cluster_size
+          |FROM comp JOIN sizes USING (component)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Incremental cluster maintenance on append
+    // (Components.mergeClusterIndex): the corpus is split — the first
+    // half builds the stored map, the second half arrives as an
+    // INGEST BATCH whose pairs (batch-internal + batch↔corpus, same
+    // banding) MERGE into the map via union-find over the touched
+    // components only, appending relabel rows (labels only shrink, so
+    // the min-resolve probe absorbs stale generations). The oracle is
+    // the FULL-REBUILD chain over the whole slice: maintenance must
+    // be indistinguishable from rebuilding — that equivalence is the
+    // actual 100 TB dedup story, clusters surviving ingest without
+    // ever re-pairing the corpus against itself.
+    QueryDef("q361_cluster_merge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") < 1000).select("doc_id", "text")
+        val old = docs.filter(col("doc_id") < 500)
+        val batch = docs.filter(col("doc_id") >= 500)
+          .localCheckpoint(true)
+        val oldPairs = Dedup.minhashNearDups(old, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.writeClusterIndex(s, old, "doc_id", oldPairs,
+          "id_a", "id_b", "graft_cluster_map_m", buckets = 8)
+        val cross = Dedup.incrementalNearDups(batch, old, "doc_id",
+          "text", k = 64, bands = 8, threshold = 0.8)
+        val internal = Dedup.minhashNearDups(batch, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.mergeClusterIndex(s, "graft_cluster_map_m",
+          batch, "doc_id", internal, "id_a", "id_b",
+          cross, "batch_id", "index_id", buckets = 8)
+        Components
+          .clustersFromIndex(Layout.table(s, "graft_cluster_map_m"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + "\n" +
+        """SELECT comp.id AS doc_id, comp.component, sizes.cluster_size
+          |FROM comp JOIN sizes USING (component)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Cluster-map generation compaction (Components
+    // .compactClusterIndex): q361's build+merge leaves relabel
+    // generations in the stored table (every probe min-resolves
+    // them); compaction rewrites the table as the resolved
+    // one-row-per-doc view on the same bucket layout. The query
+    // compacts, AUDITS the row-per-doc invariant in-plan (n_rows,
+    // n_docs, generations collapsed to equality), and returns the
+    // probed clusters — which must STILL match the full-rebuild
+    // oracle bit for bit. Plain Layout.compactBucketed cannot do
+    // this (distinct keeps stale labels); the index-specific heal is
+    // resolve-then-rewrite, which commutes with the probe.
+    QueryDef("q362_cluster_compaction",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") < 1000).select("doc_id", "text")
+        val old = docs.filter(col("doc_id") < 500)
+        val batch = docs.filter(col("doc_id") >= 500)
+          .localCheckpoint(true)
+        val oldPairs = Dedup.minhashNearDups(old, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.writeClusterIndex(s, old, "doc_id", oldPairs,
+          "id_a", "id_b", "graft_cluster_map_c", buckets = 8)
+        val cross = Dedup.incrementalNearDups(batch, old, "doc_id",
+          "text", k = 64, bands = 8, threshold = 0.8)
+        val internal = Dedup.minhashNearDups(batch, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.mergeClusterIndex(s, "graft_cluster_map_c",
+          batch, "doc_id", internal, "id_a", "id_b",
+          cross, "batch_id", "index_id", buckets = 8)
+        Components.compactClusterIndex(s, "graft_cluster_map_c",
+          buckets = 8)
+        val idx = Layout.table(s, "graft_cluster_map_c")
+        val audit = broadcast(idx.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs")))
+        Components.clustersFromIndex(idx)
+          .crossJoin(audit)
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + "\n" +
+        """SELECT comp.id AS doc_id, comp.component, sizes.cluster_size,
+          |  (SELECT count(*) FROM comp) AS n_rows,
+          |  (SELECT count(*) FROM comp) AS n_docs
+          |FROM comp JOIN sizes USING (component)
+          |ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -388,4 +388,108 @@ object EventStream {
       }
       .start()
   }
+
+  /** Operational LEXICAL-index ingest — the BM25 member of the
+    * streaming-maintenance family ([[incrementalDedupIngest]] bands,
+    * [[incrementalVectorIngest]] codes): each micro-batch of documents
+    * appends its postings rows (term-bucketed, so probes keep bucket-
+    * pruning as the index grows) and ONE batch-tagged stats partial
+    * ([[graft.ops.Retrieval.bm25StatsPartial]] — corpus scalars are
+    * sums, so the 1-row stats table becomes an append-only partial
+    * log folded at probe time by `bm25MergeStats`), then serves the
+    * standing query's top-k FROM the updated stored index into
+    * `outTable` tagged with the micro-batch id.
+    *
+    * Same at-least-once contract as the siblings: a replayed batch
+    * re-appends postings rows (healed by
+    * [[graft.sources.Layout.compactBucketed]] — postings are exact
+    * duplicates under replay, so `distinct` is the correct heal) and
+    * an IDENTICAL tagged stats row (healed by `bm25MergeStats`'s
+    * leading distinct, or the same compaction pass).
+    */
+  def incrementalPostingsIngest(
+      docs: DataFrame, postingsTable: String, statsTable: String,
+      outTable: String, checkpoint: String, queryTerms: Seq[String],
+      k: Int = 10, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Retrieval
+    import graft.sources.Layout
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        sp.catalog.refreshTable(postingsTable)
+        sp.catalog.refreshTable(statsTable)
+        val b = batch.localCheckpoint(true)
+        Layout.appendBucketed(
+          Retrieval.bm25Postings(b, "doc_id", "text"),
+          postingsTable, "term", buckets)
+        Retrieval.bm25StatsPartial(b, "doc_id", "text")
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").saveAsTable(statsTable)
+        sp.catalog.refreshTable(postingsTable)
+        sp.catalog.refreshTable(statsTable)
+        Retrieval.bm25TopKFromIndex(
+            sp.table(postingsTable),
+            Retrieval.bm25MergeStats(sp.table(statsTable)),
+            "doc_id", queryTerms, k)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").saveAsTable(outTable)
+        ()
+      }
+      .start()
+  }
+
+  /** Operational CLUSTER-map ingest — incremental dedup clusters that
+    * survive append without a rebuild, the fourth index's streaming
+    * maintenance: each micro-batch probes the persisted band index
+    * for batch↔corpus near-dup pairs, finds batch-internal pairs, and
+    * MERGES both into the stored cluster map
+    * ([[graft.ops.Components.mergeClusterIndex]] — union-find over
+    * the touched components only, delta-frontier on the delta, never
+    * the corpus), then appends the batch's bands + toks so later
+    * batches link against it. After every batch,
+    * `Components.clustersFromIndex` over the map equals a full
+    * rebuild over everything ingested so far (parity-tested in
+    * StreamingModeSpec).
+    *
+    * At-least-once contract: a replayed batch re-probes and re-merges
+    * — the relabel rows it re-appends are IDENTICAL (labels are
+    * idempotent under re-append; the min-resolve absorbs duplicates),
+    * so the cluster map needs no heal; the band/toks appends share
+    * [[incrementalDedupIngest]]'s compaction story.
+    */
+  def incrementalClusterIngest(
+      docs: DataFrame, bandsTable: String, toksTable: String,
+      clusterTable: String, checkpoint: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
+      buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.{Components, Dedup}
+    import graft.sources.Layout
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        sp.catalog.refreshTable(bandsTable)
+        sp.catalog.refreshTable(toksTable)
+        sp.catalog.refreshTable(clusterTable)
+        val b = batch.localCheckpoint(true)
+        val cross = Dedup.incrementalNearDupsFromIndex(b, "doc_id",
+          "text", sp.table(bandsTable), sp.table(toksTable),
+          k, bands, threshold)
+        val internal = Dedup.minhashNearDups(b, "doc_id", "text",
+          k, bands, threshold)
+        Components.mergeClusterIndex(sp, clusterTable,
+          b, "doc_id", internal, "id_a", "id_b",
+          cross, "batch_id", "index_id", buckets)
+        Layout.appendBucketed(
+          Dedup.lshBands(b, "doc_id", "text", k, bands),
+          bandsTable, "band_hash")
+        Dedup.tokenIndex(b, "doc_id", "text")
+          .write.mode("append").saveAsTable(toksTable)
+        ()
+      }
+      .start()
+  }
 }

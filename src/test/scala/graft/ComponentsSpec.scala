@@ -113,4 +113,86 @@ class ComponentsSpec extends SparkSpec {
     assert(again(2L) == Some("A") && again(3L) == Some("B") &&
       again(6L) == Some("A"))
   }
+
+  private def clusterMapOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("cluster index: write then probe matches dedupClusters") {
+    import graft.sources.Layout
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    try {
+      Components.writeClusterIndex(spark, docs, "doc_id", pairs,
+        "id_a", "id_b", "cix_t1", buckets = 4)
+      val got = clusterMapOf(
+        Components.clustersFromIndex(Layout.table(spark, "cix_t1")))
+      val want = clusterMapOf(
+        Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b"))
+      assert(got == want && want(6L) == ((5L, 2L)) && want(3L) == ((3L, 1L)))
+    } finally spark.sql("DROP TABLE IF EXISTS cix_t1")
+  }
+
+  test("mergeClusterIndex equals a full rebuild, including a batch bridge of two clusters") {
+    import graft.sources.Layout
+    val old = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    try {
+      Components.writeClusterIndex(spark, old, "doc_id", oldPairs,
+        "id_a", "id_b", "cix_t2", buckets = 4)
+      // Batch {10, 11} bridges clusters {1,2} and {5,6}: 10~11 inside
+      // the batch, 10~2 and 11~5 across — everything merges to label 1.
+      val batch = Seq(10L, 11L).toDF("doc_id")
+      val internal = Seq((10L, 11L)).toDF("id_a", "id_b")
+      val cross = Seq((10L, 2L), (11L, 5L)).toDF("batch_id", "index_id")
+      Components.mergeClusterIndex(spark, "cix_t2", batch, "doc_id",
+        internal, "id_a", "id_b", cross, "batch_id", "index_id",
+        buckets = 4)
+      val all1 = old.union(batch)
+      val pairs1 = oldPairs.union(internal)
+        .union(cross.toDF("id_a", "id_b"))
+      val got1 = clusterMapOf(
+        Components.clustersFromIndex(Layout.table(spark, "cix_t2")))
+      val want1 = clusterMapOf(Components.dedupClusters(
+        all1, "doc_id", pairs1, "id_a", "id_b"))
+      assert(got1 == want1 && want1(11L) == ((1L, 6L)),
+        s"merged map must equal full rebuild: $got1 vs $want1")
+      // Second generation over the now-stale rows: doc 20 attaches to
+      // the merged cluster through 6 (whose stored rows span two
+      // generations — the min-resolve must pick the newest label).
+      val batch2 = Seq(20L).toDF("doc_id")
+      val cross2 = Seq((20L, 6L)).toDF("batch_id", "index_id")
+      Components.mergeClusterIndex(spark, "cix_t2", batch2, "doc_id",
+        internal.limit(0), "id_a", "id_b",
+        cross2, "batch_id", "index_id", buckets = 4)
+      val got2 = clusterMapOf(
+        Components.clustersFromIndex(Layout.table(spark, "cix_t2")))
+      val want2 = clusterMapOf(Components.dedupClusters(
+        all1.union(batch2), "doc_id",
+        pairs1.union(cross2.toDF("id_a", "id_b")), "id_a", "id_b"))
+      assert(got2 == want2 && got2(20L) == ((1L, 7L)),
+        s"second-generation merge must equal full rebuild: $got2 vs $want2")
+      // A batch with NO matches stays a singleton and touches nothing.
+      val batch3 = Seq(99L).toDF("doc_id")
+      Components.mergeClusterIndex(spark, "cix_t2", batch3, "doc_id",
+        internal.limit(0), "id_a", "id_b",
+        cross2.limit(0), "batch_id", "index_id", buckets = 4)
+      val got3 = clusterMapOf(
+        Components.clustersFromIndex(Layout.table(spark, "cix_t2")))
+      assert(got3(99L) == ((99L, 1L)) && got3 - 99L == got2)
+      // Generation compaction: the merged table carries relabel rows
+      // (more rows than docs); compaction collapses to exactly one
+      // row per doc and the probe result is unchanged.
+      val preRows = spark.table("cix_t2").count()
+      val nDocs = spark.table("cix_t2")
+        .select("doc_id").distinct().count()
+      assert(preRows > nDocs,
+        s"merge should have appended relabel generations ($preRows rows, $nDocs docs)")
+      Components.compactClusterIndex(spark, "cix_t2", buckets = 4)
+      assert(spark.table("cix_t2").count() == nDocs)
+      val got4 = clusterMapOf(
+        Components.clustersFromIndex(Layout.table(spark, "cix_t2")))
+      assert(got4 == got3, "compaction must not change the probe result")
+    } finally spark.sql("DROP TABLE IF EXISTS cix_t2")
+  }
 }

@@ -197,6 +197,56 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("persisted cluster map: resolve never shuffles the index side, probe plans no minhash") {
+    import graft.ops.Components
+    val docs = (1L to 100L).toDF("doc_id")
+    val pairs = (1L to 40L by 2).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Components.writeClusterIndex(spark, docs, "doc_id", pairs,
+      "id_a", "id_b", "cmap_probe", buckets = 8)
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = Layout.table(spark, "cmap_probe")
+      // The every-probe step — newest label per doc — reuses the
+      // doc_id bucket layout: NO exchange anywhere in the aggregate.
+      val resolved = idx.groupBy(col("doc_id"))
+        .agg(min("component").as("component"))
+      val rplan = resolved.queryExecution.executedPlan.toString
+      assert(!rplan.contains("Exchange hashpartitioning"),
+        s"min-resolve must ride the bucket layout:\n$rplan")
+      // The full probe carries no minhash fold and no iteration —
+      // the whole point of the stored map vs the inline rebuild.
+      val full = Components.clustersFromIndex(idx)
+      val fplan = full.queryExecution.executedPlan.toString
+      assert(!fplan.contains("graft_minhash"),
+        s"stored-map probe must not recompute signatures:\n$fplan")
+      // Parity with the inline path.
+      val got = full.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = Components
+        .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want)
+      // Append-only maintenance keeps the layout: after a merge the
+      // resolve STILL plans no exchange over the grown table.
+      Components.mergeClusterIndex(spark, "cmap_probe",
+        Seq(200L).toDF("doc_id"), "doc_id",
+        pairs.limit(0), "id_a", "id_b",
+        Seq((200L, 2L)).toDF("batch_id", "index_id"),
+        "batch_id", "index_id", buckets = 8)
+      val rplan2 = Layout.table(spark, "cmap_probe")
+        .groupBy(col("doc_id")).agg(min("component"))
+        .queryExecution.executedPlan.toString
+      assert(!rplan2.contains("Exchange hashpartitioning"),
+        s"post-merge resolve must still ride the bucket layout:\n$rplan2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS cmap_probe")
+    }
+  }
+
   test("partitioned write prunes directories on partition predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (2023 to 2026).flatMap(y => (1 to 10).map(i => (y, i.toLong)))

@@ -298,6 +298,9 @@ class PlanShapeSpec extends SparkSpec {
       // per-source rows (q345's documented shape, from the stored
       // register table).
       "q358_hll_from_index",
+      // q362: the 1-row compaction audit (n_rows, n_docs over the
+      // compacted map) broadcast-crosses the probed cluster rows.
+      "q362_cluster_compaction",
       // q359: the |groups|×|quantiles| wanted-rank frame broadcasts
       // onto the ranked scan (a semi-join, but planned as a
       // broadcast hash join on the computed rank).

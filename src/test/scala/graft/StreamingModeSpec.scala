@@ -622,4 +622,148 @@ class StreamingModeSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("incrementalPostingsIngest grows the lexical index; probe equals batch rebuild") {
+    import graft.ops.Retrieval
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.01", "documents")
+      .filter(col("doc_id") < 1000)
+      .select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") < 400)
+    val b1df = docs.filter(col("doc_id") >= 400 && col("doc_id") < 700)
+    val b2df = docs.filter(col("doc_id") >= 700)
+    val terms = Seq("spark", "join", "stream")
+    Seq("ping_post", "ping_stats", "ping_out").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Layout.writeBucketed(
+      Retrieval.bm25Postings(seed, "doc_id", "text"),
+      "ping_post", "term", buckets = 8)
+    Retrieval.bm25StatsPartial(seed, "doc_id", "text")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").saveAsTable("ping_stats")
+
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ping_ckpt").toString
+    val q = EventStream.incrementalPostingsIngest(
+      input.toDF().toDF("doc_id", "text"),
+      "ping_post", "ping_stats", "ping_out", ckpt, terms, k = 10,
+      buckets = 8)
+    try {
+      input.addData(b1df.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(b2df.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      // The last emitted top-k must equal a from-scratch BM25 over
+      // everything ingested so far (seed ∪ b1 ∪ b2): the appended
+      // postings + folded stats partials are exactly the full corpus.
+      spark.catalog.refreshTable("ping_out")
+      val lastBatch = spark.table("ping_out")
+        .agg(org.apache.spark.sql.functions.max("ingest_batch"))
+        .head.getLong(0)
+      val got = spark.table("ping_out")
+        .where(col("ingest_batch") === lastBatch)
+        .select("doc_id", "rank", "score")
+        .as[(Long, Int, Double)].collect().toSet
+      val want = Retrieval.bm25TopK(docs, "doc_id", "text", terms,
+          k = 10)
+        .select("doc_id", "rank", "score")
+        .as[(Long, Int, Double)].collect().toSet
+      assert(got === want,
+        s"stored-index probe after ingest must equal batch rebuild " +
+          s"($got vs $want)")
+      // Folded stats are exact (integer totals divided once).
+      spark.catalog.refreshTable("ping_stats")
+      val merged = Retrieval.bm25MergeStats(spark.table("ping_stats"))
+        .head
+      val full = Retrieval.bm25CorpusStats(docs, "doc_id", "text").head
+      assert(merged.getLong(0) == full.getLong(0) &&
+        math.abs(merged.getDouble(1) - full.getDouble(1)) < 1e-12)
+      // Replay heal: a re-appended identical tagged partial folds away.
+      spark.table("ping_stats").where(col("ingest_batch") === lastBatch)
+        .write.mode("append").saveAsTable("ping_stats")
+      spark.catalog.refreshTable("ping_stats")
+      val healed = Retrieval.bm25MergeStats(spark.table("ping_stats"))
+        .head
+      assert(healed.getLong(0) == full.getLong(0))
+    } finally {
+      q.stop()
+      Seq("ping_post", "ping_stats", "ping_out").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("incrementalClusterIngest maintains the stored cluster map across batches") {
+    import graft.ops.{Components, Dedup}
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.01", "documents")
+      .filter(col("doc_id") < 1000)
+      .select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") < 250)
+    val b1df = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+    val b2df = docs.filter(col("doc_id") >= 375)
+    Seq("cing_bands", "cing_toks", "cing_cmap").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Layout.writeBucketed(
+      Dedup.lshBands(seed, "doc_id", "text", 16, 4),
+      "cing_bands", "band_hash")
+    Dedup.tokenIndex(seed, "doc_id", "text")
+      .write.mode("overwrite").saveAsTable("cing_toks")
+    Components.writeClusterIndex(spark, seed, "doc_id",
+      Dedup.minhashNearDups(seed, "doc_id", "text"),
+      "id_a", "id_b", "cing_cmap")
+
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cing_ckpt").toString
+    val q = EventStream.incrementalClusterIngest(
+      input.toDF().toDF("doc_id", "text"),
+      "cing_bands", "cing_toks", "cing_cmap", ckpt)
+    try {
+      input.addData(b1df.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(b2df.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      // Parity with a full rebuild over the SAME pair set the ingest
+      // saw: per-batch internals + the stored-index cross probes,
+      // replayed sequentially (the probe-then-append contract).
+      def cross(b: org.apache.spark.sql.DataFrame,
+          idx: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNearDupsFromIndex(b, "doc_id", "text",
+            Dedup.lshBands(idx, "doc_id", "text", 16, 4),
+            Dedup.tokenIndex(idx, "doc_id", "text"))
+          .select(col("batch_id").as("id_a"),
+            col("index_id").as("id_b"))
+      val allPairs = Dedup.minhashNearDups(seed, "doc_id", "text")
+        .select("id_a", "id_b")
+        .union(Dedup.minhashNearDups(b1df, "doc_id", "text")
+          .select("id_a", "id_b"))
+        .union(cross(b1df, seed))
+        .union(Dedup.minhashNearDups(b2df, "doc_id", "text")
+          .select("id_a", "id_b"))
+        .union(cross(b2df, seed.unionByName(b1df)))
+      val want = Components.dedupClusters(docs, "doc_id", allPairs,
+          "id_a", "id_b")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      spark.catalog.refreshTable("cing_cmap")
+      val got = Components
+        .clustersFromIndex(Layout.table(spark, "cing_cmap"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === want,
+        s"maintained cluster map must equal the full rebuild " +
+          s"(${got.size} vs ${want.size} docs)")
+    } finally {
+      q.stop()
+      Seq("cing_bands", "cing_toks", "cing_cmap").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
