@@ -48,4 +48,41 @@ object Reconcile {
       .agg(count(lit(1)).as("n_keys"),
         sum(when(conflict, 1L).otherwise(0L)).as("n_conflicts"))
   }
+
+  /** Corpus ↔ persisted-index synchronization audit — the
+    * operational health check every stored index (bands, codes,
+    * postings, cluster map, hist partials) needs once maintenance is
+    * incremental: which corpus docs the index MISSES (appended but
+    * never ingested — probes silently exclude them) and which index
+    * entries are ORPHANED (doc deleted/forgotten from the corpus but
+    * still indexed — `Layout.forgetKeys` left behind, or a retention
+    * delete that never reached the index). One full-outer join of the
+    * two DISTINCT id sets (the index side may legitimately hold
+    * multiple rows per doc — postings terms, cluster-map generations
+    * — so both sides dedup to doc grain first), then a single
+    * combinable aggregate.
+    *
+    * @return one row: `n_corpus`, `n_indexed`, `n_missing` (in
+    *         corpus, not indexed), `n_orphaned` (indexed, not in
+    *         corpus), `sync_ppm` (indexed-and-present per million
+    *         corpus docs; 1,000,000 = fully synchronized)
+    */
+  def indexSync(
+      corpus: DataFrame, idCol: String,
+      index: DataFrame, indexIdCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"))
+      .distinct().withColumn("_c", lit(1L))
+    val i = index.select(col(indexIdCol).cast("long").as("id"))
+      .distinct().withColumn("_i", lit(1L))
+    c.join(i, Seq("id"), "full_outer")
+      .agg(
+        coalesce(sum("_c"), lit(0L)).cast("long").as("n_corpus"),
+        coalesce(sum("_i"), lit(0L)).cast("long").as("n_indexed"),
+        coalesce(sum(when(col("_i").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_missing"),
+        coalesce(sum(when(col("_c").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphaned"))
+      .withColumn("sync_ppm", expr(
+        "((n_corpus - n_missing) * 1000000) div greatest(n_corpus, 1)"))
+  }
 }

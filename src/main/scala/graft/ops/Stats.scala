@@ -181,11 +181,6 @@ object Stats {
   private def crossingEstimates(
       df: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double, nbins: Int, ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
-      s"percentiles must be in (0, 1], got $ps")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val width = (hi - lo) / nbins
     val sk = df.groupBy(groupCol).agg(
       expr(s"graft_hist(CAST($valueCol AS DOUBLE), ${lo}D, ${hi}D, $nbins)")
         .as("counts"))
@@ -195,6 +190,23 @@ object Stats {
     val occupied = sk
       .select(col(groupCol), posexplode(col("counts")).as(Seq("b", "cnt")))
       .where(col("cnt") > 0)
+    crossingFromOccupied(occupied, groupCol, lo, (hi - lo) / nbins, ps)
+  }
+
+  /** Shared crossing core over an occupied-bucket frame
+    * (`groupCol`, `b`, `cnt`): the cum-sum window, the broadcast
+    * |ps|-row join, and the rank interpolation — used by the inline
+    * sketch path ([[crossingEstimates]]) and the stored-index probe
+    * ([[histPercentilesFromIndex]]), so both answer from identical
+    * arithmetic.
+    */
+  private def crossingFromOccupied(
+      occupied: DataFrame, groupCol: String, lo: Double, width: Double,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $ps")
+    val spark = occupied.sparkSession
+    import spark.implicits._
     val cum = occupied
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy(groupCol).orderBy("b")))
@@ -209,6 +221,53 @@ object Stats {
     cum.crossJoin(pFrame)
       .where(col("cum").cast("double") >= target && before < target)
       .select(col(groupCol), col("p"), col("total"), est.as("est_raw"))
+  }
+
+  /** Shard-partial histogram rows for a PERSISTED quantile index —
+    * the sketch tier's member of the stored-index family (bands,
+    * codes, postings, cluster map, HLL registers): each ingest slice
+    * aggregates its own `graft_hist` sketch per group and flattens
+    * the occupied buckets to (`groupCol`, `shardCol`, `b`, `cnt`)
+    * rows. Histogram counts are SUMS, so maintenance is append-only
+    * (a new shard appends its rows; no read-modify-write), and the
+    * probe folds shards exactly — the same partial-log pattern as
+    * [[graft.ops.Retrieval.bm25StatsPartial]]. A replayed shard
+    * re-appends IDENTICAL rows (the shard tag makes them exact
+    * duplicates), so `Layout.compactBucketed`'s distinct is the
+    * correct heal.
+    */
+  def histPartials(
+      df: DataFrame, groupCol: String, shardCol: String,
+      valueCol: String, lo: Double, hi: Double, nbins: Int): DataFrame =
+    df.groupBy(col(groupCol), col(shardCol))
+      .agg(expr(
+        s"graft_hist(CAST($valueCol AS DOUBLE), ${lo}D, ${hi}D, $nbins)")
+        .as("counts"))
+      .select(col(groupCol), col(shardCol),
+        posexplode(col("counts")).as(Seq("b", "cnt")))
+      .where(col("cnt") > 0)
+
+  /** Serve per-group quantiles FROM the stored partial-histogram
+    * index ([[histPartials]] rows read back): fold shards with one
+    * combinable `sum` per (group, bucket) — integer-exact, so the
+    * merged sketch is bit-identical to a single-pass build over the
+    * union — then run the same crossing interpolation as
+    * [[histPercentiles]]. The probe never touches a corpus row:
+    * cost is O(occupied buckets × shards), KBs per group at any
+    * corpus scale — the quantile query a 100 TB pipeline answers
+    * from its monitoring index instead of re-scanning data.
+    *
+    * @return one row per (group, p): groupCol, `p`, `n`, `est`
+    *         (schema-identical to [[histPercentiles]])
+    */
+  def histPercentilesFromIndex(
+      index: DataFrame, groupCol: String, lo: Double, hi: Double,
+      nbins: Int, ps: Seq[Double]): DataFrame = {
+    val merged = index.groupBy(col(groupCol), col("b"))
+      .agg(sum("cnt").as("cnt"))
+    crossingFromOccupied(merged, groupCol, lo, (hi - lo) / nbins, ps)
+      .select(col(groupCol), col("p"), col("total").as("n"),
+        (round(col("est_raw"), 4) + lit(0.0)).as("est"))
   }
 
   /** Equi-depth (quantile) binning from the histogram sketch — the

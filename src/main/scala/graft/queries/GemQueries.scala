@@ -15672,7 +15672,94 @@ object GemQueries {
           |  (SELECT count(*) FROM comp) AS n_rows,
           |  (SELECT count(*) FROM comp) AS n_docs
           |FROM comp JOIN sizes USING (component)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Persisted quantile-sketch index (Stats.histPartials +
+    // histPercentilesFromIndex): per-(lang, shard) histogram partial
+    // rows stored lang-bucketed; the probe folds shards with one
+    // combinable integer sum — bit-identical to a single-pass build,
+    // counts are sums — then answers q151's percentiles by the same
+    // crossing interpolation WITHOUT touching a corpus row. The whole
+    // probe (merge, cum window, crossing) rides the lang bucket
+    // layout: hashpartitioning(lang) satisfies every stage's
+    // clustering, so the stored path plans no index-side exchange.
+    // Oracle is q151's analytic rebuild verbatim — shard-merge
+    // exactness is the claim under test (the monitoring-index answer
+    // a 100 TB pipeline serves instead of re-scanning data).
+    QueryDef("q363_quantiles_from_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Layout.replaceBucketed(s,
+          Stats.histPartials(
+            docs.withColumn("shard", pmod(col("doc_id"), lit(4L))),
+            "lang", "shard", "n_chars",
+            lo = 0.0, hi = 1024.0, nbins = 256),
+          "graft_hist_idx", "lang", buckets = 8)
+        Stats.histPercentilesFromIndex(
+          Layout.table(s, "graft_hist_idx"), "lang",
+          lo = 0.0, hi = 1024.0, nbins = 256,
+          ps = Seq(0.25, 0.5, 0.9, 0.99))
+          .orderBy("lang", "p")
+      },
+      Some("""WITH v AS (
+             |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL),
+             |b AS (SELECT lang, CAST(least(greatest(floor(v / 4.0), 0), 255)
+             |        AS BIGINT) AS b FROM v),
+             |c AS (SELECT lang, b, count(*) AS cnt FROM b GROUP BY lang, b),
+             |cc AS (SELECT lang, b, cnt,
+             |         sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |         sum(cnt) OVER (PARTITION BY lang) AS total
+             |       FROM c),
+             |p AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+             |SELECT lang, p, CAST(total AS BIGINT) AS n,
+             |  round(4.0 * (CAST(b AS DOUBLE)
+             |    + (p * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             |      / CAST(cnt AS DOUBLE)), 4) + 0.0 AS est
+             |FROM cc, p
+             |WHERE CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
+             |  AND CAST(cum - cnt AS DOUBLE) < p * CAST(total AS DOUBLE)
+             |ORDER BY lang, p""".stripMargin)),
+
+    // Corpus ↔ index synchronization audit (Reconcile.indexSync) —
+    // the operational health check incremental maintenance makes
+    // necessary: the cluster map is built on the doc_id < 300 slice,
+    // then audited against a DRIFTED corpus (docs 50–499: 300–499
+    // appended but never ingested = missing; 0–49 deleted from the
+    // corpus but still indexed = orphaned). Both sides dedup to doc
+    // grain (the map may hold relabel generations), one full-outer
+    // join + one combinable aggregate; the oracle recomputes the
+    // same set algebra from the documents table — the index's
+    // CONTENTS are its build slice's ids by construction.
+    QueryDef("q364_index_sync",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val indexed = docs.filter(col("doc_id") < 300)
+        val pairs = Dedup.minhashNearDups(indexed, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.writeClusterIndex(s, indexed, "doc_id", pairs,
+          "id_a", "id_b", "graft_cluster_map_s", buckets = 8)
+        val corpus = t(s, dir, "documents")
+          .filter(col("doc_id") >= 50 && col("doc_id") < 500)
+        Reconcile.indexSync(corpus, "doc_id",
+          Layout.table(s, "graft_cluster_map_s"), "doc_id")
+      },
+      Some("""WITH c AS (SELECT DISTINCT doc_id FROM documents
+             |  WHERE doc_id >= 50 AND doc_id < 500),
+             |i AS (SELECT DISTINCT doc_id FROM documents
+             |  WHERE doc_id < 300),
+             |j AS (SELECT c.doc_id AS cid, i.doc_id AS iid
+             |  FROM c FULL OUTER JOIN i ON c.doc_id = i.doc_id)
+             |SELECT CAST(count(cid) AS BIGINT) AS n_corpus,
+             |  CAST(count(iid) AS BIGINT) AS n_indexed,
+             |  CAST(sum(CASE WHEN iid IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_missing,
+             |  CAST(sum(CASE WHEN cid IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_orphaned,
+             |  CAST((count(cid) - sum(CASE WHEN iid IS NULL THEN 1
+             |    ELSE 0 END)) * 1000000 // greatest(count(cid), 1)
+             |    AS BIGINT) AS sync_ppm
+             |FROM j""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

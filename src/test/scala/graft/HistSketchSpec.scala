@@ -106,4 +106,40 @@ class HistSketchSpec extends SparkSpec {
       Stats.histPercentiles(df, "g", "v", 0.0, 8.0, 2, Seq(1.5))
     }
   }
+
+  test("stored hist partials: probe equals inline, appended shard folds exactly") {
+    import graft.sources.Layout
+    val ps = Seq(0.25, 0.5, 0.9)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val a = (0 until 4000).map(i =>
+      ("g" + (i % 3), (i % 4).toLong, (i % 509).toDouble / 2))
+      .toDF("g", "shard", "v")
+    val b = (0 until 1000).map(i =>
+      ("g" + (i % 3), 9L, (i % 211).toDouble))
+      .toDF("g", "shard", "v")
+    try {
+      Layout.replaceBucketed(spark,
+        Stats.histPartials(a, "g", "shard", "v", 0.0, 256.0, 64),
+        "hp_idx", "g", buckets = 4)
+      // Probe over the stored partials == inline single-pass build.
+      val got = rows(Stats.histPercentilesFromIndex(
+        Layout.table(spark, "hp_idx"), "g", 0.0, 256.0, 64, ps))
+      val want = rows(Stats.histPercentiles(
+        a, "g", "v", 0.0, 256.0, 64, ps))
+      assert(got == want)
+      // Append-only maintenance: a later shard's partial rows fold
+      // into the same answer a full rebuild over a ∪ b gives.
+      Layout.appendBucketed(
+        Stats.histPartials(b, "g", "shard", "v", 0.0, 256.0, 64),
+        "hp_idx", "g", buckets = 4)
+      spark.catalog.refreshTable("hp_idx")
+      val got2 = rows(Stats.histPercentilesFromIndex(
+        Layout.table(spark, "hp_idx"), "g", 0.0, 256.0, 64, ps))
+      val want2 = rows(Stats.histPercentiles(
+        a.unionByName(b), "g", "v", 0.0, 256.0, 64, ps))
+      assert(got2 == want2)
+    } finally spark.sql("DROP TABLE IF EXISTS hp_idx")
+  }
 }

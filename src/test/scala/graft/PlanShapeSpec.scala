@@ -301,6 +301,9 @@ class PlanShapeSpec extends SparkSpec {
       // q362: the 1-row compaction audit (n_rows, n_docs over the
       // compacted map) broadcast-crosses the probed cluster rows.
       "q362_cluster_compaction",
+      // q363: histPercentilesFromIndex's |ps|-row BNLJ (q151's
+      // documented shape, served from the stored partials).
+      "q363_quantiles_from_index",
       // q359: the |groups|×|quantiles| wanted-rank frame broadcasts
       // onto the ranked scan (a semi-join, but planned as a
       // broadcast hash join on the computed rank).

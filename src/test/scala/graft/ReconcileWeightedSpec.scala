@@ -52,4 +52,23 @@ class ReconcileWeightedSpec extends SparkSpec {
     assert(totals("hash") == ((500L, 37L)))
     assert(totals("keyrange") == ((500L, 37L)))
   }
+
+  test("indexSync: missing/orphaned split, multi-row index dedups to doc grain") {
+    // Corpus 10..19; index holds 5..14 with DUPLICATE rows per doc
+    // (generations) — dedup must not inflate counts.
+    val corpus = (10L to 19L).toDF("doc_id")
+    val index = ((5L to 14L) ++ (5L to 14L)).toDF("id")
+    val r = Reconcile.indexSync(corpus, "doc_id", index, "id").head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L) // corpus, indexed
+    assert(r.getLong(2) == 5L && r.getLong(3) == 5L)   // missing, orphaned
+    assert(r.getLong(4) == 500000L)                    // sync_ppm
+    // Fully synchronized → 1,000,000 and zero drift.
+    val s = Reconcile.indexSync(corpus, "doc_id", corpus, "doc_id").head
+    assert(s.getLong(2) == 0L && s.getLong(3) == 0L &&
+      s.getLong(4) == 1000000L)
+    // Empty corpus: guarded denominator, no division blow-up.
+    val e = Reconcile.indexSync(corpus.limit(0), "doc_id", index, "id")
+      .head
+    assert(e.getLong(3) == 10L && e.getLong(4) == 0L)
+  }
 }
