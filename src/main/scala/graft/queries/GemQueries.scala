@@ -15759,7 +15759,62 @@ object GemQueries {
              |  CAST((count(cid) - sum(CASE WHEN iid IS NULL THEN 1
              |    ELSE 0 END)) * 1000000 // greatest(count(cid), 1)
              |    AS BIGINT) AS sync_ppm
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // Right-to-be-forgotten, closed loop (Layout.forgetKeys +
+    // Reconcile.indexSync): deletion from a persisted index is only
+    // DONE when an audit proves it. The cluster map is built on the
+    // doc_id < 300 slice, every 50th doc is deleted from the CORPUS,
+    // and the pre-forget audit shows them as orphaned index entries
+    // (still probe-able — the residual risk); Layout.forgetKeys then
+    // rewrites the index minus those keys and the post-forget audit
+    // certifies zero orphans, zero missing. The pre row materializes
+    // (localCheckpoint) BEFORE the forget mutates the table — the
+    // lazy-evaluation trap every read-then-rewrite composition must
+    // dodge. Oracle is pure set algebra on the documents table.
+    QueryDef("q365_forget_audit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val indexed = docs.filter(col("doc_id") < 300)
+        val pairs = Dedup.minhashNearDups(indexed, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        Components.writeClusterIndex(s, indexed, "doc_id", pairs,
+          "id_a", "id_b", "graft_cluster_map_f", buckets = 8)
+        val deleted = indexed
+          .filter(col("doc_id") % 50L === 0L).select("doc_id")
+        val remaining = indexed
+          .join(deleted, Seq("doc_id"), "left_anti")
+        val pre = Reconcile.indexSync(remaining, "doc_id",
+            Layout.table(s, "graft_cluster_map_f"), "doc_id")
+          .withColumn("phase", lit("pre_forget"))
+          .localCheckpoint(true)
+        Layout.forgetKeys(s, "graft_cluster_map_f", "doc_id",
+          "doc_id", deleted, buckets = 8)
+        val post = Reconcile.indexSync(remaining, "doc_id",
+            Layout.table(s, "graft_cluster_map_f"), "doc_id")
+          .withColumn("phase", lit("post_forget"))
+        pre.unionByName(post)
+          .select("phase", "n_corpus", "n_indexed", "n_missing",
+            "n_orphaned", "sync_ppm")
+          .orderBy("phase")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT doc_id FROM documents
+             |  WHERE doc_id < 300),
+             |d AS (SELECT count(*) AS nd FROM idx WHERE doc_id % 50 = 0),
+             |r AS (SELECT count(*) AS nr FROM idx WHERE doc_id % 50 <> 0)
+             |SELECT 'pre_forget' AS phase,
+             |  CAST(nr AS BIGINT) AS n_corpus,
+             |  CAST(nr + nd AS BIGINT) AS n_indexed,
+             |  CAST(0 AS BIGINT) AS n_missing,
+             |  CAST(nd AS BIGINT) AS n_orphaned,
+             |  CAST(1000000 AS BIGINT) AS sync_ppm
+             |FROM d, r
+             |UNION ALL
+             |SELECT 'post_forget', CAST(nr AS BIGINT),
+             |  CAST(nr AS BIGINT), CAST(0 AS BIGINT),
+             |  CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+             |FROM d, r
+             |ORDER BY phase""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

@@ -197,6 +197,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("stored hist-partials probe rides the group bucket layout: no index-side exchange") {
+    import graft.ops.Stats
+    val df = (0 until 2000).map(i =>
+      ("g" + (i % 5), (i % 4).toLong, (i % 251).toDouble))
+      .toDF("g", "shard", "v")
+    Layout.replaceBucketed(spark,
+      Stats.histPartials(df, "g", "shard", "v", 0.0, 256.0, 64),
+      "hp_plan", "g", buckets = 4)
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // The probe's shard merge groups on (g, b) and its cum window
+      // partitions on g — hashpartitioning(g) satisfies BOTH, so the
+      // whole stored path plans zero exchanges over the index.
+      val probe = Stats.histPercentilesFromIndex(
+        Layout.table(spark, "hp_plan"), "g", 0.0, 256.0, 64,
+        Seq(0.5, 0.9))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"hist-index probe must ride the bucket layout:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS hp_plan")
+    }
+  }
+
   test("persisted cluster map: resolve never shuffles the index side, probe plans no minhash") {
     import graft.ops.Components
     val docs = (1L to 100L).toDF("doc_id")
