@@ -492,4 +492,51 @@ object EventStream {
       }
       .start()
   }
+
+  /** Operational QUANTILE-index ingest — the histogram member of the
+    * streaming-maintenance family, completing the symmetry: every
+    * persisted index (bands, codes, postings, cluster map, hist
+    * partials) now has a foreachBatch maintenance path. Each
+    * micro-batch aggregates its own `graft_hist` partial per group
+    * (shard-tagged with the batch id) and APPENDS the occupied-bucket
+    * rows ([[graft.ops.Stats.histPartials]] — counts are sums, so the
+    * probe's combinable fold is bit-identical to a single-pass build
+    * over everything ingested), then serves the current per-group
+    * percentiles FROM the stored index into `outTable`.
+    *
+    * At-least-once contract: a replayed batch re-appends rows whose
+    * shard tag (the batch id) makes them EXACT duplicates of the
+    * first attempt, so [[graft.sources.Layout.compactBucketed]]'s
+    * distinct is the correct heal — the batch id doubling as the
+    * shard key is what makes replay idempotent-after-compaction,
+    * the same design as the postings stats partials.
+    */
+  def incrementalHistIngest(
+      docs: DataFrame, histTable: String, outTable: String,
+      checkpoint: String, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int, ps: Seq[Double],
+      buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Stats
+    import graft.sources.Layout
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        sp.catalog.refreshTable(histTable)
+        val b = batch.localCheckpoint(true)
+        Layout.appendBucketed(
+          Stats.histPartials(
+            b.withColumn("_shard", lit(batchId)),
+            groupCol, "_shard", valueCol, lo, hi, nbins),
+          histTable, groupCol, buckets)
+        sp.catalog.refreshTable(histTable)
+        Stats.histPercentilesFromIndex(
+            sp.table(histTable), groupCol, lo, hi, nbins, ps)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").saveAsTable(outTable)
+        ()
+      }
+      .start()
+  }
 }

@@ -696,6 +696,64 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("incrementalHistIngest: streamed quantile index equals a batch build") {
+    import graft.ops.Stats
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("lang"), col("n_chars").cast("double").as("v"))
+      .where(col("lang").isNotNull && col("v").isNotNull)
+    val seed = docs.limit(200).localCheckpoint(true)
+    val rest = docs.exceptAll(seed).localCheckpoint(true)
+    val ps = Seq(0.5, 0.9)
+    Seq("hing_idx", "hing_out").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Layout.writeBucketed(
+      Stats.histPartials(seed.withColumn("_shard", lit(-1L)),
+        "lang", "_shard", "v", 0.0, 1024.0, 256),
+      "hing_idx", "lang", buckets = 4)
+    val input = MemoryStream[(String, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("hing_ckpt").toString
+    val q = EventStream.incrementalHistIngest(
+      input.toDF().toDF("lang", "v"), "hing_idx", "hing_out", ckpt,
+      "lang", "v", 0.0, 1024.0, 256, ps, buckets = 4)
+    try {
+      input.addData(rest.as[(String, Double)].collect().toSeq)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("hing_out")
+      val lastBatch = spark.table("hing_out")
+        .agg(org.apache.spark.sql.functions.max("ingest_batch"))
+        .head.getLong(0)
+      val got = spark.table("hing_out")
+        .where(col("ingest_batch") === lastBatch)
+        .select("lang", "p", "n", "est")
+        .as[(String, Double, Long, Double)].collect().toSet
+      val want = Stats.histPercentiles(
+          seed.unionByName(rest), "lang", "v", 0.0, 1024.0, 256, ps)
+        .as[(String, Double, Long, Double)].collect().toSet
+      assert(got === want,
+        "streamed hist index must answer exactly like a batch build")
+      // Replay heal: duplicate the last shard's rows, compact, same
+      // answer (the batch-id shard tag makes replays exact dups).
+      val dup = spark.table("hing_idx")
+      dup.write.mode("append").bucketBy(4, "lang")
+        .format("parquet").saveAsTable("hing_idx")
+      spark.catalog.refreshTable("hing_idx")
+      Layout.compactBucketed(spark, "hing_idx", "lang", buckets = 4)
+      val healed = Stats.histPercentilesFromIndex(
+          spark.table("hing_idx"), "lang", 0.0, 1024.0, 256, ps)
+        .as[(String, Double, Long, Double)].collect().toSet
+      assert(healed === want)
+    } finally {
+      q.stop()
+      Seq("hing_idx", "hing_out").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incrementalClusterIngest maintains the stored cluster map across batches") {
     import graft.ops.{Components, Dedup}
     import graft.sources.Layout
