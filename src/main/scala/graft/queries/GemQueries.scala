@@ -9,7 +9,7 @@ import graft.ops.{ActiveLearning, Agreement, Allocate, Anonymity, AsofJoin, Attr
   Contrastive, Coordinates,
   Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
   DecisionStump,
-  Dedup, Drift, Dsir, GemPipeline, GraphMetrics, Homoglyph,
+  Dedup, Drift, Dsir, Encoding, GemPipeline, GraphMetrics, Homoglyph,
   IncrementalAgg, Isotonic,
   Experiment, IntervalJoin, Linkage,
   Fairness, FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
@@ -15814,7 +15814,78 @@ object GemQueries {
              |  CAST(nr AS BIGINT), CAST(0 AS BIGINT),
              |  CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
              |FROM d, r
-             |ORDER BY phase""".stripMargin))
+             |ORDER BY phase""".stripMargin)),
+
+    // Mojibake (UTF-8-as-Latin-1) detection + bounded-table repair
+    // (Encoding.signatureHits / repairCommon): damage is PLANTED on a
+    // deterministic quarter of the corpus (the q333 pattern — both
+    // engines corrupt identically, so detection/repair is checked on
+    // known ground truth), then the audit reports per source how many
+    // docs were flagged, total signature hits, how many docs still
+    // carry signatures after repair (must be 0), and how many rows
+    // exactly match the expected repaired text. Per-row scalar
+    // expressions + one map-side-combinable groupBy — the hygiene
+    // pass rides the corpus scan, no extra shuffle at any scale.
+    QueryDef("q366_mojibake_repair",
+      (s, dir) => {
+        val hit = pmod(Hashing.portableHash(
+          col("doc_id").cast("string")), lit(4)) === 0
+        val planted = t(s, dir, "documents")
+          .select(col("source"),
+            when(hit, replace(
+                replace(col("text"), lit(" the "), lit(" thÃ© ")),
+                lit(" is "), lit(" â€™is ")))
+              .otherwise(col("text")).as("corrupt"),
+            when(hit, replace(
+                replace(col("text"), lit(" the "), lit(" thé ")),
+                lit(" is "), lit(" ’is ")))
+              .otherwise(col("text")).as("expected"))
+          .withColumn("sig", Encoding.signatureHits(col("corrupt")))
+          .withColumn("fixed", Encoding.repairCommon(col("corrupt")))
+          .withColumn("sig_after", Encoding.signatureHits(col("fixed")))
+        planted.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("sig") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            sum(col("sig")).as("sig_hits"),
+            sum(when(col("sig_after") > 0, 1L).otherwise(0L))
+              .as("n_dirty_after"),
+            sum(when(col("fixed") === col("expected"), 1L).otherwise(0L))
+              .as("n_restored"))
+          .orderBy("source")
+      },
+      Some {
+        val h = Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")
+        def sig(c: String) = Encoding.signatures.map { case (k, _) =>
+          s"(length($c) - length(replace($c, '$k', ''))) // ${k.length}"
+        }.mkString("(", " + ", ")")
+        val fix = Encoding.signatures.foldLeft("corrupt") {
+          case (acc, (k, v)) => s"replace($acc, '$k', '$v')"
+        }
+        s"""WITH pl AS (
+           |  SELECT source,
+           |    CASE WHEN $h % 4 = 0 THEN replace(replace(text,
+           |        ' the ', ' thÃ© '), ' is ', ' â€™is ')
+           |      ELSE text END AS corrupt,
+           |    CASE WHEN $h % 4 = 0 THEN replace(replace(text,
+           |        ' the ', ' thé '), ' is ', ' ’is ')
+           |      ELSE text END AS expected
+           |  FROM documents),
+           |rp AS (SELECT source, expected,
+           |    ${sig("corrupt")} AS sig, $fix AS fixed
+           |  FROM pl),
+           |rp2 AS (SELECT source, expected, sig, fixed,
+           |    ${sig("fixed")} AS sig_after
+           |  FROM rp)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN sig > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_flagged,
+           |  CAST(sum(sig) AS BIGINT) AS sig_hits,
+           |  CAST(sum(CASE WHEN sig_after > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dirty_after,
+           |  CAST(sum(CASE WHEN fixed = expected THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_restored
+           |FROM rp2 GROUP BY source ORDER BY source""".stripMargin
+      })
   )
 
   /** The full catalog the driver consumes — declared LAST so every
