@@ -132,4 +132,52 @@ object CorpusPipeline {
     curate(clean, idCol, textCol, sourceCol, minQuality, lang,
       minhashK, bands, jaccard)
   }
+
+  /** The INDEX-ONLY corpus health report — the nightly dashboard a
+    * 100 TB pipeline must serve without touching a corpus row: every
+    * input is a STORED index, so the plan's only leaves are the
+    * index tables (asserted in LayoutSpec) and probe cost is
+    * O(index), never O(corpus).
+    *
+    * Per source: doc counts + near-dup exposure from the persisted
+    * cluster map ([[Components.clustersFromIndex]]) joined doc-grain
+    * to the docstore dimension (both `doc_id`-bucketed), distinct
+    * -token estimate from the HLL
+    * register index, and p50/p90 length from the histogram-partial
+    * index. `corpus_distinct_est` repeats the merged all-source HLL
+    * estimate (element-wise register max — the sketch-merge law) on
+    * every row, the dashboard's headline number.
+    *
+    * @param clusterIdx stored cluster map (`doc_id`, `component`)
+    * @param docstore   doc-grain dimension (`doc_id`, sourceCol)
+    * @param hllRegs    HLL register index (sourceCol, `bucket`,
+    *                   `register`), precision `p`
+    * @param histIdx    histogram partials (sourceCol, `b`, `cnt`)
+    *                   over [lo, hi) with `nbins` buckets
+    */
+  def healthFromIndexes(
+      clusterIdx: DataFrame, docstore: DataFrame, hllRegs: DataFrame,
+      histIdx: DataFrame, sourceCol: String, p: Int,
+      lo: Double, hi: Double, nbins: Int): DataFrame = {
+    val dup = Components.clustersFromIndex(clusterIdx)
+      .join(docstore, "doc_id")
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .withColumn("dup_ppm",
+        expr("n_dup_docs * 1000000 DIV n_docs"))
+    val hll = CardinalityEstimate.hllFromRegisters(hllRegs, sourceCol, p)
+      .select(col(sourceCol), col("hll_est").as("distinct_tokens_est"),
+        col("merged_est").as("corpus_distinct_est"))
+    val qs = Stats.histPercentilesFromIndex(
+        histIdx, sourceCol, lo, hi, nbins, ps = Seq(0.5, 0.9))
+      .groupBy(sourceCol)
+      .agg(max(when(col("p") === 0.5, col("est"))).as("p50_chars"),
+        max(when(col("p") === 0.9, col("est"))).as("p90_chars"))
+    dup.join(hll, sourceCol).join(qs, sourceCol)
+      .select(col(sourceCol), col("n_docs"), col("n_dup_docs"),
+        col("dup_ppm"), col("distinct_tokens_est"),
+        col("corpus_distinct_est"), col("p50_chars"), col("p90_chars"))
+  }
 }

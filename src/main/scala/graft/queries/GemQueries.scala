@@ -15885,6 +15885,127 @@ object GemQueries {
            |  CAST(sum(CASE WHEN fixed = expected THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_restored
            |FROM rp2 GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    // INDEX-ONLY corpus health dashboard
+    // (CorpusPipeline.healthFromIndexes): the nightly report a 100 TB
+    // pipeline serves without touching a corpus row. The build half
+    // persists four indexes on the governance slice (cluster map via
+    // ensureNearDupIndex, doc_id-bucketed docstore dimension, HLL
+    // register table, histogram partials); the RETURNED plan's only
+    // leaves are those stored tables (LayoutSpec-asserted — no
+    // testdata scan anywhere). Per source: doc counts + near-dup
+    // exposure from the cluster map, distinct-token HLL estimate
+    // (+ the merged all-source estimate, the register-max merge law),
+    // p50/p90 length from the histogram sketch. Oracle recomputes all
+    // three sketch families from the raw slice — index fidelity
+    // end-to-end in one row-hash.
+    QueryDef("q367_index_dashboard",
+      (s, dir) => {
+        ensureNearDupIndex(s, dir)
+        val slice = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        Layout.replaceBucketed(s, slice.select("doc_id", "source"),
+          "graft_dash_docstore", "doc_id", buckets = 8)
+        val toks = slice.select(col("source"),
+          explode(split(col("text"), " +")).as("token"))
+          .where(col("token") =!= "")
+        Layout.replaceTable(s,
+          CardinalityEstimate.hllRegisters(toks, "source", "token",
+            p = 6),
+          "graft_dash_hll")
+        Layout.replaceBucketed(s,
+          Stats.histPartials(slice.withColumn("_shard", lit(0L)),
+            "source", "_shard", "n_chars", lo = 0.0, hi = 1024.0,
+            nbins = 256),
+          "graft_dash_hist", "source", buckets = 8)
+        CorpusPipeline.healthFromIndexes(
+          Layout.table(s, "graft_cluster_map"),
+          Layout.table(s, "graft_dash_docstore"),
+          Layout.table(s, "graft_dash_hll"),
+          Layout.table(s, "graft_dash_hist"),
+          "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)
+          .orderBy("source")
+      },
+      Some {
+        val h = Hashing.duckPortableHash("token")
+        val rho = "CASE WHEN h // 64 = 0 THEN 55" +
+          " ELSE 55 - length(bin(h // 64)) END"
+        val alpha = "(0.7213 / (1.0 + 1.079 / 64.0))"
+        val two55 = "(CAST(1 AS BIGINT) << 55)"
+        "WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        s"""sl AS (SELECT * FROM documents WHERE doc_id < 1000),
+           |dup AS (SELECT d.source,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN z.cluster_size > 1 THEN 1 ELSE 0
+           |      END) AS BIGINT) AS n_dup_docs
+           |  FROM comp c JOIN sizes z USING (component)
+           |  JOIN sl d ON d.doc_id = c.id
+           |  GROUP BY 1),
+           |tok AS (SELECT source, unnest(list_filter(
+           |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+           |  FROM sl),
+           |hh AS (SELECT source, token, $h AS h FROM tok),
+           |rr AS (SELECT source, h % 64 AS b, max($rho) AS m
+           |  FROM hh GROUP BY 1, 2),
+           |sg AS (SELECT source,
+           |    CAST(count(*) AS BIGINT) AS ru,
+           |    64 - CAST(count(*) AS BIGINT) AS zeros,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+           |      AS BIGINT) +
+           |      (64 - CAST(count(*) AS BIGINT)) * $two55 AS ss
+           |  FROM rr GROUP BY 1),
+           |est AS (SELECT source, round(CASE WHEN raw <= 2.5 * 64.0
+           |      AND zeros > 0
+           |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+           |      ELSE raw END, 2) AS distinct_tokens_est
+           |  FROM (SELECT source, zeros,
+           |      $alpha * 64.0 * 64.0 * CAST($two55 AS DOUBLE) /
+           |        CAST(ss AS DOUBLE) AS raw
+           |    FROM sg)),
+           |mrr AS (SELECT b, max(m) AS m FROM rr GROUP BY 1),
+           |mest AS (SELECT round(CASE WHEN raw <= 2.5 * 64.0
+           |      AND zeros > 0
+           |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+           |      ELSE raw END, 2) AS corpus_distinct_est
+           |  FROM (SELECT 64 - CAST(count(*) AS BIGINT) AS zeros,
+           |      $alpha * 64.0 * 64.0 * CAST($two55 AS DOUBLE) /
+           |        CAST(CAST(sum(CAST(1 AS BIGINT) <<
+           |            CAST(55 - m AS INT)) AS BIGINT) +
+           |          (64 - CAST(count(*) AS BIGINT)) * $two55
+           |          AS DOUBLE) AS raw
+           |    FROM mrr)),
+           |vv AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+           |  FROM sl WHERE n_chars IS NOT NULL),
+           |bkt AS (SELECT source, CAST(least(greatest(
+           |    floor(v / 4.0), 0), 255) AS BIGINT) AS b FROM vv),
+           |cb AS (SELECT source, b, count(*) AS cnt
+           |  FROM bkt GROUP BY 1, 2),
+           |cc2 AS (SELECT source, b, cnt,
+           |    sum(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+           |    sum(cnt) OVER (PARTITION BY source) AS total
+           |  FROM cb),
+           |pp AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p),
+           |qrows AS (SELECT source, p,
+           |    round(4.0 * (CAST(b AS DOUBLE)
+           |      + (p * CAST(total AS DOUBLE)
+           |         - CAST(cum - cnt AS DOUBLE))
+           |        / CAST(cnt AS DOUBLE)), 4) + 0.0 AS est
+           |  FROM cc2, pp
+           |  WHERE CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
+           |    AND CAST(cum - cnt AS DOUBLE) < p * CAST(total AS DOUBLE)),
+           |qp AS (SELECT source,
+           |    max(CASE WHEN p = 0.5 THEN est END) AS p50_chars,
+           |    max(CASE WHEN p = 0.9 THEN est END) AS p90_chars
+           |  FROM qrows GROUP BY 1)
+           |SELECT dup.source, dup.n_docs, dup.n_dup_docs,
+           |  dup.n_dup_docs * 1000000 // dup.n_docs AS dup_ppm,
+           |  est.distinct_tokens_est, mest.corpus_distinct_est,
+           |  qp.p50_chars, qp.p90_chars
+           |FROM dup
+           |JOIN est USING (source)
+           |JOIN qp USING (source), mest
+           |ORDER BY dup.source""".stripMargin
       })
   )
 

@@ -274,6 +274,66 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("healthFromIndexes answers from stored indexes only — zero corpus scan") {
+    import graft.ops.{CardinalityEstimate, Components, CorpusPipeline, Stats}
+    // Corpus: 6 docs across 2 sources; docs 1-2 are a near-dup pair.
+    val docs = Seq(
+      (1L, "web", 100L), (2L, "web", 120L), (3L, "web", 200L),
+      (4L, "lab", 300L), (5L, "lab", 400L), (6L, "lab", 500L))
+      .toDF("doc_id", "source", "n_chars")
+    val toks = Seq((1L, "web", "a"), (2L, "web", "b"), (4L, "lab", "a"))
+      .toDF("doc_id", "source", "token")
+    Components.writeClusterIndex(spark, docs, "doc_id",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b",
+      "dash_cmap", buckets = 4)
+    Layout.replaceBucketed(spark, docs.select("doc_id", "source"),
+      "dash_docstore", "doc_id", buckets = 4)
+    Layout.replaceTable(spark,
+      CardinalityEstimate.hllRegisters(toks, "source", "token", p = 6),
+      "dash_hll")
+    Layout.replaceBucketed(spark,
+      Stats.histPartials(docs.withColumn("_s", lit(0L)),
+        "source", "_s", "n_chars", 0.0, 1024.0, 256),
+      "dash_hist", "source", buckets = 4)
+    try {
+      val report = CorpusPipeline.healthFromIndexes(
+        Layout.table(spark, "dash_cmap"),
+        Layout.table(spark, "dash_docstore"),
+        Layout.table(spark, "dash_hll"),
+        Layout.table(spark, "dash_hist"),
+        "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)
+      // The plan's only leaves are the four stored tables: no
+      // in-memory corpus frame, no raw-file scan outside the
+      // warehouse — the probe is O(index) at any corpus scale.
+      val plan = report.queryExecution.executedPlan.toString
+      val localScans = "LocalTableScan \\[[^\\]]*\\]".r
+        .findAllIn(plan).toList
+      // The only in-memory frame allowed is histPercentilesFromIndex's
+      // |ps|-row quantile-literal; every data leaf must be a stored
+      // table scan.
+      assert(localScans.forall(_.matches("LocalTableScan \\[p#\\d+\\]")),
+        s"dashboard must not touch a corpus frame: $localScans\n$plan")
+      val rows = report.collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(rows.keySet === Set("web", "lab"))
+      // Dup exposure from the cluster map: docs 1+2 (web) share a
+      // component; everything else is a singleton.
+      assert(rows("web").getLong(1) === 3L) // n_docs
+      assert(rows("web").getLong(2) === 2L) // n_dup_docs
+      assert(rows("web").getLong(3) === 666666L) // dup_ppm
+      assert(rows("lab").getLong(2) === 0L)
+      // Sketch columns are served (exact math proven in their own
+      // suites): tiny cardinalities estimate near-exactly.
+      assert(math.abs(rows("web").getDouble(4) - 2.0) < 0.1)
+      assert(math.abs(rows("lab").getDouble(4) - 1.0) < 0.1)
+      assert(rows("web").getDouble(6) > 0.0) // p50_chars
+      assert(rows("lab").getDouble(7) > 0.0) // p90_chars
+    } finally {
+      Seq("dash_cmap", "dash_docstore", "dash_hll", "dash_hist")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("partitioned write prunes directories on partition predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (2023 to 2026).flatMap(y => (1 to 10).map(i => (y, i.toLong)))

@@ -301,6 +301,10 @@ class PlanShapeSpec extends SparkSpec {
       // q362: the 1-row compaction audit (n_rows, n_docs over the
       // compacted map) broadcast-crosses the probed cluster rows.
       "q362_cluster_compaction",
+      // q367: q358's 1-row merged-register HLL estimate crosses onto
+      // the per-source dashboard rows (hllFromRegisters' documented
+      // shape) + q363's |ps|-row BNLJ from the stored hist partials.
+      "q367_index_dashboard",
       // q363: histPercentilesFromIndex's |ps|-row BNLJ (q151's
       // documented shape, served from the stored partials).
       "q363_quantiles_from_index",
