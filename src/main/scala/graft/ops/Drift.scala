@@ -346,4 +346,98 @@ object Drift {
         round(sqrt(col("_nn")), 6).as("norm"),
         round(sqrt(col("_nn")) / sqrt(col("_gg")), 6).as("norm_ratio"))
   }
+
+  /** Entropic optimal-transport (Sinkhorn, Cuturi NeurIPS'13) distance
+    * from each group's value distribution to the ALL-GROUPS reference
+    * distribution — the principled "how much mass must move, and how
+    * far" number where [[ksFromHists]] sees only the worst quantile
+    * and PSI ignores the ground metric entirely: a source whose
+    * lengths are uniformly 64 chars longer than the corpus scores a
+    * small OT cost, while PSI/KS saturate.
+    *
+    * Scale shape: ONE corpus pass builds the (groups × nbins)
+    * histogram (map-side-combinable counts); everything after runs on
+    * MODEL-SIZED frames — the B² kernel literal and the groups × B
+    * scaling vectors — through `iters` fixed Sinkhorn rounds
+    * (u = p ⊘ Kv, v = q ⊘ Kᵀu), each two bounded joins + two
+    * combinable aggregates, lineage pinned per round
+    * ([[Iterate.pinEvery]]). Nothing data-proportional iterates.
+    *
+    * Determinism: the kernel `exp(−|i−j| / ((B−1)·eps))` and all
+    * scaling arithmetic are fixed-shape double expressions an
+    * external engine replays (q118's GD-loop precedent); only the
+    * emitted cost is rounded. Empty bins carry zero mass: `0/x = 0`
+    * guards keep u, v finite (K > 0 everywhere, so no 0-denominator
+    * exists on occupied bins).
+    *
+    * @return one row per group: groupCol, `n` (values binned),
+    *         `ot_cost` (Σ u_i K_ij v_j c_ij, c normalized to [0,1],
+    *         round 6)
+    */
+  def sinkhornToReference(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int,
+      eps: Double = 0.1, iters: Int = 8): DataFrame = {
+    require(nbins >= 2 && eps > 0 && iters >= 1,
+      s"nbins >= 2, eps > 0, iters >= 1: $nbins, $eps, $iters")
+    val spark = df.sparkSession
+    val w = (hi - lo) / nbins
+    val binned = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        least(greatest(floor((col(valueCol).cast("double") - lit(lo))
+          / lit(w)), lit(0)), lit(nbins - 1)).cast("long").as("_b"))
+    // groups × occupied-bins — bounded; checkpointed once for its
+    // three consumers (per-group mass, reference mass, group totals).
+    val cnts = binned.groupBy("_g", "_b")
+      .agg(count(lit(1)).as("_cnt")).localCheckpoint()
+    val p = cnts.withColumn("_m",
+      col("_cnt").cast("double") /
+        sum("_cnt").over(Window.partitionBy("_g")))
+    val totals = cnts.groupBy().agg(sum("_cnt").as("_tot"))
+    val q = cnts.groupBy("_b").agg(sum("_cnt").as("_qc"))
+      .crossJoin(broadcast(totals))
+      .select(col("_b").as("_j"),
+        (col("_qc").cast("double") / col("_tot").cast("double"))
+          .as("_qm"))
+      .localCheckpoint()
+    // The B² kernel literal: both engines evaluate exp on the same
+    // IEEE argument, so the tables agree to the ulp.
+    import spark.implicits._
+    val kernel = (0 until nbins).flatMap { i =>
+      (0 until nbins).map { j =>
+        val c = math.abs(i - j).toDouble / (nbins - 1)
+        (i.toLong, j.toLong, math.exp(-c / eps), c)
+      }
+    }.toDF("_i", "_j", "_kk", "_c").localCheckpoint()
+    val pm = p.select(col("_g"), col("_b").as("_i"), col("_m"))
+      .localCheckpoint()
+    var v = cnts.select("_g").distinct()
+      .crossJoin(q.select("_j")).withColumn("_vv", lit(1.0))
+    def uFrom(vCur: DataFrame): DataFrame = {
+      val kv = vCur.join(kernel, Seq("_j"))
+        .groupBy("_g", "_i").agg(sum(col("_kk") * col("_vv")).as("_s"))
+      pm.join(kv, Seq("_g", "_i"))
+        .select(col("_g"), col("_i"),
+          when(col("_m") > 0, col("_m") / col("_s")).otherwise(lit(0.0))
+            .as("_uu"))
+    }
+    for (it <- 1 to iters) {
+      val ktu = uFrom(v).join(kernel, Seq("_i"))
+        .groupBy("_g", "_j").agg(sum(col("_kk") * col("_uu")).as("_s2"))
+      v = Iterate.pinEvery(it, ktu.join(q, Seq("_j"))
+        .select(col("_g"), col("_j"),
+          when(col("_qm") > 0, col("_qm") / col("_s2"))
+            .otherwise(lit(0.0)).as("_vv")))
+    }
+    val cost = uFrom(v).join(kernel, Seq("_i"))
+      .join(v, Seq("_g", "_j"))
+      .groupBy("_g")
+      .agg(sum(col("_uu") * col("_kk") * col("_vv") * col("_c"))
+        .as("_cost"))
+    val ns = binned.groupBy("_g").agg(count(lit(1)).as("n"))
+    ns.join(cost, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n"),
+        (round(col("_cost"), 6) + lit(0.0)).as("ot_cost"))
+  }
 }

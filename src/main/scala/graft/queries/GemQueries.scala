@@ -16006,6 +16006,81 @@ object GemQueries {
            |JOIN est USING (source)
            |JOIN qp USING (source), mest
            |ORDER BY dup.source""".stripMargin
+      }),
+
+    // Entropic optimal transport per source (Drift.sinkhornToReference,
+    // Cuturi '13): OT distance from each source's length distribution
+    // to the pooled corpus reference — the metric-aware drift number
+    // KS/PSI can't express (a uniform one-bin shift is cheap under OT,
+    // saturating under PSI). One corpus pass builds the histogram;
+    // the 8 Sinkhorn rounds run on model-sized frames (B² kernel
+    // literal, groups × B scalings, Iterate-pinned). The oracle
+    // unrolls the rounds as materialized CTEs (q118's GD-loop
+    // precedent); only the emitted cost is rounded.
+    QueryDef("q368_sinkhorn_ot",
+      (s, dir) => Drift.sinkhornToReference(
+          t(s, dir, "documents"), "source", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 16, eps = 0.1, iters = 8)
+        .orderBy("source"),
+      Some {
+        val iters = 8
+        val rounds = (1 to iters).map { i =>
+          s"""u$i AS (SELECT p.g, p.i,
+             |    CASE WHEN p.m > 0 THEN p.m / kv.s ELSE 0.0 END AS uu
+             |  FROM pm p JOIN (
+             |    SELECT v.g, k.i, sum(k.k * v.vv) AS s
+             |    FROM v${i - 1} v JOIN kk k ON k.j = v.j
+             |    GROUP BY 1, 2) kv
+             |    ON kv.g = p.g AND kv.i = p.i),
+             |v$i AS MATERIALIZED (SELECT ktu.g, ktu.j,
+             |    CASE WHEN qm.qm > 0 THEN qm.qm / ktu.s2
+             |      ELSE 0.0 END AS vv
+             |  FROM (SELECT u.g, k.j, sum(k.k * u.uu) AS s2
+             |    FROM u$i u JOIN kk k ON k.i = u.i
+             |    GROUP BY 1, 2) ktu
+             |  JOIN qm ON qm.j = ktu.j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH bb AS (
+           |  SELECT source AS g, CAST(least(greatest(
+           |    floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),
+           |    0), 15) AS BIGINT) AS b
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |cn AS MATERIALIZED (
+           |  SELECT g, b, count(*) AS cnt FROM bb GROUP BY 1, 2),
+           |pm AS MATERIALIZED (SELECT g, b AS i,
+           |    CAST(cnt AS DOUBLE) /
+           |      CAST(sum(cnt) OVER (PARTITION BY g) AS DOUBLE) AS m
+           |  FROM cn),
+           |qm AS MATERIALIZED (SELECT b AS j,
+           |    CAST(sum(cnt) AS DOUBLE) /
+           |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM cn) AS qm
+           |  FROM cn GROUP BY 1),
+           |kk AS MATERIALIZED (SELECT i.i, j.j,
+           |    exp(-(abs(i.i - j.j) / 15.0) / 0.1) AS k,
+           |    abs(i.i - j.j) / 15.0 AS c
+           |  FROM (SELECT unnest(generate_series(0, 15)) AS i) i,
+           |       (SELECT unnest(generate_series(0, 15)) AS j) j),
+           |v0 AS MATERIALIZED (SELECT gs.g, qm.j, 1.0 AS vv
+           |  FROM (SELECT DISTINCT g FROM cn) gs, qm),
+           |$rounds,
+           |uf AS (SELECT p.g, p.i,
+           |    CASE WHEN p.m > 0 THEN p.m / kv.s ELSE 0.0 END AS uu
+           |  FROM pm p JOIN (
+           |    SELECT v.g, k.i, sum(k.k * v.vv) AS s
+           |    FROM v$iters v JOIN kk k ON k.j = v.j
+           |    GROUP BY 1, 2) kv
+           |    ON kv.g = p.g AND kv.i = p.i),
+           |cost AS (SELECT u.g, sum(u.uu * k.k * v.vv * k.c) AS cost
+           |  FROM uf u
+           |  JOIN kk k ON k.i = u.i
+           |  JOIN v$iters v ON v.g = u.g AND v.j = k.j
+           |  GROUP BY 1),
+           |ns AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+           |  FROM bb GROUP BY 1)
+           |SELECT ns.g AS source, ns.n,
+           |  round(cost.cost, 6) + 0.0 AS ot_cost
+           |FROM ns JOIN cost ON cost.g = ns.g
+           |ORDER BY source""".stripMargin
       })
   )
 

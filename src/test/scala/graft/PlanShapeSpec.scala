@@ -305,6 +305,11 @@ class PlanShapeSpec extends SparkSpec {
       // the per-source dashboard rows (hllFromRegisters' documented
       // shape) + q363's |ps|-row BNLJ from the stored hist partials.
       "q367_index_dashboard",
+      // q368: model-sized crosses only — the 1-row corpus total onto
+      // the ≤nbins reference-histogram rows, and the |groups| × nbins
+      // Sinkhorn-scaling init; the corpus itself is one hash
+      // aggregate.
+      "q368_sinkhorn_ot",
       // q363: histPercentilesFromIndex's |ps|-row BNLJ (q151's
       // documented shape, served from the stored partials).
       "q363_quantiles_from_index",
