@@ -250,11 +250,71 @@ object ScaleProbe {
             .agg(count(lit(1)).as("n_release_keepers"))
           nRaw.crossJoin(broadcast(nExact)).crossJoin(broadcast(nCl))
             .crossJoin(broadcast(nPii)).crossJoin(broadcast(nRel))
-        }))
-      ops.filter(o => opFilter.forall(_.contains(o._1))).foreach { case (name, f) =>
-        val sec = time(f())
-        println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
+        }),
+        // Round-13 session-2 tier. mojibake: pure narrow scalar pass
+        // (signature counts + chained replaces) + one source
+        // aggregate — expect ~linear with a small constant.
+        // sinkhorn_ot: ONE histogram pass, then 8 scaling rounds on
+        // model-sized frames — expect near-flat beyond the scan.
+        "mojibake_repair" -> (() => {
+          import graft.ops.Encoding
+          val planted = df.withColumn("c",
+            when(pmod(col("doc_id"), lit(4L)) === 0,
+              concat(col("text"), lit(" thÃ© â€™"))).otherwise(col("text")))
+          planted
+            .withColumn("sig", Encoding.signatureHits(col("c")))
+            .withColumn("fixed", Encoding.repairCommon(col("c")))
+            .groupBy("source")
+            .agg(sum(col("sig")).as("hits"),
+              sum(when(Encoding.signatureHits(col("fixed")) > 0, 1L)
+                .otherwise(0L)).as("dirty_after"))
+        }),
+        "sinkhorn_ot" -> (() =>
+          graft.ops.Drift.sinkhornToReference(
+            df, "source", "n_chars", lo = 0.0, hi = 1024.0,
+            nbins = 16, eps = 0.1, iters = 8)))
+      // Dashboard probe (q367): the four index tables are built
+      // UNTIMED per tile (their build costs are the minhash_pairs /
+      // dedup_clusters / histogram rows above); the timed body is the
+      // index-only probe, whose cost should track the INDEX size
+      // (docs × small constants), not corpus text volume.
+      val dashboardOn = opFilter.forall(_.contains("health_probe"))
+      if (dashboardOn) {
+        import graft.ops.{CardinalityEstimate, Components,
+          CorpusPipeline, Dedup, Stats}
+        import graft.sources.Layout
+        val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8).localCheckpoint(true)
+        Components.writeClusterIndex(spark, df, "doc_id", pairs,
+          "id_a", "id_b", "sp_cmap", buckets = 8)
+        Layout.replaceBucketed(spark, df.select("doc_id", "source"),
+          "sp_docstore", "doc_id", buckets = 8)
+        Layout.replaceTable(spark,
+          CardinalityEstimate.hllRegisters(
+            df.select(col("source"),
+              explode(split(col("text"), " +")).as("token"))
+              .where(col("token") =!= ""),
+            "source", "token", p = 6),
+          "sp_hll")
+        Layout.replaceBucketed(spark,
+          Stats.histPartials(df.withColumn("_s", lit(0L)),
+            "source", "_s", "n_chars", 0.0, 1024.0, 256),
+          "sp_hist", "source", buckets = 8)
       }
+      val probeOps: Seq[(String, () => DataFrame)] =
+        if (!dashboardOn) Seq.empty
+        else Seq("health_probe" -> (() =>
+          graft.ops.CorpusPipeline.healthFromIndexes(
+            graft.sources.Layout.table(spark, "sp_cmap"),
+            graft.sources.Layout.table(spark, "sp_docstore"),
+            graft.sources.Layout.table(spark, "sp_hll"),
+            graft.sources.Layout.table(spark, "sp_hist"),
+            "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)))
+      (ops.filter(o => opFilter.forall(_.contains(o._1))) ++ probeOps)
+        .foreach { case (name, f) =>
+          val sec = time(f())
+          println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
+        }
       df.unpersist()
     }
 

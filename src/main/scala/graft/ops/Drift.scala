@@ -380,7 +380,6 @@ object Drift {
       eps: Double = 0.1, iters: Int = 8): DataFrame = {
     require(nbins >= 2 && eps > 0 && iters >= 1,
       s"nbins >= 2, eps > 0, iters >= 1: $nbins, $eps, $iters")
-    val spark = df.sparkSession
     val w = (hi - lo) / nbins
     val binned = df
       .where(col(valueCol).isNotNull)
@@ -391,14 +390,38 @@ object Drift {
     // three consumers (per-group mass, reference mass, group totals).
     val cnts = binned.groupBy("_g", "_b")
       .agg(count(lit(1)).as("_cnt")).localCheckpoint()
+    sinkhornFromHists(
+        cnts, cnts.groupBy("_b").agg(sum("_cnt").as("_cnt")),
+        nbins, eps, iters)
+      .withColumnRenamed("_g", groupCol)
+  }
+
+  /** [[sinkhornToReference]] with EXPLICIT histograms — the form a
+    * monitoring path uses when the reference lives in the persisted
+    * hist-partials index instead of being re-derived from the corpus
+    * (fold the stored partials per bin, rebin if coarser bins are
+    * wanted, and pass them as `refHist`). `hist` is (`_g`, `_b`,
+    * `_cnt`) per group; `refHist` is (`_b`, `_cnt`). Bins must index
+    * the SAME [0, nbins) domain on both sides.
+    *
+    * @return one row per group: `_g`, `n` (group mass), `ot_cost`
+    */
+  def sinkhornFromHists(
+      hist: DataFrame, refHist: DataFrame, nbins: Int,
+      eps: Double = 0.1, iters: Int = 8): DataFrame = {
+    require(nbins >= 2 && eps > 0 && iters >= 1,
+      s"nbins >= 2, eps > 0, iters >= 1: $nbins, $eps, $iters")
+    val spark = hist.sparkSession
+    val cnts = hist.select(col("_g"), col("_b"), col("_cnt"))
+      .localCheckpoint()
     val p = cnts.withColumn("_m",
       col("_cnt").cast("double") /
         sum("_cnt").over(Window.partitionBy("_g")))
-    val totals = cnts.groupBy().agg(sum("_cnt").as("_tot"))
-    val q = cnts.groupBy("_b").agg(sum("_cnt").as("_qc"))
+    val totals = refHist.groupBy().agg(sum("_cnt").as("_tot"))
+    val q = refHist
       .crossJoin(broadcast(totals))
       .select(col("_b").as("_j"),
-        (col("_qc").cast("double") / col("_tot").cast("double"))
+        (col("_cnt").cast("double") / col("_tot").cast("double"))
           .as("_qm"))
       .localCheckpoint()
     // The B² kernel literal: both engines evaluate exp on the same
@@ -435,9 +458,9 @@ object Drift {
       .groupBy("_g")
       .agg(sum(col("_uu") * col("_kk") * col("_vv") * col("_c"))
         .as("_cost"))
-    val ns = binned.groupBy("_g").agg(count(lit(1)).as("n"))
+    val ns = cnts.groupBy("_g").agg(sum("_cnt").as("n"))
     ns.join(cost, Seq("_g"))
-      .select(col("_g").as(groupCol), col("n"),
+      .select(col("_g"), col("n"),
         (round(col("_cost"), 6) + lit(0.0)).as("ot_cost"))
   }
 }

@@ -511,6 +511,58 @@ object EventStream {
     * shard key is what makes replay idempotent-after-compaction,
     * the same design as the postings stats partials.
     */
+  /** Streaming OT drift monitor — entropic-transport distance of every
+    * micro-batch's value distribution against the PERSISTED reference
+    * histogram ([[graft.ops.Stats.histPartials]] rows in `histTable`,
+    * the same index [[incrementalHistIngest]] maintains): the
+    * metric-aware "is today's ingest shaped like the corpus?" alarm,
+    * served without touching a corpus row. Per batch: bin the batch
+    * (one narrow pass), fold the stored partials to the same `otBins`
+    * coarse bins, run [[graft.ops.Drift.sinkhornFromHists]] (all
+    * model-sized frames), and append one row per group to `outTable`
+    * tagged with the batch id.
+    *
+    * The index keeps its native `nbins` resolution; `otBins` must
+    * divide it (rebin = integer division of bin ids, counts summed) —
+    * OT on 16 coarse bins is the stable regime for a few Sinkhorn
+    * rounds while the index stays sharp for quantile probes.
+    */
+  def otDriftMonitor(
+      docs: DataFrame, histTable: String, outTable: String,
+      checkpoint: String, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int, otBins: Int,
+      eps: Double = 0.1, iters: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nbins % otBins == 0,
+      s"otBins must divide nbins: $nbins, $otBins")
+    val fold = (nbins / otBins).toLong
+    val w = (hi - lo) / nbins
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        sp.catalog.refreshTable(histTable)
+        val bHist = batch.localCheckpoint(true)
+          .where(col(valueCol).isNotNull)
+          .select(col(groupCol).as("_g"),
+            (least(greatest(floor(
+              (col(valueCol).cast("double") - lit(lo)) / lit(w)),
+              lit(0)), lit(nbins - 1)).cast("long") / lit(fold))
+              .cast("long").as("_b"))
+          .groupBy("_g", "_b").agg(count(lit(1)).as("_cnt"))
+        val ref = sp.table(histTable)
+          .select((col("b") / lit(fold)).cast("long").as("_b"),
+            col("cnt").as("_cnt"))
+          .groupBy("_b").agg(sum("_cnt").as("_cnt"))
+        graft.ops.Drift.sinkhornFromHists(bHist, ref, otBins, eps, iters)
+          .withColumnRenamed("_g", groupCol)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").saveAsTable(outTable)
+        ()
+      }
+      .start()
+  }
+
   def incrementalHistIngest(
       docs: DataFrame, histTable: String, outTable: String,
       checkpoint: String, groupCol: String, valueCol: String,

@@ -754,6 +754,81 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("otDriftMonitor: in-distribution batch scores low, shifted batch scores high") {
+    import graft.ops.{Drift, Stats}
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("lang"), col("n_chars").cast("double").as("v"))
+      .where(col("lang").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
+    Seq("otm_idx", "otm_out").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Layout.replaceTable(spark,
+      Stats.histPartials(docs.withColumn("_s", lit(0L)),
+        "lang", "_s", "v", 0.0, 1024.0, 256),
+      "otm_idx")
+    val input = MemoryStream[(String, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("otm_ckpt").toString
+    val q = EventStream.otDriftMonitor(
+      input.toDF().toDF("lang", "v"), "otm_idx", "otm_out", ckpt,
+      "lang", "v", 0.0, 1024.0, nbins = 256, otBins = 16,
+      eps = 0.02, iters = 8)
+    try {
+      // Batch 0: a same-distribution sample. Batch 1: the same rows
+      // shifted half the domain — mass must travel ~8 coarse bins.
+      val sample = docs.limit(400)
+        .as[(String, Double)].collect().toSeq
+      input.addData(sample)
+      q.processAllAvailable()
+      input.addData(sample.map { case (g, v) =>
+        (g, math.min(v + 512.0, 1023.0)) })
+      q.processAllAvailable()
+      spark.catalog.refreshTable("otm_out")
+      val out = spark.table("otm_out")
+        .select("lang", "ingest_batch", "ot_cost")
+        .as[(String, Long, Double)].collect()
+        .groupBy(_._2).map { case (b, rows) =>
+          b -> rows.map(r => r._1 -> r._3).toMap }
+      assert(out.keySet === Set(0L, 1L))
+      val langs = out(0L).keySet intersect out(1L).keySet
+      assert(langs.nonEmpty)
+      langs.foreach { g =>
+        assert(out(1L)(g) > out(0L)(g) + 0.1,
+          s"$g: shifted batch must alarm: b0=${out(0L)(g)} b1=${out(1L)(g)}")
+      }
+      // Parity: the monitor's batch-0 rows equal a direct
+      // sinkhornFromHists call on the same histograms.
+      val w = 1024.0 / 256
+      val bHist = sample.toDF("lang", "v")
+        .select(col("lang").as("_g"),
+          (org.apache.spark.sql.functions.least(
+            org.apache.spark.sql.functions.greatest(
+              org.apache.spark.sql.functions.floor(col("v") / lit(w)),
+              lit(0)), lit(255)).cast("long") / lit(16L))
+            .cast("long").as("_b"))
+        .groupBy("_g", "_b")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("_cnt"))
+      val ref = spark.table("otm_idx")
+        .select((col("b") / lit(16L)).cast("long").as("_b"),
+          col("cnt").as("_cnt"))
+        .groupBy("_b")
+        .agg(org.apache.spark.sql.functions.sum("_cnt").as("_cnt"))
+      val direct = Drift.sinkhornFromHists(bHist, ref, 16,
+          eps = 0.02, iters = 8)
+        .select(col("_g"), col("ot_cost"))
+        .as[(String, Double)].collect().toMap
+      assert(direct === out(0L))
+    } finally {
+      q.stop()
+      Seq("otm_idx", "otm_out").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incrementalClusterIngest maintains the stored cluster map across batches") {
     import graft.ops.{Components, Dedup}
     import graft.sources.Layout
