@@ -463,4 +463,103 @@ object Drift {
       .select(col("_g"), col("n"),
         (round(col("_cost"), 6) + lit(0.0)).as("ot_cost"))
   }
+
+  /** Entropic Wasserstein-2 BARYCENTER of the per-group distributions
+    * (Benamou–Carlier–Cuturi–Nenna–Peyré '15, iterative Bregman
+    * projections) — the principled TARGET profile for mixture
+    * rebalancing: the distribution closest in transport cost to every
+    * source simultaneously, where the naive pooled average just
+    * mirrors whichever source has the most rows. Equal weights
+    * (1/|groups|) per source. The ground cost is SQUARED bin distance
+    * (W2): under the linear W1 cost the barycenter of two point
+    * masses is any point between them (the whole geodesic ties), so
+    * the iterates collapse arbitrarily; W2 makes it uniquely the
+    * midpoint — geometric interpolation, the property the mixture
+    * planner wants.
+    *
+    * Per round (all frames groups × bins or bins-sized, never
+    * row-proportional):  u_k = p_k ⊘ K v_k;
+    * ln b = Σ_k w·ln(Kᵀu_k · v_k)  (the weighted geometric mean — the
+    * v_k factor keeps the mean over the CURRENT projections);
+    * v_k = v_k · b ⊘ (Kᵀu_k · v_k). Initial v_k = 1. Every step is a
+    * fixed-shape double expression (exp/ln/division), so an external
+    * engine replays the trajectory exactly (q368's parity precedent).
+    *
+    * @return one row per bin: `b`, `bary` (barycenter mass, round 6),
+    *         `pooled` (the naive all-rows histogram mass, round 6,
+    *         for contrast)
+    */
+  def sinkhornBarycenter(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int,
+      eps: Double = 0.1, iters: Int = 8): DataFrame = {
+    require(nbins >= 2 && eps > 0 && iters >= 1,
+      s"nbins >= 2, eps > 0, iters >= 1: $nbins, $eps, $iters")
+    val spark = df.sparkSession
+    val w = (hi - lo) / nbins
+    val binned = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        least(greatest(floor((col(valueCol).cast("double") - lit(lo))
+          / lit(w)), lit(0)), lit(nbins - 1)).cast("long").as("_b"))
+    val cnts = binned.groupBy("_g", "_b")
+      .agg(count(lit(1)).as("_cnt")).localCheckpoint()
+    // DENSE per-group mass: missing bins as explicit zeros — the
+    // geometric mean needs every (group, bin) cell present.
+    import spark.implicits._
+    val bins = (0L until nbins.toLong).toDF("_b").localCheckpoint()
+    val groups = cnts.select("_g").distinct().localCheckpoint()
+    val p = groups.crossJoin(bins)
+      .join(cnts, Seq("_g", "_b"), "left")
+      .select(col("_g"), col("_b"),
+        (coalesce(col("_cnt"), lit(0L)).cast("double") /
+          sum(coalesce(col("_cnt"), lit(0L)))
+            .over(Window.partitionBy("_g"))).as("_m"))
+      .localCheckpoint()
+    val kernel = (0 until nbins).flatMap { i =>
+      (0 until nbins).map { j =>
+        val c = math.abs(i - j).toDouble / (nbins - 1)
+        (i.toLong, j.toLong, math.exp(-c * c / eps))
+      }
+    }.toDF("_i", "_j", "_kk").localCheckpoint()
+    // v_k dense over (group, bin), init 1.
+    var v = groups.crossJoin(bins.select(col("_b").as("_j")))
+      .withColumn("_vv", lit(1.0))
+    var bary: DataFrame = null
+    for (it <- 1 to iters) {
+      val kv = v.join(kernel, Seq("_j"))
+        .groupBy("_g", "_i").agg(sum(col("_kk") * col("_vv")).as("_s"))
+      val u = p.select(col("_g"), col("_b").as("_i"), col("_m"))
+        .join(kv, Seq("_g", "_i"))
+        .select(col("_g"), col("_i"),
+          when(col("_m") > 0, col("_m") / col("_s")).otherwise(lit(0.0))
+            .as("_uu"))
+      // phi_k = (K^T u_k) * v_k — each group's current projection onto
+      // the barycenter marginal; all strictly positive when any mass
+      // exists (K > 0), so the ln is total on real corpora.
+      val phi = u.join(kernel, Seq("_i"))
+        .groupBy("_g", "_j").agg(sum(col("_kk") * col("_uu")).as("_kt"))
+        .join(v, Seq("_g", "_j"))
+        .select(col("_g"), col("_j"), (col("_kt") * col("_vv")).as("_phi"),
+          col("_kt"))
+        .localCheckpoint()
+      val b = phi.groupBy("_j")
+        .agg(exp(avg(log(col("_phi")))).as("_bm"))
+      bary = b
+      // v_k ← v_k · b ⊘ φ_k, and φ_k = v_k · Kᵀu_k, so v_k = b ⊘ Kᵀu_k.
+      v = Iterate.pinEvery(it, phi.join(b, Seq("_j"))
+        .select(col("_g"), col("_j"),
+          (col("_bm") / col("_kt")).as("_vv")))
+    }
+    val pooled = binned.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_pc"))
+    val poolTot = binned.groupBy().agg(count(lit(1)).as("_pt"))
+    bins.join(bary.withColumnRenamed("_j", "_b"), Seq("_b"), "left")
+      .join(pooled, Seq("_b"), "left")
+      .crossJoin(broadcast(poolTot))
+      .select(col("_b").as("b"),
+        (round(coalesce(col("_bm"), lit(0.0)), 6) + lit(0.0)).as("bary"),
+        (round(coalesce(col("_pc"), lit(0L)).cast("double") /
+          col("_pt").cast("double"), 6) + lit(0.0)).as("pooled"))
+  }
 }

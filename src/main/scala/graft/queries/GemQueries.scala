@@ -16081,6 +16081,79 @@ object GemQueries {
            |  round(cost.cost, 6) + 0.0 AS ot_cost
            |FROM ns JOIN cost ON cost.g = ns.g
            |ORDER BY source""".stripMargin
+      }),
+
+    // Entropic Wasserstein barycenter of the per-source length
+    // distributions (Drift.sinkhornBarycenter, Benamou et al. '15
+    // iterative Bregman projections, equal weights): the principled
+    // TARGET profile for mixture rebalancing — the distribution
+    // closest in transport cost to every source at once, where the
+    // naive pooled histogram (emitted beside it) just mirrors the
+    // biggest source. Same scale shape as q368: one corpus pass,
+    // then dense model-sized (groups × bins) rounds. Oracle unrolls
+    // the u/φ/b/v projections as materialized CTEs.
+    QueryDef("q369_ot_barycenter",
+      (s, dir) => Drift.sinkhornBarycenter(
+          t(s, dir, "documents"), "source", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 16, eps = 0.1, iters = 8)
+        .orderBy("b"),
+      Some {
+        val iters = 8
+        val rounds = (1 to iters).map { i =>
+          s"""u$i AS (SELECT p.g, p.i,
+             |    CASE WHEN p.m > 0 THEN p.m / kv.s ELSE 0.0 END AS uu
+             |  FROM pm p JOIN (
+             |    SELECT v.g, k.i, sum(k.k * v.vv) AS s
+             |    FROM v${i - 1} v JOIN kk k ON k.j = v.j
+             |    GROUP BY 1, 2) kv
+             |    ON kv.g = p.g AND kv.i = p.i),
+             |ph$i AS MATERIALIZED (SELECT u.g, k.j,
+             |    sum(k.k * u.uu) AS kt
+             |  FROM u$i u JOIN kk k ON k.i = u.i
+             |  GROUP BY 1, 2),
+             |b$i AS MATERIALIZED (SELECT p2.j,
+             |    exp(avg(ln(p2.kt * v.vv))) AS bm
+             |  FROM ph$i p2 JOIN v${i - 1} v
+             |    ON v.g = p2.g AND v.j = p2.j
+             |  GROUP BY 1),
+             |v$i AS MATERIALIZED (SELECT p2.g, p2.j, b.bm / p2.kt AS vv
+             |  FROM ph$i p2 JOIN b$i b ON b.j = p2.j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH bb AS (
+           |  SELECT source AS g, CAST(least(greatest(
+           |    floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),
+           |    0), 15) AS BIGINT) AS b
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |cn AS MATERIALIZED (
+           |  SELECT g, b, count(*) AS cnt FROM bb GROUP BY 1, 2),
+           |bins AS (SELECT CAST(unnest(generate_series(0, 15))
+           |  AS BIGINT) AS b),
+           |gs AS (SELECT DISTINCT g FROM cn),
+           |gt AS (SELECT g, CAST(sum(cnt) AS DOUBLE) AS tot
+           |  FROM cn GROUP BY 1),
+           |pm AS MATERIALIZED (SELECT gs.g, bins.b AS i,
+           |    CAST(coalesce(c.cnt, 0) AS DOUBLE) / gt.tot AS m
+           |  FROM gs CROSS JOIN bins
+           |  LEFT JOIN cn c ON c.g = gs.g AND c.b = bins.b
+           |  JOIN gt ON gt.g = gs.g),
+           |kk AS MATERIALIZED (SELECT i.i, j.j,
+           |    exp(-((abs(i.i - j.j) / 15.0) * (abs(i.i - j.j) / 15.0))
+           |      / 0.1) AS k
+           |  FROM (SELECT unnest(generate_series(0, 15)) AS i) i,
+           |       (SELECT unnest(generate_series(0, 15)) AS j) j),
+           |v0 AS MATERIALIZED (SELECT gs.g, bins.b AS j, 1.0 AS vv
+           |  FROM gs CROSS JOIN bins),
+           |$rounds,
+           |pc AS (SELECT b, count(*) AS c FROM bb GROUP BY 1),
+           |pt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bb)
+           |SELECT bins.b,
+           |  round(coalesce(bf.bm, 0.0), 6) + 0.0 AS bary,
+           |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / pt.t, 6) + 0.0
+           |    AS pooled
+           |FROM bins
+           |LEFT JOIN b$iters bf ON bf.j = bins.b
+           |LEFT JOIN pc ON pc.b = bins.b, pt
+           |ORDER BY bins.b""".stripMargin
       })
   )
 

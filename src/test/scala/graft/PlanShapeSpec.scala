@@ -310,6 +310,10 @@ class PlanShapeSpec extends SparkSpec {
       // Sinkhorn-scaling init; the corpus itself is one hash
       // aggregate.
       "q368_sinkhorn_ot",
+      // q369: q368's shape plus the dense |groups| × nbins mass grid
+      // (the geometric mean needs explicit zeros) and the 1-row
+      // pooled-total cross — all model-sized.
+      "q369_ot_barycenter",
       // q363: histPercentilesFromIndex's |ps|-row BNLJ (q151's
       // documented shape, served from the stored partials).
       "q363_quantiles_from_index",

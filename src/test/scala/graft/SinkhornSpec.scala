@@ -98,4 +98,69 @@ class SinkhornSpec extends SparkSpec {
     assert(gotShift("far") > gotShift("near"),
       s"farther group pays more: $gotShift")
   }
+
+  /** Straight-loop IBP barycenter, same updates as the op. */
+  private def baryReference(
+      vals: Seq[(String, Double)], lo: Double, hi: Double, nbins: Int,
+      eps: Double, iters: Int): Array[Double] = {
+    val w = (hi - lo) / nbins
+    def bin(v: Double): Int =
+      math.min(math.max(math.floor((v - lo) / w).toInt, 0), nbins - 1)
+    val k = Array.tabulate(nbins, nbins) { (i, j) =>
+      val c = math.abs(i - j).toDouble / (nbins - 1)
+      math.exp(-c * c / eps)
+    }
+    val byG = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    val ps = byG.map { case (_, xs) =>
+      Array.tabulate(nbins)(i => xs.count(x => bin(x._2) == i)
+        / xs.size.toDouble)
+    }
+    val vs = Array.fill(ps.size)(Array.fill(nbins)(1.0))
+    var b = Array.fill(nbins)(0.0)
+    for (_ <- 1 to iters) {
+      val kts = ps.indices.map { gi =>
+        val u = Array.tabulate(nbins) { i =>
+          val s = (0 until nbins).map(j => k(i)(j) * vs(gi)(j)).sum
+          if (ps(gi)(i) > 0) ps(gi)(i) / s else 0.0
+        }
+        Array.tabulate(nbins)(j => (0 until nbins).map(i => k(i)(j) * u(i)).sum)
+      }
+      b = Array.tabulate(nbins) { j =>
+        math.exp(ps.indices.map(gi =>
+          math.log(kts(gi)(j) * vs(gi)(j))).sum / ps.size)
+      }
+      ps.indices.foreach { gi =>
+        (0 until nbins).foreach(j => vs(gi)(j) = b(j) / kts(gi)(j))
+      }
+    }
+    b
+  }
+
+  test("sinkhornBarycenter matches the IBP reference and interpolates, not mixes") {
+    // Two point masses at bins 2 and 12: the W1 barycenter is a point
+    // near the MIDPOINT bin 7 — the pooled average is bimodal at 2 and
+    // 12. Geometric interpolation vs mixture is the whole point.
+    val vals = (1 to 200).map { n =>
+      if (n % 2 == 0) ("a", 2 * 64.0 + 10) else ("z", 12 * 64.0 + 10)
+    }
+    val got = Drift.sinkhornBarycenter(
+        vals.toDF("source", "x"), "source", "x",
+        0.0, 1024.0, 16, eps = 0.05, iters = 10)
+      .orderBy("b")
+      .select("b", "bary", "pooled")
+      .as[(Long, Double, Double)].collect()
+    val want = baryReference(vals, 0.0, 1024.0, 16, 0.05, 10)
+    got.foreach { case (b, bary, _) =>
+      assert(math.abs(bary - want(b.toInt)) < 1e-6,
+        s"bin $b: got $bary want ${want(b.toInt)}")
+    }
+    val baryMode = got.maxBy(_._2)._1
+    assert(baryMode >= 6L && baryMode <= 8L,
+      s"barycenter of deltas at 2 and 12 peaks near 7: mode=$baryMode")
+    // The pooled histogram is bimodal at exactly 2 and 12 with zero
+    // mass at the barycenter's mode.
+    assert(got.filter(r => r._1 == 2L || r._1 == 12L)
+      .forall(_._3 === 0.5))
+    assert(got.find(_._1 == baryMode).get._3 === 0.0)
+  }
 }
