@@ -120,8 +120,64 @@ object IndexProbe {
       })
     }
 
+    // --- Index-only dashboard (q367, round 13 session 2) ---
+    // Build = the three sketch/dimension tables beside the cluster map
+    // just built (ip_cmap is reused). Probe = healthFromIndexes — the
+    // plan's only leaves are the stored tables. Inline = the same
+    // report recomputed from raw text/values: minhash + components +
+    // HLL fold + histogram, the cost a nightly dashboard would pay
+    // per run without the indexes.
+    import graft.ops.{CardinalityEstimate, CorpusPipeline, Stats}
+    val docsFull = Graft.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text", "n_chars").localCheckpoint(true)
+    val toks = docsFull.select(col("source"),
+      explode(split(col("text"), " +")).as("token"))
+      .where(col("token") =!= "")
+    emit("dashboard", "build", 0, timed {
+      Layout.replaceBucketed(spark, docsFull.select("doc_id", "source"),
+        "ip_docstore", "doc_id", buckets = 32)
+      Layout.replaceTable(spark,
+        CardinalityEstimate.hllRegisters(toks, "source", "token", p = 6),
+        "ip_hll")
+      Layout.replaceBucketed(spark,
+        Stats.histPartials(docsFull.withColumn("_s", lit(0L)),
+          "source", "_s", "n_chars", 0.0, 1024.0, 256),
+        "ip_hist", "source", buckets = 8)
+    })
+    for (r <- 1 to reps) {
+      emit("dashboard", "probe", r, time(
+        CorpusPipeline.healthFromIndexes(
+          spark.table("ip_cmap"), spark.table("ip_docstore"),
+          spark.table("ip_hll"), spark.table("ip_hist"),
+          "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)))
+      emit("dashboard", "inline", r, time {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val dup = Components
+          .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+          .join(docsFull.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cluster_size") > 1, 1L).otherwise(0L))
+              .as("n_dup_docs"))
+        val hll = CardinalityEstimate.hllFromRegisters(
+            CardinalityEstimate.hllRegisters(toks, "source", "token", 6),
+            "source", 6)
+          .select(col("source"), col("hll_est"))
+        val qs = Stats.histPercentilesFromIndex(
+            Stats.histPartials(docsFull.withColumn("_s", lit(0L)),
+              "source", "_s", "n_chars", 0.0, 1024.0, 256),
+            "source", 0.0, 1024.0, 256, Seq(0.5, 0.9))
+          .groupBy("source")
+          .agg(max(when(col("p") === 0.5, col("est"))).as("p50"),
+            max(when(col("p") === 0.9, col("est"))).as("p90"))
+        dup.join(hll, "source").join(qs, "source")
+      })
+    }
+
     Seq("ip_mh_bands", "ip_mh_toks", "ip_ivf_idx", "ip_bm25_post",
-      "ip_bm25_stats", "ip_cmap").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      "ip_bm25_stats", "ip_cmap", "ip_docstore", "ip_hll", "ip_hist")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
 }

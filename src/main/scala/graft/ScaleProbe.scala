@@ -272,6 +272,12 @@ object ScaleProbe {
         "sinkhorn_ot" -> (() =>
           graft.ops.Drift.sinkhornToReference(
             df, "source", "n_chars", lo = 0.0, hi = 1024.0,
+            nbins = 16, eps = 0.1, iters = 8)),
+        // Same corpus-independent floor claim as sinkhorn_ot, with the
+        // dense groups × bins grid.
+        "ot_barycenter" -> (() =>
+          graft.ops.Drift.sinkhornBarycenter(
+            df, "source", "n_chars", lo = 0.0, hi = 1024.0,
             nbins = 16, eps = 0.1, iters = 8)))
       // Dashboard probe (q367): the four index tables are built
       // UNTIMED per tile (their build costs are the minhash_pairs /
