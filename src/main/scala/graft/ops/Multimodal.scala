@@ -785,4 +785,185 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("durationMs"), lit(everyMs))))
       .select(col("id"), col("frame_ts_ms"))
+
+  // --------------------------------------------------------------
+  // EXIF GPS: the multimodal face of the PII/governance tier. Photos
+  // crawled into a training corpus routinely carry precise device
+  // coordinates in their Exif APP1 segment; a release pipeline must
+  // FIND them (audit) and STRIP them (scrub), at corpus scale,
+  // without shipping bytes to the driver. Same mapPartitions shape
+  // as decodeMeta: real byte walks, no codec dependency.
+  //
+  // Format walked (Exif 2.x over TIFF 6.0): JPEG segment stream →
+  // APP1 with the "Exif\0\0" preamble → TIFF header (II/MM byte
+  // order, magic 42, IFD0 offset) → IFD0 entries → GPS IFD pointer
+  // (tag 0x8825, LONG) → GPS IFD → GPSLatitude (0x0002) /
+  // GPSLongitude (0x0004), each three RATIONALs (deg, min, sec).
+  // --------------------------------------------------------------
+
+  final case class ExifGps(
+      id: Long, nBytes: Long, hasExif: Boolean, hasGps: Boolean,
+      latArcMs: Long, lonArcMs: Long,
+      strippedBytes: Long, gpsAfterStrip: Boolean)
+
+  private def u16(b: Array[Byte], off: Int, le: Boolean): Int =
+    if (le) le2(b, off) else be2(b, off)
+  private def u32(b: Array[Byte], off: Int, le: Boolean): Long =
+    if (le) le4(b, off) else be4(b, off)
+
+  /** (latArcMs, lonArcMs) from the first APP1 Exif segment, or None.
+    * Arc-milliseconds = deg·3 600 000 + min·60 000 + sec·1000, kept in
+    * exact integer math (each rational is divided AFTER scaling, so
+    * the deg/1, min/1, sec/1000 layout every camera writes stays
+    * lossless).
+    */
+  def exifGpsArcMs(bytes: Array[Byte]): Option[(Long, Long)] =
+    app1Range(bytes).flatMap { case (segStart, segLen) =>
+      val t = segStart + 4 + 6 // past marker+len+"Exif\0\0": TIFF start
+      if (t + 8 > segStart + 2 + segLen) None
+      else {
+        val le = bytes(t) == 'I' && bytes(t + 1) == 'I'
+        val ifd0 = t + u32(bytes, t + 4, le).toInt
+        val n0 = u16(bytes, ifd0, le)
+        val gpsOff = (0 until n0).iterator.map(i => ifd0 + 2 + i * 12)
+          .find(e => u16(bytes, e, le) == 0x8825)
+          .map(e => t + u32(bytes, e + 8, le).toInt)
+        gpsOff.flatMap { g =>
+          val ng = u16(bytes, g, le)
+          def rational3(valOff: Int): Long = {
+            def r(k: Int): (Long, Long) =
+              (u32(bytes, valOff + k * 8, le),
+                u32(bytes, valOff + k * 8 + 4, le))
+            val (dn, dd) = r(0); val (mn, md) = r(1); val (sn, sd) = r(2)
+            dn * 3600000L / math.max(dd, 1L) +
+              mn * 60000L / math.max(md, 1L) +
+              sn * 1000L / math.max(sd, 1L)
+          }
+          def tagVal(tag: Int): Option[Long] =
+            (0 until ng).iterator.map(i => g + 2 + i * 12)
+              .find(e => u16(bytes, e, le) == tag)
+              .map(e => rational3(t + u32(bytes, e + 8, le).toInt))
+          for (la <- tagVal(0x0002); lo <- tagVal(0x0004))
+            yield (la, lo)
+        }
+      }
+    }
+
+  /** Byte range (start, payloadLen) of the first APP1 Exif segment. */
+  private def app1Range(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= bytes.length && (bytes(off) & 0xff) == 0xff) {
+      val marker = bytes(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+      val len = be2(bytes, off + 2)
+      if (marker == 0xe1 && off + 2 + len <= bytes.length &&
+          len >= 8 && bytes(off + 4) == 'E' && bytes(off + 5) == 'x' &&
+          bytes(off + 6) == 'i' && bytes(off + 7) == 'f')
+        return Some((off, len))
+      off += 2 + len
+    }
+    None
+  }
+
+  /** The scrub: the JPEG minus every APP1 segment (Exif, XMP — the
+    * whole metadata class, the conservative release posture). Segment
+    * stream is walked up to SOS; from SOS on, entropy-coded data is
+    * copied verbatim. Non-JPEG bytes pass through untouched.
+    */
+  def stripApp1(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return bytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 2)
+    var off = 2
+    var copying = false
+    while (off < bytes.length) {
+      if (copying) { out.write(bytes, off, bytes.length - off); off = bytes.length }
+      else if (off + 2 <= bytes.length && (bytes(off) & 0xff) == 0xff &&
+          (bytes(off + 1) & 0xff) == 0xd9) {
+        out.write(bytes, off, 2); off += 2 // EOI
+      } else if (off + 4 <= bytes.length && (bytes(off) & 0xff) == 0xff) {
+        val marker = bytes(off + 1) & 0xff
+        val len = be2(bytes, off + 2)
+        if (marker == 0xda) { copying = true } // SOS: rest is verbatim
+        else {
+          if (marker != 0xe1) out.write(bytes, off, 2 + len)
+          off += 2 + len
+        }
+      } else { out.write(bytes, off, bytes.length - off); off = bytes.length }
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic Exif fixture: a structurally valid JPEG segment
+    * stream (SOI, optional APP1 Exif+GPS, COM carrying the text
+    * payload, EOI). GPS present iff `id % 3 == 0`, with
+    * lat = (id%90, id%60, (id·7)%60000) and
+    * lon = (id%180, (id·3)%60, (id·11)%60000) as (deg, min, sec_ms) —
+    * the arithmetic an oracle replays without parsing a byte.
+    */
+  def syntheticExifJpeg(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    if (id % 3 == 0) {
+      val tiff = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = (0 until 4).foreach(i => tiff.write(((v >> (8 * i)) & 0xff).toInt))
+      // TIFF header: II, 42, IFD0 at 8
+      tiff.write('I'); tiff.write('I'); w16(42); w32(8L)
+      // IFD0: 1 entry (GPS pointer), next-IFD = 0. GPS IFD at 8+2+12+4=26.
+      w16(1); w16(0x8825); w16(4); w32(1L); w32(26L); w32(0L)
+      // GPS IFD: 2 entries, next = 0. Rationals at 26+2+24+4=56 and 80.
+      w16(2)
+      w16(0x0002); w16(5); w32(3L); w32(56L)
+      w16(0x0004); w16(5); w32(3L); w32(80L)
+      w32(0L)
+      def rat(n: Long, d: Long): Unit = { w32(n); w32(d) }
+      rat(id % 90, 1L); rat(id % 60, 1L); rat((id * 7) % 60000, 1000L)
+      rat(id % 180, 1L); rat((id * 3) % 60, 1L); rat((id * 11) % 60000, 1000L)
+      val t = tiff.toByteArray
+      val seg = 2 + 6 + t.length // len field + "Exif\0\0" + tiff
+      out.write(0xff); out.write(0xe1)
+      out.write((seg >> 8) & 0xff); out.write(seg & 0xff)
+      out.write('E'); out.write('x'); out.write('i'); out.write('f')
+      out.write(0); out.write(0)
+      out.write(t, 0, t.length)
+    }
+    val com = payload.take(200)
+    val comLen = 2 + com.length
+    out.write(0xff); out.write(0xfe)
+    out.write((comLen >> 8) & 0xff); out.write(comLen & 0xff)
+    out.write(com, 0, com.length)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  /** The audit+scrub pass over a text-seeded fixture corpus: build
+    * the Exif JPEG per row, parse its GPS, strip APP1, re-parse the
+    * stripped bytes (the closed-loop proof rows q365 set the pattern
+    * for). One mapPartitions, no driver traffic.
+    */
+  def exifScan(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String): Dataset[ExifGps] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val jpeg = syntheticExifJpeg(id,
+            Option(text).getOrElse("").getBytes("UTF-8"))
+          val gps = exifGpsArcMs(jpeg)
+          val stripped = stripApp1(jpeg)
+          ExifGps(id, jpeg.length.toLong,
+            hasExif = app1Range(jpeg).nonEmpty,
+            hasGps = gps.nonEmpty,
+            latArcMs = gps.map(_._1).getOrElse(-1L),
+            lonArcMs = gps.map(_._2).getOrElse(-1L),
+            strippedBytes = stripped.length.toLong,
+            gpsAfterStrip = exifGpsArcMs(stripped).nonEmpty)
+        }
+      }
+  }
 }

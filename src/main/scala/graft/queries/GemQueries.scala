@@ -16154,7 +16154,52 @@ object GemQueries {
            |LEFT JOIN b$iters bf ON bf.j = bins.b
            |LEFT JOIN pc ON pc.b = bins.b, pt
            |ORDER BY bins.b""".stripMargin
-      })
+      }),
+
+    // EXIF GPS audit + scrub (Multimodal.exifScan / stripApp1) — the
+    // multimodal face of the PII tier: per-row the fixture JPEG is
+    // BUILT (Exif/TIFF GPS IFD on the doc_id % 3 == 0 third), its GPS
+    // parsed back from real TIFF bytes, APP1 stripped, and the
+    // stripped bytes RE-PARSED (q365's closed-loop pattern: the scrub
+    // is proven by the auditor that would catch it failing). The
+    // oracle predicts every number arithmetically from the seeding
+    // rule — including the 114 bytes each APP1 removal saves — so the
+    // whole byte walk is hash-checked. One mapPartitions + one
+    // combinable aggregate; no driver traffic, no codec dependency.
+    QueryDef("q370_exif_gps_scrub",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Multimodal.exifScan(s, docs, "doc_id", "text").toDF()
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_images"),
+            sum(when(col("hasGps"), 1L).otherwise(0L)).as("n_gps"),
+            sum(when(col("hasGps"), col("latArcMs")).otherwise(0L))
+              .as("sum_lat_arc_ms"),
+            sum(when(col("hasGps"), col("lonArcMs")).otherwise(0L))
+              .as("sum_lon_arc_ms"),
+            sum(when(col("gpsAfterStrip"), 1L).otherwise(0L))
+              .as("n_gps_after_scrub"),
+            sum(col("nBytes") - col("strippedBytes")).as("bytes_saved"))
+          .orderBy("source")
+      },
+      Some("""WITH e AS (SELECT source,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS g,
+             |    (doc_id % 90) * 3600000 + (doc_id % 60) * 60000
+             |      + (doc_id * 7) % 60000 AS la,
+             |    (doc_id % 180) * 3600000 + ((doc_id * 3) % 60) * 60000
+             |      + (doc_id * 11) % 60000 AS lo
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+             |  CAST(sum(g) AS BIGINT) AS n_gps,
+             |  CAST(sum(CASE WHEN g = 1 THEN la ELSE 0 END) AS BIGINT)
+             |    AS sum_lat_arc_ms,
+             |  CAST(sum(CASE WHEN g = 1 THEN lo ELSE 0 END) AS BIGINT)
+             |    AS sum_lon_arc_ms,
+             |  CAST(0 AS BIGINT) AS n_gps_after_scrub,
+             |  CAST(sum(g) * 114 AS BIGINT) AS bytes_saved
+             |FROM e GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every
