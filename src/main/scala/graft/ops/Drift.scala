@@ -374,22 +374,29 @@ object Drift {
     *         `ot_cost` (Σ u_i K_ij v_j c_ij, c normalized to [0,1],
     *         round 6)
     */
+  /** The (`_g`, `_b`, `_cnt`) occupied-bin histogram every OT entry
+    * point starts from — one map-side-combinable corpus aggregate,
+    * checkpointed because each consumer reads it 2–3 times.
+    */
+  def binCounts(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nbins: Int): DataFrame = {
+    val w = (hi - lo) / nbins
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        least(greatest(floor((col(valueCol).cast("double") - lit(lo))
+          / lit(w)), lit(0)), lit(nbins - 1)).cast("long").as("_b"))
+      .groupBy("_g", "_b")
+      .agg(count(lit(1)).as("_cnt")).localCheckpoint()
+  }
+
   def sinkhornToReference(
       df: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double, nbins: Int,
       eps: Double = 0.1, iters: Int = 8): DataFrame = {
     require(nbins >= 2 && eps > 0 && iters >= 1,
       s"nbins >= 2, eps > 0, iters >= 1: $nbins, $eps, $iters")
-    val w = (hi - lo) / nbins
-    val binned = df
-      .where(col(valueCol).isNotNull)
-      .select(col(groupCol).as("_g"),
-        least(greatest(floor((col(valueCol).cast("double") - lit(lo))
-          / lit(w)), lit(0)), lit(nbins - 1)).cast("long").as("_b"))
-    // groups × occupied-bins — bounded; checkpointed once for its
-    // three consumers (per-group mass, reference mass, group totals).
-    val cnts = binned.groupBy("_g", "_b")
-      .agg(count(lit(1)).as("_cnt")).localCheckpoint()
+    val cnts = binCounts(df, groupCol, valueCol, lo, hi, nbins)
     sinkhornFromHists(
         cnts, cnts.groupBy("_b").agg(sum("_cnt").as("_cnt")),
         nbins, eps, iters)
@@ -496,14 +503,7 @@ object Drift {
     require(nbins >= 2 && eps > 0 && iters >= 1,
       s"nbins >= 2, eps > 0, iters >= 1: $nbins, $eps, $iters")
     val spark = df.sparkSession
-    val w = (hi - lo) / nbins
-    val binned = df
-      .where(col(valueCol).isNotNull)
-      .select(col(groupCol).as("_g"),
-        least(greatest(floor((col(valueCol).cast("double") - lit(lo))
-          / lit(w)), lit(0)), lit(nbins - 1)).cast("long").as("_b"))
-    val cnts = binned.groupBy("_g", "_b")
-      .agg(count(lit(1)).as("_cnt")).localCheckpoint()
+    val cnts = binCounts(df, groupCol, valueCol, lo, hi, nbins)
     // DENSE per-group mass: missing bins as explicit zeros — the
     // geometric mean needs every (group, bin) cell present.
     import spark.implicits._
@@ -551,9 +551,9 @@ object Drift {
         .select(col("_g"), col("_j"),
           (col("_bm") / col("_kt")).as("_vv")))
     }
-    val pooled = binned.groupBy(col("_b"))
-      .agg(count(lit(1)).as("_pc"))
-    val poolTot = binned.groupBy().agg(count(lit(1)).as("_pt"))
+    val pooled = cnts.groupBy(col("_b"))
+      .agg(sum("_cnt").as("_pc"))
+    val poolTot = cnts.groupBy().agg(sum("_cnt").as("_pt"))
     bins.join(bary.withColumnRenamed("_j", "_b"), Seq("_b"), "left")
       .join(pooled, Seq("_b"), "left")
       .crossJoin(broadcast(poolTot))

@@ -619,6 +619,59 @@ object GemQueries {
        |  FROM ${p}sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b)"""
       .stripMargin
 
+  /** Shared IBP-barycenter oracle chain (q369/q371): 16-bin dense
+    * per-source mass `pm`, squared-cost kernel `kk`, and `iters`
+    * unrolled u/φ/b/v Bregman rounds ending at `b<iters>`. ONE
+    * generator so the two OT oracles cannot drift.
+    */
+  private def otBaryCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""u$i AS (SELECT p.g, p.i,
+         |    CASE WHEN p.m > 0 THEN p.m / kv.s ELSE 0.0 END AS uu
+         |  FROM pm p JOIN (
+         |    SELECT v.g, k.i, sum(k.k * v.vv) AS s
+         |    FROM v${i - 1} v JOIN kk k ON k.j = v.j
+         |    GROUP BY 1, 2) kv
+         |    ON kv.g = p.g AND kv.i = p.i),
+         |ph$i AS MATERIALIZED (SELECT u.g, k.j,
+         |    sum(k.k * u.uu) AS kt
+         |  FROM u$i u JOIN kk k ON k.i = u.i
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT p2.j,
+         |    exp(avg(ln(p2.kt * v.vv))) AS bm
+         |  FROM ph$i p2 JOIN v${i - 1} v
+         |    ON v.g = p2.g AND v.j = p2.j
+         |  GROUP BY 1),
+         |v$i AS MATERIALIZED (SELECT p2.g, p2.j, b.bm / p2.kt AS vv
+         |  FROM ph$i p2 JOIN b$i b ON b.j = p2.j)""".stripMargin
+    }.mkString(",\n")
+    s"""bb AS (
+       |  SELECT source AS g, CAST(least(greatest(
+       |    floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),
+       |    0), 15) AS BIGINT) AS b
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |cn AS MATERIALIZED (
+       |  SELECT g, b, count(*) AS cnt FROM bb GROUP BY 1, 2),
+       |bins AS (SELECT CAST(unnest(generate_series(0, 15))
+       |  AS BIGINT) AS b),
+       |gs AS (SELECT DISTINCT g FROM cn),
+       |gt AS (SELECT g, CAST(sum(cnt) AS DOUBLE) AS tot
+       |  FROM cn GROUP BY 1),
+       |pm AS MATERIALIZED (SELECT gs.g, bins.b AS i,
+       |    CAST(coalesce(c.cnt, 0) AS DOUBLE) / gt.tot AS m
+       |  FROM gs CROSS JOIN bins
+       |  LEFT JOIN cn c ON c.g = gs.g AND c.b = bins.b
+       |  JOIN gt ON gt.g = gs.g),
+       |kk AS MATERIALIZED (SELECT i.i, j.j,
+       |    exp(-((abs(i.i - j.j) / 15.0) * (abs(i.i - j.j) / 15.0))
+       |      / 0.1) AS k
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS i) i,
+       |       (SELECT unnest(generate_series(0, 15)) AS j) j),
+       |v0 AS MATERIALIZED (SELECT gs.g, bins.b AS j, 1.0 AS vv
+       |  FROM gs CROSS JOIN bins),
+       |$rounds""".stripMargin
+  }
+
   private val minhashVerifiedCtes: String =
     minhashSigCtes("", "doc_id < 1000") + ",\n" +
     """cand AS (
@@ -16098,52 +16151,7 @@ object GemQueries {
           lo = 0.0, hi = 1024.0, nbins = 16, eps = 0.1, iters = 8)
         .orderBy("b"),
       Some {
-        val iters = 8
-        val rounds = (1 to iters).map { i =>
-          s"""u$i AS (SELECT p.g, p.i,
-             |    CASE WHEN p.m > 0 THEN p.m / kv.s ELSE 0.0 END AS uu
-             |  FROM pm p JOIN (
-             |    SELECT v.g, k.i, sum(k.k * v.vv) AS s
-             |    FROM v${i - 1} v JOIN kk k ON k.j = v.j
-             |    GROUP BY 1, 2) kv
-             |    ON kv.g = p.g AND kv.i = p.i),
-             |ph$i AS MATERIALIZED (SELECT u.g, k.j,
-             |    sum(k.k * u.uu) AS kt
-             |  FROM u$i u JOIN kk k ON k.i = u.i
-             |  GROUP BY 1, 2),
-             |b$i AS MATERIALIZED (SELECT p2.j,
-             |    exp(avg(ln(p2.kt * v.vv))) AS bm
-             |  FROM ph$i p2 JOIN v${i - 1} v
-             |    ON v.g = p2.g AND v.j = p2.j
-             |  GROUP BY 1),
-             |v$i AS MATERIALIZED (SELECT p2.g, p2.j, b.bm / p2.kt AS vv
-             |  FROM ph$i p2 JOIN b$i b ON b.j = p2.j)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH bb AS (
-           |  SELECT source AS g, CAST(least(greatest(
-           |    floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),
-           |    0), 15) AS BIGINT) AS b
-           |  FROM documents WHERE n_chars IS NOT NULL),
-           |cn AS MATERIALIZED (
-           |  SELECT g, b, count(*) AS cnt FROM bb GROUP BY 1, 2),
-           |bins AS (SELECT CAST(unnest(generate_series(0, 15))
-           |  AS BIGINT) AS b),
-           |gs AS (SELECT DISTINCT g FROM cn),
-           |gt AS (SELECT g, CAST(sum(cnt) AS DOUBLE) AS tot
-           |  FROM cn GROUP BY 1),
-           |pm AS MATERIALIZED (SELECT gs.g, bins.b AS i,
-           |    CAST(coalesce(c.cnt, 0) AS DOUBLE) / gt.tot AS m
-           |  FROM gs CROSS JOIN bins
-           |  LEFT JOIN cn c ON c.g = gs.g AND c.b = bins.b
-           |  JOIN gt ON gt.g = gs.g),
-           |kk AS MATERIALIZED (SELECT i.i, j.j,
-           |    exp(-((abs(i.i - j.j) / 15.0) * (abs(i.i - j.j) / 15.0))
-           |      / 0.1) AS k
-           |  FROM (SELECT unnest(generate_series(0, 15)) AS i) i,
-           |       (SELECT unnest(generate_series(0, 15)) AS j) j),
-           |v0 AS MATERIALIZED (SELECT gs.g, bins.b AS j, 1.0 AS vv
-           |  FROM gs CROSS JOIN bins),
-           |$rounds,
+        s"""WITH ${otBaryCtes(8)},
            |pc AS (SELECT b, count(*) AS c FROM bb GROUP BY 1),
            |pt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bb)
            |SELECT bins.b,
@@ -16151,9 +16159,81 @@ object GemQueries {
            |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / pt.t, 6) + 0.0
            |    AS pooled
            |FROM bins
-           |LEFT JOIN b$iters bf ON bf.j = bins.b
+           |LEFT JOIN b8 bf ON bf.j = bins.b
            |LEFT JOIN pc ON pc.b = bins.b, pt
            |ORDER BY bins.b""".stripMargin
+      }),
+
+    // Per-source OT distance TO the barycenter (sinkhornBarycenter →
+    // sinkhornFromHists): the mixture-planning loop closed — q369
+    // plans the target profile, this ranks the sources by how much
+    // transport each needs to reach it (the rebalancing priority
+    // order). The ROUNDED barycenter (round 6, exactly as q369 emits
+    // it) is the reference on both engines, so the second Sinkhorn
+    // block starts from bit-identical masses. Oracle = q369's IBP
+    // chain + q368's distance rounds against the normalized b8.
+    QueryDef("q371_ot_to_barycenter",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bary = Drift.sinkhornBarycenter(docs, "source", "n_chars",
+            lo = 0.0, hi = 1024.0, nbins = 16, eps = 0.1, iters = 8)
+          .select(col("b").as("_b"), col("bary").as("_cnt"))
+        val hist = Drift.binCounts(docs, "source", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 16)
+        Drift.sinkhornFromHists(hist, bary, nbins = 16,
+            eps = 0.1, iters = 8)
+          .withColumnRenamed("_g", "source")
+          .orderBy("source")
+      },
+      Some {
+        val iters = 8
+        val rounds = (1 to iters).map { i =>
+          s"""du$i AS (SELECT p.g, p.i,
+             |    CASE WHEN p.m > 0 THEN p.m / kv.s ELSE 0.0 END AS uu
+             |  FROM pm p JOIN (
+             |    SELECT v.g, k.i, sum(k.k * v.vv) AS s
+             |    FROM dv${i - 1} v JOIN kd k ON k.j = v.j
+             |    GROUP BY 1, 2) kv
+             |    ON kv.g = p.g AND kv.i = p.i),
+             |dv$i AS MATERIALIZED (SELECT ktu.g, ktu.j,
+             |    CASE WHEN bq.qm > 0 THEN bq.qm / ktu.s2
+             |      ELSE 0.0 END AS vv
+             |  FROM (SELECT u.g, k.j, sum(k.k * u.uu) AS s2
+             |    FROM du$i u JOIN kd k ON k.i = u.i
+             |    GROUP BY 1, 2) ktu
+             |  JOIN bq ON bq.j = ktu.j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${otBaryCtes(8)},
+           |bq AS MATERIALIZED (SELECT j,
+           |    (round(bm, 6) + 0.0) /
+           |      (SELECT sum(round(bm, 6) + 0.0) FROM b8) AS qm
+           |  FROM b8),
+           |kd AS MATERIALIZED (SELECT i.i, j.j,
+           |    exp(-(abs(i.i - j.j) / 15.0) / 0.1) AS k,
+           |    abs(i.i - j.j) / 15.0 AS c
+           |  FROM (SELECT unnest(generate_series(0, 15)) AS i) i,
+           |       (SELECT unnest(generate_series(0, 15)) AS j) j),
+           |dv0 AS MATERIALIZED (SELECT gs.g, bins.b AS j, 1.0 AS vv
+           |  FROM gs CROSS JOIN bins),
+           |$rounds,
+           |duf AS (SELECT p.g, p.i,
+           |    CASE WHEN p.m > 0 THEN p.m / kv.s ELSE 0.0 END AS uu
+           |  FROM pm p JOIN (
+           |    SELECT v.g, k.i, sum(k.k * v.vv) AS s
+           |    FROM dv$iters v JOIN kd k ON k.j = v.j
+           |    GROUP BY 1, 2) kv
+           |    ON kv.g = p.g AND kv.i = p.i),
+           |dcost AS (SELECT u.g, sum(u.uu * k.k * v.vv * k.c) AS cost
+           |  FROM duf u
+           |  JOIN kd k ON k.i = u.i
+           |  JOIN dv$iters v ON v.g = u.g AND v.j = k.j
+           |  GROUP BY 1),
+           |dns AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+           |  FROM cn GROUP BY 1)
+           |SELECT dns.g AS source, dns.n,
+           |  round(dcost.cost, 6) + 0.0 AS ot_cost
+           |FROM dns JOIN dcost ON dcost.g = dns.g
+           |ORDER BY source""".stripMargin
       }),
 
     // EXIF GPS audit + scrub (Multimodal.exifScan / stripApp1) — the

@@ -314,6 +314,9 @@ class PlanShapeSpec extends SparkSpec {
       // (the geometric mean needs explicit zeros) and the 1-row
       // pooled-total cross — all model-sized.
       "q369_ot_barycenter",
+      // q371: q369's barycenter crosses + q368's distance-round
+      // crosses, chained — still all model-sized.
+      "q371_ot_to_barycenter",
       // q363: histPercentilesFromIndex's |ps|-row BNLJ (q151's
       // documented shape, served from the stored partials).
       "q363_quantiles_from_index",
