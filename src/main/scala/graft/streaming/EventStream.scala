@@ -563,6 +563,41 @@ object EventStream {
       .start()
   }
 
+  /** Streaming media-governance ledger — [[graft.ops.Multimodal
+    * .exifScan]]'s closed-loop audit (build → parse GPS → strip APP1 →
+    * RE-PARSE the stripped bytes) run per micro-batch, with one audit
+    * row per (source, batch) appended to `outTable`: images seen, GPS
+    * found, GPS remaining after scrub (the number a release gate
+    * requires to be zero), bytes saved. The batch id rides every row,
+    * so an at-least-once replay produces exact-duplicate ledger rows a
+    * reader dedups on (source, ingest_batch) — the same contract as
+    * the index-ingest family.
+    */
+  def exifScrubLedger(
+      docs: DataFrame, outTable: String, checkpoint: String,
+      idCol: String, textCol: String, sourceCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        graft.ops.Multimodal.exifScan(sp, b, idCol, textCol).toDF()
+          .withColumnRenamed("id", idCol)
+          .join(b.select(idCol, sourceCol), idCol)
+          .groupBy(sourceCol)
+          .agg(count(lit(1)).as("n_images"),
+            sum(when(col("hasGps"), 1L).otherwise(0L)).as("n_gps"),
+            sum(when(col("gpsAfterStrip"), 1L).otherwise(0L))
+              .as("n_gps_after_scrub"),
+            sum(col("nBytes") - col("strippedBytes")).as("bytes_saved"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("append").saveAsTable(outTable)
+        ()
+      }
+      .start()
+  }
+
   def incrementalHistIngest(
       docs: DataFrame, histTable: String, outTable: String,
       checkpoint: String, groupCol: String, valueCol: String,

@@ -754,6 +754,45 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("exifScrubLedger appends per-batch closed-loop audit rows") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS exif_ledger")
+    val input = MemoryStream[(Long, String, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("exif_ckpt").toString
+    val q = EventStream.exifScrubLedger(
+      input.toDF().toDF("doc_id", "text", "source"),
+      "exif_ledger", ckpt, "doc_id", "text", "source")
+    try {
+      // Batch 0: ids 3,6 carry GPS (id % 3 == 0), 4 does not.
+      input.addData(Seq((3L, "a", "web"), (4L, "b", "web"),
+        (6L, "c", "lab")))
+      q.processAllAvailable()
+      input.addData(Seq((9L, "d", "web")))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("exif_ledger")
+      val rows = spark.table("exif_ledger")
+        .select("source", "ingest_batch", "n_images", "n_gps",
+          "n_gps_after_scrub", "bytes_saved")
+        .as[(String, Long, Long, Long, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r).toMap
+      assert(rows.keySet ===
+        Set(("web", 0L), ("lab", 0L), ("web", 1L)))
+      assert(rows(("web", 0L))._3 === 2L) // n_images
+      assert(rows(("web", 0L))._4 === 1L) // n_gps (doc 3)
+      assert(rows(("lab", 0L))._4 === 1L) // doc 6
+      assert(rows(("web", 1L))._4 === 1L) // doc 9
+      rows.values.foreach { r =>
+        assert(r._5 === 0L, "release gate: zero GPS after scrub")
+        assert(r._6 === r._4 * 114L, "APP1 removal saves 114 bytes each")
+      }
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS exif_ledger")
+    }
+  }
+
   test("otDriftMonitor: in-distribution batch scores low, shifted batch scores high") {
     import graft.ops.{Drift, Stats}
     import graft.sources.Layout
