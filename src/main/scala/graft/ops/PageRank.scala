@@ -97,4 +97,81 @@ object PageRank {
     ids.join(cur, Seq("id"), "left")
       .select(col("id"), round(coalesce(col("pr"), lit(prIso)), scale).as("pr"))
   }
+
+  /** PERSONALIZED PageRank (TrustRank, Gyöngyi et al. VLDB'04): the
+    * restart distribution is uniform over a SEED set instead of all
+    * nodes, so rank becomes propagated trust — seed a vetted sample of
+    * sources, walk the near-dup/link graph, and documents unreachable
+    * from any seed score EXACTLY zero (the spam-demotion signal
+    * uniform PageRank structurally cannot express, since its teleport
+    * floor lifts every node).
+    *
+    * Same recurrence with s(u) = 1/|S| on seeds else 0:
+    * pr_{t+1}(u) = (1−d)·s(u) + d·(Σ_{v→u} pr_t(v)/deg(v) + D_t·s(u)),
+    * pr_0 = s. Dangling mass restarts INTO the seeds, so Σpr ≈ 1 over
+    * the graph.
+    *
+    * Scale shape inherits [[run]]: only edge endpoints iterate; the
+    * sole dangling nodes are ISOLATED seeds, whose rank follows a
+    * scalar recurrence computed as driver arithmetic; non-seed
+    * non-endpoint nodes are exact 0 without ever entering the loop.
+    *
+    * @param seeds one row per trusted node (`seedIdCol`); ids outside
+    *              `nodes` are ignored
+    */
+  def personalized(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String,
+      damping: Double = 0.85, iters: Int = 5, scale: Int = 6): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    require(iters > 0, s"iters must be positive: $iters")
+    val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .join(ids.withColumnRenamed("id", "src"), "src")
+      .join(ids.withColumnRenamed("id", "dst"), "dst")
+      .persist()
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .withColumnRenamed("src", "id")
+    val endpoints = deg.select("id")
+    val seedIds = seeds.select(col(seedIdCol).cast("long").as("id"))
+      .distinct().join(ids, "id").localCheckpoint(true)
+    val nS = seedIds.count().toDouble
+    require(nS > 0, "personalized PageRank needs at least one seed in the graph")
+    val kIso = nS - seedIds.join(endpoints, "id").count().toDouble
+    val d = damping
+    // s(u) over the iterating frame, materialized once per run.
+    val sVec = endpoints
+      .join(seedIds.withColumn("_s1", lit(1.0)), Seq("id"), "left")
+      .select(col("id"), (coalesce(col("_s1"), lit(0.0)) / nS).as("s"))
+      .localCheckpoint(true)
+    var prIsoSeed = 1.0 / nS
+    var cur = sVec.select(col("id"), col("s").as("pr")).localCheckpoint(true)
+    for (it <- 1 to iters) {
+      val dmass = kIso * prIsoSeed
+      val contribs = sym
+        .join(cur.join(deg, "id")
+          .select(col("id").as("src"), (col("pr") / col("deg")).as("c")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum("c").as("contrib"))
+      cur = Iterate.pinEvery(it, sVec
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - d) * col("s") +
+            lit(d) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dmass) * col("s"))).as("pr")))
+      prIsoSeed = (1.0 - d) / nS + d * dmass / nS
+    }
+    sym.unpersist()
+    ids.join(cur, Seq("id"), "left")
+      .join(seedIds.withColumn("_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("pr"),
+          when(col("_seed"), lit(prIsoSeed)).otherwise(lit(0.0))), scale)
+          .as("pr"))
+  }
 }

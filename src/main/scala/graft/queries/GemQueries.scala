@@ -589,6 +589,48 @@ object GemQueries {
     (base +: rounds).mkString(",\n")
   }
 
+  /** [[pageRankCtes]]'s personalized (TrustRank) twin: expects
+    * `prnodes`/`predges`/`prseeds`, emits the seeded-restart rounds
+    * ending at `pre<iters>` + `isoS<iters>` (the isolated-seed scalar
+    * chain). Non-seed non-endpoint nodes are exact 0 — the caller's
+    * final select coalesces accordingly.
+    */
+  private def trustRankCtes(d: Double, iters: Int): String = {
+    val base =
+      s"""prsn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM prseeds),
+         |prdeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+         |          FROM predges GROUP BY src),
+         |prsv AS MATERIALIZED (SELECT dg.id,
+         |    CASE WHEN s.id IS NOT NULL THEN 1.0 / prsn.ns
+         |      ELSE 0.0 END AS s
+         |  FROM prdeg dg LEFT JOIN prseeds s ON s.id = dg.id
+         |  CROSS JOIN prsn),
+         |prkiso AS (SELECT CAST((SELECT count(*) FROM prseeds) -
+         |    (SELECT count(*) FROM prseeds s JOIN prdeg g
+         |       ON g.id = s.id) AS DOUBLE) AS c),
+         |isoS0 AS (SELECT 1.0 / prsn.ns AS pr FROM prsn),
+         |pre0 AS (SELECT id, s AS pr FROM prsv)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""dm$i AS (
+         |  SELECT prkiso.c * isoS${i - 1}.pr AS dmass
+         |  FROM prkiso CROSS JOIN isoS${i - 1}),
+         |isoS$i AS (
+         |  SELECT (1 - $d) / prsn.ns + $d * (dm$i.dmass / prsn.ns) AS pr
+         |  FROM prsn CROSS JOIN dm$i),
+         |ct$i AS (
+         |  SELECT e.dst AS id, sum(p.pr / g.deg) AS contrib
+         |  FROM predges e JOIN pre${i - 1} p ON p.id = e.src
+         |  JOIN prdeg g ON g.id = e.src GROUP BY e.dst),
+         |pre$i AS (
+         |  SELECT sv.id,
+         |    (1 - $d) * sv.s + $d * (coalesce(c.contrib, 0)
+         |      + dm$i.dmass * sv.s) AS pr
+         |  FROM prsv sv CROSS JOIN dm$i
+         |  LEFT JOIN ct$i c USING (id))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   /** Parameterized MinHash signature CTE chain (k=64, 8 bands of r=8)
     * over `documents` rows matching `where` — emits `{p}toks`/`{p}ph`/
     * `{p}sig`/`{p}bands`. ONE generator behind every minhash oracle
@@ -16279,7 +16321,44 @@ object GemQueries {
              |    AS sum_lon_arc_ms,
              |  CAST(0 AS BIGINT) AS n_gps_after_scrub,
              |  CAST(sum(g) * 114 AS BIGINT) AS bytes_saved
-             |FROM e GROUP BY source ORDER BY source""".stripMargin))
+             |FROM e GROUP BY source ORDER BY source""".stripMargin)),
+
+    // TrustRank over the near-dup graph (PageRank.personalized,
+    // Gyöngyi et al. '04): restart mass confined to a vetted seed
+    // sample (doc_id % 17 == 0), so rank becomes propagated TRUST —
+    // documents unreachable from any seed score exact 0, the
+    // spam-demotion signal uniform PageRank (q83) structurally lifts
+    // off the floor. Same scale shape as q83: only edge endpoints
+    // iterate, isolated seeds ride a scalar recurrence, one shuffle
+    // join + one combinable sum per round.
+    QueryDef("q372_trustrank",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        PageRank.personalized(docs, "doc_id", pairs, "id_a", "id_b",
+            docs.filter(col("doc_id") % 17 === 0).select("doc_id"),
+            "doc_id", damping = 0.85, iters = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("WITH " + minhashVerifiedCtes + ",\n" +
+        """prpairs AS (SELECT id_a, id_b FROM verified
+          |  WHERE jaccard >= 0.8),
+          |prnodes AS (SELECT doc_id AS id FROM toks),
+          |predges AS (SELECT id_a AS src, id_b AS dst FROM prpairs
+          |            UNION SELECT id_b, id_a FROM prpairs),
+          |prseeds AS (SELECT id FROM prnodes WHERE id % 17 = 0),
+          |""".stripMargin +
+        trustRankCtes(d = 0.85, iters = 5) + "\n" +
+        """SELECT nd.id AS doc_id,
+          |  round(coalesce(p.pr, CASE WHEN s.id IS NOT NULL
+          |    THEN isoS5.pr ELSE 0.0 END), 6) AS pr
+          |FROM prnodes nd
+          |LEFT JOIN pre5 p USING (id)
+          |LEFT JOIN prseeds s ON s.id = nd.id
+          |CROSS JOIN isoS5
+          |ORDER BY doc_id""".stripMargin))
   )
 
   /** The full catalog the driver consumes — declared LAST so every

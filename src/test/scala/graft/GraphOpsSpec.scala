@@ -46,6 +46,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Set(0.25))
   }
 
+  test("personalized pageRank: trust decays with distance, unreachable is exact zero") {
+    // Path 1—2—3, plus {4,5} linked but unreachable from the seed, and
+    // 6 a non-seed isolate. Seed = {1}.
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("sid")
+    val got = PageRank.personalized(nodes, "id", edges, "a", "b",
+        seeds, "sid", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L),
+      s"trust decays along the path: $got")
+    assert(got(4L) == 0.0 && got(5L) == 0.0 && got(6L) == 0.0,
+      s"unreachable nodes score exact zero: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass ≈ 1: $got")
+  }
+
+  test("personalized pageRank: isolated seed keeps restart mass; two seeds split it") {
+    val nodes = (1L to 3L).toDF("id")
+    val edges = Seq((2L, 3L)).toDF("a", "b")
+    // Seed 1 is isolated: its rank converges to the scalar fixed
+    // point p = (1−d)/nS + (d/nS)·p = 0.075 / 0.575 with d = 0.85,
+    // nS = 2 (its dangling mass restarts half into itself).
+    val got = PageRank.personalized(nodes, "id", edges, "a", "b",
+        Seq(1L, 2L).toDF("sid"), "sid", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.075 / 0.575) < 1e-4,
+      s"isolated seed sits at the restart fixed point: $got")
+    assert(got(2L) > got(3L), s"seeded endpoint outranks its leaf: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass ≈ 1: $got")
+  }
+
   test("zscore: per-group standardization, degenerate groups null") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
