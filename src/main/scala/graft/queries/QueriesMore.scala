@@ -1,0 +1,2553 @@
+package graft.queries
+
+import graft.core.Graft
+import graft.functions.{CmsSketch, Hashing}
+import graft.ops.{ActiveLearning, Agreement, Allocate, Anonymity, AsofJoin, Attribution,
+  Behavior, Bootstrap, Bpe, BradleyTerry, CardinalityEstimate, Conformal,
+  Mixing,
+  Chunking, Classifier, Cleaning, Components, Compressibility, Coreset,
+  Contrastive, Coordinates,
+  Categorical, ChangeDecomposition, ChangePoint, CoOccurrence, CorpusPipeline, Intervals, JoinDiagnostics, Pareto, QuantileNormalize, Retention, Sessionize, TemporalAntiJoin, Paths, Benford, Concentration, Debounce, Reconcile, RobustStats, RollingDistinct, Seasonal, ShardBalance, WeightedStats,
+  DecisionStump,
+  Dedup, Drift, Dsir, Encoding, GemPipeline, GraphMetrics, Homoglyph,
+  IncrementalAgg, Isotonic,
+  Experiment, IntervalJoin, Linkage,
+  Fairness, FeatureSelect, FileAudit, Itemsets, LanguageModel, Lateness,
+  LineDedup, LogReg,
+  Markov, Merge, Multimodal, NaiveBayes, TimeWeighted,
+  Normalize, Outliers, Ownership, Packing, PageRank, Pca, Pii, Pq, Profile,
+  Quantize, Rank, Retrieval, Rfm, Rolling, Sampling, Scd2, Similarity, Skew,
+  SourceSim, SpatialJoin, ZOrder, CorrMatrix, Concurrency,
+  Shrinkage, SnapshotDiff, SpanDedup, Stats, SurrogateKeys, Survival,
+  SequentialTest, TableChecksum, TextAnalysis,
+  Timeseries, TrackerConfigs, Valuation}
+import graft.sources.{CountryDim, Csv, Jsonl, Layout, Orc, Xml}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Shared._
+
+/** Catalog section `moreDefs` of the former monolithic GemQueries
+  * (mechanical round-14 split; content unchanged).
+  */
+private[queries] object QueriesMore {
+
+  /** q90–q92 — fuzzy matching, corpus mixing, semi-structured parse. */
+  val defs: Seq[QueryDef] = Seq(
+
+    // Edit-distance near-dup pairs (Dedup.editDistancePairs): fuzzy
+    // entity matching over short strings — distinct-first, length-band
+    // blocked, plain equi-join; Levenshtein never runs on a pair the
+    // band pruning can exclude.
+    QueryDef("q90_edit_distance",
+      (s, dir) => Dedup.editDistancePairs(
+          t(s, dir, "part").select("p_name"), "p_name", maxDist = 2)
+        .orderBy("str_a", "str_b"),
+      Some("""WITH n AS (
+             |  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+             |SELECT a.s AS str_a, b.s AS str_b,
+             |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+             |FROM n a JOIN n b ON a.s < b.s
+             |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+             |ORDER BY str_a, str_b""".stripMargin)),
+
+    // Temperature-weighted source mixing (Sampling.temperatureMix,
+    // α = 0.5): per-language √n-proportional keep rates toward a
+    // 250-row target — integer-exact rate math, portable-hash
+    // membership, shuffle-free scoring pass.
+    QueryDef("q91_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          "doc_id", "lang", targetRows = 250L)
+        .select("doc_id", "lang", "source", "rate_ppm")
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT lang, count(*) AS n FROM documents
+             |           GROUP BY lang),
+             |s AS (SELECT lang, n,
+             |        CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS s6 FROM n),
+             |t AS (SELECT sum(s6) AS tot6 FROM s),
+             |r AS (SELECT lang, least(1000000, CAST(
+             |        CAST(s6 AS HUGEINT) * 250 * 1000000 //
+             |          (CAST(tot6 AS HUGEINT) * n) AS BIGINT)) AS rate_ppm
+             |      FROM s CROSS JOIN t)
+             |SELECT d.doc_id, d.lang, d.source, r.rate_ppm
+             |FROM documents d JOIN r USING (lang)
+             |WHERE ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")}
+             |  % 1000000 < r.rate_ppm
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Semi-structured JSON parse (from_json typed extraction, M-tier
+    // scalar surface): events.props → typed field, rolled up per
+    // event type. Parsing stays in one codegen'd projection.
+    QueryDef("q92_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k INT",
+            Map.empty[String, String]).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""WITH j AS (
+             |  SELECT event_type,
+             |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |  FROM events)
+             |SELECT event_type, count(k) AS n_k,
+             |  round(avg(k), 4) AS avg_k,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Incremental near-dup lookup (Dedup.incrementalNearDups): the
+    // production shape of minhash dedup — today's batch (doc_id ≥ 250)
+    // probes the existing corpus index (doc_id < 250); the corpus is
+    // never re-paired against itself. Same k=64/8-band/verify
+    // arithmetic as q44, shared via minhashSigCtes.
+    QueryDef("q93_incremental_neardups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        Dedup.incrementalNearDups(
+            docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+            "doc_id", "text", k = 64, bands = 8, threshold = 0.8)
+          .orderBy("batch_id", "index_id")
+      },
+      Some("WITH " +
+        minhashSigCtes("b", "doc_id >= 250 AND doc_id < 1000") + ",\n" +
+        minhashSigCtes("i", "doc_id < 250") + ",\n" +
+        """icand AS (
+          |  SELECT DISTINCT l.doc_id AS batch_id, r.doc_id AS index_id
+          |  FROM bbands l JOIN ibands r
+          |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash),
+          |iverified AS (
+          |  SELECT c.batch_id, c.index_id,
+          |    round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+          |          len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+          |  FROM icand c
+          |  JOIN btoks a ON a.doc_id = c.batch_id
+          |  JOIN itoks b ON b.doc_id = c.index_id)
+          |SELECT batch_id, index_id, jaccard FROM iverified
+          |WHERE jaccard >= 0.8 ORDER BY batch_id, index_id""".stripMargin)),
+
+    // Text canonicalization (TextAnalysis.canonText / graft_canon
+    // native kernel): NFC + lowercase + whitespace collapse fused into
+    // one codegen'd pass — the normalization step before any dedup
+    // hash. The oracle composes DuckDB's nfc_normalize/lower/
+    // regexp_replace in the same operation order.
+    QueryDef("q94_canon_text",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonText(col("text")).as("canon"))
+        .withColumn("n_chars_canon", length(col("canon")))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, canon,
+             |  CAST(length(canon) AS INT) AS n_chars_canon
+             |FROM (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(lower(nfc_normalize(text)),
+             |      '[ \t\n\f\r]+', ' ', 'g')) AS canon
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Portable Bloom-filter semi-join pruning (graft_bloom /
+    // graft_bloom_contains native aggregate + probe): BUILDING
+    // customers' keys build a 65×63-bit bitset (map-side OR-merge,
+    // broadcast), orders probe it BEFORE any join — the runtime-filter
+    // pattern with oracle-reproducible hashing, so even the false
+    // positives match bit-for-bit.
+    QueryDef("q95_bloom_semijoin",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val bloom = cust.agg(call_function("graft_bloom",
+          col("c_custkey").cast("string"), lit(65), lit(3)).as("bloom"))
+        val probed = t(s, dir, "orders").crossJoin(broadcast(bloom))
+          .withColumn("bloom_pass", call_function("graft_bloom_contains",
+            col("bloom"), col("o_custkey").cast("string"), lit(3)))
+        probed.join(
+            cust.select(col("c_custkey").as("o_custkey")).distinct()
+              .withColumn("is_match", lit(true)),
+            Seq("o_custkey"), "left")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+            sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match"),
+            sum(when(col("bloom_pass") && col("is_match").isNull, 1L)
+              .otherwise(0L)).as("n_false_pos"))
+      },
+      Some(s"""WITH ks AS (
+             |  SELECT DISTINCT c_custkey FROM customer
+             |  WHERE c_mktsegment = 'BUILDING'),
+             |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+             |bpos AS (
+             |  SELECT DISTINCT
+             |    ${Hashing.duckSeededHash("j", "CAST(c_custkey AS VARCHAR)")}
+             |      % 4095 AS p
+             |  FROM ks CROSS JOIN js),
+             |words AS (
+             |  SELECT p // 63 AS w,
+             |    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+             |  FROM bpos GROUP BY p // 63),
+             |probe AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    ${Hashing.duckSeededHash("j", "CAST(o_custkey AS VARCHAR)")}
+             |      % 4095 AS p
+             |  FROM orders CROSS JOIN js),
+             |hits AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    sum(CASE WHEN w.bits IS NOT NULL AND
+             |      (w.bits & (CAST(1 AS BIGINT) << CAST(p.p % 63 AS INT)))
+             |        <> 0 THEN 1 ELSE 0 END) AS nhit
+             |  FROM probe p LEFT JOIN words w ON w.w = p.p // 63
+             |  GROUP BY o_orderkey, o_custkey),
+             |wt AS (
+             |  SELECT h.nhit, (k.c_custkey IS NOT NULL) AS ismatch
+             |  FROM hits h LEFT JOIN ks k ON k.c_custkey = h.o_custkey)
+             |SELECT count(*) AS n_orders,
+             |  CAST(sum(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_bloom_pass,
+             |  CAST(sum(CASE WHEN ismatch THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_true_match,
+             |  CAST(sum(CASE WHEN nhit = 3 AND NOT ismatch THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_false_pos
+             |FROM wt""".stripMargin)),
+
+    // Signature-grain streaming near-dup dedup, batch-parity mode
+    // (EventStream.dedupDocsBySignature): docs sharing a FULL 64-value
+    // minhash signature collapse to the earliest id — the stream-gate
+    // counterpart of q44's band/verify pipeline, no pair join at all.
+    // Empty docs (no signature) pass through. StreamingModeSpec drives
+    // the same operator through a real MemoryStream run.
+    QueryDef("q96_signature_dedup",
+      (s, dir) => graft.streaming.EventStream.dedupDocsBySignature(
+          t(s, dir, "documents").filter(col("doc_id") < 1000)
+            .select("doc_id", "lang", "source", "text"),
+          "doc_id", "text", orderCol = "doc_id")
+        .select("doc_id", "lang", "source", "sig_key")
+        .orderBy("doc_id"),
+      Some("WITH " + minhashSigCtes("", "doc_id < 1000") + ",\n" +
+        """keyed AS (
+          |  SELECT doc_id, CASE WHEN sig IS NOT NULL THEN
+          |      md5(array_to_string(
+          |        list_transform(sig, x -> CAST(x AS VARCHAR)), ','))
+          |    END AS sig_key
+          |  FROM sig),
+          |keep AS (
+          |  SELECT doc_id, sig_key FROM (
+          |    SELECT doc_id, sig_key,
+          |      row_number() OVER (PARTITION BY sig_key ORDER BY doc_id)
+          |        AS rn
+          |    FROM keyed WHERE sig_key IS NOT NULL) WHERE rn = 1
+          |  UNION ALL
+          |  SELECT doc_id, sig_key FROM keyed WHERE sig_key IS NULL)
+          |SELECT d.doc_id, d.lang, d.source, k.sig_key
+          |FROM documents d JOIN keep k USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Retrieval.rrfFuse,
+    // Cormack et al. SIGIR'09): BM25 lexical top-20 + embedding-cosine
+    // top-20 (vec 0 as the query) merged by 1/(60+rank) sums — no
+    // score calibration across the two signal types. Both lists are
+    // dim-sized; nothing corpus-scale touches the fusion join.
+    QueryDef("q97_hybrid_rrf",
+      (s, dir) => {
+        val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+          "text", queryTerms = Seq("spark", "join", "stream"), k = 20)
+        val emb = t(s, dir, "embeddings")
+        val sem = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+            k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(lex.select("doc_id", "rank"), sem, "doc_id",
+          c = 60, k = 10)
+      },
+      Some("WITH " + bm25RankedCtes(20) + ",\n" +
+        s"""qv AS (SELECT embedding AS qvec FROM embeddings
+           |       WHERE vec_id = 0),
+           |cs AS (
+           |  SELECT e.vec_id AS doc_id,
+           |    ${duckCos("e.embedding", "qv.qvec")} AS cos
+           |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+           |semr AS (
+           |  SELECT doc_id, "rank" FROM (
+           |    SELECT doc_id, CAST(row_number() OVER (
+           |      ORDER BY cos DESC, doc_id) AS INT) AS "rank"
+           |    FROM cs) WHERE "rank" <= 20),
+           |fused AS (
+           |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           |    round(coalesce(1.0 / (60 + l."rank"), 0) +
+           |          coalesce(1.0 / (60 + s."rank"), 0), 6) AS rrf
+           |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id),
+           |top AS (SELECT doc_id, rrf FROM fused
+           |        ORDER BY rrf DESC, doc_id LIMIT 10)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+           |    AS fused_rank, rrf
+           |FROM top ORDER BY fused_rank""".stripMargin)),
+
+    // PNG + GIF real header decode (Multimodal.decodeMeta): big-endian
+    // IHDR dims and little-endian GIF logical-screen dims synthesized
+    // in-engine, decoded by the fixed-offset paths, checked against
+    // the closed-form oracle — q68's BMP/WAV pattern, two more real
+    // formats.
+    QueryDef("q98_media_decode_png_gif",
+      (s, dir) => {
+        def le2hex(n: Column): Column = concat((0 to 1).map(i =>
+          lpad(hex(pmod(shiftright(n, 8 * i), lit(256))), 2, "0")): _*)
+        def be4hex(n: Column): Column = concat((3 to 0 by -1).map(i =>
+          lpad(hex(pmod(shiftright(n, 8 * i), lit(256))), 2, "0")): _*)
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val wCol = lit(16) + pmod(col("id"), lit(900))
+        val hCol = lit(16) + pmod(col("id") * 11, lit(900))
+        val png = ids.filter(pmod(col("id"), lit(2)) === 0).select(
+          col("id"),
+          unhex(concat(
+            lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+            be4hex(wCol), be4hex(hCol), lit("0806000000"))).as("bytes"),
+          lit("image").as("media_type"))
+        val gif = ids.filter(pmod(col("id"), lit(2)) === 1).select(
+          col("id"),
+          unhex(concat(lit("474946383961"), le2hex(wCol), le2hex(hCol),
+            lit("F70000"))).as("bytes"),
+          lit("image").as("media_type"))
+        Multimodal.decodeMeta(s, png.unionByName(gif)).toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"), col("width"),
+            col("height"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 13 END AS BIGINT)
+             |    AS n_bytes,
+             |  CAST(16 + doc_id % 900 AS INT) AS width,
+             |  CAST(16 + (doc_id * 11) % 900 AS INT) AS height
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // FORWARD as-of join with tolerance (AsofJoin Forward + 30-min
+    // gate): each click attaches the NEXT same-user purchase within
+    // 1800 s — click→conversion attribution. q60 covers Backward/no-
+    // tolerance; this exercises the other half of the API against
+    // DuckDB's native ASOF LEFT JOIN (p.ts >= c.ts = forward).
+    // Perf note (r8 follow-up): the 3.8 s vs q60's 0.84 s in the cold
+    // one-pass bench is JIT/codegen for this query's unique
+    // tolerance+gap plan, not volume or sort width — interleaved
+    // repeat runs measure q99 ≈ q60 ≈ 1.0–1.2 s warm at sf0.1.
+    QueryDef("q99_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        AsofJoin.join(clicks, purchases, Seq("user_id"),
+            "click_ts", "ts", Seq("purchase_id"),
+            direction = AsofJoin.Forward,
+            matchedTsCol = Some("purchase_ts"),
+            tolerance = Some(lit(1800)))
+          .select(col("user_id"), col("click_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+            (unix_micros(col("purchase_ts").cast("timestamp")) -
+              unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
+          .orderBy("user_id", "click_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, ts AS click_ts, event_id AS click_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id, ts, max(event_id) AS purchase_id
+             |  FROM events WHERE event_type = 'purchase'
+             |  GROUP BY user_id, ts),
+             |j AS (
+             |  SELECT c.user_id, c.click_id, c.click_ts,
+             |    p.purchase_id, p.ts AS pts
+             |  FROM c ASOF LEFT JOIN p
+             |    ON c.user_id = p.user_id AND p.ts >= c.click_ts)
+             |SELECT user_id, click_id,
+             |  coalesce(CASE WHEN epoch_us(pts) - epoch_us(click_ts)
+             |    <= 1800000000 THEN purchase_id END, -1) AS purchase_id,
+             |  CASE WHEN epoch_us(pts) - epoch_us(click_ts) <= 1800000000
+             |    THEN epoch_us(pts) - epoch_us(click_ts) END AS gap_us
+             |FROM j ORDER BY user_id, click_id""".stripMargin)),
+
+    // The end-to-end corpus-production pipeline in ONE plan: curate
+    // (exact dedup → quality/lang gate → near-dup clusters, q50's
+    // fates) → temperature-mix toward 50 docs (q91's √n rates) →
+    // deterministic shuffle into 32-doc training shards (q86). Every
+    // stage reuses a proven operator and a shared oracle fragment —
+    // the library composes, which is the point of being a library.
+    QueryDef("q100_corpus_to_shards",
+      (s, dir) => {
+        // The curated set costs a minhash pass + component rounds to
+        // produce but is tiny (≲ docs/5 ids). Downstream consumes it
+        // three times (mix stats, mix membership, shard sort) —
+        // localCheckpoint materializes it ONCE and truncates the
+        // iterative lineage, measured 12.4 s → ~5 s at sf0.1.
+        val kept = CorpusPipeline.curatedDocs(
+            t(s, dir, "documents").filter(col("doc_id") < 1000))
+          .select("doc_id", "source").localCheckpoint(true)
+        val mixed = Sampling.temperatureMix(
+          kept, "doc_id", "source", targetRows = 50L)
+        Sampling.shuffleShards(mixed, "doc_id", shardSize = 32L)
+          .orderBy("rank")
+      },
+      Some("WITH RECURSIVE " + curationFateCtes + ",\n" +
+        s"""kept AS (SELECT doc_id, source FROM fate WHERE fate = 'kept'),
+           |mixn AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+           |mixs AS (SELECT source, n,
+           |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS s6 FROM mixn),
+           |mixt AS (SELECT sum(s6) AS tot6 FROM mixs),
+           |mixr AS (SELECT source, least(1000000, CAST(
+           |    CAST(s6 AS HUGEINT) * 50 * 1000000 //
+           |      (CAST(tot6 AS HUGEINT) * n) AS BIGINT)) AS rate_ppm
+           |  FROM mixs CROSS JOIN mixt),
+           |mixed AS (
+           |  SELECT k.doc_id, k.source, r.rate_ppm
+           |  FROM kept k JOIN mixr r USING (source)
+           |  WHERE ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")}
+           |    % 1000000 < r.rate_ppm),
+           |hashed AS (
+           |  SELECT source, doc_id, rate_ppm,
+           |    ${Hashing.duckPortableHash("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM mixed)
+           |SELECT source, doc_id, rate_ppm,
+           |  row_number() OVER (ORDER BY h, CAST(doc_id AS VARCHAR)) - 1
+           |    AS "rank",
+           |  (row_number() OVER (ORDER BY h, CAST(doc_id AS VARCHAR)) - 1)
+           |    // 32 AS shard
+           |FROM hashed ORDER BY "rank"""".stripMargin)),
+
+    // BPE first-merge pair counts (TextAnalysis.bpePairCounts,
+    // Sennrich ACL'16): top adjacent character pairs within tokens —
+    // the count half of tokenizer training's count-and-merge loop.
+    QueryDef("q101_bpe_pairs",
+      (s, dir) => TextAnalysis.bpePairCounts(
+        t(s, dir, "documents"), "text", k = 50),
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(string_split_regex(text, ' +'),
+             |    t -> t <> '')) AS token FROM documents),
+             |pairs AS (
+             |  SELECT unnest(list_transform(
+             |    generate_series(1, length(token) - 1),
+             |    i -> substr(token, CAST(i AS INT), 2))) AS pair
+             |  FROM tok),
+             |c AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair),
+             |r AS (SELECT pair, cnt,
+             |        CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+             |          AS "rank"
+             |      FROM c)
+             |SELECT "rank", pair, cnt FROM r
+             |WHERE "rank" <= 50 ORDER BY "rank"""".stripMargin)),
+
+    // Sequential conversion funnel: users whose first view precedes a
+    // click that precedes a purchase (strict event-time order) — the
+    // product-analytics staple. Three per-user min aggregates chained
+    // by user_id joins; user-dim-sized frames only past the first agg.
+    // Oracle casts ts to µs TIMESTAMP to mirror Spark's parquet-nanos
+    // truncation.
+    QueryDef("q102_event_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("view_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("view_ts"))
+          .groupBy("user_id").agg(min("ts").as("click_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("click_ts"))
+          .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+        v.agg(count(lit(1)).as("users_viewed"))
+          .crossJoin(c.agg(count(lit(1)).as("users_clicked_after")))
+          .crossJoin(p.agg(count(lit(1)).as("users_purchased_after")))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click'
+             |    AND CAST(e.ts AS TIMESTAMP) > v.view_ts
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+             |  FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+             |  GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM v) AS users_viewed,
+             |  (SELECT count(*) FROM c) AS users_clicked_after,
+             |  (SELECT count(*) FROM p) AS users_purchased_after""".stripMargin)),
+
+    // Dedup-tier evaluation (q67's measured-trade pattern applied to
+    // the near-dup finders): SimHash banded pairs scored against the
+    // exact-Jaccard ≥ 0.8 ground truth on the bounded doc_id < 1000
+    // eval sample — all-pairs truth is an EVAL-ONLY cost, like q29's
+    // brute-force baseline. Ratios are integer ppm (the q87 lesson:
+    // no float rounding ties).
+    QueryDef("q103_dedup_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val tk = Dedup.tokenIndex(docs, "doc_id", "text")
+        val a = tk.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+          col("n_toks").as("na"))
+        val b = tk.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+          col("n_toks").as("nb"))
+        val truth = a.join(b, col("id_a") < col("id_b"))
+          .withColumn("inter",
+            call_function("graft_overlap", col("ta"), col("tb")))
+          .withColumn("j", round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 4))
+          .filter(col("j") >= 0.8).select("id_a", "id_b")
+        val pred = Dedup.simhashNearDups(docs, "doc_id", "text")
+          .select("id_a", "id_b")
+        val tp = pred.join(truth, Seq("id_a", "id_b"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+          .select(col("n_truth"), col("n_pred"), col("n_tp"),
+            when(col("n_pred") > 0,
+              floor(col("n_tp") * lit(1000000L) / col("n_pred"))
+                .cast("long")).as("precision_ppm"),
+            when(col("n_truth") > 0,
+              floor(col("n_tp") * lit(1000000L) / col("n_truth"))
+                .cast("long")).as("recall_ppm"))
+      },
+      Some("WITH " + minhashSigCtes("t", "doc_id < 1000") + ",\n" +
+        simhashCandCtes("s", "doc_id < 1000") + ",\n" +
+        """truthp AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM ttoks a JOIN ttoks b ON a.doc_id < b.doc_id
+          |  WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+          |        len(list_distinct(list_concat(a.tk, b.tk))), 4) >= 0.8),
+          |predp AS (
+          |  SELECT id_a, id_b FROM scand
+          |  WHERE bit_count(xor(sa, sb)) <= 3),
+          |tp AS (SELECT * FROM predp INTERSECT SELECT * FROM truthp),
+          |m AS (SELECT (SELECT count(*) FROM truthp) AS n_truth,
+          |             (SELECT count(*) FROM predp) AS n_pred,
+          |             (SELECT count(*) FROM tp) AS n_tp)
+          |SELECT n_truth, n_pred, n_tp,
+          |  CASE WHEN n_pred > 0
+          |    THEN n_tp * 1000000 // n_pred END AS precision_ppm,
+          |  CASE WHEN n_truth > 0
+          |    THEN n_tp * 1000000 // n_truth END AS recall_ppm
+          |FROM m""".stripMargin)),
+
+    // Canonical-text exact dedup (graft_canon + Dedup.exact): case /
+    // spacing / Unicode-composition variants of the same content hash
+    // to ONE key — the reason normalization runs before any dedup
+    // hash. Same one-aggregate shape as q25, on the canonical form.
+    QueryDef("q104_canon_dedup",
+      (s, dir) => Dedup.exact(
+          t(s, dir, "documents")
+            .withColumn("ctext", TextAnalysis.canonText(col("text"))),
+          "ctext", "doc_id")
+        .orderBy("content_hash"),
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(nfc_normalize(text)),
+             |      '[ \t\n\f\r]+', ' ', 'g'))) AS content_hash
+             |  FROM documents)
+             |SELECT content_hash, min(doc_id) AS keep_id,
+             |  count(*) AS n_copies
+             |FROM c GROUP BY content_hash ORDER BY content_hash""".stripMargin)),
+
+    // Value-based quartile tiers (Normalize.tierByCuts): per-language
+    // exact percentile cuts broadcast back, tier as a pure per-row
+    // expression — the corpus-scale alternative to q85's rank-based
+    // ntile (equal values share a tier here).
+    QueryDef("q105_value_tiers",
+      (s, dir) => Normalize.tierByCuts(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          n = 4, "n_chars", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "tier")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |    round(quantile_cont(n_chars, 0.25), 4) AS c1,
+             |    round(quantile_cont(n_chars, 0.5), 4) AS c2,
+             |    round(quantile_cont(n_chars, 0.75), 4) AS c3
+             |  FROM documents GROUP BY lang)
+             |SELECT d.doc_id, d.lang, d.n_chars,
+             |  CAST(1 + CAST(d.n_chars > c.c1 AS INT)
+             |    + CAST(d.n_chars > c.c2 AS INT)
+             |    + CAST(d.n_chars > c.c3 AS INT) AS INT) AS tier
+             |FROM documents d JOIN c USING (lang)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BPE training loop (Bpe.train, Sennrich ACL'16): K rounds of
+    // count -> merge -> recount over the (word, freq) vocabulary —
+    // q101's pair count extended to the full tokenizer-training
+    // iteration. The oracle replays the exact trajectory as unrolled
+    // CTE rounds: merge application is a literal left-to-right
+    // replace() on the double-space symbol-state string, identical in
+    // both engines by construction.
+    QueryDef("q106_bpe_train",
+      (s, dir) => Bpe.train(t(s, dir, "documents"), "text", merges = 6),
+      Some(s"""WITH ${bpeTrainCtes(6)}
+             |SELECT step, "left", "right", merged, cnt
+             |FROM (${(1 to 6).map(i => s"SELECT * FROM m$i")
+               .mkString(" UNION ALL ")})
+             |ORDER BY step""".stripMargin)),
+
+    // Exact-substring dedup REMOVAL (SpanDedup.removeRepeatedSpans,
+    // Lee et al. 2022): the excision half q75 only detected — every
+    // corpus-repeated 8-token span keeps its smallest-(doc, pos)
+    // occurrence, all others are cut and docs reassembled from the
+    // surviving tokens. Oracle mirrors the window/keeper/coverage/
+    // rebuild chain; the null-skipping string_agg CASE is DuckDB's
+    // twin of Spark's null-skipping collect_list(when(...)).
+    QueryDef("q107_span_dedup",
+      (s, dir) => SpanDedup.removeRepeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |win AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(tk[i+1 : i+8], ' ') AS gram
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(0, len(tk) - 8)) AS i
+             |        FROM tk)),
+             |rep AS (
+             |  SELECT doc_id, pos,
+             |    row_number() OVER (PARTITION BY gram
+             |      ORDER BY doc_id, pos) AS rn,
+             |    count(*) OVER (PARTITION BY gram) AS cnt
+             |  FROM win),
+             |cov AS (
+             |  SELECT DISTINCT doc_id, tpos FROM (
+             |    SELECT doc_id, pos + unnest(generate_series(0, 7)) AS tpos
+             |    FROM rep WHERE cnt > 1 AND rn > 1)),
+             |tokpos AS (
+             |  SELECT doc_id, unnest(tk) AS token,
+             |    unnest(generate_series(0, len(tk) - 1)) AS tpos
+             |  FROM tk),
+             |reb AS (
+             |  SELECT t.doc_id, count(*) AS n_tokens,
+             |    count(c.tpos) AS n_removed,
+             |    coalesce(string_agg(CASE WHEN c.tpos IS NULL THEN t.token END,
+             |      ' ' ORDER BY t.tpos), '') AS clean_text
+             |  FROM tokpos t LEFT JOIN cov c
+             |    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id, coalesce(r.n_tokens, 0) AS n_tokens,
+             |  coalesce(r.n_removed, 0) AS n_removed,
+             |  coalesce(r.clean_text, '') AS clean_text
+             |FROM documents d LEFT JOIN reb r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // REAL JPEG header decode (Multimodal.decodeMeta marker walk):
+    // bytes synthesized in-plan — SOI + JFIF APP0 + SOF0 carrying
+    // per-id big-endian dims + EOI — the parser walks the segment
+    // markers back to the frame header, and the oracle recomputes the
+    // dimension formulas directly, so a walk bug cannot cancel out
+    // (the q68/q98 pattern for the last codec-free format).
+    QueryDef("q108_media_decode_jpeg",
+      (s, dir) => {
+        def be2hex(n: Column): Column = lpad(hex(n), 4, "0")
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val wCol = lit(16) + pmod(col("id"), lit(900))
+        val hCol = lit(16) + pmod(col("id") * 13, lit(900))
+        val jpeg = ids.select(
+          col("id"),
+          unhex(concat(
+            lit("FFD8" + // SOI
+              "FFE000104A46494600010100000100010000" + // JFIF APP0
+              "FFC0001108"), // SOF0, len 17, precision 8
+            be2hex(hCol), be2hex(wCol),
+            lit("03012200021101031101" + "FFD9"))).as("bytes"),
+          lit("image").as("media_type"))
+        Multimodal.decodeMeta(s, jpeg).toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"), col("width"),
+            col("height"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, CAST(41 AS BIGINT) AS n_bytes,
+             |  CAST(16 + doc_id % 900 AS INT) AS width,
+             |  CAST(16 + (doc_id * 13) % 900 AS INT) AS height
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // REAL MP4 header decode (Multimodal.decodeMeta ISO BMFF box
+    // walk): ftyp + moov(mvhd + trak(tkhd)) synthesized in-plan with
+    // per-id timescale/duration and 16.16 fixed-point track dims; the
+    // walk reads them back and the oracle recomputes the formulas
+    // (incl. the truncating duration*1000/timescale division). With
+    // this, all six media formats decode REAL metadata — the stub
+    // remains only for malformed bytes.
+    QueryDef("q109_media_decode_mp4",
+      (s, dir) => {
+        def be4hex(n: Column): Column = lpad(hex(n), 8, "0")
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val tsCol = lit(500) + pmod(col("id"), lit(4)) * 250
+        val durCol = lit(10000) + pmod(col("id") * 17, lit(100000))
+        val wCol = lit(16) + pmod(col("id"), lit(1200))
+        val hCol = lit(16) + pmod(col("id") * 7, lit(1200))
+        val mp4 = ids.select(
+          col("id"),
+          unhex(concat(
+            lit("00000010" + "66747970" + "69736F6D" + "00000000" + // ftyp
+              "00000088" + "6D6F6F76" + // moov, size 136
+              "0000001C" + "6D766864" + "00000000" + // mvhd v0, size 28
+              "00000000" + "00000000"), // ctime, mtime
+            be4hex(tsCol), be4hex(durCol),
+            lit("00000064" + "7472616B" + // trak, size 100
+              "0000005C" + "746B6864" + "00000000" + // tkhd v0, size 92
+              "00" * 72), // track fields + matrix (zeros)
+            be4hex(wCol * 65536), be4hex(hCol * 65536))).as("bytes"),
+          lit("video").as("media_type"))
+        Multimodal.decodeMeta(s, mp4).toDF()
+          .select(col("id"), col("nBytes").as("n_bytes"), col("width"),
+            col("height"), col("durationMs").as("duration_ms"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, CAST(152 AS BIGINT) AS n_bytes,
+             |  CAST(16 + doc_id % 1200 AS INT) AS width,
+             |  CAST(16 + (doc_id * 7) % 1200 AS INT) AS height,
+             |  CAST((10000 + (doc_id * 17) % 100000) * 1000
+             |    // (500 + (doc_id % 4) * 250) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // BPE segmentation (Bpe.trainWithVocab's vocabulary): the USABLE
+    // half of tokenizer training — every distinct corpus word with its
+    // frequency and its post-merge subword segmentation after q106's 6
+    // merges. The oracle replays the same trajectory (ONE shared CTE
+    // generator with q106) and reads v6's states; word reconstruction
+    // is just the state with delimiters stripped, so a segmentation
+    // bug cannot hide behind the word column.
+    QueryDef("q110_bpe_segment",
+      (s, dir) => {
+        val vocab = Bpe.trainWithVocab(
+          t(s, dir, "documents"), "text", merges = 6)._2
+        vocab.select(
+            translate(col("state"), " ", "").as("word"),
+            col("freq"),
+            size(split(trim(col("state")), "  ")).as("n_symbols"),
+            array_join(split(trim(col("state")), "  "), " ").as("segmented"))
+          .orderBy("word")
+      },
+      Some(s"""WITH ${bpeTrainCtes(6)}
+             |SELECT replace(state, ' ', '') AS word, freq,
+             |  CAST(len(string_split(trim(state), '  ')) AS INT)
+             |    AS n_symbols,
+             |  array_to_string(string_split(trim(state), '  '), ' ')
+             |    AS segmented
+             |FROM v6 ORDER BY word""".stripMargin)),
+
+    // BPE encode (Bpe.tokenCount): per-document token counts under the
+    // q106-trained tokenizer — the corpus-budgeting number ("how many
+    // model tokens is this dataset"). The K trained rules are collected
+    // (K rows, the codebook pattern) and baked into a narrow per-row
+    // HOF expression: no shuffle, no UDF, no join. Oracle replays
+    // training AND encoding from the two shared CTE generators.
+    QueryDef("q111_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rules = Bpe.train(docs, "text", merges = 6)
+          .select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        docs.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens_ws"),
+            Bpe.tokenCount(col("text"), rules).as("n_tokens_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeTrainCtes(6)},
+             |${bpeEncodeCtes(6)}
+             |SELECT d.doc_id,
+             |  CAST(len(list_filter(string_split_regex(d.text, ' +'),
+             |    t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+             |  coalesce(b.n_tokens_bpe, 0) AS n_tokens_bpe
+             |FROM documents d LEFT JOIN bpec b USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Gopher rule-based quality gates (TextAnalysis.gopherGates, Rae
+    // et al. 2021 A1): word-count / mean-word-length / symbol-ratio /
+    // alpha-fraction / stopword / bullet / ellipsis gates, every one
+    // exact integer arithmetic (a/b <= r evaluated cross-multiplied)
+    // so no rounded float can tie at a boundary in either engine. The
+    // required-stopword list is the corpus's own function words
+    // (EnStopwords) — the synthetic vocabulary contains only
+    // 'the'/'a' of Gopher's English-web eight, which would zero the
+    // gate corpus-wide; adapting the list to the language profile is
+    // the documented intent of the rule.
+    QueryDef("q112_gopher_gates",
+      (s, dir) => TextAnalysis.gopherGates(
+        t(s, dir, "documents"), "doc_id", "text",
+        requiredStops = TextAnalysis.EnStopwords).orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(text, ' +'),
+             |      t -> t <> '') AS words,
+             |    list_filter(string_split(text, chr(10)),
+             |      l -> l <> '') AS lines
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(words) AS BIGINT) AS n_words,
+             |    CAST(coalesce(list_sum(list_transform(words,
+             |      x -> length(x))), 0) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(replace(text, '#', ''))
+             |      + length(text) - length(replace(text, '…', ''))
+             |      AS BIGINT) AS n_sym,
+             |    CAST(len(list_filter(words,
+             |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             |    CAST(len(list_intersect(
+             |      list_distinct(list_transform(words, x -> lower(x))),
+             |      ['the','a','an','of','and','to','in','is']))
+             |      AS BIGINT) AS n_stop,
+             |    CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CAST(len(list_filter(lines, l -> l LIKE '- %'
+             |      OR l LIKE '* %' OR l LIKE '•%')) AS BIGINT) AS n_bullet,
+             |    CAST(len(list_filter(lines, l -> l LIKE '%...'
+             |      OR l LIKE '%…')) AS BIGINT) AS n_ell
+             |  FROM w),
+             |g AS (
+             |  SELECT doc_id, n_words,
+             |    CAST(n_words BETWEEN 50 AND 100000 AS INT) AS g_word_count,
+             |    CAST(n_words > 0 AND 3 * n_words <= n_chars
+             |      AND n_chars <= 10 * n_words AS INT) AS g_mean_len,
+             |    CAST(10 * n_sym <= n_words AS INT) AS g_symbol,
+             |    CAST(5 * n_alpha >= 4 * n_words AS INT) AS g_alpha,
+             |    CAST(n_stop >= 2 AS INT) AS g_stopwords,
+             |    CAST(10 * n_bullet <= 9 * n_lines AS INT) AS g_bullets,
+             |    CAST(10 * n_ell <= 3 * n_lines AS INT) AS g_ellipsis
+             |  FROM m)
+             |SELECT *, g_word_count * g_mean_len * g_symbol * g_alpha
+             |    * g_stopwords * g_bullets * g_ellipsis AS keep
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Interpolated bigram LM scoring (LanguageModel.scoreBigramNll):
+    // one order above q76's unigram — p = 0.7*p_bi + 0.3*p_uni, both
+    // add-1 smoothed over the unigram vocabulary, first token scored
+    // by the unigram term alone. (1 - lambda) is computed, not a
+    // literal, so both engines land on the identical IEEE double.
+    QueryDef("q113_bigram_lm",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val uni = LanguageModel.trainUnigram(docs, "text")
+        val bi = LanguageModel.trainBigram(docs, "text")
+        LanguageModel.scoreBigramNll(docs, "doc_id", "text", uni, bi,
+          alpha = 1.0, lambda = 0.7).orderBy("doc_id")
+      },
+      Some("""WITH tkl AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(tk) AS token FROM tkl),
+             |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+             |                 CAST(count(*) AS DOUBLE) AS v_size FROM lm),
+             |bgx AS (
+             |  SELECT s.pr AS prev, s.cu AS cur FROM (
+             |    SELECT unnest(list_transform(generate_series(2, len(tk)),
+             |      i -> struct_pack(pr := tk[CAST(i AS INT) - 1],
+             |        cu := tk[CAST(i AS INT)]))) AS s
+             |    FROM tkl)),
+             |bi AS (SELECT prev, cur, count(*) AS bcnt
+             |       FROM bgx GROUP BY prev, cur),
+             |ctx AS (SELECT prev, sum(bcnt) AS ctx_cnt FROM bi GROUP BY prev),
+             |items AS (
+             |  SELECT doc_id, tk[CAST(i AS INT)] AS cur,
+             |    CASE WHEN i > 1 THEN tk[CAST(i AS INT) - 1] END AS prev
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk))) AS i
+             |        FROM tkl)),
+             |sc AS (
+             |  SELECT t.doc_id, count(*) AS n_tokens,
+             |    avg(-ln(CASE WHEN t.prev IS NULL
+             |      THEN (coalesce(u.cnt, 0) + 1.0)
+             |        / (s.t_total + 1.0 * s.v_size)
+             |      ELSE 0.7 * ((coalesce(b.bcnt, 0) + 1.0)
+             |          / (CAST(coalesce(c.ctx_cnt, 0) AS DOUBLE)
+             |            + 1.0 * s.v_size))
+             |        + (1.0 - 0.7) * ((coalesce(u.cnt, 0) + 1.0)
+             |          / (s.t_total + 1.0 * s.v_size)) END)) AS nll
+             |  FROM items t
+             |  LEFT JOIN lm u ON u.token = t.cur
+             |  LEFT JOIN bi b ON b.prev = t.prev AND b.cur = t.cur
+             |  LEFT JOIN ctx c ON c.prev = t.prev
+             |  CROSS JOIN stats s
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+             |  round(sc.nll, 4) AS nll
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF keyword extraction (TextAnalysis.tfidfTopTerms): top-3
+    // characteristic terms per doc, score = tf * ln(N/df). The rank
+    // uses the UNROUNDED double — identical (tf, df, N) integers feed
+    // ln on both engines, and exact-equal scores break on the term —
+    // so the cut is engine-stable; only the emitted score is rounded.
+    QueryDef("q114_tfidf_terms",
+      (s, dir) => TextAnalysis.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("WITH " + tfidfCtes("documents", "doc_id", 3) + "\n" +
+        """SELECT doc_id, "rank", term, tf, df,
+          |  round(score, 4) AS tfidf
+          |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin)),
+
+    // DSIR importance resampling (Dsir.importanceSelect): weight every
+    // document by the hashed-unigram+bigram log-ratio of the English
+    // subset (target) vs the whole corpus (raw), then Gumbel-top-100
+    // with deterministic hash-derived noise. The selection cut ranks
+    // the UNROUNDED gumbel key (ties broken on doc_id); only the
+    // emitted weight is rounded.
+    QueryDef("q115_dsir_select",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.importanceSelect(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"),
+          dim = 1024, alpha = 1.0, k = 100).orderBy("doc_id")
+      },
+      Some(s"""WITH tkl AS (
+             |  SELECT doc_id, lang, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, lang, unnest(list_concat(tk,
+             |    list_transform(generate_series(2, len(tk)),
+             |      i -> tk[CAST(i AS INT) - 1] || ' ' ||
+             |        tk[CAST(i AS INT)]))) AS f
+             |  FROM tkl),
+             |db AS (
+             |  SELECT doc_id, lang,
+             |    ${Hashing.duckPortableHash("f")} % 1024 AS bucket,
+             |    count(*) AS n
+             |  FROM feats GROUP BY doc_id, lang, bucket),
+             |qc AS (SELECT bucket, sum(n) AS qcnt FROM db GROUP BY bucket),
+             |tc AS (SELECT bucket, sum(n) AS tcnt FROM db
+             |       WHERE lang = 'en' GROUP BY bucket),
+             |tot AS (SELECT
+             |  (SELECT CAST(sum(qcnt) AS DOUBLE) FROM qc) AS q_total,
+             |  (SELECT CAST(sum(tcnt) AS DOUBLE) FROM tc) AS t_total),
+             |model AS (
+             |  SELECT q.bucket,
+             |    ln((coalesce(t.tcnt, 0) + 1.0) / (tt.t_total + 1.0 * 1024))
+             |  - ln((q.qcnt + 1.0) / (tt.q_total + 1.0 * 1024)) AS lpr
+             |  FROM qc q LEFT JOIN tc t USING (bucket) CROSS JOIN tot tt),
+             |sc AS (
+             |  SELECT d.doc_id, sum(d.n) AS n_feats,
+             |    sum(d.n * m.lpr) AS logw
+             |  FROM db d JOIN model m USING (bucket) GROUP BY d.doc_id),
+             |ky AS (
+             |  SELECT doc_id, logw - ln(-ln(
+             |    (${Hashing.duckPortableHash("'g:' || doc_id")} % 1000000
+             |      + 0.5) / 1000000.0)) AS gkey
+             |  FROM sc),
+             |top AS (SELECT doc_id FROM ky ORDER BY gkey DESC, doc_id
+             |        LIMIT 100)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+             |  round(s.logw, 4) AS logw, (t.doc_id IS NOT NULL) AS selected
+             |FROM documents d LEFT JOIN sc s USING (doc_id)
+             |LEFT JOIN top t USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // PMI collocations (TextAnalysis.collocations): adjacent pairs
+    // seen >= 5 times, scored ln(p(xy)/(p(x)p(y))). The emitted SET is
+    // gated by an integer count, so only the 4-decimal score touches
+    // float parity.
+    QueryDef("q116_collocations",
+      (s, dir) => TextAnalysis.collocations(t(s, dir, "documents"),
+        "text", minCount = 5).orderBy("prev", "cur"),
+      Some("""WITH tkl AS (
+             |  SELECT list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM documents),
+             |tok AS (SELECT unnest(tk) AS token FROM tkl),
+             |uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |bgx AS (
+             |  SELECT s.pr AS prev, s.cu AS cur FROM (
+             |    SELECT unnest(list_transform(generate_series(2, len(tk)),
+             |      i -> struct_pack(pr := tk[CAST(i AS INT) - 1],
+             |        cu := tk[CAST(i AS INT)]))) AS s
+             |    FROM tkl)),
+             |bi AS (SELECT prev, cur, count(*) AS bcnt
+             |       FROM bgx GROUP BY prev, cur),
+             |tot AS (SELECT
+             |  (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS n_uni,
+             |  (SELECT CAST(sum(bcnt) AS DOUBLE) FROM bi) AS n_bi)
+             |SELECT b.prev, b.cur, b.bcnt AS n_pair,
+             |  round(ln((CAST(b.bcnt AS DOUBLE) / t.n_bi) /
+             |    ((CAST(u1.cnt AS DOUBLE) / t.n_uni) *
+             |     (CAST(u2.cnt AS DOUBLE) / t.n_uni))), 4) + 0.0 AS pmi
+             |FROM bi b
+             |JOIN uni u1 ON u1.token = b.prev
+             |JOIN uni u2 ON u2.token = b.cur
+             |CROSS JOIN tot t
+             |WHERE b.bcnt >= 5
+             |ORDER BY b.prev, b.cur""".stripMargin)),
+
+    // Count-Min heavy hitters (graft_cms, a native
+    // TypedImperativeAggregate): one 4x512 counter matrix over every
+    // token occurrence, then the CMS estimate (min over rows) for the
+    // 20 most frequent tokens next to their true counts. The probe-set
+    // cut is (count desc, token) — integers and strings only — and
+    // every emitted value is an exact integer, so nothing floats. The
+    // oracle rebuilds each probed cell by re-grouping token counts on
+    // the shared hash family.
+    QueryDef("q117_cms_heavy_hitters",
+      (s, dir) => {
+        val (d, w) = (4, 512)
+        val toks = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val uni = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .withColumn("h", Hashing.portableHash(col("token")))
+        val sketch = toks
+          .select(Hashing.portableHash(col("token")).as("h"))
+          .agg(expr(s"graft_cms(h, $d, $w)").as("sk"))
+        uni.orderBy(col("cnt").desc, col("token")).limit(20)
+          .crossJoin(broadcast(sketch))
+          .select(col("token"), col("cnt"),
+            CmsSketch.estimate(col("sk"), col("h"), d, w).as("est_cnt"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |uni AS (SELECT token, count(*) AS cnt FROM tok
+             |        GROUP BY token),
+             |hx AS (SELECT token, cnt,
+             |         ${Hashing.duckPortableHash("token")} AS h
+             |       FROM uni),
+             |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+             |cells AS (
+             |  SELECT r, ${CmsSketch.duckCell("r", "h", 512)} AS c,
+             |    CAST(sum(cnt) AS BIGINT) AS v
+             |  FROM hx CROSS JOIN rs GROUP BY 1, 2),
+             |probe AS (SELECT token, cnt, h FROM hx
+             |          ORDER BY cnt DESC, token LIMIT 20)
+             |SELECT p.token, p.cnt, min(c.v) AS est_cnt
+             |FROM probe p CROSS JOIN rs
+             |JOIN cells c ON c.r = rs.r
+             |  AND c.c = ${CmsSketch.duckCell("rs.r", "p.h", 512)}
+             |GROUP BY p.token, p.cnt
+             |ORDER BY p.token""".stripMargin)),
+
+    // Logistic-regression training (LogReg.train): 3 full-batch GD
+    // steps on hashed unigram+bigram features, label = (lang = 'en').
+    // The oracle unrolls the identical 3-step trajectory; emitted
+    // weights round to 4 with the -0.0 canonicalization.
+    QueryDef("q118_logreg_train",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        LogReg.train(docs, "doc_id", "text", "y",
+            dim = 256, lr = 1.0, iters = 3)
+          .select(col("bucket"), (round(col("w"), 4) + lit(0.0)).as("w"))
+          .orderBy("bucket")
+      },
+      Some("WITH " + logregCtes(dim = 256, lr = "1.0", iters = 3) + "\n" +
+        """SELECT bucket, round(w, 4) + 0.0 AS w
+          |FROM w3 ORDER BY bucket""".stripMargin)),
+
+    // Trained-classifier corpus gate (LogReg.train + LogReg.score):
+    // the end-to-end CCNet recipe — learn the quality model from
+    // labels, then score every document; featureless docs emit nulls.
+    // Shares the logregCtes generator with q118 so the trajectories
+    // cannot drift.
+    QueryDef("q119_logreg_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        val model = LogReg.train(docs, "doc_id", "text", "y",
+          dim = 256, lr = 1.0, iters = 3)
+        docs.select(col("doc_id"))
+          .join(LogReg.score(docs, "doc_id", "text", model, dim = 256),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (round(col("z"), 4) + lit(0.0)).as("z"),
+            (round(col("p"), 4) + lit(0.0)).as("p"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + logregCtes(dim = 256, lr = "1.0", iters = 3) + ",\n" +
+        """sc AS (
+          |  SELECT t.doc_id, sum(t.x * w.w) AS z
+          |  FROM lxb t JOIN w3 w USING (bucket) GROUP BY t.doc_id)
+          |SELECT d.doc_id, round(s.z, 4) + 0.0 AS z,
+          |  round(1.0 / (1.0 + exp(-s.z)), 4) + 0.0 AS p
+          |FROM documents d LEFT JOIN sc s USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Weighted sampling without replacement (Sampling.weightedSample,
+    // Efraimidis-Spirakis A-Res): 100 docs proportional to n_chars via
+    // the deterministic hash-uniform draw. The cut ranks the UNROUNDED
+    // ln(u)/w key (ties on doc_id); only the emitted key is rounded.
+    QueryDef("q120_weighted_sample",
+      (s, dir) => Sampling.weightedSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars"),
+          (round(col("es_key"), 4) + lit(0.0)).as("es_key"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ky AS (
+             |  SELECT doc_id, n_chars,
+             |    ln((${Hashing.duckPortableHash("'es:' || doc_id")}
+             |        % 1000000 + 0.5) / 1000000.0)
+             |      / CAST(n_chars AS DOUBLE) AS es_key
+             |  FROM documents
+             |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+             |top AS (SELECT * FROM ky ORDER BY es_key DESC, doc_id
+             |        LIMIT 100)
+             |SELECT doc_id, n_chars, round(es_key, 4) + 0.0 AS es_key
+             |FROM top ORDER BY doc_id""".stripMargin)),
+
+    // Johnson-Lindenstrauss projection (Similarity.jlProject): every
+    // embedding onto 16 +/-1 hyperplanes from the shared md5 sign
+    // universe, scaled 1/sqrt(16) (exact), plus the ||y||/||x|| norm
+    // ratio JL preserves. Both engines sum left-to-right in double.
+    QueryDef("q121_jl_project",
+      (s, dir) => Similarity.jlProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", m = 16, dim = 64)
+        // (vec_id, pos, proj) rows, not a raw array column: the driver's
+        // comparator sorts rows in pandas and cannot hash ndarray cells
+        // (r9 lesson; q122's shape).
+        .select(col("vec_id"), col("norm_ratio"), posexplode(col("proj")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("proj"), col("norm_ratio"))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH pr AS (
+             |  SELECT vec_id,
+             |    list_transform(generate_series(0, 15), p ->
+             |      list_sum(list_transform(embedding, (v, i) ->
+             |        CAST(v AS DOUBLE) * (CASE WHEN
+             |          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+             |            CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+             |          THEN 1.0 ELSE -1.0 END))) / 4.0) AS y,
+             |    sqrt(list_sum(list_transform(embedding, v ->
+             |      CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS xn
+             |  FROM embeddings),
+             |ps AS (SELECT unnest(generate_series(1, 16)) AS pos)
+             |SELECT pr.vec_id, CAST(ps.pos AS INT) AS pos,
+             |  round(pr.y[CAST(ps.pos AS INT)], 4) + 0.0 AS proj,
+             |  CASE WHEN pr.xn > 0 THEN
+             |    round(sqrt(list_sum(list_transform(pr.y, e -> e * e)))
+             |      / pr.xn, 4) + 0.0 END AS norm_ratio
+             |FROM pr CROSS JOIN ps ORDER BY vec_id, pos""".stripMargin)),
+
+    // PCA top component (Pca.topComponent): 3 power-iteration rounds
+    // over the centered embeddings; the oracle replays the identical
+    // trajectory including the deterministic sign-universe init, so
+    // the component's SIGN is pinned too.
+    QueryDef("q122_pca_component",
+      (s, dir) => Pca.topComponent(
+          t(s, dir, "embeddings"), "embedding", dim = 64, iters = 3)
+        .select(col("pos"),
+          (round(col("mu"), 4) + lit(0.0)).as("mu"),
+          (round(col("loading"), 4) + lit(0.0)).as("loading"))
+        .orderBy("pos"),
+      Some("WITH " + pcaCtes(dim = 64, iters = 3) + "\n" +
+        """SELECT CAST(p.pos AS INT) AS pos, round(mu.m, 4) + 0.0 AS mu,
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0 AS loading
+          |FROM poss p JOIN pmu mu USING (pos) CROSS JOIN pv3 v
+          |ORDER BY pos""".stripMargin)),
+
+    // All-but-the-top (Pca.removeTop): x' = x - mu - ((x - mu).v) v
+    // under the q122-fitted component — the anisotropy correction
+    // before cosine retrieval. Shares pcaCtes so the two trajectories
+    // cannot drift.
+    QueryDef("q123_remove_top",
+      (s, dir) => Pca.removeTop(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iters = 3)
+        // flatten to (vec_id, pos, resid) rows — see q121's comment
+        .select(col("vec_id"), posexplode(col("resid")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("resid"))
+        .orderBy("vec_id", "pos"),
+      Some("WITH " + pcaCtes(dim = 64, iters = 3) + ",\n" +
+        """px AS (SELECT e.vec_id, e.embedding,
+          |    list_sum(list_transform(e.embedding, (x, j) ->
+          |      CAST(x AS DOUBLE) * v.vl[j]))
+          |    - list_sum(list_transform(m.ml, (mm, j) -> mm * v.vl[j]))
+          |      AS s
+          |  FROM embeddings e CROSS JOIN pv3 v CROSS JOIN pml m
+          |  WHERE len(e.embedding) = 64)
+          |SELECT p.vec_id, CAST(ps.pos AS INT) AS pos,
+          |  round(CAST(p.embedding[CAST(ps.pos AS INT)] AS DOUBLE)
+          |    - m.ml[CAST(ps.pos AS INT)]
+          |    - p.s * v.vl[CAST(ps.pos AS INT)], 4) + 0.0 AS resid
+          |FROM px p CROSS JOIN pml m CROSS JOIN pv3 v CROSS JOIN poss ps
+          |ORDER BY p.vec_id, pos""".stripMargin)),
+
+    // Forward-fill (Rolling.forwardFill, R na.locf): deterministic
+    // gaps punched at event_id % 3 != 0, then per-user last-non-null
+    // carry ordered by event_id (unique within user — ts alone ties
+    // at nanos the engines truncate differently). Values pass through
+    // untouched, so the copied doubles hash exactly.
+    QueryDef("q124_forward_fill",
+      (s, dir) => {
+        val gapped = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            when(pmod(col("event_id"), lit(3L)) === 0, col("value"))
+              .as("v"))
+        Rolling.forwardFill(gapped, Seq("user_id"), Seq("event_id"),
+            Seq("v"))
+          .withColumnRenamed("v", "filled")
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN event_id % 3 = 0 THEN value END AS v
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled
+             |FROM g ORDER BY event_id""".stripMargin)),
+
+    // Pivot / crosstab (dplyr pivot_wider): per-source doc count and
+    // total chars crossed by an EXPLICIT lang list — never let pivot
+    // scan for distinct values (that is a blocking extra corpus pass
+    // at 100 TB and a nondeterministic schema). All-integer cells, so
+    // nothing floats; absent combos coalesce to count 0 / sum null on
+    // both engines.
+    QueryDef("q125_pivot_wider",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val base = t(s, dir, "documents")
+          .groupBy("source").pivot("lang", langs)
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        langs.foldLeft(base) { (d, l) =>
+          d.withColumn(s"${l}_n", coalesce(col(s"${l}_n"), lit(0L)))
+        }.orderBy("source")
+      },
+      Some("""SELECT source,""" +
+        Seq("de", "en", "es", "fr", "zh").map { l =>
+          s"""
+             |  count(CASE WHEN lang = '$l' THEN 1 END) AS ${l}_n,
+             |  CAST(sum(CASE WHEN lang = '$l' THEN n_chars END) AS BIGINT)
+             |    AS ${l}_chars,""".stripMargin
+        }.mkString.dropRight(1) + """
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Unpivot / melt (dplyr pivot_longer): the wide per-source lang
+    // counts back to long (source, lang, n) — the pivot round-trip,
+    // with absent combos kept as explicit zeros. `Dataset.unpivot` is
+    // a zero-shuffle Expand over the already-aggregated wide frame.
+    QueryDef("q126_unpivot_longer",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        t(s, dir, "documents")
+          .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+          .unpivot(Array(col("source")), langs.map(col).toArray,
+            "lang", "n")
+          .select(col("source"), col("lang"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH src AS (SELECT DISTINCT source FROM documents),
+             |lg AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+             |c AS (SELECT source, lang, count(*) AS n FROM documents
+             |      GROUP BY source, lang)
+             |SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |FROM src s CROSS JOIN lg l
+             |LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+             |ORDER BY s.source, l.lang""".stripMargin)),
+
+    // Snapshot diff (SnapshotDiff.diff, the CDC/SCD audit): v2 derives
+    // deterministically from v1 (drop id%10=0, append " v2" to text at
+    // id%7=0, re-add id%13=0 under shifted ids) and every key is
+    // classified added/removed/changed/unchanged via the portable
+    // content fingerprint full-outer join.
+    QueryDef("q127_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v2 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7L)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        SnapshotDiff.diff(docs, v2, "doc_id",
+          Seq("text", "lang", "source")).orderBy("doc_id")
+      },
+      Some(s"""WITH newv AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+             |      ELSE text END AS text, lang, source
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text, lang, source
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |ofp AS (SELECT doc_id,
+             |    ${SnapshotDiff.duckFingerprint(
+                      Seq("text", "lang", "source"))} AS fp
+             |  FROM documents),
+             |nfp AS (SELECT doc_id,
+             |    ${SnapshotDiff.duckFingerprint(
+                      Seq("text", "lang", "source"))} AS fp
+             |  FROM newv)
+             |SELECT doc_id,
+             |  CASE WHEN o.fp IS NULL THEN 'added'
+             |       WHEN n.fp IS NULL THEN 'removed'
+             |       WHEN o.fp <> n.fp THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM ofp o FULL OUTER JOIN nfp n USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Quality-aware cluster canonicalization (Components
+    // .canonicalPerCluster): per near-dup cluster keep the LONGEST
+    // member (ties to min id) — integer ordering, fully deterministic.
+    // Shares minhashVerifiedCtes + clusterChainCtes with q44/q61.
+    QueryDef("q128_cluster_canonical",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val clusters = Components.dedupClusters(
+          docs, "doc_id", pairs, "id_a", "id_b")
+        Components.canonicalPerCluster(clusters, "doc_id",
+          docs, "n_chars").orderBy("component")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        """kp AS (
+          |  SELECT comp.component, sizes.cluster_size, comp.id,
+          |    d.n_chars,
+          |    row_number() OVER (PARTITION BY comp.component
+          |      ORDER BY d.n_chars DESC, comp.id) AS rn
+          |  FROM comp JOIN sizes USING (component)
+          |  JOIN documents d ON d.doc_id = comp.id)
+          |SELECT component, cluster_size, id AS keep_id,
+          |  n_chars AS keep_n_chars
+          |FROM kp WHERE rn = 1 ORDER BY component""".stripMargin)),
+
+    // Token-distribution drift between corpus versions (the q127
+    // release-audit continued): unigram frequencies of v1 (all docs)
+    // vs v2 (the q127 mutation), top-20 movers by |ppm delta| — all
+    // integer arithmetic (floor-divided parts-per-million), ties on
+    // token.
+    QueryDef("q129_token_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v2 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7L)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        def dist(df: DataFrame, cnt: String, ppm: String) = {
+          val c = df.select(explode(TextAnalysis.tokens(col("text")))
+              .as("token"))
+            .groupBy("token").agg(count(lit(1)).as(cnt))
+          c.crossJoin(broadcast(
+              c.agg(sum(cnt).cast("long").as(s"_t$cnt"))))
+            .select(col("token"), col(cnt),
+              floor(col(cnt) * lit(1000000L) / col(s"_t$cnt"))
+                .cast("long").as(ppm))
+        }
+        val a = dist(docs, "n1", "ppm1")
+        val b = dist(v2, "n2", "ppm2")
+        a.join(b, Seq("token"), "full_outer")
+          .select(col("token"),
+            coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"),
+            (coalesce(col("ppm2"), lit(0L)) -
+              coalesce(col("ppm1"), lit(0L))).as("ppm_delta"))
+          .orderBy(abs(col("ppm_delta")).desc, col("token"))
+          .limit(20)
+          .orderBy("token")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+             |      ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |t1 AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM documents),
+             |t2 AS (SELECT unnest(list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |  FROM v2),
+             |c1 AS (SELECT token, count(*) AS n1,
+             |    CAST(floor(count(*) * 1000000 /
+             |      (SELECT count(*) FROM t1)) AS BIGINT) AS ppm1
+             |  FROM t1 GROUP BY token),
+             |c2 AS (SELECT token, count(*) AS n2,
+             |    CAST(floor(count(*) * 1000000 /
+             |      (SELECT count(*) FROM t2)) AS BIGINT) AS ppm2
+             |  FROM t2 GROUP BY token),
+             |j AS (
+             |  SELECT token, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+             |    coalesce(ppm2, 0) - coalesce(ppm1, 0) AS ppm_delta
+             |  FROM c1 FULL OUTER JOIN c2 USING (token)),
+             |top AS (SELECT * FROM j
+             |        ORDER BY abs(ppm_delta) DESC, token LIMIT 20)
+             |SELECT token, n1, n2, ppm_delta FROM top
+             |ORDER BY token""".stripMargin)),
+
+    // REAL content features for codec-free payloads (Multimodal
+    // .contentFeatures): 2x2 24-bit BMPs carry actual pixel bytes
+    // ((id*(k+3)) % 256 at file position k) and WAVs carry 4 real
+    // 16-bit PCM samples ((id*(k+7)) % 65536, signed LE) — the JVM
+    // walks the REAL pixel array (bfOffBits + row padding) and PCM
+    // data; the oracle recomputes channel means / RMS / peak from the
+    // generating formulas, q68's synthesis pattern.
+    QueryDef("q130_media_content_stats",
+      (s, dir) => {
+        def le4hex(n: Column): Column = concat((0 to 3).map(i =>
+          lpad(hex(pmod(shiftright(n, 8 * i), lit(256))), 2, "0")): _*)
+        def b1hex(n: Column): Column = lpad(hex(pmod(n, lit(256))), 2, "0")
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val px = concat((0 to 5).map(k =>
+          b1hex(col("id") * (k + 3))) ++ Seq(lit("0000")) ++
+          (6 to 11).map(k => b1hex(col("id") * (k + 3))) ++
+          Seq(lit("0000")): _*)
+        val bmp = ids.filter(pmod(col("id"), lit(2)) === 0).select(
+          col("id"),
+          unhex(concat(
+            lit("424D" + "00" * 8 + "36000000" + "28000000"),
+            le4hex(lit(2)), le4hex(lit(2)), lit("0100" + "1800"),
+            lit("00" * 24), px)).as("bytes"),
+          lit("image").as("media_type"))
+        val pcm = concat((0 to 3).flatMap { k =>
+          val v = pmod(col("id") * (k + 7), lit(65536))
+          Seq(b1hex(v), b1hex(floor(v / 256).cast("long")))
+        }: _*)
+        val wav = ids.filter(pmod(col("id"), lit(2)) === 1).select(
+          col("id"),
+          unhex(concat(
+            lit("52494646"), le4hex(lit(44)), // riff size 36+8
+            lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),
+            le4hex(lit(8000)), le4hex(lit(16000)),
+            lit("0200" + "1000" + "64617461"), le4hex(lit(8)),
+            pcm)).as("bytes"),
+          lit("audio").as("media_type"))
+        Multimodal.contentFeatures(s, bmp.unionByName(wav))
+          .orderBy("id")
+      },
+      Some("""WITH sk AS (
+             |  SELECT doc_id AS id,
+             |    list_transform(generate_series(0, 3), k ->
+             |      CASE WHEN (id * (k + 7)) % 65536 >= 32768
+             |        THEN (id * (k + 7)) % 65536 - 65536
+             |        ELSE (id * (k + 7)) % 65536 END) AS s,
+             |    list_transform(generate_series(0, 11), k ->
+             |      (id * (k + 3)) % 256) AS p
+             |  FROM documents)
+             |SELECT id,
+             |  CASE WHEN id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+             |  round(CASE WHEN id % 2 = 0
+             |    THEN (p[1] + p[4] + p[7] + p[10]) / 4.0
+             |    ELSE sqrt((s[1]*s[1] + s[2]*s[2] + s[3]*s[3] + s[4]*s[4])
+             |      / 4.0) END, 4) + 0.0 AS f1,
+             |  round(CASE WHEN id % 2 = 0
+             |    THEN (p[2] + p[5] + p[8] + p[11]) / 4.0
+             |    ELSE CAST(greatest(abs(s[1]), abs(s[2]), abs(s[3]),
+             |      abs(s[4])) AS DOUBLE) END, 4) + 0.0 AS f2,
+             |  round(CASE WHEN id % 2 = 0
+             |    THEN (p[3] + p[6] + p[9] + p[12]) / 4.0
+             |    ELSE 4.0 END, 4) + 0.0 AS f3
+             |FROM sk ORDER BY id""".stripMargin)),
+
+    // k-per-stratum deterministic reservoir (Sampling
+    // .reservoirPerGroup): 5 docs per language, hash-ranked, with the
+    // 10% hash prune running BEFORE the per-stratum window. The window
+    // ranks by the same `h mod 1e6` the prune filters on (r9 ADVICE),
+    // so the prune provably keeps every drawn row; the oracle applies
+    // the identical prune + ordering.
+    QueryDef("q131_group_reservoir",
+      (s, dir) => Sampling.reservoirPerGroup(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", k = 5, prunePpm = 100000)
+        .select(col("lang"), col("draw_rank"), col("doc_id"))
+        .orderBy("lang", "draw_rank"),
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    ${Hashing.duckPortableHash("'rg:' || doc_id")} AS hv
+             |  FROM documents),
+             |pruned AS (SELECT * FROM h WHERE hv % 1000000 < 100000),
+             |r AS (
+             |  SELECT lang, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY hv % 1000000, hv, doc_id) AS INT) AS draw_rank
+             |  FROM pruned)
+             |SELECT lang, draw_rank, doc_id FROM r
+             |WHERE draw_rank <= 5 ORDER BY lang, draw_rank""".stripMargin)),
+
+    // JL-shortlist ANN (Similarity.jlTopK): cosine pre-rank in the
+    // 32-dim projected space, top-200 shortlist (measured recall@3 =
+    // 0.70 at these defaults), exact re-rank to top-3 — the
+    // cheap-distance tier next to LSH (q45) and IVF (q52). The
+    // shortlist cut ranks UNROUNDED projected cosines (ties on
+    // neighbor_id), the q114 pattern.
+    QueryDef("q132_jl_ann_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.jlTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH jp AS (
+             |  SELECT vec_id, embedding,
+             |    list_transform(generate_series(0, 31), p ->
+             |      list_sum(list_transform(embedding, (v, i) ->
+             |        CAST(v AS DOUBLE) * (CASE WHEN
+             |          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+             |            CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+             |          THEN 1.0 ELSE -1.0 END))) / sqrt(32.0)) AS y
+             |  FROM embeddings),
+             |qs AS (SELECT vec_id AS query_id, embedding AS qvec, y AS qy
+             |       FROM jp WHERE vec_id < 10),
+             |pc AS (
+             |  SELECT c.vec_id AS neighbor_id, q.query_id,
+             |    c.embedding AS cvec, q.qvec,
+             |    list_sum(list_transform(q.qy, (x, i) -> x * c.y[i])) /
+             |    (sqrt(list_sum(list_transform(q.qy, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(c.y, x -> x * x)))) AS pcos
+             |  FROM jp c CROSS JOIN qs q WHERE c.vec_id <> q.query_id),
+             |sl AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY pcos DESC, neighbor_id) AS prank FROM pc)
+             |  WHERE prank <= 200),
+             |ex AS (SELECT query_id, neighbor_id,
+             |    ${duckCos("qvec", "cvec")} AS cos
+             |  FROM sl),
+             |r AS (SELECT query_id, neighbor_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id) AS INT) AS "rank", cos
+             |  FROM ex)
+             |SELECT query_id, neighbor_id, "rank", round(cos, 4) AS cos
+             |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Grouped OLS (Stats.groupedOls): per-language token-vs-chars
+    // line fit from ONE integer moment aggregate — the six sums are
+    // exact in both engines, so every downstream float matches.
+    QueryDef("q133_grouped_ols",
+      (s, dir) => Stats.groupedOls(
+          t(s, dir, "documents").withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text")))),
+          "lang", "n_chars", "n_tokens")
+        .orderBy("lang"),
+      Some("""WITH d AS (
+             |  SELECT lang, n_chars AS x,
+             |    len(list_filter(string_split_regex(text, ' +'),
+             |      t -> t <> '')) AS y
+             |  FROM documents),
+             |a AS (
+             |  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+             |  FROM d GROUP BY lang),
+             |c AS (
+             |  SELECT lang, n,
+             |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+             |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+             |  FROM a)
+             |SELECT lang, n,
+             |  round(CASE WHEN n >= 2 AND varxn > 0
+             |    THEN covn / varxn END, 4) + 0.0 AS slope,
+             |  round((syd - (CASE WHEN n >= 2 AND varxn > 0
+             |      THEN covn / varxn END) * sxd)
+             |    / CAST(n AS DOUBLE), 4) + 0.0 AS intercept,
+             |  round(CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+             |    THEN covn * covn / (varxn * varyn) END, 4) + 0.0 AS r2
+             |FROM c ORDER BY lang""".stripMargin)),
+
+    // Weekly cohort retention (Stats.cohortRetention): first-event
+    // epoch week x weeks-since distinct-user triangle — all integer
+    // division (no calendar functions), the oracle mirrors parquet's
+    // nanos -> micros truncation via epoch_ns // 1000.
+    QueryDef("q134_cohort_retention",
+      (s, dir) => Stats.cohortRetention(
+          t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "weeks_since"),
+      Some("""WITH w AS (
+             |  SELECT user_id AS u,
+             |    epoch_ns(ts) // 1000 // 604800000000 AS wk
+             |  FROM events),
+             |f AS (SELECT u, min(wk) AS cw FROM w GROUP BY u)
+             |SELECT cw AS cohort_week, wk - cw AS weeks_since,
+             |  count(DISTINCT u) AS n_users
+             |FROM w JOIN f USING (u)
+             |GROUP BY cw, wk - cw
+             |ORDER BY cohort_week, weeks_since""".stripMargin)),
+
+    // Lexical diversity (TextAnalysis.lexicalDiversity): per-doc token
+    // entropy H = ln(n) - (sum tf ln tf)/n and type-token ratio —
+    // low-diversity (stuffed/boilerplate) docs surface at the bottom.
+    QueryDef("q135_lexical_diversity",
+      (s, dir) => TextAnalysis.lexicalDiversity(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(text, ' +'), t -> t <> '')) AS token
+             |    FROM documents)
+             |  GROUP BY doc_id, token),
+             |per AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_types,
+             |    sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS stlt
+             |  FROM tf GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(p.n_tokens, 0) AS n_tokens,
+             |  coalesce(p.n_types, 0) AS n_types,
+             |  round(CAST(p.n_types AS DOUBLE)
+             |    / CAST(p.n_tokens AS DOUBLE), 4) + 0.0 AS ttr,
+             |  round(ln(CAST(p.n_tokens AS DOUBLE))
+             |    - p.stlt / CAST(p.n_tokens AS DOUBLE), 4) + 0.0 AS entropy
+             |FROM documents d LEFT JOIN per p USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ROLLUP subtotals (Dataset.rollup): per-(source, lang) counts
+    // with per-source and grand-total rows in ONE pass (Catalyst
+    // Expand — no second scan, no union of re-aggregations). NULL
+    // group keys mark subtotal rows; the ORDER BY pins null placement
+    // explicitly because the engines' defaults differ.
+    QueryDef("q136_rollup_subtotals",
+      (s, dir) => t(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first),
+      Some("""SELECT source, lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY ROLLUP (source, lang)
+             |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
+
+    // Multiset set ops (Dataset.exceptAll / intersectAll): bag
+    // semantics with multiplicity (EXCEPT ALL keeps count differences,
+    // INTERSECT ALL keeps the min count) — Spark plans both as a
+    // single Expand+aggregate, no join. Aggregated per source so the
+    // emitted frame is deterministic.
+    QueryDef("q137_multiset_ops",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val en = docs.filter(col("lang") === "en").select("source")
+        val fr = docs.filter(col("lang") === "fr").select("source")
+        en.exceptAll(fr).groupBy("source").agg(count(lit(1)).as("n_except"))
+          .join(en.intersectAll(fr).groupBy("source")
+            .agg(count(lit(1)).as("n_intersect")), Seq("source"), "full_outer")
+          .select(col("source"),
+            coalesce(col("n_except"), lit(0L)).as("n_except"),
+            coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+          .orderBy("source")
+      },
+      Some("""WITH ex AS (
+             |  SELECT source, count(*) AS n_except FROM (
+             |    SELECT source FROM documents WHERE lang = 'en'
+             |    EXCEPT ALL
+             |    SELECT source FROM documents WHERE lang = 'fr')
+             |  GROUP BY source),
+             |ix AS (
+             |  SELECT source, count(*) AS n_intersect FROM (
+             |    SELECT source FROM documents WHERE lang = 'en'
+             |    INTERSECT ALL
+             |    SELECT source FROM documents WHERE lang = 'fr')
+             |  GROUP BY source)
+             |SELECT source, coalesce(n_except, 0) AS n_except,
+             |  coalesce(n_intersect, 0) AS n_intersect
+             |FROM ex FULL OUTER JOIN ix USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // Event-transition matrix (first-order Markov counts): per-user
+    // lag window (partitioned — never global), transition counts and
+    // integer-ppm row-conditional probabilities (floor-divided, the
+    // q87 discipline).
+    QueryDef("q138_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val tr = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("prev_type").agg(sum("n").as("n_prev"))
+        tr.join(tot, Seq("prev_type"))
+          .select(col("prev_type"), col("cur_type"), col("n"),
+            floor(col("n") * lit(1000000L) / col("n_prev")).cast("long")
+              .as("p_ppm"))
+          .orderBy("prev_type", "cur_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT prev_type, event_type AS cur_type, count(*) AS n
+             |  FROM (
+             |    SELECT user_id, event_type,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY event_id) AS prev_type
+             |    FROM events)
+             |  WHERE prev_type IS NOT NULL
+             |  GROUP BY prev_type, cur_type),
+             |tot AS (SELECT prev_type, sum(n) AS n_prev FROM tr
+             |        GROUP BY prev_type)
+             |SELECT t.prev_type, t.cur_type, t.n,
+             |  CAST(floor(t.n * 1000000 / tt.n_prev) AS BIGINT) AS p_ppm
+             |FROM tr t JOIN tot tt USING (prev_type)
+             |ORDER BY t.prev_type, t.cur_type""".stripMargin)),
+
+    // Script profile (TextAnalysis.scriptProfile): explicit-codepoint-
+    // range character counts + dominant script — all integers, the
+    // literal ranges (not \p classes) are engine-version-proof.
+    QueryDef("q139_script_profile",
+      (s, dir) => TextAnalysis.scriptProfile(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |    AS n_latin,
+             |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             |  length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+             |  length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyr,
+             |  CASE
+             |    WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |     AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+             |     AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+             |    THEN 'latin'
+             |    WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+             |     AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+             |    THEN 'digit'
+             |    WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+             |      >= length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+             |    THEN 'cjk'
+             |    ELSE 'cyrillic' END AS dominant
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multi-component PCA by deflation (Pca.topComponents): three
+    // components, each a full q122 power-iteration stage on the
+    // previous stage's residual frame — the whitening basis for
+    // all-but-the-top-K. Oracle = three chained pcaCtes stages joined
+    // by the shared deflation generator.
+    QueryDef("q140_pca_components",
+      (s, dir) => Pca.topComponents(
+          t(s, dir, "embeddings"), "embedding", dim = 64, iters = 3, k = 3)
+        .select(col("component"), col("pos"),
+          (round(col("loading"), 4) + lit(0.0)).as("loading"))
+        .orderBy("component", "pos"),
+      Some("WITH " + pcaCtes(64, 3) + ",\n" +
+        pcaDeflCtes("", 3, "defl") + ",\n" +
+        pcaCtes(64, 3, "d", "defl") + ",\n" +
+        pcaDeflCtes("d", 3, "defl2") + ",\n" +
+        pcaCtes(64, 3, "dd", "defl2") + "\n" +
+        """SELECT 1 AS component, CAST(p.pos AS INT) AS pos,
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0 AS loading
+          |FROM poss p CROSS JOIN pv3 v
+          |UNION ALL
+          |SELECT 2, CAST(p.pos AS INT),
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0
+          |FROM dposs p CROSS JOIN dpv3 v
+          |UNION ALL
+          |SELECT 3, CAST(p.pos AS INT),
+          |  round(v.vl[CAST(p.pos AS INT)], 4) + 0.0
+          |FROM ddposs p CROSS JOIN ddpv3 v
+          |ORDER BY component, pos""".stripMargin)),
+
+    // CUBE with grouping flags (Dataset.cube + grouping()): all four
+    // aggregation levels in one Expand pass, each row tagged with
+    // which keys are subtotaled — the OLAP surface next to q136's
+    // ROLLUP. The flag computes from grouping() per column so the
+    // engines' grouping_id bit orders cannot disagree.
+    QueryDef("q141_cube_grouping",
+      (s, dir) => t(s, dir, "documents")
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("source")).cast("int") * 2 +
+            grouping(col("lang")).cast("int")).as("gflag"))
+        .select("source", "lang", "n", "gflag")
+        .orderBy(col("gflag"), col("source").asc_nulls_first,
+          col("lang").asc_nulls_first),
+      Some("""SELECT source, lang, count(*) AS n,
+             |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gflag
+             |FROM documents GROUP BY CUBE (source, lang)
+             |ORDER BY gflag, source NULLS FIRST, lang NULLS FIRST"""
+        .stripMargin)),
+
+    // Left semi / anti joins (the EXISTS / NOT EXISTS surface): orders
+    // split by whether any line item exceeds the price threshold —
+    // both planned as one-sided joins that never materialize the
+    // probe side's columns.
+    QueryDef("q142_semi_anti_join",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 40000)
+          .select(col("l_orderkey").as("o_orderkey"))
+        val semi = orders.join(big, Seq("o_orderkey"), "left_semi")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_with"))
+        val anti = orders.join(big, Seq("o_orderkey"), "left_anti")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_without"))
+        semi.join(anti, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            coalesce(col("n_with"), lit(0L)).as("n_with"),
+            coalesce(col("n_without"), lit(0L)).as("n_without"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH sw AS (
+             |  SELECT o_orderstatus, count(*) AS n_with FROM orders o
+             |  WHERE EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey
+             |      AND l.l_extendedprice > 40000)
+             |  GROUP BY o_orderstatus),
+             |an AS (
+             |  SELECT o_orderstatus, count(*) AS n_without FROM orders o
+             |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey
+             |      AND l.l_extendedprice > 40000)
+             |  GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, coalesce(n_with, 0) AS n_with,
+             |  coalesce(n_without, 0) AS n_without
+             |FROM sw FULL OUTER JOIN an USING (o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Exact interpolated percentiles (percentile ≡ quantile_cont):
+    // per-language n_chars quartiles + p95 in ONE aggregate pass —
+    // the exact-percentile surface next to the approximate tier paths
+    // (q85/q105). Both engines interpolate linearly over sorted
+    // integers, so the emitted doubles agree exactly.
+    QueryDef("q143_exact_percentiles",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          (round(expr("percentile(n_chars, 0.25)"), 4) + lit(0.0))
+            .as("p25"),
+          (round(expr("percentile(n_chars, 0.5)"), 4) + lit(0.0))
+            .as("p50"),
+          (round(expr("percentile(n_chars, 0.75)"), 4) + lit(0.0))
+            .as("p75"),
+          (round(expr("percentile(n_chars, 0.95)"), 4) + lit(0.0))
+            .as("p95"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n,
+             |  round(quantile_cont(n_chars, 0.25), 4) + 0.0 AS p25,
+             |  round(quantile_cont(n_chars, 0.5), 4) + 0.0 AS p50,
+             |  round(quantile_cont(n_chars, 0.75), 4) + 0.0 AS p75,
+             |  round(quantile_cont(n_chars, 0.95), 4) + 0.0 AS p95
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Data-quality expectations (Expectations.report, the Deequ/Great
+    // Expectations publish gate): five declared constraints over
+    // orders evaluated in one aggregate pass (+ one distinct pass for
+    // the uniqueness grain), emitting the violation report.
+    QueryDef("q144_expectations",
+      (s, dir) => {
+        import graft.ops.Expectations
+        import graft.ops.Expectations._
+        Expectations.report(t(s, dir, "orders"), Seq(
+          NotNull("o_custkey"),
+          Unique("o_orderkey"),
+          InRange("o_totalprice", 0, 600000),
+          InSet("o_orderstatus", Seq("F", "O", "P")),
+          Matches("o_orderpriority", "^[1-5]-")))
+          .orderBy("check")
+      },
+      Some("""WITH u AS (
+             |SELECT 'not_null(o_custkey)' AS "check", count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_violations
+             |FROM orders
+             |UNION ALL
+             |SELECT 'unique(o_orderkey)', count(*),
+             |  CAST(count(*) - count(DISTINCT o_orderkey)
+             |    - (CASE WHEN count(*) > count(o_orderkey) THEN 1
+             |       ELSE 0 END) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'in_range(o_totalprice)', count(*),
+             |  CAST(sum(CASE WHEN o_totalprice IS NULL
+             |    OR o_totalprice < 0 OR o_totalprice > 600000
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'in_set(o_orderstatus)', count(*),
+             |  CAST(sum(CASE WHEN o_orderstatus IS NULL
+             |    OR o_orderstatus NOT IN ('F', 'O', 'P')
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'matches(o_orderpriority)', count(*),
+             |  CAST(sum(CASE WHEN o_orderpriority IS NULL
+             |    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders)
+             |SELECT "check", n_rows, n_violations,
+             |  n_violations = 0 AS ok
+             |FROM u ORDER BY "check"""".stripMargin)),
+
+    // All-but-the-top-K (Pca.removeTopK): subtract the top 2 deflated
+    // components from every embedding, ids kept — q123 generalized
+    // through q140's deflation. Stage 2 fits on the id-carrying
+    // residual frame (same values as q140's idless one).
+    QueryDef("q145_remove_top_k",
+      (s, dir) => Pca.removeTopK(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iters = 3, k = 2)
+        // flatten to (vec_id, pos, resid) rows — see q121's comment
+        .select(col("vec_id"), posexplode(col("resid")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("resid"))
+        .orderBy("vec_id", "pos"),
+      Some("WITH " + pcaCtes(64, 3) + ",\n" +
+        pcaResidCtes("", 3, "embeddings", "r1") + ",\n" +
+        pcaCtes(64, 3, "d", "r1") + ",\n" +
+        pcaResidCtes("d", 3, "r1", "r2") + "\n" +
+        """SELECT r.vec_id, CAST(ps.pos AS INT) AS pos,
+          |  round(r.embedding[CAST(ps.pos AS INT)], 4) + 0.0 AS resid
+          |FROM r2 r CROSS JOIN poss ps
+          |ORDER BY r.vec_id, pos""".stripMargin)),
+
+    // Cluster naming (q61 clusters + q114 TF-IDF composed): each
+    // near-dup cluster becomes one "document" (member texts
+    // concatenated in DETERMINISTIC text order — scale caveat: bounded
+    // by cluster size; a degenerate giant cluster would need the
+    // term-level path), then top-3 characteristic terms per cluster.
+    // Shares minhashVerifiedCtes + clusterChainCtes + tfidfCtes.
+    QueryDef("q146_cluster_names",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8)
+        val clusters = Components.dedupClusters(
+          docs, "doc_id", pairs, "id_a", "id_b")
+        val ctext = clusters.join(docs, Seq("doc_id"))
+          .groupBy("component")
+          .agg(array_join(sort_array(collect_list(col("text"))), " ")
+            .as("text"))
+        TextAnalysis.tfidfTopTerms(ctext, "component", "text", k = 3)
+          .orderBy("component", "rank")
+      },
+      Some("WITH RECURSIVE " + minhashVerifiedCtes + ",\n" +
+        clusterChainCtes + ",\n" +
+        """ctext AS (
+          |  SELECT comp.component,
+          |    string_agg(d.text, ' ' ORDER BY d.text) AS text
+          |  FROM comp JOIN documents d ON d.doc_id = comp.id
+          |  GROUP BY comp.component),
+          |""".stripMargin +
+        tfidfCtes("ctext", "component", 3) + "\n" +
+        """SELECT component, "rank", term, tf, df,
+          |  round(score, 4) AS tfidf
+          |FROM r WHERE "rank" <= 3 ORDER BY component, "rank""""
+          .stripMargin)),
+
+    // Classifier evaluation (train -> score -> confusion matrix):
+    // integer-ppm precision/recall/F1 at the z >= 0 boundary
+    // (featureless docs predict negative; q87's floor-divide
+    // discipline). On THIS corpus the label ("contains 'join'", 79%
+    // prior) has only one informative feature, so 5 full-batch
+    // rounds honestly sit at the majority-class operating point
+    // (precision = prior, recall 1) — the separable-toy spec in
+    // CurationOpsSpec shows the same loop separating when signal
+    // exists. Shares logregCtes with q118/q119.
+    QueryDef("q147_logreg_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("y",
+            (instr(col("text"), "join") > 0).cast("int"))
+        val model = LogReg.train(docs, "doc_id", "text", "y",
+          dim = 256, lr = 5.0, iters = 5)
+        val scored = docs.select(col("doc_id"), col("y"))
+          .join(LogReg.score(docs, "doc_id", "text", model, dim = 256)
+            .select(col("doc_id"), col("z")), Seq("doc_id"), "left")
+          .select(col("y"),
+            (coalesce(col("z"), lit(-1.0)) >= 0).cast("int").as("pred"))
+        scored.agg(
+            sum(when(col("y") === 1 && col("pred") === 1, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0 && col("pred") === 1, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("y") === 0 && col("pred") === 0, 1L)
+              .otherwise(0L)).as("tn"),
+            sum(when(col("y") === 1 && col("pred") === 0, 1L)
+              .otherwise(0L)).as("fn"))
+          .select(col("tp"), col("fp"), col("tn"), col("fn"),
+            when(col("tp") + col("fp") > 0,
+              floor(col("tp") * lit(1000000L) / (col("tp") + col("fp")))
+                .cast("long")).as("precision_ppm"),
+            when(col("tp") + col("fn") > 0,
+              floor(col("tp") * lit(1000000L) / (col("tp") + col("fn")))
+                .cast("long")).as("recall_ppm"),
+            when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+              floor(col("tp") * lit(2000000L) /
+                (lit(2L) * col("tp") + col("fp") + col("fn")))
+                .cast("long")).as("f1_ppm"))
+      },
+      Some("WITH " + logregCtes(dim = 256, lr = "5.0", iters = 5,
+        label = "CASE WHEN instr(text, 'join') > 0 " +
+          "THEN 1.0 ELSE 0.0 END") + ",\n" +
+        """esc AS (
+          |  SELECT t.doc_id, sum(t.x * w.w) AS z
+          |  FROM lxb t JOIN w5 w USING (bucket) GROUP BY t.doc_id),
+          |pr AS (
+          |  SELECT CASE WHEN instr(d.text, 'join') > 0
+          |    THEN 1 ELSE 0 END AS y,
+          |    CASE WHEN coalesce(s.z, -1.0) >= 0 THEN 1 ELSE 0 END
+          |      AS pred
+          |  FROM documents d LEFT JOIN esc s USING (doc_id)),
+          |cm AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS tp,
+          |    CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS fp,
+          |    CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS tn,
+          |    CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS fn
+          |  FROM pr)
+          |SELECT tp, fp, tn, fn,
+          |  CAST(CASE WHEN tp + fp > 0
+          |    THEN floor(tp * 1000000 / (tp + fp)) END AS BIGINT)
+          |    AS precision_ppm,
+          |  CAST(CASE WHEN tp + fn > 0
+          |    THEN floor(tp * 1000000 / (tp + fn)) END AS BIGINT)
+          |    AS recall_ppm,
+          |  CAST(CASE WHEN 2 * tp + fp + fn > 0
+          |    THEN floor(tp * 2000000 / (2 * tp + fp + fn)) END
+          |    AS BIGINT) AS f1_ppm
+          |FROM cm""".stripMargin)),
+
+    // Directional containment pairs (Dedup.containmentPairs): the
+    // quote/excerpt case Jaccard misses — |A∩B|/|A| >= 0.8 over
+    // 3-gram shingles, A-prefix x B-full inverted index, EXACT
+    // integer gate (10*inter >= 8*|A|) so the pair set is
+    // engine-independent.
+    QueryDef("q148_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH csh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      generate_series(1, greatest(len(tk) - 2, 0)),
+             |      i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+             |      AS sh
+             |  FROM (SELECT doc_id, source, list_filter(
+             |          string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |        FROM documents)),
+             |cf AS (SELECT doc_id, source, sh, len(sh) AS n_sh
+             |       FROM csh WHERE len(sh) > 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(a.n_sh AS BIGINT) AS na,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / a.n_sh, 4) AS containment
+             |FROM cf a JOIN cf b
+             |  ON a.source = b.source AND a.doc_id <> b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh)) * 10 >= 8 * a.n_sh
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // REAL pixel decode (Multimodal.contentFeatures png/gif paths):
+    // even ids carry an 8x6 RGB PNG (zlib IDAT inflated with the JDK
+    // Inflater, all five scanline filters inverted — filter type
+    // cycles (id+y) % 5), odd ids a 7x5 GIF (pure-Scala variable-width
+    // LZW, 64-color palette). The oracle never decodes: it recomputes
+    // the channel means from MediaFixtures' closed-form pixel
+    // formulas, so encode and decode must BOTH be right to go green.
+    // PNG and GIF leave the stub list — only the codec-bound formats
+    // (JPEG scan, MP4 payload) remain stubbed.
+    QueryDef("q149_pixel_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id")).as[Long]
+        val media = ids.map { id =>
+          val bytes =
+            if (id % 2 == 0) MediaFixtures.pngBytes(id, 8, 6)
+            else MediaFixtures.gifBytes(id, 7, 5)
+          (id, bytes, "image")
+        }.toDF("id", "bytes", "media_type")
+        Multimodal.contentFeatures(s, media).orderBy("id")
+      },
+      Some("""WITH gp AS (
+             |  SELECT doc_id AS id,
+             |    list_transform(generate_series(0, 47), i ->
+             |      (doc_id * 3 + 3 * (i % 8) + 7 * (i // 8)) % 256) AS pr,
+             |    list_transform(generate_series(0, 47), i ->
+             |      (doc_id * 4 + 3 * (i % 8) + 7 * (i // 8)) % 256) AS pg,
+             |    list_transform(generate_series(0, 47), i ->
+             |      (doc_id * 5 + 3 * (i % 8) + 7 * (i // 8)) % 256) AS pb,
+             |    list_transform(generate_series(0, 34), i ->
+             |      (doc_id + 5 * (i % 7) + 11 * (i // 7)) % 64) AS gj
+             |  FROM documents)
+             |SELECT id,
+             |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'gif' END AS kind,
+             |  round(CASE WHEN id % 2 = 0 THEN list_sum(pr) / 48.0
+             |    ELSE list_sum(list_transform(gj, v -> (3 * v) % 256))
+             |      / 35.0 END, 4) + 0.0 AS f1,
+             |  round(CASE WHEN id % 2 = 0 THEN list_sum(pg) / 48.0
+             |    ELSE list_sum(list_transform(gj, v -> (5 * v) % 256))
+             |      / 35.0 END, 4) + 0.0 AS f2,
+             |  round(CASE WHEN id % 2 = 0 THEN list_sum(pb) / 48.0
+             |    ELSE list_sum(list_transform(gj, v -> (7 * v) % 256))
+             |      / 35.0 END, 4) + 0.0 AS f3
+             |FROM gp ORDER BY id""".stripMargin)),
+
+    // IVF + SQ8 quantized search (Similarity.ivfSq8TopK): trained
+    // codebook cells, int8-code index, ASYMMETRIC cosine (full-
+    // precision query x raw codes — the absmax scale cancels out of
+    // cosine), top-20 shortlist, exact float re-rank to top-3. The
+    // memory-bound search tier q73 (codes) and q66 (cells) were built
+    // for, now composed; recall measured next to the other tiers in
+    // q67's table.
+    QueryDef("q150_ivf_sq8_search",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+        Similarity.ivfSq8TopK(
+          emb, emb.filter(col("vec_id").between(100, 104)), cents,
+          "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH " + kmeansCtes(k = 8, iters = 2) + ",\n" +
+        ivfSearchCtes("cent2", nProbe = 2, qLo = 100, qHi = 104) + ",\n" +
+        ivfSq8Ctes("", shortlist = 20) + "\n" +
+        """SELECT query_id, neighbor_id, "rank", round(cos, 4) + 0.0 AS cos
+          |FROM sqranked WHERE "rank" <= 3
+          |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Portable histogram percentiles (Stats.histPercentiles over the
+    // graft_hist native TypedImperativeAggregate): 256 width-4 buckets
+    // over [0, 1024) per language — width a power of two, so bucket
+    // assignment is exact in IEEE doubles — then each quantile
+    // answered by rank interpolation at the crossing bucket. This is
+    // the approx-percentile swap q59/q89 documented but never
+    // exercised: unlike approx_percentile's engine-private GK buffer,
+    // the sketch state is pure integer counts, so the oracle rebuilds
+    // the ENTIRE sketch from the same floor arithmetic and the
+    // estimate is hash-compared, not tolerance-judged. At 100 TB the
+    // shuffle ships 2 KB per group instead of every value.
+    QueryDef("q151_hist_percentiles",
+      (s, dir) => Stats.histPercentiles(
+          t(s, dir, "documents"), "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256,
+          ps = Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("lang", "p"),
+      Some("""WITH v AS (
+             |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL),
+             |b AS (SELECT lang, CAST(least(greatest(floor(v / 4.0), 0), 255)
+             |        AS BIGINT) AS b FROM v),
+             |c AS (SELECT lang, b, count(*) AS cnt FROM b GROUP BY lang, b),
+             |cc AS (SELECT lang, b, cnt,
+             |         sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |         sum(cnt) OVER (PARTITION BY lang) AS total
+             |       FROM c),
+             |p AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+             |SELECT lang, p, CAST(total AS BIGINT) AS n,
+             |  round(4.0 * (CAST(b AS DOUBLE)
+             |    + (p * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             |      / CAST(cnt AS DOUBLE)), 4) + 0.0 AS est
+             |FROM cc, p
+             |WHERE CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
+             |  AND CAST(cum - cnt AS DOUBLE) < p * CAST(total AS DOUBLE)
+             |ORDER BY lang, p""".stripMargin)),
+
+    // S-tier: ORC sink + source round-trip (sources/Orc) — the second
+    // columnar lake format, native to Spark. The aggregate runs over
+    // the re-read ORC copy, so types (long/string/double/
+    // timestamp_ntz) must survive the round-trip for the oracle —
+    // which reads the ORIGINAL parquet — to hash-match.
+    QueryDef("q152_orc_roundtrip",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip"
+        Orc.write(t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"), tmp)
+        Orc.read(s, tmp)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"),
+            min("o_orderdate").as("first_date"),
+            max("o_orderdate").as("last_date"))
+          .orderBy(col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total,
+             |  min(o_orderdate) AS first_date,
+             |  max(o_orderdate) AS last_date
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // Rendezvous (HRW) shard assignment (Sampling.rendezvousShard):
+    // each doc scored against every shard id, argmax wins — a pure
+    // narrow projection, no shuffle. The 8→9 grid this query emits
+    // exhibits THE property the operator exists for: off-diagonal mass
+    // (keys whose shard changed) is only the ~1/9 the new shard wins,
+    // where `hash mod n` would remap ~8/9 of the corpus. The oracle
+    // replays the argmax as a per-doc rank window over the exploded
+    // (doc × shard) grid.
+    QueryDef("q153_rendezvous_shards",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .groupBy("shard8", "shard9").agg(count(lit(1)).as("n"))
+        .orderBy("shard8", "shard9"),
+      Some(s"""WITH sc AS (
+             |  SELECT doc_id, s,
+             |    ${Hashing.duckPortableHash(
+                    "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")} AS h
+             |  FROM documents CROSS JOIN (SELECT unnest(range(9)) AS s)),
+             |r8 AS (SELECT doc_id, s, row_number() OVER (
+             |         PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+             |       FROM sc WHERE s < 8),
+             |r9 AS (SELECT doc_id, s, row_number() OVER (
+             |         PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+             |       FROM sc)
+             |SELECT CAST(a.s AS INTEGER) AS shard8,
+             |  CAST(b.s AS INTEGER) AS shard9, count(*) AS n
+             |FROM (SELECT doc_id, s FROM r8 WHERE rn = 1) a
+             |JOIN (SELECT doc_id, s FROM r9 WHERE rn = 1) b USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // KMV join-cardinality estimation (CardinalityEstimate
+    // .kmvJoinEstimate): how many distinct customers the orders table
+    // shares with customer, estimated from two 128-long sketches
+    // without running the join — next to the exact tier so the
+    // estimator's error is visible in the same row. Every sketch op is
+    // portable hash + sorted-list arithmetic, so the oracle replays
+    // estimate AND error bit-for-bit.
+    QueryDef("q154_kmv_join_estimate",
+      (s, dir) => CardinalityEstimate.kmvJoinEstimate(
+        t(s, dir, "orders").where(col("o_orderstatus") === "O"), "o_custkey",
+        t(s, dir, "customer")
+          .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")),
+        "c_custkey", k = 128),
+      Some(s"""WITH lo AS (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             |rc AS (
+             |  SELECT c_custkey FROM customer
+             |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+             |ha AS (
+             |  SELECT ${Hashing.duckPortableHash("CAST(o_custkey AS VARCHAR)")} AS h
+             |  FROM lo WHERE o_custkey IS NOT NULL),
+             |hb AS (
+             |  SELECT ${Hashing.duckPortableHash("CAST(c_custkey AS VARCHAR)")} AS h
+             |  FROM rc WHERE c_custkey IS NOT NULL),
+             |ka AS (SELECT list_sort(list_distinct(list(h)))[1:128] AS a FROM ha),
+             |kb AS (SELECT list_sort(list_distinct(list(h)))[1:128] AS b FROM hb),
+             |uu AS (SELECT a, b, list_sort(list_distinct(a || b))[1:128] AS u
+             |       FROM ka, kb),
+             |calc AS (SELECT a, b, u, len(u) AS m,
+             |    len(list_intersect(list_intersect(u, a), b)) AS matches
+             |  FROM uu),
+             |ex AS (SELECT
+             |  (SELECT count(DISTINCT o_custkey) FROM lo
+             |   WHERE o_custkey IS NOT NULL) AS n_left_exact,
+             |  (SELECT count(DISTINCT c_custkey) FROM rc
+             |   WHERE c_custkey IS NOT NULL) AS n_right_exact,
+             |  (SELECT count(DISTINCT o.o_custkey) FROM lo o
+             |   JOIN rc c ON o.o_custkey = c.c_custkey) AS n_inter_exact)
+             |SELECT n_left_exact, n_right_exact, n_inter_exact,
+             |  round(CASE WHEN len(a) < 128 THEN CAST(len(a) AS DOUBLE)
+             |    ELSE 127.0 * 1152921504606846976 / CAST(a[128] AS DOUBLE)
+             |    END, 1) + 0.0 AS left_est,
+             |  round(CASE WHEN len(b) < 128 THEN CAST(len(b) AS DOUBLE)
+             |    ELSE 127.0 * 1152921504606846976 / CAST(b[128] AS DOUBLE)
+             |    END, 1) + 0.0 AS right_est,
+             |  round(CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+             |    ELSE 127.0 * 1152921504606846976 / CAST(u[128] AS DOUBLE)
+             |    END, 1) + 0.0 AS union_est,
+             |  round(CAST(matches AS DOUBLE) / CAST(m AS DOUBLE), 4) + 0.0
+             |    AS jacc_est,
+             |  round(CAST(matches AS DOUBLE) / CAST(m AS DOUBLE)
+             |    * (CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+             |       ELSE 127.0 * 1152921504606846976 / CAST(u[128] AS DOUBLE)
+             |       END), 1) + 0.0 AS inter_est
+             |FROM calc, ex""".stripMargin)),
+
+    // Equi-depth binning from the histogram sketch (Stats
+    // .equiDepthBins): per-language length quartiles WITHOUT the
+    // per-group global sort `ntile` would cost — one sketch pass fixes
+    // the 3 boundary values per group, then bin assignment is a
+    // narrow map against the broadcast boundary table. Boundaries
+    // compare UNROUNDED on both engines (rounding could flip a value
+    // across a bin edge). The per-bin counts this emits show the
+    // ~equal depth.
+    QueryDef("q155_equidepth_bins",
+      (s, dir) => Stats.equiDepthBins(
+          t(s, dir, "documents"), "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256, bins = 4)
+        .groupBy("lang", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "bin"),
+      Some("""WITH v AS (
+             |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL),
+             |b AS (SELECT lang, CAST(least(greatest(floor(v / 4.0), 0), 255)
+             |        AS BIGINT) AS b FROM v),
+             |c AS (SELECT lang, b, count(*) AS cnt FROM b GROUP BY lang, b),
+             |cc AS (SELECT lang, b, cnt,
+             |         sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             |         sum(cnt) OVER (PARTITION BY lang) AS total
+             |       FROM c),
+             |p AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
+             |est AS (
+             |  SELECT lang, p, 4.0 * (CAST(b AS DOUBLE)
+             |    + (p * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             |      / CAST(cnt AS DOUBLE)) AS est_raw
+             |  FROM cc, p
+             |  WHERE CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
+             |    AND CAST(cum - cnt AS DOUBLE) < p * CAST(total AS DOUBLE)),
+             |bounds AS (SELECT lang, list_sort(list(est_raw)) AS bs
+             |           FROM est GROUP BY lang)
+             |SELECT d.lang, CAST(len(list_filter(b.bs,
+             |    x -> x <= CAST(d.n_chars AS DOUBLE))) AS INTEGER) AS bin,
+             |  count(*) AS n
+             |FROM documents d JOIN bounds b ON d.lang = b.lang
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic MERGE (ops/Merge.upsert — the lakehouse
+    // `MERGE INTO` apply step after q127's CDC audit): one
+    // co-partitioned full outer join lands a change batch (updates
+    // whose nulls win, flagged deletes, unmatched inserts) onto the
+    // base in base-schema shape. The batch here touches ~25% of
+    // customer (every 10th key updated, every 17th deleted, every
+    // 13th re-inserted under a shifted key); the oracle constructs
+    // the final state set-algebraically and aggregates both.
+    QueryDef("q156_merge_upsert",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val upd = cust
+          .filter(col("c_custkey") % 10 === 0 && col("c_custkey") % 17 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+          .withColumn("_delete", lit(false))
+        val del = cust.filter(col("c_custkey") % 17 === 0)
+          .withColumn("_delete", lit(true))
+        val ins = cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+            col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+          .withColumn("_delete", lit(false))
+        Merge.upsert(cust, upd.unionByName(del).unionByName(ins), "c_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum("c_acctbal"), 2).as("total_bal"),
+            countDistinct("c_custkey").as("n_keys"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0),
+             |ins AS (
+             |  SELECT c_custkey + 1000000 AS c_custkey,
+             |    'new_' || CAST(c_custkey AS VARCHAR) AS c_name,
+             |    c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 13 = 0),
+             |keep AS (
+             |  SELECT * FROM customer
+             |  WHERE c_custkey % 17 <> 0 AND c_custkey % 10 <> 0),
+             |final AS (SELECT * FROM keep UNION ALL SELECT * FROM upd
+             |          UNION ALL SELECT * FROM ins)
+             |SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(c_acctbal), 2) AS total_bal,
+             |  count(DISTINCT c_custkey) AS n_keys
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCD Type-2 history build (ops/Scd2.history): three synthesized
+    // customer versions (v2 bumps nationkey for every 7th key and
+    // drops every 11th; v3 restores the dropped keys and moves every
+    // 5th key's segment) collapse into validity intervals — per-key
+    // windows over the version log, the fingerprint computed in the
+    // scan projection. A key absent in v2 that returns in v3 with
+    // UNCHANGED content stays one unbroken run (fingerprint-equality
+    // semantics, pinned in Scd2Spec).
+    QueryDef("q157_scd2_history",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+        val bump = when(col("c_custkey") % 7 === 0,
+          col("c_nationkey") + 1).otherwise(col("c_nationkey"))
+        val v1 = cust.withColumn("ver", lit(1))
+        val v2 = cust.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_nationkey", bump)
+          .withColumn("ver", lit(2))
+        val v3 = cust
+          .withColumn("c_nationkey", bump)
+          .withColumn("c_mktsegment", when(col("c_custkey") % 5 === 0,
+            lit("MOVED")).otherwise(col("c_mktsegment")))
+          .withColumn("ver", lit(3))
+        Scd2.history(v1.unionByName(v2).unionByName(v3),
+          "c_custkey", "ver", Seq("c_nationkey", "c_mktsegment"))
+          .groupBy("valid_from", "valid_to", "is_current")
+          .agg(count(lit(1)).as("n"), countDistinct("c_custkey").as("n_keys"))
+          .orderBy(col("valid_from"), col("valid_to").asc_nulls_first)
+      },
+      Some(s"""WITH v1 AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment, 1 AS ver
+             |  FROM customer),
+             |v2 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    c_mktsegment, 2 AS ver
+             |  FROM customer WHERE c_custkey % 11 <> 0),
+             |v3 AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+             |      ELSE c_nationkey END AS c_nationkey,
+             |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+             |      ELSE c_mktsegment END AS c_mktsegment,
+             |    3 AS ver FROM customer),
+             |vlog AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             |         UNION ALL SELECT * FROM v3),
+             |f AS (SELECT *, ${SnapshotDiff.duckFingerprint(
+                      Seq("c_nationkey", "c_mktsegment"))} AS fp
+             |      FROM vlog),
+             |g AS (SELECT *, CASE WHEN lag(fp) OVER w IS NULL
+             |        OR lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS nr
+             |      FROM f WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+             |r AS (SELECT *, sum(nr) OVER (
+             |        PARTITION BY c_custkey ORDER BY ver) AS run
+             |      FROM g),
+             |runs AS (SELECT c_custkey, run, min(ver) AS valid_from
+             |         FROM r GROUP BY 1, 2),
+             |iv AS (SELECT c_custkey, valid_from,
+             |         lead(valid_from) OVER (
+             |           PARTITION BY c_custkey ORDER BY valid_from) - 1
+             |           AS valid_to
+             |       FROM runs)
+             |SELECT valid_from, valid_to, valid_to IS NULL AS is_current,
+             |  count(*) AS n, count(DISTINCT c_custkey) AS n_keys
+             |FROM iv GROUP BY 1, 2, 3
+             |ORDER BY 1, 2 NULLS FIRST""".stripMargin)),
+
+    // Order-independent bucketed table checksums (ops/TableChecksum
+    // .compare — the Merkle-style anti-entropy primitive): a tampered
+    // customer copy (every 97th key deleted, every 101st segment
+    // rewritten) against the original. Each side ships 16 (count,
+    // XOR-of-fingerprints) rows; the differing buckets localize the
+    // damage without either side shipping a row. The oracle recomputes
+    // both sides' checksums with DuckDB's bit_xor over the same
+    // portable fingerprints.
+    QueryDef("q158_table_checksum",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val tampered = cust.filter(col("c_custkey") % 97 =!= 0)
+          .withColumn("c_mktsegment", when(col("c_custkey") % 101 === 0,
+            lit("X")).otherwise(col("c_mktsegment")))
+        TableChecksum.compare(cust, tampered, "c_custkey",
+          Seq("c_name", "c_nationkey", "c_mktsegment"), buckets = 16)
+          .orderBy("bucket")
+      },
+      Some(s"""WITH tam AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 101 = 0 THEN 'X'
+             |      ELSE c_mktsegment END AS c_mktsegment
+             |  FROM customer WHERE c_custkey % 97 <> 0),
+             |ca AS (
+             |  SELECT ${Hashing.duckPortableHash(
+                    "CAST(c_custkey AS VARCHAR)")} % 16 AS bucket,
+             |    count(*) AS n_a,
+             |    bit_xor(${SnapshotDiff.duckFingerprint(Seq("c_custkey",
+                      "c_name", "c_nationkey", "c_mktsegment"))}) AS xor_a
+             |  FROM customer GROUP BY 1),
+             |cb AS (
+             |  SELECT ${Hashing.duckPortableHash(
+                    "CAST(c_custkey AS VARCHAR)")} % 16 AS bucket,
+             |    count(*) AS n_b,
+             |    bit_xor(${SnapshotDiff.duckFingerprint(Seq("c_custkey",
+                      "c_name", "c_nationkey", "c_mktsegment"))}) AS xor_b
+             |  FROM tam GROUP BY 1)
+             |SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+             |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             |  (coalesce(n_a, 0) = coalesce(n_b, 0)
+             |    AND coalesce(xor_a, 0) = coalesce(xor_b, 0)) AS is_match
+             |FROM ca FULL JOIN cb ON ca.bucket = cb.bucket
+             |ORDER BY 1""".stripMargin)),
+
+    // Incremental aggregate maintenance (ops/IncrementalAgg — IVM for
+    // distributive aggregates): the per-returnflag (count, sum) view
+    // is built WITHOUT the final 10% of orders, then a signed delta
+    // batch (those orders as +1 inserts, every 7th already-counted
+    // order as −1 retractions) folds in via one batch-sized aggregate
+    // + one full outer join on the group keyspace. The oracle
+    // re-aggregates the final row set DIRECTLY, so the query is green
+    // only if state ⊕ Δ ≡ recompute — exactly (l_quantity is
+    // integral-valued, so the sums are order-independent integers).
+    QueryDef("q159_incremental_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val base = li.filter(col("l_orderkey") % 10 =!= 0)
+        val st = IncrementalAgg.state(base, "l_returnflag", "l_quantity")
+        val inserts = li.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("sign", lit(1))
+        val retractions = li
+          .filter(col("l_orderkey") % 10 =!= 0 && col("l_orderkey") % 7 === 0)
+          .withColumn("sign", lit(-1))
+        IncrementalAgg.applyDelta(st, inserts.unionByName(retractions),
+          "l_returnflag", "l_quantity", "sign")
+          .select(col("l_returnflag"), col("n"),
+            round(col("total"), 2).as("total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(CAST(l_quantity AS DOUBLE)), 2) AS total
+             |FROM lineitem
+             |WHERE l_orderkey % 10 = 0
+             |   OR (l_orderkey % 10 <> 0 AND l_orderkey % 7 <> 0)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Distribution-drift gate (ops/Drift.ksFromHists): two-sample KS
+    // statistic per language between the even-id documents and the
+    // odd-id documents with n_chars shifted +100 (a simulated
+    // longer-docs corpus version) — computed ENTIRELY from two
+    // graft_hist sketches; neither sample ships a row. KS at bucket
+    // edges is exact for the binned distributions (integer counts,
+    // one division), so the oracle rebuilds both CDFs on a dense
+    // bucket grid and reproduces the statistic bit-for-bit.
+    QueryDef("q160_ks_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+        val b = docs.filter(col("doc_id") % 2 =!= 0)
+          .withColumn("n_chars", col("n_chars") + lit(100L))
+        Drift.ksFromHists(a, b, "lang", "n_chars",
+          lo = 0.0, hi = 1024.0, nbins = 256)
+          .orderBy("lang")
+      },
+      Some("""WITH aa AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars AS DOUBLE) / 4.0), 0), 255) AS BIGINT)
+             |      AS b
+             |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+             |bb AS (
+             |  SELECT lang, CAST(least(greatest(
+             |      floor(CAST(n_chars + 100 AS DOUBLE) / 4.0), 0), 255)
+             |      AS BIGINT) AS b
+             |  FROM documents WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+             |langs AS (SELECT DISTINCT lang FROM documents),
+             |grid AS (SELECT lang, s AS b FROM langs
+             |         CROSS JOIN (SELECT unnest(range(256)) AS s)),
+             |ka AS (SELECT lang, b, count(*) AS c FROM aa GROUP BY 1, 2),
+             |kb AS (SELECT lang, b, count(*) AS c FROM bb GROUP BY 1, 2),
+             |j AS (SELECT g.lang, g.b, coalesce(ka.c, 0) AS ca,
+             |        coalesce(kb.c, 0) AS cb
+             |      FROM grid g
+             |      LEFT JOIN ka ON g.lang = ka.lang AND g.b = ka.b
+             |      LEFT JOIN kb ON g.lang = kb.lang AND g.b = kb.b),
+             |cum AS (SELECT lang, b,
+             |          sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+             |          sum(ca) OVER wa AS n_a, sum(cb) OVER wa AS n_b
+             |        FROM j
+             |        WINDOW w AS (PARTITION BY lang ORDER BY b),
+             |               wa AS (PARTITION BY lang))
+             |SELECT lang, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  round(max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |    - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))), 4) + 0.0
+             |    AS ks
+             |FROM cum WHERE n_a > 0 AND n_b > 0
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
+  )
+}
