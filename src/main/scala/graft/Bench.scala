@@ -72,6 +72,16 @@ object Bench {
     val failed = results.count(!_._4)
     val spreadField = if (repeat > 1) s""","spread":$spreads""" else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"passes":$repeat$spreadField,"sf":"$sfDir"}""")
+    // Tail summary (round 14, VERDICT r13 task 3): the full per-query
+    // map above can overflow the driver's bounded tail capture
+    // (BENCH_r13.json parsed as null). Print a LAST line compact
+    // enough to always survive any tail truncation, so the artifact's
+    // final line is parseable truth even when the map is cut off.
+    val slowest = results.filter(_._4).sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val spreadGt5 = results.count { case (_, _, s, ok) => ok && s > 5.0 }
+    println(f"""{"metric":"summary","total_s":$total%.3f,"n":${results.size},"failed":$failed,"passes":$repeat,"spread_gt5":$spreadGt5,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,7 +52,8 @@ object IndexProbe {
       val batch = docs.where(col("doc_id") % 97 === r)
       emit("minhash", "probe", r, time(
         Dedup.incrementalNearDupsFromIndex(batch, "doc_id", "text",
-          spark.table("ip_mh_bands"), spark.table("ip_mh_toks"),
+          Layout.table(spark, "ip_mh_bands"),
+          Layout.table(spark, "ip_mh_toks"),
           k = 64, bands = 8, threshold = 0.8)))
       emit("minhash", "inline", r, time(
         Dedup.incrementalNearDups(batch, docs, "doc_id", "text",
@@ -72,7 +73,7 @@ object IndexProbe {
         .localCheckpoint(true)
       emit("ivf_sq8", "probe", r, time(
         Similarity.ivfSq8TopKFromIndex(emb, queries, cents,
-          spark.table("ip_ivf_idx"), "vec_id", "embedding",
+          Layout.table(spark, "ip_ivf_idx"), "vec_id", "embedding",
           k = 3, nProbe = 2, shortlist = 20)))
       emit("ivf_sq8", "inline", r, time(
         Similarity.ivfSq8TopK(emb, queries, cents,
@@ -92,8 +93,8 @@ object IndexProbe {
     for (r <- 1 to reps) {
       val terms = termSets(r % termSets.length)
       emit("bm25", "probe", r, time(
-        Retrieval.bm25TopKFromIndex(spark.table("ip_bm25_post"),
-          spark.table("ip_bm25_stats"), "doc_id", terms, k = 10)))
+        Retrieval.bm25TopKFromIndex(Layout.table(spark, "ip_bm25_post"),
+          Layout.table(spark, "ip_bm25_stats"), "doc_id", terms, k = 10)))
       emit("bm25", "inline", r, time(
         Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)))
     }
@@ -112,7 +113,7 @@ object IndexProbe {
     })
     for (r <- 1 to reps) {
       emit("cluster_map", "probe", r, time(
-        Components.clustersFromIndex(spark.table("ip_cmap"))))
+        Components.clustersFromIndex(Layout.table(spark, "ip_cmap"))))
       emit("cluster_map", "inline", r, time {
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
           k = 64, bands = 8, threshold = 0.8)
@@ -145,11 +146,15 @@ object IndexProbe {
         "ip_hist", "source", buckets = 8)
     })
     for (r <- 1 to reps) {
-      emit("dashboard", "probe", r, time(
+      emit("dashboard", "probe", r, time {
+        // one manifest snapshot pins all four index versions — the
+        // dashboard can never mix a fresh cluster map with stale HLLs
+        val snap = Layout.snapshot(spark)
         CorpusPipeline.healthFromIndexes(
-          spark.table("ip_cmap"), spark.table("ip_docstore"),
-          spark.table("ip_hll"), spark.table("ip_hist"),
-          "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)))
+          snap.table("ip_cmap"), snap.table("ip_docstore"),
+          snap.table("ip_hll"), snap.table("ip_hist"),
+          "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)
+      })
       emit("dashboard", "inline", r, time {
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
           k = 64, bands = 8, threshold = 0.8)
@@ -177,7 +182,7 @@ object IndexProbe {
 
     Seq("ip_mh_bands", "ip_mh_toks", "ip_ivf_idx", "ip_bm25_post",
       "ip_bm25_stats", "ip_cmap", "ip_docstore", "ip_hll", "ip_hist")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => Layout.drop(spark, t))
     spark.stop()
   }
 }

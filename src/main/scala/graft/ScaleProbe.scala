@@ -273,6 +273,17 @@ object ScaleProbe {
           graft.ops.Drift.sinkhornToReference(
             df, "source", "n_chars", lo = 0.0, hi = 1024.0,
             nbins = 16, eps = 0.1, iters = 8)),
+        // Round-14 (VERDICT r13 task 7): the trust tier's tiling row.
+        // Pairs + 5 pinned rank rounds over edge endpoints only —
+        // expect the minhash_pairs growth plus a round floor that does
+        // NOT grow with tiles (disjoint graphs iterate in parallel).
+        "trustrank" -> (() => {
+          val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.8)
+          PageRank.personalized(df, "doc_id", pairs, "id_a", "id_b",
+            df.filter(col("doc_id") % 17 === 0).select("doc_id"),
+            "doc_id", damping = 0.85, iters = 5)
+        }),
         // Same corpus-independent floor claim as sinkhorn_ot, with the
         // dense groups × bins grid.
         "ot_barycenter" -> (() =>
@@ -284,6 +295,40 @@ object ScaleProbe {
       // dedup_clusters / histogram rows above); the timed body is the
       // index-only probe, whose cost should track the INDEX size
       // (docs × small constants), not corpus text volume.
+      // Forget-audit fixture (round 14, VERDICT r13 task 7): the
+      // cluster map the RTBF cycle mutates is built UNTIMED per
+      // (rep, tile) — its build cost is the dedup_clusters row — so
+      // the timed body is the audit → forgetKeys → audit cycle
+      // itself: two membership anti-join audits plus one versioned
+      // index rewrite. Expect ~linear in the index (map rows), with
+      // the versioned-publish constant on top.
+      val forgetOn = opFilter.forall(_.contains("forget_audit"))
+      if (forgetOn) {
+        val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.8).localCheckpoint(true)
+        Components.writeClusterIndex(spark, df, "doc_id", pairs,
+          "id_a", "id_b", "sp_cmap_f", buckets = 8)
+      }
+      val forgetOps: Seq[(String, () => DataFrame)] =
+        if (!forgetOn) Seq.empty
+        else Seq("forget_audit" -> (() => {
+          import graft.ops.Reconcile
+          import graft.sources.Layout
+          val deleted = df.filter(col("doc_id") % 50L === 0L)
+            .select("doc_id")
+          val remaining = df.select("doc_id")
+            .join(deleted, Seq("doc_id"), "left_anti")
+          val pre = Reconcile.indexSync(remaining, "doc_id",
+              Layout.table(spark, "sp_cmap_f"), "doc_id")
+            .withColumn("phase", lit("pre_forget"))
+            .localCheckpoint(true)
+          Layout.forgetKeys(spark, "sp_cmap_f", "doc_id", "doc_id",
+            deleted, buckets = 8)
+          val post = Reconcile.indexSync(remaining, "doc_id",
+              Layout.table(spark, "sp_cmap_f"), "doc_id")
+            .withColumn("phase", lit("post_forget"))
+          pre.unionByName(post)
+        }))
       val dashboardOn = opFilter.forall(_.contains("health_probe"))
       if (dashboardOn) {
         import graft.ops.{CardinalityEstimate, Components,
@@ -309,14 +354,16 @@ object ScaleProbe {
       }
       val probeOps: Seq[(String, () => DataFrame)] =
         if (!dashboardOn) Seq.empty
-        else Seq("health_probe" -> (() =>
+        else Seq("health_probe" -> (() => {
+          // single manifest snapshot = mutually-consistent versions
+          val snap = graft.sources.Layout.snapshot(spark)
           graft.ops.CorpusPipeline.healthFromIndexes(
-            graft.sources.Layout.table(spark, "sp_cmap"),
-            graft.sources.Layout.table(spark, "sp_docstore"),
-            graft.sources.Layout.table(spark, "sp_hll"),
-            graft.sources.Layout.table(spark, "sp_hist"),
-            "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)))
-      (ops.filter(o => opFilter.forall(_.contains(o._1))) ++ probeOps)
+            snap.table("sp_cmap"), snap.table("sp_docstore"),
+            snap.table("sp_hll"), snap.table("sp_hist"),
+            "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)
+        }))
+      (ops.filter(o => opFilter.forall(_.contains(o._1))) ++ forgetOps ++
+        probeOps)
         .foreach { case (name, f) =>
           val sec = time(f())
           println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
@@ -423,6 +470,8 @@ object ScaleProbe {
         raw.unpersist()
       }
     }
+    Seq("sp_cmap", "sp_cmap_f", "sp_docstore", "sp_hll", "sp_hist")
+      .foreach(t => graft.sources.Layout.drop(spark, t))
     spark.stop()
   }
 }

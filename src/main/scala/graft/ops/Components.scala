@@ -697,10 +697,11 @@ object Components {
     * over the unioned corpus — property-tested on split corpora,
     * including batch docs bridging two existing clusters.
     *
-    * At-least-once caveat (same as the band-index ingest): the
-    * append is not atomic under foreachBatch replay; a replayed
-    * batch re-appends identical relabel rows, which the min-resolve
-    * absorbs harmlessly (labels are idempotent under re-append).
+    * Delivery: pass `batchId` from a foreachBatch maintainer and the
+    * relabel append commits through a batch-id-keyed idempotent move
+    * (exactly-once — a replay is a no-op). Without a batch id the
+    * append is at-least-once, which the min-resolve still absorbs
+    * harmlessly (labels are idempotent under re-append).
     *
     * @param batchDocs  new docs (`idCol` long-castable)
     * @param batchPairs near-dup pairs WITHIN the batch
@@ -714,8 +715,8 @@ object Components {
       batchDocs: DataFrame, idCol: String,
       batchPairs: DataFrame, srcCol: String, dstCol: String,
       crossPairs: DataFrame, batchIdCol: String, indexIdCol: String,
-      buckets: Int = 32): Unit = {
-    val stored = spark.table(table)
+      buckets: Int = 32, batchId: Option[Long] = None): Unit = {
+    val stored = graft.sources.Layout.table(spark, table)
     // 1. current labels of the touched index endpoints
     val touchedIds = crossPairs
       .select(col(indexIdCol).cast("long").as("doc_id")).distinct()
@@ -747,9 +748,16 @@ object Components {
         col("component").as("old_component")), "id")
       .where(col("component") < col("old_component"))
       .select(col("id").as("doc_id"), col("component"))
-    graft.sources.Layout.appendBucketed(
-      batchRows.union(changed).distinct(), table, "doc_id", buckets)
-    spark.catalog.refreshTable(table)
+    val delta = batchRows.union(changed).distinct()
+    batchId match {
+      // streaming path: batch-id-keyed idempotent move — a replayed
+      // merge leaves the stored files byte-identical (exactly-once)
+      case Some(id) => graft.sources.Layout.idempotentAppendBucketed(
+        delta, table, "doc_id", buckets, batchId = id)
+      case None => graft.sources.Layout.appendBucketed(
+        delta, table, "doc_id", buckets)
+    }
+    graft.sources.Layout.refresh(spark, table)
   }
 
   /** Generation compaction for the cluster map — the index-specific
@@ -763,9 +771,9 @@ object Components {
     * after compaction the probe's min-resolve aggregates one row per
     * group. Safe at any time: resolve-then-rewrite commutes with the
     * min-resolve probes (min over one generation = that generation),
-    * and like the other Layout heals the resolved frame materializes
-    * (localCheckpoint inside replaceBucketed's input) before the
-    * source table drops.
+    * and the versioned publish (round 14) makes it atomic: the
+    * resolve reads version N's files while version N+1 writes, and
+    * the pre-compaction index stays live until the manifest commit.
     *
     * Run it when merge generations accumulate (monitor
     * `count(*)/count(distinct doc_id)`); between compactions probes
@@ -774,11 +782,9 @@ object Components {
   def compactClusterIndex(
       spark: org.apache.spark.sql.SparkSession, table: String,
       buckets: Int = 32): Unit = {
-    val resolved = spark.table(table)
+    val resolved = graft.sources.Layout.table(spark, table)
       .groupBy(col("doc_id")).agg(min("component").as("component"))
-      .localCheckpoint(true)
     graft.sources.Layout.replaceBucketed(spark, resolved, table,
       "doc_id", buckets)
-    spark.catalog.refreshTable(table)
   }
 }

@@ -1817,8 +1817,11 @@ private[queries] object QueriesCore {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id").between(100, 104))
-        val cents = Similarity.trainCentroids(
-          emb, "vec_id", "embedding", k = 8, iters = 2)
+        // Round 14: audit the SHIPPED index — codebook and SQ8 codes
+        // come from the persisted tables (ensureAnnIndex), not an
+        // inline retrain; only the eval-bounded brute-force ground
+        // truth (5 queries) touches raw vectors beyond one scan.
+        val cents = annCents(s, dir)
         val brute = Similarity.bruteForceTopK(
           emb, qs, "vec_id", "embedding", k = 10)
           .select("query_id", "neighbor_id")
@@ -1829,9 +1832,9 @@ private[queries] object QueriesCore {
             .select(lit(m).as("method"), col("hits"))
         hits("ivf", Similarity.ivfTopK(
             emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2))
-          .unionByName(hits("ivf_sq8", Similarity.ivfSq8TopK(
-            emb, qs, cents, "vec_id", "embedding", k = 10, nProbe = 2,
-            shortlist = 20)))
+          .unionByName(hits("ivf_sq8", Similarity.ivfSq8TopKFromIndex(
+            emb, qs, cents, annCodes(s, dir), "vec_id", "embedding",
+            k = 10, nProbe = 2, shortlist = 20)))
           .unionByName(hits("jl", Similarity.jlTopK(
             emb, qs, "vec_id", "embedding", k = 10)))
           .unionByName(hits("lsh", Similarity.lshTopK(

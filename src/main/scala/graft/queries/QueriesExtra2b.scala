@@ -1726,16 +1726,11 @@ private[queries] object QueriesExtra2b {
     QueryDef("q306_ivf_sq8_from_index",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cents = Similarity.trainCentroids(
-          emb, "vec_id", "embedding", k = 8, iters = 2)
-          .localCheckpoint(true)
-        val table = "graft_ivf_sq8_idx"
-        Layout.replaceBucketed(s,
-          Similarity.buildIvfSq8Index(emb, cents, "vec_id", "embedding"),
-          table, "cell_id", buckets = 8)
+        // Round 14: codebook and codes probe the shared persisted
+        // tables (ensureAnnIndex) instead of re-training per run.
         Similarity.ivfSq8TopKFromIndex(
-          emb, emb.filter(col("vec_id").between(100, 104)), cents,
-          Layout.table(s, table), "vec_id", "embedding",
+          emb, emb.filter(col("vec_id").between(100, 104)),
+          annCents(s, dir), annCodes(s, dir), "vec_id", "embedding",
           k = 3, nProbe = 2, shortlist = 20)
           .orderBy("query_id", "rank")
       },

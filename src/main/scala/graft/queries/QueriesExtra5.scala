@@ -1077,10 +1077,16 @@ private[queries] object QueriesExtra5 {
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")
         val indexed = docs.filter(col("doc_id") < 300)
-        val pairs = Dedup.minhashNearDups(indexed, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
-        Components.writeClusterIndex(s, indexed, "doc_id", pairs,
-          "id_a", "id_b", "graft_cluster_map_f", buckets = 8)
+        // Round 14: the audit fixture is the doc_id < 300 MEMBERSHIP
+        // slice of the persisted corpus cluster map — indexSync reads
+        // membership only (labels ride along), so slicing the stored
+        // index replaces the per-run minhash + component rebuild with
+        // one bucket-layout copy of 300 rows.
+        ensureNearDupIndex(s, dir)
+        Layout.replaceBucketed(s,
+          Layout.table(s, "graft_cluster_map")
+            .filter(col("doc_id") < 300),
+          "graft_cluster_map_f", "doc_id", buckets = 8)
         val deleted = indexed
           .filter(col("doc_id") % 50L === 0L).select("doc_id")
         val remaining = indexed
@@ -1219,11 +1225,15 @@ private[queries] object QueriesExtra5 {
             "source", "_shard", "n_chars", lo = 0.0, hi = 1024.0,
             nbins = 256),
           "graft_dash_hist", "source", buckets = 8)
+        // ONE manifest snapshot resolves all four indexes — a
+        // mid-refresh reader cannot mix cluster-map v2 with HLL v1
+        // (round-14 task 8; pinned in LayoutSpec).
+        val snap = Layout.snapshot(s)
         CorpusPipeline.healthFromIndexes(
-          Layout.table(s, "graft_cluster_map"),
-          Layout.table(s, "graft_dash_docstore"),
-          Layout.table(s, "graft_dash_hll"),
-          Layout.table(s, "graft_dash_hist"),
+          snap.table("graft_cluster_map"),
+          snap.table("graft_dash_docstore"),
+          snap.table("graft_dash_hll"),
+          snap.table("graft_dash_hist"),
           "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)
           .orderBy("source")
       },
@@ -1540,8 +1550,10 @@ private[queries] object QueriesExtra5 {
     QueryDef("q372_trustrank",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // Round 14: the trust graph's edges probe the persisted
+        // verified-pairs table (same slice + parameters) instead of
+        // re-running minhash — only the 5 pinned rank rounds remain.
+        val pairs = ndPairs(s, dir)
         PageRank.personalized(docs, "doc_id", pairs, "id_a", "id_b",
             docs.filter(col("doc_id") % 17 === 0).select("doc_id"),
             "doc_id", damping = 0.85, iters = 5)
@@ -1564,6 +1576,201 @@ private[queries] object QueriesExtra5 {
           |LEFT JOIN pre5 p USING (id)
           |LEFT JOIN prseeds s ON s.id = nd.id
           |CROSS JOIN isoS5
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Round 14. Eval-set decontamination served FROM the standing
+    // index (Dedup.incrementalNearDupsFromIndex over the persisted
+    // graft_nd_bands/graft_nd_toks): the benchmark suite arrives as
+    // NEW documents (here: every 97th doc truncated by its last two
+    // tokens — near-dup to its source by construction, so both
+    // engines derive identical eval texts), probes the stored band
+    // index exactly like a crawl batch, and every corpus doc whose
+    // verified jaccard ≥ 0.8 against ANY eval doc is flagged. Per
+    // source: corpus size, contaminated count, ppm. At 100 TB this is
+    // the only viable shape — the corpus is never re-signed; the eval
+    // set (thousands of docs) pays one batch-sized probe against
+    // bucket-pruned bands.
+    QueryDef("q373_decontaminate_from_index",
+      (s, dir) => {
+        ensureNearDupIndex(s, dir)
+        val docs = t(s, dir, "documents")
+        val tkraw = filter(split(col("text"), " +"), t => t =!= "")
+        val bench = docs
+          .filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            array_join(slice(tkraw, lit(1),
+              greatest(size(tkraw) - 2, lit(1))), " ").as("text"))
+        val hits = Dedup.incrementalNearDupsFromIndex(
+          bench, "doc_id", "text",
+          Layout.table(s, "graft_nd_bands"),
+          Layout.table(s, "graft_nd_toks"),
+          k = 64, bands = 8, threshold = 0.8)
+        val contaminated = hits
+          .select(col("index_id").as("doc_id")).distinct()
+          .withColumn("hit", lit(1L))
+        docs.filter(col("doc_id") < 1000)
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+              .as("n_contaminated"))
+          .withColumn("contaminated_ppm",
+            expr("n_contaminated * 1000000 DIV n_docs"))
+          .orderBy("source")
+      },
+      Some("WITH b0 AS (SELECT doc_id, list_filter(\n" +
+        "    string_split_regex(text, ' +'), t -> t <> '') AS tkraw\n" +
+        "  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 1000),\n" +
+        "benchsrc AS (SELECT doc_id + 10000 AS doc_id,\n" +
+        "    array_to_string(list_slice(tkraw, 1,\n" +
+        "      greatest(len(tkraw) - 2, 1)), ' ') AS text FROM b0),\n" +
+        minhashSigCtes("i", "doc_id < 1000") + ",\n" +
+        minhashSigCtes("b", "1 = 1", from = "benchsrc") + ",\n" +
+        """dcand AS (
+          |  SELECT DISTINCT l.doc_id AS batch_id, r.doc_id AS index_id
+          |  FROM bbands l JOIN ibands r ON l.band_hash = r.band_hash),
+          |dver AS (
+          |  SELECT c.batch_id, c.index_id,
+          |    round(CAST(len(list_intersect(a.tk, t2.tk)) AS DOUBLE) /
+          |      (len(a.tk) + len(t2.tk) -
+          |       len(list_intersect(a.tk, t2.tk))), 4) AS jaccard
+          |  FROM dcand c
+          |  JOIN btoks a ON a.doc_id = c.batch_id
+          |  JOIN itoks t2 ON t2.doc_id = c.index_id),
+          |cont AS (SELECT DISTINCT index_id AS doc_id FROM dver
+          |         WHERE jaccard >= 0.8)
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_contaminated,
+          |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    * 1000000 // count(*) AS BIGINT) AS contaminated_ppm
+          |FROM documents d LEFT JOIN cont c USING (doc_id)
+          |WHERE d.doc_id < 1000
+          |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // Round 14. Canary leak detection: deterministic canary markers
+    // are planted on every 97th doc (id-derived canary class, the
+    // q333/q366 planted-ground-truth pattern), then detection reads
+    // ONLY the text — a regex scan for the canary shape — and reports
+    // per source: docs carrying a canary, distinct canary classes
+    // seen, total marker hits. The eval-governance loop ("did our
+    // held-out canaries leak into the training mix?") as a pure
+    // narrow pass riding the corpus scan — no shuffle beyond the
+    // source rollup at any scale.
+    QueryDef("q374_canary_leak",
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 97 === 0,
+              concat(col("text"), lit(" CANARY-"),
+                (col("doc_id") % 7).cast("string"), lit("-END")))
+              .otherwise(col("text")).as("text"))
+        planted
+          .select(col("source"),
+            regexp_extract(col("text"), "CANARY-([0-9]+)-END", 1)
+              .as("canary"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("canary") =!= "", 1L).otherwise(0L))
+              .as("n_leaked"),
+            countDistinct(when(col("canary") =!= "", col("canary")))
+              .as("n_canary_classes"))
+          .orderBy("source")
+      },
+      Some("""WITH planted AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 97 = 0 THEN text || ' CANARY-' ||
+             |      CAST(doc_id % 7 AS VARCHAR) || '-END'
+             |    ELSE text END AS text
+             |  FROM documents),
+             |det AS (SELECT source,
+             |    regexp_extract(text, 'CANARY-([0-9]+)-END', 1) AS canary
+             |  FROM planted)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN canary <> '' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_leaked,
+             |  CAST(count(DISTINCT CASE WHEN canary <> '' THEN canary END)
+             |    AS BIGINT) AS n_canary_classes
+             |FROM det GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Round 14. Family-wide right-to-be-forgotten: one deletion set
+    // removed from EVERY member of the persisted index family — band
+    // rows (bucket layout kept), token arrays, and the cluster map —
+    // with a per-(table, phase) audit proving total rows and
+    // deleted-key rows before/after. Each forget is an atomic
+    // versioned rewrite (Layout.forgetKeys post-r14: the pre-forget
+    // version stays live until the manifest commit, so a crash
+    // mid-erasure can never lose an index — it re-runs). Fixtures are
+    // doc_id < 300 slices COPIED from the stored index family
+    // (bucket-layout copies, no minhash rebuild), so sibling queries
+    // probing the shared tables are untouched. Oracle = band/token
+    // set algebra over the same slice.
+    QueryDef("q375_forget_family",
+      (s, dir) => {
+        ensureNearDupIndex(s, dir)
+        Layout.replaceBucketed(s,
+          Layout.table(s, "graft_nd_bands").filter(col("doc_id") < 300),
+          "graft_nd_bands_f", "band_hash", buckets = 8)
+        Layout.replaceBucketed(s,
+          Layout.table(s, "graft_nd_toks").filter(col("doc_id") < 300),
+          "graft_nd_toks_f", "doc_id", buckets = 8)
+        Layout.replaceBucketed(s,
+          Layout.table(s, "graft_cluster_map")
+            .filter(col("doc_id") < 300),
+          "graft_cluster_map_g", "doc_id", buckets = 8)
+        val deleted = t(s, dir, "documents")
+          .filter(col("doc_id") < 300 && col("doc_id") % 50 === 0)
+          .select("doc_id").localCheckpoint(true)
+        val family = Seq(
+          ("bands", "graft_nd_bands_f", "band_hash"),
+          ("toks", "graft_nd_toks_f", "doc_id"),
+          ("cluster_map", "graft_cluster_map_g", "doc_id"))
+        def audit(phase: String) = family.map { case (nm, tb, _) =>
+          Layout.table(s, tb)
+            .join(deleted.withColumn("del", lit(1L)), Seq("doc_id"),
+              "left")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("del").isNotNull, 1L).otherwise(0L))
+                .as("n_deleted_rows"))
+            .select(lit(nm).as("idx"), lit(phase).as("phase"),
+              col("n_rows"), col("n_deleted_rows"))
+        }.reduce(_ unionByName _)
+        val pre = audit("pre_forget").localCheckpoint(true)
+        family.foreach { case (_, tb, bucketCol) =>
+          Layout.forgetKeys(s, tb, bucketCol, "doc_id", deleted,
+            buckets = 8)
+        }
+        pre.unionByName(audit("post_forget"))
+          .orderBy("idx", "phase")
+      },
+      Some("WITH " + minhashSigCtes("f", "doc_id < 300") + ",\n" +
+        """del AS (SELECT doc_id FROM documents
+          |  WHERE doc_id < 300 AND doc_id % 50 = 0),
+          |rows_per AS (
+          |  SELECT 'bands' AS idx,
+          |    CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0
+          |      END) AS BIGINT) AS n_del
+          |  FROM fbands b LEFT JOIN del d USING (doc_id)
+          |  UNION ALL
+          |  SELECT 'toks', CAST(count(*) AS BIGINT),
+          |    CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0
+          |      END) AS BIGINT)
+          |  FROM ftoks t2 LEFT JOIN del d USING (doc_id)
+          |  UNION ALL
+          |  SELECT 'cluster_map', CAST(count(*) AS BIGINT),
+          |    CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0
+          |      END) AS BIGINT)
+          |  FROM (SELECT DISTINCT doc_id FROM documents
+          |        WHERE doc_id < 300) c
+          |  LEFT JOIN del d USING (doc_id))
+          |SELECT idx, 'pre_forget' AS phase, n_rows,
+          |  n_del AS n_deleted_rows
+          |FROM rows_per
+          |UNION ALL
+          |SELECT idx, 'post_forget', n_rows - n_del,
+          |  CAST(0 AS BIGINT)
+          |FROM rows_per
+          |ORDER BY idx, phase""".stripMargin))
   )
 }

@@ -68,11 +68,63 @@ private[queries] object Shared {
           buckets = 8)
         Components.writeClusterIndex(s, slice, "doc_id",
           pairs, "id_a", "id_b", "graft_cluster_map", buckets = 8)
+        // Round 14: persist the PROBE half too — band rows (bucketed
+        // on the probe key) + token arrays — so decontamination and
+        // RTBF queries can hit the standing index without re-signing
+        // the corpus (q373/q375).
+        Layout.replaceBucketed(s,
+          Dedup.lshBands(slice, "doc_id", "text", 64, 8),
+          "graft_nd_bands", "band_hash", buckets = 8)
+        Layout.replaceTable(s,
+          Dedup.tokenIndex(slice, "doc_id", "text"), "graft_nd_toks")
         ndIdxBuilt += key
       }
     }
 
   /** Stored verified near-dup pairs (`id_a`, `id_b`, `jaccard`). */
+  /** Session-memoized ANN index build (round-14 task 4): train the
+    * k=8/iters=2 IVF codebook ONCE per session+dir, persist it
+    * (`graft_ivf_cents`, plain — k rows) beside the SQ8 codes table
+    * (`graft_ivf_sq8_idx`, `cell_id`-bucketed), and let every ANN
+    * query PROBE the stored pair. Until round 13, q67's recall audit
+    * and q306's stored-index search re-trained the codebook inline on
+    * every run — at 100 TB that is a full-corpus k-means per
+    * evaluation, and auditing a freshly-trained index is also the
+    * less honest eval (production serves the SHIPPED index). The
+    * stored tables are bit-identical to the inline build
+    * (trainCentroids rounds to 6 decimals exactly so float parquet
+    * round-trips exactly), so the DuckDB oracles are unchanged.
+    */
+  val annIdxBuilt = scala.collection.mutable.Set[String]()
+
+  def ensureAnnIndex(s: SparkSession, dir: String): Unit =
+    annIdxBuilt.synchronized {
+      val key = s.conf.get("spark.sql.warehouse.dir") + "|" + dir
+      if (!annIdxBuilt.contains(key)) {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+          .localCheckpoint(true)
+        Layout.replaceTable(s, cents, "graft_ivf_cents")
+        Layout.replaceBucketed(s,
+          Similarity.buildIvfSq8Index(emb, cents, "vec_id", "embedding"),
+          "graft_ivf_sq8_idx", "cell_id", buckets = 8)
+        annIdxBuilt += key
+      }
+    }
+
+  /** Stored IVF codebook (schema = trainCentroids output). */
+  def annCents(s: SparkSession, dir: String): DataFrame = {
+    ensureAnnIndex(s, dir)
+    Layout.table(s, "graft_ivf_cents")
+  }
+
+  /** Stored SQ8 codes, cell_id-bucketed. */
+  def annCodes(s: SparkSession, dir: String): DataFrame = {
+    ensureAnnIndex(s, dir)
+    Layout.table(s, "graft_ivf_sq8_idx")
+  }
+
   def ndPairs(s: SparkSession, dir: String): DataFrame = {
     ensureNearDupIndex(s, dir)
     Layout.table(s, "graft_nd_pairs")
@@ -641,11 +693,12 @@ private[queries] object Shared {
     * (the q44/q61/q83 self-join chain via [[minhashVerifiedCtes]] and
     * q93's batch-vs-index form) so the arithmetic cannot drift.
     */
-  def minhashSigCtes(p: String, where: String): String =
+  def minhashSigCtes(p: String, where: String,
+      from: String = "documents"): String =
     s"""${p}toks AS (
        |  SELECT doc_id, list_distinct(list_filter(
        |    string_split_regex(text, ' +'), t -> t <> '')) AS tk
-       |  FROM documents WHERE $where),
+       |  FROM $from WHERE $where),
        |${p}ph AS (
        |  SELECT doc_id, tk, list_transform(tk, t ->
        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS h31

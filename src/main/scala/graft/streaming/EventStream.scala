@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.sources.Layout
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -300,15 +301,14 @@ object EventStream {
     * standing corpus is signature-indexed exactly once.
     *
     * Emitted pairs land in `outTable` tagged with the micro-batch id.
-    * Delivery is AT-LEAST-ONCE, not exactly-once: foreachBatch replays
-    * a failed batch from the checkpoint, and the three appends (pairs,
-    * bands, toks) are not atomic — a crash between them re-appends
-    * index rows on retry, which surfaces as duplicate candidate pairs
-    * in later batches. Consumers must either dedup on
-    * (batch_id, index_id, ingest_batch) / distinct the index probe, or
-    * back the three tables with a transactional format whose
-    * replaceWhere(ingest_batch = N) makes the replay idempotent —
-    * plain parquet tables cannot delete-by-predicate.
+    * Delivery is EXACTLY-ONCE as of round 14: every append goes
+    * through [[graft.sources.Layout.idempotentAppendBucketed]] /
+    * `idempotentAppendTable` keyed by the micro-batch id — a replayed
+    * batch whose marker exists is skipped whole, and a crashed
+    * half-committed attempt is swept and re-staged to the identical
+    * file set, so the index never carries duplicates and probes never
+    * need a `distinct` (replay-parity is byte-asserted in
+    * StreamingModeSpec).
     */
   def incrementalDedupIngest(
       docs: DataFrame, bandsTable: String, toksTable: String,
@@ -316,7 +316,6 @@ object EventStream {
       k: Int = 16, bands: Int = 4, threshold: Double = 0.7)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ops.Dedup
-    import graft.sources.Layout
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -324,21 +323,22 @@ object EventStream {
         // The index tables grew LAST batch: drop any cached file
         // listing so this batch probes the appended state (session
         // relation caches do not see appends made by other clones).
-        sp.catalog.refreshTable(bandsTable)
-        sp.catalog.refreshTable(toksTable)
+        Layout.refresh(sp, bandsTable)
+        Layout.refresh(sp, toksTable)
         val b = batch.localCheckpoint(true)
-        Dedup.incrementalNearDupsFromIndex(b, "doc_id", "text",
-            sp.table(bandsTable), sp.table(toksTable),
-            k, bands, threshold)
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("append").saveAsTable(outTable)
+        Layout.idempotentAppendTable(
+          Dedup.incrementalNearDupsFromIndex(b, "doc_id", "text",
+              Layout.table(sp, bandsTable), Layout.table(sp, toksTable),
+              k, bands, threshold)
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
         // Index growth: the batch joins the standing corpus for every
         // LATER batch. Bands keep the bucket layout; toks append flat.
-        Layout.appendBucketed(
+        Layout.idempotentAppendBucketed(
           Dedup.lshBands(b, "doc_id", "text", k, bands),
-          bandsTable, "band_hash")
-        Dedup.tokenIndex(b, "doc_id", "text")
-          .write.mode("append").saveAsTable(toksTable)
+          bandsTable, "band_hash", batchId = batchId)
+        Layout.idempotentAppendTable(
+          Dedup.tokenIndex(b, "doc_id", "text"), toksTable, batchId)
         ()
       }
       .start()
@@ -353,8 +353,8 @@ object EventStream {
     * the standing corpus, emits hits with `cos >= minCos` into
     * `outTable` tagged by micro-batch, then appends the batch's codes
     * (cell_id-bucketed) and float vectors so later batches dedup
-    * against it. Same at-least-once caveat as the MinHash ingest:
-    * three non-atomic appends under foreachBatch replay.
+    * against it. Same exactly-once contract as the MinHash ingest:
+    * all three appends are batch-id-keyed idempotent moves.
     */
   def incrementalVectorIngest(
       vecs: DataFrame, centsTable: String, idxTable: String,
@@ -363,27 +363,28 @@ object EventStream {
       shortlist: Int = 20, minCos: Double = 0.0, buckets: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ops.Similarity
-    import graft.sources.Layout
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        sp.catalog.refreshTable(idxTable)
-        sp.catalog.refreshTable(vecsTable)
+        Layout.refresh(sp, idxTable)
+        Layout.refresh(sp, vecsTable)
         val b = batch.localCheckpoint(true)
-        val cents = sp.table(centsTable)
-        Similarity.ivfSq8TopKFromIndex(
-            sp.table(vecsTable), b, cents, sp.table(idxTable),
-            idCol, vecCol, k, nProbe, shortlist)
-          .where(col("cos") >= minCos)
-          .select(col("query_id").as("batch_id"),
-            col("neighbor_id").as("index_id"), col("rank"), col("cos"))
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("append").saveAsTable(outTable)
-        Layout.appendBucketed(
+        val cents = Layout.table(sp, centsTable)
+        Layout.idempotentAppendTable(
+          Similarity.ivfSq8TopKFromIndex(
+              Layout.table(sp, vecsTable), b, cents,
+              Layout.table(sp, idxTable),
+              idCol, vecCol, k, nProbe, shortlist)
+            .where(col("cos") >= minCos)
+            .select(col("query_id").as("batch_id"),
+              col("neighbor_id").as("index_id"), col("rank"), col("cos"))
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
+        Layout.idempotentAppendBucketed(
           Similarity.buildIvfSq8Index(b, cents, idCol, vecCol),
-          idxTable, "cell_id", buckets)
-        b.write.mode("append").saveAsTable(vecsTable)
+          idxTable, "cell_id", buckets, batchId = batchId)
+        Layout.idempotentAppendTable(b, vecsTable, batchId)
         ()
       }
       .start()
@@ -400,12 +401,10 @@ object EventStream {
     * standing query's top-k FROM the updated stored index into
     * `outTable` tagged with the micro-batch id.
     *
-    * Same at-least-once contract as the siblings: a replayed batch
-    * re-appends postings rows (healed by
-    * [[graft.sources.Layout.compactBucketed]] — postings are exact
-    * duplicates under replay, so `distinct` is the correct heal) and
-    * an IDENTICAL tagged stats row (healed by `bm25MergeStats`'s
-    * leading distinct, or the same compaction pass).
+    * Same exactly-once contract as the siblings: postings, the
+    * tagged stats partial, and the served top-k all commit through
+    * batch-id-keyed idempotent moves, so a replay is a no-op and no
+    * compaction heal is ever needed for correctness.
     */
   def incrementalPostingsIngest(
       docs: DataFrame, postingsTable: String, statsTable: String,
@@ -413,28 +412,29 @@ object EventStream {
       k: Int = 10, buckets: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ops.Retrieval
-    import graft.sources.Layout
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        sp.catalog.refreshTable(postingsTable)
-        sp.catalog.refreshTable(statsTable)
+        Layout.refresh(sp, postingsTable)
+        Layout.refresh(sp, statsTable)
         val b = batch.localCheckpoint(true)
-        Layout.appendBucketed(
+        Layout.idempotentAppendBucketed(
           Retrieval.bm25Postings(b, "doc_id", "text"),
-          postingsTable, "term", buckets)
-        Retrieval.bm25StatsPartial(b, "doc_id", "text")
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("append").saveAsTable(statsTable)
-        sp.catalog.refreshTable(postingsTable)
-        sp.catalog.refreshTable(statsTable)
-        Retrieval.bm25TopKFromIndex(
-            sp.table(postingsTable),
-            Retrieval.bm25MergeStats(sp.table(statsTable)),
-            "doc_id", queryTerms, k)
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("append").saveAsTable(outTable)
+          postingsTable, "term", buckets, batchId = batchId)
+        Layout.idempotentAppendTable(
+          Retrieval.bm25StatsPartial(b, "doc_id", "text")
+            .withColumn("ingest_batch", lit(batchId)),
+          statsTable, batchId)
+        Layout.refresh(sp, postingsTable)
+        Layout.refresh(sp, statsTable)
+        Layout.idempotentAppendTable(
+          Retrieval.bm25TopKFromIndex(
+              Layout.table(sp, postingsTable),
+              Retrieval.bm25MergeStats(Layout.table(sp, statsTable)),
+              "doc_id", queryTerms, k)
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
         ()
       }
       .start()
@@ -453,11 +453,11 @@ object EventStream {
     * rebuild over everything ingested so far (parity-tested in
     * StreamingModeSpec).
     *
-    * At-least-once contract: a replayed batch re-probes and re-merges
-    * — the relabel rows it re-appends are IDENTICAL (labels are
-    * idempotent under re-append; the min-resolve absorbs duplicates),
-    * so the cluster map needs no heal; the band/toks appends share
-    * [[incrementalDedupIngest]]'s compaction story.
+    * Exactly-once contract: the merge's relabel append and the
+    * band/toks appends all commit through batch-id-keyed idempotent
+    * moves ([[graft.ops.Components.mergeClusterIndex]] takes the
+    * batch id), so a replayed batch leaves the stored files
+    * byte-identical — no duplicate generations, no compaction heal.
     */
   def incrementalClusterIngest(
       docs: DataFrame, bandsTable: String, toksTable: String,
@@ -466,28 +466,28 @@ object EventStream {
       buckets: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ops.{Components, Dedup}
-    import graft.sources.Layout
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        sp.catalog.refreshTable(bandsTable)
-        sp.catalog.refreshTable(toksTable)
-        sp.catalog.refreshTable(clusterTable)
+        Layout.refresh(sp, bandsTable)
+        Layout.refresh(sp, toksTable)
+        Layout.refresh(sp, clusterTable)
         val b = batch.localCheckpoint(true)
         val cross = Dedup.incrementalNearDupsFromIndex(b, "doc_id",
-          "text", sp.table(bandsTable), sp.table(toksTable),
-          k, bands, threshold)
+          "text", Layout.table(sp, bandsTable),
+          Layout.table(sp, toksTable), k, bands, threshold)
         val internal = Dedup.minhashNearDups(b, "doc_id", "text",
           k, bands, threshold)
         Components.mergeClusterIndex(sp, clusterTable,
           b, "doc_id", internal, "id_a", "id_b",
-          cross, "batch_id", "index_id", buckets)
-        Layout.appendBucketed(
+          cross, "batch_id", "index_id", buckets,
+          batchId = Some(batchId))
+        Layout.idempotentAppendBucketed(
           Dedup.lshBands(b, "doc_id", "text", k, bands),
-          bandsTable, "band_hash")
-        Dedup.tokenIndex(b, "doc_id", "text")
-          .write.mode("append").saveAsTable(toksTable)
+          bandsTable, "band_hash", batchId = batchId)
+        Layout.idempotentAppendTable(
+          Dedup.tokenIndex(b, "doc_id", "text"), toksTable, batchId)
         ()
       }
       .start()
@@ -504,12 +504,10 @@ object EventStream {
     * over everything ingested), then serves the current per-group
     * percentiles FROM the stored index into `outTable`.
     *
-    * At-least-once contract: a replayed batch re-appends rows whose
-    * shard tag (the batch id) makes them EXACT duplicates of the
-    * first attempt, so [[graft.sources.Layout.compactBucketed]]'s
-    * distinct is the correct heal — the batch id doubling as the
-    * shard key is what makes replay idempotent-after-compaction,
-    * the same design as the postings stats partials.
+    * Exactly-once contract: the partial append and the served
+    * percentile rows commit through batch-id-keyed idempotent moves,
+    * so replay is a no-op (the batch id still doubles as the shard
+    * key, keeping the fold combinable).
     */
   /** Streaming OT drift monitor — entropic-transport distance of every
     * micro-batch's value distribution against the PERSISTED reference
@@ -541,7 +539,7 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        sp.catalog.refreshTable(histTable)
+        Layout.refresh(sp, histTable)
         val bHist = batch.localCheckpoint(true)
           .where(col(valueCol).isNotNull)
           .select(col(groupCol).as("_g"),
@@ -550,14 +548,15 @@ object EventStream {
               lit(0)), lit(nbins - 1)).cast("long") / lit(fold))
               .cast("long").as("_b"))
           .groupBy("_g", "_b").agg(count(lit(1)).as("_cnt"))
-        val ref = sp.table(histTable)
+        val ref = Layout.table(sp, histTable)
           .select((col("b") / lit(fold)).cast("long").as("_b"),
             col("cnt").as("_cnt"))
           .groupBy("_b").agg(sum("_cnt").as("_cnt"))
-        graft.ops.Drift.sinkhornFromHists(bHist, ref, otBins, eps, iters)
-          .withColumnRenamed("_g", groupCol)
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("append").saveAsTable(outTable)
+        Layout.idempotentAppendTable(
+          graft.ops.Drift.sinkhornFromHists(bHist, ref, otBins, eps, iters)
+            .withColumnRenamed("_g", groupCol)
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
         ()
       }
       .start()
@@ -568,10 +567,9 @@ object EventStream {
     * RE-PARSE the stripped bytes) run per micro-batch, with one audit
     * row per (source, batch) appended to `outTable`: images seen, GPS
     * found, GPS remaining after scrub (the number a release gate
-    * requires to be zero), bytes saved. The batch id rides every row,
-    * so an at-least-once replay produces exact-duplicate ledger rows a
-    * reader dedups on (source, ingest_batch) — the same contract as
-    * the index-ingest family.
+    * requires to be zero), bytes saved. The append is a batch-id-keyed
+    * idempotent move, so a replay leaves the ledger byte-identical —
+    * the same exactly-once contract as the index-ingest family.
     */
   def exifScrubLedger(
       docs: DataFrame, outTable: String, checkpoint: String,
@@ -582,17 +580,18 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val b = batch.localCheckpoint(true)
-        graft.ops.Multimodal.exifScan(sp, b, idCol, textCol).toDF()
-          .withColumnRenamed("id", idCol)
-          .join(b.select(idCol, sourceCol), idCol)
-          .groupBy(sourceCol)
-          .agg(count(lit(1)).as("n_images"),
-            sum(when(col("hasGps"), 1L).otherwise(0L)).as("n_gps"),
-            sum(when(col("gpsAfterStrip"), 1L).otherwise(0L))
-              .as("n_gps_after_scrub"),
-            sum(col("nBytes") - col("strippedBytes")).as("bytes_saved"))
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("append").saveAsTable(outTable)
+        graft.sources.Layout.idempotentAppendTable(
+          graft.ops.Multimodal.exifScan(sp, b, idCol, textCol).toDF()
+            .withColumnRenamed("id", idCol)
+            .join(b.select(idCol, sourceCol), idCol)
+            .groupBy(sourceCol)
+            .agg(count(lit(1)).as("n_images"),
+              sum(when(col("hasGps"), 1L).otherwise(0L)).as("n_gps"),
+              sum(when(col("gpsAfterStrip"), 1L).otherwise(0L))
+                .as("n_gps_after_scrub"),
+              sum(col("nBytes") - col("strippedBytes")).as("bytes_saved"))
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
         ()
       }
       .start()
@@ -605,23 +604,23 @@ object EventStream {
       buckets: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ops.Stats
-    import graft.sources.Layout
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        sp.catalog.refreshTable(histTable)
+        Layout.refresh(sp, histTable)
         val b = batch.localCheckpoint(true)
-        Layout.appendBucketed(
+        Layout.idempotentAppendBucketed(
           Stats.histPartials(
             b.withColumn("_shard", lit(batchId)),
             groupCol, "_shard", valueCol, lo, hi, nbins),
-          histTable, groupCol, buckets)
-        sp.catalog.refreshTable(histTable)
-        Stats.histPercentilesFromIndex(
-            sp.table(histTable), groupCol, lo, hi, nbins, ps)
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("append").saveAsTable(outTable)
+          histTable, groupCol, buckets, batchId = batchId)
+        Layout.refresh(sp, histTable)
+        Layout.idempotentAppendTable(
+          Stats.histPercentilesFromIndex(
+              Layout.table(sp, histTable), groupCol, lo, hi, nbins, ps)
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
         ()
       }
       .start()

@@ -130,7 +130,7 @@ class ComponentsSpec extends SparkSpec {
       val want = clusterMapOf(
         Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b"))
       assert(got == want && want(6L) == ((5L, 2L)) && want(3L) == ((3L, 1L)))
-    } finally spark.sql("DROP TABLE IF EXISTS cix_t1")
+    } finally graft.sources.Layout.drop(spark, "cix_t1")
   }
 
   test("mergeClusterIndex equals a full rebuild, including a batch bridge of two clusters") {
@@ -193,6 +193,6 @@ class ComponentsSpec extends SparkSpec {
       val got4 = clusterMapOf(
         Components.clustersFromIndex(Layout.table(spark, "cix_t2")))
       assert(got4 == got3, "compaction must not change the probe result")
-    } finally spark.sql("DROP TABLE IF EXISTS cix_t2")
+    } finally graft.sources.Layout.drop(spark, "cix_t2")
   }
 }

@@ -140,6 +140,6 @@ class HistSketchSpec extends SparkSpec {
       val want2 = rows(Stats.histPercentiles(
         a.unionByName(b), "g", "v", 0.0, 256.0, 64, ps))
       assert(got2 == want2)
-    } finally spark.sql("DROP TABLE IF EXISTS hp_idx")
+    } finally graft.sources.Layout.drop(spark, "hp_idx")
   }
 }

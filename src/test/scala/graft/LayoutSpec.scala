@@ -9,6 +9,8 @@ class LayoutSpec extends SparkSpec {
   test("bucketed-by-same-key join plans with NO shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    // self-heal any orphan dir a crashed earlier run left behind
+    Seq("bucket_a", "bucket_b").foreach(Layout.drop(spark, _))
     Layout.writeBucketed(a, "bucket_a", "k", buckets = 8)
     Layout.writeBucketed(b, "bucket_b", "k", buckets = 8)
     try {
@@ -19,8 +21,8 @@ class LayoutSpec extends SparkSpec {
         s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() == 1000)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bucket_a")
-      spark.sql("DROP TABLE IF EXISTS bucket_b")
+      graft.sources.Layout.drop(spark, "bucket_a")
+      graft.sources.Layout.drop(spark, "bucket_b")
     }
   }
 
@@ -32,6 +34,7 @@ class LayoutSpec extends SparkSpec {
     val batch = Seq((10L, shared), (11L, "fresh unseen news item"))
       .toDF("doc_id", "text")
     // Index build time: bands bucketed on the probe key, toks alongside.
+    Seq("mh_idx_bands", "mh_idx_toks").foreach(Layout.drop(spark, _))
     Layout.writeBucketed(Dedup.lshBands(index, "doc_id", "text", 16, 4),
       "mh_idx_bands", "band_hash", buckets = 8)
     Layout.writeBucketed(Dedup.tokenIndex(index, "doc_id", "text"),
@@ -63,8 +66,8 @@ class LayoutSpec extends SparkSpec {
       assert(exchanges <= 1, s"index side must not shuffle:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS mh_idx_bands")
-      spark.sql("DROP TABLE IF EXISTS mh_idx_toks")
+      graft.sources.Layout.drop(spark, "mh_idx_bands")
+      graft.sources.Layout.drop(spark, "mh_idx_toks")
     }
   }
 
@@ -102,7 +105,7 @@ class LayoutSpec extends SparkSpec {
         s"index side must not shuffle on probe:\n$probePlan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS ivf_sq8_test_idx")
+      graft.sources.Layout.drop(spark, "ivf_sq8_test_idx")
     }
   }
 
@@ -135,8 +138,8 @@ class LayoutSpec extends SparkSpec {
       assert(!plan.toLowerCase.contains("regexp"),
         "stored probe must not re-tokenize the corpus")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bm25_test_postings")
-      spark.sql("DROP TABLE IF EXISTS bm25_test_stats")
+      graft.sources.Layout.drop(spark, "bm25_test_postings")
+      graft.sources.Layout.drop(spark, "bm25_test_stats")
     }
   }
 
@@ -165,7 +168,7 @@ class LayoutSpec extends SparkSpec {
       assert(healed.collect().map(_.toSeq).toSet ==
         bands.collect().map(_.toSeq).toSet && plan.nonEmpty)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS cmp_bands")
+      graft.sources.Layout.drop(spark, "cmp_bands")
     }
   }
 
@@ -193,7 +196,7 @@ class LayoutSpec extends SparkSpec {
           "doc_id", "text"), k = 16, bands = 4, threshold = 0.5)
       assert(!probe.select("index_id").as[Long].collect().contains(1L))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS fk_bands")
+      graft.sources.Layout.drop(spark, "fk_bands")
     }
   }
 
@@ -220,7 +223,7 @@ class LayoutSpec extends SparkSpec {
         s"hist-index probe must ride the bucket layout:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS hp_plan")
+      graft.sources.Layout.drop(spark, "hp_plan")
     }
   }
 
@@ -270,7 +273,7 @@ class LayoutSpec extends SparkSpec {
         s"post-merge resolve must still ride the bucket layout:\n$rplan2")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS cmap_probe")
+      graft.sources.Layout.drop(spark, "cmap_probe")
     }
   }
 
@@ -330,7 +333,7 @@ class LayoutSpec extends SparkSpec {
       assert(rows("lab").getDouble(7) > 0.0) // p90_chars
     } finally {
       Seq("dash_cmap", "dash_docstore", "dash_hll", "dash_hist")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => graft.sources.Layout.drop(spark, t))
     }
   }
 
@@ -344,5 +347,146 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() == 10)
     // Partition filter reaches the scan node (pruning, not post-filter).
     assert(scan.contains("PartitionFilters") || scan.contains("year"))
+  }
+
+  // ---------------------------------------------------------------
+  // Round-14 atomic versioned publication (VERDICT r13 tasks 1/2/8)
+  // ---------------------------------------------------------------
+
+  private def warehousePath(sub: String) = new org.apache.hadoop.fs.Path(
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")), sub)
+  private def fs = warehousePath("x")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fileState(table: String): Map[String, Long] =
+    fs.listStatus(warehousePath(table)).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> f.getLen).toMap
+
+  test("versioned publish: crash before manifest commit leaves the old index live") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Layout.replaceBucketed(spark, v1, "vp_idx", "k", buckets = 4)
+    try {
+      // Simulate a publish killed AFTER the new version's table is
+      // fully written but BEFORE the manifest advance: the next
+      // physical version exists on disk, the manifest does not know.
+      Layout.writeBucketed(Seq((9L, "crash")).toDF("k", "v"),
+        "vp_idx__v2", "k", buckets = 4)
+      // Both read paths still resolve the committed version...
+      assert(Layout.table(spark, "vp_idx").select("k")
+        .as[Long].collect().toSet == Set(1L, 2L))
+      assert(spark.table("vp_idx").select("k")
+        .as[Long].collect().toSet == Set(1L, 2L))
+      // ...and the NEXT publish sweeps the leftover and commits v2.
+      Layout.replaceBucketed(spark,
+        Seq((3L, "c")).toDF("k", "v"), "vp_idx", "k", buckets = 4)
+      assert(Layout.table(spark, "vp_idx").select("k")
+        .as[Long].collect().toSet == Set(3L))
+      assert(spark.table("vp_idx").select("k")
+        .as[Long].collect().toSet == Set(3L))
+    } finally Layout.drop(spark, "vp_idx")
+  }
+
+  test("versioned publish: a reader resolved pre-swap keeps its files through the swap") {
+    Layout.replaceBucketed(spark,
+      Seq((1L, "old")).toDF("k", "v"), "vp_lease", "k", buckets = 4)
+    try {
+      val pinned = Layout.table(spark, "vp_lease")
+      // concurrent writer replaces the index mid-read
+      Layout.replaceBucketed(spark,
+        Seq((2L, "new")).toDF("k", "v"), "vp_lease", "k", buckets = 4)
+      // the already-resolved frame still reads version 1's files (the
+      // one-version GC lag is the read lease)...
+      assert(pinned.select("v").as[String].collect().toSet == Set("old"))
+      // ...while a fresh resolution sees version 2
+      assert(Layout.table(spark, "vp_lease").select("v")
+        .as[String].collect().toSet == Set("new"))
+    } finally Layout.drop(spark, "vp_lease")
+  }
+
+  test("forgetKeys: pre-forget version survives on disk until the following publish") {
+    Layout.replaceBucketed(spark,
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "v"),
+      "fk_vers", "doc_id", buckets = 4)
+    try {
+      Layout.forgetKeys(spark, "fk_vers", "doc_id", "doc_id",
+        Seq(1L).toDF("doc_id"), buckets = 4)
+      assert(Layout.table(spark, "fk_vers").select("doc_id")
+        .as[Long].collect().toSet == Set(2L, 3L))
+      // crash-safety window: version 1 (incl. the forgotten row) is
+      // still a complete table on disk — a rewrite crash can roll back
+      assert(fs.exists(warehousePath("fk_vers__v1")))
+      // the next rewrite retires it (the forget becomes irreversible)
+      Layout.compactBucketed(spark, "fk_vers", "doc_id", buckets = 4)
+      assert(!fs.exists(warehousePath("fk_vers__v1")))
+      assert(Layout.table(spark, "fk_vers").select("doc_id")
+        .as[Long].collect().toSet == Set(2L, 3L))
+    } finally Layout.drop(spark, "fk_vers")
+  }
+
+  test("snapshot pins ONE manifest generation across an index family") {
+    Layout.replaceBucketed(spark,
+      Seq((1L, 10L)).toDF("doc_id", "component"), "snap_a", "doc_id", 4)
+    Layout.replaceTable(spark, Seq((1L, "web")).toDF("doc_id", "source"),
+      "snap_b")
+    try {
+      val snap = Layout.snapshot(spark)
+      // a refresh lands between the dashboard's two reads
+      Layout.replaceBucketed(spark,
+        Seq((2L, 20L)).toDF("doc_id", "component"), "snap_a", "doc_id", 4)
+      // the snapshot still serves the generation it pinned — BOTH
+      // tables at their pre-refresh versions, never a v1/v2 mix
+      assert(snap.table("snap_a").select("doc_id")
+        .as[Long].collect().toSet == Set(1L))
+      assert(snap.table("snap_b").select("source")
+        .as[String].collect().toSet == Set("web"))
+      assert(Layout.snapshot(spark).generation > snap.generation)
+      assert(Layout.table(spark, "snap_a").select("doc_id")
+        .as[Long].collect().toSet == Set(2L))
+    } finally { Layout.drop(spark, "snap_a"); Layout.drop(spark, "snap_b") }
+  }
+
+  test("idempotentAppendBucketed: replay and half-crash replay are byte-level no-ops") {
+    Layout.drop(spark, "idem_idx") // self-heal markers of a crashed run
+    Layout.replaceBucketed(spark,
+      Seq((1L, "base")).toDF("k", "v"), "idem_idx", "k", buckets = 4)
+    try {
+      val batch = Seq((2L, "b0"), (3L, "b0")).toDF("k", "v")
+      Layout.idempotentAppendBucketed(batch, "idem_idx", "k",
+        buckets = 4, batchId = 7L)
+      val committed = fileState("idem_idx__v1")
+      assert(Layout.table(spark, "idem_idx").count() == 3)
+      // 1. plain replay (marker present) → nothing changes, no
+      //    duplicates, no compaction needed
+      Layout.idempotentAppendBucketed(batch, "idem_idx", "k",
+        buckets = 4, batchId = 7L)
+      assert(fileState("idem_idx__v1") == committed)
+      assert(Layout.table(spark, "idem_idx").count() == 3)
+      // 2. crash-recovery replay: marker lost + one batch file moved
+      //    (the half-committed state) → the replay sweeps partials and
+      //    re-stages to the IDENTICAL file set
+      val marker = warehousePath("_graft_batches/idem_idx/b7")
+      fs.delete(marker, false)
+      val aBatchFile = committed.keys.find(_.startsWith("b7-")).get
+      fs.delete(warehousePath(s"idem_idx__v1/$aBatchFile"), false)
+      Layout.idempotentAppendBucketed(batch, "idem_idx", "k",
+        buckets = 4, batchId = 7L)
+      assert(fileState("idem_idx__v1") == committed)
+      spark.catalog.refreshTable("idem_idx__v1")
+      assert(Layout.table(spark, "idem_idx").count() == 3)
+      assert(Layout.batchCommitted(spark, "idem_idx", 7L))
+      // the moved files keep the bucket token: a same-key join over
+      // the index still plans with no index-side exchange
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val idx = Layout.table(spark, "idem_idx")
+        val plan = idx.join(idx.select("k").distinct(), "k")
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+          s"index side must stay exchange-free after batch moves:\n$plan")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Layout.drop(spark, "idem_idx")
   }
 }

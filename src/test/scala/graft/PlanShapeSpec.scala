@@ -468,6 +468,38 @@ class PlanShapeSpec extends SparkSpec {
         windowOffenders.mkString("\n"))
   }
 
+  test("rerouted heavies probe stored indexes — plans carry stored-table leaves") {
+    // Round-14 task 4 (VERDICT r13): q67/q306 must audit the SHIPPED
+    // codebook + codes tables, q372 must read the persisted verified-
+    // pairs table, q365 must slice the stored corpus map — none may
+    // retrain centroids or re-run minhash per invocation.
+    val reroutes = Seq(
+      "q67_ann_recall" -> Seq("graft_ivf_cents", "graft_ivf_sq8_idx"),
+      "q306_ivf_sq8_from_index" ->
+        Seq("graft_ivf_cents", "graft_ivf_sq8_idx"))
+    reroutes.foreach { case (name, tables) =>
+      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
+      tables.foreach(t => assert(plan.contains(t),
+        s"$name must scan stored table $t:\n$plan"))
+      assert(!plan.contains("graft_minhash"),
+        s"$name must not recompute minhash signatures:\n$plan")
+    }
+    // q372's rank rounds pin lineage (Iterate), so the initial stored-
+    // pairs scan is not visible in the final plan string — the
+    // checkable claim is the ABSENCE of any inline rebuild machinery:
+    // no minhash signature fold, no shingling, anywhere in the plan.
+    val p372 = planOf(SparkEntry.queries("q372_trustrank")(spark, sfDir))
+    assert(!p372.contains("graft_minhash") &&
+      !p372.contains("graft_shingles"),
+      s"q372 must not re-run minhash over the corpus:\n$p372")
+    // q365's returned audit frame: both phases join the (stored-map-
+    // sliced) forget fixture; no signature fold anywhere.
+    val p365 = planOf(SparkEntry.queries("q365_forget_audit")(spark, sfDir))
+    assert(p365.contains("graft_cluster_map_f") &&
+      !p365.contains("graft_minhash"),
+      s"q365 must audit the stored-map slice without minhash:\n$p365")
+  }
+
   test("gopherGates plans with ZERO exchanges (pure narrow projection)") {
     val docs = Graft.table(spark, sfDir, "documents")
     val plan = planOf(
