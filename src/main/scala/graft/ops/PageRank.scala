@@ -140,9 +140,17 @@ object PageRank {
     val endpoints = deg.select("id")
     val seedIds = seeds.select(col(seedIdCol).cast("long").as("id"))
       .distinct().join(ids, "id").localCheckpoint(true)
-    val nS = seedIds.count().toDouble
+    // ONE action computes both seed counts (total + isolated): the
+    // fused left-join aggregate replaces two separate count() jobs in
+    // the pre-round setup (round-14 shave; q83/q372 pay this once).
+    val seedStats = seedIds
+      .join(endpoints.withColumn("_e", lit(1L)), Seq("id"), "left")
+      .agg(count(lit(1)).as("_n"), sum("_e").as("_conn"))
+      .collect()(0)
+    val nS = seedStats.getLong(0).toDouble
     require(nS > 0, "personalized PageRank needs at least one seed in the graph")
-    val kIso = nS - seedIds.join(endpoints, "id").count().toDouble
+    val kIso = nS -
+      (if (seedStats.isNullAt(1)) 0.0 else seedStats.getLong(1).toDouble)
     val d = damping
     // s(u) over the iterating frame, materialized once per run.
     val sVec = endpoints

@@ -214,8 +214,18 @@ object Layout {
       val e = Entry(name, next, kind, bucketCol, buckets, sortCol)
       // sweep any half-written leftover of a crashed publish attempt
       dropWithLocation(spark, e.physical)
-      if (kind == "bucketed") writeBucketed(df, e.physical, bucketCol, buckets, sortCol)
-      else df.write.mode("overwrite").format("parquet").saveAsTable(e.physical)
+      // EXTERNAL (explicit-path) table: the catalog entry is
+      // disposable — a fresh session re-registers it from the
+      // manifest ([[resolvePhysical]]) and a DROP TABLE can never
+      // destroy published data; only [[gcVersions]] deletes files.
+      val loc = tableLocation(spark, e.physical).toString
+      if (kind == "bucketed") {
+        val w = df.write.mode("overwrite").option("path", loc)
+          .bucketBy(buckets, bucketCol)
+        sortCol.fold(w)(w.sortBy(_)).format("parquet")
+          .saveAsTable(e.physical)
+      } else df.write.mode("overwrite").option("path", loc)
+        .format("parquet").saveAsTable(e.physical)
       // ---- commit point: atomic manifest-generation create ----
       writeManifest(spark, gen + 1, entries + (name -> e))
       // legacy migration: an unversioned TABLE by this name blocks the

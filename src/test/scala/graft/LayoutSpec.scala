@@ -446,6 +446,36 @@ class LayoutSpec extends SparkSpec {
     } finally { Layout.drop(spark, "snap_a"); Layout.drop(spark, "snap_b") }
   }
 
+  test("cross-session resolution: dropped catalog entries re-register from the manifest") {
+    Layout.replaceBucketed(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      "xs_idx", "k", buckets = 4)
+    try {
+      // Simulate a fresh session against the same warehouse: the
+      // in-memory catalog forgets every entry, the manifest and the
+      // (external) version directory survive. Published tables are
+      // external, so DROP TABLE cannot destroy the data.
+      spark.sql("DROP VIEW IF EXISTS xs_idx")
+      spark.sql("DROP TABLE IF EXISTS xs_idx__v1")
+      assert(fs.exists(warehousePath("xs_idx__v1")),
+        "external publish: files must survive a catalog drop")
+      // Layout.table re-registers from the manifest with the bucket
+      // spec intact...
+      val got = Layout.table(spark, "xs_idx")
+      assert(got.select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+      // ...so a same-key join still plans with no index-side exchange
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = got.join(got.select("k").distinct(), "k")
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+          s"re-registered table must keep its bucket spec:\n$plan")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Layout.drop(spark, "xs_idx")
+  }
+
   test("idempotentAppendBucketed: replay and half-crash replay are byte-level no-ops") {
     Layout.drop(spark, "idem_idx") // self-heal markers of a crashed run
     Layout.replaceBucketed(spark,
