@@ -6,7 +6,7 @@ package graft.queries
   */
 object GemQueries {
 
-  /** The full catalog the driver consumes — the seven section objects
+  /** The full catalog the driver consumes — the eight section objects
     * of the former monolith (split round 14, VERDICT r13 task 5),
     * concatenated in the original order so query numbering and the
     * driver's iteration order are unchanged.

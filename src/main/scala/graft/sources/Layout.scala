@@ -147,28 +147,52 @@ object Layout {
       }.toMap
   }
 
+  /** Per-warehouse manifest cache: every resolution (`table`,
+    * `refresh`, appends — several per micro-batch) would otherwise
+    * pay a directory listing + file read that only changes on
+    * publish. Valid under the documented single-writer-per-warehouse
+    * model: publishes/drops in this JVM update the cache after their
+    * manifest write; a concurrent writer JVM would need a lock
+    * service anyway (object-store note in the object doc).
+    */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap[String, (Long, Map[String, Entry])]()
+
+  private def warehouseKey(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir")
+
   /** Latest readable generation (id, entries); (0, empty) when no
     * manifest exists yet. A torn newest file cannot occur (files are
-    * temp-written then renamed into place), but tolerate one anyway
-    * by falling back to the next-newest parseable generation.
+    * temp-written then renamed into place), but tolerate a
+    * PARSE-shaped failure anyway by falling back to the next-newest
+    * parseable generation. IO errors (a flaky filesystem) PROPAGATE —
+    * silently serving a stale generation would misroute appends into
+    * a directory the next GC deletes.
     */
   private def latestManifest(spark: SparkSession)
-      : (Long, Map[String, Entry]) = {
-    val dir = manifestDir(spark)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) return (0L, Map.empty)
-    val gens = fs.listStatus(dir).map(_.getPath).flatMap { p =>
-      p.getName match {
-        case ManifestFile(g) => Some(g.toLong -> p)
-        case _               => None
+      : (Long, Map[String, Entry]) =
+    manifestCache.getOrElseUpdate(warehouseKey(spark), {
+      val dir = manifestDir(spark)
+      val fs = fsOf(spark, dir)
+      if (!fs.exists(dir)) (0L, Map.empty)
+      else {
+        val gens = fs.listStatus(dir).map(_.getPath).flatMap { p =>
+          p.getName match {
+            case ManifestFile(g) => Some(g.toLong -> p)
+            case _               => None
+          }
+        }.sortBy(-_._1)
+        gens.collectFirst(scala.Function.unlift { case (g, p) =>
+          try Some((g, parseManifest(fs, p)))
+          catch {
+            // torn/truncated content only — IO errors propagate
+            case _: NumberFormatException |
+                _: ArrayIndexOutOfBoundsException |
+                _: NoSuchElementException => None
+          }
+        }).getOrElse((0L, Map.empty))
       }
-    }.sortBy(-_._1)
-    gens.foreach { case (g, p) =>
-      try return (g, parseManifest(fs, p))
-      catch { case _: Exception => () }
-    }
-    (0L, Map.empty)
-  }
+    })
 
   private def writeManifest(
       spark: SparkSession, gen: Long, entries: Map[String, Entry]): Unit = {
@@ -194,6 +218,7 @@ object Layout {
         case _                                     => ()
       }
     }
+    manifestCache.update(warehouseKey(spark), (gen, entries))
   }
 
   // ---------------------------------------------------------------
@@ -324,13 +349,81 @@ object Layout {
 
   /** Invalidate the session's cached file listing for the CURRENT
     * physical version of `name` (after an append from another session
-    * clone — relation caches do not see appends made elsewhere).
+    * clone — relation caches do not see appends made elsewhere), and
+    * SWEEP uncommitted batch partials first: a `b<id>-*` file with no
+    * marker is a crashed half-committed move, and a reader that folds
+    * it into a rewrite (compact/forget) or into a replay's own source
+    * reads would double its rows or lose relabel deltas (r14 review
+    * findings 1-2). Every foreachBatch maintainer calls this at batch
+    * start, so the crashed attempt's files are gone before ANY read
+    * of the batch's replay.
     */
   def refresh(spark: SparkSession, name: String): Unit = {
+    sweepUncommitted(spark, name)
     val target = latestManifest(spark)._2.get(name)
       .map(_.physical).getOrElse(name)
     if (spark.catalog.tableExists(target))
       spark.catalog.refreshTable(target)
+  }
+
+  private def markerDir(spark: SparkSession, table: String): Path =
+    new Path(new Path(
+      new Path(spark.conf.get("spark.sql.warehouse.dir")),
+      "_graft_batches"), table.toLowerCase)
+
+  private val BatchFile = """b(\d+)-.*""".r
+
+  /** Delete live-directory files of batches that never committed
+    * (batch-prefixed files with no marker). Safe and REQUIRED under
+    * the single-writer-per-table model: a marker-less batch file is
+    * always a crashed attempt whose batch the stream WILL replay —
+    * its rows must not leak into rewrites or into the replay's own
+    * source reads. Called by [[refresh]], by [[compactBucketed]] /
+    * [[forgetKeys]] before their rewrite reads, and by the move
+    * protocol itself before re-staging.
+    */
+  def sweepUncommitted(spark: SparkSession, table: String): Unit = {
+    val target = latestManifest(spark)._2.get(table)
+      .map(_.physical).getOrElse(table)
+    val liveDir = tableLocation(spark, target)
+    val fs = fsOf(spark, liveDir)
+    if (!fs.exists(liveDir)) return
+    val mdir = markerDir(spark, table)
+    val committed: Set[String] =
+      if (fs.exists(mdir)) fs.listStatus(mdir).map(_.getPath.getName).toSet
+      else Set.empty
+    var swept = false
+    fs.listStatus(liveDir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case BatchFile(id) if !committed(s"b$id") =>
+          fs.delete(p, false); swept = true
+        case _ => ()
+      }
+    }
+    if (swept && spark.catalog.tableExists(target))
+      spark.catalog.refreshTable(target)
+  }
+
+  /** Prune batch markers STRICTLY below `belowBatch` — the unbounded-
+    * growth valve (one marker file per (table, batch) otherwise lives
+    * forever). Only the operator knows the safe floor: a marker below
+    * the stream checkpoint's committed offset can never be consulted
+    * again (the source cannot re-deliver that batch id), while
+    * pruning one the checkpoint could still replay would turn the
+    * replay into a duplicate append. Returns the number pruned.
+    */
+  def pruneBatchMarkers(
+      spark: SparkSession, table: String, belowBatch: Long): Int = {
+    val mdir = markerDir(spark, table)
+    val fs = fsOf(spark, mdir)
+    if (!fs.exists(mdir)) return 0
+    val Marker = """b(\d+)""".r
+    fs.listStatus(mdir).map(_.getPath).count { p =>
+      p.getName match {
+        case Marker(id) if id.toLong < belowBatch => fs.delete(p, false)
+        case _                                    => false
+      }
+    }
   }
 
   /** Remove a published table completely: compat view, every physical
@@ -411,22 +504,25 @@ object Layout {
     * whose marker is absent is re-staged from scratch (its partial
     * files are swept first). Markers outlive version rewrites
     * (compaction / forgetKeys carry the data forward), so a stream
-    * restart from an old checkpoint cannot re-introduce rows a later
-    * forget pass removed.
+    * restart from an old checkpoint cannot re-introduce a COMMITTED
+    * batch's rows after a forget pass removed some of them. The one
+    * honest caveat: an UNCOMMITTED batch (crashed before its marker)
+    * is replayed from the source, and if a forget ran between the
+    * crash and the replay, the replayed input may re-deliver rows for
+    * forgotten keys — plain parquet cannot close that window; either
+    * quiesce the stream before forgetting or re-run the forget after
+    * recovery (the RTBF audit, q365/q375, certifies the end state
+    * either way).
     */
   def batchCommitted(spark: SparkSession, table: String,
       batchId: Long): Boolean = {
-    val m = new Path(new Path(
-      new Path(spark.conf.get("spark.sql.warehouse.dir")),
-      "_graft_batches/" + table.toLowerCase), s"b$batchId")
+    val m = new Path(markerDir(spark, table), s"b$batchId")
     fsOf(spark, m).exists(m)
   }
 
   private def writeBatchMarker(spark: SparkSession, table: String,
       batchId: Long): Unit = {
-    val dir = new Path(new Path(
-      new Path(spark.conf.get("spark.sql.warehouse.dir")),
-      "_graft_batches"), table.toLowerCase)
+    val dir = markerDir(spark, table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     fs.create(new Path(dir, s"b$batchId"), true).close()
@@ -483,42 +579,62 @@ object Layout {
       writeAs: (DataFrame, String) => Unit): Unit = {
     val spark = df.sparkSession
     if (batchCommitted(spark, table, batchId)) return
-    publishLock.synchronized {
-      if (batchCommitted(spark, table, batchId)) return
-      // live physical target: current version, or the legacy table,
-      // or (first batch of a fresh sink) a new empty table with the
-      // same layout the stage write uses
-      val target = latestManifest(spark)._2.get(table) match {
+    // live physical target: current version, or the legacy table, or
+    // (first batch of a fresh sink) a new empty table with the same
+    // layout the stage write uses. Brief lock: catalog + manifest.
+    val target = publishLock.synchronized {
+      latestManifest(spark)._2.get(table) match {
         case Some(e) => resolvePhysical(spark, e); e.physical
         case None =>
           if (!spark.catalog.tableExists(table))
             writeAs(df.limit(0), table)
           table
       }
-      val stage = s"${target}__stage"
-      dropWithLocation(spark, stage)
-      writeAs(df, stage)
-      val liveDir = tableLocation(spark, target)
-      val stageDir = tableLocation(spark, stage)
-      val fs = fsOf(spark, liveDir)
-      // sweep partials of a crashed attempt of this same batch
-      if (fs.exists(liveDir))
-        fs.listStatus(liveDir).map(_.getPath)
-          .filter(_.getName.startsWith(s"b$batchId-"))
-          .foreach(fs.delete(_, false))
-      val staged = fs.listStatus(stageDir).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      staged.zipWithIndex.foreach { case (p, i) =>
-        val suffix = p.getName match {
-          case BucketToken(b) => s"_$b"
-          case _              => ""
-        }
-        fs.rename(p, new Path(liveDir, s"b$batchId-$i$suffix.parquet"))
+    }
+    val liveDir = tableLocation(spark, target)
+    val fs = fsOf(spark, liveDir)
+    // Sweep THIS batch's crashed partials BEFORE the stage write: the
+    // staged computation may read the live table (the cluster-merge
+    // delta does), and observing its own uncommitted rows would
+    // shrink the delta the sweep then deletes — permanent relabel
+    // loss (r14 review finding 1). Refresh drops the cached listing.
+    if (fs.exists(liveDir)) {
+      val partial = fs.listStatus(liveDir).map(_.getPath)
+        .filter(_.getName.startsWith(s"b$batchId-"))
+      if (partial.nonEmpty) {
+        partial.foreach(fs.delete(_, false))
+        spark.catalog.refreshTable(target)
       }
-      // ---- commit point ----
-      writeBatchMarker(spark, table, batchId)
-      dropWithLocation(spark, stage)
-      spark.catalog.refreshTable(target)
+    }
+    // Heavy Spark job OUTSIDE the lock: stage tables are per-target
+    // and each table has a single writer, so disjoint sinks overlap.
+    val stage = s"${target}__stage"
+    dropWithLocation(spark, stage)
+    writeAs(df, stage)
+    publishLock.synchronized {
+      if (batchCommitted(spark, table, batchId))
+        dropWithLocation(spark, stage) // lost a race we cannot be in
+      else {
+        val stageDir = tableLocation(spark, stage)
+        val staged = fs.listStatus(stageDir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        staged.zipWithIndex.foreach { case (p, i) =>
+          val suffix = p.getName match {
+            case BucketToken(b) => s"_$b"
+            case _              => ""
+          }
+          val dst = new Path(liveDir, s"b$batchId-$i$suffix.parquet")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          // an ignored false here would let the marker commit a batch
+          // whose rows were then deleted with the stage (finding 3)
+          if (!fs.rename(p, dst)) throw new IllegalStateException(
+            s"rename $p -> $dst failed; batch $batchId NOT committed")
+        }
+        // ---- commit point ----
+        writeBatchMarker(spark, table, batchId)
+        dropWithLocation(spark, stage)
+        spark.catalog.refreshTable(target)
+      }
     }
   }
 
@@ -532,9 +648,13 @@ object Layout {
     */
   def compactBucketed(
       spark: SparkSession, table: String, bucketCol: String,
-      buckets: Int = 32): Unit =
+      buckets: Int = 32): Unit = {
+    // never fold a crashed batch's uncommitted partials into the new
+    // version — the replay would then append them AGAIN (finding 2)
+    sweepUncommitted(spark, table)
     replaceBucketed(spark, this.table(spark, table).distinct(), table,
       bucketCol, buckets)
+  }
 
   /** Targeted deletion from a bucketed table — the right-to-be-
     * forgotten pass over the persisted index family (MinHash
@@ -549,6 +669,7 @@ object Layout {
   def forgetKeys(
       spark: SparkSession, table: String, bucketCol: String,
       keyCol: String, keys: DataFrame, buckets: Int = 32): Unit = {
+    sweepUncommitted(spark, table) // same rationale as compactBucketed
     val kept = this.table(spark, table)
       .join(keys.select(keys.columns.head).toDF(keyCol),
         Seq(keyCol), "left_anti")

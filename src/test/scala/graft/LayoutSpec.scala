@@ -446,6 +446,47 @@ class LayoutSpec extends SparkSpec {
     } finally { Layout.drop(spark, "snap_a"); Layout.drop(spark, "snap_b") }
   }
 
+  test("uncommitted batch partials are swept, never folded into rewrites") {
+    // r14 code-review findings 1-2: a batch that crashed after moving
+    // files but before its marker must contribute NOTHING — not to
+    // reads (refresh sweeps), not to compaction (sweep-then-rewrite),
+    // and its replay must land exactly once.
+    Layout.drop(spark, "swp_idx")
+    Layout.replaceBucketed(spark,
+      Seq((1L, "base")).toDF("k", "v"), "swp_idx", "k", buckets = 4)
+    try {
+      val batch2 = Seq((2L, "b2"), (3L, "b2")).toDF("k", "v")
+      Layout.idempotentAppendBucketed(batch2, "swp_idx", "k",
+        buckets = 4, batchId = 2L)
+      assert(Layout.table(spark, "swp_idx").count() == 3)
+      // simulate the crash: files moved, marker lost
+      val marker = warehousePath("_graft_batches/swp_idx/b2")
+      assert(fs.delete(marker, false))
+      // 1. a batch-start refresh sweeps the orphan files out of reads
+      Layout.refresh(spark, "swp_idx")
+      assert(Layout.table(spark, "swp_idx").count() == 1,
+        "uncommitted partials must not be readable after refresh")
+      // 2. the replay lands exactly once
+      Layout.idempotentAppendBucketed(batch2, "swp_idx", "k",
+        buckets = 4, batchId = 2L)
+      assert(Layout.table(spark, "swp_idx").count() == 3)
+      // 3. crash again, then COMPACT: the rewrite must not fold the
+      //    orphans in (else the replay would double them)
+      assert(fs.delete(warehousePath("_graft_batches/swp_idx/b2"), false))
+      Layout.compactBucketed(spark, "swp_idx", "k", buckets = 4)
+      assert(Layout.table(spark, "swp_idx").count() == 1)
+      Layout.idempotentAppendBucketed(batch2, "swp_idx", "k",
+        buckets = 4, batchId = 2L)
+      assert(Layout.table(spark, "swp_idx")
+        .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // 4. marker pruning below the checkpoint floor
+      assert(Layout.pruneBatchMarkers(spark, "swp_idx", belowBatch = 2L) == 0)
+      assert(Layout.batchCommitted(spark, "swp_idx", 2L))
+      assert(Layout.pruneBatchMarkers(spark, "swp_idx", belowBatch = 3L) == 1)
+      assert(!Layout.batchCommitted(spark, "swp_idx", 2L))
+    } finally Layout.drop(spark, "swp_idx")
+  }
+
   test("cross-session resolution: dropped catalog entries re-register from the manifest") {
     Layout.replaceBucketed(spark,
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
