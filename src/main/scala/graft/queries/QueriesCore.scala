@@ -1690,8 +1690,10 @@ private[queries] object QueriesCore {
     QueryDef("q61_dedup_clusters",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
           .orderBy("doc_id")
       },
@@ -2387,8 +2389,10 @@ private[queries] object QueriesCore {
     QueryDef("q83_pagerank_neardups",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         PageRank.run(docs, "doc_id", pairs, "id_a", "id_b",
             damping = 0.85, iters = 5)
           .withColumnRenamed("id", "doc_id")

@@ -2231,8 +2231,10 @@ private[queries] object QueriesExtra {
             .withColumn("ctext", TextAnalysis.canonText(col("text"))),
           "ctext", "doc_id").select("keep_id")
         val nCanon = canonKeep.agg(count(lit(1)).as("n_after_canon"))
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         val dom = pairs
           .join(canonKeep.withColumnRenamed("keep_id", "id_a"), "id_a")
           .join(canonKeep.withColumnRenamed("keep_id", "id_b"), "id_b")

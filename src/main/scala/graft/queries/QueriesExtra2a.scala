@@ -346,8 +346,10 @@ private[queries] object QueriesExtra2a {
     QueryDef("q232_modularity",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         val clusters = Components.dedupClusters(
           docs, "doc_id", pairs, "id_a", "id_b")
         GraphMetrics.modularity(pairs, "id_a", "id_b",
@@ -388,8 +390,10 @@ private[queries] object QueriesExtra2a {
     QueryDef("q233_label_propagation",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         Components.labelPropagation(docs.select("doc_id"), "doc_id",
             pairs, "id_a", "id_b", rounds = 4)
           .select(col("id").as("doc_id"), col("community"))
@@ -1291,8 +1295,10 @@ private[queries] object QueriesExtra2a {
     QueryDef("q253_kcore",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         GraphMetrics.kCore(pairs, "id_a", "id_b", k = 2, rounds = 4)
           .orderBy("node")
       },
@@ -1401,8 +1407,10 @@ private[queries] object QueriesExtra2a {
     QueryDef("q256_contrastive_triplets",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         Contrastive.triplets(docs.select("doc_id"), "doc_id",
             pairs, "id_a", "id_b", negsPer = 2)
           .orderBy("anchor", "neg_ix")
@@ -2122,8 +2130,10 @@ private[queries] object QueriesExtra2a {
     QueryDef("q273_power_law",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         GraphMetrics.powerLawAlpha(pairs, "id_a", "id_b", dmin = 2)
       },
       Some("WITH " + minhashVerifiedCtes + ",\n" +

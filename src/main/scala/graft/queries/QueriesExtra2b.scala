@@ -830,8 +830,10 @@ private[queries] object QueriesExtra2b {
     QueryDef("q294_cluster_medoid",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8).localCheckpoint(true)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir).localCheckpoint(true)
         val clusters = Components.dedupClusters(docs, "doc_id",
           pairs, "id_a", "id_b")
         Components.medoidPerCluster(clusters, "doc_id",
@@ -2224,8 +2226,10 @@ private[queries] object QueriesExtra2b {
       (s, dir) => {
         val slice = t(s, dir, "documents")
           .filter(col("doc_id") < 1000).select("doc_id", "text")
-        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         Components.bfsDistance(slice, "doc_id", pairs, "id_a", "id_b",
             slice.filter(col("doc_id") % 100 === 0).select("doc_id"),
             maxHops = 3)

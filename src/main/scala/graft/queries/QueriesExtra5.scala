@@ -384,8 +384,10 @@ private[queries] object QueriesExtra5 {
     QueryDef("q351_label_spread",
       (s, dir) => {
         val slice = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(slice, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         val seeded = slice.select(col("doc_id"),
           when(col("doc_id") % 3L === 0L, col("lang")).as("seed_label"))
         Components.seededLabelSpread(seeded, "doc_id", "seed_label",

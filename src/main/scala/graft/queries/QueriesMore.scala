@@ -1300,8 +1300,10 @@ private[queries] object QueriesMore {
     QueryDef("q128_cluster_canonical",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         val clusters = Components.dedupClusters(
           docs, "doc_id", pairs, "id_a", "id_b")
         Components.canonicalPerCluster(clusters, "doc_id",
@@ -1912,8 +1914,10 @@ private[queries] object QueriesMore {
     QueryDef("q146_cluster_names",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
+        // probes the shared persisted pairs table (same slice +
+        // parameters as ensureNearDupIndex) instead of re-running
+        // minhash per invocation (round 14, the q372 pattern)
+        val pairs = ndPairs(s, dir)
         val clusters = Components.dedupClusters(
           docs, "doc_id", pairs, "id_a", "id_b")
         val ctext = clusters.join(docs, Seq("doc_id"))
