@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.AhoCorasick
+import graft.ops.Blocklist
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick blocklist matching: the automaton's every-occurrence
+  * semantics (overlapping, nested, suffix chains), the Column/op layer,
+  * and the shuffle-free plan shape of the release gate.
+  */
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hitIds(ac: AhoCorasick, s: String): Seq[Int] = {
+    val a = ac.hits(UTF8String.fromString(s))
+    (0 until a.numElements()).map(a.getInt)
+  }
+
+  test("automaton reports overlapping and nested matches, suffix chain included") {
+    val ac = AhoCorasick.build(Seq("he", "she", "his", "hers"))
+    // Classic AC corpus: "she" fires "she" then its suffix "he" at the
+    // same end position (longer first), "hers" fires "he" then "hers".
+    assert(hitIds(ac, "ushers") === Seq(1, 0, 3))
+    assert(hitIds(ac, "his hers") === Seq(2, 0, 3))
+    // Self-overlapping single pattern: "aa" in "aaaa" ends at 3 places.
+    val aa = AhoCorasick.build(Seq("aa"))
+    assert(hitIds(aa, "aaaa") === Seq(0, 0, 0))
+    assert(hitIds(aa, "a") === Seq())
+  }
+
+  test("automaton matches raw UTF-8 bytes, case-sensitively") {
+    val ac = AhoCorasick.build(Seq("café", "Caf"))
+    assert(hitIds(ac, "café Caf café") === Seq(0, 1, 0))
+    assert(hitIds(ac, "CAFÉ") === Seq())
+    // An ASCII pattern never fires inside a multi-byte sequence
+    // (UTF-8 continuation bytes have the high bit set).
+    val e = AhoCorasick.build(Seq("e"))
+    assert(hitIds(e, "é") === Seq())
+  }
+
+  test("hitsCol rides codegen and preserves null text") {
+    val df = Seq(("a", Option("she sells seashells")),
+      ("b", Option("nothing here")), ("c", None: Option[String]))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        Blocklist.hitsCol(col("text"), Seq("she", "sea", "ells")).as("h"))
+      .as[(String, Option[Seq[Int]])].collect().toMap
+    // ends: she@2, ells@8 (sells), sea@12, she@15 (seaSHElls), ells@18
+    assert(got("a") === Some(Seq(0, 2, 1, 0, 2)))
+    assert(got("b") === Some(Seq()))
+    assert(got("c") === None)
+  }
+
+  test("scan counts per (doc, pattern); report rolls up; clean gates") {
+    val docs = Seq(
+      (1L, "s1", "aa baa"), // "aa": 1 + 1 overlapping? "baa" has 1 → 2
+      (2L, "s1", "aaa"),    // "aa" twice (overlap)
+      (3L, "s2", "clean")).toDF("doc_id", "source", "text")
+    val pats = Seq("aa", "ba")
+    val scan = Blocklist.scan(docs, "doc_id", "text", pats)
+      .orderBy("doc_id", "pattern_id")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    assert(scan === Seq(
+      (1L, 0, 2L, "aa"), (1L, 1, 1L, "ba"), (2L, 0, 2L, "aa")))
+    val rep = Blocklist.report(docs, "doc_id", "text", pats)
+      .orderBy("pattern").as[(String, Long, Long)].collect().toSeq
+    assert(rep === Seq(("aa", 2L, 4L), ("ba", 1L, 1L)))
+    assert(Blocklist.clean(docs, "text", pats)
+      .select("doc_id").as[Long].collect().toSeq === Seq(3L))
+    assert(Blocklist.clean(docs, "text", pats, maxHits = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    val ret = Blocklist.retentionBySource(docs, "source", "text", pats)
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(ret === Seq(("s1", 2L, 2L, 0.0), ("s2", 1L, 0L, 1.0)))
+  }
+
+  test("clean plans as a narrow filter — no exchange, no join") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val plan = Blocklist.clean(docs, "text", Seq("bad", "worse"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
