@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Blocklist
+import graft.ops.{Blocklist, ImageHash}
 import org.apache.spark.sql.functions._
 import Shared._
 
@@ -42,6 +42,106 @@ private[queries] object QueriesExtra6 {
        |  JOIN series s ON s.i <= length(d.text) - length(p.pattern) + 1
        |  WHERE substr(d.text, s.i, length(p.pattern)) = p.pattern
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** The dHash fixture corpus (q379–q381): one 18×16 PNG per document
+    * — even ids grayscale, odd ids RGB — whose pixels come from a
+    * closed formula over `base = doc_id / 4`, so each group of four
+    * consecutive ids shows the SAME picture with per-id perturbations:
+    * a constant brightness shift `doc_id % 4` (which dHash must ignore)
+    * and, for `doc_id % 4 == 3`, a +100 blob on the top-left 2×2 block
+    * (which flips at most dHash bit 0). Pixel values stay ≤ 253, so
+    * the shift never wraps mod 256 and the gradient signs are exact.
+    * The oracle never decodes a PNG: it recomputes the 9×8 block-luma
+    * grid straight from the pixel formula (the q149 discipline).
+    */
+  private def dhashMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long].map { id =>
+        val base = id / 4
+        val delta = (id % 4).toInt
+        val (w, h) = (18, 16)
+        // The p-dependent term is MULTIPLIED by a base-derived factor
+        // (never 0 mod 151): an additive base term would be a global
+        // brightness shift, which dHash ignores by design — every
+        // image would hash identically.
+        def tex(p: Long): Long = 13 * p * p + 29 * p + 7
+        val bytes = if (id % 2 == 0) {
+          val px = Array.tabulate(w * h) { p =>
+            ((((base % 150 + 1) * tex(p)) % 151) + delta).toByte
+          }
+          MediaFixtures.pngFromPixels(w, h, 1, px, y => ((id + y) % 5).toInt)
+        } else {
+          val px = new Array[Byte](w * h * 3)
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+            val blob = if (id % 4 == 3 && x < 2 && y < 2) 100 else 0
+            px((y * w + x) * 3 + c) =
+              (((((base + 37 * c) % 150 + 1) * tex(y * w + x)) % 151)
+                + delta + blob).toByte
+          }
+          MediaFixtures.pngFromPixels(w, h, 3, px, y => ((id + y) % 5).toInt)
+        }
+        (id, bytes)
+      }.toDF("id", "bytes")
+  }
+
+  /** Oracle CTEs ending in `hashes(id, dhash, b0..b3)`: the dHash of
+    * every fixture image recomputed from the closed-form pixel luma —
+    * 288 lumas → 72 block sums (2×2 pooling onto the 9×8 grid) → 64
+    * gradient bits → four 16-bit bands → the 16-hex-char hash.
+    */
+  private val dhashCtes: String = {
+    // Per-channel fixture value at flat pixel index p for channel
+    // factor f (gray uses f=7 on even ids; RGB uses f=c+3 on odd);
+    // the +100 blob rides only odd ids with doc_id % 4 = 3 on the
+    // top-left 2x2 pixels.
+    val blob = "CASE WHEN id % 4 = 3 AND p % 18 < 2 AND p // 18 < 2" +
+      " THEN 100 ELSE 0 END"
+    val tex = "(13 * p * p + 29 * p + 7)"
+    def v(c: String) =
+      s"((base + 37 * $c) % 150 + 1) * $tex % 151 + delta + $blob"
+    s"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS base, doc_id % 4 AS delta
+       |  FROM documents),
+       |lum AS (
+       |  SELECT id, list_transform(generate_series(0, 287), p ->
+       |    CASE WHEN id % 2 = 0 THEN
+       |      1000 * ((base % 150 + 1) * $tex % 151 + delta)
+       |    ELSE 299 * (${v("0")})
+       |       + 587 * (${v("1")})
+       |       + 114 * (${v("2")})
+       |    END) AS lm
+       |  FROM ids),
+       |blk AS (
+       |  SELECT id, list_transform(generate_series(0, 71), b ->
+       |      lm[1 + (2 * (b // 9)) * 18 + 2 * (b % 9)]
+       |    + lm[2 + (2 * (b // 9)) * 18 + 2 * (b % 9)]
+       |    + lm[1 + (2 * (b // 9) + 1) * 18 + 2 * (b % 9)]
+       |    + lm[2 + (2 * (b // 9) + 1) * 18 + 2 * (b % 9)]) AS s
+       |  FROM lum),
+       |bits AS (
+       |  SELECT id, list_transform(generate_series(0, 63), i ->
+       |    CASE WHEN s[1 + (i // 8) * 9 + (i % 8)]
+       |            > s[2 + (i // 8) * 9 + (i % 8)]
+       |      THEN 1 ELSE 0 END) AS bt
+       |  FROM blk),
+       |bands AS (
+       |  SELECT id,
+       |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
+       |      bt[1 + j] * (1 << j))) AS INTEGER) AS b0,
+       |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
+       |      bt[17 + j] * (1 << j))) AS INTEGER) AS b1,
+       |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
+       |      bt[33 + j] * (1 << j))) AS INTEGER) AS b2,
+       |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
+       |      bt[49 + j] * (1 << j))) AS INTEGER) AS b3
+       |  FROM bits),
+       |hashes AS (
+       |  SELECT id, printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS dhash,
+       |    b0, b1, b2, b3
+       |  FROM bands)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -104,6 +204,69 @@ private[queries] object QueriesExtra6 {
            |FROM flags
            |GROUP BY 1
            |ORDER BY source""".stripMargin
-      })
+      }),
+
+    // Perceptual image hash (ImageHash.dhash): REAL PNG decode (zlib
+    // inflate + all five scanline filters, the q149 path) → exact
+    // integer block-luma pooling onto the 9×8 grid → 64 gradient-sign
+    // bits, split into four 16-bit LSH bands. One narrow map riding
+    // the image scan — the hashing plan has no exchange (spec-
+    // asserted). The oracle recomputes the hash from the closed-form
+    // pixel formula without owning a PNG decoder, so the decode and
+    // the hash must BOTH be right to go green.
+    QueryDef("q379_image_dhash",
+      (s, dir) => ImageHash.dhash(s, dhashMedia(s, dir)).orderBy("id"),
+      Some(
+        s"""WITH $dhashCtes
+           |SELECT id, dhash, b0, b1, b2, b3 FROM hashes
+           |ORDER BY id""".stripMargin)),
+
+    // Image near-dup pairs (ImageHash.nearDupPairs): the SimHash
+    // pigeonhole on the 4-banded dHash — any pair within Hamming 3
+    // shares a band, so candidates come from a bucket-local join on
+    // (band index, band value), never all-pairs; the full 64-bit
+    // Hamming check on the banded XOR then confirms. The fixture makes
+    // the semantics visible: brightness-shifted copies (same base id)
+    // land at Hamming 0, the +100 blob variant at ≤ 1, different
+    // pictures are filtered by the ≤ 3 gate. The oracle brute-forces
+    // the same pair set — affordable at oracle scale, which is exactly
+    // the plan shape the banding avoids at 100 TB.
+    QueryDef("q380_image_neardup_pairs",
+      (s, dir) => ImageHash.nearDupPairs(
+          ImageHash.dhash(s, dhashMedia(s, dir)), maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH $dhashCtes
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           |    AS INTEGER) AS hamming
+           |FROM hashes a JOIN hashes b ON a.id < b.id
+           |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
+           |       OR a.b3 = b.b3)
+           |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           |  <= 3
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Exact perceptual dedup (ImageHash.exactGroups): identical
+    // 64-bit hashes collapse to one keeper — a plain groupBy on the
+    // 8-byte hash, the cheapest possible image-dedup shuffle (no
+    // pairs, no bands). The brightness-shifted fixture copies land
+    // here (dHash is shift-invariant by construction); the blob
+    // variants do not (they differ in bit 0).
+    QueryDef("q381_image_dedup_groups",
+      (s, dir) => ImageHash.exactGroups(
+          ImageHash.dhash(s, dhashMedia(s, dir)))
+        .where(col("n_dups") >= 2)
+        .orderBy("keeper_id"),
+      Some(
+        s"""WITH $dhashCtes
+           |SELECT dhash, min(id) AS keeper_id,
+           |  CAST(count(*) AS BIGINT) AS n_dups
+           |FROM hashes
+           |GROUP BY 1
+           |HAVING count(*) >= 2
+           |ORDER BY keeper_id""".stripMargin))
   )
 }
