@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   * JSON line per (op, tiles, rep).
   */
 object ScaleProbe {
+
+  /** 8 patterns that genuinely hit the synthetic vocabulary (tiled
+    * tokens keep their suffix, so hit density per tile is unchanged)…
+    */
+  private val blockPatterns8 = Seq("table", "spark", "merge", "window",
+    "a a", "fast table", "batch batch", "slow merge")
+
+  /** …plus 504 synthetic never-matching patterns: a ~4k-node automaton
+    * whose scan cost should be indistinguishable from the 8-pattern
+    * one — the measured form of the O(text + matches) claim.
+    */
+  private val blockPatterns512 = blockPatterns8 ++
+    (0 until 504).map(i => s"zq${i}x${i % 7}q")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val tiles = args.lift(1).getOrElse("1,3,10").split(",").map(_.toInt).toSeq
@@ -289,7 +303,19 @@ object ScaleProbe {
         "ot_barycenter" -> (() =>
           graft.ops.Drift.sinkhornBarycenter(
             df, "source", "n_chars", lo = 0.0, hi = 1024.0,
-            nbins = 16, eps = 0.1, iters = 8)))
+            nbins = 16, eps = 0.1, iters = 8)),
+        // Round-14 session-2: Aho–Corasick blocklist. The whole claim
+        // is O(text + matches) INDEPENDENT of pattern count — so the
+        // probe runs the same scan with 8 real patterns and with those
+        // 8 plus 504 synthetic never-matching ones (a ~4k-node
+        // automaton). The two rows should sit on top of each other at
+        // every tile count, and both should grow ~linearly.
+        "blocklist_scan_8" -> (() =>
+          graft.ops.Blocklist.report(df, "doc_id", "text",
+            blockPatterns8)),
+        "blocklist_scan_512" -> (() =>
+          graft.ops.Blocklist.report(df, "doc_id", "text",
+            blockPatterns512)))
       // Dashboard probe (q367): the four index tables are built
       // UNTIMED per tile (their build costs are the minhash_pairs /
       // dedup_clusters / histogram rows above); the timed body is the
@@ -302,6 +328,45 @@ object ScaleProbe {
       // itself: two membership anti-join audits plus one versioned
       // index rewrite. Expect ~linear in the index (map rows), with
       // the versioned-publish constant on top.
+      // Round-14 session-2: dHash image tier. The PNG corpus (one
+      // 18×16 image per doc, mixed-hash texture so cross-tile ids
+      // almost never collide — pair density per tile stays constant,
+      // the same disjointness argument as the token prefixes) is
+      // built UNTIMED; the timed bodies are the hashing map alone and
+      // the hash + banded-LSH pair join. Expect ~linear for both: the
+      // map is narrow, the join keys on 16-bit bands whose bucket
+      // population per tile is unchanged.
+      val imagesOn = opFilter.forall(f =>
+        f("image_dhash") || f("image_dhash_pairs"))
+      val imageOps: Seq[(String, () => DataFrame)] =
+        if (!imagesOn) Seq.empty
+        else {
+          import spark.implicits._
+          val media = df.select(col("doc_id")).as[Long].map { id =>
+            val base = id / 4
+            val delta = (id % 4).toInt
+            val (w, h) = (18, 16)
+            def tex(p: Int): Int = {
+              val z = base * 288L + p
+              val m = (z ^ (z >>> 13)) * 0x9E3779B97F4A7C15L
+              ((m >>> 32) & 0x7f).toInt
+            }
+            val px = Array.tabulate(w * h) { p =>
+              val blob =
+                if (id % 4 == 3 && p % w < 2 && p / w < 2) 100 else 0
+              (tex(p) + delta + blob).toByte
+            }
+            (id, graft.queries.MediaFixtures.pngFromPixels(
+              w, h, 1, px, y => ((id + y) % 5).toInt))
+          }.toDF("id", "bytes").localCheckpoint(true)
+          Seq(
+            "image_dhash" -> (() =>
+              graft.ops.ImageHash.dhash(spark, media)),
+            "image_dhash_pairs" -> (() =>
+              graft.ops.ImageHash.nearDupPairs(
+                graft.ops.ImageHash.dhash(spark, media),
+                maxHamming = 3)))
+        }
       val forgetOn = opFilter.forall(_.contains("forget_audit"))
       if (forgetOn) {
         val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
@@ -362,8 +427,8 @@ object ScaleProbe {
             snap.table("sp_hll"), snap.table("sp_hist"),
             "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)
         }))
-      (ops.filter(o => opFilter.forall(_.contains(o._1))) ++ forgetOps ++
-        probeOps)
+      (ops.filter(o => opFilter.forall(_.contains(o._1))) ++ imageOps ++
+        forgetOps ++ probeOps)
         .foreach { case (name, f) =>
           val sec = time(f())
           println(f"""{"op":"$name","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
