@@ -206,6 +206,22 @@ object GraftFunctions {
         intLit(children(3), "graft_hist")): Expression
     })
 
+  private[functions] val urlCanonInfo = (
+    FunctionIdentifier("graft_urlcanon"),
+    new ExpressionInfo(classOf[UrlCanonExpr].getName, "graft_urlcanon"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_urlcanon takes exactly 1 argument")
+      UrlCanonExpr(children.head): Expression
+    })
+
+  private[functions] val urlDomainInfo = (
+    FunctionIdentifier("graft_urldomain"),
+    new ExpressionInfo(classOf[UrlDomainExpr].getName, "graft_urldomain"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_urldomain takes exactly 1 argument")
+      UrlDomainExpr(children.head): Expression
+    })
+
   private[functions] val blockhitsInfo = (
     FunctionIdentifier("graft_blockhits"),
     new ExpressionInfo(classOf[BlocklistHitsExpr].getName,
@@ -239,7 +255,7 @@ object GraftFunctions {
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
-      blockhitsInfo)
+      blockhitsInfo, urlCanonInfo, urlDomainInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL hygiene — the step BEFORE text dedup in every
+  * crawl-derived pipeline: collapse each page's URL variants (scheme /
+  * host case, default ports, tracking parameters, query order,
+  * fragments) to one canonical key, attribute documents to registrable
+  * domains (eTLD+1), and dedup/report on those keys.
+  *
+  * Everything per-row is one fused native expression
+  * ([[graft.functions.UrlKit]]) riding the corpus scan — no
+  * regexp_replace chains, no UDFs. The only shuffles group on the
+  * canonical key (URL-dedup grain) or the registrable domain (at most
+  * |sites| groups, map-side combined) — at 100 TB both are the
+  * smallest keys the problem admits.
+  */
+object WebCorpus {
+
+  /** Canonical dedup key; null for anything not a parseable http(s)
+    * URL (relative links, javascript:, data: — the crawler's problem,
+    * not the dedup key's).
+    */
+  def canonUrl(url: Column): Column = call_function("graft_urlcanon", url)
+
+  /** Registrable domain (bundled-PSL eTLD+1); null on non-http(s). */
+  def domain(url: Column): Column = call_function("graft_urldomain", url)
+
+  /** URL-level dedup groups: canonical keys carrying ≥ minDups raw
+    * URLs, with the keeper (minimum id) and the variant count. Rows
+    * whose URL doesn't canonicalize never group.
+    */
+  def urlDedupGroups(docs: DataFrame, idCol: String, urlCol: String,
+      minDups: Long = 2L): DataFrame =
+    docs
+      .select(col(idCol), canonUrl(col(urlCol)).as("canon_url"))
+      .where(col("canon_url").isNotNull)
+      .groupBy("canon_url")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_urls"))
+      .where(col("n_urls") >= minDups)
+
+  /** Per-domain corpus report: raw URL count, distinct canonical
+    * pages, and the dup ratio ppm — the site-level table a crawl
+    * curation reviews (domain caps, site-level sampling). Unparseable
+    * URLs aggregate under a literal `(invalid)` domain so they are
+    * counted, never silently dropped.
+    */
+  def domainReport(docs: DataFrame, urlCol: String): DataFrame =
+    docs
+      .select(
+        coalesce(domain(col(urlCol)), lit("(invalid)")).as("domain"),
+        canonUrl(col(urlCol)).as("canon_url"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        count_distinct(col("canon_url")).as("n_pages"),
+        ((count(lit(1)) - count_distinct(col("canon_url"))) * lit(1000000L)
+          / count(lit(1))).cast("long").as("dup_ppm"))
+}

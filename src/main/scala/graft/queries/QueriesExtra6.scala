@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.ops.{Blocklist, ImageHash}
+import graft.ops.{Blocklist, ImageHash, WebCorpus}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Shared._
 
@@ -267,6 +268,146 @@ private[queries] object QueriesExtra6 {
            |FROM hashes
            |GROUP BY 1
            |HAVING count(*) >= 2
-           |ORDER BY keeper_id""".stripMargin))
+           |ORDER BY keeper_id""".stripMargin)),
+
+    // URL canonicalization (WebCorpus.canonUrl/domain — the fused
+    // graft_urlcanon/graft_urldomain native expressions): the
+    // key-making step before any crawl-corpus dedup. The fixture URL
+    // per doc composes independent variant axes (scheme case, host
+    // case/trailing dot/userinfo, default vs real ports, path shapes,
+    // tracking params + shuffled query order, fragments, and a
+    // non-http override) — the oracle builds the SAME raw string and
+    // maps each variant index to its hand-canonicalized part, so the
+    // kernel's behavior is checked against written-down expectations,
+    // not a twin implementation.
+    QueryDef("q382_url_canonical",
+      (s, dir) => {
+        val u = fixtureUrl(col("doc_id").cast("long"))
+        t(s, dir, "documents").select(col("doc_id"), u.as("url"),
+            WebCorpus.canonUrl(u).as("canon"),
+            WebCorpus.domain(u).as("domain"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $urlCtes
+           |SELECT id AS doc_id, url, canon, domain FROM urls
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain crawl report (WebCorpus.domainReport): raw URLs vs
+    // distinct canonical pages per registrable domain (bundled-PSL
+    // eTLD+1), dup mass in ppm; unparseable URLs counted under
+    // `(invalid)`, never dropped. The grouping key space is |sites| —
+    // at 100 TB the shuffle ships domain-grain partials, map-side
+    // combined.
+    QueryDef("q383_url_domain_report",
+      (s, dir) => WebCorpus.domainReport(
+          t(s, dir, "documents")
+            .select(fixtureUrl(col("doc_id").cast("long")).as("url")),
+          "url")
+        .orderBy("domain"),
+      Some(
+        s"""WITH $urlCtes
+           |SELECT coalesce(domain, '(invalid)') AS domain,
+           |  CAST(count(*) AS BIGINT) AS n_urls,
+           |  CAST(count(DISTINCT canon) AS BIGINT) AS n_pages,
+           |  CAST((count(*) - count(DISTINCT canon)) * 1000000
+           |    // count(*) AS BIGINT) AS dup_ppm
+           |FROM urls
+           |GROUP BY 1
+           |ORDER BY domain""".stripMargin)),
+
+    // URL-level dedup groups (WebCorpus.urlDedupGroups): canonical
+    // keys carrying ≥ 2 raw variants, keeper = min doc id. The
+    // cheapest crawl dedup there is — one groupBy on the canonical
+    // string, before any text is even tokenized.
+    QueryDef("q384_url_dedup_groups",
+      (s, dir) => WebCorpus.urlDedupGroups(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              fixtureUrl(col("doc_id").cast("long")).as("url")),
+          "doc_id", "url")
+        .orderBy("canon_url"),
+      Some(
+        s"""WITH $urlCtes
+           |SELECT canon AS canon_url, min(id) AS keeper_id,
+           |  CAST(count(*) AS BIGINT) AS n_urls
+           |FROM urls
+           |WHERE canon IS NOT NULL
+           |GROUP BY 1
+           |HAVING count(*) >= 2
+           |ORDER BY canon_url""".stripMargin))
   )
+
+  /** The q382–q384 fixture URL: independent variant axes driven by
+    * doc_id residues. Every component below is mirrored literally in
+    * [[urlCtes]]; the CANONICAL forms in the oracle are hand-written
+    * per variant, not computed by a twin canonicalizer.
+    */
+  private def fixtureUrl(id: Column): Column = {
+    def pick(m: Int, opts: String*): Column =
+      elt(((pmod(id, lit(m)) + 1).cast("int") +: opts.map(lit)): _*)
+    val raw = concat(
+      pick(4, "http", "https", "HTTP", "Https"), lit("://"),
+      when(pmod(id, lit(11)) === 0, lit("user:pw@")).otherwise(lit("")),
+      pick(8, "News.Example.co.uk", "cdn.assets.Example.com",
+        "sub.Blog.github.io", "EXAMPLE.org.", "www.Shop-Site.com",
+        "x.y.example.net", "plain.de", "localhost"),
+      pick(5, "", ":80", ":443", ":8080", ":80"),
+      pick(6, "", "/", "/a/b", "/A/B", "/p%20q", "/index.html"),
+      pick(7, "", "?utm_source=x&b=2&a=1", "?gclid=123", "?z=9&y=8",
+        "?b=2&a=1&a=0", "?UTM_Medium=m&x=1", "?ref=home&q=a+b"),
+      when(pmod(id, lit(3)) === 0, lit("#frag")).otherwise(lit("")))
+    when(pmod(id, lit(13)) === 0, lit("javascript:void(0)"))
+      .otherwise(raw)
+  }
+
+  /** Oracle CTEs ending in `urls(id, url, canon, domain)`: the fixture
+    * raw string rebuilt component-for-component, and the expected
+    * canonical/domain values written out per variant index.
+    */
+  private def urlCtes: String =
+    """ids AS (SELECT doc_id AS id FROM documents),
+      |parts AS (
+      |  SELECT id,
+      |    (['http','https','HTTP','Https'])[id % 4 + 1] AS scheme,
+      |    CASE WHEN id % 11 = 0 THEN 'user:pw@' ELSE '' END AS userinfo,
+      |    (['News.Example.co.uk','cdn.assets.Example.com',
+      |      'sub.Blog.github.io','EXAMPLE.org.','www.Shop-Site.com',
+      |      'x.y.example.net','plain.de','localhost'])[id % 8 + 1]
+      |      AS host,
+      |    (['',':80',':443',':8080',':80'])[id % 5 + 1] AS port,
+      |    (['','/','/a/b','/A/B','/p%20q','/index.html'])[id % 6 + 1]
+      |      AS path,
+      |    (['','?utm_source=x&b=2&a=1','?gclid=123','?z=9&y=8',
+      |      '?b=2&a=1&a=0','?UTM_Medium=m&x=1','?ref=home&q=a+b'])
+      |      [id % 7 + 1] AS query,
+      |    CASE WHEN id % 3 = 0 THEN '#frag' ELSE '' END AS frag,
+      |    CASE WHEN id % 4 IN (0, 2) THEN 'http' ELSE 'https' END
+      |      AS cscheme,
+      |    (['news.example.co.uk','cdn.assets.example.com',
+      |      'sub.blog.github.io','example.org','www.shop-site.com',
+      |      'x.y.example.net','plain.de','localhost'])[id % 8 + 1]
+      |      AS chost,
+      |    (['example.co.uk','example.com','blog.github.io',
+      |      'example.org','shop-site.com','example.net','plain.de',
+      |      'localhost'])[id % 8 + 1] AS cdomain,
+      |    (['/','/','/a/b','/A/B','/p%20q','/index.html'])[id % 6 + 1]
+      |      AS cpath,
+      |    (['','?a=1&b=2','','?y=8&z=9','?a=0&a=1&b=2','?x=1',
+      |      '?q=a+b'])[id % 7 + 1] AS cquery
+      |  FROM ids),
+      |urls AS (
+      |  SELECT id,
+      |    CASE WHEN id % 13 = 0 THEN 'javascript:void(0)'
+      |      ELSE scheme || '://' || userinfo || host || port ||
+      |        path || query || frag END AS url,
+      |    CASE WHEN id % 13 = 0 THEN NULL
+      |      ELSE cscheme || '://' || chost ||
+      |        CASE
+      |          WHEN id % 5 IN (1, 4) AND cscheme = 'http' THEN ''
+      |          WHEN id % 5 = 2 AND cscheme = 'https' THEN ''
+      |          ELSE port END ||
+      |        cpath || cquery END AS canon,
+      |    CASE WHEN id % 13 = 0 THEN NULL ELSE cdomain END AS domain
+      |  FROM parts)""".stripMargin
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.UrlKit
+import graft.ops.WebCorpus
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization / registrable-domain semantics and the
+  * WebCorpus dedup/report layers.
+  */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(s: String): String =
+    Option(UrlKit.canon(UTF8String.fromString(s))).map(_.toString).orNull
+  private def dom(s: String): String =
+    Option(UrlKit.registrableDomain(UTF8String.fromString(s)))
+      .map(_.toString).orNull
+
+  test("canon folds case, ports, tracking params, order, fragments") {
+    assert(canon("HTTP://News.Example.COM:80/a/b?x=1#top")
+      === "http://news.example.com/a/b?x=1")
+    assert(canon("https://example.com:443/") === "https://example.com/")
+    // Non-default port survives; http:443 is NOT default.
+    assert(canon("http://example.com:443/") === "http://example.com:443/")
+    assert(canon("https://example.com:8080") === "https://example.com:8080/")
+    // Tracking strip is key-prefix (utm_*) + click-id set, case-insensitive.
+    assert(canon("http://e.com/?utm_source=x&b=2&a=1&UTM_Medium=m&gclid=9")
+      === "http://e.com/?a=1&b=2")
+    // Duplicate keys survive, byte-sorted as whole k=v segments.
+    assert(canon("http://e.com/p?b=2&a=1&a=0") === "http://e.com/p?a=0&a=1&b=2")
+    // All params tracking -> no '?' at all.
+    assert(canon("http://e.com/p?fbclid=1&ref=home") === "http://e.com/p")
+    // Userinfo dropped, trailing host dot stripped, empty path -> /.
+    assert(canon("https://u:pw@EXAMPLE.org.") === "https://example.org/")
+    // Path bytes preserved: no %-decode, no case fold, no dot collapse.
+    assert(canon("http://e.com/A/../B%20c") === "http://e.com/A/../B%20c")
+  }
+
+  test("canon refuses non-http(s) and malformed authorities") {
+    assert(canon("javascript:void(0)") === null)
+    assert(canon("ftp://example.com/a") === null)
+    assert(canon("/relative/path") === null)
+    assert(canon("http://e.com:80x/") === null)
+    assert(canon("http:///path") === null)
+  }
+
+  test("registrable domain honors the bundled multi-label suffixes") {
+    assert(dom("http://News.Example.co.uk/x") === "example.co.uk")
+    assert(dom("https://sub.Blog.github.io") === "blog.github.io")
+    assert(dom("http://cdn.assets.example.com") === "example.com")
+    assert(dom("http://plain.de/") === "plain.de")
+    assert(dom("http://localhost:8080/") === "localhost")
+    // The bare suffix itself has no registrable label below it.
+    assert(dom("http://co.uk/") === "co.uk")
+    assert(dom("mailto:x@example.com") === null)
+  }
+
+  test("urlDedupGroups collapses variants; domainReport counts pages") {
+    val docs = Seq(
+      (1L, "http://Example.com:80/p?utm_source=a"),
+      (2L, "HTTP://example.com/p"),
+      (3L, "http://example.com/p#frag"),
+      (4L, "https://example.com/p"), // different scheme: NOT a dup
+      (5L, "http://other.co.uk/q?b=2&a=1"),
+      (6L, "http://other.co.uk/q?a=1&b=2"),
+      (7L, "not a url")).toDF("doc_id", "url")
+    val groups = WebCorpus.urlDedupGroups(docs, "doc_id", "url")
+      .orderBy("canon_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(groups === Seq(
+      ("http://example.com/p", 1L, 3L),
+      ("http://other.co.uk/q?a=1&b=2", 5L, 2L)))
+    val rep = WebCorpus.domainReport(docs, "url")
+      .orderBy("domain")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rep === Seq(
+      ("(invalid)", 1L, 0L, 1000000L),
+      ("example.com", 4L, 2L, 500000L),
+      ("other.co.uk", 2L, 1L, 500000L)))
+  }
+
+  test("the canonicalization select plans with no exchange") {
+    val docs = Seq((1L, "http://e.com/")).toDF("doc_id", "url")
+    val plan = docs.select(WebCorpus.canonUrl(col("url")),
+        WebCorpus.domain(col("url")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
