@@ -41,7 +41,9 @@ final class AhoCorasick private (
     // outPat(n) = pattern id ending exactly at node n (-1 if none);
     // outLink(n) = nearest proper-suffix node with a pattern end (-1).
     private val outPat: Array[Int],
-    private val outLink: Array[Int]) extends Serializable {
+    private val outLink: Array[Int],
+    // patLen(p) = UTF-8 byte length of pattern p (span arithmetic).
+    private val patLen: Array[Int]) extends Serializable {
 
   def nodes: Int = fail.length
 
@@ -80,6 +82,71 @@ final class AhoCorasick private (
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Redact every match: the UNION of all match byte-intervals,
+    * each maximal overlapping run replaced by `replacement` once
+    * (so "aa" over "aaaa" redacts to one replacement, not three).
+    * Adjacent-but-disjoint matches stay separate runs. If the
+    * replacement shares no byte sequence with any pattern, the
+    * output is guaranteed hit-free: a new match would have to lie
+    * inside a preserved segment (then it was a match of the original
+    * and would have been covered — contradiction) or cross a
+    * replacement boundary (impossible without the replacement's
+    * bytes).
+    */
+  def scrub(s: UTF8String, replacement: Array[Byte]): UTF8String = {
+    val bytes = s.getBytes
+    // Merged intervals, maintained sorted: matches arrive in end
+    // order, but a long pattern can reach back over ALREADY-CLOSED
+    // intervals, so merging cascades backwards.
+    val st = new scala.collection.mutable.ArrayBuffer[Int](8)
+    val en = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var node = 0
+    var i = 0
+    while (i < bytes.length) {
+      node = step(node, bytes(i))
+      var m = if (outPat(node) >= 0) node else outLink(node)
+      while (m >= 0) {
+        val s0 = i + 1 - patLen(outPat(m))
+        val e0 = i + 1
+        if (st.isEmpty || s0 >= en.last) {
+          st += s0; en += e0
+        } else {
+          // Overlaps the last interval (match ends are non-decreasing,
+          // so it can never fall strictly between earlier intervals
+          // without touching the last) — extend it, then cascade-merge
+          // backwards over any earlier intervals it now reaches.
+          if (e0 > en.last) en(en.size - 1) = e0
+          if (s0 < st.last) st(st.size - 1) = s0
+          while (st.size > 1 && st.last < en(en.size - 2)) {
+            val ns = math.min(st(st.size - 2), st.last)
+            val ne = en.last
+            st.remove(st.size - 1); en.remove(en.size - 1)
+            st(st.size - 1) = ns; en(en.size - 1) = ne
+          }
+        }
+        m = outLink(m)
+      }
+      i += 1
+    }
+    if (st.isEmpty) return s
+    val covered = (0 until st.size).map(k => en(k) - st(k)).sum
+    val out = new Array[Byte](
+      bytes.length - covered + st.size * replacement.length)
+    var o = 0
+    var prev = 0
+    var k = 0
+    while (k < st.size) {
+      System.arraycopy(bytes, prev, out, o, st(k) - prev)
+      o += st(k) - prev
+      System.arraycopy(replacement, 0, out, o, replacement.length)
+      o += replacement.length
+      prev = en(k)
+      k += 1
+    }
+    System.arraycopy(bytes, prev, out, o, bytes.length - prev)
+    UTF8String.fromBytes(out)
   }
 }
 
@@ -151,7 +218,8 @@ object AhoCorasick {
       childByte(k) = b; childNext(k) = ch; k += 1
     }
     new AhoCorasick(childStart, childByte, childNext, fail,
-      pat.toArray, outLink)
+      pat.toArray, outLink,
+      patterns.map(_.getBytes("UTF-8").length).toArray)
   }
 }
 
@@ -183,5 +251,39 @@ case class BlocklistHitsExpr(child: Expression, patterns: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BlocklistHitsExpr =
+    copy(child = newChild)
+}
+
+/** `graft_blockscrub(text, array('p0',…), 'replacement')` — redact the
+  * UNION of all Aho–Corasick match spans ([[AhoCorasick.scrub]]): each
+  * maximal overlapping run is replaced once. Pattern array and
+  * replacement must be literal. Pick a replacement sharing no byte
+  * sequence with any pattern and the output is provably hit-free —
+  * the closed-loop property the q386 audit certifies.
+  */
+case class BlocklistScrubExpr(child: Expression, patterns: Seq[String],
+    replacement: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_blockscrub expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_blockscrub"
+
+  @transient private lazy val ac = AhoCorasick.cached(patterns)
+  @transient private lazy val repl = replacement.getBytes("UTF-8")
+
+  override def nullSafeEval(input: Any): Any =
+    ac.scrub(input.asInstanceOf[UTF8String], repl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac, classOf[AhoCorasick].getName)
+    val rRef = ctx.addReferenceObj("repl", repl, "byte[]")
+    defineCodeGen(ctx, ev, c => s"$acRef.scrub($c, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistScrubExpr =
     copy(child = newChild)
 }

@@ -222,6 +222,29 @@ object GraftFunctions {
       UrlDomainExpr(children.head): Expression
     })
 
+  /** The pattern array IS the automaton — it must be plan-time
+    * literal, arriving either as CreateArray(Literal…) (the
+    * `array(lit(...))` spelling) or as one array Literal (`lit(...)`
+    * of a Scala collection / a folded constant).
+    */
+  private def literalStrings(e: Expression, fn: String): Seq[String] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+        elems.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"$fn pattern must be a string literal, got $other")
+        }
+      case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _)) =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal pattern array, got $other")
+    }
+
   private[functions] val blockhitsInfo = (
     FunctionIdentifier("graft_blockhits"),
     new ExpressionInfo(classOf[BlocklistHitsExpr].getName,
@@ -229,33 +252,31 @@ object GraftFunctions {
     (children: Seq[Expression]) => {
       require(children.size == 2,
         "graft_blockhits takes (text, array-of-literal-patterns)")
-      // The pattern array IS the automaton — it must be plan-time
-      // literal, arriving either as CreateArray(Literal…) (the
-      // `array(lit(...))` spelling) or as one array Literal (`lit(...)`
-      // of a Scala collection / a folded constant).
-      val pats: Seq[String] = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
-          elems.map {
-            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-              s.toString
-            case other => throw new IllegalArgumentException(
-              s"graft_blockhits pattern must be a string literal, got $other")
-          }
-        case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.StringType, _)) =>
-          a.toArray[org.apache.spark.unsafe.types.UTF8String](
-            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      BlocklistHitsExpr(children.head,
+        literalStrings(children(1), "graft_blockhits")): Expression
+    })
+
+  private[functions] val blockscrubInfo = (
+    FunctionIdentifier("graft_blockscrub"),
+    new ExpressionInfo(classOf[BlocklistScrubExpr].getName,
+      "graft_blockscrub"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_blockscrub takes (text, array-of-literal-patterns, replacement)")
+      val repl = children(2) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
         case other => throw new IllegalArgumentException(
-          s"graft_blockhits expects a literal pattern array, got $other")
+          s"graft_blockscrub replacement must be a string literal, got $other")
       }
-      BlocklistHitsExpr(children.head, pats): Expression
+      BlocklistScrubExpr(children.head,
+        literalStrings(children(1), "graft_blockscrub"), repl): Expression
     })
 
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
-      blockhitsInfo, urlCanonInfo, urlDomainInfo)
+      blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -66,6 +66,52 @@ object Blocklist {
     docs.filter(
       size(hitsCol(col(textCol), patterns)) <= maxHits)
 
+  /** Redacted text: the union of all match spans, each maximal
+    * overlapping run replaced by `replacement` once
+    * ([[graft.functions.AhoCorasick.scrub]]). With a replacement that
+    * shares no byte sequence with any pattern, the output is provably
+    * hit-free — certify it with [[scrubAudit]], don't assume it.
+    */
+  def scrub(text: Column, patterns: Seq[String],
+      replacement: String = "#"): Column =
+    call_function("graft_blockscrub", text,
+      array(patterns.map(lit): _*), lit(replacement))
+
+  /** Closed-loop scrub audit (the q365/q370 discipline: the claim is
+    * RE-MEASURED on the output, not inferred): per source — documents
+    * redacted, match occurrences before, redacted runs, characters
+    * removed, and occurrences remaining after the scrub (a release
+    * gate requires the last to be zero). Everything is one narrow
+    * pass: two automaton runs and length arithmetic per row, then a
+    * |sources|-keyed combinable rollup.
+    */
+  def scrubAudit(docs: DataFrame, sourceCol: String, textCol: String,
+      patterns: Seq[String], replacement: String = "#"): DataFrame = {
+    val scrubbed = scrub(col(textCol), patterns, replacement)
+    val rl = lit(replacement.length)
+    // chars_removed = (len(text) − len(scrubbed)) + runs·|repl|. Runs
+    // are counted as occurrences of the replacement in the scrubbed
+    // text — exact when the replacement never occurs in the source
+    // text and does not self-overlap (both true of the default "#"
+    // against this corpus; pick accordingly).
+    docs
+      .withColumn("__before", size(hitsCol(col(textCol), patterns)))
+      .withColumn("__scrubbed", scrubbed)
+      .withColumn("__runs",
+        size(hitsCol(col("__scrubbed"), Seq(replacement))))
+      .withColumn("__after",
+        size(hitsCol(col("__scrubbed"), patterns)))
+      .groupBy(sourceCol)
+      .agg(
+        sum(when(col("__before") > 0, 1L).otherwise(0L))
+          .as("n_docs_redacted"),
+        sum(col("__before").cast("long")).as("hits_before"),
+        sum(col("__runs").cast("long")).as("n_runs"),
+        (sum(length(col(textCol)) - length(col("__scrubbed")))
+          + sum(col("__runs").cast("long")) * rl).as("chars_removed"),
+        sum(col("__after").cast("long")).as("hits_after"))
+  }
+
   /** Per-source retention audit of [[clean]]: how many documents each
     * source loses to the blocklist, with the retained fraction — the
     * data-card row a curation run publishes next to the gate itself.

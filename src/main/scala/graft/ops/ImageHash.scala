@@ -166,6 +166,59 @@ object ImageHash {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Exploded LSH rows of a hash table — ONE row per (image, band):
+    * `band_key` packs (band index << 16 | band value) into a single
+    * int so the stored table BUCKETS and JOINS on one key (a bucketed
+    * join on a composite key would re-shuffle), and each row carries
+    * all four bands so a probe verifies Hamming distance without a
+    * second index join. Persist via
+    * `Layout.replaceBucketed(spark, bandIndexRows(hashes),
+    * "graft_dhash_bands", "band_key", buckets)` — the image-side
+    * sibling of the text near-dup band index: standing images are
+    * hashed ONCE at build time, never per ingest.
+    */
+  def bandIndexRows(hashes: DataFrame, idCol: String = "id"): DataFrame =
+    hashes.where(col("dhash").isNotNull)
+      .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .select(col(idCol),
+        (col("pos") * lit(65536) + col("col")).cast("int").as("band_key"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+
+  /** Probe a hashed batch against the PERSISTED band index: candidates
+    * share a (band position, band value) key — the same pigeonhole as
+    * [[nearDupPairs]], so recall is lossless up to Hamming 3 — and the
+    * full 64-bit Hamming check runs on band columns carried by both
+    * sides. The index side rides its `band_key` bucket layout with no
+    * exchange; the probe side shuffles only the BATCH. Returns
+    * (batch_id, index_id, hamming).
+    */
+  def incrementalPairsFromIndex(batchHashes: DataFrame,
+      indexBands: DataFrame, idCol: String = "id",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 x 16-bit bands guarantee recall only up to Hamming 3")
+    val probe = bandIndexRows(batchHashes, idCol)
+      .select(col(idCol).as("batch_id"), col("band_key"),
+        col("b0").as("a0"), col("b1").as("a1"),
+        col("b2").as("a2"), col("b3").as("a3"))
+    val idx = indexBands
+      .select(col(idCol).as("index_id"), col("band_key"),
+        col("b0").as("c0"), col("b1").as("c1"),
+        col("b2").as("c2"), col("b3").as("c3"))
+    val ham = (0 to 3)
+      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"c$k"))))
+      .reduce(_ + _)
+    probe.join(idx, "band_key")
+      .select(col("batch_id"), col("index_id"),
+        col("a0"), col("a1"), col("a2"), col("a3"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .distinct()
+      .select(col("batch_id"), col("index_id"),
+        ham.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Exact perceptual dedup: identical 64-bit hashes collapse to one
     * keeper (the minimum id — deterministic, no tie ambiguity). A
     * plain groupBy on the 8-byte hash — the cheapest dedup shuffle

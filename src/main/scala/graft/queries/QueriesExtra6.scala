@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{Blocklist, ImageHash, WebCorpus}
+import graft.sources.Layout
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Shared._
@@ -269,6 +270,99 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY keeper_id""".stripMargin)),
+
+    // Blocklist redaction with a CLOSED-LOOP audit (Blocklist.scrub /
+    // scrubAudit — the q365/q370 discipline: the gate's claim is
+    // re-measured on the output, not inferred): redact the interval
+    // UNION of every match span (overlapping "a a" chains collapse to
+    // one run, "able" unions into "table"), then re-run the automaton
+    // on the redacted text — hits_after is MEASURED by the engine and
+    // must equal the oracle's analytic zero (guaranteed because "#"
+    // shares no byte with any pattern). The oracle recomputes matches,
+    // covered positions and maximal runs relationally (position scan →
+    // interval membership → lag-gap run counting) — a fully
+    // independent formulation of the same union semantics.
+    QueryDef("q386_blocklist_scrub_audit",
+      (s, dir) => Blocklist.scrubAudit(t(s, dir, "documents"),
+          "source", "text", Seq("fast table", "a a", "table", "able"))
+        .orderBy("source"),
+      Some {
+        val pv = patsValues(Seq("fast table", "a a", "table", "able"))
+        s"""WITH pats AS (
+           |  SELECT * FROM (VALUES $pv) AS v(pattern_id, pattern)),
+           |series AS (
+           |  SELECT CAST(unnest(range(1,
+           |    (SELECT max(length(text)) + 1 FROM documents))) AS INT)
+           |    AS i),
+           |starts AS (
+           |  SELECT d.doc_id, s.i AS st,
+           |    s.i + length(p.pattern) - 1 AS fin
+           |  FROM documents d
+           |  CROSS JOIN pats p
+           |  JOIN series s ON s.i <= length(d.text) - length(p.pattern) + 1
+           |  WHERE substr(d.text, s.i, length(p.pattern)) = p.pattern),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, s2.i AS pos
+           |  FROM starts JOIN series s2 ON s2.i BETWEEN st AND fin),
+           |runc AS (
+           |  SELECT doc_id, count(*) AS covered,
+           |    sum(CASE WHEN prev IS NULL OR pos - prev > 1
+           |      THEN 1 ELSE 0 END) AS n_runs
+           |  FROM (SELECT doc_id, pos,
+           |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+           |            AS prev
+           |        FROM cov)
+           |  GROUP BY 1),
+           |hits AS (SELECT doc_id, count(*) AS n FROM starts GROUP BY 1)
+           |SELECT d.source,
+           |  CAST(sum(CASE WHEN h.n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_docs_redacted,
+           |  CAST(coalesce(sum(h.n), 0) AS BIGINT) AS hits_before,
+           |  CAST(coalesce(sum(r.n_runs), 0) AS BIGINT) AS n_runs,
+           |  CAST(coalesce(sum(r.covered), 0) AS BIGINT) AS chars_removed,
+           |  CAST(0 AS BIGINT) AS hits_after
+           |FROM documents d
+           |LEFT JOIN hits h USING (doc_id)
+           |LEFT JOIN runc r ON r.doc_id = d.doc_id
+           |GROUP BY 1
+           |ORDER BY source""".stripMargin
+      }),
+
+    // Incremental image dedup against the PERSISTED dHash band index
+    // (ImageHash.bandIndexRows / incrementalPairsFromIndex): the
+    // standing corpus half (doc_id % 4 < 2) is hashed ONCE and stored
+    // band_key-bucketed via the versioned Layout publish; today's
+    // batch (doc_id % 4 ≥ 2) probes it — index side rides its bucket
+    // layout with no exchange, only the batch shuffles. Within each
+    // base group the batch's brightness-shifted copy lands at
+    // Hamming 0 and the blob variant at ≤ 1 against the stored half —
+    // the image sibling of the q93/q373 text ingest discipline.
+    QueryDef("q385_image_incremental_dedup",
+      (s, dir) => {
+        val media = dhashMedia(s, dir)
+        Layout.replaceBucketed(s,
+          ImageHash.bandIndexRows(
+            ImageHash.dhash(s, media.where(pmod(col("id"), lit(4)) < 2))),
+          "graft_dhash_bands", "band_key", buckets = 8)
+        ImageHash.incrementalPairsFromIndex(
+          ImageHash.dhash(s, media.where(pmod(col("id"), lit(4)) >= 2)),
+          Layout.table(s, "graft_dhash_bands"))
+          .orderBy("batch_id", "index_id")
+      },
+      Some(
+        s"""WITH $dhashCtes
+           |SELECT b.id AS batch_id, a.id AS index_id,
+           |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           |    AS INTEGER) AS hamming
+           |FROM hashes b JOIN hashes a
+           |  ON b.id % 4 >= 2 AND a.id % 4 < 2
+           |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
+           |       OR a.b3 = b.b3)
+           |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           |  <= 3
+           |ORDER BY batch_id, index_id""".stripMargin)),
 
     // URL canonicalization (WebCorpus.canonUrl/domain — the fused
     // graft_urlcanon/graft_urldomain native expressions): the

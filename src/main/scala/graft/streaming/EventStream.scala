@@ -597,6 +597,37 @@ object EventStream {
       .start()
   }
 
+  /** Streaming blocklist ledger — the Aho–Corasick hygiene gate
+    * ([[graft.ops.Blocklist]]) run per micro-batch: ONE automaton pass
+    * per arriving document (O(text + matches) whatever the blocklist
+    * size), appended as one row per (source, pattern, batch) with the
+    * documents-hit and total-occurrence counts — the live feed a
+    * curation dashboard watches for a poisoned source. Batch-id-keyed
+    * idempotent append: a replayed batch leaves the ledger
+    * byte-identical, the index-ingest family's exactly-once contract.
+    */
+  def blocklistLedger(
+      docs: DataFrame, patterns: Seq[String], outTable: String,
+      checkpoint: String, idCol: String, textCol: String,
+      sourceCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        graft.sources.Layout.idempotentAppendTable(
+          graft.ops.Blocklist.scan(b, idCol, textCol, patterns)
+            .join(b.select(idCol, sourceCol), idCol)
+            .groupBy(sourceCol, "pattern")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_hits")).as("n_hits"))
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
+        ()
+      }
+      .start()
+  }
+
   def incrementalHistIngest(
       docs: DataFrame, histTable: String, outTable: String,
       checkpoint: String, groupCol: String, valueCol: String,

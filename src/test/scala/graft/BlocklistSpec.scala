@@ -76,6 +76,41 @@ class BlocklistSpec extends SparkSpec {
     assert(ret === Seq(("s1", 2L, 2L, 0.0), ("s2", 1L, 0L, 1.0)))
   }
 
+  test("scrub redacts the interval union of matches") {
+    def sc(pats: Seq[String], s: String, r: String = "#"): String =
+      AhoCorasick.build(pats)
+        .scrub(UTF8String.fromString(s), r.getBytes("UTF-8")).toString
+    // Self-overlap chain collapses to ONE replacement.
+    assert(sc(Seq("aa"), "aaaa") === "#")
+    // Adjacent disjoint matches stay separate runs.
+    assert(sc(Seq("bad"), "badbad") === "##")
+    // Nested/suffix matches union ("she" ⊃ "he").
+    assert(sc(Seq("she", "he"), "ushers") === "u#rs")
+    // A long pattern reaching back over already-closed intervals
+    // cascades the merge.
+    assert(sc(Seq("bc", "de", "abcdef"), "xabcdefy") === "x#y")
+    assert(sc(Seq("zz"), "no hits here") === "no hits here")
+    // Multi-byte replacement.
+    assert(sc(Seq("aa"), "baaab", "[X]") === "b[X]b")
+  }
+
+  test("scrubAudit closes the loop: measured hits_after is zero") {
+    val docs = Seq(
+      (1L, "s1", "bad aaa bad"),   // bad:2 runs, aa:overlap run -> 3 runs
+      (2L, "s1", "clean text"),
+      (3L, "s2", "aaaa")).toDF("doc_id", "source", "text")
+    val got = Blocklist.scrubAudit(docs, "source", "text",
+        Seq("bad", "aa"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // doc1: matches bad@0, aa@4, aa@5, bad@8 -> hits 4; runs: [0,3),
+    // [4,7), [8,11) -> 3 runs, 9 chars covered.
+    // doc3: "aaaa" -> 3 overlapping hits, 1 run, 4 chars.
+    assert(got === Seq(
+      ("s1", 1L, 4L, 3L, 9L, 0L),
+      ("s2", 1L, 3L, 1L, 4L, 0L)))
+  }
+
   test("clean plans as a narrow filter — no exchange, no join") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val plan = Blocklist.clean(docs, "text", Seq("bad", "worse"))

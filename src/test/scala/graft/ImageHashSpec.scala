@@ -99,6 +99,49 @@ class ImageHashSpec extends SparkSpec {
     assert(groups.map(g => (g._2, g._3)) === Seq((10L, 2L)))
   }
 
+  test("stored band index: probe finds near-dups, index side plans no exchange") {
+    import graft.sources.Layout
+    def png(id: Long, shift: Int): Array[Byte] =
+      MediaFixtures.pngFromPixels(18, 16, 1,
+        grayPx((x, y) => ((id * 7 + x * 13 + y * 7) % 151).toInt + shift),
+        _ => 0)
+    val standing = Seq((10L, png(1, 0)), (20L, png(9, 0)))
+      .toDF("id", "bytes")
+    val batch = Seq((30L, png(1, 25)), (40L, png(5, 0)))
+      .toDF("id", "bytes")
+    Layout.replaceBucketed(spark,
+      graft.ops.ImageHash.bandIndexRows(
+        graft.ops.ImageHash.dhash(spark, standing)),
+      "dhash_bands_t", "band_key", buckets = 4)
+    val prev =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = graft.ops.ImageHash.incrementalPairsFromIndex(
+        graft.ops.ImageHash.dhash(spark, batch),
+        Layout.table(spark, "dhash_bands_t"))
+      val got = probe.orderBy("batch_id")
+        .as[(Long, Long, Int)].collect().toSeq
+      // 30 is 10's brightness-shifted copy (Hamming 0); 40 matches
+      // neither standing image within 3 bits.
+      assert(got === Seq((30L, 10L, 0)))
+      // The index side must ride its band_key bucket layout: the only
+      // hash exchanges are the probe side + the candidate distinct.
+      val plan = probe.queryExecution.executedPlan.toString
+      val reads = "FileScan".r.findAllIn(plan).size
+      assert(reads >= 1, plan)
+      val idxScanToJoin = plan.split("SortMergeJoin")
+      assert(idxScanToJoin.length >= 2, plan)
+      // Bucketed side contributes no Exchange between scan and join:
+      // total hashpartitioning exchanges = probe shuffle + distinct.
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+        s"index side must not re-shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Layout.drop(spark, "dhash_bands_t")
+    }
+  }
+
   test("the hashing map plans with no exchange") {
     val rows = Seq((1L, Array[Byte](1))).toDF("id", "bytes")
     val plan = ImageHash.dhash(spark, rows)

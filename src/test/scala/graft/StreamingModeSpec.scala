@@ -793,6 +793,40 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("blocklistLedger appends per-(source, pattern, batch) hit rows") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.Layout.drop(spark, "block_ledger")
+    val input = MemoryStream[(Long, String, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("block_ckpt").toString
+    val q = EventStream.blocklistLedger(
+      input.toDF().toDF("doc_id", "text", "source"),
+      Seq("bad", "aa"), "block_ledger", ckpt,
+      "doc_id", "text", "source")
+    try {
+      // "aaa" carries TWO overlapping "aa" hits; "clean" carries none
+      // and must not appear in the ledger at all.
+      input.addData(Seq((1L, "bad aaa", "web"), (2L, "clean", "web"),
+        (3L, "bad bad", "lab")))
+      q.processAllAvailable()
+      input.addData(Seq((4L, "aa", "web")))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("block_ledger")
+      val rows = spark.table("block_ledger")
+        .select("source", "pattern", "ingest_batch", "n_docs", "n_hits")
+        .as[(String, String, Long, Long, Long)]
+        .collect().map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+      assert(rows === Map(
+        ("web", "bad", 0L) -> (1L, 1L),
+        ("web", "aa", 0L) -> (1L, 2L),
+        ("lab", "bad", 0L) -> (1L, 2L),
+        ("web", "aa", 1L) -> (1L, 1L)))
+    } finally {
+      q.stop()
+      graft.sources.Layout.drop(spark, "block_ledger")
+    }
+  }
+
   test("otDriftMonitor: in-distribution batch scores low, shifted batch scores high") {
     import graft.ops.{Drift, Stats}
     import graft.sources.Layout
