@@ -40,6 +40,46 @@ object WebCorpus {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_urls"))
       .where(col("n_urls") >= minDups)
 
+  /** Deterministic per-domain document cap — the site-balance step of
+    * crawl curation (a handful of mega-sites otherwise dominate the
+    * token budget): keep at most `maxPerDomain` documents per
+    * registrable domain, chosen by md5-of-id priority so the kept
+    * subset is a stable pseudo-random sample — independent of
+    * partitioning, replay-identical. Documents whose URL has no
+    * domain are passed through uncapped (they can't be attributed to
+    * a site; gate them elsewhere). The one shuffle partitions by
+    * domain — exactly the key the cap is defined over; no global
+    * sort, no single-task window.
+    */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String,
+      maxPerDomain: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__domain"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("__domain", domain(col(urlCol)))
+      .withColumn("__rk",
+        when(col("__domain").isNull, lit(1L))
+          .otherwise(row_number().over(w).cast("long")))
+      .where(col("__rk") <= maxPerDomain)
+      .drop("__domain", "__rk")
+  }
+
+  /** The cap's audit row: per domain, documents seen vs kept at the
+    * given cap — published next to the capped corpus so the sampling
+    * is reviewable (the q378 retention discipline).
+    */
+  def domainCapReport(docs: DataFrame, idCol: String, urlCol: String,
+      maxPerDomain: Int): DataFrame =
+    docs
+      .select(coalesce(domain(col(urlCol)), lit("(invalid)"))
+        .as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        least(count(lit(1)),
+          when(col("domain") === "(invalid)", count(lit(1)))
+            .otherwise(lit(maxPerDomain.toLong))).as("n_kept"))
+
   /** Per-domain corpus report: raw URL count, distinct canonical
     * pages, and the dup ratio ppm — the site-level table a crawl
     * curation reviews (domain caps, site-level sampling). Unparseable

@@ -430,7 +430,37 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
-  )
+  ) :+ q387
+
+  private def q387 =
+    // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
+    // per registrable domain by md5-of-id priority — a stable
+    // pseudo-random site-balance sample, replay-identical and
+    // partition-independent. The oracle replays the SELECTION itself
+    // (same md5 over the same fixture domains), so the output ids —
+    // not just the counts — must match. Unattributable (invalid-URL)
+    // docs pass through uncapped, visible in the output as null
+    // domain. The one shuffle partitions by domain; no global sort.
+    QueryDef("q387_domain_cap",
+      (s, dir) => {
+        val withUrl = t(s, dir, "documents")
+          .select(col("doc_id"),
+            fixtureUrl(col("doc_id").cast("long")).as("url"))
+        WebCorpus.domainCap(withUrl, "doc_id", "url", maxPerDomain = 20)
+          .select(col("doc_id"), WebCorpus.domain(col("url")).as("domain"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |rk AS (
+           |  SELECT id, domain,
+           |    CASE WHEN domain IS NULL THEN 1
+           |      ELSE row_number() OVER (PARTITION BY domain
+           |        ORDER BY md5(CAST(id AS VARCHAR)), id) END AS rk
+           |  FROM urls)
+           |SELECT id AS doc_id, domain FROM rk
+           |WHERE rk <= 20
+           |ORDER BY doc_id""".stripMargin))
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in

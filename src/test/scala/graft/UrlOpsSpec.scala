@@ -80,6 +80,32 @@ class UrlOpsSpec extends SparkSpec {
       ("other.co.uk", 2L, 1L, 500000L)))
   }
 
+  test("domainCap keeps a stable md5-priority sample per domain") {
+    val docs = (1L to 10L).map(i =>
+        (i, if (i <= 8) s"http://site-${i % 2}.com/p$i" else "junk"))
+      .toDF("doc_id", "url")
+    val kept = WebCorpus.domainCap(docs, "doc_id", "url", maxPerDomain = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // Two domains capped at 2 each + both unattributable docs.
+    assert(kept.size === 6)
+    assert(Set(9L, 10L).subsetOf(kept), "invalid URLs pass uncapped")
+    // Deterministic: the same call returns the same set.
+    val again = WebCorpus.domainCap(docs, "doc_id", "url", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+    // Priority is md5-of-id: recompute the expected winners.
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = (1L to 8L).groupBy(_ % 2).values.flatMap(ids =>
+      ids.sortBy(i => (md5(i.toString), i)).take(2)).toSet ++ Set(9L, 10L)
+    assert(kept === expect)
+    val rep = WebCorpus.domainCapReport(docs, "doc_id", "url", 2)
+      .orderBy("domain").as[(String, Long, Long)].collect().toSeq
+    assert(rep === Seq(("(invalid)", 2L, 2L),
+      ("site-0.com", 4L, 2L), ("site-1.com", 4L, 2L)))
+  }
+
   test("the canonicalization select plans with no exchange") {
     val docs = Seq((1L, "http://e.com/")).toDF("doc_id", "url")
     val plan = docs.select(WebCorpus.canonUrl(col("url")),
