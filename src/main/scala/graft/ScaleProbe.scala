@@ -315,7 +315,13 @@ object ScaleProbe {
             blockPatterns8)),
         "blocklist_scan_512" -> (() =>
           graft.ops.Blocklist.report(df, "doc_id", "text",
-            blockPatterns512)))
+            blockPatterns512)),
+        // Redaction + closed-loop audit: TWO automaton passes plus
+        // length arithmetic per row and a |sources| rollup — expect
+        // the blocklist_scan shape at roughly twice the constant.
+        "blocklist_scrub" -> (() =>
+          graft.ops.Blocklist.scrubAudit(df, "source", "text",
+            blockPatterns8)))
       // Dashboard probe (q367): the four index tables are built
       // UNTIMED per tile (their build costs are the minhash_pairs /
       // dedup_clusters / histogram rows above); the timed body is the
@@ -337,7 +343,8 @@ object ScaleProbe {
       // map is narrow, the join keys on 16-bit bands whose bucket
       // population per tile is unchanged.
       val imagesOn = opFilter.forall(f =>
-        f("image_dhash") || f("image_dhash_pairs"))
+        f("image_dhash") || f("image_dhash_pairs") ||
+          f("image_dhash_probe"))
       val imageOps: Seq[(String, () => DataFrame)] =
         if (!imagesOn) Seq.empty
         else {
@@ -359,13 +366,28 @@ object ScaleProbe {
             (id, graft.queries.MediaFixtures.pngFromPixels(
               w, h, 1, px, y => ((id + y) % 5).toInt))
           }.toDF("id", "bytes").localCheckpoint(true)
+          // Stored-index posture: the standing half's band index is
+          // built UNTIMED (its cost is the image_dhash row); the
+          // timed probe hashes only the batch half and joins the
+          // bucketed index with no index-side exchange — cost should
+          // track the BATCH, the same claim as incremental_neardups.
+          graft.sources.Layout.replaceBucketed(spark,
+            graft.ops.ImageHash.bandIndexRows(
+              graft.ops.ImageHash.dhash(spark,
+                media.filter(col("id") % 2 === 0))),
+            "sp_dhash_bands", "band_key", buckets = 8)
           Seq(
             "image_dhash" -> (() =>
               graft.ops.ImageHash.dhash(spark, media)),
             "image_dhash_pairs" -> (() =>
               graft.ops.ImageHash.nearDupPairs(
                 graft.ops.ImageHash.dhash(spark, media),
-                maxHamming = 3)))
+                maxHamming = 3)),
+            "image_dhash_probe" -> (() =>
+              graft.ops.ImageHash.incrementalPairsFromIndex(
+                graft.ops.ImageHash.dhash(spark,
+                  media.filter(col("id") % 2 === 1)),
+                graft.sources.Layout.table(spark, "sp_dhash_bands"))))
         }
       val forgetOn = opFilter.forall(_.contains("forget_audit"))
       if (forgetOn) {
@@ -535,7 +557,8 @@ object ScaleProbe {
         raw.unpersist()
       }
     }
-    Seq("sp_cmap", "sp_cmap_f", "sp_docstore", "sp_hll", "sp_hist")
+    Seq("sp_cmap", "sp_cmap_f", "sp_docstore", "sp_hll", "sp_hist",
+      "sp_dhash_bands")
       .foreach(t => graft.sources.Layout.drop(spark, t))
     spark.stop()
   }
