@@ -430,7 +430,7 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
-  ) :+ q387
+  ) :+ q387 :+ q388
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -461,6 +461,80 @@ private[queries] object QueriesExtra6 {
            |SELECT id AS doc_id, domain FROM rk
            |WHERE rk <= 20
            |ORDER BY doc_id""".stripMargin))
+
+  private def q388 =
+    // Web-curation capstone — the session's tiers composed as ONE
+    // funnel, per-source manifest grain (the q318 discipline): raw →
+    // URL dedup (keep the min-id doc per canonical key; unparseable
+    // URLs pass — they are not URL-dedupable) → per-domain cap (≤ 20
+    // by md5 priority, unattributable pass) → zero-tolerance blocklist
+    // gate. Every stage is the already-verified operator (q382/q387/
+    // q378), so the capstone checks their COMPOSITION: the oracle
+    // chains the fixture CTEs through the same three stages and the
+    // per-source counts must match at every stage, not just the end.
+    QueryDef("q388_web_curation_funnel",
+      (s, dir) => {
+        val pats = Seq("slow merge", "window window", "batch batch")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            fixtureUrl(col("doc_id").cast("long")).as("url"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("canon").orderBy("doc_id")
+        val s1 = docs
+          .withColumn("canon", WebCorpus.canonUrl(col("url")))
+          .withColumn("rk", when(col("canon").isNull, lit(1))
+            .otherwise(row_number().over(w)))
+          .where(col("rk") === 1).drop("rk", "canon")
+        val s2 = WebCorpus.domainCap(s1, "doc_id", "url",
+          maxPerDomain = 20)
+        val s3 = Blocklist.clean(s2, "text", pats)
+        def cnt(df: DataFrame, as: String) =
+          df.groupBy("source").agg(count(lit(1)).as(as))
+        cnt(docs, "n_raw")
+          .join(cnt(s1, "n_url_unique"), Seq("source"), "left")
+          .join(cnt(s2, "n_after_cap"), Seq("source"), "left")
+          .join(cnt(s3, "n_clean"), Seq("source"), "left")
+          .na.fill(0L,
+            Seq("n_url_unique", "n_after_cap", "n_clean"))
+          .orderBy("source")
+      },
+      Some {
+        val bl = blockCtes(
+          Seq("slow merge", "window window", "batch batch"))
+        s"""WITH $urlCtes,
+           |$bl,
+           |d AS (SELECT u.id, u.canon, u.domain, doc.source, doc.text
+           |      FROM urls u JOIN documents doc ON doc.doc_id = u.id),
+           |s1 AS (
+           |  SELECT * FROM (
+           |    SELECT *, CASE WHEN canon IS NULL THEN 1
+           |      ELSE row_number() OVER (PARTITION BY canon
+           |        ORDER BY id) END AS rk
+           |    FROM d) WHERE rk = 1),
+           |s2 AS (
+           |  SELECT * FROM (
+           |    SELECT *, CASE WHEN domain IS NULL THEN 1
+           |      ELSE row_number() OVER (PARTITION BY domain
+           |        ORDER BY md5(CAST(id AS VARCHAR)), id) END AS rk2
+           |    FROM s1) WHERE rk2 <= 20),
+           |flagged AS (SELECT DISTINCT doc_id FROM hits),
+           |s3 AS (SELECT * FROM s2
+           |       WHERE id NOT IN (SELECT doc_id FROM flagged))
+           |SELECT doc.source,
+           |  CAST(count(*) AS BIGINT) AS n_raw,
+           |  CAST(coalesce(s1c.n, 0) AS BIGINT) AS n_url_unique,
+           |  CAST(coalesce(s2c.n, 0) AS BIGINT) AS n_after_cap,
+           |  CAST(coalesce(s3c.n, 0) AS BIGINT) AS n_clean
+           |FROM documents doc
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s1 GROUP BY 1)
+           |  s1c ON s1c.source = doc.source
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s2 GROUP BY 1)
+           |  s2c ON s2c.source = doc.source
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s3 GROUP BY 1)
+           |  s3c ON s3c.source = doc.source
+           |GROUP BY 1, s1c.n, s2c.n, s3c.n
+           |ORDER BY doc.source""".stripMargin
+      })
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in
