@@ -430,7 +430,7 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
-  ) :+ q387 :+ q388
+  ) :+ q387 :+ q388 :+ q389
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -535,6 +535,40 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1, s1c.n, s2c.n, s3c.n
            |ORDER BY doc.source""".stripMargin
       })
+
+  private def q389 =
+    // WARC round trip (sources/Warc — the web-archive format crawl
+    // corpora actually ship in, S-tier beside CSV/XLSX/JSONL/ORC/XML):
+    // every document written as a strict WARC/1.0 response record
+    // (one row per record through the parallel text sink, separator
+    // framed byte-exactly), read back via the binaryFile walk, and
+    // reconciled per registrable domain — record counts AND payload
+    // byte sums must survive the format. The oracle never parses WARC:
+    // it predicts both from the fixture join, so writer and reader
+    // must BOTH be right to go green.
+    QueryDef("q389_warc_roundtrip",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_roundtrip"
+        val docs = t(s, dir, "documents")
+          .select(col("text"),
+            fixtureUrl(col("doc_id").cast("long")).as("url"))
+        graft.sources.Warc.write(docs, tmp, "url", "text")
+        graft.sources.Warc.read(s, tmp)
+          .select(coalesce(WebCorpus.domain(col("url")),
+            lit("(invalid)")).as("domain"), col("n_bytes"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_records"),
+            sum("n_bytes").as("payload_bytes"))
+          .orderBy("domain")
+      },
+      Some(
+        s"""WITH $urlCtes
+           |SELECT coalesce(domain, '(invalid)') AS domain,
+           |  CAST(count(*) AS BIGINT) AS n_records,
+           |  CAST(sum(length(doc.text)) AS BIGINT) AS payload_bytes
+           |FROM urls u JOIN documents doc ON doc.doc_id = u.id
+           |GROUP BY 1
+           |ORDER BY domain""".stripMargin))
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in
