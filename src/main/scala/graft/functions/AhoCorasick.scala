@@ -85,9 +85,11 @@ final class AhoCorasick private (
   }
 
   /** Redact every match: the UNION of all match byte-intervals,
-    * each maximal overlapping run replaced by `replacement` once
-    * (so "aa" over "aaaa" redacts to one replacement, not three).
-    * Adjacent-but-disjoint matches stay separate runs. If the
+    * each maximal run of covered bytes replaced by `replacement` once
+    * (so "aa" over "aaaa" redacts to one replacement, not three, and
+    * ADJACENT matches — "bad" twice in "badbad" — merge into one run:
+    * run identity is over covered positions, not match boundaries,
+    * which is also what the relational lag-gap oracle counts). If the
     * replacement shares no byte sequence with any pattern, the
     * output is guaranteed hit-free: a new match would have to lie
     * inside a preserved segment (then it was a match of the original
@@ -110,16 +112,17 @@ final class AhoCorasick private (
       while (m >= 0) {
         val s0 = i + 1 - patLen(outPat(m))
         val e0 = i + 1
-        if (st.isEmpty || s0 >= en.last) {
+        if (st.isEmpty || s0 > en.last) {
           st += s0; en += e0
         } else {
-          // Overlaps the last interval (match ends are non-decreasing,
-          // so it can never fall strictly between earlier intervals
-          // without touching the last) — extend it, then cascade-merge
-          // backwards over any earlier intervals it now reaches.
+          // Overlaps or touches the last interval (match ends are
+          // non-decreasing, so it can never fall strictly between
+          // earlier intervals without touching the last) — extend it,
+          // then cascade-merge backwards over any earlier intervals
+          // it now reaches or touches.
           if (e0 > en.last) en(en.size - 1) = e0
           if (s0 < st.last) st(st.size - 1) = s0
-          while (st.size > 1 && st.last < en(en.size - 2)) {
+          while (st.size > 1 && st.last <= en(en.size - 2)) {
             val ns = math.min(st(st.size - 2), st.last)
             val ne = en.last
             st.remove(st.size - 1); en.remove(en.size - 1)

@@ -66,8 +66,8 @@ object Blocklist {
     docs.filter(
       size(hitsCol(col(textCol), patterns)) <= maxHits)
 
-  /** Redacted text: the union of all match spans, each maximal
-    * overlapping run replaced by `replacement` once
+  /** Redacted text: the union of all match spans, each maximal run of
+    * covered characters (overlapping OR adjacent) replaced once
     * ([[graft.functions.AhoCorasick.scrub]]). With a replacement that
     * shares no byte sequence with any pattern, the output is provably
     * hit-free — certify it with [[scrubAudit]], don't assume it.

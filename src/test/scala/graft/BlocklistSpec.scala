@@ -82,8 +82,8 @@ class BlocklistSpec extends SparkSpec {
         .scrub(UTF8String.fromString(s), r.getBytes("UTF-8")).toString
     // Self-overlap chain collapses to ONE replacement.
     assert(sc(Seq("aa"), "aaaa") === "#")
-    // Adjacent disjoint matches stay separate runs.
-    assert(sc(Seq("bad"), "badbad") === "##")
+    // Adjacent matches merge: runs are maximal COVERED-byte runs.
+    assert(sc(Seq("bad"), "badbad") === "#")
     // Nested/suffix matches union ("she" ⊃ "he").
     assert(sc(Seq("she", "he"), "ushers") === "u#rs")
     // A long pattern reaching back over already-closed intervals
