@@ -61,6 +61,36 @@ object Warc {
       .toDF("warc_file", "url", "payload", "n_bytes")
   }
 
+  /** Streaming twin of [[read]]: watch `dir` for newly-landed WARC
+    * files (the shape a crawler actually produces — a directory that
+    * grows by whole files) and emit each file's records exactly once.
+    * Same strict per-file walk; files remain the split unit, so a
+    * micro-batch parallelizes over the files it picked up.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.substring(path.lastIndexOf('/') + 1)
+        parseRecords(bytes).map { case (url, payload, n) =>
+          (file, url, payload, n)
+        }
+      }
+      .toDF("warc_file", "url", "payload", "n_bytes")
+  }
+
   /** Strict WARC/1.0 record walk over one file's bytes. */
   private[graft] def parseRecords(
       b: Array[Byte]): Seq[(String, String, Long)] = {

@@ -51,6 +51,80 @@ class WarcSpec extends SparkSpec {
       Seq(("http://e.com/p", "abc", 3L)))
   }
 
+  test("readStream picks up newly-landed WARC files exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_ckpt")
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      // Write via the batch writer to a staging dir, then move the
+      // part file in whole — the arrival pattern of a real crawler.
+      val stage = java.nio.file.Files.createTempDirectory("warc_stage")
+      Warc.write(rows.toDF("url", "payload").coalesce(1),
+        stage.toString + "/w", "url", "payload")
+      val parts = new java.io.File(stage.toString + "/w").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length() > 0)
+      assert(parts.length === 1)
+      java.nio.file.Files.move(parts.head.toPath, dir.resolve(name))
+    }
+    val q = Warc.readStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_stream_t")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      land("a.warc", Seq(("http://a.com/1", "p1"), ("http://a.com/2", "p2")))
+      q.processAllAvailable()
+      land("b.warc", Seq(("http://b.org/3", "p3")))
+      q.processAllAvailable()
+      val got = spark.table("warc_stream_t")
+        .select("warc_file", "url", "n_bytes")
+        .as[(String, String, Long)].collect().sorted.toSeq
+      assert(got === Seq(
+        ("a.warc", "http://a.com/1", 2L),
+        ("a.warc", "http://a.com/2", 2L),
+        ("b.warc", "http://b.org/3", 2L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS warc_stream_t")
+    }
+  }
+
+  test("WARC stream feeds the blocklist ledger end to end") {
+    graft.sources.Layout.drop(spark, "warc_block_ledger")
+    val dir = java.nio.file.Files.createTempDirectory("warc_e2e")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_e2e_ckpt")
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("warc_e2e_st")
+      Warc.write(rows.toDF("url", "payload").coalesce(1),
+        stage.toString + "/w", "url", "payload")
+      val part = new java.io.File(stage.toString + "/w").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    // Crawl files land; the stream parses records, attributes each to
+    // its registrable domain, and the hygiene ledger accumulates.
+    val docs = Warc.readStream(spark, dir.toString)
+      .select(col("url"),
+        graft.ops.WebCorpus.domain(col("url")).as("site"),
+        col("payload"))
+    val q = graft.streaming.EventStream.blocklistLedger(
+      docs, Seq("bad", "aa"), "warc_block_ledger", ckpt.toString,
+      "url", "payload", "site")
+    try {
+      land("c1.warc", Seq(
+        ("http://Evil.com/1?utm_source=x", "bad aaa"),
+        ("http://good.org/2", "clean")))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("warc_block_ledger")
+      val rows = spark.table("warc_block_ledger")
+        .select("site", "pattern", "n_docs", "n_hits")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(rows === Set(
+        ("evil.com", "bad", 1L, 1L), ("evil.com", "aa", 1L, 2L)))
+    } finally {
+      q.stop()
+      graft.sources.Layout.drop(spark, "warc_block_ledger")
+    }
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
