@@ -53,16 +53,34 @@ object WebCorpus {
     */
   def domainCap(docs: DataFrame, idCol: String, urlCol: String,
       maxPerDomain: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    // Two-stage top-N so a mega-domain never lands in ONE task: stage
+    // 1 ranks within (domain, salt-of-id) and keeps ≤ N per salt —
+    // any element of the global per-domain top N is also in its
+    // salt's top N (fewer than N shardmates can outrank it), so the
+    // pre-prune is lossless — then stage 2 ranks the ≤ 16·N
+    // survivors per domain. The heaviest task is bounded by the
+    // heaviest (domain, salt) shard, 1/16th of the heaviest site.
+    val salts = 16
+    val prio = md5(col(idCol).cast("string"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__domain"), col("__salt"))
+      .orderBy(prio, col(idCol))
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__domain"))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(prio, col(idCol))
     docs
       .withColumn("__domain", domain(col(urlCol)))
+      .withColumn("__salt",
+        pmod(hash(col(idCol)), lit(salts)))
+      .withColumn("__rk1",
+        when(col("__domain").isNull, lit(1L))
+          .otherwise(row_number().over(w1).cast("long")))
+      .where(col("__rk1") <= maxPerDomain)
       .withColumn("__rk",
         when(col("__domain").isNull, lit(1L))
-          .otherwise(row_number().over(w).cast("long")))
+          .otherwise(row_number().over(w2).cast("long")))
       .where(col("__rk") <= maxPerDomain)
-      .drop("__domain", "__rk")
+      .drop("__domain", "__salt", "__rk1", "__rk")
   }
 
   /** The cap's audit row: per domain, documents seen vs kept at the
