@@ -40,6 +40,27 @@ object WebCorpus {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_urls"))
       .where(col("n_urls") >= minDups)
 
+  /** URL-level dedup of the corpus rows themselves: one survivor per
+    * canonical key (the min-id document); unparseable URLs pass
+    * through untouched. Shaped as a map-side-combinable min aggregate
+    * plus an equi-join back on the canonical key — NOT a per-key
+    * window: a hot URL seen millions of times lands in one partition
+    * either way, but AQE can split an oversized JOIN partition at
+    * runtime while a window task is unsplittable.
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String)
+      : DataFrame = {
+    val withCanon = docs.withColumn("__canon", canonUrl(col(urlCol)))
+    val keepers = withCanon.where(col("__canon").isNotNull)
+      .groupBy("__canon").agg(min(col(idCol)).as("__keep_id"))
+    withCanon.where(col("__canon").isNotNull)
+      .join(keepers, Seq("__canon"))
+      .where(col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+      .unionByName(withCanon.where(col("__canon").isNull))
+      .drop("__canon")
+  }
+
   /** Deterministic per-domain document cap — the site-balance step of
     * crawl curation (a handful of mega-sites otherwise dominate the
     * token budget): keep at most `maxPerDomain` documents per

@@ -478,13 +478,7 @@ private[queries] object QueriesExtra6 {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("text"),
             fixtureUrl(col("doc_id").cast("long")).as("url"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("canon").orderBy("doc_id")
-        val s1 = docs
-          .withColumn("canon", WebCorpus.canonUrl(col("url")))
-          .withColumn("rk", when(col("canon").isNull, lit(1))
-            .otherwise(row_number().over(w)))
-          .where(col("rk") === 1).drop("rk", "canon")
+        val s1 = WebCorpus.urlDedup(docs, "doc_id", "url")
         val s2 = WebCorpus.domainCap(s1, "doc_id", "url",
           maxPerDomain = 20)
         val s3 = Blocklist.clean(s2, "text", pats)

@@ -80,6 +80,18 @@ class UrlOpsSpec extends SparkSpec {
       ("other.co.uk", 2L, 1L, 500000L)))
   }
 
+  test("urlDedup keeps the min-id doc per canonical key; invalids pass") {
+    val docs = Seq(
+      (5L, "HTTP://e.com/p?utm_source=x"),
+      (2L, "http://e.com/p"),
+      (9L, "http://e.com/p#f"),
+      (3L, "https://e.com/p"), // distinct canon (scheme)
+      (7L, "junk")).toDF("doc_id", "url")
+    val kept = WebCorpus.urlDedup(docs, "doc_id", "url")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L, 7L))
+  }
+
   test("domainCap keeps a stable md5-priority sample per domain") {
     val docs = (1L to 10L).map(i =>
         (i, if (i <= 8) s"http://site-${i % 2}.com/p$i" else "junk"))
