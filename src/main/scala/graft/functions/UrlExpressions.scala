@@ -122,6 +122,12 @@ object UrlKit {
     UTF8String.fromString(s"$scheme://$host$portPart$path$q")
   }
 
+  /** Canonical path component (empty → "/"), or null on non-http(s). */
+  def pathOf(u: UTF8String): UTF8String = {
+    val p = parse(u.toString)
+    if (p == null) null else UTF8String.fromString(p(3))
+  }
+
   def registrableDomain(u: UTF8String): UTF8String = {
     val p = parse(u.toString)
     if (p == null) return null
@@ -181,4 +187,107 @@ case class UrlDomainExpr(child: Expression) extends UrlStringExpr {
     UrlKit.registrableDomain(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): UrlDomainExpr =
     copy(child = newChild)
+}
+
+/** `graft_urlpath(url)` — canonical path (empty → "/") via
+  * [[UrlKit.pathOf]]; null for non-http(s) input.
+  */
+case class UrlPathExpr(child: Expression) extends UrlStringExpr {
+  override def prettyName: String = "graft_urlpath"
+  override protected def kernel: String = "pathOf"
+  override def nullSafeEval(input: Any): Any =
+    UrlKit.pathOf(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): UrlPathExpr =
+    copy(child = newChild)
+}
+
+/** robots.txt evaluation (RFC 9309 shape) for the wildcard agent `*`:
+  * parse the agent-`*` groups' Allow/Disallow prefix rules, match a
+  * path by LONGEST matching prefix, Allow winning length ties; no
+  * matching rule (or an empty Disallow value) → allowed. Deliberately
+  * prefix-only — the `*`/`$` pattern extensions are crawler-specific,
+  * and a curation audit should be conservative and portable. Parsed
+  * rule sets are cached per robots text per executor (robots bodies
+  * are per-site config, a few hundred bytes).
+  */
+object RobotsKit {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Boolean)]]()
+
+  /** (prefix, isAllow) rules from the agent-`*` groups. */
+  private[functions] def rules(txt: String): Array[(String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    var inStar = false
+    var afterRules = false
+    txt.split("\n", -1).foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val field = line.substring(0, ci).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        field match {
+          case "user-agent" =>
+            // Consecutive user-agent lines accumulate one group; a
+            // user-agent line AFTER rules starts a fresh group.
+            if (afterRules) { inStar = value == "*"; afterRules = false }
+            else inStar = inStar || value == "*"
+          case "disallow" | "allow" =>
+            if (inStar && value.nonEmpty)
+              out += ((value, field == "allow"))
+            afterRules = true
+          case _ => ()
+        }
+      }
+    }
+    out.toArray
+  }
+
+  def allowed(path: UTF8String, robots: UTF8String): Boolean = {
+    val rs = cache.computeIfAbsent(robots.toString, rules(_))
+    val p = path.toString
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rs.length) {
+      val (prefix, isAllow) = rs(i)
+      if (p.startsWith(prefix) &&
+          (prefix.length > bestLen ||
+            (prefix.length == bestLen && isAllow && !bestAllow))) {
+        bestLen = prefix.length
+        bestAllow = isAllow
+      }
+      i += 1
+    }
+    bestAllow
+  }
+}
+
+/** `graft_robots_allowed(path, robots_txt)` → boolean via
+  * [[RobotsKit.allowed]]; null if either side is null (no robots on
+  * record is a POLICY question — coalesce at the call site).
+  */
+case class RobotsAllowedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_robots_allowed expects (STRING, STRING), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_robots_allowed"
+
+  override def nullSafeEval(path: Any, robots: Any): Any =
+    RobotsKit.allowed(path.asInstanceOf[UTF8String],
+      robots.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, r) =>
+      s"graft.functions.RobotsKit.allowed($p, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsAllowedExpr =
+    copy(left = newLeft, right = newRight)
 }

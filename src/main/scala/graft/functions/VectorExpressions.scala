@@ -245,6 +245,24 @@ object GraftFunctions {
         s"$fn expects a literal pattern array, got $other")
     }
 
+  private[functions] val urlPathInfo = (
+    FunctionIdentifier("graft_urlpath"),
+    new ExpressionInfo(classOf[UrlPathExpr].getName, "graft_urlpath"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_urlpath takes exactly 1 argument")
+      UrlPathExpr(children.head): Expression
+    })
+
+  private[functions] val robotsInfo = (
+    FunctionIdentifier("graft_robots_allowed"),
+    new ExpressionInfo(classOf[RobotsAllowedExpr].getName,
+      "graft_robots_allowed"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_robots_allowed takes (path, robots_txt)")
+      RobotsAllowedExpr(children.head, children(1)): Expression
+    })
+
   private[functions] val blockhitsInfo = (
     FunctionIdentifier("graft_blockhits"),
     new ExpressionInfo(classOf[BlocklistHitsExpr].getName,
@@ -276,7 +294,8 @@ object GraftFunctions {
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
-      blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo)
+      blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo,
+      urlPathInfo, robotsInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -40,6 +40,39 @@ object WebCorpus {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_urls"))
       .where(col("n_urls") >= minDups)
 
+  /** Canonical path component (empty → "/"); null on non-http(s). */
+  def urlPath(url: Column): Column = call_function("graft_urlpath", url)
+
+  /** robots.txt verdict for agent `*` ([[graft.functions.RobotsKit]]):
+    * longest-matching prefix rule decides, Allow wins ties, no rule →
+    * allowed. Null when either side is null.
+    */
+  def robotsAllowed(path: Column, robotsTxt: Column): Column =
+    call_function("graft_robots_allowed", path, robotsTxt)
+
+  /** Crawl-compliance audit: each document's URL judged against its
+    * registrable domain's robots.txt. `robots` is per-site CONFIG
+    * (domain, robots_txt) — dimension-sized, so the join broadcasts;
+    * the verdict is one cached-parse prefix match per row riding the
+    * corpus scan. Documents with no robots on record are `allowed`
+    * (the RFC default for a missing file); documents whose URL does
+    * not canonicalize get a null verdict — they cannot be fetched, so
+    * compliance is moot and the null keeps them countable.
+    */
+  def robotsAudit(docs: DataFrame, idCol: String, urlCol: String,
+      robots: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("domain", domain(col(urlCol)))
+      .withColumn("__path", urlPath(col(urlCol)))
+    d.join(broadcast(robots), Seq("domain"), "left")
+      .select(col(idCol), col("domain"),
+        when(col("__path").isNull, lit(null).cast("int"))
+          .otherwise(coalesce(
+            robotsAllowed(col("__path"), col("robots_txt")), lit(true))
+            .cast("int"))
+          .as("allowed"))
+  }
+
   /** URL-level dedup of the corpus rows themselves: one survivor per
     * canonical key (the min-id document); unparseable URLs pass
     * through untouched. Shaped as a map-side-combinable min aggregate

@@ -430,7 +430,7 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
-  ) :+ q387 :+ q388 :+ q389
+  ) :+ q387 :+ q388 :+ q389 :+ q390
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -564,6 +564,63 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |ORDER BY domain""".stripMargin))
 
+  private def q390 =
+    // robots.txt compliance audit (WebCorpus.robotsAudit over the
+    // graft_robots_allowed kernel — RFC 9309 shape for agent `*`):
+    // each document's canonical path judged against its registrable
+    // domain's robots rules — longest matching prefix decides, Allow
+    // wins length ties, no rule / no robots on record → allowed,
+    // unparseable URL → null verdict. The per-site robots bodies are
+    // dimension-sized config, so the join broadcasts; the verdict is a
+    // cached-parse prefix match riding the corpus scan. The oracle
+    // computes the SAME decision relationally: a literal rules table,
+    // a starts_with join, and a (length DESC, allow DESC) argmax —
+    // fully independent of the parser.
+    QueryDef("q390_robots_audit",
+      (s, dir) => {
+        import s.implicits._
+        val robots = Seq(
+          ("example.co.uk",
+            "User-agent: *\nDisallow: /a\nAllow: /a/b\n"),
+          ("example.com", "User-agent: *\nDisallow:\n"),
+          ("blog.github.io", "User-agent: *\nDisallow: /\n"),
+          ("example.org", "User-agent: bot\nDisallow: /\n"),
+          ("shop-site.com",
+            "# cap\nUser-agent: *\nAllow: /index\nDisallow: /inde\n"),
+          ("example.net", "User-agent: *\nDisallow: /p\n"),
+          ("plain.de", "User-agent: *\nDisallow: /A\n"))
+          .toDF("domain", "robots_txt")
+        WebCorpus.robotsAudit(
+          t(s, dir, "documents").select(col("doc_id"),
+            fixtureUrl(col("doc_id").cast("long")).as("url")),
+          "doc_id", "url", robots)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |rules AS (SELECT * FROM (VALUES
+           |  ('example.co.uk', '/a', 0),
+           |  ('example.co.uk', '/a/b', 1),
+           |  ('blog.github.io', '/', 0),
+           |  ('shop-site.com', '/index', 1),
+           |  ('shop-site.com', '/inde', 0),
+           |  ('example.net', '/p', 0),
+           |  ('plain.de', '/A', 0))
+           |  AS r(domain, prefix, is_allow)),
+           |cand AS (
+           |  SELECT u.id, r.is_allow,
+           |    row_number() OVER (PARTITION BY u.id
+           |      ORDER BY length(r.prefix) DESC, r.is_allow DESC) AS rn
+           |  FROM urls u JOIN rules r ON r.domain = u.domain
+           |    AND starts_with(u.cpath, r.prefix))
+           |SELECT u.id AS doc_id, u.domain,
+           |  CASE WHEN u.canon IS NULL THEN NULL
+           |    ELSE CAST(coalesce(v.is_allow, 1) AS INT) END AS allowed
+           |FROM urls u
+           |LEFT JOIN (SELECT id, is_allow FROM cand WHERE rn = 1) v
+           |  ON v.id = u.id
+           |ORDER BY doc_id""".stripMargin))
+
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in
     * [[urlCtes]]; the CANONICAL forms in the oracle are hand-written
@@ -634,6 +691,7 @@ private[queries] object QueriesExtra6 {
       |          WHEN id % 5 = 2 AND cscheme = 'https' THEN ''
       |          ELSE port END ||
       |        cpath || cquery END AS canon,
-      |    CASE WHEN id % 13 = 0 THEN NULL ELSE cdomain END AS domain
+      |    CASE WHEN id % 13 = 0 THEN NULL ELSE cdomain END AS domain,
+      |    CASE WHEN id % 13 = 0 THEN NULL ELSE cpath END AS cpath
       |  FROM parts)""".stripMargin
 }

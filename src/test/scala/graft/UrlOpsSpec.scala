@@ -118,6 +118,48 @@ class UrlOpsSpec extends SparkSpec {
       ("site-0.com", 4L, 2L), ("site-1.com", 4L, 2L)))
   }
 
+  test("robots rules: longest prefix wins, Allow breaks ties, groups respected") {
+    import graft.functions.RobotsKit
+    def ok(robots: String, path: String): Boolean =
+      RobotsKit.allowed(UTF8String.fromString(path),
+        UTF8String.fromString(robots))
+    val r1 = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+    assert(!ok(r1, "/a/x") && ok(r1, "/a/b/c") && ok(r1, "/other"))
+    // Empty Disallow value = nothing disallowed (RFC).
+    assert(ok("User-agent: *\nDisallow:\n", "/anything"))
+    // Rules for another agent never apply to *.
+    assert(ok("User-agent: bot\nDisallow: /\n", "/x"))
+    // Consecutive user-agent lines share one group; a user-agent line
+    // AFTER rules starts a new group.
+    assert(!ok("User-agent: bot\nUser-agent: *\nDisallow: /\n", "/x"))
+    assert(ok("User-agent: bot\nDisallow: /\nUser-agent: other\nDisallow: /y\n", "/y"))
+    // Same-length tie: Allow wins. Comments stripped.
+    assert(ok("User-agent: *\nDisallow: /p # no\nAllow: /p\n", "/p/q"))
+    // Paths are case-sensitive.
+    assert(ok("User-agent: *\nDisallow: /A\n", "/a/b"))
+    assert(!ok("User-agent: *\nDisallow: /A\n", "/A/B"))
+  }
+
+  test("robotsAudit: per-site config broadcast, defaults honored") {
+    val docs = Seq(
+      (1L, "http://shop.Example.com/a/x"),
+      (2L, "http://shop.example.com/a/b"),
+      (3L, "http://other.org/x"),   // no robots on record -> allowed
+      (4L, "garbage"))              // no verdict possible
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("example.com", "User-agent: *\nDisallow: /a\nAllow: /a/b\n"))
+      .toDF("domain", "robots_txt")
+    val got = WebCorpus.robotsAudit(docs, "doc_id", "url", robots)
+      .orderBy("doc_id")
+      .as[(Long, Option[String], Option[Int])].collect().toSeq
+    assert(got === Seq(
+      (1L, Some("example.com"), Some(0)),
+      (2L, Some("example.com"), Some(1)),
+      (3L, Some("other.org"), Some(1)),
+      (4L, None, None)))
+  }
+
   test("the canonicalization select plans with no exchange") {
     val docs = Seq((1L, "http://e.com/")).toDF("doc_id", "url")
     val plan = docs.select(WebCorpus.canonUrl(col("url")),
