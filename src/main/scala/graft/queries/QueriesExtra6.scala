@@ -430,7 +430,7 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
-  ) :+ q387 :+ q388 :+ q389 :+ q390
+  ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -620,6 +620,107 @@ private[queries] object QueriesExtra6 {
            |LEFT JOIN (SELECT id, is_allow FROM cand WHERE rn = 1) v
            |  ON v.id = u.id
            |ORDER BY doc_id""".stripMargin))
+
+  private def q391 =
+    // Full crawl-compliance funnel — q388 with the robots gate in
+    // front, which is the order a lawful pipeline runs: documents we
+    // were not allowed to fetch (or whose URL cannot be attributed)
+    // never enter curation at all. Stages: raw → robots-allowed →
+    // URL dedup (min-id per canonical key among the COMPLIANT set) →
+    // per-domain cap → zero-tolerance blocklist. Per-source counts at
+    // every stage; the oracle chains the q390 verdict, the q388
+    // stages and the q376 position-scan over the shared fixture CTEs.
+    QueryDef("q391_compliance_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val pats = Seq("slow merge", "window window", "batch batch")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            fixtureUrl(col("doc_id").cast("long")).as("url"))
+        val robots = Seq(
+          ("example.co.uk",
+            "User-agent: *\nDisallow: /a\nAllow: /a/b\n"),
+          ("blog.github.io", "User-agent: *\nDisallow: /\n"),
+          ("example.net", "User-agent: *\nDisallow: /p\n"),
+          ("plain.de", "User-agent: *\nDisallow: /A\n"))
+          .toDF("domain", "robots_txt")
+        val compliant = WebCorpus.robotsAudit(docs, "doc_id", "url",
+            robots)
+          .where(col("allowed") === 1).select("doc_id")
+        val s0 = docs.join(compliant, "doc_id")
+        val s1 = WebCorpus.urlDedup(s0, "doc_id", "url")
+        val s2 = WebCorpus.domainCap(s1, "doc_id", "url",
+          maxPerDomain = 20)
+        val s3 = Blocklist.clean(s2, "text", pats)
+        def cnt(df: DataFrame, as: String) =
+          df.groupBy("source").agg(count(lit(1)).as(as))
+        cnt(docs, "n_raw")
+          .join(cnt(s0, "n_compliant"), Seq("source"), "left")
+          .join(cnt(s1, "n_url_unique"), Seq("source"), "left")
+          .join(cnt(s2, "n_after_cap"), Seq("source"), "left")
+          .join(cnt(s3, "n_clean"), Seq("source"), "left")
+          .na.fill(0L, Seq("n_compliant", "n_url_unique",
+            "n_after_cap", "n_clean"))
+          .orderBy("source")
+      },
+      Some {
+        val bl = blockCtes(
+          Seq("slow merge", "window window", "batch batch"))
+        s"""WITH $urlCtes,
+           |$bl,
+           |rules AS (SELECT * FROM (VALUES
+           |  ('example.co.uk', '/a', 0),
+           |  ('example.co.uk', '/a/b', 1),
+           |  ('blog.github.io', '/', 0),
+           |  ('example.net', '/p', 0),
+           |  ('plain.de', '/A', 0))
+           |  AS r(domain, prefix, is_allow)),
+           |cand AS (
+           |  SELECT u.id, r.is_allow,
+           |    row_number() OVER (PARTITION BY u.id
+           |      ORDER BY length(r.prefix) DESC, r.is_allow DESC) AS rn
+           |  FROM urls u JOIN rules r ON r.domain = u.domain
+           |    AND starts_with(u.cpath, r.prefix)),
+           |s0 AS (
+           |  SELECT u.id, u.canon, u.domain, doc.source, doc.text
+           |  FROM urls u
+           |  JOIN documents doc ON doc.doc_id = u.id
+           |  LEFT JOIN (SELECT id, is_allow FROM cand WHERE rn = 1) v
+           |    ON v.id = u.id
+           |  WHERE u.canon IS NOT NULL AND coalesce(v.is_allow, 1) = 1),
+           |s1 AS (
+           |  SELECT * FROM (
+           |    SELECT *, CASE WHEN canon IS NULL THEN 1
+           |      ELSE row_number() OVER (PARTITION BY canon
+           |        ORDER BY id) END AS rk
+           |    FROM s0) WHERE rk = 1),
+           |s2 AS (
+           |  SELECT * FROM (
+           |    SELECT *, CASE WHEN domain IS NULL THEN 1
+           |      ELSE row_number() OVER (PARTITION BY domain
+           |        ORDER BY md5(CAST(id AS VARCHAR)), id) END AS rk2
+           |    FROM s1) WHERE rk2 <= 20),
+           |flagged AS (SELECT DISTINCT doc_id FROM hits),
+           |s3 AS (SELECT * FROM s2
+           |       WHERE id NOT IN (SELECT doc_id FROM flagged))
+           |SELECT doc.source,
+           |  CAST(count(*) AS BIGINT) AS n_raw,
+           |  CAST(coalesce(s0c.n, 0) AS BIGINT) AS n_compliant,
+           |  CAST(coalesce(s1c.n, 0) AS BIGINT) AS n_url_unique,
+           |  CAST(coalesce(s2c.n, 0) AS BIGINT) AS n_after_cap,
+           |  CAST(coalesce(s3c.n, 0) AS BIGINT) AS n_clean
+           |FROM documents doc
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s0 GROUP BY 1)
+           |  s0c ON s0c.source = doc.source
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s1 GROUP BY 1)
+           |  s1c ON s1c.source = doc.source
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s2 GROUP BY 1)
+           |  s2c ON s2c.source = doc.source
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s3 GROUP BY 1)
+           |  s3c ON s3c.source = doc.source
+           |GROUP BY 1, s0c.n, s1c.n, s2c.n, s3c.n
+           |ORDER BY doc.source""".stripMargin
+      })
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in
