@@ -86,6 +86,22 @@ object CurationPropertySpec extends Properties("Curation") {
         ac.scrub(u(t), "#".getBytes("UTF-8")).toString.length == expectLen
     }
 
+  private val robotsJunk: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.const("User-agent: *"), Gen.const("User-agent: bot"),
+      Gen.const("Disallow: /a"), Gen.const("Allow: /a/b"),
+      Gen.const("Disallow:"), Gen.const("# comment"),
+      Gen.const("garbage line"), Gen.const(": weird"),
+      Gen.alphaNumStr)).map(_.mkString("\n"))
+
+  property("robots evaluation is total and deterministic on junk bodies") =
+    Prop.forAll(robotsJunk, Gen.oneOf("/", "/a", "/a/b/c", "", "/x y")) {
+      (robots, path) =>
+        val v1 = graft.functions.RobotsKit.allowed(u(path), u(robots))
+        val v2 = graft.functions.RobotsKit.allowed(u(path), u(robots))
+        v1 == v2 // never throws, stable across the parse cache
+    }
+
   private val shiftImage: Gen[(Array[Int], Int)] = for {
     px <- Gen.listOfN(18 * 16, Gen.chooseNum(0, 200)).map(_.toArray)
     shift <- Gen.chooseNum(0, 55)
