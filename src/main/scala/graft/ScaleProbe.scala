@@ -40,6 +40,34 @@ object ScaleProbe {
   private val blockPatterns512 = blockPatterns8 ++
     (0 until 504).map(i => s"zq${i}x${i % 7}q")
 
+  /** Synthetic per-doc URL over 8 domains with enough variant axes
+    * that URL dedup, the domain cap and the robots gate all have
+    * non-trivial work (the q382 fixture's shape, probe-local).
+    */
+  private def probeUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(
+      elt(pmod(id, lit(2)).cast("int") + 1, lit("http"), lit("https")),
+      lit("://"),
+      elt(pmod(id, lit(8)).cast("int") + 1,
+        lit("a.example.com"), lit("b.example.com"), lit("shop.co.uk"),
+        lit("news.co.uk"), lit("x.github.io"), lit("y.org"),
+        lit("z.net"), lit("plain.de")),
+      lit("/p"), pmod(id, lit(977)).cast("string"),
+      elt(pmod(id, lit(3)).cast("int") + 1,
+        lit(""), lit("?utm_source=x&a=1"), lit("#f")))
+
+  private def probeRobots(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("example.com", "User-agent: *\nDisallow: /p1\n"),
+      ("shop.co.uk", "User-agent: *\nDisallow: /\n"),
+      ("plain.de", "User-agent: *\nDisallow: /p2\nAllow: /p20\n"))
+      .toDF("domain", "robots_txt")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val tiles = args.lift(1).getOrElse("1,3,10").split(",").map(_.toInt).toSeq
@@ -321,7 +349,31 @@ object ScaleProbe {
         // the blocklist_scan shape at roughly twice the constant.
         "blocklist_scrub" -> (() =>
           graft.ops.Blocklist.scrubAudit(df, "source", "text",
-            blockPatterns8)))
+            blockPatterns8)),
+        // robots.txt audit: a broadcast of dimension-sized site config
+        // + one cached-parse prefix match per row — expect ~flat past
+        // the scan. The synthetic URL spreads docs over 8 domains.
+        "robots_audit" -> (() => {
+          import spark.implicits._
+          graft.ops.WebCorpus.robotsAudit(
+            df.withColumn("url", probeUrl(col("doc_id"))),
+            "doc_id", "url", probeRobots(spark))
+        }),
+        // The q391 compliance funnel end to end: robots gate → URL
+        // dedup (agg+join) → two-stage domain cap → blocklist gate.
+        // Every stage is scan- or group-shaped; expect ~linear.
+        "url_funnel" -> (() => {
+          val docs = df.withColumn("url", probeUrl(col("doc_id")))
+          val compliant = graft.ops.WebCorpus.robotsAudit(
+              docs, "doc_id", "url", probeRobots(spark))
+            .where(col("allowed") === 1).select("doc_id")
+          val s1 = graft.ops.WebCorpus.urlDedup(
+            docs.join(compliant, "doc_id"), "doc_id", "url")
+          val s2 = graft.ops.WebCorpus.domainCap(s1, "doc_id", "url",
+            maxPerDomain = 1000000)
+          graft.ops.Blocklist.clean(s2, "text", blockPatterns8)
+            .groupBy("source").agg(count(lit(1)).as("n_clean"))
+        }))
       // Dashboard probe (q367): the four index tables are built
       // UNTIMED per tile (their build costs are the minhash_pairs /
       // dedup_clusters / histogram rows above); the timed body is the
