@@ -501,7 +501,11 @@ object ScaleProbe {
             snap.table("sp_hll"), snap.table("sp_hist"),
             "source", p = 6, lo = 0.0, hi = 1024.0, nbins = 256)
         }))
-      (ops.filter(o => opFilter.forall(_.contains(o._1))) ++ imageOps ++
+      // imageOps gets the same per-op filter as the main list:
+      // requesting only image_dhash must not also time (and report)
+      // its two siblings just because the trio was built together.
+      (ops.filter(o => opFilter.forall(_.contains(o._1))) ++
+        imageOps.filter(o => opFilter.forall(_.contains(o._1))) ++
         forgetOps ++ probeOps)
         .foreach { case (name, f) =>
           val sec = time(f())

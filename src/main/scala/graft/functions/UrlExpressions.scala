@@ -34,12 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     pages, and unsorted keys split dedup groups;
   *  6. fragment dropped (client-side only).
   *
-  * The registrable domain (eTLD+1) uses a BUNDLED approximation of the
-  * public-suffix list — the same curated-dimension discipline as
-  * [[graft.sources.CountryDim]]: the common multi-label suffixes
-  * (co.uk-style country second levels, the big PaaS site domains)
-  * plus the one-label default. A full PSL swap-in is a data update,
-  * not a code change.
+  * The registrable domain (eTLD+1) delegates to
+  * [[graft.sources.PublicSuffix]] — a bundled public-suffix list with
+  * the FULL publicsuffix.org matching algorithm (longest match, `*.`
+  * wildcards, `!` exceptions); the rule data is a curated offline
+  * snapshot, swappable by a data edit.
   */
 object UrlKit {
 
@@ -49,16 +48,6 @@ object UrlKit {
   private val trackingKeys = Set(
     "gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid",
     "ref", "ref_src")
-
-  /** Multi-label public suffixes (bundled approximation). */
-  private val multiSuffix = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp",
-    "com.br", "com.cn", "com.mx", "com.ar", "com.tr",
-    "co.in", "co.kr", "co.za",
-    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
-    "herokuapp.com")
 
   /** (scheme, host, portPart, path, query) or null if not a
     * canonicalizable http(s) URL. portPart is "" or ":NNNN" with the
@@ -87,8 +76,14 @@ object UrlKit {
     if (colon >= 0) {
       host = auth.substring(0, colon)
       val port = auth.substring(colon + 1)
+      // toIntOption, not toInt: crawl data carries hostile all-digit
+      // ports ("http://e.com:99999999999999/") that overflow Int — the
+      // contract is total-on-junk (null), never a thrown row that
+      // fail-stops a corpus scan. Out-of-range ports (>65535) are
+      // equally unfetchable → null.
       if (port.isEmpty || !port.forall(_.isDigit)) return null
-      val p = port.toInt
+      val p = port.toIntOption.getOrElse(return null)
+      if (p > 65535) return null
       val isDefault =
         (scheme == "http" && p == 80) || (scheme == "https" && p == 443)
       if (!isDefault) portPart = s":$p"
@@ -131,17 +126,8 @@ object UrlKit {
   def registrableDomain(u: UTF8String): UTF8String = {
     val p = parse(u.toString)
     if (p == null) return null
-    val labels = p(1).split("\\.", -1)
-    val n = labels.length
-    val out =
-      if (n <= 1) p(1)
-      else {
-        val last2 = labels(n - 2) + "." + labels(n - 1)
-        if (multiSuffix.contains(last2))
-          if (n >= 3) labels(n - 3) + "." + last2 else last2
-        else last2
-      }
-    UTF8String.fromString(out)
+    UTF8String.fromString(
+      graft.sources.PublicSuffix.registrable(p(1)))
   }
 }
 
@@ -201,24 +187,51 @@ case class UrlPathExpr(child: Expression) extends UrlStringExpr {
     copy(child = newChild)
 }
 
-/** robots.txt evaluation (RFC 9309 shape) for the wildcard agent `*`:
-  * parse the agent-`*` groups' Allow/Disallow prefix rules, match a
-  * path by LONGEST matching prefix, Allow winning length ties; no
-  * matching rule (or an empty Disallow value) → allowed. Deliberately
-  * prefix-only — the `*`/`$` pattern extensions are crawler-specific,
-  * and a curation audit should be conservative and portable. Parsed
-  * rule sets are cached per robots text per executor (robots bodies
-  * are per-site config, a few hundred bytes).
+/** robots.txt evaluation (RFC 9309 shape): parse the file into
+  * user-agent groups, select the group set per §2.2.1 — an EXACT
+  * agent-token match (case-insensitive) wins over the `*` groups, the
+  * `*` groups apply only when no specific group names the agent — then
+  * match a path by LONGEST matching prefix over the selected groups'
+  * Allow/Disallow rules, Allow winning length ties; no matching rule
+  * (or an empty Disallow value) → allowed. Deliberately prefix-only —
+  * the `*`/`$` pattern extensions are crawler-specific, and a curation
+  * audit should be conservative and portable.
+  *
+  * Parsed rule sets are cached per executor, keyed by a DIGEST of the
+  * robots body (+ agent), never the body itself — the body is ROW
+  * data joined from the robots dimension, and at web-corpus scale
+  * (millions of distinct sites) body-keyed entries would be an
+  * unbounded executor-memory leak. The cache is also size-capped:
+  * past [[RobotsKit.MaxCacheEntries]] it clears and rebuilds, so the
+  * worst case degrades to re-parsing (a few hundred bytes per row),
+  * never to OOM.
   */
 object RobotsKit {
+  private val MaxCacheEntries = 8192
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Boolean)]]()
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  /** (prefix, isAllow) rules from the agent-`*` groups. */
-  private[functions] def rules(txt: String): Array[(String, Boolean)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
-    var inStar = false
+  /** User-agent groups in file order: (lowercased agent tokens,
+    * (prefix, isAllow) rules). Consecutive user-agent lines accumulate
+    * one group; a user-agent line AFTER rules starts a fresh group;
+    * rules before any user-agent line belong to no group (ignored).
+    */
+  private[functions] def groups(
+      txt: String): Array[(Set[String], Array[(String, Boolean)])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Set[String], Array[(String, Boolean)])]
+    var agents = Set.empty[String]
+    var rules = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     var afterRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) out += ((agents, rules.toArray))
+      agents = Set.empty
+      rules = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    }
     txt.split("\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val ci = line.indexOf(':')
@@ -228,23 +241,60 @@ object RobotsKit {
         val value = line.substring(ci + 1).trim
         field match {
           case "user-agent" =>
-            // Consecutive user-agent lines accumulate one group; a
-            // user-agent line AFTER rules starts a fresh group.
-            if (afterRules) { inStar = value == "*"; afterRules = false }
-            else inStar = inStar || value == "*"
+            if (afterRules) { flush(); afterRules = false }
+            if (value.nonEmpty)
+              agents += value.toLowerCase(java.util.Locale.ROOT)
           case "disallow" | "allow" =>
-            if (inStar && value.nonEmpty)
-              out += ((value, field == "allow"))
+            if (agents.nonEmpty && value.nonEmpty)
+              rules += ((value, field == "allow"))
             afterRules = true
           case _ => ()
         }
       }
     }
+    flush()
     out.toArray
   }
 
-  def allowed(path: UTF8String, robots: UTF8String): Boolean = {
-    val rs = cache.computeIfAbsent(robots.toString, rules(_))
+  /** §2.2.1 group selection: all groups naming the agent token
+    * exactly (case-insensitive); if none, all `*` groups.
+    */
+  private[functions] def rulesFor(
+      txt: String, agent: String): Array[(String, Boolean)] = {
+    val gs = groups(txt)
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = gs.filter(_._1.contains(a))
+    val sel = if (exact.nonEmpty) exact else gs.filter(_._1.contains("*"))
+    sel.flatMap(_._2)
+  }
+
+  /** Back-compat spelling: the agent-`*` rule set. */
+  private[functions] def rules(txt: String): Array[(String, Boolean)] =
+    rulesFor(txt, "*")
+
+  private def cachedRules(
+      robots: String, agent: String): Array[(String, Boolean)] = {
+    val bytes = robots.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val dig = md5.get()
+    dig.reset()
+    // length appended to the digest key: belt-and-braces against an
+    // adversarial robots body crafted to collide another's MD5.
+    val key = java.util.Base64.getEncoder.encodeToString(dig.digest(bytes)) +
+      ":" + bytes.length + "|" + agent
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val rs = rulesFor(robots, agent)
+    if (cache.size >= MaxCacheEntries) cache.clear()
+    cache.put(key, rs)
+    rs
+  }
+
+  def allowed(path: UTF8String, robots: UTF8String): Boolean =
+    allowedFor(path, robots, "*")
+
+  def allowedFor(path: UTF8String, robots: UTF8String,
+      agent: String): Boolean = {
+    val rs = cachedRules(robots.toString, agent)
     val p = path.toString
     var bestLen = -1
     var bestAllow = true
@@ -263,11 +313,14 @@ object RobotsKit {
   }
 }
 
-/** `graft_robots_allowed(path, robots_txt)` → boolean via
-  * [[RobotsKit.allowed]]; null if either side is null (no robots on
-  * record is a POLICY question — coalesce at the call site).
+/** `graft_robots_allowed(path, robots_txt[, agent])` → boolean via
+  * [[RobotsKit.allowedFor]]; null if either side is null (no robots on
+  * record is a POLICY question — coalesce at the call site). The agent
+  * token is a PLAN-TIME literal (a crawl audit runs as one agent, not
+  * per-row agents) — default `*`, the RFC wildcard group.
   */
-case class RobotsAllowedExpr(left: Expression, right: Expression)
+case class RobotsAllowedExpr(left: Expression, right: Expression,
+    agent: String = "*")
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -280,12 +333,14 @@ case class RobotsAllowedExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_robots_allowed"
 
   override def nullSafeEval(path: Any, robots: Any): Any =
-    RobotsKit.allowed(path.asInstanceOf[UTF8String],
-      robots.asInstanceOf[UTF8String])
+    RobotsKit.allowedFor(path.asInstanceOf[UTF8String],
+      robots.asInstanceOf[UTF8String], agent)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
     defineCodeGen(ctx, ev, (p, r) =>
-      s"graft.functions.RobotsKit.allowed($p, $r)")
+      s"graft.functions.RobotsKit.allowedFor($p, $r, $agentRef)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RobotsAllowedExpr =

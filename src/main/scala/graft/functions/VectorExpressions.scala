@@ -258,9 +258,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[RobotsAllowedExpr].getName,
       "graft_robots_allowed"),
     (children: Seq[Expression]) => {
-      require(children.size == 2,
-        "graft_robots_allowed takes (path, robots_txt)")
-      RobotsAllowedExpr(children.head, children(1)): Expression
+      require(children.size == 2 || children.size == 3,
+        "graft_robots_allowed takes (path, robots_txt[, agent-literal])")
+      val agent =
+        if (children.size == 2) "*"
+        else children(2) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_robots_allowed agent must be a string literal, got $other")
+        }
+      RobotsAllowedExpr(children.head, children(1), agent): Expression
     })
 
   private[functions] val blockhitsInfo = (

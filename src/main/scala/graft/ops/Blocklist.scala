@@ -60,10 +60,18 @@ object Blocklist {
     * blocklist occurrences (default: zero tolerance). Pure narrow
     * filter riding the scan — no shuffle, no join; the full row
     * survives for downstream stages.
+    *
+    * Null text is KEPT, explicitly: a document with no text has no
+    * blocklist hits, so the gate has nothing to say about it (drop
+    * empties with a quality gate, not the blocklist). Without the
+    * explicit isNull arm, ANSI `size(null) <= 0` is null and the
+    * filter silently drops the row — which would also contradict
+    * [[retentionBySource]], whose null-`__flagged` rows count as
+    * retained. The two audit surfaces agree on nulls by construction.
     */
   def clean(docs: DataFrame, textCol: String, patterns: Seq[String],
       maxHits: Int = 0): DataFrame =
-    docs.filter(
+    docs.filter(col(textCol).isNull ||
       size(hitsCol(col(textCol), patterns)) <= maxHits)
 
   /** Redacted text: the union of all match spans, each maximal run of
@@ -115,13 +123,15 @@ object Blocklist {
   /** Per-source retention audit of [[clean]]: how many documents each
     * source loses to the blocklist, with the retained fraction — the
     * data-card row a curation run publishes next to the gate itself.
+    * Null text is never flagged (coalesce-to-false), the same explicit
+    * rule [[clean]] applies, so gate and audit always agree.
     */
   def retentionBySource(docs: DataFrame, sourceCol: String,
       textCol: String, patterns: Seq[String], maxHits: Int = 0)
       : DataFrame =
     docs
-      .withColumn("__flagged",
-        size(hitsCol(col(textCol), patterns)) > maxHits)
+      .withColumn("__flagged", coalesce(
+        size(hitsCol(col(textCol), patterns)) > maxHits, lit(false)))
       .groupBy(sourceCol)
       .agg(
         count(lit(1)).as("n_docs"),

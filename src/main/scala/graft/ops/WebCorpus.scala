@@ -43,12 +43,16 @@ object WebCorpus {
   /** Canonical path component (empty → "/"); null on non-http(s). */
   def urlPath(url: Column): Column = call_function("graft_urlpath", url)
 
-  /** robots.txt verdict for agent `*` ([[graft.functions.RobotsKit]]):
+  /** robots.txt verdict ([[graft.functions.RobotsKit]]): RFC 9309
+    * group selection — the groups naming `agent` exactly
+    * (case-insensitive) if any, else the `*` groups — then the
     * longest-matching prefix rule decides, Allow wins ties, no rule →
-    * allowed. Null when either side is null.
+    * allowed. Null when either side is null. The agent is a plan-time
+    * literal: one audit runs as one crawler identity.
     */
-  def robotsAllowed(path: Column, robotsTxt: Column): Column =
-    call_function("graft_robots_allowed", path, robotsTxt)
+  def robotsAllowed(path: Column, robotsTxt: Column,
+      agent: String = "*"): Column =
+    call_function("graft_robots_allowed", path, robotsTxt, lit(agent))
 
   /** Crawl-compliance audit: each document's URL judged against its
     * registrable domain's robots.txt. `robots` is per-site CONFIG
@@ -60,7 +64,7 @@ object WebCorpus {
     * compliance is moot and the null keeps them countable.
     */
   def robotsAudit(docs: DataFrame, idCol: String, urlCol: String,
-      robots: DataFrame): DataFrame = {
+      robots: DataFrame, agent: String = "*"): DataFrame = {
     val d = docs
       .withColumn("domain", domain(col(urlCol)))
       .withColumn("__path", urlPath(col(urlCol)))
@@ -68,7 +72,8 @@ object WebCorpus {
       .select(col(idCol), col("domain"),
         when(col("__path").isNull, lit(null).cast("int"))
           .otherwise(coalesce(
-            robotsAllowed(col("__path"), col("robots_txt")), lit(true))
+            robotsAllowed(col("__path"), col("robots_txt"), agent),
+            lit(true))
             .cast("int"))
           .as("allowed"))
   }
@@ -114,6 +119,15 @@ object WebCorpus {
     // pre-prune is lossless — then stage 2 ranks the ≤ 16·N
     // survivors per domain. The heaviest task is bounded by the
     // heaviest (domain, salt) shard, 1/16th of the heaviest site.
+    //
+    // Null-domain (unattributable-URL) rows BYPASS the windows via
+    // filter + unionByName — the urlDedup shape — instead of a
+    // `when(isNull, 1L)` guard inside the window projection: the
+    // guard fixes the VALUE but the physical Window still hashes
+    // every null-domain row into ONE `__domain = null` partition, so
+    // a crawl slice dominated by unparseable URLs would serialize
+    // through a single task. With the split, the Window operators
+    // never see the null branch at all (PlanShapeSpec pins this).
     val salts = 16
     val prio = md5(col(idCol).cast("string"))
     val w1 = org.apache.spark.sql.expressions.Window
@@ -122,19 +136,19 @@ object WebCorpus {
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__domain"))
       .orderBy(prio, col(idCol))
-    docs
-      .withColumn("__domain", domain(col(urlCol)))
+    val withDomain = docs.withColumn("__domain", domain(col(urlCol)))
+    val capped = withDomain
+      .where(col("__domain").isNotNull)
       .withColumn("__salt",
         pmod(hash(col(idCol)), lit(salts)))
-      .withColumn("__rk1",
-        when(col("__domain").isNull, lit(1L))
-          .otherwise(row_number().over(w1).cast("long")))
+      .withColumn("__rk1", row_number().over(w1).cast("long"))
       .where(col("__rk1") <= maxPerDomain)
-      .withColumn("__rk",
-        when(col("__domain").isNull, lit(1L))
-          .otherwise(row_number().over(w2).cast("long")))
+      .withColumn("__rk", row_number().over(w2).cast("long"))
       .where(col("__rk") <= maxPerDomain)
-      .drop("__domain", "__salt", "__rk1", "__rk")
+      .drop("__salt", "__rk1", "__rk")
+    capped
+      .unionByName(withDomain.where(col("__domain").isNull))
+      .drop("__domain")
   }
 
   /** The cap's audit row: per domain, documents seen vs kept at the

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   * Content-Length payload bytes, require the separator. Anything
   * malformed throws; a WARC reader that silently resyncs hides
   * truncation.
+  *
+  * Gzip (round 15): real crawl data ships `.warc.gz` — a CONCATENATION
+  * of gzip members (one per record in Common Crawl practice, one per
+  * file from simpler writers; both are legal gzip streams). The reader
+  * sniffs the two magic bytes per file and inflates ALL members
+  * (JDK `GZIPInputStream`, zero dependencies) before the same strict
+  * record walk, so member granularity is irrelevant to correctness.
+  * Files stay the split unit either way — gzip members don't split,
+  * and crawl parallelism comes from file count. One caveat inherited
+  * from the JDK: trailing bytes after the last VALID member that do
+  * not start a gzip header are dropped by `GZIPInputStream` rather
+  * than thrown on; the strict record walk still catches any
+  * truncation that cuts a record.
   */
 object Warc {
 
@@ -44,8 +57,29 @@ object Warc {
         col(payloadCol), lit("\r\n\r")).as("value"))
       .write.mode("overwrite").text(dir)
 
+  /** [[write]], gzip-compressed: same record framing through the text
+    * sink's gzip codec — each part file is ONE gzip member, a legal
+    * `.warc.gz` stream any sequential WARC reader (including [[read]])
+    * accepts. Per-RECORD members (the Common Crawl shape, for
+    * record-level random access) are a writer refinement the reader
+    * already handles — it inflates all members per file.
+    */
+  def writeGzip(df: DataFrame, dir: String, urlCol: String,
+      payloadCol: String): Unit =
+    df.select(concat(
+        lit("WARC/1.0\r\n"),
+        lit("WARC-Type: response\r\n"),
+        lit("WARC-Record-ID: <urn:graft:"), col(urlCol), lit(">\r\n"),
+        lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
+        lit(s"WARC-Date: $FixedDate\r\n"),
+        lit("Content-Length: "),
+        octet_length(col(payloadCol)).cast("string"), lit("\r\n\r\n"),
+        col(payloadCol), lit("\r\n\r")).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(dir)
+
   /** Read a WARC directory back as (warc_file, url, payload, n_bytes).
-    * One flatMap per file — narrow, no shuffle.
+    * One flatMap per file — narrow, no shuffle. Gzip files (sniffed
+    * per file by magic bytes) are inflated across ALL members first.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -91,9 +125,30 @@ object Warc {
       .toDF("warc_file", "url", "payload", "n_bytes")
   }
 
-  /** Strict WARC/1.0 record walk over one file's bytes. */
+  /** All-members gzip inflate: JDK `GZIPInputStream` natively walks
+    * concatenated members, so per-record and per-file member layouts
+    * both come back as one byte stream.
+    */
+  private[graft] def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, b.length * 4))
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Strict WARC/1.0 record walk over one file's bytes; gzip files
+    * are inflated (all members) first.
+    */
   private[graft] def parseRecords(
-      b: Array[Byte]): Seq[(String, String, Long)] = {
+      raw: Array[Byte]): Seq[(String, String, Long)] = {
+    val b = if (isGzip(raw)) gunzipAll(raw) else raw
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
     def fail(msg: String): Nothing =

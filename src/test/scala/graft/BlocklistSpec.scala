@@ -118,4 +118,31 @@ class BlocklistSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("null text: clean keeps it, retention never flags it — gate and audit agree") {
+    // The r14 advice finding: under ANSI, size(null) <= 0 is null, so
+    // an implicit filter silently DROPPED null-text rows while
+    // retentionBySource counted them as retained. The explicit rule:
+    // null text has no hits, both surfaces keep it.
+    val docs = Seq(
+      (1L, "s1", "clean text"),
+      (2L, "s1", null),
+      (3L, "s2", "bad stuff"),
+      (4L, "s2", null)).toDF("doc_id", "source", "text")
+    val kept = Blocklist.clean(docs, "text", Seq("bad"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L), "null text must survive the gate")
+    val ret = Blocklist.retentionBySource(docs, "source", "text",
+        Seq("bad"))
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(ret === Seq(("s1", 2L, 0L, 1.0), ("s2", 2L, 1L, 0.5)))
+    // Agreement is structural: per source, retained == clean-kept.
+    val keptBySource = Blocklist.clean(docs, "text", Seq("bad"))
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    ret.foreach { case (src, n, flagged, _) =>
+      assert(keptBySource.getOrElse(src, 0L) === n - flagged)
+    }
+  }
 }

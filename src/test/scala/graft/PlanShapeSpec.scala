@@ -500,6 +500,43 @@ class PlanShapeSpec extends SparkSpec {
       s"q365 must audit the stored-map slice without minhash:\n$p365")
   }
 
+  test("domainCap: the Window operators never see the null-domain branch") {
+    // Round-15 task 1 (VERDICT r14): a `when(isNull, 1L)` guard inside
+    // the window projection fixes the VALUE but the physical Window
+    // still hashes every null-domain row into ONE partition — a crawl
+    // slice of mostly-unparseable URLs would serialize through a
+    // single task. The required shape is filter + window + unionByName
+    // (the urlDedup shape): every Window subtree must carry the
+    // isnotnull(domain) filter, and the null branch must rejoin via a
+    // Union ABOVE the windows.
+    // Parquet-backed input: a LocalRelation constant-folds the
+    // isnotnull filter into the scan at plan time, hiding the node
+    // the assertion needs to see.
+    val docs = Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit("http://site-"), pmod(col("doc_id"), lit(7)),
+          lit(".com/p"), col("doc_id")).as("url"))
+    val df = graft.ops.WebCorpus.domainCap(docs, "doc_id", "url", 2)
+    val windows =
+      PlanShapeSpec.windowNodes(df.queryExecution.executedPlan)
+    assert(windows.size >= 2,
+      s"expected the two-stage top-N windows:\n${planOf(df)}")
+    windows.foreach { w =>
+      assert(w.toString.contains("isnotnull"),
+        s"window input must filter out the null-domain branch:\n$w")
+    }
+    assert(planOf(df).contains("Union"),
+      s"null-domain rows must rejoin via union above the windows:\n${planOf(df)}")
+    // And the semantics survived the restructure: invalids pass, the
+    // cap still binds per domain.
+    val local = Seq((1L, "http://e.com/a"), (2L, "http://e.com/b"),
+      (3L, "http://e.com/c"), (4L, "junk"), (5L, "also junk"))
+      .toDF("doc_id", "url")
+    val kept = graft.ops.WebCorpus.domainCap(local, "doc_id", "url", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size === 4 && Set(4L, 5L).subsetOf(kept))
+  }
+
   test("gopherGates plans with ZERO exchanges (pure narrow projection)") {
     val docs = Graft.table(spark, sfDir, "documents")
     val plan = planOf(
@@ -565,6 +602,22 @@ object PlanShapeSpec {
       case _ => p.children
     }
     self ++ (kids ++ p.subqueries).flatMap(unpartitionedWindows)
+  }
+
+  /** Every window-family node in the plan (same AQE-aware descent as
+    * [[unpartitionedWindows]]), for subtree-shape assertions.
+    */
+  def windowNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case w: WindowExec => Seq(w: SparkPlan)
+      case w: WindowGroupLimitExec => Seq(w: SparkPlan)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case _ => p.children
+    }
+    self ++ (kids ++ p.subqueries).flatMap(windowNodes)
   }
 
   /** Queries allowed an empty-partition (single-task) Window because

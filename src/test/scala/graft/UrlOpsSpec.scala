@@ -45,6 +45,23 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("http:///path") === null)
   }
 
+  test("hostile ports: overflow and out-of-range are null, never a throw") {
+    // All-digit but Int-overflowing — the toInt crash the r14 advice
+    // flagged: must be null (total-on-junk contract), not an exception.
+    assert(canon("http://e.com:99999999999999/") === null)
+    assert(canon("http://e.com:4294967296/") === null)
+    // In-range ports still work; >65535 is unfetchable -> null.
+    assert(canon("http://e.com:65535/") === "http://e.com:65535/")
+    assert(canon("http://e.com:65536/") === null)
+    assert(dom("http://e.com:99999999999999/") === null)
+    // And through the Spark expression path, not just the kernel.
+    val got = Seq("http://e.com:99999999999999/x", "http://e.com:81/x")
+      .toDF("url")
+      .select(WebCorpus.canonUrl(col("url"))).as[Option[String]]
+      .collect().toSeq
+    assert(got === Seq(None, Some("http://e.com:81/x")))
+  }
+
   test("registrable domain honors the bundled multi-label suffixes") {
     assert(dom("http://News.Example.co.uk/x") === "example.co.uk")
     assert(dom("https://sub.Blog.github.io") === "blog.github.io")
@@ -54,6 +71,38 @@ class UrlOpsSpec extends SparkSpec {
     // The bare suffix itself has no registrable label below it.
     assert(dom("http://co.uk/") === "co.uk")
     assert(dom("mailto:x@example.com") === null)
+  }
+
+  test("bundled PSL: ccTLD registries, wildcards, exceptions") {
+    // The r14 advice cases: suffixes the old 25-entry approximation
+    // grouped wrong.
+    assert(dom("http://www.example.com.sg/") === "example.com.sg")
+    assert(dom("http://foo.gov.au/x") === "foo.gov.au")
+    // A spread of registry families (VERDICT task 6: 10+ cases).
+    assert(dom("http://a.b.example.co.jp/") === "example.co.jp")
+    assert(dom("http://shop.example.com.br/") === "example.com.br")
+    assert(dom("http://x.example.co.in/") === "example.co.in")
+    assert(dom("http://x.example.ac.uk/") === "example.ac.uk")
+    assert(dom("http://x.example.gob.mx/") === "example.gob.mx")
+    assert(dom("http://x.example.co.za/") === "example.co.za")
+    assert(dom("http://x.example.or.kr/") === "example.or.kr")
+    assert(dom("http://x.example.gouv.fr/") === "example.gouv.fr")
+    assert(dom("http://city.k12.tr/") === "city.k12.tr")
+    assert(dom("http://x.example.waw.pl/") === "example.waw.pl")
+    assert(dom("http://school.ca.us/") === "school.ca.us")
+    assert(dom("http://x.assembly.on.ca/") === "assembly.on.ca")
+    // PaaS private-section entries.
+    assert(dom("http://app.myshopify.com/") === "app.myshopify.com")
+    assert(dom("http://x.site.netlify.app/") === "site.netlify.app")
+    assert(dom("http://b.blogspot.com.br/") === "b.blogspot.com.br")
+    // Wildcard rule *.np: ANY second level is a registry.
+    assert(dom("http://www.example.com.np/") === "example.com.np")
+    assert(dom("http://www.example.whatever.np/") === "example.whatever.np")
+    // Wildcard + exception: *.ck but !www.ck.
+    assert(dom("http://foo.bar.ck/") === "foo.bar.ck")
+    assert(dom("http://sub.www.ck/") === "www.ck")
+    // Longest match wins over the implicit TLD default.
+    assert(dom("http://only.com/") === "only.com")
   }
 
   test("urlDedupGroups collapses variants; domainReport counts pages") {
@@ -138,6 +187,55 @@ class UrlOpsSpec extends SparkSpec {
     // Paths are case-sensitive.
     assert(ok("User-agent: *\nDisallow: /A\n", "/a/b"))
     assert(!ok("User-agent: *\nDisallow: /A\n", "/A/B"))
+  }
+
+  test("robots per-agent groups: exact token beats *, fallback to *") {
+    import graft.functions.RobotsKit
+    def okFor(robots: String, path: String, agent: String): Boolean =
+      RobotsKit.allowedFor(UTF8String.fromString(path),
+        UTF8String.fromString(robots), agent)
+    val r = "User-agent: *\nDisallow: /priv\n" +
+      "User-agent: GraftBot\nDisallow: /bot-only\nAllow: /priv\n"
+    // The specific group REPLACES the * group for that agent (RFC 9309
+    // §2.2.1): GraftBot is ruled only by its own group.
+    assert(okFor(r, "/priv/x", "GraftBot"), "agent group overrides *")
+    assert(!okFor(r, "/bot-only/x", "GraftBot"))
+    // Agent tokens compare case-insensitively.
+    assert(!okFor(r, "/bot-only/x", "graftbot"))
+    // Everyone else still gets the * group.
+    assert(!okFor(r, "/priv/x", "OtherBot"))
+    assert(okFor(r, "/bot-only/x", "OtherBot"))
+    // No matching specific group and no * group -> allowed.
+    assert(okFor("User-agent: x\nDisallow: /\n", "/p", "y"))
+    // Two groups naming the same agent merge (like multiple * groups).
+    val r2 = "User-agent: a\nDisallow: /one\n" +
+      "User-agent: b\nDisallow: /z\n" +
+      "User-agent: a\nDisallow: /two\n"
+    assert(!okFor(r2, "/one", "a") && !okFor(r2, "/two", "a"))
+    assert(okFor(r2, "/z", "a") && !okFor(r2, "/z", "b"))
+    // allowed(…) is allowedFor(…, "*") — the wildcard identity.
+    assert(RobotsKit.allowed(UTF8String.fromString("/priv/x"),
+      UTF8String.fromString(r)) === okFor(r, "/priv/x", "*"))
+  }
+
+  test("robotsAudit with an agent: specific group drives the verdict") {
+    val docs = Seq(
+      (1L, "http://example.com/a/x"),
+      (2L, "http://example.com/b/x")).toDF("doc_id", "url")
+    val robots = Seq(
+      ("example.com",
+        "User-agent: *\nDisallow: /a\n" +
+          "User-agent: GraftBot\nDisallow: /b\n"))
+      .toDF("domain", "robots_txt")
+    val star = WebCorpus.robotsAudit(docs, "doc_id", "url", robots)
+      .orderBy("doc_id").as[(Long, Option[String], Option[Int])]
+      .collect().map(_._3).toSeq
+    val bot = WebCorpus.robotsAudit(docs, "doc_id", "url", robots,
+        agent = "GraftBot")
+      .orderBy("doc_id").as[(Long, Option[String], Option[Int])]
+      .collect().map(_._3).toSeq
+    assert(star === Seq(Some(0), Some(1)))
+    assert(bot === Seq(Some(1), Some(0)))
   }
 
   test("robotsAudit: per-site config broadcast, defaults honored") {
