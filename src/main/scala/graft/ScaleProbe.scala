@@ -373,6 +373,63 @@ object ScaleProbe {
             maxPerDomain = 1000000)
           graft.ops.Blocklist.clean(s2, "text", blockPatterns8)
             .groupBy("source").agg(count(lit(1)).as("n_clean"))
+        }),
+        // TextRank (q336, round 15 — VERDICT r14 task 5): adjacency
+        // bigrams via the narrow pos/pos+1 self-join keyed on
+        // (doc_id, pos), distinct word graph, then the shared
+        // PageRank kernel at fixed rounds. Expect the pair stage to
+        // grow ~linearly (tiled vocabularies are disjoint, so the
+        // graph is N independent copies) and the round floor to stay
+        // put — the same shape claim as trustrank/modularity.
+        "textrank" -> (() => {
+          val pos = df.select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text")))
+              .as(Seq("pos", "w")))
+          val pairs = pos.alias("l")
+            .join(pos.alias("r"),
+              col("l.doc_id") === col("r.doc_id") &&
+                col("r.pos") === col("l.pos") + 1)
+            .select(col("l.w").as("wa"), col("r.w").as("wb"))
+            .where(col("wa") =!= col("wb"))
+            .select(
+              graft.functions.Hashing.portableHash(col("wa")).as("src"),
+              graft.functions.Hashing.portableHash(col("wb")).as("dst"))
+            .distinct()
+          val names = pos.select(col("w")).distinct()
+            .select(col("w"),
+              graft.functions.Hashing.portableHash(col("w")).as("id"))
+          PageRank.run(names.select("id"), "id", pairs, "src", "dst",
+              damping = 0.85, iters = 5)
+            .join(names, "id")
+            .select(col("w").as("token"), col("pr"))
+            .orderBy(col("pr").desc, col("token")).limit(10)
+        }),
+        // Multi-threshold dedup sweep (q356, round 15 — task 5): LSH
+        // pairs found ONCE at the loosest τ, then ONE lifted-plane
+        // component pass covers all three thresholds. Expect the
+        // minhash_pairs growth plus a convergence floor that does not
+        // multiply with the threshold count — the one-chain-not-three
+        // claim, measured.
+        "threshold_sweep" -> (() => {
+          val pairs0 = Dedup.minhashNearDups(df, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.7).localCheckpoint(true)
+          val taus = Seq(700, 800, 900)
+          def lift(p: Int, c: org.apache.spark.sql.Column) =
+            lit(p.toLong) * 100000000L + c
+          val liftedNodes = taus.map(p => df.select(
+            lift(p, col("doc_id")).as("doc_id"))).reduce(_ unionByName _)
+          val liftedPairs = taus.map(p =>
+            pairs0.where(col("jaccard") >= p / 1000.0)
+              .select(lift(p, col("id_a")).as("id_a"),
+                lift(p, col("id_b")).as("id_b"))).reduce(_ unionByName _)
+          Components.dedupClusters(liftedNodes, "doc_id",
+              liftedPairs, "id_a", "id_b")
+            .where(col("cluster_size") >= 2L)
+            .withColumn("threshold_permil",
+              expr("CAST(doc_id DIV 100000000L AS INT)"))
+            .groupBy("threshold_permil")
+            .agg(count_distinct(col("component")).as("n_clusters"),
+              count(lit(1)).as("n_docs_in_clusters"))
         }))
       // Dashboard probe (q367): the four index tables are built
       // UNTIMED per tile (their build costs are the minhash_pairs /
@@ -468,6 +525,66 @@ object ScaleProbe {
             .withColumn("phase", lit("post_forget"))
           pre.unionByName(post)
         }))
+      // Cluster-map maintenance tier (round 15, VERDICT r14 task 2):
+      // q361/q362 lead the bench's heavy tail because each BUILDS its
+      // standing state per run; here the standing map, band index and
+      // token index over the TILED corpus are built UNTIMED (their
+      // costs are the dedup_clusters / minhash_pairs rows), and the
+      // ingest batch is FIXED (tile 0's second half re-keyed, same
+      // tile-0 vocabulary). cluster_merge times the maintenance cycle
+      // — stored-index cross pairs + batch-internal pairs + touched-
+      // component union-find + idempotent append — and must track the
+      // DELTA, staying ~flat as the standing corpus tiles up (the
+      // touched set never leaves tile 0). cluster_compact times the
+      // resolve-then-rewrite heal + versioned publish and is honestly
+      // INDEX-sized: expect ~linear in tiles, with no superlinear
+      // publish overhead.
+      val maintOn = opFilter.forall(f =>
+        f("cluster_merge") || f("cluster_compact"))
+      val maintOps: Seq[(String, () => DataFrame)] =
+        if (!maintOn) Seq.empty
+        else {
+          val standingPairs = Dedup.minhashNearDups(df, "doc_id",
+            "text", k = 64, bands = 8, threshold = 0.8)
+            .localCheckpoint(true)
+          Components.writeClusterIndex(spark, df, "doc_id",
+            standingPairs, "id_a", "id_b", "sp_cmap_m", buckets = 8)
+          graft.sources.Layout.replaceBucketed(spark,
+            Dedup.lshBands(df, "doc_id", "text", 64, 8),
+            "sp_nd_bands_m", "band_hash", buckets = 8)
+          graft.sources.Layout.replaceBucketed(spark,
+            Dedup.tokenIndex(df, "doc_id", "text"),
+            "sp_nd_toks_m", "doc_id", buckets = 8)
+          val batch = base
+            .filter(col("doc_id") >= 500).select("doc_id", "text")
+            .withColumn("doc_id", col("doc_id") + lit(900000000L))
+            .localCheckpoint(true)
+          Seq(
+            "cluster_merge" -> (() => {
+              val cross = Dedup.incrementalNearDupsFromIndex(
+                batch, "doc_id", "text",
+                graft.sources.Layout.table(spark, "sp_nd_bands_m"),
+                graft.sources.Layout.table(spark, "sp_nd_toks_m"),
+                k = 64, bands = 8, threshold = 0.8)
+              val internal = Dedup.minhashNearDups(batch, "doc_id",
+                "text", k = 64, bands = 8, threshold = 0.8)
+              Components.mergeClusterIndex(spark, "sp_cmap_m",
+                batch, "doc_id", internal, "id_a", "id_b",
+                cross, "batch_id", "index_id", buckets = 8)
+              // delta-sized probe: the batch rows' resolved labels
+              graft.sources.Layout.table(spark, "sp_cmap_m")
+                .join(broadcast(batch.select("doc_id")), "doc_id")
+                .groupBy("doc_id").agg(min("component").as("component"))
+            }),
+            "cluster_compact" -> (() => {
+              Components.compactClusterIndex(spark, "sp_cmap_m",
+                buckets = 8)
+              graft.sources.Layout.table(spark, "sp_cmap_m")
+                .groupBy(lit(1).as("one"))
+                .agg(count(lit(1)).as("n_rows"),
+                  count_distinct(col("doc_id")).as("n_docs"))
+            }))
+        }
       val dashboardOn = opFilter.forall(_.contains("health_probe"))
       if (dashboardOn) {
         import graft.ops.{CardinalityEstimate, Components,
@@ -506,6 +623,7 @@ object ScaleProbe {
       // its two siblings just because the trio was built together.
       (ops.filter(o => opFilter.forall(_.contains(o._1))) ++
         imageOps.filter(o => opFilter.forall(_.contains(o._1))) ++
+        maintOps.filter(o => opFilter.forall(_.contains(o._1))) ++
         forgetOps ++ probeOps)
         .foreach { case (name, f) =>
           val sec = time(f())

@@ -78,6 +78,32 @@ object WebCorpus {
           .as("allowed"))
   }
 
+  /** Multi-agent compliance audit: one verdict column PER crawler
+    * identity (`allowed_<agent, lowercased/sanitized>`), all computed
+    * in ONE corpus scan off the same broadcast robots join — auditing
+    * K agents costs K cached-parse prefix matches per row, never K
+    * scans or a K-way self-join. The column set is plan-time config
+    * (a compliance report audits a known bot list).
+    */
+  def robotsAuditMulti(docs: DataFrame, idCol: String, urlCol: String,
+      robots: DataFrame, agents: Seq[String]): DataFrame = {
+    val d = docs
+      .withColumn("domain", domain(col(urlCol)))
+      .withColumn("__path", urlPath(col(urlCol)))
+    val verdicts = agents.map { a =>
+      val colName = "allowed_" +
+        a.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9]", "_")
+      when(col("__path").isNull, lit(null).cast("int"))
+        .otherwise(coalesce(
+          robotsAllowed(col("__path"), col("robots_txt"), a), lit(true))
+          .cast("int"))
+        .as(colName)
+    }
+    d.join(broadcast(robots), Seq("domain"), "left")
+      .select(col(idCol) +: col("domain") +: verdicts: _*)
+  }
+
   /** URL-level dedup of the corpus rows themselves: one survivor per
     * canonical key (the min-id document); unparseable URLs pass
     * through untouched. Shaped as a map-side-combinable min aggregate

@@ -430,7 +430,7 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
-  ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391
+  ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391 :+ q392 :+ q393 :+ q394
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -720,6 +720,168 @@ private[queries] object QueriesExtra6 {
            |  s3c ON s3c.source = doc.source
            |GROUP BY 1, s0c.n, s1c.n, s2c.n, s3c.n
            |ORDER BY doc.source""".stripMargin
+      })
+
+  private def q392 =
+    // Per-agent robots groups (round 15, VERDICT r14 task 7 — RFC 9309
+    // §2.2.1): the audit run twice over the same robots config, once
+    // as the wildcard agent and once as "GraftBot", side by side. The
+    // fixtures cover every selection branch: a specific group
+    // OVERRIDING a domain's `*` group (example.co.uk, plain.de — the
+    // latter with a case-folded token), a domain with ONLY a specific
+    // group (example.com: `*` sees no rules at all), fallback to `*`
+    // when no group names the agent (blog.github.io), and a domain
+    // whose robots names neither (example.net: both allowed). The
+    // oracle is relational and parser-independent: a hand-selected
+    // EFFECTIVE-rules table per (domain, agent) — the §2.2.1 selection
+    // applied by hand — then the same longest-prefix/Allow-ties argmax
+    // as q390, per agent. Both verdict columns come out of ONE corpus
+    // scan (robotsAuditMulti): K agents = K cached-parse prefix
+    // matches per row off one broadcast join, never K scans.
+    QueryDef("q392_robots_agent_audit",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          fixtureUrl(col("doc_id").cast("long")).as("url"))
+        val robots = Seq(
+          ("example.co.uk",
+            "User-agent: *\nDisallow: /a\nAllow: /a/b\n" +
+              "User-agent: GraftBot\nDisallow: /\n"),
+          ("example.com", "User-agent: GraftBot\nDisallow: /p\n"),
+          ("blog.github.io", "User-agent: *\nDisallow: /\n"),
+          ("plain.de",
+            "User-agent: graftbot\nAllow: /\n" +
+              "User-agent: *\nDisallow: /\n"),
+          ("example.net", "User-agent: Other\nDisallow: /\n"))
+          .toDF("domain", "robots_txt")
+        WebCorpus.robotsAuditMulti(docs, "doc_id", "url", robots,
+            Seq("*", "GraftBot"))
+          .withColumnRenamed("allowed__", "allowed_star")
+          .withColumnRenamed("allowed_graftbot", "allowed_bot")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |rules AS (SELECT * FROM (VALUES
+           |  ('example.co.uk', '*', '/a', 0),
+           |  ('example.co.uk', '*', '/a/b', 1),
+           |  ('example.co.uk', 'bot', '/', 0),
+           |  ('example.com', 'bot', '/p', 0),
+           |  ('blog.github.io', '*', '/', 0),
+           |  ('blog.github.io', 'bot', '/', 0),
+           |  ('plain.de', '*', '/', 0),
+           |  ('plain.de', 'bot', '/', 1))
+           |  AS r(domain, agent, prefix, is_allow)),
+           |cand AS (
+           |  SELECT u.id, r.agent, r.is_allow,
+           |    row_number() OVER (PARTITION BY u.id, r.agent
+           |      ORDER BY length(r.prefix) DESC, r.is_allow DESC) AS rn
+           |  FROM urls u JOIN rules r ON r.domain = u.domain
+           |    AND starts_with(u.cpath, r.prefix))
+           |SELECT u.id AS doc_id, u.domain,
+           |  CASE WHEN u.canon IS NULL THEN NULL
+           |    ELSE CAST(coalesce(sv.is_allow, 1) AS INT) END
+           |    AS allowed_star,
+           |  CASE WHEN u.canon IS NULL THEN NULL
+           |    ELSE CAST(coalesce(bv.is_allow, 1) AS INT) END
+           |    AS allowed_bot
+           |FROM urls u
+           |LEFT JOIN (SELECT id, is_allow FROM cand
+           |           WHERE agent = '*' AND rn = 1) sv ON sv.id = u.id
+           |LEFT JOIN (SELECT id, is_allow FROM cand
+           |           WHERE agent = 'bot' AND rn = 1) bv ON bv.id = u.id
+           |ORDER BY doc_id""".stripMargin))
+
+  private def q393 =
+    // Gzip WARC round trip (round 15, VERDICT r14 task 3): q389's
+    // reconciliation over writeGzip — each part file one gzip member,
+    // the reader sniffing magic bytes and inflating all members before
+    // the same strict record walk. The oracle (identical to q389's)
+    // never touches WARC or gzip: both the compressed writer and the
+    // inflating reader must be right for the domain-grain counts and
+    // payload byte sums to land.
+    QueryDef("q393_warc_gzip_roundtrip",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_gz_roundtrip"
+        val docs = t(s, dir, "documents")
+          .select(col("text"),
+            fixtureUrl(col("doc_id").cast("long")).as("url"))
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "text")
+        graft.sources.Warc.read(s, tmp)
+          .select(coalesce(WebCorpus.domain(col("url")),
+            lit("(invalid)")).as("domain"), col("n_bytes"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_records"),
+            sum("n_bytes").as("payload_bytes"))
+          .orderBy("domain")
+      },
+      Some(
+        s"""WITH $urlCtes
+           |SELECT coalesce(domain, '(invalid)') AS domain,
+           |  CAST(count(*) AS BIGINT) AS n_records,
+           |  CAST(sum(length(doc.text)) AS BIGINT) AS payload_bytes
+           |FROM urls u JOIN documents doc ON doc.doc_id = u.id
+           |GROUP BY 1
+           |ORDER BY domain""".stripMargin))
+
+  /** The q394 PSL fixture hosts and their hand-derived registrable
+    * domains — one pair per doc_id residue, mirrored literally in the
+    * oracle. The hosts exercise ccTLD second-level registries
+    * (com.sg / gov.au / co.jp / com.br / gob.mx), the `*.ck` wildcard
+    * with its `!www.ck` exception, the `*.np` wildcard, US/CA
+    * geographic hierarchies, and private-section PaaS suffixes —
+    * every rule KIND in [[graft.sources.PublicSuffix]].
+    */
+  private def pslHosts: Seq[(String, String)] = Seq(
+    "www.example.com.sg" -> "example.com.sg",
+    "a.b.example.gov.au" -> "example.gov.au",
+    "x.example.co.jp" -> "example.co.jp",
+    "shop.example.com.br" -> "example.com.br",
+    "x.example.gob.mx" -> "example.gob.mx",
+    "sub.www.ck" -> "www.ck",
+    "foo.bar.ck" -> "foo.bar.ck",
+    "w.example.com.np" -> "example.com.np",
+    "x.app.myshopify.com" -> "app.myshopify.com",
+    "y.site.netlify.app" -> "site.netlify.app",
+    "school.district.ca.us" -> "district.ca.us",
+    "b.blogspot.com.br" -> "b.blogspot.com.br")
+
+  private def q394 =
+    // Bundled-PSL domain report (round 15, VERDICT r14 task 6): the
+    // per-domain crawl report over hosts chosen to hit every
+    // public-suffix rule kind — exact multi-label registries, wildcard
+    // rules, the exception rule, and private-section PaaS suffixes.
+    // The oracle never runs a suffix algorithm: the expected
+    // registrable domain is HAND-DERIVED per host and written into the
+    // VALUES literal, so a PSL lookup regression (e.g. wildcard or
+    // exception handling) breaks the hash.
+    QueryDef("q394_psl_domain_report",
+      (s, dir) => {
+        val host = elt(
+          (pmod(col("doc_id").cast("long"), lit(12)) + 1).cast("int")
+            +: pslHosts.map(h => lit(h._1)): _*)
+        WebCorpus.domainReport(
+          t(s, dir, "documents")
+            .select(concat(lit("http://"), host, lit("/p")).as("url")),
+          "url")
+          .orderBy("domain")
+      },
+      Some {
+        val hostList = pslHosts.map(h => s"'${h._1}'").mkString(",")
+        val domList = pslHosts.map(h => s"'${h._2}'").mkString(",")
+        s"""WITH h AS (
+           |  SELECT doc_id AS id,
+           |    ([$hostList])[doc_id % 12 + 1] AS host,
+           |    ([$domList])[doc_id % 12 + 1] AS dom
+           |  FROM documents)
+           |SELECT dom AS domain,
+           |  CAST(count(*) AS BIGINT) AS n_urls,
+           |  CAST(count(DISTINCT host) AS BIGINT) AS n_pages,
+           |  CAST((count(*) - count(DISTINCT host)) * 1000000
+           |    // count(*) AS BIGINT) AS dup_ppm
+           |FROM h
+           |GROUP BY 1
+           |ORDER BY domain""".stripMargin
       })
 
   /** The q382–q384 fixture URL: independent variant axes driven by

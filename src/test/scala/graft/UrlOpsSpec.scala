@@ -238,6 +238,32 @@ class UrlOpsSpec extends SparkSpec {
     assert(bot === Seq(Some(1), Some(0)))
   }
 
+  test("robotsAuditMulti: K agents in ONE scan — no extra join, verdicts match") {
+    val docs = Seq(
+      (1L, "http://example.com/a/x"),
+      (2L, "http://example.com/b/x"),
+      (3L, "junk")).toDF("doc_id", "url")
+    val robots = Seq(
+      ("example.com",
+        "User-agent: *\nDisallow: /a\n" +
+          "User-agent: GraftBot\nDisallow: /b\n"))
+      .toDF("domain", "robots_txt")
+    val multi = WebCorpus.robotsAuditMulti(docs, "doc_id", "url",
+      robots, Seq("*", "GraftBot"))
+    val got = multi.orderBy("doc_id")
+      .as[(Long, Option[String], Option[Int], Option[Int])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, Some("example.com"), Some(0), Some(1)),
+      (2L, Some("example.com"), Some(1), Some(0)),
+      (3L, None, None, None)))
+    // One broadcast join total: auditing K agents must not re-scan
+    // the corpus or self-join per agent.
+    val plan = multi.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("robotsAudit: per-site config broadcast, defaults honored") {
     val docs = Seq(
       (1L, "http://shop.Example.com/a/x"),
