@@ -215,22 +215,31 @@ object RobotsKit {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** User-agent groups in file order: (lowercased agent tokens,
-    * (prefix, isAllow) rules). Consecutive user-agent lines accumulate
-    * one group; a user-agent line AFTER rules starts a fresh group;
-    * rules before any user-agent line belong to no group (ignored).
+  /** One user-agent group: lowercased agent tokens, (prefix, isAllow)
+    * path rules, and the group's crawl-delay seconds if present (the
+    * de-facto extension field — fractional values allowed, junk
+    * ignored).
     */
-  private[functions] def groups(
-      txt: String): Array[(Set[String], Array[(String, Boolean)])] = {
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Set[String], Array[(String, Boolean)])]
+  private[functions] final case class Group(
+      agents: Set[String], rules: Array[(String, Boolean)],
+      delay: Option[Double])
+
+  /** User-agent groups in file order. Consecutive user-agent lines
+    * accumulate one group; a user-agent line AFTER rules starts a
+    * fresh group; rules before any user-agent line belong to no group
+    * (ignored).
+    */
+  private[functions] def groups(txt: String): Array[Group] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = Set.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    var delay: Option[Double] = None
     var afterRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) out += ((agents, rules.toArray))
+      if (agents.nonEmpty) out += Group(agents, rules.toArray, delay)
       agents = Set.empty
       rules = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      delay = None
     }
     txt.split("\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -248,6 +257,10 @@ object RobotsKit {
             if (agents.nonEmpty && value.nonEmpty)
               rules += ((value, field == "allow"))
             afterRules = true
+          case "crawl-delay" =>
+            if (agents.nonEmpty && delay.isEmpty)
+              delay = value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+            afterRules = true
           case _ => ()
         }
       }
@@ -259,14 +272,37 @@ object RobotsKit {
   /** §2.2.1 group selection: all groups naming the agent token
     * exactly (case-insensitive); if none, all `*` groups.
     */
-  private[functions] def rulesFor(
-      txt: String, agent: String): Array[(String, Boolean)] = {
+  private[functions] def groupsFor(txt: String, agent: String): Array[Group] = {
     val gs = groups(txt)
     val a = agent.toLowerCase(java.util.Locale.ROOT)
-    val exact = gs.filter(_._1.contains(a))
-    val sel = if (exact.nonEmpty) exact else gs.filter(_._1.contains("*"))
-    sel.flatMap(_._2)
+    val exact = gs.filter(_.agents.contains(a))
+    if (exact.nonEmpty) exact else gs.filter(_.agents.contains("*"))
   }
+
+  private[functions] def rulesFor(
+      txt: String, agent: String): Array[(String, Boolean)] =
+    groupsFor(txt, agent).flatMap(_.rules)
+
+  /** Crawl-delay seconds the agent should honor (§2.2.1 group
+    * selection; if several selected groups carry one, the LARGEST —
+    * the politeness-conservative read); null when none do.
+    */
+  def crawlDelayFor(robots: UTF8String, agent: String): java.lang.Double = {
+    val ds = groupsFor(robots.toString, agent).flatMap(_.delay)
+    if (ds.isEmpty) null else java.lang.Double.valueOf(ds.max)
+  }
+
+  /** Number of `Sitemap:` lines (group-independent per the de-facto
+    * standard — they apply file-wide).
+    */
+  def sitemapCount(robots: UTF8String): Int =
+    robots.toString.split("\n", -1).count { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      ci > 0 && line.substring(0, ci).trim
+        .toLowerCase(java.util.Locale.ROOT) == "sitemap" &&
+        line.substring(ci + 1).trim.nonEmpty
+    }
 
   /** Back-compat spelling: the agent-`*` rule set. */
   private[functions] def rules(txt: String): Array[(String, Boolean)] =
@@ -345,4 +381,68 @@ case class RobotsAllowedExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RobotsAllowedExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_robots_delay(robots_txt, agent-literal)` → crawl-delay
+  * seconds via [[RobotsKit.crawlDelayFor]] (§2.2.1 group selection,
+  * largest across selected groups); null when the selected groups
+  * carry none, or on null input.
+  */
+case class RobotsCrawlDelayExpr(child: Expression, agent: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_robots_delay expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_robots_delay"
+
+  override def nullSafeEval(robots: Any): Any = {
+    val d = RobotsKit.crawlDelayFor(robots.asInstanceOf[UTF8String], agent)
+    if (d == null) null else d.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, r => {
+      val boxed = ctx.freshName("delay")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.functions.RobotsKit.crawlDelayFor($r, $agentRef);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsCrawlDelayExpr = copy(child = newChild)
+}
+
+/** `graft_robots_sitemaps(robots_txt)` → count of `Sitemap:` lines
+  * via [[RobotsKit.sitemapCount]] (file-wide, group-independent).
+  */
+case class RobotsSitemapCountExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_robots_sitemaps expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_robots_sitemaps"
+
+  override def nullSafeEval(robots: Any): Any =
+    RobotsKit.sitemapCount(robots.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r =>
+      s"graft.functions.RobotsKit.sitemapCount($r)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsSitemapCountExpr = copy(child = newChild)
 }

@@ -271,6 +271,32 @@ object GraftFunctions {
       RobotsAllowedExpr(children.head, children(1), agent): Expression
     })
 
+  private[functions] val robotsDelayInfo = (
+    FunctionIdentifier("graft_robots_delay"),
+    new ExpressionInfo(classOf[RobotsCrawlDelayExpr].getName,
+      "graft_robots_delay"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_robots_delay takes (robots_txt, agent-literal)")
+      val agent = children(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_robots_delay agent must be a string literal, got $other")
+      }
+      RobotsCrawlDelayExpr(children.head, agent): Expression
+    })
+
+  private[functions] val robotsSitemapsInfo = (
+    FunctionIdentifier("graft_robots_sitemaps"),
+    new ExpressionInfo(classOf[RobotsSitemapCountExpr].getName,
+      "graft_robots_sitemaps"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_robots_sitemaps takes (robots_txt)")
+      RobotsSitemapCountExpr(children.head): Expression
+    })
+
   private[functions] val blockhitsInfo = (
     FunctionIdentifier("graft_blockhits"),
     new ExpressionInfo(classOf[BlocklistHitsExpr].getName,
@@ -303,7 +329,7 @@ object GraftFunctions {
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
       blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo,
-      urlPathInfo, robotsInfo)
+      urlPathInfo, robotsInfo, robotsDelayInfo, robotsSitemapsInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

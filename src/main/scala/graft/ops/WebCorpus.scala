@@ -104,6 +104,45 @@ object WebCorpus {
       .select(col(idCol) +: col("domain") +: verdicts: _*)
   }
 
+  /** Crawl-delay seconds the agent should honor per the robots body
+    * (§2.2.1 group selection, largest across selected groups); null
+    * when none declared.
+    */
+  def crawlDelay(robotsTxt: Column, agent: String = "*"): Column =
+    call_function("graft_robots_delay", robotsTxt, lit(agent))
+
+  /** Count of file-wide `Sitemap:` lines in the robots body. */
+  def sitemapCount(robotsTxt: Column): Column =
+    call_function("graft_robots_sitemaps", robotsTxt)
+
+  /** Recrawl-budget report: per registrable domain, document volume
+    * joined against the site's politeness config — the declared
+    * crawl-delay for the given agent (null = none declared) and the
+    * estimated seconds a sequential polite recrawl of the domain's
+    * pages would take at that delay (`defaultDelay` when the site
+    * declares none), plus the sitemap count (sitemap-driven recrawls
+    * skip page discovery). The robots frame is per-site CONFIG, so the
+    * join broadcasts; the only shuffle groups on the domain —
+    * |sites| keys, map-side combined.
+    */
+  def crawlBudget(docs: DataFrame, urlCol: String, robots: DataFrame,
+      agent: String = "*", defaultDelay: Double = 1.0): DataFrame =
+    docs
+      .select(coalesce(domain(col(urlCol)), lit("(invalid)"))
+        .as("domain"),
+        canonUrl(col(urlCol)).as("canon_url"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("canon_url")).as("n_pages"))
+      .join(broadcast(robots), Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_pages"),
+        crawlDelay(col("robots_txt"), agent).as("crawl_delay"),
+        coalesce(sitemapCount(col("robots_txt")), lit(0))
+          .as("n_sitemaps"),
+        round(col("n_pages") *
+          coalesce(crawlDelay(col("robots_txt"), agent),
+            lit(defaultDelay)), 1).as("budget_secs"))
+
   /** URL-level dedup of the corpus rows themselves: one survivor per
     * canonical key (the min-id document); unparseable URLs pass
     * through untouched. Shaped as a map-side-combinable min aggregate

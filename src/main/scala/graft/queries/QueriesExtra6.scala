@@ -430,7 +430,8 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
-  ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391 :+ q392 :+ q393 :+ q394
+  ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391 :+ q392 :+ q393 :+ q394 :+
+    q395
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -883,6 +884,65 @@ private[queries] object QueriesExtra6 {
            |GROUP BY 1
            |ORDER BY domain""".stripMargin
       })
+
+  private def q395 =
+    // Recrawl politeness budget (WebCorpus.crawlBudget): per domain,
+    // page volume × the crawl-delay the wildcard agent would honor
+    // (graft_robots_delay — §2.2.1 group selection, largest across
+    // selected groups, junk values skipped) plus the file-wide
+    // sitemap count. The fixtures cover: a plain delay + sitemap, an
+    // agent-specific delay NOT applying to `*` (example.net → null), a
+    // `*` group whose delay differs from the bot group's
+    // (example.co.uk → 10), a junk first delay superseded by a valid
+    // one (shop-site.com → 2), sitemaps without any delay (plain.de),
+    // and sites with no robots at all (null delay, default budget).
+    // The oracle re-derives budgets relationally from a hand-derived
+    // politeness VALUES table — independent of the parser.
+    QueryDef("q395_crawl_budget",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select(fixtureUrl(col("doc_id").cast("long")).as("url"))
+        val robots = Seq(
+          ("example.com",
+            "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n" +
+              "Sitemap: https://example.com/s.xml\n"),
+          ("example.co.uk",
+            "User-agent: GraftBot\nCrawl-delay: 0.5\n" +
+              "User-agent: *\nCrawl-delay: 10\n"),
+          ("plain.de",
+            "User-agent: *\nDisallow: /\n" +
+              "Sitemap: https://plain.de/a.xml\n" +
+              "Sitemap: https://plain.de/b.xml\n"),
+          ("example.net", "User-agent: GraftBot\nCrawl-delay: 3\n"),
+          ("shop-site.com",
+            "User-agent: *\nCrawl-delay: soon\nCrawl-delay: 2\n"))
+          .toDF("domain", "robots_txt")
+        WebCorpus.crawlBudget(docs, "url", robots,
+            agent = "*", defaultDelay = 1.0)
+          .orderBy("domain")
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |agg AS (
+           |  SELECT coalesce(domain, '(invalid)') AS domain,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(DISTINCT canon) AS BIGINT) AS n_pages
+           |  FROM urls GROUP BY 1),
+           |pol AS (SELECT * FROM (VALUES
+           |  ('example.com', 1.5, 1),
+           |  ('example.co.uk', 10.0, 0),
+           |  ('plain.de', NULL, 2),
+           |  ('example.net', NULL, 0),
+           |  ('shop-site.com', 2.0, 0))
+           |  AS p(domain, crawl_delay, n_sitemaps))
+           |SELECT a.domain, a.n_docs, a.n_pages,
+           |  p.crawl_delay,
+           |  CAST(coalesce(p.n_sitemaps, 0) AS INT) AS n_sitemaps,
+           |  round(a.n_pages * coalesce(p.crawl_delay, 1.0), 1)
+           |    AS budget_secs
+           |FROM agg a LEFT JOIN pol p USING (domain)
+           |ORDER BY a.domain""".stripMargin))
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in

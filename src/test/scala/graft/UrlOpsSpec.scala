@@ -238,6 +238,60 @@ class UrlOpsSpec extends SparkSpec {
     assert(bot === Seq(Some(1), Some(0)))
   }
 
+  test("crawl-delay: agent group selection, junk skipped, max across groups") {
+    import graft.functions.RobotsKit
+    def delay(robots: String, agent: String): Option[Double] =
+      Option(RobotsKit.crawlDelayFor(UTF8String.fromString(robots), agent))
+        .map(_.doubleValue())
+    // §2.2.1 selection: bot gets ITS group's delay, * gets the * one.
+    val r = "User-agent: GraftBot\nCrawl-delay: 0.5\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    assert(delay(r, "GraftBot") === Some(0.5))
+    assert(delay(r, "*") === Some(10.0))
+    // No specific group -> fallback to *; no * group -> none.
+    assert(delay(r, "OtherBot") === Some(10.0))
+    assert(delay("User-agent: b\nCrawl-delay: 3\n", "*") === None)
+    // Junk value skipped; the next valid one in the group wins.
+    assert(delay("User-agent: *\nCrawl-delay: soon\nCrawl-delay: 2\n",
+      "*") === Some(2.0))
+    // Negative / non-finite rejected.
+    assert(delay("User-agent: *\nCrawl-delay: -1\n", "*") === None)
+    // Two groups for the same agent: largest (politeness-conservative).
+    assert(delay("User-agent: a\nCrawl-delay: 1\n" +
+      "User-agent: b\nDisallow: /\n" +
+      "User-agent: a\nCrawl-delay: 4\n", "a") === Some(4.0))
+    // Sitemap lines: file-wide count, comments and empties excluded.
+    def sm(robots: String): Int =
+      RobotsKit.sitemapCount(UTF8String.fromString(robots))
+    assert(sm("Sitemap: https://e.com/a.xml\nUser-agent: *\n" +
+      "Disallow: /\nSitemap: https://e.com/b.xml\n") === 2)
+    assert(sm("# Sitemap: commented\nSitemap:\n") === 0)
+  }
+
+  test("crawlBudget: broadcast politeness dim, default delay for silent sites") {
+    val docs = Seq(
+      (1L, "http://a.com/1"), (2L, "http://a.com/2"),
+      (3L, "http://a.com/2#frag"), // same canonical page as 2
+      (4L, "http://b.org/x"), (5L, "junk"))
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2.5\nSitemap: s.xml\n"))
+      .toDF("domain", "robots_txt")
+    val got = WebCorpus.crawlBudget(docs, "url", robots)
+      .orderBy("domain")
+      .as[(String, Long, Long, Option[Double], Int, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("(invalid)", 1L, 0L, None, 0, 0.0),
+      ("a.com", 3L, 2L, Some(2.5), 1, 5.0),
+      ("b.org", 1L, 1L, None, 0, 1.0)))
+    val plan = WebCorpus.crawlBudget(docs, "url", robots)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("robotsAuditMulti: K agents in ONE scan — no extra join, verdicts match") {
     val docs = Seq(
       (1L, "http://example.com/a/x"),
