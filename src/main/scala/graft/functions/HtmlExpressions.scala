@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → text / link extraction — the step that turns a crawled WARC
+  * payload into trainable text (and the link edges a domain graph is
+  * built from). One single-pass scanner per document riding the corpus
+  * scan: no DOM, no external parser, total on arbitrarily broken
+  * markup (real crawl HTML is broken markup).
+  *
+  * Text contract (deliberately minimal — boilerplate REMOVAL beyond
+  * script/style is a modeling choice that belongs in quality gates):
+  *  - comments (`<!-- -->`), `script`/`style`/`noscript` element
+  *    CONTENTS, and all tags are dropped; every dropped construct is a
+  *    word boundary;
+  *  - attribute values may contain `>` (quoted scanning — the classic
+  *    naive-regex-stripper trap);
+  *  - character references decode once, never recursively: the named
+  *    ones every crawl actually hits (`amp lt gt quot apos nbsp`) plus
+  *    numeric `&#NNN;` / `&#xHH;`; unknown ones pass through raw;
+  *  - whitespace (incl. NBSP) collapses to single spaces, trimmed.
+  *
+  * Links: `href` values of `<a>` tags, in document order, entities
+  * decoded, raw otherwise (resolution against a base URL is the
+  * caller's join — [[UrlKit]] canonicalizes absolute http(s) ones).
+  */
+object HtmlKit {
+
+  private def decodeEntity(s: String, start: Int, out: StringBuilder): Int = {
+    // s(start) == '&'; returns the index AFTER the consumed reference,
+    // or start+1 with '&' emitted raw when it isn't one.
+    val semi = s.indexOf(';', start + 1)
+    if (semi < 0 || semi - start > 10) { out.append('&'); return start + 1 }
+    val body = s.substring(start + 1, semi)
+    val decoded: String = body match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => "\u00A0"
+      case b if b.length > 1 && b.charAt(0) == '#' =>
+        val cp =
+          if (b.charAt(1) == 'x' || b.charAt(1) == 'X')
+            try Integer.parseInt(b.substring(2), 16) catch { case _: Exception => -1 }
+          else
+            try Integer.parseInt(b.substring(1)) catch { case _: Exception => -1 }
+        if (cp >= 0 && Character.isValidCodePoint(cp))
+          new String(Character.toChars(cp))
+        else null
+      case _ => null
+    }
+    if (decoded == null) { out.append('&'); start + 1 }
+    else { out.append(decoded); semi + 1 }
+  }
+
+  /** The shared walk. Returns (text, hrefs). */
+  private def scan(html: String, wantText: Boolean,
+      wantLinks: Boolean): (String, Seq[String]) = {
+    val n = html.length
+    val text = new StringBuilder
+    val links = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pendingSpace = false
+    def emit(c: Char): Unit = {
+      // NBSP is NOT Java-isWhitespace; crawl text treats it as space
+      if (c == '\u00A0' || c.isWhitespace) pendingSpace = true
+      else {
+        if (pendingSpace && text.nonEmpty) text.append(' ')
+        pendingSpace = false
+        text.append(c)
+      }
+    }
+    def emitStr(s: String): Unit = s.foreach(emit)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          // tag name
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(nameStart, j)
+            .toLowerCase(java.util.Locale.ROOT)
+          // attributes up to '>', quote-aware; collect href on <a>
+          var href: String = null
+          var selfClose = false
+          while (j < n && html.charAt(j) != '>') {
+            val a = html.charAt(j)
+            if (a == '"' || a == '\'') {
+              val q = html.indexOf(a, j + 1)
+              j = if (q < 0) n else q + 1
+            } else if (!closing && name == "a" && wantLinks &&
+                (a.isLetter) && href == null &&
+                html.regionMatches(true, j, "href", 0, 4) &&
+                (j + 4 >= n || !html.charAt(j + 4).isLetterOrDigit)) {
+              var k = j + 4
+              while (k < n && html.charAt(k).isWhitespace) k += 1
+              if (k < n && html.charAt(k) == '=') {
+                k += 1
+                while (k < n && html.charAt(k).isWhitespace) k += 1
+                if (k < n && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                  val quote = html.charAt(k)
+                  val endQ = html.indexOf(quote, k + 1)
+                  val raw = html.substring(k + 1, if (endQ < 0) n else endQ)
+                  href = decodeAll(raw)
+                  j = if (endQ < 0) n else endQ + 1
+                } else {
+                  var e = k
+                  while (e < n && !html.charAt(e).isWhitespace &&
+                    html.charAt(e) != '>') e += 1
+                  href = decodeAll(html.substring(k, e))
+                  j = e
+                }
+              } else j = k
+            } else {
+              if (a == '/' && j + 1 < n && html.charAt(j + 1) == '>')
+                selfClose = true
+              j += 1
+            }
+          }
+          i = if (j < n) j + 1 else n
+          if (href != null && href.nonEmpty) links += href
+          // drop raw content of script/style/noscript elements
+          if (!closing && !selfClose &&
+              (name == "script" || name == "style" || name == "noscript")) {
+            var k = i
+            var found = -1
+            while (found < 0 && k < n) {
+              val lt = html.indexOf('<', k)
+              if (lt < 0) found = n
+              else if (html.regionMatches(true, lt, "</", 0, 2) &&
+                  html.regionMatches(true, lt + 2, name, 0, name.length)) {
+                val gt = html.indexOf('>', lt)
+                found = if (gt < 0) n else gt + 1
+              } else k = lt + 1
+            }
+            i = if (found < 0) n else found
+          }
+          pendingSpace = true // every tag is a word boundary
+        }
+      } else if (c == '&' && wantText) {
+        // decode into a tiny buffer, then route the decoded chars
+        // through the same whitespace-collapse emit (so &nbsp; folds
+        // like any other whitespace)
+        val buf = new StringBuilder
+        i = decodeEntity(html, i, buf)
+        emitStr(buf.toString)
+      } else {
+        if (wantText) emit(c)
+        i += 1
+      }
+    }
+    (text.result(), links.toSeq)
+  }
+
+  private def decodeAll(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') i = decodeEntity(s, i, out)
+      else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.result()
+  }
+
+  def text(html: UTF8String): UTF8String =
+    UTF8String.fromString(scan(html.toString, wantText = true,
+      wantLinks = false)._1)
+
+  def links(html: UTF8String): ArrayData =
+    new GenericArrayData(scan(html.toString, wantText = false,
+      wantLinks = true)._2.map(UTF8String.fromString).toArray[Any])
+}
+
+/** `graft_html_text(html)` — extracted plain text via [[HtmlKit.text]];
+  * null propagates.
+  */
+case class HtmlTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_text expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_text"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlKit.text(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.HtmlKit.text($h)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlTextExpr = copy(child = newChild)
+}
+
+/** `graft_html_links(html)` — `href` values of `<a>` tags in document
+  * order via [[HtmlKit.links]]; null propagates.
+  */
+case class HtmlLinksExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_links expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_html_links"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlKit.links(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.HtmlKit.links($h)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlLinksExpr = copy(child = newChild)
+}

@@ -271,6 +271,22 @@ object GraftFunctions {
       RobotsAllowedExpr(children.head, children(1), agent): Expression
     })
 
+  private[functions] val htmlTextInfo = (
+    FunctionIdentifier("graft_html_text"),
+    new ExpressionInfo(classOf[HtmlTextExpr].getName, "graft_html_text"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_html_text takes exactly 1 argument")
+      HtmlTextExpr(children.head): Expression
+    })
+
+  private[functions] val htmlLinksInfo = (
+    FunctionIdentifier("graft_html_links"),
+    new ExpressionInfo(classOf[HtmlLinksExpr].getName, "graft_html_links"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_html_links takes exactly 1 argument")
+      HtmlLinksExpr(children.head): Expression
+    })
+
   private[functions] val robotsDelayInfo = (
     FunctionIdentifier("graft_robots_delay"),
     new ExpressionInfo(classOf[RobotsCrawlDelayExpr].getName,
@@ -329,7 +345,8 @@ object GraftFunctions {
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
       blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo,
-      urlPathInfo, robotsInfo, robotsDelayInfo, robotsSitemapsInfo)
+      urlPathInfo, robotsInfo, robotsDelayInfo, robotsSitemapsInfo,
+      htmlTextInfo, htmlLinksInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

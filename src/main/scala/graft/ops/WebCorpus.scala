@@ -104,6 +104,58 @@ object WebCorpus {
       .select(col(idCol) +: col("domain") +: verdicts: _*)
   }
 
+  /** Extracted plain text of an HTML payload
+    * ([[graft.functions.HtmlKit]]): comments / script / style dropped,
+    * tags are word boundaries, common character references decoded,
+    * whitespace collapsed. The WARC→text step of a crawl pipeline —
+    * one narrow codegen'd pass riding the corpus scan.
+    */
+  def htmlText(html: Column): Column =
+    call_function("graft_html_text", html)
+
+  /** `href` values of `<a>` tags, in document order, entities decoded.
+    */
+  def htmlLinks(html: Column): Column =
+    call_function("graft_html_links", html)
+
+  /** Text-extraction audit: per source, document count, HTML bytes vs
+    * extracted-text chars and the markup overhead ppm — the data-card
+    * row published next to a WARC→text conversion. One narrow pass +
+    * a |sources|-keyed combinable rollup.
+    */
+  def textExtractionReport(docs: DataFrame, sourceCol: String,
+      htmlCol: String): DataFrame =
+    docs
+      .select(col(sourceCol),
+        length(col(htmlCol)).cast("long").as("__h"),
+        length(htmlText(col(htmlCol))).cast("long").as("__t"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__h").as("html_chars"),
+        sum("__t").as("text_chars"),
+        ((sum("__h") - sum("__t")) * lit(1000000L) / sum("__h"))
+          .cast("long").as("markup_ppm"))
+
+  /** Cross-domain link graph: each document's outbound `<a href>`
+    * targets reduced to registrable domains, keyed against the
+    * document's own domain — (src_domain, dst_domain, n_links), self
+    * edges and unresolvable targets dropped (relative links resolve to
+    * the SOURCE domain, so they are self edges by construction and a
+    * cross-domain graph never needs base-URL resolution). The explode
+    * is narrow; the one shuffle groups on the (site, site) pair —
+    * dimension² at most, in practice the sparse web graph.
+    */
+  def linkGraph(docs: DataFrame, urlCol: String, htmlCol: String)
+      : DataFrame =
+    docs
+      .select(domain(col(urlCol)).as("src_domain"),
+        explode(htmlLinks(col(htmlCol))).as("__href"))
+      .select(col("src_domain"), domain(col("__href")).as("dst_domain"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+
   /** Crawl-delay seconds the agent should honor per the robots body
     * (§2.2.1 group selection, largest across selected groups); null
     * when none declared.

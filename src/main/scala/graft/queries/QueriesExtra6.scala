@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.ops.{Blocklist, ImageHash, WebCorpus}
+import graft.functions.Hashing
+import graft.ops.{Blocklist, ImageHash, PageRank, WebCorpus}
 import graft.sources.Layout
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -431,7 +432,7 @@ private[queries] object QueriesExtra6 {
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
   ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391 :+ q392 :+ q393 :+ q394 :+
-    q395
+    q395 :+ q396 :+ q397 :+ q398
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -943,6 +944,154 @@ private[queries] object QueriesExtra6 {
            |    AS budget_secs
            |FROM agg a LEFT JOIN pol p USING (domain)
            |ORDER BY a.domain""".stripMargin))
+
+  /** The q396–q398 fixture HTML page per doc: deterministic structure
+    * exercising a comment holding fake tags, script with a bare `<`,
+    * style with a bare `>`, named + decimal + hex character
+    * references, a quoted attribute containing `>`, NBSP, and three
+    * anchors — one absolute cross-site link (target by `id % 5`), one
+    * relative, one `javascript:`. Every oracle value is hand-derived
+    * from the same residues, never a twin parser.
+    */
+  private def fixtureHtml(id: Column): Column = {
+    val dst = elt((pmod(id, lit(5)) + 1).cast("int"),
+      lit("example.com"), lit("news.co.uk"), lit("x.github.io"),
+      lit("plain.de"), lit("a.example.com"))
+    concat(
+      lit("<!-- <p>boilerplate</p> --><html><head><title>Doc &#84;"),
+      id.cast("string"),
+      lit("</title><script>var a = 1 < 2;</script>" +
+        "<style>p > span {}</style></head><body><h1>Head "),
+      pmod(id, lit(9)).cast("string"),
+      lit("</h1><p>alpha &amp; beta</p><a href=\"https://"), dst,
+      lit("/l"), pmod(id, lit(4)).cast("string"),
+      lit("\" title=\"a>b\">link &#x41;"),
+      pmod(id, lit(3)).cast("string"),
+      lit("</a><a href=\"/rel\">rel</a>" +
+        "<a href=\"javascript:void(0)\">js</a>&nbsp;tail</body></html>"))
+  }
+
+  /** Hand-derived registrable domain of the q396 fixture's absolute
+    * link target, as a DuckDB list literal indexed by `id % 5 + 1`
+    * (`a.example.com` registers under `example.com`).
+    */
+  private def dstDomainList =
+    "(['example.com','news.co.uk','x.github.io','plain.de'," +
+      "'example.com'])"
+
+  private def q396 =
+    // HTML → text extraction (graft_html_text — the WARC→text step of
+    // a crawl pipeline): comments, script/style contents and tags
+    // drop; quoted attributes may hold '>'; character references
+    // decode once; whitespace (incl. NBSP) collapses. The oracle never
+    // parses HTML: the expected text is the hand-written concatenation
+    // of the fixture's residue-driven parts, so every scanner rule
+    // (comment skip, script skip, boundary spacing, entity decode)
+    // must hold for the string equality — and the hash — to land.
+    QueryDef("q396_html_text_extract",
+      (s, dir) => {
+        val html = fixtureHtml(col("doc_id").cast("long"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            WebCorpus.htmlText(html).as("text"),
+            length(WebCorpus.htmlText(html)).cast("long")
+              .as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  'Doc T' || doc_id || ' Head ' || (doc_id % 9) ||
+          |    ' alpha & beta link A' || (doc_id % 3) ||
+          |    ' rel js tail' AS text,
+          |  CAST(length('Doc T' || doc_id || ' Head ' || (doc_id % 9) ||
+          |    ' alpha & beta link A' || (doc_id % 3) ||
+          |    ' rel js tail') AS BIGINT) AS n_chars
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin))
+
+  private def q397 =
+    // Cross-domain link graph (WebCorpus.linkGraph over
+    // graft_html_links): each page's <a href> targets reduced to
+    // registrable domains against the page's own domain — self edges
+    // (incl. every relative link) and unresolvable targets drop. The
+    // oracle re-derives the edge list from the residues: the fixture's
+    // absolute link target by id % 5 (with a.example.com registering
+    // under example.com — the PSL fold is part of the claim) against
+    // the q382 urls CTE's hand-written source domain.
+    QueryDef("q397_link_graph",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"),
+          fixtureUrl(col("doc_id").cast("long")).as("url"),
+          fixtureHtml(col("doc_id").cast("long")).as("html"))
+        WebCorpus.linkGraph(docs, "url", "html")
+          .orderBy("src_domain", "dst_domain")
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |h AS (
+           |  SELECT u.domain AS src,
+           |    $dstDomainList[u.id % 5 + 1] AS dst
+           |  FROM urls u WHERE u.domain IS NOT NULL)
+           |SELECT src AS src_domain, dst AS dst_domain,
+           |  CAST(count(*) AS BIGINT) AS n_links
+           |FROM h WHERE src <> dst
+           |GROUP BY 1, 2
+           |ORDER BY src_domain, dst_domain""".stripMargin))
+
+  private def q398 =
+    // Domain-level PageRank over the q397 link graph — the
+    // web-curation use of the shared q83 kernel: site authority for
+    // crawl prioritization / source weighting, on the graph the
+    // HTML tier just extracted. Nodes are the cross-domain edge
+    // endpoints (hashed to ids, names joined back); the oracle chains
+    // the q397 edge derivation into the unrolled pageRankCtes power
+    // iteration — the same IEEE double trajectory as the op.
+    QueryDef("q398_domain_pagerank",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"),
+          fixtureUrl(col("doc_id").cast("long")).as("url"),
+          fixtureHtml(col("doc_id").cast("long")).as("html"))
+        val edges = WebCorpus.linkGraph(docs, "url", "html")
+        val names = edges.select(col("src_domain").as("d"))
+          .unionByName(edges.select(col("dst_domain").as("d")))
+          .distinct()
+          .select(col("d"), Hashing.portableHash(col("d")).as("id"))
+        val e = edges.select(
+          Hashing.portableHash(col("src_domain")).as("src"),
+          Hashing.portableHash(col("dst_domain")).as("dst"))
+        PageRank.run(names.select("id"), "id", e, "src", "dst",
+            damping = 0.85, iters = 5)
+          .join(names, "id")
+          .select(col("d").as("domain"), col("pr"))
+          .orderBy(col("pr").desc, col("domain"))
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |h AS (
+           |  SELECT u.domain AS src,
+           |    $dstDomainList[u.id % 5 + 1] AS dst
+           |  FROM urls u WHERE u.domain IS NOT NULL),
+           |hx AS (SELECT src, dst FROM h WHERE src <> dst),
+           |names AS (
+           |  SELECT d, ${Hashing.duckPortableHash("d")} AS id
+           |  FROM (SELECT src AS d FROM hx UNION SELECT dst FROM hx)),
+           |ed AS (SELECT DISTINCT
+           |    ${Hashing.duckPortableHash("src")} AS src,
+           |    ${Hashing.duckPortableHash("dst")} AS dst
+           |  FROM hx),
+           |prnodes AS (SELECT id FROM names),
+           |predges AS (SELECT src, dst FROM ed
+           |            UNION SELECT dst, src FROM ed),
+           |""".stripMargin +
+        Shared.pageRankCtes(d = 0.85, iters = 5) + "\n" +
+        """SELECT n.d AS domain,
+          |  round(coalesce(p.pr, iso5.pr), 6) AS pr
+          |FROM prnodes nd
+          |LEFT JOIN pre5 p USING (id) CROSS JOIN iso5
+          |JOIN names n ON n.id = nd.id
+          |ORDER BY pr DESC, domain""".stripMargin))
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.HtmlKit
+import graft.ops.WebCorpus
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → text / link extraction: scanner semantics (tags, comments,
+  * script/style, quoted attributes, entities, whitespace collapse),
+  * totality on broken markup, and the op layer's plan shape.
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def text(s: String): String =
+    HtmlKit.text(UTF8String.fromString(s)).toString
+  private def links(s: String): Seq[String] = {
+    val a = HtmlKit.links(UTF8String.fromString(s))
+    (0 until a.numElements()).map(i =>
+      a.getUTF8String(i).toString)
+  }
+
+  test("tags are word boundaries; comments and script/style contents drop") {
+    assert(text("<p>a</p><p>b</p>") === "a b")
+    assert(text("<!-- <p>never</p> -->real") === "real")
+    assert(text("<script>var a = 1 < 2; 'text'</script>after") === "after")
+    assert(text("<style>p > span { color: red }</style>x") === "x")
+    assert(text("<noscript>enable js</noscript>y") === "y")
+    // case-insensitive close tags; content until the matching close
+    assert(text("<SCRIPT>skip</SCRIPT>kept") === "kept")
+    // inline tags still split words (the minimal-contract choice)
+    assert(text("a<b>b</b>c") === "a b c")
+  }
+
+  test("quoted attributes may contain '>' — the naive-stripper trap") {
+    assert(text("""<a href="/x" title="a>b">link</a>""") === "link")
+    assert(text("""<img alt='x > y'/>tail""") === "tail")
+  }
+
+  test("character references decode once, junk passes through") {
+    assert(text("a &amp; b") === "a & b")
+    assert(text("&lt;p&gt; is not a tag") === "<p> is not a tag")
+    assert(text("&#65;&#x42;&#x63;") === "ABc")
+    assert(text("&quot;q&quot; &apos;a&apos;") === "\"q\" 'a'")
+    // nbsp is whitespace: collapses like any space
+    assert(text("a&nbsp;&nbsp;b") === "a b")
+    // unknown / malformed / unterminated -> raw, never a throw
+    assert(text("&zzz; &amp &#xZZ; &#99999999999;") ===
+      "&zzz; &amp &#xZZ; &#99999999999;")
+    // decode is single-pass: &amp;lt; is "&lt;", NOT "<"
+    assert(text("&amp;lt;") === "&lt;")
+  }
+
+  test("whitespace collapses to single spaces, trimmed") {
+    assert(text("  a \n\t b  ") === "a b")
+    assert(text("<p>  </p>") === "")
+    assert(text("") === "")
+  }
+
+  test("total on broken markup: unterminated constructs never throw") {
+    assert(text("<p unclosed") === "")
+    assert(text("<!-- never closed") === "")
+    assert(text("<script>var x = 1;") === "")
+    assert(text("""<a href="unterminated""") === "")
+    assert(text("text < not a tag") === "text")
+    assert(text("a<>b") === "a b")
+  }
+
+  test("links: hrefs in document order, quoting styles, entity decode") {
+    val h = """<a href="https://a.com/1">x</a>
+      |<a title="t" HREF='https://b.org/2?x=1&amp;y=2'>y</a>
+      |<a href=https://c.net/3>z</a>
+      |<a name="no-href">w</a>
+      |<area href="https://not-an-a.com"/>""".stripMargin
+    assert(links(h) === Seq(
+      "https://a.com/1", "https://b.org/2?x=1&y=2", "https://c.net/3"))
+    // closing tags and empty hrefs contribute nothing
+    assert(links("""</a><a href="">e</a>""") === Seq.empty)
+  }
+
+  test("textExtractionReport and linkGraph: narrow pass, one keyed rollup") {
+    val docs = Seq(
+      ("s1", "http://a.com/p", "<p>hello <b>world</b></p>" +
+        """<a href="https://b.org/x">t</a>"""),
+      ("s1", "http://a.com/q", """<a href="/rel">self</a>plain"""),
+      ("s2", "http://b.org/r", """<a href="https://a.com/y">u</a>"""))
+      .toDF("source", "url", "html")
+    val rep = WebCorpus.textExtractionReport(docs, "source", "html")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rep.map(r => (r._1, r._2)) === Seq(("s1", 2L), ("s2", 1L)))
+    rep.foreach { case (_, _, h, t, ppm) =>
+      assert(h > t && ppm > 0L && ppm < 1000000L)
+    }
+    val edges = WebCorpus.linkGraph(docs, "url", "html")
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    // relative link -> no domain -> dropped; cross edges survive
+    assert(edges === Seq(("a.com", "b.org", 1L), ("b.org", "a.com", 1L)))
+    // plan: extraction is a narrow projection (no exchange)
+    val plan = docs.select(WebCorpus.htmlText(col("html")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
