@@ -374,6 +374,34 @@ object ScaleProbe {
           graft.ops.Blocklist.clean(s2, "text", blockPatterns8)
             .groupBy("source").agg(count(lit(1)).as("n_clean"))
         }),
+        // HTML tier (round 15): the fixture page wraps each document's
+        // TEXT in markup (so payload volume tracks the tiled corpus),
+        // and extraction + link graph are timed as the WARC→text step
+        // would run — one narrow codegen'd pass, then for the graph a
+        // (site, site)-keyed rollup. Expect ~linear for both.
+        "html_extract" -> (() => {
+          val html = concat(
+            lit("<!--c--><html><head><title>T</title>" +
+              "<script>var a=1<2;</script></head><body><p>"),
+            col("text"),
+            lit("</p><a href=\"https://x"),
+            pmod(col("doc_id"), lit(50)).cast("string"),
+            lit(".example.com/p\">l</a>&nbsp;t</body></html>"))
+          graft.ops.WebCorpus.textExtractionReport(
+            df.withColumn("html", html), "source", "html")
+        }),
+        "link_graph" -> (() => {
+          val html = concat(
+            lit("<html><body><a href=\"https://site-"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".org/x\">a</a><a href=\"https://site-"),
+            pmod(col("doc_id") * 7, lit(97)).cast("string"),
+            lit(".org/y\">b</a></body></html>"))
+          graft.ops.WebCorpus.linkGraph(
+            df.withColumn("url", probeUrl(col("doc_id")))
+              .withColumn("html", html),
+            "url", "html")
+        }),
         // TextRank (q336, round 15 — VERDICT r14 task 5): adjacency
         // bigrams via the narrow pos/pos+1 self-join keyed on
         // (doc_id, pos), distinct word graph, then the shared

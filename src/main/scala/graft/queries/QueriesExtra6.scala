@@ -432,7 +432,7 @@ private[queries] object QueriesExtra6 {
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
   ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391 :+ q392 :+ q393 :+ q394 :+
-    q395 :+ q396 :+ q397 :+ q398
+    q395 :+ q396 :+ q397 :+ q398 :+ q399
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -1092,6 +1092,69 @@ private[queries] object QueriesExtra6 {
           |LEFT JOIN pre5 p USING (id) CROSS JOIN iso5
           |JOIN names n ON n.id = nd.id
           |ORDER BY pr DESC, domain""".stripMargin))
+
+  private def q399 =
+    // The ingest capstone — archive bytes to trainable text, composed
+    // from this round's tiers: fixture HTML pages written as a GZIP
+    // WARC (per-member inflate on the read path), read back, text
+    // extracted per record, reconciled per registrable domain with the
+    // markup-overhead ppm. Writer framing, gzip member walk, payload
+    // byte fidelity, the HTML scanner and the PSL fold ALL sit under
+    // one hash: the oracle rebuilds the fixture html string and the
+    // expected extracted text component-for-component in SQL and
+    // derives every number from those strings — it never touches WARC,
+    // gzip, or an HTML parser.
+    QueryDef("q399_warc_html_ingest",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_html_ingest"
+        val docs = t(s, dir, "documents").select(
+          fixtureUrl(col("doc_id").cast("long")).as("url"),
+          fixtureHtml(col("doc_id").cast("long")).as("html"))
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "html")
+        graft.sources.Warc.read(s, tmp)
+          .select(
+            coalesce(WebCorpus.domain(col("url")), lit("(invalid)"))
+              .as("domain"),
+            col("n_bytes"),
+            length(WebCorpus.htmlText(col("payload"))).cast("long")
+              .as("__tc"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_records"),
+            sum("n_bytes").as("html_bytes"),
+            sum("__tc").as("text_chars"),
+            ((sum("n_bytes") - sum("__tc")) * lit(1000000L)
+              / sum("n_bytes")).cast("long").as("markup_ppm"))
+          .orderBy("domain")
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |pages AS (
+           |  SELECT u.id, coalesce(u.domain, '(invalid)') AS domain,
+           |    length('<!-- <p>boilerplate</p> --><html><head>' ||
+           |      '<title>Doc &#84;' || u.id ||
+           |      '</title><script>var a = 1 < 2;</script>' ||
+           |      '<style>p > span {}</style></head><body><h1>Head ' ||
+           |      (u.id % 9) || '</h1><p>alpha &amp; beta</p>' ||
+           |      '<a href="https://' ||
+           |      (['example.com','news.co.uk','x.github.io','plain.de',
+           |        'a.example.com'])[u.id % 5 + 1] ||
+           |      '/l' || (u.id % 4) || '" title="a>b">link &#x41;' ||
+           |      (u.id % 3) || '</a><a href="/rel">rel</a>' ||
+           |      '<a href="javascript:void(0)">js</a>&nbsp;tail' ||
+           |      '</body></html>') AS html_len,
+           |    length('Doc T' || u.id || ' Head ' || (u.id % 9) ||
+           |      ' alpha & beta link A' || (u.id % 3) ||
+           |      ' rel js tail') AS text_len
+           |  FROM urls u)
+           |SELECT domain,
+           |  CAST(count(*) AS BIGINT) AS n_records,
+           |  CAST(sum(html_len) AS BIGINT) AS html_bytes,
+           |  CAST(sum(text_len) AS BIGINT) AS text_chars,
+           |  CAST((sum(html_len) - sum(text_len)) * 1000000
+           |    // sum(html_len) AS BIGINT) AS markup_ppm
+           |FROM pages
+           |GROUP BY 1
+           |ORDER BY domain""".stripMargin))
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in
