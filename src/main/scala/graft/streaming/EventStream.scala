@@ -628,6 +628,41 @@ object EventStream {
       .start()
   }
 
+  /** Streaming WARC→text extraction ledger — the HTML tier's live
+    * twin: per micro-batch, each arriving record's payload is
+    * text-extracted ([[graft.ops.WebCorpus.htmlText]], one narrow
+    * codegen'd pass) and the per-domain record/char volumes append as
+    * one ledger row per (domain, batch) — the feed an ingest dashboard
+    * watches for a markup-heavy or text-empty source. Batch-id-keyed
+    * idempotent append: replays leave the ledger byte-identical.
+    */
+  def extractionLedger(
+      records: DataFrame, outTable: String, checkpoint: String,
+      urlCol: String, payloadCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.WebCorpus
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        graft.sources.Layout.idempotentAppendTable(
+          b.select(
+              coalesce(WebCorpus.domain(col(urlCol)), lit("(invalid)"))
+                .as("domain"),
+              length(col(payloadCol)).cast("long").as("__h"),
+              length(WebCorpus.htmlText(col(payloadCol))).cast("long")
+                .as("__t"))
+            .groupBy("domain")
+            .agg(count(lit(1)).as("n_records"),
+              sum("__h").as("html_chars"),
+              sum("__t").as("text_chars"))
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
+        ()
+      }
+      .start()
+  }
+
   def incrementalHistIngest(
       docs: DataFrame, histTable: String, outTable: String,
       checkpoint: String, groupCol: String, valueCol: String,

@@ -192,6 +192,51 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gzip WARC stream feeds the HTML-extraction ledger end to end") {
+    graft.sources.Layout.drop(spark, "warc_extract_ledger")
+    val dir = java.nio.file.Files.createTempDirectory("warc_xt")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_xt_ckpt")
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("warc_xt_st")
+      Warc.writeGzip(rows.toDF("url", "payload").coalesce(1),
+        stage.toString + "/w", "url", "payload")
+      val part = new java.io.File(stage.toString + "/w").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    val q = graft.streaming.EventStream.extractionLedger(
+      Warc.readStream(spark, dir.toString),
+      "warc_extract_ledger", ckpt.toString, "url", "payload")
+    try {
+      land("x1.warc.gz", Seq(
+        ("http://a.com/1", "<p>hello <b>world</b></p>"),
+        ("http://a.com/2", "<script>x</script><p>hi</p>"),
+        ("http://b.org/3", "plain")))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("warc_extract_ledger")
+      val rows = spark.table("warc_extract_ledger")
+        .select("domain", "n_records", "html_chars", "text_chars")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(rows === Set(
+        ("a.com", 2L,
+          "<p>hello <b>world</b></p>".length.toLong +
+            "<script>x</script><p>hi</p>".length,
+          "hello world".length.toLong + "hi".length),
+        ("b.org", 1L, "plain".length.toLong, "plain".length.toLong)))
+      // second file lands -> a second batch's rows, first untouched
+      land("x2.warc.gz", Seq(("http://a.com/4", "<i>x</i>")))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("warc_extract_ledger")
+      val all = spark.table("warc_extract_ledger")
+        .groupBy("domain").sum("n_records")
+        .as[(String, Long)].collect().toMap
+      assert(all === Map("a.com" -> 3L, "b.org" -> 1L))
+    } finally {
+      q.stop()
+      graft.sources.Layout.drop(spark, "warc_extract_ledger")
+    }
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
