@@ -374,6 +374,19 @@ object ScaleProbe {
           graft.ops.Blocklist.clean(s2, "text", blockPatterns8)
             .groupBy("source").agg(count(lit(1)).as("n_clean"))
         }),
+        // The domainCap null-branch claim, measured (round 15, VERDICT
+        // r14 task 1): 90% of URLs are UNPARSEABLE — the adversarial
+        // crawl slice that used to serialize through the single
+        // `__domain = null` window partition. With the filter+union
+        // bypass the null rows never reach a Window, so expect ~linear
+        // scan-bound growth, no cliff as the null mass tiles up.
+        "domain_cap_nulls" -> (() =>
+          graft.ops.WebCorpus.domainCap(
+            df.withColumn("url",
+              when(col("doc_id") % 10 < 9,
+                concat(lit("not a url #"), col("doc_id").cast("string")))
+                .otherwise(probeUrl(col("doc_id")))),
+            "doc_id", "url", maxPerDomain = 100)),
         // HTML tier (round 15): the fixture page wraps each document's
         // TEXT in markup (so payload volume tracks the tiled corpus),
         // and extraction + link graph are timed as the WARC→text step
