@@ -187,15 +187,17 @@ case class UrlPathExpr(child: Expression) extends UrlStringExpr {
     copy(child = newChild)
 }
 
-/** robots.txt evaluation (RFC 9309 shape): parse the file into
-  * user-agent groups, select the group set per §2.2.1 — an EXACT
-  * agent-token match (case-insensitive) wins over the `*` groups, the
-  * `*` groups apply only when no specific group names the agent — then
-  * match a path by LONGEST matching prefix over the selected groups'
-  * Allow/Disallow rules, Allow winning length ties; no matching rule
-  * (or an empty Disallow value) → allowed. Deliberately prefix-only —
-  * the `*`/`$` pattern extensions are crawler-specific, and a curation
-  * audit should be conservative and portable.
+/** robots.txt evaluation (RFC 9309): parse the file into user-agent
+  * groups, select the group set per §2.2.1 — an EXACT agent-token
+  * match (case-insensitive) wins over the `*` groups, the `*` groups
+  * apply only when no specific group names the agent — then match a
+  * path over the selected groups' Allow/Disallow rules with the
+  * §2.2.3 special characters (`*` matches any octet sequence, `$`
+  * anchors the end — both MUST-support per the RFC; `$` elsewhere is
+  * a literal); the MOST-SPECIFIC match (longest rule string) decides,
+  * Allow winning length ties; no matching rule (or an empty Disallow
+  * value) → allowed. Wildcard-free rules degenerate to the longest-
+  * matching-prefix semantics byte for byte.
   *
   * Parsed rule sets are cached per executor, keyed by a DIGEST of the
   * robots body (+ agent), never the body itself — the body is ROW
@@ -209,7 +211,7 @@ case class UrlPathExpr(child: Expression) extends UrlStringExpr {
 object RobotsKit {
   private val MaxCacheEntries = 8192
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Boolean)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[CompiledRule]]()
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -308,8 +310,30 @@ object RobotsKit {
   private[functions] def rules(txt: String): Array[(String, Boolean)] =
     rulesFor(txt, "*")
 
+  /** One §2.2.3-compiled rule: the matcher, the RAW rule length (the
+    * §2.2.2 specificity measure — special characters count), and the
+    * verdict.
+    */
+  private[functions] final case class CompiledRule(
+      pattern: java.util.regex.Pattern, precedence: Int, isAllow: Boolean)
+
+  /** Compile a rule value: `*` → any octet sequence, trailing `$` →
+    * end anchor, everything else literal. Matching is
+    * anchored-at-start (`Matcher.lookingAt`), so a wildcard-free rule
+    * is exactly a prefix test.
+    */
+  private[functions] def compileRule(
+      value: String, isAllow: Boolean): CompiledRule = {
+    val anchored = value.endsWith("$")
+    val core = if (anchored) value.substring(0, value.length - 1) else value
+    val rx = core.split("\\*", -1)
+      .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+      .mkString(".*") + (if (anchored) "$" else "")
+    CompiledRule(java.util.regex.Pattern.compile(rx), value.length, isAllow)
+  }
+
   private def cachedRules(
-      robots: String, agent: String): Array[(String, Boolean)] = {
+      robots: String, agent: String): Array[CompiledRule] = {
     val bytes = robots.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val dig = md5.get()
     dig.reset()
@@ -320,6 +344,7 @@ object RobotsKit {
     val hit = cache.get(key)
     if (hit != null) return hit
     val rs = rulesFor(robots, agent)
+      .map { case (value, isAllow) => compileRule(value, isAllow) }
     if (cache.size >= MaxCacheEntries) cache.clear()
     cache.put(key, rs)
     rs
@@ -336,12 +361,12 @@ object RobotsKit {
     var bestAllow = true
     var i = 0
     while (i < rs.length) {
-      val (prefix, isAllow) = rs(i)
-      if (p.startsWith(prefix) &&
-          (prefix.length > bestLen ||
-            (prefix.length == bestLen && isAllow && !bestAllow))) {
-        bestLen = prefix.length
-        bestAllow = isAllow
+      val r = rs(i)
+      if ((r.precedence > bestLen ||
+            (r.precedence == bestLen && r.isAllow && !bestAllow)) &&
+          r.pattern.matcher(p).lookingAt()) {
+        bestLen = r.precedence
+        bestAllow = r.isAllow
       }
       i += 1
     }

@@ -432,7 +432,7 @@ private[queries] object QueriesExtra6 {
            |HAVING count(*) >= 2
            |ORDER BY canon_url""".stripMargin))
   ) :+ q387 :+ q388 :+ q389 :+ q390 :+ q391 :+ q392 :+ q393 :+ q394 :+
-    q395 :+ q396 :+ q397 :+ q398 :+ q399
+    q395 :+ q396 :+ q397 :+ q398 :+ q399 :+ q400
 
   private def q387 =
     // Per-domain document cap (WebCorpus.domainCap): keep ≤ 20 docs
@@ -1155,6 +1155,61 @@ private[queries] object QueriesExtra6 {
            |FROM pages
            |GROUP BY 1
            |ORDER BY domain""".stripMargin))
+
+  private def q400 =
+    // RFC 9309 §2.2.3 special characters in robots rules — `*` (any
+    // octet sequence) and `$` (end anchor), both MUST-support; the
+    // most-specific match is the longest RAW rule string (special
+    // characters count), Allow winning ties. The fixtures hit: a
+    // wildcard rule TYING a literal Allow at equal length (`/*/b` vs
+    // `/a/b` → Allow), an end-anchored block that must NOT catch the
+    // query-string variant, a mid-rule `$` as a literal, a `*` rule
+    // outranking a shorter literal, and the exact-root `/$` block.
+    // The oracle hand-translates each rule to a regex in the VALUES
+    // table and ranks by the hand-written raw length — fully
+    // independent of the engine's compiler.
+    QueryDef("q400_robots_wildcards",
+      (s, dir) => {
+        import s.implicits._
+        val robots = Seq(
+          ("example.com",
+            "User-agent: *\nDisallow: /*/b\nAllow: /a/b\n" +
+              "Disallow: /index.html$\n"),
+          ("example.co.uk",
+            "User-agent: *\nAllow: /a\nDisallow: /a*b\n"),
+          ("plain.de", "User-agent: *\nDisallow: /$\n"),
+          ("example.net", "User-agent: *\nDisallow: /p*q$\n"))
+          .toDF("domain", "robots_txt")
+        WebCorpus.robotsAudit(
+          t(s, dir, "documents").select(col("doc_id"),
+            fixtureUrl(col("doc_id").cast("long")).as("url")),
+          "doc_id", "url", robots)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $urlCtes,
+           |rules AS (SELECT * FROM (VALUES
+           |  ('example.com', 4, 0, '^/.*/b'),
+           |  ('example.com', 4, 1, '^/a/b'),
+           |  ('example.com', 12, 0, '^/index\\.html$$'),
+           |  ('example.co.uk', 2, 1, '^/a'),
+           |  ('example.co.uk', 4, 0, '^/a.*b'),
+           |  ('plain.de', 2, 0, '^/$$'),
+           |  ('example.net', 5, 0, '^/p.*q$$'))
+           |  AS r(domain, rule_len, is_allow, rx)),
+           |cand AS (
+           |  SELECT u.id, r.is_allow,
+           |    row_number() OVER (PARTITION BY u.id
+           |      ORDER BY r.rule_len DESC, r.is_allow DESC) AS rn
+           |  FROM urls u JOIN rules r ON r.domain = u.domain
+           |    AND regexp_matches(u.cpath, r.rx))
+           |SELECT u.id AS doc_id, u.domain,
+           |  CASE WHEN u.canon IS NULL THEN NULL
+           |    ELSE CAST(coalesce(v.is_allow, 1) AS INT) END AS allowed
+           |FROM urls u
+           |LEFT JOIN (SELECT id, is_allow FROM cand WHERE rn = 1) v
+           |  ON v.id = u.id
+           |ORDER BY doc_id""".stripMargin))
 
   /** The q382–q384 fixture URL: independent variant axes driven by
     * doc_id residues. Every component below is mirrored literally in

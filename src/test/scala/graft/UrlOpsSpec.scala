@@ -238,6 +238,37 @@ class UrlOpsSpec extends SparkSpec {
     assert(bot === Seq(Some(1), Some(0)))
   }
 
+  test("robots §2.2.3 special characters: * wildcards, $ end anchor") {
+    import graft.functions.RobotsKit
+    def ok(robots: String, path: String): Boolean =
+      RobotsKit.allowed(UTF8String.fromString(path),
+        UTF8String.fromString(robots))
+    // '*' matches any octet sequence, including empty.
+    val r1 = "User-agent: *\nDisallow: /*/b\n"
+    assert(!ok(r1, "/a/b") && !ok(r1, "/x/y/b2") && ok(r1, "/b"))
+    // '$' anchors the end; only there — elsewhere it is a literal.
+    val r2 = "User-agent: *\nDisallow: /index.html$\n"
+    assert(!ok(r2, "/index.html") && ok(r2, "/index.html?x=1"))
+    val r3 = "User-agent: *\nDisallow: /a$b\n"
+    assert(!ok(r3, "/a$b/c") && ok(r3, "/ab"))
+    // exact-root block: Disallow /$ blocks ONLY "/".
+    val r4 = "User-agent: *\nDisallow: /$\n"
+    assert(!ok(r4, "/") && ok(r4, "/x"))
+    // specificity is RAW rule length (special chars count): the 4-char
+    // wildcard rule ties the 4-char literal Allow -> Allow wins.
+    val r5 = "User-agent: *\nDisallow: /*/b\nAllow: /a/b\n"
+    assert(ok(r5, "/a/b") && !ok(r5, "/c/b"))
+    // longer wildcard rule beats a shorter literal one.
+    val r6 = "User-agent: *\nAllow: /p\nDisallow: /p*q2\n"
+    assert(!ok(r6, "/p%20q2") && ok(r6, "/p%20q"))
+    // regex metacharacters in rules are literal bytes.
+    val r7 = "User-agent: *\nDisallow: /a.b\n"
+    assert(!ok(r7, "/a.b") && ok(r7, "/axb"))
+    // wildcard-free rules keep exact prefix semantics (back-compat).
+    val r8 = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+    assert(!ok(r8, "/a/x") && ok(r8, "/a/b/c") && ok(r8, "/other"))
+  }
+
   test("crawl-delay: agent group selection, junk skipped, max across groups") {
     import graft.functions.RobotsKit
     def delay(robots: String, agent: String): Option[Double] =
