@@ -87,6 +87,10 @@ object WebCorpus {
     */
   def robotsAuditMulti(docs: DataFrame, idCol: String, urlCol: String,
       robots: DataFrame, agents: Seq[String]): DataFrame = {
+    val sanitized = agents.map(_.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]", "_"))
+    require(sanitized.distinct.size == agents.size,
+      s"agents collide after column-name sanitization: $agents")
     val d = docs
       .withColumn("domain", domain(col(urlCol)))
       .withColumn("__path", urlPath(col(urlCol)))
