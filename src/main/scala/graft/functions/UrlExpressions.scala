@@ -310,26 +310,49 @@ object RobotsKit {
   private[functions] def rules(txt: String): Array[(String, Boolean)] =
     rulesFor(txt, "*")
 
-  /** One §2.2.3-compiled rule: the matcher, the RAW rule length (the
-    * §2.2.2 specificity measure — special characters count), and the
-    * verdict.
+  /** One §2.2.3-compiled rule: the glob pattern (trailing `$`
+    * stripped; a non-anchored rule gets `*` appended so prefix
+    * matching IS full matching), the RAW rule length (the §2.2.2
+    * specificity measure — special characters count), and the verdict.
     */
   private[functions] final case class CompiledRule(
-      pattern: java.util.regex.Pattern, precedence: Int, isAllow: Boolean)
+      glob: String, precedence: Int, isAllow: Boolean)
 
   /** Compile a rule value: `*` → any octet sequence, trailing `$` →
-    * end anchor, everything else literal. Matching is
-    * anchored-at-start (`Matcher.lookingAt`), so a wildcard-free rule
-    * is exactly a prefix test.
+    * end anchor, everything else literal. NOT a java.util.regex —
+    * robots bodies are ROW data, and a hostile rule like
+    * `*a*a*a*a*$` against a long path is a catastrophic-backtracking
+    * bomb under NFA regex; [[globMatch]] is the classic iterative
+    * single-backtrack wildcard matcher, O(path × pattern) worst case.
     */
   private[functions] def compileRule(
       value: String, isAllow: Boolean): CompiledRule = {
     val anchored = value.endsWith("$")
     val core = if (anchored) value.substring(0, value.length - 1) else value
-    val rx = core.split("\\*", -1)
-      .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
-      .mkString(".*") + (if (anchored) "$" else "")
-    CompiledRule(java.util.regex.Pattern.compile(rx), value.length, isAllow)
+    CompiledRule(if (anchored) core else core + "*", value.length, isAllow)
+  }
+
+  /** Iterative glob match (`*` = any octet sequence, all else
+    * literal), full-string semantics: on mismatch past a `*`, retry
+    * one position later from the LAST star — linear in practice,
+    * O(n·m) worst, never exponential.
+    */
+  private[functions] def globMatch(pat: String, s: String): Boolean = {
+    var p = 0
+    var i = 0
+    var star = -1
+    var mark = 0
+    while (i < s.length) {
+      if (p < pat.length && pat.charAt(p) == '*') {
+        star = p; mark = i; p += 1
+      } else if (p < pat.length && pat.charAt(p) == s.charAt(i)) {
+        p += 1; i += 1
+      } else if (star >= 0) {
+        p = star + 1; mark += 1; i = mark
+      } else return false
+    }
+    while (p < pat.length && pat.charAt(p) == '*') p += 1
+    p == pat.length
   }
 
   private def cachedRules(
@@ -364,7 +387,7 @@ object RobotsKit {
       val r = rs(i)
       if ((r.precedence > bestLen ||
             (r.precedence == bestLen && r.isAllow && !bestAllow)) &&
-          r.pattern.matcher(p).lookingAt()) {
+          globMatch(r.glob, p)) {
         bestLen = r.precedence
         bestAllow = r.isAllow
       }

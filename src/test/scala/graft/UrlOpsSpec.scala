@@ -269,6 +269,26 @@ class UrlOpsSpec extends SparkSpec {
     assert(!ok(r8, "/a/x") && ok(r8, "/a/b/c") && ok(r8, "/other"))
   }
 
+  test("hostile wildcard rules cannot blow up the matcher (no regex backtracking)") {
+    import graft.functions.RobotsKit
+    // The classic NFA-regex bomb: many '*' segments ending in an
+    // anchor, against a long non-matching path. The iterative glob
+    // matcher is O(n·m); under java.util.regex this shape hangs.
+    val bomb = "User-agent: *\nDisallow: " +
+      ("*a" * 20) + "$\n"
+    val path = "/" + ("a" * 2000) + "b"
+    val t0 = System.nanoTime()
+    val v = RobotsKit.allowed(UTF8String.fromString(path),
+      UTF8String.fromString(bomb))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(v, "the anchored bomb rule must NOT match the b-terminated path")
+    assert(ms < 2000, s"hostile rule took ${ms}ms — matcher is not linear-ish")
+    // and the same rule still matches when it should
+    assert(!RobotsKit.allowed(
+      UTF8String.fromString("/" + ("a" * 50)),
+      UTF8String.fromString(bomb)))
+  }
+
   test("crawl-delay: agent group selection, junk skipped, max across groups") {
     import graft.functions.RobotsKit
     def delay(robots: String, agent: String): Option[Double] =
