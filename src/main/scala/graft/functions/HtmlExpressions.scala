@@ -103,7 +103,11 @@ object HtmlKit {
             } else if (!closing && name == "a" && wantLinks &&
                 (a.isLetter) && href == null &&
                 html.regionMatches(true, j, "href", 0, 4) &&
-                (j + 4 >= n || !html.charAt(j + 4).isLetterOrDigit)) {
+                (j + 4 >= n || !html.charAt(j + 4).isLetterOrDigit) &&
+                // attribute-NAME left boundary: `data-href=` / `xhref=`
+                // must not capture — the char before must end a name
+                { val p = html.charAt(j - 1)
+                  !(p.isLetterOrDigit || p == '-' || p == '_') }) {
               var k = j + 4
               while (k < n && html.charAt(k).isWhitespace) k += 1
               if (k < n && html.charAt(k) == '=') {
@@ -140,7 +144,13 @@ object HtmlKit {
               val lt = html.indexOf('<', k)
               if (lt < 0) found = n
               else if (html.regionMatches(true, lt, "</", 0, 2) &&
-                  html.regionMatches(true, lt + 2, name, 0, name.length)) {
+                  html.regionMatches(true, lt + 2, name, 0, name.length) &&
+                  // name RIGHT boundary: `</scripting>` inside a script
+                  // body must not end the skip (truncation at EOF does)
+                  { val e = lt + 2 + name.length
+                    e >= n || { val b = html.charAt(e)
+                      b == '>' || b == '/' || b == ' ' ||
+                        b.isWhitespace } }) {
                 val gt = html.indexOf('>', lt)
                 found = if (gt < 0) n else gt + 1
               } else k = lt + 1

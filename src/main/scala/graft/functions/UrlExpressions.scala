@@ -203,19 +203,39 @@ case class UrlPathExpr(child: Expression) extends UrlStringExpr {
   * robots body (+ agent), never the body itself — the body is ROW
   * data joined from the robots dimension, and at web-corpus scale
   * (millions of distinct sites) body-keyed entries would be an
-  * unbounded executor-memory leak. The cache is also size-capped:
-  * past [[RobotsKit.MaxCacheEntries]] it clears and rebuilds, so the
-  * worst case degrades to re-parsing (a few hundred bytes per row),
-  * never to OOM.
+  * unbounded executor-memory leak. The cache is also size-capped and
+  * LRU: past [[RobotsKit.MaxCacheEntries]] the LEAST-RECENTLY-USED
+  * entry is evicted (access-ordered LinkedHashMap), so the hot sites
+  * of a many-domain corpus stay parsed instead of the whole cache
+  * periodically stampeding through a clear-and-rebuild. The worst
+  * case degrades to re-parsing cold sites (a few hundred bytes per
+  * row), never to OOM.
   */
 object RobotsKit {
   private val MaxCacheEntries = 8192
+  // Access-ordered LRU behind one lock: the critical section is a hash
+  // probe (hit) or a probe+insert+evict (miss) — nanoseconds next to
+  // the per-row glob matching this cache exists to amortize.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[CompiledRule]]()
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    new java.util.LinkedHashMap[String, Array[CompiledRule]](
+        1024, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[CompiledRule]]): Boolean =
+        size() > MaxCacheEntries
+    }
+  private val sha256 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+      java.security.MessageDigest.getInstance("SHA-256")
   }
+  /** Test hook: the cache keys currently resident, hottest LAST
+    * (access order). */
+  private[graft] def cacheKeysForTest: Seq[String] =
+    cache.synchronized {
+      import scala.jdk.CollectionConverters._
+      cache.keySet().asScala.toSeq
+    }
+  private[graft] def cacheClearForTest(): Unit =
+    cache.synchronized(cache.clear())
 
   /** One user-agent group: lowercased agent tokens, (prefix, isAllow)
     * path rules, and the group's crawl-delay seconds if present (the
@@ -358,18 +378,17 @@ object RobotsKit {
   private def cachedRules(
       robots: String, agent: String): Array[CompiledRule] = {
     val bytes = robots.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val dig = md5.get()
+    val dig = sha256.get()
     dig.reset()
-    // length appended to the digest key: belt-and-braces against an
-    // adversarial robots body crafted to collide another's MD5.
+    // SHA-256: no practical collision construction exists (MD5 has
+    // equal-length colliding pairs, so a length suffix is no guard).
     val key = java.util.Base64.getEncoder.encodeToString(dig.digest(bytes)) +
-      ":" + bytes.length + "|" + agent
-    val hit = cache.get(key)
+      "|" + agent
+    val hit = cache.synchronized(cache.get(key))
     if (hit != null) return hit
     val rs = rulesFor(robots, agent)
       .map { case (value, isAllow) => compileRule(value, isAllow) }
-    if (cache.size >= MaxCacheEntries) cache.clear()
-    cache.put(key, rs)
+    cache.synchronized(cache.put(key, rs))
     rs
   }
 

@@ -78,6 +78,31 @@ class HtmlSpec extends SparkSpec {
     assert(links("""</a><a href="">e</a>""") === Seq.empty)
   }
 
+  test("href needs an attribute-name left boundary (lazy-load markup)") {
+    // data-href is NOT href: the real href after it must win
+    assert(links("""<a data-href="/lazy" href="/real">x</a>""") ===
+      Seq("/real"))
+    assert(links("""<a xhref="/no" href="/yes">x</a>""") === Seq("/yes"))
+    // and a lone data-href captures nothing
+    assert(links("""<a data-href="/lazy">x</a>""") === Seq.empty)
+    // underscore prefix is a name too
+    assert(links("""<a _href="/no">x</a>""") === Seq.empty)
+    // still matches after quote / tab / newline separators
+    assert(links("<a\thref=\"/t\">x</a>") === Seq("/t"))
+    assert(links("<a x=\"1\"href=\"/q\">x</a>") === Seq("/q"))
+  }
+
+  test("script close-tag needs a name right boundary (</scripting>)") {
+    // </scripting> must NOT end the skip; script content stays dropped
+    assert(text("<script>a</scripting>leak</script>kept") === "kept")
+    assert(text("<style>x</styles>y</style>z") === "z")
+    // real close tags with whitespace / self-slash still close
+    assert(text("<script>a</script >b") === "b")
+    assert(text("<script>a</script\n>b") === "b")
+    // truncated close tag at EOF stays total
+    assert(text("<script>a</script") === "")
+  }
+
   test("textExtractionReport and linkGraph: narrow pass, one keyed rollup") {
     val docs = Seq(
       ("s1", "http://a.com/p", "<p>hello <b>world</b></p>" +

@@ -389,6 +389,30 @@ class UrlOpsSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("robots rule cache is LRU: hot keys survive cold-key floods") {
+    import graft.functions.RobotsKit
+    RobotsKit.cacheClearForTest()
+    val hot = "User-agent: *\nDisallow: /hot\n"
+    def touch(body: String): Unit =
+      RobotsKit.allowed(UTF8String.fromString("/x"),
+        UTF8String.fromString(body))
+    touch(hot)
+    val hotKey = RobotsKit.cacheKeysForTest.head
+    // Flood with > MaxCacheEntries distinct cold bodies, re-touching
+    // the hot one periodically; old clear-all would drop it, LRU keeps
+    // it resident throughout.
+    (0 until 9000).foreach { i =>
+      touch(s"User-agent: *\nDisallow: /cold/$i\n")
+      if (i % 500 == 0) touch(hot)
+    }
+    val keys = RobotsKit.cacheKeysForTest
+    assert(keys.size <= 8192)
+    assert(keys.contains(hotKey), "hot key evicted by cold flood")
+    // and the earliest cold keys are the ones gone
+    touch("User-agent: *\nDisallow: /cold/0\n") // re-parse, re-inserts
+    RobotsKit.cacheClearForTest()
+  }
+
   test("the canonicalization select plans with no exchange") {
     val docs = Seq((1L, "http://e.com/")).toDF("doc_id", "url")
     val plan = docs.select(WebCorpus.canonUrl(col("url")),
