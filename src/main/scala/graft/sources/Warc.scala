@@ -14,47 +14,51 @@ import org.apache.spark.sql.functions._
   * final `\r\n\r\n` record separator byte-exactly (the row value ends
   * `…payload\r\n\r`). Records carry WARC-Type/Record-ID/Target-URI/
   * Date/Content-Length; the date is a fixed literal so output bytes
-  * are deterministic. Uncompressed by design: per-member gzip would
-  * make files the split unit anyway, and these are synthetic-corpus
-  * volumes.
+  * are deterministic.
   *
-  * Reader: `binaryFile` datasource — files are the split unit, the
-  * standard WARC posture (gzip members don't split; parallelism comes
-  * from file count, which a crawl supplies in the thousands) — then a
-  * strict walk per file: parse the header block, read EXACTLY
-  * Content-Length payload bytes, require the separator. Anything
-  * malformed throws; a WARC reader that silently resyncs hides
-  * truncation.
+  * Reader: RECORD-STREAMING (round 16 — VERDICT r15 task 1). Files
+  * are the split unit, the standard WARC posture (gzip members don't
+  * split; parallelism comes from file count, which a crawl supplies
+  * in the thousands), but within a file the walk is an
+  * [[WarcRecordIterator]] over a chunked stream: header lines are
+  * read byte-at-a-time off a buffered (and, for `.warc.gz`,
+  * inflating) stream, EXACTLY Content-Length payload bytes are read
+  * per record, and the record is emitted before the next is touched.
+  * Peak task memory is ∝ the LARGEST RECORD, never the file — a real
+  * ~1 GB `.warc.gz` cut (≈5 GB inflated) streams through a fixed
+  * 64 KiB buffer, where a whole-file inflate would hold file +
+  * inflated + payload copies and hard-cap at a 2 GiB JVM array. The
+  * batch path reads via `sc.binaryFiles`' `PortableDataStream` (an
+  * HDFS-seekable handle — bytes are pulled as consumed, NOT
+  * materialized). Anything malformed throws; a WARC reader that
+  * silently resyncs hides truncation. Single records above ~2 GiB are
+  * refused explicitly (JVM array addressing) — no archived HTTP
+  * payload legitimately reaches that.
   *
-  * Gzip (round 15): real crawl data ships `.warc.gz` — a CONCATENATION
-  * of gzip members (one per record in Common Crawl practice, one per
-  * file from simpler writers; both are legal gzip streams). The reader
-  * sniffs the two magic bytes per file and inflates ALL members
-  * (JDK `GZIPInputStream`, zero dependencies) before the same strict
-  * record walk, so member granularity is irrelevant to correctness.
-  * Files stay the split unit either way — gzip members don't split,
-  * and crawl parallelism comes from file count. One caveat inherited
-  * from the JDK: trailing bytes after the last VALID member that do
-  * not start a gzip header are dropped by `GZIPInputStream` rather
-  * than thrown on; the strict record walk still catches any
+  * Gzip: real crawl data ships `.warc.gz` — a CONCATENATION of gzip
+  * members (one per record in Common Crawl practice, one per file
+  * from simpler writers; both are legal gzip streams). The reader
+  * sniffs the two magic bytes per file and inflates through JDK
+  * `GZIPInputStream`, which natively walks concatenated members, so
+  * member granularity is irrelevant to correctness. One caveat
+  * inherited from the JDK: trailing bytes after the last VALID member
+  * that do not start a gzip header are dropped by `GZIPInputStream`
+  * rather than thrown on; the strict record walk still catches any
   * truncation that cuts a record.
   */
 object Warc {
 
   private val FixedDate = "2026-01-01T00:00:00Z"
+  private val BufSize = 64 * 1024
+  // Strictness caps: a header line past this is attack surface, not a
+  // WARC; a record past ~2 GiB cannot live in one JVM array.
+  private val MaxHeaderLine = 1 << 20
+  private val MaxRecordBytes = Int.MaxValue.toLong - 16L
 
   /** Write (url, payload) rows as WARC/1.0 response records. */
   def write(df: DataFrame, dir: String, urlCol: String,
       payloadCol: String): Unit =
-    df.select(concat(
-        lit("WARC/1.0\r\n"),
-        lit("WARC-Type: response\r\n"),
-        lit("WARC-Record-ID: <urn:graft:"), col(urlCol), lit(">\r\n"),
-        lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
-        lit(s"WARC-Date: $FixedDate\r\n"),
-        lit("Content-Length: "),
-        octet_length(col(payloadCol)).cast("string"), lit("\r\n\r\n"),
-        col(payloadCol), lit("\r\n\r")).as("value"))
+    df.select(recordCol(urlCol, payloadCol))
       .write.mode("overwrite").text(dir)
 
   /** [[write]], gzip-compressed: same record framing through the text
@@ -62,44 +66,69 @@ object Warc {
     * `.warc.gz` stream any sequential WARC reader (including [[read]])
     * accepts. Per-RECORD members (the Common Crawl shape, for
     * record-level random access) are a writer refinement the reader
-    * already handles — it inflates all members per file.
+    * already handles — it inflates members transparently.
     */
   def writeGzip(df: DataFrame, dir: String, urlCol: String,
       payloadCol: String): Unit =
-    df.select(concat(
-        lit("WARC/1.0\r\n"),
-        lit("WARC-Type: response\r\n"),
-        lit("WARC-Record-ID: <urn:graft:"), col(urlCol), lit(">\r\n"),
-        lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
-        lit(s"WARC-Date: $FixedDate\r\n"),
-        lit("Content-Length: "),
-        octet_length(col(payloadCol)).cast("string"), lit("\r\n\r\n"),
-        col(payloadCol), lit("\r\n\r")).as("value"))
+    df.select(recordCol(urlCol, payloadCol))
       .write.mode("overwrite").option("compression", "gzip").text(dir)
 
+  private def recordCol(urlCol: String,
+      payloadCol: String): org.apache.spark.sql.Column =
+    concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: <urn:graft:"), col(urlCol), lit(">\r\n"),
+      lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
+      lit(s"WARC-Date: $FixedDate\r\n"),
+      lit("Content-Length: "),
+      octet_length(col(payloadCol)).cast("string"), lit("\r\n\r\n"),
+      col(payloadCol), lit("\r\n\r")).as("value")
+
   /** Read a WARC directory back as (warc_file, url, payload, n_bytes).
-    * One flatMap per file — narrow, no shuffle. Gzip files (sniffed
-    * per file by magic bytes) are inflated across ALL members first.
+    * One record-streaming iterator per file — narrow, no shuffle, task
+    * memory ∝ largest record ([[WarcRecordIterator]]). Payload is
+    * UTF-8-decoded per record; [[readBinary]] keeps the raw bytes for
+    * charset-aware pipelines.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir + "/part-*")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val file = path.substring(path.lastIndexOf('/') + 1)
-        parseRecords(bytes).map { case (url, payload, n) =>
-          (file, url, payload, n)
-        }
-      }
+    spark.createDataset(
+      spark.sparkContext.binaryFiles(dir + "/part-*")
+        .flatMap { case (path, pds) =>
+          val file = path.substring(path.lastIndexOf('/') + 1)
+          new WarcRecordIterator(pds.open()).map { case (url, payload) =>
+            (file, url, new String(payload, "UTF-8"),
+              payload.length.toLong)
+          }
+        })
       .toDF("warc_file", "url", "payload", "n_bytes")
+  }
+
+  /** [[read]] with the payload kept as RAW BYTES
+    * (warc_file, url, payload_bytes, n_bytes) — the input shape for
+    * HTTP-envelope parsing and charset sniffing, where a forced UTF-8
+    * decode is lossy (real crawls are ~15–20% non-UTF-8).
+    */
+  def readBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(
+      spark.sparkContext.binaryFiles(dir + "/part-*")
+        .flatMap { case (path, pds) =>
+          val file = path.substring(path.lastIndexOf('/') + 1)
+          new WarcRecordIterator(pds.open()).map { case (url, payload) =>
+            (file, url, payload, payload.length.toLong)
+          }
+        })
+      .toDF("warc_file", "url", "payload_bytes", "n_bytes")
   }
 
   /** Streaming twin of [[read]]: watch `dir` for newly-landed WARC
     * files (the shape a crawler actually produces — a directory that
     * grows by whole files) and emit each file's records exactly once.
-    * Same strict per-file walk; files remain the split unit, so a
-    * micro-batch parallelizes over the files it picked up.
+    * The streaming `binaryFile` source hands whole-file bytes (that is
+    * its contract); the walk still streams RECORDS off them — no
+    * inflated-copy or all-payloads materialization on top.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -118,72 +147,138 @@ object Warc {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val file = path.substring(path.lastIndexOf('/') + 1)
-        parseRecords(bytes).map { case (url, payload, n) =>
-          (file, url, payload, n)
-        }
+        new WarcRecordIterator(new java.io.ByteArrayInputStream(bytes))
+          .map { case (url, payload) =>
+            (file, url, new String(payload, "UTF-8"),
+              payload.length.toLong)
+          }
       }
       .toDF("warc_file", "url", "payload", "n_bytes")
   }
 
-  /** All-members gzip inflate: JDK `GZIPInputStream` natively walks
-    * concatenated members, so per-record and per-file member layouts
-    * both come back as one byte stream.
-    */
-  private[graft] def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 64 * 1024)
-    val out = new java.io.ByteArrayOutputStream(
-      math.max(64, b.length * 4))
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
-
-  /** Strict WARC/1.0 record walk over one file's bytes; gzip files
-    * are inflated (all members) first.
+  /** Strict WARC/1.0 walk over in-memory bytes — the test/compat
+    * surface; the DataFrame paths stream instead of materializing.
     */
   private[graft] def parseRecords(
-      raw: Array[Byte]): Seq[(String, String, Long)] = {
-    val b = if (isGzip(raw)) gunzipAll(raw) else raw
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var i = 0
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"malformed WARC at byte $i: $msg")
-    def line(): String = {
-      var j = i
-      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
-      if (j + 1 >= b.length) fail("unterminated header line")
-      val s = new String(b, i, j - i, "UTF-8")
-      i = j + 2
-      s
+      raw: Array[Byte]): Seq[(String, String, Long)] =
+    new WarcRecordIterator(new java.io.ByteArrayInputStream(raw))
+      .map { case (url, payload) =>
+        (url, new String(payload, "UTF-8"), payload.length.toLong)
+      }.toSeq
+
+  /** The record-streaming strict walk: pulls ONE record at a time off
+    * a buffered (gzip-sniffed) stream. `(url, payloadBytes)` per
+    * record; any malformation throws `IllegalArgumentException` with
+    * the inflated-byte position; the underlying stream is closed at
+    * EOF and on failure.
+    */
+  private[graft] final class WarcRecordIterator(raw: java.io.InputStream)
+      extends Iterator[(String, Array[Byte])] {
+
+    private val in: java.io.InputStream = {
+      val pb = new java.io.PushbackInputStream(
+        new java.io.BufferedInputStream(raw, BufSize), 2)
+      val b0 = pb.read()
+      val b1 = pb.read()
+      if (b1 >= 0) pb.unread(b1)
+      if (b0 >= 0) pb.unread(b0)
+      if (b0 == 0x1f && b1 == 0x8b)
+        // Buffer ON TOP of the inflater too: header parsing reads
+        // byte-at-a-time, and a naked GZIPInputStream pays an inflater
+        // call per byte.
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(pb, BufSize), BufSize)
+      else pb
     }
-    while (i < b.length) {
-      if (line() != "WARC/1.0") fail("missing WARC/1.0 version line")
+    private var pos = 0L
+    private var finished = false
+    private var nextRec: (String, Array[Byte]) = _
+
+    private def closeQuietly(): Unit =
+      try in.close() catch { case _: java.io.IOException => () }
+
+    private def fail(msg: String): Nothing = {
+      closeQuietly()
+      throw new IllegalArgumentException(
+        s"malformed WARC at byte $pos: $msg")
+    }
+
+    /** One CRLF-terminated header line, CRLF consumed and stripped.
+      * `seed` is a byte already pulled off the stream (or -1).
+      */
+    private def line(seed: Int): String = {
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var prev = -1
+      var c = seed
+      if (c < 0) { c = in.read(); if (c >= 0) pos += 1 }
+      while (true) {
+        if (c < 0) fail("unterminated header line")
+        if (c == '\n' && prev == '\r') {
+          val arr = buf.toByteArray
+          return new String(arr, 0, arr.length - 1, "UTF-8")
+        }
+        buf.write(c)
+        if (buf.size > MaxHeaderLine) fail("header line exceeds 1 MiB")
+        prev = c
+        c = in.read()
+        if (c >= 0) pos += 1
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def readExact(n: Int, what: String): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val got = in.read(out, off, n - off)
+        if (got < 0) fail(s"truncated $what")
+        off += got
+        pos += got
+      }
+      out
+    }
+
+    private def advance(): Unit = {
+      val c0 = in.read()
+      if (c0 < 0) { finished = true; closeQuietly(); return }
+      pos += 1
+      if (line(c0) != "WARC/1.0") fail("missing WARC/1.0 version line")
       val headers = scala.collection.mutable.Map.empty[String, String]
-      var h = line()
+      var h = line(-1)
       while (h.nonEmpty) {
         val sep = h.indexOf(": ")
         if (sep < 0) fail(s"bad header '$h'")
         headers(h.substring(0, sep)) = h.substring(sep + 2)
-        h = line()
+        h = line(-1)
       }
-      val len = headers.getOrElse("Content-Length",
-        fail("missing Content-Length")).toInt
+      val lenStr = headers.getOrElse("Content-Length",
+        fail("missing Content-Length"))
+      val len = try lenStr.toLong catch {
+        case _: NumberFormatException => fail(s"bad Content-Length '$lenStr'")
+      }
+      if (len < 0) fail("negative Content-Length")
+      if (len > MaxRecordBytes) fail(s"record of $len bytes exceeds " +
+        "the 2 GiB single-record cap")
       val url = headers.getOrElse("WARC-Target-URI",
         fail("missing WARC-Target-URI"))
-      if (i + len + 4 > b.length) fail("truncated payload")
-      val payload = new String(b, i, len, "UTF-8")
-      i += len
-      if (!(b(i) == '\r' && b(i + 1) == '\n' &&
-            b(i + 2) == '\r' && b(i + 3) == '\n'))
+      val payload = readExact(len.toInt, "payload")
+      val tail = readExact(4, "record separator")
+      if (!(tail(0) == '\r' && tail(1) == '\n' &&
+            tail(2) == '\r' && tail(3) == '\n'))
         fail("missing record separator")
-      i += 4
-      out += ((url, payload, len.toLong))
+      nextRec = (url, payload)
     }
-    out.toSeq
+
+    override def hasNext: Boolean = {
+      if (nextRec == null && !finished) advance()
+      nextRec != null
+    }
+
+    override def next(): (String, Array[Byte]) = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      val r = nextRec
+      nextRec = null
+      r
+    }
   }
 }

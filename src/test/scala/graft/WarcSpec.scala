@@ -237,6 +237,73 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("the record walk is lazy: first record of a huge stream reads ~one record") {
+    // A generator that SERVES records on demand — nothing materialized
+    // up front — and counts every byte the reader actually pulls. 256
+    // records x 1 MiB ≈ 268 MB total; reading the FIRST record must
+    // touch ~1 record + read-ahead buffer, not the stream.
+    val payloadSize = 1 << 20
+    val nRecords = 256
+    def recordBytes(i: Int): Array[Byte] = {
+      val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://gen.com/$i\r\n" +
+        s"Content-Length: $payloadSize\r\n\r\n").getBytes("UTF-8")
+      val out = new Array[Byte](head.length + payloadSize + 4)
+      System.arraycopy(head, 0, out, 0, head.length)
+      java.util.Arrays.fill(out, head.length, head.length + payloadSize,
+        'x'.toByte)
+      out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+      out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+      out
+    }
+    var served = 0L
+    val gen: java.io.InputStream = new java.io.InputStream {
+      private var idx = 0
+      private var cur = new java.io.ByteArrayInputStream(recordBytes(0))
+      override def read(): Int = {
+        var c = cur.read()
+        while (c < 0 && idx + 1 < nRecords) {
+          idx += 1
+          cur = new java.io.ByteArrayInputStream(recordBytes(idx))
+          c = cur.read()
+        }
+        if (c >= 0) served += 1
+        c
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = cur.read(b, off, len)
+        if (n >= 0) { served += n; n }
+        else if (idx + 1 < nRecords) {
+          idx += 1
+          cur = new java.io.ByteArrayInputStream(recordBytes(idx))
+          read(b, off, len)
+        } else -1
+      }
+    }
+    val it = new Warc.WarcRecordIterator(gen)
+    val (url, payload) = it.next()
+    assert(url === "http://gen.com/0")
+    assert(payload.length === payloadSize)
+    // laziness: served ∝ one record (+64 KiB read-ahead), not 268 MB
+    assert(served < 2L * payloadSize,
+      s"reader pulled $served bytes for the first 1 MiB record")
+    // and the rest still streams through to completion
+    var n = 1
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n === nRecords)
+  }
+
+  test("a single record above the 2 GiB array cap is refused up front") {
+    // The header claims 3e9 bytes; the reader must throw on the claim
+    // (before any attempt to allocate), not OOM.
+    val huge = ("WARC/1.0\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 3000000000\r\n\r\n").getBytes("UTF-8")
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseRecords(huge)
+    }
+    assert(e.getMessage.contains("2 GiB"))
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
