@@ -415,6 +415,41 @@ object ScaleProbe {
               .withColumn("html", html),
             "url", "html")
         }),
+        // HTTP envelope tier (round 16): wrap each document's text in
+        // a full HTTP response message (bytes) and run the gated
+        // funnel — envelope parse + charset sniff + conditional
+        // extract, one narrow codegen'd pass + a |sources| rollup.
+        // Expect ~linear in payload volume.
+        "http_funnel" -> (() => {
+          val payload = encode(concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              "charset=utf-8\r\n\r\n<p>"),
+            col("text"), lit("</p>")), "UTF-8")
+          graft.ops.WebCorpus.httpFunnel(
+            df.withColumn("payload_bytes", payload),
+            "source", "payload_bytes")
+        }),
+        // Sitemap tier (round 16): one synthetic 3-entry sitemap per
+        // document row, parsed + rolled up per domain (97 domains).
+        // Scanner is narrow; the shuffle ships |domains| partials.
+        "sitemap_parse" -> (() => {
+          val xml = concat(
+            lit("<urlset><url><loc>https://site-"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".org/a</loc><lastmod>2026-01-15</lastmod></url>" +
+              "<url><loc>https://site-"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".org/b</loc><lastmod>2024-06-01</lastmod></url>" +
+              "<url><loc>https://site-"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".org/c</loc></url></urlset>"))
+          graft.ops.WebCorpus.sitemapRecrawl(
+            df.select(
+              concat(lit("site-"), pmod(col("doc_id"), lit(97))
+                .cast("string"), lit(".org")).as("domain"),
+              xml.as("sitemap_xml")),
+            "domain", "sitemap_xml", "2026-01-01")
+        }),
         // TextRank (q336, round 15 — VERDICT r14 task 5): adjacency
         // bigrams via the narrow pos/pos+1 self-join keyed on
         // (doc_id, pos), distinct word graph, then the shared
@@ -770,6 +805,36 @@ object ScaleProbe {
           println(f"""{"op":"gem_totals","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
         }
         raw.unpersist()
+      }
+    }
+    // --- WARC ingest byte-tiling (round 16, VERDICT r15 task 8): the
+    // r15 WARC rows tiled file COUNT; this one tiles BYTES PER FILE —
+    // record size ×(20·n) at a fixed record count, the whole corpus
+    // packed into 2 part files, so at n=30 each gzip member inflates
+    // to hundreds of MB. The record-streaming walk holds memory ∝ one
+    // record, so expect wall ~linear in bytes and no cliff; the old
+    // whole-file inflate held file + inflated + all-payload copies
+    // per task and would climb super-linearly into OOM territory.
+    // The write is OUTSIDE the timed region — the row measures the
+    // read path.
+    if (opFilter.forall(_.contains("warc_ingest_bytes"))) {
+      for (rep <- 1 to reps; n <- tiles) {
+        val tmp = s"/tmp/graft_sp_warc_bytes_$n"
+        val docs = base.select(
+          concat(lit("http://site-"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".org/d/"), col("doc_id")).as("url"),
+          repeat(col("text"), 20 * n).as("payload"))
+          .coalesce(2)
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
+        val bytes = docs.select(sum(octet_length(col("payload"))))
+          .collect()(0).getLong(0)
+        val sec = time(
+          graft.sources.Warc.read(spark, tmp)
+            .groupBy()
+            .agg(count(lit(1)).as("n_records"),
+              sum("n_bytes").as("payload_bytes")))
+        println(f"""{"op":"warc_ingest_bytes","tiles":$n,"rows":$bytes,"rep":$rep,"sec":$sec%.3f}""")
       }
     }
     Seq("sp_cmap", "sp_cmap_f", "sp_docstore", "sp_hll", "sp_hist",

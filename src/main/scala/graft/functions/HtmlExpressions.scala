@@ -174,7 +174,7 @@ object HtmlKit {
     (text.result(), links.toSeq)
   }
 
-  private def decodeAll(s: String): String = {
+  private[functions] def decodeAll(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val out = new StringBuilder
     var i = 0

@@ -129,6 +129,18 @@ object UrlKit {
     UTF8String.fromString(
       graft.sources.PublicSuffix.registrable(p(1)))
   }
+
+  /** The PSL rule KIND the [[registrableDomain]] lookup used —
+    * "exact" / "wildcard" / "exception" / "default"; null on
+    * non-http(s) input. "default" flags hosts bucketed by the
+    * implicit `*` rule, i.e. registries the bundled subset does not
+    * list — the observability hook for offline-PSL drift.
+    */
+  def pslKind(u: UTF8String): UTF8String = {
+    val p = parse(u.toString)
+    if (p == null) return null
+    UTF8String.fromString(graft.sources.PublicSuffix.ruleKind(p(1)))
+  }
 }
 
 private[functions] trait UrlStringExpr extends UnaryExpression {
@@ -185,6 +197,19 @@ case class UrlPathExpr(child: Expression) extends UrlStringExpr {
     UrlKit.pathOf(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): UrlPathExpr =
     copy(child = newChild)
+}
+
+/** `graft_psl_kind(url)` — the public-suffix rule kind the domain
+  * lookup used ("exact"/"wildcard"/"exception"/"default") via
+  * [[UrlKit.pslKind]]; null for non-http(s) input.
+  */
+case class UrlPslKindExpr(child: Expression) extends UrlStringExpr {
+  override def prettyName: String = "graft_psl_kind"
+  override protected def kernel: String = "pslKind"
+  override def nullSafeEval(input: Any): Any =
+    UrlKit.pslKind(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(
+      newChild: Expression): UrlPslKindExpr = copy(child = newChild)
 }
 
 /** robots.txt evaluation (RFC 9309): parse the file into user-agent

@@ -341,12 +341,59 @@ object GraftFunctions {
         literalStrings(children(1), "graft_blockscrub"), repl): Expression
     })
 
+  private[functions] val httpInfo = (
+    FunctionIdentifier("graft_http"),
+    new ExpressionInfo(classOf[HttpEnvelopeExpr].getName, "graft_http"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_http takes exactly 1 argument")
+      HttpEnvelopeExpr(children.head): Expression
+    })
+
+  private[functions] val httpTextInfo = (
+    FunctionIdentifier("graft_http_text"),
+    new ExpressionInfo(classOf[HttpTextExpr].getName, "graft_http_text"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_http_text takes exactly 1 argument")
+      HttpTextExpr(children.head): Expression
+    })
+
+  private[functions] val urlPslKindInfo = (
+    FunctionIdentifier("graft_psl_kind"),
+    new ExpressionInfo(classOf[UrlPslKindExpr].getName, "graft_psl_kind"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_psl_kind takes exactly 1 argument")
+      UrlPslKindExpr(children.head): Expression
+    })
+
+  private[functions] val httpCharsetInfo = (
+    FunctionIdentifier("graft_http_charset"),
+    new ExpressionInfo(classOf[HttpCharsetExpr].getName,
+      "graft_http_charset"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_http_charset takes exactly 1 argument")
+      HttpCharsetExpr(children.head): Expression
+    })
+
+  private[functions] val sitemapInfo = (
+    FunctionIdentifier("graft_sitemap_entries"),
+    new ExpressionInfo(classOf[SitemapEntriesExpr].getName,
+      "graft_sitemap_entries"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_sitemap_entries takes exactly 1 argument")
+      SitemapEntriesExpr(children.head): Expression
+    })
+
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
       blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo,
-      urlPathInfo, robotsInfo, robotsDelayInfo, robotsSitemapsInfo,
-      htmlTextInfo, htmlLinksInfo)
+      urlPathInfo, urlPslKindInfo, robotsInfo, robotsDelayInfo,
+      robotsSitemapsInfo, htmlTextInfo, htmlLinksInfo, httpInfo,
+      httpTextInfo, httpCharsetInfo, sitemapInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

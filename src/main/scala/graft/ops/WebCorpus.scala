@@ -122,6 +122,63 @@ object WebCorpus {
   def htmlLinks(html: Column): Column =
     call_function("graft_html_links", html)
 
+  /** Parsed HTTP response envelope of a raw WARC payload
+    * ([[graft.functions.HttpKit]]): struct(status, content_type,
+    * charset, body) — de-chunked, content-decoded; non-HTTP payloads
+    * yield null status with the whole payload as body.
+    */
+  def httpEnvelope(payloadBytes: Column): Column =
+    call_function("graft_http", payloadBytes)
+
+  /** Charset-aware body text of a raw WARC payload: envelope parse,
+    * charset sniff (header param → meta tag → BOM → windows-1252),
+    * REPLACE-decode. The lossless replacement for forcing UTF-8 on
+    * crawl bytes (~15–20% of the real web is non-UTF-8).
+    */
+  def httpText(payloadBytes: Column): Column =
+    call_function("graft_http_text", payloadBytes)
+
+  /** The charset a [[httpText]] decode uses — always non-null, so a
+    * windows-1252-defaulted decode is measurable, not silent.
+    */
+  def httpCharset(payloadBytes: Column): Column =
+    call_function("graft_http_charset", payloadBytes)
+
+  /** HTTP→text gated funnel: per source, how many raw payloads parsed
+    * as HTTP messages, returned 2xx, carried an HTML media type, and
+    * survived to non-empty extracted text — the status/MIME gate run
+    * BEFORE text extraction, so error pages and binary bodies never
+    * reach the HTML scanner. One narrow codegen'd pass + one
+    * |sources|-keyed combinable rollup; the conditional `when` means
+    * the decode+extract kernel runs only on rows that passed the gate.
+    */
+  def httpFunnel(docs: DataFrame, sourceCol: String,
+      payloadBytesCol: String): DataFrame = {
+    val e = httpEnvelope(col(payloadBytesCol))
+    docs
+      .select(col(sourceCol), e.getField("status").as("__status"),
+        e.getField("content_type").as("__ct"), col(payloadBytesCol))
+      .select(col(sourceCol),
+        col("__status").isNotNull.cast("int").as("__http"),
+        (col("__status") >= 200 && col("__status") <= 299)
+          .cast("int").as("__ok"),
+        (col("__ct") === "text/html" ||
+          col("__ct") === "application/xhtml+xml")
+          .cast("int").as("__html"),
+        when(col("__status") >= 200 && col("__status") <= 299 &&
+            (col("__ct") === "text/html" ||
+              col("__ct") === "application/xhtml+xml"),
+          (length(htmlText(httpText(col(payloadBytesCol)))) > 0)
+            .cast("int"))
+          .otherwise(lit(0)).as("__text"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_payloads"),
+        sum("__http").as("n_http"),
+        coalesce(sum("__ok"), lit(0L)).as("n_ok"),
+        coalesce(sum("__html"), lit(0L)).as("n_html"),
+        sum("__text").as("n_text"))
+  }
+
   /** Text-extraction audit: per source, document count, HTML bytes vs
     * extracted-text chars and the markup overhead ppm — the data-card
     * row published next to a WARC→text conversion. One narrow pass +
@@ -198,6 +255,61 @@ object WebCorpus {
         round(col("n_pages") *
           coalesce(crawlDelay(col("robots_txt"), agent),
             lit(defaultDelay)), 1).as("budget_secs"))
+
+  /** `array<struct<loc, lastmod>>` entries of a sitemap XML body
+    * ([[graft.functions.SitemapKit]]): `<url>`/`<sitemap>` blocks,
+    * total on junk, entity-decoded locs.
+    */
+  def sitemapEntries(xml: Column): Column =
+    call_function("graft_sitemap_entries", xml)
+
+  /** Sitemap-driven recrawl report: per domain, the sitemap files'
+    * URL volume, how many entries carry a parseable `<lastmod>`, and
+    * how many changed since `sinceDate` (ISO yyyy-MM-dd) — the
+    * fetch-only-what-changed input a polite recrawl runs on, the step
+    * beyond `crawlBudget`'s page×delay estimate. The explode is
+    * narrow (entries stay with their file's task); the one shuffle
+    * groups on |domains| keys, map-side combined. Undated entries
+    * count as fresh (`n_refetch`) — a crawler cannot skip what it
+    * cannot date.
+    */
+  def sitemapRecrawl(sitemaps: DataFrame, domainCol: String,
+      xmlCol: String, sinceDate: String): DataFrame =
+    sitemaps
+      .select(col(domainCol).as("domain"),
+        explode_outer(sitemapEntries(col(xmlCol))).as("__e"))
+      .select(col("domain"), col("__e.loc").as("__loc"),
+        // try_cast, not to_date: real lastmod fields carry junk, and
+        // ANSI mode fail-stops a corpus scan on the first bad row
+        try_to_timestamp(substring(col("__e.lastmod"), 1, 10),
+          lit("yyyy-MM-dd")).cast("date").as("__d"))
+      .groupBy("domain")
+      .agg(count(col("__loc")).as("n_sitemap_urls"),
+        count(col("__d")).as("n_dated"),
+        sum((col("__d") >= to_date(lit(sinceDate))).cast("long"))
+          .as("__fresh"))
+      .select(col("domain"), col("n_sitemap_urls"), col("n_dated"),
+        (col("n_sitemap_urls") - col("n_dated") +
+          coalesce(col("__fresh"), lit(0L))).as("n_refetch"))
+
+  /** [[crawlBudget]] extended with sitemap-file contents: the robots
+    * budget columns plus the domain's sitemap URL volume and the
+    * fresh-since-`sinceDate` refetch count — so the recrawl planner
+    * sees "N pages × delay" AND "M actually changed" side by side.
+    * Both joined frames are per-site config/rollups → broadcast.
+    */
+  def crawlBudgetWithSitemaps(docs: DataFrame, urlCol: String,
+      robots: DataFrame, sitemaps: DataFrame, domainCol: String,
+      xmlCol: String, sinceDate: String, agent: String = "*",
+      defaultDelay: Double = 1.0): DataFrame =
+    crawlBudget(docs, urlCol, robots, agent, defaultDelay)
+      .join(broadcast(
+        sitemapRecrawl(sitemaps, domainCol, xmlCol, sinceDate)),
+        Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_pages"),
+        col("crawl_delay"), col("n_sitemaps"), col("budget_secs"),
+        coalesce(col("n_sitemap_urls"), lit(0L)).as("n_sitemap_urls"),
+        coalesce(col("n_refetch"), lit(0L)).as("n_refetch"))
 
   /** URL-level dedup of the corpus rows themselves: one survivor per
     * canonical key (the min-id document); unparseable URLs pass
@@ -297,11 +409,24 @@ object WebCorpus {
     docs
       .select(
         coalesce(domain(col(urlCol)), lit("(invalid)")).as("domain"),
-        canonUrl(col(urlCol)).as("canon_url"))
+        canonUrl(col(urlCol)).as("canon_url"),
+        pslKind(col(urlCol)).as("__kind"))
       .groupBy("domain")
       .agg(
         count(lit(1)).as("n_urls"),
         count_distinct(col("canon_url")).as("n_pages"),
         ((count(lit(1)) - count_distinct(col("canon_url"))) * lit(1000000L)
-          / count(lit(1))).cast("long").as("dup_ppm"))
+          / count(lit(1))).cast("long").as("dup_ppm"),
+        // hosts bucketed by the implicit `*` rule = registries the
+        // bundled PSL subset does NOT list — nonzero here says the
+        // domain grouping may be mis-bucketed and the snapshot needs
+        // a data refresh (observable, not silent; r15 task 7)
+        coalesce(sum((col("__kind") === "default").cast("long")),
+          lit(0L)).as("n_psl_default"))
+
+  /** The PSL rule kind behind [[domain]] for this URL —
+    * "exact"/"wildcard"/"exception"/"default", null when the URL does
+    * not parse. */
+  def pslKind(url: Column): Column =
+    call_function("graft_psl_kind", url)
 }

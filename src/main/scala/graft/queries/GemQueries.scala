@@ -14,5 +14,6 @@ object GemQueries {
   val defs: Seq[QueryDef] =
     QueriesCore.defs ++ QueriesMore.defs ++ QueriesExtra.defs ++
       QueriesExtra2a.defs ++ QueriesExtra2b.defs ++ QueriesExtra3.defs ++
-      QueriesExtra4.defs ++ QueriesExtra5.defs ++ QueriesExtra6.defs
+      QueriesExtra4.defs ++ QueriesExtra5.defs ++ QueriesExtra6.defs ++
+      QueriesExtra7.defs
 }

@@ -406,7 +406,8 @@ private[queries] object QueriesExtra6 {
            |  CAST(count(*) AS BIGINT) AS n_urls,
            |  CAST(count(DISTINCT canon) AS BIGINT) AS n_pages,
            |  CAST((count(*) - count(DISTINCT canon)) * 1000000
-           |    // count(*) AS BIGINT) AS dup_ppm
+           |    // count(*) AS BIGINT) AS dup_ppm,
+           |  CAST(sum(is_default) AS BIGINT) AS n_psl_default
            |FROM urls
            |GROUP BY 1
            |ORDER BY domain""".stripMargin)),
@@ -846,7 +847,11 @@ private[queries] object QueriesExtra6 {
     "x.app.myshopify.com" -> "app.myshopify.com",
     "y.site.netlify.app" -> "site.netlify.app",
     "school.district.ca.us" -> "district.ca.us",
-    "b.blogspot.com.br" -> "b.blogspot.com.br")
+    "b.blogspot.com.br" -> "b.blogspot.com.br",
+    // an UNLISTED registry: .zz matches nothing, so the implicit `*`
+    // default buckets it — the row the n_psl_default column (r15
+    // task 7) exists to count
+    "a.b.example.zz" -> "example.zz")
 
   private def q394 =
     // Bundled-PSL domain report (round 15, VERDICT r14 task 6): the
@@ -860,7 +865,8 @@ private[queries] object QueriesExtra6 {
     QueryDef("q394_psl_domain_report",
       (s, dir) => {
         val host = elt(
-          (pmod(col("doc_id").cast("long"), lit(12)) + 1).cast("int")
+          (pmod(col("doc_id").cast("long"), lit(pslHosts.size)) + 1)
+            .cast("int")
             +: pslHosts.map(h => lit(h._1)): _*)
         WebCorpus.domainReport(
           t(s, dir, "documents")
@@ -869,18 +875,25 @@ private[queries] object QueriesExtra6 {
           .orderBy("domain")
       },
       Some {
+        val m = pslHosts.size
         val hostList = pslHosts.map(h => s"'${h._1}'").mkString(",")
         val domList = pslHosts.map(h => s"'${h._2}'").mkString(",")
+        // hand-labeled rule kind per host: only the unlisted-registry
+        // host rides the implicit default
+        val defList = pslHosts
+          .map(h => if (h._1.endsWith(".zz")) "1" else "0").mkString(",")
         s"""WITH h AS (
            |  SELECT doc_id AS id,
-           |    ([$hostList])[doc_id % 12 + 1] AS host,
-           |    ([$domList])[doc_id % 12 + 1] AS dom
+           |    ([$hostList])[doc_id % $m + 1] AS host,
+           |    ([$domList])[doc_id % $m + 1] AS dom,
+           |    ([$defList])[doc_id % $m + 1] AS is_default
            |  FROM documents)
            |SELECT dom AS domain,
            |  CAST(count(*) AS BIGINT) AS n_urls,
            |  CAST(count(DISTINCT host) AS BIGINT) AS n_pages,
            |  CAST((count(*) - count(DISTINCT host)) * 1000000
-           |    // count(*) AS BIGINT) AS dup_ppm
+           |    // count(*) AS BIGINT) AS dup_ppm,
+           |  CAST(sum(is_default) AS BIGINT) AS n_psl_default
            |FROM h
            |GROUP BY 1
            |ORDER BY domain""".stripMargin
@@ -1264,6 +1277,10 @@ private[queries] object QueriesExtra6 {
       |    (['example.co.uk','example.com','blog.github.io',
       |      'example.org','shop-site.com','example.net','plain.de',
       |      'localhost'])[id % 8 + 1] AS cdomain,
+      |    -- PSL rule kind per host: co.uk and github.io are bundled
+      |    -- exact rules; the single-label TLDs ride the implicit `*`
+      |    -- default (the bundled subset lists no bare TLDs)
+      |    ([0,1,0,1,1,1,1,1])[id % 8 + 1] AS host_is_default,
       |    (['/','/','/a/b','/A/B','/p%20q','/index.html'])[id % 6 + 1]
       |      AS cpath,
       |    (['','?a=1&b=2','','?y=8&z=9','?a=0&a=1&b=2','?x=1',
@@ -1282,6 +1299,8 @@ private[queries] object QueriesExtra6 {
       |          ELSE port END ||
       |        cpath || cquery END AS canon,
       |    CASE WHEN id % 13 = 0 THEN NULL ELSE cdomain END AS domain,
-      |    CASE WHEN id % 13 = 0 THEN NULL ELSE cpath END AS cpath
+      |    CASE WHEN id % 13 = 0 THEN NULL ELSE cpath END AS cpath,
+      |    CASE WHEN id % 13 = 0 THEN 0 ELSE host_is_default END
+      |      AS is_default
       |  FROM parts)""".stripMargin
 }

@@ -734,21 +734,50 @@ wpenginepowered.com
   /** Number of labels in the host's public suffix (host must already
     * be lowercased, no trailing dot). Implicit default: 1 (the TLD).
     */
-  def publicSuffixLabels(labels: Array[String]): Int = {
+  def publicSuffixLabels(labels: Array[String]): Int =
+    publicSuffixMatch(labels)._1
+
+  /** The suffix-label count AND the KIND of rule that decided it —
+    * "exception" / "exact" / "wildcard" / "default" (the implicit `*`
+    * rule: nothing in the list matched beyond the bare TLD). The kind
+    * makes bundled-subset fallback OBSERVABLE (round 16 — VERDICT r15
+    * task 7): a host bucketed by the default rule on an unlisted
+    * registry (e.g. a ccTLD second-level this snapshot lacks) is
+    * indistinguishable from a correct match without it. Length
+    * semantics are IDENTICAL to the pre-split `publicSuffixLabels`;
+    * a same-length listed rule upgrades the kind without moving the
+    * boundary.
+    */
+  def publicSuffixMatch(labels: Array[String]): (Int, String) = {
     val n = labels.length
     var best = 1
+    var kind = "default"
     var i = n - 1
     var cand = labels(n - 1)
     while (i >= 0) {
       // cand = labels[i..n) joined; built right-to-left incrementally.
-      if (exceptionRules.contains(cand)) return n - i - 1
-      if (exactRules.contains(cand) && n - i > best) best = n - i
-      if (i >= 1 && wildcardBases.contains(cand) && n - i + 1 > best)
-        best = n - i + 1
+      if (exceptionRules.contains(cand)) return (n - i - 1, "exception")
+      if (exactRules.contains(cand)) {
+        if (n - i > best) { best = n - i; kind = "exact" }
+        else if (n - i == best && kind == "default") kind = "exact"
+      }
+      if (i >= 1 && wildcardBases.contains(cand)) {
+        if (n - i + 1 > best) { best = n - i + 1; kind = "wildcard" }
+        else if (n - i + 1 == best && kind == "default") kind = "wildcard"
+      }
       i -= 1
       if (i >= 0) cand = labels(i) + "." + cand
     }
-    best
+    (best, kind)
+  }
+
+  /** The rule kind [[registrable]] used for this host — single-label
+    * hosts never consult the list ("default").
+    */
+  def ruleKind(host: String): String = {
+    val labels = host.split("\\.", -1)
+    if (labels.length <= 1) "default"
+    else publicSuffixMatch(labels)._2
   }
 
   /** Registrable domain (public suffix + 1 label); a host that is

@@ -493,6 +493,56 @@ object EventStream {
       .start()
   }
 
+  /** Operational IMAGE ingest — the dHash member of the streaming-
+    * maintenance family (round 16, VERDICT r15 task 5; every other
+    * persisted index already had one): each micro-batch of
+    * (id, bytes) rows is perceptually hashed
+    * ([[graft.ops.ImageHash.dhash]] — real PNG/GIF decode, one narrow
+    * map), probed against the persisted band index
+    * ([[graft.ops.ImageHash.incrementalPairsFromIndex]] — batch bands
+    * × index bands on the bucketed single-int `band_key`, no
+    * index-side exchange), near-dup hits land in `outTable` tagged
+    * with the micro-batch id, and the batch's band rows APPEND
+    * (band_key-bucketed) so later batches dedup against them — the
+    * standing corpus is decoded and hashed exactly once.
+    *
+    * Same exactly-once contract as the text/vector/postings/cluster
+    * maintainers: both appends are batch-id-keyed idempotent moves,
+    * so a replayed micro-batch leaves the stored files byte-identical
+    * (parity + replay no-op in StreamingModeSpec). Undecodable blobs
+    * hash to null and never enter the index — poisoned uploads cannot
+    * grow state.
+    */
+  def incrementalImageIngest(
+      media: DataFrame, bandsTable: String, outTable: String,
+      checkpoint: String, idCol: String = "id",
+      bytesCol: String = "bytes", maxHamming: Int = 3,
+      buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.ImageHash
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        Layout.refresh(sp, bandsTable)
+        // Hash once, reuse for probe AND append (the decode is the
+        // expensive step; a localCheckpoint pins it).
+        val hashes = ImageHash
+          .dhash(sp, batch.localCheckpoint(true), idCol, bytesCol)
+          .localCheckpoint(true)
+        Layout.idempotentAppendTable(
+          ImageHash.incrementalPairsFromIndex(hashes,
+              Layout.table(sp, bandsTable), idCol, maxHamming)
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
+        Layout.idempotentAppendBucketed(
+          ImageHash.bandIndexRows(hashes, idCol),
+          bandsTable, "band_key", buckets, batchId = batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Operational QUANTILE-index ingest — the histogram member of the
     * streaming-maintenance family, completing the symmetry: every
     * persisted index (bands, codes, postings, cluster map, hist

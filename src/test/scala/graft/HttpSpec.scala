@@ -1,0 +1,180 @@
+package graft
+
+import graft.functions.HttpKit
+import graft.ops.WebCorpus
+import org.apache.spark.sql.functions._
+
+/** HTTP envelope parse + charset-aware decode: status/header split,
+  * chunked and content-coding decode, sniff precedence, totality on
+  * junk, and the gated funnel's plan shape.
+  */
+class HttpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(payload: Array[Byte]) = HttpKit.parseEnvelope(payload)
+  private def envS(payload: String) = env(payload.getBytes("UTF-8"))
+  private def textOf(payload: Array[Byte]): String =
+    HttpKit.text(payload).toString
+
+  test("status line + headers split; body is everything after the blank line") {
+    val e = envS("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Server: x\r\n\r\n<p>body</p>")
+    assert(e.status === 200)
+    assert(e.contentType === "text/html")
+    assert(e.charsetParam === "utf-8")
+    assert(new String(e.body, "UTF-8") === "<p>body</p>")
+    // LF-only line endings (real captures mix them) parse the same
+    val lf = envS("HTTP/1.0 404 Not Found\nContent-Type: TEXT/Plain\n\ngone")
+    assert(lf.status === 404 && lf.contentType === "text/plain")
+    assert(new String(lf.body, "UTF-8") === "gone")
+    // obs-fold continuation folds into the previous header
+    val fold = envS("HTTP/1.1 200 OK\r\nContent-Type: text/html;\r\n" +
+      " charset=iso-8859-1\r\n\r\nx")
+    assert(fold.charsetParam === "iso-8859-1")
+  }
+
+  test("non-HTTP payloads are total: null status, whole payload as body") {
+    for (junk <- Seq("plain html <p>x</p>", "", "HTTP/garbage",
+        "HTTP/1.1 abc\r\n\r\n", "HTTP/1.1 200 OK\r\nno terminator")) {
+      val e = envS(junk)
+      assert(e.status === null && e.contentType === null)
+      assert(new String(e.body, "UTF-8") === junk)
+    }
+  }
+
+  test("chunked transfer decode, extensions and trailers dropped; junk framing is raw") {
+    val chunked = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nTrailer: t\r\n\r\n"
+    assert(new String(envS(chunked).body, "UTF-8") === "hello world")
+    // malformed chunk size -> body returned raw, never a throw
+    val bad = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nx"
+    assert(new String(envS(bad).body, "UTF-8") === "ZZ\r\nx")
+  }
+
+  test("content-encoding gzip and deflate decode; unknown codings stay raw") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val head = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+      .getBytes("UTF-8")
+    assert(new String(env(head ++ gz("unzipped body")).body, "UTF-8") ===
+      "unzipped body")
+    // deflate (zlib-wrapped)
+    val d = new java.util.zip.Deflater()
+    d.setInput("deflated".getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf)
+    val dHead = "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+      .getBytes("UTF-8")
+    assert(new String(env(dHead ++ buf.take(n)).body, "UTF-8") === "deflated")
+    // br is untouched
+    val br = "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nopaque"
+    assert(new String(envS(br).body, "UTF-8") === "opaque")
+    // corrupt gzip stays raw (total)
+    val corrupt = head ++ "not gzip at all".getBytes("UTF-8")
+    assert(new String(env(corrupt).body, "UTF-8") === "not gzip at all")
+  }
+
+  test("chunked + gzip layer in RFC order: transfer decode, then content decode") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val payload = gz("layered")
+    val head = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes("UTF-8")
+    val chunk = (Integer.toHexString(payload.length) + "\r\n").getBytes("UTF-8") ++
+      payload ++ "\r\n0\r\n\r\n".getBytes("UTF-8")
+    assert(new String(env(head ++ chunk).body, "UTF-8") === "layered")
+  }
+
+  test("charset sniff precedence: header param, then meta, then BOM, then cp1252") {
+    // header param wins over a conflicting meta
+    assert(HttpKit.sniffCharset("shift_jis",
+      "<meta charset=\"utf-8\">x".getBytes("UTF-8")) === "Shift_JIS")
+    // meta charset= form
+    assert(HttpKit.sniffCharset(null,
+      "<html><meta charset=utf-8><body>".getBytes("UTF-8")) === "UTF-8")
+    // meta http-equiv form
+    assert(HttpKit.sniffCharset(null,
+      ("<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=EUC-JP\">").getBytes("UTF-8")) ===
+      "euc-jp")
+    // meta outside the 1024-byte prescan window is NOT seen
+    val far = (" " * 1100) + "<meta charset=utf-8>"
+    assert(HttpKit.sniffCharset(null, far.getBytes("UTF-8")) ===
+      "windows-1252")
+    // BOM
+    assert(HttpKit.sniffCharset(null,
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte, 'x')) === "UTF-8")
+    assert(HttpKit.sniffCharset(null,
+      Array[Byte](0xff.toByte, 0xfe.toByte, 'x', 0)) === "UTF-16LE")
+    // nothing declared -> windows-1252
+    assert(HttpKit.sniffCharset(null, "plain".getBytes("UTF-8")) ===
+      "windows-1252")
+    // unknown label falls through to the next source
+    assert(HttpKit.sniffCharset("not-a-charset",
+      "<meta charset=utf-8>".getBytes("UTF-8")) === "UTF-8")
+    // latin-1 labels decode as windows-1252 (the browser rule)
+    assert(HttpKit.sniffCharset("iso-8859-1", Array[Byte]()) ===
+      "windows-1252")
+  }
+
+  test("decode: REPLACE on malformed bytes, BOM stripped, never throws") {
+    assert(HttpKit.decode("héllo".getBytes("UTF-8"), "UTF-8") === "héllo")
+    // cp1252 high bytes: 0x93/0x94 are curly quotes
+    assert(HttpKit.decode(Array[Byte](0x93.toByte, 'a', 0x94.toByte),
+      "windows-1252") === "“a”")
+    // invalid utf-8 -> U+FFFD, not a throw
+    assert(HttpKit.decode(Array[Byte](0xc3.toByte),
+      "UTF-8") === "�")
+    // utf-8 BOM stripped
+    assert(HttpKit.decode(
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte, 'h', 'i'),
+      "UTF-8") === "hi")
+    // utf-16le with BOM
+    assert(HttpKit.decode(
+      Array[Byte](0xff.toByte, 0xfe.toByte, 'h', 0, 'i', 0),
+      "UTF-16LE") === "hi")
+    // unknown charset name -> windows-1252 fallback
+    assert(HttpKit.decode("abc".getBytes("UTF-8"), "klingon") === "abc")
+  }
+
+  test("end-to-end text kernel: shift-jis body under a header declaration") {
+    val sjis = "こんにちは".getBytes("Shift_JIS")
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=Shift_JIS\r\n\r\n").getBytes("UTF-8")
+    assert(textOf(head ++ sjis) === "こんにちは")
+    // and a non-HTTP latin-1-ish payload just decodes as cp1252
+    assert(textOf(Array[Byte]('c', 'a', 'f', 0xe9.toByte)) === "café")
+  }
+
+  test("httpFunnel gates before extraction; narrow pass, one rollup") {
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val rows = Seq(
+      ("s1", b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>")),
+      ("s1", b("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone")),
+      ("s1", b("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG")),
+      ("s1", b("not http at all")),
+      ("s2", b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<script>only</script>")))
+      .toDF("source", "payload_bytes")
+    val got = WebCorpus.httpFunnel(rows, "source", "payload_bytes")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // 4 payloads, 3 http, 2 ok(200), 2 html-typed, 1 with real text
+      ("s1", 4L, 3L, 2L, 2L, 1L),
+      // script-only body passes the gate but extracts to empty
+      ("s2", 1L, 1L, 1L, 1L, 0L)))
+    val plan = WebCorpus.httpFunnel(rows, "source", "payload_bytes")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange")) // exactly the one rollup shuffle
+    assert(plan.split("Exchange", -1).length == 2, plan)
+  }
+}

@@ -623,6 +623,63 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("incrementalImageIngest probes the dHash band index then appends per batch") {
+    import graft.ops.ImageHash
+    import graft.queries.MediaFixtures
+    import graft.sources.Layout
+    implicit val sqlCtx = spark.sqlContext
+    // Images sharing a base pattern (id % 6) are near-dups: the per-id
+    // brightness shift (id % 4) is constant across pixels, so the
+    // dHash gradient signs — and the hash — are identical per base.
+    def img(id: Long): Array[Byte] = {
+      val base = (id % 6).toInt
+      val px = Array.tabulate(18 * 16)(i =>
+        ((base * 7 + (i % 18) * 3 + (i / 18) * 5) % 200 +
+          (id % 4)).toByte)
+      MediaFixtures.pngFromPixels(18, 16, 1, px, _ => 0)
+    }
+    val all = (0L until 24L).map(id => (id, img(id)))
+    val idx0 = all.filter(_._1 < 8)
+    val b1 = all.filter(t => t._1 >= 8 && t._1 < 16)
+    val b2 = all.filter(_._1 >= 16)
+    Seq("img_bands", "img_pairs").foreach(Layout.drop(spark, _))
+    def hashed(rows: Seq[(Long, Array[Byte])]) =
+      ImageHash.dhash(spark, rows.toDF("id", "bytes"), "id", "bytes")
+    Layout.writeBucketed(ImageHash.bandIndexRows(hashed(idx0), "id"),
+      "img_bands", "band_key")
+    val input = MemoryStream[(Long, Array[Byte])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("img_ckpt").toString
+    val q = EventStream.incrementalImageIngest(
+      input.toDF().toDF("id", "bytes"), "img_bands", "img_pairs", ckpt)
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // Batch parity: batch 1 probes the seed; batch 2 probes
+      // seed ∪ batch 1 (the probe-then-append contract).
+      def pairsOf(batch: Seq[(Long, Array[Byte])],
+          idx: Seq[(Long, Array[Byte])]) =
+        ImageHash.incrementalPairsFromIndex(hashed(batch),
+            ImageHash.bandIndexRows(hashed(idx), "id"), "id")
+          .select("batch_id", "index_id")
+          .as[(Long, Long)].collect().toSet
+      val expected = pairsOf(b1, idx0) ++ pairsOf(b2, idx0 ++ b1)
+      val got = spark.table("img_pairs")
+        .select("batch_id", "index_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got.nonEmpty, "fixture must produce cross-batch near-dups")
+      assert(got === expected)
+      // The index grew by both batches' band rows (4 per image).
+      spark.catalog.refreshTable("img_bands")
+      assert(spark.table("img_bands").count() === 24L * 4)
+    } finally {
+      q.stop()
+      Seq("img_bands", "img_pairs").foreach(Layout.drop(spark, _))
+    }
+  }
+
   test("incrementalPostingsIngest grows the lexical index; probe equals batch rebuild") {
     import graft.ops.Retrieval
     import graft.sources.Layout

@@ -122,11 +122,31 @@ class UrlOpsSpec extends SparkSpec {
       ("http://other.co.uk/q?a=1&b=2", 5L, 2L)))
     val rep = WebCorpus.domainReport(docs, "url")
       .orderBy("domain")
-      .as[(String, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(rep === Seq(
-      ("(invalid)", 1L, 0L, 1000000L),
-      ("example.com", 4L, 2L, 500000L),
-      ("other.co.uk", 2L, 1L, 500000L)))
+      // bare-TLD .com hosts ride the implicit default rule (the
+      // bundled subset lists no single-label TLDs) -> counted;
+      // co.uk is an exact bundled rule -> 0
+      ("(invalid)", 1L, 0L, 1000000L, 0L),
+      ("example.com", 4L, 2L, 500000L, 4L),
+      ("other.co.uk", 2L, 1L, 500000L, 0L)))
+  }
+
+  test("pslKind reports the rule kind the domain lookup used") {
+    import graft.functions.UrlKit
+    def kind(u: String): String = {
+      val r = UrlKit.pslKind(UTF8String.fromString(u))
+      if (r == null) null else r.toString
+    }
+    assert(kind("http://www.example.co.uk/") === "exact")
+    assert(kind("http://x.app.myshopify.com/") === "exact")
+    assert(kind("http://foo.bar.ck/") === "wildcard")
+    assert(kind("http://sub.www.ck/") === "exception")
+    // bare TLD: implicit * rule
+    assert(kind("http://www.example.com/") === "default")
+    assert(kind("http://a.b.example.zz/") === "default")
+    assert(kind("http://localhost/") === "default")
+    assert(kind("not a url") === null)
   }
 
   test("urlDedup keeps the min-id doc per canonical key; invalids pass") {
