@@ -45,10 +45,11 @@ object HttpKit {
 
   /** Parsed envelope: status (null when not an HTTP message),
     * lowercased media type, charset PARAM (header only, null when
+    * absent), the raw `Location` header (redirect target, null when
     * absent), decoded body bytes.
     */
   final case class Envelope(status: java.lang.Integer, contentType: String,
-      charsetParam: String, body: Array[Byte])
+      charsetParam: String, location: String, body: Array[Byte])
 
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
 
@@ -76,7 +77,7 @@ object HttpKit {
   }
 
   def parseEnvelope(payload: Array[Byte]): Envelope = {
-    val raw = Envelope(null, null, null, payload)
+    val raw = Envelope(null, null, null, null, payload)
     val n = payload.length
     if (n < 12 || !startsWith(payload, "HTTP/")) return raw
     // status line: HTTP/x.y SP 3DIGIT ...
@@ -113,6 +114,7 @@ object HttpKit {
     var charsetParam: String = null
     var chunked = false
     var coding: String = null
+    var location: String = null
     headers.foreach { h =>
       val colon = h.indexOf(':')
       if (colon > 0) {
@@ -131,6 +133,8 @@ object HttpKit {
               value.toLowerCase(java.util.Locale.ROOT).contains("chunked")
           case "content-encoding" if coding == null =>
             coding = value.toLowerCase(java.util.Locale.ROOT).trim
+          case "location" if location == null =>
+            location = value
           case _ => ()
         }
       }
@@ -139,7 +143,7 @@ object HttpKit {
     if (chunked) body = dechunk(body)
     if (coding == "gzip" || coding == "x-gzip") body = tryGunzip(body)
     else if (coding == "deflate") body = tryInflate(body)
-    Envelope(status, contentType, charsetParam, body)
+    Envelope(status, contentType, charsetParam, location, body)
   }
 
   /** `charset=token` out of Content-Type params, quotes stripped,
@@ -147,8 +151,19 @@ object HttpKit {
     */
   private def charsetOf(params: String): String = {
     val lower = params.toLowerCase(java.util.Locale.ROOT)
-    val at = lower.indexOf("charset")
-    if (at < 0) return null
+    // name left boundary: `foocharset=` / `x-charset-y=` must not
+    // match (the href-boundary lesson applied preemptively)
+    var at = -1
+    var from = 0
+    while (at < 0) {
+      val hit = lower.indexOf("charset", from)
+      if (hit < 0) return null
+      val ok = hit == 0 || {
+        val p = lower.charAt(hit - 1)
+        !(p.isLetterOrDigit || p == '-' || p == '_')
+      }
+      if (ok) at = hit else from = hit + 1
+    }
     var i = at + 7
     while (i < lower.length && (lower.charAt(i) == ' ' ||
       lower.charAt(i) == '\t')) i += 1
@@ -315,6 +330,7 @@ object HttpKit {
     StructField("status", IntegerType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("charset", StringType, nullable = true),
+    StructField("location", StringType, nullable = true),
     StructField("body", BinaryType, nullable = false)))
 
   def envelopeRow(payload: Array[Byte]): InternalRow = {
@@ -324,6 +340,7 @@ object HttpKit {
       if (e.contentType == null) null else UTF8String.fromString(e.contentType),
       if (e.charsetParam == null) null
       else UTF8String.fromString(sniffCharset(e.charsetParam, e.body)),
+      if (e.location == null) null else UTF8String.fromString(e.location),
       e.body))
   }
 
@@ -347,11 +364,13 @@ object HttpKit {
 }
 
 /** `graft_http(payload_bytes)` → struct(status, content_type, charset,
-  * body): the parsed (de-chunked, content-decoded) HTTP envelope; a
-  * non-HTTP payload yields null status/content_type/charset with the
-  * whole payload as body. The `charset` field is the SNIFFED value
-  * when the header declared one, null otherwise (observability of the
-  * declared-vs-defaulted split); [[HttpTextExpr]] always sniffs.
+  * location, body): the parsed (de-chunked, content-decoded) HTTP
+  * envelope; a non-HTTP payload yields null status/content_type/
+  * charset/location with the whole payload as body. The `charset`
+  * field is the SNIFFED value when the header declared one, null
+  * otherwise (observability of the declared-vs-defaulted split);
+  * [[HttpTextExpr]] always sniffs. `location` is the raw redirect
+  * target header (resolution is the caller's join).
   */
 case class HttpEnvelopeExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

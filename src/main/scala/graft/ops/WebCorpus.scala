@@ -179,6 +179,29 @@ object WebCorpus {
         sum("__text").as("n_text"))
   }
 
+  /** Redirect graph: per (src_domain, dst_domain), how many 3xx
+    * responses point where — the crawl-frontier edges a recrawl uses
+    * to chase moved content and collapse mirrors. Relative `Location`
+    * values resolve to the SOURCE domain (they cannot leave the
+    * host); sources with no registrable domain drop. Narrow envelope
+    * pass + one |domain-pairs| rollup.
+    */
+  def redirectGraph(docs: DataFrame, urlCol: String,
+      payloadBytesCol: String): DataFrame = {
+    val e = httpEnvelope(col(payloadBytesCol))
+    docs
+      .select(domain(col(urlCol)).as("src_domain"),
+        e.getField("status").as("__s"),
+        e.getField("location").as("__loc"))
+      .where(col("__s") >= 300 && col("__s") <= 399 &&
+        col("__loc").isNotNull && col("src_domain").isNotNull)
+      .select(col("src_domain"),
+        coalesce(domain(col("__loc")), col("src_domain"))
+          .as("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_redirects"))
+  }
+
   /** Text-extraction audit: per source, document count, HTML bytes vs
     * extracted-text chars and the markup overhead ppm — the data-card
     * row published next to a WARC→text conversion. One narrow pass +

@@ -15,7 +15,7 @@ import Shared._
   */
 private[queries] object QueriesExtra7 {
 
-  def defs: Seq[QueryDef] = Seq(q401, q402, q403, q404, q405)
+  def defs: Seq[QueryDef] = Seq(q401, q402, q403, q404, q405, q406)
 
   private def b64(b: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(b)
@@ -289,6 +289,62 @@ private[queries] object QueriesExtra7 {
           |FROM g JOIN r ON r.domain = g.domain
           |JOIN m ON m.domain = g.domain
           |ORDER BY g.domain""".stripMargin))
+
+  /** The q406 redirect fixture, one variant per doc_id % 5 (mirrored
+    * by hand in the oracle's CASE):
+    *  0: 301 → absolute cross-domain target
+    *  1: 302 → RELATIVE target (resolves to the source domain)
+    *  2: 301 → absolute target on an unlisted registry (PSL default)
+    *  3: 200 — not a redirect, contributes no edge
+    *  4: 307 → absolute target that is a SELF edge for one source
+    */
+  private def redirectVariants: Seq[String] = Seq(
+    "HTTP/1.1 301 Moved Permanently\r\nLocation: https://mirror.net/x" +
+      "\r\n\r\n",
+    "HTTP/1.1 302 Found\r\nLocation: /moved/here\r\n\r\n",
+    "HTTP/1.1 301 Moved Permanently\r\nLocation: https://cdn.example/y" +
+      "\r\n\r\n",
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>stay</p>",
+    "HTTP/1.1 307 Temporary Redirect\r\nLocation: https://alpha.com/z" +
+      "\r\n\r\n")
+
+  private def q406 =
+    // Redirect graph (round 16): 3xx Location targets reduced to
+    // (src_domain, dst_domain) edges — the crawl-frontier input for
+    // chasing moved content. Covers absolute cross-domain, RELATIVE
+    // (must resolve to the source domain, never drop), an unlisted-
+    // registry target (PSL default bucketing), a non-redirect, and a
+    // self edge. The oracle replays the mapping as a hand-written
+    // CASE over the residue grid — no URL or HTTP code involved.
+    QueryDef("q406_redirect_graph",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(concat(lit("http://"),
+            elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+              lit("alpha.com"), lit("beta.org"), lit("gamma.net")),
+            lit("/r/"), col("doc_id")).as("url"),
+            encode(elt((pmod(col("doc_id"), lit(5)) + 1).cast("int") +:
+              redirectVariants.map(lit): _*), "UTF-8")
+              .as("payload_bytes"))
+        WebCorpus.redirectGraph(docs, "url", "payload_bytes")
+          .orderBy("src_domain", "dst_domain")
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT (['alpha.com','beta.org','gamma.net'])
+          |      [doc_id % 3 + 1] AS src,
+          |    doc_id % 5 AS r
+          |  FROM documents),
+          |e AS (
+          |  SELECT src,
+          |    CASE r WHEN 0 THEN 'mirror.net' WHEN 1 THEN src
+          |      WHEN 2 THEN 'cdn.example' WHEN 4 THEN 'alpha.com'
+          |    END AS dst
+          |  FROM j WHERE r IN (0, 1, 2, 4))
+          |SELECT src AS src_domain, dst AS dst_domain,
+          |  CAST(count(*) AS BIGINT) AS n_redirects
+          |FROM e GROUP BY 1, 2
+          |ORDER BY src_domain, dst_domain""".stripMargin))
 
   /** q405's ASCII-safe HTTP payload subset (the WARC text sink carries
     * strings): variants 0–4, 6, 7 of [[httpVariants]] — gzip's binary

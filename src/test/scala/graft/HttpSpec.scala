@@ -123,6 +123,13 @@ class HttpSpec extends SparkSpec {
     // latin-1 labels decode as windows-1252 (the browser rule)
     assert(HttpKit.sniffCharset("iso-8859-1", Array[Byte]()) ===
       "windows-1252")
+    // charset needs a param-name left boundary: foocharset= is not it
+    val e = envS("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; foocharset=utf-16le; charset=utf-8\r\n\r\nx")
+    assert(e.charsetParam === "utf-8")
+    val e2 = envS("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; x-charset=koi8-r\r\n\r\nx")
+    assert(e2.charsetParam === null)
   }
 
   test("decode: REPLACE on malformed bytes, BOM stripped, never throws") {
@@ -152,6 +159,30 @@ class HttpSpec extends SparkSpec {
     assert(textOf(head ++ sjis) === "こんにちは")
     // and a non-HTTP latin-1-ish payload just decodes as cp1252
     assert(textOf(Array[Byte]('c', 'a', 'f', 0xe9.toByte)) === "café")
+  }
+
+  test("Location header rides the envelope; redirectGraph builds domain edges") {
+    val e = envS("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: https://new.example.com/page\r\n\r\n")
+    assert(e.status === 301)
+    assert(e.location === "https://new.example.com/page")
+    assert(envS("HTTP/1.1 200 OK\r\n\r\nx").location === null)
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val rows = Seq(
+      ("http://a.com/1", b("HTTP/1.1 301 X\r\nLocation: https://b.org/n\r\n\r\n")),
+      ("http://a.com/2", b("HTTP/1.1 301 X\r\nLocation: https://b.org/m\r\n\r\n")),
+      // relative target -> same-domain edge, never dropped
+      ("http://a.com/3", b("HTTP/1.1 302 X\r\nLocation: /moved\r\n\r\n")),
+      // 200 and non-http rows contribute nothing
+      ("http://a.com/4", b("HTTP/1.1 200 OK\r\n\r\nok")),
+      ("http://b.org/5", b("not http")))
+      .toDF("url", "payload_bytes")
+    val got = WebCorpus.redirectGraph(rows, "url", "payload_bytes")
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a.com", "a.com", 1L),
+      ("a.com", "b.org", 2L)))
   }
 
   test("httpFunnel gates before extraction; narrow pass, one rollup") {

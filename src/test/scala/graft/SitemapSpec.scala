@@ -57,6 +57,9 @@ class SitemapSpec extends SparkSpec {
     // empty / self-closed / absent locs contribute nothing
     assert(entries("<urlset><url><loc></loc></url><url><loc/></url></urlset>")
       === Seq.empty)
+    // a self-closed BLOCK must not swallow the entries after it
+    assert(entries("<urlset><url/><url><loc>https://x.com/a</loc>" +
+      "</url></urlset>") === Seq(("https://x.com/a", null)))
     assert(entries("") === Seq.empty)
     assert(entries("not xml at all") === Seq.empty)
   }
