@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   * materialized). Anything malformed throws; a WARC reader that
   * silently resyncs hides truncation. Single records above ~2 GiB are
   * refused explicitly (JVM array addressing) — no archived HTTP
-  * payload legitimately reaches that.
+  * payload legitimately reaches that. Structural record types —
+  * `warcinfo` (which LEADS every real Common Crawl file and has no
+  * Target-URI), `request`, `metadata`, `revisit` — are
+  * framing-checked and SKIPPED; only `response`/`resource` content
+  * records become rows. WARC/1.0 and WARC/1.1 version lines are both
+  * accepted.
   *
   * Gzip: real crawl data ships `.warc.gz` — a CONCATENATION of gzip
   * members (one per record in Common Crawl practice, one per file
@@ -238,35 +243,52 @@ object Warc {
       out
     }
 
+    /** Parse records until one is EMITTABLE (a `response`/`resource`
+      * content record) or the stream ends. Framing stays strict for
+      * EVERY record — version line, headers, exact Content-Length,
+      * separator — but structural record types (`warcinfo`, which
+      * legitimately has no Target-URI and LEADS every real Common
+      * Crawl file, plus `request`/`metadata`/`revisit`) are consumed
+      * and skipped, not failed on and not emitted as rows.
+      */
     private def advance(): Unit = {
-      val c0 = in.read()
-      if (c0 < 0) { finished = true; closeQuietly(); return }
-      pos += 1
-      if (line(c0) != "WARC/1.0") fail("missing WARC/1.0 version line")
-      val headers = scala.collection.mutable.Map.empty[String, String]
-      var h = line(-1)
-      while (h.nonEmpty) {
-        val sep = h.indexOf(": ")
-        if (sep < 0) fail(s"bad header '$h'")
-        headers(h.substring(0, sep)) = h.substring(sep + 2)
-        h = line(-1)
+      while (nextRec == null && !finished) {
+        val c0 = in.read()
+        if (c0 < 0) { finished = true; closeQuietly(); return }
+        pos += 1
+        val version = line(c0)
+        if (version != "WARC/1.0" && version != "WARC/1.1")
+          fail("missing WARC/1.0 or WARC/1.1 version line")
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var h = line(-1)
+        while (h.nonEmpty) {
+          val sep = h.indexOf(": ")
+          if (sep < 0) fail(s"bad header '$h'")
+          headers(h.substring(0, sep)) = h.substring(sep + 2)
+          h = line(-1)
+        }
+        val lenStr = headers.getOrElse("Content-Length",
+          fail("missing Content-Length"))
+        val len = try lenStr.toLong catch {
+          case _: NumberFormatException =>
+            fail(s"bad Content-Length '$lenStr'")
+        }
+        if (len < 0) fail("negative Content-Length")
+        if (len > MaxRecordBytes) fail(s"record of $len bytes exceeds " +
+          "the 2 GiB single-record cap")
+        // our own writer omits nothing; a typeless record is treated
+        // as content (the pre-round-16 behavior)
+        val warcType = headers.getOrElse("WARC-Type", "response")
+        val isContent = warcType == "response" || warcType == "resource"
+        if (isContent && !headers.contains("WARC-Target-URI"))
+          fail(s"$warcType record missing WARC-Target-URI")
+        val payload = readExact(len.toInt, "payload")
+        val tail = readExact(4, "record separator")
+        if (!(tail(0) == '\r' && tail(1) == '\n' &&
+              tail(2) == '\r' && tail(3) == '\n'))
+          fail("missing record separator")
+        if (isContent) nextRec = (headers("WARC-Target-URI"), payload)
       }
-      val lenStr = headers.getOrElse("Content-Length",
-        fail("missing Content-Length"))
-      val len = try lenStr.toLong catch {
-        case _: NumberFormatException => fail(s"bad Content-Length '$lenStr'")
-      }
-      if (len < 0) fail("negative Content-Length")
-      if (len > MaxRecordBytes) fail(s"record of $len bytes exceeds " +
-        "the 2 GiB single-record cap")
-      val url = headers.getOrElse("WARC-Target-URI",
-        fail("missing WARC-Target-URI"))
-      val payload = readExact(len.toInt, "payload")
-      val tail = readExact(4, "record separator")
-      if (!(tail(0) == '\r' && tail(1) == '\n' &&
-            tail(2) == '\r' && tail(3) == '\n'))
-        fail("missing record separator")
-      nextRec = (url, payload)
     }
 
     override def hasNext: Boolean = {

@@ -237,6 +237,38 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("structural records (warcinfo/request/metadata) skip; responses emit — the real CC layout") {
+    def rec(tpe: String, uri: Option[String], payload: String): String = {
+      val p = payload.getBytes("UTF-8")
+      "WARC/1.0\r\n" + s"WARC-Type: $tpe\r\n" +
+        uri.map(u => s"WARC-Target-URI: $u\r\n").getOrElse("") +
+        s"Content-Length: ${p.length}\r\n\r\n" + payload + "\r\n\r\n"
+    }
+    // the standard Common Crawl shape: warcinfo leads the file, each
+    // capture is a request/response/metadata triple
+    val file = rec("warcinfo", None, "software: test\r\n") +
+      rec("request", Some("http://a.com/1"), "GET /1 HTTP/1.1\r\n") +
+      rec("response", Some("http://a.com/1"), "hello") +
+      rec("metadata", Some("http://a.com/1"), "via: x") +
+      rec("response", Some("http://a.com/2"), "world")
+    assert(Warc.parseRecords(file.getBytes("UTF-8")) === Seq(
+      ("http://a.com/1", "hello", 5L),
+      ("http://a.com/2", "world", 5L)))
+    // WARC/1.1 version line is accepted too
+    assert(Warc.parseRecords(
+      file.replace("WARC/1.0", "WARC/1.1").getBytes("UTF-8")).size === 2)
+    // a CONTENT record without Target-URI is still a hard error
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Length: 2\r\n\r\nab\r\n\r\n").getBytes("UTF-8"))
+    }
+    // and framing of a SKIPPED record stays strict
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "Content-Length: 2\r\n\r\nabXY").getBytes("UTF-8"))
+    }
+  }
+
   test("the record walk is lazy: first record of a huge stream reads ~one record") {
     // A generator that SERVES records on demand — nothing materialized
     // up front — and counts every byte the reader actually pulls. 256
