@@ -450,6 +450,22 @@ object ScaleProbe {
               xml.as("sitemap_xml")),
             "domain", "sitemap_xml", "2026-01-01")
         }),
+        // Anchor-text graph (round 16): the link_graph shape plus the
+        // per-(src,dst,text) count and per-pair argmax — two keyed
+        // rollups on |edges| grain. Expect ~linear like link_graph.
+        "anchor_graph" -> (() => {
+          val html = concat(
+            lit("<html><body><a href=\"https://site-"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".org/x\">"),
+            elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+              lit("click here"), lit("read more"), lit("details")),
+            lit("</a></body></html>"))
+          graft.ops.WebCorpus.anchorGraph(
+            df.withColumn("url", probeUrl(col("doc_id")))
+              .withColumn("html", html),
+            "url", "html")
+        }),
         // TextRank (q336, round 15 — VERDICT r14 task 5): adjacency
         // bigrams via the narrow pos/pos+1 self-join keyed on
         // (doc_id, pos), distinct word graph, then the shared

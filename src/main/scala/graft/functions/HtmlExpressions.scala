@@ -59,20 +59,51 @@ object HtmlKit {
     else { out.append(decoded); semi + 1 }
   }
 
-  /** The shared walk. Returns (text, hrefs). */
+  /** The shared walk. Returns (text, hrefs, (href, anchorText) pairs).
+    * Anchor capture (wantAnchors) pairs each href-carrying `<a>` with
+    * the collapsed text up to its `</a>` \u2014 the ranking/training signal
+    * raw hrefs lack; an unclosed anchor flushes at the next `<a>` or
+    * EOF (the browser recovery), inner tags are word boundaries, and
+    * script/style content never leaks in.
+    */
   private def scan(html: String, wantText: Boolean,
-      wantLinks: Boolean): (String, Seq[String]) = {
+      wantLinks: Boolean, wantAnchors: Boolean = false)
+      : (String, Seq[String], Seq[(String, String)]) = {
     val n = html.length
     val text = new StringBuilder
     val links = scala.collection.mutable.ArrayBuffer.empty[String]
+    val anchors =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var pendingSpace = false
+    var anchorHref: String = null
+    val anchorText = new StringBuilder
+    var anchorPending = false
+    def flushAnchor(): Unit = {
+      if (anchorHref != null) {
+        anchors += ((anchorHref, anchorText.result()))
+        anchorHref = null
+      }
+      anchorText.clear()
+      anchorPending = false
+    }
     def emit(c: Char): Unit = {
       // NBSP is NOT Java-isWhitespace; crawl text treats it as space
-      if (c == '\u00A0' || c.isWhitespace) pendingSpace = true
-      else {
-        if (pendingSpace && text.nonEmpty) text.append(' ')
-        pendingSpace = false
-        text.append(c)
+      val ws = c == '\u00A0' || c.isWhitespace
+      if (wantText) {
+        if (ws) pendingSpace = true
+        else {
+          if (pendingSpace && text.nonEmpty) text.append(' ')
+          pendingSpace = false
+          text.append(c)
+        }
+      }
+      if (anchorHref != null) {
+        if (ws) anchorPending = true
+        else {
+          if (anchorPending && anchorText.nonEmpty) anchorText.append(' ')
+          anchorPending = false
+          anchorText.append(c)
+        }
       }
     }
     def emitStr(s: String): Unit = s.foreach(emit)
@@ -100,7 +131,8 @@ object HtmlKit {
             if (a == '"' || a == '\'') {
               val q = html.indexOf(a, j + 1)
               j = if (q < 0) n else q + 1
-            } else if (!closing && name == "a" && wantLinks &&
+            } else if (!closing && name == "a" &&
+                (wantLinks || wantAnchors) &&
                 (a.isLetter) && href == null &&
                 html.regionMatches(true, j, "href", 0, 4) &&
                 (j + 4 >= n || !html.charAt(j + 4).isLetterOrDigit) &&
@@ -134,7 +166,16 @@ object HtmlKit {
             }
           }
           i = if (j < n) j + 1 else n
-          if (href != null && href.nonEmpty) links += href
+          if (wantLinks && href != null && href.nonEmpty) links += href
+          if (wantAnchors && name == "a") {
+            // a new <a> implicitly closes an unclosed one (browser
+            // recovery); </a> flushes the captured pair
+            flushAnchor()
+            if (!closing && href != null && href.nonEmpty) {
+              anchorHref = href
+              if (selfClose) flushAnchor()
+            }
+          }
           // drop raw content of script/style/noscript elements
           if (!closing && !selfClose &&
               (name == "script" || name == "style" || name == "noscript")) {
@@ -158,8 +199,9 @@ object HtmlKit {
             i = if (found < 0) n else found
           }
           pendingSpace = true // every tag is a word boundary
+          anchorPending = true
         }
-      } else if (c == '&' && wantText) {
+      } else if (c == '&' && (wantText || anchorHref != null)) {
         // decode into a tiny buffer, then route the decoded chars
         // through the same whitespace-collapse emit (so &nbsp; folds
         // like any other whitespace)
@@ -167,11 +209,12 @@ object HtmlKit {
         i = decodeEntity(html, i, buf)
         emitStr(buf.toString)
       } else {
-        if (wantText) emit(c)
+        if (wantText || anchorHref != null) emit(c)
         i += 1
       }
     }
-    (text.result(), links.toSeq)
+    flushAnchor()
+    (text.result(), links.toSeq, anchors.toSeq)
   }
 
   private[functions] def decodeAll(s: String): String = {
@@ -192,6 +235,26 @@ object HtmlKit {
   def links(html: UTF8String): ArrayData =
     new GenericArrayData(scan(html.toString, wantText = false,
       wantLinks = true)._2.map(UTF8String.fromString).toArray[Any])
+
+  /** (href, anchor text) pairs in document order — the ranking/
+    * training signal raw hrefs lack. Text is collapsed exactly like
+    * [[text]]; anchors without an href contribute nothing.
+    */
+  def anchors(html: UTF8String): ArrayData =
+    new GenericArrayData(scan(html.toString, wantText = false,
+      wantLinks = false, wantAnchors = true)._3
+      .map { case (href, t) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(href), UTF8String.fromString(t)))
+      }.toArray[Any])
+
+  private[functions] val anchorSchema: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("href", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("text", StringType,
+        nullable = false))),
+    containsNull = false)
 }
 
 /** `graft_html_text(html)` — extracted plain text via [[HtmlKit.text]];
@@ -236,4 +299,26 @@ case class HtmlLinksExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): HtmlLinksExpr = copy(child = newChild)
+}
+
+/** `graft_html_anchors(html)` — array<struct<href, text>> of `<a>`
+  * tags in document order via [[HtmlKit.anchors]]; null propagates.
+  */
+case class HtmlAnchorsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_anchors expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = HtmlKit.anchorSchema
+  override def prettyName: String = "graft_html_anchors"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlKit.anchors(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.HtmlKit.anchors($h)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlAnchorsExpr = copy(child = newChild)
 }

@@ -351,6 +351,29 @@ object RobotsKit {
         line.substring(ci + 1).trim.nonEmpty
     }
 
+  /** The `Sitemap:` line VALUES (file-wide, group-independent like
+    * [[sitemapCount]]), comment-stripped and trimmed, file order —
+    * the URLs a recrawl fetches to feed sitemap parsing; emitting
+    * them (not just the count) closes the robots → sitemap-file →
+    * `<loc>` entries chain.
+    */
+  def sitemapUrls(robots: UTF8String): Array[UTF8String] =
+    robots.toString.split("\n", -1).iterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim
+          .toLowerCase(java.util.Locale.ROOT) == "sitemap" &&
+          line.substring(ci + 1).trim.nonEmpty)
+        Some(UTF8String.fromString(line.substring(ci + 1).trim))
+      else None
+    }.toArray
+
+  /** [[sitemapUrls]] as Catalyst array data (the codegen entry). */
+  def sitemapUrlsArray(robots: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sitemapUrls(robots).toArray[Any])
+
   /** Back-compat spelling: the agent-`*` rule set. */
   private[functions] def rules(txt: String): Array[(String, Boolean)] =
     rulesFor(txt, "*")
@@ -537,4 +560,29 @@ case class RobotsSitemapCountExpr(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): RobotsSitemapCountExpr = copy(child = newChild)
+}
+
+/** `graft_robots_sitemap_urls(robots_txt)` → the `Sitemap:` line
+  * values in file order via [[RobotsKit.sitemapUrls]].
+  */
+case class RobotsSitemapUrlsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_robots_sitemap_urls expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_robots_sitemap_urls"
+
+  override def nullSafeEval(robots: Any): Any =
+    RobotsKit.sitemapUrlsArray(robots.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r =>
+      s"graft.functions.RobotsKit.sitemapUrlsArray($r)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsSitemapUrlsExpr = copy(child = newChild)
 }

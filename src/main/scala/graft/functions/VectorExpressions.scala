@@ -358,6 +358,26 @@ object GraftFunctions {
       HttpTextExpr(children.head): Expression
     })
 
+  private[functions] val htmlAnchorsInfo = (
+    FunctionIdentifier("graft_html_anchors"),
+    new ExpressionInfo(classOf[HtmlAnchorsExpr].getName,
+      "graft_html_anchors"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_html_anchors takes exactly 1 argument")
+      HtmlAnchorsExpr(children.head): Expression
+    })
+
+  private[functions] val robotsSitemapUrlsInfo = (
+    FunctionIdentifier("graft_robots_sitemap_urls"),
+    new ExpressionInfo(classOf[RobotsSitemapUrlsExpr].getName,
+      "graft_robots_sitemap_urls"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_robots_sitemap_urls takes exactly 1 argument")
+      RobotsSitemapUrlsExpr(children.head): Expression
+    })
+
   private[functions] val urlPslKindInfo = (
     FunctionIdentifier("graft_psl_kind"),
     new ExpressionInfo(classOf[UrlPslKindExpr].getName, "graft_psl_kind"),
@@ -392,8 +412,9 @@ object GraftFunctions {
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
       blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo,
       urlPathInfo, urlPslKindInfo, robotsInfo, robotsDelayInfo,
-      robotsSitemapsInfo, htmlTextInfo, htmlLinksInfo, httpInfo,
-      httpTextInfo, httpCharsetInfo, sitemapInfo)
+      robotsSitemapsInfo, robotsSitemapUrlsInfo, htmlTextInfo,
+      htmlLinksInfo, htmlAnchorsInfo, httpInfo, httpTextInfo,
+      httpCharsetInfo, sitemapInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -179,6 +179,45 @@ object WebCorpus {
         sum("__text").as("n_text"))
   }
 
+  /** `array<struct<href, text>>` anchors of an HTML payload
+    * ([[graft.functions.HtmlKit.anchors]]): each href-carrying `<a>`
+    * paired with its collapsed anchor text.
+    */
+  def htmlAnchors(html: Column): Column =
+    call_function("graft_html_anchors", html)
+
+  /** The `Sitemap:` URL values of a robots body, file order. */
+  def robotsSitemapUrls(robotsTxt: Column): Column =
+    call_function("graft_robots_sitemap_urls", robotsTxt)
+
+  /** Anchor-text graph: the [[linkGraph]] edges enriched with the
+    * text the web uses to describe each target — per cross-domain
+    * (src, dst) pair, the link count and the MOST COMMON non-empty
+    * anchor text (count-then-text `max_by` argmax, deterministic on
+    * ties). Anchor text is the classic ranking/label signal raw hrefs
+    * lack. Two keyed rollups: (src, dst, text) counts, then the
+    * per-pair argmax — both on |edge| grain, map-side combined, no
+    * window.
+    */
+  def anchorGraph(docs: DataFrame, urlCol: String, htmlCol: String)
+      : DataFrame =
+    docs
+      .select(domain(col(urlCol)).as("src_domain"),
+        explode(htmlAnchors(col(htmlCol))).as("__a"))
+      .select(col("src_domain"),
+        domain(col("__a.href")).as("dst_domain"),
+        col("__a.text").as("__text"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain", "__text")
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(sum("__cnt").as("n_links"),
+        max_by(col("__text"),
+          when(col("__text") === "", lit(null))
+            .otherwise(struct(col("__cnt"), col("__text"))))
+          .as("top_anchor"))
+
   /** Redirect graph: per (src_domain, dst_domain), how many 3xx
     * responses point where — the crawl-frontier edges a recrawl uses
     * to chase moved content and collapse mirrors. Relative `Location`

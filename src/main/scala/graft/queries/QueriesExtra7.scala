@@ -15,7 +15,8 @@ import Shared._
   */
 private[queries] object QueriesExtra7 {
 
-  def defs: Seq[QueryDef] = Seq(q401, q402, q403, q404, q405, q406)
+  def defs: Seq[QueryDef] =
+    Seq(q401, q402, q403, q404, q405, q406, q407, q408)
 
   private def b64(b: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(b)
@@ -344,6 +345,100 @@ private[queries] object QueriesExtra7 {
           |SELECT src AS src_domain, dst AS dst_domain,
           |  CAST(count(*) AS BIGINT) AS n_redirects
           |FROM e GROUP BY 1, 2
+          |ORDER BY src_domain, dst_domain""".stripMargin))
+
+  private def q407 =
+    // Sitemap discovery (round 16): the Sitemap: line VALUES of each
+    // domain's robots body — the URLs a recrawl fetches to feed q404's
+    // entry parsing, closing the robots → sitemap-file → <loc> chain.
+    // Fixtures: two sitemaps on one domain, a lowercase key + trailing
+    // comment on another, a robots with NO sitemap lines, and a domain
+    // with no robots at all (both → one '(none)' row via explode_outer
+    // — absence is a row, not a dropped domain). Oracle = hand VALUES.
+    QueryDef("q407_sitemap_discovery",
+      (s, dir) => {
+        import s.implicits._
+        val robots = Seq(
+          ("alpha.com", "User-agent: *\nDisallow:\n" +
+            "Sitemap: https://alpha.com/s1.xml\n" +
+            "Sitemap: https://alpha.com/s2.xml\n"),
+          ("beta.org", "sitemap: https://beta.org/map.xml # main\n"),
+          ("gamma.net", "User-agent: *\nDisallow: /x\n"))
+          .toDF("domain", "robots_txt")
+        t(s, dir, "documents")
+          .select(elt((pmod(col("doc_id"), lit(4)) + 1).cast("int"),
+            lit("alpha.com"), lit("beta.org"), lit("gamma.net"),
+            lit("delta.de")).as("domain"))
+          .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(robots), Seq("domain"), "left")
+          .select(col("domain"), col("n_docs"),
+            explode_outer(WebCorpus.robotsSitemapUrls(col("robots_txt")))
+              .as("__u"))
+          .select(col("domain"), col("n_docs"),
+            coalesce(col("__u"), lit("(none)")).as("sitemap_url"))
+          .orderBy("domain", "sitemap_url")
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT (['alpha.com','beta.org','gamma.net','delta.de'])
+          |      [doc_id % 4 + 1] AS domain,
+          |    count(*) AS n
+          |  FROM documents GROUP BY 1),
+          |m AS (SELECT * FROM (VALUES
+          |  ('alpha.com', 'https://alpha.com/s1.xml'),
+          |  ('alpha.com', 'https://alpha.com/s2.xml'),
+          |  ('beta.org', 'https://beta.org/map.xml'),
+          |  ('gamma.net', '(none)'),
+          |  ('delta.de', '(none)'))
+          |  AS m(domain, sitemap_url))
+          |SELECT g.domain, CAST(g.n AS BIGINT) AS n_docs, m.sitemap_url
+          |FROM g JOIN m ON m.domain = g.domain
+          |ORDER BY g.domain, m.sitemap_url""".stripMargin))
+
+  private def q408 =
+    // Anchor-text graph (round 16): linkGraph edges enriched with the
+    // most common anchor text per (src, dst) pair — the ranking/label
+    // signal raw hrefs lack. Each doc links its successor domain with
+    // a parity-driven text and carries a relative link (no registrable
+    // domain → dropped). The oracle re-derives texts straight from the
+    // residue grid and replays the count-then-text argmax with
+    // arg_max over a (count, text) row — extraction never enters it.
+    QueryDef("q408_anchor_graph",
+      (s, dir) => {
+        val hosts = Seq("alpha.com", "beta.org", "gamma.net")
+        def hostAt(idx: Column): Column =
+          elt((idx + 1).cast("int") +: hosts.map(lit): _*)
+        val dst = hostAt(pmod(col("doc_id") + 1, lit(3)))
+        val txt = when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("click here")).otherwise(lit("more details"))
+        val docs = t(s, dir, "documents")
+          .select(concat(lit("http://"),
+            hostAt(pmod(col("doc_id"), lit(3))),
+            lit("/p/"), col("doc_id")).as("url"),
+            concat(lit("<p>intro</p><a href=\"https://"), dst,
+              lit("/t\">"), txt,
+              lit("</a><a href=\"/rel\">rel</a>")).as("html"))
+        WebCorpus.anchorGraph(docs, "url", "html")
+          .orderBy("src_domain", "dst_domain")
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT (['alpha.com','beta.org','gamma.net'])
+          |      [doc_id % 3 + 1] AS src,
+          |    (['alpha.com','beta.org','gamma.net'])
+          |      [(doc_id + 1) % 3 + 1] AS dst,
+          |    CASE WHEN doc_id % 2 = 0 THEN 'click here'
+          |      ELSE 'more details' END AS t
+          |  FROM documents),
+          |g AS (SELECT src, dst, t, count(*) AS c
+          |      FROM j GROUP BY 1, 2, 3)
+          |SELECT src AS src_domain, dst AS dst_domain,
+          |  CAST(sum(c) AS BIGINT) AS n_links,
+          |  -- (count, text) argmax as a zero-padded sortable string
+          |  -- (DuckDB arg_max takes no struct ordering)
+          |  arg_max(t, lpad(CAST(c AS VARCHAR), 12, '0') || '|' || t)
+          |    AS top_anchor
+          |FROM g GROUP BY 1, 2
           |ORDER BY src_domain, dst_domain""".stripMargin))
 
   /** q405's ASCII-safe HTTP payload subset (the WARC text sink carries

@@ -713,6 +713,53 @@ object EventStream {
       .start()
   }
 
+  /** HTTP-aware twin of [[extractionLedger]] (round 16): the records
+    * carry RAW payload bytes (the [[graft.sources.Warc.readBinary]]
+    * shape); each micro-batch parses envelopes, gates on status/MIME
+    * BEFORE extraction, decodes charset-aware, and appends the
+    * per-domain funnel row (records → http → gated → text chars) —
+    * the live data card of a crawl ingest. Same batch-id-keyed
+    * idempotent append contract.
+    */
+  def httpExtractionLedger(
+      records: DataFrame, outTable: String, checkpoint: String,
+      urlCol: String, payloadBytesCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.WebCorpus
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        val e = WebCorpus.httpEnvelope(col(payloadBytesCol))
+        val gate = col("__s") >= 200 && col("__s") <= 299 &&
+          (col("__ct") === "text/html" ||
+            col("__ct") === "application/xhtml+xml")
+        graft.sources.Layout.idempotentAppendTable(
+          b.select(
+              coalesce(WebCorpus.domain(col(urlCol)), lit("(invalid)"))
+                .as("domain"),
+              e.getField("status").as("__s"),
+              e.getField("content_type").as("__ct"),
+              col(payloadBytesCol))
+            .select(col("domain"),
+              col("__s").isNotNull.cast("long").as("__http"),
+              coalesce(gate.cast("long"), lit(0L)).as("__g"),
+              when(gate, length(WebCorpus.htmlText(
+                  WebCorpus.httpText(col(payloadBytesCol))))
+                .cast("long"))
+                .otherwise(lit(0L)).as("__tc"))
+            .groupBy("domain")
+            .agg(count(lit(1)).as("n_records"),
+              sum("__http").as("n_http"),
+              sum("__g").as("n_gated"),
+              sum("__tc").as("text_chars"))
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
+        ()
+      }
+      .start()
+  }
+
   def incrementalHistIngest(
       docs: DataFrame, histTable: String, outTable: String,
       checkpoint: String, groupCol: String, valueCol: String,

@@ -103,6 +103,43 @@ class HtmlSpec extends SparkSpec {
     assert(text("<script>a</script") === "")
   }
 
+  private def anchors(s: String): Seq[(String, String)] = {
+    val a = HtmlKit.anchors(UTF8String.fromString(s))
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("anchors pair hrefs with collapsed anchor text") {
+    assert(anchors("""<a href="/x">click <b>here</b></a> tail""") ===
+      Seq(("/x", "click here")))
+    // entities decode inside anchor text; inner tags are boundaries
+    assert(anchors("""<a href="/y">a&amp;b</a>""") === Seq(("/y", "a&b")))
+    // multiple anchors in order; empty text allowed
+    assert(anchors("""<a href="/1">one</a><a href="/2"></a>""") ===
+      Seq(("/1", "one"), ("/2", "")))
+    // an unclosed anchor flushes at the next <a> (browser recovery)
+    assert(anchors("""<a href="/u">lost<a href="/v">kept</a>""") ===
+      Seq(("/u", "lost"), ("/v", "kept")))
+    // script content inside an anchor never leaks into its text
+    assert(anchors("""<a href="/s">ok<script>bad()</script>fine</a>""") ===
+      Seq(("/s", "ok fine")))
+    // no-href anchors contribute nothing; data-href is not href
+    assert(anchors("""<a name="n">skip</a><a data-href="/d">no</a>""") ===
+      Seq.empty)
+    // unclosed at EOF still flushes
+    assert(anchors("""<a href="/e">end""") === Seq(("/e", "end")))
+    // whitespace collapse matches the text contract
+    assert(anchors("<a href=\"/w\">  a \n b  </a>") === Seq(("/w", "a b")))
+  }
+
+  test("anchor capture does not disturb text/links outputs") {
+    val h = """<p>pre</p><a href="/x">mid</a><p>post</p>"""
+    assert(text(h) === "pre mid post")
+    assert(links(h) === Seq("/x"))
+  }
+
   test("textExtractionReport and linkGraph: narrow pass, one keyed rollup") {
     val docs = Seq(
       ("s1", "http://a.com/p", "<p>hello <b>world</b></p>" +

@@ -409,6 +409,22 @@ class UrlOpsSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("sitemapUrls emits the Sitemap line values in file order") {
+    import graft.functions.RobotsKit
+    def urls(robots: String): Seq[String] =
+      RobotsKit.sitemapUrls(UTF8String.fromString(robots))
+        .map(_.toString).toSeq
+    val r = "User-agent: *\nDisallow: /a\n" +
+      "Sitemap: https://e.com/s1.xml\n" +
+      "sitemap: https://e.com/s2.xml # comment\n" +
+      "Sitemap:\n" + // empty value -> nothing
+      "NotSitemap: https://no.com/x\n"
+    assert(urls(r) === Seq("https://e.com/s1.xml", "https://e.com/s2.xml"))
+    assert(urls("") === Seq.empty)
+    // count and values agree by construction
+    assert(RobotsKit.sitemapCount(UTF8String.fromString(r)) === 2)
+  }
+
   test("robots rule cache is LRU: hot keys survive cold-key floods") {
     import graft.functions.RobotsKit
     RobotsKit.cacheClearForTest()

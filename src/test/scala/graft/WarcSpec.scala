@@ -336,6 +336,43 @@ class WarcSpec extends SparkSpec {
     assert(e.getMessage.contains("2 GiB"))
   }
 
+  test("WARC stream of HTTP messages feeds the gated extraction ledger") {
+    graft.sources.Layout.drop(spark, "warc_http_ledger")
+    val dir = java.nio.file.Files.createTempDirectory("warc_http")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_http_ckpt")
+    val stage = java.nio.file.Files.createTempDirectory("warc_http_st")
+    Warc.writeGzip(Seq(
+        ("http://a.com/1",
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hello</p>"),
+        ("http://a.com/2",
+          "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"),
+        ("http://b.org/3", "not http at all"))
+        .toDF("url", "payload").coalesce(1),
+      stage.toString + "/w", "url", "payload")
+    val part = new java.io.File(stage.toString + "/w").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+    java.nio.file.Files.move(part.toPath, dir.resolve("h1.warc.gz"))
+    val recs = Warc.readStream(spark, dir.toString)
+      .select(col("url"), encode(col("payload"), "UTF-8")
+        .as("payload_bytes"))
+    val q = graft.streaming.EventStream.httpExtractionLedger(
+      recs, "warc_http_ledger", ckpt.toString, "url", "payload_bytes")
+    try {
+      q.processAllAvailable()
+      spark.catalog.refreshTable("warc_http_ledger")
+      val rows = spark.table("warc_http_ledger")
+        .select("domain", "n_records", "n_http", "n_gated", "text_chars")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(rows === Set(
+        // 404 parses as HTTP but fails the gate; only /1 extracts
+        ("a.com", 2L, 2L, 1L, "hello".length.toLong),
+        ("b.org", 1L, 0L, 0L, 0L)))
+    } finally {
+      q.stop()
+      graft.sources.Layout.drop(spark, "warc_http_ledger")
+    }
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
