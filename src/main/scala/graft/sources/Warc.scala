@@ -161,6 +161,36 @@ object Warc {
       .toDF("warc_file", "url", "payload", "n_bytes")
   }
 
+  /** Streaming twin of [[readBinary]]: raw payload BYTES per record
+    * (warc_file, url, payload_bytes, n_bytes) off the landing
+    * directory — the lossless shape for the HTTP-envelope/charset
+    * tier (a UTF-8 string hop corrupts non-UTF-8 bodies).
+    */
+  def readStreamBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.substring(path.lastIndexOf('/') + 1)
+        new WarcRecordIterator(new java.io.ByteArrayInputStream(bytes))
+          .map { case (url, payload) =>
+            (file, url, payload, payload.length.toLong)
+          }
+      }
+      .toDF("warc_file", "url", "payload_bytes", "n_bytes")
+  }
+
   /** Strict WARC/1.0 walk over in-memory bytes — the test/compat
     * surface; the DataFrame paths stream instead of materializing.
     */

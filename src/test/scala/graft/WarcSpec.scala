@@ -352,9 +352,9 @@ class WarcSpec extends SparkSpec {
     val part = new java.io.File(stage.toString + "/w").listFiles()
       .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
     java.nio.file.Files.move(part.toPath, dir.resolve("h1.warc.gz"))
-    val recs = Warc.readStream(spark, dir.toString)
-      .select(col("url"), encode(col("payload"), "UTF-8")
-        .as("payload_bytes"))
+    // readStreamBinary: raw bytes, no lossy string hop
+    val recs = Warc.readStreamBinary(spark, dir.toString)
+      .select(col("url"), col("payload_bytes"))
     val q = graft.streaming.EventStream.httpExtractionLedger(
       recs, "warc_http_ledger", ckpt.toString, "url", "payload_bytes")
     try {
