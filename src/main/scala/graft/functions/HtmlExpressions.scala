@@ -31,6 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HtmlKit {
 
+  /** Anchor-text capture cap (chars): bounds the per-row cost of a
+    * hostile/unclosed `<a>` that would otherwise capture the whole
+    * document as its "text".
+    */
+  private val MaxAnchorChars = 512
+
   private def decodeEntity(s: String, start: Int, out: StringBuilder): Int = {
     // s(start) == '&'; returns the index AFTER the consumed reference,
     // or start+1 with '&' emitted raw when it isn't one.
@@ -97,7 +103,10 @@ object HtmlKit {
           text.append(c)
         }
       }
-      if (anchorHref != null) {
+      if (anchorHref != null && anchorText.length < MaxAnchorChars) {
+        // capped: an UNCLOSED <a> captures to EOF (browser recovery),
+        // and an anchor carrying the whole document would bloat every
+        // downstream shuffle row — 512 chars is past any real label
         if (ws) anchorPending = true
         else {
           if (anchorPending && anchorText.nonEmpty) anchorText.append(' ')

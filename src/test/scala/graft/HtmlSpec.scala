@@ -132,6 +132,11 @@ class HtmlSpec extends SparkSpec {
     assert(anchors("""<a href="/e">end""") === Seq(("/e", "end")))
     // whitespace collapse matches the text contract
     assert(anchors("<a href=\"/w\">  a \n b  </a>") === Seq(("/w", "a b")))
+    // hostile unclosed anchor: capture caps at 512 chars, total
+    val huge = "<a href=\"/h\">" + ("x" * 100000)
+    val got = anchors(huge)
+    assert(got.size === 1 && got.head._1 === "/h")
+    assert(got.head._2.length === 512)
   }
 
   test("anchor capture does not disturb text/links outputs") {
