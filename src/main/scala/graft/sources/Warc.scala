@@ -289,15 +289,18 @@ object Warc {
         val version = line(c0)
         if (version != "WARC/1.0" && version != "WARC/1.1")
           fail("missing WARC/1.0 or WARC/1.1 version line")
+        // field names are case-insensitive (ISO 28500 §4) — keyed
+        // lowercased; values keep their bytes
         val headers = scala.collection.mutable.Map.empty[String, String]
         var h = line(-1)
         while (h.nonEmpty) {
           val sep = h.indexOf(": ")
           if (sep < 0) fail(s"bad header '$h'")
-          headers(h.substring(0, sep)) = h.substring(sep + 2)
+          headers(h.substring(0, sep)
+            .toLowerCase(java.util.Locale.ROOT)) = h.substring(sep + 2)
           h = line(-1)
         }
-        val lenStr = headers.getOrElse("Content-Length",
+        val lenStr = headers.getOrElse("content-length",
           fail("missing Content-Length"))
         val len = try lenStr.toLong catch {
           case _: NumberFormatException =>
@@ -308,16 +311,17 @@ object Warc {
           "the 2 GiB single-record cap")
         // our own writer omits nothing; a typeless record is treated
         // as content (the pre-round-16 behavior)
-        val warcType = headers.getOrElse("WARC-Type", "response")
+        val warcType = headers.getOrElse("warc-type", "response")
+          .toLowerCase(java.util.Locale.ROOT)
         val isContent = warcType == "response" || warcType == "resource"
-        if (isContent && !headers.contains("WARC-Target-URI"))
+        if (isContent && !headers.contains("warc-target-uri"))
           fail(s"$warcType record missing WARC-Target-URI")
         val payload = readExact(len.toInt, "payload")
         val tail = readExact(4, "record separator")
         if (!(tail(0) == '\r' && tail(1) == '\n' &&
               tail(2) == '\r' && tail(3) == '\n'))
           fail("missing record separator")
-        if (isContent) nextRec = (headers("WARC-Target-URI"), payload)
+        if (isContent) nextRec = (headers("warc-target-uri"), payload)
       }
     }
 

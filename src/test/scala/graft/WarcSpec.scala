@@ -257,6 +257,11 @@ class WarcSpec extends SparkSpec {
     // WARC/1.1 version line is accepted too
     assert(Warc.parseRecords(
       file.replace("WARC/1.0", "WARC/1.1").getBytes("UTF-8")).size === 2)
+    // field names are case-insensitive (ISO 28500 §4)
+    assert(Warc.parseRecords(
+      ("WARC/1.0\r\nwarc-type: RESPONSE\r\nWARC-TARGET-URI: u\r\n" +
+        "content-length: 2\r\n\r\nab\r\n\r\n").getBytes("UTF-8")) ===
+      Seq(("u", "ab", 2L)))
     // a CONTENT record without Target-URI is still a hard error
     intercept[IllegalArgumentException] {
       Warc.parseRecords(("WARC/1.0\r\nWARC-Type: response\r\n" +
