@@ -276,7 +276,16 @@ object RobotsKit {
     * fresh group; rules before any user-agent line belong to no group
     * (ignored).
     */
-  private[functions] def groups(txt: String): Array[Group] = {
+  /** Leading UTF-8 BOM tolerance (RFC 9309 §2.3): real robots.txt
+    * files carry one surprisingly often, and `trim` does NOT strip
+    * U+FEFF — an untolerated BOM silently loses the FIRST
+    * `User-agent:` line, i.e. the whole first group's rules.
+    */
+  private def stripBom(s: String): String =
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+
+  private[functions] def groups(rawTxt: String): Array[Group] = {
+    val txt = stripBom(rawTxt)
     val out = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = Set.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
@@ -343,7 +352,7 @@ object RobotsKit {
     * standard — they apply file-wide).
     */
   def sitemapCount(robots: UTF8String): Int =
-    robots.toString.split("\n", -1).count { raw =>
+    stripBom(robots.toString).split("\n", -1).count { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val ci = line.indexOf(':')
       ci > 0 && line.substring(0, ci).trim
@@ -358,7 +367,7 @@ object RobotsKit {
     * `<loc>` entries chain.
     */
   def sitemapUrls(robots: UTF8String): Array[UTF8String] =
-    robots.toString.split("\n", -1).iterator.flatMap { raw =>
+    stripBom(robots.toString).split("\n", -1).iterator.flatMap { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val ci = line.indexOf(':')
       if (ci > 0 && line.substring(0, ci).trim

@@ -409,6 +409,21 @@ class UrlOpsSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("a UTF-8 BOM on the first robots line is tolerated (RFC 9309 §2.3)") {
+    import graft.functions.RobotsKit
+    val bom = "\uFEFF"
+    val r = bom + "User-agent: *\nDisallow: /priv\nSitemap: https://e.com/s.xml\n"
+    // without tolerance the first user-agent line is lost and /priv
+    // silently becomes allowed
+    assert(!RobotsKit.allowed(UTF8String.fromString("/priv/x"),
+      UTF8String.fromString(r)))
+    assert(RobotsKit.sitemapCount(UTF8String.fromString(
+      bom + "Sitemap: https://e.com/s.xml\n")) === 1)
+    assert(RobotsKit.sitemapUrls(UTF8String.fromString(
+      bom + "Sitemap: https://e.com/s.xml\n")).map(_.toString).toSeq ===
+      Seq("https://e.com/s.xml"))
+  }
+
   test("sitemapUrls emits the Sitemap line values in file order") {
     import graft.functions.RobotsKit
     def urls(robots: String): Seq[String] =
