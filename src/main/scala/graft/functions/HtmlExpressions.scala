@@ -50,6 +50,34 @@ object HtmlKit {
       case "quot" => "\""
       case "apos" => "'"
       case "nbsp" => "\u00A0"
+      // the high-frequency tail of real crawl pages (round 16):
+      // punctuation, signs, currency \u2014 still decode-once, unknown raw
+      case "mdash" => "\u2014"
+      case "ndash" => "\u2013"
+      case "hellip" => "\u2026"
+      case "lsquo" => "\u2018"
+      case "rsquo" => "\u2019"
+      case "ldquo" => "\u201C"
+      case "rdquo" => "\u201D"
+      case "laquo" => "\u00AB"
+      case "raquo" => "\u00BB"
+      case "bull" => "\u2022"
+      case "middot" => "\u00B7"
+      case "copy" => "\u00A9"
+      case "reg" => "\u00AE"
+      case "trade" => "\u2122"
+      case "deg" => "\u00B0"
+      case "plusmn" => "\u00B1"
+      case "times" => "\u00D7"
+      case "divide" => "\u00F7"
+      case "micro" => "\u00B5"
+      case "euro" => "\u20AC"
+      case "pound" => "\u00A3"
+      case "yen" => "\u00A5"
+      case "cent" => "\u00A2"
+      case "sect" => "\u00A7"
+      case "para" => "\u00B6"
+      case "shy" => "" // soft hyphen: zero-width, drop outright
       case b if b.length > 1 && b.charAt(0) == '#' =>
         val cp =
           if (b.charAt(1) == 'x' || b.charAt(1) == 'X')

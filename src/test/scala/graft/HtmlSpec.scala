@@ -51,6 +51,21 @@ class HtmlSpec extends SparkSpec {
     assert(text("&amp;lt;") === "&lt;")
   }
 
+  test("the high-frequency named entities of real pages decode (round 16)") {
+    assert(text("a&mdash;b &ndash; c&hellip;") === "a—b – c…")
+    assert(text("&ldquo;q&rdquo; &lsquo;a&rsquo;") === "“q” ‘a’")
+    assert(text("&copy;2026 &reg; &trade; 20&deg;") === "©2026 ® ™ 20°")
+    assert(text("&euro;5 &pound;3 &yen;800 50&cent;") === "€5 £3 ¥800 50¢")
+    assert(text("2&times;3 6&divide;2 &plusmn;1 5&micro;m") ===
+      "2×3 6÷2 ±1 5µm")
+    assert(text("&laquo;x&raquo; &bull; a&middot;b &sect;2 &para;") ===
+      "«x» • a·b §2 ¶")
+    // soft hyphen is zero-width: drops, never a space
+    assert(text("hy&shy;phen") === "hyphen")
+    // still single-pass and unknown-raw
+    assert(text("&amp;mdash; &notanentity;") === "&mdash; &notanentity;")
+  }
+
   test("whitespace collapses to single spaces, trimmed") {
     assert(text("  a \n\t b  ") === "a b")
     assert(text("<p>  </p>") === "")
