@@ -133,6 +133,40 @@ object CorpusPipeline {
       minhashK, bands, jaccard)
   }
 
+  /** WARC → curation-ready documents (round 16): the ingest glue from
+    * a crawl directory to the frame [[curateFull]] consumes. Response
+    * records stream in ([[graft.sources.Warc.readBinary]] — raw
+    * bytes, memory ∝ record), the HTTP envelope gates on 2xx + HTML
+    * MIME BEFORE extraction, the body decodes charset-aware, HTML
+    * becomes text, empty extractions drop, and canonical-URL dedup
+    * keeps one row per page (deterministic min-hash-of-url survivor).
+    * Output: (doc_id, source = warc file, url, domain, text).
+    * Everything before the dedup's agg+join is narrow; doc ids are
+    * content-independent 64-bit url+file hashes, so re-ingesting the
+    * same crawl cut reproduces identical ids.
+    */
+  def fromWarc(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = WebCorpus.httpEnvelope(col("payload_bytes"))
+    val gate = col("__s") >= 200 && col("__s") <= 299 &&
+      (col("__ct") === "text/html" ||
+        col("__ct") === "application/xhtml+xml")
+    val docs = graft.sources.Warc.readBinary(spark, dir)
+      .select(col("warc_file").as("source"), col("url"),
+        e.getField("status").as("__s"),
+        e.getField("content_type").as("__ct"),
+        col("payload_bytes"))
+      .where(gate)
+      .select(
+        xxhash64(col("url"), col("source")).as("doc_id"),
+        col("source"), col("url"),
+        WebCorpus.domain(col("url")).as("domain"),
+        WebCorpus.htmlText(
+          WebCorpus.httpText(col("payload_bytes"))).as("text"))
+      .where(length(col("text")) > 0)
+    WebCorpus.urlDedup(docs, "doc_id", "url")
+  }
+
   /** The INDEX-ONLY corpus health report — the nightly dashboard a
     * 100 TB pipeline must serve without touching a corpus row: every
     * input is a STORED index, so the plan's only leaves are the

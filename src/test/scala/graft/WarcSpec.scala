@@ -378,6 +378,38 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("fromWarc: directory -> gated, deduped, curation-ready documents") {
+    val dir = tmp("warc_pipe")
+    val rows = Seq(
+      // two captures of the SAME page (url-dedup keeps one)
+      ("http://a.com/p?utm_source=x",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>alpha</p>"),
+      ("http://a.com/p",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>alpha2</p>"),
+      // gated out: 404, non-HTML, non-HTTP, empty extraction
+      ("http://a.com/404",
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"),
+      ("http://a.com/img",
+        "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG"),
+      ("http://a.com/raw", "not http"),
+      ("http://a.com/empty",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<script>x</script>"),
+      // a second real page
+      ("http://b.org/q",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<b>beta</b>"))
+      .toDF("url", "payload")
+    graft.sources.Warc.writeGzip(rows, dir, "url", "payload")
+    val got = graft.ops.CorpusPipeline.fromWarc(spark, dir)
+      .select("domain", "text").as[(String, String)]
+      .collect().sorted.toSeq
+    // exactly one a.com/p survivor (canon folds the utm variant; which
+    // capture wins is the deterministic min-hash id) plus b.org/q —
+    // 404/non-HTML/non-HTTP/empty-extraction rows never appear
+    assert(got.size === 2, s"expected 2 curated docs, got $got")
+    assert(got.count(t => t._1 == "a.com" && t._2.startsWith("alpha")) === 1)
+    assert(got.contains(("b.org", "beta")))
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
