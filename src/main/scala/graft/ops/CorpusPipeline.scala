@@ -139,11 +139,15 @@ object CorpusPipeline {
     * bytes, memory ∝ record), the HTTP envelope gates on 2xx + HTML
     * MIME BEFORE extraction, the body decodes charset-aware, HTML
     * becomes text, empty extractions drop, and canonical-URL dedup
-    * keeps one row per page (deterministic min-hash-of-url survivor).
-    * Output: (doc_id, source = warc file, url, domain, text).
-    * Everything before the dedup's agg+join is narrow; doc ids are
-    * content-independent 64-bit url+file hashes, so re-ingesting the
-    * same crawl cut reproduces identical ids.
+    * keeps one row per page. Output: (doc_id, source = warc file,
+    * url, domain, text). Doc ids are content-independent 64-bit
+    * url+file hashes (re-ingesting the same crawl cut reproduces
+    * identical ids), so DUPLICATE CAPTURES of one page can share an
+    * id — the dedup therefore keys on the canonical URL itself with
+    * a `min_by` survivor ordered on (id, text): deterministic, one
+    * aggregate shuffle, no join-back, and ties that min-id keying
+    * could not break (equal ids, different bodies) break on text.
+    * Unparseable URLs pass through untouched (the urlDedup contract).
     */
   def fromWarc(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -164,7 +168,16 @@ object CorpusPipeline {
         WebCorpus.htmlText(
           WebCorpus.httpText(col("payload_bytes"))).as("text"))
       .where(length(col("text")) > 0)
-    WebCorpus.urlDedup(docs, "doc_id", "url")
+    val row = struct(col("doc_id"), col("source"), col("url"),
+      col("domain"), col("text"))
+    val withCanon = docs
+      .withColumn("__canon", WebCorpus.canonUrl(col("url")))
+    withCanon.where(col("__canon").isNotNull)
+      .groupBy("__canon")
+      .agg(min_by(row, struct(col("doc_id"), col("text"))).as("__r"))
+      .select(col("__r.*"))
+      .unionByName(withCanon.where(col("__canon").isNull)
+        .drop("__canon"))
   }
 
   /** The INDEX-ONLY corpus health report — the nightly dashboard a

@@ -16,7 +16,7 @@ import Shared._
 private[queries] object QueriesExtra7 {
 
   def defs: Seq[QueryDef] =
-    Seq(q401, q402, q403, q404, q405, q406, q407, q408)
+    Seq(q401, q402, q403, q404, q405, q406, q407, q408, q409)
 
   private def b64(b: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(b)
@@ -440,6 +440,58 @@ private[queries] object QueriesExtra7 {
           |    AS top_anchor
           |FROM g GROUP BY 1, 2
           |ORDER BY src_domain, dst_domain""".stripMargin))
+
+  private def q409 =
+    // fromWarc capstone (round 16): the ONE-CALL crawl ingest —
+    // directory → record-streaming read → envelope gate → charset
+    // decode → HTML text → empty-drop → canonical-URL dedup — rolled
+    // up per domain. The fixture's residue grid makes the dedup
+    // oracle-stable: URLs collide on doc_id % 20 classes, and every
+    // member of a class carries the IDENTICAL payload (payload is
+    // doc_id % 5 and 5 | 20), so whichever capture the min-hash
+    // keeps, the text is the same. The oracle enumerates the DISTINCT
+    // classes present, keeps the 2xx-html ones, and sums hand-derived
+    // text lengths — WARC/HTTP/HTML code never runs in it.
+    QueryDef("q409_warc_ingest_capstone",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_ingest_cap"
+        val payloads = Seq(
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            "<p>alpha doc</p>", // text "alpha doc" = 9 chars
+          "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+            "<p>gone</p>",
+          "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n" +
+            "{\"a\":1}",
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            "<b>bravo</b>", // text "bravo" = 5 chars
+          "plain junk, not http")
+        val docs = t(s, dir, "documents")
+          .select(concat(lit("http://"),
+            elt((pmod(col("doc_id"), lit(4)) + 1).cast("int"),
+              lit("alpha.com"), lit("beta.org"), lit("gamma.net"),
+              lit("delta.de")),
+            lit("/p"), pmod(col("doc_id"), lit(10))).as("url"),
+            elt((pmod(col("doc_id"), lit(5)) + 1).cast("int") +:
+              payloads.map(lit): _*).as("payload"))
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
+        graft.ops.CorpusPipeline.fromWarc(s, tmp)
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("text_chars"))
+          .orderBy("domain")
+      },
+      Some(
+        """WITH c AS (SELECT DISTINCT doc_id % 20 AS r FROM documents),
+          |k AS (
+          |  SELECT r,
+          |    (['alpha.com','beta.org','gamma.net','delta.de'])
+          |      [r % 4 + 1] AS domain,
+          |    CASE WHEN r % 5 = 0 THEN 9 ELSE 5 END AS tc
+          |  FROM c WHERE r % 5 IN (0, 3))
+          |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(tc) AS BIGINT) AS text_chars
+          |FROM k GROUP BY domain
+          |ORDER BY domain""".stripMargin))
 
   /** q405's ASCII-safe HTTP payload subset (the WARC text sink carries
     * strings): variants 0–4, 6, 7 of [[httpVariants]] — gzip's binary
