@@ -285,6 +285,64 @@ object HtmlKit {
           Array[Any](UTF8String.fromString(href), UTF8String.fromString(t)))
       }.toArray[Any])
 
+  /** The first `<base href>` value (entity-decoded, may itself be
+    * relative — resolving it against the page URL is the caller's
+    * step), or null when the document declares none. A tiny dedicated
+    * scan: quote-aware to the tag's real `>`, name-boundary-checked
+    * both for the tag (`<basefont>` must not match) and the attribute
+    * (`data-href` must not). Total on junk.
+    */
+  def baseHref(html: UTF8String): UTF8String = {
+    val s = html.toString
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return null
+      if (s.regionMatches(true, lt + 1, "base", 0, 4) && {
+        val e = lt + 5
+        e >= n || s.charAt(e) == '>' || s.charAt(e) == '/' ||
+          s.charAt(e).isWhitespace
+      }) {
+        // scan this tag's attributes, quote-aware
+        var j = lt + 5
+        while (j < n && s.charAt(j) != '>') {
+          val c = s.charAt(j)
+          if (c == '"' || c == '\'') {
+            val q = s.indexOf(c, j + 1)
+            j = if (q < 0) n else q + 1
+          } else if (c.isLetter &&
+              s.regionMatches(true, j, "href", 0, 4) &&
+              (j + 4 >= n || !s.charAt(j + 4).isLetterOrDigit) &&
+              { val p = s.charAt(j - 1)
+                !(p.isLetterOrDigit || p == '-' || p == '_') }) {
+            var k = j + 4
+            while (k < n && s.charAt(k).isWhitespace) k += 1
+            if (k < n && s.charAt(k) == '=') {
+              k += 1
+              while (k < n && s.charAt(k).isWhitespace) k += 1
+              if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                val quote = s.charAt(k)
+                val endQ = s.indexOf(quote, k + 1)
+                val raw = s.substring(k + 1, if (endQ < 0) n else endQ)
+                val v = decodeAll(raw).trim
+                return if (v.isEmpty) null else UTF8String.fromString(v)
+              } else {
+                var e = k
+                while (e < n && !s.charAt(e).isWhitespace &&
+                  s.charAt(e) != '>') e += 1
+                val v = decodeAll(s.substring(k, e)).trim
+                return if (v.isEmpty) null else UTF8String.fromString(v)
+              }
+            } else j = k
+          } else j += 1
+        }
+        i = if (j < n) j + 1 else n
+      } else i = lt + 1
+    }
+    null
+  }
+
   private[functions] val anchorSchema: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("href", StringType,
@@ -358,4 +416,32 @@ case class HtmlAnchorsExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): HtmlAnchorsExpr = copy(child = newChild)
+}
+
+/** `graft_html_base(html)` — the first `<base href>` value via
+  * [[HtmlKit.baseHref]]; null when absent; null propagates.
+  */
+case class HtmlBaseExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_base expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_html_base"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlKit.baseHref(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => {
+      s"""
+         |${ev.value} = graft.functions.HtmlKit.baseHref($h);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlBaseExpr = copy(child = newChild)
 }

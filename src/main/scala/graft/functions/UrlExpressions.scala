@@ -130,6 +130,76 @@ object UrlKit {
       graft.sources.PublicSuffix.registrable(p(1)))
   }
 
+  /** RFC 3986 §5 reference resolution — the FETCH-oriented companion
+    * to [[canon]]: a crawl frontier must turn `href` references into
+    * absolute URLs before keying them. Handles absolute references
+    * (returned verbatim), scheme-relative `//host/..`, absolute-path
+    * `/p`, query-only `?q`, fragment-only `#f` (→ the base itself;
+    * fragments are client-side), and relative paths with §5.2.4
+    * dot-segment removal ON THE MERGED PATH (required for
+    * resolution, unlike canon's deliberate byte-preservation of
+    * as-crawled paths). Null when the base is not a parseable
+    * http(s) URL or the reference is empty.
+    */
+  def resolve(base: UTF8String, href: UTF8String): UTF8String = {
+    val h = href.toString.trim
+    if (h.isEmpty) return null
+    // absolute reference: has a scheme
+    val colon = h.indexOf(':')
+    if (colon > 0 && h.substring(0, colon)
+        .forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+        && h.charAt(0).isLetter)
+      return UTF8String.fromString(h)
+    val p = parse(base.toString)
+    if (p == null) return null
+    val Array(scheme, host, portPart, basePath, baseQuery) = p
+    val auth = s"$scheme://$host$portPart"
+    // dot removal applies to the PATH only — split the query/fragment
+    // suffix off first
+    def splitRef(s: String): (String, String) = {
+      val cut = Seq(s.indexOf('?'), s.indexOf('#'))
+        .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+      if (cut < 0) (s, "") else (s.substring(0, cut), s.substring(cut))
+    }
+    val out =
+      if (h.startsWith("//")) s"$scheme:$h"
+      else if (h.startsWith("/")) {
+        val (pp, suf) = splitRef(h)
+        auth + removeDots(pp) + suf
+      } else if (h.startsWith("?")) auth + basePath + h
+      else if (h.startsWith("#"))
+        auth + basePath +
+          (if (baseQuery.nonEmpty) "?" + baseQuery else "")
+      else {
+        // relative path: merge with the base path's directory (§5.2.3)
+        val (pp, suf) = splitRef(h)
+        val dir = basePath.lastIndexOf('/') match {
+          case -1 => "/"
+          case i => basePath.substring(0, i + 1)
+        }
+        auth + removeDots(dir + pp) + suf
+      }
+    UTF8String.fromString(out)
+  }
+
+  /** §5.2.4 remove_dot_segments over a path that starts with '/'. */
+  private def removeDots(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var trailingSlash = false
+    path.split("/", -1).foreach {
+      case "" => ()
+      case "." => trailingSlash = true
+      case ".." =>
+        if (out.nonEmpty) out.remove(out.size - 1)
+        trailingSlash = true
+      case seg => out += seg; trailingSlash = false
+    }
+    val joined = "/" + out.mkString("/")
+    if ((path.endsWith("/") || trailingSlash) && !joined.endsWith("/"))
+      joined + "/"
+    else joined
+  }
+
   /** The PSL rule KIND the [[registrableDomain]] lookup used —
     * "exact" / "wildcard" / "exception" / "default"; null on
     * non-http(s) input. "default" flags hosts bucketed by the
@@ -197,6 +267,39 @@ case class UrlPathExpr(child: Expression) extends UrlStringExpr {
     UrlKit.pathOf(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): UrlPathExpr =
     copy(child = newChild)
+}
+
+/** `graft_urlresolve(base, href)` — RFC 3986 §5 reference resolution
+  * via [[UrlKit.resolve]]; null when the base is not http(s) or the
+  * reference is empty; null inputs propagate.
+  */
+case class UrlResolveExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_urlresolve expects (STRING, STRING), got $other")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_urlresolve"
+
+  override def nullSafeEval(base: Any, href: Any): Any =
+    UrlKit.resolve(base.asInstanceOf[UTF8String],
+      href.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) => {
+      s"""
+         |${ev.value} = graft.functions.UrlKit.resolve($b, $h);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolveExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_psl_kind(url)` — the public-suffix rule kind the domain

@@ -358,6 +358,25 @@ object GraftFunctions {
       HttpTextExpr(children.head): Expression
     })
 
+  private[functions] val htmlBaseInfo = (
+    FunctionIdentifier("graft_html_base"),
+    new ExpressionInfo(classOf[HtmlBaseExpr].getName, "graft_html_base"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_html_base takes exactly 1 argument")
+      HtmlBaseExpr(children.head): Expression
+    })
+
+  private[functions] val urlResolveInfo = (
+    FunctionIdentifier("graft_urlresolve"),
+    new ExpressionInfo(classOf[UrlResolveExpr].getName,
+      "graft_urlresolve"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_urlresolve takes (base, href)")
+      UrlResolveExpr(children.head, children(1)): Expression
+    })
+
   private[functions] val htmlAnchorsInfo = (
     FunctionIdentifier("graft_html_anchors"),
     new ExpressionInfo(classOf[HtmlAnchorsExpr].getName,
@@ -412,9 +431,9 @@ object GraftFunctions {
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
       blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo,
       urlPathInfo, urlPslKindInfo, robotsInfo, robotsDelayInfo,
-      robotsSitemapsInfo, robotsSitemapUrlsInfo, htmlTextInfo,
-      htmlLinksInfo, htmlAnchorsInfo, httpInfo, httpTextInfo,
-      httpCharsetInfo, sitemapInfo)
+      robotsSitemapsInfo, robotsSitemapUrlsInfo, urlResolveInfo,
+      htmlTextInfo, htmlLinksInfo, htmlAnchorsInfo, htmlBaseInfo,
+      httpInfo, httpTextInfo, httpCharsetInfo, sitemapInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

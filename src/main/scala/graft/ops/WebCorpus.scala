@@ -218,6 +218,44 @@ object WebCorpus {
             .otherwise(struct(col("__cnt"), col("__text"))))
           .as("top_anchor"))
 
+  /** First `<base href>` of an HTML document (may itself be relative);
+    * null when absent.
+    */
+  def htmlBase(html: Column): Column =
+    call_function("graft_html_base", html)
+
+  /** RFC 3986 reference resolution: `href` made absolute against
+    * `base` (dot segments merged, scheme-relative and query-only refs
+    * handled); null when the base is not http(s).
+    */
+  def resolveUrl(base: Column, href: Column): Column =
+    call_function("graft_urlresolve", base, href)
+
+  /** [[linkGraph]] with RFC 3986 RESOLUTION (round 16): every href —
+    * relative, scheme-relative, `<base href>`-redirected — resolves
+    * to an absolute URL before the domain fold, so a page whose
+    * markup says `<base href="https://cdn.other.com/">` contributes
+    * its relative links as CROSS-DOMAIN edges instead of silently
+    * dropping them. The base itself resolves against the page URL
+    * first (it may be relative). Same shape as [[linkGraph]]: narrow
+    * explode, one (site, site)-keyed rollup; self edges drop.
+    */
+  def linkGraphResolved(docs: DataFrame, urlCol: String,
+      htmlCol: String): DataFrame =
+    docs
+      .select(col(urlCol).as("__page"),
+        coalesce(
+          resolveUrl(col(urlCol), htmlBase(col(htmlCol))),
+          col(urlCol)).as("__base"),
+        explode(htmlLinks(col(htmlCol))).as("__href"))
+      .select(domain(col("__page")).as("src_domain"),
+        domain(resolveUrl(col("__base"), col("__href")))
+          .as("dst_domain"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+
   /** Redirect graph: per (src_domain, dst_domain), how many 3xx
     * responses point where — the crawl-frontier edges a recrawl uses
     * to chase moved content and collapse mirrors. Relative `Location`

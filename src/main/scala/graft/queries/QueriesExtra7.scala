@@ -16,7 +16,7 @@ import Shared._
 private[queries] object QueriesExtra7 {
 
   def defs: Seq[QueryDef] =
-    Seq(q401, q402, q403, q404, q405, q406, q407, q408, q409)
+    Seq(q401, q402, q403, q404, q405, q406, q407, q408, q409, q410)
 
   private def b64(b: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(b)
@@ -492,6 +492,54 @@ private[queries] object QueriesExtra7 {
           |  CAST(sum(tc) AS BIGINT) AS text_chars
           |FROM k GROUP BY domain
           |ORDER BY domain""".stripMargin))
+
+  private def q410 =
+    // Resolved link graph (round 16): RFC 3986 resolution before the
+    // domain fold — relative links fold into their page (self edges
+    // drop), scheme-relative links are REAL cross edges, a
+    // `<base href>` redirects a page's relative links to another
+    // domain entirely, and absolute links pass through. The oracle
+    // replays the per-variant destination as a hand-derived CASE over
+    // the residue grid — no URL resolution code runs in it.
+    QueryDef("q410_link_graph_resolved",
+      (s, dir) => {
+        val hosts = Seq("alpha.com", "beta.org", "gamma.net")
+        def hostAt(idx: Column): Column =
+          elt((idx + 1).cast("int") +: hosts.map(lit): _*)
+        val html =
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("<a href=\"sib\">s</a><a href=\"//hub.net/x\">c</a>"))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit("<head><base href=\"https://cdn-host.net/lib/\"></head>" +
+              "<a href=\"w.js\">w</a>"))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("<a href=\"https://"),
+              hostAt(pmod(col("doc_id") + 1, lit(3))),
+              lit("/y\">n</a>")))
+          .otherwise(lit("<a href=\"only-relative\">r</a>"))
+        val docs = t(s, dir, "documents")
+          .select(concat(lit("http://"),
+            hostAt(pmod(col("doc_id"), lit(3))),
+            lit("/dir/p"), pmod(col("doc_id"), lit(10))).as("url"),
+            html.as("html"))
+        WebCorpus.linkGraphResolved(docs, "url", "html")
+          .orderBy("src_domain", "dst_domain")
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT doc_id % 3 AS s, doc_id % 4 AS v FROM documents),
+          |e AS (
+          |  SELECT (['alpha.com','beta.org','gamma.net'])[s + 1] AS src,
+          |    CASE v WHEN 0 THEN 'hub.net'
+          |      WHEN 1 THEN 'cdn-host.net'
+          |      WHEN 2 THEN (['alpha.com','beta.org','gamma.net'])
+          |        [(s + 1) % 3 + 1]
+          |    END AS dst
+          |  FROM j WHERE v IN (0, 1, 2))
+          |SELECT src AS src_domain, dst AS dst_domain,
+          |  CAST(count(*) AS BIGINT) AS n_links
+          |FROM e GROUP BY 1, 2
+          |ORDER BY src_domain, dst_domain""".stripMargin))
 
   /** q405's ASCII-safe HTTP payload subset (the WARC text sink carries
     * strings): variants 0–4, 6, 7 of [[httpVariants]] — gzip's binary

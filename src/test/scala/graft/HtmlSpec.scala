@@ -154,6 +154,43 @@ class HtmlSpec extends SparkSpec {
     assert(got.head._2.length === 512)
   }
 
+  test("baseHref finds the first <base href>; boundaries and junk hold") {
+    def base(s: String): String = {
+      val r = HtmlKit.baseHref(UTF8String.fromString(s))
+      if (r == null) null else r.toString
+    }
+    assert(base("""<head><base href="https://cdn.x.com/"></head>""") ===
+      "https://cdn.x.com/")
+    assert(base("<base href=/rel/>x") === "/rel/")
+    // first one wins; basefont is NOT base; data-href is not href
+    assert(base("""<basefont size=1><base data-href="/no" href="/a">
+      |<base href="/b">""".stripMargin) === "/a")
+    // entity decode, absent href, junk
+    assert(base("""<base href="/p?a=1&amp;b=2">""") === "/p?a=1&b=2")
+    assert(base("<base target=_blank>x") === null)
+    assert(base("no base here") === null)
+    assert(base("<base href=") === null)
+  }
+
+  test("linkGraphResolved: relative and base-redirected links become edges") {
+    val docs = Seq(
+      // relative links resolve to the page host -> self edges drop,
+      // but the scheme-relative one is a REAL cross edge
+      ("http://a.com/dir/p", "<a href=\"sib\">s</a>" +
+        "<a href=\"//b.org/x\">c</a>"),
+      // <base> redirects this page's relative links to another domain
+      ("http://a.com/q", "<head><base href=\"https://cdn-host.net/lib/\">" +
+        "</head><a href=\"w.js\">w</a><a href=\"/abs\">a</a>"))
+      .toDF("url", "html")
+    val got = WebCorpus.linkGraphResolved(docs, "url", "html")
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    // base-relative w.js -> cdn-host.net/lib/w.js; /abs -> cdn-host.net/abs
+    assert(got === Seq(
+      ("a.com", "b.org", 1L),
+      ("a.com", "cdn-host.net", 2L)))
+  }
+
   test("anchor capture does not disturb text/links outputs") {
     val h = """<p>pre</p><a href="/x">mid</a><p>post</p>"""
     assert(text(h) === "pre mid post")

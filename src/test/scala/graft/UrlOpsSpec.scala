@@ -409,6 +409,41 @@ class UrlOpsSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("resolve: RFC 3986 reference resolution against an http(s) base") {
+    def res(base: String, href: String): String = {
+      val r = UrlKit.resolve(UTF8String.fromString(base),
+        UTF8String.fromString(href))
+      if (r == null) null else r.toString
+    }
+    val b = "http://a.com/dir/page.html?q=1"
+    // absolute reference: verbatim
+    assert(res(b, "https://other.org/x") === "https://other.org/x")
+    assert(res(b, "mailto:x@y.z") === "mailto:x@y.z")
+    // scheme-relative
+    assert(res(b, "//cdn.net/lib.js") === "http://cdn.net/lib.js")
+    // absolute path replaces the base path
+    assert(res(b, "/root/x") === "http://a.com/root/x")
+    // relative merges with the base DIRECTORY
+    assert(res(b, "sib.html") === "http://a.com/dir/sib.html")
+    assert(res(b, "sub/x?y=2") === "http://a.com/dir/sub/x?y=2")
+    // dot segments collapse on the merged path (§5.2.4)
+    assert(res(b, "../up.html") === "http://a.com/up.html")
+    assert(res(b, "./here") === "http://a.com/dir/here")
+    assert(res(b, "../../../over.html") === "http://a.com/over.html")
+    assert(res(b, "/a/./b/../c") === "http://a.com/a/c")
+    // query-only and fragment-only references
+    assert(res(b, "?fresh=1") === "http://a.com/dir/page.html?fresh=1")
+    assert(res(b, "#frag") === "http://a.com/dir/page.html?q=1")
+    // trailing-slash handling
+    assert(res("http://a.com/d/", "x/") === "http://a.com/d/x/")
+    assert(res("http://a.com/d/", "..") === "http://a.com/")
+    // ports and non-default schemes survive
+    assert(res("https://a.com:8443/p/q", "/r") === "https://a.com:8443/r")
+    // junk base or empty href -> null
+    assert(res("not a url", "/x") === null)
+    assert(res(b, "  ") === null)
+  }
+
   test("a UTF-8 BOM on the first robots line is tolerated (RFC 9309 §2.3)") {
     import graft.functions.RobotsKit
     val bom = "\uFEFF"
