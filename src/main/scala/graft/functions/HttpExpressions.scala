@@ -76,18 +76,40 @@ object HttpKit {
     new String(b, start, e - start, Ascii)
   }
 
-  def parseEnvelope(payload: Array[Byte]): Envelope = {
-    val raw = Envelope(null, null, null, null, payload)
+  /** Header-only parse result: the envelope fields that cost nothing
+    * to produce (no body copy, no dechunk, no inflate) plus what the
+    * body step needs to pick up where the head left off.
+    */
+  private[graft] final case class Head(status: Int, contentType: String,
+      charsetParam: String, location: String, headerEnd: Int,
+      chunked: Boolean, coding: String)
+
+  /** Instrumentation: how many BODY materializations (copy + dechunk +
+    * content-decode) have run in this JVM — the single-parse contract
+    * of the ingest tier is asserted against this (HttpSpec). LongAdder:
+    * executor threads bump it concurrently in local mode.
+    */
+  private[graft] val bodyDecodeCount = new java.util.concurrent.atomic.LongAdder
+  /** Instrumentation twin for header-only parses. */
+  private[graft] val headParseCount = new java.util.concurrent.atomic.LongAdder
+
+  /** Parse the status line + header block only — null when the payload
+    * is not a well-formed HTTP envelope. This is the CHEAP half of
+    * [[parseEnvelope]]: a gate that only needs status/media-type rides
+    * this and leaves the body untouched (no allocation ∝ body size).
+    */
+  private[graft] def parseHead(payload: Array[Byte]): Head = {
+    headParseCount.increment()
     val n = payload.length
-    if (n < 12 || !startsWith(payload, "HTTP/")) return raw
+    if (n < 12 || !startsWith(payload, "HTTP/")) return null
     // status line: HTTP/x.y SP 3DIGIT ...
     val lineEnd = indexOf(payload, '\n'.toByte, 0)
-    if (lineEnd < 0) return raw
+    if (lineEnd < 0) return null
     val statusLine = asciiLine(payload, 0, lineEnd)
     val sp = statusLine.indexOf(' ')
-    if (sp < 0 || sp + 4 > statusLine.length) return raw
+    if (sp < 0 || sp + 4 > statusLine.length) return null
     val code = statusLine.substring(sp + 1, sp + 4)
-    if (!code.forall(_.isDigit)) return raw
+    if (!code.forall(_.isDigit)) return null
     val status = code.toInt
     // header block: lines until the first empty one
     var i = lineEnd + 1
@@ -96,7 +118,7 @@ object HttpKit {
     var curLine: StringBuilder = null
     while (headerEnd < 0 && i <= n) {
       val e = indexOf(payload, '\n'.toByte, i)
-      if (e < 0) return raw // no terminator: not a well-formed envelope
+      if (e < 0) return null // no terminator: not a well-formed envelope
       val line = asciiLine(payload, i, e)
       if (line.isEmpty) {
         if (curLine != null) headers += curLine.result()
@@ -139,11 +161,20 @@ object HttpKit {
         }
       }
     }
-    var body = java.util.Arrays.copyOfRange(payload, headerEnd, n)
-    if (chunked) body = dechunk(body)
-    if (coding == "gzip" || coding == "x-gzip") body = tryGunzip(body)
-    else if (coding == "deflate") body = tryInflate(body)
-    Envelope(status, contentType, charsetParam, location, body)
+    Head(status, contentType, charsetParam, location, headerEnd,
+      chunked, coding)
+  }
+
+  def parseEnvelope(payload: Array[Byte]): Envelope = {
+    val h = parseHead(payload)
+    if (h == null) return Envelope(null, null, null, null, payload)
+    bodyDecodeCount.increment()
+    var body =
+      java.util.Arrays.copyOfRange(payload, h.headerEnd, payload.length)
+    if (h.chunked) body = dechunk(body)
+    if (h.coding == "gzip" || h.coding == "x-gzip") body = tryGunzip(body)
+    else if (h.coding == "deflate") body = tryInflate(body)
+    Envelope(h.status, h.contentType, h.charsetParam, h.location, body)
   }
 
   /** `charset=token` out of Content-Type params, quotes stripped,
@@ -211,33 +242,52 @@ object HttpKit {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Decompression-bomb guard: the decoded body may grow to at most
+    * max(64 × input, 1 MiB), hard-capped at 256 MiB. DEFLATE tops out
+    * near 1000:1, so a stream that blows past 64× on crawl-sized
+    * bodies is hostile by construction — exceeding the cap is treated
+    * exactly like any other decode failure (raw bytes returned), never
+    * an executor-killing allocation. Real compressed HTML sits at
+    * 3–10×, far under the cap.
+    */
+  private def drainCap(inputLen: Int): Long =
+    math.min(math.max(64L * inputLen, 1L << 20), 256L << 20)
+
   private def tryGunzip(b: Array[Byte]): Array[Byte] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b), 8192)
-      drain(in, b.length * 4 + 64)
+      drain(in, b.length * 4 + 64, drainCap(b.length))
     } catch { case _: java.io.IOException => b }
 
   private def tryInflate(b: Array[Byte]): Array[Byte] =
     try { // zlib-wrapped first (the spec), raw deflate as the real world
       val in = new java.util.zip.InflaterInputStream(
         new java.io.ByteArrayInputStream(b))
-      drain(in, b.length * 4 + 64)
+      drain(in, b.length * 4 + 64, drainCap(b.length))
     } catch {
       case _: java.io.IOException =>
         try {
           val in = new java.util.zip.InflaterInputStream(
             new java.io.ByteArrayInputStream(b),
             new java.util.zip.Inflater(true))
-          drain(in, b.length * 4 + 64)
+          drain(in, b.length * 4 + 64, drainCap(b.length))
         } catch { case _: java.io.IOException => b }
     }
 
-  private def drain(in: java.io.InputStream, hint: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(64, hint))
+  private def drain(in: java.io.InputStream, hint: Int,
+      cap: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(hint.toLong, cap).toInt))
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      if (out.size.toLong + n > cap)
+        throw new java.io.IOException(
+          s"decoded body exceeds the ${cap}-byte decompression cap")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 
@@ -333,6 +383,33 @@ object HttpKit {
     StructField("location", StringType, nullable = true),
     StructField("body", BinaryType, nullable = false)))
 
+  private val headSchema = StructType(Seq(
+    StructField("status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("charset", StringType, nullable = true),
+    StructField("location", StringType, nullable = true)))
+
+  /** Header-only envelope row: status / media type / DECLARED charset
+    * (normalized; null when absent or unresolvable — unlike
+    * [[envelopeRow]] it cannot fall back to a body sniff, because it
+    * deliberately never touches the body) / Location. The gate-side
+    * kernel of the single-parse ingest contract: filters ride this,
+    * and the body is copied + dechunked + inflated exactly once, in
+    * the text kernel, for rows that survive.
+    */
+  def headRow(payload: Array[Byte]): InternalRow = {
+    val h = parseHead(payload)
+    if (h == null) return new GenericInternalRow(
+      Array[Any](null, null, null, null))
+    new GenericInternalRow(Array[Any](
+      h.status,
+      if (h.contentType == null) null
+      else UTF8String.fromString(h.contentType),
+      if (h.charsetParam == null || !resolvable(h.charsetParam)) null
+      else UTF8String.fromString(normalizeName(h.charsetParam)),
+      if (h.location == null) null else UTF8String.fromString(h.location)))
+  }
+
   def envelopeRow(payload: Array[Byte]): InternalRow = {
     val e = parseEnvelope(payload)
     new GenericInternalRow(Array[Any](
@@ -361,6 +438,36 @@ object HttpKit {
   }
 
   private[functions] def schema: StructType = envelopeSchema
+  private[functions] def headStructSchema: StructType = headSchema
+}
+
+/** `graft_http_head(payload_bytes)` → struct(status, content_type,
+  * charset, location): the HEADER-ONLY envelope parse — no body copy,
+  * no dechunk, no inflate. This is what a status/MIME gate should
+  * evaluate: under predicate pushdown a filter expression can be
+  * duplicated across operators, and duplicating a head parse costs a
+  * few hundred scanned bytes where duplicating [[HttpEnvelopeExpr]]
+  * re-inflates the body. `charset` is the normalized DECLARED header
+  * param (null when absent/unresolvable — a body sniff needs the
+  * body); non-HTTP payloads yield an all-null struct.
+  */
+case class HttpHeadExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_http_head expects BINARY, got ${other.catalogString}")
+  }
+  override def dataType: DataType = HttpKit.headStructSchema
+  override def prettyName: String = "graft_http_head"
+
+  override def nullSafeEval(payload: Any): Any =
+    HttpKit.headRow(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.HttpKit.headRow($p)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HttpHeadExpr = copy(child = newChild)
 }
 
 /** `graft_http(payload_bytes)` → struct(status, content_type, charset,

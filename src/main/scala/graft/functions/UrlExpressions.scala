@@ -133,43 +133,51 @@ object UrlKit {
   /** RFC 3986 §5 reference resolution — the FETCH-oriented companion
     * to [[canon]]: a crawl frontier must turn `href` references into
     * absolute URLs before keying them. Handles absolute references
-    * (returned verbatim), scheme-relative `//host/..`, absolute-path
-    * `/p`, query-only `?q`, fragment-only `#f` (→ the base itself;
-    * fragments are client-side), and relative paths with §5.2.4
-    * dot-segment removal ON THE MERGED PATH (required for
-    * resolution, unlike canon's deliberate byte-preservation of
-    * as-crawled paths). Null when the base is not a parseable
-    * http(s) URL or the reference is empty.
+    * (http(s) ones get §5.2.2 `remove_dot_segments` applied to their
+    * OWN path — `http://a/b/../c` and `http://a/c` must key one
+    * frontier entry; other schemes pass verbatim), scheme-relative
+    * `//host/..`, absolute-path `/p`, query-only `?q`, fragment-only
+    * `#f` (→ the base itself), and relative paths with §5.2.4
+    * dot-segment removal ON THE MERGED PATH (required for resolution,
+    * unlike canon's deliberate byte-preservation of as-crawled
+    * paths). Every resolved output is FRAGMENT-FREE: fragments are
+    * client-side, and a frontier keyed on resolved URLs must not
+    * treat `/x` and `/x#f` as distinct pages. Null when the base is
+    * not a parseable http(s) URL or the reference is empty.
     */
   def resolve(base: UTF8String, href: UTF8String): UTF8String = {
-    val h = href.toString.trim
-    if (h.isEmpty) return null
+    val h0 = href.toString.trim
+    if (h0.isEmpty) return null
     // absolute reference: has a scheme
-    val colon = h.indexOf(':')
-    if (colon > 0 && h.substring(0, colon)
+    val colon = h0.indexOf(':')
+    if (colon > 0 && h0.substring(0, colon)
         .forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
-        && h.charAt(0).isLetter)
-      return UTF8String.fromString(h)
+        && h0.charAt(0).isLetter)
+      return UTF8String.fromString(absClean(h0))
     val p = parse(base.toString)
     if (p == null) return null
     val Array(scheme, host, portPart, basePath, baseQuery) = p
     val auth = s"$scheme://$host$portPart"
-    // dot removal applies to the PATH only — split the query/fragment
-    // suffix off first
+    // fragment-only reference → the base itself (handled on the RAW
+    // reference: "#f" must not become an empty reference below)
+    if (h0.charAt(0) == '#')
+      return UTF8String.fromString(auth + basePath +
+        (if (baseQuery.nonEmpty) "?" + baseQuery else ""))
+    // all other resolved outputs drop the fragment up front
+    val hashAt = h0.indexOf('#')
+    val h = if (hashAt >= 0) h0.substring(0, hashAt) else h0
+    if (h.isEmpty) return null
+    // dot removal applies to the PATH only — split the query off first
     def splitRef(s: String): (String, String) = {
-      val cut = Seq(s.indexOf('?'), s.indexOf('#'))
-        .filter(_ >= 0).sorted.headOption.getOrElse(-1)
-      if (cut < 0) (s, "") else (s.substring(0, cut), s.substring(cut))
+      val qAt = s.indexOf('?')
+      if (qAt < 0) (s, "") else (s.substring(0, qAt), s.substring(qAt))
     }
     val out =
-      if (h.startsWith("//")) s"$scheme:$h"
+      if (h.startsWith("//")) absClean(s"$scheme:$h")
       else if (h.startsWith("/")) {
         val (pp, suf) = splitRef(h)
         auth + removeDots(pp) + suf
       } else if (h.startsWith("?")) auth + basePath + h
-      else if (h.startsWith("#"))
-        auth + basePath +
-          (if (baseQuery.nonEmpty) "?" + baseQuery else "")
       else {
         // relative path: merge with the base path's directory (§5.2.3)
         val (pp, suf) = splitRef(h)
@@ -180,6 +188,22 @@ object UrlKit {
         auth + removeDots(dir + pp) + suf
       }
     UTF8String.fromString(out)
+  }
+
+  /** §5.2.2 applied to an ABSOLUTE reference: http(s) URLs re-serialize
+    * with `remove_dot_segments` on their own path and the fragment
+    * dropped (plus the lowercased host / default-port normalization
+    * [[parse]] performs — all frontier-key-preserving); anything that
+    * does not parse as http(s) (mailto:, javascript:, a junk
+    * authority) returns verbatim, the pre-round-17 behavior.
+    */
+  private def absClean(s: String): String = {
+    val p = parse(s)
+    if (p == null) s
+    else {
+      val q = if (p(4).nonEmpty) "?" + p(4) else ""
+      s"${p(0)}://${p(1)}${p(2)}${removeDots(p(3))}$q"
+    }
   }
 
   /** §5.2.4 remove_dot_segments over a path that starts with '/'. */

@@ -349,6 +349,15 @@ object GraftFunctions {
       HttpEnvelopeExpr(children.head): Expression
     })
 
+  private[functions] val httpHeadInfo = (
+    FunctionIdentifier("graft_http_head"),
+    new ExpressionInfo(classOf[HttpHeadExpr].getName, "graft_http_head"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_http_head takes exactly 1 argument")
+      HttpHeadExpr(children.head): Expression
+    })
+
   private[functions] val httpTextInfo = (
     FunctionIdentifier("graft_http_text"),
     new ExpressionInfo(classOf[HttpTextExpr].getName, "graft_http_text"),
@@ -433,7 +442,7 @@ object GraftFunctions {
       urlPathInfo, urlPslKindInfo, robotsInfo, robotsDelayInfo,
       robotsSitemapsInfo, robotsSitemapUrlsInfo, urlResolveInfo,
       htmlTextInfo, htmlLinksInfo, htmlAnchorsInfo, htmlBaseInfo,
-      httpInfo, httpTextInfo, httpCharsetInfo, sitemapInfo)
+      httpInfo, httpHeadInfo, httpTextInfo, httpCharsetInfo, sitemapInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -148,36 +148,51 @@ object CorpusPipeline {
     * aggregate shuffle, no join-back, and ties that min-id keying
     * could not break (equal ids, different bodies) break on text.
     * Unparseable URLs pass through untouched (the urlDedup contract).
+    * `glob` selects the WARC files (default: our own writer's
+    * `part-*`; a Common Crawl-style directory passes `"*.warc.gz"`) —
+    * zero matches fail loudly. The HTTP envelope is parsed once per
+    * record: header-only for the gate, full (body decode included)
+    * only for gate-passing rows.
     */
   def fromWarc(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val e = WebCorpus.httpEnvelope(col("payload_bytes"))
-    val gate = col("__s") >= 200 && col("__s") <= 299 &&
-      (col("__ct") === "text/html" ||
-        col("__ct") === "application/xhtml+xml")
-    val docs = graft.sources.Warc.readBinary(spark, dir)
-      .select(col("warc_file").as("source"), col("url"),
-        e.getField("status").as("__s"),
-        e.getField("content_type").as("__ct"),
-        col("payload_bytes"))
+      dir: String, glob: String = "part-*"): DataFrame = {
+    // Single-parse discipline (round 17): the status/MIME gate rides
+    // the HEADER-ONLY parse (no body copy/dechunk/inflate — cheap even
+    // if predicate pushdown duplicates it), and the body decodes
+    // exactly ONCE, inside the text kernel, for gate-passing rows
+    // only. The empty-text drop is an explode over a filtered 0/1-
+    // element array rather than a Filter node: a Filter on the text
+    // column would push through the projection and re-run the whole
+    // decode+extract kernel a second time per surviving row (the
+    // round-16 double-parse, HttpSpec-pinned now).
+    val h = WebCorpus.httpHead(col("payload_bytes"))
+    val gate = h.getField("status") >= 200 && h.getField("status") <= 299 &&
+      (h.getField("content_type") === "text/html" ||
+        h.getField("content_type") === "application/xhtml+xml")
+    val textK = WebCorpus.htmlText(WebCorpus.httpText(col("payload_bytes")))
+    val docs = graft.sources.Warc.readBinary(spark, dir, glob)
       .where(gate)
       .select(
-        xxhash64(col("url"), col("source")).as("doc_id"),
-        col("source"), col("url"),
+        xxhash64(col("url"), col("warc_file")).as("doc_id"),
+        col("warc_file").as("source"), col("url"),
         WebCorpus.domain(col("url")).as("domain"),
-        WebCorpus.htmlText(
-          WebCorpus.httpText(col("payload_bytes"))).as("text"))
-      .where(length(col("text")) > 0)
+        explode(filter(array(textK), t => length(t) > 0)).as("text"))
     val row = struct(col("doc_id"), col("source"), col("url"),
       col("domain"), col("text"))
-    val withCanon = docs
-      .withColumn("__canon", WebCorpus.canonUrl(col("url")))
-    withCanon.where(col("__canon").isNotNull)
-      .groupBy("__canon")
+    // ONE scan, one shuffle: rows whose URL does not canonicalize get a
+    // per-row synthetic group key (NUL-prefixed, disjoint from any
+    // canonical URL) so they pass through as singleton groups instead
+    // of riding a second filtered branch of the same scan — the
+    // round-16 unionByName shape decoded every payload TWICE, once per
+    // branch (the single-parse counter in HttpSpec pins this too).
+    docs
+      .withColumn("__grp", coalesce(
+        WebCorpus.canonUrl(col("url")),
+        concat(lit("\u0000"), col("url"), lit("\u0000"),
+          monotonically_increasing_id().cast("string"))))
+      .groupBy("__grp")
       .agg(min_by(row, struct(col("doc_id"), col("text"))).as("__r"))
       .select(col("__r.*"))
-      .unionByName(withCanon.where(col("__canon").isNull)
-        .drop("__canon"))
   }
 
   /** The INDEX-ONLY corpus health report — the nightly dashboard a

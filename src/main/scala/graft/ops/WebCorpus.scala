@@ -130,6 +130,20 @@ object WebCorpus {
   def httpEnvelope(payloadBytes: Column): Column =
     call_function("graft_http", payloadBytes)
 
+  /** HEADER-ONLY envelope parse of a raw WARC payload
+    * ([[graft.functions.HttpKit.headRow]]): struct(status,
+    * content_type, charset, location) with the body left untouched —
+    * no copy, no dechunk, no inflate. Status/MIME gates should ride
+    * THIS: Catalyst's predicate pushdown may duplicate a filter
+    * expression across operators, and a duplicated head parse rescans
+    * a few hundred header bytes where a duplicated [[httpEnvelope]]
+    * re-inflates the body (the round-16 `fromWarc` double-decode).
+    * `charset` here is the DECLARED header param only (normalized;
+    * null when absent/unresolvable).
+    */
+  def httpHead(payloadBytes: Column): Column =
+    call_function("graft_http_head", payloadBytes)
+
   /** Charset-aware body text of a raw WARC payload: envelope parse,
     * charset sniff (header param → meta tag → BOM → windows-1252),
     * REPLACE-decode. The lossless replacement for forcing UTF-8 on
@@ -154,7 +168,11 @@ object WebCorpus {
     */
   def httpFunnel(docs: DataFrame, sourceCol: String,
       payloadBytesCol: String): DataFrame = {
-    val e = httpEnvelope(col(payloadBytesCol))
+    // Gate fields off the HEAD parse: status/content_type need no body
+    // work, so the funnel's body decode runs only inside the gated
+    // `when` below — once per gate-passing row, never for the 4xx /
+    // non-HTML / non-HTTP majority of a real crawl cut.
+    val e = httpHead(col(payloadBytesCol))
     docs
       .select(col(sourceCol), e.getField("status").as("__status"),
         e.getField("content_type").as("__ct"), col(payloadBytesCol))
@@ -258,23 +276,30 @@ object WebCorpus {
 
   /** Redirect graph: per (src_domain, dst_domain), how many 3xx
     * responses point where — the crawl-frontier edges a recrawl uses
-    * to chase moved content and collapse mirrors. Relative `Location`
-    * values resolve to the SOURCE domain (they cannot leave the
-    * host); sources with no registrable domain drop. Narrow envelope
-    * pass + one |domain-pairs| rollup.
+    * to chase moved content and collapse mirrors. The `Location`
+    * value RESOLVES against the source URL first (RFC 3986), so
+    * relative paths fold into the source domain and SCHEME-RELATIVE
+    * targets (`Location: //other.net/x`) become the cross-domain
+    * edges they are — a bare `domain()` would null on them and
+    * mis-attribute the edge to the source. Sources with no
+    * registrable domain drop. Narrow head-parse pass (status +
+    * Location need no body decode) + one |domain-pairs| rollup.
     */
   def redirectGraph(docs: DataFrame, urlCol: String,
       payloadBytesCol: String): DataFrame = {
-    val e = httpEnvelope(col(payloadBytesCol))
+    val e = httpHead(col(payloadBytesCol))
     docs
       .select(domain(col(urlCol)).as("src_domain"),
+        col(urlCol).as("__src_url"),
         e.getField("status").as("__s"),
         e.getField("location").as("__loc"))
       .where(col("__s") >= 300 && col("__s") <= 399 &&
         col("__loc").isNotNull && col("src_domain").isNotNull)
       .select(col("src_domain"),
-        coalesce(domain(col("__loc")), col("src_domain"))
-          .as("dst_domain"))
+        coalesce(
+          domain(coalesce(resolveUrl(col("__src_url"), col("__loc")),
+            col("__loc"))),
+          col("src_domain")).as("dst_domain"))
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("n_redirects"))
   }

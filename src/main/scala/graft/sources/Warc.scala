@@ -60,6 +60,40 @@ object Warc {
   private val MaxHeaderLine = 1 << 20
   private val MaxRecordBytes = Int.MaxValue.toLong - 16L
 
+  /** Default read glob: the part files our own text-sink writer
+    * produces. A directory a FOREIGN crawler wrote (`*.warc.gz` names,
+    * the Common Crawl layout) needs an explicit glob — and a glob that
+    * matches NOTHING is an error, never a silent empty frame.
+    */
+  private val DefaultGlob = "part-*"
+
+  /** Resolve `dir`/`glob` against the session's filesystem and fail
+    * LOUDLY on zero matches: a reader that returns an empty DataFrame
+    * for a mis-globbed directory of real WARC files hides the most
+    * common integration mistake there is.
+    */
+  private def globbed(spark: SparkSession, dir: String,
+      glob: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = fs.globStatus(p)
+    require(matched != null && matched.nonEmpty,
+      s"no WARC files match $p — a foreign-written directory needs an " +
+        """explicit glob (e.g. read(spark, dir, "*.warc.gz"))""")
+    p.toString
+  }
+
+  /** Close the iterator (and its underlying stream) when Spark
+    * abandons it early — `limit`/`take` or a downstream failure leaves
+    * a flatMap iterator mid-stream, and without this hook the open
+    * file handle lives until the EXECUTOR exits, not the task.
+    */
+  private def closeOnTaskEnd(it: WarcRecordIterator): WarcRecordIterator = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => it.close())
+    it
+  }
+
   /** Write (url, payload) rows as WARC/1.0 response records. */
   def write(df: DataFrame, dir: String, urlCol: String,
       payloadCol: String): Unit =
@@ -90,22 +124,57 @@ object Warc {
       octet_length(col(payloadCol)).cast("string"), lit("\r\n\r\n"),
       col(payloadCol), lit("\r\n\r")).as("value")
 
+  /** Typed-record writer: rows carry their own WARC-Type. `response` /
+    * `resource` rows frame exactly like [[write]]; `revisit` rows add
+    * the WARC/1.1 identical-payload-digest profile URI and
+    * `WARC-Refers-To-Target-URI: <refersToCol>` — the "this capture
+    * duplicates that earlier one" marker real crawls (Common Crawl
+    * included) emit instead of re-storing the payload. Null refers-to
+    * values omit the header.
+    */
+  def writeTyped(df: DataFrame, dir: String, urlCol: String,
+      payloadCol: String, typeCol: String, refersToCol: String,
+      gzip: Boolean = false): Unit = {
+    val rec = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: "), col(typeCol), lit("\r\n"),
+      lit("WARC-Record-ID: <urn:graft:"), col(urlCol), lit(">\r\n"),
+      lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
+      when(col(typeCol) === "revisit",
+        concat(
+          lit("WARC-Profile: http://netpreserve.org/warc/1.1/" +
+            "revisit/identical-payload-digest\r\n"),
+          when(col(refersToCol).isNotNull,
+            concat(lit("WARC-Refers-To-Target-URI: "),
+              col(refersToCol), lit("\r\n")))
+            .otherwise(lit(""))))
+        .otherwise(lit("")),
+      lit(s"WARC-Date: $FixedDate\r\n"),
+      lit("Content-Length: "),
+      octet_length(col(payloadCol)).cast("string"), lit("\r\n\r\n"),
+      col(payloadCol), lit("\r\n\r")).as("value")
+    val w = df.select(rec).write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).text(dir)
+  }
+
   /** Read a WARC directory back as (warc_file, url, payload, n_bytes).
     * One record-streaming iterator per file — narrow, no shuffle, task
     * memory ∝ largest record ([[WarcRecordIterator]]). Payload is
     * UTF-8-decoded per record; [[readBinary]] keeps the raw bytes for
     * charset-aware pipelines.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+      glob: String = DefaultGlob): DataFrame = {
     import spark.implicits._
     spark.createDataset(
-      spark.sparkContext.binaryFiles(dir + "/part-*")
+      spark.sparkContext.binaryFiles(globbed(spark, dir, glob))
         .flatMap { case (path, pds) =>
           val file = path.substring(path.lastIndexOf('/') + 1)
-          new WarcRecordIterator(pds.open()).map { case (url, payload) =>
-            (file, url, new String(payload, "UTF-8"),
-              payload.length.toLong)
-          }
+          closeOnTaskEnd(new WarcRecordIterator(pds.open()))
+            .map { case (url, payload) =>
+              (file, url, new String(payload, "UTF-8"),
+                payload.length.toLong)
+            }
         })
       .toDF("warc_file", "url", "payload", "n_bytes")
   }
@@ -115,27 +184,67 @@ object Warc {
     * HTTP-envelope parsing and charset sniffing, where a forced UTF-8
     * decode is lossy (real crawls are ~15–20% non-UTF-8).
     */
-  def readBinary(spark: SparkSession, dir: String): DataFrame = {
+  def readBinary(spark: SparkSession, dir: String,
+      glob: String = DefaultGlob): DataFrame = {
     import spark.implicits._
     spark.createDataset(
-      spark.sparkContext.binaryFiles(dir + "/part-*")
+      spark.sparkContext.binaryFiles(globbed(spark, dir, glob))
         .flatMap { case (path, pds) =>
           val file = path.substring(path.lastIndexOf('/') + 1)
-          new WarcRecordIterator(pds.open()).map { case (url, payload) =>
-            (file, url, payload, payload.length.toLong)
-          }
+          closeOnTaskEnd(new WarcRecordIterator(pds.open()))
+            .map { case (url, payload) =>
+              (file, url, payload, payload.length.toLong)
+            }
         })
       .toDF("warc_file", "url", "payload_bytes", "n_bytes")
   }
 
-  /** Streaming twin of [[read]]: watch `dir` for newly-landed WARC
-    * files (the shape a crawler actually produces — a directory that
-    * grows by whole files) and emit each file's records exactly once.
-    * The streaming `binaryFile` source hands whole-file bytes (that is
-    * its contract); the walk still streams RECORDS off them — no
-    * inflated-copy or all-payloads materialization on top.
+  /** The `revisit` records of a WARC directory as
+    * (warc_file, url, refers_to) rows — the dedup signal a real crawl
+    * EMITS instead of re-storing an unchanged payload: `url` was
+    * captured again and its body is byte-identical to the earlier
+    * capture of `refers_to` (the WARC/1.1 identical-payload-digest
+    * profile). Feeding these into URL-dedup groups lets a recrawl
+    * dedup WITHOUT re-extracting anything ([[graft.ops.WebCorpus
+    * .revisitDedupGroups]]); `refers_to` is null when the record
+    * carries no WARC-Refers-To-Target-URI. Same record-streaming walk
+    * and task-completion hygiene as [[read]].
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
+  def readRevisits(spark: SparkSession, dir: String,
+      glob: String = DefaultGlob): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(
+      spark.sparkContext.binaryFiles(globbed(spark, dir, glob))
+        .flatMap { case (path, pds) =>
+          val file = path.substring(path.lastIndexOf('/') + 1)
+          closeOnTaskEnd(
+            new WarcRecordIterator(pds.open(), emitRevisits = true))
+            .map { case (url, refBytes) =>
+              (file, url,
+                if (refBytes.isEmpty) null
+                else new String(refBytes, "UTF-8"))
+            }
+        })
+      .toDF("warc_file", "url", "refers_to")
+  }
+
+  /** The streaming FILE-PATH feed both streaming twins ride: the
+    * `binaryFile` source tracks arrivals exactly-once, but its
+    * `content` column is whole-file bytes — so the projection keeps
+    * ONLY `path` (the source's reader builds just the requested
+    * columns; file bytes are never materialized) and each task opens
+    * its file itself and walks it with the same record-streaming
+    * iterator as the batch path. Task memory is ∝ one record at any
+    * file size, the r16 batch-path guarantee extended to streaming
+    * (the r15/r16 twins held whole files per the source contract).
+    *
+    * Streaming default glob is `*`, not the batch `part-*`: a landing
+    * directory receives CRAWLER-named files (`a.warc`, `*.warc.gz`),
+    * and the source itself already ignores nothing silently — every
+    * landed file is either parsed or fails the strict walk loudly.
+    */
+  private def streamPaths(spark: SparkSession, dir: String,
+      glob: String): org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     spark.readStream.format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -147,12 +256,39 @@ object Warc {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", glob)
       .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+      .select(col("path"))
+      .as[String]
+  }
+
+  /** Open a landed file task-side for the record walk. Config note:
+    * the task re-derives filesystem config from Hadoop defaults
+    * (local/HDFS paths resolve as-is); a filesystem needing
+    * session-specific credentials should land files somewhere the
+    * cluster's core-site already covers.
+    */
+  private def openPath(path: String): java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  }
+
+  /** Streaming twin of [[read]]: watch `dir` for newly-landed WARC
+    * files (the shape a crawler actually produces — a directory that
+    * grows by whole files) and emit each file's records exactly once.
+    * RECORD-STREAMING like the batch path (round 17): only file PATHS
+    * flow through the source; tasks open and walk their file through
+    * the same fixed-buffer iterator, so a multi-GB landed file never
+    * materializes. Use `option`-level trigger limits upstream
+    * (`maxFilesPerTrigger`) to bound batch size by file count.
+    */
+  def readStream(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    streamPaths(spark, dir, glob)
+      .flatMap { path =>
         val file = path.substring(path.lastIndexOf('/') + 1)
-        new WarcRecordIterator(new java.io.ByteArrayInputStream(bytes))
+        closeOnTaskEnd(new WarcRecordIterator(openPath(path)))
           .map { case (url, payload) =>
             (file, url, new String(payload, "UTF-8"),
               payload.length.toLong)
@@ -164,26 +300,16 @@ object Warc {
   /** Streaming twin of [[readBinary]]: raw payload BYTES per record
     * (warc_file, url, payload_bytes, n_bytes) off the landing
     * directory — the lossless shape for the HTTP-envelope/charset
-    * tier (a UTF-8 string hop corrupts non-UTF-8 bodies).
+    * tier (a UTF-8 string hop corrupts non-UTF-8 bodies). Same
+    * path-only source + task-side record walk as [[readStream]].
     */
-  def readStreamBinary(spark: SparkSession, dir: String): DataFrame = {
+  def readStreamBinary(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
     import spark.implicits._
-    spark.readStream.format("binaryFile")
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("path",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("modificationTime",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("length",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("content",
-          org.apache.spark.sql.types.BinaryType))))
-      .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+    streamPaths(spark, dir, glob)
+      .flatMap { path =>
         val file = path.substring(path.lastIndexOf('/') + 1)
-        new WarcRecordIterator(new java.io.ByteArrayInputStream(bytes))
+        closeOnTaskEnd(new WarcRecordIterator(openPath(path)))
           .map { case (url, payload) =>
             (file, url, payload, payload.length.toLong)
           }
@@ -203,11 +329,16 @@ object Warc {
 
   /** The record-streaming strict walk: pulls ONE record at a time off
     * a buffered (gzip-sniffed) stream. `(url, payloadBytes)` per
-    * record; any malformation throws `IllegalArgumentException` with
-    * the inflated-byte position; the underlying stream is closed at
-    * EOF and on failure.
+    * content record — or, with `emitRevisits`, `(url, refersToBytes)`
+    * per `revisit` record (UTF-8 of WARC-Refers-To-Target-URI, empty
+    * when absent) with content records skipped instead. Any
+    * malformation throws `IllegalArgumentException` with the
+    * inflated-byte position; the underlying stream is closed at EOF,
+    * on failure, and via [[close]] (the task-completion hook for
+    * early-abandoned iterators).
     */
-  private[graft] final class WarcRecordIterator(raw: java.io.InputStream)
+  private[graft] final class WarcRecordIterator(raw: java.io.InputStream,
+      emitRevisits: Boolean = false)
       extends Iterator[(String, Array[Byte])] {
 
     private val in: java.io.InputStream = {
@@ -231,6 +362,16 @@ object Warc {
 
     private def closeQuietly(): Unit =
       try in.close() catch { case _: java.io.IOException => () }
+
+    /** Idempotent early shutdown: mark the walk finished and release
+      * the underlying stream — registered as a task-completion
+      * listener so `limit`/`take`/failed tasks cannot leak handles.
+      */
+    private[graft] def close(): Unit = {
+      finished = true
+      nextRec = null
+      closeQuietly()
+    }
 
     private def fail(msg: String): Nothing = {
       closeQuietly()
@@ -314,14 +455,21 @@ object Warc {
         val warcType = headers.getOrElse("warc-type", "response")
           .toLowerCase(java.util.Locale.ROOT)
         val isContent = warcType == "response" || warcType == "resource"
-        if (isContent && !headers.contains("warc-target-uri"))
+        val isRevisit = warcType == "revisit"
+        val emits = if (emitRevisits) isRevisit else isContent
+        if (emits && !headers.contains("warc-target-uri"))
           fail(s"$warcType record missing WARC-Target-URI")
         val payload = readExact(len.toInt, "payload")
         val tail = readExact(4, "record separator")
         if (!(tail(0) == '\r' && tail(1) == '\n' &&
               tail(2) == '\r' && tail(3) == '\n'))
           fail("missing record separator")
-        if (isContent) nextRec = (headers("warc-target-uri"), payload)
+        if (emits) nextRec =
+          if (emitRevisits)
+            (headers("warc-target-uri"),
+              headers.getOrElse("warc-refers-to-target-uri", "")
+                .getBytes("UTF-8"))
+          else (headers("warc-target-uri"), payload)
       }
     }
 

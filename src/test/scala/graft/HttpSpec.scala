@@ -208,4 +208,116 @@ class HttpSpec extends SparkSpec {
     assert(plan.contains("Exchange")) // exactly the one rollup shuffle
     assert(plan.split("Exchange", -1).length == 2, plan)
   }
+
+  test("a decompression bomb is capped: raw bytes back, never a huge allocation") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    // 64 MiB of zeros gzips to ~64 KiB — a >1000:1 hostile ratio. The
+    // cap is max(64 × input, 1 MiB), far under 64 MiB, so the decode
+    // must bail and return the RAW compressed bytes (the standard
+    // decode-failure contract), not OOM the executor.
+    val bomb = gz(new Array[Byte](64 << 20))
+    assert(bomb.length < (1 << 20), s"fixture not a bomb: ${bomb.length}")
+    val e = env(("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes("UTF-8") ++ bomb)
+    assert(e.status === 200)
+    assert(java.util.Arrays.equals(e.body, bomb),
+      "capped decode must return the raw body unchanged")
+    // deflate twin (zlib wrapping)
+    val dbos = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(dbos)
+    dos.write(new Array[Byte](64 << 20)); dos.close()
+    val dBomb = dbos.toByteArray
+    val ed = env(("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n")
+      .getBytes("UTF-8") ++ dBomb)
+    assert(java.util.Arrays.equals(ed.body, dBomb))
+    // a HIGH-ratio but SMALL body stays under the 1 MiB floor and
+    // decodes fine — the cap must not over-trigger on legit repetitive
+    // HTML (boilerplate compresses hard)
+    val legit = gz(("<tr><td>x</td></tr>" * 4000).getBytes("UTF-8"))
+    val el = env(("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes("UTF-8") ++ legit)
+    assert(new String(el.body, "UTF-8").startsWith("<tr><td>x</td></tr>"))
+    assert(el.body.length === "<tr><td>x</td></tr>".length * 4000)
+  }
+
+  test("graft_http_head: header-only fields; all-null struct on non-HTTP") {
+    val rows = Seq(
+      "HTTP/1.1 301 Moved\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Location: https://n.com/x\r\n\r\nbody",
+      "not http").toDF("p")
+    val got = rows
+      .select(WebCorpus.httpHead(encode(col("p"), "UTF-8")).as("h"))
+      .select(col("h.status"), col("h.content_type"), col("h.charset"),
+        col("h.location"))
+      .as[(Option[Int], Option[String], Option[String], Option[String])]
+      .collect().toSeq
+    assert(got === Seq(
+      (Some(301), Some("text/html"), Some("UTF-8"), Some("https://n.com/x")),
+      (None, None, None, None)))
+    // declared-but-unresolvable charset: head yields null (it cannot
+    // body-sniff), where the full envelope falls back to the body path
+    val junkCs = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=not-a-charset\r\n\r\nx"
+    val h2 = Seq(junkCs).toDF("p")
+      .select(WebCorpus.httpHead(encode(col("p"), "UTF-8")).as("h"))
+      .select(col("h.charset")).as[Option[String]].collect().head
+    assert(h2 === None)
+  }
+
+  test("fromWarc decodes each gate-passing body exactly once (single-parse)") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_single")
+      .toString + "/w"
+    val rows = Seq(
+      ("http://a.com/1",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>one</p>"),
+      ("http://a.com/2",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>two</p>"),
+      ("http://a.com/404",
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"),
+      ("http://a.com/json",
+        "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n{}"),
+      ("http://a.com/raw", "junk, not http"),
+      ("http://a.com/empty",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<script>x</script>"))
+      .toDF("url", "payload")
+    graft.sources.Warc.writeGzip(rows, dir, "url", "payload")
+    val before = HttpKit.bodyDecodeCount.sum()
+    val got = graft.ops.CorpusPipeline.fromWarc(spark, dir)
+      .select("url", "text").as[(String, String)].collect().toSeq
+    val decodes = HttpKit.bodyDecodeCount.sum() - before
+    assert(got.sorted === Seq(("http://a.com/1", "one"),
+      ("http://a.com/2", "two")))
+    // 3 records pass the 2xx+HTML gate (/1, /2, /empty); each body is
+    // copied/dechunked/inflated ONCE — the round-16 shape paid 2–3×
+    // (full-envelope gate + filter-pushdown re-extraction + the
+    // two-branch union rescanning the corpus).
+    assert(decodes === 3L,
+      s"expected 3 single-parse body decodes, measured $decodes")
+  }
+
+  test("redirectGraph resolves scheme-relative and relative Locations (RFC 3986)") {
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val rows = Seq(
+      // scheme-relative: a REAL cross-domain edge, not a self edge
+      ("http://a.com/1",
+        b("HTTP/1.1 301 X\r\nLocation: //other.net/x\r\n\r\n")),
+      // relative path: resolves within the source domain
+      ("http://a.com/2", b("HTTP/1.1 302 X\r\nLocation: /moved\r\n\r\n")),
+      // absolute with dot segments: still the target's domain
+      ("http://a.com/3",
+        b("HTTP/1.1 301 X\r\nLocation: https://b.org/a/../n\r\n\r\n")))
+      .toDF("url", "payload_bytes")
+    val got = WebCorpus.redirectGraph(rows, "url", "payload_bytes")
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a.com", "a.com", 1L),
+      ("a.com", "b.org", 1L),
+      ("a.com", "other.net", 1L)))
+  }
 }

@@ -431,9 +431,21 @@ class UrlOpsSpec extends SparkSpec {
     assert(res(b, "./here") === "http://a.com/dir/here")
     assert(res(b, "../../../over.html") === "http://a.com/over.html")
     assert(res(b, "/a/./b/../c") === "http://a.com/a/c")
+    // §5.2.2 applies to an absolute reference's OWN path too:
+    // http://x/b/../c and http://x/c must key ONE frontier entry
+    assert(res(b, "https://o.org/a/../n") === "https://o.org/n")
+    assert(res(b, "http://o.org/./x/y/../z?k=1") === "http://o.org/x/z?k=1")
+    // scheme-relative references get the same treatment
+    assert(res(b, "//cdn.net/a/./lib.js") === "http://cdn.net/a/lib.js")
     // query-only and fragment-only references
     assert(res(b, "?fresh=1") === "http://a.com/dir/page.html?fresh=1")
     assert(res(b, "#frag") === "http://a.com/dir/page.html?q=1")
+    // every resolved output is FRAGMENT-FREE (a frontier must not key
+    // /x and /x#f as two pages)
+    assert(res(b, "/x#sec") === "http://a.com/x")
+    assert(res(b, "sib.html#top") === "http://a.com/dir/sib.html")
+    assert(res(b, "?q=2#frag") === "http://a.com/dir/page.html?q=2")
+    assert(res(b, "https://o.org/p#f") === "https://o.org/p")
     // trailing-slash handling
     assert(res("http://a.com/d/", "x/") === "http://a.com/d/x/")
     assert(res("http://a.com/d/", "..") === "http://a.com/")

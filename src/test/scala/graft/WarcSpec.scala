@@ -410,6 +410,109 @@ class WarcSpec extends SparkSpec {
     assert(got.contains(("b.org", "beta")))
   }
 
+  test("streaming read is record-streaming: whole-file bytes never materialize") {
+    // Round 17 (VERDICT r16 task 3): the streaming twins ride a
+    // PATH-ONLY projection of the binaryFile source and open the file
+    // task-side with the batch path's record iterator. Proof by
+    // contradiction: cap the source's content limit far BELOW the
+    // landed file's size — a source that still read `content` would
+    // throw "exceeds the maximum length"; the path-only stream parses
+    // the file fine.
+    val dir = java.nio.file.Files.createTempDirectory("warc_lazy_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_lazy_ckpt")
+    val stage = java.nio.file.Files.createTempDirectory("warc_lazy_st")
+    Warc.write(Seq(("http://big.com/1", "x" * 200000))
+        .toDF("url", "payload").coalesce(1),
+      stage.toString + "/w", "url", "payload")
+    val part = new java.io.File(stage.toString + "/w").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+    java.nio.file.Files.move(part.toPath, dir.resolve("big.warc"))
+    spark.conf.set("spark.sql.sources.binaryFile.maxLength", "1024")
+    val q = Warc.readStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_lazy_t")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_lazy_t")
+        .select("url", "n_bytes").as[(String, Long)].collect().toSeq
+      assert(got === Seq(("http://big.com/1", 200000L)))
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.sources.binaryFile.maxLength",
+        Int.MaxValue.toString)
+      spark.sql("DROP VIEW IF EXISTS warc_lazy_t")
+    }
+  }
+
+  test("foreign-layout dirs: explicit glob reads them, default glob fails loudly") {
+    // A directory of real-crawl-style `*.warc.gz` names — invisible to
+    // the default `part-*` glob. Round 17: the glob is a parameter and
+    // ZERO matches throw instead of silently reading an empty frame.
+    val dir = java.nio.file.Files.createTempDirectory("warc_foreign")
+    def record(url: String, payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\nContent-Length: ${p.length}\r\n\r\n" +
+        payload + "\r\n\r\n").getBytes("UTF-8")
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(dir.resolve("crawl-seg-00000.warc.gz"),
+      gz(record("http://f.com/1", "foreign one")))
+    java.nio.file.Files.write(dir.resolve("crawl-seg-00001.warc.gz"),
+      gz(record("http://f.com/2", "foreign two")))
+    val got = Warc.read(spark, dir.toString, "*.warc.gz")
+      .select("url", "payload").as[(String, String)]
+      .collect().sorted.toSeq
+    assert(got === Seq(("http://f.com/1", "foreign one"),
+      ("http://f.com/2", "foreign two")))
+    // the default glob matches nothing here -> loud failure, not []
+    val e = intercept[IllegalArgumentException] {
+      Warc.read(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("no WARC files match"))
+    // a glob matching nothing anywhere fails the same way for the
+    // binary and revisit readers too
+    intercept[IllegalArgumentException] {
+      Warc.readBinary(spark, dir.toString, "nope-*")
+    }
+    // and fromWarc passes its glob through
+    val fw = graft.ops.CorpusPipeline.fromWarc(spark, dir.toString,
+      "*.warc.gz")
+    assert(fw.count() === 0) // no HTTP envelopes in these payloads
+  }
+
+  test("revisit records round-trip and surface as (url, refers_to) rows") {
+    val dir = tmp("warc_revisit")
+    val rows = Seq(
+      ("http://a.com/p",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>v1</p>",
+        "response", null),
+      // re-crawl found the identical payload: no body re-stored
+      ("http://a.com/p?v=2", "", "revisit", "http://a.com/p"),
+      ("http://c.net/r", "", "revisit", null), // no refers-to header
+      ("http://b.org/q", "plain resource", "resource", null))
+      .toDF("url", "payload", "warc_type", "refers_to")
+    Warc.writeTyped(rows, dir, "url", "payload", "warc_type",
+      "refers_to", gzip = true)
+    // the content read frames revisits strictly but does NOT emit them
+    val content = Warc.read(spark, dir)
+      .select("url").as[String].collect().sorted.toSeq
+    assert(content === Seq("http://a.com/p", "http://b.org/q"))
+    // the revisit read emits exactly the (url, refers_to) signal
+    val rev = Warc.readRevisits(spark, dir)
+      .select("url", "refers_to").as[(String, Option[String])]
+      .collect().sorted.toSeq
+    assert(rev === Seq(
+      ("http://a.com/p?v=2", Some("http://a.com/p")),
+      ("http://c.net/r", None)))
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
