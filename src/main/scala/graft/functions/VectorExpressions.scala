@@ -425,6 +425,15 @@ object GraftFunctions {
       HttpCharsetExpr(children.head): Expression
     })
 
+  private[functions] val langIdInfo = (
+    FunctionIdentifier("graft_langid"),
+    new ExpressionInfo(classOf[LangIdExpr].getName, "graft_langid"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_langid takes exactly 1 argument")
+      LangIdExpr(children.head): Expression
+    })
+
   private[functions] val sitemapInfo = (
     FunctionIdentifier("graft_sitemap_entries"),
     new ExpressionInfo(classOf[SitemapEntriesExpr].getName,
@@ -442,7 +451,8 @@ object GraftFunctions {
       urlPathInfo, urlPslKindInfo, robotsInfo, robotsDelayInfo,
       robotsSitemapsInfo, robotsSitemapUrlsInfo, urlResolveInfo,
       htmlTextInfo, htmlLinksInfo, htmlAnchorsInfo, htmlBaseInfo,
-      httpInfo, httpHeadInfo, httpTextInfo, httpCharsetInfo, sitemapInfo)
+      httpInfo, httpHeadInfo, httpTextInfo, httpCharsetInfo, sitemapInfo,
+      langIdInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

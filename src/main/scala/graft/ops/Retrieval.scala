@@ -199,25 +199,108 @@ object Retrieval {
     * `orderBy().limit(k)` top-k (TakeOrderedAndProject — never a
     * partition-less window over the corpus).
     */
-  private def scoreFromPostings(
+  /** Raw per-doc BM25 scores (no top-k cut, no rounding) — the shared
+    * kernel behind [[scoreFromPostings]] and the FIELDED scoring of
+    * [[bm25TopKWithAnchors]], where two fields' scores must fuse
+    * BEFORE any cut.
+    */
+  private def rawScores(
       postings: DataFrame, stats: DataFrame, idCol: String,
-      k: Int, k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double): DataFrame = {
     // (idCol, term) is unique in the postings, so df is a plain count.
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("dfn"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfn") + lit(0.5)) / (col("dfn") + lit(0.5)))
     val tfNorm = col("tf") * (lit(k1) + 1) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = postings
+    postings
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
       .agg(sum(idf * tfNorm).as("score"))
+  }
+
+  private def scoreFromPostings(
+      postings: DataFrame, stats: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val scored = rawScores(postings, stats, idCol, k1, b)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
     // Partition-less window is safe here: it runs on the ≤ k-row frame.
     val w = Window.orderBy(col("score").desc, col(idCol))
     scored
+      .withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("rank"), round(col("score"), 4).as("score"))
+  }
+
+  /** Raw field scores for a (docs, textCol) corpus slice — tokenize,
+    * prune to the query terms pre-shuffle, count postings, score.
+    * Stats (`n_docs`, `avgdl`) are computed over THIS corpus: for the
+    * anchor field that means docs that HAVE anchor text, the BM25F
+    * convention that keeps a sparse field's length normalization
+    * meaningful.
+    */
+  private def fieldScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = toks
+      .select(col(idCol), col("dl"), explode(col("tk")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    rawScores(postings, stats, idCol, k1, b)
+  }
+
+  /** BM25 with an ANCHOR-TEXT field (round 17 — the classic
+    * web-ranking signal): every document scores its body AND the
+    * anchor text the web points at its page with
+    * ([[WebCorpus.anchorTextField]] — distinct in-link texts per
+    * canonical URL), fused as `score = bm25(body) + w · bm25(anchor)`
+    * — the simple weighted-field BM25F variant with per-field
+    * statistics. Anchor evidence re-ranks: a page the web calls
+    * "solar panel guide" outranks a body-only match when the weight
+    * says so (RetrievalSpec pins a flip).
+    *
+    * Scale shape: the body side is [[bm25TopK]]'s plan; the anchor
+    * side joins docs to the anchor field on the canonical URL (both
+    * corpus-grain, one equi-join) and scores the same way; fusion is
+    * a full-outer join of two ≤|matching docs| score frames and an
+    * `orderBy().limit(k)` top-k — never a corpus window.
+    *
+    * @param anchors (`dst_url`, `anchor_text`) — canonical-URL-keyed,
+    *                e.g. [[WebCorpus.anchorTextField]] output
+    */
+  def bm25TopKWithAnchors(
+      docs: DataFrame, anchors: DataFrame, idCol: String,
+      textCol: String, urlCol: String, queryTerms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      anchorWeight: Double = 1.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val body = fieldScores(docs, idCol, textCol, queryTerms, k1, b)
+      .withColumnRenamed("score", "_sb")
+    val anchorDocs = docs
+      .select(col(idCol),
+        WebCorpus.canonUrl(col(urlCol)).as("dst_url"))
+      .join(anchors, Seq("dst_url"))
+      .select(col(idCol), col("anchor_text"))
+    val anchor =
+      fieldScores(anchorDocs, idCol, "anchor_text", queryTerms, k1, b)
+        .withColumnRenamed("score", "_sa")
+    val fused = body.join(anchor, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(col("_sb"), lit(0.0)) +
+          lit(anchorWeight) * coalesce(col("_sa"), lit(0.0)))
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    // Partition-less window is safe here: it runs on the ≤ k-row frame.
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    fused
       .withColumn("rank", row_number().over(w))
       .select(col(idCol), col("rank"), round(col("score"), 4).as("score"))
   }

@@ -195,6 +195,15 @@ object TextAnalysis {
   def langIdHeuristic(text: Column, threshold: Double = 0.05): Column =
     when(stopwordRatio(text) >= threshold, "en").otherwise("other")
 
+  /** TRAINED language ID (round 17 — the production replacement for
+    * [[langIdHeuristic]]): script gate for the script-unique languages
+    * (ja/ko/zh/ru/ar/el/he/hi/th) + a bundled char-trigram Naive Bayes
+    * for the Latin seven (en/de/fr/es/it/pt/nl), `und` on too-short
+    * input. One codegen'd kernel riding the corpus scan — no shuffle,
+    * no UDF ([[graft.functions.LangIdKit]]).
+    */
+  def langId(text: Column): Column = call_function("graft_langid", text)
+
   /** Mean token length — degenerate values flag boilerplate/binary. */
   def meanTokenLen(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /

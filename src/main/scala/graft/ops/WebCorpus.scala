@@ -457,6 +457,71 @@ object WebCorpus {
       .drop("__canon")
   }
 
+  /** Revisit-aware URL-dedup groups (round 17 — VERDICT r16 task 6):
+    * fold the `revisit` records a real crawl emits ([[graft.sources
+    * .Warc.readRevisits]]) into the canonical-URL dedup grain, so a
+    * recrawl's duplicate captures count WITHOUT any payload being
+    * re-extracted. Content captures group on their canonical URL
+    * (keeper = min id, the [[urlDedupGroups]] rule); each revisit
+    * contributes one capture to the canonical group of the capture it
+    * refers to (falling back to its own URL when the refers-to header
+    * is absent — a revisit of itself is still a duplicate capture).
+    * A group with `n_content = 0` (null keeper) is a page the crawl
+    * re-verified but holds no body for — the "covered elsewhere, do
+    * not re-extract" row a recrawl planner needs.
+    *
+    * Scale shape: two map-side-combinable rollups on the canonical
+    * key + one key-equi full-outer join on the same grain — no
+    * windows, nothing driver-side.
+    */
+  def revisitDedupGroups(docs: DataFrame, revisits: DataFrame,
+      idCol: String, urlCol: String, revUrlCol: String = "url",
+      refersToCol: String = "refers_to"): DataFrame = {
+    val content = docs
+      .select(col(idCol), canonUrl(col(urlCol)).as("canon_url"))
+      .where(col("canon_url").isNotNull)
+      .groupBy("canon_url")
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_content"))
+    val rev = revisits
+      .select(canonUrl(coalesce(col(refersToCol), col(revUrlCol)))
+        .as("canon_url"))
+      .where(col("canon_url").isNotNull)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_revisits"))
+    content.join(rev, Seq("canon_url"), "full_outer")
+      .select(col("canon_url"), col("keeper_id"),
+        coalesce(col("n_content"), lit(0L)).as("n_content"),
+        coalesce(col("n_revisits"), lit(0L)).as("n_revisits"),
+        (coalesce(col("n_content"), lit(0L)) +
+          coalesce(col("n_revisits"), lit(0L))).as("n_captures"))
+  }
+
+  /** Anchor-text FIELD per destination page (round 17 — VERDICT r16
+    * task 7): the distinct anchor texts the web uses to describe each
+    * page, resolved (RFC 3986) and keyed on the canonical URL,
+    * sorted and space-joined into one indexable string — the classic
+    * web-ranking signal ([[graft.ops.Retrieval.bm25TopKWithAnchors]]
+    * scores it as a weighted BM25 field next to the body). Distinct
+    * (not multiset): a million identical "click here" in-links should
+    * not make a page a million times more about clicking; sorted so
+    * the field is partitioning-independent. Narrow explode + one
+    * canonical-URL-keyed rollup.
+    */
+  def anchorTextField(docs: DataFrame, urlCol: String,
+      htmlCol: String): DataFrame =
+    docs
+      .select(col(urlCol).as("__page"),
+        explode(htmlAnchors(col(htmlCol))).as("__a"))
+      .select(
+        canonUrl(coalesce(resolveUrl(col("__page"), col("__a.href")),
+          col("__a.href"))).as("dst_url"),
+        col("__a.text").as("__t"))
+      .where(col("dst_url").isNotNull && col("__t") =!= "")
+      .groupBy("dst_url")
+      .agg(array_join(array_sort(collect_set(col("__t"))), " ")
+        .as("anchor_text"))
+
   /** Deterministic per-domain document cap — the site-balance step of
     * crawl curation (a handful of mega-sites otherwise dominate the
     * token budget): keep at most `maxPerDomain` documents per

@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.ops.{Retrieval, TextAnalysis, WebCorpus}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Shared._
+
+/** Catalog section 11 (round 17): trained language ID, revisit-record
+  * dedup, and the anchor-text retrieval field (VERDICT r16 tasks
+  * 5/6/7). Oracle discipline unchanged: per-variant facts are
+  * hand-derived literals over the residue grid; the only "twin" code
+  * is the q69-precedent whitespace tokenizer for the BM25 replay.
+  */
+private[queries] object QueriesExtra8 {
+
+  def defs: Seq[QueryDef] = Seq(q411, q412, q413)
+
+  /** The q411 hand-labeled fixture: 12 languages, one sentence each —
+    * the Latin seven exercise the bundled trigram model, the script
+    * five the code-point gate. ONE definition feeds the Spark `elt`
+    * and the oracle VALUES (the pslHosts discipline). The `predicted`
+    * column in the oracle is pinned to the expected label: the
+    * classifier gets all twelve right (LangIdSpec), and a regression
+    * on any of them breaks this hash.
+    */
+  private def langFixture: Seq[(String, String)] = Seq(
+    "en" -> ("The students arrived early at the library because they " +
+      "wanted to study before the history exam."),
+    "de" -> ("Die Studenten kamen früh in die Bibliothek, weil sie " +
+      "vor der Geschichtsprüfung lernen wollten."),
+    "fr" -> ("Les étudiants sont arrivés tôt à la bibliothèque parce " +
+      "qu'ils voulaient étudier avant l'examen d'histoire."),
+    "es" -> ("Los estudiantes llegaron temprano a la biblioteca " +
+      "porque querían estudiar antes del examen de historia."),
+    "it" -> ("Gli studenti sono arrivati presto in biblioteca perché " +
+      "volevano studiare prima dell'esame di storia."),
+    "pt" -> ("Os estudantes chegaram cedo à biblioteca porque " +
+      "queriam estudar antes do exame de história."),
+    "nl" -> ("De studenten kwamen vroeg naar de bibliotheek omdat ze " +
+      "voor het geschiedenisexamen wilden studeren."),
+    "ru" -> ("Правительство объявило, что новые меры вступят в силу " +
+      "в начале следующего года."),
+    "ja" -> "政府は新しい規則が来年から施行されると発表しました。",
+    "zh" -> "政府宣布新的规定将于明年初开始实施。",
+    "ko" -> "정부는 새로운 규정이 내년부터 시행된다고 발표했다.",
+    "ar" -> "أعلنت الحكومة أن القواعد الجديدة ستدخل حيز التنفيذ العام المقبل.")
+
+  private def q411 =
+    // Trained language ID (round 17, VERDICT r16 task 5): the
+    // script-gate + char-trigram Naive Bayes kernel evaluated as a
+    // labeled confusion grid — per variant, the expected and predicted
+    // codes with doc counts and a correctness flag. The oracle is a
+    // hand VALUES of the labels (predicted pinned = expected; the
+    // classifier is LangIdSpec-verified on exactly these sentences)
+    // joined to the residue counts — no language model runs in it.
+    QueryDef("q411_langid_eval",
+      (s, dir) => {
+        val idx = (pmod(col("doc_id"), lit(12)) + 1).cast("int")
+        val sent = elt(idx +: langFixture.map(p => lit(p._2)): _*)
+        val expected = elt(idx +: langFixture.map(p => lit(p._1)): _*)
+        t(s, dir, "documents")
+          .select(pmod(col("doc_id"), lit(12)).cast("int").as("variant"),
+            expected.as("expected"),
+            TextAnalysis.langId(sent).as("predicted"))
+          .groupBy("variant", "expected", "predicted")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("correct",
+            (col("predicted") === col("expected")).cast("int"))
+          .orderBy("variant")
+      },
+      Some {
+        val values = langFixture.zipWithIndex
+          .map { case ((lang, _), i) => s"($i, '$lang')" }
+          .mkString(",\n  ")
+        s"""WITH g AS (
+           |  SELECT doc_id % 12 AS variant, count(*) AS n
+           |  FROM documents GROUP BY 1),
+           |v AS (SELECT * FROM (VALUES
+           |  $values) AS v(variant, lang))
+           |SELECT CAST(v.variant AS INT) AS variant,
+           |  v.lang AS expected, v.lang AS predicted,
+           |  CAST(g.n AS BIGINT) AS n_docs,
+           |  CAST(1 AS INT) AS correct
+           |FROM v JOIN g ON g.variant = v.variant
+           |ORDER BY variant""".stripMargin
+      })
+
+  private def q412 =
+    // Revisit-record dedup (round 17, VERDICT r16 task 6): a crawl cut
+    // mixing response captures with `revisit` records (the WARC/1.1
+    // identical-payload-digest marker) round-trips through
+    // writeTyped → read/readRevisits, and revisitDedupGroups folds
+    // both into canonical-URL capture groups WITHOUT re-extracting
+    // any revisited payload. Fixture residue grid (v = doc_id % 10):
+    // v<5 → response capture of page p(v%4) under a utm variant URL
+    // (canon folds it); 5≤v≤8 → revisit of page p(v%4)'s capture;
+    // v=9 → revisit referring to a page this cut holds NO content for
+    // (n_content = 0, null keeper — the "covered elsewhere" row). The
+    // oracle replays the grid arithmetic, including the min-URL keeper.
+    QueryDef("q412_revisit_dedup",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_revisit_q412"
+        val v = pmod(col("doc_id"), lit(10))
+        val base = concat(lit("http://rev.example/p"), pmod(v, lit(4)))
+        val docs = t(s, dir, "documents").select(
+          when(v === 9, lit("http://rev.example/gone"))
+            .when(v < 5, concat(base, lit("?utm_campaign="), v))
+            .otherwise(concat(base, lit("?v=2"))).as("url"),
+          when(v < 5, lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+            "text/html\r\n\r\n<p>doc</p>")).otherwise(lit(""))
+            .as("payload"),
+          when(v < 5, lit("response")).otherwise(lit("revisit"))
+            .as("warc_type"),
+          when(v === 9, lit("http://archive.example/old"))
+            .when(v >= 5, base)
+            .otherwise(lit(null).cast("string")).as("refers_to"))
+        graft.sources.Warc.writeTyped(docs, tmp, "url", "payload",
+          "warc_type", "refers_to", gzip = true)
+        WebCorpus.revisitDedupGroups(
+            graft.sources.Warc.read(s, tmp),
+            graft.sources.Warc.readRevisits(s, tmp),
+            idCol = "url", urlCol = "url")
+          .orderBy("canon_url")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id % 10 AS v, count(*) AS n
+          |  FROM documents GROUP BY 1),
+          |c AS (
+          |  SELECT v % 4 AS k, sum(n) AS n_content,
+          |    min('http://rev.example/p' || CAST(v % 4 AS VARCHAR) ||
+          |        '?utm_campaign=' || CAST(v AS VARCHAR)) AS keeper
+          |  FROM d WHERE v < 5 GROUP BY 1),
+          |r AS (
+          |  SELECT v % 4 AS k, sum(n) AS n_rev
+          |  FROM d WHERE v BETWEEN 5 AND 8 GROUP BY 1),
+          |pages AS (
+          |  SELECT 'http://rev.example/p' || CAST(c.k AS VARCHAR)
+          |      AS canon_url,
+          |    c.keeper AS keeper_id, c.n_content,
+          |    coalesce(r.n_rev, 0) AS n_revisits
+          |  FROM c LEFT JOIN r ON r.k = c.k),
+          |arch AS (
+          |  SELECT 'http://archive.example/old' AS canon_url,
+          |    CAST(NULL AS VARCHAR) AS keeper_id,
+          |    CAST(0 AS HUGEINT) AS n_content, sum(n) AS n_revisits
+          |  FROM d WHERE v = 9),
+          |allrows AS (SELECT * FROM pages UNION ALL SELECT * FROM arch)
+          |SELECT canon_url, keeper_id,
+          |  CAST(n_content AS BIGINT) AS n_content,
+          |  CAST(n_revisits AS BIGINT) AS n_revisits,
+          |  CAST(n_content + n_revisits AS BIGINT) AS n_captures
+          |FROM allrows
+          |ORDER BY canon_url""".stripMargin))
+
+  /** q413's residue-grid texts — class k = doc_id % 4. Body and the
+    * anchor text class k's docs WRITE (class k+1's page receives it);
+    * therefore class k's page CARRIES anchor text `anchorOf((k+3)%4)`.
+    * One definition feeds the Spark fixture and the oracle CASEs.
+    */
+  private def bodyOf: Seq[String] = Seq(
+    "solar energy production overview",
+    "panel mounting hardware details",
+    "generic text about nothing much",
+    "solar panel factory output report")
+  private def anchorOf: Seq[String] = Seq(
+    "solar panel review",
+    "cheap panel deal",
+    "solar guide",
+    "boring link")
+
+  private def q413 =
+    // Anchor-text retrieval field (round 17, VERDICT r16 task 7):
+    // every class-k doc's page is http://site.example/c{k}; its HTML
+    // links to class k+1's page with a class-keyed anchor text, so
+    // anchorTextField hands page k the DISTINCT in-link text of class
+    // k-1, and bm25TopKWithAnchors fuses body + 1.5 × anchor-field
+    // BM25. The oracle replays the per-class body/anchor strings as
+    // hand CASEs over the residue grid and re-runs the q69-precedent
+    // BM25 CTE chain twice — HTML extraction and URL resolution never
+    // enter it. Two query terms keep per-doc sums 2-addend
+    // (FP-commutative, engine-exact).
+    QueryDef("q413_anchor_bm25",
+      (s, dir) => {
+        val k4 = pmod(col("doc_id"), lit(4))
+        val idx = (k4 + 1).cast("int")
+        val body = elt(idx +: bodyOf.map(lit): _*)
+        val anchorText = elt(idx +: anchorOf.map(lit): _*)
+        val pageUrl = concat(lit("http://site.example/c"), k4)
+        val html = concat(lit("<a href=\"http://site.example/c"),
+          pmod(col("doc_id") + 1, lit(4)), lit("\">"), anchorText,
+          lit("</a>"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), pageUrl.as("url"), body.as("text"),
+            html.as("html"))
+        val anchors = WebCorpus.anchorTextField(docs, "url", "html")
+        Retrieval.bm25TopKWithAnchors(docs, anchors, "doc_id", "text",
+            "url", Seq("solar", "panel"), k = 10, anchorWeight = 1.5)
+          .orderBy("rank")
+      },
+      Some {
+        def fieldCtes(p: String, src: String): String =
+          s"""${p}tk AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(text, ' +'), t -> t <> '') AS tk
+             |  FROM $src),
+             |${p}dl AS (SELECT doc_id, len(tk) AS dl FROM ${p}tk),
+             |${p}stats AS (
+             |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ${p}dl),
+             |${p}post AS (
+             |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+             |    SELECT t.doc_id, d.dl, unnest(t.tk) AS term
+             |    FROM ${p}tk t JOIN ${p}dl d USING (doc_id))
+             |  WHERE term IN ('solar', 'panel')
+             |  GROUP BY doc_id, dl, term),
+             |${p}dfreq AS (
+             |  SELECT term, count(*) AS dfn FROM ${p}post GROUP BY term),
+             |${p}scored AS (
+             |  SELECT p.doc_id,
+             |    sum(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5)) *
+             |        p.tf * 2.2 /
+             |        (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+             |      AS score
+             |  FROM ${p}post p JOIN ${p}dfreq d USING (term)
+             |  CROSS JOIN ${p}stats s
+             |  GROUP BY p.doc_id)""".stripMargin
+        def caseOver(texts: Seq[String]): String =
+          s"""CASE doc_id % 4
+             |    WHEN 0 THEN '${texts(0)}' WHEN 1 THEN '${texts(1)}'
+             |    WHEN 2 THEN '${texts(2)}' ELSE '${texts(3)}' END"""
+            .stripMargin
+        // page k carries the anchor text class (k+3)%4 writes
+        val anchorByPage =
+          Seq(anchorOf(3), anchorOf(0), anchorOf(1), anchorOf(2))
+        s"""WITH bodysrc AS (
+           |  SELECT doc_id, ${caseOver(bodyOf)} AS text
+           |  FROM documents),
+           |anchsrc AS (
+           |  SELECT doc_id, ${caseOver(anchorByPage)} AS text
+           |  FROM documents),
+           |${fieldCtes("b", "bodysrc")},
+           |${fieldCtes("a", "anchsrc")},
+           |fused AS (
+           |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+           |    coalesce(b.score, 0) + 1.5 * coalesce(a.score, 0)
+           |      AS score
+           |  FROM bscored b FULL OUTER JOIN ascored a
+           |    ON a.doc_id = b.doc_id),
+           |top AS (
+           |  SELECT doc_id, score FROM fused
+           |  ORDER BY score DESC, doc_id LIMIT 10)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+           |    AS INT) AS rank,
+           |  round(score, 4) AS score
+           |FROM top
+           |ORDER BY rank""".stripMargin
+      })
+}

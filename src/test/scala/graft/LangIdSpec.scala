@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.LangIdKit
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Trained language ID: script-gate languages, the Latin trigram NB on
+  * HELD-OUT sentences (none appear in the bundled training samples),
+  * `und` floors, and the codegen'd expression surface.
+  */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(s: String): String = LangIdKit.classify(s)
+
+  test("script-unique languages classify by code points alone") {
+    assert(c("Правительство объявило, что новые меры вступят в силу " +
+      "в начале следующего года.") === "ru")
+    assert(c("政府は新しい規則が来年から施行されると発表しました。") === "ja")
+    assert(c("政府宣布新的规定将于明年初开始实施。") === "zh")
+    assert(c("정부는 새로운 규정이 내년부터 시행된다고 발표했다.") === "ko")
+    assert(c("أعلنت الحكومة أن القواعد الجديدة ستدخل حيز التنفيذ " +
+      "العام المقبل.") === "ar")
+    assert(c("Η κυβέρνηση ανακοίνωσε ότι οι νέοι κανόνες θα ισχύσουν " +
+      "από το επόμενο έτος.") === "el")
+    assert(c("הממשלה הודיעה שהכללים החדשים ייכנסו לתוקף בשנה הבאה.")
+      === "he")
+    assert(c("सरकार ने घोषणा की कि नए नियम अगले वर्ष से लागू होंगे।") === "hi")
+    assert(c("รัฐบาลประกาศว่ากฎใหม่จะมีผลบังคับใช้ในปีหน้า") === "th")
+    // Japanese is Han + kana mixed — kana presence must beat the Han
+    // count even when Han characters dominate the sentence
+    assert(c("東京都の新型規制は経済政策の議論を呼んだが、政府は実施を発表した。")
+      === "ja")
+  }
+
+  test("Latin trigram NB separates the seven bundled languages (held-out text)") {
+    val heldOut = Seq(
+      "en" -> ("The students arrived early at the library because " +
+        "they wanted to study before the history exam."),
+      "de" -> ("Die Studenten kamen früh in die Bibliothek, weil sie " +
+        "vor der Geschichtsprüfung lernen wollten."),
+      "fr" -> ("Les étudiants sont arrivés tôt à la bibliothèque " +
+        "parce qu'ils voulaient étudier avant l'examen d'histoire."),
+      "es" -> ("Los estudiantes llegaron temprano a la biblioteca " +
+        "porque querían estudiar antes del examen de historia."),
+      "it" -> ("Gli studenti sono arrivati presto in biblioteca " +
+        "perché volevano studiare prima dell'esame di storia."),
+      "pt" -> ("Os estudantes chegaram cedo à biblioteca porque " +
+        "queriam estudar antes do exame de história."),
+      "nl" -> ("De studenten kwamen vroeg naar de bibliotheek omdat " +
+        "ze voor het geschiedenisexamen wilden studeren."))
+    val misses = heldOut.flatMap { case (exp, s) =>
+      val got = c(s)
+      if (got == exp) None else Some(s"$exp -> $got ($s)")
+    }
+    assert(misses.isEmpty, misses.mkString("; "))
+  }
+
+  test("too little signal is und, never a guess") {
+    assert(c("") === "und")
+    assert(c("12345 !!! --- 42") === "und")
+    assert(c("ab") === "und")
+    assert(c("   \t\n") === "und")
+  }
+
+  test("diacritic folding: ASCII-stripped text still classifies") {
+    assert(c("Les etudiants sont arrives tot a la bibliotheque parce " +
+      "qu'ils voulaient etudier avant l'examen d'histoire.") === "fr")
+  }
+
+  test("the expression surface is codegen'd and plan-narrow") {
+    val df = Seq(
+      "The weather is pleasant today and the meeting starts at noon.",
+      "Die Katze schläft den ganzen Tag auf dem warmen Sofa im " +
+        "Wohnzimmer.",
+      "政府宣布新的规定将于明年初开始实施。")
+      .toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+    assert(df.as[String].collect().toSeq === Seq("en", "de", "zh"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -50,6 +50,81 @@ class RetrievalChunkSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toList == List(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("anchorTextField: in-link texts aggregate per canonical dst page") {
+    import graft.ops.WebCorpus
+    val docs = Seq(
+      // two pages link /b with different texts; one uses a utm variant
+      // URL (canon folds it) and one repeats a text (distinct folds it)
+      (1L, "http://w.example/a",
+        "<a href=\"http://w.example/b\">solar panel guide</a>" +
+          "<a href=\"http://w.example/b?utm_source=x\">solar panel guide</a>"),
+      (2L, "http://w.example/c",
+        "<a href=\"/b\">beta page</a><a href=\"#frag\">self</a>"),
+      (3L, "http://w.example/b", "<p>no links</p>"))
+      .toDF("doc_id", "url", "html")
+    val got = WebCorpus.anchorTextField(docs, "url", "html")
+      .as[(String, String)].collect().toMap
+    // relative /b resolved against its page; texts distinct + sorted
+    assert(got("http://w.example/b") === "beta page solar panel guide")
+    // the fragment-only link resolves to the page itself
+    assert(got("http://w.example/c") === "self")
+  }
+
+  test("anchor evidence flips the ranking (bm25TopKWithAnchors)") {
+    import graft.ops.WebCorpus
+    val docs = Seq(
+      // body mentions one query term
+      (1L, "http://w.example/a", "solar energy systems overview",
+        "<p>no links</p>"),
+      // body matches nothing — but the web calls its page
+      // "solar panel datasheet" (doc 3 links it below)
+      (2L, "http://w.example/b", "generic review of tools",
+        "<p>no links</p>"),
+      (3L, "http://w.example/c", "unrelated filler text here",
+        "<a href=\"http://w.example/b\">solar panel datasheet</a>"))
+      .toDF("doc_id", "url", "text", "html")
+    val terms = Seq("solar", "panel")
+    // body-only: doc 1 is the sole scorer
+    val bodyOnly = Retrieval.bm25TopK(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", terms)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(bodyOnly.head._1 === 1L)
+    assert(!bodyOnly.map(_._1).contains(2L))
+    // with the anchor field at weight 2, doc 2's two-term anchor
+    // outranks doc 1's one-term body — the signal flip the field is for
+    val anchors = WebCorpus.anchorTextField(docs, "url", "html")
+    val fused = Retrieval.bm25TopKWithAnchors(docs, anchors, "doc_id",
+      "text", "url", terms, k = 10, anchorWeight = 2.0)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(fused.head._1 === 2L,
+      s"anchor evidence should rank doc 2 first, got $fused")
+    assert(fused.map(_._1).contains(1L))
+    assert(fused.map(_._2) === (1 to fused.length), "dense ranks")
+  }
+
+  test("revisitDedupGroups: revisits count captures without payloads") {
+    import graft.ops.WebCorpus
+    val content = Seq(
+      (10L, "http://e.com/p?utm_source=a"), // canon-folds with next
+      (11L, "http://e.com/p"),
+      (12L, "http://e.com/q"))
+      .toDF("doc_id", "url")
+    val revisits = Seq(
+      ("http://e.com/p?v=2", Some("http://e.com/p")),
+      ("http://e.com/q", None), // absent refers-to: revisit of itself
+      ("http://e.com/r?v=9", Some("http://old.example/r"))) // content-free
+      .toDF("url", "refers_to")
+    val got = WebCorpus.revisitDedupGroups(content, revisits,
+        "doc_id", "url")
+      .orderBy("canon_url")
+      .as[(String, Option[Long], Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("http://e.com/p", Some(10L), 2L, 1L, 3L),
+      ("http://e.com/q", Some(12L), 1L, 1L, 2L),
+      // re-verified page with no content in this cut: null keeper
+      ("http://old.example/r", None, 0L, 1L, 1L)))
+  }
+
   test("chunkFixed: cover-the-tail stop rule, overlap, single-chunk floor") {
     val docs = Seq(
       (1L, ""),           // empty → one empty chunk
