@@ -853,6 +853,39 @@ object ScaleProbe {
         println(f"""{"op":"warc_ingest_bytes","tiles":$n,"rows":$bytes,"rep":$rep,"sec":$sec%.3f}""")
       }
     }
+    // --- fromWarc end-to-end file-count tiling (round 17, VERDICT r16
+    // task 8): the one-call ingest — record-streaming read → head-only
+    // envelope gate → charset decode → HTML text → canonical-URL dedup
+    // — timed as the FILE COUNT grows with per-file bytes held fixed,
+    // the axis a real crawl scales on (a cut is thousands of ~1 GB
+    // files, not one growing file). tiled(n) multiplies rows;
+    // repartition(2n) keeps rows-per-file constant. The payload mix
+    // includes 404 and non-HTTP rows so the gate does real work, and
+    // probeUrl's utm/fragment variants give the dedup real groups.
+    // Write untimed; expect ~linear wall in file count (task floor at
+    // small n), single-parse per record after the round-17 fix.
+    if (opFilter.forall(_.contains("fromwarc_files"))) {
+      for (rep <- 1 to reps; n <- tiles) {
+        val tmp = s"/tmp/graft_sp_fromwarc_$n"
+        val docs = tiled(n).select(
+          probeUrl(col("doc_id")).as("url"),
+          concat(
+            elt(pmod(col("doc_id"), lit(5)).cast("int") + 1,
+              lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>"),
+              lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>"),
+              lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+                "charset=utf-8\r\n\r\n<p>"),
+              lit("HTTP/1.1 404 Not Found\r\nContent-Type: " +
+                "text/html\r\n\r\n<p>"),
+              lit("not-http <p>")),
+            col("text"), lit("</p>")).as("payload"))
+          .repartition(2 * n)
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
+        val rows = docs.count()
+        val sec = time(graft.ops.CorpusPipeline.fromWarc(spark, tmp))
+        println(f"""{"op":"fromwarc_files","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
+      }
+    }
     Seq("sp_cmap", "sp_cmap_f", "sp_docstore", "sp_hll", "sp_hist",
       "sp_dhash_bands")
       .foreach(t => graft.sources.Layout.drop(spark, t))

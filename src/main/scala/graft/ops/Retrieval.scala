@@ -282,16 +282,31 @@ object Retrieval {
       anchorWeight: Double = 1.0): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val body = fieldScores(docs, idCol, textCol, queryTerms, k1, b)
-      .withColumnRenamed("score", "_sb")
-    val anchorDocs = docs
+    val anchor = fieldScores(anchorDocs(docs, anchors, idCol, urlCol),
+      idCol, "anchor_text", queryTerms, k1, b)
+    fuseTopK(body, anchor, idCol, k, anchorWeight)
+  }
+
+  /** The doc↔anchor-field join (canonical-URL equi-join): one
+    * (`idCol`, `anchor_text`) row per document whose page the web
+    * links with text.
+    */
+  private def anchorDocs(docs: DataFrame, anchors: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    docs
       .select(col(idCol),
         WebCorpus.canonUrl(col(urlCol)).as("dst_url"))
       .join(anchors, Seq("dst_url"))
       .select(col(idCol), col("anchor_text"))
-    val anchor =
-      fieldScores(anchorDocs, idCol, "anchor_text", queryTerms, k1, b)
-        .withColumnRenamed("score", "_sa")
-    val fused = body.join(anchor, Seq(idCol), "full_outer")
+
+  /** Shared fusion tail: `s_body + w · s_anchor` over the full-outer
+    * join of the two ≤|matching docs| score frames, then the top-k cut.
+    */
+  private def fuseTopK(body: DataFrame, anchor: DataFrame,
+      idCol: String, k: Int, anchorWeight: Double): DataFrame = {
+    val fused = body.withColumnRenamed("score", "_sb")
+      .join(anchor.withColumnRenamed("score", "_sa"), Seq(idCol),
+        "full_outer")
       .select(col(idCol),
         (coalesce(col("_sb"), lit(0.0)) +
           lit(anchorWeight) * coalesce(col("_sa"), lit(0.0)))
@@ -303,6 +318,52 @@ object Retrieval {
     fused
       .withColumn("rank", row_number().over(w))
       .select(col(idCol), col("rank"), round(col("score"), 4).as("score"))
+  }
+
+  /** Anchor-field postings for the PERSISTED index — the anchor twin
+    * of [[bm25Postings]] over the doc↔anchor join: one
+    * (`idCol`, dl, term, tf) row per (doc, anchor-field term). Store
+    * it bucketed on `term` beside the body postings and the two stats
+    * tables; [[bm25TopKWithAnchorsFromIndex]] then serves fielded
+    * BM25 with the corpus never re-tokenized — the fourth member of
+    * the persisted-index family (MinHash bands / IVF codes / lexical
+    * postings / anchor postings).
+    */
+  def anchorPostings(docs: DataFrame, anchors: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    bm25Postings(anchorDocs(docs, anchors, idCol, urlCol), idCol,
+      "anchor_text")
+
+  /** Anchor-field corpus stats (over docs that HAVE anchor text — the
+    * per-field convention of [[bm25TopKWithAnchors]]), fixed at
+    * index-build time like [[bm25CorpusStats]].
+    */
+  def anchorCorpusStats(docs: DataFrame, anchors: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    bm25CorpusStats(anchorDocs(docs, anchors, idCol, urlCol), idCol,
+      "anchor_text")
+
+  /** Fielded BM25 served entirely from STORED postings: the body and
+    * anchor slices prune to the query's terms (bucket pruning on a
+    * `term` layout — the scan touches only matching buckets), score
+    * with their stored per-field stats, and fuse exactly like
+    * [[bm25TopKWithAnchors]] — the two paths are bit-equal by
+    * construction (RetrievalChunkSpec asserts it).
+    */
+  def bm25TopKWithAnchorsFromIndex(
+      bodyPostings: DataFrame, bodyStats: DataFrame,
+      anchorPostings: DataFrame, anchorStats: DataFrame,
+      idCol: String, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      anchorWeight: Double = 1.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val body = rawScores(
+      bodyPostings.where(col("term").isin(queryTerms: _*)),
+      bodyStats, idCol, k1, b)
+    val anchor = rawScores(
+      anchorPostings.where(col("term").isin(queryTerms: _*)),
+      anchorStats, idCol, k1, b)
+    fuseTopK(body, anchor, idCol, k, anchorWeight)
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — how hybrid

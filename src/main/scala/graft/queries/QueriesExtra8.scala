@@ -13,7 +13,7 @@ import Shared._
   */
 private[queries] object QueriesExtra8 {
 
-  def defs: Seq[QueryDef] = Seq(q411, q412, q413)
+  def defs: Seq[QueryDef] = Seq(q411, q412, q413, q414)
 
   /** The q411 hand-labeled fixture: 12 languages, one sentence each —
     * the Latin seven exercise the bundled trigram model, the script
@@ -169,6 +169,23 @@ private[queries] object QueriesExtra8 {
     "solar guide",
     "boring link")
 
+  /** q413/q414's shared fixture frame: class-k docs on page c{k} with
+    * class-keyed body text and an out-link to page c{k+1}.
+    */
+  private def anchorFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    val k4 = pmod(col("doc_id"), lit(4))
+    val idx = (k4 + 1).cast("int")
+    val body = elt(idx +: bodyOf.map(lit): _*)
+    val anchorText = elt(idx +: anchorOf.map(lit): _*)
+    val pageUrl = concat(lit("http://site.example/c"), k4)
+    val html = concat(lit("<a href=\"http://site.example/c"),
+      pmod(col("doc_id") + 1, lit(4)), lit("\">"), anchorText,
+      lit("</a>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), pageUrl.as("url"), body.as("text"),
+        html.as("html"))
+  }
+
   private def q413 =
     // Anchor-text retrieval field (round 17, VERDICT r16 task 7):
     // every class-k doc's page is http://site.example/c{k}; its HTML
@@ -182,23 +199,56 @@ private[queries] object QueriesExtra8 {
     // (FP-commutative, engine-exact).
     QueryDef("q413_anchor_bm25",
       (s, dir) => {
-        val k4 = pmod(col("doc_id"), lit(4))
-        val idx = (k4 + 1).cast("int")
-        val body = elt(idx +: bodyOf.map(lit): _*)
-        val anchorText = elt(idx +: anchorOf.map(lit): _*)
-        val pageUrl = concat(lit("http://site.example/c"), k4)
-        val html = concat(lit("<a href=\"http://site.example/c"),
-          pmod(col("doc_id") + 1, lit(4)), lit("\">"), anchorText,
-          lit("</a>"))
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), pageUrl.as("url"), body.as("text"),
-            html.as("html"))
+        val docs = anchorFixtureDocs(s, dir)
         val anchors = WebCorpus.anchorTextField(docs, "url", "html")
         Retrieval.bm25TopKWithAnchors(docs, anchors, "doc_id", "text",
             "url", Seq("solar", "panel"), k = 10, anchorWeight = 1.5)
           .orderBy("rank")
       },
-      Some {
+      Some(anchorBm25Oracle))
+
+  private def q414 =
+    // Persisted anchor-field index (round 17): q413's fielded ranking
+    // served entirely from STORED postings — body and anchor posting
+    // tables bucketed on term beside their per-field stats tables,
+    // probes prune to the query's terms and score with the stored
+    // stats. The two paths are bit-equal by construction, so the
+    // oracle is q413's VERBATIM — completing the persisted-index
+    // family (MinHash bands q93, IVF codes q306, lexical postings
+    // q308, anchor postings here).
+    QueryDef("q414_anchor_bm25_index",
+      (s, dir) => {
+        import graft.sources.Layout
+        val docs = anchorFixtureDocs(s, dir)
+        val anchors = WebCorpus.anchorTextField(docs, "url", "html")
+        Layout.replaceBucketed(s,
+          Retrieval.bm25Postings(docs, "doc_id", "text"),
+          "graft_body_postings_q414", "term", buckets = 8)
+        Layout.replaceTable(s,
+          Retrieval.bm25CorpusStats(docs, "doc_id", "text"),
+          "graft_body_stats_q414")
+        Layout.replaceBucketed(s,
+          Retrieval.anchorPostings(docs, anchors, "doc_id", "url"),
+          "graft_anchor_postings_q414", "term", buckets = 8)
+        Layout.replaceTable(s,
+          Retrieval.anchorCorpusStats(docs, anchors, "doc_id", "url"),
+          "graft_anchor_stats_q414")
+        Retrieval.bm25TopKWithAnchorsFromIndex(
+            Layout.table(s, "graft_body_postings_q414"),
+            Layout.table(s, "graft_body_stats_q414"),
+            Layout.table(s, "graft_anchor_postings_q414"),
+            Layout.table(s, "graft_anchor_stats_q414"),
+            "doc_id", Seq("solar", "panel"), k = 10,
+            anchorWeight = 1.5)
+          .orderBy("rank")
+      },
+      Some(anchorBm25Oracle))
+
+  /** The q413/q414 oracle: per-class body/anchor CASEs over the
+    * residue grid + the q69-precedent BM25 CTE chain run once per
+    * field, fused `body + 1.5 × anchor`.
+    */
+  private def anchorBm25Oracle: String = {
         def fieldCtes(p: String, src: String): String =
           s"""${p}tk AS (
              |  SELECT doc_id, list_filter(
@@ -255,5 +305,5 @@ private[queries] object QueriesExtra8 {
            |  round(score, 4) AS score
            |FROM top
            |ORDER BY rank""".stripMargin
-      })
+  }
 }

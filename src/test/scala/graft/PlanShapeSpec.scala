@@ -174,6 +174,9 @@ class PlanShapeSpec extends SparkSpec {
       // q308: q69's 1-row corpus-stats broadcast cross, served from
       // the stored stats table instead of an inline aggregate.
       "q308_bm25_from_index",
+      // q413/q414: q69's 1-row per-field stats broadcast cross, run
+      // once per field (body + anchor) before the fusion join.
+      "q413_anchor_bm25", "q414_anchor_bm25_index",
       // q311: KNN-Shapley scores the train frame against the BROADCAST
       // 20-point validation sample — q29's bounded-eval-tier shape.
       "q311_knn_shapley",
@@ -632,6 +635,8 @@ object PlanShapeSpec {
     // ≤ k surviving rows only.
     "q69_bm25_search",      // bm25TopK: rank over the k-row result
     "q308_bm25_from_index", // same scoring tail over the stored index
+    "q413_anchor_bm25",     // fused-field rank over the k-row result
+    "q414_anchor_bm25_index", // same fusion tail over stored postings
     "q314_ranking_eval",    // bm25 run rank + ideal rank, both ≤ k rows
     "q320_isotonic_calibration", // rank/prefix windows over the vote-bin frame
     "q97_hybrid_rrf",       // bm25TopK + rrfFuse fused-rank, both ≤ k

@@ -102,6 +102,32 @@ class RetrievalChunkSpec extends SparkSpec {
     assert(fused.map(_._2) === (1 to fused.length), "dense ranks")
   }
 
+  test("anchor-field BM25 from stored postings is bit-equal to the inline path") {
+    import graft.ops.WebCorpus
+    val docs = Seq(
+      (1L, "http://w.example/a", "solar energy systems overview",
+        "<a href=\"http://w.example/b\">solar panel datasheet</a>"),
+      (2L, "http://w.example/b", "generic panel review of tools",
+        "<a href=\"http://w.example/a\">energy overview</a>"),
+      (3L, "http://w.example/c", "solar panel pricing table",
+        "<a href=\"http://w.example/b\">cheap panel</a>"))
+      .toDF("doc_id", "url", "text", "html")
+    val terms = Seq("solar", "panel")
+    val anchors = WebCorpus.anchorTextField(docs, "url", "html")
+    val inline = Retrieval.bm25TopKWithAnchors(docs, anchors, "doc_id",
+      "text", "url", terms, k = 10, anchorWeight = 1.5)
+      .as[(Long, Int, Double)].collect().toSeq
+    val fromIndex = Retrieval.bm25TopKWithAnchorsFromIndex(
+      Retrieval.bm25Postings(docs, "doc_id", "text"),
+      Retrieval.bm25CorpusStats(docs, "doc_id", "text"),
+      Retrieval.anchorPostings(docs, anchors, "doc_id", "url"),
+      Retrieval.anchorCorpusStats(docs, anchors, "doc_id", "url"),
+      "doc_id", terms, k = 10, anchorWeight = 1.5)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(inline === fromIndex)
+    assert(inline.nonEmpty && inline.map(_._2) === (1 to inline.length))
+  }
+
   test("revisitDedupGroups: revisits count captures without payloads") {
     import graft.ops.WebCorpus
     val content = Seq(
