@@ -195,6 +195,41 @@ object CorpusPipeline {
       .select(col("__r.*"))
   }
 
+  /** The crawl-cut data card (round 17): [[fromWarc]]'s extracted
+    * pages rolled per domain, side by side with the cut's `revisit`
+    * captures ([[graft.sources.Warc.readRevisits]]) — pages the crawl
+    * re-verified byte-identical WITHOUT re-storing a body. Per
+    * domain: `n_pages` (canonical pages extracted), `text_chars`, and
+    * `n_revisits` (attributed to the REFERRED capture's domain). A
+    * domain with revisits but zero pages is content the cut verified
+    * but holds elsewhere — the row that tells a recrawl planner what
+    * not to re-extract.
+    *
+    * Cost shape: two passes over the directory — the content pass
+    * (which strict-SKIPS revisit payloads with a scratch buffer) and
+    * the revisit pass (which strict-skips every content body, so it
+    * allocates nothing ∝ page size). Each rollup is
+    * |domains|-keyed, map-side combined.
+    */
+  def ingestReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String, glob: String = "part-*"): DataFrame = {
+    val pages = fromWarc(spark, dir, glob)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(length(col("text"))).as("text_chars"))
+    val revs = graft.sources.Warc.readRevisits(spark, dir, glob)
+      .select(coalesce(
+        WebCorpus.domain(coalesce(col("refers_to"), col("url"))),
+        lit("(invalid)")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_revisits"))
+    pages.join(revs, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+        coalesce(col("text_chars"), lit(0L)).as("text_chars"),
+        coalesce(col("n_revisits"), lit(0L)).as("n_revisits"))
+  }
+
   /** The INDEX-ONLY corpus health report — the nightly dashboard a
     * 100 TB pipeline must serve without touching a corpus row: every
     * input is a STORED index, so the plan's only leaves are the

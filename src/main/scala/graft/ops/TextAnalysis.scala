@@ -204,6 +204,18 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = call_function("graft_langid", text)
 
+  /** Language-mix report (the shard-mix table a multilingual corpus
+    * publishes): per (source, [[langId]]-predicted language), document
+    * and token volume. One narrow classify pass + one
+    * |sources × langs|-keyed combinable rollup — the key set is tiny
+    * by construction (≤ 16 languages per source).
+    */
+  def langMix(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(col(sourceCol), langId(col(textCol)).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tokenCount(col(textCol))), lit(0L)).as("tokens"))
+
   /** Mean token length — degenerate values flag boilerplate/binary. */
   def meanTokenLen(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /

@@ -570,7 +570,9 @@ private[queries] object QueriesExtra7 {
               asciiHttpVariants.map(lit): _*).as("payload"))
         graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
         val read = graft.sources.Warc.readBinary(s, tmp)
-        val e = WebCorpus.httpEnvelope(col("payload_bytes"))
+        // head-only gate (round 17): the body decodes once, inside the
+        // gated `when` below, never for the status/MIME check
+        val e = WebCorpus.httpHead(col("payload_bytes"))
         val gate = col("__s") >= 200 && col("__s") <= 299 &&
           (col("__ct") === "text/html" ||
             col("__ct") === "application/xhtml+xml")

@@ -13,7 +13,7 @@ import Shared._
   */
 private[queries] object QueriesExtra8 {
 
-  def defs: Seq[QueryDef] = Seq(q411, q412, q413, q414)
+  def defs: Seq[QueryDef] = Seq(q411, q412, q413, q414, q415, q416)
 
   /** The q411 hand-labeled fixture: 12 languages, one sentence each —
     * the Latin seven exercise the bundled trigram model, the script
@@ -243,6 +243,105 @@ private[queries] object QueriesExtra8 {
           .orderBy("rank")
       },
       Some(anchorBm25Oracle))
+
+  private def q415 =
+    // Crawl-cut data card (round 17): ingestReport composes the
+    // one-call ingest with the revisit signal — per domain, canonical
+    // pages extracted (dedup through the utm variants), text volume,
+    // and revisit captures attributed to the REFERRED capture's
+    // domain. The external-archive referent shows up as a
+    // zero-page/revisits-only row (the "covered elsewhere" line).
+    // Residue grid: host = doc_id % 3, v = doc_id % 10 (coprime, so
+    // every host carries every variant); v<5 response of page p(v%4)
+    // under a utm URL, 5≤v≤8 revisit of that page, v=9 revisit
+    // referring to warchive.example. Oracle: per-host revisit counts
+    // from the grid; pages/chars are the hand-derived constants
+    // (4 pages × 4-char "page" text per host).
+    QueryDef("q415_ingest_report",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_ingest_q415"
+        val v = pmod(col("doc_id"), lit(10))
+        val host = elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+          lit("a-ing.example"), lit("b-ing.example"),
+          lit("c-ing.example"))
+        val base = concat(lit("http://"), host, lit("/p"),
+          pmod(v, lit(4)))
+        val docs = t(s, dir, "documents").select(
+          when(v === 9, concat(lit("http://"), host, lit("/gone")))
+            .when(v < 5, concat(base, lit("?utm_campaign="), v))
+            .otherwise(concat(base, lit("?v=2"))).as("url"),
+          when(v < 5, lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+            "text/html\r\n\r\n<p>page</p>")).otherwise(lit(""))
+            .as("payload"),
+          when(v < 5, lit("response")).otherwise(lit("revisit"))
+            .as("warc_type"),
+          when(v === 9, lit("http://warchive.example/old"))
+            .when(v >= 5, base)
+            .otherwise(lit(null).cast("string")).as("refers_to"))
+        graft.sources.Warc.writeTyped(docs, tmp, "url", "payload",
+          "warc_type", "refers_to", gzip = true)
+        graft.ops.CorpusPipeline.ingestReport(s, tmp)
+          .orderBy("domain")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id % 3 AS h, doc_id % 10 AS v, count(*) AS n
+          |  FROM documents GROUP BY 1, 2),
+          |hosts AS (SELECT * FROM (VALUES
+          |  (0, 'a-ing.example'), (1, 'b-ing.example'),
+          |  (2, 'c-ing.example')) AS h(h, domain)),
+          |rv AS (
+          |  SELECT h, sum(n) AS n_rev FROM d
+          |  WHERE v BETWEEN 5 AND 8 GROUP BY 1),
+          |main AS (
+          |  SELECT hosts.domain, CAST(4 AS BIGINT) AS n_pages,
+          |    CAST(16 AS BIGINT) AS text_chars,
+          |    CAST(coalesce(rv.n_rev, 0) AS BIGINT) AS n_revisits
+          |  FROM hosts LEFT JOIN rv ON rv.h = hosts.h),
+          |arch AS (
+          |  SELECT 'warchive.example' AS domain,
+          |    CAST(0 AS BIGINT) AS n_pages,
+          |    CAST(0 AS BIGINT) AS text_chars,
+          |    CAST(sum(n) AS BIGINT) AS n_revisits
+          |  FROM d WHERE v = 9)
+          |SELECT * FROM main UNION ALL SELECT * FROM arch
+          |ORDER BY domain""".stripMargin))
+
+  private def q416 =
+    // Language-mix report (round 17): the shard-mix table a
+    // multilingual corpus publishes — per (source, predicted
+    // language), document and token volume, over the q411 12-language
+    // fixture. The oracle replays the labels (pinned by q411) and
+    // token counts with the q69-precedent whitespace-split twin.
+    QueryDef("q416_lang_mix",
+      (s, dir) => {
+        val idx = (pmod(col("doc_id"), lit(12)) + 1).cast("int")
+        val sent = elt(idx +: langFixture.map(p => lit(p._2)): _*)
+        TextAnalysis.langMix(
+            t(s, dir, "documents")
+              .select(col("source"), sent.as("text")),
+            "source", "text")
+          .orderBy("source", "lang")
+      },
+      Some {
+        val values = langFixture.zipWithIndex
+          .map { case ((lang, sent), i) =>
+            s"($i, '$lang', '${sent.replace("'", "''")}')" }
+          .mkString(",\n  ")
+        s"""WITH v AS (SELECT * FROM (VALUES
+           |  $values) AS v(variant, lang, text)),
+           |g AS (
+           |  SELECT source, doc_id % 12 AS variant, count(*) AS n
+           |  FROM documents GROUP BY 1, 2)
+           |SELECT g.source, v.lang,
+           |  CAST(sum(g.n) AS BIGINT) AS n_docs,
+           |  CAST(sum(g.n * len(list_filter(
+           |    string_split_regex(v.text, ' +'), t -> t <> '')))
+           |    AS BIGINT) AS tokens
+           |FROM g JOIN v USING (variant)
+           |GROUP BY 1, 2
+           |ORDER BY source, lang""".stripMargin
+      })
 
   /** The q413/q414 oracle: per-class body/anchor CASEs over the
     * residue grid + the q69-precedent BM25 CTE chain run once per

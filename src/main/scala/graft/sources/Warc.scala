@@ -414,6 +414,27 @@ object Warc {
       out
     }
 
+    // scratch for skipping non-emitted payloads — reused across
+    // records so a skipped multi-MB body allocates NOTHING per record
+    private lazy val skipBuf = new Array[Byte](BufSize)
+
+    /** Consume exactly `n` payload bytes WITHOUT materializing them —
+      * the walk stays strict (truncation still fails) but a record the
+      * iterator will not emit (structural types on the content path,
+      * content records on the revisit path) costs no allocation ∝ its
+      * size.
+      */
+    private def skipExact(n: Long, what: String): Unit = {
+      var left = n
+      while (left > 0) {
+        val got = in.read(skipBuf, 0,
+          math.min(left, skipBuf.length.toLong).toInt)
+        if (got < 0) fail(s"truncated $what")
+        left -= got
+        pos += got
+      }
+    }
+
     /** Parse records until one is EMITTABLE (a `response`/`resource`
       * content record) or the stream ends. Framing stays strict for
       * EVERY record — version line, headers, exact Content-Length,
@@ -448,8 +469,6 @@ object Warc {
             fail(s"bad Content-Length '$lenStr'")
         }
         if (len < 0) fail("negative Content-Length")
-        if (len > MaxRecordBytes) fail(s"record of $len bytes exceeds " +
-          "the 2 GiB single-record cap")
         // our own writer omits nothing; a typeless record is treated
         // as content (the pre-round-16 behavior)
         val warcType = headers.getOrElse("warc-type", "response")
@@ -457,9 +476,20 @@ object Warc {
         val isContent = warcType == "response" || warcType == "resource"
         val isRevisit = warcType == "revisit"
         val emits = if (emitRevisits) isRevisit else isContent
+        // the 2 GiB JVM-array cap applies only to payloads that will
+        // be MATERIALIZED; a skipped record of any size streams through
+        if (len > MaxRecordBytes && emits && !emitRevisits)
+          fail(s"record of $len bytes exceeds " +
+            "the 2 GiB single-record cap")
         if (emits && !headers.contains("warc-target-uri"))
           fail(s"$warcType record missing WARC-Target-URI")
-        val payload = readExact(len.toInt, "payload")
+        // only a content record about to be EMITTED materializes its
+        // payload; everything else (structural records, and every
+        // content body on the revisit path) is strict-skipped with a
+        // reused scratch buffer — zero allocation ∝ skipped size
+        val payload =
+          if (emits && !emitRevisits) readExact(len.toInt, "payload")
+          else { skipExact(len, "payload"); null }
         val tail = readExact(4, "record separator")
         if (!(tail(0) == '\r' && tail(1) == '\n' &&
               tail(2) == '\r' && tail(3) == '\n'))

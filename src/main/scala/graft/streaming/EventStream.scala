@@ -730,7 +730,10 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint(true)
-        val e = WebCorpus.httpEnvelope(col(payloadBytesCol))
+        // Head-only gate (round 17): status/MIME need no body decode,
+        // so the body inflates only inside the gated `when` below —
+        // once per gate-passing record, the single-parse discipline.
+        val e = WebCorpus.httpHead(col(payloadBytesCol))
         val gate = col("__s") >= 200 && col("__s") <= 299 &&
           (col("__ct") === "text/html" ||
             col("__ct") === "application/xhtml+xml")
