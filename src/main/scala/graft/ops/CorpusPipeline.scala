@@ -155,28 +155,64 @@ object CorpusPipeline {
     * only for gate-passing rows.
     */
   def fromWarc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, glob: String = "part-*"): DataFrame = {
-    // Single-parse discipline (round 17): the status/MIME gate rides
-    // the HEADER-ONLY parse (no body copy/dechunk/inflate — cheap even
-    // if predicate pushdown duplicates it), and the body decodes
-    // exactly ONCE, inside the text kernel, for gate-passing rows
-    // only. The empty-text drop is an explode over a filtered 0/1-
-    // element array rather than a Filter node: a Filter on the text
-    // column would push through the projection and re-run the whole
-    // decode+extract kernel a second time per surviving row (the
-    // round-16 double-parse, HttpSpec-pinned now).
+      dir: String, glob: String = "part-*"): DataFrame =
+    dedupByCanonUrl(extractDocs(
+      graft.sources.Warc.readBinary(spark, dir, glob)))
+
+  /** [[fromWarc]] with an RFC 9309 COMPLIANCE gate (round 17): each
+    * record's URL is judged against its registrable domain's
+    * robots.txt BEFORE any extraction, so a disallowed page never
+    * costs a body decode, never enters the corpus, and never reaches
+    * dedup — the lawful-ingest ordering q391 pinned for curation,
+    * pushed down into the ingest itself. `robots` is per-site CONFIG
+    * (`domain`, `robots_txt`) — dimension-sized, so the join
+    * broadcasts; the verdict is one cached-parse glob match per row
+    * riding the scan. Missing robots → allowed (the RFC default);
+    * URLs with no canonical path (unfetchable) pass the gate — they
+    * cannot be fetched, so compliance is moot and they remain
+    * auditable downstream.
+    */
+  def fromWarcCompliant(spark: org.apache.spark.sql.SparkSession,
+      dir: String, robots: DataFrame, agent: String = "*",
+      glob: String = "part-*"): DataFrame = {
+    val allowed = graft.sources.Warc.readBinary(spark, dir, glob)
+      .withColumn("__domain", WebCorpus.domain(col("url")))
+      .withColumn("__path", WebCorpus.urlPath(col("url")))
+      .join(broadcast(robots.select(col("domain").as("__domain"),
+        col("robots_txt"))), Seq("__domain"), "left")
+      .where(col("__path").isNull ||
+        coalesce(WebCorpus.robotsAllowed(col("__path"),
+          col("robots_txt"), agent), lit(true)))
+      .select("warc_file", "url", "payload_bytes", "n_bytes")
+    dedupByCanonUrl(extractDocs(allowed))
+  }
+
+  /** The shared gate+extract stage: status/MIME gate on the
+    * HEADER-ONLY parse (no body copy/dechunk/inflate — cheap even if
+    * predicate pushdown duplicates it), then the body decodes exactly
+    * ONCE, inside the text kernel, for gate-passing rows only. The
+    * empty-text drop is an explode over a filtered 0/1-element array
+    * rather than a Filter node: a Filter on the text column would
+    * push through the projection and re-run the whole decode+extract
+    * kernel a second time per surviving row (the round-16
+    * double-parse, HttpSpec-pinned now).
+    */
+  private def extractDocs(read: DataFrame): DataFrame = {
     val h = WebCorpus.httpHead(col("payload_bytes"))
     val gate = h.getField("status") >= 200 && h.getField("status") <= 299 &&
       (h.getField("content_type") === "text/html" ||
         h.getField("content_type") === "application/xhtml+xml")
     val textK = WebCorpus.htmlText(WebCorpus.httpText(col("payload_bytes")))
-    val docs = graft.sources.Warc.readBinary(spark, dir, glob)
+    read
       .where(gate)
       .select(
         xxhash64(col("url"), col("warc_file")).as("doc_id"),
         col("warc_file").as("source"), col("url"),
         WebCorpus.domain(col("url")).as("domain"),
         explode(filter(array(textK), t => length(t) > 0)).as("text"))
+  }
+
+  private def dedupByCanonUrl(docs: DataFrame): DataFrame = {
     val row = struct(col("doc_id"), col("source"), col("url"),
       col("domain"), col("text"))
     // ONE scan, one shuffle: rows whose URL does not canonicalize get a
@@ -194,6 +230,21 @@ object CorpusPipeline {
       .agg(min_by(row, struct(col("doc_id"), col("text"))).as("__r"))
       .select(col("__r.*"))
   }
+
+  /** STREAMING twin of [[fromWarc]] minus the dedup tail: WARC files
+    * landing in `dir` become a stream of curation-ready documents
+    * (doc_id, source, url, domain, text) — the record-streaming read
+    * ([[graft.sources.Warc.readStreamBinary]], whole files never
+    * materialize), the head-only gate and the single body decode are
+    * the batch path's, per micro-batch. Canonical-URL dedup is a
+    * CROSS-batch concern and stays with the consumer: feed this into
+    * the incremental index maintainers / `urlDedup`-style probes
+    * (`streaming/EventStream`), which carry the standing state a
+    * stream cannot hold in one batch.
+    */
+  def fromWarcStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, glob: String = "*"): DataFrame =
+    extractDocs(graft.sources.Warc.readStreamBinary(spark, dir, glob))
 
   /** The crawl-cut data card (round 17): [[fromWarc]]'s extracted
     * pages rolled per domain, side by side with the cut's `revisit`

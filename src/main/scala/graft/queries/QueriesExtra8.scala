@@ -13,7 +13,7 @@ import Shared._
   */
 private[queries] object QueriesExtra8 {
 
-  def defs: Seq[QueryDef] = Seq(q411, q412, q413, q414, q415, q416)
+  def defs: Seq[QueryDef] = Seq(q411, q412, q413, q414, q415, q416, q417)
 
   /** The q411 hand-labeled fixture: 12 languages, one sentence each —
     * the Latin seven exercise the bundled trigram model, the script
@@ -342,6 +342,54 @@ private[queries] object QueriesExtra8 {
            |GROUP BY 1, 2
            |ORDER BY source, lang""".stripMargin
       })
+
+  private def q417 =
+    // Compliance-gated ingest (round 17): fromWarcCompliant judges
+    // every record's URL against its domain's robots.txt BEFORE any
+    // extraction — q391's lawful-pipeline ordering pushed into the
+    // one-call ingest. Residue grid: host = doc_id % 3
+    // (alpha/beta/gamma), v = doc_id % 8; v<4 → /pub/p{v} (v=3 is a
+    // 404, gated by the HTTP gate), v≥4 → /private/p{v-4}.
+    // alpha.com's robots disallows /private (4 pages blocked),
+    // beta.org allows everything, gamma.net has NO robots row (RFC
+    // default: allowed). Expected per-domain page counts are
+    // hand-derived constants; every page's text is the 4-char "site".
+    QueryDef("q417_compliant_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_compliant_q417"
+        val v = pmod(col("doc_id"), lit(8))
+        val host = elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+          lit("alpha.com"), lit("beta.org"), lit("gamma.net"))
+        val docs = t(s, dir, "documents").select(
+          concat(lit("http://"), host,
+            when(v < 4, concat(lit("/pub/p"), v))
+              .otherwise(concat(lit("/private/p"), v - 4)),
+            lit("?utm_campaign="), v).as("url"),
+          when(v === 3, lit("HTTP/1.1 404 Not Found\r\nContent-Type: " +
+            "text/html\r\n\r\ngone"))
+            .otherwise(lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "text/html\r\n\r\n<p>site</p>")).as("payload"))
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
+        val robots = Seq(
+          ("alpha.com", "User-agent: *\nDisallow: /private\n"),
+          ("beta.org", "User-agent: *\nDisallow:\n"))
+          .toDF("domain", "robots_txt")
+        graft.ops.CorpusPipeline.fromWarcCompliant(s, tmp, robots)
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_pages"),
+            sum(length(col("text"))).as("text_chars"))
+          .orderBy("domain")
+      },
+      Some(
+        // pub pages v∈{0,1,2} (v=3 is the 404) = 3 per host; private
+        // pages v∈{4..7} = 4 per host, blocked on alpha only.
+        """SELECT * FROM (VALUES
+          |  ('alpha.com', CAST(3 AS BIGINT), CAST(12 AS BIGINT)),
+          |  ('beta.org', CAST(7 AS BIGINT), CAST(28 AS BIGINT)),
+          |  ('gamma.net', CAST(7 AS BIGINT), CAST(28 AS BIGINT)))
+          |  AS v(domain, n_pages, text_chars)
+          |ORDER BY domain""".stripMargin))
 
   /** The q413/q414 oracle: per-class body/anchor CASEs over the
     * residue grid + the q69-precedent BM25 CTE chain run once per

@@ -513,6 +513,76 @@ class WarcSpec extends SparkSpec {
       ("http://c.net/r", None)))
   }
 
+  test("fromWarcStream: streaming docs match the batch ingest (pre-dedup)") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_fw_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_fw_ckpt")
+    val stage = java.nio.file.Files.createTempDirectory("warc_fw_st")
+    // unique canonical URLs, so the batch path's dedup is an identity
+    // and batch ≡ stream compares doc-for-doc
+    val rows = Seq(
+      ("http://a.com/1",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>one</p>"),
+      ("http://a.com/404",
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"),
+      ("http://b.org/2",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<b>two</b>"),
+      ("http://b.org/raw", "not http")).toDF("url", "payload")
+    Warc.writeGzip(rows.coalesce(1), stage.toString + "/w", "url", "payload")
+    val part = new java.io.File(stage.toString + "/w").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+    java.nio.file.Files.move(part.toPath, dir.resolve("cut.warc.gz"))
+    val q = graft.ops.CorpusPipeline.fromWarcStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("fw_stream_t")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fw_stream_t")
+        .select("url", "domain", "text").as[(String, String, String)]
+        .collect().sorted.toSeq
+      val batch = graft.ops.CorpusPipeline.fromWarc(spark, dir.toString,
+          "*.warc.gz")
+        .select("url", "domain", "text").as[(String, String, String)]
+        .collect().sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(
+        ("http://a.com/1", "a.com", "one"),
+        ("http://b.org/2", "b.org", "two")))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS fw_stream_t")
+    }
+  }
+
+  test("fromWarcCompliant: a disallowed page never reaches extraction") {
+    import graft.functions.HttpKit
+    val dir = tmp("warc_compliant")
+    val rows = Seq(
+      ("http://a.com/pub/ok",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>pub</p>"),
+      ("http://a.com/private/x",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>priv</p>"),
+      ("http://b.org/private/y",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>open</p>"))
+      .toDF("url", "payload")
+    graft.sources.Warc.writeGzip(rows, dir, "url", "payload")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("domain", "robots_txt")
+    val before = HttpKit.bodyDecodeCount.sum()
+    val got = graft.ops.CorpusPipeline
+      .fromWarcCompliant(spark, dir, robots)
+      .select("url", "text").as[(String, String)].collect().sorted.toSeq
+    val decodes = HttpKit.bodyDecodeCount.sum() - before
+    assert(got === Seq(
+      ("http://a.com/pub/ok", "pub"),
+      // b.org has no robots on record -> RFC default allowed
+      ("http://b.org/private/y", "open")))
+    // the robots gate ran BEFORE extraction: the disallowed page's
+    // body was never decoded (2 survivors = 2 decodes)
+    assert(decodes === 2L,
+      s"expected 2 body decodes (gate before extract), got $decodes")
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
