@@ -42,9 +42,23 @@ object WarcPropertySpec extends Properties("Warc") {
     bos.toByteArray
   }
 
+  private def revisit(url: String, refersTo: Option[String]): Array[Byte] = {
+    val head = ("WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      refersTo.map(r => s"WARC-Refers-To-Target-URI: $r\r\n")
+        .getOrElse("") +
+      "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+    head ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
   private def walk(bytes: Array[Byte]): Seq[(String, Seq[Byte])] =
     new Warc.WarcRecordIterator(new java.io.ByteArrayInputStream(bytes))
       .map { case (u, p) => (u, p.toSeq) }.toSeq
+
+  private def walkRevisits(bytes: Array[Byte]): Seq[(String, String)] =
+    new Warc.WarcRecordIterator(new java.io.ByteArrayInputStream(bytes),
+        emitRevisits = true)
+      .map { case (u, r) => (u, new String(r, "UTF-8")) }.toSeq
 
   private val urlGen: Gen[String] = for {
     host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
@@ -93,6 +107,28 @@ object WarcPropertySpec extends Properties("Warc") {
       val stream = (structural ++ content)
         .foldLeft(Array.empty[Byte])(_ ++ _)
       walk(stream) == recs.map { case (u, p) => (u, p.toSeq) }
+    }
+
+  property("interleaved revisits: content walk unchanged; revisit walk exact") =
+    Prop.forAll(recordsGen, Gen.chooseNum(0, 4)) { (recs, nRev) =>
+      // revisit records carry (url, refers_to) and NO body; interleave
+      // them at alternating positions among the content records
+      val revs = (0 until nRev).map { i =>
+        (s"http://re.visit/$i",
+          if (i % 2 == 0) Some(s"http://orig.example/$i") else None)
+      }
+      val contentFrames = recs.map { case (u, p) => frame(u, p) }
+      val revFrames = revs.map { case (u, r) => revisit(u, r) }
+      // interleave: rev0 content0 rev1 content1 ... (tails appended)
+      val interleaved = revFrames.zipAll(contentFrames,
+          Array.empty[Byte], Array.empty[Byte])
+        .flatMap { case (a, b) => Seq(a, b) }
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      val contentOk =
+        walk(interleaved) == recs.map { case (u, p) => (u, p.toSeq) }
+      val revisitOk = walkRevisits(interleaved) ==
+        revs.map { case (u, r) => (u, r.getOrElse("")) }
+      contentOk && revisitOk
     }
 
   property("cuts inside a record fail; cuts at boundaries emit the prefix") =
