@@ -123,6 +123,19 @@ object UrlKit {
     if (p == null) null else UTF8String.fromString(p(3))
   }
 
+  /** Path PLUS query (`/p?a=1`, query raw/as-crawled, empty path →
+    * "/"), or null on non-http(s) — the RFC 9309 §2.2.2 match target:
+    * robots rules apply to the path INCLUDING the query string, so a
+    * wildcard session-id Disallow rule must see the query. Fragments
+    * never ride (parse strips them).
+    */
+  def pathQueryOf(u: UTF8String): UTF8String = {
+    val p = parse(u.toString)
+    if (p == null) null
+    else UTF8String.fromString(
+      p(3) + (if (p(4).nonEmpty) "?" + p(4) else ""))
+  }
+
   def registrableDomain(u: UTF8String): UTF8String = {
     val p = parse(u.toString)
     if (p == null) return null
@@ -291,6 +304,18 @@ case class UrlPathExpr(child: Expression) extends UrlStringExpr {
     UrlKit.pathOf(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): UrlPathExpr =
     copy(child = newChild)
+}
+
+/** `graft_urlpathq(url)` — path + raw query (the RFC 9309 robots match
+  * target) via [[UrlKit.pathQueryOf]]; null for non-http(s) input.
+  */
+case class UrlPathQueryExpr(child: Expression) extends UrlStringExpr {
+  override def prettyName: String = "graft_urlpathq"
+  override protected def kernel: String = "pathQueryOf"
+  override def nullSafeEval(input: Any): Any =
+    UrlKit.pathQueryOf(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(
+      newChild: Expression): UrlPathQueryExpr = copy(child = newChild)
 }
 
 /** `graft_urlresolve(base, href)` — RFC 3986 §5 reference resolution

@@ -253,6 +253,16 @@ object GraftFunctions {
       UrlPathExpr(children.head): Expression
     })
 
+  private[functions] val urlPathQueryInfo = (
+    FunctionIdentifier("graft_urlpathq"),
+    new ExpressionInfo(classOf[UrlPathQueryExpr].getName,
+      "graft_urlpathq"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_urlpathq takes exactly 1 argument")
+      UrlPathQueryExpr(children.head): Expression
+    })
+
   private[functions] val robotsInfo = (
     FunctionIdentifier("graft_robots_allowed"),
     new ExpressionInfo(classOf[RobotsAllowedExpr].getName,
@@ -448,7 +458,8 @@ object GraftFunctions {
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
       blockhitsInfo, blockscrubInfo, urlCanonInfo, urlDomainInfo,
-      urlPathInfo, urlPslKindInfo, robotsInfo, robotsDelayInfo,
+      urlPathInfo, urlPathQueryInfo, urlPslKindInfo, robotsInfo,
+      robotsDelayInfo,
       robotsSitemapsInfo, robotsSitemapUrlsInfo, urlResolveInfo,
       htmlTextInfo, htmlLinksInfo, htmlAnchorsInfo, htmlBaseInfo,
       httpInfo, httpHeadInfo, httpTextInfo, httpCharsetInfo, sitemapInfo,

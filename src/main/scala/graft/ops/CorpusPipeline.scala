@@ -177,7 +177,7 @@ object CorpusPipeline {
       glob: String = "part-*"): DataFrame = {
     val allowed = graft.sources.Warc.readBinary(spark, dir, glob)
       .withColumn("__domain", WebCorpus.domain(col("url")))
-      .withColumn("__path", WebCorpus.urlPath(col("url")))
+      .withColumn("__path", WebCorpus.urlPathQuery(col("url")))
       .join(broadcast(robots.select(col("domain").as("__domain"),
         col("robots_txt"))), Seq("__domain"), "left")
       .where(col("__path").isNull ||

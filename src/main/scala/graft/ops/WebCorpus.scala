@@ -43,6 +43,14 @@ object WebCorpus {
   /** Canonical path component (empty → "/"); null on non-http(s). */
   def urlPath(url: Column): Column = call_function("graft_urlpath", url)
 
+  /** Path + raw query (`/p?a=1`) — the RFC 9309 §2.2.2 robots MATCH
+    * TARGET: rules apply to the path including the query string, so
+    * a wildcard session-id Disallow rule must see the query. Every robots
+    * audit/gate in this module matches against THIS, not [[urlPath]].
+    */
+  def urlPathQuery(url: Column): Column =
+    call_function("graft_urlpathq", url)
+
   /** robots.txt verdict ([[graft.functions.RobotsKit]]): RFC 9309
     * group selection — the groups naming `agent` exactly
     * (case-insensitive) if any, else the `*` groups — then the
@@ -67,7 +75,7 @@ object WebCorpus {
       robots: DataFrame, agent: String = "*"): DataFrame = {
     val d = docs
       .withColumn("domain", domain(col(urlCol)))
-      .withColumn("__path", urlPath(col(urlCol)))
+      .withColumn("__path", urlPathQuery(col(urlCol)))
     d.join(broadcast(robots), Seq("domain"), "left")
       .select(col(idCol), col("domain"),
         when(col("__path").isNull, lit(null).cast("int"))
@@ -93,7 +101,7 @@ object WebCorpus {
       s"agents collide after column-name sanitization: $agents")
     val d = docs
       .withColumn("domain", domain(col(urlCol)))
-      .withColumn("__path", urlPath(col(urlCol)))
+      .withColumn("__path", urlPathQuery(col(urlCol)))
     val verdicts = agents.map { a =>
       val colName = "allowed_" +
         a.toLowerCase(java.util.Locale.ROOT)

@@ -615,7 +615,7 @@ private[queries] object QueriesExtra6 {
            |    row_number() OVER (PARTITION BY u.id
            |      ORDER BY length(r.prefix) DESC, r.is_allow DESC) AS rn
            |  FROM urls u JOIN rules r ON r.domain = u.domain
-           |    AND starts_with(u.cpath, r.prefix))
+           |    AND starts_with(u.mpath, r.prefix))
            |SELECT u.id AS doc_id, u.domain,
            |  CASE WHEN u.canon IS NULL THEN NULL
            |    ELSE CAST(coalesce(v.is_allow, 1) AS INT) END AS allowed
@@ -683,7 +683,7 @@ private[queries] object QueriesExtra6 {
            |    row_number() OVER (PARTITION BY u.id
            |      ORDER BY length(r.prefix) DESC, r.is_allow DESC) AS rn
            |  FROM urls u JOIN rules r ON r.domain = u.domain
-           |    AND starts_with(u.cpath, r.prefix)),
+           |    AND starts_with(u.mpath, r.prefix)),
            |s0 AS (
            |  SELECT u.id, u.canon, u.domain, doc.source, doc.text
            |  FROM urls u
@@ -780,7 +780,7 @@ private[queries] object QueriesExtra6 {
            |    row_number() OVER (PARTITION BY u.id, r.agent
            |      ORDER BY length(r.prefix) DESC, r.is_allow DESC) AS rn
            |  FROM urls u JOIN rules r ON r.domain = u.domain
-           |    AND starts_with(u.cpath, r.prefix))
+           |    AND starts_with(u.mpath, r.prefix))
            |SELECT u.id AS doc_id, u.domain,
            |  CASE WHEN u.canon IS NULL THEN NULL
            |    ELSE CAST(coalesce(sv.is_allow, 1) AS INT) END
@@ -1215,7 +1215,7 @@ private[queries] object QueriesExtra6 {
            |    row_number() OVER (PARTITION BY u.id
            |      ORDER BY r.rule_len DESC, r.is_allow DESC) AS rn
            |  FROM urls u JOIN rules r ON r.domain = u.domain
-           |    AND regexp_matches(u.cpath, r.rx))
+           |    AND regexp_matches(u.mpath, r.rx))
            |SELECT u.id AS doc_id, u.domain,
            |  CASE WHEN u.canon IS NULL THEN NULL
            |    ELSE CAST(coalesce(v.is_allow, 1) AS INT) END AS allowed
@@ -1300,6 +1300,9 @@ private[queries] object QueriesExtra6 {
       |        cpath || cquery END AS canon,
       |    CASE WHEN id % 13 = 0 THEN NULL ELSE cdomain END AS domain,
       |    CASE WHEN id % 13 = 0 THEN NULL ELSE cpath END AS cpath,
+      |    -- the RFC 9309 robots match target: path + RAW query
+      |    CASE WHEN id % 13 = 0 THEN NULL ELSE cpath || query END
+      |      AS mpath,
       |    CASE WHEN id % 13 = 0 THEN 0 ELSE host_is_default END
       |      AS is_default
       |  FROM parts)""".stripMargin

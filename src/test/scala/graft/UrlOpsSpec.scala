@@ -456,6 +456,34 @@ class UrlOpsSpec extends SparkSpec {
     assert(res(b, "  ") === null)
   }
 
+  test("robots rules match path INCLUDING the query string (RFC 9309 §2.2.2)") {
+    import graft.functions.UrlKit
+    def pq(u: String): String = {
+      val r = UrlKit.pathQueryOf(UTF8String.fromString(u))
+      if (r == null) null else r.toString
+    }
+    // the match-target kernel: raw query rides, fragment never does
+    assert(pq("http://e.com/p?a=1&b=2") === "/p?a=1&b=2")
+    assert(pq("http://e.com/p") === "/p")
+    assert(pq("http://e.com?x=1#f") === "/?x=1")
+    assert(pq("not a url") === null)
+    // the classic session-id rule fires only when the query is seen
+    val robots = Seq(("e.com",
+      "User-agent: *\nDisallow: /*?*sessionid=\nDisallow: /p$\n"))
+      .toDF("domain", "robots_txt")
+    val docs = Seq(
+      (1L, "http://e.com/a?sessionid=99"), // blocked via query rule
+      (2L, "http://e.com/a?x=1"),          // allowed
+      (3L, "http://e.com/p"),              // blocked: /p$ anchors
+      (4L, "http://e.com/p?x=1"))          // allowed: query breaks the $
+      .toDF("doc_id", "url")
+    val got = WebCorpus.robotsAudit(docs, "doc_id", "url", robots)
+      .orderBy("doc_id")
+      .as[(Long, Option[String], Option[Int])].collect().toSeq
+    assert(got.map(t => (t._1, t._3)) === Seq(
+      (1L, Some(0)), (2L, Some(1)), (3L, Some(0)), (4L, Some(1))))
+  }
+
   test("a UTF-8 BOM on the first robots line is tolerated (RFC 9309 §2.3)") {
     import graft.functions.RobotsKit
     val bom = "\uFEFF"
