@@ -886,6 +886,39 @@ object ScaleProbe {
         println(f"""{"op":"fromwarc_files","tiles":$n,"rows":$rows,"rep":$rep,"sec":$sec%.3f}""")
       }
     }
+    // --- Revisit-pass byte-tiling (round 17): readRevisits over a cut
+    // whose CONTENT payloads grow ×(20·n) while its (tiny) revisit
+    // records stay fixed — the revisit reader strict-SKIPS every
+    // content body through a reused scratch buffer, so wall should
+    // track the decompress floor and allocation should track the
+    // revisit rows, never the page bytes. Write untimed.
+    if (opFilter.forall(_.contains("warc_revisit_scan"))) {
+      for (rep <- 1 to reps; n <- tiles) {
+        val tmp = s"/tmp/graft_sp_warc_rev_$n"
+        val docs = base.select(
+          concat(lit("http://site-"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".org/d/"), col("doc_id")).as("url"),
+          repeat(col("text"), 20 * n).as("payload"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("revisit"))
+            .otherwise(lit("response")).as("warc_type"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("http://site-"),
+              pmod(col("doc_id"), lit(97)).cast("string"),
+              lit(".org/orig/"), col("doc_id")))
+            .otherwise(lit(null).cast("string")).as("refers_to"))
+          .coalesce(2)
+        graft.sources.Warc.writeTyped(docs, tmp, "url", "payload",
+          "warc_type", "refers_to", gzip = true)
+        val bytes = docs.select(sum(octet_length(col("payload"))))
+          .collect()(0).getLong(0)
+        val sec = time(
+          graft.sources.Warc.readRevisits(spark, tmp)
+            .groupBy()
+            .agg(count(lit(1)).as("n_revisits")))
+        println(f"""{"op":"warc_revisit_scan","tiles":$n,"rows":$bytes,"rep":$rep,"sec":$sec%.3f}""")
+      }
+    }
     Seq("sp_cmap", "sp_cmap_f", "sp_docstore", "sp_hll", "sp_hist",
       "sp_dhash_bands")
       .foreach(t => graft.sources.Layout.drop(spark, t))

@@ -187,6 +187,47 @@ object CorpusPipeline {
     dedupByCanonUrl(extractDocs(allowed))
   }
 
+  /** The per-site robots dimension EXTRACTED FROM THE CRAWL ITSELF
+    * (round 17): real cuts capture `/robots.txt` responses like any
+    * other page, so the compliance config need not arrive out of
+    * band. 2xx robots bodies (and raw `resource` captures, which have
+    * no status) decode charset-aware into (domain, robots_txt); 4xx/
+    * 5xx/redirect captures are skipped — an unavailable robots file
+    * means no rules (the RFC default, which [[fromWarcCompliant]]
+    * already applies to missing domains). One survivor per domain,
+    * deterministic `min_by` on (url, body). Output is |sites|-sized —
+    * exactly the broadcast dimension the compliance gate wants.
+    */
+  def robotsFromWarc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, glob: String = "part-*"): DataFrame = {
+    val h = WebCorpus.httpHead(col("payload_bytes"))
+    graft.sources.Warc.readBinary(spark, dir, glob)
+      .where(WebCorpus.urlPath(col("url")) === "/robots.txt")
+      .where(h.getField("status").isNull ||
+        (h.getField("status") >= 200 && h.getField("status") <= 299))
+      .select(WebCorpus.domain(col("url")).as("domain"),
+        col("url"),
+        WebCorpus.httpText(col("payload_bytes")).as("robots_txt"))
+      .where(col("domain").isNotNull)
+      .groupBy("domain")
+      .agg(min_by(col("robots_txt"),
+        struct(col("url"), col("robots_txt"))).as("robots_txt"))
+  }
+
+  /** [[fromWarcCompliant]] with the robots dimension mined from the
+    * SAME cut ([[robotsFromWarc]]) — the fully self-contained lawful
+    * ingest: one directory in, compliance-gated curation-ready
+    * documents out. The robots pass is a second directory walk; its
+    * HTTP decode runs only on the robots rows (the URL filter sits
+    * below the projection) and the result is |sites|-sized before it
+    * broadcasts.
+    */
+  def fromWarcSelfCompliant(spark: org.apache.spark.sql.SparkSession,
+      dir: String, agent: String = "*",
+      glob: String = "part-*"): DataFrame =
+    fromWarcCompliant(spark, dir, robotsFromWarc(spark, dir, glob),
+      agent, glob)
+
   /** The shared gate+extract stage: status/MIME gate on the
     * HEADER-ONLY parse (no body copy/dechunk/inflate — cheap even if
     * predicate pushdown duplicates it), then the body decodes exactly

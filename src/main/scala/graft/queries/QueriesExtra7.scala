@@ -494,11 +494,14 @@ private[queries] object QueriesExtra7 {
           |ORDER BY domain""".stripMargin))
 
   private def q410 =
-    // Resolved link graph (round 16): RFC 3986 resolution before the
-    // domain fold — relative links fold into their page (self edges
-    // drop), scheme-relative links are REAL cross edges, a
-    // `<base href>` redirects a page's relative links to another
-    // domain entirely, and absolute links pass through. The oracle
+    // Resolved link graph (round 16; variant 3 extended round 17):
+    // RFC 3986 resolution before the domain fold — relative links
+    // fold into their page (self edges drop), scheme-relative links
+    // are REAL cross edges, a `<base href>` redirects a page's
+    // relative links to another domain entirely, absolute links pass
+    // through, and an absolute link with DOT SEGMENTS + a fragment
+    // still keys its target domain (§5.2.2 on the reference's own
+    // path, fragment-free frontier keys). The oracle
     // replays the per-variant destination as a hand-derived CASE over
     // the residue grid — no URL resolution code runs in it.
     QueryDef("q410_link_graph_resolved",
@@ -516,7 +519,12 @@ private[queries] object QueriesExtra7 {
             concat(lit("<a href=\"https://"),
               hostAt(pmod(col("doc_id") + 1, lit(3))),
               lit("/y\">n</a>")))
-          .otherwise(lit("<a href=\"only-relative\">r</a>"))
+          // round 17: an ABSOLUTE href with dot segments and a
+          // fragment — §5.2.2 applies to the reference's own path and
+          // the frontier key is fragment-free, so this is ONE edge to
+          // mirror-x.net (plus a relative link folding into the page)
+          .otherwise(lit("<a href=\"https://mirror-x.net/a/../y#f\">m" +
+            "</a><a href=\"only-relative\">r</a>"))
         val docs = t(s, dir, "documents")
           .select(concat(lit("http://"),
             hostAt(pmod(col("doc_id"), lit(3))),
@@ -534,8 +542,9 @@ private[queries] object QueriesExtra7 {
           |      WHEN 1 THEN 'cdn-host.net'
           |      WHEN 2 THEN (['alpha.com','beta.org','gamma.net'])
           |        [(s + 1) % 3 + 1]
+          |      WHEN 3 THEN 'mirror-x.net'
           |    END AS dst
-          |  FROM j WHERE v IN (0, 1, 2))
+          |  FROM j WHERE v IN (0, 1, 2, 3))
           |SELECT src AS src_domain, dst AS dst_domain,
           |  CAST(count(*) AS BIGINT) AS n_links
           |FROM e GROUP BY 1, 2

@@ -13,7 +13,8 @@ import Shared._
   */
 private[queries] object QueriesExtra8 {
 
-  def defs: Seq[QueryDef] = Seq(q411, q412, q413, q414, q415, q416, q417)
+  def defs: Seq[QueryDef] =
+    Seq(q411, q412, q413, q414, q415, q416, q417, q418)
 
   /** The q411 hand-labeled fixture: 12 languages, one sentence each —
     * the Latin seven exercise the bundled trigram model, the script
@@ -388,6 +389,63 @@ private[queries] object QueriesExtra8 {
           |  ('alpha.com', CAST(3 AS BIGINT), CAST(12 AS BIGINT)),
           |  ('beta.org', CAST(7 AS BIGINT), CAST(28 AS BIGINT)),
           |  ('gamma.net', CAST(7 AS BIGINT), CAST(28 AS BIGINT)))
+          |  AS v(domain, n_pages, text_chars)
+          |ORDER BY domain""".stripMargin))
+
+  private def q418 =
+    // SELF-contained lawful ingest (round 17 capstone): the robots
+    // dimension is mined from the cut's own /robots.txt captures
+    // (robotsFromWarc), then the compliance-gated ingest runs against
+    // it — one directory in, lawful documents out. Residue grid:
+    // host = doc_id % 3, v = doc_id % 5 (COPRIME — a %6 axis would
+    // correlate with the host and starve two hosts of robots rows).
+    // v=0 is the host's robots.txt capture (text/plain, so it can
+    // never leak into the page set): r-a.example disallows /private,
+    // r-b.example allows everything, and r-c.example has NO robots
+    // capture (its v=0 is an extra pub page) — the RFC missing-file
+    // default. v∈{1,2} are pub pages, v∈{3,4} private pages. Page
+    // counts per domain are hand-derived constants; text is the
+    // 4-char "site".
+    QueryDef("q418_self_compliant_ingest",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_selfc_q418"
+        val v = pmod(col("doc_id"), lit(5))
+        val hostIdx = pmod(col("doc_id"), lit(3))
+        val host = elt((hostIdx + 1).cast("int"),
+          lit("r-a.example"), lit("r-b.example"), lit("r-c.example"))
+        val robotsBody = elt((hostIdx + 1).cast("int"),
+          lit("User-agent: *\nDisallow: /private\n"),
+          lit("User-agent: *\nDisallow:\n"),
+          lit("")) // r-c never takes this branch
+        val isRobots = v === 0 && hostIdx =!= 2
+        val pagePath =
+          when(v === 0, lit("/pub/p0")) // r-c's extra pub page
+            .when(v <= 2, concat(lit("/pub/p"), v))
+            .otherwise(concat(lit("/private/p"), v))
+        val docs = t(s, dir, "documents").select(
+          concat(lit("http://"), host,
+            when(isRobots, lit("/robots.txt")).otherwise(pagePath))
+            .as("url"),
+          when(isRobots,
+            concat(lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "text/plain\r\n\r\n"), robotsBody))
+            .otherwise(lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "text/html\r\n\r\n<p>site</p>")).as("payload"))
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
+        graft.ops.CorpusPipeline.fromWarcSelfCompliant(s, tmp)
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_pages"),
+            sum(length(col("text"))).as("text_chars"))
+          .orderBy("domain")
+      },
+      Some(
+        // r-a: pub p1,p2 (robots blocks /private) = 2 pages;
+        // r-b: pub p1,p2 + private p3,p4 = 4;
+        // r-c: no robots -> allowed; pub p0,p1,p2 + private p3,p4 = 5.
+        """SELECT * FROM (VALUES
+          |  ('r-a.example', CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+          |  ('r-b.example', CAST(4 AS BIGINT), CAST(16 AS BIGINT)),
+          |  ('r-c.example', CAST(5 AS BIGINT), CAST(20 AS BIGINT)))
           |  AS v(domain, n_pages, text_chars)
           |ORDER BY domain""".stripMargin))
 

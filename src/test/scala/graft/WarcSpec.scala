@@ -583,6 +583,38 @@ class WarcSpec extends SparkSpec {
       s"expected 2 body decodes (gate before extract), got $decodes")
   }
 
+  test("robotsFromWarc mines the cut's own robots; self-compliant ingest obeys them") {
+    val dir = tmp("warc_selfc")
+    val rows = Seq(
+      // the cut captured a.com's robots like any page (text/plain)
+      ("http://a.com/robots.txt",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+          "User-agent: *\nDisallow: /private\n"),
+      // a 404 robots capture must contribute NO rules
+      ("http://b.org/robots.txt",
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" +
+          "User-agent: *\nDisallow: /\n"),
+      ("http://a.com/pub",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>pub</p>"),
+      ("http://a.com/private/x",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>no</p>"),
+      ("http://b.org/private/y",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>yes</p>"))
+      .toDF("url", "payload")
+    graft.sources.Warc.writeGzip(rows, dir, "url", "payload")
+    val robots = graft.ops.CorpusPipeline.robotsFromWarc(spark, dir)
+      .as[(String, String)].collect().toMap
+    assert(robots.keySet === Set("a.com"),
+      "only the 2xx robots capture becomes config")
+    assert(robots("a.com").contains("Disallow: /private"))
+    val got = graft.ops.CorpusPipeline.fromWarcSelfCompliant(spark, dir)
+      .select("url", "text").as[(String, String)].collect().sorted.toSeq
+    assert(got === Seq(
+      ("http://a.com/pub", "pub"),
+      // b.org's robots 404'd -> no rules -> allowed
+      ("http://b.org/private/y", "yes")))
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
