@@ -44,7 +44,9 @@ object LangIdKit {
   /** Latin-script languages the trigram model separates, index-aligned
     * with [[logp]].
     */
-  private val latinLangs = Array("en", "de", "fr", "es", "it", "pt", "nl")
+  private val latinLangs =
+    Array("en", "de", "fr", "es", "it", "pt", "nl",
+      "pl", "tr", "fi", "ro")
 
   /** Bundled training text, a few hundred words per language —
     * composed generic prose (no copyrighted corpus), enough for
@@ -148,6 +150,56 @@ object LangIdKit {
       "antwoordde dat ze volgende maand in het tijdschrift zouden " +
       "verschijnen. er is niets waardevoller dan de tijd die we " +
       "doorbrengen met de mensen van wie we houden."
+    case "pl" =>
+      "rząd ogłosił, że nowe przepisy wejdą w życie na początku " +
+      "przyszłego roku i będą obowiązywać wszystkich obywateli kraju. " +
+      "każdego ranka mieszkańcy miasta spacerują wzdłuż rzeki i " +
+      "rozmawiają o pogodzie, wiadomościach oraz pracy, którą trzeba " +
+      "wykonać przed nadejściem zimy. często mówi się, że dobra " +
+      "książka i ciepły ogień to wszystko, czego człowiek potrzebuje " +
+      "w zimny wieczór. zapytała, czy wyniki badania zostały już " +
+      "opublikowane, a on odpowiedział, że ukażą się w czasopiśmie w " +
+      "przyszłym miesiącu. nie ma nic cenniejszego niż czas spędzony " +
+      "z ludźmi, których kochamy. studenci przyszli wcześnie do " +
+      "biblioteki, ponieważ chcieli się uczyć przed egzaminem z " +
+      "historii."
+    case "tr" =>
+      "hükümet yeni kuralların gelecek yıldan itibaren tüm " +
+      "vatandaşlar için geçerli olacağını açıkladı. her sabah kasaba " +
+      "halkı nehir boyunca yürür ve hava durumu, haberler ve kış " +
+      "gelmeden önce yapılması gereken işler hakkında konuşur. soğuk " +
+      "bir akşamda insanın ihtiyaç duyduğu tek şeyin iyi bir kitap ve " +
+      "sıcak bir ateş olduğu söylenir. araştırmanın sonuçlarının " +
+      "yayımlanıp yayımlanmadığını sordu ve gelecek ay dergide " +
+      "çıkacağını söyledi. sevdiğimiz insanlarla geçirdiğimiz " +
+      "zamandan daha değerli hiçbir şey yoktur. öğrenciler tarih " +
+      "sınavından önce çalışmak istedikleri için kütüphaneye erken " +
+      "geldiler."
+    case "fi" =>
+      "hallitus ilmoitti, että uudet säännöt tulevat voimaan ensi " +
+      "vuoden alusta ja koskevat kaikkia maan kansalaisia. joka aamu " +
+      "kaupungin asukkaat kävelevät joen vartta pitkin ja puhuvat " +
+      "säästä, uutisista ja työstä, joka on tehtävä ennen talven " +
+      "tuloa. usein sanotaan, että hyvä kirja ja lämmin takka ovat " +
+      "kaikki mitä ihminen tarvitsee kylmänä iltana. hän kysyi, oliko " +
+      "tutkimuksen tulokset jo julkaistu, ja hän vastasi, että ne " +
+      "ilmestyvät lehdessä ensi kuussa. mikään ei ole arvokkaampaa " +
+      "kuin aika, jonka vietämme rakkaidemme kanssa. opiskelijat " +
+      "saapuivat kirjastoon aikaisin, koska he halusivat lukea ennen " +
+      "historian koetta."
+    case "ro" =>
+      "guvernul a anunțat că noile reguli vor intra în vigoare la " +
+      "începutul anului viitor și se vor aplica tuturor cetățenilor " +
+      "țării. în fiecare dimineață oamenii orașului se plimbă de-a " +
+      "lungul râului și vorbesc despre vreme, despre știri și despre " +
+      "munca ce trebuie făcută înainte de venirea iernii. se spune " +
+      "adesea că o carte bună și un foc cald sunt tot ce are nevoie " +
+      "cineva într-o seară rece. ea a întrebat dacă rezultatele " +
+      "studiului au fost publicate, iar el a răspuns că vor apărea în " +
+      "revistă luna viitoare. nimic nu este mai prețios decât timpul " +
+      "petrecut cu oamenii pe care îi iubim. studenții au ajuns " +
+      "devreme la bibliotecă pentru că voiau să învețe înainte de " +
+      "examenul de istorie."
     case other => throw new IllegalStateException(s"no sample for $other")
   }
 
@@ -158,10 +210,16 @@ object LangIdKit {
   private[graft] def fold(text: String): String = {
     val windowed =
       if (text.length > Window) text.substring(0, Window) else text
+    // letters with NO NFD decomposition map explicitly (Polish ł,
+    // Turkish dotless ı, Nordic ø/æ, French œ, Icelandic ð/þ) — an
+    // unmapped one would fall through as a word boundary and shred
+    // exactly the words that identify the language
+    val mapped = windowed.toLowerCase(java.util.Locale.ROOT)
+      .replace("ß", "ss").replace('ł', 'l').replace('ı', 'i')
+      .replace('ø', 'o').replace("æ", "ae").replace("œ", "oe")
+      .replace('ð', 'd').replace('þ', 't')
     val de = java.text.Normalizer.normalize(
-      windowed.toLowerCase(java.util.Locale.ROOT)
-        .replace("ß", "ss"),
-      java.text.Normalizer.Form.NFD)
+      mapped, java.text.Normalizer.Form.NFD)
     val sb = new StringBuilder(de.length)
     var prevSpace = true
     var i = 0

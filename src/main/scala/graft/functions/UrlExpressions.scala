@@ -91,6 +91,15 @@ object UrlKit {
     host = host.toLowerCase(java.util.Locale.ROOT)
     if (host.endsWith(".")) host = host.substring(0, host.length - 1)
     if (host.isEmpty || host.exists(c => c == ' ' || c == '\t')) return null
+    // IDN hosts: a unicode host and its punycode twin are the SAME
+    // site — normalize to the ASCII (xn--) form the DNS actually
+    // resolves, so dedup keys and PSL lookups see one spelling
+    // (JDK IDNA; anything it rejects keeps the lowercased original —
+    // total-on-junk, never a thrown row)
+    if (host.exists(_ >= 0x80))
+      host = try java.net.IDN.toASCII(host)
+        .toLowerCase(java.util.Locale.ROOT)
+      catch { case _: IllegalArgumentException => host }
     val tail = rest.substring(aEnd)
     val hashAt = tail.indexOf('#')
     val noFrag = if (hashAt >= 0) tail.substring(0, hashAt) else tail

@@ -16,12 +16,12 @@ private[queries] object QueriesExtra8 {
   def defs: Seq[QueryDef] =
     Seq(q411, q412, q413, q414, q415, q416, q417, q418)
 
-  /** The q411 hand-labeled fixture: 12 languages, one sentence each —
-    * the Latin seven exercise the bundled trigram model, the script
+  /** The q411 hand-labeled fixture: 16 languages, one sentence each —
+    * the Latin eleven exercise the bundled trigram model, the script
     * five the code-point gate. ONE definition feeds the Spark `elt`
     * and the oracle VALUES (the pslHosts discipline). The `predicted`
     * column in the oracle is pinned to the expected label: the
-    * classifier gets all twelve right (LangIdSpec), and a regression
+    * classifier gets all sixteen right (LangIdSpec), and a regression
     * on any of them breaks this hash.
     */
   private def langFixture: Seq[(String, String)] = Seq(
@@ -44,7 +44,15 @@ private[queries] object QueriesExtra8 {
     "ja" -> "政府は新しい規則が来年から施行されると発表しました。",
     "zh" -> "政府宣布新的规定将于明年初开始实施。",
     "ko" -> "정부는 새로운 규정이 내년부터 시행된다고 발표했다.",
-    "ar" -> "أعلنت الحكومة أن القواعد الجديدة ستدخل حيز التنفيذ العام المقبل.")
+    "ar" -> "أعلنت الحكومة أن القواعد الجديدة ستدخل حيز التنفيذ العام المقبل.",
+    "pl" -> ("Dzieci bawiły się w ogrodzie przez całe popołudnie, a " +
+      "potem wróciły do domu na kolację z rodzicami."),
+    "tr" -> ("Çocuklar bütün öğleden sonra bahçede oynadılar ve sonra " +
+      "akşam yemeği için eve döndüler."),
+    "fi" -> ("Lapset leikkivät puutarhassa koko iltapäivän ja " +
+      "palasivat sitten kotiin syömään illallista vanhempiensa kanssa."),
+    "ro" -> ("Copiii s-au jucat în grădină toată după-amiaza și apoi " +
+      "s-au întors acasă pentru cina cu părinții lor."))
 
   private def q411 =
     // Trained language ID (round 17, VERDICT r16 task 5): the
@@ -56,11 +64,12 @@ private[queries] object QueriesExtra8 {
     // joined to the residue counts — no language model runs in it.
     QueryDef("q411_langid_eval",
       (s, dir) => {
-        val idx = (pmod(col("doc_id"), lit(12)) + 1).cast("int")
+        val m = langFixture.size
+        val idx = (pmod(col("doc_id"), lit(m)) + 1).cast("int")
         val sent = elt(idx +: langFixture.map(p => lit(p._2)): _*)
         val expected = elt(idx +: langFixture.map(p => lit(p._1)): _*)
         t(s, dir, "documents")
-          .select(pmod(col("doc_id"), lit(12)).cast("int").as("variant"),
+          .select(pmod(col("doc_id"), lit(m)).cast("int").as("variant"),
             expected.as("expected"),
             TextAnalysis.langId(sent).as("predicted"))
           .groupBy("variant", "expected", "predicted")
@@ -74,7 +83,8 @@ private[queries] object QueriesExtra8 {
           .map { case ((lang, _), i) => s"($i, '$lang')" }
           .mkString(",\n  ")
         s"""WITH g AS (
-           |  SELECT doc_id % 12 AS variant, count(*) AS n
+           |  SELECT doc_id % ${langFixture.size} AS variant,
+           |    count(*) AS n
            |  FROM documents GROUP BY 1),
            |v AS (SELECT * FROM (VALUES
            |  $values) AS v(variant, lang))
@@ -311,12 +321,13 @@ private[queries] object QueriesExtra8 {
   private def q416 =
     // Language-mix report (round 17): the shard-mix table a
     // multilingual corpus publishes — per (source, predicted
-    // language), document and token volume, over the q411 12-language
+    // language), document and token volume, over the q411 16-language
     // fixture. The oracle replays the labels (pinned by q411) and
     // token counts with the q69-precedent whitespace-split twin.
     QueryDef("q416_lang_mix",
       (s, dir) => {
-        val idx = (pmod(col("doc_id"), lit(12)) + 1).cast("int")
+        val idx =
+          (pmod(col("doc_id"), lit(langFixture.size)) + 1).cast("int")
         val sent = elt(idx +: langFixture.map(p => lit(p._2)): _*)
         TextAnalysis.langMix(
             t(s, dir, "documents")
@@ -332,7 +343,8 @@ private[queries] object QueriesExtra8 {
         s"""WITH v AS (SELECT * FROM (VALUES
            |  $values) AS v(variant, lang, text)),
            |g AS (
-           |  SELECT source, doc_id % 12 AS variant, count(*) AS n
+           |  SELECT source, doc_id % ${langFixture.size} AS variant,
+           |    count(*) AS n
            |  FROM documents GROUP BY 1, 2)
            |SELECT g.source, v.lang,
            |  CAST(sum(g.n) AS BIGINT) AS n_docs,

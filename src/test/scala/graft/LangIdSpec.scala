@@ -33,7 +33,7 @@ class LangIdSpec extends SparkSpec {
       === "ja")
   }
 
-  test("Latin trigram NB separates the seven bundled languages (held-out text)") {
+  test("Latin trigram NB separates the eleven bundled languages (held-out text)") {
     val heldOut = Seq(
       "en" -> ("The students arrived early at the library because " +
         "they wanted to study before the history exam."),
@@ -48,7 +48,16 @@ class LangIdSpec extends SparkSpec {
       "pt" -> ("Os estudantes chegaram cedo à biblioteca porque " +
         "queriam estudar antes do exame de história."),
       "nl" -> ("De studenten kwamen vroeg naar de bibliotheek omdat " +
-        "ze voor het geschiedenisexamen wilden studeren."))
+        "ze voor het geschiedenisexamen wilden studeren."),
+      "pl" -> ("Dzieci bawiły się w ogrodzie przez całe popołudnie, " +
+        "a potem wróciły do domu na kolację z rodzicami."),
+      "tr" -> ("Çocuklar bütün öğleden sonra bahçede oynadılar ve " +
+        "sonra akşam yemeği için eve döndüler."),
+      "fi" -> ("Lapset leikkivät puutarhassa koko iltapäivän ja " +
+        "palasivat sitten kotiin syömään illallista vanhempiensa " +
+        "kanssa."),
+      "ro" -> ("Copiii s-au jucat în grădină toată după-amiaza și " +
+        "apoi s-au întors acasă pentru cina cu părinții lor."))
     val misses = heldOut.flatMap { case (exp, s) =>
       val got = c(s)
       if (got == exp) None else Some(s"$exp -> $got ($s)")

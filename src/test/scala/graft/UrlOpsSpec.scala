@@ -456,6 +456,31 @@ class UrlOpsSpec extends SparkSpec {
     assert(res(b, "  ") === null)
   }
 
+  test("IDN hosts normalize to punycode: unicode and xn-- spellings key once") {
+    import graft.functions.UrlKit
+    def canon(u: String): String = {
+      val r = UrlKit.canon(UTF8String.fromString(u))
+      if (r == null) null else r.toString
+    }
+    // the unicode spelling and its punycode twin are ONE site
+    assert(canon("http://bücher.example/p") ===
+      canon("http://xn--bcher-kva.example/p"))
+    assert(canon("http://bücher.example/p") ===
+      "http://xn--bcher-kva.example/p")
+    // mixed-case unicode folds before encoding
+    assert(canon("http://BÜCHER.example/") ===
+      "http://xn--bcher-kva.example/")
+    // registrable domain sees the punycode form too
+    def dom(u: String): String = {
+      val r = UrlKit.registrableDomain(UTF8String.fromString(u))
+      if (r == null) null else r.toString
+    }
+    assert(dom("http://shop.bücher.example/x") ===
+      dom("http://shop.xn--bcher-kva.example/x"))
+    // ASCII hosts take the fast path untouched
+    assert(canon("http://plain.example/p") === "http://plain.example/p")
+  }
+
   test("robots rules match path INCLUDING the query string (RFC 9309 §2.2.2)") {
     import graft.functions.UrlKit
     def pq(u: String): String = {
