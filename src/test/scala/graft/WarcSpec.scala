@@ -615,6 +615,62 @@ class WarcSpec extends SparkSpec {
       ("http://b.org/private/y", "yes")))
   }
 
+  test("WARC landing feeds the streaming BM25 index end to end") {
+    // The flagship streaming story: files land -> fromWarcStream
+    // extracts docs -> the postings maintainer appends term-bucketed
+    // postings + stats partials and re-serves top-k from the STORED
+    // index after every batch. "Crawl lands, corpus is searchable."
+    Seq("warc_fw_post", "warc_fw_stats", "warc_fw_top")
+      .foreach(graft.sources.Layout.drop(spark, _))
+    val dir = java.nio.file.Files.createTempDirectory("warc_fw_bm25")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_fw_bm25_ck")
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("warc_fw_st2")
+      Warc.writeGzip(rows.toDF("url", "payload").coalesce(1),
+        stage.toString + "/w", "url", "payload")
+      val part = new java.io.File(stage.toString + "/w").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    def page(text: String): String =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>$text</p>"
+    def idOf(url: String, file: String): Long =
+      Seq((url, file)).toDF("u", "f")
+        .select(xxhash64(col("u"), col("f"))).as[Long].head()
+    val q = graft.streaming.EventStream.incrementalPostingsIngest(
+      graft.ops.CorpusPipeline.fromWarcStream(spark, dir.toString),
+      "warc_fw_post", "warc_fw_stats", "warc_fw_top", ckpt.toString,
+      queryTerms = Seq("solar", "panel"), k = 3)
+    try {
+      land("c1.warc.gz", Seq(
+        ("http://a.com/1", page("solar panel guide here")),
+        ("http://a.com/2", page("nothing relevant at all"))))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("warc_fw_top")
+      val top1 = spark.table("warc_fw_top")
+        .where(col("ingest_batch") === 0 && col("rank") === 1)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(top1 === Seq(idOf("http://a.com/1", "c1.warc.gz")))
+      // a stronger page lands -> the NEXT batch's served ranking,
+      // probed off the stored index, prefers it
+      land("c2.warc.gz", Seq(
+        ("http://b.org/3",
+          page("solar panel solar panel best solar panel"))))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("warc_fw_top")
+      val latest = spark.table("warc_fw_top")
+      val lastBatch = latest.agg(max("ingest_batch")).as[Long].head()
+      val top2 = latest
+        .where(col("ingest_batch") === lastBatch && col("rank") === 1)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(top2 === Seq(idOf("http://b.org/3", "c2.warc.gz")))
+    } finally {
+      q.stop()
+      Seq("warc_fw_post", "warc_fw_stats", "warc_fw_top")
+        .foreach(graft.sources.Layout.drop(spark, _))
+    }
+  }
+
   test("strict parser refuses malformed input instead of resyncing") {
     def bad(s: String): Unit =
       intercept[IllegalArgumentException] {
