@@ -14,7 +14,7 @@ import Shared._
 private[queries] object QueriesExtra8 {
 
   def defs: Seq[QueryDef] =
-    Seq(q411, q412, q413, q414, q415, q416, q417, q418)
+    Seq(q411, q412, q413, q414, q415, q416, q417, q418, q419)
 
   /** The q411 hand-labeled fixture: 16 languages, one sentence each —
     * the Latin eleven exercise the bundled trigram model, the script
@@ -460,6 +460,53 @@ private[queries] object QueriesExtra8 {
           |  ('r-c.example', CAST(5 AS BIGINT), CAST(20 AS BIGINT)))
           |  AS v(domain, n_pages, text_chars)
           |ORDER BY domain""".stripMargin))
+
+  private def q419 =
+    // IDN host normalization (round 17): a unicode host and its
+    // punycode twin are ONE site — canonicalization folds both to the
+    // ASCII xn-- form the DNS resolves, so the per-domain report
+    // groups them together (variants 0 and 1 are the same site
+    // spelled two ways; variant 2 is a second IDN site; variant 3
+    // ASCII; variant 4 unparseable). The oracle's punycode strings
+    // are hand-written public encodings, never computed.
+    QueryDef("q419_idn_domains",
+      (s, dir) => {
+        val v = pmod(col("doc_id"), lit(5))
+        val url = elt((v + 1).cast("int"),
+          lit("http://bücher.example/p"),
+          lit("http://XN--BCHER-KVA.example/p"),
+          lit("https://münchen.example/x"),
+          lit("http://plain.example/y"),
+          lit("javascript:nope"))
+        WebCorpus.domainReport(
+            t(s, dir, "documents").select(url.as("url")), "url")
+          .select(col("domain"), col("n_urls"), col("n_pages"))
+          .orderBy("domain")
+      },
+      Some(
+        // n_pages is a hand constant per domain: the two bücher
+        // spellings share ONE canonical URL; the invalid variant has
+        // no canonical form (count_distinct over nulls = 0)
+        """WITH d AS (
+          |  SELECT doc_id % 5 AS v, count(*) AS n
+          |  FROM documents GROUP BY 1),
+          |m AS (SELECT * FROM (VALUES
+          |  (0, 'xn--bcher-kva.example'),
+          |  (1, 'xn--bcher-kva.example'),
+          |  (2, 'xn--mnchen-3ya.example'),
+          |  (3, 'plain.example'),
+          |  (4, '(invalid)')) AS m(v, domain)),
+          |p AS (SELECT * FROM (VALUES
+          |  ('xn--bcher-kva.example', 1),
+          |  ('xn--mnchen-3ya.example', 1),
+          |  ('plain.example', 1),
+          |  ('(invalid)', 0)) AS p(domain, np))
+          |SELECT m.domain,
+          |  CAST(sum(d.n) AS BIGINT) AS n_urls,
+          |  CAST(p.np AS BIGINT) AS n_pages
+          |FROM d JOIN m ON m.v = d.v JOIN p ON p.domain = m.domain
+          |GROUP BY m.domain, p.np
+          |ORDER BY m.domain""".stripMargin))
 
   /** The q413/q414 oracle: per-class body/anchor CASEs over the
     * residue grid + the q69-precedent BM25 CTE chain run once per
