@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     code-point ranges alone, the standard shortcut (kana presence
   *     next to Han says `ja`, Han without kana says `zh`). No trigram
   *     model separates what the script already separates.
-  *  2. LATIN languages (en/de/fr/es/it/pt/nl) run a character-trigram
+  *  2. LATIN languages (en/de/fr/es/it/pt/nl/pl/tr/fi/ro) run a character-trigram
   *     Naive Bayes over a 27-symbol alphabet (a–z + space, diacritics
   *     folded via NFD so `café`/`cafe` share mass): per-language
   *     log-probability tables are TRAINED AT CLASS INIT from bundled
@@ -50,7 +50,7 @@ object LangIdKit {
 
   /** Bundled training text, a few hundred words per language —
     * composed generic prose (no copyrighted corpus), enough for
-    * trigram statistics to separate the seven languages at document
+    * trigram statistics to separate the eleven languages at document
     * grain. Swapping in larger public profiles is a data edit.
     */
   private def sample(lang: String): String = lang match {
@@ -325,8 +325,45 @@ object LangIdKit {
     val folded = fold(text)
     val nLetters = folded.count(_ != ' ')
     if (nLetters < MinLetters || folded.length < 3) return "und"
+    val (bestLang, bestPerTri, marginPerTri) = latinScore(folded)
+    // und-margin (round 18): a pure argmax over the eleven bundled
+    // languages gives a CONFIDENT wrong label to every unbundled Latin
+    // language (Swedish, Danish, Indonesian, Vietnamese-folded, …).
+    // Two honesty gates, both per-trigram-normalized so length cancels:
+    // the winner must beat the runner-up by a real margin (out-of-model
+    // text scores near-uniformly badly across all tables), and the
+    // winner's absolute log-prob must clear a floor (out-of-model text
+    // rides mostly-unseen trigrams near the smoothing floor in EVERY
+    // table). Thresholds chosen by the LangIdSpec margin sweep.
+    if (marginPerTri < MarginThreshold || bestPerTri < ScoreFloor) "und"
+    else latinLangs(bestLang)
+  }
+
+  /** Minimum per-trigram (best − runner-up) log-prob margin before the
+    * Latin argmax is trusted; below it the verdict is `und`. LangIdSpec
+    * sweep over single sentences: in-model ≥ 0.0855 (pt, the closest
+    * pair), out-of-model ≤ 0.0586 — except Vietnamese-folded, which
+    * margins 0.09 toward pt but fails [[ScoreFloor]].
+    */
+  private val MarginThreshold = 0.065
+  /** Minimum per-trigram best log-prob. The bundled samples are a few
+    * hundred words, so even matching text scores near the add-one
+    * smoothing floor (log(1/(total+27³)) ≈ −9.92; a seen-once trigram
+    * ≈ −9.23): in-model sentences measure ≥ −9.45 (tr), out-of-model
+    * text rides mostly-unseen trigrams in EVERY table and the farthest
+    * ones (vi/cs/hu) sit ≤ −9.57.
+    */
+  private val ScoreFloor = -9.5
+
+  /** Latin-NB inner scorer over an already-[[fold]]ed window:
+    * (argmax index, best per-trigram log-prob, per-trigram margin to
+    * the runner-up). Exposed for the LangIdSpec threshold sweep.
+    */
+  private[graft] def latinScore(folded: String): (Int, Double, Double) = {
+    val nTri = folded.length - 2
     var bestLang = 0
     var bestScore = Double.NegativeInfinity
+    var second = Double.NegativeInfinity
     var l = 0
     while (l < latinLangs.length) {
       val table = logp(l)
@@ -337,10 +374,18 @@ object LangIdKit {
           sym(folded.charAt(j + 1))) * A + sym(folded.charAt(j + 2)))
         j += 1
       }
-      if (score > bestScore) { bestScore = score; bestLang = l }
+      if (score > bestScore) {
+        second = bestScore; bestScore = score; bestLang = l
+      } else if (score > second) second = score
       l += 1
     }
-    latinLangs(bestLang)
+    (bestLang, bestScore / nTri, (bestScore - second) / nTri)
+  }
+
+  /** Test/tuning hook: fold + [[latinScore]] in one call. */
+  private[graft] def latinDiag(text: String): (String, Double, Double) = {
+    val (i, b, m) = latinScore(fold(text))
+    (latinLangs(i), b, m)
   }
 
   /** Codegen entry point. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The composed training-data curation flow — the reason the LLM-tier
@@ -40,10 +40,22 @@ object CorpusPipeline {
   private def fates(
       df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, lang: String,
-      minhashK: Int, bands: Int, jaccard: Double): DataFrame = {
+      minhashK: Int, bands: Int, jaccard: Double,
+      trainedLangId: Boolean): DataFrame = {
     // Stage 1: exact-dup winners (lowest id per identical text).
     val exactWinners = Dedup.exact(df, textCol, idCol)
       .select(col("keep_id").as(idCol), lit(true).as("_exact_w"))
+
+    // The language gate rides the TRAINED kernel by default (round 18
+    // — VERDICT r17 task 1): `graft_langid`'s script gate + trigram NB
+    // with an und-margin, not the stopword-ratio heuristic that
+    // mislabels short and non-Latin documents. `trainedLangId = false`
+    // keeps the heuristic reachable (q50/q100's oracle replays it in
+    // SQL; the trained gate's catalog coverage is the hand-labeled
+    // q420 fixture, where labels are pinnable).
+    val langOf: Column => Column =
+      if (trainedLangId) TextAnalysis.langId(_)
+      else TextAnalysis.langIdHeuristic(_, 0.05)
 
     // Stage 2: quality + language signals (narrow, codegen'd). Scored
     // for every row — exact losers carry the same text, so scoring
@@ -58,7 +70,7 @@ object CorpusPipeline {
     // as the curated-set checkpoint in the mix/shard composition.
     val scored = df.join(exactWinners, Seq(idCol), "left")
       .withColumn("_quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("_lang", TextAnalysis.langIdHeuristic(col(textCol)))
+      .withColumn("_lang", langOf(col(textCol)))
       .withColumn("_gate_ok",
         coalesce(col("_exact_w"), lit(false)) &&
           col("_quality") >= minQuality && col("_lang") === lang)
@@ -89,9 +101,11 @@ object CorpusPipeline {
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source",
       minQuality: Double = 0.5, lang: String = "en",
-      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame =
+      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8,
+      trainedLangId: Boolean = true): DataFrame =
     // The funnel aggregate is partial+final combinable.
-    fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard)
+    fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard,
+      trainedLangId)
       .groupBy(col(sourceCol))
       .agg(
         count(when(col("_fate") === "kept", 1)).as("docs_kept"),
@@ -108,8 +122,10 @@ object CorpusPipeline {
   def curatedDocs(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minQuality: Double = 0.5, lang: String = "en",
-      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame =
-    fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard)
+      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8,
+      trainedLangId: Boolean = true): DataFrame =
+    fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard,
+      trainedLangId)
       .filter(col("_fate") === "kept")
       .select(df.columns.map(col).toSeq: _*)
 
@@ -125,12 +141,13 @@ object CorpusPipeline {
       idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source", decontamN: Int = 5,
       minQuality: Double = 0.5, lang: String = "en",
-      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8): DataFrame = {
+      minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8,
+      trainedLangId: Boolean = true): DataFrame = {
     val scrubbed = df.withColumn(textCol,
       TextAnalysis.redactPii(col(textCol)))
     val clean = Dedup.decontaminate(scrubbed, benchmark, idCol, textCol, decontamN)
     curate(clean, idCol, textCol, sourceCol, minQuality, lang,
-      minhashK, bands, jaccard)
+      minhashK, bands, jaccard, trainedLangId)
   }
 
   /** WARC → curation-ready documents (round 16): the ingest glue from

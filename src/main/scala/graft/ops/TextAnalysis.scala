@@ -198,9 +198,9 @@ object TextAnalysis {
   /** TRAINED language ID (round 17 — the production replacement for
     * [[langIdHeuristic]]): script gate for the script-unique languages
     * (ja/ko/zh/ru/ar/el/he/hi/th) + a bundled char-trigram Naive Bayes
-    * for the Latin seven (en/de/fr/es/it/pt/nl), `und` on too-short
-    * input. One codegen'd kernel riding the corpus scan — no shuffle,
-    * no UDF ([[graft.functions.LangIdKit]]).
+    * for the Latin eleven (en/de/fr/es/it/pt/nl/pl/tr/fi/ro), `und` on
+    * too-short input. One codegen'd kernel riding the corpus scan — no
+    * shuffle, no UDF ([[graft.functions.LangIdKit]]).
     */
   def langId(text: Column): Column = call_function("graft_langid", text)
 
@@ -763,13 +763,22 @@ object TextAnalysis {
         expr("(lost_tokens * 1000000) DIV total_tokens"))
   }
 
-  /** Convenience: annotate a documents frame with all signals. */
-  def annotate(textCol: String = "text")(df: DataFrame): DataFrame = {
+  /** Convenience: annotate a documents frame with all signals.
+    * `lang_pred` rides the TRAINED [[langId]] kernel by default (round
+    * 18 — the stopword heuristic mislabels short and non-Latin docs);
+    * `trainedLangId = false` keeps the heuristic leg reachable (q28's
+    * per-doc oracle replays it in SQL — the trained kernel's per-doc
+    * labels are pinned by the hand-labeled q411/q416/q420 fixtures
+    * instead).
+    */
+  def annotate(textCol: String = "text", trainedLangId: Boolean = true)(
+      df: DataFrame): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))
       .withColumn("type_token_ratio", round(typeTokenRatio(t), 4))
       .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
-      .withColumn("lang_pred", langIdHeuristic(t))
+      .withColumn("lang_pred",
+        if (trainedLangId) langId(t) else langIdHeuristic(t))
       .withColumn("fingerprint", bowFingerprint(t))
       .withColumn("quality", qualityScore(t))
   }

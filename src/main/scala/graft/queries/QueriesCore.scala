@@ -485,10 +485,14 @@ private[queries] object QueriesCore {
              |        len(list_distinct(list_concat(l.sh, r.sh))) >= 0.7
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Text quality/language/fingerprint signals (TextAnalysis.annotate)
+    // Text quality/language/fingerprint signals (TextAnalysis.annotate).
+    // The HEURISTIC lang leg: its per-doc labels replay in SQL below.
+    // The trained-kernel default is covered per-doc by the hand-labeled
+    // q411/q416/q420 fixtures (synthetic word-salad text has no true
+    // language label to pin here — the trained model honestly says und).
     QueryDef("q28_text_signals",
       (s, dir) => t(s, dir, "documents")
-        .transform(TextAnalysis.annotate("text"))
+        .transform(TextAnalysis.annotate("text", trainedLangId = false))
         .select("doc_id", "n_tokens", "type_token_ratio", "stopword_ratio",
           "lang_pred", "fingerprint", "quality")
         .orderBy("doc_id"),
@@ -1438,9 +1442,14 @@ private[queries] object QueriesCore {
     // 5.8 s warm / ~10 s cold at sf0.1, and q50 now costs ~1.4x its
     // own cluster pass (q61) vs 3x before. The remaining floor is the
     // cluster iteration + per-query codegen, shared with q61/q100.
+    // Heuristic-gate leg (trainedLangId = false): the oracle CTE chain
+    // replays the stopword-ratio gate in SQL. The TRAINED default gate
+    // inside curate is covered by q420, whose fixture languages are
+    // hand-labeled and pinnable — this synthetic word salad is not.
     QueryDef("q50_corpus_curation",
       (s, dir) => CorpusPipeline.curate(
-        t(s, dir, "documents").filter(col("doc_id") < 1000)),
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        trainedLangId = false),
       Some("WITH RECURSIVE " + curationFateCtes + "\n" +
         """SELECT source,
           |  count(CASE WHEN fate = 'kept' THEN 1 END) AS docs_kept,

@@ -24,7 +24,7 @@ private[queries] object QueriesExtra8 {
     * classifier gets all sixteen right (LangIdSpec), and a regression
     * on any of them breaks this hash.
     */
-  private def langFixture: Seq[(String, String)] = Seq(
+  private[queries] def langFixture: Seq[(String, String)] = Seq(
     "en" -> ("The students arrived early at the library because they " +
       "wanted to study before the history exam."),
     "de" -> ("Die Studenten kamen früh in die Bibliothek, weil sie " +

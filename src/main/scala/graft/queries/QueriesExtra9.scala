@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.ops.CorpusPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Shared._
+
+/** Catalog section 12 (round 18): the trained language gate inside the
+  * curation flagship, plus the round's ingest-surface extensions.
+  * Oracle discipline unchanged: per-variant language labels are
+  * hand-pinned literals (the q411 precedent — LangIdSpec verifies the
+  * classifier on exactly these sentences), token counts replay through
+  * the q69-precedent whitespace-split twin, and no langid/HTTP/WARC
+  * code runs oracle-side.
+  */
+private[queries] object QueriesExtra9 {
+
+  def defs: Seq[QueryDef] = Seq(q420)
+
+  /** q420's hand-labeled fixture: variant v = doc_id % 8. Three
+    * distinct English sentences (kept), German/French/Japanese
+    * (language-gated), a Swedish sentence the trained model must call
+    * `und` (out-of-model Latin — the round-18 margin), and a too-short
+    * junk string (quality-gated AND `und`). The en/de/fr/ja sentences
+    * reuse [[QueriesExtra8.langFixture]] so the pinned labels stay
+    * backed by the same LangIdSpec cases.
+    */
+  private def curateFixture: Seq[(String, String)] = Seq(
+    "en" -> QueriesExtra8.langFixture.head._2,
+    "en" -> ("Every winter the children walk across the frozen river " +
+      "to visit their grandmother in the village."),
+    "en" -> ("A good government should listen carefully to the people " +
+      "and explain every decision with honest words."),
+    "de" -> QueriesExtra8.langFixture(1)._2,
+    "fr" -> QueriesExtra8.langFixture(2)._2,
+    "ja" -> QueriesExtra8.langFixture(8)._2,
+    "und" -> ("Regeringen meddelade att de nya reglerna skulle träda i " +
+      "kraft i början av nästa år och gälla alla medborgare i landet."),
+    "und" -> "tiny text")
+
+  private def q420 =
+    // Trained language gate in the curation flagship (round 18 —
+    // VERDICT r17 task 1): curate at DEFAULTS (trainedLangId = true)
+    // over a hand-labeled multilingual fixture. Exact dedup collapses
+    // each variant to its min-id winner; the quality/language gate then
+    // keeps exactly the docs the pinned q411-style labels say are `en`
+    // — German/French/Japanese winners fall to the gate, the Swedish
+    // winner proves the und-margin (a pure argmax would have kept
+    // calling it a bundled language), and the junk winner fails
+    // quality. Near-dup sees three dissimilar English sentences →
+    // zero pairs. The oracle derives winners and per-source counts
+    // from the table and takes every language verdict from the pinned
+    // VALUES — the trigram model never runs in it.
+    QueryDef("q420_curate_trained",
+      (s, dir) => {
+        val m = curateFixture.size
+        val idx = (pmod(col("doc_id"), lit(m)) + 1).cast("int")
+        val sent = elt(idx +: curateFixture.map(p => lit(p._2)): _*)
+        CorpusPipeline.curate(
+            t(s, dir, "documents")
+              .select(col("doc_id"), col("source"), sent.as("text")))
+          .orderBy("source")
+      },
+      Some {
+        val values = curateFixture.zipWithIndex
+          .map { case ((lang, sent), i) =>
+            s"($i, '$lang', '${sent.replace("'", "''")}')" }
+          .mkString(",\n  ")
+        s"""WITH v AS (SELECT * FROM (VALUES
+           |  $values) AS v(variant, lang, text)),
+           |d AS (SELECT doc_id, source,
+           |    doc_id % ${curateFixture.size} AS variant
+           |  FROM documents),
+           |w AS (SELECT variant, min(doc_id) AS wid FROM d GROUP BY 1),
+           |wd AS (SELECT d.source, d.variant
+           |  FROM d JOIN w ON d.doc_id = w.wid),
+           |kept AS (
+           |  SELECT wd.source, count(*) AS docs_kept,
+           |    sum(len(list_filter(string_split_regex(v.text, ' +'),
+           |      t -> t <> ''))) AS toks
+           |  FROM wd JOIN v USING (variant)
+           |  WHERE v.lang = 'en' GROUP BY 1),
+           |qual AS (
+           |  SELECT wd.source, count(*) AS nq
+           |  FROM wd JOIN v USING (variant)
+           |  WHERE v.lang <> 'en' GROUP BY 1),
+           |n AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+           |nw AS (SELECT source, count(*) AS nwin FROM wd GROUP BY 1)
+           |SELECT n.source,
+           |  CAST(coalesce(kept.docs_kept, 0) AS BIGINT) AS docs_kept,
+           |  CAST(coalesce(kept.toks, 0) AS BIGINT) AS tokens_kept,
+           |  CAST(n.n - coalesce(nw.nwin, 0) AS BIGINT)
+           |    AS dropped_exact_dup,
+           |  CAST(coalesce(qual.nq, 0) AS BIGINT) AS dropped_quality,
+           |  CAST(0 AS BIGINT) AS dropped_near_dup
+           |FROM n
+           |LEFT JOIN nw USING (source)
+           |LEFT JOIN kept USING (source)
+           |LEFT JOIN qual USING (source)
+           |ORDER BY source""".stripMargin
+      })
+}

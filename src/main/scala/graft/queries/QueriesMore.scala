@@ -382,8 +382,11 @@ private[queries] object QueriesMore {
         // three times (mix stats, mix membership, shard sort) —
         // localCheckpoint materializes it ONCE and truncates the
         // iterative lineage, measured 12.4 s → ~5 s at sf0.1.
+        // Heuristic-gate leg (the q50 oracle-replayability note); the
+        // trained default gate is q420's hand-labeled coverage.
         val kept = CorpusPipeline.curatedDocs(
-            t(s, dir, "documents").filter(col("doc_id") < 1000))
+            t(s, dir, "documents").filter(col("doc_id") < 1000),
+            trainedLangId = false)
           .select("doc_id", "source").localCheckpoint(true)
         val mixed = Sampling.temperatureMix(
           kept, "doc_id", "source", targetRows = 50L)

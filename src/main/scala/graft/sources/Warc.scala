@@ -262,16 +262,25 @@ object Warc {
       .as[String]
   }
 
-  /** Open a landed file task-side for the record walk. Config note:
-    * the task re-derives filesystem config from Hadoop defaults
-    * (local/HDFS paths resolve as-is); a filesystem needing
-    * session-specific credentials should land files somewhere the
-    * cluster's core-site already covers.
+  /** Open a landed file task-side for the record walk, with the
+    * SESSION's Hadoop configuration (captured at plan time, shipped
+    * via `SerializableConfiguration`) — so `spark.hadoop.*` settings
+    * (object-store credentials, custom FS impls) resolve exactly as
+    * they do on the batch `binaryFiles` path. A task-side default
+    * `Configuration()` would silently drop them.
     */
-  private def openPath(path: String): java.io.InputStream = {
+  private def openPath(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration)
+      : java.io.InputStream = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    p.getFileSystem(conf.value).open(p)
   }
+
+  /** The plan-time Hadoop-conf capture [[openPath]] consumes. */
+  private def sessionConf(spark: SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
 
   /** Streaming twin of [[read]]: watch `dir` for newly-landed WARC
     * files (the shape a crawler actually produces — a directory that
@@ -281,14 +290,22 @@ object Warc {
     * the same fixed-buffer iterator, so a multi-GB landed file never
     * materializes. Use `option`-level trigger limits upstream
     * (`maxFilesPerTrigger`) to bound batch size by file count.
+    *
+    * Landed files must stay IMMUTABLE until their batch commits: tasks
+    * re-open the listed path at execution time, so a file deleted,
+    * renamed, or compacted between the source listing and the task run
+    * (or a retry) fails that micro-batch loudly. Land via atomic
+    * rename and defer cleanup until the checkpoint has advanced past
+    * the file — the standard landing-directory contract.
     */
   def readStream(spark: SparkSession, dir: String,
       glob: String = "*"): DataFrame = {
     import spark.implicits._
+    val conf = sessionConf(spark)
     streamPaths(spark, dir, glob)
       .flatMap { path =>
         val file = path.substring(path.lastIndexOf('/') + 1)
-        closeOnTaskEnd(new WarcRecordIterator(openPath(path)))
+        closeOnTaskEnd(new WarcRecordIterator(openPath(path, conf)))
           .map { case (url, payload) =>
             (file, url, new String(payload, "UTF-8"),
               payload.length.toLong)
@@ -301,15 +318,17 @@ object Warc {
     * (warc_file, url, payload_bytes, n_bytes) off the landing
     * directory — the lossless shape for the HTTP-envelope/charset
     * tier (a UTF-8 string hop corrupts non-UTF-8 bodies). Same
-    * path-only source + task-side record walk as [[readStream]].
+    * path-only source + task-side record walk (and the same
+    * files-stay-immutable landing contract) as [[readStream]].
     */
   def readStreamBinary(spark: SparkSession, dir: String,
       glob: String = "*"): DataFrame = {
     import spark.implicits._
+    val conf = sessionConf(spark)
     streamPaths(spark, dir, glob)
       .flatMap { path =>
         val file = path.substring(path.lastIndexOf('/') + 1)
-        closeOnTaskEnd(new WarcRecordIterator(openPath(path)))
+        closeOnTaskEnd(new WarcRecordIterator(openPath(path, conf)))
           .map { case (url, payload) =>
             (file, url, payload, payload.length.toLong)
           }

@@ -30,13 +30,25 @@ class CorpusPipelineSpec extends SparkSpec {
     val out = CorpusPipeline.curate(docs).collect()
     assert(out.length == 1)
     val r = out.head
-    // docs 1, 3, 5 survive (no decontamination in plain curate)
-    assert(r.getAs[Long]("docs_kept") == 3, r.toString)
-    assert(r.getAs[Long]("tokens_kept") == 10 + 9 + 10, r.toString)
+    // Docs 1 and 5 survive under the TRAINED default gate (round 18):
+    // doc 3's Greek-letter word salad is `und` to the trigram model
+    // (the stopword heuristic called it English off one "the"), so it
+    // now falls at the gate next to doc 4's junk.
+    assert(r.getAs[Long]("docs_kept") == 2, r.toString)
+    assert(r.getAs[Long]("tokens_kept") == 10 + 10, r.toString)
     // the funnel attributes every dropped doc to the gate that took it
     assert(r.getAs[Long]("dropped_exact_dup") == 1, r.toString) // doc 2
-    assert(r.getAs[Long]("dropped_quality") == 1, r.toString) // doc 4
+    assert(r.getAs[Long]("dropped_quality") == 2, r.toString) // docs 3, 4
     assert(r.getAs[Long]("dropped_near_dup") == 0, r.toString)
+  }
+
+  test("curate: the heuristic leg stays reachable (trainedLangId = false)") {
+    val r = CorpusPipeline.curate(docs, trainedLangId = false)
+      .collect().head
+    // the q50-oracle behavior: doc 3 passes the stopword-ratio gate
+    assert(r.getAs[Long]("docs_kept") == 3, r.toString)
+    assert(r.getAs[Long]("tokens_kept") == 10 + 9 + 10, r.toString)
+    assert(r.getAs[Long]("dropped_quality") == 1, r.toString) // doc 4
   }
 
   test("near-dup removal is cluster-based: a transitive component keeps only its min id") {
@@ -53,7 +65,10 @@ class CorpusPipelineSpec extends SparkSpec {
       (2L, toks.drop(5).mkString(" "), "s1"),
       (3L, toks.mkString(" "), "s1")
     ).toDF("doc_id", "text", "source")
-    val r = CorpusPipeline.curate(chain).collect().head
+    // heuristic gate: the wNN token salad is (correctly) `und` to the
+    // trained model; this test pins NEAR-DUP semantics, not the gate
+    val r = CorpusPipeline.curate(chain, trainedLangId = false)
+      .collect().head
     assert(r.getAs[Long]("docs_kept") == 1, r.toString)
     assert(r.getAs[Long]("dropped_near_dup") == 2, r.toString)
   }
