@@ -466,6 +466,22 @@ object ScaleProbe {
               .withColumn("html", html),
             "url", "html")
         }),
+        // Capped anchor field on a HOT page (round 18, VERDICT r17
+        // task 2): every doc links the SAME destination with a
+        // per-doc distinct anchor text, so the hot page's in-link
+        // text set grows ~linearly with tiles (disjoint doc ids).
+        // The salted two-stage top-K bounds per-task state by the
+        // hottest (page, salt) shard and the final collect at
+        // maxTexts — expect ~linear scan-bound growth and no
+        // single-task cliff; the pre-cap collect_set held the whole
+        // unbounded set in ONE aggregation buffer.
+        "anchor_field_hot" -> (() =>
+          graft.ops.WebCorpus.anchorTextField(
+            df.withColumn("url", probeUrl(col("doc_id")))
+              .withColumn("html", concat(
+                lit("<a href=\"http://hot.example/p\">variant "),
+                col("doc_id").cast("string"), lit(" link</a>"))),
+            "url", "html", maxTexts = 64)),
         // TextRank (q336, round 15 — VERDICT r14 task 5): adjacency
         // bigrams via the narrow pos/pos+1 self-join keyed on
         // (doc_id, pos), distinct word graph, then the shared

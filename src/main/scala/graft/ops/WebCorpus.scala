@@ -505,18 +505,14 @@ object WebCorpus {
           coalesce(col("n_revisits"), lit(0L))).as("n_captures"))
   }
 
-  /** Anchor-text FIELD per destination page (round 17 — VERDICT r16
-    * task 7): the distinct anchor texts the web uses to describe each
-    * page, resolved (RFC 3986) and keyed on the canonical URL,
-    * sorted and space-joined into one indexable string — the classic
-    * web-ranking signal ([[graft.ops.Retrieval.bm25TopKWithAnchors]]
-    * scores it as a weighted BM25 field next to the body). Distinct
-    * (not multiset): a million identical "click here" in-links should
-    * not make a page a million times more about clicking; sorted so
-    * the field is partitioning-independent. Narrow explode + one
-    * canonical-URL-keyed rollup.
+  /** Per-(destination page, anchor text) in-link counts — the EDGE
+    * grain behind [[anchorTextField]] and the stored table the
+    * streaming anchor maintainer appends: hrefs resolve (RFC 3986)
+    * and canonicalize, empty texts drop, and the rollup is map-side
+    * combinable on the (dst_url, text) pair — a million identical
+    * spam anchors combine to ONE counted row before the shuffle.
     */
-  def anchorTextField(docs: DataFrame, urlCol: String,
+  def anchorEdgeCounts(docs: DataFrame, urlCol: String,
       htmlCol: String): DataFrame =
     docs
       .select(col(urlCol).as("__page"),
@@ -524,11 +520,63 @@ object WebCorpus {
       .select(
         canonUrl(coalesce(resolveUrl(col("__page"), col("__a.href")),
           col("__a.href"))).as("dst_url"),
-        col("__a.text").as("__t"))
-      .where(col("dst_url").isNotNull && col("__t") =!= "")
+        col("__a.text").as("anchor_text"))
+      .where(col("dst_url").isNotNull && col("anchor_text") =!= "")
+      .groupBy("dst_url", "anchor_text")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Anchor-text FIELD per destination page (round 17 — VERDICT r16
+    * task 7; CAPPED round 18 — r17 task 2): the top-`maxTexts`
+    * distinct anchor texts the web uses to describe each page,
+    * resolved (RFC 3986) and keyed on the canonical URL, sorted and
+    * space-joined into one indexable string — the classic web-ranking
+    * signal ([[graft.ops.Retrieval.bm25TopKWithAnchors]] scores it as
+    * a weighted BM25 field next to the body). Distinct (not
+    * multiset): a million identical "click here" in-links should not
+    * make a page a million times more about clicking. CAPPED: a
+    * popular page's in-link text set is unbounded on a real graph
+    * (spam anchors included), so the field keeps the `maxTexts` most
+    * frequent texts — deterministic (count desc, text asc) — via the
+    * salted two-stage rank ([[domainCap]]'s pattern) rather than an
+    * unbounded `collect_set` in one aggregation buffer. Sorted so the
+    * field is partitioning-independent.
+    */
+  def anchorTextField(docs: DataFrame, urlCol: String,
+      htmlCol: String, maxTexts: Int = 64): DataFrame =
+    anchorFieldFromEdges(anchorEdgeCounts(docs, urlCol, htmlCol),
+      maxTexts)
+
+  /** The fold from edge-count grain to the field string — shared by
+    * [[anchorTextField]] and the streaming maintainer's probe (which
+    * sums stored per-batch edge rows to this grain first). `edges`
+    * must be unique on (dst_url, anchor_text) with an `n_links` count.
+    *
+    * Scale shape: stage 1 ranks within (dst_url, salt-of-text) and
+    * keeps ≤ `maxTexts` per salt — any member of the global per-page
+    * top-N is also in its salt's top-N, so the pre-prune is lossless —
+    * then stage 2 ranks the ≤ 16·N survivors per page. The heaviest
+    * task is bounded by the heaviest (page, salt) shard, 1/16th of the
+    * hottest page, and the final `collect_list` is ≤ `maxTexts` rows
+    * by construction — per-key state is bounded everywhere.
+    */
+  def anchorFieldFromEdges(edges: DataFrame,
+      maxTexts: Int = 64): DataFrame = {
+    val salts = 16
+    val ord: Seq[Column] = Seq(col("n_links").desc, col("anchor_text"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_url"), col("__salt")).orderBy(ord: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_url")).orderBy(ord: _*)
+    edges
+      .withColumn("__salt", pmod(hash(col("anchor_text")), lit(salts)))
+      .withColumn("__rk1", row_number().over(w1))
+      .where(col("__rk1") <= maxTexts)
+      .withColumn("__rk", row_number().over(w2))
+      .where(col("__rk") <= maxTexts)
       .groupBy("dst_url")
-      .agg(array_join(array_sort(collect_set(col("__t"))), " ")
+      .agg(array_join(array_sort(collect_list(col("anchor_text"))), " ")
         .as("anchor_text"))
+  }
 
   /** Deterministic per-domain document cap — the site-balance step of
     * crawl curation (a handful of mega-sites otherwise dominate the

@@ -70,6 +70,55 @@ class RetrievalChunkSpec extends SparkSpec {
     assert(got("http://w.example/c") === "self")
   }
 
+  test("anchorTextField caps a hot page at maxTexts by (count desc, text asc)") {
+    import graft.ops.WebCorpus
+    // Round 18 (VERDICT r17 task 2): one popular page receives 9
+    // distinct texts — t5 from THREE linkers, t3/t7 from two each, the
+    // rest singletons. At maxTexts = 4 the field keeps {t5, t3, t7} by
+    // count and breaks the singleton tie on text asc (t1), then sorts.
+    val linkers = Seq(
+      "<a href=\"http://hot.example/p\">t5</a>" +
+        "<a href=\"http://hot.example/p\">t3</a>" +
+        "<a href=\"http://hot.example/p\">t7</a>" +
+        "<a href=\"http://hot.example/p\">t9</a>",
+      "<a href=\"http://hot.example/p\">t5</a>" +
+        "<a href=\"http://hot.example/p\">t3</a>" +
+        "<a href=\"http://hot.example/p\">t1</a>" +
+        "<a href=\"http://hot.example/p\">t2</a>",
+      "<a href=\"http://hot.example/p\">t5</a>" +
+        "<a href=\"http://hot.example/p\">t7</a>" +
+        "<a href=\"http://hot.example/p\">t4</a>" +
+        "<a href=\"http://hot.example/p\">t6</a>" +
+        "<a href=\"http://hot.example/p\">t8</a>")
+      .zipWithIndex.map { case (h, i) =>
+        (i.toLong, s"http://src$i.example/x", h) }
+      .toDF("doc_id", "url", "html")
+    val capped = WebCorpus.anchorTextField(linkers, "url", "html",
+      maxTexts = 4).as[(String, String)].collect().toMap
+    assert(capped("http://hot.example/p") === "t1 t3 t5 t7")
+    // under the cap, the capped field equals the uncapped one — the
+    // q413/q414 fixture (one text per page) rides this equivalence
+    val full = WebCorpus.anchorTextField(linkers, "url", "html")
+      .as[(String, String)].collect().toMap
+    assert(full("http://hot.example/p") === "t1 t2 t3 t4 t5 t6 t7 t8 t9")
+  }
+
+  test("anchorFieldFromEdges: bounded per-key state — no unpartitioned window, capped collect") {
+    import graft.ops.WebCorpus
+    val edges = (1 to 100).map(i =>
+      ("http://hot.example/p", f"text$i%03d", (i % 7 + 1).toLong))
+      .toDF("dst_url", "anchor_text", "n_links")
+    val out = WebCorpus.anchorFieldFromEdges(edges, maxTexts = 8)
+    val field = out.as[(String, String)].collect().head._2
+    assert(field.split(" ").length === 8)
+    // every window in the plan is PARTITIONED (dst_url[, salt]) — the
+    // hot page never serializes through a global window task
+    val unpart =
+      PlanShapeSpec.unpartitionedWindows(out.queryExecution.executedPlan)
+    assert(unpart.isEmpty,
+      s"unpartitioned window in anchorFieldFromEdges plan: $unpart")
+  }
+
   test("anchor evidence flips the ranking (bm25TopKWithAnchors)") {
     import graft.ops.WebCorpus
     val docs = Seq(
