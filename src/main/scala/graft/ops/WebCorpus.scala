@@ -444,25 +444,30 @@ object WebCorpus {
         coalesce(col("n_sitemap_urls"), lit(0L)).as("n_sitemap_urls"),
         coalesce(col("n_refetch"), lit(0L)).as("n_refetch"))
 
-  /** URL-level dedup of the corpus rows themselves: one survivor per
-    * canonical key (the min-id document); unparseable URLs pass
-    * through untouched. Shaped as a map-side-combinable min aggregate
-    * plus an equi-join back on the canonical key — NOT a per-key
-    * window: a hot URL seen millions of times lands in one partition
-    * either way, but AQE can split an oversized JOIN partition at
-    * runtime while a window task is unsplittable.
+  /** URL-level dedup of the corpus rows themselves: EXACTLY one
+    * survivor per canonical key, ordered on (id, url); unparseable
+    * URLs pass through untouched. Round 18 (VERDICT r17 task 5): the
+    * `min_by` single-groupBy shape of `fromWarc`'s dedup replaces the
+    * old `id === min(id)` join-back, which kept ALL rows of a group
+    * when ids collide (hash-derived ids on duplicate inputs DO — the
+    * q409 bug class) — the (id, url) ordering breaks those ties. And
+    * instead of a second filtered union branch re-scanning the source
+    * for null-canon rows (the round-16 double-parse shape), rows whose
+    * URL does not canonicalize get a per-row synthetic group key
+    * (NUL-prefixed, disjoint from any canonical URL) and pass through
+    * as singleton groups: ONE scan, ONE shuffle, map-side combinable,
+    * and AQE can still split an oversized group's partition.
     */
   def urlDedup(docs: DataFrame, idCol: String, urlCol: String)
       : DataFrame = {
-    val withCanon = docs.withColumn("__canon", canonUrl(col(urlCol)))
-    val keepers = withCanon.where(col("__canon").isNotNull)
-      .groupBy("__canon").agg(min(col(idCol)).as("__keep_id"))
-    withCanon.where(col("__canon").isNotNull)
-      .join(keepers, Seq("__canon"))
-      .where(col(idCol) === col("__keep_id"))
-      .drop("__keep_id")
-      .unionByName(withCanon.where(col("__canon").isNull))
-      .drop("__canon")
+    val row = struct(docs.columns.map(col).toIndexedSeq: _*)
+    docs
+      .withColumn("__grp", coalesce(canonUrl(col(urlCol)),
+        concat(lit("\u0000"),
+          monotonically_increasing_id().cast("string"))))
+      .groupBy("__grp")
+      .agg(min_by(row, struct(col(idCol), col(urlCol))).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** Revisit-aware URL-dedup groups (round 17 — VERDICT r16 task 6):

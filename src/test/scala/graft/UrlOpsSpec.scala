@@ -161,6 +161,32 @@ class UrlOpsSpec extends SparkSpec {
     assert(kept === Seq(2L, 3L, 7L))
   }
 
+  test("urlDedup: colliding ids keep ONE survivor; one scan, one shuffle") {
+    // Round 18 (VERDICT r17 task 5): the q409 bug class — two docs
+    // with the SAME (hash-derived) id and the same canonical URL. The
+    // old `id === min(id)` join-back kept BOTH; the min_by form keeps
+    // exactly one, tie-broken on the raw URL (utm variant sorts after
+    // the bare URL).
+    val docs = Seq(
+      (4L, "http://c.com/p", "bare"),
+      (4L, "http://c.com/p?utm_source=x", "variant"),
+      (6L, "http://c.com/p#f", "loser"))
+      .toDF("doc_id", "url", "tag")
+    val kept = WebCorpus.urlDedup(docs, "doc_id", "url")
+      .select("doc_id", "tag").as[(Long, String)].collect().toSeq
+    assert(kept === Seq((4L, "bare")), s"got $kept")
+    // Plan shape: the single-groupBy form scans the source ONCE and
+    // shuffles ONCE (no join-back, no second filtered union branch —
+    // the round-16 double-parse shape rescanned per branch).
+    val plan = WebCorpus.urlDedup(docs, "doc_id", "url")
+      .queryExecution.executedPlan.toString
+    def count(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    assert(count(plan, "Exchange") === 1, s"expected 1 shuffle:\n$plan")
+    assert(count(plan, "LocalTableScan") === 1 &&
+      !plan.contains("Union"), s"expected 1 scan, no union:\n$plan")
+  }
+
   test("domainCap keeps a stable md5-priority sample per domain") {
     val docs = (1L to 10L).map(i =>
         (i, if (i <= 8) s"http://site-${i % 2}.com/p$i" else "junk"))
