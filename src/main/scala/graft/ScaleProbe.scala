@@ -908,6 +908,37 @@ object ScaleProbe {
     // content body through a reused scratch buffer, so wall should
     // track the decompress floor and allocation should track the
     // revisit rows, never the page bytes. Write untimed.
+    // --- Robots-pass byte-tiling (round 18, VERDICT r17 task 3):
+    // robotsFromWarc over a cut whose PAGE payloads grow ×(20·n)
+    // while its (tiny, fixed) /robots.txt captures stay put — the
+    // pushed-down Target-URI predicate strict-skips every page body
+    // through the scratch buffer, so wall should track the decompress
+    // floor like warc_revisit_scan, never the page volume (the
+    // pre-push readBinary materialized every page byte task-side).
+    if (opFilter.forall(_.contains("robots_scan"))) {
+      for (rep <- 1 to reps; n <- tiles) {
+        val tmp = s"/tmp/graft_sp_robots_$n"
+        val host = concat(lit("http://site-"),
+          pmod(col("doc_id"), lit(97)).cast("string"), lit(".org"))
+        val docs = base.select(
+          when(pmod(col("doc_id"), lit(50)) === 0,
+            concat(host, lit("/robots.txt")))
+            .otherwise(concat(host, lit("/d/"), col("doc_id")))
+            .as("url"),
+          when(pmod(col("doc_id"), lit(50)) === 0,
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+              "User-agent: *\nDisallow: /private\n"))
+            .otherwise(concat(
+              lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>"),
+              repeat(col("text"), 20 * n), lit("</p>"))).as("payload"))
+          .coalesce(2)
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
+        val bytes = docs.select(sum(octet_length(col("payload"))))
+          .collect()(0).getLong(0)
+        val sec = time(CorpusPipeline.robotsFromWarc(spark, tmp))
+        println(f"""{"op":"robots_scan","tiles":$n,"rows":$bytes,"rep":$rep,"sec":$sec%.3f}""")
+      }
+    }
     if (opFilter.forall(_.contains("warc_revisit_scan"))) {
       for (rep <- 1 to reps; n <- tiles) {
         val tmp = s"/tmp/graft_sp_warc_rev_$n"

@@ -214,11 +214,22 @@ object CorpusPipeline {
     * already applies to missing domains). One survivor per domain,
     * deterministic `min_by` on (url, body). Output is |sites|-sized —
     * exactly the broadcast dimension the compliance gate wants.
+    *
+    * The `/robots.txt` predicate is PUSHED INTO the record walk
+    * (round 18 — VERDICT r17 task 3): every non-robots payload
+    * strict-skips through the reused scratch buffer, so this pass —
+    * and therefore [[fromWarcSelfCompliant]]'s and [[ingestReport]]'s
+    * second directory walk — costs the decompress floor, never the
+    * page volume (WarcSpec pins it on the materialized-bytes counter;
+    * the `robots_scan` ScaleProbe row measures it flat in content
+    * bytes). The DataFrame-side `where` stays as the semantic anchor —
+    * it now sees only the |robots|-sized remainder.
     */
   def robotsFromWarc(spark: org.apache.spark.sql.SparkSession,
       dir: String, glob: String = "part-*"): DataFrame = {
     val h = WebCorpus.httpHead(col("payload_bytes"))
-    graft.sources.Warc.readBinary(spark, dir, glob)
+    graft.sources.Warc.readBinary(spark, dir, glob,
+        urlFilter = CorpusPipeline.isRobotsUrl)
       .where(WebCorpus.urlPath(col("url")) === "/robots.txt")
       .where(h.getField("status").isNull ||
         (h.getField("status") >= 200 && h.getField("status") <= 299))
@@ -229,6 +240,17 @@ object CorpusPipeline {
       .groupBy("domain")
       .agg(min_by(col("robots_txt"),
         struct(col("url"), col("robots_txt"))).as("robots_txt"))
+  }
+
+  /** The task-side twin of the `urlPath === "/robots.txt"` predicate,
+    * shared with the record walk's pushed-down filter — SAME kernel
+    * ([[graft.functions.UrlKit.pathOf]]) as the Column form, so the
+    * two layers cannot disagree on what a robots URL is.
+    */
+  private[graft] val isRobotsUrl: String => Boolean = { u =>
+    val p = graft.functions.UrlKit.pathOf(
+      org.apache.spark.unsafe.types.UTF8String.fromString(u))
+    p != null && p.toString == "/robots.txt"
   }
 
   /** [[fromWarcCompliant]] with the robots dimension mined from the

@@ -60,6 +60,15 @@ object Warc {
   private val MaxHeaderLine = 1 << 20
   private val MaxRecordBytes = Int.MaxValue.toLong - 16L
 
+  /** Payload bytes MATERIALIZED into per-record arrays across every
+    * reader in this JVM — the instrumentation behind the strict-skip
+    * claims (the HttpKit.bodyDecodeCount pattern): a URL-filtered walk
+    * must allocate only the matching records' payloads, and WarcSpec
+    * asserts it on this counter instead of trusting the plan prose.
+    */
+  private[graft] val payloadBytesMaterialized =
+    new java.util.concurrent.atomic.LongAdder
+
   /** Default read glob: the part files our own text-sink writer
     * produces. A directory a FOREIGN crawler wrote (`*.warc.gz` names,
     * the Common Crawl layout) needs an explicit glob — and a glob that
@@ -183,15 +192,25 @@ object Warc {
     * (warc_file, url, payload_bytes, n_bytes) — the input shape for
     * HTTP-envelope parsing and charset sniffing, where a forced UTF-8
     * decode is lossy (real crawls are ~15–20% non-UTF-8).
+    *
+    * `urlFilter` (round 18 — VERDICT r17 task 3) pushes a Target-URI
+    * predicate INTO the record walk: a record whose URL fails it
+    * strict-skips its payload through the reused scratch buffer
+    * (framing still checked, truncation still fails) instead of
+    * materializing a byte array the DataFrame filter would only drop.
+    * A |sites|-sized pass like the robots harvest pays the decompress
+    * floor, not the page volume.
     */
   def readBinary(spark: SparkSession, dir: String,
-      glob: String = DefaultGlob): DataFrame = {
+      glob: String = DefaultGlob,
+      urlFilter: String => Boolean = null): DataFrame = {
     import spark.implicits._
     spark.createDataset(
       spark.sparkContext.binaryFiles(globbed(spark, dir, glob))
         .flatMap { case (path, pds) =>
           val file = path.substring(path.lastIndexOf('/') + 1)
-          closeOnTaskEnd(new WarcRecordIterator(pds.open()))
+          closeOnTaskEnd(
+            new WarcRecordIterator(pds.open(), urlFilter = urlFilter))
             .map { case (url, payload) =>
               (file, url, payload, payload.length.toLong)
             }
@@ -350,14 +369,17 @@ object Warc {
     * a buffered (gzip-sniffed) stream. `(url, payloadBytes)` per
     * content record — or, with `emitRevisits`, `(url, refersToBytes)`
     * per `revisit` record (UTF-8 of WARC-Refers-To-Target-URI, empty
-    * when absent) with content records skipped instead. Any
-    * malformation throws `IllegalArgumentException` with the
-    * inflated-byte position; the underlying stream is closed at EOF,
-    * on failure, and via [[close]] (the task-completion hook for
-    * early-abandoned iterators).
+    * when absent) with content records skipped instead. `urlFilter`
+    * (non-null ⇒ applied to each would-emit record's Target-URI)
+    * strict-skips non-matching payloads through the scratch buffer —
+    * zero allocation ∝ their size. Any malformation throws
+    * `IllegalArgumentException` with the inflated-byte position; the
+    * underlying stream is closed at EOF, on failure, and via [[close]]
+    * (the task-completion hook for early-abandoned iterators).
     */
   private[graft] final class WarcRecordIterator(raw: java.io.InputStream,
-      emitRevisits: Boolean = false)
+      emitRevisits: Boolean = false,
+      urlFilter: String => Boolean = null)
       extends Iterator[(String, Array[Byte])] {
 
     private val in: java.io.InputStream = {
@@ -495,25 +517,32 @@ object Warc {
         val isContent = warcType == "response" || warcType == "resource"
         val isRevisit = warcType == "revisit"
         val emits = if (emitRevisits) isRevisit else isContent
-        // the 2 GiB JVM-array cap applies only to payloads that will
-        // be MATERIALIZED; a skipped record of any size streams through
-        if (len > MaxRecordBytes && emits && !emitRevisits)
-          fail(s"record of $len bytes exceeds " +
-            "the 2 GiB single-record cap")
+        // strictness FIRST (a filtered walk must still fail on a
+        // malformed emittable record), then the pushed-down URL gate
         if (emits && !headers.contains("warc-target-uri"))
           fail(s"$warcType record missing WARC-Target-URI")
+        val wanted = emits && (urlFilter == null ||
+          urlFilter(headers("warc-target-uri")))
+        // the 2 GiB JVM-array cap applies only to payloads that will
+        // be MATERIALIZED; a skipped record of any size streams through
+        if (len > MaxRecordBytes && wanted && !emitRevisits)
+          fail(s"record of $len bytes exceeds " +
+            "the 2 GiB single-record cap")
         // only a content record about to be EMITTED materializes its
-        // payload; everything else (structural records, and every
-        // content body on the revisit path) is strict-skipped with a
-        // reused scratch buffer — zero allocation ∝ skipped size
+        // payload; everything else (structural records, URL-filtered
+        // records, and every content body on the revisit path) is
+        // strict-skipped with a reused scratch buffer — zero
+        // allocation ∝ skipped size
         val payload =
-          if (emits && !emitRevisits) readExact(len.toInt, "payload")
-          else { skipExact(len, "payload"); null }
+          if (wanted && !emitRevisits) {
+            payloadBytesMaterialized.add(len)
+            readExact(len.toInt, "payload")
+          } else { skipExact(len, "payload"); null }
         val tail = readExact(4, "record separator")
         if (!(tail(0) == '\r' && tail(1) == '\n' &&
               tail(2) == '\r' && tail(3) == '\n'))
           fail("missing record separator")
-        if (emits) nextRec =
+        if (wanted) nextRec =
           if (emitRevisits)
             (headers("warc-target-uri"),
               headers.getOrElse("warc-refers-to-target-uri", "")

