@@ -170,11 +170,18 @@ object CorpusPipeline {
     * zero matches fail loudly. The HTTP envelope is parsed once per
     * record: header-only for the gate, full (body decode included)
     * only for gate-passing rows.
+    *
+    * `mimes` (round 18 — VERDICT r17 task 7) is the content-type set
+    * the gate keeps: the default is HTML-only; real crawl corpora also
+    * keep `text/plain` documents, whose bodies take the charset decode
+    * DIRECTLY (no HTML extraction) — pass
+    * `HtmlMimes + "text/plain"`.
     */
   def fromWarc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, glob: String = "part-*"): DataFrame =
+      dir: String, glob: String = "part-*",
+      mimes: Set[String] = HtmlMimes): DataFrame =
     dedupByCanonUrl(extractDocs(
-      graft.sources.Warc.readBinary(spark, dir, glob)))
+      graft.sources.Warc.readBinary(spark, dir, glob), mimes))
 
   /** [[fromWarc]] with an RFC 9309 COMPLIANCE gate (round 17): each
     * record's URL is judged against its registrable domain's
@@ -191,8 +198,22 @@ object CorpusPipeline {
     */
   def fromWarcCompliant(spark: org.apache.spark.sql.SparkSession,
       dir: String, robots: DataFrame, agent: String = "*",
-      glob: String = "part-*"): DataFrame = {
-    val allowed = graft.sources.Warc.readBinary(spark, dir, glob)
+      glob: String = "part-*",
+      mimes: Set[String] = HtmlMimes): DataFrame =
+    dedupByCanonUrl(extractDocs(complianceGate(
+      graft.sources.Warc.readBinary(spark, dir, glob), robots, agent),
+      mimes))
+
+  /** The RFC 9309 gate both compliant ingests (batch and streaming)
+    * ride: judge each record's URL against its registrable domain's
+    * broadcast robots dimension BEFORE any extraction. Missing robots
+    * → allowed (the RFC default); URLs with no canonical path
+    * (unfetchable) pass — compliance is moot and they stay auditable
+    * downstream.
+    */
+  private def complianceGate(read: DataFrame, robots: DataFrame,
+      agent: String): DataFrame =
+    read
       .withColumn("__domain", WebCorpus.domain(col("url")))
       .withColumn("__path", WebCorpus.urlPathQuery(col("url")))
       .join(broadcast(robots.select(col("domain").as("__domain"),
@@ -201,8 +222,6 @@ object CorpusPipeline {
         coalesce(WebCorpus.robotsAllowed(col("__path"),
           col("robots_txt"), agent), lit(true)))
       .select("warc_file", "url", "payload_bytes", "n_bytes")
-    dedupByCanonUrl(extractDocs(allowed))
-  }
 
   /** The per-site robots dimension EXTRACTED FROM THE CRAWL ITSELF
     * (round 17): real cuts capture `/robots.txt` responses like any
@@ -263,26 +282,41 @@ object CorpusPipeline {
     */
   def fromWarcSelfCompliant(spark: org.apache.spark.sql.SparkSession,
       dir: String, agent: String = "*",
-      glob: String = "part-*"): DataFrame =
+      glob: String = "part-*",
+      mimes: Set[String] = HtmlMimes): DataFrame =
     fromWarcCompliant(spark, dir, robotsFromWarc(spark, dir, glob),
-      agent, glob)
+      agent, glob, mimes)
+
+  /** The media types whose bodies go through HTML text extraction —
+    * and the default content-type set the ingest gate keeps.
+    */
+  val HtmlMimes: Set[String] = Set("text/html", "application/xhtml+xml")
 
   /** The shared gate+extract stage: status/MIME gate on the
     * HEADER-ONLY parse (no body copy/dechunk/inflate — cheap even if
     * predicate pushdown duplicates it), then the body decodes exactly
-    * ONCE, inside the text kernel, for gate-passing rows only. The
+    * ONCE, inside the text kernel, for gate-passing rows only. HTML
+    * media types extract markup to text; any other kept type (round
+    * 18: e.g. `text/plain`) takes the charset decode directly — the
+    * `when` branches evaluate at most one decode per row. The
     * empty-text drop is an explode over a filtered 0/1-element array
     * rather than a Filter node: a Filter on the text column would
     * push through the projection and re-run the whole decode+extract
     * kernel a second time per surviving row (the round-16
     * double-parse, HttpSpec-pinned now).
     */
-  private def extractDocs(read: DataFrame): DataFrame = {
+  private def extractDocs(read: DataFrame,
+      mimes: Set[String] = HtmlMimes): DataFrame = {
+    require(mimes.nonEmpty, "mimes must be non-empty")
     val h = WebCorpus.httpHead(col("payload_bytes"))
-    val gate = h.getField("status") >= 200 && h.getField("status") <= 299 &&
-      (h.getField("content_type") === "text/html" ||
-        h.getField("content_type") === "application/xhtml+xml")
-    val textK = WebCorpus.htmlText(WebCorpus.httpText(col("payload_bytes")))
+    val ct = h.getField("content_type")
+    val gate = h.getField("status") >= 200 &&
+      h.getField("status") <= 299 && ct.isin(mimes.toSeq.sorted: _*)
+    val decoded = WebCorpus.httpText(col("payload_bytes"))
+    val textK =
+      if (mimes.subsetOf(HtmlMimes)) WebCorpus.htmlText(decoded)
+      else when(ct.isin(HtmlMimes.toSeq.sorted: _*),
+        WebCorpus.htmlText(decoded)).otherwise(decoded)
     read
       .where(gate)
       .select(
@@ -323,8 +357,27 @@ object CorpusPipeline {
     * stream cannot hold in one batch.
     */
   def fromWarcStream(spark: org.apache.spark.sql.SparkSession,
-      dir: String, glob: String = "*"): DataFrame =
-    extractDocs(graft.sources.Warc.readStreamBinary(spark, dir, glob))
+      dir: String, glob: String = "*",
+      mimes: Set[String] = HtmlMimes): DataFrame =
+    extractDocs(graft.sources.Warc.readStreamBinary(spark, dir, glob),
+      mimes)
+
+  /** STREAMING twin of [[fromWarcCompliant]] (round 18 — VERDICT r17
+    * task 6): the same broadcast robots gate applied inside
+    * [[fromWarcStream]]'s per-batch plan, so a landing-directory
+    * pipeline that must honor robots no longer re-implements the gate
+    * by hand. `robots` is a STATIC per-site dimension resolved once at
+    * plan time (a static frame joined into a streaming plan is the
+    * supported static-side broadcast) — re-resolving it per trigger is
+    * a non-goal; restart the stream to pick up new robots. Dedup stays
+    * with the consumer, exactly as [[fromWarcStream]] documents.
+    */
+  def fromWarcStreamCompliant(spark: org.apache.spark.sql.SparkSession,
+      dir: String, robots: DataFrame, agent: String = "*",
+      glob: String = "*", mimes: Set[String] = HtmlMimes): DataFrame =
+    extractDocs(complianceGate(
+      graft.sources.Warc.readStreamBinary(spark, dir, glob),
+      robots, agent), mimes)
 
   /** The crawl-cut data card (round 17): [[fromWarc]]'s extracted
     * pages rolled per domain, side by side with the cut's `revisit`

@@ -15,7 +15,7 @@ import Shared._
   */
 private[queries] object QueriesExtra9 {
 
-  def defs: Seq[QueryDef] = Seq(q420)
+  def defs: Seq[QueryDef] = Seq(q420, q421)
 
   /** q420's hand-labeled fixture: variant v = doc_id % 8. Three
     * distinct English sentences (kept), German/French/Japanese
@@ -99,4 +99,64 @@ private[queries] object QueriesExtra9 {
            |LEFT JOIN qual USING (source)
            |ORDER BY source""".stripMargin
       })
+
+  private def q421 =
+    // text/plain ingest path (round 18, VERDICT r17 task 7): fromWarc
+    // with an extended MIME set keeps plain-text documents, whose
+    // bodies take the charset decode DIRECTLY — the kept plain body
+    // retains its literal "<raw>" marker, proving HTML extraction
+    // never touched it. Residue grid: host = doc_id % 3, v = doc_id
+    // % 5 (COPRIME — every host carries every variant). v=0 HTML page
+    // ("site", 4 chars); v=1 text/plain ("plain <raw> body",
+    // 16 chars); v=2 EMPTY text/plain (dropped by the empty-text
+    // explode); v=3 application/json (MIME-gated even in the extended
+    // set); v=4 a 404 (status-gated). Per-domain constants are
+    // hand-derived; the default HTML-only gate's behavior is pinned by
+    // the existing ingest queries (q409/q415/q417/q418), which this
+    // round re-verifies hash-stable.
+    QueryDef("q421_plain_ingest",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_plain_q421"
+        val v = pmod(col("doc_id"), lit(5))
+        val host = elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+          lit("p-a.example"), lit("p-b.example"), lit("p-c.example"))
+        val docs = t(s, dir, "documents").select(
+          concat(lit("http://"), host,
+            when(v === 0, lit("/h0"))
+              .when(v === 1, lit("/t1"))
+              .when(v === 2, lit("/t2"))
+              .when(v === 3, lit("/j3"))
+              .otherwise(lit("/h4"))).as("url"),
+          when(v === 0, lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+            "text/html\r\n\r\n<p>site</p>"))
+            .when(v === 1, lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "text/plain\r\n\r\nplain <raw> body"))
+            .when(v === 2, lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "text/plain\r\n\r\n"))
+            .when(v === 3, lit("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "application/json\r\n\r\n{\"k\":1}"))
+            .otherwise(lit("HTTP/1.1 404 Not Found\r\nContent-Type: " +
+              "text/html\r\n\r\ngone")).as("payload"))
+        graft.sources.Warc.writeGzip(docs, tmp, "url", "payload")
+        CorpusPipeline.fromWarc(s, tmp,
+            mimes = CorpusPipeline.HtmlMimes + "text/plain")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_pages"),
+            sum(length(col("text"))).as("text_chars"),
+            sum(when(col("text").contains("<raw>"), 1L).otherwise(0L))
+              .as("n_raw_markers"))
+          .orderBy("domain")
+      },
+      Some(
+        // per host: h0 ("site", 4) + t1 ("plain <raw> body", 16) =
+        // 2 pages, 20 chars, 1 un-extracted marker
+        """SELECT * FROM (VALUES
+          |  ('p-a.example', CAST(2 AS BIGINT), CAST(20 AS BIGINT),
+          |    CAST(1 AS BIGINT)),
+          |  ('p-b.example', CAST(2 AS BIGINT), CAST(20 AS BIGINT),
+          |    CAST(1 AS BIGINT)),
+          |  ('p-c.example', CAST(2 AS BIGINT), CAST(20 AS BIGINT),
+          |    CAST(1 AS BIGINT)))
+          |  AS v(domain, n_pages, text_chars, n_raw_markers)
+          |ORDER BY domain""".stripMargin))
 }

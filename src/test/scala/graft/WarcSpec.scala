@@ -597,6 +597,58 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("fromWarcStreamCompliant: two landed batches match the batch compliant ingest") {
+    // Round 18 (VERDICT r17 task 6): the robots broadcast gate inside
+    // the streaming plan — landed in TWO micro-batches, the streamed
+    // rows equal fromWarcCompliant's batch output (unique canonical
+    // URLs make its dedup an identity), and the disallowed page never
+    // appears in either batch.
+    val dir = java.nio.file.Files.createTempDirectory("warc_fwc_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_fwc_ckpt")
+    val stage = java.nio.file.Files.createTempDirectory("warc_fwc_st")
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      val st = stage.toString + "/" + name
+      Warc.writeGzip(rows.toDF("url", "payload").coalesce(1), st,
+        "url", "payload")
+      val part = new java.io.File(st).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name + ".warc.gz"))
+    }
+    def page(body: String) =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>$body</p>"
+    val robots = Seq(("alpha.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("domain", "robots_txt")
+    land("b0", Seq(
+      ("http://alpha.com/pub/1", page("pub1")),
+      ("http://alpha.com/private/x", page("priv"))))
+    val q = graft.ops.CorpusPipeline
+      .fromWarcStreamCompliant(spark, dir.toString, robots)
+      .writeStream.format("memory").queryName("fwc_stream_t")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      land("b1", Seq(
+        ("http://alpha.com/private/y", page("priv2")),
+        ("http://gamma.net/open", page("open")))) // no robots row → allowed
+      q.processAllAvailable()
+      val streamed = spark.table("fwc_stream_t")
+        .select("url", "domain", "text").as[(String, String, String)]
+        .collect().sorted.toSeq
+      val batch = graft.ops.CorpusPipeline.fromWarcCompliant(
+          spark, dir.toString, robots, glob = "*.warc.gz")
+        .select("url", "domain", "text").as[(String, String, String)]
+        .collect().sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(
+        ("http://alpha.com/pub/1", "alpha.com", "pub1"),
+        ("http://gamma.net/open", "gamma.net", "open")))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS fwc_stream_t")
+    }
+  }
+
   test("fromWarcCompliant: a disallowed page never reaches extraction") {
     import graft.functions.HttpKit
     val dir = tmp("warc_compliant")
