@@ -366,6 +366,33 @@ object Retrieval {
     fuseTopK(body, anchor, idCol, k, anchorWeight)
   }
 
+  /** Current-generation resolution of the APPEND-ONLY anchor-postings
+    * index (round 18 — the streaming maintainer's upsert idiom, same
+    * as the cluster map's append-and-resolve): a page gaining in-links
+    * appends a FULL new postings generation for its docs (`gen` =
+    * ingest batch id) instead of rewriting stored rows, and the probe
+    * keeps each doc's rows at its LATEST generation. Resolution must
+    * ride the doc-grain `docGen` dimension, NOT a max-gen within the
+    * pruned postings slice: a term present in an old generation but
+    * absent from the doc's newest one would otherwise resurrect.
+    * Bucket pruning still applies — postings prune to the query terms
+    * before this join; `docGen` is doc-grain (small).
+    */
+  def anchorPostingsCurrent(postings: DataFrame,
+      docGen: DataFrame): DataFrame = {
+    val cur = docGen.groupBy("doc_id").agg(max(col("gen")).as("gen"))
+    postings.join(cur, Seq("doc_id", "gen")).drop("gen")
+  }
+
+  /** Anchor-field corpus stats (`n_docs`, `avgdl`) resolved from the
+    * doc-generation dimension's CURRENT rows — the index-only twin of
+    * [[anchorCorpusStats]] for the maintained index.
+    */
+  def anchorStatsCurrent(docGen: DataFrame): DataFrame =
+    docGen.groupBy("doc_id")
+      .agg(max_by(col("dl"), col("gen")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — how hybrid
     * search merges a lexical and a semantic ranking without score
     * calibration: each list contributes `1/(c + rank)` and the fused

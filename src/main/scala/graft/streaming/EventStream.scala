@@ -440,6 +440,122 @@ object EventStream {
       .start()
   }
 
+  /** Operational ANCHOR-FIELD ingest (round 18 — VERDICT r17 task 8):
+    * the sixth maintained-index member, completing the q414 fielded
+    * index's streaming story. Each micro-batch of crawl docs
+    * (doc_id, url, text, html):
+    *
+    *  1. appends its BODY postings + tagged stats partial — the
+    *     [[incrementalPostingsIngest]] discipline verbatim;
+    *  2. appends its anchor EDGE counts
+    *     ([[graft.ops.WebCorpus.anchorEdgeCounts]], bucketed on
+    *     `dst_url`) and its (doc_id, canonical url) rows to the docs
+    *     dimension — a page's in-link history accumulates append-only;
+    *  3. rebuilds the anchor FIELD for exactly the TOUCHED pages (new
+    *     in-link targets + the batch's own pages): stored edges prune
+    *     to the touched set, fold to global counts, and the capped
+    *     top-K field ([[graft.ops.WebCorpus.anchorFieldFromEdges]])
+    *     re-derives. Affected docs get a FULL new postings GENERATION
+    *     (`gen` = batch id) plus a (doc_id, dl, gen) row — an upsert
+    *     expressed as append-and-resolve, the cluster-map idiom, so
+    *     every write stays a batch-id-keyed idempotent move;
+    *  4. serves the standing query's fielded top-k from the stored
+    *     index ([[graft.ops.Retrieval.bm25TopKWithAnchorsFromIndex]]
+    *     with [[graft.ops.Retrieval.anchorPostingsCurrent]] /
+    *     `anchorStatsCurrent` resolution) into `outTable`, tagged.
+    *
+    * Parity (StreamingModeSpec): after any batch, the served ranking
+    * equals the batch `bm25TopKWithAnchors` over everything landed —
+    * a batch whose anchors describe an earlier doc's page re-ranks
+    * that doc (the q413 flip, served from the maintained index).
+    * Replay is a file-level no-op like the five sibling maintainers.
+    *
+    * Caller seeds the six tables (empty frames are fine). `touched` is
+    * broadcast — batch-link-sized; a giant backfill batch should land
+    * as several micro-batches (`maxFilesPerTrigger`), which is the
+    * knob this source already documents.
+    */
+  def incrementalAnchorIngest(
+      docs: DataFrame, bodyPostingsTable: String, bodyStatsTable: String,
+      edgesTable: String, docsTable: String,
+      anchorPostingsTable: String, docGenTable: String,
+      outTable: String, checkpoint: String, queryTerms: Seq[String],
+      k: Int = 10, buckets: Int = 32, anchorWeight: Double = 1.0,
+      maxTexts: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.{Retrieval, WebCorpus}
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        Seq(bodyPostingsTable, bodyStatsTable, edgesTable, docsTable,
+          anchorPostingsTable, docGenTable)
+          .foreach(Layout.refresh(sp, _))
+        val b = batch.localCheckpoint(true)
+        // 1. body side
+        Layout.idempotentAppendBucketed(
+          Retrieval.bm25Postings(b, "doc_id", "text"),
+          bodyPostingsTable, "term", buckets, batchId = batchId)
+        Layout.idempotentAppendTable(
+          Retrieval.bm25StatsPartial(b, "doc_id", "text")
+            .withColumn("ingest_batch", lit(batchId)),
+          bodyStatsTable, batchId)
+        // 2. anchor history
+        val bEdges = WebCorpus.anchorEdgeCounts(b, "url", "html")
+          .localCheckpoint(true)
+        val bDocs = b.select(col("doc_id"),
+            WebCorpus.canonUrl(col("url")).as("dst_url"))
+          .where(col("dst_url").isNotNull)
+          .localCheckpoint(true)
+        Layout.idempotentAppendBucketed(bEdges, edgesTable,
+          "dst_url", buckets, batchId = batchId)
+        Layout.idempotentAppendBucketed(bDocs, docsTable,
+          "dst_url", buckets, batchId = batchId)
+        Layout.refresh(sp, edgesTable)
+        Layout.refresh(sp, docsTable)
+        // 3. rebuild touched pages' field → new postings generation
+        val touched = bEdges.select("dst_url")
+          .union(bDocs.select("dst_url")).distinct()
+        val folded = Layout.table(sp, edgesTable)
+          .join(broadcast(touched), "dst_url")
+          .groupBy("dst_url", "anchor_text")
+          .agg(sum("n_links").as("n_links"))
+        val field = WebCorpus.anchorFieldFromEdges(folded, maxTexts)
+        val affected = Layout.table(sp, docsTable)
+          .join(broadcast(touched), "dst_url")
+          .join(field, "dst_url")
+          .select("doc_id", "anchor_text")
+          .localCheckpoint(true)
+        Layout.idempotentAppendBucketed(
+          Retrieval.bm25Postings(affected, "doc_id", "anchor_text")
+            .withColumn("gen", lit(batchId)),
+          anchorPostingsTable, "term", buckets, batchId = batchId)
+        Layout.idempotentAppendBucketed(
+          affected.select(col("doc_id"),
+            size(graft.ops.TextAnalysis.tokens(col("anchor_text")))
+              .as("dl"))
+            .withColumn("gen", lit(batchId)),
+          docGenTable, "doc_id", buckets, batchId = batchId)
+        Layout.refresh(sp, anchorPostingsTable)
+        Layout.refresh(sp, docGenTable)
+        // 4. serve from the stored index
+        Layout.idempotentAppendTable(
+          Retrieval.bm25TopKWithAnchorsFromIndex(
+              Layout.table(sp, bodyPostingsTable),
+              Retrieval.bm25MergeStats(Layout.table(sp, bodyStatsTable)),
+              Retrieval.anchorPostingsCurrent(
+                Layout.table(sp, anchorPostingsTable),
+                Layout.table(sp, docGenTable)),
+              Retrieval.anchorStatsCurrent(
+                Layout.table(sp, docGenTable)),
+              "doc_id", queryTerms, k, anchorWeight = anchorWeight)
+            .withColumn("ingest_batch", lit(batchId)),
+          outTable, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Operational CLUSTER-map ingest — incremental dedup clusters that
     * survive append without a rebuild, the fourth index's streaming
     * maintenance: each micro-batch probes the persisted band index

@@ -1030,6 +1030,115 @@ class StreamingModeSpec extends SparkSpec {
     }
   }
 
+  test("incrementalAnchorIngest: a landed batch flips the served fielded ranking; replay is a no-op") {
+    // Round 18 (VERDICT r17 task 8): the anchor-postings maintainer.
+    // Batch 1 lands two body-only docs (doc 1 is the sole term
+    // scorer); batch 2 lands a doc whose anchor calls doc 2's page
+    // "solar panel datasheet" — the SERVED ranking from the maintained
+    // index must flip to doc 2 (the q413/RetrievalChunkSpec flip) and
+    // equal the batch bm25TopKWithAnchors over everything landed.
+    // Then the crash-replay leg: drop commits/1 and restart — the
+    // replayed batch must not touch a single index file.
+    import graft.ops.{Retrieval, TextAnalysis, WebCorpus}
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.{col, lit, size}
+    implicit val sqlCtx = spark.sqlContext
+    val tables = Seq("ap_bpost", "ap_bstats", "ap_edges", "ap_docs",
+      "ap_apost", "ap_dgen", "ap_out")
+    tables.foreach(Layout.drop(spark, _))
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "url", "text", "html")
+    Layout.writeBucketed(Retrieval.bm25Postings(empty, "doc_id", "text"),
+      "ap_bpost", "term", buckets = 8)
+    Retrieval.bm25StatsPartial(empty, "doc_id", "text")
+      .where(lit(false)).withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").saveAsTable("ap_bstats")
+    Layout.writeBucketed(WebCorpus.anchorEdgeCounts(empty, "url", "html"),
+      "ap_edges", "dst_url", buckets = 8)
+    Layout.writeBucketed(
+      empty.select(col("doc_id"), col("url").as("dst_url")),
+      "ap_docs", "dst_url", buckets = 8)
+    Layout.writeBucketed(
+      Retrieval.bm25Postings(
+          empty.select(col("doc_id"), col("text").as("anchor_text")),
+          "doc_id", "anchor_text")
+        .withColumn("gen", lit(-1L)),
+      "ap_apost", "term", buckets = 8)
+    Layout.writeBucketed(
+      empty.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("dl"))
+        .withColumn("gen", lit(-1L)),
+      "ap_dgen", "doc_id", buckets = 8)
+
+    val b1 = Seq(
+      (1L, "http://w.example/a", "solar energy systems overview",
+        "<p>no links</p>"),
+      (2L, "http://w.example/b", "generic review of tools",
+        "<p>no links</p>"))
+    val b2 = Seq(
+      (3L, "http://w.example/c", "unrelated filler text here",
+        "<a href=\"http://w.example/b\">solar panel datasheet</a>"))
+    val terms = Seq("solar", "panel")
+    val input = MemoryStream[(Long, String, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ap_ckpt").toString
+    def start() = EventStream.incrementalAnchorIngest(
+      input.toDF().toDF("doc_id", "url", "text", "html"),
+      "ap_bpost", "ap_bstats", "ap_edges", "ap_docs", "ap_apost",
+      "ap_dgen", "ap_out", ckpt, terms, k = 10, buckets = 8,
+      anchorWeight = 2.0)
+    def served(batch: Long): Seq[(Long, Int, Double)] = {
+      spark.catalog.refreshTable("ap_out")
+      spark.table("ap_out").where(col("ingest_batch") === batch)
+        .select("doc_id", "rank", "score")
+        .as[(Long, Int, Double)].collect().sortBy(_._2).toSeq
+    }
+    def dirState(table: String): Map[String, (Long, Long)] = {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val dir = new org.apache.hadoop.fs.Path(wh, table)
+      val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hfs.listStatus(dir).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName ->
+          (f.getLen, f.getModificationTime)).toMap
+    }
+
+    val q = start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      // body-only world: doc 1 is the sole scorer
+      assert(served(0L).map(_._1) === Seq(1L))
+      input.addData(b2)
+      q.processAllAvailable()
+      val got = served(1L)
+      // the landed anchors flip the served ranking to doc 2
+      assert(got.head._1 === 2L, s"expected the anchor flip, got $got")
+      // parity: the maintained index serves exactly the batch twin
+      val all = (b1 ++ b2).toDF("doc_id", "url", "text", "html")
+      val want = Retrieval.bm25TopKWithAnchors(all,
+          WebCorpus.anchorTextField(all, "url", "html"), "doc_id",
+          "text", "url", terms, k = 10, anchorWeight = 2.0)
+        .as[(Long, Int, Double)].collect().sortBy(_._2).toSeq
+      assert(got === want, s"served $got != batch twin $want")
+    } finally q.stop()
+
+    val before = tables.map(t => t -> dirState(t)).toMap
+    // crash: offsets/1 survives, commits/1 is lost → restart replays 1
+    assert(new java.io.File(s"$ckpt/commits/1").delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    try {
+      val after = tables.map(t => t -> dirState(t)).toMap
+      assert(after === before,
+        "replay must not touch a single index file (name+size+mtime)")
+    } finally tables.foreach(Layout.drop(spark, _))
+  }
+
   test("crash-replayed micro-batch is a no-op: index files byte-identical, zero compaction") {
     // Round-14 exactly-once contract (VERDICT r13 task 2): kill the
     // commit record of the LAST batch — the real crash-recovery shape:
