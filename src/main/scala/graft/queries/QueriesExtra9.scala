@@ -15,7 +15,7 @@ import Shared._
   */
 private[queries] object QueriesExtra9 {
 
-  def defs: Seq[QueryDef] = Seq(q420, q421)
+  def defs: Seq[QueryDef] = Seq(q420, q421, q422)
 
   /** q420's hand-labeled fixture: variant v = doc_id % 8. Three
     * distinct English sentences (kept), German/French/Japanese
@@ -158,5 +158,55 @@ private[queries] object QueriesExtra9 {
           |  ('p-c.example', CAST(2 AS BIGINT), CAST(20 AS BIGINT),
           |    CAST(1 AS BIGINT)))
           |  AS v(domain, n_pages, text_chars, n_raw_markers)
+          |ORDER BY domain""".stripMargin))
+
+  private def q422 =
+    // WET ingest (round 18): the Common Crawl text-extract format —
+    // `conversion` records carry ALREADY-extracted UTF-8 text, no
+    // HTTP envelope. fromWet reads exactly those (a `response` record
+    // in the same cut is type-gated out), decodes UTF-8 directly, and
+    // dedups on the canonical URL like fromWarc. Residue grid:
+    // host = doc_id % 3, v = doc_id % 4 (coprime). v=0 conversion of
+    // page w0 under a utm variant ("wet text alpha", 14 chars); v=1
+    // conversion of page w1 ("second wet document", 19); v=2 a
+    // response record (SKIPPED by the WET walk); v=3 conversion of
+    // page w0 bare — canon-folds with v=0's group, one survivor.
+    // Per-domain constants hand-derived.
+    QueryDef("q422_wet_ingest",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_wet_q422"
+        val v = pmod(col("doc_id"), lit(4))
+        val host = elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+          lit("w-a.example"), lit("w-b.example"), lit("w-c.example"))
+        val docs = t(s, dir, "documents").select(
+          concat(lit("http://"), host,
+            when(v === 0, lit("/w0?utm_campaign=x"))
+              .when(v === 1, lit("/w1"))
+              .when(v === 2, lit("/w2"))
+              .otherwise(lit("/w0"))).as("url"),
+          when(v === 0, lit("wet text alpha"))
+            .when(v === 1, lit("second wet document"))
+            .when(v === 2, lit("<p>html body</p>"))
+            .otherwise(lit("wet text alpha")).as("payload"),
+          when(v === 2, lit("response")).otherwise(lit("conversion"))
+            .as("warc_type"),
+          lit(null).cast("string").as("refers_to"))
+        graft.sources.Warc.writeTyped(docs, tmp, "url", "payload",
+          "warc_type", "refers_to", gzip = true)
+        CorpusPipeline.fromWet(s, tmp)
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_pages"),
+            sum(length(col("text"))).as("text_chars"))
+          .orderBy("domain")
+      },
+      Some(
+        // per host: w0 (14 chars, one survivor of the utm/bare pair)
+        // + w1 (19) = 2 pages, 33 chars; the response record never
+        // appears
+        """SELECT * FROM (VALUES
+          |  ('w-a.example', CAST(2 AS BIGINT), CAST(33 AS BIGINT)),
+          |  ('w-b.example', CAST(2 AS BIGINT), CAST(33 AS BIGINT)),
+          |  ('w-c.example', CAST(2 AS BIGINT), CAST(33 AS BIGINT)))
+          |  AS v(domain, n_pages, text_chars)
           |ORDER BY domain""".stripMargin))
 }

@@ -69,6 +69,15 @@ object Warc {
   private[graft] val payloadBytesMaterialized =
     new java.util.concurrent.atomic.LongAdder
 
+  /** Record types the content walk emits by default: the page-payload
+    * records of a raw crawl. A WET extract (the Common Crawl
+    * text-only sibling format) stores its text under
+    * `WARC-Type: conversion` instead — pass `Set("conversion")` to
+    * read those ([[graft.ops.CorpusPipeline.fromWet]]).
+    */
+  private[graft] val ContentTypes: Set[String] =
+    Set("response", "resource")
+
   /** Default read glob: the part files our own text-sink writer
     * produces. A directory a FOREIGN crawler wrote (`*.warc.gz` names,
     * the Common Crawl layout) needs an explicit glob — and a glob that
@@ -203,14 +212,17 @@ object Warc {
     */
   def readBinary(spark: SparkSession, dir: String,
       glob: String = DefaultGlob,
-      urlFilter: String => Boolean = null): DataFrame = {
+      urlFilter: String => Boolean = null,
+      types: Set[String] = ContentTypes): DataFrame = {
     import spark.implicits._
+    val emitTypes = types.map(_.toLowerCase(java.util.Locale.ROOT))
     spark.createDataset(
       spark.sparkContext.binaryFiles(globbed(spark, dir, glob))
         .flatMap { case (path, pds) =>
           val file = path.substring(path.lastIndexOf('/') + 1)
           closeOnTaskEnd(
-            new WarcRecordIterator(pds.open(), urlFilter = urlFilter))
+            new WarcRecordIterator(pds.open(), urlFilter = urlFilter,
+              contentTypes = emitTypes))
             .map { case (url, payload) =>
               (file, url, payload, payload.length.toLong)
             }
@@ -341,13 +353,16 @@ object Warc {
     * files-stay-immutable landing contract) as [[readStream]].
     */
   def readStreamBinary(spark: SparkSession, dir: String,
-      glob: String = "*"): DataFrame = {
+      glob: String = "*",
+      types: Set[String] = ContentTypes): DataFrame = {
     import spark.implicits._
     val conf = sessionConf(spark)
+    val emitTypes = types.map(_.toLowerCase(java.util.Locale.ROOT))
     streamPaths(spark, dir, glob)
       .flatMap { path =>
         val file = path.substring(path.lastIndexOf('/') + 1)
-        closeOnTaskEnd(new WarcRecordIterator(openPath(path, conf)))
+        closeOnTaskEnd(new WarcRecordIterator(openPath(path, conf),
+          contentTypes = emitTypes))
           .map { case (url, payload) =>
             (file, url, payload, payload.length.toLong)
           }
@@ -379,7 +394,8 @@ object Warc {
     */
   private[graft] final class WarcRecordIterator(raw: java.io.InputStream,
       emitRevisits: Boolean = false,
-      urlFilter: String => Boolean = null)
+      urlFilter: String => Boolean = null,
+      contentTypes: Set[String] = ContentTypes)
       extends Iterator[(String, Array[Byte])] {
 
     private val in: java.io.InputStream = {
@@ -514,7 +530,7 @@ object Warc {
         // as content (the pre-round-16 behavior)
         val warcType = headers.getOrElse("warc-type", "response")
           .toLowerCase(java.util.Locale.ROOT)
-        val isContent = warcType == "response" || warcType == "resource"
+        val isContent = contentTypes(warcType)
         val isRevisit = warcType == "revisit"
         val emits = if (emitRevisits) isRevisit else isContent
         // strictness FIRST (a filtered walk must still fail on a

@@ -530,6 +530,72 @@ class WarcSpec extends SparkSpec {
     assert(parsed("a.com").contains("Disallow: /private"))
   }
 
+  test("WET cuts read via the conversion type gate; fromWet decodes text directly") {
+    // Round 18: Common Crawl WET extracts store text under
+    // WARC-Type: conversion. The default content walk must SKIP them
+    // (they are not page payloads) and the types-parameterized walk
+    // must emit exactly them — and fromWet's output schema matches
+    // fromWarc's, so curation composes unchanged.
+    val dir = tmp("warc_wet")
+    val rows = Seq(
+      ("http://w.example/a", "extracted text one", "conversion", null),
+      ("http://w.example/b", "<p>raw page</p>", "response", null),
+      ("http://w.example/c", "café text — utf-8 bytes", "conversion",
+        null))
+      .toDF("url", "payload", "warc_type", "refers_to")
+    Warc.writeTyped(rows, dir, "url", "payload", "warc_type",
+      "refers_to", gzip = true)
+    // default walk: only the response record
+    val content = Warc.readBinary(spark, dir)
+      .select("url").as[String].collect().toSeq
+    assert(content === Seq("http://w.example/b"))
+    // conversion walk: only the WET records, bytes intact
+    val wet = graft.ops.CorpusPipeline.fromWet(spark, dir)
+      .select("url", "domain", "text").as[(String, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(wet === Seq(
+      ("http://w.example/a", "w.example", "extracted text one"),
+      ("http://w.example/c", "w.example", "café text — utf-8 bytes")))
+  }
+
+  test("fromWetStream: landed WET files match the batch WET ingest (pre-dedup)") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("wet_ckpt")
+    val stage = java.nio.file.Files.createTempDirectory("wet_st")
+    val rows = Seq(
+      ("http://w.example/a", "wet alpha", "conversion", null),
+      ("http://w.example/skip", "<p>page</p>", "response", null),
+      ("http://w.example/b", "wet beta", "conversion", null))
+      .toDF("url", "payload", "warc_type", "refers_to")
+    Warc.writeTyped(rows.coalesce(1), stage.toString + "/w", "url",
+      "payload", "warc_type", "refers_to", gzip = true)
+    val part = new java.io.File(stage.toString + "/w").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+    java.nio.file.Files.move(part.toPath,
+      dir.resolve("seg.warc.wet.gz"))
+    val q = graft.ops.CorpusPipeline.fromWetStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("wet_stream_t")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wet_stream_t")
+        .select("url", "text").as[(String, String)]
+        .collect().sorted.toSeq
+      val batch = graft.ops.CorpusPipeline.fromWet(spark,
+          dir.toString, "*.warc.wet.gz")
+        .select("url", "text").as[(String, String)]
+        .collect().sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(
+        ("http://w.example/a", "wet alpha"),
+        ("http://w.example/b", "wet beta")))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS wet_stream_t")
+    }
+  }
+
   test("revisit records round-trip and surface as (url, refers_to) rows") {
     val dir = tmp("warc_revisit")
     val rows = Seq(
