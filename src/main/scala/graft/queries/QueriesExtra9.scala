@@ -15,7 +15,7 @@ import Shared._
   */
 private[queries] object QueriesExtra9 {
 
-  def defs: Seq[QueryDef] = Seq(q420, q421, q422)
+  def defs: Seq[QueryDef] = Seq(q420, q421, q422, q423)
 
   /** q420's hand-labeled fixture: variant v = doc_id % 8. Three
     * distinct English sentences (kept), German/French/Japanese
@@ -209,4 +209,68 @@ private[queries] object QueriesExtra9 {
           |  ('w-c.example', CAST(2 AS BIGINT), CAST(33 AS BIGINT)))
           |  AS v(domain, n_pages, text_chars)
           |ORDER BY domain""".stripMargin))
+
+  /** q423's page sentences, v = doc_id % 5 — two English pages (kept),
+    * a German page (language-gated), a Swedish page (und via the
+    * round-18 margin), and junk (quality-gated). en/de reuse the
+    * spec-pinned [[curateFixture]] sentences.
+    */
+  private def wetCurateFixture: Seq[(String, String)] = Seq(
+    curateFixture(0), curateFixture(1), curateFixture(3),
+    curateFixture(6), curateFixture(7))
+
+  private def q423 =
+    // WET → trained curation capstone (round 18): the two new
+    // flagships composed in ONE plan — fromWet ingests a
+    // conversion-record cut (canonical-URL dedup collapses each
+    // page's captures), and curate at TRAINED-gate defaults keys the
+    // funnel off graft_langid, grouped per domain (warc-file source
+    // names are sink-generated and not oracle-stable). One domain,
+    // five pages: both English pages survive, German falls to the
+    // gate, Swedish proves the und-margin inside a composed pipeline,
+    // junk fails quality. The oracle is pinned VALUES + the
+    // whitespace-split twin for token counts — neither WET parsing
+    // nor the language model runs in it.
+    QueryDef("q423_wet_to_curated",
+      (s, dir) => {
+        val tmp = sys.props("java.io.tmpdir") + "/graft_warc_wet_q423"
+        val m = wetCurateFixture.size
+        val v = pmod(col("doc_id"), lit(m))
+        val sent = elt(((v + 1).cast("int") +:
+          wetCurateFixture.map(p => lit(p._2))): _*)
+        val docs = t(s, dir, "documents").select(
+          concat(lit("http://wc.example/s"), v,
+            lit("?utm_campaign="), pmod(col("doc_id"), lit(7)))
+            .as("url"),
+          sent.as("payload"),
+          lit("conversion").as("warc_type"),
+          lit(null).cast("string").as("refers_to"))
+        graft.sources.Warc.writeTyped(docs, tmp, "url", "payload",
+          "warc_type", "refers_to", gzip = true)
+        CorpusPipeline.curate(
+            CorpusPipeline.fromWet(s, tmp), sourceCol = "domain")
+          .orderBy("domain")
+      },
+      Some {
+        val values = wetCurateFixture.zipWithIndex
+          .map { case ((lang, sent), i) =>
+            s"($i, '$lang', '${sent.replace("'", "''")}')" }
+          .mkString(",\n  ")
+        s"""WITH v AS (SELECT * FROM (VALUES
+           |  $values) AS v(variant, lang, text)),
+           |kept AS (
+           |  SELECT count(*) AS docs_kept,
+           |    sum(len(list_filter(string_split_regex(text, ' +'),
+           |      t -> t <> ''))) AS toks
+           |  FROM v WHERE lang = 'en'),
+           |dropped AS (
+           |  SELECT count(*) AS nq FROM v WHERE lang <> 'en')
+           |SELECT 'wc.example' AS domain,
+           |  CAST(kept.docs_kept AS BIGINT) AS docs_kept,
+           |  CAST(kept.toks AS BIGINT) AS tokens_kept,
+           |  CAST(0 AS BIGINT) AS dropped_exact_dup,
+           |  CAST(dropped.nq AS BIGINT) AS dropped_quality,
+           |  CAST(0 AS BIGINT) AS dropped_near_dup
+           |FROM kept CROSS JOIN dropped""".stripMargin
+      })
 }
