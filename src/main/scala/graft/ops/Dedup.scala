@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per identical content. */
+  /** Exact dedup: keep the lowest-id row per identical content.
+    * PRECONDITION: `idCol` is unique — a consumer that joins `keep_id`
+    * back against rows with colliding ids marks every collider a
+    * winner (the q409 bug class). Ops that GENERATE hash-derived ids
+    * must dedup on their own group key first (`fromWarc`/`fromWet` do,
+    * via the canonical-URL `min_by`) before feeding id-keyed stages
+    * like [[graft.ops.CorpusPipeline.curate]].
+    */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
