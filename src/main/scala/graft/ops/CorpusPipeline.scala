@@ -41,7 +41,14 @@ object CorpusPipeline {
       df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, lang: String,
       minhashK: Int, bands: Int, jaccard: Double,
-      trainedLangId: Boolean): DataFrame = {
+      trainedLangId: Boolean,
+      langs: Set[String]): DataFrame = {
+    // multilingual gate (round 18): a non-empty `langs` keeps every
+    // listed language — the shard-mix reality of a multilingual
+    // corpus; empty = the single-`lang` gate
+    val langOk: Column => Column =
+      if (langs.isEmpty) _ === lang
+      else _.isin(langs.toSeq.sorted: _*)
     // Stage 1: exact-dup winners (lowest id per identical text).
     val exactWinners = Dedup.exact(df, textCol, idCol)
       .select(col("keep_id").as(idCol), lit(true).as("_exact_w"))
@@ -73,7 +80,7 @@ object CorpusPipeline {
       .withColumn("_lang", langOf(col(textCol)))
       .withColumn("_gate_ok",
         coalesce(col("_exact_w"), lit(false)) &&
-          col("_quality") >= minQuality && col("_lang") === lang)
+          col("_quality") >= minQuality && langOk(col("_lang")))
       .localCheckpoint()
     val gated = scored.filter(col("_gate_ok"))
       .select(df.columns.map(col).toSeq: _*)
@@ -102,10 +109,11 @@ object CorpusPipeline {
       sourceCol: String = "source",
       minQuality: Double = 0.5, lang: String = "en",
       minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8,
-      trainedLangId: Boolean = true): DataFrame =
+      trainedLangId: Boolean = true,
+      langs: Set[String] = Set.empty): DataFrame =
     // The funnel aggregate is partial+final combinable.
     fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard,
-      trainedLangId)
+      trainedLangId, langs)
       .groupBy(col(sourceCol))
       .agg(
         count(when(col("_fate") === "kept", 1)).as("docs_kept"),
@@ -123,9 +131,10 @@ object CorpusPipeline {
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minQuality: Double = 0.5, lang: String = "en",
       minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8,
-      trainedLangId: Boolean = true): DataFrame =
+      trainedLangId: Boolean = true,
+      langs: Set[String] = Set.empty): DataFrame =
     fates(df, idCol, textCol, minQuality, lang, minhashK, bands, jaccard,
-      trainedLangId)
+      trainedLangId, langs)
       .filter(col("_fate") === "kept")
       .select(df.columns.map(col).toSeq: _*)
 
@@ -142,12 +151,13 @@ object CorpusPipeline {
       sourceCol: String = "source", decontamN: Int = 5,
       minQuality: Double = 0.5, lang: String = "en",
       minhashK: Int = 64, bands: Int = 8, jaccard: Double = 0.8,
-      trainedLangId: Boolean = true): DataFrame = {
+      trainedLangId: Boolean = true,
+      langs: Set[String] = Set.empty): DataFrame = {
     val scrubbed = df.withColumn(textCol,
       TextAnalysis.redactPii(col(textCol)))
     val clean = Dedup.decontaminate(scrubbed, benchmark, idCol, textCol, decontamN)
     curate(clean, idCol, textCol, sourceCol, minQuality, lang,
-      minhashK, bands, jaccard, trainedLangId)
+      minhashK, bands, jaccard, trainedLangId, langs)
   }
 
   /** WARC → curation-ready documents (round 16): the ingest glue from

@@ -15,7 +15,7 @@ import Shared._
   */
 private[queries] object QueriesExtra9 {
 
-  def defs: Seq[QueryDef] = Seq(q420, q421, q422, q423)
+  def defs: Seq[QueryDef] = Seq(q420, q421, q422, q423, q424)
 
   /** q420's hand-labeled fixture: variant v = doc_id % 8. Three
     * distinct English sentences (kept), German/French/Japanese
@@ -272,5 +272,65 @@ private[queries] object QueriesExtra9 {
            |  CAST(dropped.nq AS BIGINT) AS dropped_quality,
            |  CAST(0 AS BIGINT) AS dropped_near_dup
            |FROM kept CROSS JOIN dropped""".stripMargin
+      })
+
+  private def q424 =
+    // Multilingual language-SET gate (round 18): curate keeping
+    // {en, de} — the shard-mix reality of a multilingual corpus build
+    // (a single-language gate forces one curation run per language).
+    // Same hand-labeled q420 fixture at trained-gate defaults: the
+    // German winner now SURVIVES next to the three English ones;
+    // fr/ja fall to the gate, Swedish stays und (the margin), junk
+    // fails quality. The oracle is q420's chain with the kept-set
+    // predicate widened to lang IN ('en','de') — every verdict still
+    // a pinned literal.
+    QueryDef("q424_curate_multilingual",
+      (s, dir) => {
+        val m = curateFixture.size
+        val idx = (pmod(col("doc_id"), lit(m)) + 1).cast("int")
+        val sent = elt(idx +: curateFixture.map(p => lit(p._2)): _*)
+        CorpusPipeline.curate(
+            t(s, dir, "documents")
+              .select(col("doc_id"), col("source"), sent.as("text")),
+            langs = Set("en", "de"))
+          .orderBy("source")
+      },
+      Some {
+        val values = curateFixture.zipWithIndex
+          .map { case ((lang, sent), i) =>
+            s"($i, '$lang', '${sent.replace("'", "''")}')" }
+          .mkString(",\n  ")
+        s"""WITH v AS (SELECT * FROM (VALUES
+           |  $values) AS v(variant, lang, text)),
+           |d AS (SELECT doc_id, source,
+           |    doc_id % ${curateFixture.size} AS variant
+           |  FROM documents),
+           |w AS (SELECT variant, min(doc_id) AS wid FROM d GROUP BY 1),
+           |wd AS (SELECT d.source, d.variant
+           |  FROM d JOIN w ON d.doc_id = w.wid),
+           |kept AS (
+           |  SELECT wd.source, count(*) AS docs_kept,
+           |    sum(len(list_filter(string_split_regex(v.text, ' +'),
+           |      t -> t <> ''))) AS toks
+           |  FROM wd JOIN v USING (variant)
+           |  WHERE v.lang IN ('en', 'de') GROUP BY 1),
+           |qual AS (
+           |  SELECT wd.source, count(*) AS nq
+           |  FROM wd JOIN v USING (variant)
+           |  WHERE v.lang NOT IN ('en', 'de') GROUP BY 1),
+           |n AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+           |nw AS (SELECT source, count(*) AS nwin FROM wd GROUP BY 1)
+           |SELECT n.source,
+           |  CAST(coalesce(kept.docs_kept, 0) AS BIGINT) AS docs_kept,
+           |  CAST(coalesce(kept.toks, 0) AS BIGINT) AS tokens_kept,
+           |  CAST(n.n - coalesce(nw.nwin, 0) AS BIGINT)
+           |    AS dropped_exact_dup,
+           |  CAST(coalesce(qual.nq, 0) AS BIGINT) AS dropped_quality,
+           |  CAST(0 AS BIGINT) AS dropped_near_dup
+           |FROM n
+           |LEFT JOIN nw USING (source)
+           |LEFT JOIN kept USING (source)
+           |LEFT JOIN qual USING (source)
+           |ORDER BY source""".stripMargin
       })
 }
