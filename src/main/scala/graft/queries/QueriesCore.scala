@@ -1443,9 +1443,11 @@ private[queries] object QueriesCore {
     // own cluster pass (q61) vs 3x before. The remaining floor is the
     // cluster iteration + per-query codegen, shared with q61/q100.
     // Heuristic-gate leg (trainedLangId = false): the oracle CTE chain
-    // replays the stopword-ratio gate in SQL. The TRAINED default gate
-    // inside curate is covered by q420, whose fixture languages are
-    // hand-labeled and pinnable — this synthetic word salad is not.
+    // replays the stopword-ratio gate in SQL — this query's claim is
+    // the HEURISTIC path + funnel volume. The defaults path (trained
+    // gate) is covered by the q428/q429 flagships over the
+    // hand-labeled fixture (round 19 — synthetic word salad is not
+    // pinnable under a trained model, q420 note).
     QueryDef("q50_corpus_curation",
       (s, dir) => CorpusPipeline.curate(
         t(s, dir, "documents").filter(col("doc_id") < 1000),

@@ -11,7 +11,7 @@ import Shared._
   * hand-derived literals over the residue grid; the only "twin" code
   * is the q69-precedent whitespace tokenizer for the BM25 replay.
   */
-private[queries] object QueriesExtra8 {
+private[graft] object QueriesExtra8 {
 
   def defs: Seq[QueryDef] =
     Seq(q411, q412, q413, q414, q415, q416, q417, q418, q419)
@@ -24,7 +24,7 @@ private[queries] object QueriesExtra8 {
     * classifier gets all sixteen right (LangIdSpec), and a regression
     * on any of them breaks this hash.
     */
-  private[queries] def langFixture: Seq[(String, String)] = Seq(
+  private[graft] def langFixture: Seq[(String, String)] = Seq(
     "en" -> ("The students arrived early at the library because they " +
       "wanted to study before the history exam."),
     "de" -> ("Die Studenten kamen früh in die Bibliothek, weil sie " +
@@ -318,12 +318,28 @@ private[queries] object QueriesExtra8 {
           |SELECT * FROM main UNION ALL SELECT * FROM arch
           |ORDER BY domain""".stripMargin))
 
+  /** Hand-pinned SCRIPT-AWARE token counts per [[langFixture]]
+    * sentence (round 19 — the `graft_tokens` kernel): the eleven
+    * Latin + ru + ar sentences keep their whitespace counts (ASCII/
+    * space-delimited parity), while ja/zh/ko count character bigrams
+    * per spaceless run (ja 1 → 24, zh 1 → 16, ko 6 → 17 — the ko
+    * trailing ASCII '.' after a Hangul run stands alone). Derived by
+    * hand from the kernel rules; TokensSpec asserts the kernel
+    * reproduces exactly these numbers, so the q416 oracle's literals
+    * and the kernel cannot drift apart silently.
+    */
+  private[graft] def langFixtureToks: Seq[Int] =
+    Seq(16, 14, 15, 15, 14, 14, 14, 12, 24, 16, 17, 10, 17, 13, 13, 17)
+
   private def q416 =
-    // Language-mix report (round 17): the shard-mix table a
-    // multilingual corpus publishes — per (source, predicted
-    // language), document and token volume, over the q411 16-language
-    // fixture. The oracle replays the labels (pinned by q411) and
-    // token counts with the q69-precedent whitespace-split twin.
+    // Language-mix report (round 17; counts re-pinned round 19): the
+    // shard-mix table a multilingual corpus publishes — per (source,
+    // predicted language), document and token volume, over the q411
+    // 16-language fixture. The oracle replays the labels (pinned by
+    // q411) and the SCRIPT-AWARE token counts as hand-pinned literals
+    // (langFixtureToks — the whitespace-split twin undercounted every
+    // spaceless CJK sentence as 1 giant token, which is exactly what
+    // the round-19 tokenizer fixes).
     QueryDef("q416_lang_mix",
       (s, dir) => {
         val idx =
@@ -336,21 +352,19 @@ private[queries] object QueriesExtra8 {
           .orderBy("source", "lang")
       },
       Some {
-        val values = langFixture.zipWithIndex
-          .map { case ((lang, sent), i) =>
-            s"($i, '$lang', '${sent.replace("'", "''")}')" }
+        val values = langFixture.zip(langFixtureToks).zipWithIndex
+          .map { case (((lang, _), ntoks), i) =>
+            s"($i, '$lang', $ntoks)" }
           .mkString(",\n  ")
         s"""WITH v AS (SELECT * FROM (VALUES
-           |  $values) AS v(variant, lang, text)),
+           |  $values) AS v(variant, lang, ntoks)),
            |g AS (
            |  SELECT source, doc_id % ${langFixture.size} AS variant,
            |    count(*) AS n
            |  FROM documents GROUP BY 1, 2)
            |SELECT g.source, v.lang,
            |  CAST(sum(g.n) AS BIGINT) AS n_docs,
-           |  CAST(sum(g.n * len(list_filter(
-           |    string_split_regex(v.text, ' +'), t -> t <> '')))
-           |    AS BIGINT) AS tokens
+           |  CAST(sum(g.n * v.ntoks) AS BIGINT) AS tokens
            |FROM g JOIN v USING (variant)
            |GROUP BY 1, 2
            |ORDER BY source, lang""".stripMargin

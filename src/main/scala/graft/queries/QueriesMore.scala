@@ -383,7 +383,9 @@ private[queries] object QueriesMore {
         // localCheckpoint materializes it ONCE and truncates the
         // iterative lineage, measured 12.4 s → ~5 s at sf0.1.
         // Heuristic-gate leg (the q50 oracle-replayability note); the
-        // trained default gate is q420's hand-labeled coverage.
+        // trained DEFAULTS path of this composition is q429's
+        // hand-labeled flagship (round 19) — this query keeps the
+        // volume leg.
         val kept = CorpusPipeline.curatedDocs(
             t(s, dir, "documents").filter(col("doc_id") < 1000),
             trainedLangId = false)

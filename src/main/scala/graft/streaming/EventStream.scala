@@ -474,6 +474,16 @@ object EventStream {
     * broadcast — batch-link-sized; a giant backfill batch should land
     * as several micro-batches (`maxFilesPerTrigger`), which is the
     * knob this source already documents.
+    *
+    * MARKUP-FREE batches (round 19 — VERDICT r18 task 7): a WET or
+    * `text/plain` ingest ([[graft.ops.CorpusPipeline.fromWetStream]],
+    * the extended-MIME `fromWarcStream`) has no markup — such docs
+    * pass `html = null` (mixed batches are fine: null rides row-wise).
+    * Their BODY postings and docs-dimension rows still maintain
+    * (`explode(htmlAnchors(null))` contributes zero edges, null-in/
+    * null-out), so a later HTML batch whose anchors point at an
+    * earlier plain-text doc's URL re-ranks it exactly like an HTML
+    * sibling — StreamingModeSpec drives the mixed-batch case.
     */
   def incrementalAnchorIngest(
       docs: DataFrame, bodyPostingsTable: String, bodyStatsTable: String,
