@@ -30,14 +30,20 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   // ExpectsInputTypes is unusable outside the sql package
   // (AbstractDataType is private[sql]) — hand-rolled check instead.
+  // Both ARRAY<FLOAT> and ARRAY<DOUBLE> sides are accepted (r19: the
+  // Pca power-iteration dots a float embedding against a double model
+  // literal; the per-element arithmetic is the float's exact double
+  // widening either way, so float/float callers are bit-unchanged).
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(elemType(_).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects two ARRAY<FLOAT> arguments, got " +
+      s"graft_dot expects two ARRAY<FLOAT|DOUBLE> arguments, got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
   override def dataType: DataType = DoubleType
@@ -50,11 +56,15 @@ case class FloatDotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val xf = elemType(left).contains(FloatType)
+    val yf = elemType(right).contains(FloatType)
     var s = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
       i += 1
     }
     s
@@ -65,6 +75,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      def get(arr: String, e: Expression): String =
+        if (elemType(e).contains(FloatType)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -73,7 +86,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |  double $sum = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $sum += ${get(a, left)} * ${get(b, right)};
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}

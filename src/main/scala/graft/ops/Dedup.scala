@@ -128,7 +128,11 @@ object Dedup {
   def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    df.withColumn("sig", minhashSignature(col(textCol), k))
+    // The k-hash signature fold is the operator's CPU hot spot; the
+    // driver's single-row-group parquet files scan as ONE task, so
+    // without a spread the fold runs serially (guide §2.5 input skew;
+    // no-op on production-scale inputs — see [[Par.spread]]).
+    Par.spread(df, col(idCol)).withColumn("sig", minhashSignature(col(textCol), k))
       .withColumn("band_id", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
         md5(array_join(transform(slice(col("sig"), col("band_id") * r + 1, lit(r)),
@@ -162,7 +166,7 @@ object Dedup {
       .select(col(s"l.$idCol").as("batch_id"),
         col(s"r.$idCol").as("index_id"))
       .distinct()
-    def toks(df: DataFrame) = df.select(col(idCol),
+    def toks(df: DataFrame) = Par.spread(df, col(idCol)).select(col(idCol),
       array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .withColumn("n_toks", size(col("toks")))
     candidates
@@ -185,7 +189,7 @@ object Dedup {
     * index-side exchange).
     */
   def tokenIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    Par.spread(df, col(idCol)).select(col(idCol),
       array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .withColumn("n_toks", size(col("toks")))
 
@@ -248,7 +252,7 @@ object Dedup {
     // array_intersect + array_union hash-set builds. With distinct
     // arrays |A ∪ B| = |A| + |B| − overlap, so the Jaccard value is
     // unchanged to the bit.
-    val toks = df.select(col(idCol),
+    val toks = Par.spread(df, col(idCol)).select(col(idCol),
       array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .withColumn("n_toks", size(col("toks")))
     candidates
@@ -288,7 +292,8 @@ object Dedup {
     require(maxHamming < bands, "pigeonhole needs maxHamming <= bands - 1")
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     val r = bits / bands
-    val sigs = df.select(col(idCol), simhash(col(textCol), bits).as("sig"))
+    val sigs = Par.spread(df, col(idCol))
+      .select(col(idCol), simhash(col(textCol), bits).as("sig"))
     val banded = sigs
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       // chunk = (sig >> band*r) & (2^r - 1); the shift amount is a
@@ -378,7 +383,7 @@ object Dedup {
     // `cached` is the exact Dataset persist() was called on — the
     // release hook must unpersist THAT handle (uncacheQuery with
     // cascade=false matches the cached plan, not descendants of it).
-    val cached = df.select(col(idCol), col(blockCol),
+    val cached = Par.spread(df, col(idCol)).select(col(idCol), col(blockCol),
       shingles(col(textCol), n).as("sh")) // kernel output is already sorted
       .withColumn("n_sh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -443,6 +448,10 @@ object Dedup {
     val t10 = math.round(threshold * 10).toInt
     require(t10 >= 1 && t10 <= 10 && math.abs(t10 / 10.0 - threshold) < 1e-12,
       s"threshold must be a multiple of 0.1 in (0, 1]: $threshold")
+    // NOT spread (r19): the shingle fold here is cheap relative to the
+    // three consumers' plan — adding the exchange measured 1.27 s →
+    // 2.33 s at sf0.1 (the shuffle is not reused across the inv/full
+    // branches), so the original scan-rooted form stays.
     val sh = df.select(col(idCol), col(blockCol),
         shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))

@@ -47,7 +47,11 @@ object Dsir {
         transform(sequence(lit(2), size(tk)), i =>
           concat(element_at(tk, i - 1), lit(" "), element_at(tk, i))))
         .otherwise(array().cast("array<string>")))
-    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+    // Spread before the token+bigram explode: the feature fold is the
+    // hot kernel and the driver's single-row-group inputs scan as one
+    // task (no-op at production scale — see [[Par.spread]]).
+    Par.spread(df, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(col(idCol), explode(feats).as("f"))
       .select(col(idCol),
         pmod(Hashing.portableHash(col("f")), lit(dim.toLong)).as("bucket"))
@@ -65,7 +69,7 @@ object Dsir {
         transform(sequence(lit(2), size(tk)), i =>
           concat(element_at(tk, i - 1), lit(" "), element_at(tk, i))))
         .otherwise(array().cast("array<string>")))
-    df.select(TextAnalysis.tokens(col(textCol)).as("tk"))
+    Par.spread(df).select(TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(explode(feats).as("f"))
       .select(pmod(Hashing.portableHash(col("f")), lit(dim.toLong))
         .as("bucket"))

@@ -67,7 +67,14 @@ object GemPipeline {
     * (SURVEY.md §0). Input: the raw all-string tracker frame.
     */
   def wrangle(cfg: TrackerConfig)(raw: DataFrame): DataFrame = {
-    val statusFiltered = cfg.preSteps.foldLeft(raw)((d, f) => f(d))
+    // Spread the raw tracker frame before the compute-dense cleans
+    // (ownership regex split, year explode): the driver's synthetic
+    // trackers are built over single-row-group parquet scans that plan
+    // as 1-2 tasks, serializing the whole wrangle (measured ~5 s of
+    // q43's 9.6 s wall). Hashing on the location id keeps a location's
+    // rows together; no-op at production input sizes ([[Par.spread]]).
+    val spreadRaw = Par.spread(raw, col(cfg.locationIdCol))
+    val statusFiltered = cfg.preSteps.foldLeft(spreadRaw)((d, f) => f(d))
       .filter(col(cfg.statusCol).isin(cfg.statusWhitelist: _*))
       .transform(Cleaning.replaceEverywhere(">0", "unknown"))
       .transform(Cleaning.dropUnusableCapacity(cfg.capacityCol, Seq("unknown", "N/A", "not found")))

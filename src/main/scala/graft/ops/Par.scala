@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Scan-parallelism floor for compute-dense stages (optimization r19,
+  * guide §2.5 "input skew" / §6 "input split size").
+  *
+  * The driver's parquet tables are single-row-group files, and a
+  * parquet row group is not byte-splittable — so every scan is ONE
+  * task regardless of `spark.sql.files.*`, and any expensive per-row
+  * kernel above it (MinHash signature fold, hashed-feature explode,
+  * 64-dim vector math, ownership regex split) runs serially while 31
+  * cores idle. Measured at sf0.1: the q293 whitening fold was a single
+  * 3.3 s task; q115's DSIR feature fold two ~1.5 s tasks; q43's
+  * wrangle+totals rode 2-task stages for ~5 s of its 9.6 s wall.
+  *
+  * [[spread]] repartitions such inputs up to the session's default
+  * parallelism BEFORE the expensive kernel — but only when the frame's
+  * file sources are too small to have produced that parallelism
+  * natively (sum of scan bytes < cores × `maxPartitionBytes`). On a
+  * production table (100 TB across many ≥128 MB files) the condition
+  * is false and the call is a plan-identical no-op — this is NOT a
+  * local[32] constant baked into the operators; the decision derives
+  * from input size vs. the session's own scan-split config, exactly
+  * the "derive from input size" posture the optimization brief asks
+  * for. The extra exchange moves only the bytes the kernel was going
+  * to read anyway (sub-MB here), and hash-partitioning on the caller's
+  * key keeps the assignment deterministic under task retry (guide
+  * §2.5's rand()-repartition trap does not apply).
+  */
+object Par {
+
+  /** Total bytes of all file-source leaves under `df`'s logical plan,
+    * or None when a leaf is not a file relation (fixture/checkpoint
+    * frames — no cheap size estimate, assume already distributed).
+    */
+  private def scanBytes(df: DataFrame): Option[Long] = {
+    val leaves = df.queryExecution.logical.collectLeaves()
+    val sizes = leaves.map {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => Some(f.location.sizeInBytes)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None
+  }
+
+  /** Repartition `df` to the session default parallelism (hashed on
+    * `keys`, round-robin when empty) iff its file inputs are too small
+    * for the scan to reach that parallelism on its own. No-op on
+    * large inputs and on non-file-rooted frames.
+    */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    scanBytes(df) match {
+      case Some(bytes) if bytes < target.toLong * maxSplit =>
+        if (keys.nonEmpty) df.repartition(target, keys: _*)
+        else df.repartition(target)
+      case _ => df
+    }
+  }
+}

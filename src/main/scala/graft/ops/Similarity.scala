@@ -120,12 +120,13 @@ object Similarity {
   }
 
   /** Cosine over two DOUBLE-array columns (the projected space) —
-    * left-to-right sums, mirroring the oracle's `list_sum`.
+    * left-to-right sums, mirroring the oracle's `list_sum`. Rides the
+    * codegen'd `graft_dot` (r19: the kernel now accepts double arrays;
+    * the interpreted HOF fold it replaces summed in the same order, so
+    * values are bit-identical).
     */
   private def cosineDbl(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _) /
-      (sqrt(aggregate(a, lit(0.0), (acc, e) => acc + e * e)) *
-        sqrt(aggregate(b, lit(0.0), (acc, e) => acc + e * e)))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   def jlProject(
       df: DataFrame, idCol: String, vecCol: String,
