@@ -28,6 +28,15 @@ object Graft {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // r19: AQE's coalesce floor, lowered from the 1 MB default so
+      // parallelism-first coalescing keeps compute-dense SMALL
+      // shuffles wide (a ~1 MB post-rollup frame feeding the 19-col
+      // finalize measured 3.4 s on the 2 tasks the default floor
+      // left it). At production shuffle sizes coalescing is governed
+      // by advisoryPartitionSizeInBytes, not this floor; applied as a
+      // fallback like every default here, so spark-submit overrides
+      // win.
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
       "spark.sql.session.timeZone" -> "UTC",
       "spark.ui.enabled" -> "false",
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet

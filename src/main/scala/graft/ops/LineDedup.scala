@@ -66,7 +66,10 @@ object LineDedup {
   def dedupSegments(
       df: DataFrame, idCol: String, segsCol: String,
       joinSep: String = " "): DataFrame = {
-    val exploded = df
+    // Par.spread: the segment split+explode rides a single-row-group
+    // scan otherwise (r19, guide §2.5); no-op at production scale.
+    val src = Par.spread(df, col(idCol))
+    val exploded = src
       .select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "seg")))
     // Canonical occurrence of each distinct segment = lexicographic min
     // of (doc, position) — map-side combinable, no window.
@@ -84,7 +87,7 @@ object LineDedup {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
             s => s("seg")), joinSep).as("dedup_text"))
-    df.select(col(idCol), size(col(segsCol)).cast("long").as("n_segs"))
+    src.select(col(idCol), size(col(segsCol)).cast("long").as("n_segs"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   * `w <- w - lr * X^T (sigmoid(Xw) - y) / N`.
   *
   * Scale shape (the same discipline as [[Similarity]]'s Lloyd loop
-  * and [[Components]]): the per-doc feature frame is computed ONCE and
-  * localCheckpointed for its K reuses; each iteration is two
-  * map-side-combinable aggregates (per-doc margin, then per-bucket
-  * gradient) with the dim-bounded model BROADCAST into the join — the
-  * corpus shuffles only on its own doc/bucket keys, never on the
-  * model; the model frame is localCheckpointed per round so lineage
-  * stays flat. Everything driver-side is the K-step loop itself — no
-  * `collect` of anything data-sized.
+  * and [[Pca.fit]]): the per-doc feature frame is computed ONCE,
+  * pre-partitioned by doc id and localCheckpointed for its K reuses;
+  * each iteration is ONE job — an exchange-free window computes the
+  * per-doc margin on the existing partitioning, the per-bucket
+  * gradient is a map-side-combinable aggregate, and the ≤ dim+1-row
+  * gradient is collected into the driver-held weight map (the
+  * bounded-codebook pattern: model state is dim-sized by
+  * construction, never data-sized). The corpus shuffles exactly once
+  * (the feature build), not per round.
   */
 object LogReg {
 
@@ -48,36 +49,50 @@ object LogReg {
       .select(col(idCol), col("bucket"), col("x"), col("y"))
     // bucket -1 is the INTERCEPT: x = 1 on every doc that has any
     // feature, so the model can express the class prior instead of
-    // saturating on the majority class
+    // saturating on the majority class.
+    //
+    // Pre-partitioned by doc id (one build-time shuffle): every GD
+    // round's per-doc margin then runs as a WINDOW over the existing
+    // partitioning — no exchange inside the loop (r19; the former
+    // shape paid a model broadcast + two shuffle aggregates + a
+    // checkpoint per round, ~4 actions; this shape pays ONE
+    // aggregate-and-collect job per round).
     val feats = hashed.unionByName(
         hashed.select(col(idCol), col("y")).distinct()
           .select(col(idCol), lit(-1L).as("bucket"),
             lit(1.0).as("x"), col("y")))
+      .repartition(col(idCol))
       .localCheckpoint(true)
     val nDocs = feats.select(idCol).distinct().count().toDouble
-    // w = 0 for every bucket that occurs anywhere in the corpus
-    var model = feats.select("bucket").distinct()
-      .withColumn("w", lit(0.0))
-      .localCheckpoint(true)
-    for (it <- 1 to iters) {
-      val margins = feats
-        .join(broadcast(model), Seq("bucket"))
-        .groupBy(idCol)
-        .agg(sum(col("x") * col("w")).as("z"), first(col("y")).as("y"))
-        .select(col(idCol),
-          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("err"))
+    // The model is dim-bounded (≤ dim+1 buckets) — driver state, the
+    // same bounded-codebook posture as Pca.fit / Bpe's merge rules.
+    // w = 0 for every bucket that occurs anywhere in the corpus.
+    import spark.implicits._
+    val allBuckets = feats.select(col("bucket")).distinct()
+      .as[Long].collect().sorted
+    var w = allBuckets.map(_ -> 0.0).toMap
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    for (_ <- 1 to iters) {
+      // err(doc) = sigmoid(Σ x·w) − y, computed per row via a window
+      // sum against the literal weight map (element_at is total here:
+      // every bucket in feats is a key of w by construction).
+      val z = sum(col("x") * element_at(typedlit(w), col("bucket")))
+        .over(wDoc)
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
       val grad = feats
-        .join(margins, Seq(idCol))
+        .select(col("bucket"), (col("x") * err).as("_c"))
         .groupBy("bucket")
-        .agg((sum(col("x") * col("err")) / nDocs).as("g"))
-      // pinEvery: iters is caller-chosen; checkpoint generations past
-      // ~16 hit the planning knee (Iterate's doc).
-      model = Iterate.pinEvery(it, model
-        .join(grad, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w")))
+        .agg((sum(col("_c")) / nDocs).as("g"))
+        .collect()
+      val g = grad.flatMap(r =>
+        if (r.isNullAt(1)) None // all-null contribs ≡ the old coalesce-to-0
+        else Some(r.getLong(0) -> r.getDouble(1))).toMap
+      // same update arithmetic as the distributed form: absent
+      // gradient (bucket with no surviving rows) leaves w unchanged
+      w = w.map { case (b, wv) => b -> (wv - lr * g.getOrElse(b, 0.0)) }
     }
-    model
+    spark.createDataset(allBuckets.toSeq.map(b => (b, w(b))))
+      .toDF("bucket", "w")
   }
 
   /** Score a frame under a trained model: mean bucket weight weighted

@@ -56,7 +56,9 @@ object SpanDedup {
     // feeds both the keeper aggregate and the join-back; the token
     // arrays feed reassembly) — the same 3-consumer localCheckpoint
     // trade as CorpusPipeline.fates.
-    val tokenized = df
+    // Par.spread: the tokenize fold (and the 1-partition checkpoint it
+    // would otherwise pin) rides the single-row-group scan (r19).
+    val tokenized = Par.spread(df, col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
       .localCheckpoint()
 

@@ -246,7 +246,11 @@ private[queries] object QueriesExtra4 {
     // structure.
     QueryDef("q336_textrank_keywords",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        // Par.spread: the tokenize+posexplode below feeds BOTH sides
+        // of the adjacency self-join; on the single-row-group scan it
+        // ran as one task per side (r19, guide §2.5).
+        val toks = graft.ops.Par.spread(t(s, dir, "documents"),
+            col("doc_id"))
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
         val pos = toks.select(col("doc_id"),
           posexplode(col("tk")).as(Seq("pos", "w")))
