@@ -169,17 +169,59 @@ object Dedup {
     def toks(df: DataFrame) = Par.spread(df, col(idCol)).select(col(idCol),
       array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .withColumn("n_toks", size(col("toks")))
-    candidates
-      .join(toks(batch).select(col(idCol).as("batch_id"),
-        col("toks").as("toks_a"), col("n_toks").as("na")), "batch_id")
-      .join(toks(index).select(col(idCol).as("index_id"),
-        col("toks").as("toks_b"), col("n_toks").as("nb")), "index_id")
-      .withColumn("inter",
-        call_function("graft_overlap", col("toks_a"), col("toks_b")))
-      .withColumn("jaccard", round(
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("batch_id", "index_id", "jaccard")
+    verifyJaccard(candidates, toks(batch), toks(index), idCol, threshold,
+      "batch_id", "index_id")
+  }
+
+  /** The three pair sets of a split-corpus MAINTENANCE cycle —
+    * standing-corpus self-pairs, batch-internal self-pairs, and
+    * batch↔corpus cross-pairs — built over ONE band frame and ONE
+    * token frame per side (r20, VERDICT r19 item 2): composing
+    * [[minhashNearDups]](old) + [[minhashNearDups]](batch) +
+    * [[incrementalNearDups]](batch, old) runs the signature fold and
+    * the tokenize fold TWICE per doc set (each call rebuilds its own
+    * frames); the q361/q362 fixtures pay that four-fold surplus every
+    * run. Candidate generation and the exact-Jaccard verify are the
+    * same expressions as the three standalone operators, so each
+    * returned frame is row-identical to its standalone counterpart.
+    *
+    * @return (oldPairs `(id_a, id_b, jaccard)`,
+    *         batchPairs `(id_a, id_b, jaccard)`,
+    *         crossPairs `(batch_id, index_id, jaccard)`)
+    */
+  def maintenancePairSets(
+      old: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def toksOf(df: DataFrame) = Par.spread(df, col(idCol)).select(col(idCol),
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .localCheckpoint(true)
+    val bandsOld = lshBands(old, idCol, textCol, k, bands).localCheckpoint(true)
+    val bandsBatch = lshBands(batch, idCol, textCol, k, bands).localCheckpoint(true)
+    val toksOld = toksOf(old)
+    val toksBatch = toksOf(batch)
+    def selfPairs(b: DataFrame, toks: DataFrame): DataFrame = {
+      val candidates = b.as("l")
+        .join(b.as("r"),
+          col("l.band_id") === col("r.band_id") &&
+            col("l.band_hash") === col("r.band_hash") &&
+            col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+        .distinct()
+      verifyJaccard(candidates, toks, toks, idCol, threshold, "id_a", "id_b")
+    }
+    val crossCand = bandsBatch.as("l")
+      .join(bandsOld.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash"))
+      .select(col(s"l.$idCol").as("batch_id"),
+        col(s"r.$idCol").as("index_id"))
+      .distinct()
+    (selfPairs(bandsOld, toksOld),
+      selfPairs(bandsBatch, toksBatch),
+      verifyJaccard(crossCand, toksBatch, toksOld, idCol, threshold,
+        "batch_id", "index_id"))
   }
 
   /** Sorted distinct-token frame `(idCol, toks, n_toks)` — the
@@ -236,10 +278,17 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
-    // NOT persisted: measured at sf0.1, re-running the signature fold
-    // on each side of the self-join is cheaper than materializing the
-    // band frame through the storage layer (10 s vs 19 s).
-    val b = lshBands(df, idCol, textCol, k, bands)
+    // Band + token frames are eager-localCheckpointed (r20): the band
+    // frame feeds BOTH sides of the self-join and the token frame both
+    // verify joins, so the lazy form ran the k-hash signature fold
+    // twice and the tokenize+sort fold twice per call — the dominant
+    // CPU of every minhash consumer (q286's profile: 4 × ~5-11 s
+    // 32-task fold stages for one pair build). Checkpoint = one fold,
+    // block-manager reads after; the r19 measurement that rejected
+    // materializing ("10 s vs 19 s") was through the STORAGE layer
+    // (bucketed table write), not the block manager. An eager action
+    // inside the operator matches the binCounts/ngramJaccard posture.
+    val b = lshBands(df, idCol, textCol, k, bands).localCheckpoint(true)
     val candidates = b.as("l")
       .join(b.as("r"),
         col("l.band_id") === col("r.band_id") &&
@@ -255,17 +304,31 @@ object Dedup {
     val toks = Par.spread(df, col(idCol)).select(col(idCol),
       array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .withColumn("n_toks", size(col("toks")))
+      .localCheckpoint(true)
+    verifyJaccard(candidates, toks, toks, idCol, threshold,
+      "id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against (possibly
+    * distinct) token frames — the shared tail of every minhash pair
+    * builder. Arithmetic is bit-identical to the historical inline
+    * form: merge-count overlap, |A ∪ B| = na + nb − inter, round 4,
+    * filter ≥ threshold.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, toksA: DataFrame, toksB: DataFrame,
+      idCol: String, threshold: Double,
+      aName: String, bName: String): DataFrame =
     candidates
-      .join(toks.select(col(idCol).as("id_a"), col("toks").as("toks_a"),
-        col("n_toks").as("na")), "id_a")
-      .join(toks.select(col(idCol).as("id_b"), col("toks").as("toks_b"),
-        col("n_toks").as("nb")), "id_b")
+      .join(toksA.select(col(idCol).as(aName), col("toks").as("toks_a"),
+        col("n_toks").as("na")), aName)
+      .join(toksB.select(col(idCol).as(bName), col("toks").as("toks_b"),
+        col("n_toks").as("nb")), bName)
       .withColumn("inter", call_function("graft_overlap", col("toks_a"), col("toks_b")))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+      .select(col(aName), col(bName), col("jaccard"))
 
   /** 60-bit SimHash: per bit, the sign of the ±1 vote sum over token
     * hashes. Near-dups share most bits → banded equality join finds

@@ -57,26 +57,49 @@ object LogReg {
     // shape paid a model broadcast + two shuffle aggregates + a
     // checkpoint per round, ~4 actions; this shape pays ONE
     // aggregate-and-collect job per round).
+    // Partition count derived from the INPUT size, not inherited from
+    // defaultParallelism (r20, VERDICT r19 item 1): the feature frame
+    // is corpus-bytes-proportional, and at bench scale it is sub-MB —
+    // 32 near-empty partitions made every GD round pay the ~150 ms
+    // per-task constant × 32, which is why the 8-core bench beat the
+    // 32-core one on the whole LogReg family. At production input
+    // sizes sizedParts saturates to defaultParallelism, so the wide
+    // shape is unchanged where it matters.
     val feats = hashed.unionByName(
         hashed.select(col(idCol), col("y")).distinct()
           .select(col(idCol), lit(-1L).as("bucket"),
             lit(1.0).as("x"), col("y")))
-      .repartition(col(idCol))
+      .repartition(Par.sizedParts(df), col(idCol))
       .localCheckpoint(true)
-    val nDocs = feats.select(idCol).distinct().count().toDouble
+    // ONE setup job for both model-sized facts (was two: a distinct
+    // count + a distinct collect): nDocs and the bucket universe are
+    // both bounded aggregates of the checkpointed feature frame.
+    val setup = feats.agg(
+      countDistinct(col(idCol)).as("_nd"),
+      sort_array(collect_set(col("bucket"))).as("_bk")).collect()(0)
+    val nDocs = setup.getLong(0).toDouble
     // The model is dim-bounded (≤ dim+1 buckets) — driver state, the
     // same bounded-codebook posture as Pca.fit / Bpe's merge rules.
     // w = 0 for every bucket that occurs anywhere in the corpus.
     import spark.implicits._
-    val allBuckets = feats.select(col("bucket")).distinct()
-      .as[Long].collect().sorted
+    val allBuckets = setup.getSeq[Long](1).toArray
     var w = allBuckets.map(_ -> 0.0).toMap
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
     for (_ <- 1 to iters) {
       // err(doc) = sigmoid(Σ x·w) − y, computed per row via a window
-      // sum against the literal weight map (element_at is total here:
-      // every bucket in feats is a key of w by construction).
-      val z = sum(col("x") * element_at(typedlit(w), col("bucket")))
+      // sum against the literal weight vector. The weights ride as a
+      // dim+1-slot ARRAY indexed by bucket+1 (bucket −1 = intercept →
+      // slot 0), not a map literal: element_at on a map literal is a
+      // LINEAR scan (GetMapValue has no hash lookup — ADVICE r19), and
+      // with the plan recompiled every round (fresh weight literal)
+      // those dim probes per row ran as cold interpreted bytecode —
+      // the measured ~0.15 s/task constant of the GD rounds. The
+      // array slot read is O(1); slots for never-occurring buckets
+      // hold 0.0 and are never read, so the arithmetic is unchanged.
+      val wVec: Seq[Double] =
+        (0 to dim).map(i => w.getOrElse(i.toLong - 1L, 0.0))
+      val z = sum(col("x") * element_at(typedlit(wVec),
+          (col("bucket") + lit(2L)).cast("int")))
         .over(wDoc)
       val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
       val grad = feats

@@ -56,11 +56,37 @@ object Par {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    // Trigger cap (ADVICE r19): `bytes < target × maxSplit` alone
+    // scales with CLUSTER size — on 2000 cores it would re-shuffle a
+    // multi-GB input that already scans with hundreds of tasks. Only
+    // spread when the scan is provably starved of parallelism on its
+    // own: under a few splits' worth of bytes (the single-row-group
+    // fixture regime), never because the cluster is merely large.
     scanBytes(df) match {
-      case Some(bytes) if bytes < target.toLong * maxSplit =>
+      case Some(bytes) if bytes < math.min(target.toLong, 4L) * maxSplit =>
         if (keys.nonEmpty) df.repartition(target, keys: _*)
         else df.repartition(target)
       case _ => df
+    }
+  }
+
+  /** Partition count for a SMALL derived frame (iterative loop state,
+    * model/feature frames): size from the file bytes feeding `src`
+    * instead of inheriting `defaultParallelism`, so a sub-MB frame is
+    * not spread over 32 near-empty partitions paying the per-task
+    * constant each round (VERDICT r19: the 8-core bench beat 32 cores
+    * exactly on these frames). ~`bytesPerPart` of INPUT bytes per
+    * partition, clamped to [1, defaultParallelism]; non-file-rooted
+    * frames keep the default (no cheap size estimate).
+    */
+  def sizedParts(src: DataFrame, bytesPerPart: Long = 4L << 20): Int = {
+    val spark = src.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    scanBytes(src) match {
+      case Some(bytes) =>
+        math.max(1L, math.min(target.toLong,
+          (bytes + bytesPerPart - 1) / bytesPerPart)).toInt
+      case None => target
     }
   }
 }
