@@ -432,14 +432,16 @@ object Drift {
           .as("_qm"))
       .localCheckpoint()
     // The B² kernel literal: both engines evaluate exp on the same
-    // IEEE argument, so the tables agree to the ulp.
+    // IEEE argument, so the tables agree to the ulp. Stays a
+    // LocalRelation — checkpointing a driver-literal frame only costs
+    // an action (r20).
     import spark.implicits._
     val kernel = (0 until nbins).flatMap { i =>
       (0 until nbins).map { j =>
         val c = math.abs(i - j).toDouble / (nbins - 1)
         (i.toLong, j.toLong, math.exp(-c / eps), c)
       }
-    }.toDF("_i", "_j", "_kk", "_c").localCheckpoint()
+    }.toDF("_i", "_j", "_kk", "_c")
     val pm = p.select(col("_g"), col("_b").as("_i"), col("_m"))
       .localCheckpoint()
     var v = cnts.select("_g").distinct()
@@ -455,10 +457,16 @@ object Drift {
     for (it <- 1 to iters) {
       val ktu = uFrom(v).join(kernel, Seq("_i"))
         .groupBy("_g", "_j").agg(sum(col("_kk") * col("_uu")).as("_s2"))
-      v = Iterate.pinEvery(it, ktu.join(q, Seq("_j"))
+      val next = ktu.join(q, Seq("_j"))
         .select(col("_g"), col("_j"),
           when(col("_qm") > 0, col("_qm") / col("_s2"))
-            .otherwise(lit(0.0)).as("_vv")))
+            .otherwise(lit(0.0)).as("_vv"))
+      // The v-chain is LINEAR (each round consumes v once), so the
+      // per-round eager checkpoint was pure action overhead — the OT
+      // family's 200-job floor (VERDICT r19 item 3). Pin every 4th
+      // round to bound plan depth, and on the last round because the
+      // cost expression consumes the final v twice.
+      v = if (it % 4 == 0 || it == iters) Iterate.pin(next) else next
     }
     val cost = uFrom(v).join(kernel, Seq("_i"))
       .join(v, Seq("_g", "_j"))
@@ -507,8 +515,11 @@ object Drift {
     // DENSE per-group mass: missing bins as explicit zeros — the
     // geometric mean needs every (group, bin) cell present.
     import spark.implicits._
-    val bins = (0L until nbins.toLong).toDF("_b").localCheckpoint()
-    val groups = cnts.select("_g").distinct().localCheckpoint()
+    // bins is a driver literal (LocalRelation) and groups a one-join
+    // derivation of the checkpointed counts — neither is worth an
+    // eager checkpoint action (r20).
+    val bins = (0L until nbins.toLong).toDF("_b")
+    val groups = cnts.select("_g").distinct()
     val p = groups.crossJoin(bins)
       .join(cnts, Seq("_g", "_b"), "left")
       .select(col("_g"), col("_b"),
@@ -521,7 +532,7 @@ object Drift {
         val c = math.abs(i - j).toDouble / (nbins - 1)
         (i.toLong, j.toLong, math.exp(-c * c / eps))
       }
-    }.toDF("_i", "_j", "_kk").localCheckpoint()
+    }.toDF("_i", "_j", "_kk")
     // v_k dense over (group, bin), init 1.
     var v = groups.crossJoin(bins.select(col("_b").as("_j")))
       .withColumn("_vv", lit(1.0))
@@ -536,13 +547,16 @@ object Drift {
             .as("_uu"))
       // phi_k = (K^T u_k) * v_k — each group's current projection onto
       // the barycenter marginal; all strictly positive when any mass
-      // exists (K > 0), so the ln is total on real corpora.
+      // exists (K > 0), so the ln is total on real corpora. Left lazy
+      // (r20): it is groups × bins sized and consumed twice inside the
+      // SAME round plan; the per-round v checkpoint below bounds the
+      // replication at one round's depth, so the former dedicated
+      // checkpoint action bought nothing but a job.
       val phi = u.join(kernel, Seq("_i"))
         .groupBy("_g", "_j").agg(sum(col("_kk") * col("_uu")).as("_kt"))
         .join(v, Seq("_g", "_j"))
         .select(col("_g"), col("_j"), (col("_kt") * col("_vv")).as("_phi"),
           col("_kt"))
-        .localCheckpoint()
       val b = phi.groupBy("_j")
         .agg(exp(avg(log(col("_phi")))).as("_bm"))
       bary = b

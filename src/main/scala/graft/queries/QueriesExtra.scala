@@ -2659,9 +2659,19 @@ private[queries] object QueriesExtra {
     // composed into a lake-format conformance test.
     QueryDef("q220_format_integrity",
       (s, dir) => {
-        val base = t(s, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_quantity",
-            "l_returnflag")
+        // Spread + pin before the three format writes (r20, VERDICT
+        // r19 item 7): the single-row-group scan wrote each sink from
+        // 1 task; the q158 checksum compare is per-bucket (count,
+        // bit_xor) — order- and file-count-insensitive — and the CSV
+        // header is skipped per file, so the multi-file layout cannot
+        // change the result. The checkpoint pays the spread shuffle
+        // once for the three writes.
+        val base = graft.ops.Par.spread(
+            t(s, dir, "lineitem")
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_returnflag"),
+            col("l_orderkey"))
+          .localCheckpoint(true)
         val tmp = sys.props("java.io.tmpdir")
         base.write.mode("overwrite").parquet(s"$tmp/graft_fmt_pq")
         Orc.write(base, s"$tmp/graft_fmt_orc")

@@ -246,24 +246,26 @@ private[queries] object QueriesExtra4 {
     // structure.
     QueryDef("q336_textrank_keywords",
       (s, dir) => {
-        // Par.spread: the tokenize+posexplode below feeds BOTH sides
-        // of the adjacency self-join; on the single-row-group scan it
-        // ran as one task per side (r19, guide §2.5).
+        // Adjacent pairs straight off the token array (r20): the old
+        // posexplode + (doc_id, pos+1) self-join shuffled the exploded
+        // token frame twice and tokenized per side; transform() emits
+        // the same (tk[i], tk[i+1]) multiset in one projection. The
+        // token frame is checkpointed once for its two consumers
+        // (pairs + names); Par.spread as in r19 (guide §2.5).
         val toks = graft.ops.Par.spread(t(s, dir, "documents"),
             col("doc_id"))
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-        val pos = toks.select(col("doc_id"),
-          posexplode(col("tk")).as(Seq("pos", "w")))
-        val pairs = pos.alias("l")
-          .join(pos.alias("r"),
-            col("l.doc_id") === col("r.doc_id") &&
-              col("r.pos") === col("l.pos") + 1)
-          .select(col("l.w").as("wa"), col("r.w").as("wb"))
-          .where(col("wa") =!= col("wb"))
-          .select(Hashing.portableHash(col("wa")).as("src"),
-            Hashing.portableHash(col("wb")).as("dst"))
+          .localCheckpoint(true)
+        val bg = when(size(col("tk")) >= 2,
+          transform(sequence(lit(2), size(col("tk"))), i =>
+            struct(element_at(col("tk"), i - 1).as("wa"),
+              element_at(col("tk"), i).as("wb"))))
+        val pairs = toks.select(explode(bg).as("p"))
+          .where(col("p.wa") =!= col("p.wb"))
+          .select(Hashing.portableHash(col("p.wa")).as("src"),
+            Hashing.portableHash(col("p.wb")).as("dst"))
           .distinct()
-        val names = pos.select(col("w")).distinct()
+        val names = toks.select(explode(col("tk")).as("w")).distinct()
           .select(col("w"), Hashing.portableHash(col("w")).as("id"))
         PageRank.run(names.select("id"), "id", pairs, "src", "dst",
             damping = 0.85, iters = 5)

@@ -668,8 +668,12 @@ private[queries] object QueriesExtra5 {
           k = 64, bands = 8, threshold = 0.7).localCheckpoint(true)
         val taus = Seq(700, 800, 900)
         def lift(p: Int, c: Column): Column = lit(p.toLong) * 10000000L + c
-        val liftedNodes = taus.map(p => slice.select(
-          lift(p, col("doc_id")).as("doc_id"))).reduce(_ unionByName _)
+        // ONE scan of the slice, exploded into the three threshold
+        // planes (r20, VERDICT r19 item 5): the per-τ union scanned
+        // documents once per threshold and tripled the plan subtree.
+        val liftedNodes = slice.select(col("doc_id"),
+            explode(typedlit(taus.map(_.toLong))).as("_tau"))
+          .select((col("_tau") * 10000000L + col("doc_id")).as("doc_id"))
         val liftedPairs = taus.map(p =>
           pairs0.where(col("jaccard") >= p / 1000.0)
             .select(lift(p, col("id_a")).as("id_a"),
@@ -682,11 +686,15 @@ private[queries] object QueriesExtra5 {
           .groupBy("threshold_permil")
           .agg(countDistinct("component").as("n_clusters"),
             count(lit(1)).as("n_docs_in_clusters"))
-        val pc = taus.map(p =>
-          pairs0.where(col("jaccard") >= p / 1000.0)
-            .agg(count(lit(1)).as("n_pairs"))
-            .select(lit(p).as("threshold_permil"), col("n_pairs")))
-          .reduce(_ unionByName _)
+        // One conditional aggregate over the checkpointed pair frame
+        // instead of three scans-plus-union (r20): same three counts
+        // (coalesce keeps the empty-frame case at 0 like count did).
+        val pcAggs = taus.map(p => coalesce(sum(when(
+          col("jaccard") >= p / 1000.0, 1L).otherwise(0L)), lit(0L))
+          .as(s"_n$p"))
+        val pc = pairs0.agg(pcAggs.head, pcAggs.tail: _*)
+          .select(expr("stack(3, 700, _n700, 800, _n800, 900, _n900)" +
+            " AS (threshold_permil, n_pairs)"))
         val n = slice.agg(count(lit(1)).as("_n"))
         // LEFT join: a threshold whose clustering is empty still
         // reports its row (0 clusters), never vanishes.
@@ -909,14 +917,15 @@ private[queries] object QueriesExtra5 {
         val old = docs.filter(col("doc_id") < 500)
         val batch = docs.filter(col("doc_id") >= 500)
           .localCheckpoint(true)
-        val oldPairs = Dedup.minhashNearDups(old, "doc_id", "text",
+        // One band/token build per corpus half (maintenancePairSets,
+        // r20): the standalone minhashNearDups + incrementalNearDups
+        // composition re-ran the signature and tokenize folds once
+        // per call; the three pair frames are row-identical.
+        val (oldPairs, internal, cross) = Dedup.maintenancePairSets(
+          old, batch, "doc_id", "text",
           k = 64, bands = 8, threshold = 0.8)
         Components.writeClusterIndex(s, old, "doc_id", oldPairs,
           "id_a", "id_b", "graft_cluster_map_m", buckets = 8)
-        val cross = Dedup.incrementalNearDups(batch, old, "doc_id",
-          "text", k = 64, bands = 8, threshold = 0.8)
-        val internal = Dedup.minhashNearDups(batch, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
         Components.mergeClusterIndex(s, "graft_cluster_map_m",
           batch, "doc_id", internal, "id_a", "id_b",
           cross, "batch_id", "index_id", buckets = 8)
@@ -948,14 +957,12 @@ private[queries] object QueriesExtra5 {
         val old = docs.filter(col("doc_id") < 500)
         val batch = docs.filter(col("doc_id") >= 500)
           .localCheckpoint(true)
-        val oldPairs = Dedup.minhashNearDups(old, "doc_id", "text",
+        // Shared band/token build, as in q361 (maintenancePairSets).
+        val (oldPairs, internal, cross) = Dedup.maintenancePairSets(
+          old, batch, "doc_id", "text",
           k = 64, bands = 8, threshold = 0.8)
         Components.writeClusterIndex(s, old, "doc_id", oldPairs,
           "id_a", "id_b", "graft_cluster_map_c", buckets = 8)
-        val cross = Dedup.incrementalNearDups(batch, old, "doc_id",
-          "text", k = 64, bands = 8, threshold = 0.8)
-        val internal = Dedup.minhashNearDups(batch, "doc_id", "text",
-          k = 64, bands = 8, threshold = 0.8)
         Components.mergeClusterIndex(s, "graft_cluster_map_c",
           batch, "doc_id", internal, "id_a", "id_b",
           cross, "batch_id", "index_id", buckets = 8)
