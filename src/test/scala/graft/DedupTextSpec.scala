@@ -159,4 +159,33 @@ class DedupTextSpec extends SparkSpec {
     assert(fp.zip(fp.tail).forall { case (a, b) => a > b })
     assert(rows((8, 8)).getAs[Long]("s50_permil") == 750L)
   }
+
+  test("maintenancePairSets equals the three standalone pair builders") {
+    // r20: the fused builder shares one band/token frame per corpus
+    // half; its three outputs must be ROW-IDENTICAL to composing
+    // minhashNearDups(old) + minhashNearDups(batch) +
+    // incrementalNearDups(batch, old) — the q361/q362 contract.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // dup of 1 (old side)
+      (3L, "totally different words here now"),
+      (10L, "alpha beta gamma delta epsilon"),  // batch dup of 1/2
+      (11L, "totally different words here also"), // near dup of 3
+      (12L, "totally different words here also")  // exact dup of 11
+    ).toDF("doc_id", "text")
+    val old = corpus.filter(col("doc_id") < 10)
+    val batch = corpus.filter(col("doc_id") >= 10)
+    val (op, bp, cp) = Dedup.maintenancePairSets(
+      old, batch, "doc_id", "text", k = 16, bands = 4, threshold = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(op) == rows(Dedup.minhashNearDups(
+      old, "doc_id", "text", k = 16, bands = 4, threshold = 0.5)))
+    assert(rows(bp) == rows(Dedup.minhashNearDups(
+      batch, "doc_id", "text", k = 16, bands = 4, threshold = 0.5)))
+    assert(rows(cp) == rows(Dedup.incrementalNearDups(
+      batch, old, "doc_id", "text", k = 16, bands = 4, threshold = 0.5)))
+    // sanity: the fixture actually exercises all three sets
+    assert(rows(op).nonEmpty && rows(bp).nonEmpty && rows(cp).nonEmpty)
+  }
 }
